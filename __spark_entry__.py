@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin view over ``flink_gmall2024_realtime_spark.plans.CATALOG`` — every
+implemented operator from SURVEY.md §2 (plus the training-data-pipeline
+extensions) is registered there as a (Spark plan, DuckDB oracle) pair.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_gmall2024_realtime_spark.plans import catalog as _catalog
+
+
+def _ensure_confs(spark: SparkSession) -> SparkSession:
+    """The driver may hand us a session built without our factory; pin the
+    confs correctness depends on (naive-timestamp parity, nanos decoding)."""
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf on some builds; fixtures fall back to ns-long path
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the 10-second tumbling-window
+    keyed aggregate (the reference's core DWS shape)."""
+    _ensure_confs(spark)
+    return _catalog.CATALOG["dws_tumble_type_counts"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, spec in _catalog.CATALOG.items():
+        def make(fn):
+            def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+                return fn(_ensure_confs(spark), sf_dir)
+            return wrapped
+        out[name] = make(spec.spark)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _catalog.oracle_sql()

@@ -1,0 +1,54 @@
+"""Benchmark harness: runs the headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is fully materialized via a count over its result (no collect of
+payload rows — we measure engine wall-clock, not driver serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_gmall2024_realtime_spark.plans import CATALOG
+from flink_gmall2024_realtime_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("gmall-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench = {name: spec for name, spec in CATALOG.items() if spec.bench}
+    # warm the JVM/codegen path once on the smallest query
+    next(iter(bench.values())).spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(bench.items()):
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID, quality scoring, token counting, and fingerprinting over a
+``documents(doc_id, text, ...)`` table. All pure Catalyst expressions
+(whole-stage codegen, no Python in the hot path) and all deterministic, so
+every one has an exact DuckDB oracle. At 100 TB these are embarrassingly
+parallel map-side transforms — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_long, normalize_text, tokenize
+
+# Tiny per-language stopword marker lists (n-gram-heuristic language ID).
+# Real pipelines plug in fastText/cld3 via a Pandas UDF behind the same
+# column contract; the heuristic keeps the operator dependency-free and
+# oracle-checkable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "in", "to")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the BPE-ish regex split lives in
+    ``functions.tokenize``; counting is just its size)."""
+    return F.size(tokenize(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    toks = tokenize(F.lower(text))
+    acc = F.lit(0)
+    for m in markers:
+        acc = acc + F.size(F.filter(toks, lambda t: t == F.lit(m)))
+    return acc
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: the language whose marker tokens appear most,
+    ties broken by language code order; 'und' when nothing matches."""
+    scores = [(lang, marker_hits(text, ms)) for lang, ms in sorted(LANG_MARKERS.items())]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for lang, s in reversed(scores):
+        out = F.when((best_score > 0) & (s == best_score), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features: length, token count, mean token length,
+    punctuation ratio, stopword ratio, alpha ratio — rounded to 6 dp.
+
+    The classic heuristic-filter feature set (C4/Gopher-style length and
+    symbol ratios) as one map-side projection."""
+    t = F.col(text_col)
+    toks = tokenize(t)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(t).cast("double")
+    stop_hits = marker_hits(t, STOPWORDS).cast("double")
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tok, F.lit(1.0)), 6).alias("chars_per_token"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))) / F.greatest(n_chars, F.lit(1.0)), 6
+        ).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1.0)), 6).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.greatest(n_chars, F.lit(1.0)), 6
+        ).alias("alpha_ratio"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 60-bit hash of the whitespace/case-normalized
+    text — the cheap first-pass identity for dedup and provenance joins."""
+    return md5_long(normalize_text(text))

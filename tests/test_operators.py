@@ -1,0 +1,209 @@
+"""Per-operator unit tests on tiny in-memory DataFrames (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_gmall2024_realtime_spark.functions import (
+    md5_long,
+    normalize_text,
+    tokenize,
+    ts_to_date,
+)
+from flink_gmall2024_realtime_spark.operators import dedup, similarity, state, text
+from flink_gmall2024_realtime_spark.operators.etl import (
+    etl_db_stream,
+    etl_log_stream,
+    prune_columns_by_config,
+    update_delta_predicate,
+)
+from flink_gmall2024_realtime_spark.operators.joins import interval_join, lookup_join
+from flink_gmall2024_realtime_spark.operators.split import split_log_stream
+from flink_gmall2024_realtime_spark.operators.windows import tumble
+
+
+def test_etl_db_stream_filters(spark):
+    rows = [
+        ('{"database":"gmall","table":"t1","type":"insert","data":{"id":"1"},"old":null,"ts":1}',),
+        ('{"database":"other","table":"t1","type":"insert","data":{"id":"2"},"old":null,"ts":1}',),
+        ('{"database":"gmall","table":"t1","type":"bootstrap-start","data":{"id":"3"},"old":null,"ts":1}',),
+        ("not json",),
+        ('{"database":"gmall","table":"t1","type":"insert","data":{},"old":null,"ts":1}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = etl_db_stream(df).collect()
+    assert len(out) == 1 and out[0]["data"]["id"] == "1"
+
+
+def test_etl_log_stream_and_split(spark):
+    rows = [
+        ('{"common":{"mid":"m1","is_new":"1"},"page":{"page_id":"home"},"ts":1000,'
+         '"displays":[{"item":"a","item_type":"sku","pos_id":"1"},{"item":"b","item_type":"sku","pos_id":"2"}]}',),
+        ('{"common":{"mid":"m2","is_new":"0"},"start":{"entry":"icon","open_ad_id":"5"},"ts":2000}',),
+        ('{"common":{"mid":"m3"},"err":{"error_code":"42","msg":"x"},"page":{"page_id":"cart"},"ts":3000}',),
+        ('{"page":{"page_id":"orphan"},"ts":4000}',),  # no mid -> dropped
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    parsed = etl_log_stream(df)
+    assert parsed.count() == 3
+    branches = split_log_stream(parsed)
+    assert branches["err"].count() == 1
+    assert branches["start"].count() == 1
+    assert branches["display"].count() == 2  # exploded
+    assert branches["page"].count() == 2  # m1 + m3 (err removed, still a page)
+    assert "displays" not in branches["page"].columns
+
+
+def test_update_delta_predicates(spark):
+    rows = [
+        Row(type="insert", data={"sku_num": "2"}, old=None),
+        Row(type="update", data={"sku_num": "5"}, old={"sku_num": "2"}),
+        Row(type="update", data={"sku_num": "1"}, old={"sku_num": "2"}),
+        Row(type="update", data={"sku_num": "5"}, old={"other": "x"}),
+    ]
+    df = spark.createDataFrame(rows)
+    got = df.filter(update_delta_predicate("sku_num", new_gt_old=True)).count()
+    assert got == 2  # insert + increasing update
+
+
+def test_prune_columns_by_config(spark):
+    df = spark.createDataFrame(
+        [Row(data={"a": "1", "b": "2", "c": "3"}, sink_columns="a,c")]
+    )
+    out = prune_columns_by_config(df).collect()[0]
+    assert sorted(out["data"].keys()) == ["a", "c"]
+
+
+def test_interval_join_bounds(spark):
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([Row(k=1, lts=t0)])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=datetime(2024, 1, 1, 11, 46, 0)),   # within -15min
+            Row(k=1, rts=datetime(2024, 1, 1, 11, 44, 59)),  # too early
+            Row(k=1, rts=datetime(2024, 1, 1, 12, 0, 10)),   # within +15s
+            Row(k=1, rts=datetime(2024, 1, 1, 12, 0, 16)),   # too late
+            Row(k=2, rts=t0),                                  # wrong key
+        ]
+    )
+    out = interval_join(left, right, "k", "lts", "rts")
+    assert out.count() == 2
+
+
+def test_lookup_join_left(spark):
+    stream = spark.createDataFrame([Row(code="a"), Row(code="zz")])
+    dim = spark.createDataFrame([Row(dic_code="a", dic_name="A")])
+    out = lookup_join(stream, dim, "code", "dic_code", how="left")
+    got = {r["code"]: r["dic_name"] for r in out.collect()}
+    assert got == {"a": "A", "zz": None}
+
+
+def test_tumble_window_bounds(spark):
+    # timestamp_ntz like the fixture tables — wall-clock windows, tz-free
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:03", "x"), ("2024-01-01 00:00:17", "x")], "ts string, k string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = tumble(df, "ts", keys=["k"], aggs=[F.count(F.lit(1)).alias("ct")]).collect()
+    assert {(r["stt"], r["ct"]) for r in out} == {
+        ("2024-01-01 00:00:00", 1),
+        ("2024-01-01 00:00:10", 1),
+    }
+    assert all(r["cur_date"] == "2024-01-01" for r in out)
+
+
+def test_first_seen_repair(spark):
+    df = spark.createDataFrame(
+        [Row(mid="m1", d="2024-01-01"), Row(mid="m1", d="2024-01-02"), Row(mid="m2", d="2024-01-02")]
+    )
+    out = state.first_seen_repair(df, "mid", F.col("d"))
+    got = {(r["mid"], r["cur_date"]): r["is_new"] for r in out.collect()}
+    assert got == {("m1", "2024-01-01"): 1, ("m1", "2024-01-02"): 0, ("m2", "2024-01-02"): 1}
+
+
+def test_returning_user_flags(spark):
+    df = spark.createDataFrame(
+        [Row(uid="u1", d="2024-01-01"), Row(uid="u1", d="2024-01-20"), Row(uid="u1", d="2024-01-21")]
+    )
+    out = state.returning_user_flags(df, "uid", "d")
+    got = {r["d"]: r["back"] for r in out.collect()}
+    assert got == {"2024-01-01": 0, "2024-01-20": 1, "2024-01-21": 0}
+
+
+def test_sessionize_gap(spark):
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(uid="u", event_id=1, ts=base),
+        Row(uid="u", event_id=2, ts=datetime(2024, 1, 1, 0, 10, 0)),   # same session
+        Row(uid="u", event_id=3, ts=datetime(2024, 1, 1, 1, 0, 0)),    # gap > 30min -> new
+    ]
+    out = state.sessionize(spark.createDataFrame(rows), "uid", "ts")
+    got = {r["event_id"]: (r["session_start"], r["session_id"]) for r in out.collect()}
+    assert got == {1: (1, 1), 2: (0, 1), 3: (1, 2)}
+
+
+def test_tokenize_and_fingerprint(spark):
+    df = spark.createDataFrame([Row(text="  Hello   world  "), Row(text="hello world")])
+    toks = df.select(tokenize(F.col("text")).alias("t")).collect()
+    assert toks[0]["t"] == ["Hello", "world"]
+    fps = df.select(text.fingerprint(F.col("text")).alias("f")).collect()
+    assert fps[0]["f"] == fps[1]["f"]  # normalization collapses case+ws
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aa"), Row(doc_id=2, text="aa"), Row(doc_id=3, text="bb")]
+    )
+    out = {r["keep_id"]: r["dup_ct"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e"),
+            Row(doc_id=2, text="a b c d e"),   # identical -> j = 1.0
+            Row(doc_id=3, text="x y z w v"),
+        ]
+    )
+    pairs = dedup.jaccard_pairs_brute(df, threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+    lsh = dedup.minhash_lsh_pairs(df, threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in lsh] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="spark flink join"), Row(doc_id=2, text="spark flink join"), Row(doc_id=3, text="totally different words here")]
+    )
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_brute_force_topk_self_similarity_excluded(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[1.0, 0.0]),
+            Row(vec_id=3, embedding=[0.0, 1.0]),
+        ]
+    )
+    out = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == 1), k=2).collect()
+    assert [(r["neighbor_id"], r["sim"]) for r in out] == [(2, 1.0), (3, 0.0)]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat and the dog"), Row(doc_id=2, text="el que la de"), Row(doc_id=3, text="qqq www")]
+    )
+    out = {r["doc_id"]: r["l"] for r in df.select("doc_id", text.lang_id(F.col("text")).alias("l")).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_md5_long_range(spark):
+    df = spark.createDataFrame([Row(s="abc")])
+    v = df.select(md5_long(F.col("s")).alias("h")).collect()[0]["h"]
+    assert 0 <= v < (1 << 60)
