@@ -1,0 +1,128 @@
+"""End-to-end streaming topologies (SURVEY §3) in fixture (file-stream) mode.
+
+Each topology is the Spark re-expression of a reference app; the same
+DataFrame-building code runs against Kafka sources (streaming/kafka.py) in a
+live deployment — only the source/sink edges differ (the FlinkSourceUtil /
+FlinkSinkUtil split, mirrored here).
+
+Fixture mode streams the driver's parquet through a file source with
+``maxFilesPerTrigger``/availableNow so tests replay deterministic micro-batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.etl import etl_log_stream
+from ..operators.split import split_log_stream
+from .sinks import DimCatalog, keyed_upsert_sink
+from .state import (
+    FIRST_SEEN_SCHEMA,
+    FIRST_SEEN_STATE,
+    apply_stateful,
+    first_seen_repair_func,
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, schema: str | None = None) -> DataFrame:
+    """Replay the events fixture as a stream (ns-long ts normalized to
+    timestamp_ntz exactly like the batch reader)."""
+    sch = schema or "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    # file stream sources take a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ntz = F.to_utc_timestamp(F.timestamp_micros(F.expr("ts div 1000")), "Asia/Shanghai").cast(
+        "timestamp_ntz"
+    )
+    return raw.withColumn("ts", ntz)
+
+
+def windowed_type_counts(events: DataFrame, watermark: str = "5 seconds") -> DataFrame:
+    """A1/W1 streaming form: watermarked 10 s tumbling window per event_type —
+    identical logical plan to the batch catalog query, plus late-data drop.
+    Event-time watermark needs TIMESTAMP (not NTZ): the cast only shifts the
+    epoch, window boundaries stay wall-aligned."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pv_ct"), F.round(F.sum("value"), 2).alias("val_sum"))
+    )
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        F.date_format("window.start", "yyyy-MM-dd").alias("cur_date"),
+        "event_type",
+        "pv_ct",
+        "val_sum",
+    )
+
+
+def is_new_repair_stream(events: DataFrame) -> DataFrame:
+    """W2 streaming form: applyInPandasWithState keyed by user, state = first
+    active date (DwdBaseLog.java:154-198). Output (key, cur_date, is_new)."""
+    keyed = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.date_format("ts", "yyyy-MM-dd").alias("cur_date"),
+    )
+    return apply_stateful(
+        keyed.groupBy("key"), first_seen_repair_func, FIRST_SEEN_SCHEMA, FIRST_SEEN_STATE
+    )
+
+
+def dwd_base_log_pipeline(raw_logs: DataFrame) -> dict[str, DataFrame]:
+    """The DwdBaseLog topology (DwdBaseLog.java:46-93): edge ETL then 5-way
+    split. Works identically on a batch or streaming DataFrame of JSON log
+    lines — Catalyst shares the parse across all five branches."""
+    parsed = etl_log_stream(raw_logs)
+    return split_log_stream(parsed)
+
+
+def dim_app_pipeline(
+    spark: SparkSession,
+    db_stream: DataFrame,
+    config_df: DataFrame,
+    catalog: DimCatalog,
+    warehouse: str,
+):
+    """The DimApp topology (DimApp.java:56-85) as one foreachBatch loop:
+
+    1. apply config ops to the dim catalog (R4 DDL side effects);
+    2. broadcast-join the CDC batch with the config (J5) — the reference's
+       broadcast-state race machinery (W5) is unnecessary: config is read
+       fresh at the top of every batch;
+    3. prune each record's ``data`` to the config's sinkColumns (P6);
+    4. keyed upsert (insert/update) or delete into each dim table (K5).
+
+    Returns the foreachBatch function (also directly callable on batch
+    DataFrames for deterministic tests).
+    """
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        cfg_rows = config_df.collect()
+        catalog.apply_ops(cfg_rows)
+        active_cfg = config_df.filter(F.col("op") != "d")
+        routed = batch.join(
+            F.broadcast(active_cfg.withColumnRenamed("source_table", "table")), on="table"
+        )
+        keep = F.split(F.col("sink_columns"), ",")
+        pruned = routed.withColumn(
+            "data", F.map_filter(F.col("data"), lambda k, _v: F.array_contains(keep, k))
+        )
+        for sink_table in [r["sink_table"] for r in cfg_rows if r["op"] != "d"]:
+            part = pruned.filter(F.col("sink_table") == sink_table).select(
+                F.col("data")[F.col("sink_row_key")].alias("row_key"),
+                "type",
+                "data",
+                "ts",
+            )
+            writer = keyed_upsert_sink(
+                spark, catalog.path(sink_table) + "/table", "row_key", "ts", type_col="type"
+            )
+            writer(part, batch_id)
+
+    return process_batch

@@ -1,0 +1,134 @@
+"""Streaming sinks (SURVEY §2.2 K1-K5, §2.7 R3/R4) — foreachBatch writers.
+
+The reference's sink zoo (transactional Kafka, upsert-kafka with PK
+compaction, per-record HBase puts/deletes, Doris stream-load) collapses into
+three Spark-first writers:
+
+- ``append_serving_sink``   — Doris-equivalent: append parquet partitioned by
+                              ``cur_date`` (FlinkSinkUtil.java:63-86 / K4)
+- ``keyed_upsert_sink``     — upsert-kafka/HBase-equivalent (K3/K5):
+                              last-write-wins MERGE into a keyed table,
+                              delete-type rows removed
+- ``dynamic_routing_sink``  — K2/R3: each record lands in the table named by
+                              its ``sink_table`` column
+- ``DimCatalog``            — R4 (DimApp.java:112-178): config-op-driven
+                              create/drop of dim tables as metadata ops
+
+All are per-micro-batch idempotent (batch id recorded), which is what turns
+Spark's at-least-once replay into effectively-once end-to-end — the role the
+reference's 15-minute Kafka transactions play (FlinkSinkUtil.java:38-40).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def append_serving_sink(base_dir: str, table: str, partition_col: str = "cur_date"):
+    """K4 — append-mode serving table partitioned by date: the Doris
+    aggregate-table analogue. Partitioning by ``cur_date`` gives downstream
+    partition pruning for free."""
+
+    path = os.path.join(base_dir, table)
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+
+    return write
+
+
+def upsert_batch(current: DataFrame | None, batch: DataFrame, key: str, order_col: str,
+                 type_col: str | None = None) -> DataFrame:
+    """K3/K5 core — last-write-wins merge of ``batch`` into ``current``:
+
+    1. dedupe the batch by key keeping the latest (PK compaction,
+       SQLUtil.java:54-62 upsert-kafka semantics);
+    2. rows with type 'delete' remove the key (HBase deleteCells,
+       DimHBaseSinkFunction.java:34-47); others upsert.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    latest = (
+        batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    if current is not None:
+        survivors = current.join(latest.select(key), on=key, how="left_anti")
+        merged = survivors.unionByName(latest, allowMissingColumns=True)
+    else:
+        merged = latest
+    if type_col is not None:
+        merged = merged.filter(F.col(type_col) != F.lit("delete"))
+    return merged
+
+
+def keyed_upsert_sink(spark: SparkSession, path: str, key: str, order_col: str,
+                      type_col: str | None = None):
+    """foreachBatch writer maintaining a keyed parquet table with MERGE
+    semantics (the engine's HBase-dim / upsert-kafka stand-in). The rewrite is
+    atomic via write-new-then-swap; at warehouse scale this writer is the seam
+    where Delta/Iceberg MERGE INTO plugs in unchanged."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        current = None
+        if os.path.exists(path):
+            current = spark.read.parquet(path)
+        merged = upsert_batch(current, batch, key, order_col, type_col)
+        tmp = f"{path}.__tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    return write
+
+
+def dynamic_routing_sink(base_dir: str, sink_table_col: str = "sink_table"):
+    """K2/R3 — dynamic destination routing: one partitioned write per batch;
+    each record lands under its ``sink_table`` value (the file analogue of the
+    Kafka sink's per-record ``topic`` column, FlinkSinkUtil.java:44-60)."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").partitionBy(sink_table_col).parquet(base_dir)
+
+    return write
+
+
+class DimCatalog:
+    """R4 — dim-table DDL driven by config-stream ops (DimApp.java:112-178):
+    op 'd' drops the dim table, 'c'/'r' create it, 'u' drops and recreates.
+    Tables are directories under the catalog root (the HBase namespace
+    analogue); a real deployment maps these to catalog metastore calls."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, sink_table: str) -> str:
+        return os.path.join(self.root, sink_table)
+
+    def exists(self, sink_table: str) -> bool:
+        return os.path.exists(self.path(sink_table))
+
+    def apply_ops(self, config_rows) -> None:
+        for row in config_rows:
+            op, sink_table = row["op"], row["sink_table"]
+            if op == "d":
+                shutil.rmtree(self.path(sink_table), ignore_errors=True)
+            elif op in ("c", "r"):
+                os.makedirs(self.path(sink_table), exist_ok=True)
+            elif op == "u":
+                shutil.rmtree(self.path(sink_table), ignore_errors=True)
+                os.makedirs(self.path(sink_table), exist_ok=True)
+
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+        )

@@ -1,0 +1,209 @@
+"""Structured Streaming tests: replay fixtures through micro-batches and
+assert streaming results match the batch-declarative (oracle-checked) forms —
+the backfill/live consistency contract (SURVEY §5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_gmall2024_realtime_spark.operators import state as batch_state
+from flink_gmall2024_realtime_spark.sources.fixtures import load_table
+from flink_gmall2024_realtime_spark.streaming import pipelines, sinks
+from flink_gmall2024_realtime_spark.streaming.state import (
+    DAILY_UV_SCHEMA,
+    DAILY_UV_STATE,
+    LOGIN_SCHEMA,
+    LOGIN_STATE,
+    apply_stateful,
+    daily_uv_func,
+    returning_user_func,
+)
+
+
+def run_stream(df, tmpdir, name):
+    """Drain a streaming DataFrame into memory via availableNow."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def test_streaming_window_counts_match_batch(spark, sf_dir, tmp_path):
+    ev_stream = pipelines.stream_events(spark, sf_dir)
+    out = pipelines.windowed_type_counts(ev_stream)
+    run_stream(out, str(tmp_path), "win_counts")
+    got = {
+        (r["stt"], r["event_type"]): (r["pv_ct"], r["val_sum"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    # batch reference = the oracle-checked catalog query
+    from flink_gmall2024_realtime_spark.plans import CATALOG
+
+    batch_rows = CATALOG["dws_tumble_type_counts"].spark(spark, sf_dir).collect()
+    want = {(r["stt"], r["event_type"]): (r["pv_ct"], r["val_sum"]) for r in batch_rows}
+    # Append-mode semantics: windows not yet closed by the final watermark
+    # (those covering the last events) stay in state and are not emitted —
+    # everything the stream DID emit must match the batch result exactly,
+    # and only trailing windows may be withheld.
+    from datetime import datetime, timedelta
+
+    assert got == {k: v for k, v in want.items() if k in got}  # emitted == batch
+    withheld = set(want) - set(got)
+    max_edt = datetime.strptime(max(r["edt"] for r in batch_rows), "%Y-%m-%d %H:%M:%S")
+    wm_cut = max_edt - timedelta(seconds=30)
+    for stt, _etype in withheld:  # only trailing (unclosed) windows withheld
+        assert datetime.strptime(stt, "%Y-%m-%d %H:%M:%S") >= wm_cut
+
+
+def test_streaming_is_new_repair_matches_batch(spark, sf_dir, tmp_path):
+    ev_stream = pipelines.stream_events(spark, sf_dir)
+    out = pipelines.is_new_repair_stream(ev_stream)
+    run_stream(out, str(tmp_path), "is_new")
+    got = {
+        (r["key"], r["cur_date"]): r["is_new"]
+        for r in spark.sql("select key, cur_date, max(is_new) is_new from is_new group by 1,2").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (str(r["user_id"]), str(r["cur_date"])): r["is_new"]
+        for r in batch_state.first_seen_repair(ev, "user_id", F.to_date("ts"))
+        .select("user_id", "cur_date", "is_new")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_stateful_daily_uv_matches_batch(spark, sf_dir, tmp_path):
+    ev_stream = pipelines.stream_events(spark, sf_dir)
+    keyed = ev_stream.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.date_format("ts", "yyyy-MM-dd").alias("cur_date"),
+    )
+    out = apply_stateful(keyed.groupBy("key"), daily_uv_func, DAILY_UV_SCHEMA, DAILY_UV_STATE)
+    daily = out.groupBy("cur_date").agg(F.sum("uv").alias("uv_ct"))
+    q = (
+        daily.writeStream.format("memory")
+        .queryName("daily_uv")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_uv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {str(r["cur_date"]): r["uv_ct"] for r in spark.sql("select * from daily_uv").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        str(r["cur_date"]): r["uv_ct"]
+        for r in ev.groupBy(F.to_date("ts").alias("cur_date"))
+        .agg(F.count_distinct("user_id").alias("uv_ct"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stateful_returning_users_matches_batch(spark, sf_dir, tmp_path):
+    ev_stream = pipelines.stream_events(spark, sf_dir)
+    keyed = ev_stream.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.date_format("ts", "yyyy-MM-dd").alias("cur_date"),
+    )
+    out = apply_stateful(keyed.groupBy("key"), returning_user_func, LOGIN_SCHEMA, LOGIN_STATE)
+    run_stream(out, str(tmp_path), "login")
+    got = {
+        str(r["cur_date"]): (r["uu"], r["back"])
+        for r in spark.sql(
+            "select cur_date, sum(uu) uu, sum(back) back from login group by 1"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    flags = batch_state.returning_user_flags(
+        ev.select("user_id", F.to_date("ts").alias("d")), "user_id", "d"
+    )
+    want = {
+        str(r["d"]): (r["uu"], r["back"])
+        for r in flags.groupBy("d").agg(F.sum("uu").alias("uu"), F.sum("back").alias("back")).collect()
+    }
+    assert got == want
+
+
+def test_keyed_upsert_sink_merge_and_delete(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "dim_user")
+    writer = sinks.keyed_upsert_sink(spark, path, key="id", order_col="ts", type_col="type")
+    b1 = spark.createDataFrame(
+        [("1", "insert", "alice", 10), ("2", "insert", "bob", 11)],
+        "id string, type string, name string, ts long",
+    )
+    writer(b1, 0)
+    b2 = spark.createDataFrame(
+        [("1", "update", "alice2", 20), ("1", "update", "alice3", 25),
+         ("2", "delete", None, 21), ("3", "insert", "carol", 22)],
+        "id string, type string, name string, ts long",
+    )
+    writer(b2, 1)
+    final = {r["id"]: r["name"] for r in spark.read.parquet(path).collect()}
+    assert final == {"1": "alice3", "3": "carol"}  # latest wins, delete removes
+
+
+def test_dim_catalog_ddl_ops(tmp_path):
+    cat = sinks.DimCatalog(os.path.join(str(tmp_path), "dims"))
+    cat.apply_ops([{"op": "c", "sink_table": "dim_a"}, {"op": "c", "sink_table": "dim_b"}])
+    assert cat.tables() == ["dim_a", "dim_b"]
+    cat.apply_ops([{"op": "d", "sink_table": "dim_a"}, {"op": "u", "sink_table": "dim_b"}])
+    assert cat.tables() == ["dim_b"]
+
+
+def test_dim_app_pipeline_end_to_end(spark, tmp_path):
+    """DimApp topology (config-driven routing -> prune -> keyed upsert)."""
+    catalog = sinks.DimCatalog(os.path.join(str(tmp_path), "dimstore"))
+    cfg = spark.createDataFrame(
+        [("user_info", "dim_user_info", "id,name", "id", "c"),
+         ("sku_info", "dim_sku_info", "id,price", "id", "c")],
+        "source_table string, sink_table string, sink_columns string, sink_row_key string, op string",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("user_info", "insert", {"id": "1", "name": "a", "secret": "x"}, 1),
+            ("user_info", "update", {"id": "1", "name": "a2", "secret": "y"}, 2),
+            ("sku_info", "insert", {"id": "9", "price": "5", "junk": "z"}, 1),
+            ("other_tbl", "insert", {"id": "7"}, 1),  # unrouted -> dropped
+        ],
+        "`table` string, type string, data map<string,string>, ts long",
+    )
+    process = pipelines.dim_app_pipeline(spark, None, cfg, catalog, str(tmp_path))
+    process(batch, 0)
+    assert catalog.tables() == ["dim_sku_info", "dim_user_info"]
+    users = spark.read.parquet(catalog.path("dim_user_info") + "/table").collect()
+    assert len(users) == 1
+    assert users[0]["data"] == {"id": "1", "name": "a2"}  # pruned + latest
+    skus = spark.read.parquet(catalog.path("dim_sku_info") + "/table").collect()
+    assert skus[0]["data"] == {"id": "9", "price": "5"}
+
+
+def test_dwd_base_log_split_stream(spark, tmp_path):
+    """R1 five-way split on a streamed JSON log file."""
+    logs = [
+        '{"common":{"mid":"m1","is_new":"1"},"page":{"page_id":"home"},"ts":1000,"displays":[{"item":"a","item_type":"sku","pos_id":"1"}]}',
+        '{"common":{"mid":"m2","is_new":"0"},"start":{"entry":"icon","open_ad_id":"5"},"ts":2000}',
+        '{"common":{"mid":"m3"},"err":{"error_code":"42","msg":"x"},"page":{"page_id":"cart"},"ts":3000}',
+    ]
+    src = os.path.join(str(tmp_path), "logs")
+    os.makedirs(src)
+    with open(os.path.join(src, "part-0.txt"), "w") as f:
+        f.write("\n".join(logs))
+    raw = spark.readStream.format("text").schema("value string").load(src)
+    branches = pipelines.dwd_base_log_pipeline(raw)
+    counts = {}
+    for name, df in branches.items():
+        q = run_stream(df, str(tmp_path), f"branch_{name}")
+        counts[name] = spark.sql(f"select count(*) c from branch_{name}").collect()[0]["c"]
+    assert counts == {"err": 1, "start": 1, "display": 1, "action": 0, "page": 2}
