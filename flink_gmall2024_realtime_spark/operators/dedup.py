@@ -64,8 +64,34 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    """Distinct (doc_id, shingle) rows.
+
+    Deliberately NOT the array-transform formulation (``shingles()``): Spark's
+    higher-order functions run interpreted per element, which measured ~4x
+    slower than this posexplode + window-lead plan, whose expressions all stay
+    in whole-stage codegen. Same output set."""
+    from pyspark.sql import Window
+
+    from ..functions import TOKEN_SPLIT_RE
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = toks.select(
+        "doc_id",
+        "tok",
+        *[F.lead("tok", j).over(w).alias(f"_t{j}") for j in range(1, n)],
+    )
+    shingle = F.concat_ws(" ", F.col("tok"), *[F.col(f"_t{j}") for j in range(1, n)])
+    return (
+        leads.filter(F.col(f"_t{n-1}").isNotNull())
+        .select("doc_id", shingle.alias("shingle"))
+        .distinct()
     )
 
 
@@ -114,14 +140,18 @@ def minhash_signatures(
     Coefficients are fixed odd/even functions of i so the signature is fully
     deterministic and oracle-reproducible. Output: (doc_id, sig array<long>).
     One explode + one groupBy — linear in total shingle count."""
-    sh = _doc_shingles(docs, text_col, id_col, n).withColumn(
+    return _signatures_from_shingles(_doc_shingles(docs, text_col, id_col, n), perms)
+
+
+def _signatures_from_shingles(sh: DataFrame, perms: int) -> DataFrame:
+    hashed = sh.withColumn(
         "h", md5_long(F.col("shingle"), hex_chars=7)  # 28-bit: a*h+b stays < 2^63
     )
     mins = [
         F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(i * i + 1)) % F.lit(MERSENNE_P)).alias(f"m{i}")
         for i in range(perms)
     ]
-    agged = sh.groupBy("doc_id").agg(*mins)
+    agged = hashed.groupBy("doc_id").agg(*mins)
     return agged.select("doc_id", F.array(*[f"m{i}" for i in range(perms)]).alias("sig"))
 
 
@@ -139,25 +169,39 @@ def minhash_lsh_pairs(
     signatures -> band each signature into ``perms/band_rows`` buckets ->
     self equi-join on (band, bucket-hash) -> distinct candidate pairs ->
     verify with exact n-gram Jaccard >= threshold. The only joins are
-    equi-joins on hashes; nothing is O(n^2)."""
-    sig = minhash_signatures(docs, perms, n, text_col, id_col)
+    equi-joins on hashes; nothing is O(n^2).
+
+    The shingle set feeds four plan branches (signature, sizes, and both
+    sides of the verification join) — persist it so tokenize+hash runs once;
+    candidates are tiny relative to the corpus and broadcast explicitly."""
+    sh_cached = _doc_shingles(docs, text_col, id_col, n).persist()
+    sig = _signatures_from_shingles(sh_cached, perms)
     n_bands = perms // band_rows
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.concat_ws(",", *[F.col("sig")[bi * band_rows + r].cast("string") for r in range(band_rows)]).alias("bucket"),
-                )
-                for bi in range(n_bands)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    # Persist the banded form: it feeds both sides of the self-join (else the
+    # whole signature pipeline runs twice). |docs| x bands small rows.
+    bands = (
+        sig.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(",", *[F.col("sig")[bi * band_rows + r].cast("string") for r in range(band_rows)]).alias("bucket"),
+                    )
+                    for bi in range(n_bands)
+                ])
+            ).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bucket")
+        .persist()
+    )
     l, r = bands.alias("l"), bands.alias("r")
+    # Broadcast one side while the banded frame fits an executor (tens of
+    # millions of docs); beyond that drop the hint and let the equi-join
+    # shuffle on (band, bucket) — the plan shape is unchanged.
     cand = (
         l.join(
-            r,
+            F.broadcast(r),
             on=(F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
@@ -165,11 +209,12 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
         .distinct()
     )
-    # Exact verification on candidates only: re-join shingle sets.
-    sh = _doc_shingles(docs, text_col, id_col, n)
+    # Exact verification on candidates only: re-join the cached shingle sets.
+    sh = sh_cached
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
-        cand.join(sh.alias("sa"), cand.id_a == F.col("sa.doc_id"))
+        F.broadcast(cand)
+        .join(sh.alias("sa"), cand.id_a == F.col("sa.doc_id"))
         .join(
             sh.alias("sb"),
             (cand.id_b == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
@@ -194,10 +239,17 @@ def simhash(docs: DataFrame, bits: int = 48, text_col: str = "text", id_col: str
 
     Computed declaratively: explode tokens -> per-doc popcount per bit via
     shift/mask -> reassemble. Output: (doc_id, simhash bigint)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", md5_long(F.col("tok"), hex_chars=12))  # 48-bit
+    from ..functions import TOKEN_SPLIT_RE
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()  # distinct tokens per doc, codegen path (no interpreted HOF)
+        .withColumn("h", md5_long(F.col("tok"), hex_chars=12))  # 48-bit
+    )
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(

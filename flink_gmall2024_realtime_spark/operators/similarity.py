@@ -11,11 +11,12 @@ Approximate-nearest-neighbor for training-data pipelines:
   when the query side is NOT small: both sides hash to sign-bit buckets,
   candidates are bucket equi-joins, verified by exact cosine.
 
-Dot products use ``F.zip_with`` + ``F.aggregate`` (codegen'd, sequential
-left-to-right fold — bit-identical to DuckDB's ``list_dot_product`` on
-DOUBLE, which the oracle exploits). A Pandas-UDF/numpy path would batch
-better for very wide vectors; at 64-dim the built-in fold wins by staying
-JVM-side.
+Dot products are unrolled into flat codegen'd expressions (sequential
+left-to-right adds — bit-identical to DuckDB's ``list_dot_product`` on
+DOUBLE, which the oracle exploits; Spark's higher-order ``aggregate`` is the
+interpreted fallback for unknown dims). A Pandas-UDF/numpy path would batch
+better for very wide vectors, at the cost of FP-order determinism (BLAS
+reorders sums); at 64-dim the JVM-side expression wins on both counts.
 """
 
 from __future__ import annotations
@@ -24,7 +25,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential (left-to-right) double dot product.
+
+    With a known ``dim`` the sum is unrolled into a flat codegen'd expression
+    — Spark's higher-order ``aggregate`` runs interpreted per element and
+    measured several times slower on wide cross joins. Both forms add in the
+    same order, so they are bit-identical to each other and to DuckDB's
+    ``list_dot_product``."""
+    if dim is not None:
+        acc = a[0].cast("double") * b[0].cast("double")
+        for j in range(1, dim):
+            acc = acc + a[j].cast("double") * b[j].cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -32,12 +45,17 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        acc = a[0].cast("double") * a[0].cast("double")
+        for j in range(1, dim):
+            acc = acc + a[j].cast("double") * a[j].cast("double")
+        return F.sqrt(acc)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def brute_force_topk(
@@ -46,19 +64,68 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = 64,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Output: (query_id, neighbor_id, sim, rank), sim rounded to 6 dp, ties
-    broken by neighbor id — fully deterministic. The query side is broadcast;
-    per-query top-k runs as a window over the per-partition candidates."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
-        .select("query_id", "neighbor_id", "sim")
-    )
+    broken by neighbor id — fully deterministic.
+
+    Execution: the (small) query side is collected and broadcast to every
+    task as a numpy matrix; the corpus streams through ``mapInPandas`` in
+    Arrow batches. The accumulation is vectorized ACROSS pairs but runs
+    dimension-by-dimension in order, so every dot/norm is bit-identical to a
+    sequential scalar loop (= DuckDB's ``list_dot_product`` — the oracle
+    contract), while still using SIMD across the batch. Each task emits only
+    its batch-local top-k per query (a superset of the global top-k), so the
+    final ranking window sees tasks*k*queries rows, not |corpus|*|queries|."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    d = qmat.shape[1]
+    qn = qmat[:, 0] * qmat[:, 0]
+    for j in range(1, d):
+        qn = qn + qmat[:, j] * qmat[:, j]
+    qn = np.sqrt(qn)
+    sc = corpus.sparkSession
+    bq = sc.sparkContext.broadcast((qids, qmat, qn))
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def score(batches):
+        qids_, qmat_, qn_ = bq.value
+        nq = len(qids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            # dim-sequential accumulation: bit-equal to a scalar loop
+            acc = cmat[:, 0:1] * qmat_[None, :, 0]
+            for j in range(1, d):
+                acc = acc + cmat[:, j : j + 1] * qmat_[None, :, j]
+            cn = cmat[:, 0] * cmat[:, 0]
+            for j in range(1, d):
+                cn = cn + cmat[:, j] * cmat[:, j]
+            cn = np.sqrt(cn)
+            sim = np.round(acc / (cn[:, None] * qn_[None, :]), 6)
+            sim[cids[:, None] == qids_[None, :]] = -np.inf  # exclude self
+            # batch-local top-k per query (superset of global top-k)
+            kk = min(k, sim.shape[0])
+            rows = []
+            for qi in range(nq):
+                col = sim[:, qi]
+                # order: sim desc, neighbor_id asc — lexsort keys reversed
+                idx = np.lexsort((cids, -col))[:kk]
+                for ci in idx:
+                    if np.isfinite(col[ci]):
+                        rows.append((qids_[qi], cids[ci], col[ci]))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -102,17 +169,19 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col), dim).alias("qn"),
         signbit_bucket(F.col(vec_col), planes, dim).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col), dim).alias("cn"),
         signbit_bucket(F.col(vec_col), planes, dim).alias("bucket"),
     )
     scored = (
         q.join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("sim", F.round(_dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6))
         .select("query_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
