@@ -262,3 +262,52 @@ def simhash(docs: DataFrame, bits: int = 48, text_col: str = "text", id_col: str
     for b in range(bits):
         acc = acc + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
     return bit_sums.select("doc_id", acc.alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, sim >= threshold).
+
+    All-pairs within Arrow batches against the broadcast corpus matrix —
+    dimension-sequential accumulation for oracle bit-parity (see
+    similarity.brute_force_topk). At 100 TB the corpus matrix no longer
+    broadcasts; the same emit contract then runs per LSH/IVF bucket
+    (similarity.signbit_bucket) instead of per batch."""
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    nrm = mat[:, 0] * mat[:, 0]
+    for j in range(1, d):
+        nrm = nrm + mat[:, j] * mat[:, j]
+    nrm = np.sqrt(nrm)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, nrm))
+
+    def score(batches):
+        ids_, mat_, nrm_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            acc = cmat[:, 0:1] * mat_[None, :, 0]
+            for j in range(1, d):
+                acc = acc + cmat[:, j : j + 1] * mat_[None, :, j]
+            cn = cmat[:, 0] * cmat[:, 0]
+            for j in range(1, d):
+                cn = cn + cmat[:, j] * cmat[:, j]
+            cn = np.sqrt(cn)
+            sim = np.round(acc / (cn[:, None] * nrm_[None, :]), 6)
+            li, ri = np.nonzero((sim >= threshold) & (cids[:, None] < ids_[None, :]))
+            yield pd.DataFrame(
+                {"id_a": cids[li], "id_b": ids_[ri], "sim": sim[li, ri]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(score, "id_a long, id_b long, sim double")

@@ -88,3 +88,34 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: 60-bit hash of the whitespace/case-normalized
     text — the cheap first-pass identity for dedup and provenance joins."""
     return md5_long(normalize_text(text))
+
+
+# BPE-ish pre-tokenization: letter runs, single digits, single punctuation —
+# the shape of GPT-style pre-tokenizers, as one RE2/Java-compatible pattern
+# (identical semantics in Spark and DuckDB regexp_extract_all).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer (vs whitespace count:
+    splits punctuation and digit runs the way subword tokenizers do)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def winnow_fingerprints(docs: DataFrame, n: int = 3, mod: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowing-style selected fingerprints: hash every n-gram shingle, keep
+    hashes ≡ 0 (mod ``mod``) — the mod-sampling variant of the winnowing
+    scheme (Schleimer et al., SIGMOD'03). Gives an ~1/mod-size fingerprint
+    set per document whose selection is content-defined (stable under
+    insertions elsewhere in the doc), the property plagiarism/overlap
+    detection needs. Output: (doc_id, fp) rows."""
+    from .dedup import _doc_shingles
+
+    sh = _doc_shingles(docs, text_col, id_col, n)
+    return (
+        sh.withColumn("fp", md5_long(F.col("shingle"), hex_chars=12))
+        .filter(F.col("fp") % mod == 0)
+        .select("doc_id", "fp")
+        .distinct()
+    )

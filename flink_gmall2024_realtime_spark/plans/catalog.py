@@ -1071,3 +1071,219 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(decoded, every_nth=10).select(
         "media_id", F.col("frame_idx").cast("bigint").alias("frame_idx")
     )
+
+
+# =========================================================================
+# Extended coverage: near-dup embeddings, winnowing, BPE-ish tokens, and the
+# SQL-surface operators a reference user would expect the engine to keep
+# (rollup, set ops, pivot, hopping/session windows, percentiles)
+# =========================================================================
+
+_EMB_COS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_COS_SQL, survey_ids=("dedup-embedding-cosine",))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4 — the fixture corpus
+    has no planted vector dups; the threshold is a parameter)."""
+    return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_WINNOW_SQL = f"""
+WITH {_SHINGLE_CTE},
+fp AS (SELECT doc_id, {md5_long_sql_duckdb('shingle', 12)} AS fp FROM sh)
+SELECT DISTINCT doc_id, fp FROM fp WHERE fp % 8 = 0
+"""
+
+
+@register("text_winnow_fingerprints", oracle=_WINNOW_SQL, survey_ids=("text-fingerprint",))
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style (mod-sampled shingle-hash) fingerprint sets — the
+    content-defined rolling-hash fingerprinting used for overlap detection."""
+    return text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_bpe
+FROM documents
+""",
+    survey_ids=("text-token-count",),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish pre-tokenizer regex (letter runs,
+    single digits, single punctuation)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"))
+
+
+@register(
+    "q_rollup",
+    oracle="""
+SELECT r.r_name, n.n_name, count(*) AS cust_ct
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+    survey_ids=("A2",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region -> nation -> grand total) — subtotal rows
+    carry nulls; one pass, partial-agg'd like any groupBy."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("cust_ct"))
+    )
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+SELECT 'union' AS op, count(*) AS user_ct FROM (SELECT user_id FROM p UNION SELECT user_id FROM c)
+UNION ALL
+SELECT 'intersect', count(*) FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM c)
+UNION ALL
+SELECT 'except', count(*) FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
+""",
+    survey_ids=("R1",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (union / intersect / except) over keyed user sets — the
+    inverse of the reference's stream split (SURVEY §2.6)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    c = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    parts = [
+        p.union(c).distinct().agg(F.count(F.lit(1)).alias("user_ct")).select(F.lit("union").alias("op"), "user_ct"),
+        p.intersect(c).agg(F.count(F.lit(1)).alias("user_ct")).select(F.lit("intersect").alias("op"), "user_ct"),
+        p.exceptAll(c).distinct().agg(F.count(F.lit(1)).alias("user_ct")).select(F.lit("except").alias("op"), "user_ct"),
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+@register(
+    "q_hopping_window",
+    oracle="""
+WITH h AS (
+  SELECT unnest([time_bucket(INTERVAL '5 seconds', ts),
+                 time_bucket(INTERVAL '5 seconds', ts) - INTERVAL '5 seconds']) AS ws,
+         value
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+       count(*) AS pv_ct, round(sum(value), 2) AS val_sum
+FROM h GROUP BY ws
+""",
+    survey_ids=("A1", "W1"),
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window — size 10 s, hop 5 s: each event lands in two
+    overlapping windows (the reference never uses sliding windows; Spark's
+    window(slideDuration) provides them natively, SURVEY §2.8 note)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy(F.window("ts", "10 seconds", "5 seconds")).agg(
+        F.count(F.lit(1)).alias("pv_ct"), F.round(F.sum("value"), 2).alias("val_sum")
+    )
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"), "pv_ct", "val_sum"
+    )
+
+
+@register(
+    "q_session_window",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS st
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts,
+         sum(st) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid
+""",
+    survey_ids=("W3",),
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min inactivity gap) via F.session_window —
+    the windowed-aggregation form of sessionization (islands formulation is
+    the oracle). A session closes when no event arrives within the gap."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+@register(
+    "q_pivot_daily_types",
+    oracle="""
+SELECT ts::DATE AS cur_date,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+FROM events GROUP BY 1
+""",
+    survey_ids=("A2",),
+)
+def q_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily counts per event type as columns (explicit value list so
+    the plan is a single pass, no distinct-scan)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy(F.to_date("ts").alias("cur_date")).pivot("event_type", types).count()
+    return out.select("cur_date", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types])
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY 1
+""",
+    survey_ids=("A2",),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (both engines use the same
+    (n-1)*p linear interpolation)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )

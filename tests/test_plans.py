@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the plan properties the engine's 100 TB
+story depends on (pushdown, pruning, broadcast strategy) must survive
+refactors — 'the plan you'd want, not just the first one that passed'."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from flink_gmall2024_realtime_spark.plans import CATALOG
+
+
+def formatted_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: (.*)", plan)
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = formatted_plan(spark, CATALOG["q1_pricing_summary"].spark(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    (schema,) = read_schemas(plan)
+    assert "l_orderkey" not in schema and "l_partkey" not in schema  # pruned
+    assert "l_quantity" in schema
+
+
+def test_etl_predicate_reaches_scan(spark, sf_dir):
+    plan = formatted_plan(spark, CATALOG["dwd_etl_project"].spark(spark, sf_dir))
+    assert "In(event_type" in plan
+    assert "IsNotNull(user_id)" in plan
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    for name in ["dwd_lookup_join_dict", "q_dims_broadcast", "dim_config_routing"]:
+        plan = formatted_plan(spark, CATALOG[name].spark(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_interval_join_is_hash_not_cartesian(spark, sf_dir):
+    plan = formatted_plan(spark, CATALOG["dwd_interval_join"].spark(spark, sf_dir))
+    # equality conjunct must be extracted as the join key; range is a filter
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_daily_uv_reads_two_columns(spark, sf_dir):
+    plan = formatted_plan(spark, CATALOG["dws_daily_uv"].spark(spark, sf_dir))
+    (schema,) = read_schemas(plan)
+    assert schema.count(":") == 2  # ts + user_id only
+
+
+def test_lsh_has_no_cross_join(spark, sf_dir):
+    plan = formatted_plan(spark, CATALOG["dedup_minhash_lsh"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
