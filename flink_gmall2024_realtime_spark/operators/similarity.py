@@ -190,3 +190,91 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_mod: int = 50,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the partitioned-index scale path.
+
+    'Training' is deterministic: centroids are the vectors with
+    ``id % centroid_mod == 0`` (a real deployment would k-means them; the
+    assignment/probe mechanics — the Spark-side part — are identical).
+
+    1. assign every corpus vector to its nearest centroid (cosine, rounded,
+       ties by centroid id) — a map-side pass against the broadcast centroid
+       matrix; the corpus never shuffles for the assignment;
+    2. each query probes its ``nprobe`` nearest centroids;
+    3. exact cosine top-k within the probed cells only — an equi-join on
+       centroid id, so the per-query work is |corpus|/|cells| * nprobe.
+
+    Fully deterministic, so (unlike most ANN) it has an exact SQL oracle.
+    Output: (query_id, neighbor_id, sim, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    cen_rows = corpus.filter(F.col(id_col) % centroid_mod == 0).select(id_col, vec_col).collect()
+    cen_ids = np.array([r[0] for r in cen_rows], dtype=np.int64)
+    cen_mat = np.array([list(r[1]) for r in cen_rows], dtype=np.float64)
+    d = cen_mat.shape[1]
+    cen_n = cen_mat[:, 0] * cen_mat[:, 0]
+    for j in range(1, d):
+        cen_n = cen_n + cen_mat[:, j] * cen_mat[:, j]
+    cen_n = np.sqrt(cen_n)
+    sc = corpus.sparkSession
+    bc = sc.sparkContext.broadcast((cen_ids, cen_mat, cen_n))
+
+    def assign(top: int):
+        def fn(batches):
+            cen_ids_, cen_mat_, cen_n_ = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vids = pdf[id_col].to_numpy(dtype=np.int64)
+                vmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                acc = vmat[:, 0:1] * cen_mat_[None, :, 0]
+                for j in range(1, d):
+                    acc = acc + vmat[:, j : j + 1] * cen_mat_[None, :, j]
+                vn = vmat[:, 0] * vmat[:, 0]
+                for j in range(1, d):
+                    vn = vn + vmat[:, j] * vmat[:, j]
+                vn = np.sqrt(vn)
+                sim = np.round(acc / (vn[:, None] * cen_n_[None, :]), 6)
+                order = np.lexsort((cen_ids_[None, :].repeat(len(vids), 0), -sim), axis=1)
+                rows = []
+                for i in range(len(vids)):
+                    for c in order[i, :top]:
+                        rows.append((vids[i], int(cen_ids_[c])))
+                yield pd.DataFrame(rows, columns=[id_col, "cell"])
+
+        return fn
+
+    cells = corpus.select(id_col, vec_col).mapInPandas(assign(1), f"{id_col} long, cell long")
+    probes = queries.select(id_col, vec_col).mapInPandas(assign(nprobe), f"{id_col} long, cell long")
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
+        cells.select(F.col(id_col).alias("neighbor_id"), "cell"), on="neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
+        probes.select(F.col(id_col).alias("query_id"), "cell"), on="query_id"
+    )
+    dim = d
+    scored = (
+        q.join(c, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6))
+        .select("query_id", "neighbor_id", "sim")
+        .distinct()  # a neighbor can appear via several probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

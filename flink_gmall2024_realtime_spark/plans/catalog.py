@@ -1287,3 +1287,127 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
     )
+
+
+_COS_PAIR = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, cen.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_PAIR.format(a='e.v', b='cen.cv')} DESC, cen.cid) AS rn
+    FROM e CROSS JOIN cen
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, cen.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_PAIR.format(a='q.qv', b='cen.cv')} DESC, cen.cid) AS rn
+    FROM q CROSS JOIN cen
+  ) WHERE rn <= 4
+),
+s AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_PAIR.format(a='qe.v', b='ne.v')} AS sim
+  FROM probes p
+  JOIN asg a ON p.cell = a.cell
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ne ON ne.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+@register("ann_ivf", oracle=_IVF_SQL, survey_ids=("sim-ivf",), bench=True)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: deterministic centroids (vec_id % 50), nearest-
+    centroid assignment map-side against broadcast centroids, queries probe 4
+    cells, exact cosine within probed cells only. Deterministic end to end,
+    so unlike most ANN indexes it carries an exact SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    return similarity.ivf_topk(emb, q, k=5, centroid_mod=50, nprobe=4)
+
+
+@register(
+    "dwd_trade_order_detail",
+    oracle="""
+WITH od AS (
+  SELECT l_orderkey * 10 + l_linenumber AS id, l_orderkey AS order_id,
+         l_partkey AS sku_id, l_extendedprice AS split_total_amount
+  FROM lineitem
+),
+oi AS (SELECT o_orderkey AS id, o_custkey AS user_id, o_orderpriority AS province_id FROM orders),
+oda AS (SELECT l_orderkey * 10 + l_linenumber AS order_detail_id,
+               l_partkey % 10 AS activity_id
+        FROM lineitem WHERE (l_orderkey + l_linenumber) % 5 = 0),
+odc AS (SELECT l_orderkey * 10 + l_linenumber AS order_detail_id,
+               l_suppkey % 4 AS coupon_id
+        FROM lineitem WHERE (l_orderkey + l_linenumber) % 7 = 0)
+SELECT od.id, od.order_id, oi.user_id, oi.province_id, od.sku_id,
+       od.split_total_amount, oda.activity_id, odc.coupon_id
+FROM od
+JOIN oi ON od.order_id = oi.id
+LEFT JOIN oda ON od.id = oda.order_detail_id
+LEFT JOIN odc ON od.id = odc.order_detail_id
+""",
+    survey_ids=("J1", "J2", "P4", "K3"),
+    bench=True,
+)
+def dwd_trade_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship DWD SQL app (DwdTradeOrderDetail.java:99-102): order
+    detail INNER JOIN order info + LEFT JOIN activity + LEFT JOIN coupon.
+    Flink runs this as three stateful stream joins with 5 s idle-state TTL
+    and emits retractions; here the same logical plan is two broadcast-able
+    left joins after one keyed shuffle, and the downstream keyed upsert (K3)
+    sees identical final rows. Activity/coupon sides are synthesized CDC
+    projections of lineitem (the fixture has no separate tables)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    od = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("sku_id"),
+        F.col("l_extendedprice").alias("split_total_amount"),
+    )
+    oi = o.select(
+        F.col("o_orderkey").alias("oi_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderpriority").alias("province_id"),
+    )
+    oda = (
+        li.filter((F.col("l_orderkey") + F.col("l_linenumber")) % 5 == 0)
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("order_detail_id"),
+            (F.col("l_partkey") % 10).alias("activity_id"),
+        )
+    )
+    odc = (
+        li.filter((F.col("l_orderkey") + F.col("l_linenumber")) % 7 == 0)
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("odc_id"),
+            (F.col("l_suppkey") % 4).alias("coupon_id"),
+        )
+    )
+    return (
+        od.join(oi, od["order_id"] == oi["oi_id"])
+        .join(oda, od["id"] == oda["order_detail_id"], "left")
+        .join(odc, od["id"] == odc["odc_id"], "left")
+        .select(
+            "id", "order_id", "user_id", "province_id", "sku_id",
+            "split_total_amount", "activity_id", "coupon_id",
+        )
+    )
