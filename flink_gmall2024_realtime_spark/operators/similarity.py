@@ -264,14 +264,37 @@ def ivf_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
         probes.select(F.col(id_col).alias("query_id"), "cell"), on="query_id"
     )
-    dim = d
-    scored = (
+    pairs = (
         q.join(c, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6))
-        .select("query_id", "neighbor_id", "sim")
-        .distinct()  # a neighbor can appear via several probed cells
+        .select("query_id", "qv", "neighbor_id", "cv")
     )
+
+    def pair_score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.array([list(v) for v in pdf["qv"]], dtype=np.float64)
+            cm = np.array([list(v) for v in pdf["cv"]], dtype=np.float64)
+            acc = qm[:, 0] * cm[:, 0]
+            qn2 = qm[:, 0] * qm[:, 0]
+            cn2 = cm[:, 0] * cm[:, 0]
+            for j in range(1, d):
+                acc = acc + qm[:, j] * cm[:, j]
+                qn2 = qn2 + qm[:, j] * qm[:, j]
+                cn2 = cn2 + cm[:, j] * cm[:, j]
+            sim = np.round(acc / (np.sqrt(qn2) * np.sqrt(cn2)), 6)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "sim": sim,
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        pair_score, "query_id long, neighbor_id long, sim double"
+    ).distinct()  # a neighbor can appear via several probed cells
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

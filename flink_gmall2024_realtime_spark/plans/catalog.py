@@ -1411,3 +1411,27 @@ def dwd_trade_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split_total_amount", "activity_id", "coupon_id",
         )
     )
+
+
+@register(
+    "dws_home_detail_uv",
+    oracle="""
+SELECT ts::DATE AS cur_date,
+       count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS home_uv_ct,
+       count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS good_detail_uv_ct
+FROM events
+WHERE event_type IN ('view', 'click')
+GROUP BY 1
+""",
+    survey_ids=("A3", "W3", "P3"),
+)
+def dws_home_detail_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The home/good_detail per-page daily-UV app
+    (DwsTrafficHomeDetailPageViewWindow.java:71-163: page-id whitelist + two
+    per-mid ValueStates): page whitelist filter, per-page exact daily UV —
+    conditional distinct counts in one pass."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "click"))
+    return ev.groupBy(F.to_date("ts").alias("cur_date")).agg(
+        F.count_distinct(F.when(F.col("event_type") == "view", F.col("user_id"))).alias("home_uv_ct"),
+        F.count_distinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias("good_detail_uv_ct"),
+    )

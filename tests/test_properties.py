@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis): operator semantics against independent
+pure-Python models on randomized inputs — the rigor layer the reference ships
+without (SURVEY §5)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from flink_gmall2024_realtime_spark.operators import state
+from flink_gmall2024_realtime_spark.operators.skew import salted_aggregate
+from flink_gmall2024_realtime_spark.streaming.sinks import upsert_batch
+
+# Small domains force key collisions (the interesting cases).
+_keys = st.integers(min_value=0, max_value=5)
+_ts = st.integers(min_value=0, max_value=50)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(_keys, _ts, st.integers(0, 999)), min_size=1, max_size=40))
+def test_upsert_batch_is_last_write_wins(spark, rows):
+    df = spark.createDataFrame(
+        [(str(k), t, v) for k, t, v in rows], "id string, ts long, v long"
+    )
+    got = {r["id"]: (r["ts"], r["v"]) for r in upsert_batch(None, df, "id", "ts").collect()}
+    # model: per key, the row with max ts wins; among equal ts the engine may
+    # pick either — compare only max-ts and its value set membership
+    model: dict[str, int] = {}
+    for k, t, v in rows:
+        model[str(k)] = max(model.get(str(k), -1), t)
+    assert set(got) == set(model)
+    for k, (t, v) in got.items():
+        assert t == model[k]
+        assert (int(k), t, v) in [(a, b, c) for a, b, c in rows]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(_keys, st.integers(0, 30)), min_size=1, max_size=40))
+def test_first_seen_repair_model(spark, rows):
+    df = spark.createDataFrame([(str(k), f"2024-01-{d+1:02d}") for k, d in rows], "mid string, d string")
+    out = state.first_seen_repair(df, "mid", F.col("d")).collect()
+    first = {}
+    for k, d in rows:
+        first[str(k)] = min(first.get(str(k), "9"), f"2024-01-{d+1:02d}")
+    for r in out:
+        assert r["is_new"] == (1 if r["cur_date"] == first[r["mid"]] else 0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(_keys, st.integers(0, 10_000)), min_size=1, max_size=60))
+def test_salted_aggregate_equals_plain(spark, rows):
+    df = spark.createDataFrame([(str(k), v) for k, v in rows], "k string, v long")
+    plain = {
+        r["k"]: (r["s"], r["c"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")).collect()
+    }
+    salted = {
+        r["k"]: (r["s"], r["c"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            phase1=[F.sum("v").alias("ps"), F.count(F.lit(1)).alias("pc")],
+            phase2=[F.sum("ps").alias("s"), F.sum("pc").alias("c")],
+            salt_buckets=4,
+        ).collect()
+    }
+    assert plain == salted
