@@ -1435,3 +1435,96 @@ def dws_home_detail_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.when(F.col("event_type") == "view", F.col("user_id"))).alias("home_uv_ct"),
         F.count_distinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias("good_detail_uv_ct"),
     )
+
+
+@register(
+    "q5_region_volume",
+    oracle="""
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+""",
+    survey_ids=("J1", "J4"),
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped local-supplier volume: 6-way join with a selective dim
+    filter — Catalyst pushes r_name into the region scan and broadcasts the
+    dim chain; only orders-lineitem exchanges on the fact key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+SELECT l.l_partkey, round(sum(l.l_extendedprice), 2) AS small_qty_revenue
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY 1
+""",
+    survey_ids=("J1", "A2"),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated scalar subquery (below-half-average
+    quantity), expressed via spark.sql so Catalyst's decorrelation rewrites
+    it into an aggregate + join — the optimizer path the reference never had."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_partkey, round(sum(l.l_extendedprice), 2) AS small_qty_revenue
+        FROM v_lineitem l
+        WHERE l.l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity) FROM v_lineitem l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l.l_partkey
+        """
+    )
+
+
+@register(
+    "q_having_big_orders",
+    oracle="""
+SELECT l_orderkey, count(*) AS li_ct, round(sum(l_quantity), 2) AS qty_sum
+FROM lineitem
+GROUP BY 1
+HAVING count(*) >= 6 AND sum(l_quantity) > 150
+""",
+    survey_ids=("A2",),
+)
+def q_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING) — filter over aggregates, pushed
+    nowhere (semantically), evaluated after partial+final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("li_ct"),
+            F.sum("l_quantity").alias("_qs"),  # HAVING filters the raw sum
+        )
+        .filter((F.col("li_ct") >= 6) & (F.col("_qs") > 150))
+        .select("l_orderkey", "li_ct", F.round(F.col("_qs"), 2).alias("qty_sum"))
+    )
