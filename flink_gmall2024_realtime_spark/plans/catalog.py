@@ -1528,3 +1528,50 @@ def q_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("li_ct") >= 6) & (F.col("_qs") > 150))
         .select("l_orderkey", "li_ct", F.round(F.col("_qs"), 2).alias("qty_sum"))
     )
+
+
+@register(
+    "dws_keyword_window",
+    oracle="""
+WITH k AS (
+  SELECT ts, 'kw_' || json_extract_string(props, '$.k') AS keyword
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT time_bucket(INTERVAL '10 seconds', ts) AS w, keyword, count(*) AS keyword_count
+  FROM k GROUP BY 1, 2
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(w + INTERVAL '10 seconds', '%Y-%m-%d %H:%M:%S') AS edt,
+       strftime(w, '%Y-%m-%d') AS cur_date,
+       keyword, keyword_count
+FROM b
+""",
+    survey_ids=("A1", "J6", "F13", "P3", "W1"),
+)
+def dws_keyword_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The traffic-keyword DWS app end to end
+    (DwsTrafficSourceKeywordPageViewWindow.java:61-90: search-page filter ->
+    keyword extraction/tokenize -> 10 s tumbling window count with stt/edt/
+    cur_date): SURVEY §7.2's minimum end-to-end slice, as one query."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    kw = ev.select(
+        "ts", F.concat(F.lit("kw_"), json_get(F.col("props"), "k")).alias("keyword")
+    )
+    return tumble(
+        kw, "ts", keys=["keyword"], aggs=[F.count(F.lit(1)).alias("keyword_count")]
+    )
+
+
+@register("q_approx_aggregates", oracle=None, survey_ids=("A4",))
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the relaxation path SURVEY §2.5 notes the
+    reference never takes (its UVs are exact): HLL distinct + quantile
+    sketches per event_type. Sketch internals differ per engine, so this is
+    a rows-only check; the exact twins (dws_daily_uv, q_percentiles) are the
+    hash-checked versions."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("uv_approx"),
+        F.percentile_approx("value", 0.5).alias("p50_approx"),
+    )
