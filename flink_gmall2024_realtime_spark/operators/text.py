@@ -119,3 +119,66 @@ def winnow_fingerprints(docs: DataFrame, n: int = 3, mod: int = 8,
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Repetition metrics (Gopher-style repetition filters): fraction of the
+    doc covered by the most frequent token / bigram, and distinct-token
+    ratio. High values flag boilerplate and degenerate generations.
+
+    One explode + two aggregations; bigrams via window-lead (codegen path).
+    Output: (doc_id, top_token_ratio, top_bigram_ratio, distinct_token_ratio),
+    6 dp. Single-token docs get bigram ratio 0."""
+    from pyspark.sql import Window
+
+    from ..functions import TOKEN_SPLIT_RE
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tok_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("dct"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    )
+    bg_counts = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bg_stats = bg_counts.groupBy("doc_id").agg(F.max("c").alias("bmx"), F.sum("c").alias("btot"))
+    return (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.col("mx") / F.col("tot"), 6).alias("top_token_ratio"),
+            F.round(F.coalesce(F.col("bmx") / F.col("btot"), F.lit(0.0)), 6).alias("top_bigram_ratio"),
+            F.round(F.col("dct") / F.col("tot"), 6).alias("distinct_token_ratio"),
+        )
+    )
+
+
+# PII scrubbing patterns — deliberately simple character-class regexes so the
+# semantics are identical in Java (Spark) and RE2 (DuckDB) engines.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+    (r"[0-9]{5,}", "<NUM>"),
+)
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace email / phone-shaped / long-digit-run substrings with typed
+    placeholder tokens — the standard pre-training scrub pass. Order matters
+    (emails contain digits; phones contain digit runs)."""
+    out = col
+    for pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out

@@ -1575,3 +1575,71 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("uv_approx"),
         F.percentile_approx("value", 0.5).alias("p50_approx"),
     )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+ts AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot, count(*) AS dct FROM tc GROUP BY 1),
+bt AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bt GROUP BY 1, 2),
+bs AS (SELECT doc_id, max(c) AS bmx, sum(c) AS btot FROM bc GROUP BY 1)
+SELECT ts.doc_id,
+       round(ts.mx::DOUBLE / ts.tot, 6) AS top_token_ratio,
+       round(coalesce(bs.bmx::DOUBLE / bs.btot, 0.0), 6) AS top_bigram_ratio,
+       round(ts.dct::DOUBLE / ts.tot, 6) AS distinct_token_ratio
+FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+""",
+    survey_ids=("text-quality",),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics (top-token / top-bigram coverage, distinct-token
+    ratio) — the boilerplate/degeneracy filters of quality pipelines."""
+    return text.repetition_features(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+WITH synth AS (
+  SELECT c_custkey AS doc_id,
+         'reach ' || lower(replace(c_name, ' ', '.')) || '@example.com or +1 '
+           || (c_custkey * 7919)::VARCHAR || ' ref ' || (c_custkey + 100000)::VARCHAR AS text
+  FROM customer
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
+         '[0-9]{5,}', '<NUM>', 'g') AS scrubbed
+FROM synth
+""",
+    survey_ids=("text-quality",),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: synthesize contact lines from customers, replace
+    email/phone/long-number substrings with typed placeholders — pure
+    codegen'd regexp_replace chain, shuffle-free."""
+    c = _t(spark, sf_dir, "customer")
+    synth = c.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.lit("reach "),
+            F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+            F.lit("@example.com or +1 "),
+            (F.col("c_custkey") * 7919).cast("string"),
+            F.lit(" ref "),
+            (F.col("c_custkey") + 100000).cast("string"),
+        ).alias("text"),
+    )
+    return synth.select("doc_id", text.scrub_pii(F.col("text")).alias("scrubbed"))
