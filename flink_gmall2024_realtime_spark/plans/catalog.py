@@ -1643,3 +1643,45 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return synth.select("doc_id", text.scrub_pii(F.col("text")).alias("scrubbed"))
+
+
+@register(
+    "dwd_dynamic_fact_routing",
+    oracle="""
+SELECT cfg.sink_table, count(*) AS record_ct
+FROM (
+  SELECT 'order_info' AS src_table,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'update' ELSE 'insert' END AS src_type
+  FROM orders
+) e
+JOIN (VALUES
+  ('order_info', 'insert', 'dwd_trade_order_add'),
+  ('order_info', 'update', 'dwd_trade_order_change')
+) cfg(source_table, source_type, sink_table)
+  ON e.src_table = cfg.source_table AND e.src_type = cfg.source_type
+GROUP BY 1
+""",
+    survey_ids=("J5", "R3", "K2"),
+)
+def dwd_dynamic_fact_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DwdBaseDb's dynamic fact routing (DwdBaseDb.java:100-145): the config
+    key is (source_table, source_type) — e.g. the same table's inserts and
+    updates land in different sink topics. Broadcast two-key config join;
+    the sink_table column then drives the dynamic sink (K2/R3)."""
+    o = _t(spark, sf_dir, "orders")
+    facts = o.select(
+        F.lit("order_info").alias("src_table"),
+        F.when(F.col("o_orderkey") % 3 == 0, "update").otherwise("insert").alias("src_type"),
+    )
+    cfg = spark.createDataFrame(
+        [
+            ("order_info", "insert", "dwd_trade_order_add"),
+            ("order_info", "update", "dwd_trade_order_change"),
+        ],
+        "source_table string, source_type string, sink_table string",
+    )
+    routed = facts.join(
+        F.broadcast(cfg),
+        (facts["src_table"] == cfg["source_table"]) & (facts["src_type"] == cfg["source_type"]),
+    )
+    return routed.groupBy("sink_table").agg(F.count(F.lit(1)).alias("record_ct"))

@@ -157,3 +157,46 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # late 10:00:02 dropped (no re-emission, no count 2); 10:10:00 window
     # holds both its rows; trailing 10:20:00 window withheld (unclosed)
     assert got == {("10:00:00", 1), ("10:10:00", 2)}
+
+
+def test_stateful_state_carries_across_batches(spark, tmp_path):
+    """W2 via applyInPandasWithState over MULTIPLE micro-batches: the
+    first-seen date learned in batch 0 must repair is_new in later batches."""
+    from flink_gmall2024_realtime_spark.streaming.state import (
+        FIRST_SEEN_SCHEMA,
+        FIRST_SEEN_STATE,
+        apply_stateful,
+        first_seen_repair_func,
+    )
+
+    batches = [
+        [{"key": "u1", "cur_date": "2024-01-01"}],
+        [{"key": "u1", "cur_date": "2024-01-02"}, {"key": "u2", "cur_date": "2024-01-02"}],
+        [{"key": "u1", "cur_date": "2024-01-03"}, {"key": "u2", "cur_date": "2024-01-03"}],
+    ]
+    import time
+    d = os.path.join(str(tmp_path), "seen")
+    os.makedirs(d)
+    for i, rows in enumerate(batches):
+        with open(os.path.join(d, f"{i:02d}.jsonl"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        time.sleep(1.1)
+    s = (
+        spark.readStream.schema("key string, cur_date string")
+        .option("maxFilesPerTrigger", "1")
+        .json(d)
+    )
+    out = apply_stateful(s.groupBy("key"), first_seen_repair_func, FIRST_SEEN_SCHEMA, FIRST_SEEN_STATE)
+    _drain(out, tmp_path, "seen_out")
+    got = {
+        (r["key"], r["cur_date"]): r["is_new"]
+        for r in spark.sql("select * from seen_out").collect()
+    }
+    assert got == {
+        ("u1", "2024-01-01"): 1,
+        ("u1", "2024-01-02"): 0,  # state from batch 0 repaired this
+        ("u1", "2024-01-03"): 0,
+        ("u2", "2024-01-02"): 1,
+        ("u2", "2024-01-03"): 0,
+    }
