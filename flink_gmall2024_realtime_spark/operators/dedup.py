@@ -311,3 +311,52 @@ def embedding_cosine_pairs(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(score, "id_a long, id_b long, sim double")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected-components cluster assignment over near-dup pairs: every doc
+    gets ``cluster_id`` = the smallest doc id reachable through the pair
+    graph (singletons map to themselves). The keep-one-per-cluster dedup
+    policy is then ``doc_id == cluster_id``.
+
+    Iterative distributed label propagation (the standard Spark formulation
+    for components without a graph library): each round joins current labels
+    across the undirected edge set and takes the min; converges in
+    O(component diameter) rounds — near-dup clusters are shallow, so a handful
+    of shuffles. The loop is driver-side control flow over DataFrame ops; the
+    data never leaves the cluster."""
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+    )
+    labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

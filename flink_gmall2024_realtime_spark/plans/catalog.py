@@ -1685,3 +1685,40 @@ def dwd_dynamic_fact_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (facts["src_table"] == cfg["source_table"]) & (facts["src_type"] == cfg["source_type"]),
     )
     return routed.groupBy("sink_table").agg(F.count(F.lit(1)).alias("record_ct"))
+
+
+_CLUSTER_SQL = f"""
+WITH {_SHINGLE_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.35
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+@register("dedup_clusters", oracle="WITH RECURSIVE " + _CLUSTER_SQL.strip().removeprefix("WITH "), survey_ids=("dedup-minhash-lsh",))
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the verified
+    MinHash-LSH pair graph via iterative distributed label propagation (the
+    'iterative algorithm' class of ops); oracle is a recursive-CTE closure.
+    Keep-policy: doc survives iff doc_id == cluster_id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.35)
+    return dedup.dedup_clusters(docs, pairs)
