@@ -1722,3 +1722,92 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.35)
     return dedup.dedup_clusters(docs, pairs)
+
+
+@register(
+    "dws_traffic_vc_ch_ar_isnew",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, value,
+         'v' || (user_id % 3)::VARCHAR AS vc,
+         CASE user_id % 4 WHEN 0 THEN 'appstore' WHEN 1 THEN 'xiaomi'
+                          WHEN 2 THEN 'huawei' ELSE 'web' END AS ch,
+         (110000 + user_id % 5)::VARCHAR AS ar,
+         floor(value * 100)::BIGINT AS dur
+  FROM events
+),
+f AS (
+  SELECT *,
+         CASE WHEN ts::DATE = min(ts::DATE) OVER (PARTITION BY user_id)
+              THEN '1' ELSE '0' END AS is_new,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, ts::DATE ORDER BY ts) = 1
+              THEN 1 ELSE 0 END AS uv,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS sv
+  FROM e
+),
+b AS (
+  SELECT time_bucket(INTERVAL '10 seconds', ts) AS w, vc, ch, ar, is_new,
+         sum(uv)::BIGINT AS uv_ct, sum(sv)::BIGINT AS sv_ct,
+         count(*) AS pv_ct, sum(dur)::BIGINT AS dur_sum
+  FROM f GROUP BY 1, 2, 3, 4, 5
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(w + INTERVAL '10 seconds', '%Y-%m-%d %H:%M:%S') AS edt,
+       strftime(w, '%Y-%m-%d') AS cur_date,
+       vc, ch, ar, is_new, uv_ct, sv_ct, pv_ct, dur_sum
+FROM b
+""",
+    survey_ids=("A2", "W2", "W3", "F9"),
+    bench=True,
+)
+def dws_traffic_vc_ch_ar_isnew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's richest DWS table
+    (DwsTrafficVcChArIsNewPageViewWindow.java:70-189): version/channel/area/
+    is_new keyed 10 s windows carrying uv_ct (daily-first flag, W3), sv_ct
+    (session starts), pv_ct and dur_sum — three keyed-state operators feeding
+    one keyed window reduce, all in a single declarative plan: the analytic
+    windows share one shuffle on user_id, then the tumble aggregates.
+
+    Dimensions vc/ch/ar are deterministic functions of user_id (the fixture
+    stream carries no device metadata); is_new via first-seen repair (W2)."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "ts", "value",
+        F.concat(F.lit("v"), (F.col("user_id") % 3)).alias("vc"),
+        F.element_at(
+            F.array(F.lit("appstore"), F.lit("xiaomi"), F.lit("huawei"), F.lit("web")),
+            (F.col("user_id") % 4 + 1).cast("int"),
+        ).alias("ch"),
+        (F.lit(110000) + F.col("user_id") % 5).cast("string").alias("ar"),
+        (F.col("value") * 100).cast("long").alias("dur"),
+    )
+    # All three stateful flags use windows partitioned by user_id (uv's
+    # first-of-day = previous event was an earlier day, equivalent to
+    # row_number()==1 per (user, day)), so Catalyst plans ONE shuffle + one
+    # sort for the whole repair stage.
+    w_user = Window.partitionBy("user_id")
+    w_seq = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w_seq)
+    f = e.select(
+        "*",
+        F.when(F.to_date("ts") == F.min(F.to_date("ts")).over(w_user), "1").otherwise("0").alias("is_new"),
+        F.when(prev.isNull() | (F.to_date(prev) < F.to_date("ts")), 1).otherwise(0).alias("uv"),
+        F.when(
+            prev.isNull()
+            | (F.col("ts").cast("timestamp").cast("double") - prev.cast("timestamp").cast("double") > 1800),
+            1,
+        ).otherwise(0).alias("sv"),
+    )
+    return tumble(
+        f,
+        "ts",
+        keys=["vc", "ch", "ar", "is_new"],
+        aggs=[
+            F.sum("uv").alias("uv_ct"),
+            F.sum("sv").alias("sv_ct"),
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.sum("dur").alias("dur_sum"),
+        ],
+    )
