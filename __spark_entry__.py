@@ -22,10 +22,15 @@ def _ensure_confs(spark: SparkSession) -> SparkSession:
     """The driver may hand us a session built without our factory; pin the
     confs correctness depends on (naive-timestamp parity, nanos decoding)."""
     spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # static conf on some builds; fixtures fall back to ns-long path
+    for conf, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),   # events.ts is TIMESTAMP(NANOS)
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),  # naive ts == DuckDB wall time
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(conf, val)
+        except Exception:
+            pass  # static on some builds; defaults then match anyway
     return spark
 
 
