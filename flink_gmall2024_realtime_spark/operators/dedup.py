@@ -209,28 +209,39 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
         .distinct()
     )
-    # Exact verification on candidates only: re-join the cached shingle sets.
-    sh = sh_cached
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        F.broadcast(cand)
-        .join(sh.alias("sa"), cand.id_a == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (cand.id_b == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Exact verification on candidates only: attach each side's shingle SET
+    # (one aggregated array per doc — |docs| rows, tiny next to the exploded
+    # shingle frame) to the candidate pairs and intersect per pair in one
+    # Arrow batch pass. This keeps verification O(|cand| * avg-shingles)
+    # instead of a |cand|-x-shingles shuffle expansion; both attach joins are
+    # equi-joins on doc_id, so the shape survives any corpus size.
+    import pandas as pd
+
+    doc_sets = sh_cached.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
+    pairs = (
+        cand.join(doc_sets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
+        .join(doc_sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
     )
-    sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sza, "id_a")
-        .join(szb, "id_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_a, out_b, out_j = [], [], []
+            for ia, ib, sa, sb in zip(pdf["id_a"], pdf["id_b"], pdf["shs_a"], pdf["shs_b"]):
+                set_a, set_b = set(sa), set(sb)
+                inter = len(set_a & set_b)
+                union = len(set_a) + len(set_b) - inter
+                # exact half-up 6dp rounding in integer arithmetic (Python's
+                # round() is half-even; Spark/DuckDB round half-away)
+                j = ((inter * 2_000_000 + union) // (2 * union)) / 1e6
+                if j >= threshold:
+                    out_a.append(ia)
+                    out_b.append(ib)
+                    out_j.append(j)
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    return pairs.mapInPandas(verify, "id_a long, id_b long, jaccard double")
 
 
 def simhash(docs: DataFrame, bits: int = 48, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
