@@ -1811,3 +1811,143 @@ def dws_traffic_vc_ch_ar_isnew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dur").alias("dur_sum"),
         ],
     )
+
+
+@register(
+    "dwd_trade_cart_add",
+    oracle="""
+WITH cdc AS (
+  SELECT l_orderkey * 10 + l_linenumber AS id,
+         CASE WHEN l_linenumber % 3 = 0 THEN 'update' ELSE 'insert' END AS type,
+         l_quantity::BIGINT AS new_num,
+         CASE WHEN l_linenumber % 3 = 0 AND l_orderkey % 2 = 0
+              THEN l_quantity::BIGINT - 2 END AS old_num
+  FROM lineitem
+)
+SELECT id,
+       CASE WHEN type = 'insert' THEN new_num ELSE new_num - old_num END AS sku_num
+FROM cdc
+WHERE type = 'insert'
+   OR (type = 'update' AND old_num IS NOT NULL AND new_num > old_num)
+""",
+    survey_ids=("P5", "P4", "F6", "F7"),
+)
+def dwd_trade_cart_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cart-add DWD app's update-delta predicate (DwdTradeCartAdd.java:
+    57-78): keep inserts, and updates only when sku_num increased; emitted
+    quantity is the full count on insert, the delta on update (the IF(...)
+    at :64). CDC rows synthesized from lineitem with an ``old`` map."""
+    from ..operators.etl import update_delta_predicate
+
+    li = _t(spark, sf_dir, "lineitem")
+    cdc = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.when(F.col("l_linenumber") % 3 == 0, "update").otherwise("insert").alias("type"),
+        F.create_map(F.lit("sku_num"), F.col("l_quantity").cast("long").cast("string")).alias("data"),
+        F.when(
+            (F.col("l_linenumber") % 3 == 0) & (F.col("l_orderkey") % 2 == 0),
+            F.create_map(F.lit("sku_num"), (F.col("l_quantity").cast("long") - 2).cast("string")),
+        ).alias("old"),
+    )
+    kept = cdc.filter(update_delta_predicate("sku_num", new_gt_old=True))
+    return kept.select(
+        "id",
+        F.when(
+            F.col("type") == "insert", F.col("data")["sku_num"].cast("bigint")
+        ).otherwise(
+            F.col("data")["sku_num"].cast("bigint") - F.col("old")["sku_num"].cast("bigint")
+        ).alias("sku_num"),
+    )
+
+
+@register(
+    "q_order_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    survey_ids=("A2",),
+)
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (TakeOrderedAndProject — per-partition top-N then
+    merge on the driver, never a full global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "scalar_string_project",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS uname,
+       substr(c_name, 1, 8) AS prefix8,
+       length(c_name) AS name_len,
+       CASE WHEN c_name LIKE '%001%' THEN 1 ELSE 0 END AS has_001,
+       strpos(c_name, '#') AS hash_pos,
+       replace(c_mktsegment, 'A', '_') AS seg_repl,
+       lpad(c_custkey::VARCHAR, 8, '0') AS padded_id,
+       reverse(c_mktsegment) AS seg_rev,
+       split_part(c_name, '#', 2) AS name_num
+FROM customer
+""",
+    survey_ids=("F6", "F9"),
+)
+def scalar_string_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (upper/substr/length/like/instr/replace/
+    lpad/reverse/split_part) — all codegen'd, shuffle-free."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.length("c_name").alias("name_len"),
+        F.when(F.col("c_name").like("%001%"), 1).otherwise(0).alias("has_001"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("_")).alias("seg_repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_id"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+    )
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS maybe_price,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS maybe_prio
+  FROM orders
+)
+SELECT o_orderkey,
+       coalesce(maybe_price, -1.0) AS price_or_default,
+       CASE WHEN maybe_price IS NULL THEN 'missing' ELSE 'present' END AS price_state,
+       nullif(maybe_prio, '1-URGENT') AS prio_no_urgent,
+       (maybe_prio IS NOT DISTINCT FROM NULL)::INT AS prio_null_safe_eq
+FROM t
+""",
+    survey_ids=("P1", "F7"),
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: coalesce / nullif / null-safe equality — the
+    defensive-null patterns the reference hand-codes around fastjson
+    (DwdBaseLog.java:226-233)."""
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(F.col("o_totalprice")).alias("maybe_price"),
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderpriority")).alias("maybe_prio"),
+    )
+    return t.select(
+        "o_orderkey",
+        F.coalesce(F.col("maybe_price"), F.lit(-1.0)).alias("price_or_default"),
+        F.when(F.col("maybe_price").isNull(), "missing").otherwise("present").alias("price_state"),
+        F.nullif(F.col("maybe_prio"), F.lit("1-URGENT")).alias("prio_no_urgent"),
+        F.col("maybe_prio").eqNullSafe(F.lit(None).cast("string")).cast("int").alias("prio_null_safe_eq"),
+    )
