@@ -1951,3 +1951,43 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("maybe_prio"), F.lit("1-URGENT")).alias("prio_no_urgent"),
         F.col("maybe_prio").eqNullSafe(F.lit(None).cast("string")).cast("int").alias("prio_null_safe_eq"),
     )
+
+
+@register(
+    "q_cube_counts",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS order_ct
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    survey_ids=("A2",),
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations (status x priority, each alone,
+    grand total) in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("order_ct"))
+
+
+@register(
+    "q_rolling_avg",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate::DATE AS d, round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT d, rev,
+       round(avg(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rev_7d_avg
+FROM daily
+""",
+    survey_ids=("A2",),
+)
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES: 7-day moving average over daily revenue (rows-based
+    frame) — the analytic-frame surface the reference lacks entirely."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select("d", "rev", F.round(F.avg("rev").over(w), 4).alias("rev_7d_avg"))
