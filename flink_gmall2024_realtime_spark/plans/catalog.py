@@ -1991,3 +1991,37 @@ def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("d").rowsBetween(-6, 0)
     return daily.select("d", "rev", F.round(F.avg("rev").over(w), 4).alias("rev_7d_avg"))
+
+
+@register(
+    "q_array_agg_top_customers",
+    oracle="""
+SELECT n.n_name,
+       (list(c.c_custkey ORDER BY c.c_acctbal DESC, c.c_custkey))[:3] AS top_custkeys
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+    survey_ids=("A2", "F8"),
+)
+def q_array_agg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: per nation, the 3 highest-balance customer
+    keys as an array column. collect_list is order-nondeterministic, so the
+    deterministic form collects sortable structs, array_sorts, slices, and
+    projects — all JVM-side array expressions."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct((-F.col("c_acctbal")).alias("nb"), F.col("c_custkey").alias("k")))
+                    ),
+                    1, 3,
+                ),
+                lambda s: s["k"],
+            ).alias("top_custkeys")
+        )
+    )
