@@ -126,3 +126,25 @@ def dim_app_pipeline(
             writer(part, batch_id)
 
     return process_batch
+
+
+def dws_user_login_pipeline(events: DataFrame) -> DataFrame:
+    """The user-login DWS app (DwsUserUserLoginWindow.java:69-135) composed
+    end-to-end on a stream: keyed returning-user state (uu/back per active
+    date) feeding the serving aggregate (cur_date, uu_ct, back_ct).
+
+    The stateful stage shards by user exactly like the reference's keyBy;
+    output mode is update-per-date via the downstream aggregate in
+    foreachBatch/complete mode."""
+    from pyspark.sql import functions as F
+
+    from .state import LOGIN_SCHEMA, LOGIN_STATE, apply_stateful, returning_user_func
+
+    keyed = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.date_format("ts", "yyyy-MM-dd").alias("cur_date"),
+    )
+    flags = apply_stateful(keyed.groupBy("key"), returning_user_func, LOGIN_SCHEMA, LOGIN_STATE)
+    return flags.groupBy("cur_date").agg(
+        F.sum("uu").alias("uu_ct"), F.sum("back").alias("back_ct")
+    )
