@@ -346,6 +346,7 @@ def dedup_clusters(
         .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
         .distinct()
     )
+    edges = edges.persist()
     labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     for _ in range(max_iter):
         neighbor_min = (
@@ -353,12 +354,16 @@ def dedup_clusters(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # Eager local checkpoint per round: without it each iteration's plan
+        # embeds all previous iterations (lineage doubles per round and the
+        # convergence check re-executes the whole chain).
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
