@@ -1007,8 +1007,9 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_lsh_bucketed", oracle=None, survey_ids=("sim-lsh",))
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via sign-bit (random hyperplane) LSH buckets —
-    the equi-join scale path when neither side broadcasts. Approximate by
-    construction (bucket recall < 1), so checked rows-only."""
+    the equi-join scale path when neither side broadcasts. Deterministic
+    hyperplanes make even this approximate index exactly oracle-checkable
+    (the SQL twin is installed below, _ANN_LSH_SQL)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 20 == 0)
     return similarity.lsh_topk(emb, q, k=5)
@@ -2025,3 +2026,35 @@ def q_array_agg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_custkeys")
         )
     )
+
+
+# Exact oracle for the sign-bit LSH ANN (hyperplane weights are a fixed
+# integer pattern, so the bucketing is SQL-reproducible) — upgrades the
+# entry from rows-only to hash-checked.
+
+_ANN_LSH_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, ((CASE WHEN list_dot_product(v, [-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0]) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_dot_product(v, [2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0]) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_dot_product(v, [0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0]) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0]) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_dot_product(v, [3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0]) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_dot_product(v, [1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0]) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0]) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0]) > 0 THEN 128 ELSE 0 END)) AS bucket
+      FROM e WHERE vec_id % 20 = 0),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, ((CASE WHEN list_dot_product(v, [-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0]) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_dot_product(v, [2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0]) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_dot_product(v, [0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0]) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0]) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_dot_product(v, [3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0]) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_dot_product(v, [1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0]) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0]) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0]) > 0 THEN 128 ELSE 0 END)) AS bucket FROM e),
+s AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_dot_product(q.qv, c.cv) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+  FROM q JOIN c ON q.bucket = c.bucket
+  WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+CATALOG["ann_lsh_bucketed"] = QuerySpec(
+    "ann_lsh_bucketed",
+    CATALOG["ann_lsh_bucketed"].spark,
+    _ANN_LSH_SQL,
+    CATALOG["ann_lsh_bucketed"].survey_ids,
+    CATALOG["ann_lsh_bucketed"].bench,
+)
