@@ -2,8 +2,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is fully materialized via a count over its result (no collect of
-payload rows — we measure engine wall-clock, not driver serialization).
+Each query is fully materialized via a sum of xxhash64 over every output
+column (no collect of payload rows — we measure engine wall-clock, not driver
+serialization). A plain count() would let Catalyst prune unused projections,
+so map-only queries would measure the parquet scan instead of the feature
+computation; hashing every column forces the full result to be computed.
 """
 
 from __future__ import annotations
@@ -25,10 +28,16 @@ def main() -> None:
     spark = get_spark("gmall-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark.sql import functions as F
+
+    def materialize(df) -> None:
+        # bit_xor, not sum: ANSI mode (Spark 4 default) raises on long overflow
+        df.select(F.xxhash64(*df.columns).alias("_h")).agg(F.bit_xor("_h")).collect()
+
     bench = {name: spec for name, spec in CATALOG.items() if spec.bench}
     # warm the JVM/codegen path once on the smallest query, and the Python
     # worker pool once (mapInPandas queries would otherwise bill the spawn)
-    next(iter(bench.values())).spark(spark, sf_dir).count()
+    materialize(next(iter(bench.values())).spark(spark, sf_dir))
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
     # Two passes, report the min: pass 1 pays JIT/codegen compilation (the
@@ -38,8 +47,7 @@ def main() -> None:
     for _ in range(2):
         for name, spec in sorted(bench.items()):
             t0 = time.perf_counter()
-            df = spec.spark(spark, sf_dir)
-            df.count()
+            materialize(spec.spark(spark, sf_dir))
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed

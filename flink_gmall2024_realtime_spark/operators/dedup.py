@@ -8,9 +8,9 @@ table, designed for the 100 TB case:
   the *verification* oracle, viable at test scale only.
 - **MinHash + LSH**: the scale path. Shingle -> 60-bit minhash signature ->
   band buckets -> candidate pairs ONLY within buckets -> exact Jaccard
-  verify. Data volume after banding is |docs| x bands tiny rows; the
-  candidate join is an equi-join on the band hash, so Catalyst
-  hash-partitions it and no O(n^2) comparison ever happens.
+  verify. Data volume after banding is |docs| x bands tiny rows; candidates
+  come from one hash-partitioned groupBy on the band hash (pairs expanded
+  within each near-singleton bucket), so no O(n^2) comparison ever happens.
 - **SimHash**: 48-bit per-doc fingerprint; near-dups = small Hamming
   distance. Computed fully declaratively (explode token-bit matrix ->
   majority per bit -> reassemble).
@@ -172,13 +172,14 @@ def minhash_lsh_pairs(
     equi-joins on hashes; nothing is O(n^2).
 
     The shingle set feeds four plan branches (signature, sizes, and both
-    sides of the verification join) — persist it so tokenize+hash runs once;
-    candidates are tiny relative to the corpus and broadcast explicitly."""
+    sides of the verification join). Intermediate reuse is handled with
+    eager ``localCheckpoint`` instead of ``persist``: the checkpointed RDDs
+    are reclaimed by the ContextCleaner when the returned DataFrame is
+    garbage-collected, whereas SQL-cache entries would pin executor memory
+    until someone remembers to unpersist."""
     sh_cached = _doc_shingles(docs, text_col, id_col, n).persist()
     sig = _signatures_from_shingles(sh_cached, perms)
     n_bands = perms // band_rows
-    # Persist the banded form: it feeds both sides of the self-join (else the
-    # whole signature pipeline runs twice). |docs| x bands small rows.
     bands = (
         sig.select(
             "doc_id",
@@ -193,21 +194,38 @@ def minhash_lsh_pairs(
             ).alias("bb"),
         )
         .select("doc_id", "bb.band", "bb.bucket")
-        .persist()
     )
-    l, r = bands.alias("l"), bands.alias("r")
-    # Broadcast one side while the banded frame fits an executor (tens of
-    # millions of docs); beyond that drop the hint and let the equi-join
-    # shuffle on (band, bucket) — the plan shape is unchanged.
+    # Candidate pairs by grouping each (band, bucket) and expanding the pairs
+    # within the bucket — ONE shuffle of the tiny banded frame, versus a
+    # self-join that would run the signature pipeline twice (self-join dedup
+    # rewrites expression IDs, defeating exchange reuse) or require one side
+    # broadcast (executor OOM at corpus scale). Bucket membership lists are
+    # near-singleton by construction (a shared bucket implies high estimated
+    # Jaccard), so the within-bucket expansion is O(near-dup pairs); a
+    # corpus-scale hot bucket is a degenerate-signature signal, not a plan
+    # hazard, and AQE splits any residual skew.
+    bucket_ids = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda a: F.transform(F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
     cand = (
-        l.join(
-            F.broadcast(r),
-            on=(F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-        .distinct()
+        bucket_ids.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()  # a true near-dup pair collides in many bands
+        # Candidates are tiny (near-dup pairs + banding collisions). Eagerly
+        # materialize them so the shingle cache can be dropped below instead
+        # of leaking into the caller's lazy plan.
+        .localCheckpoint(eager=True)
     )
     # Exact verification on candidates only: attach each side's shingle SET
     # (one aggregated array per doc — |docs| rows, tiny next to the exploded
@@ -217,7 +235,14 @@ def minhash_lsh_pairs(
     # equi-joins on doc_id, so the shape survives any corpus size.
     import pandas as pd
 
-    doc_sets = sh_cached.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
+    # Shingle sets feed both sides of the candidate attach — checkpoint once,
+    # then release the shingle cache (nothing downstream re-reads it).
+    doc_sets = (
+        sh_cached.groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shs"))
+        .localCheckpoint(eager=True)
+    )
+    sh_cached.unpersist()
     pairs = (
         cand.join(doc_sets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
         .join(doc_sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
@@ -280,48 +305,91 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, sim >= threshold).
 
-    All-pairs within Arrow batches against the broadcast corpus matrix —
-    dimension-sequential accumulation for oracle bit-parity (see
-    similarity.brute_force_topk). At 100 TB the corpus matrix no longer
-    broadcasts; the same emit contract then runs per LSH/IVF bucket
-    (similarity.signbit_bucket) instead of per batch."""
+    Exact thresholded similarity self-join as a **symmetric block grid**:
+    every vector hashes to one of ``n_blocks`` blocks; the unordered
+    block-pair cells (i, j), i <= j, partition the full pair space exactly
+    once. Each side replicates to its cells with ``sequence`` + ``explode``
+    (left covers j >= own block, right covers i <= own block — pure codegen,
+    no join to build the grid), then one cogrouped Arrow pass scores each
+    cell in numpy. Nothing is collected to the driver, no corpus broadcast,
+    no cross join: task memory is two blocks (~2|corpus|/B vectors), tunable
+    via ``n_blocks``, and the O(n^2) dot products spread evenly over
+    B(B+1)/2 cells across the cluster.
+
+    An exact join at a low threshold must examine every pair (the fixture's
+    sims are an isotropic N(0, 1/sqrt(dim)) — no bucketing can separate the
+    0.4 tail with guaranteed recall); when near-dup thresholds >= ~0.9 make
+    candidate pruning sound, generate candidates with
+    ``similarity.signbit_bucket``/IVF cells first and feed only those blocks
+    here. Dot/norm accumulation is dimension-sequential for oracle
+    bit-parity (see similarity.brute_force_topk)."""
     import numpy as np
     import pandas as pd
 
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    d = mat.shape[1]
-    nrm = mat[:, 0] * mat[:, 0]
-    for j in range(1, d):
-        nrm = nrm + mat[:, j] * mat[:, j]
-    nrm = np.sqrt(nrm)
-    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, nrm))
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    left = base.select(
+        F.col("blk").alias("gi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("gj"),
+        "vid",
+        "vec",
+    )
+    # Right side re-aliases every column: both sides derive from the same
+    # plan, and shared expression IDs in a self-cogroup make Catalyst's
+    # column pruning drop the right side's payload columns (it sees them as
+    # already provided by the left), handing the UDF a key-only frame.
+    right = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("gi"),
+        F.col("blk").alias("gj"),
+        F.col("vid").alias("r_vid"),
+        F.col("vec").alias("r_vec"),
+    )
 
-    def score(batches):
-        ids_, mat_, nrm_ = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            cids = pdf[id_col].to_numpy(dtype=np.int64)
-            cmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            acc = cmat[:, 0:1] * mat_[None, :, 0]
-            for j in range(1, d):
-                acc = acc + cmat[:, j : j + 1] * mat_[None, :, j]
-            cn = cmat[:, 0] * cmat[:, 0]
-            for j in range(1, d):
-                cn = cn + cmat[:, j] * cmat[:, j]
-            cn = np.sqrt(cn)
-            sim = np.round(acc / (cn[:, None] * nrm_[None, :]), 6)
-            li, ri = np.nonzero((sim >= threshold) & (cids[:, None] < ids_[None, :]))
-            yield pd.DataFrame(
-                {"id_a": cids[li], "id_b": ids_[ri], "sim": sim[li, ri]}
-            )
+    def score_cell(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        lids = lpdf["vid"].to_numpy(dtype=np.int64)
+        rids = rpdf["r_vid"].to_numpy(dtype=np.int64)
+        lmat = np.array([list(v) for v in lpdf["vec"]], dtype=np.float64)
+        rmat = np.array([list(v) for v in rpdf["r_vec"]], dtype=np.float64)
+        d = lmat.shape[1]
+        # dim-sequential accumulation: bit-equal to a scalar loop / the oracle
+        acc = lmat[:, 0:1] * rmat[None, :, 0]
+        ln = lmat[:, 0] * lmat[:, 0]
+        rn = rmat[:, 0] * rmat[:, 0]
+        for j in range(1, d):
+            acc = acc + lmat[:, j : j + 1] * rmat[None, :, j]
+            ln = ln + lmat[:, j] * lmat[:, j]
+            rn = rn + rmat[:, j] * rmat[:, j]
+        sim = np.round(acc / (np.sqrt(ln)[:, None] * np.sqrt(rn)[None, :]), 6)
+        # diagonal cell holds the same block on both sides: id_a < id_b emits
+        # each unordered pair exactly once; off-diagonal blocks are disjoint,
+        # so orient by min/max id
+        li, ri = np.nonzero((sim >= threshold) & (lids[:, None] < rids[None, :]))
+        if int(key[0]) != int(key[1]):
+            li2, ri2 = np.nonzero((sim >= threshold) & (lids[:, None] > rids[None, :]))
+            ida = np.concatenate([lids[li], rids[ri2]])
+            idb = np.concatenate([rids[ri], lids[li2]])
+            s = np.concatenate([sim[li, ri], sim[li2, ri2]])
+        else:
+            ida, idb, s = lids[li], rids[ri], sim[li, ri]
+        return pd.DataFrame({"id_a": ida, "id_b": idb, "sim": s})
 
-    return emb.select(id_col, vec_col).mapInPandas(score, "id_a long, id_b long, sim double")
+    return (
+        left.groupby("gi", "gj")
+        .cogroup(right.groupby("gi", "gj"))
+        .applyInPandas(score_cell, "id_a long, id_b long, sim double")
+    )
 
 
 def dedup_clusters(

@@ -621,14 +621,16 @@ GROUP BY 1
 )
 def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way inner equi-join + aggregate (J1, DwdTradeOrderDetail.java:
-    99-100 shape): customer joins broadcast (small side), orders-lineitem
-    shuffles on the order key once; AQE re-plans skew at runtime."""
+    99-100 shape): orders-lineitem shuffles on the order key once; AQE
+    re-plans skew at runtime. Customer carries no hint — at gmall dim sizes
+    AQE broadcasts it via autoBroadcastJoinThreshold, at TPC-H scale it is a
+    fact table and must be free to shuffle (a hard hint would OOM there)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),

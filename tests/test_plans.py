@@ -57,3 +57,23 @@ def test_daily_uv_reads_two_columns(spark, sf_dir):
 def test_lsh_has_no_cross_join(spark, sf_dir):
     plan = formatted_plan(spark, CATALOG["dedup_minhash_lsh"].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_q3_customer_join_is_aqe_decided(spark, sf_dir):
+    """Customer is a fact-sized table at TPC-H scale: its join strategy must
+    be left to AQE/autoBroadcastJoinThreshold, never a hard-coded hint."""
+    df = CATALOG["q3_segment_revenue"].spark(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # dim-chain broadcasts stay asserted via test_dim_joins_are_broadcast
+
+
+def test_embedding_cosine_is_distributed(spark, sf_dir):
+    """The embedding near-dup self-join must be a shuffled block-grid plan:
+    no cartesian product, no nested-loop join, scoring in cogrouped Arrow
+    batches (and the builder performs no driver-side collect of the corpus)."""
+    df = CATALOG["dedup_embedding_cosine"].spark(spark, sf_dir)
+    plan = formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
