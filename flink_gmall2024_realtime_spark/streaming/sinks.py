@@ -7,7 +7,8 @@ three Spark-first writers:
 - ``append_serving_sink``   — Doris-equivalent: append parquet partitioned by
                               ``cur_date`` (FlinkSinkUtil.java:63-86 / K4)
 - ``keyed_upsert_sink``     — upsert-kafka/HBase-equivalent (K3/K5):
-                              last-write-wins MERGE into a keyed table,
+                              last-write-wins MERGE into a hash-bucketed
+                              keyed table (only touched buckets rewrite),
                               delete-type rows removed
 - ``dynamic_routing_sink``  — K2/R3: each record lands in the table named by
                               its ``sink_table`` column
@@ -70,22 +71,67 @@ def upsert_batch(current: DataFrame | None, batch: DataFrame, key: str, order_co
 
 
 def keyed_upsert_sink(spark: SparkSession, path: str, key: str, order_col: str,
-                      type_col: str | None = None):
+                      type_col: str | None = None, n_buckets: int = 16):
     """foreachBatch writer maintaining a keyed parquet table with MERGE
-    semantics (the engine's HBase-dim / upsert-kafka stand-in). The rewrite is
-    atomic via write-new-then-swap; at warehouse scale this writer is the seam
-    where Delta/Iceberg MERGE INTO plugs in unchanged."""
+    semantics (the engine's HBase-dim / upsert-kafka stand-in).
+
+    The table is hash-bucketed by key into ``bucket=NN/`` directories
+    (``pmod(xxhash64(key), n_buckets)``), and a micro-batch rewrites ONLY the
+    buckets containing its keys — per-batch write cost is O(touched buckets),
+    proportional to the batch, not the table. Readers use plain
+    ``spark.read.parquet(path)`` (the bucket dirs are ordinary partition
+    dirs, so key lookups also prune to one bucket).
+
+    Each bucket swap is crash-safe: the live dir is renamed aside (to a
+    dot-prefixed dir Spark's file listing ignores) before the new one moves
+    in, so no rename interleaving ever leaves the bucket without a complete
+    copy; an interrupted swap is healed on the next write. At warehouse scale
+    this writer is the seam where Delta/Iceberg MERGE INTO plugs in unchanged
+    (buckets play the role of its file groups)."""
+
+    def bpath(b: int) -> str:
+        return os.path.join(path, f"bucket={b}")
+
+    def opath(b: int) -> str:
+        return os.path.join(path, f".old_{b}")
+
+    def heal_all() -> None:
+        # A crash between the two renames leaves only `.old_NN`: restore it.
+        # A crash after the second rename leaves a stale backup: drop it.
+        # Orphaned `.tmp_*` write dirs are garbage either way.
+        for d in os.listdir(path):
+            if d.startswith(".tmp_"):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            elif d.startswith(".old_"):
+                b = int(d.split("_", 1)[1])
+                if os.path.exists(bpath(b)):
+                    shutil.rmtree(opath(b), ignore_errors=True)
+                else:
+                    os.rename(opath(b), bpath(b))
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        current = None
-        if os.path.exists(path):
-            current = spark.read.parquet(path)
-        merged = upsert_batch(current, batch, key, order_col, type_col)
-        tmp = f"{path}.__tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        os.makedirs(path, exist_ok=True)
+        heal_all()
+        bucketed = batch.withColumn(
+            "_bucket",
+            F.coalesce(F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)), F.lit(0)).cast("int"),
+        ).persist()
+        try:
+            touched = sorted(
+                r["_bucket"] for r in bucketed.select("_bucket").distinct().collect()
+            )
+            for b in touched:
+                current = spark.read.parquet(bpath(b)) if os.path.exists(bpath(b)) else None
+                part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+                merged = upsert_batch(current, part, key, order_col, type_col)
+                tmp = os.path.join(path, f".tmp_{batch_id}_{b}")
+                merged.write.mode("overwrite").parquet(tmp)
+                if os.path.exists(bpath(b)):
+                    os.rename(bpath(b), opath(b))
+                os.rename(tmp, bpath(b))
+                shutil.rmtree(opath(b), ignore_errors=True)
+        finally:
+            bucketed.unpersist()
 
     return write
 

@@ -7,9 +7,9 @@ Each keeps exactly the per-key scalar the reference keeps in Flink ValueState:
                         TTL 1 day — here the date comparison *is* the TTL)
 - W4 last login date   (``DwsUserUserLoginWindow.java:95-135``, 7-day gap)
 
-State is a single date string per key — millions of keys fit in a few GB of
-state store (RocksDB provider configured in session.py), and the processors
-shard by key hash exactly like Flink's keyBy. The batch-declarative twins in
+State is one or two date strings per key — millions of keys fit in a few GB
+of state store (RocksDB provider configured in session.py), and the
+processors shard by key hash exactly like Flink's keyBy. The batch-declarative twins in
 ``operators/state.py`` produce identical output on replay (asserted in
 tests/test_streaming.py) — that equivalence is what makes backfill + live
 serving consistent.
@@ -52,11 +52,14 @@ def first_seen_repair_func(
     later date is repaired to 0."""
     (first_date,) = state.get if state.exists else (None,)
     out = []
-    for pdf in pdfs:
-        for d in sorted(pdf["cur_date"].unique()):
-            if first_date is None:
-                first_date = d
-            out.append((key[0], d, 1 if d == first_date else 0))
+    # Gather the whole batch before iterating: chunk arrival order within a
+    # batch is not date-sorted, and first-ness must be decided against the
+    # batch-global minimum, not per-chunk minima.
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    for d in sorted(pdf["cur_date"].unique()):
+        if first_date is None or d < first_date:
+            first_date = d
+        out.append((key[0], d, 1 if d == first_date else 0))
     state.update((first_date,))
     yield pd.DataFrame(out, columns=["key", "cur_date", "is_new"])
 
@@ -69,26 +72,46 @@ DAILY_UV_SCHEMA = StructType(
     ]
 )
 
-DAILY_UV_STATE = StructType([StructField("last_date", StringType())])
+DAILY_UV_STATE = StructType(
+    [StructField("last_date", StringType()), StructField("prev_date", StringType())]
+)
 
 
 def daily_uv_func(
     key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """W3 — daily-UV dedup: emit uv=1 the first time a key is seen on a date,
-    0 for repeats. The last-date comparison replaces the 1-day state TTL
-    (DwsTrafficVcChArIsNewPageViewWindow.java:143-146) deterministically."""
-    (last_date,) = state.get if state.exists else (None,)
+    0 for repeats — replacing the 1-day state TTL
+    (DwsTrafficVcChArIsNewPageViewWindow.java:143-146) deterministically.
+
+    State is the key's two most recent distinct dates — a set-free stand-in
+    for per-date first-seen under the watermark's bounded disorder. The
+    reference's single ValueState compares ``lastDt != curDt``, which
+    double-counts a late yesterday-event arriving after today's first event;
+    a single ordered date (``d > last``) instead UNDER-counts a never-seen
+    earlier date. Two dates resolve both midnight-straggler cases exactly
+    like the batch twin (``operators.state.daily_first_flag``): a repeat of
+    either tracked date is 0, a new date is 1, and only dates older than
+    both tracked dates (i.e. beyond the disorder bound) are assumed seen."""
+    last_date, prev_date = state.get if state.exists else (None, None)
     out = []
-    for pdf in pdfs:
-        for d in sorted(pdf["cur_date"].unique()):
-            n = int((pdf["cur_date"] == d).sum())
-            first = 1 if (last_date is None or d > last_date) else 0
-            out.append((key[0], d, first))
-            out.extend([(key[0], d, 0)] * (n - 1))
-            if first:
-                last_date = d
-    state.update((last_date,))
+    # Gather the whole batch: chunk arrival order is not date-sorted.
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    for d in sorted(pdf["cur_date"].unique()):
+        n = int((pdf["cur_date"] == d).sum())
+        if d == last_date or d == prev_date:
+            first = 0
+        elif last_date is None or d > last_date:
+            first = 1
+            prev_date, last_date = last_date, d
+        elif prev_date is None or d > prev_date:
+            first = 1  # late but never-seen date between the tracked two
+            prev_date = d
+        else:
+            first = 0  # older than both tracked dates: beyond the bound
+        out.append((key[0], d, first))
+        out.extend([(key[0], d, 0)] * (n - 1))
+    state.update((last_date, prev_date))
     yield pd.DataFrame(out, columns=["key", "cur_date", "uv"])
 
 
@@ -112,15 +135,15 @@ def returning_user_func(
     previous active date exceeds 7 days."""
     (last_date,) = state.get if state.exists else (None,)
     out = []
-    for pdf in pdfs:
-        for d in sorted(pdf["cur_date"].unique()):
-            if last_date is None:
-                out.append((key[0], d, 1, 0))
-                last_date = d
-            elif d > last_date:
-                gap = (pd.Timestamp(d) - pd.Timestamp(last_date)).days
-                out.append((key[0], d, 1, 1 if gap > 7 else 0))
-                last_date = d
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    for d in sorted(pdf["cur_date"].unique()):
+        if last_date is None:
+            out.append((key[0], d, 1, 0))
+            last_date = d
+        elif d > last_date:
+            gap = (pd.Timestamp(d) - pd.Timestamp(last_date)).days
+            out.append((key[0], d, 1, 1 if gap > 7 else 0))
+            last_date = d
     state.update((last_date,))
     yield pd.DataFrame(out, columns=["key", "cur_date", "uu", "back"])
 

@@ -154,6 +154,54 @@ def test_keyed_upsert_sink_merge_and_delete(spark, tmp_path):
     assert final == {"1": "alice3", "3": "carol"}  # latest wins, delete removes
 
 
+def test_keyed_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """Per-batch write cost must be proportional to the batch, not the table:
+    buckets without batch keys keep byte-identical file listings."""
+    path = os.path.join(str(tmp_path), "dim_bucketed")
+    writer = sinks.keyed_upsert_sink(spark, path, key="id", order_col="ts", n_buckets=8)
+    b1 = spark.createDataFrame(
+        [(str(i), f"v{i}", 1) for i in range(40)], "id string, v string, ts long"
+    )
+    writer(b1, 0)
+    bucket_dirs = sorted(d for d in os.listdir(path) if d.startswith("bucket="))
+    assert len(bucket_dirs) > 1
+
+    def listing(d):
+        full = os.path.join(path, d)
+        return sorted((f, os.path.getmtime(os.path.join(full, f))) for f in os.listdir(full))
+
+    before = {d: listing(d) for d in bucket_dirs}
+    writer(spark.createDataFrame([("7", "v7b", 2)], "id string, v string, ts long"), 1)
+    touched = spark.createDataFrame([("7",)], "id string").select(
+        F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    assert sorted(d for d in os.listdir(path) if d.startswith("bucket=")) == bucket_dirs
+    for d in bucket_dirs:
+        if d == f"bucket={touched}":
+            assert listing(d) != before[d]
+        else:
+            assert listing(d) == before[d]
+    final = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    want = {str(i): f"v{i}" for i in range(40)}
+    want["7"] = "v7b"
+    assert final == want
+
+
+def test_keyed_upsert_sink_heals_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves only `.old_NN`; the next
+    write must restore it and merge on top — no data loss."""
+    path = os.path.join(str(tmp_path), "dim_heal")
+    writer = sinks.keyed_upsert_sink(spark, path, key="id", order_col="ts", n_buckets=4)
+    writer(spark.createDataFrame([("a", 1, 1)], "id string, v long, ts long"), 0)
+    (bdir,) = [d for d in os.listdir(path) if d.startswith("bucket=")]
+    n = bdir.split("=")[1]
+    os.rename(os.path.join(path, bdir), os.path.join(path, f".old_{n}"))
+    writer(spark.createDataFrame([("b", 9, 2)], "id string, v long, ts long"), 1)
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert rows.get("a") == 1  # healed from the interrupted swap
+    assert rows.get("b") == 9
+
+
 def test_dim_catalog_ddl_ops(tmp_path):
     cat = sinks.DimCatalog(os.path.join(str(tmp_path), "dims"))
     cat.apply_ops([{"op": "c", "sink_table": "dim_a"}, {"op": "c", "sink_table": "dim_b"}])

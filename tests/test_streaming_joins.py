@@ -203,13 +203,14 @@ def test_stateful_state_carries_across_batches(spark, tmp_path):
 
 
 def test_daily_uv_late_cross_day_event(spark, tmp_path):
-    """W3 nuance: an event for a PREVIOUS day arriving after the state moved
-    on must not double-count and must not regress state.
+    """W3 nuance: an event for an ALREADY-COUNTED previous day arriving after
+    the state moved on must not double-count and must not regress state.
 
-    (The reference's ValueState compares equality with the stored date —
-    DwsTrafficVcChArIsNewPageViewWindow.java:160-180 — so a late
+    (The reference's single ValueState compares equality with the stored
+    date — DwsTrafficVcChArIsNewPageViewWindow.java:160-180 — so a late
     yesterday-event after today would re-emit uv=1 AND overwrite state
-    backwards; our processor compares ordering, which is replay-stable.)"""
+    backwards; our processor tracks the two most recent distinct dates,
+    which resolves this case the way the batch twin does.)"""
     import time
     from flink_gmall2024_realtime_spark.streaming.state import (
         DAILY_UV_SCHEMA,
@@ -245,3 +246,41 @@ def test_daily_uv_late_cross_day_event(spark, tmp_path):
         ).collect()
     }
     assert per_day == {"2024-01-01": 1, "2024-01-02": 1}  # no double counts
+
+
+def test_daily_uv_late_unseen_day_still_counts(spark, tmp_path):
+    """W3 counterpart: a late event for a NEVER-seen earlier day must still
+    count (the batch twin flags every day's first row; a single ordered-date
+    state would drop it)."""
+    import time
+    from flink_gmall2024_realtime_spark.streaming.state import (
+        DAILY_UV_SCHEMA,
+        DAILY_UV_STATE,
+        apply_stateful,
+        daily_uv_func,
+    )
+
+    batches = [
+        [{"key": "u1", "cur_date": "2024-01-02"}],
+        [{"key": "u1", "cur_date": "2024-01-01"}],  # late, never counted before
+        [{"key": "u1", "cur_date": "2024-01-01"}],  # repeat: stays deduped
+    ]
+    d = os.path.join(str(tmp_path), "uvunseen")
+    os.makedirs(d)
+    for i, rows in enumerate(batches):
+        with open(os.path.join(d, f"{i:02d}.jsonl"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        time.sleep(1.1)
+    s = (
+        spark.readStream.schema("key string, cur_date string")
+        .option("maxFilesPerTrigger", "1")
+        .json(d)
+    )
+    out = apply_stateful(s.groupBy("key"), daily_uv_func, DAILY_UV_SCHEMA, DAILY_UV_STATE)
+    _drain(out, tmp_path, "uv_unseen")
+    per_day = {
+        r["cur_date"]: r["uv"]
+        for r in spark.sql("select cur_date, sum(uv) uv from uv_unseen group by 1").collect()
+    }
+    assert per_day == {"2024-01-01": 1, "2024-01-02": 1}
