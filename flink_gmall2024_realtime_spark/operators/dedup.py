@@ -63,13 +63,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct (doc_id, shingle) rows.
+def _doc_shingles(
+    docs: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) rows, distinct per doc by default.
 
     Deliberately NOT the array-transform formulation (``shingles()``): Spark's
     higher-order functions run interpreted per element, which measured ~4x
     slower than this posexplode + window-lead plan, whose expressions all stay
-    in whole-stage codegen. Same output set."""
+    in whole-stage codegen. Same output set.
+
+    ``distinct=False`` skips the dedup exchange — correct for consumers that
+    are duplicate-insensitive (min-aggregates, Python-set verification); only
+    shingle-COUNTING consumers (``jaccard_pairs_brute``) need the set form."""
     from pyspark.sql import Window
 
     from ..functions import TOKEN_SPLIT_RE
@@ -88,11 +94,8 @@ def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFr
         *[F.lead("tok", j).over(w).alias(f"_t{j}") for j in range(1, n)],
     )
     shingle = F.concat_ws(" ", F.col("tok"), *[F.col(f"_t{j}") for j in range(1, n)])
-    return (
-        leads.filter(F.col(f"_t{n-1}").isNotNull())
-        .select("doc_id", shingle.alias("shingle"))
-        .distinct()
-    )
+    out = leads.filter(F.col(f"_t{n-1}").isNotNull()).select("doc_id", shingle.alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs_brute(
@@ -139,8 +142,75 @@ def minhash_signatures(
 
     Coefficients are fixed odd/even functions of i so the signature is fully
     deterministic and oracle-reproducible. Output: (doc_id, sig array<long>).
-    One explode + one groupBy — linear in total shingle count."""
-    return _signatures_from_shingles(_doc_shingles(docs, text_col, id_col, n), perms)
+    Computed doc-locally in one Arrow pass (``_doc_sig_sets``) — no shuffle."""
+    return _doc_sig_sets(docs, perms, n, text_col, id_col).select("doc_id", "sig")
+
+
+def _doc_sig_sets(
+    docs: DataFrame,
+    perms: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """One Arrow pass per document computing (doc_id, sig, shs): the distinct
+    shingle set and the MinHash signature, entirely doc-locally.
+
+    This is the shape that wins at 100 TB: shingling and signing are
+    per-document computations, so doing them inside ``mapInPandas`` means the
+    exploded token/shingle frame NEVER exists as a distributed dataset and
+    never shuffles (the declarative twin needs a window over an exploded
+    ~50x-larger frame partitioned by doc_id). Values are bit-identical to the
+    Column forms: hashlib md5 == Spark ``md5`` == DuckDB ``md5`` on utf-8
+    bytes; the permutation arithmetic stays in int64 with no overflow
+    (h < 2^28, a_i < 2^7). Docs with fewer than ``n`` tokens produce no row,
+    matching the groupBy-over-no-shingles behavior.
+
+    ``repartition`` before the pass: a small fixture file arrives as one scan
+    split, which would serialize the pass; at real scale the scan already has
+    thousands of splits and the repartition collapses into it cost-free
+    relative to the work."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import TOKEN_SPLIT_RE
+
+    par = parallelism or docs.sparkSession.sparkContext.defaultParallelism
+    a_co = np.array([2 * i + 1 for i in range(perms)], dtype=np.int64)
+    b_co = np.array([i * i + 1 for i in range(perms)], dtype=np.int64)
+    split_re = re.compile(TOKEN_SPLIT_RE)
+
+    def fn(batches):
+        for pdf in batches:
+            ids, sigs, sets = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in split_re.split(text.strip()) if t]
+                if len(toks) < n:
+                    continue
+                shs = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    )
+                )
+                h = np.array(
+                    [int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in shs],
+                    dtype=np.int64,
+                )
+                sig = ((a_co[:, None] * h[None, :] + b_co[:, None]) % MERSENNE_P).min(axis=1)
+                ids.append(did)
+                sigs.append(sig)
+                sets.append(shs)
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs, "shs": sets})
+
+    return (
+        docs.select(id_col, text_col)
+        .repartition(par)
+        .mapInPandas(fn, "doc_id long, sig array<bigint>, shs array<string>")
+    )
 
 
 def _signatures_from_shingles(sh: DataFrame, perms: int) -> DataFrame:
@@ -166,22 +236,23 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified — the scale path.
 
-    signatures -> band each signature into ``perms/band_rows`` buckets ->
-    self equi-join on (band, bucket-hash) -> distinct candidate pairs ->
-    verify with exact n-gram Jaccard >= threshold. The only joins are
-    equi-joins on hashes; nothing is O(n^2).
+    One doc-local Arrow pass computes each doc's shingle set and MinHash
+    signature (``_doc_sig_sets`` — the exploded shingle frame never exists
+    distributed, so nothing shuffles until the tiny banded frame) -> band
+    each signature into ``perms/band_rows`` buckets -> candidate pairs
+    expanded within each (band, bucket) group -> exact n-gram Jaccard
+    verify on candidates only. Nothing is O(n^2).
 
-    The shingle set feeds four plan branches (signature, sizes, and both
-    sides of the verification join). Intermediate reuse is handled with
-    eager ``localCheckpoint`` instead of ``persist``: the checkpointed RDDs
-    are reclaimed by the ContextCleaner when the returned DataFrame is
-    garbage-collected, whereas SQL-cache entries would pin executor memory
-    until someone remembers to unpersist."""
-    sh_cached = _doc_shingles(docs, text_col, id_col, n).persist()
-    sig = _signatures_from_shingles(sh_cached, perms)
+    The per-doc frame feeds three branches (banding and both sides of the
+    verification attach); it is materialized once with an eager
+    ``localCheckpoint`` — the checkpointed RDD is reclaimed by the
+    ContextCleaner when the returned DataFrame is garbage-collected, whereas
+    a SQL-cache entry would pin executor memory until someone remembers to
+    unpersist."""
+    base = _doc_sig_sets(docs, perms, n, text_col, id_col).localCheckpoint(eager=True)
     n_bands = perms // band_rows
     bands = (
-        sig.select(
+        base.select(
             "doc_id",
             F.explode(
                 F.array(*[
@@ -222,30 +293,18 @@ def minhash_lsh_pairs(
         bucket_ids.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()  # a true near-dup pair collides in many bands
-        # Candidates are tiny (near-dup pairs + banding collisions). Eagerly
-        # materialize them so the shingle cache can be dropped below instead
-        # of leaking into the caller's lazy plan.
-        .localCheckpoint(eager=True)
     )
     # Exact verification on candidates only: attach each side's shingle SET
-    # (one aggregated array per doc — |docs| rows, tiny next to the exploded
-    # shingle frame) to the candidate pairs and intersect per pair in one
-    # Arrow batch pass. This keeps verification O(|cand| * avg-shingles)
-    # instead of a |cand|-x-shingles shuffle expansion; both attach joins are
-    # equi-joins on doc_id, so the shape survives any corpus size.
+    # (already aggregated per doc in `base` — |docs| rows) to the candidate
+    # pairs and intersect per pair in one Arrow batch pass. This keeps
+    # verification O(|cand| * avg-shingles) instead of a |cand|-x-shingles
+    # shuffle expansion; both attach joins are equi-joins on doc_id, so the
+    # shape survives any corpus size.
     import pandas as pd
 
-    # Shingle sets feed both sides of the candidate attach — checkpoint once,
-    # then release the shingle cache (nothing downstream re-reads it).
-    doc_sets = (
-        sh_cached.groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("shs"))
-        .localCheckpoint(eager=True)
-    )
-    sh_cached.unpersist()
     pairs = (
-        cand.join(doc_sets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
-        .join(doc_sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
+        cand.join(base.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
+        .join(base.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
     )
 
     def verify(batches):

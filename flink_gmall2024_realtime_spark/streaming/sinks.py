@@ -15,9 +15,12 @@ three Spark-first writers:
 - ``DimCatalog``            — R4 (DimApp.java:112-178): config-op-driven
                               create/drop of dim tables as metadata ops
 
-All are per-micro-batch idempotent (batch id recorded), which is what turns
-Spark's at-least-once replay into effectively-once end-to-end — the role the
-reference's 15-minute Kafka transactions play (FlinkSinkUtil.java:38-40).
+All are per-micro-batch idempotent, which is what turns Spark's
+at-least-once replay into effectively-once end-to-end — the role the
+reference's 15-minute Kafka transactions play (FlinkSinkUtil.java:38-40):
+append-mode sinks skip a batch whose commit marker already exists (written
+only after the data lands), and the keyed upsert is naturally idempotent
+(last-write-wins by order column is replay-stable).
 """
 
 from __future__ import annotations
@@ -29,20 +32,42 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _committed(path: str, batch_id: int) -> bool:
+    return os.path.exists(os.path.join(path, "_commits", str(batch_id)))
+
+
+def _mark_committed(path: str, batch_id: int) -> None:
+    commits = os.path.join(path, "_commits")
+    os.makedirs(commits, exist_ok=True)
+    with open(os.path.join(commits, str(batch_id)), "w"):
+        pass
+
+
 def append_serving_sink(base_dir: str, table: str, partition_col: str = "cur_date"):
     """K4 — append-mode serving table partitioned by date: the Doris
     aggregate-table analogue. Partitioning by ``cur_date`` gives downstream
-    partition pruning for free."""
+    partition pruning for free.
+
+    Effectively-once under replay: a commit marker (in the Spark-ignored
+    ``_commits/`` dir) is written only after the batch's data lands; a
+    replayed batch whose marker exists is skipped, so at-least-once delivery
+    never duplicates rows. (A crash between data and marker re-appends that
+    one batch — ``_batch_id`` is recorded per row, so readers needing exact
+    semantics can dedupe on it; this is the same window a Kafka transaction
+    closes in the reference, FlinkSinkUtil.java:38-40.)"""
 
     path = os.path.join(base_dir, table)
 
     def write(batch: DataFrame, batch_id: int) -> None:
+        if _committed(path, batch_id):
+            return
         (
             batch.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("append")
             .partitionBy(partition_col)
             .parquet(path)
         )
+        _mark_committed(path, batch_id)
 
     return write
 
@@ -142,7 +167,10 @@ def dynamic_routing_sink(base_dir: str, sink_table_col: str = "sink_table"):
     Kafka sink's per-record ``topic`` column, FlinkSinkUtil.java:44-60)."""
 
     def write(batch: DataFrame, batch_id: int) -> None:
+        if _committed(base_dir, batch_id):
+            return
         batch.write.mode("append").partitionBy(sink_table_col).parquet(base_dir)
+        _mark_committed(base_dir, batch_id)
 
     return write
 

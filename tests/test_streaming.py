@@ -202,6 +202,22 @@ def test_keyed_upsert_sink_heals_interrupted_swap(spark, tmp_path):
     assert rows.get("b") == 9
 
 
+def test_append_sink_replay_is_idempotent(spark, tmp_path):
+    """W6: an at-least-once replay of a committed micro-batch must not
+    duplicate rows in the append-mode serving sink."""
+    writer = sinks.append_serving_sink(str(tmp_path), "dws_serving")
+    batch = spark.createDataFrame(
+        [("2024-01-01", "view", 10), ("2024-01-01", "click", 5)],
+        "cur_date string, event_type string, ct long",
+    )
+    writer(batch, 0)
+    writer(batch, 0)  # replay after a simulated driver restart
+    writer(batch, 1)  # a genuinely new batch still appends
+    rows = spark.read.parquet(os.path.join(str(tmp_path), "dws_serving")).collect()
+    assert len(rows) == 4
+    assert sorted({r["_batch_id"] for r in rows}) == [0, 1]
+
+
 def test_dim_catalog_ddl_ops(tmp_path):
     cat = sinks.DimCatalog(os.path.join(str(tmp_path), "dims"))
     cat.apply_ops([{"op": "c", "sink_table": "dim_a"}, {"op": "c", "sink_table": "dim_b"}])
