@@ -89,6 +89,43 @@ def config_router_join(stream: DataFrame, config: DataFrame, on: Sequence[str]) 
     return stream.join(F.broadcast(config), on=list(on), how="inner")
 
 
+def asof_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    key: str,
+    ts_col: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """As-of (left) join: each fact row picks the dim row with the greatest
+    ``ts <= fact.ts`` for its key — the versioned-dimension lookup Spark has
+    no built-in operator for (DuckDB/kdb ``ASOF JOIN``; Flink's
+    ``FOR SYSTEM_TIME AS OF`` against a versioned table is the streaming
+    twin of J4's processing-time lookup).
+
+    Composed, not nested-loop: union-tag both sides, then one window pass
+    per key ordered by (ts, dim-first) carrying the payload forward with
+    ``last(ignorenulls)``. ONE shuffle on the key and a per-key sort —
+    at 100 TB this is the merge-join formulation (no range-join explosion,
+    no per-fact probe); all payload columns share the single window sort.
+    Dim rows tie-break before fact rows at equal ts, giving ``>=``
+    semantics. Facts with no preceding dim row keep null payload (left
+    join). A dim payload that is legitimately NULL reads as absent — dedupe
+    or sentinel such rows upstream."""
+    d = dims.select(key, ts_col, *payload).withColumn("_is_dim", F.lit(1))
+    f = facts.withColumn("_is_dim", F.lit(0))
+    u = f.unionByName(d, allowMissingColumns=True)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col), F.col("_is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in payload:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("_is_dim") == 0).drop("_is_dim")
+
+
 def lateral_tokens(df: DataFrame, tokens: Column, out: str = "keyword") -> DataFrame:
     """J6 — lateral table-function join: one output row per token.
 

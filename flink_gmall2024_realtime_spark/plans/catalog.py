@@ -2279,6 +2279,53 @@ def dws_user_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_asof_join",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, event_id AS view_id, value AS view_value
+  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+)
+SELECT p.purchase_id, p.user_id, v.view_id, v.view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+    survey_ids=("join-asof",),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the same user's most recent
+    view at-or-before it (the versioned-dim lookup / last-touch attribution
+    shape). Spark lacks the operator; ``joins.asof_join`` composes it as a
+    union-tag + single keyed window pass — one shuffle, no range-join
+    explosion. The oracle is DuckDB's native ASOF LEFT JOIN, making this an
+    engine-vs-engine check of the operator itself. Views are deduped to one
+    per (user, ts) (max event_id) so the as-of pick is deterministic."""
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "ts",
+            F.col("event_id").alias("view_id"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return asof_join(purchases, views, "user_id", "ts", ["view_id", "view_value"]).select(
+        "purchase_id", "user_id", "view_id", "view_value"
+    )
+
+
 # =========================================================================
 # Dataset-curation operators: deterministic sampling/splits and per-doc
 # characteristic terms — the remaining staples of a training-data pipeline.

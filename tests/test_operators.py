@@ -207,3 +207,30 @@ def test_md5_long_range(spark):
     df = spark.createDataFrame([Row(s="abc")])
     v = df.select(md5_long(F.col("s")).alias("h")).collect()[0]["h"]
     assert 0 <= v < (1 << 60)
+
+
+def test_asof_join_semantics(spark):
+    """As-of pick = greatest dim ts <= fact ts; equal ts counts (>=);
+    facts with no preceding dim keep null payload; later dims ignored."""
+    from flink_gmall2024_realtime_spark.operators.joins import asof_join
+
+    dims = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 50, "x")], "k long, ts long, v string"
+    )
+    facts = spark.createDataFrame(
+        [(1, 5, 100), (1, 10, 101), (1, 25, 102), (2, 40, 103)],
+        "k long, ts long, fid long",
+    )
+    out = {r["fid"]: r["v"] for r in asof_join(facts, dims, "k", "ts", ["v"]).collect()}
+    assert out == {100: None, 101: "a", 102: "b", 103: None}
+
+
+def test_hash_split_is_exhaustive_and_deterministic(spark):
+    from flink_gmall2024_realtime_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    a = {r["id"]: r["split"] for r in hash_split(df, "id").collect()}
+    b = {r["id"]: r["split"] for r in hash_split(df, "id").collect()}
+    assert a == b  # reproducible
+    assert set(a.values()) == {"train", "val", "test"}
+    assert sum(1 for v in a.values() if v == "train") > 300  # ~80%
