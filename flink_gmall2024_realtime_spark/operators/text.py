@@ -29,10 +29,22 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("the", "a", "of", "and", "is", "in", "to")
 
 
+def _split_tokens(text: Column) -> Column:
+    """Whitespace token array via codegen'd split-of-trimmed (no empty
+    tokens except the single "" a fully-blank input produces — callers that
+    count tokens guard that case; callers that match tokens don't need to,
+    "" never equals a marker). Equivalent output to ``functions.tokenize``
+    but with no higher-order lambda: Spark evaluates HOFs interpreted per
+    element, which dominated the map-side text features."""
+    return F.split(F.trim(text), r"\s+")
+
+
 def token_count(text: Column) -> Column:
-    """Whitespace token count (the BPE-ish regex split lives in
-    ``functions.tokenize``; counting is just its size)."""
-    return F.size(tokenize(text))
+    """Whitespace token count (semantics of ``size(tokenize(text))``,
+    codegen form)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(_split_tokens(text))
+    )
 
 
 def char_count(text: Column) -> Column:
@@ -40,10 +52,14 @@ def char_count(text: Column) -> Column:
 
 
 def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
-    toks = tokenize(F.lower(text))
+    """Count of tokens exactly equal to any marker. ``size(a) -
+    size(array_remove(a, m))`` counts equal elements entirely in codegen —
+    the lambda-filter formulation ran interpreted per token per marker."""
+    toks = _split_tokens(F.lower(text))
+    n = F.size(toks)
     acc = F.lit(0)
     for m in markers:
-        acc = acc + F.size(F.filter(toks, lambda t: t == F.lit(m)))
+        acc = acc + (n - F.size(F.array_remove(toks, m)))
     return acc
 
 
@@ -65,14 +81,14 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     The classic heuristic-filter feature set (C4/Gopher-style length and
     symbol ratios) as one map-side projection."""
     t = F.col(text_col)
-    toks = tokenize(t)
-    n_tok = F.size(toks).cast("double")
+    n_tok_i = token_count(t)
+    n_tok = n_tok_i.cast("double")
     n_chars = F.length(t).cast("double")
     stop_hits = marker_hits(t, STOPWORDS).cast("double")
     return docs.select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
+        n_tok_i.alias("n_tokens"),
         F.round(n_chars / F.greatest(n_tok, F.lit(1.0)), 6).alias("chars_per_token"),
         F.round(
             (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))) / F.greatest(n_chars, F.lit(1.0)), 6

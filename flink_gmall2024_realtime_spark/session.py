@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Split small files aggressively: the default 4 MB open-cost makes a
+        # 5 MB table scan as ONE partition, serializing every map-side pass
+        # over it. 64 KB keeps single-digit-MB fixture tables parallel while
+        # changing nothing for the many-large-files case that dominates at
+        # warehouse scale.
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         # Fixture events.parquet carries TIMESTAMP(NANOS) which the Parquet
         # reader rejects by default; read as bigint nanos and normalize to a
         # timestamp_ntz in sources.fixtures (ns are exact multiples of 1000).
