@@ -1786,16 +1786,18 @@ def dws_traffic_vc_ch_ar_isnew(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(110000) + F.col("user_id") % 5).cast("string").alias("ar"),
         (F.col("value") * 100).cast("long").alias("dur"),
     )
-    # All three stateful flags use windows partitioned by user_id (uv's
-    # first-of-day = previous event was an earlier day, equivalent to
-    # row_number()==1 per (user, day)), so Catalyst plans ONE shuffle + one
-    # sort for the whole repair stage.
-    w_user = Window.partitionBy("user_id")
+    # All three stateful flags share ONE window spec — partitioned by
+    # user_id, ordered by ts: is_new's first-ever date is the date of the
+    # cumulative-first row (same value as min(date) over the partition, but
+    # an unordered min would plan a SECOND sort node), uv's first-of-day is
+    # "previous event was an earlier day", sv is the 30-min gap. Catalyst
+    # plans one shuffle + one sort for the whole repair stage.
     w_seq = Window.partitionBy("user_id").orderBy("ts")
+    w_cum = w_seq.rowsBetween(Window.unboundedPreceding, 0)
     prev = F.lag("ts").over(w_seq)
     f = e.select(
         "*",
-        F.when(F.to_date("ts") == F.min(F.to_date("ts")).over(w_user), "1").otherwise("0").alias("is_new"),
+        F.when(F.to_date("ts") == F.first(F.to_date("ts")).over(w_cum), "1").otherwise("0").alias("is_new"),
         F.when(prev.isNull() | (F.to_date(prev) < F.to_date("ts")), 1).otherwise(0).alias("uv"),
         F.when(
             prev.isNull()
