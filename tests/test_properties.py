@@ -66,3 +66,66 @@ def test_salted_aggregate_equals_plain(spark, rows):
         ).collect()
     }
     assert plain == salted
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(_keys, _ts, st.integers(0, 99)), min_size=1, max_size=30),
+    st.lists(st.tuples(_keys, _ts, st.integers(100, 199)), min_size=1, max_size=30),
+)
+def test_asof_join_model(spark, dim_rows, fact_rows):
+    """asof_join == per-fact 'greatest dim ts <= fact ts' scan on random
+    inputs (dims deduped per (key, ts) keeping max payload)."""
+    from flink_gmall2024_realtime_spark.operators.joins import asof_join
+
+    dim_map: dict[tuple[int, int], int] = {}
+    for k, t, v in dim_rows:
+        kk = (k, t)
+        dim_map[kk] = max(dim_map.get(kk, -1), v)
+    dims = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in dim_map.items()], "k long, ts long, v long"
+    )
+    facts = spark.createDataFrame(
+        [(k, t, i) for i, (k, t, _) in enumerate(fact_rows)], "k long, ts long, fid long"
+    )
+    got = {r["fid"]: r["v"] for r in asof_join(facts, dims, "k", "ts", ["v"]).collect()}
+    for i, (k, t, _) in enumerate(fact_rows):
+        eligible = [(dt, v) for (dk, dt), v in dim_map.items() if dk == k and dt <= t]
+        want = max(eligible)[1] if eligible else None
+        assert got[i] == want, (i, k, t, eligible)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.lists(st.floats(-1, 1, allow_nan=False), min_size=4, max_size=4)),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_embedding_block_grid_equals_brute(spark, rows):
+    """The symmetric block-grid cosine self-join finds exactly the pairs an
+    all-pairs scan finds, for any block count (partition of the pair space)."""
+    import numpy as np
+
+    from flink_gmall2024_realtime_spark.operators.dedup import embedding_cosine_pairs
+
+    rows = [(i, v) for i, v in rows if np.linalg.norm(v) > 1e-6]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]) for r in embedding_cosine_pairs(df, threshold=0.5, n_blocks=3).collect()
+    }
+    ids = [i for i, _ in rows]
+    mat = np.array([list(np.array(v, dtype=np.float32)) for _, v in rows], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                sim = round(float(mat[i] @ mat[j] / (nrm[i] * nrm[j])), 6)
+                if sim >= 0.5:
+                    want.add((ids[i], ids[j]))
+    assert got == want
