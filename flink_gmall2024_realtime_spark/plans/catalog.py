@@ -1728,6 +1728,32 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_policy",
+    oracle=(
+        "SELECT sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)::BIGINT AS kept_ct,\n"
+        "       sum(CASE WHEN doc_id = cluster_id THEN 0 ELSE 1 END)::BIGINT AS dropped_ct\n"
+        "FROM (WITH RECURSIVE " + _CLUSTER_SQL.strip().removeprefix("WITH ") + ")"
+    ),
+    survey_ids=("dedup-minhash-lsh",),
+)
+def dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline a user actually runs: apply the
+    keep-one-per-cluster policy (survivor = cluster's smallest doc_id) and
+    report how much of the corpus survives. Composes the full chain —
+    doc-local MinHash pass -> LSH candidates -> exact verify -> connected
+    components -> policy filter — into the number pair the curation job
+    logs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.35)
+    clusters = dedup.dedup_clusters(docs, pairs)
+    keep = F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
+    return clusters.agg(
+        F.sum(keep).alias("kept_ct"),
+        F.sum(1 - keep).alias("dropped_ct"),
+    )
+
+
+@register(
     "dws_traffic_vc_ch_ar_isnew",
     oracle="""
 WITH e AS (

@@ -128,6 +128,46 @@ def dim_app_pipeline(
     return process_batch
 
 
+def dws_user_register_pipeline(events: DataFrame, watermark: str = "5 seconds") -> DataFrame:
+    """The register-window app (DwsUserUserRegisterWindow.java:56-106) on a
+    stream: the event time is the STRING ``create_time`` of the JSON payload
+    (parsed tz-pinned, :82-88), malformed rows dropped (:90-106), then a
+    10 s tumbling count with a 5 s bounded-out-of-orderness watermark —
+    identical logical plan to the batch catalog query ``dws_user_register``
+    plus late-data drop."""
+    from ..functions import date_to_ts, json_get
+
+    ev = events.filter(F.col("event_type") == "signup")
+    payload = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.when(
+                    F.col("event_id") % 97 != 0,
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                ).alias("create_time"),
+            )
+        ).alias("value")
+    )
+    parsed = payload.select(
+        json_get(F.col("value"), "id").alias("id"),
+        json_get(F.col("value"), "create_time").alias("create_time"),
+    )
+    ok = parsed.filter(F.col("id").isNotNull() & F.col("create_time").isNotNull())
+    ts = F.timestamp_millis(date_to_ts(F.col("create_time")))
+    out = (
+        ok.withColumn("evt", ts)
+        .withWatermark("evt", watermark)
+        .groupBy(F.window("evt", "10 seconds"))
+        .agg(F.count(F.lit(1)).alias("register_ct"))
+    )
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "register_ct",
+    )
+
+
 def dws_user_login_pipeline(events: DataFrame) -> DataFrame:
     """The user-login DWS app (DwsUserUserLoginWindow.java:69-135) composed
     end-to-end on a stream: keyed returning-user state (uu/back per active

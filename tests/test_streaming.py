@@ -83,6 +83,26 @@ def test_streaming_is_new_repair_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_streaming_user_register_matches_batch(spark, sf_dir, tmp_path):
+    """The register-window app's streaming twin emits exactly the batch
+    catalog result for every window the watermark closed."""
+    ev_stream = pipelines.stream_events(spark, sf_dir)
+    out = pipelines.dws_user_register_pipeline(ev_stream)
+    run_stream(out, str(tmp_path), "user_reg")
+    got = {
+        r["stt"]: r["register_ct"]
+        for r in spark.sql("select * from user_reg").collect()
+    }
+    from flink_gmall2024_realtime_spark.plans import CATALOG
+
+    want = {
+        r["stt"]: r["register_ct"]
+        for r in CATALOG["dws_user_register"].spark(spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items() if k in got}
+    assert len(got) >= len(want) - 3  # only trailing (unclosed) windows withheld
+
+
 def test_stateful_daily_uv_matches_batch(spark, sf_dir, tmp_path):
     ev_stream = pipelines.stream_events(spark, sf_dir)
     keyed = ev_stream.select(
