@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -146,6 +147,40 @@ def returning_user_func(
             last_date = d
     state.update((last_date,))
     yield pd.DataFrame(out, columns=["key", "cur_date", "uu", "back"])
+
+
+SEEN_HASH_SCHEMA = StructType(
+    [
+        StructField("content_hash", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("is_first", IntegerType()),
+    ]
+)
+
+SEEN_HASH_STATE = StructType([StructField("keep_id", LongType())])
+
+
+def online_dedup_func(
+    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Online exact dedup, keyed by content hash: the first document ever
+    seen with a hash is emitted ``is_first=1`` (and becomes the hash's keeper
+    — smallest doc_id within the batch for replay determinism), every later
+    arrival 0. The streaming form of ``operators.dedup.exact_dedup``'s
+    keep-smallest policy: state per hash is one int, so billions of hashes
+    shard across the RocksDB store exactly like the reference's keyed
+    ValueState."""
+    (keep_id,) = state.get if state.exists else (None,)
+    out = []
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    for did in sorted(pdf["doc_id"]):
+        if keep_id is None:
+            keep_id = int(did)
+            out.append((key[0], int(did), 1))
+        else:
+            out.append((key[0], int(did), 0))
+    state.update((keep_id,))
+    yield pd.DataFrame(out, columns=["content_hash", "doc_id", "is_first"])
 
 
 def apply_stateful(grouped, func, schema: StructType, state_schema: StructType):

@@ -156,6 +156,35 @@ def test_stateful_returning_users_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_online_dedup_matches_batch_exact_dedup(spark, sf_dir, tmp_path):
+    """Streaming first-seen-by-content-hash == batch exact_dedup keepers
+    (same keep-smallest policy), replayed from the documents fixture."""
+    from flink_gmall2024_realtime_spark.operators.dedup import exact_dedup
+    from flink_gmall2024_realtime_spark.streaming.state import (
+        SEEN_HASH_SCHEMA,
+        SEEN_HASH_STATE,
+        online_dedup_func,
+    )
+
+    raw = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hashed = raw.select(F.md5("text").alias("content_hash"), "doc_id")
+    out = apply_stateful(
+        hashed.groupBy("content_hash"), online_dedup_func, SEEN_HASH_SCHEMA, SEEN_HASH_STATE
+    )
+    run_stream(out.filter(F.col("is_first") == 1), str(tmp_path), "online_dedup")
+    got = {
+        r["content_hash"]: r["doc_id"]
+        for r in spark.sql("select * from online_dedup").collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    want = {r["content_hash"]: r["keep_id"] for r in exact_dedup(docs).collect()}
+    assert got == want
+
+
 def test_keyed_upsert_sink_merge_and_delete(spark, tmp_path):
     path = os.path.join(str(tmp_path), "dim_user")
     writer = sinks.keyed_upsert_sink(spark, path, key="id", order_col="ts", type_col="type")
