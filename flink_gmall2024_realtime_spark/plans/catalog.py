@@ -2308,6 +2308,100 @@ def dws_user_register(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_topn_per_group",
+    oracle="""
+SELECT n_name, c_name, revenue, rnk AS rank
+FROM (
+  SELECT n.n_name, c.c_name,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+         row_number() OVER (PARTITION BY n.n_name
+                            ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+                                     c.c_name) AS rnk
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+WHERE rnk <= 3
+""",
+    survey_ids=("A2", "J1"),
+)
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N (top-3 customers by revenue per nation) — the Flink
+    'Top-N' SQL pattern (rank over partition, filter rank): aggregate first
+    so the ranking window sees |customers| rows, not |lineitems|; ties
+    broken on the rounded score + name for cross-engine determinism."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("c_name"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "c_name", "revenue", "rank")
+    )
+
+
+@register(
+    "q_funnel_counts",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t GROUP BY 1)
+SELECT (SELECT count(*) FROM v) AS viewed,
+       (SELECT count(*) FROM c) AS clicked_after_view,
+       (SELECT count(*) FROM p) AS purchased_after_click
+""",
+    survey_ids=("A3", "P3"),
+)
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> later click -> later purchase per
+    user): each stage keeps users whose stage event follows their previous
+    stage's FIRST event. All three stages share one shuffle on user_id
+    (min-aggregates + co-keyed joins); the final counts are scalar
+    aggregates. The batch form of Flink's CEP-lite sequential-pattern
+    counting."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_t"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_t"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_t"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_t"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_t"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .join(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
+        .join(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+    )
+
+
+@register(
     "q_asof_join",
     oracle="""
 WITH v AS (
