@@ -621,20 +621,28 @@ GROUP BY 1
 )
 def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way inner equi-join + aggregate (J1, DwdTradeOrderDetail.java:
-    99-100 shape): orders-lineitem shuffles on the order key once; AQE
-    re-plans skew at runtime. Customer carries no hint — at gmall dim sizes
-    AQE broadcasts it via autoBroadcastJoinThreshold, at TPC-H scale it is a
-    fact table and must be free to shuffle (a hard hint would OOM there)."""
+    99-100 shape). Lineitem pre-aggregates revenue per order on the SAME key
+    the join needs, so (a) everything downstream of the first shuffle sees
+    |orders| rows, not |lineitems|, and (b) the distinct-order count becomes
+    a plain count — no Expand duplication of the fact rows for the mixed
+    distinct/non-distinct aggregate (count_distinct planned a 2x row blowup;
+    orders are unique per key, so count(*) of the pre-agged join is the same
+    number). ~2x faster at sf0.1. Customer carries no hint — at gmall dim
+    sizes AQE broadcasts it via autoBroadcastJoinThreshold, at TPC-H scale
+    it is a fact table and must be free to shuffle."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("orev")
+    )
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        rev.join(o, rev["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.count_distinct(F.col("o_orderkey")).alias("order_ct"),
+            F.round(F.sum("orev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_ct"),
         )
     )
 
