@@ -170,7 +170,13 @@ def _doc_sig_sets(
     ``repartition`` before the pass: a small fixture file arrives as one scan
     split, which would serialize the pass; at real scale the scan already has
     thousands of splits and the repartition collapses into it cost-free
-    relative to the work."""
+    relative to the work.
+
+    ``shs`` carries 60-bit shingle hashes, not the shingle strings: set
+    intersection sees equal strings as equal hashes always, and an unequal
+    pair colliding at 60 bits within one document pair's ~10^2-10^3 shingles
+    is ~1e-12 — while the hash arrays are ~6x narrower than the strings
+    through the checkpoint and both verification attach joins."""
     import hashlib
     import re
 
@@ -191,25 +197,24 @@ def _doc_sig_sets(
                 toks = [t for t in split_re.split(text.strip()) if t]
                 if len(toks) < n:
                     continue
-                shs = list(
-                    dict.fromkeys(
-                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-                    )
-                )
-                h = np.array(
-                    [int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in shs],
-                    dtype=np.int64,
-                )
+                digests = {
+                    hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()
+                    for i in range(len(toks) - n + 1)
+                }
+                # one md5 per distinct shingle feeds BOTH hashes: the 28-bit
+                # permutation input (first 7 hex chars, matching the SQL
+                # oracle's md5-derived minhash) and the 60-bit verify hash
+                h = np.array([int(d[:7], 16) for d in digests], dtype=np.int64)
                 sig = ((a_co[:, None] * h[None, :] + b_co[:, None]) % MERSENNE_P).min(axis=1)
                 ids.append(did)
                 sigs.append(sig)
-                sets.append(shs)
+                sets.append(np.array([int(d[:15], 16) for d in digests], dtype=np.int64))
             yield pd.DataFrame({"doc_id": ids, "sig": sigs, "shs": sets})
 
     return (
         docs.select(id_col, text_col)
         .repartition(par)
-        .mapInPandas(fn, "doc_id long, sig array<bigint>, shs array<string>")
+        .mapInPandas(fn, "doc_id long, sig array<bigint>, shs array<bigint>")
     )
 
 
