@@ -218,18 +218,6 @@ def _doc_sig_sets(
     )
 
 
-def _signatures_from_shingles(sh: DataFrame, perms: int) -> DataFrame:
-    hashed = sh.withColumn(
-        "h", md5_long(F.col("shingle"), hex_chars=7)  # 28-bit: a*h+b stays < 2^63
-    )
-    mins = [
-        F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(i * i + 1)) % F.lit(MERSENNE_P)).alias(f"m{i}")
-        for i in range(perms)
-    ]
-    agged = hashed.groupBy("doc_id").agg(*mins)
-    return agged.select("doc_id", F.array(*[f"m{i}" for i in range(perms)]).alias("sig"))
-
-
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.35,
