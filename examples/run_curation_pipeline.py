@@ -1,0 +1,104 @@
+"""End-to-end training-data curation demo over the documents/embeddings tables.
+
+The pipeline a 100 TB pre-training data job runs, at fixture scale:
+
+  1. exact dedup        md5 grouping — drop byte-identical copies
+  2. near-dup dedup     doc-local MinHash pass -> LSH band candidates ->
+                        exact-Jaccard verify -> connected components ->
+                        keep the smallest doc id per cluster
+  3. embedding near-dup exact cosine pairs via the symmetric block grid
+                        (reported, not dropped — threshold is corpus-tuned)
+  4. quality gating     C4/Gopher-style feature filter (token count, ratios)
+  5. language filter    n-gram-marker language ID
+  6. PII scrub          email/phone/digit-run placeholder rewrite
+  7. sampling + split   deterministic stratified keep + hash train/val/test
+  8. fingerprint stamp  60-bit content fingerprint for provenance joins
+
+Every stage is a declarative DataFrame transform (the same operators the
+oracle-checked catalog entries run); the output is a curated parquet corpus
+partitioned by split.
+
+Usage: PYTHONPATH=/root/repo python3 examples/run_curation_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from flink_gmall2024_realtime_spark.operators import dedup, text
+from flink_gmall2024_realtime_spark.operators.sampling import hash_split
+from flink_gmall2024_realtime_spark.session import get_spark
+from flink_gmall2024_realtime_spark.sources.fixtures import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="curated_")
+    spark = get_spark("curation-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. exact dedup: keep each content hash's smallest doc_id
+    keepers = dedup.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    docs1 = docs.join(keepers, "doc_id")
+
+    # 2. near-dup dedup: MinHash+LSH verified pairs -> components -> keep policy
+    pairs = dedup.minhash_lsh_pairs(docs1, threshold=0.35)
+    clusters = dedup.dedup_clusters(docs1, pairs)
+    docs2 = (
+        docs1.join(clusters, "doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .drop("cluster_id")
+    )
+
+    # 3. embedding near-dups (report only at fixture scale — no planted dups)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_pairs = dedup.embedding_cosine_pairs(emb, threshold=0.4).count()
+
+    # 4-5. quality + language gates
+    feats = text.quality_features(docs2)
+    langs = docs2.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+    gated = (
+        docs2.join(feats.select("doc_id", "n_tokens", "alpha_ratio", "stopword_ratio"), "doc_id")
+        .join(langs, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("alpha_ratio") >= 0.5)
+            & (F.col("lang_pred") != "und")
+        )
+    )
+
+    # 6-8. scrub, split, stamp
+    curated = (
+        gated.select(
+            "doc_id",
+            text.scrub_pii(F.col("text")).alias("text"),
+            "lang",
+            "n_tokens",
+            text.fingerprint(F.col("text")).alias("content_fp"),
+        )
+        .transform(lambda df: hash_split(df, "doc_id"))
+    )
+    curated.write.mode("overwrite").partitionBy("split").parquet(os.path.join(out_dir, "corpus"))
+
+    back = spark.read.parquet(os.path.join(out_dir, "corpus"))
+    per_split = {r["split"]: r["ct"] for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("ct")).collect()}
+    print(
+        f"corpus: {n0} -> exact-dedup {docs1.count()} -> near-dup {docs2.count()}"
+        f" -> gated {gated.count()}; embedding near-dup pairs reported: {emb_pairs}"
+    )
+    print(f"curated splits: {per_split}")
+    print(f"curated corpus at {out_dir}/corpus")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
