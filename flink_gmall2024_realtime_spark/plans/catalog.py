@@ -2315,6 +2315,37 @@ def dws_user_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAM_SQL = f"""
+WITH {_SHINGLE_CTE},
+fp AS (SELECT doc_id, {md5_long_sql_duckdb('shingle', 12)} AS fp FROM sh),
+sel AS (SELECT DISTINCT doc_id, fp FROM fp WHERE fp % 8 = 0),
+bench AS (SELECT * FROM sel WHERE doc_id % 20 = 0),
+train AS (SELECT DISTINCT fp FROM sel WHERE doc_id % 20 <> 0)
+SELECT b.doc_id, round(count(t.fp)::DOUBLE / count(*), 6) AS contamination
+FROM bench b LEFT JOIN train t ON b.fp = t.fp
+GROUP BY 1
+"""
+
+
+@register("text_decontamination", oracle=_CONTAM_SQL, survey_ids=("text-fingerprint",))
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the fraction of each held-out doc's
+    winnowed fingerprints that also appear anywhere in the training corpus —
+    the standard n-gram-overlap contamination check run before training.
+    Fingerprints are content-defined (winnowing mod-sampling), so the check
+    survives insertions around the overlap; the join is an equi-join on the
+    60-bit fingerprint, so at corpus scale this is |selected fingerprints|,
+    never docs x docs. Held-out set here: doc_id % 20 == 0."""
+    docs = _t(spark, sf_dir, "documents")
+    sel = text.winnow_fingerprints(docs)
+    bench = sel.filter(F.col("doc_id") % 20 == 0)
+    train = sel.filter(F.col("doc_id") % 20 != 0).select("fp").distinct()
+    joined = bench.join(train.withColumn("hit", F.lit(1)), "fp", "left")
+    return joined.groupBy("doc_id").agg(
+        F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1)), 6).alias("contamination")
+    )
+
+
 @register(
     "q_topn_per_group",
     oracle="""
