@@ -1,0 +1,137 @@
+"""MERGE / upsert-apply and SCD2 history operators.
+
+The reference's serving sinks apply a keyed changelog to a mutable store —
+HBase puts/deletes by rowkey (``HBaseUtil.java:118-160``, driven by
+``DimSinkFunction.java:30-58``) and upsert-Kafka PK compaction
+(``DwsTradeSkuOrderWindow.java`` sink DDL).  Batch-side, the same semantics
+are the warehouse MERGE: fold the changelog to its latest state per key,
+then full-outer-join it against the target and resolve each key with a CASE.
+This module is that seam, expressed as pure Catalyst plans:
+
+- ``fold_changelog``   — latest-wins compaction of a keyed changelog,
+- ``merge_into``       — MERGE (update / insert / delete) as one full-outer
+                         equi-join; the batch twin of
+                         ``streaming.sinks.keyed_upsert_sink``'s bucket
+                         rewrite, and the exact plan a Delta/Iceberg
+                         ``MERGE INTO`` would compile to,
+- ``scd2_history``     — type-2 slowly-changing-dimension history (validity
+                         intervals) from the same changelog, the batch
+                         materialization of the dim layer's audit trail.
+
+100 TB shape: every operator here is a single hash shuffle on the merge key
+(plus per-key sorts that share that shuffle).  Nothing collects to the
+driver; the source side of ``merge_into`` stays joinable by AQE broadcast
+when a micro-batch is small, and sort-merge when it is not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fold_changelog(
+    changelog: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Compact a keyed changelog to its latest row per key (K3 upsert
+    semantics — last write wins, ordered by ``order_by`` with the final
+    column as tie-break).  One shuffle on ``keys``; the row_number window
+    and any downstream merge join share that partitioning."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """MERGE ``source`` (one row per key — pre-fold with ``fold_changelog``)
+    into ``target``:
+
+    - matched,   op != delete  -> target row with ``update_cols`` overwritten
+    - matched,   op == delete  -> row dropped
+    - unmatched, op != delete  -> inserted (non-update target columns null)
+    - unmatched, op == delete  -> no-op
+    - target rows never touched by ``source`` pass through unchanged
+
+    ``op_col`` names the source's operation column; ``None`` means every
+    source row is an upsert.  The plan is one full-outer equi-join on
+    ``keys`` — no driver collect, no cartesian; AQE picks broadcast vs
+    sort-merge by the folded source's actual size.  Keys are a primary key
+    and must be non-null (plain ``==`` join — null-safe keys would defeat
+    reuse of ``fold_changelog``'s hash partitioning and force a second
+    shuffle of the source side).  Reference semantics:
+    ``DimSinkFunction.java:30-58`` (delete -> HBase delete, else put)."""
+    src_cols = [c for c in source.columns if c not in keys]
+    s = source.select(
+        *[F.col(k).alias(f"_s_{k}") for k in keys],
+        *[F.col(c).alias(f"_s_{c}") for c in src_cols],
+    )
+    cond = [target[k] == s[f"_s_{k}"] for k in keys]
+    j = target.join(s, cond, "full_outer")
+
+    matched_src = s[f"_s_{keys[0]}"].isNotNull()
+    is_delete = (
+        (F.col(f"_s_{op_col}") == delete_op) if op_col is not None else F.lit(False)
+    )
+    # delete of a missing key is a no-op; delete of a present key drops it
+    kept = j.filter(~(matched_src & is_delete))
+
+    out = []
+    for c in target.columns:
+        if c in keys:
+            out.append(F.coalesce(target[c], s[f"_s_{c}"]).alias(c))
+        elif c in update_cols:
+            out.append(
+                F.when(matched_src, s[f"_s_{c}"]).otherwise(target[c]).alias(c)
+            )
+        else:
+            out.append(target[c].alias(c))
+    return kept.select(*out)
+
+
+def scd2_history(
+    changelog: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tracked: Sequence[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Type-2 SCD history: collapse consecutive changelog rows whose
+    ``tracked`` attributes did not change, then assign each surviving
+    version its validity interval ``[effective_from, effective_to)`` with
+    ``effective_to IS NULL`` marking the current row.
+
+    Both window passes (the lag-compare and the lead-interval) partition by
+    ``keys`` and order by ``(ts_col, tie_break)`` — same partitioning, same
+    sort order, so Catalyst plans ONE Exchange and one Sort; the collapse
+    filter runs between them without re-shuffling.  This is the batch
+    materialization of what the dim layer's HBase puts overwrite in place
+    (``DimSinkFunction.java:44-52``) — kept as history instead."""
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tie_break).asc()] if tie_break is not None else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.row_number().over(w) == 1
+    versions = changelog.withColumn("_keep", first | changed).filter("_keep").drop("_keep")
+    return versions.select(
+        *keys,
+        *tracked,
+        F.col(ts_col).alias("effective_from"),
+        F.lead(ts_col).over(w).alias("effective_to"),
+    ).withColumn("is_current", F.col("effective_to").isNull())

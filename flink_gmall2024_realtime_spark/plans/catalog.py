@@ -2604,3 +2604,121 @@ CATALOG["ann_lsh_bucketed"] = QuerySpec(
     CATALOG["ann_lsh_bucketed"].survey_ids,
     CATALOG["ann_lsh_bucketed"].bench,
 )
+
+
+# =========================================================================
+# MERGE seam + SCD2 dimension history (operators/merge.py)
+# =========================================================================
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+WITH chg AS (
+  SELECT user_id * 13 AS k,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         'Merged#' || (user_id * 13)::VARCHAR AS name,
+         round(value, 2) AS bal
+  FROM events
+  WHERE user_id IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT coalesce(t.c_custkey, s.k) AS c_custkey,
+       CASE WHEN s.k IS NOT NULL THEN s.name ELSE t.c_name END AS c_name,
+       t.c_nationkey,
+       CASE WHEN s.k IS NOT NULL THEN s.bal ELSE t.c_acctbal END AS c_acctbal,
+       t.c_mktsegment
+FROM customer t
+FULL OUTER JOIN chg s ON t.c_custkey = s.k
+WHERE NOT (s.k IS NOT NULL AND s.op = 'delete')
+""",
+    survey_ids=("K5", "K3", "W6"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse MERGE seam (VERDICT r1 missing #5): fold a keyed
+    changelog to latest state (K3 compaction), then MERGE it into the
+    ``customer`` dimension — matched upserts overwrite name/acctbal, matched
+    deletes drop the row, unmatched upserts insert, unmatched deletes no-op
+    (``DimSinkFunction.java:30-58`` put/delete semantics as one batch plan).
+    The changelog is derived from ``events``: key ``user_id*13`` spans both
+    existing and brand-new custkeys, ``error`` events are deletes.  One
+    window shuffle folds the log, one full-outer equi-join applies it —
+    exactly the plan Delta/Iceberg ``MERGE INTO`` compiles to, with AQE free
+    to broadcast the folded (tiny) changelog side."""
+    from ..operators.merge import fold_changelog, merge_into
+
+    cust = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    chg = ev.select(
+        (F.col("user_id") * 13).alias("c_custkey"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.concat(F.lit("Merged#"), (F.col("user_id") * 13).cast("string")).alias(
+            "c_name"
+        ),
+        F.round(F.col("value"), 2).alias("c_acctbal"),
+        "ts",
+        "event_id",
+    )
+    folded = fold_changelog(chg, ["c_custkey"], ["ts", "event_id"]).drop(
+        "ts", "event_id"
+    )
+    return merge_into(
+        cust,
+        folded,
+        keys=["c_custkey"],
+        update_cols=["c_name", "c_acctbal"],
+        op_col="op",
+    )
+
+
+@register(
+    "dim_scd2_history",
+    oracle="""
+WITH chg AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value >= 150 THEN 'gold'
+              WHEN value >= 75 THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM events
+  WHERE user_id IS NOT NULL
+),
+v AS (
+  SELECT user_id, ts, event_id, tier FROM (
+    SELECT user_id, ts, event_id, tier,
+           lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM chg
+  ) WHERE prev IS NULL OR tier <> prev
+)
+SELECT user_id, tier, effective_from, effective_to,
+       effective_to IS NULL AS is_current
+FROM (
+  SELECT user_id, tier, ts AS effective_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to
+  FROM v
+)
+""",
+    survey_ids=("K5", "S3"),
+)
+def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of a per-user "tier" attribute derived from the
+    event stream: consecutive unchanged rows collapse, each surviving
+    version gets ``[effective_from, effective_to)`` with NULL end = current.
+    The reference's dim layer overwrites HBase cells in place
+    (``DimSinkFunction.java:44-52``); this is the audit-trail
+    materialization a warehouse keeps instead.  Both window passes share
+    one hash shuffle + one sort on (user_id, ts, event_id)."""
+    from ..operators.merge import scd2_history
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    chg = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") >= 150, "gold")
+        .when(F.col("value") >= 75, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+    )
+    return scd2_history(chg, ["user_id"], "ts", ["tier"], tie_break="event_id")

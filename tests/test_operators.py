@@ -234,3 +234,77 @@ def test_hash_split_is_exhaustive_and_deterministic(spark):
     assert a == b  # reproducible
     assert set(a.values()) == {"train", "val", "test"}
     assert sum(1 for v in a.values() if v == "train") > 300  # ~80%
+
+
+def test_merge_into_semantics_matrix(spark):
+    from flink_gmall2024_realtime_spark.operators.merge import fold_changelog, merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, name string, v int"
+    )
+    # k=1 update, k=2 delete, k=4 insert, k=5 delete-of-missing (no-op);
+    # k=3 untouched.  k=1 also checks latest-wins folding (ts 2 beats 1).
+    chg = spark.createDataFrame(
+        [
+            (1, "upsert", "a2", 11, 1),
+            (1, "upsert", "a3", 12, 2),
+            (2, "delete", None, None, 1),
+            (4, "upsert", "d", 40, 1),
+            (5, "delete", None, None, 1),
+        ],
+        "k int, op string, name string, v int, ts int",
+    )
+    folded = fold_changelog(chg, ["k"], ["ts"]).drop("ts")
+    out = {
+        r["k"]: (r["name"], r["v"])
+        for r in merge_into(
+            target, folded, ["k"], update_cols=["name", "v"], op_col="op"
+        ).collect()
+    }
+    assert out == {1: ("a3", 12), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_merge_into_without_op_col_is_pure_upsert(spark):
+    from flink_gmall2024_realtime_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    src = spark.createDataFrame([(2, 99), (3, 30)], "k int, v int")
+    out = {r["k"]: r["v"] for r in merge_into(target, src, ["k"], ["v"]).collect()}
+    assert out == {1: 10, 2: 99, 3: 30}
+
+
+def test_merge_into_preserves_untouched_target_columns(spark):
+    from flink_gmall2024_realtime_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, 10, "keep")], "k int, v int, extra string")
+    src = spark.createDataFrame([(1, 99), (2, 22)], "k int, v int")
+    rows = {r["k"]: r for r in merge_into(target, src, ["k"], ["v"]).collect()}
+    assert rows[1]["v"] == 99 and rows[1]["extra"] == "keep"
+    assert rows[2]["v"] == 22 and rows[2]["extra"] is None  # insert fills null
+
+
+def test_scd2_history_collapses_and_intervals(spark):
+    from flink_gmall2024_realtime_spark.operators.merge import scd2_history
+
+    chg = spark.createDataFrame(
+        [
+            (1, 10, 1, "bronze"),
+            (1, 20, 2, "bronze"),  # unchanged -> collapsed
+            (1, 30, 3, "gold"),
+            (1, 40, 4, "bronze"),  # re-entering an old value is a new version
+            (2, 10, 5, "silver"),
+        ],
+        "k int, ts int, eid int, tier string",
+    )
+    rows = scd2_history(chg, ["k"], "ts", ["tier"], tie_break="eid").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(
+            (r["tier"], r["effective_from"], r["effective_to"], r["is_current"])
+        )
+    assert sorted(by_key[1]) == [
+        ("bronze", 10, 30, False),
+        ("bronze", 40, None, True),
+        ("gold", 30, 40, False),
+    ]
+    assert by_key[2] == [("silver", 10, None, True)]

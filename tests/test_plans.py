@@ -77,3 +77,27 @@ def test_embedding_cosine_is_distributed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_merge_upsert_reuses_fold_shuffle(spark, sf_dir):
+    """MERGE = one full-outer equi-join; the changelog fold's hash shuffle
+    on the merge key is reused as the join's source-side distribution (no
+    second Exchange), and the fold itself is rank-limit pushed
+    (WindowGroupLimit) so only per-key candidates shuffle."""
+    plan = formatted_plan(spark, CATALOG["q_merge_upsert"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "FullOuter" in tree
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree
+    assert tree.count("Exchange") == 2  # target side + fold (reused by join)
+    assert "WindowGroupLimit" in tree
+
+
+def test_scd2_windows_share_one_shuffle_and_sort(spark, sf_dir):
+    """Both SCD2 window passes (lag-collapse, lead-interval) partition and
+    order identically — the plan must carry exactly one Exchange and one
+    Sort, with the second Window consuming the first's ordering."""
+    plan = formatted_plan(spark, CATALOG["dim_scd2_history"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Sort") == 1
+    assert tree.count("Window") == 2
