@@ -153,9 +153,11 @@ def _doc_sig_sets(
     text_col: str,
     id_col: str,
     parallelism: int | None = None,
+    band_rows: int = LSH_BAND_ROWS,
 ) -> DataFrame:
-    """One Arrow pass per document computing (doc_id, sig, shs): the distinct
-    shingle set and the MinHash signature, entirely doc-locally.
+    """One Arrow pass per document computing (doc_id, sig, shs, bkt): the
+    distinct shingle set, the MinHash signature, and the per-band LSH bucket
+    keys — entirely doc-locally.
 
     This is the shape that wins at 100 TB: shingling and signing are
     per-document computations, so doing them inside ``mapInPandas`` means the
@@ -176,7 +178,14 @@ def _doc_sig_sets(
     intersection sees equal strings as equal hashes always, and an unequal
     pair colliding at 60 bits within one document pair's ~10^2-10^3 shingles
     is ~1e-12 — while the hash arrays are ~6x narrower than the strings
-    through the checkpoint and both verification attach joins."""
+    through the checkpoint and both verification attach joins.
+
+    ``bkt`` is one 64-bit FNV-1a key per LSH band (band index folded into
+    the seed so identical row values in different bands never share a key).
+    Computing it here — a vectorized reshape+mix over the signature — costs
+    ~nothing and lets the LSH candidate step be a single ``explode`` +
+    long-key groupBy, instead of re-deriving 32 buckets per row from array
+    subscripts and string concat JVM-side and shuffling ~25-char strings."""
     import hashlib
     import re
 
@@ -189,10 +198,13 @@ def _doc_sig_sets(
     a_co = np.array([2 * i + 1 for i in range(perms)], dtype=np.int64)
     b_co = np.array([i * i + 1 for i in range(perms)], dtype=np.int64)
     split_re = re.compile(TOKEN_SPLIT_RE)
+    n_bands = perms // band_rows
+    fnv_offset, fnv_prime = np.uint64(14695981039346656037), np.uint64(1099511628211)
+    band_seed = (fnv_offset ^ np.arange(n_bands, dtype=np.uint64)) * fnv_prime
 
     def fn(batches):
         for pdf in batches:
-            ids, sigs, sets = [], [], []
+            ids, sigs, sets, bkts = [], [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 toks = [t for t in split_re.split(text.strip()) if t]
                 if len(toks) < n:
@@ -206,15 +218,21 @@ def _doc_sig_sets(
                 # oracle's md5-derived minhash) and the 60-bit verify hash
                 h = np.array([int(d[:7], 16) for d in digests], dtype=np.int64)
                 sig = ((a_co[:, None] * h[None, :] + b_co[:, None]) % MERSENNE_P).min(axis=1)
+                bk = band_seed.copy()
+                for r in range(band_rows):
+                    bk = (bk ^ sig.reshape(n_bands, band_rows)[:, r].astype(np.uint64)) * fnv_prime
                 ids.append(did)
                 sigs.append(sig)
                 sets.append(np.array([int(d[:15], 16) for d in digests], dtype=np.int64))
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs, "shs": sets})
+                bkts.append(bk.view(np.int64))
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs, "shs": sets, "bkt": bkts})
 
     return (
         docs.select(id_col, text_col)
         .repartition(par)
-        .mapInPandas(fn, "doc_id long, sig array<bigint>, shs array<bigint>")
+        .mapInPandas(
+            fn, "doc_id long, sig array<bigint>, shs array<bigint>, bkt array<bigint>"
+        )
     )
 
 
@@ -242,24 +260,14 @@ def minhash_lsh_pairs(
     ContextCleaner when the returned DataFrame is garbage-collected, whereas
     a SQL-cache entry would pin executor memory until someone remembers to
     unpersist."""
-    base = _doc_sig_sets(docs, perms, n, text_col, id_col).localCheckpoint(eager=True)
-    n_bands = perms // band_rows
-    bands = (
-        base.select(
-            "doc_id",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(",", *[F.col("sig")[bi * band_rows + r].cast("string") for r in range(band_rows)]).alias("bucket"),
-                    )
-                    for bi in range(n_bands)
-                ])
-            ).alias("bb"),
-        )
-        .select("doc_id", "bb.band", "bb.bucket")
-    )
-    # Candidate pairs by grouping each (band, bucket) and expanding the pairs
+    base = _doc_sig_sets(
+        docs, perms, n, text_col, id_col, band_rows=band_rows
+    ).localCheckpoint(eager=True)
+    # Per-band bucket keys were already computed inside the Arrow pass
+    # (vectorized FNV over the signature, band index in the seed), so banding
+    # is just an explode of 32 longs per doc.
+    bands = base.select("doc_id", F.explode("bkt").alias("bkt"))
+    # Candidate pairs by grouping each bucket key and expanding the pairs
     # within the bucket — ONE shuffle of the tiny banded frame, versus a
     # self-join that would run the signature pipeline twice (self-join dedup
     # rewrites expression IDs, defeating exchange reuse) or require one side
@@ -269,7 +277,7 @@ def minhash_lsh_pairs(
     # corpus-scale hot bucket is a degenerate-signature signal, not a plan
     # hazard, and AQE splits any residual skew.
     bucket_ids = (
-        bands.groupBy("band", "bucket")
+        bands.groupBy("bkt")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
