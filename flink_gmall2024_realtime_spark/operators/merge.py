@@ -135,3 +135,43 @@ def scd2_history(
         F.col(ts_col).alias("effective_from"),
         F.lead(ts_col).over(w).alias("effective_to"),
     ).withColumn("is_current", F.col("effective_to").isNull())
+
+
+def snapshot_asof(history: DataFrame, at) -> DataFrame:
+    """Point-in-time snapshot of an SCD2 history (``scd2_history`` output):
+    the version live at instant ``at`` — ``effective_from <= at`` and the
+    interval end is open (null or ``> at``).  At scale this is a pure filter
+    (no shuffle), and with the history partitioned on ``effective_from``
+    dates it partition-prunes; it is how a training run pins dimension
+    state to its data's event time instead of leaking future values."""
+    return history.filter(
+        (F.col("effective_from") <= F.lit(at))
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > F.lit(at)))
+    ).drop("is_current")
+
+
+def merge_partial_aggs(
+    parts: Sequence[DataFrame],
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge decomposable aggregate states: union per-slice partial
+    aggregates and re-reduce (sums add — counts are sums of partial counts —
+    mins/maxes re-min/max).  This is materialized-view maintenance: a new
+    slice's partial agg merges into the stored state without touching the
+    base data, the batch form of the streaming total-state accumulators
+    (``DwsTrafficVcChArIsNewPageViewWindow.java`` reduce functions).  Each
+    partial agg map-side combines before its shuffle, so what moves is
+    O(groups), never O(rows); the merge itself shuffles only the partial
+    frames."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return u.groupBy(*keys).agg(*aggs)

@@ -2722,3 +2722,106 @@ def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tier"),
     )
     return scd2_history(chg, ["user_id"], "ts", ["tier"], tie_break="event_id")
+
+
+@register(
+    "dim_snapshot_asof",
+    oracle="""
+WITH chg AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value >= 150 THEN 'gold'
+              WHEN value >= 75 THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM events
+  WHERE user_id IS NOT NULL
+),
+v AS (
+  SELECT user_id, ts, event_id, tier FROM (
+    SELECT user_id, ts, event_id, tier,
+           lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM chg
+  ) WHERE prev IS NULL OR tier <> prev
+),
+h AS (
+  SELECT user_id, tier, ts AS effective_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to
+  FROM v
+)
+SELECT user_id, tier, effective_from, effective_to
+FROM h
+WHERE effective_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (effective_to IS NULL OR effective_to > TIMESTAMP '2024-01-15 00:00:00')
+""",
+    survey_ids=("K5", "J4"),
+)
+def dim_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension snapshot: the SCD2 version of each user's
+    tier live at 2024-01-15T00:00 — how a training run pins dim state to
+    its data's event time instead of leaking future values (the batch
+    answer to the reference's processing-time lookup join J4, which can
+    only ever see "now").  Pure filter over the history; no extra
+    shuffle beyond ``scd2_history`` itself."""
+    from ..operators.merge import scd2_history, snapshot_asof
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    chg = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") >= 150, "gold")
+        .when(F.col("value") >= 75, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+    )
+    hist = scd2_history(chg, ["user_id"], "ts", ["tier"], tie_break="event_id")
+    return snapshot_asof(hist, "2024-01-15 00:00:00")
+
+
+@register(
+    "q_incremental_agg",
+    oracle="""
+SELECT event_type, ts::DATE AS d,
+       count(*)::BIGINT AS pv,
+       sum(value::DECIMAL(18,2)) AS val_sum,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events
+GROUP BY 1, 2
+""",
+    survey_ids=("A2", "W6"),
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the stored state (partial aggregates
+    of the first ~80% of events by ``event_id % 10 < 8``) merged with a new
+    slice's partial aggregates (the remaining ~20%) must equal a full
+    recompute — which is exactly what the oracle computes over all rows.
+    Counts merge as sums, sums as sums (DECIMAL, so merge order is exact),
+    min/max re-reduce; what shuffles in the merge is O(groups) per slice,
+    never the base data.  This is the Lambda-architecture backfill
+    equivalence the streaming DWS accumulators rely on."""
+    from ..operators.merge import merge_partial_aggs
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.to_date("ts").alias("d"),
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "d").agg(
+            F.count(F.lit(1)).alias("pv"),
+            F.sum("v").alias("val_sum"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    stored = partial(ev.filter(F.col("event_id") % 10 < 8))
+    fresh = partial(ev.filter(F.col("event_id") % 10 >= 8))
+    return merge_partial_aggs(
+        [stored, fresh],
+        keys=["event_type", "d"],
+        sum_cols=["pv", "val_sum"],
+        min_cols=["first_ts"],
+        max_cols=["last_ts"],
+    )

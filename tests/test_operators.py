@@ -308,3 +308,43 @@ def test_scd2_history_collapses_and_intervals(spark):
         ("gold", 30, 40, False),
     ]
     assert by_key[2] == [("silver", 10, None, True)]
+
+
+def test_snapshot_asof_picks_live_version(spark):
+    from flink_gmall2024_realtime_spark.operators.merge import scd2_history, snapshot_asof
+
+    chg = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 20, 2, "b"), (2, 30, 3, "x")],
+        "k int, ts int, eid int, attr string",
+    )
+    hist = scd2_history(chg, ["k"], "ts", ["attr"], tie_break="eid")
+    at15 = {r["k"]: r["attr"] for r in hist.filter(
+        (F.col("effective_from") <= 15)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > 15))
+    ).collect()}
+    assert at15 == {1: "a"}  # k=2 not yet born, k=1 still on first version
+    at25 = {r["k"]: r["attr"] for r in snapshot_asof(hist, 25).collect()}
+    assert at25 == {1: "b"}
+
+
+def test_merge_partial_aggs_equals_full_recompute(spark):
+    from flink_gmall2024_realtime_spark.operators.merge import merge_partial_aggs
+
+    rows = [(i % 3, i, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "g int, id int, v double")
+
+    def partial(d):
+        return d.groupBy("g").agg(
+            F.count(F.lit(1)).alias("ct"),
+            F.sum("v").alias("sv"),
+            F.min("id").alias("mn"),
+            F.max("id").alias("mx"),
+        )
+
+    merged = merge_partial_aggs(
+        [partial(df.filter("id < 11")), partial(df.filter("id >= 11 and id < 23")),
+         partial(df.filter("id >= 23"))],
+        keys=["g"], sum_cols=["ct", "sv"], min_cols=["mn"], max_cols=["mx"],
+    )
+    full = partial(df)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
