@@ -24,6 +24,7 @@ import pandas as pd
 
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -181,6 +182,47 @@ def online_dedup_func(
             out.append((key[0], int(did), 0))
     state.update((keep_id,))
     yield pd.DataFrame(out, columns=["content_hash", "doc_id", "is_first"])
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("event_id", LongType()),
+        StructField("session_start", IntegerType()),
+        StructField("session_id", LongType()),
+    ]
+)
+
+SESSION_STATE = StructType(
+    [StructField("last_secs", DoubleType()), StructField("sess_ct", LongType())]
+)
+
+SESSION_GAP_SECONDS = 1800
+
+
+def session_window_func(
+    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionization, streaming form of ``operators.state.
+    sessionize``: an event opens a new session when it follows the key's
+    previous event by more than the inactivity gap (the general form of the
+    reference's ``last_page_id IS NULL`` session marks,
+    ``DwsTrafficVcChArIsNewPageViewWindow.java:171-174``).  State per key is
+    two numbers — last event time and the running session count — so the
+    store stays O(keys) however long the stream runs.  Within a batch events
+    are sorted by (ts_secs, event_id); across batches the watermark's
+    ordering guarantee makes replay equal the batch window plan (asserted in
+    tests/test_streaming.py)."""
+    last_secs, sess_ct = state.get if state.exists else (None, 0)
+    out = []
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts_secs", "event_id"])
+    for eid, secs in zip(pdf["event_id"], pdf["ts_secs"]):
+        start = 1 if last_secs is None or secs - last_secs > SESSION_GAP_SECONDS else 0
+        sess_ct += start
+        out.append((key[0], int(eid), start, int(sess_ct)))
+        last_secs = float(secs)
+    state.update((last_secs, int(sess_ct)))
+    yield pd.DataFrame(out, columns=["key", "event_id", "session_start", "session_id"])
 
 
 def apply_stateful(grouped, func, schema: StructType, state_schema: StructType):

@@ -359,3 +359,35 @@ def test_dwd_base_log_split_stream(spark, tmp_path):
         q = run_stream(df, str(tmp_path), f"branch_{name}")
         counts[name] = spark.sql(f"select count(*) c from branch_{name}").collect()[0]["c"]
     assert counts == {"err": 1, "start": 1, "display": 1, "action": 0, "page": 2}
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """The gap-session processor assigns every event the same session_start
+    flag and session_id the batch sessionize window plan assigns on replay."""
+    from flink_gmall2024_realtime_spark.streaming.state import (
+        SESSION_SCHEMA,
+        SESSION_STATE,
+        session_window_func,
+    )
+
+    ev_stream = pipelines.stream_events(spark, sf_dir)
+    keyed = ev_stream.filter(F.col("user_id").isNotNull()).select(
+        F.col("user_id").cast("string").alias("key"),
+        "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("ts_secs"),
+    )
+    out = apply_stateful(
+        keyed.groupBy("key"), session_window_func, SESSION_SCHEMA, SESSION_STATE
+    )
+    run_stream(out, str(tmp_path), "sessions")
+    got = {
+        r["event_id"]: (r["session_start"], r["session_id"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    want = {
+        r["event_id"]: (r["session_start"], r["session_id"])
+        for r in batch_state.sessionize(ev, "user_id", "ts").collect()
+    }
+    assert got == want
