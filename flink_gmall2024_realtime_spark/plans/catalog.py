@@ -2825,3 +2825,38 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_cols=["first_ts"],
         max_cols=["last_ts"],
     )
+
+
+# =========================================================================
+# Warehouse layout: z-order clustering (sources/warehouse.py)
+# =========================================================================
+
+from ..sources.warehouse import zorder_value, zorder_value_sql  # noqa: E402
+
+_ZORDER_SQL = f"""
+WITH e AS (
+  SELECT event_id,
+         (event_id % 256)::INT AS zx,
+         (floor(value)::INT % 256) AS zy
+  FROM events
+)
+SELECT event_id, ({zorder_value_sql(["zx", "zy"], bits=8)})::BIGINT AS zval
+FROM e
+"""
+
+
+@register("q_zorder_values", oracle=_ZORDER_SQL, survey_ids=("warehouse-zorder",))
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over two 8-bit event dimensions, as one closed-form
+    codegen expression (32 shift/mask terms, no UDF) — the clustering key
+    ``write_zordered`` range-partitions and sorts by so that parquet
+    min/max stats prune on EITHER dimension.  The oracle runs the
+    bit-identical expression (generated from the same positions table) in
+    DuckDB — an engine-vs-engine check of the interleaving itself."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        (F.col("event_id") % 256).cast("int").alias("zx"),
+        (F.floor("value").cast("int") % 256).alias("zy"),
+    )
+    return e.select("event_id", zorder_value(["zx", "zy"], bits=8).alias("zval"))

@@ -38,3 +38,97 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_within: str | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_bytes`` files — the
+    maintenance pass every streaming sink needs: micro-batches leave a
+    long tail of small files, and at 100 TB a scan of 10^6 KB-sized files
+    spends more time in task scheduling + footer reads than in IO.  Sizing
+    by the table's actual on-disk bytes (from the file listing, no data
+    read) keeps the rewrite one wide stage: read -> repartition(n) ->
+    write.  ``sort_within`` optionally sorts rows inside each output file
+    so min/max footer stats stay selective after compaction.  Returns the
+    file count written."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    out = df.repartition(n)
+    if sort_within:
+        out = out.sortWithinPartitions(sort_within)
+    tmp = path.rstrip("/") + ".__compact__"
+    out.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n
+
+
+def zorder_value(cols, bits: int = 16):
+    """Z-order (Morton) value: interleave the low ``bits`` bits of each
+    column, highest bit first, as one closed-form codegen expression (no
+    UDF).  Columns must already be non-negative ints scaled to < 2**bits
+    (rank or quantile-bucket them first).  Sorting/range-partitioning by
+    the z-value clusters rows so EVERY interleaved dimension has narrow
+    per-file min/max ranges — multi-dimensional data skipping, where a
+    plain sort bounds only its leading column."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for bit in range(bits - 1, -1, -1):
+        for ci, c in enumerate(cols):
+            pos = bit * k + (k - 1 - ci)
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(F.col(c), bit).bitwiseAND(F.lit(1)), pos)
+            )
+    return z
+
+
+def zorder_value_sql(cols, bits: int = 16) -> str:
+    """The identical z-value as ANSI SQL (DuckDB-runnable) for oracle
+    parity: same bit positions, same operators."""
+    terms = []
+    k = len(cols)
+    for bit in range(bits - 1, -1, -1):
+        for ci, c in enumerate(cols):
+            pos = bit * k + (k - 1 - ci)
+            terms.append(f"((({c} >> {bit}) & 1) << {pos})")
+    return " | ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcol,
+    files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition by the z-value and sort within each file: each output
+    file covers one contiguous z-range = one small hyper-rectangle of the
+    original dimensions, so parquet min/max stats prune on ANY of them."""
+    (
+        df.withColumn("_z", zcol)
+        .repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -52,3 +52,55 @@ def test_bucketed_join_correctness(spark, bucketed_tables, sf_dir):
     oo = load_table(spark, sf_dir, "orders")
     want = lo.join(oo, lo["l_orderkey"] == oo["o_orderkey"]).count()
     assert got == want
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    from flink_gmall2024_realtime_spark.sources.warehouse import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS g")
+    df.repartition(40).write.parquet(path)  # simulate micro-batch small files
+    import glob
+
+    before = len(glob.glob(path + "/*.parquet"))
+    n = compact_table(spark, path, target_bytes=1 << 30)
+    after = len(glob.glob(path + "/*.parquet"))
+    assert before == 40 and n == 1 and after == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000 and set(got.columns) == {"id", "g"}
+
+
+def test_zorder_layout_bounds_both_dims(spark, tmp_path):
+    """Z-ordered files must cover small rectangles in BOTH dimensions; a
+    plain x-sort bounds only x (each file's y range spans the full domain)."""
+    from pyspark.sql import functions as F
+
+    from flink_gmall2024_realtime_spark.sources.warehouse import (
+        write_zordered,
+        zorder_value,
+    )
+
+    n, files = 1 << 14, 16
+    df = spark.range(n).select(
+        (F.col("id") % 128).cast("int").alias("x"),
+        (F.floor(F.col("id") / 128)).cast("int").alias("y"),
+    )
+
+    def mean_span(path, col):
+        parts = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        rows = parts.collect()
+        return sum(r["span"] for r in rows) / len(rows)
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, zorder_value(["x", "y"], bits=7), files=files)
+    xpath = str(tmp_path / "xsort")
+    df.repartitionByRange(files, "x").sortWithinPartitions("x").write.parquet(xpath)
+
+    # both layouts bound x; only z-order also bounds y
+    assert mean_span(zpath, "y") < 0.5 * mean_span(xpath, "y")
+    assert mean_span(zpath, "x") < 128  # sanity: x still partially bounded
