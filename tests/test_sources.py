@@ -60,3 +60,66 @@ def test_kafka_payload_shapes(spark):
     )
     compacted = {r["id"]: r["v"] for r in compact_by_key(b, "id", "ts").collect()}
     assert compacted == {"1": "new", "2": "x"}
+
+
+DERBY_URL = "jdbc:derby:memory:gmall_cfg;create=true"
+DERBY_PROPS = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+
+def test_jdbc_config_source_end_to_end(spark):
+    """S4 e2e against a LIVE JDBC database (embedded Derby ships with
+    Spark): seed the routing-config table over JDBC, read it back through
+    jdbc_config_source, and confirm the per-batch re-read sees an update —
+    the property the reference needs Flink-CDC + broadcast state for
+    (FlinkSourceUtil.java:58-77, JdbcUtil.java:37-68)."""
+    from flink_gmall2024_realtime_spark.sources.cdc import jdbc_config_source
+
+    cfg = spark.createDataFrame(
+        [
+            ("base_dic", "dim_base_dic", "dic_code,dic_name", "info", "dic_code", "c"),
+            ("user_info", "dim_user_info", "id,name", "info", "id", "c"),
+        ],
+        "source_table string, sink_table string, sink_columns string, "
+        "sink_family string, sink_row_key string, op string",
+    )
+    cfg.write.jdbc(DERBY_URL, "table_process_dim", mode="overwrite", properties=DERBY_PROPS)
+
+    got = jdbc_config_source(
+        spark, DERBY_URL, "table_process_dim", user="", password="",
+        driver=DERBY_PROPS["driver"],
+    )
+    assert {r["source_table"]: r["sink_table"] for r in got.collect()} == {
+        "base_dic": "dim_base_dic",
+        "user_info": "dim_user_info",
+    }
+
+    # config changes between batches are visible on the next re-read
+    cfg2 = cfg.replace("dim_user_info", "dim_user_info_v2", subset=["sink_table"])
+    cfg2.write.jdbc(DERBY_URL, "table_process_dim", mode="overwrite", properties=DERBY_PROPS)
+    again = jdbc_config_source(
+        spark, DERBY_URL, "table_process_dim", user="", password="",
+        driver=DERBY_PROPS["driver"],
+    )
+    assert {r["sink_table"] for r in again.collect()} == {"dim_base_dic", "dim_user_info_v2"}
+
+
+def test_jdbc_bounded_partitioned_read(spark):
+    """S4's bounded-read shape at scale: a partitioned JDBC scan splits the
+    key range across tasks (numPartitions parallel queries), and predicate
+    pushdown reaches the remote database (filter appears in the JDBC scan,
+    not a Spark Filter over a full read)."""
+    facts = spark.range(1000).selectExpr("id", "cast(id % 7 as int) AS grp")
+    facts.write.jdbc(DERBY_URL, "fact_rows", mode="overwrite", properties=DERBY_PROPS)
+
+    from pyspark.sql import functions as F
+
+    part = spark.read.jdbc(
+        DERBY_URL, "fact_rows", column="id", lowerBound=0, upperBound=1000,
+        numPartitions=4, properties=DERBY_PROPS,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 1000
+    filtered = part.filter(F.col("grp") == 3)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "grp" in plan.split("PushedFilters")[1][:120]
+    assert filtered.count() == sum(1 for i in range(1000) if i % 7 == 3)
