@@ -391,3 +391,54 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
         for r in batch_state.sessionize(ev, "user_id", "ts").collect()
     }
     assert got == want
+
+
+def test_dim_app_pipeline_live_jdbc_config_mid_stream_change(spark, tmp_path):
+    """W5 made moot, proven against a LIVE JDBC database: the pipeline's
+    config DataFrame is Derby-backed, so every batch's collect() re-reads a
+    fresh snapshot — a config row added between batches routes the very next
+    batch, with no broadcast-state race to guard (DimApp.java:73-74's
+    machinery)."""
+    from flink_gmall2024_realtime_spark.sources.cdc import jdbc_config_source
+
+    url = "jdbc:derby:memory:gmall_dimcfg;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    schema = (
+        "source_table string, sink_table string, sink_columns string, "
+        "sink_row_key string, op string"
+    )
+    # Derby maps StringType to CLOB by default, which its SQL can't compare —
+    # and the pipeline's `op != 'd'` filter is pushed down to the database
+    varchar_cols = ", ".join(
+        f"{c} VARCHAR(256)"
+        for c in ["source_table", "sink_table", "sink_columns", "sink_row_key", "op"]
+    )
+
+    def write_cfg(rows):
+        (
+            spark.createDataFrame(rows, schema)
+            .write.option("createTableColumnTypes", varchar_cols)
+            .jdbc(url, "table_process_dim", mode="overwrite", properties=props)
+        )
+
+    write_cfg([("user_info", "dim_user_info", "id,name", "id", "c")])
+
+    catalog = sinks.DimCatalog(os.path.join(str(tmp_path), "dimstore_jdbc"))
+    cfg = jdbc_config_source(spark, url, "table_process_dim", "", "", props["driver"])
+    process = pipelines.dim_app_pipeline(spark, None, cfg, catalog, str(tmp_path))
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "`table` string, type string, data map<string,string>, ts long"
+    )
+    process(mk([("user_info", "insert", {"id": "1", "name": "a"}, 1),
+                ("sku_info", "insert", {"id": "9", "price": "5"}, 1)]), 0)
+    assert catalog.tables() == ["dim_user_info"]  # sku not routed yet
+
+    # config change lands in the DB between micro-batches
+    write_cfg([("user_info", "dim_user_info", "id,name", "id", "c"),
+               ("sku_info", "dim_sku_info", "id,price", "id", "c")])
+
+    process(mk([("sku_info", "insert", {"id": "9", "price": "5", "junk": "z"}, 2)]), 1)
+    assert catalog.tables() == ["dim_sku_info", "dim_user_info"]
+    skus = spark.read.parquet(catalog.path("dim_sku_info") + "/table").collect()
+    assert skus[0]["data"] == {"id": "9", "price": "5"}
