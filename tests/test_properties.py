@@ -129,3 +129,47 @@ def test_embedding_block_grid_equals_brute(spark, rows):
                 if sim >= 0.5:
                     want.add((ids[i], ids[j]))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(_keys, st.integers(0, 99)), min_size=0, max_size=10),
+    st.lists(
+        st.tuples(_keys, _ts, st.sampled_from(["upsert", "delete"]), st.integers(0, 999)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_merge_into_model(spark, target_rows, changelog):
+    """merge_into == a dict model: fold the changelog latest-wins (ts then
+    input order as tie-break), apply upserts/deletes over the target dict."""
+    from flink_gmall2024_realtime_spark.operators.merge import (
+        fold_changelog,
+        merge_into,
+    )
+
+    tgt = {k: v for k, v in target_rows}  # later duplicate key wins in both
+    target = spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()], "k int, v int"
+    ) if tgt else spark.createDataFrame([], "k int, v int")
+    chg = spark.createDataFrame(
+        [(k, t, op, v, i) for i, (k, t, op, v) in enumerate(changelog)],
+        "k int, ts int, op string, v int, seq int",
+    )
+    folded = fold_changelog(chg, ["k"], ["ts", "seq"]).drop("ts", "seq")
+    got = {
+        r["k"]: r["v"]
+        for r in merge_into(target, folded, ["k"], ["v"], op_col="op").collect()
+    }
+
+    latest: dict[int, tuple[int, int, str, int]] = {}
+    for i, (k, t, op, v) in enumerate(changelog):
+        if k not in latest or (t, i) > (latest[k][0], latest[k][1]):
+            latest[k] = (t, i, op, v)
+    model = dict(tgt)
+    for k, (_t, _i, op, v) in latest.items():
+        if op == "delete":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    assert got == model
