@@ -254,12 +254,15 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: tuple | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the partitioned-index scale path.
 
-    'Training' is deterministic: centroids are the vectors with
-    ``id % centroid_mod == 0`` (a real deployment would k-means them; the
-    assignment/probe mechanics — the Spark-side part — are identical).
+    'Training' defaults to the deterministic placeholder — centroids are
+    the vectors with ``id % centroid_mod == 0`` — which is what the exact
+    SQL oracle models.  Pass ``centroids`` (e.g. from ``kmeans_centroids``)
+    to use trained cells instead; the assignment/probe mechanics are
+    identical either way.
 
     1. assign every corpus vector to its nearest centroid (cosine, rounded,
        ties by centroid id) — a map-side pass against the broadcast centroid
@@ -277,9 +280,18 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    cen_rows = corpus.filter(F.col(id_col) % centroid_mod == 0).select(id_col, vec_col).collect()
-    cen_ids = np.array([r[0] for r in cen_rows], dtype=np.int64)
-    cen_mat = np.array([list(r[1]) for r in cen_rows], dtype=np.float64)
+    if centroids is not None:
+        cen_ids, cen_mat = centroids
+        cen_ids = np.asarray(cen_ids, dtype=np.int64)
+        cen_mat = np.asarray(cen_mat, dtype=np.float64)
+    else:
+        cen_rows = (
+            corpus.filter(F.col(id_col) % centroid_mod == 0)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        cen_ids = np.array([r[0] for r in cen_rows], dtype=np.int64)
+        cen_mat = np.array([list(r[1]) for r in cen_rows], dtype=np.float64)
     d = cen_mat.shape[1]
     cen_n = cen_mat[:, 0] * cen_mat[:, 0]
     for j in range(1, d):
@@ -361,3 +373,106 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 40,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd k-means for IVF cell training — the step
+    ``ivf_topk``'s default deterministic placeholder stands in for.
+
+    Each iteration is one map-side Arrow pass: every task assigns its
+    vectors to the nearest broadcast centroid (squared-L2) and emits ONE
+    partial (count, sum-vector) row per touched cell — so what crosses to
+    the driver per round is at most ``tasks x k`` rows of k x d floats,
+    never vectors.  The driver reduces partials and re-seeds empty cells
+    from the previous round.  Init is the k smallest-id vectors
+    (deterministic); float reduction order varies with partitioning, so
+    trained centroids are stable only to FP tolerance — which is why the
+    catalog's oracle-checked ``ann_ivf`` entry keeps the placeholder cells
+    and trained centroids are an explicit opt-in.
+
+    Returns ``(cell_ids, centroid_matrix)`` ready for
+    ``ivf_topk(..., centroids=...)``; cell ids are ``0..k-1``."""
+    import numpy as np
+    import pandas as pd
+
+    init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    cen = np.array([list(r[0]) for r in init], dtype=np.float64)
+    sc = corpus.sparkSession.sparkContext
+    vecs = corpus.select(vec_col)
+
+    for _ in range(iters):
+        bc = sc.broadcast(cen)
+
+        def partials(batches):
+            c = bc.value
+            kk, d = c.shape
+            counts = np.zeros(kk, dtype=np.int64)
+            sums = np.zeros((kk, d), dtype=np.float64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array([list(x) for x in pdf[vec_col]], dtype=np.float64)
+                # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; argmin over cells
+                d2 = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ c.T) + (c * c).sum(axis=1)[None, :]
+                cell = d2.argmin(axis=1)
+                for ci in np.unique(cell):
+                    m = cell == ci
+                    counts[ci] += int(m.sum())
+                    sums[ci] += v[m].sum(axis=0)
+            touched = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": touched.astype("int64"),
+                    "n": counts[touched],
+                    # dtype=object keeps an EMPTY column list-typed for Arrow
+                    # (a bare [] defaults to float64, which can't cast)
+                    "s": pd.Series([sums[t].tolist() for t in touched], dtype="object"),
+                }
+            )
+
+        rows = vecs.mapInPandas(partials, "cell long, n long, s array<double>").collect()
+        counts = np.zeros(len(cen), dtype=np.int64)
+        sums = np.zeros_like(cen)
+        for r in rows:
+            counts[r["cell"]] += r["n"]
+            sums[r["cell"]] += np.asarray(r["s"])
+        nz = counts > 0
+        cen = np.where(nz[:, None], sums / np.maximum(counts, 1)[:, None], cen)
+        bc.destroy()
+
+    return np.arange(len(cen), dtype=np.int64), cen
+
+
+def kmeans_inertia(
+    corpus: DataFrame, centroids, vec_col: str = "embedding"
+) -> float:
+    """Sum of squared distances to each vector's nearest centroid — the
+    k-means objective, computed in one map-side pass (per-task partial
+    sums; only scalars reach the driver)."""
+    import numpy as np
+    import pandas as pd
+
+    _ids, cen = centroids
+    cen = np.asarray(cen, dtype=np.float64)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(cen)
+
+    def partial(batches):
+        c = bc.value
+        tot = 0.0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array([list(x) for x in pdf[vec_col]], dtype=np.float64)
+            d2 = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ c.T) + (c * c).sum(axis=1)[None, :]
+            tot += float(d2.min(axis=1).sum())
+        yield pd.DataFrame({"t": [tot]})
+
+    rows = corpus.select(vec_col).mapInPandas(partial, "t double").collect()
+    return float(sum(r["t"] for r in rows))

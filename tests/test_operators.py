@@ -348,3 +348,37 @@ def test_merge_partial_aggs_equals_full_recompute(spark):
     )
     full = partial(df)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_kmeans_training_improves_ivf_cells(spark, sf_dir):
+    """Lloyd iterations strictly reduce the k-means objective (computed
+    distributed, only partial sums reach the driver), and ivf_topk accepts
+    the trained centroids end-to-end."""
+    from flink_gmall2024_realtime_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+        kmeans_inertia,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import numpy as np
+
+    init_rows = corpus.orderBy("vec_id").limit(16).select("embedding").collect()
+    init = (
+        np.arange(16, dtype=np.int64),
+        np.array([list(r[0]) for r in init_rows], dtype=np.float64),
+    )
+    trained = kmeans_centroids(corpus, k=16, iters=4)
+    assert trained[1].shape == init[1].shape
+    assert kmeans_inertia(corpus, trained) < 0.9 * kmeans_inertia(corpus, init)
+
+    queries = corpus.filter(F.col("vec_id") % 50 == 1).limit(8)
+    got = ivf_topk(corpus, queries, k=5, nprobe=4, centroids=trained).collect()
+    assert {r["query_id"] for r in got}  # every probe path executed
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+    hits = sum((r["query_id"], r["neighbor_id"]) in exact for r in got)
+    assert hits > 0  # trained cells recover some exact neighbors
