@@ -475,3 +475,49 @@ def test_jdbc_merge_sink_transactional_upsert_delete(spark):
         for r in spark.read.jdbc(url, "dim_t", properties={"driver": driver}).collect()
     }
     assert got == {"1": "a2", "3": "c"}
+
+
+def test_jdbc_merge_sink_from_writestream(spark, sf_dir, tmp_path):
+    """The MERGE sink wired into a real writeStream.foreachBatch loop over
+    the replayed events fixture: the final Derby table equals the batch
+    fold (latest per user; error events delete the key)."""
+    from flink_gmall2024_realtime_spark.operators.merge import fold_changelog
+    from flink_gmall2024_realtime_spark.streaming.sinks import jdbc_merge_sink
+
+    url = "jdbc:derby:memory:gmall_stream_merge;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+    def changelog(df):
+        return df.filter(F.col("user_id").isNotNull()).select(
+            F.col("user_id").cast("string").alias("id"),
+            F.round("value", 2).cast("string").alias("v"),
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("type"),
+            F.col("ts").cast("timestamp").cast("double").alias("ord"),
+            "event_id",
+        ).withColumn("ord", F.col("ord") * 1000000 + F.col("event_id")).drop("event_id")
+
+    sink = jdbc_merge_sink(
+        url, "dim_user_latest", key="id", order_col="ord", type_col="type",
+        driver=driver, column_types="id VARCHAR(64), type VARCHAR(16)",
+    )
+    q = (
+        changelog(pipelines.stream_events(spark, sf_dir))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_merge"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["id"]: r["v"]
+        for r in spark.read.jdbc(url, "dim_user_latest", properties={"driver": driver}).collect()
+    }
+    ev = changelog(load_table(spark, sf_dir, "events"))
+    latest = fold_changelog(ev, ["id"], ["ord"])
+    want = {
+        r["id"]: r["v"] for r in latest.filter(F.col("type") != "delete").collect()
+    }
+    assert got == want
