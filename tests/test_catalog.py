@@ -50,3 +50,35 @@ def test_oracle_spot_match(spark, sf_dir, duck, name):
     orows = sorted(tuple(str(r[i]) for i in order) for r in res.fetchall())
     assert scols == sorted(ocols_raw)
     assert srows == orows
+
+
+def test_approx_aggregates_within_error_bounds(spark, sf_dir):
+    """The rows-only sketch query is still verified semantically: HLL
+    distinct within its documented ~5% standard error (loose 3-sigma bound)
+    of the exact count, and the approx median inside the exact p25-p75
+    range per group."""
+    from pyspark.sql import functions as F
+
+    from flink_gmall2024_realtime_spark.plans import CATALOG
+    from flink_gmall2024_realtime_spark.sources.fixtures import load_table
+
+    got = {
+        r["event_type"]: (r["uv_approx"], r["p50_approx"])
+        for r in CATALOG["q_approx_aggregates"].spark(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: (r["uv"], r["p25"], r["p75"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("uv"),
+            F.expr("percentile(value, 0.25)").alias("p25"),
+            F.expr("percentile(value, 0.75)").alias("p75"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, (uv_a, p50_a) in got.items():
+        uv, p25, p75 = exact[et]
+        assert abs(uv_a - uv) <= max(3, 0.15 * uv), (et, uv_a, uv)
+        assert p25 <= p50_a <= p75, (et, p50_a, p25, p75)
