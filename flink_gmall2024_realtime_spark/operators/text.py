@@ -9,7 +9,7 @@ parallel map-side transforms — no shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import md5_long, normalize_text, tokenize
@@ -235,4 +235,78 @@ def tfidf_topk(
         raw.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", F.round("raw_score", 6).alias("score"), "rank")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the preprocessing step that
+    turns raw documents into training-window-sized pieces.  Chunk ``i``
+    covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last chunk may be short, and a
+    document shorter than one chunk yields exactly one chunk.
+
+    Entirely codegen: tokenize -> ``sequence`` of chunk starts ->
+    ``posexplode`` -> ``slice``/``array_join``.  Shuffle-free (a per-row
+    explode), so it streams map-side at any corpus size."""
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(0, n - chunk_tokens) / stride)
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    return (
+        docs.select(id_col, toks.alias("_toks"), n.alias("n_tokens"), n_chunks.alias("_nc"))
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            id_col,
+            "n_tokens",
+            F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id", "_i"),
+            F.col("_toks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.col("n_tokens") - F.col("chunk_id") * stride
+            ).alias("chunk_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    cap_tokens: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic streaming sequence packing: documents in ``id_col``
+    order are assigned to training bins by their token prefix-sum —
+    ``bin = floor(prefix_tokens_before / cap)`` — so every bin holds
+    consecutive documents totalling ~``cap_tokens`` (a document may
+    straddle a boundary; greedy first-fit would need sequential state, and
+    this prefix-sum policy is the order-preserving batch equivalent).
+
+    One global ordered window computes the prefix sums at fixture scale; at
+    corpus scale the same operator runs per partition-key (pack within
+    shards) — the policy is identical, only the ordering scope changes."""
+    w = Window.orderBy(F.col(id_col))
+    tokens = token_count(F.col(text_col))
+    d = docs.select(id_col, tokens.alias("n_tokens"))
+    prefix_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return d.select(
+        id_col,
+        "n_tokens",
+        F.floor(prefix_before / F.lit(cap_tokens)).cast("long").alias("bin_id"),
     )

@@ -2860,3 +2860,90 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor("value").cast("int") % 256).alias("zy"),
     )
     return e.select("event_id", zorder_value(["zx", "zy"], bits=8).alias("zval"))
+
+
+@register(
+    "text_chunking",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+c AS (
+  SELECT doc_id, n, unnest(range(0, 1 + ceil(greatest(n - 64, 0) / 48.0)::INT)) AS chunk_id, t
+  FROM d
+)
+SELECT doc_id, chunk_id,
+       array_to_string(list_slice(t, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text,
+       least(64, n - chunk_id * 48)::BIGINT AS chunk_tokens
+FROM c
+""",
+    survey_ids=("text-chunking",),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (64-token chunks, stride 48):
+    the map-side explode that turns documents into training-window-sized
+    pieces.  Chunk boundaries are pure arithmetic over the token array, so
+    the whole operator is codegen and shuffle-free."""
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    ).select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+
+
+@register(
+    "text_pack_sequences",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256) AS bin_id
+FROM d
+""",
+    survey_ids=("text-packing",),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: doc-id-ordered prefix sums of token
+    counts assign consecutive documents to ~256-token training bins (the
+    order-preserving batch form of greedy packing; at corpus scale the
+    identical policy runs per shard key instead of one global order)."""
+    return text.pack_sequences(_t(spark, sf_dir, "documents"), cap_tokens=256)
+
+
+@register(
+    "corpus_mix_report",
+    oracle="""
+WITH d AS (
+  SELECT source, lang,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT source, lang, count(*) AS docs, sum(n_tokens)::BIGINT AS tokens,
+       round(sum(n_tokens) / (SELECT sum(n_tokens) FROM d), 6) AS token_share
+FROM d GROUP BY 1, 2
+""",
+    survey_ids=("corpus-mix",),
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: docs and token totals per (source, lang)
+    with each cell's share of all tokens — the data-governance summary every
+    curation run publishes.  One grouped aggregate plus a scalar total
+    (computed as an unpartitioned window over the tiny grouped frame, not
+    over the corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", "lang", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    g = per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens")
+    )
+    total = Window.partitionBy()
+    return g.select(
+        "source", "lang", "docs", "tokens",
+        F.round(F.col("tokens") / F.sum("tokens").over(total), 6).alias("token_share"),
+    )

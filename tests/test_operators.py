@@ -382,3 +382,33 @@ def test_kmeans_training_improves_ivf_cells(spark, sf_dir):
     }
     hits = sum((r["query_id"], r["neighbor_id"]) in exact for r in got)
     assert hits > 0  # trained cells recover some exact neighbors
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from flink_gmall2024_realtime_spark.operators.text import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, toks), (2, "a b"), (3, "   "), (4, "x")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["chunk_tokens"]) for r in out.collect()}
+    # doc 1: 10 tokens, stride 2 -> chunks start at 0,2,4,6 -> 4 chunks
+    assert [k for k in sorted(rows) if k[0] == 1] == [(1, 0), (1, 1), (1, 2), (1, 3)]
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)][0].startswith("t2 t3")  # overlap carries context
+    assert rows[(1, 3)] == ("t6 t7 t8 t9", 4)
+    assert rows[(2, 0)] == ("a b", 2)  # short doc -> one short chunk
+    assert (3, 0) not in rows  # empty doc -> no chunks
+    assert rows[(4, 0)] == ("x", 1)
+
+
+def test_pack_sequences_prefix_policy(spark):
+    from flink_gmall2024_realtime_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(10)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["bin_id"] for r in pack_sequences(docs, cap_tokens=25).collect()}
+    # prefix sums 0,10,20,...: bin = prefix // 25 -> 0,0,0,1,1,2,2,2,3,3
+    assert [out[i] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
