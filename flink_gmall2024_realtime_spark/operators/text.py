@@ -310,3 +310,45 @@ def pack_sequences(
         "n_tokens",
         F.floor(prefix_before / F.lit(cap_tokens)).cast("long").alias("bin_id"),
     )
+
+
+# Fixed, documented weights for the logistic quality model: favors documents
+# with more tokens and alphabetic/stopword structure, penalizes symbol noise.
+# A real deployment learns these (fastText-style classifier); the scoring
+# plan — one codegen'd linear form + sigmoid, no UDF — is identical.
+QUALITY_MODEL_WEIGHTS = {
+    "bias": -2.0,
+    "log_tokens": 0.8,
+    "stopword_ratio": 3.0,
+    "alpha_ratio": 1.5,
+    "punct_ratio": -4.0,
+    "chars_per_token": -0.1,
+}
+
+
+def quality_model_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model-based quality filtering: a logistic score over the heuristic
+    feature set (``sigmoid(w . x)``), the shape of fastText/classifier
+    quality gates in curation pipelines.  The features are the already
+    6dp-rounded ``quality_features`` columns, the linear form accumulates
+    in a fixed order, and the score rounds to 6 dp — cross-engine
+    deterministic (both engines' ``exp`` agree well inside 1e-6).  Entirely
+    codegen, shuffle-free."""
+    w = QUALITY_MODEL_WEIGHTS
+    f = quality_features(docs, text_col, id_col)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log_tokens"]) * F.log1p(F.col("n_tokens").cast("double"))
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["alpha_ratio"]) * F.col("alpha_ratio")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["chars_per_token"]) * F.col("chars_per_token")
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return f.select(
+        id_col,
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )

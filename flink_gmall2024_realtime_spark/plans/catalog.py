@@ -2947,3 +2947,41 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "lang", "docs", "tokens",
         F.round(F.col("tokens") / F.sum("tokens").over(total), 6).alias("token_share"),
     )
+
+
+@register(
+    "text_quality_model",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+               x -> list_contains(['the','a','of','and','to','in','is','it'], x)))::DOUBLE
+               / greatest(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 1), 6)
+               AS stopword_ratio,
+         round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(length(text), 1), 6) AS alpha_ratio,
+         round(length(text) / greatest(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+               x -> x <> '')), 1), 6) AS chars_per_token
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(-2.0 + 0.8 * ln(1 + n_tokens)
+           + 3.0 * stopword_ratio + 1.5 * alpha_ratio
+           - 4.0 * punct_ratio - 0.1 * chars_per_token))), 6) AS quality_score
+  FROM f
+)
+SELECT doc_id, quality_score, quality_score >= 0.5 AS keep FROM s
+""",
+    survey_ids=("text-quality-model",),
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: logistic score over the heuristic feature
+    set with fixed documented weights (the classifier-filter shape of a
+    curation pipeline), computed as one codegen'd expression — the oracle
+    recomputes the identical linear form + sigmoid in DuckDB."""
+    return text.quality_model_score(_t(spark, sf_dir, "documents"))
