@@ -132,3 +132,41 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def read_evolving(
+    spark: SparkSession,
+    path: str,
+    target_schema: str | None = None,
+) -> DataFrame:
+    """Read a parquet table whose files were written under EVOLVING schemas
+    (the normal state of a table appended to for months): ``mergeSchema``
+    unions all file footers' columns, then ``target_schema`` (a DDL string)
+    selects/casts/back-fills to the contract the pipeline expects — columns
+    a file never had come back null, added columns appear everywhere,
+    retired columns are dropped.
+
+    Pushdown survives: filters on columns present in a file's footer still
+    prune row groups there, and files missing the column produce nulls
+    without reading data.  Scope: column ADD/REMOVE (the overwhelmingly
+    common evolution); a physical type change across files is rejected by
+    parquet schema merging and needs a one-time ``compact_table`` rewrite —
+    the casts here only widen the merged type to the contract type.  This
+    is the batch contract the streaming sinks rely on when their payload
+    schema grows between deployments."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if target_schema is None:
+        return df
+    from pyspark.sql.types import _parse_datatype_string
+
+    want = _parse_datatype_string(target_schema)
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    from pyspark.sql import functions as F
+
+    for field in want.fields:
+        if field.name in have:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

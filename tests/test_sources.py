@@ -123,3 +123,26 @@ def test_jdbc_bounded_partitioned_read(spark):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "grp" in plan.split("PushedFilters")[1][:120]
     assert filtered.count() == sum(1 for i in range(1000) if i % 7 == 3)
+
+
+def test_read_evolving_schema_union_and_backfill(spark, tmp_path):
+    """Files written under three schema generations read back under one
+    contract: retired columns dropped, added columns null where absent,
+    contract casts widening the merged type."""
+    from flink_gmall2024_realtime_spark.sources.warehouse import read_evolving
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id int, old_col string").write.parquet(p)
+    spark.createDataFrame([(2, "b", 9)], "id int, name string, score int").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 7, "x")], "id int, name string, score int, extra string"
+    ).write.mode("append").parquet(p)
+
+    out = read_evolving(spark, p, "id long, name string, score double, flag boolean")
+    rows = {r["id"]: (r["name"], r["score"], r["flag"]) for r in out.collect()}
+    assert rows == {1: (None, None, None), 2: ("b", 9.0, None), 3: ("c", 7.0, None)}
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "string", "double", "boolean",
+    ]
