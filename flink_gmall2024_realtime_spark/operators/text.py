@@ -288,6 +288,7 @@ def pack_sequences(
     cap_tokens: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Deterministic streaming sequence packing: documents in ``id_col``
     order are assigned to training bins by their token prefix-sum —
@@ -296,16 +297,21 @@ def pack_sequences(
     straddle a boundary; greedy first-fit would need sequential state, and
     this prefix-sum policy is the order-preserving batch equivalent).
 
-    One global ordered window computes the prefix sums at fixture scale; at
-    corpus scale the same operator runs per partition-key (pack within
-    shards) — the policy is identical, only the ordering scope changes."""
-    w = Window.orderBy(F.col(id_col))
+    ``shard_col`` partitions the packing (bins are per-shard,
+    ``(shard, bin_id)`` is the training-sequence key): an unsharded ordered
+    window is a single-partition sort — fine for a test fixture, a
+    bottleneck at corpus scale — so production callers ALWAYS shard (by
+    language, source, or a hash of the id); ``None`` is the fixture-scale
+    convenience only."""
+    parts = [F.col(shard_col)] if shard_col else []
+    w = Window.partitionBy(*parts).orderBy(F.col(id_col))
     tokens = token_count(F.col(text_col))
-    d = docs.select(id_col, tokens.alias("n_tokens"))
+    d = docs.select(*( [shard_col] if shard_col else [] ), id_col, tokens.alias("n_tokens"))
     prefix_before = F.coalesce(
         F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
     return d.select(
+        *( [shard_col] if shard_col else [] ),
         id_col,
         "n_tokens",
         F.floor(prefix_before / F.lit(cap_tokens)).cast("long").alias("bin_id"),

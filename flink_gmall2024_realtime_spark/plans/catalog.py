@@ -2896,23 +2896,27 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_pack_sequences",
     oracle="""
 WITH d AS (
-  SELECT doc_id,
+  SELECT lang, doc_id,
          len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
   FROM documents
 )
-SELECT doc_id, n_tokens,
-       (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+SELECT lang, doc_id, n_tokens,
+       (coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256) AS bin_id
 FROM d
 """,
     survey_ids=("text-packing",),
 )
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sequence packing: doc-id-ordered prefix sums of token
-    counts assign consecutive documents to ~256-token training bins (the
-    order-preserving batch form of greedy packing; at corpus scale the
-    identical policy runs per shard key instead of one global order)."""
-    return text.pack_sequences(_t(spark, sf_dir, "documents"), cap_tokens=256)
+    """Deterministic sequence packing, sharded by language: within each
+    lang shard, doc-id-ordered prefix sums of token counts assign
+    consecutive documents to ~256-token training bins ((lang, bin_id) is
+    the sequence key) — the order-preserving batch form of greedy packing.
+    Sharding keeps the ordered window distributed: one hash shuffle on
+    lang, per-shard sorts, no single-partition bottleneck."""
+    return text.pack_sequences(
+        _t(spark, sf_dir, "documents"), cap_tokens=256, shard_col="lang"
+    )
 
 
 @register(
