@@ -13,6 +13,9 @@ The pipeline a 100 TB pre-training data job runs, at fixture scale:
   6. PII scrub          email/phone/digit-run placeholder rewrite
   7. sampling + split   deterministic stratified keep + hash train/val/test
   8. fingerprint stamp  60-bit content fingerprint for provenance joins
+  9. model score gate   logistic quality score (sigmoid over the features)
+ 10. chunk + pack       64-token overlapping chunks; language-sharded
+                        prefix-sum packing into ~256-token sequences
 
 Every stage is a declarative DataFrame transform (the same operators the
 oracle-checked catalog entries run); the output is a curated parquet corpus
@@ -89,6 +92,16 @@ def main() -> None:
     )
     curated.write.mode("overwrite").partitionBy("split").parquet(os.path.join(out_dir, "corpus"))
 
+    # 9-10. model score gate, then chunk + pack the train split into sequences
+    scored = curated.join(
+        text.quality_model_score(docs2).filter("keep").select("doc_id"), "doc_id"
+    )
+    train = scored.filter(F.col("split") == "train")
+    chunks = text.chunk_documents(train, chunk_tokens=64, overlap=16)
+    packed = text.pack_sequences(train, cap_tokens=256, shard_col="lang")
+    chunks.write.mode("overwrite").parquet(os.path.join(out_dir, "chunks"))
+    packed.write.mode("overwrite").parquet(os.path.join(out_dir, "sequences"))
+
     back = spark.read.parquet(os.path.join(out_dir, "corpus"))
     per_split = {r["split"]: r["ct"] for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("ct")).collect()}
     print(
@@ -96,7 +109,11 @@ def main() -> None:
         f" -> gated {gated.count()}; embedding near-dup pairs reported: {emb_pairs}"
     )
     print(f"curated splits: {per_split}")
-    print(f"curated corpus at {out_dir}/corpus")
+    print(
+        f"model-gated train docs: {train.count()}, chunks: {chunks.count()}, "
+        f"packed bins: {packed.select('lang', 'bin_id').distinct().count()}"
+    )
+    print(f"curated corpus at {out_dir}/corpus (+ chunks/, sequences/)")
     spark.stop()
 
 
