@@ -56,27 +56,39 @@ def main() -> None:
     # 2. near-dup dedup: MinHash+LSH verified pairs -> components -> keep policy
     pairs = dedup.minhash_lsh_pairs(docs1, threshold=0.35)
     clusters = dedup.dedup_clusters(docs1, pairs)
+    # checkpoint: docs2 feeds four downstream branches (features, lang,
+    # gating, model score) — materializing here avoids recomputing the
+    # dedup lineage per branch AND keeps each later stage's generated code
+    # under the JVM 64 KB method limit (one giant fused stage falls back
+    # to interpreted execution)
     docs2 = (
         docs1.join(clusters, "doc_id")
         .filter(F.col("doc_id") == F.col("cluster_id"))
         .drop("cluster_id")
-    )
+    ).localCheckpoint(eager=True)
 
     # 3. embedding near-dups (report only at fixture scale — no planted dups)
     emb = load_table(spark, sf_dir, "embeddings")
     emb_pairs = dedup.embedding_cosine_pairs(emb, threshold=0.4).count()
 
-    # 4-5. quality + language gates
+    # 4-5. quality + language gates — ONE enrichment pass (features joined,
+    # lang-id as a column), then a trivial filter. Fusing a second join and
+    # the filter into the same whole-stage-codegen method pushed the
+    # generated processNext() past the JVM's 64 KB limit (Spark falls back
+    # to interpreted execution — correct but off the codegen fast path);
+    # this shape compiles, and the checkpoint keeps the downstream
+    # scrub/fingerprint stage's method small too.
     feats = text.quality_features(docs2)
-    langs = docs2.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
-    gated = (
-        docs2.join(feats.select("doc_id", "n_tokens", "alpha_ratio", "stopword_ratio"), "doc_id")
-        .join(langs, "doc_id")
-        .filter(
-            (F.col("n_tokens") >= 5)
-            & (F.col("alpha_ratio") >= 0.5)
-            & (F.col("lang_pred") != "und")
-        )
+    enriched = (
+        docs2.join(
+            feats.select("doc_id", "n_tokens", "alpha_ratio", "stopword_ratio"),
+            "doc_id",
+        ).withColumn("lang_pred", text.lang_id(F.col("text")))
+    ).localCheckpoint(eager=True)
+    gated = enriched.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("alpha_ratio") >= 0.5)
+        & (F.col("lang_pred") != "und")
     )
 
     # 6-8. scrub, split, stamp
@@ -92,7 +104,12 @@ def main() -> None:
     )
     curated.write.mode("overwrite").partitionBy("split").parquet(os.path.join(out_dir, "corpus"))
 
-    # 9-10. model score gate, then chunk + pack the train split into sequences
+    # 9-10. model score gate, then chunk + pack the train split into
+    # sequences — reading back the corpus just written: a real pipeline
+    # stages through storage here, and chaining the whole lineage into one
+    # stage pushes whole-stage codegen past the JVM's 64 KB method limit
+    # (Spark falls back to interpreted — correct but slow)
+    curated = spark.read.parquet(os.path.join(out_dir, "corpus"))
     scored = curated.join(
         text.quality_model_score(docs2).filter("keep").select("doc_id"), "doc_id"
     )
