@@ -358,3 +358,55 @@ def quality_model_score(
         score.alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+def extract_structured(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Structured extraction — the inverse of the PII scrub: pull the
+    email / phone-shaped / long-number substrings out as typed array
+    columns (plus counts), using the SAME cross-engine-safe patterns the
+    scrubber replaces.  One shuffle-free map-side projection; the shape of
+    any regex-table extraction pass (citations, URLs, code spans)."""
+    t = F.col(text_col)
+    email_re, phone_re, num_re = (p for p, _ in PII_PATTERNS)
+    return docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(t, F.lit(email_re), 0).alias("emails"),
+        F.regexp_extract_all(t, F.lit(phone_re), 0).alias("phones"),
+        F.regexp_extract_all(t, F.lit(num_re), 0).alias("numbers"),
+    ).select(
+        id_col,
+        "emails",
+        "phones",
+        "numbers",
+        F.size("emails").alias("n_emails"),
+        F.size("phones").alias("n_phones"),
+        F.size("numbers").alias("n_numbers"),
+    )
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary: the top-k tokens by document frequency (ties by
+    token), with term frequency carried along — the df table a tokenizer
+    or tf-idf pass builds first.  The explode shuffles (token, doc) pairs
+    but the aggregate map-side combines per token, so what crosses the
+    wire is O(distinct tokens per task), and the final top-k is a
+    TakeOrdered over the (small) token-frequency table, not a global
+    sort."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    per_doc = toks.groupBy("tok", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    freq = per_doc.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_total")
+    )
+    return (
+        freq.orderBy(F.col("df").desc(), F.col("tok"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("df").desc(), F.col("tok"))
+        ))
+    )

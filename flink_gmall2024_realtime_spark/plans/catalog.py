@@ -2989,3 +2989,49 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline), computed as one codegen'd expression — the oracle
     recomputes the identical linear form + sigmoid in DuckDB."""
     return text.quality_model_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_extract_structured",
+    oracle="""
+SELECT doc_id,
+       regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS emails,
+       regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{7,}[0-9]') AS phones,
+       regexp_extract_all(text, '[0-9]{5,}') AS numbers,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT AS n_emails,
+       len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{7,}[0-9]'))::INT AS n_phones,
+       len(regexp_extract_all(text, '[0-9]{5,}'))::INT AS n_numbers
+FROM documents
+""",
+    survey_ids=("text-extract",),
+)
+def text_extract_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured extraction (the PII scrub's inverse): emails, phone-shaped
+    spans, and long numbers pulled out as typed array columns with counts —
+    the regex-table extraction pass, shuffle-free map-side."""
+    return text.extract_structured(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+per_doc AS (SELECT tok, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+freq AS (SELECT tok, count(*) AS df, sum(tf)::BIGINT AS tf_total FROM per_doc GROUP BY 1)
+SELECT tok, df, tf_total, row_number() OVER (ORDER BY df DESC, tok) AS rank
+FROM freq
+ORDER BY df DESC, tok
+LIMIT 100
+""",
+    survey_ids=("text-vocab",),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by document frequency (tie by
+    token) with total term frequency — the df table tokenizer/tf-idf
+    passes build first.  The exploded (token, doc) pairs map-side combine
+    before shuffling, and the top-k is a TakeOrdered over the token table,
+    not a global sort."""
+    return text.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
