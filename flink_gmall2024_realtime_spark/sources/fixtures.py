@@ -41,12 +41,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet, read as bigint nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``).  Rebuild the naive wall-clock
-    timestamp as timestamp_ntz: ns -> µs instant -> reinterpret the UTC wall
-    time as the naive wall time (to_utc_timestamp shifts by the fixed +08:00
-    session offset, the cast then reads it back out) — bit-identical to what
-    DuckDB/pyarrow see in the file."""
+    """Normalize ``events.ts`` to timestamp_ntz whatever the fixture's
+    on-disk flavor.  The driver has shipped two formats across rounds:
+    TIMESTAMP(NANOS), which Spark reads as bigint nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong`` and we rebuild here (ns -> µs
+    instant -> reinterpret the UTC wall time as naive wall time: the
+    to_utc_timestamp shifts by the fixed +08:00 session offset, the cast
+    reads it back out — bit-identical to what DuckDB/pyarrow see in the
+    file), and plain timestamp[us] with isAdjustedToUTC=false, which Spark
+    already reads as timestamp_ntz and passes through untouched."""
     from pyspark.sql import functions as F
 
     if dict(df.dtypes).get("ts") == "bigint":

@@ -25,20 +25,26 @@ from .state import (
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str, schema: str | None = None) -> DataFrame:
-    """Replay the events fixture as a stream (ns-long ts normalized to
-    timestamp_ntz exactly like the batch reader)."""
-    sch = schema or "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+def stream_events(spark: SparkSession, sf_dir: str, schema=None) -> DataFrame:
+    """Replay the events fixture as a stream with ``ts`` normalized exactly
+    like the batch reader.
+
+    File streams require a declared schema; hard-coding one would silently
+    desync from the driver's fixture format (which has already changed
+    TIMESTAMP(NANOS)-as-bigint -> timestamp[us] between rounds), so the
+    schema comes from the batch footer of the same file and the ts
+    normalization is the shared dtype-conditional one in
+    ``sources.fixtures``."""
+    from ..sources.fixtures import _normalize_events, table_path
+
+    sch = schema or spark.read.parquet(table_path(sf_dir, "events")).schema
     # file stream sources take a directory; glob-filter to the events file
     raw = (
         spark.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ntz = F.to_utc_timestamp(F.timestamp_micros(F.expr("ts div 1000")), "Asia/Shanghai").cast(
-        "timestamp_ntz"
-    )
-    return raw.withColumn("ts", ntz)
+    return _normalize_events(raw)
 
 
 def windowed_type_counts(events: DataFrame, watermark: str = "5 seconds") -> DataFrame:
