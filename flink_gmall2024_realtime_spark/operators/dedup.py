@@ -297,36 +297,23 @@ def minhash_lsh_pairs(
     )
     # Exact verification on candidates only: attach each side's shingle SET
     # (already aggregated per doc in `base` — |docs| rows) to the candidate
-    # pairs and intersect per pair in one Arrow batch pass. This keeps
-    # verification O(|cand| * avg-shingles) instead of a |cand|-x-shingles
-    # shuffle expansion; both attach joins are equi-joins on doc_id, so the
-    # shape survives any corpus size.
-    import pandas as pd
-
+    # pairs and intersect entirely JVM-side — the sets are distinct 60-bit
+    # hash arrays, so |A ∩ B| is one codegen'd ``array_intersect``/``size``
+    # per pair, fused into the join stage (no Python exchange, no
+    # |cand|-x-shingles shuffle expansion). Both attach joins are equi-joins
+    # on doc_id (AQE broadcasts the small side), so the shape survives any
+    # corpus size. F.round is half-away like DuckDB's ROUND.
     pairs = (
         cand.join(base.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
         .join(base.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
     )
-
-    def verify(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out_a, out_b, out_j = [], [], []
-            for ia, ib, sa, sb in zip(pdf["id_a"], pdf["id_b"], pdf["shs_a"], pdf["shs_b"]):
-                set_a, set_b = set(sa), set(sb)
-                inter = len(set_a & set_b)
-                union = len(set_a) + len(set_b) - inter
-                # exact half-up 6dp rounding in integer arithmetic (Python's
-                # round() is half-even; Spark/DuckDB round half-away)
-                j = ((inter * 2_000_000 + union) // (2 * union)) / 1e6
-                if j >= threshold:
-                    out_a.append(ia)
-                    out_b.append(ib)
-                    out_j.append(j)
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
-
-    return pairs.mapInPandas(verify, "id_a long, id_b long, jaccard double")
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 48, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
