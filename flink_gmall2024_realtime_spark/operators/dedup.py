@@ -439,6 +439,75 @@ def embedding_cosine_pairs(
     )
 
 
+def duplicate_span_removal(
+    docs: DataFrame,
+    width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-span removal: delete every token covered by a
+    word-``width``-gram whose first corpus-wide occurrence is elsewhere.
+
+    The substring-level companion to document-level dedup (the
+    "deduplicating training data" operation): boilerplate or quoted passages
+    repeated across documents are removed from every copy EXCEPT the first,
+    where "first" is the lexicographically smallest (doc_id, position). The
+    result keeps one row per input document: the cleaned text (surviving
+    tokens in original order) and how many tokens were removed.
+
+    Plan shape for 100 TB: grams hash to 60-bit longs doc-locally, so the
+    only corpus-wide shuffles are (a) the groupBy on the gram hash that
+    elects each gram's first occurrence (map-side partial min) and (b) the
+    join of gram occurrences back to those winners — same key, so the
+    exchange is reused. Everything else (coverage explode, anti-join,
+    per-doc reassembly) is keyed by doc_id. Nothing is ever O(n^2) and no
+    text shuffles except each doc's own surviving tokens."""
+    from pyspark.sql import Window
+
+    from ..functions import tokenize
+
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t"))
+        .withColumn("n", F.size("t"))
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    # window-lead gram build (codegen) — same rationale as _doc_shingles
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        *[F.lead("tok", j).over(w).alias(f"_t{j}") for j in range(1, width)],
+    )
+    gram = F.concat_ws(" ", F.col("tok"), *[F.col(f"_t{j}") for j in range(1, width)])
+    grams = leads.filter(F.col(f"_t{width-1}").isNotNull()).select(
+        "doc_id", "pos", md5_long(gram).alias("g")
+    )
+    firsts = grams.groupBy("g").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    dups = grams.join(firsts, "g").filter(
+        (F.col("doc_id") != F.col("first.doc_id")) | (F.col("pos") != F.col("first.pos"))
+    )
+    cov = dups.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(width - 1))).alias("pos"),
+    ).distinct()
+    kept = toks.join(cov, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_ct"),
+    )
+    return base.select("doc_id", "n").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n") - F.coalesce("kept_ct", F.lit(0))).cast("long").alias("removed_tokens"),
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

@@ -61,3 +61,32 @@ def hash_split(
     for label, upper in reversed(splits[:-1]):
         out = F.when(h < upper, F.lit(label)).otherwise(out)
     return df.withColumn("split", out)
+
+
+def domain_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Cap each group (source domain, language, site) at ``cap`` rows,
+    choosing the survivors deterministically: rank rows within the group by
+    ``(md5(id), id)`` and keep rank <= cap.
+
+    This is the web-corpus "no domain may dominate" rule. Hash order makes
+    the kept subset a uniform deterministic sample of the group (head-of-file
+    order would bias toward whatever the crawler saw first), and the id
+    tie-break makes the ranking total. One shuffle on the group key; the
+    rank-<=-cap predicate is a per-group limit, which Spark's
+    WindowGroupLimit rewrite applies map-side BEFORE the shuffle, so at
+    corpus scale each task forwards at most ``cap`` rows per group instead
+    of shuffling whole domains. Output adds the rank as ``keep_rank``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        md5_long(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= cap)
+    )

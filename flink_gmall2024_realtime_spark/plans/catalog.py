@@ -1517,6 +1517,35 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT order_ct, count(*) AS cust_ct
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS order_ct
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+""",
+    survey_ids=("J2", "A2"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped two-level aggregate: orders-per-customer via left
+    join (zero-order customers kept — count(col) skips the nulls the outer
+    join manufactures), then the distribution of those counts. The first
+    aggregate rides the join's hash shuffle on custkey; the second is a
+    near-trivial shuffle of |distinct counts| rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_ct"))
+    )
+    return per_cust.groupBy("order_ct").agg(F.count(F.lit(1)).alias("cust_ct"))
+
+
+@register(
     "q_having_big_orders",
     oracle="""
 SELECT l_orderkey, count(*) AS li_ct, round(sum(l_quantity), 2) AS qty_sum
@@ -1759,6 +1788,55 @@ def dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(keep).alias("kept_ct"),
         F.sum(1 - keep).alias("dropped_ct"),
     )
+
+
+@register(
+    "dedup_span_exact",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+dn AS (SELECT doc_id, t, len(t) AS n FROM d),
+posn AS (SELECT doc_id, n, t, unnest(range(1, n + 1)) AS pos FROM dn),
+toks AS (SELECT doc_id, pos, t[pos] AS tok FROM posn),
+grams AS (
+  SELECT doc_id, pos,
+         (('0x' || substr(md5(array_to_string(list_slice(t, pos, pos + 7), ' ')), 1, 15))::BIGINT) AS g
+  FROM posn WHERE pos + 7 <= n
+),
+firsts AS (SELECT g, min(doc_id) AS fdoc FROM grams GROUP BY 1),
+fpos AS (
+  SELECT gr.g, f.fdoc, min(gr.pos) AS fp
+  FROM grams gr JOIN firsts f ON gr.g = f.g AND gr.doc_id = f.fdoc
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT gr.doc_id, gr.pos
+  FROM grams gr JOIN fpos f ON gr.g = f.g
+  WHERE gr.doc_id <> f.fdoc OR gr.pos <> f.fp
+),
+cov0 AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS cpos FROM dups),
+cov AS (SELECT DISTINCT doc_id, cpos FROM cov0),
+kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text, count(*) AS kept_ct
+  FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.cpos = t.pos)
+  GROUP BY 1
+)
+SELECT dn.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       (dn.n - coalesce(k.kept_ct, 0))::BIGINT AS removed_tokens
+FROM dn LEFT JOIN kept k ON dn.doc_id = k.doc_id
+""",
+    survey_ids=("dedup-span",),
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span (word-8-gram) removal: boilerplate repeated
+    across documents is deleted from every copy except its first corpus-wide
+    occurrence — the substring-level dedup that document-level near-dup
+    passes can't express. Gram election and join both key on a 60-bit gram
+    hash; see ``dedup.duplicate_span_removal`` for the shuffle story."""
+    return dedup.duplicate_span_removal(_t(spark, sf_dir, "documents"), width=8)
 
 
 @register(
@@ -2542,6 +2620,34 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return hash_split(docs, "doc_id").groupBy("split").agg(F.count(F.lit(1)).alias("ct"))
+
+
+@register(
+    "sample_domain_cap",
+    oracle="""
+SELECT doc_id, source, keep_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT), doc_id
+         ) AS keep_rank
+  FROM documents
+)
+WHERE keep_rank <= 15
+""",
+    survey_ids=("sample-domain-cap",),
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (web-corpus "no source may dominate"): keep at most 15
+    docs per source, selected by deterministic hash rank so the survivors
+    are a uniform reproducible sample of each domain. The rank-<=-cap
+    predicate is a per-group limit Spark pushes map-side (WindowGroupLimit),
+    so whole domains never shuffle."""
+    from ..operators.sampling import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_cap(docs, "source", "doc_id", cap=15).select("doc_id", "source", "keep_rank")
 
 
 @register(

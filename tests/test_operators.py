@@ -412,3 +412,52 @@ def test_pack_sequences_prefix_policy(spark):
     out = {r["doc_id"]: r["bin_id"] for r in pack_sequences(docs, cap_tokens=25).collect()}
     # prefix sums 0,10,20,...: bin = prefix // 25 -> 0,0,0,1,1,2,2,2,3,3
     assert [out[i] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+
+def test_duplicate_span_removal_removes_later_copies(spark):
+    from flink_gmall2024_realtime_spark.operators.dedup import duplicate_span_removal
+
+    boiler = " ".join(f"b{i}" for i in range(8))  # an exact 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " tail1 tail2"),        # first occurrence -> kept
+            (2, "head1 head2 " + boiler),        # later copy -> boilerplate removed
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),   # unique text -> untouched
+            (4, "short doc"),                     # < width tokens -> untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["removed_tokens"]) for r in
+           duplicate_span_removal(docs, width=8).collect()}
+    assert got[1] == (boiler + " tail1 tail2", 0)
+    assert got[2] == ("head1 head2", 8)
+    assert got[3][1] == 0
+    assert got[4] == ("short doc", 0)
+
+
+def test_duplicate_span_removal_full_coverage_empties_doc(spark):
+    from flink_gmall2024_realtime_spark.operators.dedup import duplicate_span_removal
+
+    eight = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, eight), (2, eight)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["removed_tokens"]) for r in
+           duplicate_span_removal(docs, width=8).collect()}
+    assert got[1] == (eight, 0)     # the elected first occurrence survives
+    assert got[2] == ("", 8)        # the copy is fully removed but still a row
+
+
+def test_domain_cap_deterministic_and_capped(spark):
+    from flink_gmall2024_realtime_spark.operators.sampling import domain_cap
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    out1 = sorted((r["source"], r["doc_id"]) for r in domain_cap(df, "source", "doc_id", 4).collect())
+    out2 = sorted((r["source"], r["doc_id"]) for r in domain_cap(df, "source", "doc_id", 4).collect())
+    assert out1 == out2                      # deterministic selection
+    per = {}
+    for s, _ in out1:
+        per[s] = per.get(s, 0) + 1
+    assert per == {"s0": 4, "s1": 4, "s2": 4}  # cap enforced per group

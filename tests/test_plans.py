@@ -101,3 +101,21 @@ def test_scd2_windows_share_one_shuffle_and_sort(spark, sf_dir):
     assert tree.count("Exchange") == 1
     assert tree.count("Sort") == 1
     assert tree.count("Window") == 2
+
+
+def test_domain_cap_limit_pushed_map_side(spark, sf_dir):
+    """The per-domain cap must plan as WindowGroupLimit (per-group top-k
+    pushed before the shuffle), so whole domains never shuffle."""
+    plan = formatted_plan(spark, CATALOG["sample_domain_cap"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "WindowGroupLimit" in tree
+
+
+def test_span_dedup_no_cartesian_and_pruned_scan(spark, sf_dir):
+    """Span dedup joins only on gram-hash / doc_id keys and reads just
+    (doc_id, text) from the documents scan."""
+    plan = formatted_plan(spark, CATALOG["dedup_span_exact"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for schema in read_schemas(plan):
+        assert "n_chars" not in schema and "lang" not in schema
