@@ -316,6 +316,96 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_index(
+    docs: DataFrame,
+    perms: int = MINHASH_PERMS,
+    band_rows: int = LSH_BAND_ROWS,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persistable per-doc LSH index frame: (doc_id, sig, shs, bkt).
+
+    This is what an incremental pipeline stores between ingestion batches
+    (parquet, bucketed by doc_id): the signature, the 60-bit shingle-hash
+    set, and the per-band bucket keys — everything needed to dedup future
+    batches against the corpus WITHOUT re-reading or re-shingling old text."""
+    return _doc_sig_sets(docs, perms, n, text_col, id_col, band_rows=band_rows)
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.35,
+    perms: int = MINHASH_PERMS,
+    band_rows: int = LSH_BAND_ROWS,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs touching an ingestion batch: new-vs-indexed plus
+    new-vs-new, WITHOUT re-scoring the indexed corpus against itself.
+
+    This is how dedup actually runs at 100 TB: the corpus grows by batches,
+    and re-running the full O(corpus) pairs job per batch is infeasible —
+    per-batch work must be O(batch + collisions). The batch's signatures are
+    one doc-local Arrow pass; new-vs-index candidates come from an equi-join
+    of the batch's ~|batch|x``bands`` bucket keys against the index's banded
+    frame (hash join on a long key — the index side ships only (bkt,
+    doc_id, shs-attach later)); new-vs-new candidates reuse the in-bucket
+    expansion. Verification is the same codegen ``array_intersect`` on the
+    stored shingle sets, so indexed documents' TEXT is never touched.
+
+    Emits (id_a, id_b, jaccard) with id_a < id_b, exactly the rows of the
+    full-corpus ``minhash_lsh_pairs`` that involve >= 1 batch document."""
+    new_base = _doc_sig_sets(
+        new_docs, perms, n, text_col, id_col, band_rows=band_rows
+    ).localCheckpoint(eager=True)
+    new_bands = new_base.select("doc_id", F.explode("bkt").alias("bkt"))
+    idx_bands = index.select(F.col("doc_id").alias("idx_id"), F.explode("bkt").alias("bkt"))
+    # new-vs-index: candidates collide on a band bucket key (equi-join).
+    cross = (
+        new_bands.join(idx_bands, "bkt")
+        .filter(F.col("doc_id") != F.col("idx_id"))
+        .select(
+            F.least("doc_id", "idx_id").alias("id_a"),
+            F.greatest("doc_id", "idx_id").alias("id_b"),
+        )
+    )
+    # new-vs-new: the standard in-bucket expansion over the batch only.
+    bucket_ids = (
+        new_bands.groupBy("bkt")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda a: F.transform(F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    intra = (
+        bucket_ids.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    )
+    cand = cross.union(intra).distinct()
+    sets = index.select("doc_id", "shs").union(new_base.select("doc_id", "shs"))
+    pairs = (
+        cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 48, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash fingerprint: bit b set iff the sum over distinct tokens of
     (+1 if token-hash bit b else -1) is positive.

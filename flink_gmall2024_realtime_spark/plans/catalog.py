@@ -1791,6 +1791,23 @@ def dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_incremental",
+    oracle="SELECT * FROM (" + _JACCARD_SQL + ") WHERE id_a % 10 < 2 OR id_b % 10 < 2",
+    survey_ids=("dedup-minhash-lsh",),
+)
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an ingestion batch (docs with doc_id % 10 < 2
+    playing "today's crawl") against the already-indexed corpus: per-batch
+    work is O(batch + collisions), the indexed text is never re-read, and
+    the output is exactly the full-corpus pair set restricted to pairs
+    touching the batch — which is what the oracle checks."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 < 2)
+    idx = dedup.minhash_index(docs.filter(F.col("doc_id") % 10 >= 2))
+    return dedup.minhash_lsh_pairs_incremental(new, idx, threshold=0.35)
+
+
+@register(
     "dedup_span_exact",
     oracle="""
 WITH d AS (

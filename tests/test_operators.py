@@ -461,3 +461,24 @@ def test_domain_cap_deterministic_and_capped(spark):
     for s, _ in out1:
         per[s] = per.get(s, 0) + 1
     assert per == {"s0": 4, "s1": 4, "s2": 4}  # cap enforced per group
+
+
+def test_incremental_lsh_equals_full_restricted(spark, sf_dir):
+    """Incremental batch-vs-index dedup must emit exactly the full-corpus
+    LSH pairs that touch the batch (banding is identical, so recall is
+    identical; verification is the same exact Jaccard)."""
+    from flink_gmall2024_realtime_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 < 2)
+    idx = dedup.minhash_index(docs.filter(F.col("doc_id") % 10 >= 2))
+    inc = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs_incremental(new, idx).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+        if r["id_a"] % 10 < 2 or r["id_b"] % 10 < 2
+    }
+    assert inc == full
