@@ -342,6 +342,7 @@ def minhash_lsh_pairs_incremental(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs touching an ingestion batch: new-vs-indexed plus
     new-vs-new, WITHOUT re-scoring the indexed corpus against itself.
@@ -357,9 +358,14 @@ def minhash_lsh_pairs_incremental(
     stored shingle sets, so indexed documents' TEXT is never touched.
 
     Emits (id_a, id_b, jaccard) with id_a < id_b, exactly the rows of the
-    full-corpus ``minhash_lsh_pairs`` that involve >= 1 batch document."""
-    new_base = _doc_sig_sets(
-        new_docs, perms, n, text_col, id_col, band_rows=band_rows
+    full-corpus ``minhash_lsh_pairs`` that involve >= 1 batch document.
+    ``new_index`` lets a caller that already computed the batch's index
+    frame (e.g. the streaming sink, which also appends it to the store)
+    pass it in instead of re-running the Arrow pass."""
+    new_base = (
+        new_index
+        if new_index is not None
+        else _doc_sig_sets(new_docs, perms, n, text_col, id_col, band_rows=band_rows)
     ).localCheckpoint(eager=True)
     new_bands = new_base.select("doc_id", F.explode("bkt").alias("bkt"))
     idx_bands = index.select(F.col("doc_id").alias("idx_id"), F.explode("bkt").alias("bkt"))

@@ -164,6 +164,64 @@ def keyed_upsert_sink(spark: SparkSession, path: str, key: str, order_col: str,
     return write
 
 
+INDEX_SCHEMA = "doc_id long, sig array<bigint>, shs array<bigint>, bkt array<bigint>"
+
+
+def lsh_dedup_sink(
+    spark: SparkSession,
+    index_path: str,
+    pairs_path: str,
+    threshold: float = 0.35,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming near-dup detection as a micro-batch service: each arriving
+    document batch is deduped against every previously indexed document,
+    then its own index rows are appended to the store.
+
+    Per batch: one doc-local Arrow pass builds the batch's LSH index frame
+    (signature + shingle-hash set + band keys); pairs against the stored
+    corpus come from ``minhash_lsh_pairs_incremental`` (equi-join on band
+    keys — indexed TEXT is never re-read, per-batch work is
+    O(batch + collisions)); finally the frame lands in ``index_path``. Every
+    unordered near-dup pair is emitted exactly once over the life of the
+    stream — by whichever batch completes it — so the union of all emitted
+    batches equals the full-corpus ``minhash_lsh_pairs`` output regardless
+    of arrival order.
+
+    Replay safety: pairs are appended and committed BEFORE the index grows,
+    and both stores keep per-batch commit markers, so an at-least-once
+    replay neither re-emits a batch's pairs nor double-inserts its index
+    rows (a doc indexed twice would make its pairs re-emittable)."""
+    from ..operators import dedup
+
+    idx_data = os.path.join(index_path, "data")
+    pairs_data = os.path.join(pairs_path, "data")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        if _committed(pairs_path, batch_id) and _committed(index_path, batch_id):
+            return
+        sig = dedup.minhash_index(batch, text_col=text_col, id_col=id_col).localCheckpoint(
+            eager=True
+        )
+        if not _committed(pairs_path, batch_id):
+            if os.path.isdir(idx_data):
+                index = spark.read.schema(INDEX_SCHEMA).parquet(idx_data)
+            else:
+                index = spark.createDataFrame([], INDEX_SCHEMA)
+            pairs = dedup.minhash_lsh_pairs_incremental(
+                batch, index, threshold=threshold, text_col=text_col, id_col=id_col,
+                new_index=sig,
+            )
+            pairs.write.mode("append").parquet(pairs_data)
+            _mark_committed(pairs_path, batch_id)
+        if not _committed(index_path, batch_id):
+            sig.write.mode("append").parquet(idx_data)
+            _mark_committed(index_path, batch_id)
+
+    return write
+
+
 def dynamic_routing_sink(base_dir: str, sink_table_col: str = "sink_table"):
     """K2/R3 — dynamic destination routing: one partitioned write per batch;
     each record lands under its ``sink_table`` value (the file analogue of the

@@ -521,3 +521,46 @@ def test_jdbc_merge_sink_from_writestream(spark, sf_dir, tmp_path):
         r["id"]: r["v"] for r in latest.filter(F.col("type") != "delete").collect()
     }
     assert got == want
+
+
+def test_lsh_dedup_sink_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming micro-batch dedup service: the union of per-batch pair
+    emissions over a 3-batch replay equals the full-corpus LSH pair set,
+    and the index store ends holding every document exactly once."""
+    from flink_gmall2024_realtime_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = os.path.join(str(tmp_path), "incoming")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"chunk={i}")
+        )
+    index_path = os.path.join(str(tmp_path), "lsh_index")
+    pairs_path = os.path.join(str(tmp_path), "lsh_pairs")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.lsh_dedup_sink(spark, index_path, pairs_path)
+        )
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.read.parquet(os.path.join(pairs_path, "data")).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert got == want and len(want) > 0
+    indexed = spark.read.parquet(os.path.join(index_path, "data"))
+    assert indexed.count() == docs.count()
+    assert indexed.select("doc_id").distinct().count() == docs.count()
