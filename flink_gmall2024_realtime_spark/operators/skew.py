@@ -46,6 +46,6 @@ def salted_join_hint(
     ``salt_buckets`` tasks instead of one."""
     big_s = big.withColumn("_salt", (F.monotonically_increasing_id() % salt_buckets).cast("int"))
     small_s = small.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).cast("int")
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return big_s.join(small_s, on=[key, "_salt"]).drop("_salt")

@@ -2088,6 +2088,67 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_salted_agg",
+    oracle="""
+SELECT event_type, count(*) AS ev_ct, round(sum(value), 2) AS val_sum
+FROM events GROUP BY 1
+""",
+    survey_ids=("skew-tools",),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-grouping-key mitigation: events has only a handful of event_type
+    values, the classic shape where ONE reducer per key absorbs the whole
+    table. The salted two-phase aggregate spreads each hot key over 16
+    reducers and merges partials; the result is salt-invariant, so the
+    oracle is the plain GROUP BY. (The per-key sum is ordered by the salt
+    merge identically in both engines only because the rounding happens
+    AFTER the full merge.)"""
+    from ..operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        phase1=[F.count(F.lit(1)).alias("_c"), F.sum("value").alias("_s")],
+        phase2=[
+            F.sum("_c").alias("ev_ct"),
+            F.round(F.sum("_s"), 2).alias("val_sum"),
+        ],
+    ).select("event_type", "ev_ct", "val_sum")
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+SELECT tier, count(*) AS ev_ct
+FROM events e
+JOIN (VALUES ('view', 'free'), ('click', 'free'), ('signup', 'free'),
+             ('purchase', 'paid'), ('error', 'ops')) t(event_type, tier)
+  ON e.event_type = t.event_type
+GROUP BY 1
+""",
+    survey_ids=("skew-tools",),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-equi-join mitigation: every events row carries one of five
+    event_type values, so an unsalted shuffle join lands each key on a
+    single task. The salted form replicates the 5-row dim across 8 salts
+    and joins on (key, salt) — each hot key fans over 8 tasks. Join output
+    is aggregated per tier; salt-invariant, so the oracle is the plain
+    join + GROUP BY."""
+    from ..operators.skew import salted_join_hint
+
+    ev = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("view", "free"), ("click", "free"), ("signup", "free"),
+         ("purchase", "paid"), ("error", "ops")],
+        "event_type string, tier string",
+    )
+    joined = salted_join_hint(ev, tiers, "event_type", salt_buckets=8)
+    return joined.groupBy("tier").agg(F.count(F.lit(1)).alias("ev_ct"))
+
+
+@register(
     "q_cube_counts",
     oracle="""
 SELECT o_orderstatus, o_orderpriority, count(*) AS order_ct
