@@ -130,6 +130,45 @@ def jaccard_pairs_brute(
     )
 
 
+def containment_pairs_brute(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle **containment**
+    ``|A ∩ B| / min(|A|, |B|)`` — catches a document embedded inside a
+    larger one (quotes, wrapped boilerplate, page-of-pages), which symmetric
+    Jaccard misses because the union is dominated by the big side.
+
+    Candidates are pairs sharing >= 1 shingle (the brute equi-join), because
+    MinHash banding has NO recall guarantee for containment: a small doc
+    inside a big one has low Jaccard, so its signature rarely collides. A
+    containment-safe sketch at corpus scale needs a different candidate
+    generator (e.g. per-shingle inverted index with frequency cut, or
+    one-sided minhash over the smaller set) — candidates here are exact,
+    making this the verification oracle for such a sketch. Output:
+    (id_a, id_b, containment) with id_a < id_b, 6 dp."""
+    sh = _doc_shingles(docs, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=(F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn("containment", F.round(F.col("inter") / F.least("sz_a", "sz_b"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     perms: int = MINHASH_PERMS,

@@ -842,6 +842,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLE_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / least(sa.sz, sb.sz), 6) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE round(inter::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.5
+"""
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_SQL, survey_ids=("dedup-containment",))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B| / min(|A|,|B|) >= 0.5): finds a
+    document embedded in a larger one, which symmetric Jaccard misses. See
+    ``dedup.containment_pairs_brute`` for why candidates are the exact
+    shared-shingle join rather than MinHash banding."""
+    return dedup.containment_pairs_brute(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 @register("dedup_jaccard_brute", oracle=_JACCARD_SQL, survey_ids=("dedup-ngram-jaccard",))
 def dedup_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.35) via shared-shingle
@@ -1351,6 +1377,58 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 20 == 0)
     return similarity.ivf_topk(emb, q, k=5, centroid_mod=50, nprobe=4)
+
+
+_IVF_FILTERED_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+corp AS (SELECT vec_id, v FROM e WHERE label = 1),
+cen AS (SELECT vec_id AS cid, v AS cv FROM corp WHERE vec_id % 10 = 0),
+asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT c.vec_id, cen.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_COS_PAIR.format(a='c.v', b='cen.cv')} DESC, cen.cid) AS rn
+    FROM corp c CROSS JOIN cen
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, cen.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_PAIR.format(a='q.qv', b='cen.cv')} DESC, cen.cid) AS rn
+    FROM q CROSS JOIN cen
+  ) WHERE rn <= 4
+),
+s AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_PAIR.format(a='qe.v', b='ne.v')} AS sim
+  FROM probes p
+  JOIN asg a ON p.cell = a.cell
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ne ON ne.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_filtered", oracle=_IVF_FILTERED_SQL, survey_ids=("sim-ivf",))
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (pre-filter strategy): top-5 among corpus
+    vectors with ``label = 1`` only. The predicate is applied to the corpus
+    BEFORE index assignment, so it pushes down to the parquet scan and the
+    cells are built over exactly the eligible vectors — the approach that
+    keeps recall guarantees intact (post-filtering top-k can return fewer
+    than k survivors). Queries stay unfiltered."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corp = emb.filter(F.col("label") == 1)
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    return similarity.ivf_topk(corp, q, k=5, centroid_mod=10, nprobe=4)
 
 
 @register(

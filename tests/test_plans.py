@@ -119,3 +119,10 @@ def test_span_dedup_no_cartesian_and_pruned_scan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     for schema in read_schemas(plan):
         assert "n_chars" not in schema and "lang" not in schema
+
+
+def test_filtered_ann_label_predicate_reaches_scan(spark, sf_dir):
+    """Pre-filter ANN must push the label predicate into the parquet scan of
+    the corpus side (the whole point of pre- over post-filtering)."""
+    plan = formatted_plan(spark, CATALOG["ann_ivf_filtered"].spark(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,1)]" in plan
