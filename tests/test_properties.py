@@ -173,3 +173,43 @@ def test_merge_into_model(spark, target_rows, changelog):
         else:
             model[k] = v
     assert got == model
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_duplicate_span_removal_model(spark, docs_toks):
+    """duplicate_span_removal vs a pure-Python model: random docs over a
+    5-token vocabulary (width 3 forces heavy gram collisions)."""
+    from flink_gmall2024_realtime_spark.operators.dedup import duplicate_span_removal
+
+    width = 3
+    docs = [(i + 1, " ".join(toks)) for i, toks in enumerate(docs_toks)]
+    # model
+    occ: dict[tuple, tuple] = {}
+    for did, toks in ((d, t.split()) if t else (d, []) for d, t in docs):
+        for p in range(len(toks) - width + 1):
+            g = tuple(toks[p : p + width])
+            if g not in occ or (did, p) < occ[g]:
+                occ[g] = (did, p)
+    want = {}
+    for did, text in docs:
+        toks = text.split()
+        covered = set()
+        for p in range(len(toks) - width + 1):
+            g = tuple(toks[p : p + width])
+            if occ[g] != (did, p):
+                covered.update(range(p, p + width))
+        keep = [t for i, t in enumerate(toks) if i not in covered]
+        want[did] = (" ".join(keep), len(toks) - len(keep))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["removed_tokens"])
+        for r in duplicate_span_removal(df, width=width).collect()
+    }
+    assert got == want
