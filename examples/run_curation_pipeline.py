@@ -3,9 +3,13 @@
 The pipeline a 100 TB pre-training data job runs, at fixture scale:
 
   1. exact dedup        md5 grouping — drop byte-identical copies
+  1b. domain cap        deterministic hash-rank cap per source — no single
+                        domain may dominate the corpus
   2. near-dup dedup     doc-local MinHash pass -> LSH band candidates ->
                         exact-Jaccard verify -> connected components ->
                         keep the smallest doc id per cluster
+  2b. span dedup        duplicated word-8-gram removal across the survivors
+                        (boilerplate kept only at its first occurrence)
   3. embedding near-dup exact cosine pairs via the symmetric block grid
                         (reported, not dropped — threshold is corpus-tuned)
   4. quality gating     C4/Gopher-style feature filter (token count, ratios)
@@ -53,6 +57,12 @@ def main() -> None:
     keepers = dedup.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     docs1 = docs.join(keepers, "doc_id")
 
+    # 1b. domain cap: at most 200 docs per source, hash-rank selected
+    # (WindowGroupLimit keeps the per-group limit map-side)
+    from flink_gmall2024_realtime_spark.operators.sampling import domain_cap
+
+    docs1 = domain_cap(docs1, "source", "doc_id", cap=200).drop("keep_rank")
+
     # 2. near-dup dedup: MinHash+LSH verified pairs -> components -> keep policy
     pairs = dedup.minhash_lsh_pairs(docs1, threshold=0.35)
     clusters = dedup.dedup_clusters(docs1, pairs)
@@ -66,6 +76,17 @@ def main() -> None:
         .filter(F.col("doc_id") == F.col("cluster_id"))
         .drop("cluster_id")
     ).localCheckpoint(eager=True)
+
+    # 2b. span dedup across the survivors: duplicated 8-gram boilerplate is
+    # kept only at its first corpus-wide occurrence; documents continue with
+    # their cleaned text (the checkpoint bounds the gram-election lineage)
+    spans = dedup.duplicate_span_removal(docs2, width=8)
+    span_removed = spans.agg(F.sum("removed_tokens").alias("s")).collect()[0]["s"] or 0
+    docs2 = (
+        docs2.drop("text")
+        .join(spans.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+        .localCheckpoint(eager=True)
+    )
 
     # 3. embedding near-dups (report only at fixture scale — no planted dups)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -122,7 +143,8 @@ def main() -> None:
     back = spark.read.parquet(os.path.join(out_dir, "corpus"))
     per_split = {r["split"]: r["ct"] for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("ct")).collect()}
     print(
-        f"corpus: {n0} -> exact-dedup {docs1.count()} -> near-dup {docs2.count()}"
+        f"corpus: {n0} -> exact-dedup+domain-cap {docs1.count()} -> near-dup {docs2.count()}"
+        f" (span-dedup removed {span_removed} tokens)"
         f" -> gated {gated.count()}; embedding near-dup pairs reported: {emb_pairs}"
     )
     print(f"curated splits: {per_split}")
