@@ -590,35 +590,32 @@ def duplicate_span_removal(
     result keeps one row per input document: the cleaned text (surviving
     tokens in original order) and how many tokens were removed.
 
-    Plan shape for 100 TB: grams hash to 60-bit longs doc-locally, so the
-    only corpus-wide shuffles are (a) the groupBy on the gram hash that
+    Plan shape for 100 TB: gram construction is doc-local, so it is
+    entirely map-side — posexplode the token array and build each gram with
+    a codegen ``slice``/``concat_ws`` from the carried array, hashed to a
+    60-bit long before anything leaves the task (a window-lead formulation
+    would shuffle and sort the whole exploded token corpus by doc_id first).
+    The only corpus-wide shuffles are (a) the groupBy on the gram hash that
     elects each gram's first occurrence (map-side partial min) and (b) the
     join of gram occurrences back to those winners — same key, so the
     exchange is reused. Everything else (coverage explode, anti-join,
     per-doc reassembly) is keyed by doc_id. Nothing is ever O(n^2) and no
     text shuffles except each doc's own surviving tokens."""
-    from pyspark.sql import Window
-
     from ..functions import tokenize
 
     base = (
         docs.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t"))
         .withColumn("n", F.size("t"))
     )
-    toks = base.select(
-        "doc_id", F.posexplode("t").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
-    # window-lead gram build (codegen) — same rationale as _doc_shingles
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = toks.select(
+    tok_pos = base.select("doc_id", "n", "t", F.posexplode("t").alias("p0", "tok"))
+    toks = tok_pos.select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    # the exploded row carries the doc's token array, but it is consumed by
+    # the gram projection inside the same codegen stage — only
+    # (doc_id, pos, g) ever reaches an exchange
+    grams = tok_pos.filter(F.col("p0") + width <= F.col("n")).select(
         "doc_id",
-        "pos",
-        "tok",
-        *[F.lead("tok", j).over(w).alias(f"_t{j}") for j in range(1, width)],
-    )
-    gram = F.concat_ws(" ", F.col("tok"), *[F.col(f"_t{j}") for j in range(1, width)])
-    grams = leads.filter(F.col(f"_t{width-1}").isNotNull()).select(
-        "doc_id", "pos", md5_long(gram).alias("g")
+        (F.col("p0") + 1).alias("pos"),
+        md5_long(F.concat_ws(" ", F.slice("t", F.col("p0") + 1, width))).alias("g"),
     )
     firsts = grams.groupBy("g").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
     dups = grams.join(firsts, "g").filter(

@@ -112,11 +112,14 @@ def test_domain_cap_limit_pushed_map_side(spark, sf_dir):
 
 
 def test_span_dedup_no_cartesian_and_pruned_scan(spark, sf_dir):
-    """Span dedup joins only on gram-hash / doc_id keys and reads just
-    (doc_id, text) from the documents scan."""
+    """Span dedup joins only on gram-hash / doc_id keys, reads just
+    (doc_id, text) from the documents scan, and builds grams map-side —
+    no Window operator may shuffle/sort the exploded token corpus."""
     plan = formatted_plan(spark, CATALOG["dedup_span_exact"].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
     for schema in read_schemas(plan):
         assert "n_chars" not in schema and "lang" not in schema
 
