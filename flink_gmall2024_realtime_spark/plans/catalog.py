@@ -2168,7 +2168,8 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_salted_agg",
     oracle="""
-SELECT event_type, count(*) AS ev_ct, round(sum(value), 2) AS val_sum
+SELECT event_type, count(*) AS ev_ct,
+       round(sum(round(value, 6)::DECIMAL(28, 6)), 2)::DOUBLE AS val_sum
 FROM events GROUP BY 1
 """,
     survey_ids=("skew-tools",),
@@ -2177,20 +2178,21 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-grouping-key mitigation: events has only a handful of event_type
     values, the classic shape where ONE reducer per key absorbs the whole
     table. The salted two-phase aggregate spreads each hot key over 16
-    reducers and merges partials; the result is salt-invariant, so the
-    oracle is the plain GROUP BY. (The per-key sum is ordered by the salt
-    merge identically in both engines only because the rounding happens
-    AFTER the full merge.)"""
+    reducers and merges partials. Partial sums run in DECIMAL so the result
+    is exactly salt-order-invariant (double addition is not associative, and
+    the salted merge order necessarily differs from the oracle's plain
+    GROUP BY order)."""
     from ..operators.skew import salted_aggregate
 
-    ev = _t(spark, sf_dir, "events")
+    dec = F.round(F.col("value"), 6).cast("decimal(28,6)")
+    ev = _t(spark, sf_dir, "events").withColumn("value", dec)
     return salted_aggregate(
         ev,
         ["event_type"],
         phase1=[F.count(F.lit(1)).alias("_c"), F.sum("value").alias("_s")],
         phase2=[
             F.sum("_c").alias("ev_ct"),
-            F.round(F.sum("_s"), 2).alias("val_sum"),
+            F.round(F.sum("_s"), 2).cast("double").alias("val_sum"),
         ],
     ).select("event_type", "ev_ct", "val_sum")
 
