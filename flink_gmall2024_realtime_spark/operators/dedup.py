@@ -662,7 +662,11 @@ def dedup_clusters(
         .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
         .distinct()
     )
-    edges = edges.persist()
+    # eager localCheckpoint, not persist(): the edge set is re-read every
+    # round, and a SQL-cache entry would pin executor memory until someone
+    # remembers to unpersist — checkpoint blocks are reclaimed by the
+    # ContextCleaner when the frame is garbage-collected
+    edges = edges.localCheckpoint(eager=True)
     labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     for _ in range(max_iter):
         neighbor_min = (
