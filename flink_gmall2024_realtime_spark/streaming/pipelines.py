@@ -174,6 +174,33 @@ def dws_user_register_pipeline(events: DataFrame, watermark: str = "5 seconds") 
     )
 
 
+def dws_keyword_pipeline(events: DataFrame, watermark: str = "5 seconds") -> DataFrame:
+    """The traffic-keyword DWS app
+    (DwsTrafficSourceKeywordPageViewWindow.java:61-90) on a stream: search
+    filter -> keyword extraction from the JSON payload -> watermarked 10 s
+    tumbling keyword counts with the stt/edt/cur_date serving decoration —
+    identical logical plan to the batch catalog ``dws_keyword_window`` plus
+    late-data drop."""
+    from ..functions import json_get
+
+    kw = events.filter(F.col("event_type") == "view").select(
+        F.col("ts").cast("timestamp").alias("evt"),
+        F.concat(F.lit("kw_"), json_get(F.col("props"), "k")).alias("keyword"),
+    )
+    out = (
+        kw.withWatermark("evt", watermark)
+        .groupBy(F.window("evt", "10 seconds"), "keyword")
+        .agg(F.count(F.lit(1)).alias("keyword_count"))
+    )
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        F.date_format("window.start", "yyyy-MM-dd").alias("cur_date"),
+        "keyword",
+        "keyword_count",
+    )
+
+
 def dws_user_login_pipeline(events: DataFrame) -> DataFrame:
     """The user-login DWS app (DwsUserUserLoginWindow.java:69-135) composed
     end-to-end on a stream: keyed returning-user state (uu/back per active

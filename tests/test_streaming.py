@@ -564,3 +564,28 @@ def test_lsh_dedup_sink_streaming_equals_batch(spark, sf_dir, tmp_path):
     indexed = spark.read.parquet(os.path.join(index_path, "data"))
     assert indexed.count() == docs.count()
     assert indexed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_streaming_keyword_window_matches_batch(spark, sf_dir, tmp_path):
+    """The keyword-window app's streaming twin emits exactly the batch
+    catalog rows for every window the watermark closed."""
+    ev_stream = pipelines.stream_events(spark, sf_dir)
+    out = pipelines.dws_keyword_pipeline(ev_stream)
+    run_stream(out, str(tmp_path), "kw_win")
+    got = {
+        (r["stt"], r["keyword"]): r["keyword_count"]
+        for r in spark.sql("select * from kw_win").collect()
+    }
+    from flink_gmall2024_realtime_spark.plans import CATALOG
+
+    want = {
+        (r["stt"], r["keyword"]): r["keyword_count"]
+        for r in CATALOG["dws_keyword_window"].spark(spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items() if k in got}
+    trailing = {k for k in want if k not in got}
+    # only windows at the very end of the stream (not closed by the final
+    # watermark) may be withheld
+    if trailing:
+        max_closed = max(stt for stt, _ in got)
+        assert all(stt >= max_closed for stt, _ in trailing)
