@@ -129,3 +129,29 @@ def test_filtered_ann_label_predicate_reaches_scan(spark, sf_dir):
     the corpus side (the whole point of pre- over post-filtering)."""
     plan = formatted_plan(spark, CATALOG["ann_ivf_filtered"].spark(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(label), EqualTo(label,1)]" in plan
+
+
+def test_shuffle_budgets_headline_queries(spark, sf_dir):
+    """Plan-regression lock: each headline query's shuffle-Exchange count is
+    at its engineered minimum — a future edit that sneaks in an extra
+    shuffle (lost exchange reuse, broken broadcast, accidental
+    repartition) fails here before it costs anything at scale."""
+    import re
+
+    budgets = {
+        "q1_pricing_summary": 1,          # partial+final agg
+        "dws_tumble_type_counts": 1,
+        "dws_traffic_vc_ch_ar_isnew": 2,  # one shared user_id window + tumble
+        "dwd_trade_order_detail": 0,      # pure broadcast-join pipeline
+        "dedup_exact": 1,
+        "q3_segment_revenue": 2,          # per-order pre-agg + final agg
+        "q_topk_brands": 1,
+        "dws_daily_uv": 2,                # first-flag window + daily agg
+        "k3_upsert_final_state": 1,
+        "dwd_interval_join": 0,           # broadcast + range filter
+    }
+    for name, budget in budgets.items():
+        plan = formatted_plan(spark, CATALOG[name].spark(spark, sf_dir))
+        tree = plan.split("\n\n")[0]
+        shuffles = len(re.findall(r"[+:]- Exchange ", tree))
+        assert shuffles <= budget, f"{name}: {shuffles} shuffles > budget {budget}"
