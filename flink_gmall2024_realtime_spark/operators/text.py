@@ -410,3 +410,29 @@ def vocab_topk(
             Window.orderBy(F.col("df").desc(), F.col("tok"))
         ))
     )
+
+
+def token_rarity(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token-rarity profile from corpus document frequencies:
+    the min and median df over the doc's distinct tokens.
+
+    The deterministic stand-in for an n-gram-LM surprisal filter: docs full
+    of corpus-rare tokens (min_df tiny) are misspellings/noise candidates,
+    docs of only ubiquitous tokens (high median_df) are boilerplate
+    candidates. Everything stays in INTEGER document-frequency space —
+    unlike log-probability scores, the median of integers interpolates to an
+    exact x.0/x.5, so the result is bit-identical on any engine and any
+    partial-aggregation order. All shuffles are keyed (token df table, df
+    attach join, per-doc agg); common-token skew is AQE's case.
+    Output: (doc_id, n_distinct_tokens, min_df, median_df)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("tok")).distinct()
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.min("df").alias("min_df"),
+            F.round(F.percentile("df", F.lit(0.5)), 1).alias("median_df"),
+        )
+    )

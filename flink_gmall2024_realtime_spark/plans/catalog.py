@@ -2269,6 +2269,65 @@ def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_rarity",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT d.doc_id, t.tok
+  FROM documents d,
+       unnest(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> x <> '')) AS t(tok)
+),
+dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1)
+SELECT t.doc_id, count(*) AS n_distinct_tokens,
+       min(f.df) AS min_df,
+       round(quantile_cont(f.df, 0.5), 1) AS median_df
+FROM toks t JOIN dfreq f ON t.tok = f.tok
+GROUP BY 1
+""",
+    survey_ids=("text-rarity",),
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-rarity profile (min / median corpus document
+    frequency) — the deterministic integer-space stand-in for an n-gram-LM
+    surprisal filter; see ``text.token_rarity``."""
+    return text.token_rarity(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_window_funcs",
+    oracle="""
+SELECT event_id, event_type,
+       lag(event_id) OVER w AS prev_id,
+       lead(event_id, 1, -1) OVER w AS next_id_or_default,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+""",
+    survey_ids=("A2",),
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-function surface in one pass: lag/lead (with default),
+    ntile, percent_rank, cume_dist — all five share a single window spec,
+    so the plan carries exactly one Exchange and one Sort. The (ts,
+    event_id) order is total, making every function deterministic."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id", 1, -1).over(w).alias("next_id_or_default"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
     "q_array_agg_top_customers",
     oracle="""
 SELECT n.n_name,
