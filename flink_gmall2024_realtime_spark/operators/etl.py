@@ -67,6 +67,59 @@ def etl_log_stream(raw: DataFrame, json_col: str = "value") -> DataFrame:
     )
 
 
+def etl_log_stream_with_rejects(
+    raw: DataFrame, json_col: str = "value"
+) -> dict[str, DataFrame]:
+    """P2 + the dirty-data side output (``DwdBaseLog.java:70-93``: malformed
+    records go to a ``dirty_data`` topic instead of vanishing): returns
+    ``{"ok": ..., "rejects": ...}`` where ``rejects`` carries the ORIGINAL
+    raw value plus a reject reason — the dead-letter channel a production
+    edge needs for replay/audit.
+
+    Both branches derive from one shared parse (Catalyst collapses the
+    common prefix; in streaming, ``foreachBatch`` fans the materialized
+    batch to both sinks atomically). A record is dirty if the JSON fails to
+    parse or the required identity fields are missing."""
+    schema = (
+        "struct<common:struct<mid:string,uid:string,vc:string,ch:string,ar:string,is_new:string>,"
+        "page:struct<page_id:string,last_page_id:string,item:string,item_type:string,during_time:bigint>,"
+        "start:struct<entry:string,open_ad_id:string>,"
+        "err:struct<error_code:string,msg:string>,"
+        "displays:array<struct<item:string,item_type:string,pos_id:string>>,"
+        "actions:array<struct<action_id:string,item:string,item_type:string,ts:bigint>>,"
+        "ts:bigint>"
+    )
+    parsed = raw.withColumn("j", F.from_json(F.col(json_col), schema))
+    ok_pred = (
+        F.col("j").isNotNull()
+        & (F.col("j.page").isNotNull() | F.col("j.start").isNotNull())
+        & F.col("j.common.mid").isNotNull()
+        & F.col("j.ts").isNotNull()
+    )
+    # PERMISSIVE from_json yields an all-null struct (not NULL) for
+    # unparseable input, so "did not parse" = every top-level field null
+    unparsed = F.col("j").isNull() | (
+        F.col("j.common").isNull()
+        & F.col("j.page").isNull()
+        & F.col("j.start").isNull()
+        & F.col("j.err").isNull()
+        & F.col("j.displays").isNull()
+        & F.col("j.actions").isNull()
+        & F.col("j.ts").isNull()
+    )
+    reason = (
+        F.when(unparsed, "unparseable_json")
+        .when(F.col("j.page").isNull() & F.col("j.start").isNull(), "no_page_or_start")
+        .when(F.col("j.common.mid").isNull(), "missing_mid")
+        .otherwise("missing_ts")
+    )
+    ok = parsed.filter(ok_pred).select("j.*")
+    rejects = parsed.filter(~ok_pred).select(
+        F.col(json_col).alias("raw"), reason.alias("reject_reason")
+    )
+    return {"ok": ok, "rejects": rejects}
+
+
 def cdc_project(df: DataFrame, columns: Sequence[str], extra: dict[str, Column] | None = None) -> DataFrame:
     """P4 — map-subscript projection of the CDC ``data`` payload into typed
     fact columns: ``SELECT data['id'] AS id, ...``.

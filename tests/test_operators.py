@@ -482,3 +482,28 @@ def test_incremental_lsh_equals_full_restricted(spark, sf_dir):
         if r["id_a"] % 10 < 2 or r["id_b"] % 10 < 2
     }
     assert inc == full
+
+
+def test_etl_log_rejects_channel(spark):
+    """The dirty-data side output (DwdBaseLog.java:70-93): malformed rows
+    land in the rejects branch with the original payload and a reason;
+    ok + rejects partition the input exactly."""
+    from flink_gmall2024_realtime_spark.operators.etl import etl_log_stream_with_rejects
+
+    rows = [
+        ('{"common":{"mid":"m1"},"page":{"page_id":"home"},"ts":1}',),   # ok
+        ("not json at all",),                                             # unparseable
+        ('{"common":{"mid":"m2"},"ts":2}',),                              # no page/start
+        ('{"common":{},"start":{"entry":"icon"},"ts":3}',),               # missing mid
+        ('{"common":{"mid":"m3"},"start":{"entry":"icon"}}',),            # missing ts
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = etl_log_stream_with_rejects(df)
+    ok = out["ok"].collect()
+    rej = {r["raw"]: r["reject_reason"] for r in out["rejects"].collect()}
+    assert len(ok) == 1 and ok[0]["common"]["mid"] == "m1"
+    assert len(rej) == 4
+    assert rej["not json at all"] == "unparseable_json"
+    assert list(rej.values()).count("no_page_or_start") == 1
+    assert list(rej.values()).count("missing_mid") == 1
+    assert list(rej.values()).count("missing_ts") == 1
