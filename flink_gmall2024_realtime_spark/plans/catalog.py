@@ -1368,6 +1368,45 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 """
 
 
+_ANN_RECALL_SQL = f"""
+WITH bf AS ({_ANN_BRUTE_SQL}),
+ivf AS ({_IVF_SQL})
+SELECT count(*) AS n_truth,
+       sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS recall_at_5
+FROM bf b LEFT JOIN ivf i
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+"""
+
+
+@register("ann_recall_report", oracle=_ANN_RECALL_SQL, survey_ids=("sim-ivf", "sim-brute-cosine"))
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@5 of the IVF index against the exact
+    brute-force ground truth over the same query set — the measurement any
+    ANN deployment runs before trusting an index (here on a sample; at
+    corpus scale the query subset IS the sample). One left join of two
+    (queries x k)-sized frames; the expensive sides are the index/truth
+    computations themselves."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    truth = similarity.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk(emb, q, k=5, centroid_mod=50, nprobe=4).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"]) & (truth["neighbor_id"] == approx["hit_id"]),
+        "left",
+    )
+    hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(hit).alias("n_hit"),
+        F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("recall_at_5"),
+    )
+
+
 @register("ann_ivf", oracle=_IVF_SQL, survey_ids=("sim-ivf",), bench=True)
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: deterministic centroids (vec_id % 50), nearest-
