@@ -201,6 +201,43 @@ def dws_keyword_pipeline(events: DataFrame, watermark: str = "5 seconds") -> Dat
     )
 
 
+def dwd_trade_pay_suc_pipeline(
+    od_stream: DataFrame,
+    pay_stream: DataFrame,
+    dic: DataFrame,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """The composed payment-success app (DwdTradeOrderPaySucDetail.java:
+    76-168) as a REAL two-stream topology: the status-flip-filtered payment
+    stream interval-joins the order-detail stream (both watermarked; the
+    equality conjunct keeps it a keyed state-store join, the ±range bounds
+    the state each side retains — Flink's idle-state TTL, expressed as
+    watermark distance), then left-lookup-joins the static payment_type
+    dict per micro-batch.
+
+    ``od_stream`` needs (id, order_id, sku_id, split_total_amount,
+    province_id, od_ts); ``pay_stream`` needs (order_id, user_id,
+    payment_type_code, pay_ts). Inner stream-stream joins emit matches
+    eagerly, so an availableNow replay produces exactly the batch plan's
+    rows."""
+    from ..operators.joins import interval_join, lookup_join
+
+    od = od_stream.withWatermark("od_ts", watermark)
+    pay = pay_stream.withWatermark("pay_ts", watermark)
+    joined = interval_join(od, pay, "order_id", "od_ts", "pay_ts")
+    return lookup_join(joined, dic, "payment_type_code", "dic_code", how="left").select(
+        "id",
+        od["order_id"].alias("order_id"),
+        "user_id",
+        "payment_type_code",
+        F.col("dic_name").alias("payment_type_name"),
+        F.date_format("pay_ts", "yyyy-MM-dd HH:mm:ss").alias("payment_time"),
+        "sku_id",
+        "province_id",
+        "split_total_amount",
+    )
+
+
 def dws_user_login_pipeline(events: DataFrame) -> DataFrame:
     """The user-login DWS app (DwsUserUserLoginWindow.java:69-135) composed
     end-to-end on a stream: keyed returning-user state (uu/back per active

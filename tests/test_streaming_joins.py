@@ -284,3 +284,79 @@ def test_daily_uv_late_unseen_day_still_counts(spark, tmp_path):
         for r in spark.sql("select cur_date, sum(uv) uv from uv_unseen group by 1").collect()
     }
     assert per_day == {"2024-01-01": 1, "2024-01-02": 1}
+
+
+def test_streaming_pay_suc_topology_matches_batch(spark, sf_dir, tmp_path):
+    """The composed payment-success app as a real two-stream topology
+    (status-flip filter -> watermarked interval join -> static lookup):
+    an availableNow replay over the fixtures emits exactly the batch
+    catalog entry's rows (inner stream-stream joins emit eagerly)."""
+    from flink_gmall2024_realtime_spark.operators.etl import update_delta_predicate
+    from flink_gmall2024_realtime_spark.plans import CATALOG
+    from flink_gmall2024_realtime_spark.sources.fixtures import load_table, table_path
+    from flink_gmall2024_realtime_spark.streaming import pipelines
+
+    o_schema = spark.read.parquet(table_path(sf_dir, "orders")).schema
+    li_schema = spark.read.parquet(table_path(sf_dir, "lineitem")).schema
+    o_stream = (
+        spark.readStream.schema(o_schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(sf_dir)
+    )
+    li_stream = (
+        spark.readStream.schema(li_schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(sf_dir)
+    )
+    pay_cdc = o_stream.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.when(F.col("o_orderkey") % 3 == 0, "update").otherwise("insert").alias("type"),
+        F.create_map(
+            F.lit("payment_status"),
+            F.when(F.col("o_orderkey") % 2 == 0, "1602").otherwise("1601"),
+            F.lit("payment_type"),
+            F.concat(F.lit("110"), (F.col("o_custkey") % 4 + 1).cast("string")),
+        ).alias("data"),
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.create_map(F.lit("payment_status"), F.lit("1601")),
+        ).alias("old"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            + (F.col("o_orderkey") % 25) * 60
+        ).alias("pay_ts"),
+    )
+    pay = (
+        pay_cdc.filter(
+            update_delta_predicate("payment_status")
+            & (F.col("data")["payment_status"] == "1602")
+        )
+        .select("order_id", "user_id",
+                F.col("data")["payment_type"].alias("payment_type_code"), "pay_ts")
+    )
+    # order-detail stream enriched by the bounded orders table (stream-static)
+    o_static = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    od = (
+        li_stream.join(o_static, li_stream["l_orderkey"] == F.col("o_orderkey"))
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("sku_id"),
+            F.col("l_extendedprice").alias("split_total_amount"),
+            F.col("o_orderpriority").alias("province_id"),
+            F.timestamp_seconds(
+                F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+                + F.col("l_linenumber") * 60
+            ).alias("od_ts"),
+        )
+    )
+    dic = spark.createDataFrame(
+        [("1101", "Alipay"), ("1102", "WeChat"), ("1103", "UnionPay")],
+        "dic_code string, dic_name string",
+    )
+    out = pipelines.dwd_trade_pay_suc_pipeline(od, pay, dic)
+    _drain(out, tmp_path, "pay_suc_stream")
+    got = {tuple(r) for r in spark.sql("select * from pay_suc_stream").collect()}
+    want = {tuple(r) for r in CATALOG["dwd_trade_pay_suc_detail"].spark(spark, sf_dir).collect()}
+    assert got == want and len(want) > 0
