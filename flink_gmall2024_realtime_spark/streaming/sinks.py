@@ -192,7 +192,15 @@ def lsh_dedup_sink(
     Replay safety: pairs are appended and committed BEFORE the index grows,
     and both stores keep per-batch commit markers, so an at-least-once
     replay neither re-emits a batch's pairs nor double-inserts its index
-    rows (a doc indexed twice would make its pairs re-emittable)."""
+    rows (a doc indexed twice would make its pairs re-emittable).
+
+    Scale seam (honest): each batch SCANS the stored index (a few longs +
+    the shingle-hash array per doc — no text) to drive the band-key join.
+    At corpus scale the store should be hash-partitioned by a band-key
+    prefix so the scan prunes to partitions sharing a prefix with the
+    batch's keys (partition filter / DPP), making per-batch cost
+    O(batch + colliding partitions) instead of O(corpus); the fixture-mode
+    store keeps the single-directory layout."""
     from ..operators import dedup
 
     idx_data = os.path.join(index_path, "data")

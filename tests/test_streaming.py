@@ -589,3 +589,56 @@ def test_streaming_keyword_window_matches_batch(spark, sf_dir, tmp_path):
     if trailing:
         max_closed = max(stt for stt, _ in got)
         assert all(stt >= max_closed for stt, _ in trailing)
+
+
+def test_lsh_dedup_sink_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Stop the dedup service, add new input, restart: the checkpoint
+    resumes at the right offset and the commit markers keep emissions
+    exactly-once — the final pair set equals the full-corpus run with no
+    duplicates."""
+    from flink_gmall2024_realtime_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = os.path.join(str(tmp_path), "incoming")
+    ck = os.path.join(str(tmp_path), "ck")
+    index_path = os.path.join(str(tmp_path), "lsh_index")
+    pairs_path = os.path.join(str(tmp_path), "lsh_pairs")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                sinks.lsh_dedup_sink(spark, index_path, pairs_path)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"chunk={i}")
+        )
+    run_once()  # first life: chunks 0 and 1
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "chunk=2")
+    )
+    run_once()  # restart: must process only chunk 2
+    run_once()  # replay with nothing new: must be a no-op
+
+    pairs = spark.read.parquet(os.path.join(pairs_path, "data"))
+    assert pairs.count() == pairs.distinct().count()  # no duplicate emissions
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs.collect()}
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert got == want
+    indexed = spark.read.parquet(os.path.join(index_path, "data"))
+    assert indexed.count() == docs.count()
