@@ -14,6 +14,14 @@ table, designed for the 100 TB case:
 - **SimHash**: 48-bit per-doc fingerprint; near-dups = small Hamming
   distance. Computed fully declaratively (explode token-bit matrix ->
   majority per bit -> reassemble).
+- **Containment**: asymmetric |A∩B|/min(|A|,|B|) over the brute candidate
+  join — doc-inside-doc detection that symmetric Jaccard misses.
+- **Span removal**: corpus-wide duplicated word-gram deletion (exact
+  substring dedup), first occurrence kept; map-side gram build, keyed
+  election.
+- **Incremental**: a persistable per-doc index (``minhash_index``) plus
+  batch-vs-index pair detection in O(batch + collisions) — how dedup
+  actually runs when the corpus grows by ingestion batches.
 
 All hashes are md5-derived (``functions.md5_long``) so the DuckDB oracle can
 reproduce every value bit-for-bit — at production scale you would swap in
