@@ -23,7 +23,10 @@ def _ensure_confs(spark: SparkSession) -> SparkSession:
     confs correctness depends on (naive-timestamp parity, nanos decoding)."""
     spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
     for conf, val in (
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),   # events.ts is TIMESTAMP(NANOS)
+        # events.ts has shipped as TIMESTAMP(NANOS) and as timestamp[us]
+        # across driver fixture versions; with this set, either decodes and
+        # the reader's dtype-conditional normalization handles both
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),  # naive ts == DuckDB wall time
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ):
