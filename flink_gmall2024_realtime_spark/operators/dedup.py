@@ -408,12 +408,15 @@ def minhash_lsh_pairs_incremental(
     full-corpus ``minhash_lsh_pairs`` that involve >= 1 batch document.
     ``new_index`` lets a caller that already computed the batch's index
     frame (e.g. the streaming sink, which also appends it to the store)
-    pass it in instead of re-running the Arrow pass."""
+    pass it in instead of re-running the Arrow pass; it should arrive
+    materialized (checkpointed/read-back) since it feeds three branches."""
     new_base = (
         new_index
         if new_index is not None
-        else _doc_sig_sets(new_docs, perms, n, text_col, id_col, band_rows=band_rows)
-    ).localCheckpoint(eager=True)
+        else _doc_sig_sets(
+            new_docs, perms, n, text_col, id_col, band_rows=band_rows
+        ).localCheckpoint(eager=True)
+    )
     new_bands = new_base.select("doc_id", F.explode("bkt").alias("bkt"))
     idx_bands = index.select(F.col("doc_id").alias("idx_id"), F.explode("bkt").alias("bkt"))
     # new-vs-index: candidates collide on a band bucket key (equi-join).
