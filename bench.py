@@ -40,11 +40,14 @@ def main() -> None:
     materialize(next(iter(bench.values())).spark(spark, sf_dir))
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
-    # Two passes, report the min: pass 1 pays JIT/codegen compilation (the
-    # local[32] JVM is cold; a long-running cluster is not), pass 2 is the
-    # steady-state engine speed we are actually optimizing.
+    # Three passes, report the per-query min: pass 1 pays JIT/codegen
+    # compilation (the local[32] JVM is cold; a long-running cluster is
+    # not), later passes are the steady-state engine speed we are actually
+    # optimizing — and the min also rides out this VM's ±20-30% background
+    # load bursts (documented in BASELINE.md), which otherwise dominate
+    # same-code run-to-run deltas at sf0.1.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name, spec in sorted(bench.items()):
             t0 = time.perf_counter()
             materialize(spec.spark(spark, sf_dir))
