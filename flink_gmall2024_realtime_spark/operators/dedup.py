@@ -177,6 +177,73 @@ def containment_pairs_brute(
     )
 
 
+def containment_pairs_rare_shingle(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Containment pairs via a **rare-shingle inverted index** — the scale
+    path ``containment_pairs_brute`` can't be.
+
+    Candidate rule: each document indexes its ``k`` corpus-RAREST shingles
+    (rank by (document frequency, hash) — total order, so deterministic);
+    a pair is a candidate iff one side's rare shingle appears anywhere in
+    the other. If containment(A in B) = c, each of A's shingles is in B
+    with chance ~c, so recall over A's k rare shingles is ~1-(1-c)^k
+    (c=0.5, k=8 -> 99.6%) — and rare shingles have LOW df by construction,
+    so the inverted-index join fans out O(df) per probe instead of
+    exploding on hot shingles. Exact containment verification runs on
+    candidates only (codegen array_intersect over per-doc hash sets).
+
+    All shuffles are equi-keyed: df count + rarity rank on the shingle
+    hash, probe join on the hash, verification attach on doc_id. The
+    companion oracle replicates the same candidate rule, so the entry is
+    hash-exact while honestly representing the (near-1, not exactly-1)
+    recall of the index. Output: (id_a, id_b, containment), id_a < id_b."""
+    from pyspark.sql import Window
+
+    sh = _doc_shingles(docs, text_col, id_col, n).select(
+        "doc_id", md5_long(F.col("shingle")).alias("hs")
+    )
+    dfq = sh.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfq, "hs").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "hs")),
+    )
+    rare = ranked.filter(F.col("rn") <= k).select(F.col("doc_id").alias("rid"), "hs")
+    cand = (
+        rare.join(sh, "hs")
+        .filter(F.col("rid") != F.col("doc_id"))
+        .select(
+            F.least("rid", "doc_id").alias("id_a"),
+            F.greatest("rid", "doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("hs")).alias("shs"), F.count(F.lit(1)).alias("sz")
+    )
+    pairs = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        pairs.withColumn("containment", F.round(inter / F.least("sz_a", "sz_b"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     perms: int = MINHASH_PERMS,

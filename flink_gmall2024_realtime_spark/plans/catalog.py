@@ -859,6 +859,52 @@ WHERE round(inter::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.5
 """
 
 
+_CONTAINMENT_IDX_SQL = f"""
+WITH {_SHINGLE_CTE},
+h AS (SELECT doc_id, {md5_long_sql_duckdb('shingle')} AS hs FROM sh),
+dfq AS (SELECT hs, count(*) AS df FROM h GROUP BY 1),
+rare AS (
+  SELECT doc_id AS rid, hs FROM (
+    SELECT h.doc_id, h.hs,
+           row_number() OVER (PARTITION BY h.doc_id ORDER BY f.df, h.hs) AS rn
+    FROM h JOIN dfq f ON h.hs = f.hs
+  ) t(doc_id, hs, rn) WHERE rn <= 8
+),
+cand AS (
+  SELECT DISTINCT least(r.rid, o.doc_id) AS id_a, greatest(r.rid, o.doc_id) AS id_b
+  FROM rare r JOIN h o ON r.hs = o.hs AND r.rid <> o.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.id_a
+  JOIN h hb ON hb.doc_id = c.id_b AND hb.hs = ha.hs
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / least(sa.sz, sb.sz), 6) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE round(inter::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.5
+"""
+
+
+@register(
+    "dedup_containment_indexed",
+    oracle=_CONTAINMENT_IDX_SQL,
+    survey_ids=("dedup-containment",),
+)
+def dedup_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment via the rare-shingle inverted index — the scale path:
+    each doc probes with its 8 corpus-rarest shingles (recall ~1-(1-c)^8),
+    candidates fan out O(df-of-rare-shingle) per probe, exact verification
+    on candidates only. The oracle replicates the same candidate rule, so
+    the check is hash-exact. See ``dedup.containment_pairs_rare_shingle``."""
+    return dedup.containment_pairs_rare_shingle(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 @register("dedup_containment", oracle=_CONTAINMENT_SQL, survey_ids=("dedup-containment",))
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (|A∩B| / min(|A|,|B|) >= 0.5): finds a

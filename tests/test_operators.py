@@ -507,3 +507,23 @@ def test_etl_log_rejects_channel(spark):
     assert list(rej.values()).count("no_page_or_start") == 1
     assert list(rej.values()).count("missing_mid") == 1
     assert list(rej.values()).count("missing_ts") == 1
+
+
+def test_containment_indexed_recall_vs_brute(spark, sf_dir):
+    """The rare-shingle index must be a subset of the brute ground truth
+    with near-total recall at the fixture's containment levels."""
+    from flink_gmall2024_realtime_spark.operators.dedup import (
+        containment_pairs_brute,
+        containment_pairs_rare_shingle,
+    )
+    from flink_gmall2024_realtime_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    brute = {(r["id_a"], r["id_b"]): r["containment"]
+             for r in containment_pairs_brute(docs, threshold=0.5).collect()}
+    idx = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in containment_pairs_rare_shingle(docs, threshold=0.5).collect()}
+    assert set(idx) <= set(brute)
+    for p, c in idx.items():
+        assert c == brute[p]  # verification is exact on every candidate
+    assert len(idx) >= 0.95 * len(brute)  # ~1-(1-c)^8 recall
