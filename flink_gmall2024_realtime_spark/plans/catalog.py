@@ -1717,6 +1717,47 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q18_large_volume",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180
+)
+SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       round(b.qty, 2) AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    survey_ids=("J1", "A2"),
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: large-volume orders (lineitem quantity sum above
+    threshold) joined back through orders to the customer — the
+    aggregate-then-join composition where the HAVING shrinks the probe side
+    to a sliver before any wide row is assembled."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 180)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("_qty"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
     "q13_customer_distribution",
     oracle="""
 SELECT order_ct, count(*) AS cust_ct
