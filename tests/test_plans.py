@@ -155,3 +155,12 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
         tree = plan.split("\n\n")[0]
         shuffles = len(re.findall(r"[+:]- Exchange ", tree))
         assert shuffles <= budget, f"{name}: {shuffles} shuffles > budget {budget}"
+
+
+def test_window_funcs_share_one_exchange_and_sort(spark, sf_dir):
+    """All five analytic functions in q_window_funcs share one window spec:
+    the plan must carry exactly one Exchange and one Sort."""
+    plan = formatted_plan(spark, CATALOG["q_window_funcs"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"[+:]- Exchange ", tree)) == 1
+    assert tree.count("Sort") == 1
