@@ -133,3 +133,46 @@ def lateral_tokens(df: DataFrame, tokens: Column, out: str = "keyword") -> DataF
     (``DwsTrafficSourceKeywordPageViewWindow.java:74-79``).  ``explode`` is
     Spark's lateral view, fully codegen'd."""
     return df.select("*", F.explode(tokens).alias(out))
+
+
+def range_bucket_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join against (possibly overlapping) ranges WITHOUT
+    a nested-loop plan — the band-join decomposition Spark's optimizer
+    doesn't do on its own.
+
+    A plain ``lo <= p AND p < hi`` join has no equality conjunct, so Spark
+    plans BroadcastNestedLoopJoin — O(|facts| x |ranges|) compares and a
+    broadcast of whichever side is smaller; with a large ranges side it is
+    simply infeasible. Decomposition: quantize the domain into
+    ``bucket_width`` buckets, explode each range to the buckets it covers
+    (``sequence`` — one row per covered bucket), map each fact to its single
+    bucket, equi-join on the bucket id, and re-check the exact predicate.
+    Each (fact, range) pair meets in exactly one bucket — the fact's — so no
+    dedup pass is needed. Cost: shuffle of facts by bucket + ranges
+    replicated ~range_span/bucket_width times; pick ``bucket_width`` near
+    the median range span so replication stays O(1) per range.
+
+    ``point_col``, ``lo_col``, ``hi_col`` must be integer-valued (cast
+    timestamps to epoch units first). Interval semantics: [lo, hi)."""
+    fb = facts.withColumn("_b", F.floor(F.col(point_col) / bucket_width))
+    rb = ranges.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width),
+                F.floor((F.col(hi_col) - 1) / bucket_width),
+            )
+        ),
+    )
+    joined = fb.join(rb, "_b", how).filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop("_b")

@@ -2329,6 +2329,47 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_range_bucket_join",
+    oracle="""
+WITH f AS (
+  SELECT date_diff('day', DATE '2024-01-01', ts::DATE) AS d, value FROM events
+),
+p(promo_id, lo, hi) AS (
+  VALUES (1, 0, 10), (2, 5, 15), (3, 7, 8), (4, 12, 30),
+         (5, 0, 30), (6, 20, 25), (7, 18, 28), (8, 3, 4)
+)
+SELECT promo_id, count(*) AS ev_ct,
+       round(sum(round(value, 6)::DECIMAL(28, 6)), 2)::DOUBLE AS val_sum
+FROM f JOIN p ON f.d >= p.lo AND f.d < p.hi
+GROUP BY 1
+""",
+    survey_ids=("J3",),
+)
+def q_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join against OVERLAPPING promo windows via the
+    band-join decomposition (``joins.range_bucket_join``): without it Spark
+    plans a nested-loop join (no equality conjunct); with it the plan is a
+    bucket equi-join + exact re-check. DECIMAL partial sums keep the
+    per-promo value total order-invariant."""
+    from ..operators.joins import range_bucket_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("d"),
+        F.round(F.col("value"), 6).cast("decimal(28,6)").alias("value"),
+    )
+    promos = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 15), (3, 7, 8), (4, 12, 30),
+         (5, 0, 30), (6, 20, 25), (7, 18, 28), (8, 3, 4)],
+        "promo_id int, lo int, hi int",
+    )
+    joined = range_bucket_join(ev, promos, "d", "lo", "hi", bucket_width=7)
+    return joined.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("ev_ct"),
+        F.round(F.sum("value"), 2).cast("double").alias("val_sum"),
+    )
+
+
+@register(
     "q_salted_agg",
     oracle="""
 SELECT event_type, count(*) AS ev_ct,

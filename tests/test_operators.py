@@ -527,3 +527,26 @@ def test_containment_indexed_recall_vs_brute(spark, sf_dir):
     for p, c in idx.items():
         assert c == brute[p]  # verification is exact on every candidate
     assert len(idx) >= 0.95 * len(brute)  # ~1-(1-c)^8 recall
+
+
+def test_range_bucket_join_equals_nonequi(spark):
+    """Band-join decomposition == the plain non-equi join, including
+    overlapping ranges, [lo, hi) boundaries, and bucket-edge points."""
+    from flink_gmall2024_realtime_spark.operators.joins import range_bucket_join
+
+    facts = spark.createDataFrame([(i,) for i in range(0, 30)], "p long")
+    ranges = spark.createDataFrame(
+        [(1, 0, 7), (2, 5, 15), (3, 7, 8), (4, 14, 14), (5, 0, 30)],
+        "rid int, lo int, hi int",
+    )
+    got = sorted(
+        (r["p"], r["rid"])
+        for r in range_bucket_join(facts, ranges, "p", "lo", "hi", bucket_width=7).collect()
+    )
+    want = sorted(
+        (r["p"], r["rid"])
+        for r in facts.join(
+            ranges, (facts["p"] >= ranges["lo"]) & (facts["p"] < ranges["hi"])
+        ).collect()
+    )
+    assert got == want and len(want) > 0  # rid=4 is empty [14,14); rid=5 spans all

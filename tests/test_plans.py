@@ -164,3 +164,13 @@ def test_window_funcs_share_one_exchange_and_sort(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"[+:]- Exchange ", tree)) == 1
     assert tree.count("Sort") == 1
+
+
+def test_range_bucket_join_not_nested_loop(spark, sf_dir):
+    """The band-join decomposition must plan as a hash equi-join on the
+    bucket id — never BroadcastNestedLoopJoin or a cartesian product."""
+    plan = formatted_plan(spark, CATALOG["q_range_bucket_join"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "Join" in tree  # it IS still a join, on the bucket key
