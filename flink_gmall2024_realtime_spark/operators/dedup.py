@@ -560,6 +560,68 @@ def simhash(docs: DataFrame, bits: int = 48, text_col: str = "text", id_col: str
     return bit_sums.select("doc_id", acc.alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 48,
+    chunks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup PAIRS with **guaranteed-recall** chunk banding
+    (Manku-style web dedup): split each ``bits``-bit fingerprint into
+    ``chunks`` pieces; by pigeonhole, two fingerprints within Hamming
+    distance ``max_hamming`` (< chunks) agree on at least one whole chunk,
+    so candidates = pairs colliding on (chunk index, chunk value) — an
+    equi-key groupBy with in-bucket expansion, never O(n^2) — and the
+    exact ``bit_count(xor) <= max_hamming`` filter loses nothing. Unlike
+    MinHash banding the recall here is exactly 1, which is why the oracle
+    can be the plain quadratic Hamming join. Output: (id_a, id_b,
+    hamming), id_a < id_b."""
+    assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming < chunks"
+    width = bits // chunks
+    mask = (1 << width) - 1
+    fp = simhash(docs, bits=bits, text_col=text_col, id_col=id_col).localCheckpoint(eager=True)
+    pieces = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(i * (mask + 1)).cast("long")
+                    + F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    )
+    bucket_ids = (
+        pieces.groupBy("ck")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda a: F.transform(F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    cand = (
+        bucket_ids.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a")), "id_a")
+        .join(fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b")), "id_b")
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -976,6 +976,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH fp AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    survey_ids=("dedup-simhash",),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 over 48 bits) via pigeonhole
+    chunk banding: distance <= 3 over 4 chunks forces at least one chunk
+    to agree, so the bucketed candidate generation has recall exactly 1 —
+    which is why the quadratic Hamming join is a sound oracle while the
+    engine plan stays an equi-key groupBy. See ``dedup.simhash_pairs``."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
 _NORM_TEXT_SQL = md5_long_sql_duckdb("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
 
 

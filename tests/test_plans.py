@@ -174,3 +174,11 @@ def test_range_bucket_join_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
     assert "Join" in tree  # it IS still a join, on the bucket key
+
+
+def test_simhash_pairs_no_cross_join(spark, sf_dir):
+    """SimHash pair generation must stay the pigeonhole chunk-banding
+    equi-join — the quadratic form lives only in the oracle."""
+    plan = formatted_plan(spark, CATALOG["dedup_simhash_pairs"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
