@@ -2118,6 +2118,45 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best",
+    oracle=(
+        """
+SELECT cluster_id, keep_id, keep_n_chars FROM (
+  SELECT c.cluster_id, c.doc_id AS keep_id, d.n_chars AS keep_n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM (WITH RECURSIVE """
+        + _CLUSTER_SQL.strip().removeprefix("WITH ")
+        + """) c
+  JOIN documents d ON d.doc_id = c.doc_id
+) WHERE rn = 1
+"""
+    ),
+    survey_ids=("dedup-minhash-lsh",),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-per-cluster: real curation keeps the highest-quality
+    member of each near-dup cluster, not the smallest id — here the
+    longest document (n_chars, id tie-break). Composes the full chain
+    (MinHash pass -> LSH candidates -> exact verify -> connected
+    components) with a per-cluster arg-max, which plans as
+    WindowGroupLimit on the cluster key. Output: one row per cluster
+    (cluster_id, keep_id, keep_n_chars)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.35)
+    clusters = dedup.dedup_clusters(docs, pairs)
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keep_id"), F.col("n_chars").alias("keep_n_chars"))
+    )
+
+
+@register(
     "dws_traffic_vc_ch_ar_isnew",
     oracle="""
 WITH e AS (
