@@ -215,29 +215,116 @@ def _assign_buckets(
     )
 
 
+def _score_cogrouped(corpus_side: DataFrame, query_side: DataFrame, key: str, k: int, dim: int) -> DataFrame:
+    """One cogrouped Arrow pass per ``key`` group scoring corpus members x
+    probing queries and emitting each query's GROUP-LOCAL top-k — the shape
+    that makes bucketed/partitioned ANN survive a big corpus: raw candidates
+    never shuffle to a global window; only ``groups-probed x k`` rows per
+    query reach the final ranking.
+
+    ``corpus_side``: (neighbor_id, cv, key); ``query_side``: (query_id, qv,
+    key). Group-local top-k under (sim desc, id asc) is a superset of the
+    global top-k restricted to that group, so composing with a final
+    ``row_number`` window is exact over the candidate set. Dots/norms
+    accumulate dimension-sequentially (vectorized across rows only) — bit-
+    identical to the scalar loop and DuckDB's ``list_dot_product``."""
+    import numpy as np
+    import pandas as pd
+
+    def score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "neighbor_id": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return empty
+        cids = cpdf["neighbor_id"].to_numpy(dtype=np.int64)
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        cm = np.array([list(v) for v in cpdf["cv"]], dtype=np.float64)
+        qm = np.array([list(v) for v in qpdf["qv"]], dtype=np.float64)
+        acc = cm[:, 0:1] * qm[None, :, 0]
+        cn = cm[:, 0] * cm[:, 0]
+        qn = qm[:, 0] * qm[:, 0]
+        for j in range(1, dim):
+            acc = acc + cm[:, j : j + 1] * qm[None, :, j]
+            cn = cn + cm[:, j] * cm[:, j]
+            qn = qn + qm[:, j] * qm[:, j]
+        sim = np.round(acc / (np.sqrt(cn)[:, None] * np.sqrt(qn)[None, :]), 6)
+        sim[cids[:, None] == qids[None, :]] = -np.inf  # exclude self
+        kk = min(k, sim.shape[0])
+        rows = []
+        for qi in range(len(qids)):
+            col = sim[:, qi]
+            idx = np.lexsort((cids, -col))[:kk]
+            for ci in idx:
+                if np.isfinite(col[ci]):
+                    rows.append((qids[qi], cids[ci], col[ci]))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+    return (
+        corpus_side.groupby(key)
+        .cogroup(query_side.groupby(key))
+        .applyInPandas(lambda l, r: score(l, r), "query_id long, neighbor_id long, sim double")
+    )
+
+
+def auto_planes(n: int, target_bucket: int = 256, lo: int = 8, hi: int = 24) -> int:
+    """Plane count that keeps the expected sign-bit bucket size near
+    ``target_bucket``: ceil(log2(n / target_bucket)), clamped to [lo, hi].
+    500 vectors -> 8 planes (256 buckets); 1e9 vectors -> 22 planes (~4M
+    buckets, ~256 vectors/bucket) — candidate volume per probe stays O(1)
+    in the corpus size instead of O(n)."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(1, n) / target_bucket)) if n > target_bucket else lo))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    planes: int = 8,
+    planes: int | None = None,
+    nprobe: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 256,
 ) -> DataFrame:
-    """Approximate top-k: candidates share a sign-bit bucket, verified by
-    exact cosine. Bucket join is an equi-join — scales to corpus sizes where
-    broadcast of the query side is impossible. Buckets and norms come from
-    the vectorized ``_assign_buckets`` pass (one Arrow batch per partition);
-    the interpreted ``signbit_bucket`` Column form measured ~4x slower per
-    row and stays as the SQL-parity reference."""
+    """Approximate top-k via sign-bit LSH — the equi-key scale path when the
+    query side is too large to broadcast.
+
+    Scale shape (all three legs required at 10^9 vectors):
+
+    1. ``planes`` defaults to ``auto_planes(corpus.count())`` so bucket
+       population stays ~``target_bucket`` regardless of corpus size (a
+       fixed 8 planes means |corpus|/256 candidates PER QUERY at any scale —
+       the O(n) hole this design closes). Pass ``planes`` explicitly to skip
+       the count job.
+    2. Multi-probe: each query probes its own bucket plus ``nprobe - 1``
+       single-bit-flipped neighbors (fixed flip order: bit 0, 1, ... — a
+       deterministic, SQL-expressible variant of classic
+       lowest-confidence-first multi-probe), recovering the recall that
+       more planes take away. A corpus vector lives in exactly ONE bucket,
+       so probe results are disjoint and need no dedup.
+    3. Scoring is a cogrouped Arrow pass per bucket emitting bucket-local
+       top-k (``_score_cogrouped``, the ``ivf_topk`` pattern) — the final
+       ranking window sees at most ``nprobe * k`` rows per query, never raw
+       candidates. No join, no global window over O(bucket) rows.
+
+    Buckets come from the vectorized ``_assign_buckets`` pass; the
+    interpreted ``signbit_bucket`` Column form stays as the SQL-parity
+    reference. Fully deterministic -> exact SQL oracle."""
+    if planes is None:
+        planes = auto_planes(corpus.count(), target_bucket)
+    nprobe = min(nprobe, planes + 1)
     q = _assign_buckets(queries, planes, dim, id_col, vec_col, "query_id", "qv", "qn")
     c = _assign_buckets(corpus, planes, dim, id_col, vec_col, "neighbor_id", "cv", "cn")
-    scored = (
-        q.join(c, on="bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(_dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6))
-        .select("query_id", "neighbor_id", "sim")
+    masks = [0] + [1 << i for i in range(nprobe - 1)]
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])).alias("bucket"),
     )
+    scored = _score_cogrouped(c.select("neighbor_id", "cv", "bucket"), probes, "bucket", k, dim)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -255,14 +342,21 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: tuple | None = None,
+    max_centroids: int = 256,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the partitioned-index scale path.
 
     'Training' defaults to the deterministic placeholder — centroids are
-    the vectors with ``id % centroid_mod == 0`` — which is what the exact
-    SQL oracle models.  Pass ``centroids`` (e.g. from ``kmeans_centroids``)
-    to use trained cells instead; the assignment/probe mechanics are
-    identical either way.
+    the vectors with ``id % mod_eff == 0`` where ``mod_eff =
+    max(centroid_mod, ceil(n / max_centroids))`` — which is what the exact
+    SQL oracle models. The ``max_centroids`` cap bounds the driver-side
+    centroid collect at ~``max_centroids`` rows of ``dim`` doubles no matter
+    how big the corpus is (a bare ``id % centroid_mod`` collect grows
+    linearly with the corpus — 20M rows at 10^9 vectors / mod 50). Sizing
+    ``mod_eff`` needs the corpus count: one cheap count job, skipped
+    entirely when ``centroids`` is passed. Pass ``centroids`` (e.g. from
+    ``kmeans_centroids``) to use trained cells instead; the assignment/probe
+    mechanics are identical either way.
 
     1. assign every corpus vector to its nearest centroid (cosine, rounded,
        ties by centroid id) — a map-side pass against the broadcast centroid
@@ -285,8 +379,9 @@ def ivf_topk(
         cen_ids = np.asarray(cen_ids, dtype=np.int64)
         cen_mat = np.asarray(cen_mat, dtype=np.float64)
     else:
+        mod_eff = max(centroid_mod, -(-corpus.count() // max_centroids))
         cen_rows = (
-            corpus.filter(F.col(id_col) % centroid_mod == 0)
+            corpus.filter(F.col(id_col) % mod_eff == 0)
             .select(id_col, vec_col)
             .collect()
         )
@@ -333,40 +428,7 @@ def ivf_topk(
         assign(nprobe, "query_id", "qv"), f"query_id long, cell long, qv {vec_type}"
     )
 
-    def score_cell(key, cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                              "neighbor_id": pd.Series(dtype="int64"),
-                              "sim": pd.Series(dtype="float64")})
-        if len(cpdf) == 0 or len(qpdf) == 0:
-            return empty
-        cids = cpdf["neighbor_id"].to_numpy(dtype=np.int64)
-        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
-        cm = np.array([list(v) for v in cpdf["cv"]], dtype=np.float64)
-        qm = np.array([list(v) for v in qpdf["qv"]], dtype=np.float64)
-        acc = cm[:, 0:1] * qm[None, :, 0]
-        cn = cm[:, 0] * cm[:, 0]
-        qn = qm[:, 0] * qm[:, 0]
-        for j in range(1, d):
-            acc = acc + cm[:, j : j + 1] * qm[None, :, j]
-            cn = cn + cm[:, j] * cm[:, j]
-            qn = qn + qm[:, j] * qm[:, j]
-        sim = np.round(acc / (np.sqrt(cn)[:, None] * np.sqrt(qn)[None, :]), 6)
-        sim[cids[:, None] == qids[None, :]] = -np.inf  # exclude self
-        kk = min(k, sim.shape[0])
-        rows = []
-        for qi in range(len(qids)):
-            col = sim[:, qi]
-            idx = np.lexsort((cids, -col))[:kk]
-            for ci in idx:
-                if np.isfinite(col[ci]):
-                    rows.append((qids[qi], cids[ci], col[ci]))
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
-
-    scored = (
-        cells.groupby("cell")
-        .cogroup(probes.groupby("cell"))
-        .applyInPandas(score_cell, "query_id long, neighbor_id long, sim double")
-    )
+    scored = _score_cogrouped(cells, probes, "cell", k, d)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1108,10 +1108,14 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_lsh_bucketed", oracle=None, survey_ids=("sim-lsh",))
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via sign-bit (random hyperplane) LSH buckets —
-    the equi-join scale path when neither side broadcasts. Deterministic
-    hyperplanes make even this approximate index exactly oracle-checkable
-    (the SQL twin is installed below, _ANN_LSH_SQL)."""
+    """Approximate top-5 via multi-probe sign-bit LSH: plane count auto-
+    scales with the corpus (8 here, 22 at 10^9 vectors — expected bucket
+    size stays ~256), each query probes 4 single-bit-flip buckets, and
+    scoring is a cogrouped Arrow pass emitting bucket-local top-k, so the
+    final ranking window sees nprobe*k rows per query — never O(|bucket|)
+    raw candidates. Deterministic hyperplanes make even this approximate
+    index exactly oracle-checkable (SQL twin installed below,
+    _ANN_LSH_SQL)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 20 == 0)
     return similarity.lsh_topk(emb, q, k=5)
@@ -1399,7 +1403,8 @@ _COS_PAIR = (
 
 _IVF_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+cen AS (SELECT vec_id AS cid, v AS cv FROM e
+        WHERE vec_id % (SELECT greatest(50, CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM e) = 0),
 asg AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT e.vec_id, cen.cid,
@@ -1475,10 +1480,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_ivf", oracle=_IVF_SQL, survey_ids=("sim-ivf",), bench=True)
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5: deterministic centroids (vec_id % 50), nearest-
-    centroid assignment map-side against broadcast centroids, queries probe 4
-    cells, exact cosine within probed cells only. Deterministic end to end,
-    so unlike most ANN indexes it carries an exact SQL oracle."""
+    """IVF approximate top-5: deterministic centroids (vec_id % mod_eff,
+    where mod_eff = max(50, ceil(n/256)) caps the driver-side centroid
+    collect at ~256 rows for ANY corpus size), nearest-centroid assignment
+    map-side against broadcast centroids, queries probe 4 cells, exact
+    cosine within probed cells only. Deterministic end to end, so unlike
+    most ANN indexes it carries an exact SQL oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 20 == 0)
     return similarity.ivf_topk(emb, q, k=5, centroid_mod=50, nprobe=4)
@@ -1487,7 +1494,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_FILTERED_SQL = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 corp AS (SELECT vec_id, v FROM e WHERE label = 1),
-cen AS (SELECT vec_id AS cid, v AS cv FROM corp WHERE vec_id % 10 = 0),
+cen AS (SELECT vec_id AS cid, v AS cv FROM corp
+        WHERE vec_id % (SELECT greatest(10, CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM corp) = 0),
 asg AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT c.vec_id, cen.cid,
@@ -3164,11 +3172,31 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer pattern, so the bucketing is SQL-reproducible) — upgrades the
 # entry from rows-only to hash-checked.
 
-_ANN_LSH_SQL = """
+def _lsh_bucket_sql(planes: int = 8, dim: int = 64) -> str:
+    """SQL form of the sign-bit bucket id, generated from the SAME
+    ``plane_weights`` integer pattern the Arrow pass uses — the oracle and
+    the engine can never drift on the bucket definition."""
+    w = similarity.plane_weights(planes, dim)
+    terms = []
+    for pl in range(planes):
+        vec = ", ".join(f"{w[pl, d]:.1f}" for d in range(dim))
+        terms.append(f"(CASE WHEN list_dot_product(v, [{vec}]) > 0 THEN {1 << pl} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_sql(planes: int = 8, nprobe: int = 4, k: int = 5) -> str:
+    """Exact oracle for multi-probe sign-bit LSH ANN: each query probes its
+    own bucket plus ``nprobe - 1`` fixed single-bit flips (bits 0, 1, ...),
+    mirroring ``similarity.lsh_topk``. Corpus vectors live in exactly one
+    bucket, so probe hits are disjoint and the rank window is exact."""
+    b = _lsh_bucket_sql(planes)
+    masks = ", ".join(f"({m})" for m in [0] + [1 << i for i in range(nprobe - 1)])
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv, ((CASE WHEN list_dot_product(v, [-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0]) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_dot_product(v, [2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0]) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_dot_product(v, [0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0]) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0]) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_dot_product(v, [3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0]) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_dot_product(v, [1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0]) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0]) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0]) > 0 THEN 128 ELSE 0 END)) AS bucket
-      FROM e WHERE vec_id % 20 = 0),
-c AS (SELECT vec_id AS neighbor_id, v AS cv, ((CASE WHEN list_dot_product(v, [-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0]) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_dot_product(v, [2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0, 3.0, -1.0, 2.0]) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_dot_product(v, [0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0, -2.0, 3.0, 1.0, -1.0, -3.0, 2.0, 0.0]) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0, -2.0]) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_dot_product(v, [3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0, -2.0, 0.0, 2.0, -3.0, -1.0, 1.0, 3.0]) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_dot_product(v, [1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0, -2.0, 2.0, -1.0, 3.0, 0.0, -3.0, 1.0]) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, 3.0, 2.0, 1.0, 0.0, -1.0]) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, -3.0]) > 0 THEN 128 ELSE 0 END)) AS bucket FROM e),
+q0 AS (SELECT vec_id AS query_id, v AS qv, {b} AS b0 FROM e WHERE vec_id % 20 = 0),
+q AS (SELECT query_id, qv, xor(b0, CAST(m.m AS BIGINT)) AS bucket
+      FROM q0 CROSS JOIN (VALUES {masks}) m(m)),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, {b} AS bucket FROM e),
 s AS (
   SELECT q.query_id, c.neighbor_id,
          round(list_dot_product(q.qv, c.cv) /
@@ -3180,8 +3208,11 @@ SELECT query_id, neighbor_id, sim, rank FROM (
   SELECT query_id, neighbor_id, sim,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM s
-) WHERE rank <= 5
+) WHERE rank <= {k}
 """
+
+
+_ANN_LSH_SQL = _ann_lsh_sql(planes=8, nprobe=4, k=5)
 
 CATALOG["ann_lsh_bucketed"] = QuerySpec(
     "ann_lsh_bucketed",
@@ -3190,6 +3221,43 @@ CATALOG["ann_lsh_bucketed"] = QuerySpec(
     CATALOG["ann_lsh_bucketed"].survey_ids,
     CATALOG["ann_lsh_bucketed"].bench,
 )
+
+
+_ANN_LSH_RECALL_SQL = f"""
+WITH bf AS ({_ANN_BRUTE_SQL}),
+lsh AS ({_ANN_LSH_SQL})
+SELECT count(*) AS n_truth,
+       sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS recall_at_5
+FROM bf b LEFT JOIN lsh l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+"""
+
+
+@register("ann_lsh_recall_report", oracle=_ANN_LSH_RECALL_SQL, survey_ids=("sim-lsh", "sim-brute-cosine"))
+def ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the multi-probe LSH index against exact brute-force
+    ground truth — the companion measurement to ``ann_recall_report``
+    (IVF). Multi-probe exists to hold recall while plane count scales with
+    the corpus; this entry is the regression lock on that tradeoff."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    truth = similarity.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = similarity.lsh_topk(emb, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"]) & (truth["neighbor_id"] == approx["hit_id"]),
+        "left",
+    )
+    hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(hit).alias("n_hit"),
+        F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("recall_at_5"),
+    )
 
 
 # =========================================================================

@@ -176,6 +176,20 @@ def test_range_bucket_join_not_nested_loop(spark, sf_dir):
     assert "Join" in tree  # it IS still a join, on the bucket key
 
 
+def test_lsh_ann_scores_cogrouped_no_global_window_over_candidates(spark, sf_dir):
+    """ann_lsh_bucketed must score candidates in a cogrouped Arrow pass with
+    bucket-local top-k — the plan carries NO join (the old bucket equi-join
+    fed raw candidates to a global window: O(|corpus|/buckets) rows per
+    query at scale). The only Window input is the cogroup's nprobe*k rows
+    per query."""
+    plan = formatted_plan(spark, CATALOG["ann_lsh_bucketed"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "FlatMapCoGroupsInPandas" in tree
+    assert "Join" not in tree  # no bucket join — scoring happens in the cogroup
+    # final rank over bucket-local top-k only (WindowGroupLimit ≠ Window)
+    assert len(re.findall(r"Window \(", tree)) == 1
+
+
 def test_simhash_pairs_no_cross_join(spark, sf_dir):
     """SimHash pair generation must stay the pigeonhole chunk-banding
     equi-join — the quadratic form lives only in the oracle."""
