@@ -476,7 +476,15 @@ def minhash_lsh_pairs_incremental(
     ``new_index`` lets a caller that already computed the batch's index
     frame (e.g. the streaming sink, which also appends it to the store)
     pass it in instead of re-running the Arrow pass; it should arrive
-    materialized (checkpointed/read-back) since it feeds three branches."""
+    materialized (checkpointed/read-back) since it feeds three branches.
+
+    Doc-id overlap (a re-crawl, or a replay that bypassed the sink's
+    commit markers) is handled by ignoring the INDEXED copy of any doc_id
+    present in the batch — latest text wins. Without this guard the
+    ``doc_id != idx_id`` filter would skip comparing the two versions
+    while the sets union double-attached the doc's shingles, fanning out
+    every verification join on it. The guard is one broadcast anti-join
+    against the (small) batch id set."""
     new_base = (
         new_index
         if new_index is not None
@@ -484,6 +492,7 @@ def minhash_lsh_pairs_incremental(
             new_docs, perms, n, text_col, id_col, band_rows=band_rows
         ).localCheckpoint(eager=True)
     )
+    index = index.join(new_base.select("doc_id"), "doc_id", "left_anti")
     new_bands = new_base.select("doc_id", F.explode("bkt").alias("bkt"))
     idx_bands = index.select(F.col("doc_id").alias("idx_id"), F.explode("bkt").alias("bkt"))
     # new-vs-index: candidates collide on a band bucket key (equi-join).

@@ -161,10 +161,17 @@ def range_bucket_join(
     the median range span so replication stays O(1) per range.
 
     ``point_col``, ``lo_col``, ``hi_col`` must be integer-valued (cast
-    timestamps to epoch units first). Interval semantics: [lo, hi)."""
-    fb = facts.withColumn("_b", F.floor(F.col(point_col) / bucket_width))
+    timestamps to epoch units first). Interval semantics: [lo, hi).
+
+    The exact range predicate is part of the JOIN CONDITION (not a
+    post-join filter): Spark still extracts the bucket equality as the hash
+    key and evaluates the range as a join residual, and outer semantics
+    stay correct — under ``how='left'`` a fact matching no range (wrong
+    bucket OR bucket collision that fails the exact check) survives as one
+    null-padded row, where a post-join filter would silently drop it."""
+    fb = facts.withColumn("_fb", F.floor(F.col(point_col) / bucket_width))
     rb = ranges.withColumn(
-        "_b",
+        "_rb",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / bucket_width),
@@ -172,7 +179,9 @@ def range_bucket_join(
             )
         ),
     )
-    joined = fb.join(rb, "_b", how).filter(
-        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    cond = (
+        (fb["_fb"] == rb["_rb"])
+        & (fb[point_col] >= rb[lo_col])
+        & (fb[point_col] < rb[hi_col])
     )
-    return joined.drop("_b")
+    return fb.join(rb, cond, how).drop("_fb", "_rb")

@@ -1711,7 +1711,8 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue",
     oracle="""
 SELECT c.c_custkey, n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(sum(round(l.l_extendedprice * (1 - l.l_discount), 6)::DECIMAL(28, 6)), 2)::DOUBLE
+         AS revenue
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1728,17 +1729,20 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-way join where the returnflag filter pushes into the lineitem scan,
     nation broadcasts, and the final top-20 plans as TakeOrderedAndProject
     (no global sort materializes). Revenue ties break by custkey so the
-    LIMIT is deterministic."""
+    LIMIT is deterministic. Per-row products are summed in DECIMAL (the
+    q_salted_agg pattern) so the aggregate is partial-order invariant — a
+    double sum could flip a rounded cent and change LIMIT-20 membership."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("decimal(28,6)")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )

@@ -484,6 +484,35 @@ def test_incremental_lsh_equals_full_restricted(spark, sf_dir):
     assert inc == full
 
 
+def test_incremental_lsh_tolerates_recrawled_doc_ids(spark, sf_dir):
+    """A doc_id present in BOTH the batch and the index (re-crawl / replay
+    without markers) must not fan out the verification joins or emit
+    duplicate pair rows: the indexed copy is ignored, latest text wins —
+    output equals the run against an index without the overlap."""
+    from flink_gmall2024_realtime_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 < 2)
+    clean_idx = dedup.minhash_index(docs.filter(F.col("doc_id") % 10 >= 2))
+    # pollute the index with stale copies of half the batch docs
+    stale = dedup.minhash_index(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" stale-version-suffix"))
+        )
+    )
+    polluted = clean_idx.unionByName(stale)
+    got = [
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs_incremental(new, polluted).collect()
+    ]
+    want = [
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs_incremental(new, clean_idx).collect()
+    ]
+    assert len(got) == len(set(got))  # no duplicate emissions
+    assert sorted(got) == sorted(want)
+
+
 def test_etl_log_rejects_channel(spark):
     """The dirty-data side output (DwdBaseLog.java:70-93): malformed rows
     land in the rejects branch with the original payload and a reason;
@@ -550,3 +579,32 @@ def test_range_bucket_join_equals_nonequi(spark):
         ).collect()
     )
     assert got == want and len(want) > 0  # rid=4 is empty [14,14); rid=5 spans all
+
+
+def test_range_bucket_join_left_preserves_unmatched_facts(spark):
+    """how='left' == the plain non-equi LEFT join: facts matching no range
+    (including facts whose bucket collides with a range but fails the exact
+    predicate) survive exactly once, null-padded — the exact predicate is
+    part of the join condition, not a lossy post-filter."""
+    from flink_gmall2024_realtime_spark.operators.joins import range_bucket_join
+
+    facts = spark.createDataFrame([(i,) for i in range(0, 30)], "p long")
+    # [21, 23): points 23..27 share bucket 3 with it but fail the predicate
+    ranges = spark.createDataFrame(
+        [(1, 0, 7), (2, 5, 15), (3, 21, 23)], "rid int, lo int, hi int"
+    )
+    got = sorted(
+        (r["p"], r["rid"])
+        for r in range_bucket_join(
+            facts, ranges, "p", "lo", "hi", bucket_width=7, how="left"
+        ).collect()
+    )
+    want = sorted(
+        (r["p"], r["rid"])
+        for r in facts.join(
+            ranges, (facts["p"] >= ranges["lo"]) & (facts["p"] < ranges["hi"]), "left"
+        ).collect()
+    )
+    assert got == want
+    unmatched = [p for p, rid in got if rid is None]
+    assert 23 in unmatched and 29 in unmatched  # bucket-collision and no-bucket cases
