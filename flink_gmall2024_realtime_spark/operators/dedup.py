@@ -493,8 +493,27 @@ def minhash_lsh_pairs_incremental(
         ).localCheckpoint(eager=True)
     )
     index = index.join(new_base.select("doc_id"), "doc_id", "left_anti")
-    new_bands = new_base.select("doc_id", F.explode("bkt").alias("bkt"))
     idx_bands = index.select(F.col("doc_id").alias("idx_id"), F.explode("bkt").alias("bkt"))
+    return minhash_lsh_pairs_banded(
+        new_base, idx_bands, index.select("doc_id", "shs"), threshold=threshold
+    )
+
+
+def minhash_lsh_pairs_banded(
+    new_base: DataFrame,
+    idx_bands: DataFrame,
+    idx_sets: DataFrame,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Core of the incremental LSH dedup, with the index side supplied in
+    its STORED shape: ``idx_bands`` (bkt, idx_id) pre-exploded and
+    ``idx_sets`` (doc_id, shs) for verification — exactly what a
+    band-partitioned index store hands over after pruning to the
+    partitions colliding with the batch (``streaming/sinks.py``). Callers
+    must ensure idx rows exclude the batch's doc_ids (latest-text-wins;
+    ``minhash_lsh_pairs_incremental`` anti-joins, the partitioned sink's
+    commit ordering guarantees it structurally)."""
+    new_bands = new_base.select("doc_id", F.explode("bkt").alias("bkt"))
     # new-vs-index: candidates collide on a band bucket key (equi-join).
     cross = (
         new_bands.join(idx_bands, "bkt")
@@ -524,7 +543,7 @@ def minhash_lsh_pairs_incremental(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
     )
     cand = cross.union(intra).distinct()
-    sets = index.select("doc_id", "shs").union(new_base.select("doc_id", "shs"))
+    sets = idx_sets.union(new_base.select("doc_id", "shs"))
     pairs = (
         cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
         .join(sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")

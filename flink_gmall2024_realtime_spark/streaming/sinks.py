@@ -165,6 +165,27 @@ def keyed_upsert_sink(spark: SparkSession, path: str, key: str, order_col: str,
 
 
 INDEX_SCHEMA = "doc_id long, sig array<bigint>, shs array<bigint>, bkt array<bigint>"
+BANDS_SCHEMA = "bkt long, idx_id long"
+SETS_SCHEMA = "doc_id long, shs array<bigint>"
+
+
+def colliding_partition_paths(root: str, key: str, vals) -> list[str]:
+    """Leaf partition directories ``<root>/batch=*/<key>=<v>`` for the given
+    partition values — the pruned read set for the per-batch index scan.
+    Listing is driver-side metadata work: O(batches x |vals|) stat calls,
+    never data I/O (a real deployment swaps this for catalog partition
+    listing / Iceberg manifest pruning at the same seam)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for bdir in sorted(os.listdir(root)):
+        if not bdir.startswith("batch="):
+            continue
+        for v in sorted(vals):
+            p = os.path.join(root, bdir, f"{key}={v}")
+            if os.path.isdir(p):
+                out.append(p)
+    return out
 
 
 def lsh_dedup_sink(
@@ -174,37 +195,47 @@ def lsh_dedup_sink(
     threshold: float = 0.35,
     text_col: str = "text",
     id_col: str = "doc_id",
+    band_partitions: int = 64,
+    doc_partitions: int = 64,
 ):
     """Streaming near-dup detection as a micro-batch service: each arriving
     document batch is deduped against every previously indexed document,
-    then its own index rows are appended to the store.
+    then its own index rows land in the store.
 
-    Per batch: one doc-local Arrow pass builds the batch's LSH index frame
-    (signature + shingle-hash set + band keys); pairs against the stored
-    corpus come from ``minhash_lsh_pairs_incremental`` (equi-join on band
-    keys — indexed TEXT is never re-read, per-batch work is
-    O(batch + collisions)); finally the frame lands in ``index_path``. Every
-    unordered near-dup pair is emitted exactly once over the life of the
-    stream — by whichever batch completes it — so the union of all emitted
-    batches equals the full-corpus ``minhash_lsh_pairs`` output regardless
-    of arrival order.
+    Store layout (the piece that makes per-batch cost O(batch + collisions)
+    instead of O(corpus)):
 
-    Replay safety: pairs are appended and committed BEFORE the index grows,
-    and both stores keep per-batch commit markers, so an at-least-once
-    replay neither re-emits a batch's pairs nor double-inserts its index
-    rows (a doc indexed twice would make its pairs re-emittable).
+    - ``index_path/bands/batch=<id>/p=<pmod(bkt, P)>/`` — the banded frame
+      (bkt, idx_id), hash-partitioned by band key. A batch's candidate scan
+      reads ONLY the partitions whose ``p`` collides with one of the
+      batch's own band keys (``colliding_partition_paths``) — a band-key
+      collision implies equal ``pmod``, so pruning is lossless.
+    - ``index_path/docs/batch=<id>/q=<pmod(xxhash64(doc_id), Q)>/`` — the
+      per-doc verification frame (doc_id, sig, shs, bkt), hash-partitioned
+      by doc id. Only partitions holding CANDIDATE ids are read for the
+      exact-Jaccard attach.
+    - ``pairs_path/data/batch=<id>/`` — that batch's emitted pairs.
 
-    Scale seam (honest): each batch SCANS the stored index (a few longs +
-    the shingle-hash array per doc — no text) to drive the band-key join.
-    At corpus scale the store should be hash-partitioned by a band-key
-    prefix so the scan prunes to partitions sharing a prefix with the
-    batch's keys (partition filter / DPP), making per-batch cost
-    O(batch + colliding partitions) instead of O(corpus); the fixture-mode
-    store keeps the single-directory layout."""
+    Every per-batch write is a ``mode("overwrite")`` of the batch's OWN
+    deterministic subdirectory, so a replay after a crash between data and
+    commit marker rewrites the same directory instead of appending
+    duplicates — the marker only short-circuits redundant work; idempotence
+    no longer depends on it. Pairs are still committed BEFORE the index
+    grows, so a batch's docs are never in the index while its pairs are
+    unemitted (the disjointness the banded core relies on). The union of
+    all emitted batches equals the full-corpus ``minhash_lsh_pairs`` output
+    regardless of arrival order."""
     from ..operators import dedup
 
-    idx_data = os.path.join(index_path, "data")
+    bands_root = os.path.join(index_path, "bands")
+    docs_root = os.path.join(index_path, "docs")
     pairs_data = os.path.join(pairs_path, "data")
+    P, Q = band_partitions, doc_partitions
+
+    def read_or_empty(paths: list[str], schema: str, cols: list[str]) -> DataFrame:
+        if not paths:
+            return spark.createDataFrame([], schema).select(*cols)
+        return spark.read.schema(schema).parquet(*paths).select(*cols)
 
     def write(batch: DataFrame, batch_id: int) -> None:
         if _committed(pairs_path, batch_id) and _committed(index_path, batch_id):
@@ -213,21 +244,83 @@ def lsh_dedup_sink(
             eager=True
         )
         if not _committed(pairs_path, batch_id):
-            if os.path.isdir(idx_data):
-                index = spark.read.schema(INDEX_SCHEMA).parquet(idx_data)
-            else:
-                index = spark.createDataFrame([], INDEX_SCHEMA)
-            pairs = dedup.minhash_lsh_pairs_incremental(
-                batch, index, threshold=threshold, text_col=text_col, id_col=id_col,
-                new_index=sig,
+            pvals = [
+                r["p"]
+                for r in sig.select(F.explode("bkt").alias("bkt"))
+                .select(F.pmod("bkt", F.lit(P)).alias("p"))
+                .distinct()
+                .collect()
+            ]
+            idx_bands = read_or_empty(
+                colliding_partition_paths(bands_root, "p", pvals),
+                BANDS_SCHEMA, ["bkt", "idx_id"],
             )
-            pairs.write.mode("append").parquet(pairs_data)
+            # two-phase: candidates first (cheap), then prune the docs read
+            # to the partitions holding candidate ids before verification.
+            pairs = _banded_pairs_with_pruned_sets(
+                spark, dedup, sig, idx_bands, docs_root, Q, threshold
+            )
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_data, f"batch={batch_id}")
+            )
             _mark_committed(pairs_path, batch_id)
         if not _committed(index_path, batch_id):
-            sig.write.mode("append").parquet(idx_data)
+            (
+                sig.select(F.explode("bkt").alias("bkt"), F.col("doc_id").alias("idx_id"))
+                .withColumn("p", F.pmod("bkt", F.lit(P)))
+                .write.mode("overwrite")
+                .partitionBy("p")
+                .parquet(os.path.join(bands_root, f"batch={batch_id}"))
+            )
+            (
+                sig.withColumn("q", F.pmod(F.xxhash64("doc_id"), F.lit(Q)))
+                .write.mode("overwrite")
+                .partitionBy("q")
+                .parquet(os.path.join(docs_root, f"batch={batch_id}"))
+            )
             _mark_committed(index_path, batch_id)
 
     return write
+
+
+def _banded_pairs_with_pruned_sets(
+    spark: SparkSession, dedup, sig: DataFrame, idx_bands: DataFrame,
+    docs_root: str, Q: int, threshold: float,
+) -> DataFrame:
+    """Candidate pairs from the pruned banded scan, verified against a docs
+    read pruned to the partitions that hold candidate index ids.
+
+    The stored copy of any doc_id in the batch itself is anti-joined away
+    (latest text wins) — normally the pairs-before-index commit order keeps
+    the store disjoint from the batch, but a replay that lost its markers
+    after the index write would otherwise see the batch twice and emit
+    every in-batch pair twice."""
+    idx_bands = idx_bands.join(
+        sig.select(F.col("doc_id").alias("idx_id")), "idx_id", "left_anti"
+    )
+    new_bands = sig.select("doc_id", F.explode("bkt").alias("bkt"))
+    cand_idx_ids = (
+        new_bands.join(idx_bands, "bkt")
+        .filter(F.col("doc_id") != F.col("idx_id"))
+        .select("idx_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    qvals = [
+        r["q"]
+        for r in cand_idx_ids.select(
+            F.pmod(F.xxhash64("idx_id"), F.lit(Q)).alias("q")
+        ).distinct().collect()
+    ]
+    doc_paths = colliding_partition_paths(docs_root, "q", qvals)
+    if doc_paths:
+        idx_sets = (
+            spark.read.schema(SETS_SCHEMA).parquet(*doc_paths)
+            .join(cand_idx_ids.withColumnRenamed("idx_id", "doc_id"), "doc_id", "left_semi")
+        )
+    else:
+        idx_sets = spark.createDataFrame([], SETS_SCHEMA)
+    return dedup.minhash_lsh_pairs_banded(sig, idx_bands, idx_sets, threshold=threshold)
 
 
 def dynamic_routing_sink(base_dir: str, sink_table_col: str = "sink_table"):

@@ -561,9 +561,93 @@ def test_lsh_dedup_sink_streaming_equals_batch(spark, sf_dir, tmp_path):
         for r in dedup.minhash_lsh_pairs(docs).collect()
     }
     assert got == want and len(want) > 0
-    indexed = spark.read.parquet(os.path.join(index_path, "data"))
+    indexed = spark.read.parquet(os.path.join(index_path, "docs"))
     assert indexed.count() == docs.count()
     assert indexed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_lsh_dedup_sink_prunes_index_scan_to_colliding_partitions(spark, sf_dir, tmp_path):
+    """The per-batch candidate scan must read ONLY the band-store partitions
+    whose p = pmod(bkt, P) collides with the batch's own band keys — a
+    one-doc batch touches at most 32 band keys, so with P=64 it must read a
+    strict subset of the store's partition directories (file-count
+    assertion), and pruning must be lossless: pairs equal the unpruned
+    incremental run against the full index."""
+    import glob
+
+    from flink_gmall2024_realtime_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_path = os.path.join(str(tmp_path), "lsh_index")
+    pairs_path = os.path.join(str(tmp_path), "lsh_pairs")
+    write = sinks.lsh_dedup_sink(
+        spark, index_path, pairs_path, band_partitions=64, doc_partitions=64
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 2)
+    write(corpus, 0)  # seed the store
+    bands_root = os.path.join(index_path, "bands")
+    all_parts = glob.glob(os.path.join(bands_root, "batch=*", "p=*"))
+
+    one = docs.orderBy("doc_id").limit(1)
+    sig = dedup.minhash_index(one)
+    pvals = {
+        r["p"]
+        for r in sig.select(F.explode("bkt").alias("bkt"))
+        .select(F.pmod("bkt", F.lit(64)).alias("p"))
+        .collect()
+    }
+    pruned = sinks.colliding_partition_paths(bands_root, "p", pvals)
+    assert 0 < len(pruned) < len(all_parts)  # strict subset of the store
+    assert set(pruned) <= set(all_parts)
+    # lossless: the pruned banded read yields the same pairs as the
+    # unpruned incremental run against the full index frame
+    write(one, 1)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.read.parquet(
+            os.path.join(pairs_path, "data", "batch=1")
+        ).collect()
+    }
+    full_index = dedup.minhash_index(corpus)
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs_incremental(one, full_index).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_lsh_dedup_sink_crash_between_write_and_marker_is_idempotent(spark, sf_dir, tmp_path):
+    """ADVICE r2: a crash AFTER the pairs/index write but BEFORE the commit
+    marker must not duplicate rows on replay — every batch write overwrites
+    its own deterministic batch=<id> directory, so replaying batch N
+    rewrites the same data instead of appending a second copy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_path = os.path.join(str(tmp_path), "lsh_index")
+    pairs_path = os.path.join(str(tmp_path), "lsh_pairs")
+    write = sinks.lsh_dedup_sink(spark, index_path, pairs_path)
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    write(b0, 0)
+    write(b1, 1)
+    # simulate the crash window: markers for batch 1 vanish after the data
+    # landed, so the replay re-runs the full batch-1 write path
+    os.remove(os.path.join(pairs_path, "_commits", "1"))
+    os.remove(os.path.join(index_path, "_commits", "1"))
+    write(b1, 1)
+    pairs = spark.read.parquet(os.path.join(pairs_path, "data")).select(
+        "id_a", "id_b", "jaccard"
+    )
+    assert pairs.count() == pairs.distinct().count()  # no duplicated pairs
+    indexed = spark.read.parquet(os.path.join(index_path, "docs"))
+    assert indexed.count() == docs.count()  # no doubly-inserted index rows
+    from flink_gmall2024_realtime_spark.operators import dedup
+
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs.collect()}
+    assert got == want
 
 
 def test_streaming_keyword_window_matches_batch(spark, sf_dir, tmp_path):
@@ -632,7 +716,9 @@ def test_lsh_dedup_sink_restart_exactly_once(spark, sf_dir, tmp_path):
     run_once()  # restart: must process only chunk 2
     run_once()  # replay with nothing new: must be a no-op
 
-    pairs = spark.read.parquet(os.path.join(pairs_path, "data"))
+    pairs = spark.read.parquet(os.path.join(pairs_path, "data")).select(
+        "id_a", "id_b", "jaccard"
+    )
     assert pairs.count() == pairs.distinct().count()  # no duplicate emissions
     got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs.collect()}
     want = {
@@ -640,5 +726,5 @@ def test_lsh_dedup_sink_restart_exactly_once(spark, sf_dir, tmp_path):
         for r in dedup.minhash_lsh_pairs(docs).collect()
     }
     assert got == want
-    indexed = spark.read.parquet(os.path.join(index_path, "data"))
+    indexed = spark.read.parquet(os.path.join(index_path, "docs"))
     assert indexed.count() == docs.count()
