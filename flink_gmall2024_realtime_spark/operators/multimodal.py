@@ -89,12 +89,12 @@ def to_media_table(df: DataFrame, id_col: str, payload: Column, mime: str) -> Da
 
 def synth_bmp(seed: int) -> bytes:
     """Deterministic valid 24bpp BMP: width = seed%31+1, height = seed%17+1,
-    every pixel byte = seed%251 (padding bytes are 0 — so a decoder that
-    fails to strip row padding corrupts the pixel sum for any width where
-    3*width % 4 != 0)."""
+    every pixel byte = seed%251. Row-padding bytes are 0xAB (the format
+    leaves them arbitrary), so a decoder that fails to strip row padding
+    corrupts the pixel sum for any width where 3*width % 4 != 0."""
     w, h = seed % 31 + 1, seed % 17 + 1
     stride = (3 * w + 3) // 4 * 4
-    pix = bytes([seed % 251]) * (3 * w) + b"\x00" * (stride - 3 * w)
+    pix = bytes([seed % 251]) * (3 * w) + b"\xab" * (stride - 3 * w)
     data = pix * h
     off = 14 + 40
     header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)

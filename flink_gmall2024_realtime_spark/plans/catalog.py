@@ -1144,38 +1144,79 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     oracle="""
 SELECT doc_id AS media_id,
-       (octet_length(encode(text)) % 640 + 1)::INT AS width,
-       (octet_length(encode(text)) % 480 + 1)::INT AS height,
-       (octet_length(encode(text)) % 30 + 1)::INT AS n_frames
+       (doc_id % 31 + 1)::INT AS width,
+       (doc_id % 17 + 1)::INT AS height,
+       (54 + ((3 * (doc_id % 31 + 1) + 3) // 4 * 4) * (doc_id % 17 + 1))::BIGINT AS n_bytes,
+       (3 * (doc_id % 31 + 1) * (doc_id % 17 + 1) * (doc_id % 251))::BIGINT AS pix_sum
 FROM documents
 """,
     survey_ids=("mm-decode",),
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode plumbing (mapInPandas): the codec is a
-    deterministic stub (media libs not in this container) but the schema,
-    batch shape and partition behavior are the real production path."""
+    """REAL image decode over an Arrow-batched binary column: synthesize a
+    valid 24bpp BMP per doc (struct.pack encoder), decode it back with the
+    independent numpy parser (header fields, bottom-up rows, 4-byte row
+    padding stripped — padding bytes are 0xAB, so sloppy stripping breaks
+    pix_sum). The oracle predicts width/height/file size/pixel sum from
+    the seed arithmetic alone, so a hash match proves the decoder parsed
+    the binary format correctly — not that it echoed the fixture."""
     docs = _t(spark, sf_dir, "documents")
-    media = multimodal.to_media_table(docs, "doc_id", F.col("text").cast("binary"), "text/plain")
+    payloads = multimodal.synth_media(docs, "doc_id", "bmp")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/bmp")
     decoded = multimodal.decode_media(media)
-    return decoded.select("media_id", "width", "height", "n_frames")
+    return decoded.select(
+        "media_id", "width", "height", "n_bytes",
+        F.col("sample_sum").alias("pix_sum"),
+    )
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       (doc_id % 1200 + 1)::INT AS n_samples,
+       ((doc_id % 1200 + 1) * 1000 // 8000)::BIGINT AS duration_ms,
+       ((doc_id % 1200 + 1) * (doc_id % 1001 - 500))::BIGINT AS amp_sum
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: synthesize a valid PCM16 RIFF/WAV per doc (with a
+    decoy 'cue ' chunk so data offsets can't be hardcoded), decode via the
+    numpy RIFF walker, report rate / sample count / duration / amplitude
+    sum — all predicted by the oracle from seed arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "wav")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "audio/wav")
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id", "sample_rate",
+        F.col("n_frames").alias("n_samples"),
+        "duration_ms",
+        F.col("sample_sum").alias("amp_sum"),
+    )
 
 
 @register(
     "multimodal_frame_sample",
     oracle="""
-SELECT doc_id AS media_id, unnest(range(0, octet_length(encode(text)) % 30 + 1, 10)) AS frame_idx
+SELECT doc_id AS media_id,
+       unnest(range(0, (doc_id % 1200 + 1), 100))::BIGINT AS frame_idx
 FROM documents
 """,
     survey_ids=("mm-frames",),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plan: pure sequence+explode over decoded frame counts —
-    no Python, no shuffle."""
+    """Frame/sample-index sampling plan over REAL decoded WAV sample counts:
+    pure sequence+explode downstream of the decode — no extra Python, no
+    shuffle."""
     docs = _t(spark, sf_dir, "documents")
-    media = multimodal.to_media_table(docs, "doc_id", F.col("text").cast("binary"), "text/plain")
+    payloads = multimodal.synth_media(docs, "doc_id", "wav")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "audio/wav")
     decoded = multimodal.decode_media(media)
-    return multimodal.frame_sample(decoded, every_nth=10).select(
+    return multimodal.frame_sample(decoded, every_nth=100).select(
         "media_id", F.col("frame_idx").cast("bigint").alias("frame_idx")
     )
 

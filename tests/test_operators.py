@@ -608,3 +608,58 @@ def test_range_bucket_join_left_preserves_unmatched_facts(spark):
     assert got == want
     unmatched = [p for p, rid in got if rid is None]
     assert 23 in unmatched and 29 in unmatched  # bucket-collision and no-bucket cases
+
+
+def test_bmp_codec_golden_and_padding():
+    """Pure-numpy BMP decoder against handcrafted golden bytes: header
+    parse, bottom-up rows, and 4-byte row-padding strip (synth pads with
+    0xAB, so an unstripped read corrupts the sum for 3w % 4 != 0)."""
+    import struct
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import decode_bmp, synth_bmp
+
+    # golden 2x1, 24bpp: pixels (B,G,R) = (1,2,3), (4,5,6); stride 8 -> 2 pad
+    px = bytes([1, 2, 3, 4, 5, 6, 0xFF, 0xFF])
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    assert decode_bmp(hdr + info + px) == (2, 1, 6, 21)  # pad 0xFF excluded
+    for seed in [0, 3, 7, 251, 999]:
+        w, h, n_px, s = decode_bmp(synth_bmp(seed))
+        assert (w, h) == (seed % 31 + 1, seed % 17 + 1)
+        assert n_px == 3 * w * h and s == n_px * (seed % 251)
+
+
+def test_wav_codec_golden_and_chunk_walk():
+    """RIFF walker against handcrafted golden bytes: fmt parse, decoy chunk
+    skipped, odd-size chunk word alignment honored."""
+    import struct
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import decode_wav, synth_wav
+
+    data = struct.pack("<3h", 100, -200, 300)
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"junk" + struct.pack("<I", 3) + b"ab\x00\x00"  # odd size, padded
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_wav(payload) == (1, 44100, 3, 200)
+    for seed in [0, 5, 1199, 1200, 4242]:
+        ch, rate, n, s = decode_wav(synth_wav(seed))
+        assert (ch, rate) == (1, 8000)
+        assert n == seed % 1200 + 1 and s == n * (seed % 1001 - 500)
+
+
+def test_decode_media_unsupported_mime_raises(spark):
+    """Compressed formats stay an explicit NotImplementedError seam — the
+    dispatch must fail loudly, not fake dimensions."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = multimodal.to_media_table(df, "doc_id", F.col("text").cast("binary"), "image/jpeg")
+    with _pytest.raises(Exception, match="no codec for mime"):
+        multimodal.decode_media(media).collect()
