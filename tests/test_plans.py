@@ -149,6 +149,16 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
         "dws_daily_uv": 2,                # first-flag window + daily agg
         "k3_upsert_final_state": 1,
         "dwd_interval_join": 0,           # broadcast + range filter
+        # dedup/ANN family — the pipelines that matter most at 100 TB.
+        # (localCheckpointed stages don't appear in the plan tree; these pin
+        # the post-checkpoint shape: banding/verify joins, cogroup scoring,
+        # final rank windows.)
+        "dedup_minhash_lsh": 2,           # band groupBy + verify attach
+        "dedup_span_exact": 3,            # gram election + coverage anti-join
+        "ann_ivf": 3,                     # cell cogroup (2 sides) + rank window
+        "ann_lsh_bucketed": 3,            # bucket cogroup (2 sides) + rank window
+        "dedup_embedding_cosine": 2,      # symmetric block-grid cogroup
+        "dedup_simhash_pairs": 2,         # chunk-band groupBy + expansion
     }
     for name, budget in budgets.items():
         plan = formatted_plan(spark, CATALOG[name].spark(spark, sf_dir))
