@@ -710,8 +710,10 @@ def embedding_cosine_pairs(
             return empty
         lids = lpdf["vid"].to_numpy(dtype=np.int64)
         rids = rpdf["r_vid"].to_numpy(dtype=np.int64)
-        lmat = np.array([list(v) for v in lpdf["vec"]], dtype=np.float64)
-        rmat = np.array([list(v) for v in rpdf["r_vec"]], dtype=np.float64)
+        from ..operators.similarity import _mat  # noqa: PLC0415
+
+        lmat = _mat(lpdf["vec"])
+        rmat = _mat(rpdf["r_vec"])
         d = lmat.shape[1]
         # dim-sequential accumulation: bit-equal to a scalar loop / the oracle
         acc = lmat[:, 0:1] * rmat[None, :, 0]

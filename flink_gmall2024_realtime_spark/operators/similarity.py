@@ -58,6 +58,15 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
+def _mat(series):
+    """Arrow list-column -> (rows, dim) float64 matrix. np.stack over the
+    Series' ndarray elements is ~3x faster than per-row list() conversion
+    and bit-identical (float32 -> float64 widening is exact)."""
+    import numpy as np
+
+    return np.stack(series.to_numpy()).astype(np.float64, copy=False)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -102,7 +111,7 @@ def brute_force_topk(
             if len(pdf) == 0:
                 continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
-            cmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cmat = _mat(pdf[vec_col])
             # dim-sequential accumulation: bit-equal to a scalar loop
             acc = cmat[:, 0:1] * qmat_[None, :, 0]
             for j in range(1, d):
@@ -195,7 +204,7 @@ def _assign_buckets(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            vmat = _mat(pdf[vec_col])
             proj = vmat[:, 0:1] * weights[None, :, 0]
             nrm = vmat[:, 0] * vmat[:, 0]
             for j in range(1, dim):
@@ -239,8 +248,8 @@ def _score_cogrouped(corpus_side: DataFrame, query_side: DataFrame, key: str, k:
             return empty
         cids = cpdf["neighbor_id"].to_numpy(dtype=np.int64)
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
-        cm = np.array([list(v) for v in cpdf["cv"]], dtype=np.float64)
-        qm = np.array([list(v) for v in qpdf["qv"]], dtype=np.float64)
+        cm = _mat(cpdf["cv"])
+        qm = _mat(qpdf["qv"])
         acc = cm[:, 0:1] * qm[None, :, 0]
         cn = cm[:, 0] * cm[:, 0]
         qn = qm[:, 0] * qm[:, 0]
@@ -403,7 +412,7 @@ def ivf_topk(
                 if len(pdf) == 0:
                     continue
                 vids = pdf[id_col].to_numpy(dtype=np.int64)
-                vmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                vmat = _mat(pdf[vec_col])
                 acc = vmat[:, 0:1] * cen_mat_[None, :, 0]
                 for j in range(1, d):
                     acc = acc + vmat[:, j : j + 1] * cen_mat_[None, :, j]
@@ -479,7 +488,7 @@ def kmeans_centroids(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                v = np.array([list(x) for x in pdf[vec_col]], dtype=np.float64)
+                v = _mat(pdf[vec_col])
                 # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; argmin over cells
                 d2 = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ c.T) + (c * c).sum(axis=1)[None, :]
                 cell = d2.argmin(axis=1)
@@ -531,7 +540,7 @@ def kmeans_inertia(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            v = np.array([list(x) for x in pdf[vec_col]], dtype=np.float64)
+            v = _mat(pdf[vec_col])
             d2 = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ c.T) + (c * c).sum(axis=1)[None, :]
             tot += float(d2.min(axis=1).sum())
         yield pd.DataFrame({"t": [tot]})
