@@ -38,6 +38,53 @@ def salted_aggregate(
     return p1.groupBy(*keys).agg(*phase2)
 
 
+def two_phase_rank(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    bucket_width: float,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Skew-proof per-key ranking: ``row_number() OVER (PARTITION BY key
+    ORDER BY order_col, tiebreak)`` without sorting any key's rows in ONE
+    task.
+
+    A plain ranking window sends every row of a hot key to a single task —
+    the one skew shape neither partial aggregation nor AQE can split
+    (ordering semantics pin rows together). Two-phase decomposition:
+
+    1. bucket rows by value range (``floor(order_col / bucket_width)`` —
+       equal values land in the same bucket, so bucket order IS value
+       order);
+    2. local ``row_number`` within (key, bucket) — the hot key's sort
+       spreads over its buckets;
+    3. per-(key, bucket) counts (a tiny keys x buckets frame) get a
+       running-total window — the ONLY global pass, over counts, not rows;
+    4. final rank = local rank + preceding-buckets offset.
+
+    ``tiebreak`` must make (order_col, tiebreak) unique per key for a
+    deterministic total order. Pick ``bucket_width`` so a hot key spans
+    many buckets (e.g. value-range / desired parallelism)."""
+    from pyspark.sql import Window
+
+    b = df.withColumn("_b", F.floor(F.col(order_col) / bucket_width))
+    local = Window.partitionBy(key, "_b").orderBy(order_col, tiebreak)
+    ranked = b.withColumn("_rn", F.row_number().over(local))
+    counts = b.groupBy(key, "_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    run = (
+        Window.partitionBy(key)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(run), F.lit(0)))
+    return (
+        ranked.join(offsets.select(key, "_b", "_off"), [key, "_b"])
+        .withColumn(rank_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_b", "_rn", "_off")
+    )
+
+
 def salted_join_hint(
     big: DataFrame, small: DataFrame, key: str, salt_buckets: int = 8
 ) -> DataFrame:

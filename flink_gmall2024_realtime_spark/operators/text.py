@@ -436,3 +436,57 @@ def token_rarity(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             F.round(F.percentile("df", F.lit(0.5)), 1).alias("median_df"),
         )
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram language-model predictability score — the
+    perplexity-style quality filter of LLM data pipelines (highly
+    predictable text = boilerplate/template candidates; the real thing
+    trains KenLM, this is its deterministic engine-shaped core: the model
+    IS a DataFrame, trained and applied in one plan).
+
+    Model: MLE conditional p(w2|w1) = c(w1 w2) / c(w1 ·), rounded to 6 dp
+    (rational-derived doubles — cross-engine exact). Score: per doc, the
+    number of bigrams and the sum of their conditional probabilities
+    (DECIMAL partials, order-invariant). Docs with < 2 tokens produce no
+    row.
+
+    100 TB shape: token/bigram count tables are vocabulary-sized, not
+    corpus-sized; every join is equi-keyed on token strings (a hot bigram
+    joins 1:1 against its count row, so frequency skew never fans out);
+    the only per-row window is the doc-local bigram build (partitioned by
+    doc_id — unskewable by construction)."""
+    from pyspark.sql import Window
+
+    from ..functions import TOKEN_SPLIT_RE
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c2.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    model = c2.join(c1, "w1").select(
+        "w1", "w2", F.round(F.col("n12") / F.col("n1"), 6).alias("p")
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(F.col("p").cast("decimal(28,6)")), 6)
+            .cast("double")
+            .alias("pred_score"),
+        )
+    )

@@ -32,7 +32,7 @@ from ..functions import (
     ts_to_datetime,
     ts_to_partition,
 )
-from ..operators import dedup, multimodal, similarity, state, text
+from ..operators import dedup, multimodal, similarity, skew, state, text
 from ..operators.etl import cdc_project, etl_db_stream
 from ..operators.joins import (
     config_router_join,
@@ -3734,3 +3734,55 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     before shuffling, and the top-k is a TakeOrdered over the token table,
     not a global sort."""
     return text.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+# =========================================================================
+# Round 3 additions: corpus-trained bigram LM scoring + skew-proof ranking
+# =========================================================================
+
+_BIGRAM_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]} FOR i IN range(1, len(t))], recursive := true)
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(n12) AS n1 FROM c2 GROUP BY 1),
+model AS (SELECT c2.w1, c2.w2, round(n12::DOUBLE / n1, 6) AS p FROM c2 JOIN c1 USING (w1))
+SELECT doc_id, count(*) AS n_bigrams,
+       round(sum(p::DECIMAL(28, 6)), 6)::DOUBLE AS pred_score
+FROM big JOIN model USING (w1, w2)
+GROUP BY 1
+"""
+
+
+@register("text_bigram_lm", oracle=_BIGRAM_LM_SQL, survey_ids=("text-bigram-lm",))
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style predictability score from a corpus-trained bigram
+    LM — train (count tables) and apply (per-doc conditional-probability
+    sum) in one plan. All joins equi-keyed on tokens; count tables are
+    vocabulary-sized. DECIMAL partials keep the score order-invariant."""
+    return text.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_skew_rank",
+    oracle="""
+SELECT event_id, event_type, value,
+       row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rnk
+FROM events
+""",
+    survey_ids=("skew-tools",),
+)
+def q_skew_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-proof ranking: identical semantics to a per-key
+    row_number window, but a hot key's sort spreads across value-range
+    buckets; the only global pass runs over the tiny per-bucket counts
+    frame. The oracle is the plain window the operator decomposes."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return skew.two_phase_rank(
+        ev, "event_type", "value", "event_id", bucket_width=20.0, rank_col="rnk"
+    )

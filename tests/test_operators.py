@@ -663,3 +663,36 @@ def test_decode_media_unsupported_mime_raises(spark):
     media = multimodal.to_media_table(df, "doc_id", F.col("text").cast("binary"), "image/jpeg")
     with _pytest.raises(Exception, match="no codec for mime"):
         multimodal.decode_media(media).collect()
+
+
+def test_two_phase_rank_equals_plain_window(spark):
+    """Skew-proof rank == row_number() over (key ORDER BY value, tie),
+    including duplicate values inside and across bucket boundaries."""
+    from pyspark.sql import Window
+
+    from flink_gmall2024_realtime_spark.operators.skew import two_phase_rank
+
+    rows = [(i, "hot" if i % 10 else "cold", float((i * 7) % 30)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    got = {
+        (r["k"], r["id"]): r["rnk"]
+        for r in two_phase_rank(df, "k", "v", "id", bucket_width=7.0, rank_col="rnk").collect()
+    }
+    w = Window.partitionBy("k").orderBy("v", "id")
+    want = {
+        (r["k"], r["id"]): r["rnk"]
+        for r in df.withColumn("rnk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_bigram_lm_score_tiny_corpus(spark):
+    """Hand-checkable MLE conditionals: corpus 'a b' / 'a b' / 'a c' gives
+    p(b|a)=2/3, p(c|a)=1/3; scores follow."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_bigrams"], r["pred_score"]) for r in text.bigram_lm_score(df).collect()}
+    assert out == {1: (1, 0.666667), 2: (1, 0.666667), 3: (1, 0.333333)}
+    # doc 4 has < 2 tokens -> no row
