@@ -3264,7 +3264,7 @@ CATALOG["ann_lsh_bucketed"] = QuerySpec(
     CATALOG["ann_lsh_bucketed"].spark,
     _ANN_LSH_SQL,
     CATALOG["ann_lsh_bucketed"].survey_ids,
-    CATALOG["ann_lsh_bucketed"].bench,
+    True,  # benched since r3: the bucket-cogrouped rework must stay measured
 )
 
 
