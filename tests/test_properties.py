@@ -213,3 +213,67 @@ def test_duplicate_span_removal_model(spark, docs_toks):
         for r in duplicate_span_removal(df, width=width).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_keys, st.integers(min_value=-40, max_value=40)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda kv: kv,
+    )
+)
+def test_two_phase_rank_model(spark, rows):
+    """Two-phase rank == the plain per-key (value, id) row_number for any
+    key/value mix, including negative values (floor bucketing) and values
+    straddling bucket boundaries."""
+    from flink_gmall2024_realtime_spark.operators.skew import two_phase_rank
+
+    data = [(i, str(k), float(v)) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k string, v double")
+    got = {
+        (r["k"], r["id"]): r["rnk"]
+        for r in two_phase_rank(df, "k", "v", "id", bucket_width=7.0, rank_col="rnk").collect()
+    }
+    model = {}
+    bykey: dict[str, list] = {}
+    for i, k, v in data:
+        bykey.setdefault(k, []).append((v, i))
+    for k, vs in bykey.items():
+        for rank, (v, i) in enumerate(sorted(vs), start=1):
+            model[(k, i)] = rank
+    assert got == model
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bigram_lm_model(spark, docs_toks):
+    """Bigram LM scores == a pure-Python MLE model over the same corpus
+    (6-dp rounding applied at the same points)."""
+    from flink_gmall2024_realtime_spark.operators.text import bigram_lm_score
+
+    data = [(i, " ".join(toks)) for i, toks in enumerate(docs_toks)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["pred_score"]) for r in bigram_lm_score(df).collect()}
+
+    c2: dict[tuple, int] = {}
+    c1: dict[str, int] = {}
+    for toks in docs_toks:
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    model = {}
+    for i, toks in enumerate(docs_toks):
+        bigs = list(zip(toks, toks[1:]))
+        if not bigs:
+            continue
+        s = sum(round(c2[p] / c1[p[0]], 6) for p in bigs)
+        model[i] = (len(bigs), round(s, 6))
+    assert got == model
