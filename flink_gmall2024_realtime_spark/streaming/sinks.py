@@ -169,6 +169,78 @@ BANDS_SCHEMA = "bkt long, idx_id long"
 SETS_SCHEMA = "doc_id long, shs array<bigint>"
 
 
+def _heal_store(root: str) -> None:
+    """Finish an interrupted ``compact_lsh_index`` swap: restore the backup
+    if the live root vanished mid-swap; drop a stale backup/stage
+    otherwise."""
+    old, stage = root + ".old", root + ".stage"
+    if not os.path.isdir(root) and os.path.isdir(old):
+        os.rename(old, root)
+    if os.path.isdir(root):
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def compact_lsh_index(
+    spark: SparkSession,
+    index_path: str,
+    band_partitions: int = 64,
+    doc_partitions: int = 64,
+) -> None:
+    """Maintenance pass for the streaming dedup index: merge the per-batch
+    ``batch=<id>`` directories into one ``batch=base`` layout per store.
+
+    Why it exists: each micro-batch adds a directory with up to P (bands)
+    and Q (docs) partition subdirs, so after B batches a pruned scan reads
+    O(B) files per colliding partition and the driver-side listing walks
+    O(B x |vals|) paths. Compaction folds all COMMITTED batch dirs into
+    one, restoring O(1) files per partition; partition values are
+    recomputed from row content (pmod of bkt / xxhash64(doc_id)), so
+    pruning semantics are unchanged. An uncommitted batch directory (crash
+    window between data and marker) is carried over verbatim — folding it
+    into base would duplicate its rows when the replay overwrites its
+    batch dir.
+
+    Single-writer contract (same as the sink): run between micro-batches,
+    never concurrently with a write. Crash-safe via stage + two-rename
+    swap; ``_heal_store`` (called here and by every sink write) finishes
+    an interrupted swap."""
+    bands_root = os.path.join(index_path, "bands")
+    docs_root = os.path.join(index_path, "docs")
+    committed = set(os.listdir(os.path.join(index_path, "_commits"))) if os.path.isdir(
+        os.path.join(index_path, "_commits")
+    ) else set()
+    for root, schema, pcol, pexpr in (
+        (bands_root, BANDS_SCHEMA, "p", F.pmod(F.col("bkt"), F.lit(band_partitions))),
+        (docs_root, INDEX_SCHEMA, "q", F.pmod(F.xxhash64("doc_id"), F.lit(doc_partitions))),
+    ):
+        _heal_store(root)
+        if not os.path.isdir(root):
+            continue
+        batch_dirs = [d for d in sorted(os.listdir(root)) if d.startswith("batch=")]
+        done = [d for d in batch_dirs if d.split("=", 1)[1] == "base" or d.split("=", 1)[1] in committed]
+        carry = [d for d in batch_dirs if d not in done]
+        if len(done) <= 1:
+            continue
+        src = [os.path.join(root, d, f"{pcol}=*") for d in done]
+        df = spark.read.schema(schema).parquet(*src)
+        stage = root + ".stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            df.withColumn(pcol, pexpr)
+            .write.mode("overwrite")
+            .partitionBy(pcol)
+            .parquet(os.path.join(stage, "batch=base"))
+        )
+        for d in carry:  # preserve uncommitted batch dirs verbatim
+            shutil.copytree(os.path.join(root, d), os.path.join(stage, d))
+        old = root + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(root, old)
+        os.rename(stage, root)
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def colliding_partition_paths(root: str, key: str, vals) -> list[str]:
     """Leaf partition directories ``<root>/batch=*/<key>=<v>`` for the given
     partition values — the pruned read set for the per-batch index scan.
@@ -240,6 +312,8 @@ def lsh_dedup_sink(
     def write(batch: DataFrame, batch_id: int) -> None:
         if _committed(pairs_path, batch_id) and _committed(index_path, batch_id):
             return
+        _heal_store(bands_root)
+        _heal_store(docs_root)
         sig = dedup.minhash_index(batch, text_col=text_col, id_col=id_col).localCheckpoint(
             eager=True
         )

@@ -650,6 +650,47 @@ def test_lsh_dedup_sink_crash_between_write_and_marker_is_idempotent(spark, sf_d
     assert got == want
 
 
+def test_lsh_index_compaction_preserves_pairs_and_prunes(spark, sf_dir, tmp_path):
+    """compact_lsh_index folds per-batch store dirs into one batch=base:
+    same future pairs, pruning intact, O(1) dirs per partition — and an
+    interrupted swap heals on the next write."""
+    import glob
+
+    from flink_gmall2024_realtime_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_path = os.path.join(str(tmp_path), "lsh_index")
+    pairs_path = os.path.join(str(tmp_path), "lsh_pairs")
+    write = sinks.lsh_dedup_sink(spark, index_path, pairs_path)
+    for i in range(3):
+        write(docs.filter(F.col("doc_id") % 4 == i), i)
+    bands_root = os.path.join(index_path, "bands")
+    assert len(glob.glob(os.path.join(bands_root, "batch=*"))) == 3
+    sinks.compact_lsh_index(spark, index_path)
+    assert [os.path.basename(d) for d in glob.glob(os.path.join(bands_root, "batch=*"))] == ["batch=base"]
+    # the fourth batch dedups against the compacted store identically
+    last = docs.filter(F.col("doc_id") % 4 == 3)
+    write(last, 3)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.read.parquet(os.path.join(pairs_path, "data", "batch=3")).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs_incremental(
+            last, dedup.minhash_index(docs.filter(F.col("doc_id") % 4 != 3))
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    # index content identical to the uncompacted equivalent
+    indexed = spark.read.parquet(os.path.join(index_path, "docs"))
+    assert indexed.count() == docs.count()
+    # interrupted swap: live root renamed aside, stage in place -> heal
+    os.rename(bands_root, bands_root + ".old")
+    sinks._heal_store(bands_root)
+    assert os.path.isdir(bands_root) and not os.path.isdir(bands_root + ".old")
+
+
 def test_streaming_keyword_window_matches_batch(spark, sf_dir, tmp_path):
     """The keyword-window app's streaming twin emits exactly the batch
     catalog rows for every window the watermark closed."""
