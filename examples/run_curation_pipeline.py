@@ -112,6 +112,14 @@ def main() -> None:
         & (F.col("lang_pred") != "und")
     )
 
+    # 5b. perplexity-style boilerplate gate: corpus-trained bigram LM —
+    # docs whose bigrams are near-perfectly predictable (mean conditional
+    # probability ~1) are templates/repeats; drop the extreme tail
+    lm = text.bigram_lm_score(gated)
+    predictable = lm.filter(F.col("pred_score") / F.col("n_bigrams") > 0.98).select("doc_id")
+    n_boiler = predictable.count()
+    gated = gated.join(predictable, "doc_id", "left_anti")
+
     # 6-8. scrub, split, stamp
     curated = (
         gated.select(
@@ -145,7 +153,8 @@ def main() -> None:
     print(
         f"corpus: {n0} -> exact-dedup+domain-cap {docs1.count()} -> near-dup {docs2.count()}"
         f" (span-dedup removed {span_removed} tokens)"
-        f" -> gated {gated.count()}; embedding near-dup pairs reported: {emb_pairs}"
+        f" -> gated {gated.count()} (bigram-LM boilerplate gate dropped {n_boiler});"
+        f" embedding near-dup pairs reported: {emb_pairs}"
     )
     print(f"curated splits: {per_split}")
     print(
