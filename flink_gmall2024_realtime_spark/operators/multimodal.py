@@ -124,6 +124,131 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, int]:
 
 
 # --------------------------------------------------------------------------
+# PNG: signature + IHDR/IDAT/IEND chunks (CRC32), zlib-compressed scanlines,
+# one filter byte per row (types 0-4). Public layout (RFC 2083); stdlib zlib
+# makes a REAL codec possible with no vendored libraries.
+# --------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def synth_png(seed: int) -> bytes:
+    """Deterministic valid 8-bit RGB PNG: width = seed%29+1, height =
+    seed%13+1, every pixel byte = seed%251. Row r is encoded with filter
+    type r%5, so ALL FIVE filter reconstructions (None/Sub/Up/Average/
+    Paeth) must be correct for the decoder to recover the constant image —
+    the filter math here (encoder direction) is an independent code path
+    from ``decode_png``'s reconstruction."""
+    import zlib
+
+    w, h, c = seed % 29 + 1, seed % 13 + 1, seed % 251
+    bpp, stride = 3, 3 * (seed % 29 + 1)
+    prev = bytes(stride)  # spec: the row above row 0 is all zero
+    cur = bytes([c]) * stride
+    raw = bytearray()
+    for r in range(h):
+        ft = r % 5
+        raw.append(ft)
+        for i in range(stride):
+            left = cur[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            if ft == 0:
+                x = cur[i]
+            elif ft == 1:  # Sub
+                x = (cur[i] - left) & 0xFF
+            elif ft == 2:  # Up
+                x = (cur[i] - up) & 0xFF
+            elif ft == 3:  # Average
+                x = (cur[i] - (left + up) // 2) & 0xFF
+            else:  # Paeth
+                ul = prev[i - bpp] if i >= bpp else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                x = (cur[i] - pred) & 0xFF
+            raw.append(x)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL PNG decode for 8-bit RGB non-interlaced images: chunk walk with
+    CRC verification, zlib inflate, and full scanline unfiltering (all five
+    filter types). Returns (width, height, n_px, pix_sum) like
+    ``decode_bmp``. The reconstruction loop is reference-grade Python —
+    rows are tiny in fixtures; a production deployment vendors libpng/
+    Pillow at exactly this seam."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, w = 8, b"", None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype_ != 2 or interlace != 0:
+                raise NotImplementedError("only 8-bit RGB non-interlaced PNG supported")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(idat)
+    bpp, stride = 3, 3 * w
+    prev = bytearray(stride)
+    total = 0
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        cur = bytearray(stride)
+        for i in range(stride):
+            left = cur[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            elif ft == 4:
+                ul = prev[i - bpp] if i >= bpp else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            cur[i] = (line[i] + pred) & 0xFF
+        total += sum(cur)
+        prev = cur
+    return w, h, stride * h, total
+
+
+# --------------------------------------------------------------------------
 # WAV: RIFF container, 'fmt ' + 'data' chunks, PCM16. Public layout.
 # --------------------------------------------------------------------------
 
@@ -190,7 +315,7 @@ def _synth_udf(fn):
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
-    fn = {"bmp": synth_bmp, "wav": synth_wav}[kind]
+    fn = {"bmp": synth_bmp, "wav": synth_wav, "png": synth_png}[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"
     )
@@ -211,6 +336,9 @@ def decode_media(media: DataFrame) -> DataFrame:
             ):
                 if m == "image/bmp":
                     w, h, n_px, s = decode_bmp(bytes(p))
+                    rows.append((mid, m, nb, w, h, 1, None, None, s))
+                elif m == "image/png":
+                    w, h, n_px, s = decode_png(bytes(p))
                     rows.append((mid, m, nb, w, h, 1, None, None, s))
                 elif m == "audio/wav":
                     _ch, rate, n, s = decode_wav(bytes(p))

@@ -3786,3 +3786,33 @@ def q_skew_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.two_phase_rank(
         ev, "event_type", "value", "event_id", bucket_width=20.0, rank_col="rnk"
     )
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 29 + 1)::INT AS width,
+       (doc_id % 13 + 1)::INT AS height,
+       (3 * (doc_id % 29 + 1) * (doc_id % 13 + 1))::BIGINT AS n_px,
+       (3 * (doc_id % 29 + 1) * (doc_id % 13 + 1) * (doc_id % 251))::BIGINT AS pix_sum
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, zero vendored libs: synthesize a valid
+    8-bit RGB PNG per doc (stdlib-zlib IDAT, CRC32 chunk framing, row r
+    filtered with type r%5) and decode it back — chunk walk with CRC
+    verification, inflate, full five-filter scanline reconstruction. The
+    oracle predicts pixel geometry/sum from seed arithmetic; a wrong
+    Sub/Up/Average/Paeth reconstruction corrupts pix_sum."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "png")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/png")
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id", "width", "height",
+        (F.lit(3) * F.col("width") * F.col("height")).cast("long").alias("n_px"),
+        F.col("sample_sum").alias("pix_sum"),
+    )

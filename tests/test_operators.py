@@ -696,3 +696,21 @@ def test_bigram_lm_score_tiny_corpus(spark):
     out = {r["doc_id"]: (r["n_bigrams"], r["pred_score"]) for r in text.bigram_lm_score(df).collect()}
     assert out == {1: (1, 0.666667), 2: (1, 0.666667), 3: (1, 0.333333)}
     # doc 4 has < 2 tokens -> no row
+
+
+def test_png_codec_roundtrip_and_crc():
+    """Pure-stdlib PNG codec: encode->decode recovers the constant image
+    through all five row filters (encoder and decoder implement the filter
+    math independently); corrupted chunks are rejected by CRC."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import decode_png, synth_png
+
+    for seed in [0, 7, 100, 997, 28 + 29 * 4]:  # heights >= 5 hit every filter
+        w, h, n_px, s = decode_png(synth_png(seed))
+        ew, eh, c = seed % 29 + 1, seed % 13 + 1, seed % 251
+        assert (w, h, n_px, s) == (ew, eh, 3 * ew * eh, 3 * ew * eh * c)
+    bad = bytearray(synth_png(100))
+    bad[20] ^= 0xFF
+    with _pytest.raises(ValueError, match="bad CRC"):
+        decode_png(bytes(bad))
