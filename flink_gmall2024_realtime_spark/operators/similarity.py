@@ -547,3 +547,148 @@ def kmeans_inertia(
 
     rows = corpus.select(vec_col).mapInPandas(partial, "t double").collect()
     return float(sum(r["t"] for r in rows))
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    cb_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic placeholder PQ codebook: the ``cb_k`` smallest-id
+    corpus vectors (bounded collect — cb_k rows regardless of corpus
+    size). Every subspace shares these source vectors, sliced to its dims.
+    Swap in per-subspace k-means (``kmeans_centroids`` on subvectors) for
+    trained codebooks; assignment/scoring below is identical either way."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(cb_k).collect()
+    return np.array([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def _pq_sub_dists(vmat, cb, s, ds):
+    """Squared-L2 distances of every row's subspace-s slice to each codebook
+    row's slice — accumulated DIMENSION-SEQUENTIALLY (vectorized across
+    rows x centroids only), bit-identical to the unrolled left-to-right SQL
+    expression the oracle uses."""
+    lo = s * ds
+    diff = vmat[:, lo : lo + 1] - cb[None, :, lo]
+    acc = diff * diff
+    for i in range(1, ds):
+        diff = vmat[:, lo + i : lo + i + 1] - cb[None, :, lo + i]
+        acc = acc + diff * diff
+    return acc  # (rows, cb_k)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: each vector becomes ``m`` small
+    centroid indices (nearest codebook entry per subspace, ties to the
+    smaller index). THIS is PQ's scale story: the stored/scored
+    representation is m ints per vector (8 bytes at m=8) instead of
+    dim floats — a 10^9-vector index fits where raw vectors cannot.
+    Output: (neighbor_id, code array<int>)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = dim // m
+    sc = corpus.sparkSession
+    bcb = sc.sparkContext.broadcast(np.asarray(codebook, dtype=np.float64))
+
+    def encode(batches):
+        cb = bcb.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = _mat(pdf[vec_col])
+            codes = np.empty((len(vmat), m), dtype=np.int64)
+            for s in range(m):
+                # argmin returns the FIRST minimum -> ties to smallest j,
+                # matching the oracle's ORDER BY d, j
+                codes[:, s] = _pq_sub_dists(vmat, cb, s, ds).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "code": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, "neighbor_id long, code array<bigint>"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    cb_k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k by squared L2 (asymmetric distance computation):
+    the corpus is scored FROM ITS CODES ONLY — the scoring pass reads m
+    ints per vector, never the vectors — against per-query lookup tables
+    (query-subvector -> each centroid, m x cb_k doubles per query,
+    broadcast with the small query side as in ``brute_force_topk``).
+
+    Determinism contract (exact SQL oracle despite FP addition being
+    non-associative): per-subspace distances are rounded to 6 dp and
+    accumulated as integer micro-units, so the total is order-invariant and
+    bit-equal to the oracle's DECIMAL(28,6) sum. Batch-local top-k bounds
+    the final rank window input. Output: (query_id, neighbor_id, dist,
+    rank), dist ascending."""
+    import numpy as np
+    import pandas as pd
+
+    ds = dim // m
+    cb = pq_codebook(corpus, cb_k, id_col, vec_col)
+    codes = pq_encode(corpus, cb, m, dim, id_col, vec_col)
+
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    # per-query ADC tables in integer micros: rint(round(d, 6) * 1e6) is
+    # exactly the DECIMAL(28,6) the oracle sums
+    tables = np.empty((len(qids), m, cb.shape[0]), dtype=np.int64)
+    for s in range(m):
+        d = _pq_sub_dists(qmat, cb, s, ds)
+        tables[:, s, :] = np.rint(np.round(d, 6) * 1e6).astype(np.int64)
+    sc = corpus.sparkSession
+    bq = sc.sparkContext.broadcast((qids, tables))
+
+    def score(batches):
+        qids_, tables_ = bq.value
+        srange = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cmat = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            rows = []
+            for qi in range(len(qids_)):
+                micros = tables_[qi][srange[None, :], cmat].sum(axis=1)
+                dist = np.round(micros / 1e6, 6)
+                mask = cids != qids_[qi]
+                kk = min(k, int(mask.sum()))
+                idx = np.lexsort((cids[mask], dist[mask]))[:kk]
+                mids, mdist = cids[mask], dist[mask]
+                for ci in idx:
+                    rows.append((qids_[qi], mids[ci], mdist[ci]))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "dist"])
+
+    scored = codes.mapInPandas(score, "query_id long, neighbor_id long, dist double")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )

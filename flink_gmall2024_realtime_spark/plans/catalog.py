@@ -3816,3 +3816,67 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(3) * F.col("width") * F.col("height")).cast("long").alias("n_px"),
         F.col("sample_sum").alias("pix_sum"),
     )
+
+
+def _pq_sub_dist_sql(av: str, bv: str, s: int, ds: int = 8) -> str:
+    """Unrolled left-to-right squared-L2 over subspace s's dims (1-indexed
+    SQL arrays) — textual order matches the numpy dimension-sequential
+    accumulation bit for bit."""
+    terms = []
+    for i in range(ds):
+        idx = s * ds + i + 1
+        terms.append(f"(({av}[{idx}] - {bv}[{idx}]) * ({av}[{idx}] - {bv}[{idx}]))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_pq_sql(m: int = 8, cb_k: int = 16, k: int = 5) -> str:
+    corpus_subs = "\nUNION ALL\n".join(
+        f"SELECT e.vec_id, {s} AS s, cb.j, {_pq_sub_dist_sql('e.v', 'cb.cv', s)} AS d FROM e CROSS JOIN cb"
+        for s in range(m)
+    )
+    query_subs = "\nUNION ALL\n".join(
+        f"SELECT q.query_id, {s} AS s, cb.j, {_pq_sub_dist_sql('q.qv', 'cb.cv', s)} AS d FROM q CROSS JOIN cb"
+        for s in range(m)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {cb_k}) t
+),
+sub AS ({corpus_subs}),
+code AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+    FROM sub
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+qsub AS ({query_subs}),
+approx AS (
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         round(sum(round(qs.d, 6)::DECIMAL(28, 6)), 6)::DOUBLE AS dist
+  FROM code c JOIN qsub qs ON qs.s = c.s AND qs.j = c.j
+  WHERE c.vec_id <> qs.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, dist, rank FROM (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM approx
+) WHERE rank <= {k}
+"""
+
+
+@register("ann_pq", oracle=_ann_pq_sql(), survey_ids=("sim-pq",))
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the memory-compression scale path: the
+    scoring pass reads 8 centroid indices per vector (8 ints), never the
+    vectors, against per-query distance tables; at 10^9 x 64-float scale
+    the scored index is ~8 GB of codes instead of ~256 GB of vectors.
+    Deterministic placeholder codebook (16 smallest-id vectors, bounded
+    collect) + integer-micro distance accumulation make even this
+    approximate index exactly SQL-oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    return similarity.pq_topk(emb, q, k=5)

@@ -714,3 +714,22 @@ def test_png_codec_roundtrip_and_crc():
     bad[20] ^= 0xFF
     with _pytest.raises(ValueError, match="bad CRC"):
         decode_png(bytes(bad))
+
+
+def test_pq_encode_and_topk_tiny(spark):
+    """PQ on a corpus whose vectors ARE the codebook entries: every vector
+    encodes to its own index per subspace and its self-reconstructed
+    distance to an identical twin is 0, so the twin ranks first."""
+    import numpy as np
+
+    rng = [float(x) for x in range(64)]
+    rows = [(i, [float((i * 13 + d * 7) % 11) for d in range(64)]) for i in range(16)]
+    rows.append((100, rows[3][1]))  # identical twin of vec 3
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = similarity.pq_codebook(df, cb_k=16)
+    assert np.asarray(cb).shape == (16, 64)
+    codes = {r["neighbor_id"]: list(r["code"]) for r in similarity.pq_encode(df, cb).collect()}
+    assert codes[100] == codes[3]  # identical vectors -> identical codes
+    out = similarity.pq_topk(df, df.filter(F.col("vec_id") == 100), k=3)
+    top = out.orderBy("rank").collect()
+    assert top[0]["neighbor_id"] == 3 and top[0]["dist"] == 0.0
