@@ -110,7 +110,12 @@ def asof_join(
     Dim rows tie-break before fact rows at equal ts, giving ``>=``
     semantics. Facts with no preceding dim row keep null payload (left
     join). A dim payload that is legitimately NULL reads as absent — dedupe
-    or sentinel such rows upstream."""
+    or sentinel such rows upstream.
+
+    Skew note: the per-key window sorts each key's rows in one task — for
+    a pathologically hot key, decompose by ts-range buckets exactly as
+    ``skew.two_phase_rank`` does (carry-in = last dim row of each
+    preceding bucket, computed on the tiny per-bucket frame)."""
     d = dims.select(key, ts_col, *payload).withColumn("_is_dim", F.lit(1))
     f = facts.withColumn("_is_dim", F.lit(0))
     u = f.unionByName(d, allowMissingColumns=True)

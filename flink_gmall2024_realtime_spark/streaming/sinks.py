@@ -397,6 +397,40 @@ def _banded_pairs_with_pruned_sets(
     return dedup.minhash_lsh_pairs_banded(sig, idx_bands, idx_sets, threshold=threshold)
 
 
+def pq_index_sink(
+    spark: SparkSession,
+    index_path: str,
+    codebook,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming PQ index maintenance: each arriving vector batch is
+    encoded against a FROZEN codebook (training and serving must share it
+    — re-deriving per batch would silently re-index the corpus
+    inconsistently) and its codes land in ``index_path/codes/batch=<id>``.
+    Idempotent per-batch overwrite dirs + commit markers, same contract as
+    ``lsh_dedup_sink``. The stored index is m ints per vector; readers run
+    ``similarity.pq_topk``-style scoring straight off
+    ``spark.read.parquet(index_path + "/codes")``."""
+    from ..operators import similarity
+
+    codes_root = os.path.join(index_path, "codes")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        if _committed(index_path, batch_id):
+            return
+        codes = similarity.pq_encode(batch, codebook, m=m, dim=dim,
+                                     id_col=id_col, vec_col=vec_col)
+        codes.write.mode("overwrite").parquet(
+            os.path.join(codes_root, f"batch={batch_id}")
+        )
+        _mark_committed(index_path, batch_id)
+
+    return write
+
+
 def dynamic_routing_sink(base_dir: str, sink_table_col: str = "sink_table"):
     """K2/R3 — dynamic destination routing: one partitioned write per batch;
     each record lands under its ``sink_table`` value (the file analogue of the

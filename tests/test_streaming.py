@@ -769,3 +769,28 @@ def test_lsh_dedup_sink_restart_exactly_once(spark, sf_dir, tmp_path):
     assert got == want
     indexed = spark.read.parquet(os.path.join(index_path, "docs"))
     assert indexed.count() == docs.count()
+
+
+def test_pq_index_sink_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming PQ index maintenance: codes accumulated over a 3-batch
+    replay equal one batch encode of the whole corpus (frozen codebook),
+    and a replayed batch does not duplicate rows."""
+    from flink_gmall2024_realtime_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = similarity.pq_codebook(emb)
+    index_path = os.path.join(str(tmp_path), "pq_index")
+    write = sinks.pq_index_sink(spark, index_path, cb)
+    for i in range(3):
+        write(emb.filter(F.col("vec_id") % 3 == i), i)
+    os.remove(os.path.join(index_path, "_commits", "2"))
+    write(emb.filter(F.col("vec_id") % 3 == 2), 2)  # lost-marker replay
+    got = {
+        r["neighbor_id"]: tuple(r["code"])
+        for r in spark.read.parquet(os.path.join(index_path, "codes")).collect()
+    }
+    want = {
+        r["neighbor_id"]: tuple(r["code"])
+        for r in similarity.pq_encode(emb, cb).collect()
+    }
+    assert got == want and len(want) == emb.count()
