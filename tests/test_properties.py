@@ -277,3 +277,52 @@ def test_bigram_lm_model(spark, docs_toks):
         s = sum(round(c2[p] / c1[p[0]], 6) for p in bigs)
         model[i] = (len(bigs), round(s, 6))
     assert got == model
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-5, max_value=5), min_size=16, max_size=16),
+        min_size=17,
+        max_size=28,
+        unique_by=lambda v: tuple(v),
+    )
+)
+def test_pq_topk_model(spark, vecs):
+    """pq_topk == a pure-Python PQ model (codebook = 16 smallest ids,
+    per-subspace argmin with ties to the smaller index, integer-micro
+    distance accumulation, rank by (dist, id))."""
+    from flink_gmall2024_realtime_spark.operators.similarity import pq_topk
+
+    dim, m, ds, cbk, k = 16, 4, 4, 16, 3
+    data = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") % 5 == 0)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["dist"])
+        for r in pq_topk(df, queries, k=k, m=m, cb_k=cbk, dim=dim).collect()
+    }
+
+    cb = [v for _i, v in sorted(data)[:cbk]]
+
+    def subd(a, b, s):
+        acc = 0.0
+        for i in range(s * ds, s * ds + ds):
+            acc += (a[i] - b[i]) * (a[i] - b[i])
+        return acc
+
+    codes = {
+        i: [min(range(cbk), key=lambda j: (subd(v, cb[j], s), j)) for s in range(m)]
+        for i, v in data
+    }
+    model = {}
+    for qi, qv in [(i, v) for i, v in data if i % 5 == 0]:
+        table = [[round(round(subd(qv, cb[j], s), 6) * 1e6) for j in range(cbk)] for s in range(m)]
+        scored = sorted(
+            (round(sum(table[s][codes[i][s]] for s in range(m)) / 1e6, 6), i)
+            for i, _v in data
+            if i != qi
+        )
+        for rank, (dist, nid) in enumerate(scored[:k], start=1):
+            model[(qi, rank)] = (nid, dist)
+    assert got == model
