@@ -475,7 +475,15 @@ def bigram_lm_score(
         )
         .filter(F.col("w2").isNotNull())
     )
-    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    # The trained model is the vocabulary-sized bigram count table —
+    # materialize IT (eager localCheckpoint), not the corpus-sized bigram
+    # frame: c2 feeds both the prefix totals and the ratio join, and
+    # without materialization each reference re-runs the corpus pass
+    # (documents would scan 3x; now exactly 2x — train + score, the
+    # honest minimum for train-then-apply in one plan).
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12")).localCheckpoint(
+        eager=True
+    )
     c1 = c2.groupBy("w1").agg(F.sum("n12").alias("n1"))
     model = c2.join(c1, "w1").select(
         "w1", "w2", F.round(F.col("n12") / F.col("n1"), 6).alias("p")

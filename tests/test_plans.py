@@ -160,7 +160,8 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
         "dedup_embedding_cosine": 2,      # symmetric block-grid cogroup
         "dedup_simhash_pairs": 2,         # chunk-band groupBy + expansion
         "q_skew_rank": 3,                 # bucketed local sort + counts + join
-        "text_bigram_lm": 7,              # doc window, 2 count aggs, 2 joins, final agg
+        "text_bigram_lm": 3,              # post-checkpoint: model join + score join + final agg
+                                          # (training pass runs once at the c2 checkpoint)
     }
     for name, budget in budgets.items():
         plan = formatted_plan(spark, CATALOG[name].spark(spark, sf_dir))
