@@ -1,0 +1,784 @@
+"""TPC-H completion: the remaining 15 classic decision-support query shapes.
+
+Round 2 built q1/q3/q5/q10/q13/q17/q18 in ``catalog.py``; this module fills in
+the rest of the TPC-H suite (adapted to the driver's reduced star schema — no
+``partsupp`` table, so part↔supplier relationships derive from the distinct
+``(l_partkey, l_suppkey)`` bridge in ``lineitem``; no ``l_commitdate`` /
+``l_receiptdate``, so "late" means shipped more than N days after
+``o_orderdate``).  Together the 22 shapes cover every relational capability a
+warehouse user of the reference's Flink-SQL layer would reach for: correlated
+scalar subqueries, EXISTS / NOT EXISTS, semi/anti joins, disjunctive join
+predicates, scalar-aggregate thresholds, conditional-ratio aggregates, and
+top-k with deterministic tie-breaks.
+
+Scale discipline (the 100 TB rules these plans follow):
+- only fixed-cardinality dims (``nation`` 25 rows, ``region`` 5 rows) and
+  one-row computed scalars are broadcast-hinted; ``part`` / ``supplier`` /
+  ``customer`` scale with SF, so their joins stay shuffle-hash and AQE is free
+  to broadcast when a filter makes a side small at runtime;
+- every sum over a per-row double product goes through the
+  ``round(x, 6)::DECIMAL(28,6)`` partial (the ``q_salted_agg`` pattern) so the
+  aggregate is partial-order invariant — required for hash-exact oracles and
+  for LIMIT membership not to flip on a cent;
+- scalar thresholds (q11 total, q15 max, q22 avg) are computed as one-row
+  aggregates joined back via broadcast, never as an ``over ()`` window that
+  would serialize the table through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import _t, register
+
+_REV_DEC_SQL = "round(l_extendedprice * (1 - l_discount), 6)::DECIMAL(28,6)"
+
+
+def _rev_dec():
+    """Per-row revenue term, summed order-invariantly (see module docstring).
+
+    Built lazily — pyspark Columns need an active SparkContext, which does
+    not exist at import time."""
+    return F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast(
+        "decimal(28,6)"
+    )
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT p.p_partkey, p.p_name, e.s_name, round(e.s_acctbal, 2) AS s_acctbal, e.n_name
+FROM part p
+JOIN bridge b ON b.l_partkey = p.p_partkey
+JOIN eu e ON e.s_suppkey = b.l_suppkey
+WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+  AND e.s_acctbal = (
+    SELECT min(e2.s_acctbal)
+    FROM bridge b2 JOIN eu e2 ON e2.s_suppkey = b2.l_suppkey
+    WHERE b2.l_partkey = p.p_partkey
+  )
+""",
+    survey_ids=("J1", "J5", "A2"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped minimum-cost supplier: for each qualifying part, the
+    EUROPE supplier(s) with the minimum account balance among those that ever
+    shipped it.  The oracle states it as a correlated scalar subquery; the
+    engine states it as a per-part window ``min`` over the already-filtered
+    candidate set — one shuffle on ``p_partkey``, no decorrelation round-trip,
+    and the window partitions are per-part (bounded), so no skewed task at
+    scale.  ``nation``/``region`` broadcast (fixed 25/5 rows); the
+    part-filter side rides AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    bridge = li.select("l_partkey", "l_suppkey").distinct()
+    eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            n["n_regionkey"] == r["r_regionkey"],
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        p.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+        .join(bridge, F.col("p_partkey") == bridge["l_partkey"])
+        .join(eu, bridge["l_suppkey"] == eu["s_suppkey"])
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_min_bal"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "n_name",
+        )
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1
+""",
+    survey_ids=("J1", "A2"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority check: orders in a half-year window with
+    at least one late-shipped line (no ``l_commitdate`` in the fixture, so
+    "late" = shipped > 60 days after order date).  The EXISTS is a left-semi
+    join whose non-equi leg (the lateness comparison) rides the ``l_orderkey``
+    equi-hash join — no duplicate orders to re-distinct, and the date-range
+    filter pushes into the orders scan before the shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o96 = o.filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-07-01"))
+    )
+    late = o96.join(
+        li,
+        (o96["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o96["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(round(l_extendedprice * l_discount, 6)::DECIMAL(28,6)), 2)::DOUBLE AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+""",
+    survey_ids=("A2", "P6"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecast-revenue-change: a pure scan-filter-aggregate
+    with no join and no grouping — the canonical predicate-pushdown showcase.
+    All three predicates (ship-date range, discount band, quantity cap) reach
+    the parquet scan as PushedFilters (plan-asserted in
+    ``tests/test_tpch.py``), so row groups outside the date range are never
+    decoded.  The single global sum is a two-level partial aggregate in
+    DECIMAL, exact under any partial ordering."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount"), 6).cast(
+        "decimal(28,6)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       round(sum({_REV_DEC_SQL}), 2)::DOUBLE AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_6' AND cn.n_name = 'NATION_7')
+    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_6'))
+GROUP BY 1, 2, 3
+""",
+    survey_ids=("J1", "A2"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral shipping volume between two nations by year.
+    The nation filter is applied to ``customer`` and ``supplier`` *before*
+    their fact joins (each keeps ~1/25 of rows), so the disjunctive
+    nation-pair predicate only has to eliminate the two same-nation combos
+    after the join — the heavy lifting happened at the scans.  ``nation`` is
+    broadcast; the lineitem↔orders join is the only large shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    pair = n.filter(F.col("n_name").isin("NATION_6", "NATION_7"))
+    cn = c.join(F.broadcast(pair), c["c_nationkey"] == pair["n_nationkey"]).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    sn = s.join(F.broadcast(pair), s["s_nationkey"] == pair["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cn, o["o_custkey"] == cn["c_custkey"])
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+SELECT year(o.o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_3' THEN {_REV_DEC_SQL}
+                      ELSE 0.0::DECIMAL(28,6) END)::DOUBLE
+             / sum({_REV_DEC_SQL})::DOUBLE, 4) AS mkt_share
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = cn.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+    survey_ids=("J1", "A2", "F7"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped national market share: the fraction of AMERICA-region
+    ECONOMY-part revenue supplied by NATION_3, by order year.  The
+    numerator/denominator are one conditional-sum pass (no self-join, no
+    second scan); both sums are DECIMAL partials, cast to double only for the
+    final ratio, so the 4-dp share is partial-order invariant.  Region-filtered
+    customers and the type-filtered part dim shrink the fact rows before the
+    wide join; only nation/region carry broadcast hints (fixed size)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    amer_c = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+            n["n_regionkey"] == r["r_regionkey"],
+        )
+        .select("c_custkey")
+    )
+    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    econ_p = p.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    nat_rev = F.when(F.col("supp_nation") == "NATION_3", _rev_dec()).otherwise(
+        F.lit(0.0).cast("decimal(28,6)")
+    )
+    return (
+        li.join(econ_p, li["l_partkey"] == econ_p["p_partkey"])
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= _ts("1996-01-01"))
+                & (F.col("o_orderdate") < _ts("1998-01-01"))
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(amer_c, F.col("o_custkey") == amer_c["c_custkey"])
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nat_rev).cast("double") / F.sum(_rev_dec()).cast("double"), 4
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+SELECT sn.n_name, year(o.o_orderdate) AS o_year,
+       round(sum(round(l.l_extendedprice * (1 - l.l_discount)
+                       - p.p_retailprice * l.l_quantity * 0.1, 6)::DECIMAL(28,6)),
+             2)::DOUBLE AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY 1, 2
+""",
+    survey_ids=("J1", "A2", "F7"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-line profit by supplier nation and year.  No
+    ``partsupp.ps_supplycost`` in the fixture, so unit cost is modeled as 10%
+    of ``p_retailprice`` — same expression both engines, rounded to 6 dp and
+    summed in DECIMAL.  The ``LIKE '%bolt%'`` part filter cannot push to
+    parquet as a range, but it prunes the part side to ~1/8 before its join,
+    and Catalyst evaluates it at the part scan (column-pruned to 3 columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    profit = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1,
+        6,
+    ).cast("decimal(28,6)")
+    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", "n_name"
+    )
+    return (
+        li.join(
+            p.filter(F.col("p_name").like("%bolt%")).select("p_partkey", "p_retailprice"),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
+        .join(o.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_values",
+    oracle="""
+WITH vals AS (
+  SELECT l.l_partkey,
+         sum(round(l.l_extendedprice * (1 + l.l_tax), 6)::DECIMAL(28,6)) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_6'
+  GROUP BY 1
+)
+SELECT l_partkey, round(val, 2)::DOUBLE AS part_value
+FROM vals
+WHERE val::DOUBLE > (SELECT sum(val)::DOUBLE FROM vals) * 0.002
+""",
+    survey_ids=("J1", "A2", "J5"),
+)
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped important-stock identification: parts whose
+    NATION_6-supplied value exceeds a fixed fraction of the national total.
+    The total is a one-row aggregate broadcast back over the per-part values —
+    NOT an ``over ()`` window, which would funnel every row through a single
+    task at scale.  Both levels of the sum are DECIMAL-exact, so the
+    threshold comparison (done in double on exact inputs) cannot flip with
+    partial ordering."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    val = F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")), 6).cast(
+        "decimal(28,6)"
+    )
+    s6 = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_6")),
+        s["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    vals = (
+        li.join(s6, li["l_suppkey"] == s6["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("val"))
+    )
+    total = vals.agg(F.sum("val").cast("double").alias("_total"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("_total") * 0.002)
+        .select("l_partkey", F.round(F.col("val"), 2).cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+    survey_ids=("J1", "A2", "F7"),
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped shipping-mode priority analysis (fixture has no
+    ``l_shipmode``; ``l_linestatus`` plays the category role, and "late"
+    reuses the q4 definition).  One equi-join with a non-equi lateness leg,
+    then conditional counts per category — the two counts are one pass, not
+    two scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li97 = li.filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    return (
+        li97.join(
+            o,
+            (li97["l_orderkey"] == o["o_orderkey"])
+            & (li97["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_DEC_SQL}
+                              ELSE 0.0::DECIMAL(28,6) END)::DOUBLE
+             / sum({_REV_DEC_SQL})::DOUBLE, 4) AS promo_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' AND l.l_shipdate < TIMESTAMP '1997-10-01'
+""",
+    survey_ids=("J1", "A2"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promotion-revenue share for one month: conditional
+    ratio in a single aggregate pass.  The one-month ship-date filter pushes
+    to the lineitem scan and shrinks the fact side to ~1.5% before the part
+    join; the ratio divides two DECIMAL-exact sums in double."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _rev_dec()).otherwise(
+        F.lit(0.0).cast("decimal(28,6)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-09-01"))
+            & (F.col("l_shipdate") < _ts("1997-10-01"))
+        )
+        .join(p.select("p_partkey", "p_type"), li["l_partkey"] == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(_rev_dec()).cast("double"),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey, sum({_REV_DEC_SQL}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, round(r.total_rev, 2)::DOUBLE AS total_revenue
+FROM revenue r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+""",
+    survey_ids=("J1", "A2", "J5"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: supplier(s) achieving the maximum
+    quarterly revenue.  The classic formulation is a view used twice; here the
+    per-supplier aggregate is computed once, its one-row max is broadcast
+    back, and DECIMAL-exact revenue makes the max-equality join safe (a
+    double sum could strand the true max on a 1-ulp difference)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_dec()).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("_max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_max_rev"))
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q16_parts_supplier_cnt",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT b.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+JOIN part p ON p.p_partkey = b.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND b.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+""",
+    survey_ids=("J1", "A2", "J5"),
+)
+def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier diversity per part group: distinct supplier
+    count per (brand, type, size), excluding blacklisted suppliers (negative
+    account balance stands in for the reference's complaint-comment filter).
+    The NOT IN is an anti-join against a tiny filtered side; the bridge comes
+    from lineitem (no partsupp) and is distinct-ed on exactly the join key it
+    shuffles on, so the distinct and the join share a partitioning."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    bridge = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(bad, F.col("l_suppkey") == bad["s_suppkey"], "left_anti")
+    )
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        bridge.join(pf, bridge["l_partkey"] == pf["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT round(sum({_REV_DEC_SQL}), 2)::DOUBLE AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#4' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+""",
+    survey_ids=("J1", "A2"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive predicate join (OR of ANDs mixing both
+    sides).  The join itself stays a hash equi-join on ``p_partkey`` — the
+    disjunction is a post-join filter, NOT a join condition, so Spark cannot
+    degrade to a nested-loop join (plan-asserted).  Single-side conjuncts
+    that appear in every branch could be pre-pushed; here the derivable
+    ``p_size <= 15`` / brand-set filters are applied to the part side
+    explicitly, shrinking the build side ~8x before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pf = p.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#4")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & qty.between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & qty.between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#4") & qty.between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return (
+        li.join(pf, li["l_partkey"] == pf["p_partkey"])
+        .filter(cond)
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+WITH sp AS (
+  SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS sq
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'SMALL'
+  GROUP BY 1, 2
+),
+ptot AS (SELECT l_partkey, sum(sq) AS tq FROM sp GROUP BY 1)
+SELECT DISTINCT s.s_name, n.n_name
+FROM sp
+JOIN ptot ON ptot.l_partkey = sp.l_partkey
+JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE sp.sq > 0.15 * ptot.tq
+""",
+    survey_ids=("J1", "A2", "J5"),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped dominant-supplier detection: suppliers providing more
+    than 15% of the total shipped quantity of some SMALL-type part (the
+    fixture's stand-in for the excess-availability subquery, which needs
+    ``ps_availqty``).  Two grouped sums share the ``l_partkey`` shuffle; the
+    per-(part,supplier) frame joins its own per-part rollup, and quantity
+    sums are whole-number doubles (exact at any magnitude below 2^52, so no
+    DECIMAL detour needed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    small = p.filter(F.col("p_type") == "SMALL").select("p_partkey")
+    sp = (
+        li.join(small, li["l_partkey"] == small["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    ptot = sp.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    dom = (
+        sp.join(ptot, "l_partkey")
+        .filter(F.col("sq") > 0.15 * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        dom.join(s, dom["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    survey_ids=("J1", "A2", "F7"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped suppliers-who-kept-orders-waiting: for finished
+    orders, the supplier whose line was returned while every co-supplier's
+    was not (sole-blame detection; ``l_returnflag = 'R'`` stands in for
+    receipt-after-commit).  Expressed through ``spark.sql`` so Catalyst plans
+    the EXISTS / NOT EXISTS pair as left-semi and left-anti hash joins on
+    ``l_orderkey`` — three scans of lineitem, all joined on the same key, and
+    AQE can reuse the exchange.  Top-20 with a (numwait, s_name) tie-break
+    plans as TakeOrderedAndProject."""
+    for name in ("supplier", "lineitem", "orders"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"v21_{name}")
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM v21_supplier s
+        JOIN v21_lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN v21_orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM v21_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM v21_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "q22_global_sales",
+    oracle="""
+WITH cand AS (
+  SELECT c_custkey, c_acctbal, c_custkey % 7 AS cntrycode
+  FROM customer
+  WHERE c_custkey % 7 IN (1, 3, 5)
+),
+thresh AS (
+  SELECT sum(round(c_acctbal, 2)::DECIMAL(18,2))::DOUBLE / count(*) AS avg_bal
+  FROM cand WHERE c_acctbal > 0.0
+)
+SELECT cntrycode, count(*) AS numcust,
+       round(sum(round(c_acctbal, 2)::DECIMAL(18,2)), 2)::DOUBLE AS totacctbal
+FROM cand
+WHERE c_acctbal > (SELECT avg_bal FROM thresh)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY 1
+""",
+    survey_ids=("J2", "A2", "F9"),
+)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped dormant-account opportunity: above-average-balance
+    customers in selected country codes (``c_custkey % 7`` stands in for the
+    phone prefix) with no orders since 1999 (the reference's 7-year dormancy
+    window).  The average is an exact DECIMAL-sum-over-count one-row
+    broadcast; dormancy is a left-anti join against date-filtered orders
+    (the filter pushes to the orders scan, which shuffles only the surviving
+    ``o_custkey`` values); both the
+    threshold compare and the final 2-dp total are partial-order invariant."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    bal_dec = F.round(F.col("c_acctbal"), 2).cast("decimal(18,2)")
+    cand = c.filter((F.col("c_custkey") % 7).isin(1, 3, 5)).select(
+        "c_custkey", "c_acctbal", (F.col("c_custkey") % 7).alias("cntrycode")
+    )
+    thresh = cand.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(bal_dec).cast("double") / F.count(F.lit(1))).alias("_avg_bal")
+    )
+    return (
+        cand.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            o.filter(F.col("o_orderdate") >= _ts("1999-01-01")).select("o_custkey"),
+            cand["c_custkey"] == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(bal_dec), 2).cast("double").alias("totacctbal"),
+        )
+    )
