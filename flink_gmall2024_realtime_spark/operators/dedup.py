@@ -430,6 +430,60 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_cross(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    perms: int = MINHASH_PERMS,
+    band_rows: int = LSH_BAND_ROWS,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus MinHash+LSH near-dup pairs: every (query-doc, corpus-doc)
+    pair with exact n-gram Jaccard >= threshold — NO within-side pairs.
+
+    This is document-level train/test contamination detection (the
+    winnowed-fingerprint ``text_decontamination`` entry catches verbatim
+    span overlap; this catches whole-document near-duplication): the query
+    side is an eval/benchmark set, the corpus side is the training corpus,
+    and the corpus must never self-join.  Both sides run the same doc-local
+    Arrow signature pass (``_doc_sig_sets``), candidates come from one
+    equi-join on the precomputed band-bucket keys (identical band seeds on
+    both sides, so cross-side collisions work), and exact verification
+    attaches each side's 60-bit shingle-hash set for a codegen
+    ``array_intersect``.  At scale the query side is small relative to the
+    corpus — AQE broadcasts its banded frame, so the corpus side never
+    shuffles more than its banded keys.  Output: (query_id, corpus_id,
+    jaccard)."""
+    qbase = _doc_sig_sets(
+        queries, perms, n, text_col, id_col, band_rows=band_rows
+    ).localCheckpoint(eager=True)
+    cbase = _doc_sig_sets(
+        corpus, perms, n, text_col, id_col, band_rows=band_rows
+    ).localCheckpoint(eager=True)
+    qb = qbase.select(F.col("doc_id").alias("query_id"), F.explode("bkt").alias("bkt"))
+    cb = cbase.select(F.col("doc_id").alias("corpus_id"), F.explode("bkt").alias("bkt"))
+    cand = qb.join(cb, "bkt").select("query_id", "corpus_id").distinct()
+    pairs = (
+        cand.join(
+            qbase.select(F.col("doc_id").alias("query_id"), F.col("shs").alias("shs_q")),
+            "query_id",
+        )
+        .join(
+            cbase.select(F.col("doc_id").alias("corpus_id"), F.col("shs").alias("shs_c")),
+            "corpus_id",
+        )
+    )
+    inter = F.size(F.array_intersect("shs_q", "shs_c"))
+    union = F.size("shs_q") + F.size("shs_c") - inter
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("query_id", "corpus_id", "jaccard")
+    )
+
+
 def minhash_index(
     docs: DataFrame,
     perms: int = MINHASH_PERMS,

@@ -63,6 +63,39 @@ def hash_split(
     return df.withColumn("split", out)
 
 
+def importance_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    frac: float,
+) -> DataFrame:
+    """Deterministic importance-weighted Bernoulli sampling: keep each row
+    with probability ``p_i = min(1, frac * w_i / mean(w))`` — expected kept
+    fraction ``frac`` (exactly, when no p_i clamps), with selection pressure
+    proportional to the weight (quality score, length, dedup-cluster size).
+
+    This is the "sample 30% of the corpus, preferring high-quality docs"
+    primitive of training-mix construction. Like every sampler here the coin
+    is a hash, not an RNG: u_i = md5(id)/2^60, keep iff u_i < p_i — so
+    membership is reproducible on any engine and recomputable years later.
+    Determinism of the comparison: mean(w) divides a DECIMAL-exact sum by an
+    exact count, p_i is a fixed-shape double expression, and u_i's division
+    by 2^60 (a power of two) is float-exact — no partial-order hazard
+    anywhere.  The mean is a one-row aggregate broadcast back over the rows
+    (never an ``over ()`` window).  Adds ``keep_p`` (rounded 6 dp).
+    """
+    w_dec = F.round(F.col(weight_col).cast("double"), 6).cast("decimal(28,6)")
+    stats = df.agg((F.sum(w_dec).cast("double") / F.count(F.lit(1))).alias("_mean_w"))
+    u = md5_long(F.col(id_col).cast("string")).cast("double") / F.lit(float(2**60))
+    p = F.least(F.lit(1.0), F.lit(frac) * F.col(weight_col).cast("double") / F.col("_mean_w"))
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .filter(u < p)
+        .withColumn("keep_p", F.round(p, 6))
+        .drop("_mean_w")
+    )
+
+
 def domain_cap(
     df: DataFrame,
     group_col: str,

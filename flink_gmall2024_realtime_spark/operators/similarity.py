@@ -624,6 +624,157 @@ def pq_encode(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_mod: int = 50,
+    nprobe: int = 4,
+    m: int = 8,
+    cb_k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_centroids: int = 256,
+) -> DataFrame:
+    """IVF + PQ: the composed big-ANN architecture — a coarse inverted file
+    prunes the corpus to ``nprobe`` cells per query, and within cells the
+    scoring reads 8-byte PQ codes, never vectors.  This is the memory AND
+    compute shape of a production 10^9-vector index (FAISS's IVFPQ layout):
+    the scored representation is m ints/vector, and each query touches only
+    its probed cells' codes instead of every code in the corpus (``pq_topk``
+    scans all codes; ``ivf_topk`` reads full vectors in probed cells).
+
+    Everything is the deterministic composition of the two parents, so the
+    approximate two-level index still carries an exact SQL oracle:
+    - coarse cells: ``id % mod_eff == 0`` placeholder centroids (driver
+      collect capped at ~``max_centroids`` rows at any corpus size),
+      cosine assignment rounded to 6 dp with centroid-id ties;
+    - codes: nearest codebook entry per subspace, first-minimum ties;
+    - distances: per-subspace ADC values rounded to 6 dp and accumulated
+      as integer micros — order-invariant, DECIMAL-exact in SQL.
+
+    One corpus Arrow pass emits (id, cell, code) — assignment and encoding
+    share the vector read, and the raw vector is dropped before anything
+    shuffles.  Queries carry their raw vector into the cogrouped per-cell
+    scoring pass (standard asymmetric PQ: the query side is exact), which
+    emits cell-local top-k; the final rank window sees ≤ nprobe*k rows per
+    query. Output: (query_id, neighbor_id, dist, rank), dist ascending."""
+    import numpy as np
+    import pandas as pd
+
+    ds = dim // m
+    mod_eff = max(centroid_mod, -(-corpus.count() // max_centroids))
+    cen_rows = (
+        corpus.filter(F.col(id_col) % mod_eff == 0).select(id_col, vec_col).collect()
+    )
+    cen_ids = np.array([r[0] for r in cen_rows], dtype=np.int64)
+    cen_mat = np.array([list(r[1]) for r in cen_rows], dtype=np.float64)
+    cen_n = cen_mat[:, 0] * cen_mat[:, 0]
+    for j in range(1, dim):
+        cen_n = cen_n + cen_mat[:, j] * cen_mat[:, j]
+    cen_n = np.sqrt(cen_n)
+    cb = pq_codebook(corpus, cb_k, id_col, vec_col)
+    sc = corpus.sparkSession
+    bc = sc.sparkContext.broadcast((cen_ids, cen_mat, cen_n, cb))
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+
+    def _cells(vmat):
+        """Rounded-cosine similarity of each row to every centroid, ordered
+        (sim desc, cid asc) — identical arithmetic to ``ivf_topk.assign``."""
+        cen_ids_, cen_mat_, cen_n_, _cb = bc.value
+        acc = vmat[:, 0:1] * cen_mat_[None, :, 0]
+        vn = vmat[:, 0] * vmat[:, 0]
+        for j in range(1, dim):
+            acc = acc + vmat[:, j : j + 1] * cen_mat_[None, :, j]
+            vn = vn + vmat[:, j] * vmat[:, j]
+        sim = np.round(acc / (np.sqrt(vn)[:, None] * cen_n_[None, :]), 6)
+        return np.lexsort((cen_ids_[None, :].repeat(len(vmat), 0), -sim), axis=1)
+
+    def encode_corpus(batches):
+        cen_ids_, _cm, _cn, cb_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = _mat(pdf[vec_col])
+            order = _cells(vmat)
+            codes = np.empty((len(vmat), m), dtype=np.int64)
+            for s in range(m):
+                codes[:, s] = _pq_sub_dists(vmat, cb_, s, ds).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": cen_ids_[order[:, 0]],
+                    "code": list(codes),
+                }
+            )
+
+    def probe_queries(batches):
+        cen_ids_, _cm, _cn, _cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = _mat(pdf[vec_col])
+            order = _cells(vmat)
+            rows = []
+            for i in range(len(vmat)):
+                for c in order[i, :nprobe]:
+                    rows.append((int(pdf[id_col].iloc[i]), int(cen_ids_[c]), pdf[vec_col].iloc[i]))
+            yield pd.DataFrame(rows, columns=["query_id", "cell", "qv"])
+
+    coded = corpus.select(id_col, vec_col).mapInPandas(
+        encode_corpus, "neighbor_id long, cell long, code array<bigint>"
+    )
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        probe_queries, f"query_id long, cell long, qv {vec_type}"
+    )
+
+    def score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "dist": pd.Series(dtype="float64"),
+            }
+        )
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return empty
+        _ci, _cm, _cn, cb_ = bc.value
+        cids = cpdf["neighbor_id"].to_numpy(dtype=np.int64)
+        cmat = np.stack(cpdf["code"].to_numpy()).astype(np.int64)
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        qmat = _mat(qpdf["qv"])
+        # per-query ADC tables in integer micros (== oracle's DECIMAL(28,6))
+        tables = np.empty((len(qids), m, cb_.shape[0]), dtype=np.int64)
+        for s in range(m):
+            d = _pq_sub_dists(qmat, cb_, s, ds)
+            tables[:, s, :] = np.rint(np.round(d, 6) * 1e6).astype(np.int64)
+        srange = np.arange(m)
+        rows = []
+        for qi in range(len(qids)):
+            micros = tables[qi][srange[None, :], cmat].sum(axis=1)
+            dist = np.round(micros / 1e6, 6)
+            mask = cids != qids[qi]
+            kk = min(k, int(mask.sum()))
+            mids, mdist = cids[mask], dist[mask]
+            idx = np.lexsort((mids, mdist))[:kk]
+            for ci in idx:
+                rows.append((qids[qi], mids[ci], mdist[ci]))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "dist"])
+
+    scored = (
+        coded.groupby("cell")
+        .cogroup(probes.groupby("cell"))
+        .applyInPandas(lambda l, r: score(l, r), "query_id long, neighbor_id long, dist double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -8,5 +8,6 @@ SQL-expressible, an exact DuckDB oracle. ``__spark_entry__.py`` and
 
 from .catalog import CATALOG, QuerySpec, bench_queries, oracle_sql, queries
 from . import tpch  # noqa: F401  — registers the TPC-H completion queries
+from . import curation  # noqa: F401  — registers the curation-pipeline additions
 
 __all__ = ["CATALOG", "QuerySpec", "queries", "oracle_sql", "bench_queries"]

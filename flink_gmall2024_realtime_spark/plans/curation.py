@@ -1,0 +1,154 @@
+"""Round-3 curation-pipeline additions: composed ANN indexing, cross-corpus
+contamination dedup, and importance-weighted sampling.
+
+Each entry follows the catalog's determinism rules (see ``catalog.py``
+module docstring) so even the approximate indexes carry exact DuckDB
+oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import md5_long_sql_duckdb
+from ..operators import dedup, sampling, similarity
+from .catalog import _COS_PAIR, _SHINGLE_CTE, _pq_sub_dist_sql, _t, register
+
+
+def _ann_ivf_pq_sql(m: int = 8, cb_k: int = 16, k: int = 5, nprobe: int = 4) -> str:
+    """The IVF+PQ oracle is the literal composition of the two parents:
+    ``_IVF_SQL``'s centroid/assignment/probe CTEs restrict which (query,
+    neighbor) pairs are scored; ``_ann_pq_sql``'s codebook/code/ADC CTEs
+    supply the distance. Each corpus vector lives in exactly one cell, so
+    the probe join produces each pair at most once."""
+    corpus_subs = "\nUNION ALL\n".join(
+        f"SELECT e.vec_id, {s} AS s, cb.j, {_pq_sub_dist_sql('e.v', 'cb.cv', s)} AS d FROM e CROSS JOIN cb"
+        for s in range(m)
+    )
+    query_subs = "\nUNION ALL\n".join(
+        f"SELECT q.query_id, {s} AS s, cb.j, {_pq_sub_dist_sql('q.qv', 'cb.cv', s)} AS d FROM q CROSS JOIN cb"
+        for s in range(m)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cen AS (SELECT vec_id AS cid, v AS cv FROM e
+        WHERE vec_id % (SELECT greatest(50, CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM e) = 0),
+asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, cen.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_PAIR.format(a='e.v', b='cen.cv')} DESC, cen.cid) AS rn
+    FROM e CROSS JOIN cen
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, cen.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_PAIR.format(a='q.qv', b='cen.cv')} DESC, cen.cid) AS rn
+    FROM q CROSS JOIN cen
+  ) WHERE rn <= {nprobe}
+),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {cb_k}) t
+),
+sub AS ({corpus_subs}),
+code AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+    FROM sub
+  ) WHERE rn = 1
+),
+qsub AS ({query_subs}),
+approx AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(sum(round(qs.d, 6)::DECIMAL(28, 6)), 6)::DOUBLE AS dist
+  FROM probes p
+  JOIN asg a ON a.cell = p.cell
+  JOIN code c ON c.vec_id = a.vec_id
+  JOIN qsub qs ON qs.query_id = p.query_id AND qs.s = c.s AND qs.j = c.j
+  WHERE a.vec_id <> p.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, dist, rank FROM (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM approx
+) WHERE rank <= {k}
+"""
+
+
+@register("ann_ivf_pq", oracle=_ann_ivf_pq_sql(), survey_ids=("sim-ivf", "sim-pq"))
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed index (the production big-ANN layout): the inverted
+    file prunes to 4 probed cells per query, and in-cell scoring reads
+    8-byte PQ codes, never vectors — at 10^9 x 64-float scale each query
+    touches ~nprobe/cells of an ~8 GB code index instead of all of a
+    ~256 GB vector corpus. Deterministic placeholder centroids + codebook
+    keep the two-level approximate index exactly SQL-oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    return similarity.ivf_pq_topk(emb, q, k=5, centroid_mod=50, nprobe=4)
+
+
+_CROSS_DEDUP_SQL = f"""
+WITH {_SHINGLE_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS corpus_id, count(*) AS inter
+  FROM sh a
+  JOIN documents da ON da.doc_id = a.doc_id AND da.source = 'src0'
+  JOIN sh b ON b.shingle = a.shingle
+  JOIN documents db ON db.doc_id = b.doc_id AND db.source <> 'src0'
+  GROUP BY 1, 2
+)
+SELECT query_id, corpus_id,
+       round(inter::DOUBLE / (sq.sz + sc.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sq ON sq.doc_id = query_id
+JOIN sz sc ON sc.doc_id = corpus_id
+WHERE round(inter::DOUBLE / (sq.sz + sc.sz - inter), 6) >= 0.35
+"""
+
+
+@register("dedup_cross_corpus", oracle=_CROSS_DEDUP_SQL, survey_ids=("dedup-minhash-lsh", "text-decontam"))
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level train/test contamination: MinHash+LSH near-dup pairs
+    BETWEEN an eval set (source 'src0') and the rest of the corpus — never
+    within a side, so the big side never self-joins. Candidates are one
+    band-bucket equi-join (AQE broadcasts the small eval side's banded
+    frame), verification is exact Jaccard on candidates; the oracle is the
+    brute cross-side pair set, which the banded path must fully recall —
+    the same recall contract ``dedup_minhash_lsh`` is held to."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_cross(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+        threshold=0.35,
+    )
+
+
+_IMPORTANCE_SQL = f"""
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+stats AS (
+  SELECT sum(round(n_chars::DOUBLE, 6)::DECIMAL(28,6))::DOUBLE / count(*) AS mean_w FROM d
+)
+SELECT doc_id, source, n_chars,
+       round(least(1.0, 0.3 * n_chars::DOUBLE / mean_w), 6) AS keep_p
+FROM d, stats
+WHERE ({md5_long_sql_duckdb("doc_id::VARCHAR")})::DOUBLE / 1152921504606846976.0
+      < least(1.0, 0.3 * n_chars::DOUBLE / mean_w)
+"""
+
+
+@register("sample_importance", oracle=_IMPORTANCE_SQL, survey_ids=("sample-stratified",))
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus sampling: keep ~30% of documents with
+    per-doc probability proportional to length (the stand-in for a quality
+    weight) — the training-mix primitive 'downsample, preferring the rows
+    worth keeping'. Hash-coin + DECIMAL-exact mean keep membership exactly
+    reproducible cross-engine; see ``sampling.importance_sample``."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sampling.importance_sample(docs, "doc_id", "n_chars", 0.3)

@@ -1,0 +1,134 @@
+"""Unit + plan tests for the round-3 curation additions (plans/curation.py):
+IVF+PQ composed ANN, cross-corpus dedup, importance-weighted sampling.
+Value-level correctness is oracle-checked; these lock the physical shape and
+the side-contracts the oracle can't see."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_gmall2024_realtime_spark.operators import dedup, sampling, similarity
+from flink_gmall2024_realtime_spark.plans import CATALOG
+from flink_gmall2024_realtime_spark.sources.fixtures import load_table
+
+from test_plans import formatted_plan
+
+
+def test_ivf_pq_scores_from_codes_in_cogrouped_cells(spark, sf_dir):
+    """The scoring pass must be per-cell cogrouped Arrow (no join of codes
+    back to vectors, no cartesian), and the final window must rank only
+    cell-local top-k output."""
+    df = CATALOG["ann_ivf_pq"].spark(spark, sf_dir)
+    plan = formatted_plan(spark, df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1  # the final rank only
+
+
+def test_ivf_pq_distances_match_pure_python_model(spark, sf_dir):
+    """Every (query, neighbor, dist) row must equal the ADC distance the
+    pure-numpy model computes for that pair, and the neighbor must lie in
+    one of the query's probed cells under the placeholder-centroid rule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    n, dim = mat.shape
+    m, ds, cb_k, nprobe = 8, 8, 16, 4
+
+    # model: centroids, cells, probes
+    mod_eff = max(50, -(-n // 256))
+    cen_mask = ids % mod_eff == 0
+    cen_ids, cen = ids[cen_mask], mat[cen_mask]
+
+    def cells_of(v, top):
+        sim = np.round(
+            (v @ cen.T) / (np.linalg.norm(v) * np.linalg.norm(cen, axis=1)), 6
+        )
+        return cen_ids[np.lexsort((cen_ids, -sim))[:top]]
+
+    cell = {int(i): int(cells_of(v, 1)[0]) for i, v in zip(ids, mat)}
+    cb = mat[:cb_k]  # smallest-id vectors (ids sorted above)
+
+    def code_of(v):
+        return [
+            int(np.argmin([((v[s * ds : (s + 1) * ds] - c[s * ds : (s + 1) * ds]) ** 2).sum() for c in cb]))
+            for s in range(m)
+        ]
+
+    codes = {int(i): code_of(v) for i, v in zip(ids, mat)}
+
+    out = similarity.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") % 20 == 0), k=5, centroid_mod=50, nprobe=4
+    ).collect()
+    assert out, "no results"
+    qv = {int(i): v for i, v in zip(ids, mat)}
+    for r in out:
+        q, nb, dist = r["query_id"], r["neighbor_id"], r["dist"]
+        assert cell[nb] in set(cells_of(qv[q], nprobe)), (q, nb)
+        micros = 0
+        for s in range(m):
+            d = ((qv[q][s * ds : (s + 1) * ds] - cb[codes[nb][s]][s * ds : (s + 1) * ds]) ** 2).sum()
+            micros += int(np.rint(np.round(d, 6) * 1e6))
+        assert dist == pytest.approx(np.round(micros / 1e6, 6), abs=0), (q, nb)
+
+
+def test_cross_corpus_pairs_never_within_a_side(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = CATALOG["dedup_cross_corpus"].spark(spark, sf_dir).collect()
+    src0 = {r["doc_id"] for r in docs.filter(F.col("source") == "src0").select("doc_id").collect()}
+    for r in out:
+        assert r["query_id"] in src0
+        assert r["corpus_id"] not in src0
+
+
+def test_cross_corpus_agrees_with_self_lsh_restriction(spark, sf_dir):
+    """Cross pairs == the full self-LSH pair set restricted to cross-side
+    membership (orientation normalized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src0 = {r["doc_id"] for r in docs.filter(F.col("source") == "src0").select("doc_id").collect()}
+    full = dedup.minhash_lsh_pairs(docs, threshold=0.35).collect()
+    expected = {
+        (r["id_a"], r["id_b"]) if r["id_a"] in src0 else (r["id_b"], r["id_a"])
+        for r in full
+        if (r["id_a"] in src0) != (r["id_b"] in src0)
+    }
+    got = {
+        (r["query_id"], r["corpus_id"])
+        for r in CATALOG["dedup_cross_corpus"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_importance_sample_membership_matches_hash_coin(spark, sf_dir):
+    """Each kept row satisfies u < p and each dropped row u >= p, with u/p
+    recomputed in pure Python; kept fraction lands near the target."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    frac = 0.3
+    rows = docs.collect()
+    mean_w = sum(round(float(r["n_chars"]), 6) for r in rows) / len(rows)
+    kept = {r["doc_id"] for r in sampling.importance_sample(docs, "doc_id", "n_chars", frac).collect()}
+    n_clamped = 0
+    for r in rows:
+        u = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16) / 2**60
+        p = min(1.0, frac * float(r["n_chars"]) / mean_w)
+        n_clamped += p == 1.0
+        assert (r["doc_id"] in kept) == (u < p), r["doc_id"]
+    # expected fraction ~= frac when few probabilities clamp
+    assert abs(len(kept) / len(rows) - frac) < 0.1
+
+
+def test_importance_sample_is_a_broadcast_not_a_window(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    plan = formatted_plan(spark, sampling.importance_sample(docs, "doc_id", "n_chars", 0.3))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
