@@ -130,6 +130,134 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic HLL: m=256 registers over the 60-bit md5 hash. Register =
+# low 8 bits; rho = leading-zero count + 1 within the remaining 52-bit word
+# (via length(bin(w)) — both engines print minimal binary digits). The
+# 2^-R_j harmonic sum is accumulated in integer units of 2^-53, so it is
+# partial-order invariant and the raw estimate is bit-identical cross-engine.
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)  # identical double both sides
+_HLL_SQL = f"""
+WITH h AS (
+  SELECT event_type, {md5_long_sql_duckdb("user_id::VARCHAR")} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+reg AS (
+  SELECT event_type, h % 256 AS j,
+         max(CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END) AS r
+  FROM h GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, count(*) AS used_registers,
+         sum((1::BIGINT << (53 - r)))::BIGINT AS used_units
+  FROM reg GROUP BY 1
+),
+x AS (SELECT event_type, count(DISTINCT user_id) AS uv_exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+est AS (
+  SELECT s.event_type, s.used_registers,
+         s.used_units + (256 - s.used_registers) * 9007199254740992 AS hll_sum_units,
+         {_HLL_ALPHA!r}::DOUBLE * 65536.0 * 9007199254740992.0
+           / (s.used_units + (256 - s.used_registers) * 9007199254740992)::DOUBLE AS raw
+  FROM s
+)
+SELECT e.event_type, e.used_registers, e.hll_sum_units,
+       round(e.raw, 4) AS uv_raw,
+       round(CASE WHEN e.raw <= 640.0 AND e.used_registers < 256
+                  THEN 256.0 * ln(256.0 / (256 - e.used_registers))
+                  ELSE e.raw END, 4) AS uv_est,
+       x.uv_exact
+FROM est e JOIN x ON x.event_type = e.event_type
+"""
+
+
+@register("q_hll_sketch", oracle=_HLL_SQL, survey_ids=("A4",))
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-agnostic deterministic HyperLogLog — the mergeable-sketch
+    path ``q_approx_aggregates`` (rows-only, engine-native sketches) leaves
+    unchecked. The register table (per-key max rho over 256 registers) is
+    an associative aggregate: partials merge by max, so at 100 TB the
+    sketch rides ordinary partial aggregation and register tables from
+    different days/partitions union with a groupBy-max — no re-scan.
+    Everything is integer arithmetic (hash bits, bin-length rho,
+    2^-R in fixed-point units), so this approximate structure carries an
+    exact oracle; ``uv_exact`` rides the same shuffle key for an on-query
+    error readout."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    from ..functions import md5_long
+
+    h = md5_long(F.col("user_id").cast("string"))
+    w = F.shiftright(h, 8)
+    rho = F.when(w > 0, F.lit(53) - F.length(F.bin(w))).otherwise(F.lit(53))
+    reg = (
+        ev.select("event_type", (h % 256).alias("j"), rho.alias("r"))
+        .groupBy("event_type", "j")
+        .agg(F.max("r").alias("r"))
+    )
+    s = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("used_registers"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).alias("_used_units"),
+    )
+    x = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("uv_exact"))
+    total_units = F.col("_used_units") + (256 - F.col("used_registers")) * F.lit(
+        9007199254740992
+    )
+    raw = (
+        F.lit(_HLL_ALPHA) * 65536.0 * 9007199254740992.0 / total_units.cast("double")
+    )
+    # Small-range (linear counting) correction, the standard HLL rule: when
+    # the raw estimate is below 2.5m and empty registers remain, count by
+    # occupancy. ln() is the one transcendental in the catalog — safe here
+    # because both engines ln() the identical double and the 4-dp rounding
+    # leaves ~1e12 margin over a possible last-ulp libm difference.
+    lin = F.lit(256.0) * F.log(F.lit(256.0) / (256 - F.col("used_registers")))
+    est = F.when((raw <= 640.0) & (F.col("used_registers") < 256), lin).otherwise(raw)
+    return (
+        s.join(x, "event_type")
+        .select(
+            "event_type",
+            "used_registers",
+            total_units.alias("hll_sum_units"),
+            F.round(raw, 4).alias("uv_raw"),
+            F.round(est, 4).alias("uv_est"),
+            "uv_exact",
+        )
+    )
+
+
+_FUZZY_JOIN_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+t AS (SELECT p_name, split_part(p_name, ' ', 2) AS noun FROM names)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS lev
+FROM t a JOIN t b ON a.noun = b.noun AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+@register("q_fuzzy_join", oracle=_FUZZY_JOIN_SQL, survey_ids=("J1", "J6"))
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join (record linkage): name pairs within edit distance 4,
+    blocked on a shared token so the quadratic edit-distance verify runs
+    only within blocks — never all-pairs. The scale shape: (1) linkage runs
+    over the DISTINCT name vocabulary, which is orders of magnitude smaller
+    than the fact table (match the vocabulary, then hash-join matches back);
+    (2) the blocking key turns the candidate space from |V|^2 into
+    sum-of-block^2; (3) ``levenshtein`` is a JVM codegen builtin — no UDF.
+    Both engines implement standard unit-cost edit distance, so the check
+    is hash-exact."""
+    p = _t(spark, sf_dir, "part").select("p_name").distinct()
+    noun = F.split_part(F.col("p_name"), F.lit(" "), F.lit(2))
+    a = p.select(F.col("p_name").alias("name_a"), noun.alias("noun"))
+    b = p.select(F.col("p_name").alias("name_b"), noun.alias("noun"))
+    return (
+        a.join(b, "noun")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("lev") <= 4)
+        .select("name_a", "name_b", "lev")
+    )
+
+
 _IMPORTANCE_SQL = f"""
 WITH d AS (SELECT doc_id, source, n_chars FROM documents),
 stats AS (

@@ -132,3 +132,36 @@ def test_importance_sample_is_a_broadcast_not_a_window(spark, sf_dir):
     plan = formatted_plan(spark, sampling.importance_sample(docs, "doc_id", "n_chars", 0.3))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_estimate_within_5pct_of_exact(spark, sf_dir):
+    """The sketch must actually estimate well (the oracle only proves both
+    engines compute the same formula, not that the formula is right)."""
+    for r in CATALOG["q_hll_sketch"].spark(spark, sf_dir).collect():
+        assert abs(r["uv_est"] - r["uv_exact"]) / r["uv_exact"] < 0.05, r
+
+
+def test_hll_registers_merge_associatively(spark, sf_dir):
+    """The 100 TB contract: register tables built from disjoint partitions
+    of the data and merged by max must equal the single-pass register
+    table."""
+    from flink_gmall2024_realtime_spark.functions import md5_long
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = md5_long(F.col("user_id").cast("string"))
+    w = F.shiftright(h, 8)
+    rho = F.when(w > 0, F.lit(53) - F.length(F.bin(w))).otherwise(F.lit(53))
+    base = ev.select("event_type", (h % 256).alias("j"), rho.alias("r"))
+    whole = base.groupBy("event_type", "j").agg(F.max("r").alias("r"))
+    part1 = base.filter(F.col("j") % 2 == 0).groupBy("event_type", "j").agg(F.max("r").alias("r"))
+    part2 = base.filter(F.col("j") % 2 == 1).groupBy("event_type", "j").agg(F.max("r").alias("r"))
+    merged = part1.union(part2).groupBy("event_type", "j").agg(F.max("r").alias("r"))
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_fuzzy_join_blocks_never_cross_nouns(spark, sf_dir):
+    out = CATALOG["q_fuzzy_join"].spark(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["name_a"].split(" ")[1] == r["name_b"].split(" ")[1]
+        assert r["lev"] <= 4 and r["name_a"] < r["name_b"]
