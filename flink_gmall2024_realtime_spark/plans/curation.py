@@ -135,7 +135,7 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (via length(bin(w)) — both engines print minimal binary digits). The
 # 2^-R_j harmonic sum is accumulated in integer units of 2^-53, so it is
 # partial-order invariant and the raw estimate is bit-identical cross-engine.
-_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)  # identical double both sides
+from ..operators.sketch import HLL_ALPHA as _HLL_ALPHA  # identical double both sides
 _HLL_SQL = f"""
 WITH h AS (
   SELECT event_type, {md5_long_sql_duckdb("user_id::VARCHAR")} AS h
@@ -182,45 +182,14 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^-R in fixed-point units), so this approximate structure carries an
     exact oracle; ``uv_exact`` rides the same shuffle key for an on-query
     error readout."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    from ..functions import md5_long
+    from ..operators import sketch
 
-    h = md5_long(F.col("user_id").cast("string"))
-    w = F.shiftright(h, 8)
-    rho = F.when(w > 0, F.lit(53) - F.length(F.bin(w))).otherwise(F.lit(53))
-    reg = (
-        ev.select("event_type", (h % 256).alias("j"), rho.alias("r"))
-        .groupBy("event_type", "j")
-        .agg(F.max("r").alias("r"))
-    )
-    s = reg.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("used_registers"),
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).alias("_used_units"),
-    )
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    reg = sketch.hll_registers(ev, "event_type", "user_id")
+    est = sketch.hll_estimate(reg, "event_type")
     x = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("uv_exact"))
-    total_units = F.col("_used_units") + (256 - F.col("used_registers")) * F.lit(
-        9007199254740992
-    )
-    raw = (
-        F.lit(_HLL_ALPHA) * 65536.0 * 9007199254740992.0 / total_units.cast("double")
-    )
-    # Small-range (linear counting) correction, the standard HLL rule: when
-    # the raw estimate is below 2.5m and empty registers remain, count by
-    # occupancy. ln() is the one transcendental in the catalog — safe here
-    # because both engines ln() the identical double and the 4-dp rounding
-    # leaves ~1e12 margin over a possible last-ulp libm difference.
-    lin = F.lit(256.0) * F.log(F.lit(256.0) / (256 - F.col("used_registers")))
-    est = F.when((raw <= 640.0) & (F.col("used_registers") < 256), lin).otherwise(raw)
-    return (
-        s.join(x, "event_type")
-        .select(
-            "event_type",
-            "used_registers",
-            total_units.alias("hll_sum_units"),
-            F.round(raw, 4).alias("uv_raw"),
-            F.round(est, 4).alias("uv_est"),
-            "uv_exact",
-        )
+    return est.join(x, "event_type").select(
+        "event_type", "used_registers", "hll_sum_units", "uv_raw", "uv_est", "uv_exact"
     )
 
 

@@ -431,6 +431,61 @@ def pq_index_sink(
     return write
 
 
+def hll_register_sink(
+    spark: SparkSession,
+    path: str,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+):
+    """Streaming HLL maintenance: fold each micro-batch's register table
+    into the stored per-group registers (``operators/sketch.py``) — the
+    streaming twin of ``q_hll_sketch``, and the DWS daily-UV relaxation a
+    100 TB deployment reaches for when exact per-mid state no longer fits.
+
+    The replay story needs NO commit markers: register merge is max — an
+    associative, commutative, IDEMPOTENT algebra — so re-folding a replayed
+    batch provably cannot change the table. The only machinery required is
+    an atomic swap of the (tiny: groups x 256 rows) table, done with the
+    same two-rename crash-healing pattern as ``keyed_upsert_sink``. At a
+    scale where the group count itself is huge, bucket the store by
+    ``pmod(xxhash64(group), B)`` exactly as ``keyed_upsert_sink`` does;
+    registers for one group always co-locate. Readers estimate with
+    ``sketch.hll_estimate(spark.read.parquet(path + "/registers"), ...)``."""
+    from ..operators import sketch
+
+    reg_path = os.path.join(path, "registers")
+    old_path = os.path.join(path, ".old_registers")
+
+    def heal() -> None:
+        for d in os.listdir(path) if os.path.exists(path) else []:
+            if d.startswith(".tmp_"):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        if os.path.exists(old_path):
+            if os.path.exists(reg_path):
+                shutil.rmtree(old_path, ignore_errors=True)
+            else:
+                os.rename(old_path, reg_path)
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        os.makedirs(path, exist_ok=True)
+        heal()
+        fresh = sketch.hll_registers(batch, group_col, id_col)
+        if os.path.exists(reg_path):
+            merged = sketch.merge_registers(
+                spark.read.parquet(reg_path), fresh, group_col
+            )
+        else:
+            merged = fresh
+        tmp = os.path.join(path, f".tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(reg_path):
+            os.rename(reg_path, old_path)
+        os.rename(tmp, reg_path)
+        shutil.rmtree(old_path, ignore_errors=True)
+
+    return write
+
+
 def dynamic_routing_sink(base_dir: str, sink_table_col: str = "sink_table"):
     """K2/R3 — dynamic destination routing: one partitioned write per batch;
     each record lands under its ``sink_table`` value (the file analogue of the

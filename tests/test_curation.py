@@ -165,3 +165,53 @@ def test_fuzzy_join_blocks_never_cross_nouns(spark, sf_dir):
     for r in out:
         assert r["name_a"].split(" ")[1] == r["name_b"].split(" ")[1]
         assert r["lev"] <= 4 and r["name_a"] < r["name_b"]
+
+
+def test_hll_register_sink_streaming_equals_batch_and_replay_safe(spark, sf_dir, tmp_path):
+    """Streaming register maintenance over a 3-chunk replay must produce
+    exactly the single-pass register table, and re-folding an already-seen
+    batch must be a no-op (max-merge idempotency — the sink's whole
+    exactly-once story)."""
+    import os
+
+    from flink_gmall2024_realtime_spark.operators import sketch
+    from flink_gmall2024_realtime_spark.streaming import sinks
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = os.path.join(str(tmp_path), "incoming")
+    for i in range(3):
+        ev.filter(F.col("user_id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"chunk={i}")
+        )
+    store = os.path.join(str(tmp_path), "hll")
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sinks.hll_register_sink(spark, store))
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.read.parquet(os.path.join(store, "registers")).collect()))
+    want = sorted(map(tuple, sketch.hll_registers(ev, "event_type", "user_id").collect()))
+    assert got == want and len(want) > 0
+
+    # replay chunk 0 out-of-band: the table must not change
+    writer = sinks.hll_register_sink(spark, store)
+    writer(ev.filter(F.col("user_id") % 3 == 0), batch_id=999)
+    again = sorted(map(tuple, spark.read.parquet(os.path.join(store, "registers")).collect()))
+    assert again == want
+
+    # estimates off the maintained store match the batch entry's estimates
+    est_stream = sketch.hll_estimate(
+        spark.read.parquet(os.path.join(store, "registers")), "event_type"
+    ).collect()
+    est_batch = sketch.hll_estimate(
+        sketch.hll_registers(ev, "event_type", "user_id"), "event_type"
+    ).collect()
+    assert sorted(map(tuple, est_stream)) == sorted(map(tuple, est_batch))
