@@ -59,6 +59,118 @@ def merge_registers(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
     )
 
 
+CM_D = 4  # count-min hash rows
+CM_W = 512  # count-min columns per row
+
+
+def cm_table(df: DataFrame, key_col: str) -> DataFrame:
+    """Count-min sketch table: (i, col, c) — for each of ``CM_D`` salted
+    hash rows, the total occurrence count landing in each of ``CM_W``
+    columns. Pure integer state with sum-merge algebra: tables built over
+    any partitioning of the input merge by (i, col) sum to the single-pass
+    table, so the sketch rides partial aggregation and cross-day unions.
+    The whole table is d*w rows regardless of input size."""
+    salts = F.array(*[F.lit(i) for i in range(CM_D)])
+    h = md5_long(
+        F.concat_ws(":", F.col("i").cast("string"), F.col(key_col).cast("string"))
+    )
+    return (
+        df.select(F.col(key_col), F.explode(salts).alias("i"))
+        .withColumn("col", h % CM_W)
+        .groupBy("i", "col")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cm_estimate(table: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Probe the sketch: est(key) = min over rows i of cell(i, h_i(key)).
+    Guaranteed >= the true count (cells only ever over-count via
+    collisions). ``keys`` is the candidate set — at corpus scale that's a
+    bounded list (e.g. per-partition pre-tops), never all keys. Each key
+    expands to ``CM_D`` probes that hash-join the (tiny, broadcastable)
+    table."""
+    salts = F.array(*[F.lit(i) for i in range(CM_D)])
+    h = md5_long(
+        F.concat_ws(":", F.col("i").cast("string"), F.col(key_col).cast("string"))
+    )
+    probes = (
+        keys.select(key_col, F.explode(salts).alias("i"))
+        .withColumn("col", h % CM_W)
+    )
+    return (
+        probes.join(F.broadcast(table), ["i", "col"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("cm_est"))
+    )
+
+
+_MICROS = "_m"
+_BITLEN = "_k"
+
+
+def hdr_hist(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HDR histogram: (group, bid, rep, c) over positive double
+    values — quantize to micros, bucket by the leading bit position with 3
+    sub-bucket bits (bucket width 1/16 of the value, midpoint
+    representative within ~3.1% of any member). Everything after the one
+    double multiply is integer (bin-length, shifts, masks), so bucket ids
+    and representatives are bit-identical across engines — unlike
+    log-gamma DDSketch buckets, whose edge values can flip on a last-ulp
+    libm difference. The sketch state — sum-merge algebra like
+    ``cm_table``; at most ~8*64 buckets per group whatever the input
+    size."""
+    m0 = F.floor(F.round(F.col(value_col), 6) * 1000000.0).cast("long")
+    staged = df.select(
+        F.col(group_col), m0.alias(_MICROS)
+    ).withColumn(_BITLEN, F.length(F.bin(F.col(_MICROS))))
+    m = F.col(_MICROS)
+    # shifts are greatest()-guarded: the m < 16 branch never uses them, but
+    # a vectorized engine may evaluate both CASE branches over all rows and
+    # a negative shift distance must not be reachable
+    sub = F.expr(
+        f"shiftright({_MICROS}, CAST(greatest({_BITLEN} - 4, 0) AS INT)) & CAST(7 AS BIGINT)"
+    )
+    bid = F.when(m < 16, m).otherwise(F.col(_BITLEN) * 8 + sub)
+    rep = F.when(m < 16, m).otherwise(
+        (17 + 2 * sub)
+        * F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(greatest({_BITLEN} - 5, 0) AS INT))")
+    )
+    return (
+        staged.select(group_col, bid.alias("bid"), rep.alias("rep"))
+        .groupBy(group_col, "bid", "rep")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hdr_quantiles(hist: DataFrame, group_col: str, qs: tuple = (0.5, 0.95)) -> DataFrame:
+    """Quantile estimates from an HDR histogram: the representative of the
+    first bucket whose cumulative count reaches ceil(q * n). Two windows
+    over the same (group, bid-order) partitioning — one Exchange. Estimates
+    inherit the bucket guarantee: within ~6.25% of the exact quantile."""
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy(group_col).orderBy("bid")
+    w_all = Window.partitionBy(group_col)
+    cum = F.sum("c").over(w_cum)
+    tot = F.sum("c").over(w_all)
+    staged = hist.select(
+        group_col, "rep", cum.alias("_cum"), tot.alias("_tot")
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_tot")), F.col("rep"))
+        ).alias(f"_p{int(q * 100)}")
+        for q in qs
+    ]
+    out = staged.groupBy(group_col).agg(*aggs)
+    for q in qs:
+        name = f"p{int(q * 100)}_est"
+        out = out.withColumn(
+            name, F.round(F.col(f"_p{int(q * 100)}") / 1000000.0, 6)
+        ).drop(f"_p{int(q * 100)}")
+    return out
+
+
 def hll_estimate(reg: DataFrame, group_col: str) -> DataFrame:
     """Distinct-count estimate from a register table: raw HLL plus the
     standard linear-counting small-range rule (raw <= 2.5m and empty

@@ -193,6 +193,108 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CM_HASH = md5_long_sql_duckdb("i::VARCHAR || ':' || user_id::VARCHAR")
+_COUNTMIN_SQL = f"""
+WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+salted AS (SELECT user_id, i FROM ev, UNNEST([0, 1, 2, 3]) AS t(i)),
+cells AS (
+  SELECT i, {_CM_HASH} % 512 AS col, count(*) AS c
+  FROM salted GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT user_id FROM ev),
+truth AS (SELECT user_id, count(*) AS true_ct FROM ev GROUP BY 1),
+probes AS (SELECT user_id, i, {_CM_HASH} % 512 AS col
+           FROM keys, UNNEST([0, 1, 2, 3]) AS t(i)),
+est AS (
+  SELECT p.user_id, min(c.c) AS cm_est
+  FROM probes p JOIN cells c ON c.i = p.i AND c.col = p.col
+  GROUP BY 1
+)
+SELECT e.user_id, t.true_ct, e.cm_est
+FROM est e JOIN truth t ON t.user_id = e.user_id
+"""
+
+
+@register("q_countmin_sketch", oracle=_COUNTMIN_SQL, survey_ids=("A4",))
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (heavy-hitter counting): 4 salted hash
+    rows x 512 columns of pure integer counts, probed with min-over-rows.
+    Like ``q_hll_sketch`` the sketch STATE is portable data with sum-merge
+    algebra (partials from any partitioning merge to the same table), so
+    the approximate structure is hash-exact against DuckDB. True counts
+    ride along to expose the overestimate (cm_est >= true_ct always —
+    unit-asserted). At corpus scale the probe set is a bounded candidate
+    list, not all keys (here the fixture's 150 users ARE the bounded
+    list)."""
+    from ..operators import sketch
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull()).select("user_id")
+    table = sketch.cm_table(ev, "user_id")
+    est = sketch.cm_estimate(table, ev.distinct(), "user_id")
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_ct"))
+    return est.join(truth, "user_id").select("user_id", "true_ct", "cm_est")
+
+
+_HDR_SQL = """
+WITH st AS (
+  SELECT event_type, CAST(floor(round(value, 6) * 1000000.0) AS BIGINT) AS m
+  FROM events
+),
+st2 AS (SELECT event_type, m, length(bin(m)) AS k FROM st),
+hist AS (
+  SELECT event_type,
+         CASE WHEN m < 16 THEN m
+              ELSE k * 8 + ((m >> greatest(k - 4, 0)) & 7) END AS bid,
+         CASE WHEN m < 16 THEN m
+              ELSE (17 + 2 * ((m >> greatest(k - 4, 0)) & 7))
+                   * (1::BIGINT << greatest(k - 5, 0)) END AS rep,
+         count(*) AS c
+  FROM st2 GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT event_type, rep,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bid) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS tot
+  FROM hist
+),
+q AS (
+  SELECT event_type,
+         round(min(CASE WHEN cum >= ceil(0.5 * tot) THEN rep END) / 1000000.0, 6) AS p50_est,
+         round(min(CASE WHEN cum >= ceil(0.95 * tot) THEN rep END) / 1000000.0, 6) AS p95_est
+  FROM cum GROUP BY 1
+),
+x AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact,
+             round(quantile_cont(value, 0.95), 6) AS p95_exact
+      FROM events GROUP BY 1)
+SELECT q.event_type, q.p50_est, q.p95_est, x.p50_exact, x.p95_exact
+FROM q JOIN x ON x.event_type = q.event_type
+"""
+
+
+@register("q_hdr_quantiles", oracle=_HDR_SQL, survey_ids=("A4",))
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile sketch: leading-bit buckets with 3 sub-bucket
+    bits (~6% worst-case relative error), all integer arithmetic after one
+    double quantization — so unlike log-gamma DDSketch buckets, edge values
+    cannot flip buckets on a libm last-ulp difference, and the sketch is
+    hash-exact cross-engine. Histograms are (group, bucket, count) rows
+    with sum-merge algebra; the quantile read is two windows sharing one
+    Exchange. Exact interpolated percentiles ride along as the error
+    readout (within-7%% unit-asserted)."""
+    from ..operators import sketch
+
+    ev = _t(spark, sf_dir, "events")
+    hist = sketch.hdr_hist(ev, "event_type", "value")
+    est = sketch.hdr_quantiles(hist, "event_type", (0.5, 0.95))
+    x = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_exact"),
+    )
+    return est.join(x, "event_type").select(
+        "event_type", "p50_est", "p95_est", "p50_exact", "p95_exact"
+    )
+
+
 _FUZZY_JOIN_SQL = """
 WITH names AS (SELECT DISTINCT p_name FROM part),
 t AS (SELECT p_name, split_part(p_name, ' ', 2) AS noun FROM names)

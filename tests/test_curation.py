@@ -215,3 +215,38 @@ def test_hll_register_sink_streaming_equals_batch_and_replay_safe(spark, sf_dir,
         sketch.hll_registers(ev, "event_type", "user_id"), "event_type"
     ).collect()
     assert sorted(map(tuple, est_stream)) == sorted(map(tuple, est_batch))
+
+
+def test_countmin_never_underestimates_and_merges(spark, sf_dir):
+    from flink_gmall2024_realtime_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull()).select("user_id")
+    out = CATALOG["q_countmin_sketch"].spark(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["cm_est"] >= r["true_ct"], r
+    # sum-merge algebra: partition-built tables merged == single-pass table
+    whole = sketch.cm_table(ev, "user_id")
+    parts = [sketch.cm_table(ev.filter(F.col("user_id") % 2 == i), "user_id") for i in (0, 1)]
+    merged = parts[0].unionByName(parts[1]).groupBy("i", "col").agg(F.sum("c").alias("c"))
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hdr_quantiles_within_bucket_error_bound(spark, sf_dir):
+    for r in CATALOG["q_hdr_quantiles"].spark(spark, sf_dir).collect():
+        assert abs(r["p50_est"] - r["p50_exact"]) / r["p50_exact"] < 0.07, r
+        assert abs(r["p95_est"] - r["p95_exact"]) / r["p95_exact"] < 0.07, r
+
+
+def test_hdr_hist_merges_associatively(spark, sf_dir):
+    from flink_gmall2024_realtime_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    whole = sketch.hdr_hist(ev, "event_type", "value")
+    parts = [sketch.hdr_hist(ev.filter(F.col("event_id") % 2 == i), "event_type", "value") for i in (0, 1)]
+    merged = (
+        parts[0].unionByName(parts[1])
+        .groupBy("event_type", "bid", "rep")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
