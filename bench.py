@@ -103,6 +103,36 @@ def skew_and_layout_extras(spark, materialize) -> dict:
     return out
 
 
+TPCH_22 = [
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_segment_revenue",
+    "q4_order_priority", "q5_region_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "q10_returned_revenue", "q11_important_values", "q12_shipmode_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_parts_supplier_cnt", "q17_small_quantity", "q18_large_volume",
+    "q19_disjunctive_revenue", "q20_excess_suppliers", "q21_waiting_suppliers",
+    "q22_global_sales",
+]
+
+
+def tpch_suite_extra(spark, sf_dir, materialize) -> dict:
+    """Full 22-query TPC-H suite wall (OUTSIDE the headline total): the
+    OLAP-capability benchmark. Two passes, per-query min (same rationale as
+    the headline loop)."""
+    timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in TPCH_22:
+            t0 = time.perf_counter()
+            materialize(CATALOG[name].spark(spark, sf_dir))
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+    return {
+        "tpch_22q_total_sec": round(sum(timings.values()), 3),
+        "tpch_queries": timings,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -137,6 +167,7 @@ def main() -> None:
                 timings[name] = elapsed
     total = round(sum(timings.values()), 3)
     extras = skew_and_layout_extras(spark, materialize)
+    extras.update(tpch_suite_extra(spark, sf_dir, materialize))
     print(
         json.dumps(
             {
