@@ -10,12 +10,16 @@ The pipeline a 100 TB pre-training data job runs, at fixture scale:
                         keep the smallest doc id per cluster
   2b. span dedup        duplicated word-8-gram removal across the survivors
                         (boilerplate kept only at its first occurrence)
+  2c. decontamination   cross-corpus MinHash+LSH: the held-out eval slice
+                        (source src0) leaves the corpus, and training docs
+                        near-duplicating any eval doc are dropped
   3. embedding near-dup exact cosine pairs via the symmetric block grid
                         (reported, not dropped — threshold is corpus-tuned)
   4. quality gating     C4/Gopher-style feature filter (token count, ratios)
   5. language filter    n-gram-marker language ID
   6. PII scrub          email/phone/digit-run placeholder rewrite
-  7. sampling + split   deterministic stratified keep + hash train/val/test
+  7. sampling + split   importance-weighted keep (p ∝ token count) + hash
+                        train/val/test
   8. fingerprint stamp  60-bit content fingerprint for provenance joins
   9. model score gate   logistic quality score (sigmoid over the features)
  10. chunk + pack       64-token overlapping chunks; language-sharded
@@ -88,6 +92,20 @@ def main() -> None:
         .localCheckpoint(eager=True)
     )
 
+    # 2c. decontamination: source 'src0' plays the held-out eval set — it
+    # leaves the corpus entirely, and any surviving training doc that
+    # near-duplicates an eval doc is dropped (document-level contamination;
+    # the fingerprint-overlap span-level check is text.decontamination)
+    eval_docs = docs2.filter(F.col("source") == "src0")
+    train_side = docs2.filter(F.col("source") != "src0")
+    contam = (
+        dedup.minhash_lsh_pairs_cross(eval_docs, train_side, threshold=0.35)
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    n_contam = contam.count()
+    docs2 = train_side.join(contam, "doc_id", "left_anti").localCheckpoint(eager=True)
+
     # 3. embedding near-dups (report only at fixture scale — no planted dups)
     emb = load_table(spark, sf_dir, "embeddings")
     emb_pairs = dedup.embedding_cosine_pairs(emb, threshold=0.4).count()
@@ -120,7 +138,11 @@ def main() -> None:
     n_boiler = predictable.count()
     gated = gated.join(predictable, "doc_id", "left_anti")
 
-    # 6-8. scrub, split, stamp
+    # 6-8. scrub, importance-weighted downsample, split, stamp — the keep
+    # coin is a hash with p ∝ token count, so longer (information-denser)
+    # docs survive preferentially and membership is replay-reproducible
+    from flink_gmall2024_realtime_spark.operators.sampling import importance_sample
+
     curated = (
         gated.select(
             "doc_id",
@@ -129,6 +151,8 @@ def main() -> None:
             "n_tokens",
             text.fingerprint(F.col("text")).alias("content_fp"),
         )
+        .transform(lambda df: importance_sample(df, "doc_id", "n_tokens", 0.85))
+        .drop("keep_p")
         .transform(lambda df: hash_split(df, "doc_id"))
     )
     curated.write.mode("overwrite").partitionBy("split").parquet(os.path.join(out_dir, "corpus"))
@@ -151,8 +175,8 @@ def main() -> None:
     back = spark.read.parquet(os.path.join(out_dir, "corpus"))
     per_split = {r["split"]: r["ct"] for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("ct")).collect()}
     print(
-        f"corpus: {n0} -> exact-dedup+domain-cap {docs1.count()} -> near-dup {docs2.count()}"
-        f" (span-dedup removed {span_removed} tokens)"
+        f"corpus: {n0} -> exact-dedup+domain-cap {docs1.count()} -> near-dup+decontam {docs2.count()}"
+        f" (span-dedup removed {span_removed} tokens; {n_contam} contaminated train docs dropped)"
         f" -> gated {gated.count()} (bigram-LM boilerplate gate dropped {n_boiler});"
         f" embedding near-dup pairs reported: {emb_pairs}"
     )
