@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import call_function
 
 from ..functions import md5_long
 
@@ -193,3 +194,104 @@ def hll_estimate(reg: DataFrame, group_col: str) -> DataFrame:
         F.round(raw, 4).alias("uv_raw"),
         F.round(est, 4).alias("uv_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — runtime join pruning (the sketch that cuts shuffles)
+# ---------------------------------------------------------------------------
+#
+# Spark's optimizer can inject a runtime bloom filter on its own
+# (spark.sql.optimizer.runtime.bloomFilter.enabled), but only within one
+# query plan.  This explicit variant covers what the optimizer cannot:
+# reusing one filter across separate jobs / micro-batches, persisting it
+# next to a table, or pruning a fact scan feeding a *different* engine.
+# The filter state is plain longs (portable, mergeable by bit_or), and the
+# membership test compiles to codegen-able xxhash64 + bit arithmetic —
+# no UDF, no shuffle, applied before the fact side's Exchange.
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, num_bits: int = 1 << 16, num_hashes: int = 5
+) -> list[int]:
+    """Build a bloom filter over ``keys[key_col]`` and return its bit array
+    as ``num_bits/64`` longs.
+
+    Fully distributed: each row explodes to ``num_hashes`` bit positions
+    (double hashing via ``xxhash64(key, i)``), positions fold to 64-bit
+    words with a ``bit_or`` partial aggregate.  The driver collect is
+    bounded by ``num_bits/64`` rows (128 KiB at 2^20 bits) **regardless of
+    corpus size** — same contract as the k-means k×dim partials.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    rows = (
+        pos.groupBy(F.expr("CAST(pos DIV 64 AS INT)").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            ).alias("bits")
+        )
+        .collect()  # bounded: <= num_bits/64 rows at ANY |keys|
+    )
+    words = [0] * (num_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_might_contain(key, words: list[int], num_hashes: int = 5):
+    """Membership predicate Column: true if ``key`` may be in the set the
+    filter was built from (no false negatives).  The word array enters the
+    plan as a foldable array literal, so Catalyst constant-folds it once;
+    per row the test is ``num_hashes`` xxhash64 + shift/AND ops, all inside
+    whole-stage codegen."""
+    num_bits = len(words) * 64
+    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = None
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        word = F.element_at(lit_words, F.floor(pos / 64).cast("int") + 1)
+        bit = call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        test = word.bitwiseAND(bit) != 0
+        cond = test if cond is None else cond & test
+    return cond
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "inner",
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Join with the fact side pre-pruned by a bloom filter on the dim keys.
+
+    The 100 TB case: ``dim`` is a *filtered* table too big (or too late —
+    another job's output) for the optimizer's own runtime filter, yet its
+    key set fits a few KiB of bloom bits.  Fact rows failing the membership
+    test never reach the join's Exchange; false positives are eliminated by
+    the exact join, so the result is bit-identical to the plain join —
+    which is exactly what the DuckDB oracle checks.
+
+    Only ``inner`` and ``left_semi`` are legal: pruning the probe side of
+    an outer/anti join would drop rows the join must keep.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"bloom pre-filtering is join-transparent only for inner/left_semi, got {how!r}")
+    words = bloom_build(dim, dim_key, num_bits=num_bits, num_hashes=num_hashes)
+    pruned = fact.filter(bloom_might_contain(F.col(fact_key), words, num_hashes=num_hashes))
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

