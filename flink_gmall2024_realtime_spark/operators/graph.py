@@ -1,0 +1,92 @@
+"""Graph operators over edge DataFrames — iterative join/aggregate algebra.
+
+The dedup family already runs distributed label propagation for components
+(``operators/dedup.py::dedup_clusters``); this module adds the other graph
+primitive a curation pipeline reaches for: **PageRank-style link analysis**
+(score pages/domains by the browsing graph, weight crawl sources, rank docs
+in a citation/similarity graph).
+
+Scale shape: every step is an equi-keyed join or groupBy — edges hash-
+partition by ``src`` once and the iteration reuses that partitioning; node
+state is one long per node.  Nothing collects to the driver.
+
+Determinism: ranks live in integer micro-units and per-edge contributions
+use floor division, so the result is a pure function of the edge multiset —
+partial-aggregation order, partitioning, and engine cannot change a single
+unit, which is what lets an *iterative* algorithm carry an exact SQL oracle
+(chained CTEs, one per iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PR_UNIT = 1_000_000  # rank micro-units: initial rank per node
+PR_DAMPING_PCT = 85  # damping factor as integer percent
+
+
+def transition_edges(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    page_col: str = "page",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-user click-path edges: consecutive distinct pages become a
+    directed edge, weighted by transition count.
+
+    The lag window partitions by user — the 100 TB shuffle is one hash
+    exchange on ``user_col``, and per-user state is the sessionized event
+    list, never the corpus.  Self-loops (page refresh) are dropped so the
+    random surfer always moves."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    return (
+        events.withColumn("_prev", F.lag(page_col).over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("_prev") != F.col(page_col)))
+        .groupBy(F.col("_prev").alias("src"), F.col(page_col).alias("dst"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration weighted PageRank in exact integer arithmetic.
+
+    Per iteration: each node sends ``floor(pr * 85 * w / (100 * out_w))``
+    micro-units along each out-edge; a node's next rank is 0.15 teleport
+    (150 000 units) plus the sum of incoming contributions.  Dangling-node
+    mass is dropped (standard simplification) — the spec the oracle mirrors.
+
+    Plan shape: ``edges ⋈ rank`` on ``src`` then groupBy ``dst`` — two
+    hash exchanges per iteration on the same keys, reusable under
+    co-partitioning; rank state is (node, long).  The edge set is
+    localCheckpointed once so the transition-extraction stage (window +
+    groupBy) runs a single time, not once per iteration.
+    """
+    e = edges.join(
+        edges.groupBy("src").agg(F.sum("cnt").alias("outw")), "src"
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pr = nodes.withColumn("pr", F.lit(PR_UNIT).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e["src"] == pr["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(pr * {PR_DAMPING_PCT} * cnt) div (100 * outw)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit((100 - PR_DAMPING_PCT) * PR_UNIT // 100) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("pr"),
+        )
+    return pr

@@ -32,7 +32,7 @@ from ..functions import (
     ts_to_datetime,
     ts_to_partition,
 )
-from ..operators import dedup, multimodal, similarity, sketch, skew, state, text
+from ..operators import dedup, graph, multimodal, similarity, sketch, skew, state, text
 from ..operators.etl import cdc_project, etl_db_stream
 from ..operators.joins import (
     config_router_join,
@@ -3911,4 +3911,62 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("line_ct"),
         F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+    )
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Chained-CTE oracle: one CTE per PageRank iteration, floor division in
+    integer micro-units — the arithmetic is exact, so an iterative algorithm
+    still hash-matches across engines."""
+    head = """
+WITH seq AS (
+  SELECT user_id, event_id, ts,
+         json_extract_string(props, '$.k')::BIGINT AS page
+  FROM events
+),
+trans AS (
+  SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         page AS dst
+  FROM seq
+),
+edges AS (
+  SELECT src, dst, count(*) AS cnt FROM trans
+  WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2
+),
+outw AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS outw FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+pr{i} AS (
+  SELECT n.node, CAST(150000 + COALESCE(c.s, 0) AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM((p.pr * 85 * e.cnt) // (100 * o.outw)) AS BIGINT) AS s
+    FROM edges e
+    JOIN outw o ON e.src = o.src
+    JOIN pr{i - 1} p ON p.node = e.src
+    GROUP BY 1
+  ) c ON n.node = c.node
+)""")
+    return head + "".join(steps) + f"""
+SELECT node AS page, pr AS pr_units FROM pr{iters}
+"""
+
+
+@register("graph_pagerank", oracle=_pagerank_sql(3), survey_ids=("graph-pagerank",))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link analysis over the click-path graph: per-user page transitions
+    become weighted directed edges; 3 fixed PageRank iterations in integer
+    micro-units (floor-division contributions) rank the pages.  Iterative
+    join/groupBy algebra — two same-key hash exchanges per round, node
+    state one long each, nothing driver-side — yet exactly oracle-checkable
+    because the arithmetic is order-invariant."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "page", json_get(F.col("props"), "k").cast("long")
+    )
+    edges = graph.transition_edges(ev)
+    return graph.pagerank(edges, iters=3).select(
+        F.col("node").alias("page"), F.col("pr").alias("pr_units")
     )

@@ -784,3 +784,49 @@ class TestBloomFilter:
         df = spark.range(5).withColumnRenamed("id", "k")
         with _pytest.raises(ValueError):
             sketch.bloom_prefilter_join(df, df, "k", "k", how="left")
+
+
+class TestGraph:
+    def test_pagerank_matches_pure_python_model(self, spark):
+        """3-iteration integer PageRank vs an independent dict model on a
+        small asymmetric graph (hub, chain, dangling sink)."""
+        from flink_gmall2024_realtime_spark.operators import graph
+
+        raw = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 1), (2, 4, 1)]
+        edges = spark.createDataFrame(raw, ["src", "dst", "cnt"])
+        got = {
+            r["node"]: r["pr"]
+            for r in graph.pagerank(edges, iters=3).collect()
+        }
+
+        outw = {}
+        for s, _, c in raw:
+            outw[s] = outw.get(s, 0) + c
+        nodes = sorted({x for e in raw for x in e[:2]})
+        pr = {n: 1_000_000 for n in nodes}
+        for _ in range(3):
+            inc = {n: 0 for n in nodes}
+            for s, d, c in raw:
+                inc[d] += (pr[s] * 85 * c) // (100 * outw[s])
+            pr = {n: 150_000 + inc[n] for n in nodes}
+        assert got == pr
+
+    def test_transition_edges_drop_self_loops_and_order_by_ts(self, spark):
+        from datetime import datetime as dt
+
+        from flink_gmall2024_realtime_spark.operators import graph
+
+        rows = [
+            (1, 10, dt(2024, 1, 1, 0, 0, 0), "a"),
+            (2, 10, dt(2024, 1, 1, 0, 0, 1), "a"),  # refresh: dropped
+            (3, 10, dt(2024, 1, 1, 0, 0, 2), "b"),
+            (4, 20, dt(2024, 1, 1, 0, 0, 0), "b"),
+            (5, 20, dt(2024, 1, 1, 0, 0, 5), "a"),
+            (6, 20, dt(2024, 1, 1, 0, 0, 9), "b"),
+        ]
+        ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "page"])
+        got = {
+            (r["src"], r["dst"]): r["cnt"]
+            for r in graph.transition_edges(ev).collect()
+        }
+        assert got == {("a", "b"): 2, ("b", "a"): 1}
