@@ -175,3 +175,30 @@ def merge_partial_aggs(
         + [F.max(c).alias(c) for c in max_cols]
     )
     return u.groupBy(*keys).agg(*aggs)
+
+
+def incremental_join_delta(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Delta of an inner-join materialized view under insert-only deltas:
+
+        Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    (the standard DBSP/IVM join derivative).  The stored view is updated by
+    appending this delta — the base tables' full join never recomputes.  At
+    100 TB the asymmetry is the point: ΔA and ΔB are micro-batch-sized, so
+    two of the three joins broadcast their delta side and the third joins
+    two small frames; the only big-table access is the equi-key probe,
+    which co-located bucketing on ``on`` turns shuffle-free.
+
+    Insert-only by contract (append-only facts); retractions compose with
+    ``fold_changelog`` upstream, which collapses them before the view sees
+    the rows."""
+    d1 = delta_a.join(base_b, on=list(on))
+    d2 = base_a.join(delta_b, on=list(on))
+    d3 = delta_a.join(delta_b, on=list(on))
+    return d1.unionByName(d2).unionByName(d3)

@@ -3970,3 +3970,51 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, iters=3).select(
         F.col("node").alias("page"), F.col("pr").alias("pr_units")
     )
+
+
+@register(
+    "q_incremental_join",
+    oracle="""
+WITH full_v AS (
+  SELECT o.o_orderpriority, l.l_extendedprice, l.l_discount
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+base_v AS (
+  SELECT o.o_orderpriority, l.l_extendedprice, l.l_discount
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 10 <> 0 AND l.l_linenumber <> 1
+),
+delta AS (SELECT * FROM full_v EXCEPT ALL SELECT * FROM base_v)
+SELECT o_orderpriority,
+       count(*) AS delta_ct,
+       round(sum(round(l_extendedprice * (1 - l_discount), 6)::DECIMAL(28, 6)), 2)::DOUBLE
+         AS delta_revenue
+FROM delta
+GROUP BY 1
+""",
+    survey_ids=("merge-ivm-join",),
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a join view: the engine computes the
+    view's delta as dA><B + A><dB + dA><dB and never recomputes the full
+    join; the oracle derives the same delta independently as the multiset
+    difference (A+dA)><(B+dB) EXCEPT ALL A><B — two formulations that can
+    only agree if the join-derivative algebra is right."""
+    from ..operators import merge
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    base_o, delta_o = o.filter(F.col("o_orderkey") % 10 != 0), o.filter(F.col("o_orderkey") % 10 == 0)
+    base_l, delta_l = li.filter(F.col("l_linenumber") != 1), li.filter(F.col("l_linenumber") == 1)
+    delta_view = merge.incremental_join_delta(
+        base_o.select("o_orderkey", "o_orderpriority"),
+        delta_o.select("o_orderkey", "o_orderpriority"),
+        base_l.select("o_orderkey", "l_extendedprice", "l_discount"),
+        delta_l.select("o_orderkey", "l_extendedprice", "l_discount"),
+        on=["o_orderkey"],
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("decimal(28,6)")
+    return delta_view.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("delta_ct"),
+        F.round(F.sum(rev), 2).cast("double").alias("delta_revenue"),
+    )

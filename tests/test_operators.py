@@ -830,3 +830,29 @@ class TestGraph:
             for r in graph.transition_edges(ev).collect()
         }
         assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+class TestIncrementalJoin:
+    def test_delta_equals_full_minus_base(self, spark):
+        """The three-term join derivative must equal the brute multiset
+        difference (A+dA)><(B+dB) minus A><B on a frame with duplicates."""
+        from collections import Counter
+
+        from flink_gmall2024_realtime_spark.operators import merge
+
+        a = [(1, "x"), (1, "y"), (2, "z")]
+        da = [(1, "w"), (3, "v")]
+        b = [(1, 10), (2, 20), (2, 21)]
+        db = [(1, 11), (3, 30)]
+        A = spark.createDataFrame(a, ["k", "av"])
+        dA = spark.createDataFrame(da, ["k", "av"])
+        B = spark.createDataFrame(b, ["k", "bv"])
+        dB = spark.createDataFrame(db, ["k", "bv"])
+        got = Counter(
+            map(tuple, merge.incremental_join_delta(A, dA, B, dB, on=["k"]).collect())
+        )
+        full = Counter(
+            (ka, av, bv) for ka, av in a + da for kb, bv in b + db if ka == kb
+        )
+        base = Counter((ka, av, bv) for ka, av in a for kb, bv in b if ka == kb)
+        assert got == full - base
