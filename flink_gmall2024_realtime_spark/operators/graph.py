@@ -49,19 +49,27 @@ def transition_edges(
     )
 
 
-def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
+def pagerank(edges: DataFrame, iters: int = 3, checkpoint_every: int = 5) -> DataFrame:
     """Fixed-iteration weighted PageRank in exact integer arithmetic.
 
     Per iteration: each node sends ``floor(pr * 85 * w / (100 * out_w))``
     micro-units along each out-edge; a node's next rank is 0.15 teleport
     (150 000 units) plus the sum of incoming contributions.  Dangling-node
     mass is dropped (standard simplification) — the spec the oracle mirrors.
+    The per-edge product ``pr * 85 * cnt`` is widened to DECIMAL(38,0)
+    before the floor division (DuckDB side: HUGEINT): on a large graph a
+    hub's rank approaches |nodes| * 1e6 micro-units and a BIGINT product
+    with a heavy edge weight would overflow (ANSI mode aborts the job);
+    the 38-digit intermediate is exact to ~1e38 — beyond any real corpus.
 
     Plan shape: ``edges ⋈ rank`` on ``src`` then groupBy ``dst`` — two
     hash exchanges per iteration on the same keys, reusable under
     co-partitioning; rank state is (node, long).  The edge set is
     localCheckpointed once so the transition-extraction stage (window +
-    groupBy) runs a single time, not once per iteration.
+    groupBy) runs a single time, not once per iteration, and the rank
+    frame is localCheckpointed every ``checkpoint_every`` iterations so
+    deep runs (iters = 20+) keep a bounded plan depth instead of chaining
+    every iteration's join into one optimizer tree.
     """
     e = edges.join(
         edges.groupBy("src").agg(F.sum("cnt").alias("outw")), "src"
@@ -73,12 +81,15 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     pr = nodes.withColumn("pr", F.lit(PR_UNIT).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e.join(pr, e["src"] == pr["node"])
             .select(
                 F.col("dst").alias("node"),
-                F.expr(f"(pr * {PR_DAMPING_PCT} * cnt) div (100 * outw)").alias("c"),
+                F.expr(
+                    f"CAST((CAST(pr AS DECIMAL(38,0)) * {PR_DAMPING_PCT} * cnt)"
+                    " div (100 * outw) AS BIGINT)"
+                ).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
@@ -89,4 +100,6 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
             .cast("long")
             .alias("pr"),
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            pr = pr.localCheckpoint(eager=True)
     return pr

@@ -210,6 +210,43 @@ def hll_estimate(reg: DataFrame, group_col: str) -> DataFrame:
 # no UDF, no shuffle, applied before the fact side's Exchange.
 
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _canon_key(key, dtype: str):
+    """Canonicalize a join key before hashing so build and probe hash the
+    same bytes even when the two sides' SQL types differ within a family
+    (INT vs BIGINT, FLOAT vs DOUBLE): xxhash64 is type-sensitive, and a
+    type-skewed probe would produce silent FALSE NEGATIVES — dropped
+    matching rows. Integral types widen to long, fractional to double,
+    everything else to its string form. Cross-FAMILY mismatches (int vs
+    double, int vs string) cannot be canonicalized this way —
+    ``bloom_prefilter_join`` rejects them up front."""
+    if dtype in _INTEGRAL:
+        return key.cast("long")
+    if dtype in ("float", "double"):
+        return key.cast("double")
+    return key.cast("string")
+
+
+def _key_family(dtype: str) -> str:
+    if dtype in _INTEGRAL:
+        return "integral"
+    if dtype in ("float", "double"):
+        return "fractional"
+    return dtype
+
+
+def bloom_num_bits_for(n_keys: int, bits_per_key: int = 10) -> int:
+    """Filter size for an expected key count: ``bits_per_key`` bits/key
+    (~0.9% FPR at 10 bits with 5 hashes), rounded up to a multiple of 64,
+    floored at 64 Kbit. The default 2^16 saturates near ~6.5k keys — sizing
+    from the real key count is what keeps the pre-filter pruning instead of
+    degrading to pure per-row overhead."""
+    need = max(1 << 16, n_keys * bits_per_key)
+    return (need + 63) // 64 * 64
+
+
 def bloom_build(
     keys: DataFrame, key_col: str, num_bits: int = 1 << 16, num_hashes: int = 5
 ) -> list[int]:
@@ -220,15 +257,21 @@ def bloom_build(
     (double hashing via ``xxhash64(key, i)``), positions fold to 64-bit
     words with a ``bit_or`` partial aggregate.  The driver collect is
     bounded by ``num_bits/64`` rows (128 KiB at 2^20 bits) **regardless of
-    corpus size** — same contract as the k-means k×dim partials.
+    corpus size** — same contract as the k-means k×dim partials.  Keys are
+    canonicalized (``_canon_key``) before hashing, so a probe side of a
+    different-but-compatible SQL type sees the same bits.  The default 64
+    Kbit saturates near ~6.5k distinct keys (FPR climbs toward 1 beyond
+    that — pruning silently stops, correctness unaffected); size real
+    deployments with ``bloom_num_bits_for``.
     """
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
+    k = _canon_key(F.col(key_col), keys.schema[key_col].dataType.simpleString())
     pos = keys.select(
         F.explode(
             F.array(
                 *[
-                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+                    F.pmod(F.xxhash64(k, F.lit(i)), F.lit(num_bits))
                     for i in range(num_hashes)
                 ]
             )
@@ -249,13 +292,16 @@ def bloom_build(
     return words
 
 
-def bloom_might_contain(key, words: list[int], num_hashes: int = 5):
+def bloom_might_contain(key, words: list[int], num_hashes: int = 5, dtype: str = "bigint"):
     """Membership predicate Column: true if ``key`` may be in the set the
-    filter was built from (no false negatives).  The word array enters the
-    plan as a foldable array literal, so Catalyst constant-folds it once;
-    per row the test is ``num_hashes`` xxhash64 + shift/AND ops, all inside
-    whole-stage codegen."""
+    filter was built from (no false negatives).  ``dtype`` is the key
+    column's SQL type, used to apply the same canonicalization as
+    ``bloom_build`` (type-skewed hashing would silently drop matches).
+    The word array enters the plan as a foldable array literal, so Catalyst
+    constant-folds it once; per row the test is ``num_hashes`` xxhash64 +
+    shift/AND ops, all inside whole-stage codegen."""
     num_bits = len(words) * 64
+    key = _canon_key(key, dtype)
     lit_words = F.array(*[F.lit(w).cast("long") for w in words])
     cond = None
     for i in range(num_hashes):
@@ -275,7 +321,7 @@ def bloom_prefilter_join(
     fact_key: str,
     dim_key: str,
     how: str = "inner",
-    num_bits: int = 1 << 16,
+    num_bits: int | None = None,
     num_hashes: int = 5,
 ) -> DataFrame:
     """Join with the fact side pre-pruned by a bloom filter on the dim keys.
@@ -287,11 +333,31 @@ def bloom_prefilter_join(
     the exact join, so the result is bit-identical to the plain join —
     which is exactly what the DuckDB oracle checks.
 
+    Both key columns are canonicalized before hashing and must belong to
+    the same type FAMILY (both integral, both fractional, or identical
+    otherwise) — a cross-family pair (int vs string) hashes differently on
+    the two sides and would produce silent false negatives, so it is
+    rejected up front.  ``num_bits=None`` sizes the filter from the actual
+    dim key count at ~10 bits/key (one cheap count job — pass ``num_bits``
+    explicitly to skip it, e.g. from cached table statistics at warehouse
+    scale); a fixed default would silently stop pruning past ~6.5k keys.
+
     Only ``inner`` and ``left_semi`` are legal: pruning the probe side of
     an outer/anti join would drop rows the join must keep.
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"bloom pre-filtering is join-transparent only for inner/left_semi, got {how!r}")
+    fact_dtype = fact.schema[fact_key].dataType.simpleString()
+    dim_dtype = dim.schema[dim_key].dataType.simpleString()
+    if _key_family(fact_dtype) != _key_family(dim_dtype):
+        raise ValueError(
+            f"bloom join keys must share a type family, got {fact_dtype!r} vs {dim_dtype!r}"
+            " (canonicalization cannot reconcile cross-family hashes)"
+        )
+    if num_bits is None:
+        num_bits = bloom_num_bits_for(dim.count())
     words = bloom_build(dim, dim_key, num_bits=num_bits, num_hashes=num_hashes)
-    pruned = fact.filter(bloom_might_contain(F.col(fact_key), words, num_hashes=num_hashes))
+    pruned = fact.filter(
+        bloom_might_contain(F.col(fact_key), words, num_hashes=num_hashes, dtype=fact_dtype)
+    )
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

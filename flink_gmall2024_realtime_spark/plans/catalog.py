@@ -3943,7 +3943,8 @@ pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
 pr{i} AS (
   SELECT n.node, CAST(150000 + COALESCE(c.s, 0) AS BIGINT) AS pr
   FROM nodes n LEFT JOIN (
-    SELECT e.dst AS node, CAST(SUM((p.pr * 85 * e.cnt) // (100 * o.outw)) AS BIGINT) AS s
+    SELECT e.dst AS node,
+           CAST(SUM(CAST((CAST(p.pr AS HUGEINT) * 85 * e.cnt) // (100 * o.outw) AS BIGINT)) AS BIGINT) AS s
     FROM edges e
     JOIN outw o ON e.src = o.src
     JOIN pr{i - 1} p ON p.node = e.src

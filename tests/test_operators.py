@@ -785,6 +785,41 @@ class TestBloomFilter:
         with _pytest.raises(ValueError):
             sketch.bloom_prefilter_join(df, df, "k", "k", how="left")
 
+    def test_mixed_integral_key_types_no_false_negatives(self, spark):
+        """INT fact key vs BIGINT dim key must still match every row: keys
+        canonicalize to long before hashing, so the probe sees the build's
+        bits (xxhash64 alone is type-sensitive — this is the silent
+        false-negative hole the canonicalization closes)."""
+        from flink_gmall2024_realtime_spark.operators import sketch
+
+        fact = spark.range(1000).select(F.col("id").cast("int").alias("fk"), F.col("id").alias("v"))
+        dim = spark.range(0, 1000, 3).select(F.col("id").alias("dk"))
+        got = sketch.bloom_prefilter_join(fact, dim, "fk", "dk").count()
+        assert got == fact.join(dim, fact["fk"] == dim["dk"]).count()
+
+    def test_cross_family_key_types_rejected(self, spark):
+        """int vs string / int vs double keys cannot be canonicalized to a
+        common hash — the join must refuse rather than silently drop rows."""
+        from flink_gmall2024_realtime_spark.operators import sketch
+
+        import pytest as _pytest
+
+        fact = spark.range(10).select(F.col("id").alias("k"))
+        dim_s = spark.range(10).select(F.col("id").cast("string").alias("k"))
+        dim_d = spark.range(10).select(F.col("id").cast("double").alias("k"))
+        for dim in (dim_s, dim_d):
+            with _pytest.raises(ValueError, match="type family"):
+                sketch.bloom_prefilter_join(fact, dim, "k", "k")
+
+    def test_num_bits_autosized_from_dim_count(self):
+        """Default sizing: ~10 bits/key, 64-bit aligned, floored at 64 Kbit —
+        so a 50k-key dim no longer saturates the filter into a no-op."""
+        from flink_gmall2024_realtime_spark.operators import sketch
+
+        assert sketch.bloom_num_bits_for(100) == 1 << 16
+        assert sketch.bloom_num_bits_for(50_000) == (50_000 * 10 + 63) // 64 * 64
+        assert sketch.bloom_num_bits_for(50_000) % 64 == 0
+
 
 class TestGraph:
     def test_pagerank_matches_pure_python_model(self, spark):
@@ -830,6 +865,57 @@ class TestGraph:
             for r in graph.transition_edges(ev).collect()
         }
         assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+    def test_pagerank_deep_iteration_checkpointed(self, spark):
+        """iters=20 (checkpoint every 5): result still matches the pure-Python
+        model exactly, and the rank frame's plan depth stays bounded — the
+        lineage chain restarts at each localCheckpoint instead of nesting
+        all 20 iterations of joins into one optimizer tree."""
+        from flink_gmall2024_realtime_spark.operators import graph
+
+        raw = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 1), (2, 4, 1), (4, 1, 5)]
+        edges = spark.createDataFrame(raw, ["src", "dst", "cnt"])
+        pr_df = graph.pagerank(edges, iters=20, checkpoint_every=5)
+        got = {r["node"]: r["pr"] for r in pr_df.collect()}
+
+        outw: dict[int, int] = {}
+        for s, _, c in raw:
+            outw[s] = outw.get(s, 0) + c
+        nodes = sorted({x for e in raw for x in e[:2]})
+        pr = {n: 1_000_000 for n in nodes}
+        for _ in range(20):
+            inc = {n: 0 for n in nodes}
+            for s, d, c in raw:
+                inc[d] += (pr[s] * 85 * c) // (100 * outw[s])
+            pr = {n: 150_000 + inc[n] for n in nodes}
+        assert got == pr
+        # bounded plan depth: only the post-checkpoint iterations (≤ 5) are
+        # in the tree, so the join count cannot scale with total iters
+        tree = pr_df._jdf.queryExecution().optimizedPlan().toString()
+        assert tree.count("Join") <= 2 * 5 + 2
+
+    def test_pagerank_hub_scale_product_no_overflow(self, spark):
+        """A rank * weight product past int64 (ADVICE r3): pr ~ 1e15 micro-
+        units meeting cnt ~ 1e5 would overflow BIGINT (ANSI abort); the
+        DECIMAL(38,0) widening must both survive and stay exact vs the
+        pure-Python (arbitrary-precision) model."""
+        from flink_gmall2024_realtime_spark.operators import graph
+
+        big = 10**14  # pr(1e6) * 85 * 1e14 = 8.5e21 >> 2^63-1 ~ 9.2e18
+        raw = [(1, 2, big), (2, 1, big), (2, 3, 1)]
+        edges = spark.createDataFrame(raw, ["src", "dst", "cnt"])
+        got = {r["node"]: r["pr"] for r in graph.pagerank(edges, iters=3).collect()}
+        outw = {}
+        for s, _, c in raw:
+            outw[s] = outw.get(s, 0) + c
+        nodes = sorted({x for e in raw for x in e[:2]})
+        pr = {n: 1_000_000 for n in nodes}
+        for _ in range(3):
+            inc = {n: 0 for n in nodes}
+            for s, d, c in raw:
+                inc[d] += (pr[s] * 85 * c) // (100 * outw[s])
+            pr = {n: 150_000 + inc[n] for n in nodes}
+        assert got == pr
 
 
 class TestIncrementalJoin:
