@@ -103,6 +103,38 @@ def skew_and_layout_extras(spark, materialize) -> dict:
     return out
 
 
+def codec_extras() -> dict:
+    """PNG scanline-reconstruction throughput (driver-side, no Spark): the
+    one hot loop in the repo that runs interpreted Python per media row.
+    Reported per filter class because the speedup is structural: None/Sub/Up
+    reconstruct fully vectorized (numpy copy / per-channel cumsum / array
+    add), while Average/Paeth carry a true left-to-right dependency and run
+    as tight scalar scans — the floor for pure Python and the seam where a
+    deployment vendors libpng. Decoded MB/s over a 400x400 RGB image,
+    min of 2 runs."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_png,
+        synth_png_random,
+    )
+
+    out: dict[str, float] = {}
+    w = h = 400
+    mb = 3 * w * h / 1e6
+    for label, filters in (
+        ("png_decode_vectorizable_mbps", (0, 1, 2)),
+        ("png_decode_paeth_mbps", (4,)),
+        ("png_decode_mix_mbps", (0, 1, 2, 3, 4)),
+    ):
+        png = synth_png_random(w, h, seed=11, filters=filters)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            decode_png(png)
+            best = min(best, time.perf_counter() - t0)
+        out[label] = round(mb / best, 1)
+    return out
+
+
 TPCH_22 = [
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_segment_revenue",
     "q4_order_priority", "q5_region_volume", "q6_forecast_revenue",
@@ -167,6 +199,7 @@ def main() -> None:
                 timings[name] = elapsed
     total = round(sum(timings.values()), 3)
     extras = skew_and_layout_extras(spark, materialize)
+    extras.update(codec_extras())
     extras.update(tpch_suite_extra(spark, sf_dir, materialize))
     print(
         json.dumps(

@@ -716,6 +716,28 @@ def test_png_codec_roundtrip_and_crc():
         decode_png(bytes(bad))
 
 
+def test_png_random_content_every_filter_class():
+    """Vectorized scanline reconstruction vs the numpy ENCODER direction on
+    pseudo-random content: each filter type alone, plus the all-five mix,
+    must reconstruct the exact pixel sum (the vectorized Sub cumsum and the
+    Average/Paeth scalar scans all exercised on non-constant data — the
+    constant-image fixtures can't distinguish e.g. a broken left index)."""
+    import numpy as np
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_png,
+        synth_png_random,
+    )
+
+    for filters in [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)]:
+        w, h, seed = 37, 23, 13 + sum(filters)
+        rng = np.random.default_rng(seed)
+        expect_sum = int(rng.integers(0, 256, size=(h, 3 * w), dtype=np.int64).sum())
+        gw, gh, n_px, s = decode_png(synth_png_random(w, h, seed=seed, filters=filters))
+        assert (gw, gh, n_px) == (w, h, 3 * w * h)
+        assert s == expect_sum, f"filters={filters}"
+
+
 def test_pq_encode_and_topk_tiny(spark):
     """PQ on a corpus whose vectors ARE the codebook entries: every vector
     encodes to its own index per subspace and its self-reconstructed
