@@ -4019,3 +4019,82 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("delta_ct"),
         F.round(F.sum(rev), 2).cast("double").alias("delta_revenue"),
     )
+
+
+@register(
+    "q_incremental_join_retract",
+    oracle="""
+WITH base_o AS (
+  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 10 <> 0
+),
+new_o AS (
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0
+),
+base_l AS (
+  SELECT l_orderkey AS o_orderkey, l_extendedprice, l_discount
+  FROM lineitem WHERE l_linenumber <> 1
+),
+new_l AS (
+  SELECT l_orderkey AS o_orderkey, l_extendedprice, l_discount
+  FROM lineitem WHERE l_linenumber <> 2
+),
+old_v AS (SELECT o.o_orderkey, o.o_orderpriority, l.l_extendedprice, l.l_discount
+          FROM base_o o JOIN base_l l USING (o_orderkey)),
+new_v AS (SELECT o.o_orderkey, o.o_orderpriority, l.l_extendedprice, l.l_discount
+          FROM new_o o JOIN new_l l USING (o_orderkey)),
+signed AS (
+  SELECT *, 1 AS w FROM (SELECT * FROM new_v EXCEPT ALL SELECT * FROM old_v)
+  UNION ALL
+  SELECT *, -1 AS w FROM (SELECT * FROM old_v EXCEPT ALL SELECT * FROM new_v)
+)
+SELECT o_orderkey, o_orderpriority, l_extendedprice, l_discount,
+       CAST(SUM(w) AS BIGINT) AS delta_w
+FROM signed
+GROUP BY 1, 2, 3, 4
+HAVING SUM(w) <> 0
+""",
+    survey_ids=("merge-ivm-retract",),
+)
+def q_incremental_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM with RETRACTIONS: deltas carry signed weights (+1 insert, -1
+    retract) and the engine computes the view delta via the weighted join
+    derivative (weights multiply through the cross term).  The oracle
+    derives the same delta with zero shared algebra: it materializes the
+    old and new views outright and takes the signed multiset difference
+    (EXCEPT ALL both directions, then nets per row content) — the two
+    formulations agree only if the Z-set derivative is right.  Retracted
+    orders are base orders with key % 7 == 0; retracted lineitems are the
+    linenumber-2 rows; inserts are the % 10 == 0 orders and linenumber-1
+    rows, so every weight combination (including retract-meets-insert)
+    occurs."""
+    from ..operators import merge
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+        "l_linenumber",
+    )
+    base_o = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta_o = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("_w", F.lit(1))
+        .unionByName(
+            base_o.filter(F.col("o_orderkey") % 7 == 0).withColumn("_w", F.lit(-1))
+        )
+    )
+    base_l = li.filter(F.col("l_linenumber") != 1).drop("l_linenumber")
+    delta_l = (
+        li.filter(F.col("l_linenumber") == 1)
+        .drop("l_linenumber")
+        .withColumn("_w", F.lit(1))
+        .unionByName(
+            li.filter(F.col("l_linenumber") == 2).drop("l_linenumber").withColumn("_w", F.lit(-1))
+        )
+    )
+    out = merge.incremental_join_delta_retract(
+        base_o, delta_o, base_l, delta_l, on=["o_orderkey"]
+    )
+    return out.withColumnRenamed("_w", "delta_w")

@@ -964,3 +964,74 @@ class TestIncrementalJoin:
         )
         base = Counter((ka, av, bv) for ka, av in a for kb, bv in b if ka == kb)
         assert got == full - base
+
+    def test_retract_delta_equals_signed_view_difference(self, spark):
+        """The weighted (Z-set) derivative must equal new_view minus old_view
+        with signed multiplicities, on frames exercising every weight
+        combination: insert x base, retract x base, insert x insert,
+        insert x retract, retract x retract — plus duplicate row content
+        that must net."""
+        from flink_gmall2024_realtime_spark.operators import merge
+
+        a = [(1, "x"), (1, "x"), (2, "y"), (3, "z"), (4, "q")]
+        # retract ONE copy of the duplicated (1, x); insert (2, w) and (5, v)
+        da = [(1, "x", -1), (2, "w", 1), (5, "v", 1), (4, "q", -1)]
+        b = [(1, 10), (2, 20), (2, 20), (4, 40)]
+        db = [(2, 20, -1), (1, 11, 1), (5, 50, 1), (4, 41, 1)]
+        A = spark.createDataFrame(a, ["k", "av"])
+        dA = spark.createDataFrame(da, ["k", "av", "_w"])
+        B = spark.createDataFrame(b, ["k", "bv"])
+        dB = spark.createDataFrame(db, ["k", "bv", "_w"])
+
+        got = {
+            (r["k"], r["av"], r["bv"]): r["_w"]
+            for r in merge.incremental_join_delta_retract(
+                A, dA, B, dB, on=["k"]
+            ).collect()
+        }
+
+        def apply_delta(base_rows, delta_rows):
+            m: dict = {}
+            for row in base_rows:
+                m[row] = m.get(row, 0) + 1
+            for *row, w in delta_rows:
+                m[tuple(row)] = m.get(tuple(row), 0) + w
+            return m
+
+        na, nb = apply_delta(a, da), apply_delta(b, db)
+        oa = {r: c for r, c in ((row, a.count(row)) for row in set(a))}
+        ob = {r: c for r, c in ((row, b.count(row)) for row in set(b))}
+
+        def join_z(za, zb):
+            out: dict = {}
+            for (ka, av), ca in za.items():
+                for (kb, bv), cb in zb.items():
+                    if ka == kb and ca and cb:
+                        key = (ka, av, bv)
+                        out[key] = out.get(key, 0) + ca * cb
+            return out
+
+        new_v, old_v = join_z(na, nb), join_z(oa, ob)
+        expect = {
+            key: new_v.get(key, 0) - old_v.get(key, 0)
+            for key in set(new_v) | set(old_v)
+            if new_v.get(key, 0) - old_v.get(key, 0) != 0
+        }
+        assert got == expect
+
+    def test_retract_unnetted_preserves_signed_rows(self, spark):
+        """net=False must emit the raw three-term rows (append-path shape):
+        summing its weights per row content reproduces the netted form."""
+        from flink_gmall2024_realtime_spark.operators import merge
+
+        A = spark.createDataFrame([(1, "x")], ["k", "av"])
+        dA = spark.createDataFrame([(1, "x", -1)], ["k", "av", "_w"])
+        B = spark.createDataFrame([(1, 10)], ["k", "bv"])
+        dB = spark.createDataFrame([(1, 10, 1)], ["k", "bv", "_w"])
+        raw = merge.incremental_join_delta_retract(
+            A, dA, B, dB, on=["k"], net=False
+        ).collect()
+        # dA x B = -1; A x dB = +1; dA x dB = -1  -> net -1
+        assert sorted(r["_w"] for r in raw) == [-1, -1, 1]
+        netted = merge.incremental_join_delta_retract(A, dA, B, dB, on=["k"]).collect()
+        assert [(r["k"], r["av"], r["bv"], r["_w"]) for r in netted] == [(1, "x", 10, -1)]
