@@ -520,6 +520,87 @@ def kmeans_centroids(
     return np.arange(len(cen), dtype=np.int64), cen
 
 
+def kmeans_centroids_micro(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Integer-micro Lloyd k-means — TRAINED centroids that are still
+    exactly SQL-oracle-checkable (the gap ``kmeans_centroids``'s FP-order
+    tolerance leaves open).
+
+    Every quantity is int64: vectors quantize to micro-units
+    (``rint(round(v, 6) * 1e6)`` — the PQ ADC idiom), assignment is argmin
+    of integer squared-L2 with ties to the smaller cell id, and the update
+    is a truncating division of integer sums by counts (DuckDB ``//`` and
+    Spark ``div`` both truncate toward zero — numpy's floor division does
+    NOT, hence the sign-decomposed form).  Integer addition is associative
+    and commutative, so partial-aggregation order, partitioning, and replay
+    cannot move a single unit: the trained centroids are a pure function of
+    the input multiset, reproducible by chained SQL CTEs (one per
+    iteration, ``plans/catalog.py::_kmeans_micro_cte``).
+
+    Same distribution shape as ``kmeans_centroids``: one map-side Arrow
+    pass per iteration emitting <= tasks x k partial (count, sum-vector)
+    rows; empty cells keep their previous centroid.  Init is the ``k``
+    smallest-id vectors.  Returns ``(cell_ids 0..k-1, centroid_matrix)``
+    with the matrix in MICRO-UNITS (divide by 1e6 for the float form
+    ``ivf_topk`` consumes)."""
+    import numpy as np
+    import pandas as pd
+
+    init = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    cen = np.rint(
+        np.round(np.array([list(r[1]) for r in init], dtype=np.float64), 6) * 1e6
+    ).astype(np.int64)
+    sc = corpus.sparkSession.sparkContext
+    vecs = corpus.select(vec_col)
+
+    for _ in range(iters):
+        bc = sc.broadcast(cen)
+
+        def partials(batches):
+            c = bc.value
+            kk, d = c.shape
+            counts = np.zeros(kk, dtype=np.int64)
+            sums = np.zeros((kk, d), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.rint(np.round(_mat(pdf[vec_col]), 6) * 1e6).astype(np.int64)
+                diff = v[:, None, :] - c[None, :, :]
+                d2 = (diff * diff).sum(axis=2)
+                cell = d2.argmin(axis=1)  # first minimum -> smallest cell id
+                for ci in np.unique(cell):
+                    m = cell == ci
+                    counts[ci] += int(m.sum())
+                    sums[ci] += v[m].sum(axis=0)
+            touched = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": touched.astype("int64"),
+                    "n": counts[touched],
+                    "s": pd.Series([sums[t].tolist() for t in touched], dtype="object"),
+                }
+            )
+
+        rows = vecs.mapInPandas(partials, "cell long, n long, s array<bigint>").collect()
+        counts = np.zeros(len(cen), dtype=np.int64)
+        sums = np.zeros_like(cen)
+        for r in rows:
+            counts[r["cell"]] += r["n"]
+            sums[r["cell"]] += np.asarray(r["s"], dtype=np.int64)
+        nz = counts > 0
+        # truncate-toward-zero division (SQL semantics), not numpy floor
+        trunc = np.sign(sums) * (np.abs(sums) // np.maximum(counts, 1)[:, None])
+        cen = np.where(nz[:, None], trunc, cen)
+        bc.destroy()
+
+    return np.arange(len(cen), dtype=np.int64), cen
+
+
 def kmeans_inertia(
     corpus: DataFrame, centroids, vec_col: str = "embedding"
 ) -> float:

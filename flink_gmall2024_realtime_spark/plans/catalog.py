@@ -4098,3 +4098,154 @@ def q_incremental_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_o, delta_o, base_l, delta_l, on=["o_orderkey"]
     )
     return out.withColumnRenamed("_w", "delta_w")
+
+
+def _kmeans_micro_cte(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Chained-CTE integer-micro k-means (the oracle twin of
+    ``similarity.kmeans_centroids_micro``): one assign/update CTE pair per
+    Lloyd iteration, entirely in BIGINT micro-units — quantization by
+    CAST(round(x,6)*1e6), squared-L2 assignment with ties to the smaller
+    cell, truncating ``//`` centroid update (DuckDB ``//`` truncates toward
+    zero, matching Spark ``div`` and the engine's sign-decomposed numpy
+    form), empty cells carried forward.  Ends at ``cen{iters}`` with
+    (cell, cm BIGINT[])."""
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "d -> (em.vm[d] - c.cm[d]) * (em.vm[d] - c.cm[d])))"
+    )
+    head = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+em AS (SELECT vec_id,
+              list_transform(v, x -> CAST(round(x, 6) * 1000000 AS BIGINT)) AS vm
+       FROM e),
+cen0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vm AS cm
+  FROM (SELECT vec_id, vm FROM em ORDER BY vec_id LIMIT {k})
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+asg{i} AS (
+  SELECT vec_id, vm, cell FROM (
+    SELECT em.vec_id, em.vm, c.cell,
+           row_number() OVER (PARTITION BY em.vec_id ORDER BY {dist}, c.cell) AS rn
+    FROM em CROSS JOIN cen{i - 1} c
+  ) WHERE rn = 1
+),
+sums{i} AS (
+  SELECT cell, t.d, SUM(vm[t.d]) AS s, COUNT(*) AS n
+  FROM asg{i}, range(1, {dim + 1}) t(d)
+  GROUP BY cell, t.d
+),
+upd{i} AS (
+  SELECT cell, list(s // n ORDER BY d) AS cm
+  FROM sums{i} GROUP BY cell
+),
+cen{i} AS (
+  SELECT p.cell, COALESCE(u.cm, p.cm) AS cm
+  FROM cen{i - 1} p LEFT JOIN upd{i} u ON p.cell = u.cell
+)""")
+    return head + "".join(steps)
+
+
+_KM_K, _KM_ITERS = 8, 3
+
+_IVF_TRAINED_SQL = f"""
+WITH {_kmeans_micro_cte(_KM_K, _KM_ITERS)},
+cen AS (SELECT cell AS cid, list_transform(cm, x -> x / 1000000.0) AS cv
+        FROM cen{_KM_ITERS}),
+asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, cen.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_PAIR.format(a='e.v', b='cen.cv')} DESC, cen.cid) AS rn
+    FROM e CROSS JOIN cen
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, cen.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_PAIR.format(a='q.qv', b='cen.cv')} DESC, cen.cid) AS rn
+    FROM q CROSS JOIN cen
+  ) WHERE rn <= 4
+),
+s AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_PAIR.format(a='qe.v', b='ne.v')} AS sim
+  FROM probes p
+  JOIN asg a ON p.cell = a.cell
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ne ON ne.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_ivf_trained",
+    oracle=_IVF_TRAINED_SQL,
+    survey_ids=("sim-ivf", "sim-kmeans"),
+)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over TRAINED cells — closing the gap that kept k-means an
+    opt-in: ``kmeans_centroids_micro`` runs Lloyd iterations entirely in
+    int64 micro-units (associative/commutative partials), so the trained
+    centroids are partitioning-invariant and the whole index carries an
+    exact chained-CTE SQL oracle, unlike float k-means whose reduction
+    order drifts.  Assignment/probing/scoring reuse ``ivf_topk``
+    unchanged (centroids enter as micros/1e6 — bit-identical doubles on
+    both engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    ids, cen_micro = similarity.kmeans_centroids_micro(emb, k=_KM_K, iters=_KM_ITERS)
+    return similarity.ivf_topk(
+        emb, q, k=5, nprobe=4, centroids=(ids, cen_micro / 1e6)
+    )
+
+
+_IVF_TRAINED_RECALL_SQL = f"""
+WITH bf AS ({_ANN_BRUTE_SQL}),
+ivf AS ({_IVF_TRAINED_SQL})
+SELECT count(*) AS n_truth,
+       sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS recall_at_5
+FROM bf b LEFT JOIN ivf i
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+"""
+
+
+@register(
+    "ann_ivf_trained_recall_report",
+    oracle=_IVF_TRAINED_RECALL_SQL,
+    survey_ids=("sim-ivf", "sim-kmeans", "sim-brute-cosine"),
+)
+def ann_ivf_trained_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the trained-centroid IVF index vs exact brute force —
+    the quality lock for ``ann_ivf_trained`` (``tests/test_catalog.py``
+    additionally pins trained >= placeholder recall at sf0.01)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    truth = similarity.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ids, cen_micro = similarity.kmeans_centroids_micro(emb, k=_KM_K, iters=_KM_ITERS)
+    approx = similarity.ivf_topk(
+        emb, q, k=5, nprobe=4, centroids=(ids, cen_micro / 1e6)
+    ).select("query_id", F.col("neighbor_id").alias("hit_id"))
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"]) & (truth["neighbor_id"] == approx["hit_id"]),
+        "left",
+    )
+    hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(hit).alias("n_hit"),
+        F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("recall_at_5"),
+    )

@@ -82,3 +82,38 @@ def test_approx_aggregates_within_error_bounds(spark, sf_dir):
         uv, p25, p75 = exact[et]
         assert abs(uv_a - uv) <= max(3, 0.15 * uv), (et, uv_a, uv)
         assert p25 <= p50_a <= p75, (et, p50_a, p25, p75)
+
+
+def test_kmeans_micro_partition_invariance(spark, sf_dir):
+    """Integer-micro k-means must be a pure function of the input multiset:
+    the trained centroid matrix is bit-identical whether the corpus arrives
+    as 1 partition or 16 (the property float k-means cannot give, and what
+    makes ann_ivf_trained exactly oracle-checkable)."""
+    import numpy as np
+
+    from flink_gmall2024_realtime_spark.operators import similarity
+    from flink_gmall2024_realtime_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, c1 = similarity.kmeans_centroids_micro(emb.repartition(1), k=8, iters=3)
+    _, c2 = similarity.kmeans_centroids_micro(emb.repartition(16), k=8, iters=3)
+    assert np.array_equal(c1, c2)
+    assert c1.dtype == np.int64
+
+
+def test_trained_ivf_recall_beats_placeholder():
+    """Quality lock for ann_ivf_trained (VERDICT r3 #3): trained cells must
+    recall at least as well as the deterministic id-mod placeholder at
+    sf0.01 (r4 measured: 0.72 trained vs 0.568 placeholder)."""
+    from flink_gmall2024_realtime_spark.plans import CATALOG
+    from flink_gmall2024_realtime_spark.session import get_spark
+
+    sf01 = "/root/testdata/sf0.01"
+    spark = get_spark("gmall-tests", shuffle_partitions=8)
+    placeholder = CATALOG["ann_recall_report"].spark(spark, sf01).collect()[0]
+    trained = CATALOG["ann_ivf_trained_recall_report"].spark(spark, sf01).collect()[0]
+    assert trained["recall_at_5"] >= placeholder["recall_at_5"], (
+        trained["recall_at_5"],
+        placeholder["recall_at_5"],
+    )
+    assert trained["recall_at_5"] >= 0.6
