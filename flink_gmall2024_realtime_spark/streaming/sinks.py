@@ -486,6 +486,109 @@ def hll_register_sink(
     return write
 
 
+def _sum_merge_sink(spark: SparkSession, path: str, build_fn, keys: list[str]):
+    """Shared core for SUM-merge sketch sinks (count-min, HDR histogram):
+    fold each micro-batch's sketch table into the stored table by
+    unioning and re-summing per key.
+
+    Sum is associative/commutative but — unlike ``hll_register_sink``'s
+    max — NOT idempotent, so replay protection is load-bearing, and an
+    external commit marker would leave a crash window (crash between the
+    table swap and the marker write -> replay double-counts the batch).
+    The marker therefore lives INSIDE the swapped directory: a
+    ``_last_batch`` file (Spark ignores underscore-prefixed files) written
+    into the tmp dir BEFORE the rename, so the folded data and the
+    applied-batch watermark commit in the same atomic rename.  Contract:
+    Structured Streaming batch ids are monotonically increasing and only
+    the latest batch replays after a crash — a batch with
+    ``batch_id <= last applied`` is skipped.  Crash healing is the same
+    two-rename pattern as ``keyed_upsert_sink``."""
+    data_path = os.path.join(path, "table")
+    old_path = os.path.join(path, ".old_table")
+
+    def heal() -> None:
+        for d in os.listdir(path) if os.path.exists(path) else []:
+            if d.startswith(".tmp_"):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        if os.path.exists(old_path):
+            if os.path.exists(data_path):
+                shutil.rmtree(old_path, ignore_errors=True)
+            else:
+                os.rename(old_path, data_path)
+
+    def last_applied() -> int | None:
+        marker = os.path.join(data_path, "_last_batch")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            return int(f.read().strip())
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        os.makedirs(path, exist_ok=True)
+        heal()
+        la = last_applied()
+        if la is not None and batch_id <= la:
+            return
+        fresh = build_fn(batch)
+        if os.path.exists(data_path):
+            merged = (
+                spark.read.parquet(data_path)
+                .unionByName(fresh)
+                .groupBy(*keys)
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = fresh
+        tmp = os.path.join(path, f".tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch"), "w") as f:
+            f.write(str(batch_id))
+        if os.path.exists(data_path):
+            os.rename(data_path, old_path)
+        os.rename(tmp, data_path)
+        shutil.rmtree(old_path, ignore_errors=True)
+
+    return write
+
+
+def cm_sketch_sink(spark: SparkSession, path: str, key_col: str = "user_id"):
+    """Streaming count-min maintenance: each micro-batch's (i, col, c)
+    table sum-merges into the stored sketch — the streaming twin of
+    ``q_countmin_sketch``, giving heavy-hitter estimates over the full
+    history in O(d x w) state however much data has streamed through.
+    Readers probe with ``sketch.cm_estimate(spark.read.parquet(path +
+    "/table"), keys, ...)``.  Replay-exact via the in-swap applied-batch
+    watermark (see ``_sum_merge_sink`` — sum is not idempotent, so the
+    marker is load-bearing)."""
+    from ..operators import sketch
+
+    return _sum_merge_sink(
+        spark, path, lambda b: sketch.cm_table(b, key_col), ["i", "col"]
+    )
+
+
+def hdr_hist_sink(
+    spark: SparkSession,
+    path: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Streaming HDR-histogram maintenance: per-batch (group, bid, rep, c)
+    buckets sum-merge into the store — the streaming twin of
+    ``q_hdr_quantiles``; latency-style quantiles over the whole stream in
+    <= ~8*64 buckets per group.  Readers run ``sketch.hdr_quantiles`` off
+    ``spark.read.parquet(path + "/table")``.  Same load-bearing in-swap
+    watermark as ``cm_sketch_sink``."""
+    from ..operators import sketch
+
+    return _sum_merge_sink(
+        spark,
+        path,
+        lambda b: sketch.hdr_hist(b, group_col, value_col),
+        [group_col, "bid", "rep"],
+    )
+
+
 def dynamic_routing_sink(base_dir: str, sink_table_col: str = "sink_table"):
     """K2/R3 — dynamic destination routing: one partitioned write per batch;
     each record lands under its ``sink_table`` value (the file analogue of the

@@ -250,3 +250,111 @@ def test_hdr_hist_merges_associatively(spark, sf_dir):
         .agg(F.sum("c").alias("c"))
     )
     assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_cm_sketch_sink_streaming_equals_batch_and_crash_safe(spark, sf_dir, tmp_path):
+    """Streaming count-min maintenance over a 3-chunk replay equals the
+    single-pass sketch; a replayed batch id is a no-op (sum is NOT
+    idempotent — the in-swap _last_batch watermark is what makes this
+    hold); an interrupted swap heals."""
+    import os
+
+    from flink_gmall2024_realtime_spark.operators import sketch
+    from flink_gmall2024_realtime_spark.streaming import sinks
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull()).select("user_id")
+    src = os.path.join(str(tmp_path), "incoming")
+    for i in range(3):
+        ev.filter(F.col("user_id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"chunk={i}")
+        )
+    store = os.path.join(str(tmp_path), "cm")
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sinks.cm_sketch_sink(spark, store, "user_id"))
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    table = os.path.join(store, "table")
+    got = sorted(map(tuple, spark.read.parquet(table).collect()))
+    want = sorted(map(tuple, sketch.cm_table(ev, "user_id").collect()))
+    assert got == want and len(want) > 0
+
+    # replay the LAST applied batch id (the only id Structured Streaming can
+    # replay after a crash): must be skipped, or every cell double-counts
+    writer = sinks.cm_sketch_sink(spark, store, "user_id")
+    last = int(open(os.path.join(table, "_last_batch")).read())
+    writer(ev.filter(F.col("user_id") % 3 == 2), batch_id=last)
+    again = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert again == want
+
+    # crash window: swap interrupted after the live table was renamed aside
+    os.rename(table, os.path.join(store, ".old_table"))
+    writer(ev.limit(0), batch_id=last)  # heal() restores, watermark skips
+    healed = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert healed == want
+
+    # probing the maintained store never underestimates
+    keys = ev.distinct().limit(20)
+    for r in sketch.cm_estimate(spark.read.parquet(table), keys, "user_id").collect():
+        true_ct = ev.filter(F.col("user_id") == r["user_id"]).count()
+        assert r["cm_est"] >= true_ct
+
+
+def test_hdr_hist_sink_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming HDR maintenance over a 3-chunk replay equals the
+    single-pass histogram, replays are no-ops, and quantile estimates off
+    the maintained store match the batch-built sketch's."""
+    import os
+
+    from flink_gmall2024_realtime_spark.operators import sketch
+    from flink_gmall2024_realtime_spark.streaming import sinks
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select("event_type", "value")
+    )
+    src = os.path.join(str(tmp_path), "incoming")
+    for i in range(3):
+        ev.filter(F.pmod(F.xxhash64("value"), F.lit(3)) == i).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"chunk={i}")
+        )
+    store = os.path.join(str(tmp_path), "hdr")
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.hdr_hist_sink(spark, store, "event_type", "value")
+        )
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    table = os.path.join(store, "table")
+    got = sorted(map(tuple, spark.read.parquet(table).collect()))
+    want = sorted(map(tuple, sketch.hdr_hist(ev, "event_type", "value").collect()))
+    assert got == want and len(want) > 0
+
+    writer = sinks.hdr_hist_sink(spark, store, "event_type", "value")
+    last = int(open(os.path.join(table, "_last_batch")).read())
+    writer(ev, batch_id=last)  # replay: no-op
+    assert sorted(map(tuple, spark.read.parquet(table).collect())) == want
+
+    est_stream = sketch.hdr_quantiles(spark.read.parquet(table), "event_type").collect()
+    est_batch = sketch.hdr_quantiles(
+        sketch.hdr_hist(ev, "event_type", "value"), "event_type"
+    ).collect()
+    assert sorted(map(tuple, est_stream)) == sorted(map(tuple, est_batch))
