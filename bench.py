@@ -103,6 +103,46 @@ def skew_and_layout_extras(spark, materialize) -> dict:
     return out
 
 
+def scale_extras(spark, sf_dir, materialize) -> dict:
+    """Per-round scaling regression check (OUTSIDE the headline total): the
+    three family heads re-run on deterministic 4x fixtures
+    (``sources/scaling.py`` — M-sharded replicas, outputs scale by M).
+    Reported as wall-growth : input-growth (1.0 = linear; small fixtures
+    carry fixed per-query overhead, so healthy values sit well below 1 —
+    what this catches is a plan regression pushing a ratio PAST ~1, i.e.
+    superlinear). The full 10x/100x sweep lives in tools/scale_bench.py
+    and BASELINE.md's ratio table."""
+    import shutil
+    import tempfile
+
+    from flink_gmall2024_realtime_spark.sources import scaling
+
+    heads = {
+        "dedup_minhash_lsh": ("documents",),
+        "ann_lsh_bucketed": ("embeddings",),
+        "q_bloom_join": ("lineitem", "orders"),
+    }
+    m = 4
+    tables = tuple(sorted({t for ts in heads.values() for t in ts}))
+    work = tempfile.mkdtemp(prefix="bench_scale_")
+    out: dict[str, float] = {}
+    try:
+        scaling.build_scaled_dir(spark, sf_dir, work, m, tables=tables)
+        for q in heads:
+            walls = {}
+            for tag, d in (("1", sf_dir), (str(m), work)):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    materialize(CATALOG[q].spark(spark, d))
+                    best = min(best, time.perf_counter() - t0)
+                walls[tag] = best
+            out[f"scale_{q}_x{m}_growth"] = round(walls[str(m)] / walls["1"] / m, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def codec_extras() -> dict:
     """PNG scanline-reconstruction throughput (driver-side, no Spark): the
     one hot loop in the repo that runs interpreted Python per media row.
@@ -151,17 +191,20 @@ def tpch_suite_extra(spark, sf_dir, materialize) -> dict:
     """Full 22-query TPC-H suite wall (OUTSIDE the headline total): the
     OLAP-capability benchmark. Two passes, per-query min (same rationale as
     the headline loop)."""
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {name: [] for name in TPCH_22}
     for _ in range(2):
         for name in TPCH_22:
             t0 = time.perf_counter()
             materialize(CATALOG[name].spark(spark, sf_dir))
-            elapsed = round(time.perf_counter() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    timings = {name: min(r) for name, r in runs.items()}
     return {
         "tpch_22q_total_sec": round(sum(timings.values()), 3),
         "tpch_queries": timings,
+        "tpch_query_stats": {
+            name: {"min": min(r), "spread": round(max(r) - min(r), 3)}
+            for name, r in runs.items()
+        },
     }
 
 
@@ -183,23 +226,29 @@ def main() -> None:
     materialize(next(iter(bench.values())).spark(spark, sf_dir))
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
-    # Three passes, report the per-query min: pass 1 pays JIT/codegen
-    # compilation (the local[32] JVM is cold; a long-running cluster is
-    # not), later passes are the steady-state engine speed we are actually
-    # optimizing — and the min also rides out this VM's ±20-30% background
-    # load bursts (documented in BASELINE.md), which otherwise dominate
-    # same-code run-to-run deltas at sf0.1.
-    timings: dict[str, float] = {}
+    # Three passes, report the per-query min AND spread (max - min): pass 1
+    # pays JIT/codegen compilation (the local[32] JVM is cold; a
+    # long-running cluster is not), later passes are the steady-state
+    # engine speed we are actually optimizing — the min rides out this
+    # VM's ±20-30% background load bursts (documented in BASELINE.md),
+    # and the spread is what distinguishes a real regression from that
+    # noise when comparing rounds: a code regression moves the MIN beyond
+    # the prior round's min + spread; a busy VM only widens the spread.
+    runs: dict[str, list[float]] = {name: [] for name in bench}
     for _ in range(3):
         for name, spec in sorted(bench.items()):
             t0 = time.perf_counter()
             materialize(spec.spark(spark, sf_dir))
-            elapsed = round(time.perf_counter() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    timings = {name: min(r) for name, r in runs.items()}
+    query_stats = {
+        name: {"min": min(r), "spread": round(max(r) - min(r), 3)}
+        for name, r in runs.items()
+    }
     total = round(sum(timings.values()), 3)
     extras = skew_and_layout_extras(spark, materialize)
     extras.update(codec_extras())
+    extras.update(scale_extras(spark, sf_dir, materialize))
     extras.update(tpch_suite_extra(spark, sf_dir, materialize))
     print(
         json.dumps(
@@ -208,6 +257,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_stats": query_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extras": extras,
             }

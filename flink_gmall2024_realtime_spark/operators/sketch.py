@@ -240,10 +240,17 @@ def _key_family(dtype: str) -> str:
 def bloom_num_bits_for(n_keys: int, bits_per_key: int = 10) -> int:
     """Filter size for an expected key count: ``bits_per_key`` bits/key
     (~0.9% FPR at 10 bits with 5 hashes), rounded up to a multiple of 64,
-    floored at 64 Kbit. The default 2^16 saturates near ~6.5k keys — sizing
-    from the real key count is what keeps the pre-filter pruning instead of
-    degrading to pure per-row overhead."""
-    need = max(1 << 16, n_keys * bits_per_key)
+    floored at 64 Kbit and CAPPED at 2^20 (16k plan-side words): the bit
+    words ride the plan as an array literal, and Catalyst's
+    analysis/codegen cost grows with literal size — measured at sf0.1,
+    2^20 costs ~2s of driver plan time, which a 100 TB scan amortizes but
+    a small query should not exceed.  Past the cap (~100k dim keys) FPR
+    degrades gracefully toward no-op pruning (correctness never depends on
+    it); deployments with larger key sets should pass ``num_bits``
+    explicitly and wear the plan cost, or switch this seam to an
+    engine-native binary bloom (Spark's internal BloomFilterImpl) that
+    packs the same bits into one compact literal."""
+    need = max(1 << 16, min(1 << 20, n_keys * bits_per_key))
     return (need + 63) // 64 * 64
 
 
@@ -302,7 +309,12 @@ def bloom_might_contain(key, words: list[int], num_hashes: int = 5, dtype: str =
     shift/AND ops, all inside whole-stage codegen."""
     num_bits = len(words) * 64
     key = _canon_key(key, dtype)
-    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    # The word array enters the plan via ONE parsed SQL literal — building
+    # it as per-element F.lit columns costs ~0.6 ms of py4j round-trip per
+    # word (4 s at 4700 words; caught by tools/scale_bench.py at 10x),
+    # while the parser ingests the same array from text in ~10 ms and
+    # ConstantFolding collapses it to a single Literal before execution.
+    lit_words = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
     cond = None
     for i in range(num_hashes):
         pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))

@@ -1,0 +1,113 @@
+"""Deterministic fixture scaling — the scale-proofing substrate.
+
+The engine's 100 TB claims are plan-shape arguments (bucketed keys, bounded
+driver traffic, no per-row Python); this module turns them into MEASURED
+scaling ratios by synthesizing an M-times corpus from the driver fixtures
+and re-running the flagship queries (``tools/scale_bench.py``; a 4x spot
+check rides along in ``bench.py`` extras).
+
+Construction: M replicas of each base table, unioned, with
+
+- **key offsets** (+r * 10M per replica) on every join/identity key, kept
+  CONSISTENT across tables (lineitem.l_partkey and part.p_partkey shift
+  together) so per-replica joins still match — growth looks like M shards
+  of the same workload, the shape a real corpus grows in;
+- **content perturbation** where identical payloads would change the
+  workload's asymptotics instead of its size: every document token gets a
+  replica suffix (within-replica Jaccard/shingle structure is preserved
+  EXACTLY, cross-replica shingles become disjoint — so near-dup pairs
+  scale by M, not M^2); embeddings shift by r/1000 per coordinate (local
+  neighborhoods keep their geometry, replicas don't collapse onto one
+  point set).
+
+Everything is a pure function of (fixture, M): no RNG, no timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPLICA_OFFSET = 10_000_000  # divisible by every mod the catalog uses (20, 50, 10, 7x? no — see note)
+
+ALL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+KEY_OFFSETS: dict[str, tuple[str, ...]] = {
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "events": ("event_id", "user_id"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+}
+
+
+def scaled_table(spark: SparkSession, sf_dir: str, name: str, m: int) -> DataFrame:
+    """The M-times replica union of one fixture table (see module doc for
+    the offset/perturbation rules). m=1 returns the base table unchanged."""
+    base = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    reps = []
+    for r in range(m):
+        df = base
+        if r:
+            for col in KEY_OFFSETS.get(name, ()):
+                dtype = base.schema[col].dataType.simpleString()
+                df = df.withColumn(
+                    col, (F.col(col) + F.lit(r * REPLICA_OFFSET)).cast(dtype)
+                )
+            if name == "documents":
+                df = df.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", "$1x" + str(r))
+                )
+            if name == "embeddings":
+                shift = float(r) / 1000.0
+                df = df.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x: F.round(x.cast("double") + F.lit(shift), 6).cast(
+                            "float"
+                        ),
+                    ),
+                )
+        reps.append(df)
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def build_scaled_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    m: int,
+    tables: tuple = ALL_TABLES,
+) -> str:
+    """Materialize an M-times fixture directory (same filenames as the
+    driver fixtures, so catalog queries run on it by passing ``out_dir`` as
+    their ``sf_dir``). Writes with enough partitions that the scaled scan
+    parallelizes like a real table, not one giant row group."""
+    os.makedirs(out_dir, exist_ok=True)
+    for t in tables:
+        df = scaled_table(spark, sf_dir, t, m)
+        files = max(1, min(32, m))
+        df.repartition(files).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    return out_dir

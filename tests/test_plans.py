@@ -162,6 +162,14 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
         "q_skew_rank": 3,                 # bucketed local sort + counts + join
         "text_bigram_lm": 3,              # post-checkpoint: model join + score join + final agg
                                           # (training pass runs once at the c2 checkpoint)
+        # heavy TPC-H join trees (r4 lock, VERDICT r3 #6): a refactor that
+        # breaks a broadcast or loses an exchange reuse fails here first.
+        "q7_volume_shipping": 1,          # dims broadcast; nation-pair agg
+        "q8_market_share": 3,
+        "q9_product_type_profit": 1,
+        "q16_parts_supplier_cnt": 3,      # bridge distinct + anti-join + agg
+        "q18_large_volume": 1,
+        "q21_waiting_suppliers": 1,
     }
     for name, budget in budgets.items():
         plan = formatted_plan(spark, CATALOG[name].spark(spark, sf_dir))
