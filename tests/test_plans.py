@@ -164,6 +164,11 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
                                           # (training pass runs once at the c2 checkpoint)
         # heavy TPC-H join trees (r4 lock, VERDICT r3 #6): a refactor that
         # breaks a broadcast or loses an exchange reuse fails here first.
+        # r4 additions: retract IVM nets by row content in ONE exchange
+        # (the three delta joins broadcast); trained IVF keeps the
+        # placeholder path's cell-cogroup shape exactly.
+        "q_incremental_join_retract": 1,
+        "ann_ivf_trained": 3,
         "q7_volume_shipping": 1,          # dims broadcast; nation-pair agg
         "q8_market_share": 3,
         "q9_product_type_profit": 1,
