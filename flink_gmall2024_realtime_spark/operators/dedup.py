@@ -798,6 +798,68 @@ def embedding_cosine_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    centroids: tuple,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: route every vector to
+    its nearest trained centroid (``similarity.assign_nearest_cells`` —
+    cosine rounded to 6, ties to the smaller centroid id), then score pairs
+    ONLY within each cell, emitting ``(id_a < id_b, sim)`` where
+    ``sim >= threshold``.  The clustering bounds the quadratic term — the
+    pair space shrinks from O(n^2) to O(sum cell^2), i.e. n^2/k for
+    balanced cells — which is the published SemDeDup recipe (cluster with
+    k-means, dedup inside clusters) and the scale path
+    ``embedding_cosine_pairs``'s exact block grid deliberately is not.
+    Recall is approximate by construction: a cross-cell near-dup pair is
+    unseen (the trade the k-means geometry makes small, since near-dups
+    co-locate).  With ``kmeans_centroids_micro`` centroids the whole
+    pipeline is deterministic and exactly SQL-oracle-checkable.
+
+    100 TB shape: assignment is one map-side Arrow pass against a
+    broadcast k x dim matrix; pairing is one groupBy(cell) shuffle with
+    cell-local numpy scoring — no cross join, nothing driver-side; task
+    memory is the largest cell (k tunes it).  Feed the pairs to
+    ``dedup_clusters`` / keep-policy exactly like the MinHash family."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _mat, assign_nearest_cells
+
+    cen_ids, cen_mat = centroids
+    cells = assign_nearest_cells(emb, cen_ids, cen_mat, 1, "vid", "vec", id_col, vec_col)
+
+    def pairs_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+        vids = pdf["vid"].to_numpy(dtype=np.int64)
+        vmat = _mat(pdf["vec"])
+        d = vmat.shape[1]
+        # dim-sequential accumulation: bit-equal to the SQL oracle's
+        # list_dot_product (see embedding_cosine_pairs)
+        acc = vmat[:, 0:1] * vmat[None, :, 0]
+        nrm = vmat[:, 0] * vmat[:, 0]
+        for j in range(1, d):
+            acc = acc + vmat[:, j : j + 1] * vmat[None, :, j]
+            nrm = nrm + vmat[:, j] * vmat[:, j]
+        nrm = np.sqrt(nrm)
+        sim = np.round(acc / (nrm[:, None] * nrm[None, :]), 6)
+        li, ri = np.nonzero((sim >= threshold) & (vids[:, None] < vids[None, :]))
+        if len(li) == 0:
+            return empty
+        return pd.DataFrame({"id_a": vids[li], "id_b": vids[ri], "sim": sim[li, ri]})
+
+    return cells.groupBy("cell").applyInPandas(
+        pairs_in_cell, "id_a long, id_b long, sim double"
+    )
+
+
 def duplicate_span_removal(
     docs: DataFrame,
     width: int = 8,

@@ -259,3 +259,59 @@ def incremental_join_delta_retract(
         .agg(F.sum(weight_col).alias(weight_col))
         .filter(F.col(weight_col) != 0)
     )
+
+
+def incremental_agg_delta_retract(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: dict[str, str],
+    weight_col: str = "_w",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Grouped-aggregate materialized view maintained under INSERT AND
+    RETRACT deltas — the Z-set derivative of ``GROUP BY keys`` with
+    sum/count states, closing the aggregate half of the changelog-to-view
+    story next to ``incremental_join_delta_retract``'s join half (the
+    reference's windowed sums re-accumulate on Flink retractions the same
+    way: ``DwsTradeSkuOrderWindow.java`` upsert-Kafka re-emission).
+
+    ``state`` holds the stored view: ``keys`` + one column per entry of
+    ``sum_cols`` (``{out_col: delta_source_col}``) + ``count_col``.
+    ``delta`` carries ``weight_col`` = +1 per inserted row, -1 per
+    retracted row (a retraction must name a row the base aggregated).
+    Because SUM and COUNT are commutative-group aggregates, the new view is
+    a pure merge — partial-agg the signed delta (each sum weighted by w,
+    the count as SUM(w)) and add it onto the state, dropping groups whose
+    net count reaches zero (a group whose every row retracts vanishes,
+    exactly as a recompute would make it).  MIN/MAX are deliberately NOT
+    supported here: they are monoid-only — a retraction of the current
+    extremum needs a rescan of the group's surviving rows, which is a
+    targeted re-aggregation of affected groups, not a state merge
+    (``merge_partial_aggs`` covers their insert-only form).
+
+    100 TB shape: the delta partial-agg map-side combines before its one
+    shuffle, so what moves is O(touched groups); the state merge shuffles
+    state + partial on ``keys`` — never the base rows — and co-located
+    bucketing on ``keys`` makes the merge shuffle-free.  Nothing
+    driver-side."""
+    aggs = [
+        F.sum(F.col(weight_col) * F.col(src)).alias(out)
+        for out, src in sum_cols.items()
+    ] + [F.sum(weight_col).alias(count_col)]
+    partial = delta.groupBy(*keys).agg(*aggs)
+    # align partial's widened sum types with the stored state's schema so
+    # the union resolves without implicit up-casts drifting the view type
+    for out in list(sum_cols) + [count_col]:
+        partial = partial.withColumn(
+            out, F.col(out).cast(state.schema[out].dataType)
+        )
+    merged = state.unionByName(partial.select(*state.columns))
+    return (
+        merged.groupBy(*keys)
+        .agg(
+            *[F.sum(c).cast(state.schema[c].dataType).alias(c) for c in sum_cols],
+            F.sum(count_col).cast(state.schema[count_col].dataType).alias(count_col),
+        )
+        .filter(F.col(count_col) != 0)
+    )

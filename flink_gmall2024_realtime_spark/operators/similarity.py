@@ -342,6 +342,64 @@ def lsh_topk(
     )
 
 
+def assign_nearest_cells(
+    df: DataFrame,
+    cen_ids,
+    cen_mat,
+    top: int,
+    id_out: str,
+    vec_out: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side nearest-centroid routing: score every vector against the
+    broadcast centroid matrix (cosine rounded to 6 decimals, ties to the
+    smaller centroid id — dimension-sequential accumulation for oracle
+    bit-parity) and emit its ``top`` nearest cells, carrying the vector
+    through so cell membership never joins back to the source.  The shared
+    cell-assignment pass of ``ivf_topk`` (corpus ``top=1`` / query probes
+    ``top=nprobe``) and ``dedup.semantic_dedup_pairs``.  Output schema:
+    ``(id_out long, cell long, vec_out <vec type>)``."""
+    import numpy as np
+    import pandas as pd
+
+    cen_ids = np.asarray(cen_ids, dtype=np.int64)
+    cen_mat = np.asarray(cen_mat, dtype=np.float64)
+    d = cen_mat.shape[1]
+    cen_n = cen_mat[:, 0] * cen_mat[:, 0]
+    for j in range(1, d):
+        cen_n = cen_n + cen_mat[:, j] * cen_mat[:, j]
+    cen_n = np.sqrt(cen_n)
+    bc = df.sparkSession.sparkContext.broadcast((cen_ids, cen_mat, cen_n))
+    vec_type = df.schema[vec_col].dataType.simpleString()
+
+    def fn(batches):
+        cen_ids_, cen_mat_, cen_n_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids = pdf[id_col].to_numpy(dtype=np.int64)
+            vmat = _mat(pdf[vec_col])
+            acc = vmat[:, 0:1] * cen_mat_[None, :, 0]
+            for j in range(1, d):
+                acc = acc + vmat[:, j : j + 1] * cen_mat_[None, :, j]
+            vn = vmat[:, 0] * vmat[:, 0]
+            for j in range(1, d):
+                vn = vn + vmat[:, j] * vmat[:, j]
+            vn = np.sqrt(vn)
+            sim = np.round(acc / (vn[:, None] * cen_n_[None, :]), 6)
+            order = np.lexsort((cen_ids_[None, :].repeat(len(vids), 0), -sim), axis=1)
+            rows = []
+            for i in range(len(vids)):
+                for c in order[i, :top]:
+                    rows.append((vids[i], int(cen_ids_[c]), pdf[vec_col].iloc[i]))
+            yield pd.DataFrame(rows, columns=[id_out, "cell", vec_out])
+
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_out} long, cell long, {vec_out} {vec_type}"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -381,7 +439,6 @@ def ivf_topk(
     Fully deterministic, so (unlike most ANN) it has an exact SQL oracle.
     Output: (query_id, neighbor_id, sim, rank)."""
     import numpy as np
-    import pandas as pd
 
     if centroids is not None:
         cen_ids, cen_mat = centroids
@@ -397,44 +454,12 @@ def ivf_topk(
         cen_ids = np.array([r[0] for r in cen_rows], dtype=np.int64)
         cen_mat = np.array([list(r[1]) for r in cen_rows], dtype=np.float64)
     d = cen_mat.shape[1]
-    cen_n = cen_mat[:, 0] * cen_mat[:, 0]
-    for j in range(1, d):
-        cen_n = cen_n + cen_mat[:, j] * cen_mat[:, j]
-    cen_n = np.sqrt(cen_n)
-    sc = corpus.sparkSession
-    bc = sc.sparkContext.broadcast((cen_ids, cen_mat, cen_n))
-    vec_type = corpus.schema[vec_col].dataType.simpleString()
 
-    def assign(top: int, id_out: str, vec_out: str):
-        def fn(batches):
-            cen_ids_, cen_mat_, cen_n_ = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                vids = pdf[id_col].to_numpy(dtype=np.int64)
-                vmat = _mat(pdf[vec_col])
-                acc = vmat[:, 0:1] * cen_mat_[None, :, 0]
-                for j in range(1, d):
-                    acc = acc + vmat[:, j : j + 1] * cen_mat_[None, :, j]
-                vn = vmat[:, 0] * vmat[:, 0]
-                for j in range(1, d):
-                    vn = vn + vmat[:, j] * vmat[:, j]
-                vn = np.sqrt(vn)
-                sim = np.round(acc / (vn[:, None] * cen_n_[None, :]), 6)
-                order = np.lexsort((cen_ids_[None, :].repeat(len(vids), 0), -sim), axis=1)
-                rows = []
-                for i in range(len(vids)):
-                    for c in order[i, :top]:
-                        rows.append((vids[i], int(cen_ids_[c]), pdf[vec_col].iloc[i]))
-                yield pd.DataFrame(rows, columns=[id_out, "cell", vec_out])
-
-        return fn
-
-    cells = corpus.select(id_col, vec_col).mapInPandas(
-        assign(1, "neighbor_id", "cv"), f"neighbor_id long, cell long, cv {vec_type}"
+    cells = assign_nearest_cells(
+        corpus, cen_ids, cen_mat, 1, "neighbor_id", "cv", id_col, vec_col
     )
-    probes = queries.select(id_col, vec_col).mapInPandas(
-        assign(nprobe, "query_id", "qv"), f"query_id long, cell long, qv {vec_type}"
+    probes = assign_nearest_cells(
+        queries, cen_ids, cen_mat, nprobe, "query_id", "qv", id_col, vec_col
     )
 
     scored = _score_cogrouped(cells, probes, "cell", k, d)

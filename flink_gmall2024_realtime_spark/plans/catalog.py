@@ -4100,6 +4100,55 @@ def q_incremental_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("_w", "delta_w")
 
 
+@register(
+    "q_incremental_agg_retract",
+    oracle="""
+SELECT o_custkey,
+       round(sum(round(o_totalprice, 6)::DECIMAL(28, 6)), 2)::DOUBLE AS sum_price,
+       count(*) AS cnt
+FROM orders
+WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0
+GROUP BY 1
+""",
+    survey_ids=("merge-ivm-agg-retract",),
+)
+def q_incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for a grouped-aggregate view under retractions: the engine never
+    re-aggregates the base — it partial-aggs the signed delta (sums
+    weighted by w, count as SUM(w)) and merges it onto the stored state,
+    dropping zero-net groups.  The oracle recomputes the final view from
+    scratch over the post-delta row set (inserts are the %10 orders,
+    retractions the %7 base orders), so the two agree only if the
+    commutative-group merge algebra is right.  The aggregate twin of
+    ``q_incremental_join_retract``."""
+    from ..operators import merge
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice"), 6).cast("decimal(28,6)").alias("price"),
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    state0 = base.groupBy("o_custkey").agg(
+        F.sum("price").alias("sum_price"), F.count(F.lit(1)).alias("cnt")
+    )
+    delta = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("_w", F.lit(1))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 7 == 0).withColumn("_w", F.lit(-1))
+        )
+    )
+    new_state = merge.incremental_agg_delta_retract(
+        state0, delta, ["o_custkey"], {"sum_price": "price"}, count_col="cnt"
+    )
+    return new_state.select(
+        "o_custkey",
+        F.round(F.col("sum_price"), 2).cast("double").alias("sum_price"),
+        "cnt",
+    )
+
+
 def _kmeans_micro_cte(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     """Chained-CTE integer-micro k-means (the oracle twin of
     ``similarity.kmeans_centroids_micro``): one assign/update CTE pair per
@@ -4248,4 +4297,88 @@ def ann_ivf_trained_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_truth"),
         F.sum(hit).alias("n_hit"),
         F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("recall_at_5"),
+    )
+
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH {_kmeans_micro_cte(_KM_K, _KM_ITERS)},
+cen AS (SELECT cell AS cid, list_transform(cm, x -> x / 1000000.0) AS cv
+        FROM cen{_KM_ITERS}),
+asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, cen.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_PAIR.format(a='e.v', b='cen.cv')} DESC, cen.cid) AS rn
+    FROM e CROSS JOIN cen
+  ) WHERE rn = 1
+)
+SELECT a1.vec_id AS id_a, a2.vec_id AS id_b,
+       {_COS_PAIR.format(a='e1.v', b='e2.v')} AS sim
+FROM asg a1
+JOIN asg a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+JOIN e e1 ON e1.vec_id = a1.vec_id
+JOIN e e2 ON e2.vec_id = a2.vec_id
+WHERE {_COS_PAIR.format(a='e1.v', b='e2.v')} >= 0.4
+"""
+
+
+@register(
+    "dedup_semantic",
+    oracle=_SEMANTIC_DEDUP_SQL,
+    survey_ids=("dedup-embedding-cosine", "sim-kmeans"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster the embeddings (integer-micro Lloyd, so
+    training is partitioning-invariant and exactly reproducible in SQL),
+    then emit cosine near-dup pairs WITHIN each cluster only.  The
+    clustering bounds the pairwise term at O(n^2/k) vs the exact block
+    grid's O(n^2) (``dedup_embedding_cosine``) — recall gives up only
+    cross-cluster pairs, which near-dup geometry makes rare.  Threshold
+    0.4 matches the exact entry (the fixture plants no vector dups), so
+    the two entries' pair sets are directly comparable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ids, cen_micro = similarity.kmeans_centroids_micro(emb, k=_KM_K, iters=_KM_ITERS)
+    return dedup.semantic_dedup_pairs(emb, (ids, cen_micro / 1e6), threshold=0.4)
+
+
+_SEMANTIC_RECALL_SQL = f"""
+WITH exact_p AS ({_EMB_COS_SQL}),
+sem AS ({_SEMANTIC_DEDUP_SQL})
+SELECT count(*) AS n_exact,
+       sum(CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(sum(CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS pair_recall
+FROM exact_p x LEFT JOIN sem s ON x.id_a = s.id_a AND x.id_b = s.id_b
+"""
+
+
+@register(
+    "dedup_semantic_recall_report",
+    oracle=_SEMANTIC_RECALL_SQL,
+    survey_ids=("dedup-semantic", "dedup-embedding-cosine"),
+)
+def dedup_semantic_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair recall of the cluster-bounded semantic dedup vs the exact block
+    grid — the quality lock for ``dedup_semantic``, mirroring the ANN
+    recall reports: what fraction of TRUE near-dup pairs survive the
+    within-cluster restriction.  Deterministic end-to-end, so the report
+    itself is exactly oracle-checked.  At sf0.01 this reads 29/59 = 0.49 —
+    a floor, not the operating point: the fixture's isotropic embeddings at
+    threshold 0.4 make the weakest possible 'near-dups' (real corpora dedup
+    at >= 0.9, where pairs co-locate in one cell); tests pin >= 0.45."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact_p = dedup.embedding_cosine_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    ids, cen_micro = similarity.kmeans_centroids_micro(emb, k=_KM_K, iters=_KM_ITERS)
+    sem = (
+        dedup.semantic_dedup_pairs(emb, (ids, cen_micro / 1e6), threshold=0.4)
+        .select(F.col("id_a").alias("s_a"), F.col("id_b").alias("s_b"))
+    )
+    joined = exact_p.join(
+        sem, (exact_p["id_a"] == sem["s_a"]) & (exact_p["id_b"] == sem["s_b"]), "left"
+    )
+    kept = F.when(F.col("s_a").isNotNull(), 1).otherwise(0)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(kept).alias("n_kept"),
+        F.round(F.sum(kept) / F.count(F.lit(1)), 6).alias("pair_recall"),
     )

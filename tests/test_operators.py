@@ -1035,3 +1035,39 @@ class TestIncrementalJoin:
         assert sorted(r["_w"] for r in raw) == [-1, -1, 1]
         netted = merge.incremental_join_delta_retract(A, dA, B, dB, on=["k"]).collect()
         assert [(r["k"], r["av"], r["bv"], r["_w"]) for r in netted] == [(1, "x", 10, -1)]
+
+    def test_agg_retract_matches_recompute(self, spark):
+        """State-merge maintenance of a sum/count view under signed deltas
+        must equal a from-scratch recompute over the post-delta rows —
+        including a group whose every row retracts (it must vanish) and a
+        brand-new group arriving purely via inserts."""
+        from collections import Counter
+
+        from flink_gmall2024_realtime_spark.operators import merge
+
+        base = [("a", 10), ("a", 5), ("b", 7), ("c", 3), ("c", 4)]
+        # retract BOTH of c's rows (group vanishes), one of a's, insert a
+        # new row into b and a never-seen group d
+        delta = [("c", 3, -1), ("c", 4, -1), ("a", 5, -1), ("b", 1, 1), ("d", 9, 1)]
+        B = spark.createDataFrame(base, ["g", "v"])
+        D = spark.createDataFrame(delta, ["g", "v", "_w"])
+        state0 = B.groupBy("g").agg(
+            F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("cnt")
+        )
+        got = {
+            r["g"]: (r["sum_v"], r["cnt"])
+            for r in merge.incremental_agg_delta_retract(
+                state0, D, ["g"], {"sum_v": "v"}, count_col="cnt"
+            ).collect()
+        }
+        final = Counter()
+        cnts = Counter()
+        for g, v in base:
+            final[g] += v
+            cnts[g] += 1
+        for g, v, w in delta:
+            final[g] += w * v
+            cnts[g] += w
+        expect = {g: (final[g], cnts[g]) for g in cnts if cnts[g] != 0}
+        assert got == expect
+        assert "c" not in got and got["d"] == (9, 1)

@@ -169,6 +169,11 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
         # placeholder path's cell-cogroup shape exactly.
         "q_incremental_join_retract": 1,
         "ann_ivf_trained": 3,
+        # agg-retract IVM: state agg + merge agg, delta partial map-side
+        # combined into the union; semantic dedup: ONE groupBy(cell) — the
+        # assignment is a map-side Arrow pass, pairing never joins back.
+        "q_incremental_agg_retract": 2,
+        "dedup_semantic": 1,
         "q7_volume_shipping": 1,          # dims broadcast; nation-pair agg
         "q8_market_share": 3,
         "q9_product_type_profit": 1,
