@@ -315,3 +315,142 @@ def incremental_agg_delta_retract(
         )
         .filter(F.col(count_col) != 0)
     )
+
+
+def build_extrema_state(
+    base: DataFrame,
+    keys: Sequence[str],
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Materialize the stored state ``incremental_extrema_retract``
+    maintains: per-group ``min_<c>`` / ``max_<c>`` + row count."""
+    aggs = (
+        [F.min(c).alias(f"min_{c}") for c in min_cols]
+        + [F.max(c).alias(f"max_{c}") for c in max_cols]
+        + [F.count(F.lit(1)).alias(count_col)]
+    )
+    return base.groupBy(*keys).agg(*aggs)
+
+
+def incremental_extrema_retract(
+    base: DataFrame,
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    weight_col: str = "_w",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """MIN/MAX materialized view maintained under retractions — the
+    targeted-re-aggregation path that ``incremental_agg_delta_retract``
+    deliberately excludes: extrema are monoid-only (no inverse), so a
+    retraction of the CURRENT extremum cannot be merged away; the group
+    must rescan its surviving values.  The standard IVM treatment makes
+    that rescan *targeted*:
+
+    - **merge-path groups** (no retraction touches a stored extremum, and
+      the group already exists) update by pure monoid merge:
+      ``least(stored_min, min(inserted))`` / ``greatest(stored_max,
+      max(inserted))`` — zero base access;
+    - **recompute-path groups** (a retracted value equals the stored min
+      or max, or the group is brand-new) rebuild their extrema from
+      per-(group, value) NET multiplicities — base values at +1, delta
+      values at their signed weights, values with net > 0 survive — with
+      base restricted to the recompute keys by a semi-join BEFORE any
+      shuffle, so base I/O is proportional to touched groups, not the
+      view.  Net-count semantics make duplicate extrema exact: retracting
+      one copy of a twice-held minimum leaves the minimum in place.
+
+    ``state`` holds ``keys`` + ``min_<c>`` / ``max_<c>`` + ``count_col``
+    (build it with ``build_extrema_state``); ``delta`` carries
+    ``weight_col`` = +1 / -1.  Groups whose net count reaches zero drop,
+    exactly as a recompute would.  Value columns must be exact types
+    (integers / decimals) so net-count equality grouping is sound — for
+    floats, quantize first (the same contract the sketch family uses).
+
+    100 TB shape: every shuffle is keyed on ``keys`` (or (keys, value)
+    for the net pass, which map-side combines); the recompute-key frame
+    is delta-sized, so AQE broadcasts the semi-joins; the merge path
+    joins state against a delta-sized partial.  Nothing driver-side."""
+    val_cols = list(dict.fromkeys([*min_cols, *max_cols]))
+    w = F.col(weight_col)
+    ext_cols = [f"min_{c}" for c in min_cols] + [f"max_{c}" for c in max_cols]
+
+    # groups where a retraction hits a stored extremum
+    hit = F.lit(False)
+    for c in min_cols:
+        hit = hit | (F.col(c) == F.col(f"min_{c}"))
+    for c in max_cols:
+        hit = hit | (F.col(c) == F.col(f"max_{c}"))
+    hit_keys = (
+        delta.filter(w < 0)
+        .join(state.select(*keys, *ext_cols), list(keys))
+        .filter(hit)
+        .select(*keys)
+    )
+    # brand-new groups (insert-only, absent from state) also recompute —
+    # their "rescan" reads no base rows at all
+    fresh_keys = delta.select(*keys).join(state.select(*keys), list(keys), "left_anti")
+    recompute_keys = hit_keys.unionByName(fresh_keys).distinct()
+
+    new_cnt = (
+        state.select(*keys, count_col)
+        .unionByName(
+            delta.groupBy(*keys).agg(
+                F.sum(w).cast(state.schema[count_col].dataType).alias(count_col)
+            )
+        )
+        .groupBy(*keys)
+        .agg(F.sum(count_col).cast(state.schema[count_col].dataType).alias(count_col))
+        .filter(F.col(count_col) != 0)
+    )
+
+    signed_vals = (
+        base.select(*keys, *val_cols)
+        .withColumn(weight_col, F.lit(1))
+        .unionByName(delta.select(*keys, *val_cols, weight_col))
+        .join(recompute_keys, list(keys), "left_semi")
+    )
+    recomputed = None
+    for c in val_cols:
+        net = (
+            signed_vals.groupBy(*keys, c)
+            .agg(F.sum(weight_col).alias("_net"))
+            .filter(F.col("_net") > 0)
+        )
+        aggs = []
+        if c in min_cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+        if c in max_cols:
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        part = net.groupBy(*keys).agg(*aggs)
+        recomputed = part if recomputed is None else recomputed.join(part, list(keys))
+
+    ins_part = delta.filter(w > 0).groupBy(*keys).agg(
+        *[F.min(c).alias(f"_ins_min_{c}") for c in min_cols],
+        *[F.max(c).alias(f"_ins_max_{c}") for c in max_cols],
+    )
+    merged = (
+        state.join(recompute_keys, list(keys), "left_anti")
+        .join(ins_part, list(keys), "left")
+    )
+    for c in min_cols:
+        merged = merged.withColumn(
+            f"min_{c}",
+            F.least(F.col(f"min_{c}"), F.coalesce(F.col(f"_ins_min_{c}"), F.col(f"min_{c}"))),
+        )
+    for c in max_cols:
+        merged = merged.withColumn(
+            f"max_{c}",
+            F.greatest(F.col(f"max_{c}"), F.coalesce(F.col(f"_ins_max_{c}"), F.col(f"max_{c}"))),
+        )
+    out_cols = [*keys, *ext_cols]
+    return (
+        merged.select(*out_cols)
+        .unionByName(recomputed.select(*out_cols))
+        .join(new_cnt, list(keys))
+        .select(*out_cols, count_col)
+    )

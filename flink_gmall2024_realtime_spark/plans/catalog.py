@@ -4382,3 +4382,59 @@ def dedup_semantic_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept).alias("n_kept"),
         F.round(F.sum(kept) / F.count(F.lit(1)), 6).alias("pair_recall"),
     )
+
+
+@register(
+    "q_incremental_minmax_retract",
+    oracle="""
+SELECT o_custkey,
+       round(min(round(o_totalprice, 6)::DECIMAL(28, 6)), 2)::DOUBLE AS min_price,
+       round(max(round(o_totalprice, 6)::DECIMAL(28, 6)), 2)::DOUBLE AS max_price,
+       count(*) AS cnt
+FROM orders
+WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0
+GROUP BY 1
+""",
+    survey_ids=("merge-ivm-agg-retract",),
+)
+def q_incremental_minmax_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for a MIN/MAX view under retractions — the monoid-only case
+    ``q_incremental_agg_retract`` excludes: the engine merges unaffected
+    groups and re-aggregates ONLY groups where a retraction hit the stored
+    extremum (plus brand-new groups), from net value multiplicities.  The
+    oracle recomputes the final view outright, so it agrees only if the
+    affected-group detection, the net-count rescan, and the monoid merge
+    are all right."""
+    from ..operators import merge
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice"), 6).cast("decimal(28,6)").alias("price"),
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 0).drop("o_orderkey")
+    # the operator reads state/delta several times (affected-key probe,
+    # count merge, monoid merge, rescan); in production both are STORED
+    # tables — model that here, or every branch re-aggregates the base
+    state = merge.build_extrema_state(
+        base, ["o_custkey"], min_cols=["price"], max_cols=["price"]
+    ).localCheckpoint(eager=False)
+    delta = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("_w", F.lit(1))
+        .unionByName(
+            o.filter((F.col("o_orderkey") % 10 != 0) & (F.col("o_orderkey") % 7 == 0))
+            .withColumn("_w", F.lit(-1))
+        )
+        .drop("o_orderkey")
+        .localCheckpoint(eager=False)
+    )
+    new_state = merge.incremental_extrema_retract(
+        base, state, delta, ["o_custkey"], min_cols=["price"], max_cols=["price"]
+    )
+    return new_state.select(
+        "o_custkey",
+        F.round(F.col("min_price"), 2).cast("double").alias("min_price"),
+        F.round(F.col("max_price"), 2).cast("double").alias("max_price"),
+        "cnt",
+    )

@@ -1071,3 +1071,49 @@ class TestIncrementalJoin:
         expect = {g: (final[g], cnts[g]) for g in cnts if cnts[g] != 0}
         assert got == expect
         assert "c" not in got and got["d"] == (9, 1)
+
+    def test_extrema_retract_matches_recompute(self, spark):
+        """Targeted min/max re-aggregation must equal a from-scratch
+        recompute, across every interesting case: retract one copy of a
+        DUPLICATED minimum (min must NOT move), retract a unique maximum
+        (max must move), pure-insert group update via monoid merge, a
+        fully-retracted group (vanishes), and a brand-new group."""
+        from collections import Counter
+
+        from flink_gmall2024_realtime_spark.operators import merge
+
+        base = [
+            ("a", 1), ("a", 1), ("a", 9),   # dup minimum
+            ("b", 2), ("b", 8),             # unique max 8
+            ("c", 5),                        # will vanish
+            ("d", 3), ("d", 4),             # untouched-extrema merge path
+        ]
+        delta = [
+            ("a", 1, -1),                    # one copy of the dup min: min stays 1
+            ("b", 8, -1), ("b", 5, 1),      # unique max retracted: max -> 5
+            ("c", 5, -1),                    # group vanishes
+            ("d", 6, 1),                     # insert above min, below nothing: max -> 6
+            ("e", 7, 1), ("e", 2, 1),       # brand-new group
+        ]
+        B = spark.createDataFrame(base, ["g", "v"])
+        D = spark.createDataFrame(delta, ["g", "v", "_w"])
+        state = merge.build_extrema_state(B, ["g"], min_cols=["v"], max_cols=["v"])
+        got = {
+            r["g"]: (r["min_v"], r["max_v"], r["cnt"])
+            for r in merge.incremental_extrema_retract(
+                B, state, D, ["g"], min_cols=["v"], max_cols=["v"]
+            ).collect()
+        }
+        rows = Counter()
+        for g, v in base:
+            rows[(g, v)] += 1
+        for g, v, w in delta:
+            rows[(g, v)] += w
+        surviving: dict = {}
+        for (g, v), n in rows.items():
+            if n > 0:
+                surviving.setdefault(g, []).extend([v] * n)
+        expect = {g: (min(vs), max(vs), len(vs)) for g, vs in surviving.items()}
+        assert got == expect
+        assert got["a"][0] == 1 and got["b"][1] == 5 and "c" not in got
+        assert got["e"] == (2, 7, 2)

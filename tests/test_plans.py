@@ -174,6 +174,11 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
         # assignment is a map-side Arrow pass, pairing never joins back.
         "q_incremental_agg_retract": 2,
         "dedup_semantic": 1,
+        # extrema IVM: 5 keyed branches over checkpointed state/delta
+        # (9 hash shuffles + 8 delta-sized broadcasts); a refactor that
+        # un-broadcasts an affected-key probe or duplicates the state
+        # lineage fails here first.
+        "q_incremental_minmax_retract": 17,
         "q7_volume_shipping": 1,          # dims broadcast; nation-pair agg
         "q8_market_share": 3,
         "q9_product_type_profit": 1,
