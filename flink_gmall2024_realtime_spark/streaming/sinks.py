@@ -486,7 +486,7 @@ def hll_register_sink(
     return write
 
 
-def _sum_merge_sink(spark: SparkSession, path: str, build_fn, keys: list[str]):
+def _sum_merge_sink(spark: SparkSession, path: str, build_fn, keys: list[str], merge_fn=None):
     """Shared core for SUM-merge sketch sinks (count-min, HDR histogram):
     fold each micro-batch's sketch table into the stored table by
     unioning and re-summing per key.
@@ -530,12 +530,12 @@ def _sum_merge_sink(spark: SparkSession, path: str, build_fn, keys: list[str]):
         if la is not None and batch_id <= la:
             return
         fresh = build_fn(batch)
-        if os.path.exists(data_path):
+        stored = spark.read.parquet(data_path) if os.path.exists(data_path) else None
+        if merge_fn is not None:
+            merged = merge_fn(stored, fresh)
+        elif stored is not None:
             merged = (
-                spark.read.parquet(data_path)
-                .unionByName(fresh)
-                .groupBy(*keys)
-                .agg(F.sum("c").alias("c"))
+                stored.unionByName(fresh).groupBy(*keys).agg(F.sum("c").alias("c"))
             )
         else:
             merged = fresh
@@ -587,6 +587,65 @@ def hdr_hist_sink(
         lambda b: sketch.hdr_hist(b, group_col, value_col),
         [group_col, "bid", "rep"],
     )
+
+
+def agg_view_sink(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    weight_col: str = "_w",
+    count_col: str = "cnt",
+):
+    """Streaming grouped sum/count view maintained from a SIGNED CHANGELOG
+    stream — the streaming twin of
+    ``operators.merge.incremental_agg_delta_retract`` and the upsert-view
+    half of Flink's retract-stream story (the reference's windowed sums
+    re-accumulate on retractions the same way,
+    ``DwsTradeSkuOrderWindow.java``): each micro-batch carries
+    ``weight_col`` = +1 insert / -1 retract; its partial agg (sums
+    weighted by w, count as SUM(w)) folds into the stored view and groups
+    whose net count reaches zero are DELETED from the store, exactly as a
+    recompute would drop them.
+
+    Shares ``_sum_merge_sink``'s replay core: signed sums are not
+    idempotent, so the applied-batch watermark rides inside the
+    atomically-swapped table directory (no marker/data crash window), and
+    ``batch_id <= last applied`` replays are skipped.  Readers see the
+    current view at ``path + "/table"``.
+
+    100 TB shape: the per-batch partial map-side combines before one
+    keyed shuffle; the store merge shuffles view + partial on ``keys`` —
+    O(groups), never O(stream).  The store rewrite is full-table per
+    batch (same contract as the sketch sinks); bucket the store via
+    ``keyed_upsert_sink``'s pattern when groups are many."""
+
+    def build(batch: DataFrame) -> DataFrame:
+        aggs = [
+            F.sum(F.col(weight_col) * F.col(src)).alias(out)
+            for out, src in sum_cols.items()
+        ] + [F.sum(weight_col).alias(count_col)]
+        return batch.groupBy(*keys).agg(*aggs)
+
+    def merge_fn(stored: DataFrame | None, fresh: DataFrame) -> DataFrame:
+        if stored is None:
+            return fresh.filter(F.col(count_col) != 0)
+        fresh = fresh.select(
+            *keys,
+            *[F.col(c).cast(stored.schema[c].dataType).alias(c) for c in sum_cols],
+            F.col(count_col).cast(stored.schema[count_col].dataType).alias(count_col),
+        )
+        return (
+            stored.unionByName(fresh)
+            .groupBy(*keys)
+            .agg(
+                *[F.sum(c).cast(stored.schema[c].dataType).alias(c) for c in sum_cols],
+                F.sum(count_col).cast(stored.schema[count_col].dataType).alias(count_col),
+            )
+            .filter(F.col(count_col) != 0)
+        )
+
+    return _sum_merge_sink(spark, path, build, keys, merge_fn=merge_fn)
 
 
 def dynamic_routing_sink(base_dir: str, sink_table_col: str = "sink_table"):

@@ -358,3 +358,93 @@ def test_hdr_hist_sink_streaming_equals_batch(spark, sf_dir, tmp_path):
         sketch.hdr_hist(ev, "event_type", "value"), "event_type"
     ).collect()
     assert sorted(map(tuple, est_stream)) == sorted(map(tuple, est_batch))
+
+
+def test_agg_view_sink_streaming_equals_recompute_and_deletes_groups(spark, sf_dir, tmp_path):
+    """Streaming signed-changelog view maintenance (inserts then
+    retractions across 3 chunks) must equal a from-scratch recompute over
+    the post-delta rows; replayed batch ids are no-ops (signed sums are
+    NOT idempotent — the in-swap watermark is load-bearing); an
+    interrupted swap heals; a group whose rows all retract is DELETED
+    from the store."""
+    import os
+
+    from flink_gmall2024_realtime_spark.streaming import sinks
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice"), 6).cast("decimal(28,6)").alias("price"),
+    )
+    chunks = [
+        o.filter(F.col("o_orderkey") % 10 != 0).withColumn("_w", F.lit(1)),
+        o.filter(F.col("o_orderkey") % 10 == 0).withColumn("_w", F.lit(1)),
+        o.filter((F.col("o_orderkey") % 10 != 0) & (F.col("o_orderkey") % 7 == 0))
+        .withColumn("_w", F.lit(-1)),
+    ]
+    src = os.path.join(str(tmp_path), "changelog")
+    for i, ch in enumerate(chunks):
+        ch.drop("o_orderkey").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"chunk={i}")
+        )
+    store = os.path.join(str(tmp_path), "view")
+    stream = (
+        spark.readStream.schema("o_custkey long, price decimal(28,6), _w int")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.agg_view_sink(spark, store, ["o_custkey"], {"sum_price": "price"})
+        )
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    table = os.path.join(store, "table")
+    got = sorted(
+        (r["o_custkey"], r["sum_price"], r["cnt"])
+        for r in spark.read.parquet(table).collect()
+    )
+    want = sorted(
+        map(
+            tuple,
+            o.filter((F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 7 != 0))
+            .groupBy("o_custkey")
+            .agg(F.sum("price").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect(),
+        )
+    )
+    assert len(want) > 0 and [(k, n) for k, _, n in got] == [
+        (k, n) for k, _, n in want
+    ]
+    assert all(float(a[1]) == float(b[1]) for a, b in zip(got, want))
+
+    # replay the last applied batch id: must be skipped
+    writer = sinks.agg_view_sink(spark, store, ["o_custkey"], {"sum_price": "price"})
+    last = int(open(os.path.join(table, "_last_batch")).read())
+    writer(chunks[2].drop("o_orderkey"), batch_id=last)
+    assert sorted(
+        (r["o_custkey"], r["sum_price"], r["cnt"])
+        for r in spark.read.parquet(table).collect()
+    ) == got
+
+    # crash window: swap interrupted after the live table was renamed aside
+    os.rename(table, os.path.join(store, ".old_table"))
+    writer(chunks[2].drop("o_orderkey").limit(0), batch_id=last)
+    assert sorted(
+        (r["o_custkey"], r["sum_price"], r["cnt"])
+        for r in spark.read.parquet(table).collect()
+    ) == got
+
+    # full-group retraction deletes the group from the store
+    store2 = os.path.join(str(tmp_path), "view2")
+    w2 = sinks.agg_view_sink(spark, store2, ["g"], {"s": "v"})
+    ins = spark.createDataFrame([("x", 5, 1), ("y", 3, 1)], ["g", "v", "_w"])
+    ret = spark.createDataFrame([("x", 5, -1)], ["g", "v", "_w"])
+    w2(ins, batch_id=0)
+    w2(ret, batch_id=1)
+    rows = spark.read.parquet(os.path.join(store2, "table")).collect()
+    assert [(r["g"], r["s"], r["cnt"]) for r in rows] == [("y", 3, 1)]
