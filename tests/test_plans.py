@@ -182,7 +182,10 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
         "q7_volume_shipping": 1,          # dims broadcast; nation-pair agg
         "q8_market_share": 3,
         "q9_product_type_profit": 1,
-        "q16_parts_supplier_cnt": 3,      # bridge distinct + anti-join + agg
+        "q16_parts_supplier_cnt": 4,      # 2 broadcasts + count_distinct's
+                                          # two phases — no bridge distinct;
+                                          # only filtered (group, suppkey)
+                                          # pairs ever shuffle
         "q18_large_volume": 1,
         "q21_waiting_suppliers": 1,
     }
