@@ -65,7 +65,12 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] puts driver + all N executor threads in ONE heap: size it
+        # like N executor cores, not like a driver. 8g / 32 tasks = 250 MB
+        # per task, which OOMs fact-fact sort-merge joins at 100x fixtures
+        # (q8 found this); 24g = 750 MB/task, the floor of what a real
+        # cluster would give each core. Clusters size executors explicitly.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     if master is not None:
         builder = builder.master(master)

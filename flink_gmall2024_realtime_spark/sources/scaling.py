@@ -59,8 +59,18 @@ KEY_OFFSETS: dict[str, tuple[str, ...]] = {
 
 def scaled_table(spark: SparkSession, sf_dir: str, name: str, m: int) -> DataFrame:
     """The M-times replica union of one fixture table (see module doc for
-    the offset/perturbation rules). m=1 returns the base table unchanged."""
+    the offset/perturbation rules). m=1 returns the base table unchanged.
+
+    Tables with no ``KEY_OFFSETS`` entry (region, nation) are FIXED
+    dimensions: real corpora grow facts, not the 25-nation table.  They
+    return the base unchanged at any M — replicating them verbatim would
+    turn every dim equi-join into an M-way many-to-many (M^2 output rows),
+    a fixture artifact, not workload growth.  (Found the hard way: the
+    first 100x sweep replicated nation 100x un-offset and q8's
+    customer x nation join emitted 3.0e9 rows.)"""
     base = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name not in KEY_OFFSETS:
+        return base
     reps = []
     for r in range(m):
         df = base

@@ -146,3 +146,32 @@ def test_read_evolving_schema_union_and_backfill(spark, tmp_path):
     assert [f.dataType.simpleString() for f in out.schema.fields] == [
         "bigint", "string", "double", "boolean",
     ]
+
+
+def test_scaled_fixtures_grow_joins_by_m_not_m_squared(spark, sf_dir):
+    """Scaling regression lock for the M^2 dim-join blow-up the first 100x
+    sweep hit: fixed dims (nation/region) must stay FIXED — replicating
+    them verbatim matches every fact row M times and a 'linear' fixture
+    quietly becomes quadratic. Checks: facts scale by M; fixed dims don't
+    scale; fact x dim and fact x fact equi-joins both scale by exactly M."""
+    from pyspark.sql import functions as F
+
+    from flink_gmall2024_realtime_spark.sources.scaling import scaled_table
+
+    m = 3
+    c1 = scaled_table(spark, sf_dir, "customer", 1)
+    cm = scaled_table(spark, sf_dir, "customer", m)
+    n1 = scaled_table(spark, sf_dir, "nation", 1)
+    nm = scaled_table(spark, sf_dir, "nation", m)
+    o1 = scaled_table(spark, sf_dir, "orders", 1)
+    om = scaled_table(spark, sf_dir, "orders", m)
+    assert cm.count() == m * c1.count()
+    assert nm.count() == n1.count()  # fixed dim: no replication
+    # fact x fixed-dim join scales by M (the M^2 failure mode)
+    j1 = c1.join(n1, c1["c_nationkey"] == n1["n_nationkey"]).count()
+    jm = cm.join(nm, cm["c_nationkey"] == nm["n_nationkey"]).count()
+    assert jm == m * j1
+    # fact x fact join on an offset key also scales by M (offsets consistent)
+    f1 = o1.join(c1, o1["o_custkey"] == c1["c_custkey"]).count()
+    fm = om.join(cm, om["o_custkey"] == cm["c_custkey"]).count()
+    assert fm == m * f1
