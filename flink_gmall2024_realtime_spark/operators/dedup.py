@@ -821,8 +821,12 @@ def semantic_dedup_pairs(
 
     100 TB shape: assignment is one map-side Arrow pass against a
     broadcast k x dim matrix; pairing is one groupBy(cell) shuffle with
-    cell-local numpy scoring — no cross join, nothing driver-side; task
-    memory is the largest cell (k tunes it).  Feed the pairs to
+    cell-local numpy scoring in row blocks (working set ~32 MB per task
+    at ANY cell size — never an n_cell^2 matrix).  SIZE K WITH THE
+    CORPUS: per-cell work is O((n/k)^2), so k ~ n/256 keeps cells
+    constant-sized the way ``auto_planes`` does for LSH buckets (k=8 fits
+    the sf0.01 oracle fixtures; 1e9 vectors want k ~ 4M, trained on a
+    sample).  No cross join, nothing driver-side.  Feed the pairs to
     ``dedup_clusters`` / keep-policy exactly like the MinHash family."""
     import numpy as np
     import pandas as pd
@@ -840,20 +844,40 @@ def semantic_dedup_pairs(
             return empty
         vids = pdf["vid"].to_numpy(dtype=np.int64)
         vmat = _mat(pdf["vec"])
-        d = vmat.shape[1]
-        # dim-sequential accumulation: bit-equal to the SQL oracle's
+        n, d = vmat.shape
+        # dim-sequential norm accumulation: bit-equal to the SQL oracle's
         # list_dot_product (see embedding_cosine_pairs)
-        acc = vmat[:, 0:1] * vmat[None, :, 0]
         nrm = vmat[:, 0] * vmat[:, 0]
         for j in range(1, d):
-            acc = acc + vmat[:, j : j + 1] * vmat[None, :, j]
             nrm = nrm + vmat[:, j] * vmat[:, j]
         nrm = np.sqrt(nrm)
-        sim = np.round(acc / (nrm[:, None] * nrm[None, :]), 6)
-        li, ri = np.nonzero((sim >= threshold) & (vids[:, None] < vids[None, :]))
-        if len(li) == 0:
+        # score in row blocks: a one-shot n x n sim matrix is O(cell^2)
+        # MEMORY (a 50k-row cell would materialize 20 GB); blocks bound the
+        # working set at ~32 MB per task regardless of cell size while the
+        # flop count stays identical
+        blk = max(16, (1 << 22) // max(n, 1))
+        outs = []
+        for s0 in range(0, n, blk):
+            s1 = min(s0 + blk, n)
+            sub = vmat[s0:s1]
+            acc = sub[:, 0:1] * vmat[None, :, 0]
+            for j in range(1, d):
+                acc = acc + sub[:, j : j + 1] * vmat[None, :, j]
+            sim = np.round(acc / (nrm[s0:s1, None] * nrm[None, :]), 6)
+            li, ri = np.nonzero(
+                (sim >= threshold) & (vids[s0:s1, None] < vids[None, :])
+            )
+            if len(li):
+                outs.append((vids[s0:s1][li], vids[ri], sim[li, ri]))
+        if not outs:
             return empty
-        return pd.DataFrame({"id_a": vids[li], "id_b": vids[ri], "sim": sim[li, ri]})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([o[0] for o in outs]),
+                "id_b": np.concatenate([o[1] for o in outs]),
+                "sim": np.concatenate([o[2] for o in outs]),
+            }
+        )
 
     return cells.groupBy("cell").applyInPandas(
         pairs_in_cell, "id_a long, id_b long, sim double"

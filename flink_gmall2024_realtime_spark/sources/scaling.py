@@ -85,14 +85,29 @@ def scaled_table(spark: SparkSession, sf_dir: str, name: str, m: int) -> DataFra
                     "text", F.regexp_replace("text", r"(\S+)", "$1x" + str(r))
                 )
             if name == "embeddings":
-                shift = float(r) / 1000.0
+                # deterministic per-(replica, dim) SIGN pattern: cosine is
+                # invariant under a sign pattern shared by both vectors, so
+                # within-replica geometry (top-k, thresholded pairs) is
+                # EXACT; across replicas the patterns are uncorrelated, so
+                # cross-replica cosine collapses to ~N(0, 1/sqrt(dim)) and
+                # thresholded pair outputs scale by M.  (The earlier
+                # +r/1000 shift kept cross-replica copies at cosine ~1.0 —
+                # fine for top-k, but every threshold-pair query emitted
+                # all M^2 replica pairs: dedup_semantic at 100x produced
+                # ~25M pairs from 59.)
+                rr = F.lit(int(r))
                 df = df.withColumn(
                     "embedding",
                     F.transform(
                         "embedding",
-                        lambda x: F.round(x.cast("double") + F.lit(shift), 6).cast(
-                            "float"
-                        ),
+                        lambda x, i: F.when(
+                            F.pmod(
+                                F.xxhash64(rr * F.lit(1_000_003) + i.cast("long")),
+                                F.lit(2),
+                            )
+                            == 0,
+                            x,
+                        ).otherwise(-x),
                     ),
                 )
         reps.append(df)
