@@ -589,19 +589,28 @@ def kmeans_centroids_micro(
         def partials(batches):
             c = bc.value
             kk, d = c.shape
+            cn = (c * c).sum(axis=1)
             counts = np.zeros(kk, dtype=np.int64)
             sums = np.zeros((kk, d), dtype=np.int64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 v = np.rint(np.round(_mat(pdf[vec_col]), 6) * 1e6).astype(np.int64)
-                diff = v[:, None, :] - c[None, :, :]
-                d2 = (diff * diff).sum(axis=2)
-                cell = d2.argmin(axis=1)  # first minimum -> smallest cell id
-                for ci in np.unique(cell):
-                    m = cell == ci
-                    counts[ci] += int(m.sum())
-                    sums[ci] += v[m].sum(axis=0)
+                # row blocks bound memory at n_blk x k (~32 MB) — the naive
+                # (v - c) tensor is n x k x d and crashed workers at k=800.
+                # |v|^2 - 2 v.c + |c|^2 in int64 is EXACT (integer matmul,
+                # |values| < 2^57), so argmin ties break identically.
+                blk = max(16, (1 << 22) // max(kk, 1))
+                for s0 in range(0, len(v), blk):
+                    sub = v[s0 : s0 + blk]
+                    d2 = (
+                        (sub * sub).sum(axis=1)[:, None]
+                        - 2 * (sub @ c.T)
+                        + cn[None, :]
+                    )
+                    cell = d2.argmin(axis=1)  # first minimum -> smallest cell id
+                    np.add.at(counts, cell, 1)
+                    np.add.at(sums, cell, sub)
             touched = np.nonzero(counts)[0]
             yield pd.DataFrame(
                 {
