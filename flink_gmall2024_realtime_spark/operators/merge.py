@@ -2,8 +2,8 @@
 
 The reference's serving sinks apply a keyed changelog to a mutable store —
 HBase puts/deletes by rowkey (``HBaseUtil.java:118-160``, driven by
-``DimSinkFunction.java:30-58``) and upsert-Kafka PK compaction
-(``DwsTradeSkuOrderWindow.java`` sink DDL).  Batch-side, the same semantics
+``DimHBaseSinkFunction.java:33-59``) and upsert-Kafka PK compaction
+(``SQLUtil.java:54-62`` upsert-kafka DDL).  Batch-side, the same semantics
 are the warehouse MERGE: fold the changelog to its latest state per key,
 then full-outer-join it against the target and resolve each key with a CASE.
 This module is that seam, expressed as pure Catalyst plans:
@@ -73,7 +73,7 @@ def merge_into(
     and must be non-null (plain ``==`` join — null-safe keys would defeat
     reuse of ``fold_changelog``'s hash partitioning and force a second
     shuffle of the source side).  Reference semantics:
-    ``DimSinkFunction.java:30-58`` (delete -> HBase delete, else put)."""
+    ``DimHBaseSinkFunction.java:33-59`` (delete -> HBase delete, else put)."""
     src_cols = [c for c in source.columns if c not in keys]
     s = source.select(
         *[F.col(k).alias(f"_s_{k}") for k in keys],
@@ -119,7 +119,7 @@ def scd2_history(
     sort order, so Catalyst plans ONE Exchange and one Sort; the collapse
     filter runs between them without re-shuffling.  This is the batch
     materialization of what the dim layer's HBase puts overwrite in place
-    (``DimSinkFunction.java:44-52``) — kept as history instead."""
+    (``DimHBaseSinkFunction.java:40-46``) — kept as history instead."""
     order = [F.col(ts_col).asc()] + (
         [F.col(tie_break).asc()] if tie_break is not None else []
     )
@@ -273,8 +273,8 @@ def incremental_agg_delta_retract(
     RETRACT deltas — the Z-set derivative of ``GROUP BY keys`` with
     sum/count states, closing the aggregate half of the changelog-to-view
     story next to ``incremental_join_delta_retract``'s join half (the
-    reference's windowed sums re-accumulate on Flink retractions the same
-    way: ``DwsTradeSkuOrderWindow.java`` upsert-Kafka re-emission).
+    reference's left-join retract stream re-emits corrected rows the same
+    way: ``DwdTradeOrderDetail.java:52-55`` upsert-Kafka re-emission).
 
     ``state`` holds the stored view: ``keys`` + one column per entry of
     ``sum_cols`` (``{out_col: delta_source_col}``) + ``count_col``.
@@ -376,6 +376,20 @@ def incremental_extrema_retract(
     is delta-sized, so AQE broadcasts the semi-joins; the merge path
     joins state against a delta-sized partial.  Nothing driver-side."""
     val_cols = list(dict.fromkeys([*min_cols, *max_cols]))
+    if not val_cols:
+        raise ValueError(
+            "incremental_extrema_retract needs at least one min_cols/max_cols "
+            "entry (an empty call would build no recompute frame and crash "
+            "later; use incremental_agg_delta_retract for sum/count-only views)"
+        )
+    for c in val_cols:
+        dt = base.schema[c].dataType.simpleString()
+        if dt in ("float", "double"):
+            raise ValueError(
+                f"value column {c!r} is {dt}: net-count equality grouping "
+                "needs an exact type — quantize floats to decimal/integer "
+                "first (the documented contract)"
+            )
     w = F.col(weight_col)
     ext_cols = [f"min_{c}" for c in min_cols] + [f"max_{c}" for c in max_cols]
 

@@ -3338,7 +3338,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     changelog to latest state (K3 compaction), then MERGE it into the
     ``customer`` dimension — matched upserts overwrite name/acctbal, matched
     deletes drop the row, unmatched upserts insert, unmatched deletes no-op
-    (``DimSinkFunction.java:30-58`` put/delete semantics as one batch plan).
+    (``DimHBaseSinkFunction.java:33-59`` put/delete semantics as one batch plan).
     The changelog is derived from ``events``: key ``user_id*13`` spans both
     existing and brand-new custkeys, ``error`` events are deletes.  One
     window shuffle folds the log, one full-outer equi-join applies it —
@@ -3405,7 +3405,7 @@ def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     event stream: consecutive unchanged rows collapse, each surviving
     version gets ``[effective_from, effective_to)`` with NULL end = current.
     The reference's dim layer overwrites HBase cells in place
-    (``DimSinkFunction.java:44-52``); this is the audit-trail
+    (``DimHBaseSinkFunction.java:40-46``); this is the audit-trail
     materialization a warehouse keeps instead.  Both window passes share
     one hash shuffle + one sort on (user_id, ts, event_id)."""
     from ..operators.merge import scd2_history

@@ -24,6 +24,25 @@ DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SESSION_TZ = "Asia/Shanghai"
 
 
+def _default_driver_mem() -> str:
+    """min(24g, ~70% of MemAvailable), floored at 2g.  /proc/meminfo is
+    Linux-only; hosts without it get the full 24g ask (macOS dev boxes are
+    expected to set SPARK_GRAFT_DRIVER_MEM)."""
+    avail_kb = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_kb = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    if avail_kb is None:
+        return "24g"
+    g = max(2, min(24, int(avail_kb * 0.7 / 1024 / 1024)))
+    return f"{g}g"
+
+
 def get_spark(
     app_name: str = "gmall-pyspark",
     master: str | None = None,
@@ -69,8 +88,14 @@ def get_spark(
         # like N executor cores, not like a driver. 8g / 32 tasks = 250 MB
         # per task, which OOMs fact-fact sort-merge joins at 100x fixtures
         # (q8 found this); 24g = 750 MB/task, the floor of what a real
-        # cluster would give each core. Clusters size executors explicitly.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # cluster would give each core — but only when the host actually has
+        # it (a 24g ask on a 16 GB laptop fails to launch the JVM), so the
+        # default is min(24g, ~70% of MemAvailable). Clusters size executors
+        # explicitly; SPARK_GRAFT_DRIVER_MEM overrides everything.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
     )
     if master is not None:
         builder = builder.master(master)

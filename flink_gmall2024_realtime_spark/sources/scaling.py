@@ -30,7 +30,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-REPLICA_OFFSET = 10_000_000  # divisible by every mod the catalog uses (20, 50, 10, 7x? no — see note)
+# 10^7 = 2^7 * 5^7: divisible by every key-mod the catalog's predicates use
+# (10, 20, 50), so offset keys keep their mod-class and per-replica results
+# replicate exactly.  NOT divisible by 3 or 7 — a scaled query must not add
+# key % 3 / key % 7 predicates.  ``scaled_table`` asserts base keys stay
+# below this and widens any dtype the offset key would overflow.
+REPLICA_OFFSET = 10_000_000
+
+_DTYPE_MAX = {
+    "tinyint": 2**7 - 1,
+    "smallint": 2**15 - 1,
+    "int": 2**31 - 1,
+    "bigint": 2**63 - 1,
+}
 
 ALL_TABLES = (
     "region",
@@ -71,11 +83,29 @@ def scaled_table(spark: SparkSession, sf_dir: str, name: str, m: int) -> DataFra
     base = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name not in KEY_OFFSETS:
         return base
+    key_cols = KEY_OFFSETS[name]
+    if m > 1:
+        # Guard the "joins scale by M" property: a base key >= the offset
+        # would collide replica key ranges, and an offset key that overflows
+        # the column's dtype would wrap — both silently corrupt the very
+        # ratios this harness exists to measure.  One bounded agg per table.
+        maxes = base.select(*[F.max(c).alias(c) for c in key_cols]).first()
+        for c in key_cols:
+            mv = maxes[c] or 0
+            if mv >= REPLICA_OFFSET:
+                raise ValueError(
+                    f"{name}.{c} max {mv} >= REPLICA_OFFSET {REPLICA_OFFSET}: "
+                    "replica key ranges would overlap — raise REPLICA_OFFSET "
+                    "for this fixture scale"
+                )
+            dtype = base.schema[c].dataType.simpleString()
+            if mv + (m - 1) * REPLICA_OFFSET > _DTYPE_MAX.get(dtype, 2**63 - 1):
+                base = base.withColumn(c, F.col(c).cast("bigint"))
     reps = []
     for r in range(m):
         df = base
         if r:
-            for col in KEY_OFFSETS.get(name, ()):
+            for col in key_cols:
                 dtype = base.schema[col].dataType.simpleString()
                 df = df.withColumn(
                     col, (F.col(col) + F.lit(r * REPLICA_OFFSET)).cast(dtype)

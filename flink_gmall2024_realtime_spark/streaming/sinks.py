@@ -501,8 +501,12 @@ def _sum_merge_sink(spark: SparkSession, path: str, build_fn, keys: list[str], m
     applied-batch watermark commit in the same atomic rename.  Contract:
     Structured Streaming batch ids are monotonically increasing and only
     the latest batch replays after a crash — a batch with
-    ``batch_id <= last applied`` is skipped.  Crash healing is the same
-    two-rename pattern as ``keyed_upsert_sink``."""
+    ``batch_id == last applied`` is skipped; ``batch_id < last applied``
+    RAISES — under the monotonic-id contract the only way to see an older
+    id is a reset checkpoint location (ids restart at 0) pointed at a
+    surviving store, and silently skipping would then drop every
+    subsequent batch.  Crash healing is the same two-rename pattern as
+    ``keyed_upsert_sink``."""
     data_path = os.path.join(path, "table")
     old_path = os.path.join(path, ".old_table")
 
@@ -527,8 +531,15 @@ def _sum_merge_sink(spark: SparkSession, path: str, build_fn, keys: list[str], m
         os.makedirs(path, exist_ok=True)
         heal()
         la = last_applied()
-        if la is not None and batch_id <= la:
-            return
+        if la is not None and batch_id == la:
+            return  # the one legitimate replay: the last batch, after a crash
+        if la is not None and batch_id < la:
+            raise RuntimeError(
+                f"batch_id {batch_id} < last applied {la}: the stream's "
+                "checkpoint location was reset against a surviving store at "
+                f"{path}; skipping would silently drop data — clear the store "
+                "or restore the checkpoint"
+            )
         fresh = build_fn(batch)
         stored = spark.read.parquet(data_path) if os.path.exists(data_path) else None
         if merge_fn is not None:
@@ -600,9 +611,9 @@ def agg_view_sink(
     """Streaming grouped sum/count view maintained from a SIGNED CHANGELOG
     stream — the streaming twin of
     ``operators.merge.incremental_agg_delta_retract`` and the upsert-view
-    half of Flink's retract-stream story (the reference's windowed sums
-    re-accumulate on retractions the same way,
-    ``DwsTradeSkuOrderWindow.java``): each micro-batch carries
+    half of Flink's retract-stream story (the reference's left-join
+    retract stream re-emits corrected rows the same way,
+    ``DwdTradeOrderDetail.java:52-55``): each micro-batch carries
     ``weight_col`` = +1 insert / -1 retract; its partial agg (sums
     weighted by w, count as SUM(w)) folds into the stored view and groups
     whose net count reaches zero are DELETED from the store, exactly as a
@@ -705,7 +716,7 @@ def jdbc_merge_sink(
     column_types: str | None = None,
 ):
     """Transactional MERGE sink over JDBC — the serving-database form of
-    K3/K5 (put/delete by key, ``DimSinkFunction.java:30-58``) with real ACID
+    K3/K5 (put/delete by key, ``DimHBaseSinkFunction.java:33-59``) with real ACID
     semantics: each micro-batch is PK-compacted (``upsert-kafka`` K3
     fold), bulk-loaded into a staging table, and applied to the target in
     ONE SQL ``MERGE`` statement — matched deletes delete, matched upserts
