@@ -140,6 +140,43 @@ def scale_extras(spark, sf_dir, materialize) -> dict:
             out[f"scale_{q}_x{m}_growth"] = round(walls[str(m)] / walls["1"] / m, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+    out.update(adversarial_extras(spark, sf_dir, materialize))
+    return out
+
+
+def adversarial_extras(spark, sf_dir, materialize) -> dict:
+    """Adversarial-skew survival check (VERDICT r4 #5): flood ONE entity
+    (4x duplicate-document corpus / 4x one-user event flood) and re-run the
+    operators whose caps/salting exist for exactly that input. The
+    structure-preserving replicas above cannot expose these — their buckets
+    never grow. Reported as wall seconds + output rows; the regression this
+    catches is a lost cap (wall or rows exploding quadratically). Full
+    modes and 10x floods: ``tools/scale_bench.py --adversarial``."""
+    import shutil
+    import tempfile
+
+    from flink_gmall2024_realtime_spark.sources import scaling
+
+    runs = {
+        "dup_corpus": ("dedup_minhash_lsh", "dedup_simhash_pairs"),
+        "hot_key": ("q_salted_agg",),
+    }
+    m = 4
+    out: dict[str, float] = {}
+    for mode, queries in runs.items():
+        work = tempfile.mkdtemp(prefix=f"bench_adv_{mode}_")
+        try:
+            scaling.build_adversarial_dir(
+                spark, sf_dir, work, mode, m,
+                tables=("documents", "events"),
+            )
+            for q in queries:
+                t0 = time.perf_counter()
+                materialize(CATALOG[q].spark(spark, work))
+                out[f"adv_{mode}_{q}_sec"] = round(time.perf_counter() - t0, 3)
+                out[f"adv_{mode}_{q}_rows"] = CATALOG[q].spark(spark, work).count()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
     return out
 
 

@@ -1001,6 +1001,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_cap: int = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: route every vector to
     its nearest trained centroid (``similarity.assign_nearest_cells`` —
@@ -1024,7 +1025,19 @@ def semantic_dedup_pairs(
     constant-sized the way ``auto_planes`` does for LSH buckets (k=8 fits
     the sf0.01 oracle fixtures; 1e9 vectors want k ~ 4M, trained on a
     sample).  No cross join, nothing driver-side.  Feed the pairs to
-    ``dedup_clusters`` / keep-policy exactly like the MinHash family."""
+    ``dedup_clusters`` / keep-policy exactly like the MinHash family.
+
+    Fat-cell guard (the ``_pairs_from_ids`` star-cap, r5): all pairs are
+    scored only among each cell's first ``cell_cap`` ids (sorted); every
+    id beyond gets exactly one (cell-min, x, sim) star edge.  A flood of
+    identical vectors — which lands in ONE cell no matter how k scales,
+    so the k-must-scale contract cannot save it — degrades to O(cap^2 +
+    cell) work and output instead of a quadratic hang (measured: the
+    fat_cell adversarial fixture at 45k copies ran past 400 s uncapped).
+    Under the cap (every driver fixture) output is EXACT, so the
+    quadratic SQL oracle stays sound; over it, tail-tail pairs are
+    represented through the hub — component semantics, the right answer
+    for a duplicate flood."""
     import numpy as np
     import pandas as pd
 
@@ -1041,6 +1054,8 @@ def semantic_dedup_pairs(
             return empty
         vids = pdf["vid"].to_numpy(dtype=np.int64)
         vmat = _mat(pdf["vec"])
+        order = np.argsort(vids)  # deterministic cap boundary
+        vids, vmat = vids[order], vmat[order]
         n, d = vmat.shape
         # dim-sequential norm accumulation: bit-equal to the SQL oracle's
         # list_dot_product (see embedding_cosine_pairs)
@@ -1048,24 +1063,39 @@ def semantic_dedup_pairs(
         for j in range(1, d):
             nrm = nrm + vmat[:, j] * vmat[:, j]
         nrm = np.sqrt(nrm)
+        head = min(n, cell_cap)
         # score in row blocks: a one-shot n x n sim matrix is O(cell^2)
         # MEMORY (a 50k-row cell would materialize 20 GB); blocks bound the
         # working set at ~32 MB per task regardless of cell size while the
         # flop count stays identical
-        blk = max(16, (1 << 22) // max(n, 1))
+        blk = max(16, (1 << 22) // max(head, 1))
         outs = []
-        for s0 in range(0, n, blk):
-            s1 = min(s0 + blk, n)
+        for s0 in range(0, head, blk):
+            s1 = min(s0 + blk, head)
             sub = vmat[s0:s1]
-            acc = sub[:, 0:1] * vmat[None, :, 0]
+            acc = sub[:, 0:1] * vmat[None, :head, 0]
             for j in range(1, d):
-                acc = acc + sub[:, j : j + 1] * vmat[None, :, j]
-            sim = np.round(acc / (nrm[s0:s1, None] * nrm[None, :]), 6)
+                acc = acc + sub[:, j : j + 1] * vmat[None, :head, j]
+            sim = np.round(acc / (nrm[s0:s1, None] * nrm[None, :head]), 6)
             li, ri = np.nonzero(
-                (sim >= threshold) & (vids[s0:s1, None] < vids[None, :])
+                (sim >= threshold) & (vids[s0:s1, None] < vids[None, :head])
             )
             if len(li):
                 outs.append((vids[s0:s1][li], vids[ri], sim[li, ri]))
+        if n > head:
+            # star edges: one (cell-min, x, sim) per id past the cap —
+            # same sequential dot arithmetic, so a star sim is bit-equal
+            # to what the all-pairs pass would have produced
+            tail = vmat[head:]
+            acc = tail[:, 0] * vmat[0, 0]
+            for j in range(1, d):
+                acc = acc + tail[:, j] * vmat[0, j]
+            sim = np.round(acc / (nrm[head:] * nrm[0]), 6)
+            keep = sim >= threshold
+            if keep.any():
+                outs.append(
+                    (np.full(int(keep.sum()), vids[0]), vids[head:][keep], sim[keep])
+                )
         if not outs:
             return empty
         return pd.DataFrame(

@@ -147,6 +147,96 @@ def scaled_table(spark: SparkSession, sf_dir: str, name: str, m: int) -> DataFra
     return out
 
 
+# ---------------------------------------------------------------------------
+# Adversarial skew fixtures (VERDICT r4 #5)
+# ---------------------------------------------------------------------------
+#
+# The structure-preserving replicas above deliberately never grow a bucket,
+# a key's fan-in, or an ANN cell beyond the base corpus — by design they
+# CANNOT expose the degenerate inputs a dedup/skew operator exists for.
+# These opt-in modes flood ONE entity instead: the capped/salted paths must
+# stay bounded against them (the clean-M replicas measure throughput, these
+# measure survival).
+
+ADVERSARIAL_MODES = {
+    # (m-1) x |documents| byte-identical copies of the base corpus's first
+    # document: one boilerplate page floods one MinHash bucket per band and
+    # one SimHash fingerprint group — the single-row-quadratic hazard the
+    # per-bucket caps (operators/dedup.py::_pairs_from_ids) exist for.
+    "dup_corpus": "documents",
+    # replicas keep their event ids but all land on the base corpus's first
+    # user: one user holds ~(m-1)/m of all events — the hot grouping/join
+    # key the salted paths (operators/skew.py) exist for.
+    "hot_key": "events",
+    # (m-1) x |embeddings| copies of the first base vector: one LSH bucket /
+    # IVF cell holds most of the corpus — the fat-cell hazard bounded
+    # cogroup scoring must survive.
+    "fat_cell": "embeddings",
+}
+
+
+def adversarial_table(
+    spark: SparkSession, sf_dir: str, name: str, mode: str, m: int
+) -> DataFrame:
+    """The adversarial M-times union of one fixture table: identity keys are
+    offset per replica exactly like ``scaled_table`` (so row identity stays
+    unique and joins don't multiply), but the flooded attribute is REPLACED
+    by the base corpus's first value instead of perturbed. Non-target
+    tables pass through unchanged."""
+    target = ADVERSARIAL_MODES[mode]
+    if name != target:
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    base = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key_cols = KEY_OFFSETS[name]
+    order_key = key_cols[0]
+    hub = base.orderBy(order_key).first()
+    reps = [base]
+    for r in range(1, m):
+        df = base
+        for col in key_cols:
+            dtype = base.schema[col].dataType.simpleString()
+            df = df.withColumn(col, (F.col(col) + F.lit(r * REPLICA_OFFSET)).cast(dtype))
+        if mode == "dup_corpus":
+            df = df.withColumn("text", F.lit(hub["text"]))
+        elif mode == "hot_key":
+            df = df.withColumn("user_id", F.lit(hub["user_id"]))
+        elif mode == "fat_cell":
+            df = df.withColumn(
+                "embedding",
+                F.array(*[F.lit(float(v)) for v in hub["embedding"]]).cast(
+                    base.schema["embedding"].dataType.simpleString()
+                ),
+            )
+        reps.append(df)
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def build_adversarial_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    mode: str,
+    m: int,
+    tables: tuple = ALL_TABLES,
+) -> str:
+    """Materialize an adversarial fixture directory for ``mode`` (same
+    filenames as the driver fixtures). Only the mode's target table is
+    flooded; the rest copy through so any catalog query runs."""
+    if mode not in ADVERSARIAL_MODES:
+        raise ValueError(f"unknown adversarial mode {mode!r}; pick from {sorted(ADVERSARIAL_MODES)}")
+    os.makedirs(out_dir, exist_ok=True)
+    for t in tables:
+        df = adversarial_table(spark, sf_dir, t, mode, m)
+        files = max(1, min(32, m)) if t == ADVERSARIAL_MODES[mode] else 1
+        df.repartition(files).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    return out_dir
+
+
 def build_scaled_dir(
     spark: SparkSession,
     sf_dir: str,

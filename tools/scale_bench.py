@@ -53,6 +53,14 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--keep-dir", default=None)
+    ap.add_argument(
+        "--adversarial",
+        default=None,
+        choices=sorted(scaling.ADVERSARIAL_MODES),
+        help="flood one entity instead of structure-preserving replicas "
+        "(dup_corpus/hot_key/fat_cell): measures the capped/salted paths' "
+        "survival, not throughput",
+    )
     args = ap.parse_args()
     multipliers = [int(m) for m in args.multipliers.split(",")]
     queries = args.queries.split(",")
@@ -72,6 +80,8 @@ def main() -> None:
         "runs": args.runs,
         "queries": {q: {} for q in queries},
     }
+    if args.adversarial:
+        result["adversarial"] = args.adversarial
     try:
         # warm JIT/codegen + the Python worker pool once
         materialize(CATALOG[queries[0]].spark(spark, args.sf_dir))
@@ -80,9 +90,12 @@ def main() -> None:
             if m == 1:
                 sf_dir = args.sf_dir
             else:
-                sf_dir = os.path.join(work, f"x{m}")
+                sf_dir = os.path.join(work, f"x{m}" + (f"_{args.adversarial}" if args.adversarial else ""))
                 t0 = time.perf_counter()
-                scaling.build_scaled_dir(spark, args.sf_dir, sf_dir, m)
+                if args.adversarial:
+                    scaling.build_adversarial_dir(spark, args.sf_dir, sf_dir, args.adversarial, m)
+                else:
+                    scaling.build_scaled_dir(spark, args.sf_dir, sf_dir, m)
                 print(
                     f"# built x{m} fixtures in {time.perf_counter() - t0:.1f}s",
                     file=sys.stderr,
@@ -94,6 +107,11 @@ def main() -> None:
                     materialize(CATALOG[q].spark(spark, sf_dir))
                     best = min(best, time.perf_counter() - t0)
                 result["queries"][q][f"x{m}"] = round(best, 3)
+                if args.adversarial:
+                    # adversarial runs also record output size: a capped
+                    # path's survival claim is "bounded wall AND bounded
+                    # rows", not just the former
+                    result["queries"][q][f"x{m}_rows"] = CATALOG[q].spark(spark, sf_dir).count()
                 print(f"# x{m} {q}: {best:.3f}s", file=sys.stderr)
         base_m = multipliers[0]
         for q in queries:
