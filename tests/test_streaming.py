@@ -794,3 +794,101 @@ def test_pq_index_sink_streaming_equals_batch(spark, sf_dir, tmp_path):
         for r in similarity.pq_encode(emb, cb).collect()
     }
     assert got == want and len(want) == emb.count()
+
+
+def test_semantic_dedup_sink_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming SemDeDup twin (frozen trained centroids): the union of
+    per-batch pair emissions over a 3-batch replay equals the batch
+    ``semantic_dedup_pairs`` output, and the cell store ends holding every
+    vector exactly once."""
+    from flink_gmall2024_realtime_spark.operators import dedup, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ids, cen_micro = similarity.kmeans_centroids_micro(emb, k=8, iters=3)
+    centroids = (ids, cen_micro / 1e6)
+    src = os.path.join(str(tmp_path), "incoming")
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"chunk={i}")
+        )
+    index_path = os.path.join(str(tmp_path), "sem_index")
+    pairs_path = os.path.join(str(tmp_path), "sem_pairs")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.semantic_dedup_sink(spark, centroids, index_path, pairs_path, threshold=0.4)
+        )
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in spark.read.parquet(os.path.join(pairs_path, "data")).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in dedup.semantic_dedup_pairs(emb, centroids, threshold=0.4).collect()
+    }
+    assert got == want and len(want) > 0
+    cells = spark.read.parquet(os.path.join(index_path, "cells"))
+    assert cells.count() == emb.count()
+    assert cells.select("vid").distinct().count() == emb.count()
+
+
+def test_semantic_dedup_sink_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Stop the semantic dedup service, add new input, restart twice: the
+    checkpoint resumes at the right offset, markers keep emissions
+    exactly-once, and the final pair set equals the batch run."""
+    from flink_gmall2024_realtime_spark.operators import dedup, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ids, cen_micro = similarity.kmeans_centroids_micro(emb, k=8, iters=3)
+    centroids = (ids, cen_micro / 1e6)
+    src = os.path.join(str(tmp_path), "incoming")
+    ck = os.path.join(str(tmp_path), "ck")
+    index_path = os.path.join(str(tmp_path), "sem_index")
+    pairs_path = os.path.join(str(tmp_path), "sem_pairs")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                sinks.semantic_dedup_sink(spark, centroids, index_path, pairs_path, threshold=0.4)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    for i in range(2):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"chunk={i}")
+        )
+    run_once()  # first life: chunks 0 and 1
+    emb.filter(F.col("vec_id") % 3 == 2).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "chunk=2")
+    )
+    run_once()  # restart: must process only chunk 2
+    run_once()  # replay with nothing new: must be a no-op
+
+    pairs = spark.read.parquet(os.path.join(pairs_path, "data")).select("id_a", "id_b", "sim")
+    assert pairs.count() == pairs.distinct().count()  # no duplicate emissions
+    got = {(r["id_a"], r["id_b"], r["sim"]) for r in pairs.collect()}
+    want = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in dedup.semantic_dedup_pairs(emb, centroids, threshold=0.4).collect()
+    }
+    assert got == want
