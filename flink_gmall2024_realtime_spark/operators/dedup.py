@@ -729,6 +729,53 @@ def simhash(docs: DataFrame, bits: int = 48, text_col: str = "text", id_col: str
     )
 
 
+def _simhash_combo_layout(bits: int, chunks: int, max_hamming: int):
+    """(chunk width, chunk mask, size-(chunks - max_hamming) chunk
+    combinations, per-combo key space) — the pigeonhole banding layout
+    shared by ``simhash_pairs`` and ``simhash_band_stats``."""
+    from itertools import combinations
+
+    assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming < chunks"
+    assert bits % chunks == 0, "chunks must divide bits"
+    width = bits // chunks
+    mask = (1 << width) - 1
+    combo_size = chunks - max_hamming
+    combos = list(combinations(range(chunks), combo_size))
+    return width, mask, combos, (mask + 1) ** combo_size
+
+
+def simhash_band_stats(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 48,
+    chunks: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = SIMHASH_BUCKET_CAP,
+) -> DataFrame:
+    """The no-silent-caps measurement for the SimHash banding, as a
+    first-class (oracle-checkable) query: combo-bucket population stats
+    over the DISTINCT-fingerprint frame — (n_buckets, max_bucket,
+    capped_buckets, capped_ids). A non-zero ``capped_buckets`` means
+    ``simhash_pairs`` star-capped those buckets (pair-level recall
+    reduced, components preserved); run it next to any pair job whose
+    input may be duplicate-heavy."""
+    width, mask, combos, _ = _simhash_combo_layout(bits, chunks, max_hamming)
+    fp = simhash(docs, bits=bits, text_col=text_col, id_col=id_col)
+    reps = fp.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+
+    def combo_key(ci: int, combo: tuple[int, ...]):
+        acc = F.lit(ci).cast("long")
+        for c in combo:
+            acc = acc * F.lit(mask + 1) + F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask))
+        return acc
+
+    pieces = reps.select(
+        F.explode(F.array(*[combo_key(ci, cb) for ci, cb in enumerate(combos)])).alias("ck")
+    )
+    return capped_bucket_stats(pieces, "ck", cap)
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -788,17 +835,9 @@ def simhash_pairs(
        keep connected-component semantics (see ``_bucket_pairs``).
 
     Output: (id_a, id_b, hamming), id_a < id_b."""
-    from itertools import combinations
-
     from pyspark.sql import Window
 
-    assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming < chunks"
-    assert bits % chunks == 0, "chunks must divide bits"
-    width = bits // chunks
-    mask = (1 << width) - 1
-    combo_size = chunks - max_hamming
-    combos = list(combinations(range(chunks), combo_size))
-    key_space = (mask + 1) ** combo_size
+    width, mask, combos, key_space = _simhash_combo_layout(bits, chunks, max_hamming)
     fp = simhash(docs, bits=bits, text_col=text_col, id_col=id_col)
     # one row per DISTINCT fingerprint, carrying the sorted member ids;
     # materialized once (eager localCheckpoint) — feeds the intra-group

@@ -996,6 +996,43 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def _simhash_combo_key_sql(bits: int = 48, chunks: int = 6, max_hamming: int = 3) -> str:
+    """DuckDB list of the 6-choose-3 combo band keys, generated from the
+    SAME layout the engine uses (``dedup._simhash_combo_layout``) — the
+    oracle and the engine can never drift on the bucket definition."""
+    width, mask, combos, _ = dedup._simhash_combo_layout(bits, chunks, max_hamming)
+    exprs = []
+    for ci, combo in enumerate(combos):
+        acc = str(ci)
+        for c in combo:
+            acc = f"({acc} * {mask + 1} + ((simhash >> {c * width}) & {mask}))"
+        exprs.append(acc)
+    return "[" + ", ".join(exprs) + "]"
+
+
+@register(
+    "dedup_simhash_bucket_stats",
+    oracle=f"""
+WITH fp AS ({_SIMHASH_SQL}),
+reps AS (SELECT simhash FROM fp GROUP BY simhash),
+keys AS (SELECT unnest({_simhash_combo_key_sql()}) AS ck FROM reps),
+sizes AS (SELECT ck, count(*) AS c FROM keys GROUP BY ck)
+SELECT count(*) AS n_buckets, max(c) AS max_bucket,
+       sum(CASE WHEN c > 2048 THEN 1 ELSE 0 END)::BIGINT AS capped_buckets,
+       sum(CASE WHEN c > 2048 THEN c ELSE 0 END)::BIGINT AS capped_ids
+FROM sizes
+""",
+    survey_ids=("dedup-simhash",),
+)
+def dedup_simhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps rule as a first-class oracle-checked query:
+    combo-bucket population stats over the distinct-fingerprint frame.
+    ``capped_buckets > 0`` means ``dedup_simhash_pairs`` star-capped those
+    buckets (pair recall reduced, components preserved) — on the driver
+    fixtures it must be 0, which this entry proves every round."""
+    return dedup.simhash_band_stats(_t(spark, sf_dir, "documents"))
+
+
 _NORM_TEXT_SQL = md5_long_sql_duckdb("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
 
 
