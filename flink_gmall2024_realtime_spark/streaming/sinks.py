@@ -214,31 +214,58 @@ def compact_lsh_index(
         (bands_root, BANDS_SCHEMA, "p", F.pmod(F.col("bkt"), F.lit(band_partitions))),
         (docs_root, INDEX_SCHEMA, "q", F.pmod(F.xxhash64("doc_id"), F.lit(doc_partitions))),
     ):
-        _heal_store(root)
-        if not os.path.isdir(root):
-            continue
-        batch_dirs = [d for d in sorted(os.listdir(root)) if d.startswith("batch=")]
-        done = [d for d in batch_dirs if d.split("=", 1)[1] == "base" or d.split("=", 1)[1] in committed]
-        carry = [d for d in batch_dirs if d not in done]
-        if len(done) <= 1:
-            continue
-        src = [os.path.join(root, d, f"{pcol}=*") for d in done]
-        df = spark.read.schema(schema).parquet(*src)
-        stage = root + ".stage"
-        shutil.rmtree(stage, ignore_errors=True)
-        (
-            df.withColumn(pcol, pexpr)
-            .write.mode("overwrite")
-            .partitionBy(pcol)
-            .parquet(os.path.join(stage, "batch=base"))
-        )
-        for d in carry:  # preserve uncommitted batch dirs verbatim
-            shutil.copytree(os.path.join(root, d), os.path.join(stage, d))
-        old = root + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(root, old)
-        os.rename(stage, root)
-        shutil.rmtree(old, ignore_errors=True)
+        _compact_store(spark, root, schema, pcol, pexpr, committed)
+
+
+def _compact_store(spark, root: str, schema: str, pcol: str, pexpr, committed: set) -> None:
+    """Fold all COMMITTED ``batch=<id>`` dirs of one partitioned store into
+    ``batch=base`` via stage + two-rename swap (see ``compact_lsh_index``
+    for the contract; uncommitted dirs carry over verbatim)."""
+    _heal_store(root)
+    if not os.path.isdir(root):
+        return
+    batch_dirs = [d for d in sorted(os.listdir(root)) if d.startswith("batch=")]
+    done = [d for d in batch_dirs if d.split("=", 1)[1] == "base" or d.split("=", 1)[1] in committed]
+    carry = [d for d in batch_dirs if d not in done]
+    if len(done) <= 1:
+        return
+    src = [os.path.join(root, d, f"{pcol}=*") for d in done]
+    df = spark.read.schema(schema).parquet(*src)
+    stage = root + ".stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        df.withColumn(pcol, pexpr)
+        .write.mode("overwrite")
+        .partitionBy(pcol)
+        .parquet(os.path.join(stage, "batch=base"))
+    )
+    for d in carry:  # preserve uncommitted batch dirs verbatim
+        shutil.copytree(os.path.join(root, d), os.path.join(stage, d))
+    old = root + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(root, old)
+    os.rename(stage, root)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_cells_index(spark: SparkSession, index_path: str, cell_partitions: int = 64) -> None:
+    """Maintenance pass for the streaming semantic-dedup index
+    (``semantic_dedup_sink``): fold committed per-batch ``cells/batch=<id>``
+    dirs into one ``batch=base`` — same single-writer, crash-safe
+    stage-and-swap contract as ``compact_lsh_index``, same partition
+    semantics (``c`` recomputed from row content, so pruned candidate
+    scans are unchanged)."""
+    committed = set(os.listdir(os.path.join(index_path, "_commits"))) if os.path.isdir(
+        os.path.join(index_path, "_commits")
+    ) else set()
+    _compact_store(
+        spark,
+        os.path.join(index_path, "cells"),
+        CELLS_SCHEMA,
+        "c",
+        F.pmod(F.col("cell"), F.lit(cell_partitions)),
+        committed,
+    )
 
 
 def colliding_partition_paths(root: str, key: str, vals) -> list[str]:

@@ -892,3 +892,36 @@ def test_semantic_dedup_sink_restart_exactly_once(spark, sf_dir, tmp_path):
         for r in dedup.semantic_dedup_pairs(emb, centroids, threshold=0.4).collect()
     }
     assert got == want
+
+
+def test_cells_index_compaction_preserves_pairs_and_prunes(spark, sf_dir, tmp_path):
+    """compact_cells_index folds the semantic index's per-batch dirs into
+    one batch=base: the next batch dedups against the compacted store
+    identically, and an interrupted swap heals on the next write."""
+    import glob
+
+    from flink_gmall2024_realtime_spark.operators import dedup, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ids, cen_micro = similarity.kmeans_centroids_micro(emb, k=8, iters=3)
+    centroids = (ids, cen_micro / 1e6)
+    index_path = os.path.join(str(tmp_path), "sem_index")
+    pairs_path = os.path.join(str(tmp_path), "sem_pairs")
+    write = sinks.semantic_dedup_sink(spark, centroids, index_path, pairs_path, threshold=0.4)
+    for i in range(3):
+        write(emb.filter(F.col("vec_id") % 4 == i), i)
+    cells_root = os.path.join(index_path, "cells")
+    assert len(glob.glob(os.path.join(cells_root, "batch=*"))) == 3
+    sinks.compact_cells_index(spark, index_path)
+    assert [os.path.basename(d) for d in glob.glob(os.path.join(cells_root, "batch=*"))] == ["batch=base"]
+    write(emb.filter(F.col("vec_id") % 4 == 3), 3)
+    got = spark.read.parquet(os.path.join(pairs_path, "data"))
+    want = dedup.semantic_dedup_pairs(emb, centroids, threshold=0.4)
+    assert {tuple(r) for r in got.select("id_a", "id_b", "sim").collect()} == {
+        tuple(r) for r in want.collect()
+    }
+    indexed = spark.read.parquet(cells_root)
+    assert indexed.count() == emb.count()
+    os.rename(cells_root, cells_root + ".old")
+    sinks._heal_store(cells_root)
+    assert os.path.isdir(cells_root) and not os.path.isdir(cells_root + ".old")
