@@ -323,7 +323,15 @@ def lsh_dedup_sink(
     grows, so a batch's docs are never in the index while its pairs are
     unemitted (the disjointness the banded core relies on). The union of
     all emitted batches equals the full-corpus ``minhash_lsh_pairs`` output
-    regardless of arrival order."""
+    regardless of arrival order.
+
+    Duplicate-flood caveat: batch-internal candidates are star-capped
+    (``_bucket_pairs``), but the new-vs-index leg is a band-key equi-join,
+    so a duplicate-heavy BATCH against an index already holding many
+    copies of the same page streams |batch dups| x |index dups| x bands
+    join rows — the true cross-pair output for that flood. Run
+    ``exact_dedup`` upstream (byte-equal copies never reach the service),
+    or monitor with ``dedup.capped_bucket_stats`` over the index bands."""
     from ..operators import dedup
 
     bands_root = os.path.join(index_path, "bands")
