@@ -1066,17 +1066,20 @@ def semantic_dedup_pairs(
     sample).  No cross join, nothing driver-side.  Feed the pairs to
     ``dedup_clusters`` / keep-policy exactly like the MinHash family.
 
-    Fat-cell guard (the ``_pairs_from_ids`` star-cap, r5): all pairs are
-    scored only among each cell's first ``cell_cap`` ids (sorted); every
-    id beyond gets exactly one (cell-min, x, sim) star edge.  A flood of
-    identical vectors — which lands in ONE cell no matter how k scales,
-    so the k-must-scale contract cannot save it — degrades to O(cap^2 +
-    cell) work and output instead of a quadratic hang (measured: the
-    fat_cell adversarial fixture at 45k copies ran past 400 s uncapped).
-    Under the cap (every driver fixture) output is EXACT, so the
-    quadratic SQL oracle stays sound; over it, tail-tail pairs are
-    represented through the hub — component semantics, the right answer
-    for a duplicate flood."""
+    Fat-cell guard (r5, the fingerprint-collapse idiom — see
+    ``_cell_pairs_arrays``): byte-identical vectors collapse into groups
+    before any scoring, so a flood of identical vectors — which lands in
+    ONE cell no matter how k scales, so the k-must-scale contract cannot
+    save it — becomes a single representative; its capped group expansion
+    (head pairs + hub star, hub identical to every member) preserves the
+    flood's component by construction and bounds work at O(cap^2 + cell)
+    instead of a quadratic hang (measured: the fat_cell adversarial
+    fixture at 45k copies ran past 400 s uncapped).  Distinct
+    representatives keep exact all-pairs scoring up to ``cell_cap`` reps
+    with a star backstop beyond — that regime means k is undersized, and
+    unlike the flood case the backstop hub may miss the threshold, so
+    scale k rather than lean on it.  Under the caps (every driver
+    fixture) output is EXACT, so the quadratic SQL oracle stays sound."""
     import numpy as np
     import pandas as pd
 
@@ -1093,61 +1096,134 @@ def semantic_dedup_pairs(
             return empty
         vids = pdf["vid"].to_numpy(dtype=np.int64)
         vmat = _mat(pdf["vec"])
-        order = np.argsort(vids)  # deterministic cap boundary
-        vids, vmat = vids[order], vmat[order]
-        n, d = vmat.shape
-        # dim-sequential norm accumulation: bit-equal to the SQL oracle's
-        # list_dot_product (see embedding_cosine_pairs)
-        nrm = vmat[:, 0] * vmat[:, 0]
-        for j in range(1, d):
-            nrm = nrm + vmat[:, j] * vmat[:, j]
-        nrm = np.sqrt(nrm)
-        head = min(n, cell_cap)
-        # score in row blocks: a one-shot n x n sim matrix is O(cell^2)
-        # MEMORY (a 50k-row cell would materialize 20 GB); blocks bound the
-        # working set at ~32 MB per task regardless of cell size while the
-        # flop count stays identical
-        blk = max(16, (1 << 22) // max(head, 1))
-        outs = []
-        for s0 in range(0, head, blk):
-            s1 = min(s0 + blk, head)
-            sub = vmat[s0:s1]
-            acc = sub[:, 0:1] * vmat[None, :head, 0]
-            for j in range(1, d):
-                acc = acc + sub[:, j : j + 1] * vmat[None, :head, j]
-            sim = np.round(acc / (nrm[s0:s1, None] * nrm[None, :head]), 6)
-            li, ri = np.nonzero(
-                (sim >= threshold) & (vids[s0:s1, None] < vids[None, :head])
-            )
-            if len(li):
-                outs.append((vids[s0:s1][li], vids[ri], sim[li, ri]))
-        if n > head:
-            # star edges: one (cell-min, x, sim) per id past the cap —
-            # same sequential dot arithmetic, so a star sim is bit-equal
-            # to what the all-pairs pass would have produced
-            tail = vmat[head:]
-            acc = tail[:, 0] * vmat[0, 0]
-            for j in range(1, d):
-                acc = acc + tail[:, j] * vmat[0, j]
-            sim = np.round(acc / (nrm[head:] * nrm[0]), 6)
-            keep = sim >= threshold
-            if keep.any():
-                outs.append(
-                    (np.full(int(keep.sum()), vids[0]), vids[head:][keep], sim[keep])
-                )
-        if not outs:
+        ia, ib, s = _cell_pairs_arrays(vids, vmat, None, threshold, cell_cap)
+        if not len(ia):
             return empty
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate([o[0] for o in outs]),
-                "id_b": np.concatenate([o[1] for o in outs]),
-                "sim": np.concatenate([o[2] for o in outs]),
-            }
-        )
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "sim": s})
 
     return cells.groupBy("cell").applyInPandas(
         pairs_in_cell, "id_a long, id_b long, sim double"
     )
+
+
+def _cell_pairs_arrays(vids, vmat, newf, threshold: float, cell_cap: int):
+    """Shared numpy core of semantic within-cell pair generation (batch
+    ``semantic_dedup_pairs`` and the streaming sink twin):
+
+    1. **Byte-identical vectors collapse into groups first** (the
+       fingerprint-collapse idiom): a duplicate flood — which lands in ONE
+       cell no matter how k scales — becomes a single representative.
+       Intra-group pairs are emitted with the group's exact self-sim (the
+       same dim-sequential arithmetic, so bit-equal to the oracle), capped
+       as head all-pairs + (group-min, x) star edges; the hub is IDENTICAL
+       to every member, so star edges always clear any threshold <= 1 and
+       flood components are preserved by construction.
+    2. Distinct representatives score all-pairs in row blocks (~32 MB
+       working set at any rep count). A rep-level star cap is the
+       last-resort backstop for heterogeneous over-cap cells: there the
+       hub may NOT clear the threshold, so tail-tail rep pairs can be
+       lost — that regime means k is undersized for the corpus (the
+       documented k-must-scale contract), the cap just keeps it bounded.
+    3. Rep pairs >= threshold expand through both member lists — identical
+       vectors have identical sims to everything, so the expansion carries
+       the rep-level sim exactly.
+
+    ``newf``: optional bool array — emit only pairs with >= 1 True member
+    (the streaming new-vs-all rule). Returns (id_a, id_b, sim) arrays;
+    under the cap the output is EXACTLY the all-pairs-over-threshold set."""
+    import numpy as np
+
+    order = np.argsort(vids)
+    vids, vmat = vids[order], vmat[order]
+    newf = newf[order] if newf is not None else None
+    n, d = vmat.shape
+    uniq, inv = np.unique(vmat, axis=0, return_inverse=True)
+    R = len(uniq)
+    gidx = np.argsort(inv, kind="stable")  # members contiguous, vid-ascending
+    counts = np.bincount(inv, minlength=R)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    # dim-sequential norms over the representative matrix (oracle parity)
+    nrmU = uniq[:, 0] * uniq[:, 0]
+    for j in range(1, d):
+        nrmU = nrmU + uniq[:, j] * uniq[:, j]
+    nrmU = np.sqrt(nrmU)
+    out_a, out_b, out_s = [], [], []
+
+    def emit(a, b, s):
+        if newf is not None:
+            keep = newf_by_vid(a) | newf_by_vid(b)
+            a, b, s = a[keep], b[keep], (s[keep] if np.ndim(s) else s)
+        if np.ndim(s) == 0:
+            s = np.full(len(a), float(s))
+        if len(a):
+            out_a.append(a)
+            out_b.append(b)
+            out_s.append(s)
+
+    if newf is not None:
+        vid_order = vids  # sorted
+        flags = newf
+
+        def newf_by_vid(v):
+            return flags[np.searchsorted(vid_order, v)]
+
+    # (1) intra-group: identical vectors, self-sim, capped expansion
+    for r in np.flatnonzero(counts > 1):
+        m = vids[gidx[starts[r] : starts[r] + counts[r]]]
+        v = uniq[r]
+        acc = v[0] * v[0]
+        for j in range(1, d):
+            acc = acc + v[j] * v[j]
+        s = np.round(acc / (nrmU[r] * nrmU[r]), 6)
+        if s < threshold:
+            continue
+        h = m[: min(len(m), cell_cap)]
+        ii, jj = np.triu_indices(len(h), k=1)
+        emit(h[ii], h[jj], s)
+        if len(m) > len(h):
+            tail = m[len(h) :]
+            emit(np.full(len(tail), m[0]), tail, s)
+    # (2) distinct-rep scoring: blocked all-pairs over the head reps
+    if R > 1:
+        rep_min = vids[gidx[starts]]  # min member vid per group
+        ro = np.argsort(rep_min)
+        U, rmin = uniq[ro], rep_min[ro]
+        nrmO = nrmU[ro]
+        headR = min(R, cell_cap)
+        blk = max(16, (1 << 22) // headR)
+        rep_pairs = []  # (rep index a, rep index b, sim) with rmin[a] < rmin[b]
+        for s0 in range(0, headR, blk):
+            s1 = min(s0 + blk, headR)
+            sub = U[s0:s1]
+            acc = sub[:, 0:1] * U[None, :headR, 0]
+            for j in range(1, d):
+                acc = acc + sub[:, j : j + 1] * U[None, :headR, j]
+            sim = np.round(acc / (nrmO[s0:s1, None] * nrmO[None, :headR]), 6)
+            li, ri = np.nonzero((sim >= threshold) & (rmin[s0:s1, None] < rmin[None, :headR]))
+            if len(li):
+                rep_pairs.append((li + s0, ri, sim[li, ri]))
+        if R > headR:  # rep-level star backstop (heterogeneous over-cap cell)
+            tail = U[headR:]
+            acc = tail[:, 0] * U[0, 0]
+            for j in range(1, d):
+                acc = acc + tail[:, j] * U[0, j]
+            sim = np.round(acc / (nrmO[headR:] * nrmO[0]), 6)
+            keep = np.flatnonzero(sim >= threshold)
+            if len(keep):
+                rep_pairs.append((np.zeros(len(keep), dtype=np.int64), keep + headR, sim[keep]))
+        # (3) expand rep pairs through member lists (sims identical across
+        # a group's members, so the rep sim is exact for every combo)
+        for la, ra, ss in rep_pairs:
+            for a_i, b_i, s in zip(la, ra, ss):
+                ma = vids[gidx[starts[ro[a_i]] : starts[ro[a_i]] + counts[ro[a_i]]]]
+                mb = vids[gidx[starts[ro[b_i]] : starts[ro[b_i]] + counts[ro[b_i]]]]
+                aa = np.repeat(ma, len(mb))
+                bb = np.tile(mb, len(ma))
+                emit(np.minimum(aa, bb), np.maximum(aa, bb), s)
+    if not out_a:
+        z = np.array([], dtype=np.int64)
+        return z, z, np.array([], dtype=np.float64)
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_s)
 
 
 def duplicate_span_removal(

@@ -518,13 +518,15 @@ def _semantic_new_vs_all_pairs(
     new_cells: DataFrame, idx: DataFrame, threshold: float, cell_cap: int
 ) -> DataFrame:
     """One groupBy(cell) over (index ∪ batch) rows scoring exactly the
-    pairs that involve at least one NEW vector — the arithmetic (sorted
-    ids, dim-sequential dots, round 6, head-pairs + hub-star past the cap)
-    is byte-for-byte the batch scorer's, so per-batch emissions union to
-    the batch operator's pair set."""
+    pairs that involve at least one NEW vector — delegates to the SAME
+    numpy core as the batch scorer (``dedup._cell_pairs_arrays``:
+    identical-vector collapse, capped group expansion, rep-level
+    star backstop, dim-sequential arithmetic), so per-batch emissions
+    union to the batch operator's pair set."""
     import numpy as np
     import pandas as pd
 
+    from ..operators.dedup import _cell_pairs_arrays
     from ..operators.similarity import _mat
 
     both = idx.withColumn("is_new", F.lit(False)).unionByName(
@@ -544,50 +546,10 @@ def _semantic_new_vs_all_pairs(
         vids = pdf["vid"].to_numpy(dtype=np.int64)
         newf = pdf["is_new"].to_numpy(dtype=bool)
         vmat = _mat(pdf["vec"])
-        order = np.argsort(vids)
-        vids, newf, vmat = vids[order], newf[order], vmat[order]
-        n, d = vmat.shape
-        nrm = vmat[:, 0] * vmat[:, 0]
-        for j in range(1, d):
-            nrm = nrm + vmat[:, j] * vmat[:, j]
-        nrm = np.sqrt(nrm)
-        head = min(n, cell_cap)
-        blk = max(16, (1 << 22) // max(head, 1))
-        outs = []
-        for s0 in range(0, head, blk):
-            s1 = min(s0 + blk, head)
-            sub = vmat[s0:s1]
-            acc = sub[:, 0:1] * vmat[None, :head, 0]
-            for j in range(1, d):
-                acc = acc + sub[:, j : j + 1] * vmat[None, :head, j]
-            sim = np.round(acc / (nrm[s0:s1, None] * nrm[None, :head]), 6)
-            li, ri = np.nonzero(
-                (sim >= threshold)
-                & (vids[s0:s1, None] < vids[None, :head])
-                & (newf[s0:s1, None] | newf[None, :head])
-            )
-            if len(li):
-                outs.append((vids[s0:s1][li], vids[ri], sim[li, ri]))
-        if n > head:
-            tail = vmat[head:]
-            acc = tail[:, 0] * vmat[0, 0]
-            for j in range(1, d):
-                acc = acc + tail[:, j] * vmat[0, j]
-            sim = np.round(acc / (nrm[head:] * nrm[0]), 6)
-            keep = (sim >= threshold) & (newf[0] | newf[head:])
-            if keep.any():
-                outs.append(
-                    (np.full(int(keep.sum()), vids[0]), vids[head:][keep], sim[keep])
-                )
-        if not outs:
+        ia, ib, s = _cell_pairs_arrays(vids, vmat, newf, threshold, cell_cap)
+        if not len(ia):
             return empty
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate([o[0] for o in outs]),
-                "id_b": np.concatenate([o[1] for o in outs]),
-                "sim": np.concatenate([o[2] for o in outs]),
-            }
-        )
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "sim": s})
 
     return both.groupBy("cell").applyInPandas(score, "id_a long, id_b long, sim double")
 

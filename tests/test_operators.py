@@ -1151,3 +1151,69 @@ class TestIncrementalJoin:
         assert got == expect
         assert got["a"][0] == 1 and got["b"][1] == 5 and "c" not in got
         assert got["e"] == (2, 7, 2)
+
+
+class TestStarCapComponentPreservation:
+    """The star-cap's survival claim is 'pair recall drops, CLUSTERS do not':
+    beyond the cap every member still reaches the bucket hub, so a
+    duplicate flood resolves to the same connected components — and the
+    same keep-one-per-cluster decisions — as the uncapped quadratic. These
+    tests engage the caps deliberately (tiny cap, duplicate-heavy corpus)
+    and assert component equality."""
+
+    def _docs(self, spark):
+        rows = [(i, "the same boilerplate page body repeated verbatim") for i in range(120)]
+        rows += [(1000 + i, f"unique document number {i} with its own words {i * 7}") for i in range(6)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_minhash_capped_flood_same_clusters(self, spark):
+        from flink_gmall2024_realtime_spark.operators import dedup
+
+        docs = self._docs(spark)
+        capped = dedup.minhash_lsh_pairs(docs, bucket_cap=8)
+        full = dedup.minhash_lsh_pairs(docs)  # flood (120) under default cap: exact
+        assert capped.count() < full.count()  # the cap really engaged
+        lab_c = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs, capped).collect()}
+        lab_f = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs, full).collect()}
+        assert lab_c == lab_f  # identical components, identical keep decisions
+        assert len({v for k, v in lab_c.items() if k < 1000}) == 1  # flood = ONE cluster
+
+    def test_simhash_capped_flood_same_clusters(self, spark):
+        from flink_gmall2024_realtime_spark.operators import dedup
+
+        docs = self._docs(spark)
+        capped = dedup.simhash_pairs(docs, bucket_cap=8)
+        full = dedup.simhash_pairs(docs)
+        assert capped.count() < full.count()
+        lab_c = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs, capped).collect()}
+        lab_f = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs, full).collect()}
+        assert lab_c == lab_f
+        assert len({v for k, v in lab_c.items() if k < 1000}) == 1
+
+    def test_semantic_capped_flood_same_clusters(self, spark, sf_dir):
+        from flink_gmall2024_realtime_spark.operators import dedup, similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+        hub = emb.orderBy("vec_id").first()["embedding"]
+        flood = spark.range(100_000, 100_200).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(float(v)) for v in hub]).cast("array<float>").alias("embedding"),
+        )
+        both = emb.unionByName(flood)
+        ids, cen_micro = similarity.kmeans_centroids_micro(emb, k=8, iters=3)
+        cen = (ids, cen_micro / 1e6)
+        # cap 128: engages on the 200-member identical group (collapsed to
+        # one rep, so rep-level scoring stays exact for the <=~80 distinct
+        # vectors per cell) but not on any ordinary cell
+        capped = dedup.semantic_dedup_pairs(both, cen, threshold=0.4, cell_cap=128)
+        full = dedup.semantic_dedup_pairs(both, cen, threshold=0.4)
+        assert capped.count() < full.count()
+        docs_like = both.select(F.col("vec_id").alias("doc_id"))
+        cp = capped.select(F.col("id_a"), F.col("id_b"))
+        fp = full.select(F.col("id_a"), F.col("id_b"))
+        lab_c = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs_like, cp).collect()}
+        lab_f = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs_like, fp).collect()}
+        # the flood ids must land in one identical cluster both ways; other
+        # vectors may legitimately differ in PAIRS but not in components
+        assert lab_c == lab_f
+        assert len({v for k, v in lab_c.items() if k >= 100_000}) == 1
