@@ -1106,6 +1106,38 @@ def semantic_dedup_pairs(
     )
 
 
+def semantic_cell_stats(
+    emb: DataFrame,
+    centroids: tuple,
+    cell_cap: int = SIMHASH_BUCKET_CAP,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The no-silent-caps measurement for semantic dedup: per-cell
+    population stats — (n_cells, max_cell, max_reps, capped_cells) where
+    ``max_reps`` counts DISTINCT vectors per cell (what the rep-level
+    scoring actually sees after identical-vector collapse) and
+    ``capped_cells`` counts cells whose rep count exceeds ``cell_cap``
+    (the star-backstop regime — non-zero means k is undersized for the
+    corpus and recall beyond the hub is degraded there)."""
+    from .similarity import assign_nearest_cells
+
+    import numpy as np
+
+    cen_ids = np.asarray(centroids[0], dtype=np.int64)
+    cen_mat = np.asarray(centroids[1], dtype=np.float64)
+    cells = assign_nearest_cells(emb, cen_ids, cen_mat, 1, "vid", "vec", id_col, vec_col)
+    sizes = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("c"), F.countDistinct("vec").alias("r")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("c").alias("max_cell"),
+        F.max("r").alias("max_reps"),
+        F.sum(F.when(F.col("r") > cell_cap, 1).otherwise(0)).alias("capped_cells"),
+    )
+
+
 def _cell_pairs_arrays(vids, vmat, newf, threshold: float, cell_cap: int):
     """Shared numpy core of semantic within-cell pair generation (batch
     ``semantic_dedup_pairs`` and the streaming sink twin):

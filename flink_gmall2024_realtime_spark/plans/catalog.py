@@ -4429,6 +4429,45 @@ def dedup_semantic_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_CELL_STATS_SQL = f"""
+WITH {_kmeans_micro_cte(_KM_K, _KM_ITERS)},
+cen AS (SELECT cell AS cid, list_transform(cm, x -> x / 1000000.0) AS cv
+        FROM cen{_KM_ITERS}),
+asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, cen.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_PAIR.format(a='e.v', b='cen.cv')} DESC, cen.cid) AS rn
+    FROM e CROSS JOIN cen
+  ) WHERE rn = 1
+),
+sizes AS (
+  SELECT a.cell, count(*) AS c, count(DISTINCT e.v) AS r
+  FROM asg a JOIN e ON e.vec_id = a.vec_id
+  GROUP BY a.cell
+)
+SELECT count(*) AS n_cells, max(c) AS max_cell, max(r) AS max_reps,
+       sum(CASE WHEN r > 2048 THEN 1 ELSE 0 END)::BIGINT AS capped_cells
+FROM sizes
+"""
+
+
+@register(
+    "dedup_semantic_cell_stats",
+    oracle=_SEMANTIC_CELL_STATS_SQL,
+    survey_ids=("dedup-semantic", "sim-kmeans"),
+)
+def dedup_semantic_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps companion to ``dedup_semantic`` (the semantic twin of
+    ``dedup_simhash_bucket_stats``): per-cell population and DISTINCT-rep
+    counts — ``capped_cells > 0`` means the rep-level star backstop engaged
+    somewhere and k is undersized for the corpus. Must read 0 on the
+    driver fixtures, which this entry proves every round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ids, cen_micro = similarity.kmeans_centroids_micro(emb, k=_KM_K, iters=_KM_ITERS)
+    return dedup.semantic_cell_stats(emb, (ids, cen_micro / 1e6))
+
+
 @register(
     "q_incremental_minmax_retract",
     oracle="""
