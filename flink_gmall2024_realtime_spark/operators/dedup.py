@@ -450,57 +450,87 @@ def minhash_lsh_pairs(
 
     One doc-local Arrow pass computes each doc's shingle set and MinHash
     signature (``_doc_sig_sets`` — the exploded shingle frame never exists
-    distributed, so nothing shuffles until the tiny banded frame) -> band
-    each signature into ``perms/band_rows`` buckets -> candidate pairs
-    expanded within each (band, bucket) group, star-capped at ``bucket_cap``
-    ids per bucket (``_bucket_pairs`` — hot buckets from duplicate-heavy
-    corpora stay linear; components preserved, measured by
-    ``capped_bucket_stats``) -> exact n-gram Jaccard verify on candidates
-    only. Nothing is O(n^2).
+    distributed, so nothing shuffles until the per-doc set frame) ->
+    **identical shingle sets collapse into groups** (r5, the
+    fingerprint-collapse idiom: a boilerplate flood becomes ONE
+    representative, so it can neither crowd real near-dups out of capped
+    buckets nor multiply banding work; within-group pairs ARE the Jaccard
+    1.0 pairs, emitted directly with a capped expansion) -> band each
+    representative signature into ``perms/band_rows`` buckets -> candidate
+    pairs expanded within each (band, bucket) group, star-capped at
+    ``bucket_cap`` (``_bucket_pairs``) -> exact n-gram Jaccard verify on
+    candidates only -> verified representative pairs expand through both
+    groups' member lists (identical sets have identical Jaccard to
+    everything, so the rep-level value is exact for every member pair).
+    Nothing is O(n^2); capped recall loss is measured by
+    ``capped_bucket_stats`` and components always survive (the
+    StarCapComponentPreservation tests).
 
-    The per-doc frame feeds three branches (banding and both sides of the
-    verification attach); it is materialized once with an eager
-    ``localCheckpoint`` — the checkpointed RDD is reclaimed by the
-    ContextCleaner when the returned DataFrame is garbage-collected, whereas
-    a SQL-cache entry would pin executor memory until someone remembers to
-    unpersist."""
-    base = _doc_sig_sets(
-        docs, perms, n, text_col, id_col, band_rows=band_rows
-    ).localCheckpoint(eager=True)
-    # Per-band bucket keys were already computed inside the Arrow pass
-    # (vectorized FNV over the signature, band index in the seed), so banding
-    # is just an explode of 32 longs per doc.
-    bands = base.select("doc_id", F.explode("bkt").alias("bkt"))
-    # Candidate pairs by grouping each bucket key and expanding the pairs
-    # within the bucket — ONE shuffle of the tiny banded frame, versus a
-    # self-join that would run the signature pipeline twice (self-join dedup
-    # rewrites expression IDs, defeating exchange reuse) or require one side
-    # broadcast (executor OOM at corpus scale). Bucket membership lists are
-    # near-singleton on well-behaved corpora (a shared bucket implies high
-    # estimated Jaccard), and ``_bucket_pairs`` star-caps the single-row
-    # expansion at ``bucket_cap`` so duplicate-heavy input (100k identical
-    # boilerplate pages in one bucket) stays O(bucket), not O(bucket^2).
+    The grouped frame feeds four branches (intra expansion, banding,
+    verification attach, member expansion); it is materialized once with
+    an eager ``localCheckpoint`` — the checkpointed RDD is reclaimed by
+    the ContextCleaner when the returned DataFrame is garbage-collected,
+    whereas a SQL-cache entry would pin executor memory until someone
+    remembers to unpersist."""
+    base = _doc_sig_sets(docs, perms, n, text_col, id_col, band_rows=band_rows)
+    # group key = the exact shingle SET: collision-proof (unlike a 60-bit
+    # content hash at web scale), and equality of sets is precisely the
+    # "Jaccard exactly 1.0" predicate the intra pairs claim. ``bkt`` is a
+    # pure function of the set (sig = min-hash over it), so first() is
+    # deterministic within a group.
+    groups = (
+        base.groupBy("shs")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"), F.first("bkt").alias("bkt"))
+        .localCheckpoint(eager=True)
+    )
+    # (a) within-group: byte-equal shingle sets, Jaccard exactly 1.0 (the
+    # oracle's round(|A∩B|/|A∪B|, 6) == 1.0), capped expansion. Empty-set
+    # docs are excluded: 0/0 is NULL in both engines, never a pair.
+    intra = _pairs_from_ids(
+        groups.filter((F.size("ids") > 1) & (F.size("shs") > 0)), bucket_cap
+    ).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    # (b) cross-group: the pre-r5 pipeline, now over one rep per distinct
+    # set. Banding is an explode of 32 longs per rep (bucket keys were
+    # already computed in the Arrow pass — vectorized FNV over the
+    # signature, band index in the seed); candidates come from ONE shuffle
+    # of the banded frame with the ``_bucket_pairs`` star cap; exact
+    # verification attaches each side's 60-bit shingle-hash set for a
+    # codegen'd ``array_intersect`` fused into the join stage (equi-joins
+    # on rep id; AQE broadcasts the small side). F.round is half-away like
+    # DuckDB's ROUND.
+    reps = groups.select(F.element_at("ids", 1).alias("doc_id"), "shs", "bkt")
+    bands = reps.select("doc_id", F.explode("bkt").alias("bkt"))
     cand = _bucket_pairs(bands, "bkt", "doc_id", bucket_cap).distinct()
     # distinct: a true near-dup pair collides in many bands
-    # Exact verification on candidates only: attach each side's shingle SET
-    # (already aggregated per doc in `base` — |docs| rows) to the candidate
-    # pairs and intersect entirely JVM-side — the sets are distinct 60-bit
-    # hash arrays, so |A ∩ B| is one codegen'd ``array_intersect``/``size``
-    # per pair, fused into the join stage (no Python exchange, no
-    # |cand|-x-shingles shuffle expansion). Both attach joins are equi-joins
-    # on doc_id (AQE broadcasts the small side), so the shape survives any
-    # corpus size. F.round is half-away like DuckDB's ROUND.
     pairs = (
-        cand.join(base.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
-        .join(base.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
+        cand.join(reps.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
+        .join(reps.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
     )
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     union = F.size("shs_a") + F.size("shs_b") - inter
-    return (
+    rep_pairs = (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # (c) expand verified rep pairs through both member lists — exactly the
+    # member pairs, each carrying the (exact) rep-level Jaccard
+    cross = (
+        rep_pairs.join(
+            groups.select(F.element_at("ids", 1).alias("id_a"), F.col("ids").alias("ids_a")), "id_a"
+        )
+        .join(
+            groups.select(F.element_at("ids", 1).alias("id_b"), F.col("ids").alias("ids_b")), "id_b"
+        )
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "jaccard")
+        .select("ia", F.explode("ids_b").alias("ib"), "jaccard")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def minhash_lsh_pairs_cross(
