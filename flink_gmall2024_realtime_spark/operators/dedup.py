@@ -562,11 +562,21 @@ def minhash_lsh_pairs_cross(
     qbase = _doc_sig_sets(
         queries, perms, n, text_col, id_col, band_rows=band_rows
     ).localCheckpoint(eager=True)
-    cbase = _doc_sig_sets(
-        corpus, perms, n, text_col, id_col, band_rows=band_rows
-    ).localCheckpoint(eager=True)
+    # r5: the TRAINING side collapses identical shingle sets before banding
+    # (the fingerprint-collapse idiom) — web training corpora are
+    # boilerplate-heavy BY NATURE, and without the collapse a 100k-copy
+    # boilerplate page multiplies the band join by 100k. One rep per
+    # distinct set joins the eval side; hits expand through the group's
+    # member ids with the (exact — identical sets) rep-level Jaccard.
+    cgroups = (
+        _doc_sig_sets(corpus, perms, n, text_col, id_col, band_rows=band_rows)
+        .groupBy("shs")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"), F.first("bkt").alias("bkt"))
+        .localCheckpoint(eager=True)
+    )
+    creps = cgroups.select(F.element_at("ids", 1).alias("corpus_id"), "shs", "bkt")
     qb = qbase.select(F.col("doc_id").alias("query_id"), F.explode("bkt").alias("bkt"))
-    cb = cbase.select(F.col("doc_id").alias("corpus_id"), F.explode("bkt").alias("bkt"))
+    cb = creps.select("corpus_id", F.explode("bkt").alias("bkt"))
     cand = qb.join(cb, "bkt").select("query_id", "corpus_id").distinct()
     pairs = (
         cand.join(
@@ -574,16 +584,22 @@ def minhash_lsh_pairs_cross(
             "query_id",
         )
         .join(
-            cbase.select(F.col("doc_id").alias("corpus_id"), F.col("shs").alias("shs_c")),
+            creps.select("corpus_id", F.col("shs").alias("shs_c")),
             "corpus_id",
         )
     )
     inter = F.size(F.array_intersect("shs_q", "shs_c"))
     union = F.size("shs_q") + F.size("shs_c") - inter
-    return (
+    rep_hits = (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("query_id", "corpus_id", "jaccard")
+    )
+    return (
+        rep_hits.join(
+            cgroups.select(F.element_at("ids", 1).alias("corpus_id"), "ids"), "corpus_id"
+        )
+        .select("query_id", F.explode("ids").alias("corpus_id"), "jaccard")
     )
 
 
