@@ -270,6 +270,7 @@ def containment_pairs_rare_shingle(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Containment pairs via a **rare-shingle inverted index** — the scale
     path ``containment_pairs_brute`` can't be.
@@ -284,24 +285,50 @@ def containment_pairs_rare_shingle(
     exploding on hot shingles. Exact containment verification runs on
     candidates only (codegen array_intersect over per-doc hash sets).
 
+    r5, the fingerprint-collapse idiom: documents with IDENTICAL shingle
+    sets group before the index is built — a boilerplate flood would
+    otherwise (a) make every "rare" shingle's posting list O(flood) so
+    candidates go quadratic (measured: a 4.5k-copy flood emitted 10.1M
+    pairs in 58 s; 45k copies would hang), and (b) distort the rarity
+    ranking itself (a shingle in 100k copies of one page is still
+    structurally rare). Document frequency is therefore counted over
+    DISTINCT sets; within-group pairs ARE the containment-1.0 pairs,
+    emitted directly with a capped expansion; verified representative
+    pairs expand through member lists (identical sets have identical
+    containment to everything).
+
     All shuffles are equi-keyed: df count + rarity rank on the shingle
-    hash, probe join on the hash, verification attach on doc_id. The
-    companion oracle replicates the same candidate rule, so the entry is
-    hash-exact while honestly representing the (near-1, not exactly-1)
-    recall of the index. Output: (id_a, id_b, containment), id_a < id_b."""
+    hash, probe join on the hash, verification attach on rep id. The
+    companion oracle replicates the same rep-level candidate rule, so the
+    entry is hash-exact while honestly representing the (near-1, not
+    exactly-1) recall of the index. Output: (id_a, id_b, containment),
+    id_a < id_b."""
     from pyspark.sql import Window
 
     sh = _doc_shingles(docs, text_col, id_col, n).select(
         "doc_id", md5_long(F.col("shingle")).alias("hs")
     )
-    dfq = sh.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(dfq, "hs").withColumn(
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("hs")).alias("shs"), F.count(F.lit(1)).alias("sz")
+    )
+    groups = (
+        sets.groupBy("shs")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"), F.first("sz").alias("sz"))
+        .localCheckpoint(eager=True)
+    )
+    intra = _pairs_from_ids(groups.filter(F.size("ids") > 1), bucket_cap).select(
+        "id_a", "id_b", F.lit(1.0).alias("containment")
+    )
+    reps = groups.select(F.element_at("ids", 1).alias("doc_id"), "shs", "sz")
+    rh = reps.select("doc_id", F.explode("shs").alias("hs"))
+    dfq = rh.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
+    ranked = rh.join(dfq, "hs").withColumn(
         "rn",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "hs")),
     )
     rare = ranked.filter(F.col("rn") <= k).select(F.col("doc_id").alias("rid"), "hs")
     cand = (
-        rare.join(sh, "hs")
+        rare.join(rh, "hs")
         .filter(F.col("rid") != F.col("doc_id"))
         .select(
             F.least("rid", "doc_id").alias("id_a"),
@@ -309,25 +336,38 @@ def containment_pairs_rare_shingle(
         )
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("hs")).alias("shs"), F.count(F.lit(1)).alias("sz")
-    )
     pairs = (
         cand.join(
-            sets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sz_a")),
+            reps.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sz_a")),
             "id_a",
         )
         .join(
-            sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("sz_b")),
+            reps.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("sz_b")),
             "id_b",
         )
     )
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
-    return (
+    rep_pairs = (
         pairs.withColumn("containment", F.round(inter / F.least("sz_a", "sz_b"), 6))
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+    cross = (
+        rep_pairs.join(
+            groups.select(F.element_at("ids", 1).alias("id_a"), F.col("ids").alias("ids_a")), "id_a"
+        )
+        .join(
+            groups.select(F.element_at("ids", 1).alias("id_b"), F.col("ids").alias("ids_b")), "id_b"
+        )
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "containment")
+        .select("ia", F.explode("ids_b").alias("ib"), "containment")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "containment",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def minhash_signatures(

@@ -862,32 +862,54 @@ WHERE round(inter::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.5
 _CONTAINMENT_IDX_SQL = f"""
 WITH {_SHINGLE_CTE},
 h AS (SELECT doc_id, {md5_long_sql_duckdb('shingle')} AS hs FROM sh),
-dfq AS (SELECT hs, count(*) AS df FROM h GROUP BY 1),
+docsets AS (SELECT doc_id, list_sort(list(hs)) AS shs, count(*) AS sz FROM h GROUP BY 1),
+-- r5: identical shingle sets collapse; df is counted over DISTINCT sets
+-- (the engine's rep-level candidate rule — rarity robust to duplication)
+grp AS (SELECT shs, min(doc_id) AS rep, list_sort(list(doc_id)) AS ids, min(sz) AS sz
+        FROM docsets GROUP BY shs),
+rh AS (SELECT g.rep AS doc_id, u.hs FROM grp g, unnest(g.shs) u(hs)),
+dfq AS (SELECT hs, count(*) AS df FROM rh GROUP BY 1),
 rare AS (
   SELECT doc_id AS rid, hs FROM (
-    SELECT h.doc_id, h.hs,
-           row_number() OVER (PARTITION BY h.doc_id ORDER BY f.df, h.hs) AS rn
-    FROM h JOIN dfq f ON h.hs = f.hs
+    SELECT rh.doc_id, rh.hs,
+           row_number() OVER (PARTITION BY rh.doc_id ORDER BY f.df, rh.hs) AS rn
+    FROM rh JOIN dfq f ON rh.hs = f.hs
   ) t(doc_id, hs, rn) WHERE rn <= 8
 ),
 cand AS (
   SELECT DISTINCT least(r.rid, o.doc_id) AS id_a, greatest(r.rid, o.doc_id) AS id_b
-  FROM rare r JOIN h o ON r.hs = o.hs AND r.rid <> o.doc_id
+  FROM rare r JOIN rh o ON r.hs = o.hs AND r.rid <> o.doc_id
 ),
-sz AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY 1),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS inter
   FROM cand c
-  JOIN h ha ON ha.doc_id = c.id_a
-  JOIN h hb ON hb.doc_id = c.id_b AND hb.hs = ha.hs
+  JOIN rh ha ON ha.doc_id = c.id_a
+  JOIN rh hb ON hb.doc_id = c.id_b AND hb.hs = ha.hs
   GROUP BY 1, 2
+),
+reppairs AS (
+  SELECT id_a, id_b,
+         round(inter::DOUBLE / least(sa.sz, sb.sz), 6) AS containment
+  FROM inter
+  JOIN grp sa ON sa.rep = id_a
+  JOIN grp sb ON sb.rep = id_b
+  WHERE round(inter::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.5
+),
+intra AS (
+  SELECT a.a_id AS id_a, b.b_id AS id_b, 1.0 AS containment
+  FROM grp g, unnest(g.ids) a(a_id), unnest(g.ids) b(b_id)
+  WHERE a.a_id < b.b_id
+),
+crossed AS (
+  SELECT least(ua.ia, ub.ib) AS id_a, greatest(ua.ia, ub.ib) AS id_b, rp.containment
+  FROM reppairs rp
+  JOIN grp ga ON ga.rep = rp.id_a
+  JOIN grp gb ON gb.rep = rp.id_b,
+  unnest(ga.ids) ua(ia), unnest(gb.ids) ub(ib)
 )
-SELECT id_a, id_b,
-       round(inter::DOUBLE / least(sa.sz, sb.sz), 6) AS containment
-FROM inter
-JOIN sz sa ON sa.doc_id = id_a
-JOIN sz sb ON sb.doc_id = id_b
-WHERE round(inter::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.5
+SELECT id_a, id_b, containment FROM intra
+UNION ALL
+SELECT id_a, id_b, containment FROM crossed
 """
 
 

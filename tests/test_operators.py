@@ -1190,6 +1190,18 @@ class TestStarCapComponentPreservation:
         assert lab_c == lab_f
         assert len({v for k, v in lab_c.items() if k < 1000}) == 1
 
+    def test_containment_capped_flood_same_clusters(self, spark):
+        from flink_gmall2024_realtime_spark.operators import dedup
+
+        docs = self._docs(spark)
+        capped = dedup.containment_pairs_rare_shingle(docs, bucket_cap=8).select("id_a", "id_b")
+        full = dedup.containment_pairs_brute(docs, threshold=0.5).select("id_a", "id_b")
+        assert capped.count() < full.count()  # the cap really engaged
+        lab_c = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs, capped).collect()}
+        lab_f = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs, full).collect()}
+        assert lab_c == lab_f
+        assert len({v for k, v in lab_c.items() if k < 1000}) == 1
+
     def test_semantic_capped_flood_same_clusters(self, spark, sf_dir):
         from flink_gmall2024_realtime_spark.operators import dedup, similarity
 
