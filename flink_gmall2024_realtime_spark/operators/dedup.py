@@ -717,6 +717,7 @@ def minhash_lsh_pairs_banded(
     idx_bands: DataFrame,
     idx_sets: DataFrame,
     threshold: float = 0.35,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Core of the incremental LSH dedup, with the index side supplied in
     its STORED shape: ``idx_bands`` (bkt, idx_id) pre-exploded and
@@ -725,32 +726,89 @@ def minhash_lsh_pairs_banded(
     partitions colliding with the batch (``streaming/sinks.py``). Callers
     must ensure idx rows exclude the batch's doc_ids (latest-text-wins;
     ``minhash_lsh_pairs_incremental`` anti-joins, the partitioned sink's
-    commit ordering guarantees it structurally)."""
-    new_bands = new_base.select("doc_id", F.explode("bkt").alias("bkt"))
-    # new-vs-index: candidates collide on a band bucket key (equi-join).
-    cross = (
+    commit ordering guarantees it structurally).
+
+    r5: the BATCH side collapses identical shingle sets before banding
+    (the same idiom as the full-corpus operator), which closes the
+    duplicate-flood hazard on the service path: a boilerplate-heavy batch
+    against an index holding many copies of the same page used to stream
+    |batch dups| x |index dups| x bands join rows; now one representative
+    per distinct batch set joins the index, and verified hits expand
+    through the batch group's members — join volume is bounded by (index
+    collisions x bands) and output, never by the batch's duplication
+    factor. Within-batch identical docs emit directly (Jaccard exactly
+    1.0, capped expansion); cross-BATCH same-set pairs verify at 1.0
+    through the band join and are exact. Under the cap the union of
+    per-batch emissions equals the full-corpus operator; an over-cap
+    flood emits the per-batch capped set (slightly more than the
+    batch operator's globally-capped set — components identical)."""
+    ngroups = (
+        new_base.groupBy("shs")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"), F.first("bkt").alias("bkt"))
+        .localCheckpoint(eager=True)
+    )
+    # (a) within-batch identical sets: Jaccard exactly 1.0, capped
+    intra_eq = _pairs_from_ids(
+        ngroups.filter((F.size("ids") > 1) & (F.size("shs") > 0)), bucket_cap
+    ).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    nreps = ngroups.select(F.element_at("ids", 1).alias("doc_id"), "shs", "bkt")
+    new_bands = nreps.select("doc_id", F.explode("bkt").alias("bkt"))
+    # (b) new-rep vs index: candidates collide on a band bucket key
+    cand_x = (
         new_bands.join(idx_bands, "bkt")
         .filter(F.col("doc_id") != F.col("idx_id"))
-        .select(
-            F.least("doc_id", "idx_id").alias("id_a"),
-            F.greatest("doc_id", "idx_id").alias("id_b"),
-        )
+        .select(F.col("doc_id").alias("rep"), "idx_id")
+        .distinct()
     )
-    # new-vs-new: the standard capped in-bucket expansion over the batch only.
-    intra = _bucket_pairs(new_bands, "bkt", "doc_id", LSH_BUCKET_CAP)
-    cand = cross.union(intra).distinct()
-    sets = idx_sets.union(new_base.select("doc_id", "shs"))
-    pairs = (
-        cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
-        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
+    vx = (
+        cand_x.join(nreps.select(F.col("doc_id").alias("rep"), F.col("shs").alias("shs_a")), "rep")
+        .join(idx_sets.select(F.col("doc_id").alias("idx_id"), F.col("shs").alias("shs_b")), "idx_id")
     )
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     union = F.size("shs_a") + F.size("shs_b") - inter
-    return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
+    rep_x = (
+        vx.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("rep", "idx_id", "jaccard")
+    )
+    out_x = (
+        rep_x.join(
+            ngroups.select(F.element_at("ids", 1).alias("rep"), "ids"), "rep"
+        )
+        .select(F.explode("ids").alias("m"), "idx_id", "jaccard")
+        .select(
+            F.least("m", "idx_id").alias("id_a"),
+            F.greatest("m", "idx_id").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # (c) new-rep vs new-rep: capped in-bucket expansion over batch reps
+    cand_n = _bucket_pairs(new_bands, "bkt", "doc_id", bucket_cap).distinct()
+    vn = (
+        cand_n.join(nreps.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
+        .join(nreps.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
+    )
+    rep_n = (
+        vn.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out_n = (
+        rep_n.join(
+            ngroups.select(F.element_at("ids", 1).alias("id_a"), F.col("ids").alias("ids_a")), "id_a"
+        )
+        .join(
+            ngroups.select(F.element_at("ids", 1).alias("id_b"), F.col("ids").alias("ids_b")), "id_b"
+        )
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "jaccard")
+        .select("ia", F.explode("ids_b").alias("ib"), "jaccard")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra_eq.unionByName(out_x).unionByName(out_n)
 
 
 def simhash(docs: DataFrame, bits: int = 48, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -325,13 +325,15 @@ def lsh_dedup_sink(
     all emitted batches equals the full-corpus ``minhash_lsh_pairs`` output
     regardless of arrival order.
 
-    Duplicate-flood caveat: batch-internal candidates are star-capped
-    (``_bucket_pairs``), but the new-vs-index leg is a band-key equi-join,
-    so a duplicate-heavy BATCH against an index already holding many
-    copies of the same page streams |batch dups| x |index dups| x bands
-    join rows — the true cross-pair output for that flood. Run
-    ``exact_dedup`` upstream (byte-equal copies never reach the service),
-    or monitor with ``dedup.capped_bucket_stats`` over the index bands."""
+    Duplicate floods (r5): the batch side COLLAPSES identical shingle
+    sets before banding (``minhash_lsh_pairs_banded``), so a
+    boilerplate-heavy batch joins the index once per distinct set, not
+    once per copy — join volume is bounded by (index collisions x bands)
+    and true output. The index side still stores one band row per
+    indexed COPY, so a flood already in the store costs O(|index dups| x
+    bands) join rows per colliding batch set — linear, but ``exact_dedup``
+    upstream keeps the store itself lean; monitor with
+    ``dedup.capped_bucket_stats`` over the index bands."""
     from ..operators import dedup
 
     bands_root = os.path.join(index_path, "bands")
