@@ -97,14 +97,18 @@ def _bucket_pairs(
     Under the cap (every well-behaved corpus; the driver fixtures peak at 19
     ids/bucket for MinHash bands) the output is EXACTLY the all-pairs set.
     Over the cap, pair-level recall drops for ids past position ``cap`` —
-    they connect only through the bucket min — but connected-component
-    semantics survive: every member still reaches the hub, so downstream
-    cluster/keep-best decisions see one component, which is the right answer
-    for the duplicate-heavy inputs that create hot buckets in the first
-    place (100k copies of one page SHOULD be one cluster, not 5e9 pairs).
+    they connect only through the bucket-min hub. Component preservation is
+    GUARANTEED only for identical-content floods (there the hub is
+    byte-equal to every member, so the downstream exact verify always keeps
+    the star edges — and the r5 collapse pre-pass removes such floods before
+    banding anyway). In a HETEROGENEOUS over-cap bucket the hub may fail the
+    exact verify against a tail member, which then loses all connectivity
+    through this bucket — recall degrades and components can split. That
+    regime is the signal to raise the cap or run ``exact_dedup`` first; the
+    cap exists to bound the blow-up (100k copies of one page SHOULD be one
+    cluster, not 5e9 pairs), not to promise lossless clustering there.
     No silent caps: measure with ``capped_bucket_stats`` (the adversarial
-    scale harness logs it), and/or run ``exact_dedup`` first so byte-equal
-    duplicates never reach the LSH at all."""
+    scale harness logs it)."""
     bucket_ids = (
         bands.groupBy(bucket_col)
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -855,6 +859,8 @@ def simhash(docs: DataFrame, bits: int = 48, text_col: str = "text", id_col: str
         for pdf in batches:
             ids, fps = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:  # NULL/empty text: no row, matching the
+                    continue  # declarative trim/split/explode-on-NULL path
                 toks = {t for t in split_re.split(text.strip()) if t}
                 if not toks:
                     continue
@@ -975,8 +981,14 @@ def simhash_pairs(
        edges beyond — a duplicate-heavy flood degrades to one linear star
        component instead of 10^10 pairs. Uncapped inputs (every driver
        fixture: max group 253, max rep-bucket well under 2048) are EXACT,
-       so the quadratic Hamming join stays a sound oracle; capped runs
-       keep connected-component semantics (see ``_bucket_pairs``).
+       so the quadratic Hamming join stays a sound oracle. Capped runs
+       guarantee components only for identical-fingerprint floods (the
+       within-group star is Hamming 0 by construction); in a heterogeneous
+       over-cap bucket the hub may exceed ``max_hamming`` against a tail
+       rep — and the min-combo bitmap filter can additionally drop a pair
+       whose earlier colliding combo capped it out — so recall degrades
+       and components may split. ``simhash_band_stats`` is the signal to
+       raise the cap or pre-pass ``exact_dedup`` (see ``_bucket_pairs``).
 
     Output: (id_a, id_b, hamming), id_a < id_b."""
     from pyspark.sql import Window
@@ -1350,8 +1362,12 @@ def _cell_pairs_arrays(vids, vmat, newf, threshold: float, cell_cap: int):
         acc = v[0] * v[0]
         for j in range(1, d):
             acc = acc + v[j] * v[j]
-        s = np.round(acc / (nrmU[r] * nrmU[r]), 6)
-        if s < threshold:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.round(acc / (nrmU[r] * nrmU[r]), 6)
+        # NaN-safe: an all-zero group yields 0/0 = NaN self-sim; `NaN <
+        # threshold` is False so a plain `< threshold: continue` would EMIT
+        # NaN pairs — the oracle's `sim >= threshold` emits nothing there.
+        if not (s >= threshold):
             continue
         h = m[: min(len(m), cell_cap)]
         ii, jj = np.triu_indices(len(h), k=1)
@@ -1374,7 +1390,8 @@ def _cell_pairs_arrays(vids, vmat, newf, threshold: float, cell_cap: int):
             acc = sub[:, 0:1] * U[None, :headR, 0]
             for j in range(1, d):
                 acc = acc + sub[:, j : j + 1] * U[None, :headR, j]
-            sim = np.round(acc / (nrmO[s0:s1, None] * nrmO[None, :headR]), 6)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sim = np.round(acc / (nrmO[s0:s1, None] * nrmO[None, :headR]), 6)
             li, ri = np.nonzero((sim >= threshold) & (rmin[s0:s1, None] < rmin[None, :headR]))
             if len(li):
                 rep_pairs.append((li + s0, ri, sim[li, ri]))
@@ -1383,7 +1400,8 @@ def _cell_pairs_arrays(vids, vmat, newf, threshold: float, cell_cap: int):
             acc = tail[:, 0] * U[0, 0]
             for j in range(1, d):
                 acc = acc + tail[:, j] * U[0, j]
-            sim = np.round(acc / (nrmO[headR:] * nrmO[0]), 6)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sim = np.round(acc / (nrmO[headR:] * nrmO[0]), 6)
             keep = np.flatnonzero(sim >= threshold)
             if len(keep):
                 rep_pairs.append((np.zeros(len(keep), dtype=np.int64), keep + headR, sim[keep]))

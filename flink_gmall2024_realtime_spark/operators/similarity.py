@@ -276,7 +276,7 @@ def _score_cogrouped(corpus_side: DataFrame, query_side: DataFrame, key: str, k:
     )
 
 
-def estimated_row_count(df: DataFrame) -> int:
+def estimated_row_count(df: DataFrame, with_source: bool = False):
     """Catalyst-statistics row-count estimate — **no Spark job launched**
     (VERDICT r4 #6: index sizing at plan-construction time must not run a
     table scan; at 100 TB that pre-count is a full pass over the corpus).
@@ -294,27 +294,34 @@ def estimated_row_count(df: DataFrame) -> int:
     Filter-blind: footers count pre-filter rows, so a filtered corpus
     over-estimates by 1/selectivity. Callers must treat this as a SCALE
     estimate (index sizing, coarsening thresholds with hysteresis), never
-    as semantics — see ``_effective_mod``."""
+    as semantics — see ``_effective_mod``. ``with_source=True`` also
+    returns which rung produced the number (``"cbo"``/``"footers"``/
+    ``"sizeInBytes"``) so callers can refuse to derive oracle-visible
+    parameters from the crude last rung (``lsh_topk`` does)."""
     qe = df._jdf.queryExecution()
     stats = qe.optimizedPlan().stats()
     rc = stats.rowCount()
+    n, source = None, "sizeInBytes"
     if rc.isDefined():
-        return max(1, int(str(rc.get())))
-    files = df.inputFiles()
-    if files and all(f.rsplit(".", 1)[-1] in ("parquet", "snappy") or ".parquet" in f for f in files):
-        try:
-            import re as _re
+        n, source = max(1, int(str(rc.get()))), "cbo"
+    else:
+        files = df.inputFiles()
+        if files and all(f.rsplit(".", 1)[-1] in ("parquet", "snappy") or ".parquet" in f for f in files):
+            try:
+                import re as _re
 
-            import pyarrow.parquet as _pq
+                import pyarrow.parquet as _pq
 
-            total = 0
-            for f in files:
-                total += _pq.read_metadata(_re.sub("^file:/*", "/", f)).num_rows
-            return max(1, total)
-        except Exception:
-            pass  # non-local scheme / unreadable footer -> size fallback
-    width = max(1, qe.optimizedPlan().schema().defaultSize())
-    return max(1, int(str(stats.sizeInBytes())) // width)
+                total = 0
+                for f in files:
+                    total += _pq.read_metadata(_re.sub("^file:/*", "/", f)).num_rows
+                n, source = max(1, total), "footers"
+            except Exception:
+                pass  # non-local scheme / unreadable footer -> size fallback
+    if n is None:
+        width = max(1, qe.optimizedPlan().schema().defaultSize())
+        n = max(1, int(str(stats.sizeInBytes())) // width)
+    return (n, source) if with_source else n
 
 
 def _effective_mod(corpus: DataFrame, centroid_mod: int, max_centroids: int) -> int:
@@ -374,9 +381,27 @@ def lsh_topk(
 
     Buckets come from the vectorized ``_assign_buckets`` pass; the
     interpreted ``signbit_bucket`` Column form stays as the SQL-parity
-    reference. Fully deterministic -> exact SQL oracle."""
+    reference. Fully deterministic -> exact SQL oracle.
+
+    Oracle contract for auto planes: ``estimated_row_count`` is
+    filter-blind (parquet footers count pre-filter rows) and its
+    ``sizeInBytes`` last rung badly over-estimates array columns
+    (Catalyst's defaultSize counts ONE element per array). An oracle
+    whose SQL hardcodes a plane count is only sound while the estimate
+    lands in the same ``auto_planes`` clamp band — the driver fixtures
+    clamp to ``lo`` from exact footer counts. When the estimate comes
+    from the ``sizeInBytes`` rung AND would leave the ``lo`` band, this
+    raises instead of silently changing the candidate sets: pass
+    ``planes`` explicitly for filtered/transformed/non-parquet corpora."""
     if planes is None:
-        planes = auto_planes(estimated_row_count(corpus), target_bucket)
+        est, src = estimated_row_count(corpus, with_source=True)
+        planes = auto_planes(est, target_bucket)
+        if src == "sizeInBytes" and planes != auto_planes(1, target_bucket):
+            raise ValueError(
+                f"lsh_topk auto planes={planes} derives from the crude sizeInBytes "
+                f"row estimate ({est}); pass planes explicitly (array columns make "
+                "this rung over-estimate and would silently change candidate sets)"
+            )
     nprobe = min(nprobe, planes + 1)
     q = _assign_buckets(queries, planes, dim, id_col, vec_col, "query_id", "qv", "qn")
     c = _assign_buckets(corpus, planes, dim, id_col, vec_col, "neighbor_id", "cv", "cn")

@@ -392,6 +392,33 @@ def bloom_might_contain_native(key, blob: bytes, dtype: str = "bigint"):
         ) from e
 
 
+def native_bloom_probe_available(spark) -> bool:
+    """Cheap reachability check for the JVM internals the engine-native
+    bloom probe needs (``org.apache.spark.sql.classic.ExpressionUtils`` +
+    ``BloomFilterMightContain`` — classic sessions, Spark 4.x). Decides the
+    build/fallback path BEFORE any dim scan, so a Connect / older-Spark
+    caller does not pay ``bloom_build_native``'s full ``treeAggregate``
+    pass only to discover the probe cannot be constructed. Result cached
+    per-process (the session kind does not change under us)."""
+    cached = getattr(native_bloom_probe_available, "_cached", None)
+    if cached is not None:
+        return cached
+    ok = False
+    try:
+        jvm = spark._jvm  # Connect sessions have no _jvm at all
+        eu = jvm.org.apache.spark.sql.classic.ExpressionUtils
+        # probe-construct with literals only: no data scan, just classloading
+        mc = jvm.org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            eu.expression(F.lit(None).cast("binary")._jc),
+            eu.expression(F.lit(0).cast("long")._jc),
+        )
+        ok = mc is not None
+    except Exception:  # pragma: no cover - Connect / internals drift
+        ok = False
+    native_bloom_probe_available._cached = ok
+    return ok
+
+
 def bloom_prefilter_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -438,10 +465,14 @@ def bloom_prefilter_join(
             f"bloom join keys must share a type family, got {fact_dtype!r} vs {dim_dtype!r}"
             " (canonicalization cannot reconcile cross-family hashes)"
         )
-    try:
+    # decide build vs fallback BEFORE scanning the dim: the probe-side
+    # reachability check is classloading-only, so an environment without
+    # the classic-session internals pays exactly one dim pass (the
+    # portable build), never a wasted native build first
+    if native_bloom_probe_available(fact.sparkSession):
         blob = bloom_build_native(dim.select(dim_key), dim_key, num_bits=num_bits)
         pred = bloom_might_contain_native(F.col(fact_key), blob, dtype=fact_dtype)
-    except Exception:
+    else:
         from .similarity import estimated_row_count
 
         if num_bits is None:

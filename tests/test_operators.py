@@ -1229,3 +1229,72 @@ class TestStarCapComponentPreservation:
         # vectors may legitimately differ in PAIRS but not in components
         assert lab_c == lab_f
         assert len({v for k, v in lab_c.items() if k >= 100_000}) == 1
+
+
+class TestAdviceR5Fixes:
+    """Regression tests for the r5 ADVICE findings."""
+
+    def test_cell_pairs_zero_vector_group_emits_nothing(self):
+        # a group of identical all-zero vectors has NaN self-sim; the oracle's
+        # `sim >= threshold` emits nothing, so neither must we (NaN-safe guard)
+        import numpy as np
+
+        from flink_gmall2024_realtime_spark.operators.dedup import _cell_pairs_arrays
+
+        vids = np.array([1, 2, 3], dtype=np.int64)
+        vmat = np.zeros((3, 4), dtype=np.float64)
+        a, b, s = _cell_pairs_arrays(vids, vmat, None, threshold=0.8, cell_cap=128)
+        assert len(a) == 0 and len(b) == 0 and len(s) == 0
+
+    def test_cell_pairs_zero_vector_rep_pairs_skipped(self):
+        # zero vector against nonzero reps: NaN sims must not pass >= threshold
+        import numpy as np
+
+        from flink_gmall2024_realtime_spark.operators.dedup import _cell_pairs_arrays
+
+        vids = np.array([1, 2, 3], dtype=np.int64)
+        vmat = np.array([[0.0, 0.0], [1.0, 0.0], [0.9, 0.1]])
+        a, b, s = _cell_pairs_arrays(vids, vmat, None, threshold=0.5, cell_cap=128)
+        assert 1 not in set(a) | set(b)  # the zero vector pairs with nothing
+        assert all(x == x for x in s)  # no NaN sim in the output
+
+    def test_simhash_null_text_yields_no_row(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "hello world common tokens"), (2, None), (3, "   ")],
+            "doc_id long, text string",
+        )
+        out = dedup.simhash(docs).collect()
+        assert [r["doc_id"] for r in out] == [1]
+
+    def test_native_bloom_probe_reachability_no_scan(self, spark):
+        from flink_gmall2024_realtime_spark.operators import sketch
+
+        if hasattr(sketch.native_bloom_probe_available, "_cached"):
+            del sketch.native_bloom_probe_available._cached
+        first = sketch.native_bloom_probe_available(spark)
+        assert isinstance(first, bool)
+        assert first is True  # this container runs a classic Spark 4.x session
+        assert sketch.native_bloom_probe_available(spark) is first  # cached
+
+    def test_estimated_row_count_source_footers(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n, src = similarity.estimated_row_count(emb, with_source=True)
+        assert src in ("cbo", "footers") and n > 0
+        assert similarity.estimated_row_count(emb) == n  # default shape intact
+
+    def test_lsh_topk_refuses_sizeinbytes_auto_planes(self, spark):
+        import pytest as _pytest
+
+        # in-memory relation with an array column: no footers, no CBO row
+        # count after a barrier-ish transform -> sizeInBytes rung; if that
+        # rung would leave the lo clamp band, auto planes must raise
+        emb = spark.range(0, 4000).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") * (i + 1)).cast("float") for i in range(64)]).alias("embedding"),
+        )
+        n, src = similarity.estimated_row_count(emb, with_source=True)
+        if src != "sizeInBytes" or similarity.auto_planes(n) == similarity.auto_planes(1):
+            _pytest.skip("this relation did not land on an out-of-band sizeInBytes estimate")
+        q = emb.limit(2)
+        with _pytest.raises(ValueError, match="sizeInBytes"):
+            similarity.lsh_topk(emb, q, k=2)
