@@ -67,6 +67,43 @@ def _mat(series):
     return np.stack(series.to_numpy()).astype(np.float64, copy=False)
 
 
+def _collapse_groups(mat, ids, cap: int):
+    """Group byte-identical rows of ``mat`` — the ANN twin of the dedup
+    family's collapse-before-quadratic idiom (``dedup._cell_pairs_arrays``):
+    score ONE representative per distinct vector/code, and reconstruct the
+    exact expanded top-k from each group's first ``cap`` member ids.
+
+    Returns ``(rep_idx, exp_ids, exp_grp)``:
+
+    - ``rep_idx`` — row index of each group's min-id member; scoring runs on
+      ``mat[rep_idx]`` only, so a fat-cell flood (45k copies of one vector in
+      one LSH bucket / IVF cell) costs O(distinct) per probing query instead
+      of O(members) — and the cost of hashing members is paid ONCE per
+      group-batch, not once per query.
+    - ``exp_ids``/``exp_grp`` — each group's first ``min(count, cap)`` member
+      ids ascending, tagged with their group index. With ``cap = k + 1`` this
+      prefix is sufficient for an EXACT top-k under any (score, id asc) order:
+      identical rows score identically, so at most ``k`` members of one group
+      can appear in a top-k, plus one slot for a dropped self-match. Expansion
+      size is <= min(members, groups * cap), never the full flood."""
+    import numpy as np
+
+    m = np.ascontiguousarray(mat)
+    view = m.view([("", m.dtype)] * m.shape[1]).ravel()
+    uniq, inv = np.unique(view, return_inverse=True)
+    order = np.lexsort((ids, inv))  # group-major, id ascending within group
+    sinv = inv[order]
+    starts = np.searchsorted(sinv, np.arange(len(uniq)))
+    counts = np.diff(np.append(starts, len(sinv)))
+    rep_idx = order[starts]
+    take = np.minimum(counts, cap)
+    base = np.repeat(starts, take)
+    offs = np.arange(int(take.sum())) - np.repeat(np.cumsum(take) - take, take)
+    exp_ids = ids[order[base + offs]]
+    exp_grp = np.repeat(np.arange(len(uniq)), take)
+    return rep_idx, exp_ids, exp_grp
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -111,7 +148,10 @@ def brute_force_topk(
             if len(pdf) == 0:
                 continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
-            cmat = _mat(pdf[vec_col])
+            cmat_all = _mat(pdf[vec_col])
+            # batch-local identical-vector collapse (exact; see _collapse_groups)
+            rep_idx, exp_ids, exp_grp = _collapse_groups(cmat_all, cids, k + 1)
+            cmat = cmat_all[rep_idx]
             # dim-sequential accumulation: bit-equal to a scalar loop
             acc = cmat[:, 0:1] * qmat_[None, :, 0]
             for j in range(1, d):
@@ -121,17 +161,17 @@ def brute_force_topk(
                 cn = cn + cmat[:, j] * cmat[:, j]
             cn = np.sqrt(cn)
             sim = np.round(acc / (cn[:, None] * qn_[None, :]), 6)
-            sim[cids[:, None] == qids_[None, :]] = -np.inf  # exclude self
             # batch-local top-k per query (superset of global top-k)
-            kk = min(k, sim.shape[0])
             rows = []
             for qi in range(nq):
-                col = sim[:, qi]
+                col = sim[exp_grp, qi]
+                mask = exp_ids != qids_[qi]  # exclude self by id, not by rep
+                eids, esim = exp_ids[mask], col[mask]
                 # order: sim desc, neighbor_id asc — lexsort keys reversed
-                idx = np.lexsort((cids, -col))[:kk]
+                idx = np.lexsort((eids, -esim))[: min(k, len(eids))]
                 for ci in idx:
-                    if np.isfinite(col[ci]):
-                        rows.append((qids_[qi], cids[ci], col[ci]))
+                    if np.isfinite(esim[ci]):
+                        rows.append((qids_[qi], eids[ci], esim[ci]))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
@@ -236,7 +276,13 @@ def _score_cogrouped(corpus_side: DataFrame, query_side: DataFrame, key: str, k:
     global top-k restricted to that group, so composing with a final
     ``row_number`` window is exact over the candidate set. Dots/norms
     accumulate dimension-sequentially (vectorized across rows only) — bit-
-    identical to the scalar loop and DuckDB's ``list_dot_product``."""
+    identical to the scalar loop and DuckDB's ``list_dot_product``.
+
+    Byte-identical corpus vectors collapse to one representative before
+    scoring (``_collapse_groups``): a fat bucket/cell of N copies scores
+    O(distinct) work per probing query, and the exact top-k is rebuilt from
+    each group's first ``k+1`` member ids (identical vectors tie on sim, so
+    rank order within a group is id order and only that prefix can win)."""
     import numpy as np
     import pandas as pd
 
@@ -248,7 +294,9 @@ def _score_cogrouped(corpus_side: DataFrame, query_side: DataFrame, key: str, k:
             return empty
         cids = cpdf["neighbor_id"].to_numpy(dtype=np.int64)
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
-        cm = _mat(cpdf["cv"])
+        cm_all = _mat(cpdf["cv"])
+        rep_idx, exp_ids, exp_grp = _collapse_groups(cm_all, cids, k + 1)
+        cm = cm_all[rep_idx]
         qm = _mat(qpdf["qv"])
         acc = cm[:, 0:1] * qm[None, :, 0]
         cn = cm[:, 0] * cm[:, 0]
@@ -258,15 +306,15 @@ def _score_cogrouped(corpus_side: DataFrame, query_side: DataFrame, key: str, k:
             cn = cn + cm[:, j] * cm[:, j]
             qn = qn + qm[:, j] * qm[:, j]
         sim = np.round(acc / (np.sqrt(cn)[:, None] * np.sqrt(qn)[None, :]), 6)
-        sim[cids[:, None] == qids[None, :]] = -np.inf  # exclude self
-        kk = min(k, sim.shape[0])
         rows = []
         for qi in range(len(qids)):
-            col = sim[:, qi]
-            idx = np.lexsort((cids, -col))[:kk]
+            col = sim[exp_grp, qi]
+            mask = exp_ids != qids[qi]  # exclude self by id, not by rep
+            eids, esim = exp_ids[mask], col[mask]
+            idx = np.lexsort((eids, -esim))[: min(k, len(eids))]
             for ci in idx:
-                if np.isfinite(col[ci]):
-                    rows.append((qids[qi], cids[ci], col[ci]))
+                if np.isfinite(esim[ci]):
+                    rows.append((qids[qi], eids[ci], esim[ci]))
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
 
     return (
@@ -934,7 +982,12 @@ def ivf_pq_topk(
             return empty
         _ci, _cm, _cn, cb_ = bc.value
         cids = cpdf["neighbor_id"].to_numpy(dtype=np.int64)
-        cmat = np.stack(cpdf["code"].to_numpy()).astype(np.int64)
+        cmat_all = np.stack(cpdf["code"].to_numpy()).astype(np.int64)
+        # identical codes collapse to one ADC lookup per group (exact:
+        # equal codes => equal dist); top-k rebuilt from each group's
+        # first k+1 member ids — a fat cell scores O(distinct codes)
+        rep_idx, exp_ids, exp_grp = _collapse_groups(cmat_all, cids, k + 1)
+        cmat = cmat_all[rep_idx]
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
         qmat = _mat(qpdf["qv"])
         # per-query ADC tables in integer micros (== oracle's DECIMAL(28,6))
@@ -946,11 +999,10 @@ def ivf_pq_topk(
         rows = []
         for qi in range(len(qids)):
             micros = tables[qi][srange[None, :], cmat].sum(axis=1)
-            dist = np.round(micros / 1e6, 6)
-            mask = cids != qids[qi]
-            kk = min(k, int(mask.sum()))
-            mids, mdist = cids[mask], dist[mask]
-            idx = np.lexsort((mids, mdist))[:kk]
+            dist = np.round(micros / 1e6, 6)[exp_grp]
+            mask = exp_ids != qids[qi]
+            mids, mdist = exp_ids[mask], dist[mask]
+            idx = np.lexsort((mids, mdist))[: min(k, len(mids))]
             for ci in idx:
                 rows.append((qids[qi], mids[ci], mdist[ci]))
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "dist"])
@@ -1016,15 +1068,17 @@ def pq_topk(
             if len(pdf) == 0:
                 continue
             cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            cmat = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            cmat_all = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            # batch-local identical-code collapse (exact; see _collapse_groups)
+            rep_idx, exp_ids, exp_grp = _collapse_groups(cmat_all, cids, k + 1)
+            cmat = cmat_all[rep_idx]
             rows = []
             for qi in range(len(qids_)):
                 micros = tables_[qi][srange[None, :], cmat].sum(axis=1)
-                dist = np.round(micros / 1e6, 6)
-                mask = cids != qids_[qi]
-                kk = min(k, int(mask.sum()))
-                idx = np.lexsort((cids[mask], dist[mask]))[:kk]
-                mids, mdist = cids[mask], dist[mask]
+                dist = np.round(micros / 1e6, 6)[exp_grp]
+                mask = exp_ids != qids_[qi]
+                mids, mdist = exp_ids[mask], dist[mask]
+                idx = np.lexsort((mids, mdist))[: min(k, len(mids))]
                 for ci in idx:
                     rows.append((qids_[qi], mids[ci], mdist[ci]))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "dist"])
