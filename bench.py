@@ -1,6 +1,12 @@
 """Benchmark harness: runs the headline catalog queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO JSON
+lines — a verbose detail record first (per-query spreads, extras), then the
+canonical compact headline line LAST (<2 KB, survives the driver's output-tail
+truncation): {"metric": "headline_queries_wall", "value": total_sec, "unit":
+"sec", "queries": {...}, "sf": ..., "calibration": {...}, "tpch_22q_total_sec":
+...}. The calibration block is a fixed-work probe run before and after the
+suite; its load_factor (probe / CALIBRATION_REF_SEC) normalizes walls across
+differently-loaded boxes.
 
 Each query is fully materialized via a sum of xxhash64 over every output
 column (no collect of payload rows — we measure engine wall-clock, not driver
@@ -212,6 +218,36 @@ def codec_extras() -> dict:
     return out
 
 
+# Fixed-work calibration reference (VERDICT r5 #7 / r6 #2): seconds the probe
+# below takes on the dev box this constant was recorded on (local[32], idle,
+# min of 2). A reader divides the reported calibration seconds by this to get
+# the box-load factor and normalizes per-query walls by it — killing the
+# recurring driver-box-vs-judge-box ambiguity (r5's phantom 33 s regression,
+# r6's ~1.4x judge-box inflation).
+CALIBRATION_REF_SEC = 1.85
+
+
+def calibration_probe(spark) -> float:
+    """Constant deterministic work — 32M-row codegen projection into a 1M-group
+    shuffle aggregate: exercises CPU, whole-stage codegen and the shuffle
+    path, no data dependence, no files. Min of 2 runs."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (
+            spark.range(32_000_000)
+            .select(F.pmod(F.xxhash64("id"), F.lit(1 << 20)).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.bit_xor(F.xxhash64("k", "c")))
+            .collect()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 TPCH_22 = [
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_segment_revenue",
     "q4_order_priority", "q5_region_volume", "q6_forecast_revenue",
@@ -262,6 +298,7 @@ def main() -> None:
     # worker pool once (mapInPandas queries would otherwise bill the spawn)
     materialize(next(iter(bench.values())).spark(spark, sf_dir))
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
+    cal_start = calibration_probe(spark)
 
     # Three passes, report the per-query min AND spread (max - min): pass 1
     # pays JIT/codegen compilation (the local[32] JVM is cold; a
@@ -286,7 +323,30 @@ def main() -> None:
     extras = skew_and_layout_extras(spark, materialize)
     extras.update(codec_extras())
     extras.update(scale_extras(spark, sf_dir, materialize))
-    extras.update(tpch_suite_extra(spark, sf_dir, materialize))
+    tpch = tpch_suite_extra(spark, sf_dir, materialize)
+    extras.update(tpch)
+    cal_end = calibration_probe(spark)
+    calibration = {
+        "probe_start_sec": cal_start,
+        "probe_end_sec": cal_end,
+        "reference_sec": CALIBRATION_REF_SEC,
+        # >1.0 == this box is running slower than the box CALIBRATION_REF_SEC
+        # was recorded on; divide the walls by this factor to compare rounds
+        "load_factor": round(min(cal_start, cal_end) / CALIBRATION_REF_SEC, 3),
+    }
+    # Two lines (VERDICT r6 #3): the driver's artifact keeps only the output
+    # TAIL, so the verbose record (per-query spreads, extras) goes FIRST and
+    # the LAST line is a compact (<2 KB) headline block that always survives
+    # truncation AND parses as the canonical one-JSON-line contract.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "query_stats": query_stats,
+                "extras": extras,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -294,9 +354,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "query_stats": query_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "extras": extras,
+                "calibration": calibration,
+                "tpch_22q_total_sec": tpch["tpch_22q_total_sec"],
             }
         )
     )

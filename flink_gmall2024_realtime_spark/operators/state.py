@@ -83,6 +83,8 @@ def sessionize(
     ts_col: str,
     gap_seconds: int = 1800,
     bucket_seconds: int | None = None,
+    mode: str = "auto",
+    single_phase_max_rows: int = 500_000,
 ) -> DataFrame:
     """Session assignment by inactivity gap: a new session starts when the
     previous event of the same key is more than ``gap`` earlier (the
@@ -91,29 +93,51 @@ def sessionize(
     sessionization is the general form).  Emits ``session_start`` (0/1) and a
     per-key ``session_id`` (cumulative count of starts).
 
-    **Two-phase, skew-safe** (VERDICT r5 #2): a plain
-    ``Window.partitionBy(key).orderBy(ts)`` funnels a hot key's entire
-    history through ONE task — a bot/SDK-default user holding 1% of 100 TB
-    is an unbounded straggler.  Instead:
+    Two physical plans, same result on any input (``tests/test_operators.py``
+    holds a hypothesis property test asserting the equality on random
+    inputs, plus boundary-continuation / empty-bucket / null-ts cases):
 
-    1. events bucket by ``(key, floor(secs / bucket_seconds))`` and
-       sessionize WITHIN buckets (the wide exchange carries both columns, so
-       a hot key's events spread across time buckets; max task size is one
-       key's events per ``bucket_seconds``, not its lifetime);
-    2. a per-``(key, bucket)`` aggregate — ``O(buckets)`` rows per key,
-       independent of event count — stitches boundaries with one per-key
-       window: bucket ``b``'s first event continues the previous session iff
-       ``first_ts(b) - last_ts(prev bucket) <= gap``.  ``bucket_seconds >=
-       gap_seconds`` makes skipped (empty) buckets imply ``diff > gap``
-       automatically, so only the lag row matters;
-    3. per-bucket start totals, minus the continuation flag, prefix-sum into
-       the bucket's session-id base; the join back on ``(key, bucket)``
-       reuses phase 1's partitioning.
+    - ``mode="single"`` — one ``Window.partitionBy(key).orderBy(ts)`` pass:
+      one exchange, one sort, cheapest at small scale, but a hot key's
+      entire history funnels through ONE task.
+    - ``mode="two_phase"`` — skew-safe (VERDICT r5 #2):
 
-    Exactly equals the single-task form on any input (ties share a bucket:
-    equal ts => equal bucket).  The irreducible worst case is one key
-    flooding one ``bucket_seconds`` span — the honest per-(key, window)
-    bound, time-bounded instead of lifetime-bounded."""
+      1. events bucket by ``(key, floor(secs / bucket_seconds))`` and
+         sessionize WITHIN buckets (the wide exchange carries both columns,
+         so a hot key's events spread across time buckets; max task size is
+         one key's events per ``bucket_seconds``, not its lifetime);
+      2. a per-``(key, bucket)`` aggregate — ``O(buckets)`` rows per key,
+         independent of event count — stitches boundaries with one per-key
+         window: bucket ``b``'s first event continues the previous session
+         iff ``first_ts(b) - last_ts(prev bucket) <= gap``.
+         ``bucket_seconds >= gap_seconds`` makes skipped (empty) buckets
+         imply ``diff > gap`` automatically, so only the lag row matters;
+      3. per-bucket start totals, minus the continuation flag, prefix-sum
+         into the bucket's session-id base, joined back on ``(key, bucket)``
+         (null-safe, so null-ts / null-key rows survive exactly as in the
+         single-phase form — ADVICE r6).
+
+    - ``mode="auto"`` (default) picks single-phase iff the job-free
+      ``estimated_row_count`` (Catalyst stats / parquet footers, no scan) is
+      at most ``single_phase_max_rows``.  The bound is principled, not a
+      heuristic: the single-phase hazard is ONE key's history in one task,
+      and a key's rows are at most the total — when even that worst case
+      fits a task budget, single-phase is provably safe and strictly
+      cheaper (two wide stages fewer).  The estimate is filter-blind
+      (footers count pre-filter rows), so a filtered input can only
+      over-estimate — erring toward the skew-safe plan, never the unsafe
+      one.
+
+    Exactness of the stitch (ties share a bucket: equal ts => equal
+    bucket): within a bucket the lag test is literally the single-phase
+    test; across buckets, row 1 of bucket ``b`` continues iff the previous
+    bucket's last event is within ``gap``, and the ``bucket_seconds >=
+    gap_seconds`` guard means an interleaving empty bucket implies the gap
+    exceeded.  Null ``ts`` rows sort first (NULLS FIRST) in both forms and
+    each opens a session (a null gap comparison never says "continue").
+    The irreducible worst case is one key flooding one ``bucket_seconds``
+    span — the honest per-(key, window) bound, time-bounded instead of
+    lifetime-bounded (measured: BASELINE.md adversarial hot_key row)."""
     if bucket_seconds is None:
         bucket_seconds = max(gap_seconds, 3600)
     if bucket_seconds < gap_seconds:
@@ -122,11 +146,34 @@ def sessionize(
             f"({gap_seconds}): boundary stitching only inspects the adjacent "
             "bucket, which is sound only when an empty bucket implies the gap"
         )
+    if mode not in ("auto", "single", "two_phase"):
+        raise ValueError(f"mode must be auto|single|two_phase, got {mode!r}")
     tiebreak = F.col("event_id") if "event_id" in df.columns else F.col(ts_col)
     # timestamp_ntz has no direct double cast; going through timestamp only
     # shifts both sides by the same session offset, so gaps and bucket
     # boundaries are unchanged
     secs = F.col(ts_col).cast("timestamp").cast("double")
+
+    if mode == "auto":
+        from .similarity import estimated_row_count
+
+        mode = (
+            "single" if estimated_row_count(df) <= single_phase_max_rows else "two_phase"
+        )
+
+    if mode == "single":
+        d = df.withColumn("_secs", secs)
+        w = Window.partitionBy(key).orderBy(F.col(ts_col), tiebreak)
+        prev = F.lag("_secs").over(w)
+        d = d.withColumn(
+            "session_start",
+            F.when(prev.isNull() | (F.col("_secs") - prev > gap_seconds), 1).otherwise(0),
+        ).withColumn(
+            "session_id",
+            F.sum("session_start").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+        )
+        return d.select(*df.columns, "session_start", "session_id")
+
     d = df.withColumn("_secs", secs).withColumn(
         "_bkt", F.floor(F.col("_secs") / bucket_seconds)
     )
@@ -141,7 +188,7 @@ def sessionize(
         .withColumn("_lcum", F.sum("_lstart").over(wb.rowsBetween(Window.unboundedPreceding, 0)))
     )
     # stitch aggregate: one row per (key, bucket) — O(buckets), never O(events)
-    wk = Window.partitionBy(key).orderBy("_bkt")
+    wk = Window.partitionBy(key).orderBy(F.asc_nulls_first("_bkt"))
     agg = (
         d.groupBy(key, "_bkt")
         .agg(
@@ -166,10 +213,17 @@ def sessionize(
                 F.lit(0),
             ),
         )
-        .select(key, "_bkt", "_cont", "_base")
+        .select(F.col(key).alias("_akey"), F.col("_bkt").alias("_abkt"), "_cont", "_base")
     )
+    # null-safe equi-join (ADVICE r6): null-ts rows land in a null bucket and
+    # null keys form their own group in BOTH forms; a plain inner join would
+    # silently drop them.  <=> keys are still hash-partitionable, so the
+    # join stays a hash/broadcast join, never a cartesian.
     out = (
-        d.join(agg, [key, "_bkt"])
+        d.join(
+            agg,
+            F.col(key).eqNullSafe(F.col("_akey")) & F.col("_bkt").eqNullSafe(F.col("_abkt")),
+        )
         .withColumn(
             "session_start",
             F.when(F.col("_rn") == 1, F.lit(1) - F.col("_cont")).otherwise(F.col("_lstart")),

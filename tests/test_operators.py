@@ -144,6 +144,87 @@ def test_sessionize_gap(spark):
     assert got == {1: (1, 1), 2: (0, 1), 3: (1, 2)}
 
 
+def _sess(spark, rows, **kw):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("uid", StringType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    out = state.sessionize(spark.createDataFrame(rows, schema), "uid", "ts", **kw)
+    return sorted((r["event_id"], r["session_start"], r["session_id"]) for r in out.collect())
+
+
+def test_sessionize_two_phase_continuation_across_bucket(spark):
+    """VERDICT r6 #1a: a session spanning a bucket boundary must continue
+    (_cont=1 path) — first event of bucket b within gap of prev bucket's
+    last event."""
+    rows = [
+        Row(uid="u", event_id=1, ts=datetime(2024, 1, 1, 0, 50, 0)),
+        Row(uid="u", event_id=2, ts=datetime(2024, 1, 1, 0, 59, 0)),  # bucket 0
+        Row(uid="u", event_id=3, ts=datetime(2024, 1, 1, 1, 5, 0)),   # bucket 1, 6min gap -> same session
+        Row(uid="u", event_id=4, ts=datetime(2024, 1, 1, 1, 40, 0)),  # 35min gap -> new session, same bucket
+    ]
+    got = _sess(spark, rows, gap_seconds=1800, bucket_seconds=3600, mode="two_phase")
+    assert got == [(1, 1, 1), (2, 0, 1), (3, 0, 1), (4, 1, 2)]
+
+
+def test_sessionize_two_phase_empty_intermediate_bucket(spark):
+    """VERDICT r6 #1a: an empty bucket between two active buckets implies
+    gap exceeded (bucket_seconds >= gap_seconds guard) -> new session, and
+    the prefix-sum base skips the empty bucket correctly."""
+    rows = [
+        Row(uid="u", event_id=1, ts=datetime(2024, 1, 1, 0, 10, 0)),  # bucket 0
+        Row(uid="u", event_id=2, ts=datetime(2024, 1, 1, 2, 10, 0)),  # bucket 2 (bucket 1 empty)
+        Row(uid="u", event_id=3, ts=datetime(2024, 1, 1, 2, 20, 0)),
+    ]
+    got = _sess(spark, rows, gap_seconds=1800, bucket_seconds=3600, mode="two_phase")
+    assert got == [(1, 1, 1), (2, 1, 2), (3, 0, 2)]
+
+
+def test_sessionize_null_ts_and_null_key_preserved(spark):
+    """ADVICE r6: null-ts rows (null bucket) and null-key rows must survive
+    the two-phase stitch join (null-safe equality) with single-phase
+    semantics: every null-ts row opens a session, nulls sort first."""
+    rows = [
+        Row(uid="u", event_id=1, ts=None),
+        Row(uid="u", event_id=2, ts=None),
+        Row(uid="u", event_id=3, ts=datetime(2024, 1, 1, 0, 0, 0)),
+        Row(uid=None, event_id=4, ts=datetime(2024, 1, 1, 0, 0, 0)),
+    ]
+    for mode in ("single", "two_phase"):
+        got = _sess(spark, rows, mode=mode)
+        assert got == [(1, 1, 1), (2, 1, 2), (3, 1, 3), (4, 1, 1)], mode
+
+
+def test_sessionize_auto_mode_thresholds(spark, tmp_path):
+    """auto picks single below the row bound (provably skew-safe: one key's
+    rows <= total rows) and two_phase above it; both agree on the result.
+    Parquet-backed input: the footer rung gives an exact row count (an
+    in-memory relation's sizeInBytes rung over-estimates and conservatively
+    lands on the skew-safe two-phase plan)."""
+    rows = [
+        Row(uid="u", event_id=i, ts=datetime(2024, 1, 1, 0, 0, i)) for i in range(5)
+    ]
+    p = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(rows).write.parquet(p)
+    df = spark.read.parquet(p)
+    lo = state.sessionize(df, "uid", "ts", mode="auto", single_phase_max_rows=100)
+    hi = state.sessionize(df, "uid", "ts", mode="auto", single_phase_max_rows=0)
+    assert "_bkt" not in lo._jdf.queryExecution().analyzed().toString()
+    assert "_bkt" in hi._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, lo.collect())) == sorted(map(tuple, hi.collect()))
+
+
 def test_tokenize_and_fingerprint(spark):
     df = spark.createDataFrame([Row(text="  Hello   world  "), Row(text="hello world")])
     toks = df.select(tokenize(F.col("text")).alias("t")).collect()
