@@ -399,6 +399,166 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
     return channels, rate, len(samples) // channels, int(samples.astype(np.int64).sum())
 
 
+# --------------------------------------------------------------------------
+# JPEG: header-metadata parse (VERDICT r5 #4 / r6 next-round #4). Pixel
+# decode stays behind the decode_media NotImplementedError seam (DCT +
+# Huffman needs a vendored codec), but the most common multimodal curation
+# gate — dimensions / component count / progressive flag / EXIF orientation
+# — needs only the public marker-segment layout (ITU-T T.81 §B) and the
+# TIFF/EXIF IFD layout, parseable with struct alone.
+# --------------------------------------------------------------------------
+
+_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}  # not DHT/JPG/DAC
+_SOF_PROGRESSIVE = frozenset({0xC2, 0xC6, 0xCA, 0xCE})
+
+
+def synth_jpeg(seed: int) -> bytes:
+    """Deterministic, structurally valid JPEG header stream: SOI, optional
+    JFIF APP0 (seed%5 != 0), EXIF APP1 with an orientation IFD entry (TIFF
+    byte order alternates II/MM by seed parity), optional COM (seed%7 == 0),
+    DQT, SOF0 or SOF2, DHT, SOS + stuffed entropy bytes + EOI. Segment
+    presence varies by seed so a parser cannot hardcode offsets; dimensions
+    / components / progressive / orientation are all seed arithmetic the
+    catalog oracle reproduces independently."""
+    w, h = seed % 509 + 1, seed % 389 + 1
+    ncomp = 1 if seed % 4 == 0 else 3
+    sof_marker = 0xC2 if seed % 3 == 0 else 0xC0
+    orientation = seed % 8 + 1
+    e = "<" if seed % 2 else ">"
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = [b"\xff\xd8"]  # SOI
+    if seed % 5 != 0:
+        out.append(seg(0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 2, 0, 72, 72, 0, 0)))
+    tiff = (
+        (b"II" if e == "<" else b"MM")
+        + struct.pack(e + "HI", 42, 8)
+        + struct.pack(e + "H", 1)  # one IFD entry
+        + struct.pack(e + "HHI", 0x0112, 3, 1)
+        + struct.pack(e + "H", orientation) + b"\x00\x00"  # SHORT left-justified
+        + struct.pack(e + "I", 0)  # next IFD
+    )
+    out.append(seg(0xE1, b"Exif\x00\x00" + tiff))
+    if seed % 7 == 0:
+        out.append(seg(0xFE, b"synthetic fixture %d" % seed))
+    out.append(seg(0xDB, bytes([0]) + bytes((i * 7 + seed) % 255 + 1 for i in range(64))))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(">BBB", c + 1, 0x22 if c == 0 else 0x11, 0)
+    out.append(seg(sof_marker, sof))
+    out.append(seg(0xC4, bytes([0]) + bytes(16) + b"\x00"))
+    sos = struct.pack(">B", ncomp)
+    for c in range(ncomp):
+        sos += struct.pack(">BB", c + 1, 0)
+    sos += struct.pack(">BBB", 0, 63, 0)
+    out.append(seg(0xDA, sos))
+    # entropy-coded bytes: 0xFF must be stuffed with 0x00 in real streams;
+    # emit a deterministic run including a stuffed pair
+    out.append(bytes((seed + i) % 255 for i in range(32)) + b"\xff\x00\x12")
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
+
+
+def _exif_orientation(tiff: bytes) -> int | None:
+    """TIFF IFD0 walk for tag 0x0112 (orientation, SHORT): handles both II
+    (little) and MM (big) byte orders; returns None when absent/malformed."""
+    if tiff[:2] == b"II":
+        e = "<"
+    elif tiff[:2] == b"MM":
+        e = ">"
+    else:
+        return None
+    try:
+        (magic,) = struct.unpack_from(e + "H", tiff, 2)
+        if magic != 42:
+            return None
+        (ifd_off,) = struct.unpack_from(e + "I", tiff, 4)
+        (count,) = struct.unpack_from(e + "H", tiff, ifd_off)
+        for k in range(count):
+            off = ifd_off + 2 + 12 * k
+            tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, off)
+            if tag == 0x0112 and typ == 3 and cnt == 1:
+                (val,) = struct.unpack_from(e + "H", tiff, off + 8)
+                return val
+    except struct.error:
+        return None
+    return None
+
+
+def parse_jpeg_meta(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Header-only JPEG parse — no pixel decode: walks marker segments from
+    SOI to SOS, returns (width, height, n_components, progressive,
+    orientation). SOF0-15 (minus DHT/JPG/DAC) carry precision/height/width/
+    components; SOF2/6/10/14 are the progressive DCT family; orientation
+    comes from the EXIF APP1 IFD (default 1 = upright when absent)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    i = 2
+    width = height = ncomp = None
+    progressive, orientation = 0, 1
+    while i + 2 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"marker desync at byte {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone TEM/RSTn
+            i += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, i + 2)
+        body = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            orientation = _exif_orientation(body[6:]) or orientation
+        elif marker in _SOF_MARKERS:
+            height, width = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            progressive = 1 if marker in _SOF_PROGRESSIVE else 0
+        elif marker == 0xDA:  # SOS: entropy data follows, headers complete
+            break
+        i += 2 + seglen
+    if width is None:
+        raise ValueError("no SOF marker before SOS/EOI")
+    return width, height, ncomp, progressive, orientation
+
+
+JPEG_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_components", IntegerType()),
+        StructField("progressive", IntegerType()),
+        StructField("orientation", IntegerType()),
+    ]
+)
+
+
+def jpeg_meta(media: DataFrame) -> DataFrame:
+    """JPEG header metadata over an Arrow-batched binary column: the
+    curation-gate columns (dimensions, components, progressive, EXIF
+    orientation) without pixel decode — each Python task parses a whole
+    Arrow batch of payloads; the heavy binary column is dropped before any
+    shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, nc, prog, ori = parse_jpeg_meta(bytes(p))
+                rows.append((mid, w, h, nc, prog, ori))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "n_components", "progressive", "orientation",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=JPEG_META_SCHEMA)
+
+
 def _synth_udf(fn):
     """Arrow-batched column of synthesized payloads from an integer seed."""
 
@@ -417,7 +577,7 @@ def _synth_udf(fn):
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
-    fn = {"bmp": synth_bmp, "wav": synth_wav, "png": synth_png}[kind]
+    fn = {"bmp": synth_bmp, "wav": synth_wav, "png": synth_png, "jpeg": synth_jpeg}[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"
     )
@@ -447,7 +607,10 @@ def decode_media(media: DataFrame) -> DataFrame:
                     rows.append((mid, m, nb, None, None, n, rate, n * 1000 // rate, s))
                 else:
                     raise NotImplementedError(
-                        f"no codec for mime {m!r}: vendor image/audio codecs on executors"
+                        f"no pixel codec for mime {m!r}: vendor image/audio codecs "
+                        "on executors (for image/jpeg, header-only metadata — "
+                        "dimensions/components/progressive/orientation — is "
+                        "available without one via jpeg_meta)"
                     )
             yield pd.DataFrame(
                 rows,

@@ -742,8 +742,45 @@ def test_decode_media_unsupported_mime_raises(spark):
 
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     media = multimodal.to_media_table(df, "doc_id", F.col("text").cast("binary"), "image/jpeg")
-    with _pytest.raises(Exception, match="no codec for mime"):
+    with _pytest.raises(Exception, match="no pixel codec for mime"):
         multimodal.decode_media(media).collect()
+
+
+def test_jpeg_meta_golden_and_synth_roundtrip():
+    """Header-only JPEG parse against handcrafted golden bytes (minimal
+    SOI+SOF0+SOS stream, big-endian EXIF, orientation default) and the
+    synth round trip over both TIFF byte orders / SOF0 vs SOF2 / variable
+    segment layouts."""
+    import struct
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_jpeg_meta,
+        synth_jpeg,
+    )
+
+    # golden minimal: SOI + SOF0 (8bpp, 16x32, 3 comps) + SOS header + EOI
+    sof = struct.pack(">BHHB", 8, 16, 32, 3) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    golden = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xda" + struct.pack(">H", 3) + b"\x01"
+        + b"\xff\xd9"
+    )
+    assert parse_jpeg_meta(golden) == (32, 16, 3, 0, 1)  # no EXIF -> orientation 1
+
+    for seed in [0, 1, 2, 3, 4, 5, 6, 7, 14, 15, 21, 508, 509, 4241]:
+        w, h, nc, prog, ori = parse_jpeg_meta(synth_jpeg(seed))
+        assert (w, h) == (seed % 509 + 1, seed % 389 + 1), seed
+        assert nc == (1 if seed % 4 == 0 else 3)
+        assert prog == (1 if seed % 3 == 0 else 0)
+        assert ori == seed % 8 + 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no SOI"):
+        parse_jpeg_meta(b"\x89PNG")
+    with _pytest.raises(ValueError, match="no SOF"):
+        parse_jpeg_meta(b"\xff\xd8\xff\xd9")
 
 
 def test_two_phase_rank_equals_plain_window(spark):
