@@ -894,6 +894,31 @@ def _simhash_combo_layout(bits: int, chunks: int, max_hamming: int):
     return width, mask, combos, (mask + 1) ** combo_size
 
 
+def minhash_band_stats(
+    docs: DataFrame,
+    perms: int = MINHASH_PERMS,
+    band_rows: int = LSH_BAND_ROWS,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """The no-silent-caps measurement for the MinHash banding (VERDICT r5
+    #8), as a first-class oracle-checkable query: band-bucket population
+    stats over the rep-level banded frame — exactly the frame
+    ``minhash_lsh_pairs`` buckets on (identical shingle sets already
+    collapsed to one representative) — (n_buckets, max_bucket,
+    capped_buckets, capped_ids). A non-zero ``capped_buckets`` means
+    ``_bucket_pairs`` star-capped those buckets (pair-level recall reduced,
+    components preserved for identical-content floods); on the driver
+    fixtures it must be 0, which the catalog entry proves every round."""
+    base = _doc_sig_sets(docs, perms, n, text_col, id_col, band_rows=band_rows)
+    # one rep per distinct shingle set — bkt is a pure function of the set
+    groups = base.groupBy("shs").agg(F.first("bkt").alias("bkt"))
+    bands = groups.select(F.explode("bkt").alias("bkt"))
+    return capped_bucket_stats(bands, "bkt", cap)
+
+
 def simhash_band_stats(
     docs: DataFrame,
     max_hamming: int = 3,

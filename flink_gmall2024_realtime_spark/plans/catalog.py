@@ -1033,6 +1033,44 @@ def _simhash_combo_key_sql(bits: int = 48, chunks: int = 6, max_hamming: int = 3
 
 
 @register(
+    "dedup_minhash_bucket_stats",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+hs AS (SELECT doc_id, {md5_long_sql_duckdb('shingle', 15)} AS h60,
+              {md5_long_sql_duckdb('shingle', 7)} AS h28
+       FROM sh),
+sets AS (SELECT doc_id, list_sort(list(DISTINCT h60)) AS shs FROM hs GROUP BY doc_id),
+reps AS (SELECT min(doc_id) AS rep FROM sets GROUP BY shs),
+sig AS (SELECT h.doc_id, p.b AS perm,
+               min(((2 * p.b + 1) * h.h28 + p.b * p.b + 1) % 2147483647) AS mv
+        FROM hs h JOIN reps r ON h.doc_id = r.rep CROSS JOIN range(64) p(b)
+        GROUP BY 1, 2),
+bands AS (SELECT doc_id, perm // 2 AS band,
+                 min(CASE WHEN perm % 2 = 0 THEN mv END) AS v0,
+                 min(CASE WHEN perm % 2 = 1 THEN mv END) AS v1
+          FROM sig GROUP BY 1, 2),
+sizes AS (SELECT count(*) AS c FROM bands GROUP BY band, v0, v1)
+SELECT count(*)::BIGINT AS n_buckets, max(c)::BIGINT AS max_bucket,
+       sum(CASE WHEN c > 256 THEN 1 ELSE 0 END)::BIGINT AS capped_buckets,
+       sum(CASE WHEN c > 256 THEN c ELSE 0 END)::BIGINT AS capped_ids
+FROM sizes
+""",
+    survey_ids=("dedup-minhash-lsh",),
+)
+def dedup_minhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps rule for the MinHash family (VERDICT r5 #8; the
+    simhash/semantic twins already exist): band-bucket population stats
+    over the rep-level banded frame. ``capped_buckets > 0`` means
+    ``dedup_minhash_lsh`` star-capped those buckets; on the driver fixtures
+    it must be 0, proven hash-exact each round. The oracle rebuilds the
+    collapse + banding independently — distinct shingle sets -> one rep ->
+    64-perm signature -> 32 two-row bands grouped by VALUE tuple (the
+    engine groups by its 64-bit FNV band key, identical up to FNV
+    collisions, ~1e-10 at fixture scale)."""
+    return dedup.minhash_band_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_simhash_bucket_stats",
     oracle=f"""
 WITH fp AS ({_SIMHASH_SQL}),
