@@ -104,6 +104,30 @@ def skew_and_layout_extras(spark, materialize) -> dict:
         ).groupBy().sum("id")
         out["zorder_scan_plain_sec"] = t(sel(table))
         out["zorder_scan_zordered_sec"] = t(sel(zt))
+
+        # --- date-clustered lineitem layout (r7): range-cluster on
+        # l_shipdate, re-run the two most date-selective TPC-H scans on the
+        # clustered dir; footer audit records how many files the 1-year q6
+        # range can touch (the file-skip evidence, re-proven per round)
+        import datetime
+
+        from flink_gmall2024_realtime_spark.plans import CATALOG as _CAT
+
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        cdir = warehouse.clustered_sf_dir(
+            spark, sf_dir, os.path.join(work, "clustered"), files=32
+        )
+        for q, tag in (("q6_forecast_revenue", "q6"), ("q3_segment_revenue", "q3")):
+            out[f"cluster_{tag}_flat_sec"] = t(_CAT[q].spark(spark, sf_dir))
+            out[f"cluster_{tag}_clustered_sec"] = t(_CAT[q].spark(spark, cdir))
+        over, tot = warehouse.files_overlapping_range(
+            os.path.join(cdir, "lineitem.parquet"),
+            "l_shipdate",
+            datetime.datetime(1997, 1, 1),
+            datetime.datetime(1998, 1, 1),
+        )
+        out["cluster_q6_files_overlap"] = over
+        out["cluster_files_total"] = tot
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -134,6 +134,95 @@ def write_zordered(
     )
 
 
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    col: str,
+    files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """1-D range-clustered layout (VERDICT r5 #3): range-partition by
+    ``col`` and sort within each file, so every output file covers one
+    narrow contiguous range of ``col`` and the parquet min/max footer
+    stats skip whole files for any pushed range predicate on it — the
+    date-filtered TPC-H scans (q3/q6/q14 on ``l_shipdate``) stop paying
+    for the other six years of history. This is the fact-table layout a
+    100 TB deployment maintains with ``compact_table``-style rewrites;
+    results are bit-identical to the flat layout (same rows, same types —
+    asserted in tests/test_bucketing.py) because only file placement
+    changes. Use ``write_zordered`` instead when MULTIPLE dimensions need
+    skipping; the plain range cluster bounds only ``col``."""
+    (
+        df.repartitionByRange(files, col)
+        .sortWithinPartitions(col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def clustered_sf_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    table: str = "lineitem",
+    col: str = "l_shipdate",
+    files: int = 32,
+) -> str:
+    """Materialize a drop-in fixture-dir variant with ONE table rewritten
+    range-clustered (every other table symlinked): any catalog query runs
+    unchanged against the returned dir, letting tests/bench compare the
+    flat vs clustered layouts on identical data."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(sf_dir):
+        if not f.endswith(".parquet") or f == f"{table}.parquet":
+            continue
+        dst = os.path.join(out_dir, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(sf_dir, f), dst)
+    write_range_clustered(
+        spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")),
+        os.path.join(out_dir, f"{table}.parquet"),
+        col,
+        files=files,
+    )
+    return out_dir
+
+
+def files_overlapping_range(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """Footer-stat audit for the file-skip claim: (n_overlapping, n_total)
+    parquet files whose ``col`` [min, max] intersects [lo, hi) — computed
+    from footer metadata only, exactly the information the reader's
+    row-group skipping uses. A clustered layout shows n_overlapping ≪
+    n_total for a selective range; a flat layout overlaps nearly all."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = overlapping = 0
+    for root, _dirs, fs in os.walk(path):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.read_metadata(os.path.join(root, f))
+            names = md.schema.to_arrow_schema().names
+            ci = names.index(col)
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    fmin = fmax = None
+                    break
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+            # missing stats = reader cannot skip = counts as overlapping
+            if fmin is None or (fmax >= lo and fmin < hi):
+                overlapping += 1
+    return overlapping, total
+
+
 def read_evolving(
     spark: SparkSession,
     path: str,
