@@ -85,10 +85,20 @@ def _collapse_groups(mat, ids, cap: int):
       prefix is sufficient for an EXACT top-k under any (score, id asc) order:
       identical rows score identically, so at most ``k`` members of one group
       can appear in a top-k, plus one slot for a dropped self-match. Expansion
-      size is <= min(members, groups * cap), never the full flood."""
+      size is <= min(members, groups * cap), never the full flood.
+
+    The grouping key is the raw BYTES (an optimization keyed on exact
+    equality, never semantics — ADVICE r6): float rows differing only in
+    NaN payload stay in separate groups, harmless for correctness, merely
+    forfeiting their share of the collapse speedup. The one common benign
+    case, ``-0.0`` vs ``0.0``, IS normalized below (``+ 0.0``) — the two
+    are arithmetically identical, so merging their groups keeps every
+    score bit-exact."""
     import numpy as np
 
     m = np.ascontiguousarray(mat)
+    if np.issubdtype(m.dtype, np.floating):
+        m = m + 0.0  # -0.0 -> 0.0; NaNs and everything else unchanged
     view = m.view([("", m.dtype)] * m.shape[1]).ravel()
     uniq, inv = np.unique(view, return_inverse=True)
     order = np.lexsort((ids, inv))  # group-major, id ascending within group
@@ -405,6 +415,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_bucket: int = 256,
+    on_crude_estimate: str = "raise",
 ) -> DataFrame:
     """Approximate top-k via sign-bit LSH — the equi-key scale path when the
     query side is too large to broadcast.
@@ -438,18 +449,36 @@ def lsh_topk(
     whose SQL hardcodes a plane count is only sound while the estimate
     lands in the same ``auto_planes`` clamp band — the driver fixtures
     clamp to ``lo`` from exact footer counts. When the estimate comes
-    from the ``sizeInBytes`` rung AND would leave the ``lo`` band, this
-    raises instead of silently changing the candidate sets: pass
-    ``planes`` explicitly for filtered/transformed/non-parquet corpora."""
+    from the ``sizeInBytes`` rung AND would leave the ``lo`` band, the
+    default ``on_crude_estimate="raise"`` fails fast instead of silently
+    changing the candidate sets: pass ``planes`` explicitly for
+    filtered/transformed/non-parquet corpora. **This is a deliberate
+    behavior break vs pre-r6** (such calls used to run silently on the
+    inflated estimate); callers that prefer the old never-fail posture can
+    pass ``on_crude_estimate="clamp"`` to warn and clamp to the ``lo``
+    plane count (more candidates scored than optimal, results still exact
+    for the planes actually used — the oracle-parity-safe direction)."""
     if planes is None:
         est, src = estimated_row_count(corpus, with_source=True)
         planes = auto_planes(est, target_bucket)
         if src == "sizeInBytes" and planes != auto_planes(1, target_bucket):
-            raise ValueError(
-                f"lsh_topk auto planes={planes} derives from the crude sizeInBytes "
-                f"row estimate ({est}); pass planes explicitly (array columns make "
-                "this rung over-estimate and would silently change candidate sets)"
-            )
+            if on_crude_estimate == "clamp":
+                import warnings
+
+                lo_planes = auto_planes(1, target_bucket)
+                warnings.warn(
+                    f"lsh_topk auto planes={planes} derives from the crude "
+                    f"sizeInBytes row estimate ({est}); clamping to lo={lo_planes}"
+                    " — pass planes explicitly to size the index deliberately"
+                )
+                planes = lo_planes
+            else:
+                raise ValueError(
+                    f"lsh_topk auto planes={planes} derives from the crude sizeInBytes "
+                    f"row estimate ({est}); pass planes explicitly (array columns make "
+                    "this rung over-estimate and would silently change candidate sets), "
+                    "or pass on_crude_estimate='clamp' to warn-and-clamp to lo"
+                )
     nprobe = min(nprobe, planes + 1)
     q = _assign_buckets(queries, planes, dim, id_col, vec_col, "query_id", "qv", "qn")
     c = _assign_buckets(corpus, planes, dim, id_col, vec_col, "neighbor_id", "cv", "cn")

@@ -399,10 +399,15 @@ def native_bloom_probe_available(spark) -> bool:
     build/fallback path BEFORE any dim scan, so a Connect / older-Spark
     caller does not pay ``bloom_build_native``'s full ``treeAggregate``
     pass only to discover the probe cannot be constructed. Result cached
-    per-process (the session kind does not change under us)."""
-    cached = getattr(native_bloom_probe_available, "_cached", None)
-    if cached is not None:
-        return cached
+    per SESSION (keyed on ``id(spark)`` — ADVICE r6: a process holding
+    both a Connect and a classic session must not reuse one session's
+    answer for the other)."""
+    cache = getattr(native_bloom_probe_available, "_cache", None)
+    if cache is None:
+        cache = native_bloom_probe_available._cache = {}
+    skey = id(spark)
+    if skey in cache:
+        return cache[skey]
     ok = False
     try:
         jvm = spark._jvm  # Connect sessions have no _jvm at all
@@ -415,7 +420,7 @@ def native_bloom_probe_available(spark) -> bool:
         ok = mc is not None
     except Exception:  # pragma: no cover - Connect / internals drift
         ok = False
-    native_bloom_probe_available._cached = ok
+    cache[skey] = ok
     return ok
 
 
@@ -468,11 +473,20 @@ def bloom_prefilter_join(
     # decide build vs fallback BEFORE scanning the dim: the probe-side
     # reachability check is classloading-only, so an environment without
     # the classic-session internals pays exactly one dim pass (the
-    # portable build), never a wasted native build first
+    # portable build), never a wasted native build first. Contract
+    # (ADVICE r6): reachability picks the CHEAP path; a residual native
+    # BUILD failure (transient JVM/treeAggregate error on a session whose
+    # probe internals load fine) still falls back to the portable build —
+    # costing one extra dim pass in that rare case, never a job failure
+    # for an optimization that is result-transparent anyway.
+    pred = None
     if native_bloom_probe_available(fact.sparkSession):
-        blob = bloom_build_native(dim.select(dim_key), dim_key, num_bits=num_bits)
-        pred = bloom_might_contain_native(F.col(fact_key), blob, dtype=fact_dtype)
-    else:
+        try:
+            blob = bloom_build_native(dim.select(dim_key), dim_key, num_bits=num_bits)
+            pred = bloom_might_contain_native(F.col(fact_key), blob, dtype=fact_dtype)
+        except Exception:  # pragma: no cover - transient JVM build failure
+            pred = None
+    if pred is None:
         from .similarity import estimated_row_count
 
         if num_bits is None:

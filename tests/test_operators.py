@@ -1387,12 +1387,14 @@ class TestAdviceR5Fixes:
     def test_native_bloom_probe_reachability_no_scan(self, spark):
         from flink_gmall2024_realtime_spark.operators import sketch
 
-        if hasattr(sketch.native_bloom_probe_available, "_cached"):
-            del sketch.native_bloom_probe_available._cached
+        if hasattr(sketch.native_bloom_probe_available, "_cache"):
+            sketch.native_bloom_probe_available._cache.clear()
         first = sketch.native_bloom_probe_available(spark)
         assert isinstance(first, bool)
         assert first is True  # this container runs a classic Spark 4.x session
         assert sketch.native_bloom_probe_available(spark) is first  # cached
+        # ADVICE r6: cache is keyed per session, not per process
+        assert list(sketch.native_bloom_probe_available._cache) == [id(spark)]
 
     def test_estimated_row_count_source_footers(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1416,6 +1418,33 @@ class TestAdviceR5Fixes:
         q = emb.limit(2)
         with _pytest.raises(ValueError, match="sizeInBytes"):
             similarity.lsh_topk(emb, q, k=2)
+
+    def test_lsh_topk_clamp_posture_on_crude_estimate(self, spark, monkeypatch):
+        """ADVICE r6: on_crude_estimate='clamp' warns and runs on lo planes
+        instead of raising. The crude-estimate condition is forced via
+        monkeypatch so the branch is exercised regardless of which stats
+        rung this environment's relation lands on."""
+        import warnings
+
+        emb = spark.range(0, 200).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") * (i + 1)).cast("float") for i in range(8)]).alias("embedding"),
+        )
+        q = emb.limit(2)
+        monkeypatch.setattr(
+            similarity,
+            "estimated_row_count",
+            lambda df, with_source=False: (10**9, "sizeInBytes") if with_source else 10**9,
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="sizeInBytes"):
+            similarity.lsh_topk(emb, q, k=2, dim=8)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = similarity.lsh_topk(emb, q, k=2, dim=8, on_crude_estimate="clamp")
+            assert got.count() > 0
+        assert any("clamping" in str(x.message) for x in w)
 
 
 class TestAnnCollapse:
