@@ -117,6 +117,51 @@ def _bucket_pairs(
     return _pairs_from_ids(bucket_ids, cap)
 
 
+RESCUE_BUCKET_CAP = 4096
+
+
+def _rescue_capped_candidates(
+    bands: DataFrame,
+    cap: int,
+    rescue_cap: int = RESCUE_BUCKET_CAP,
+    id_col: str = "doc_id",
+    bucket_col: str = "bkt",
+) -> DataFrame:
+    """Component-preservation escape hatch for HETEROGENEOUS over-cap
+    buckets (VERDICT r6 #8): re-expand JUST the buckets past ``cap`` with
+    a larger deterministic budget — full pairs among the first
+    ``rescue_cap`` member ids, star beyond.
+
+    Why deterministic re-expansion and not another hash roll: in an
+    over-cap bucket the tail ids connect only through the bucket-min hub,
+    so a tail-tail near-dup pair whose ONLY collision was this bucket is
+    lost when the hub fails exact verification against them. Re-banding
+    the members under a permuted band layout looks attractive but is
+    unsound in exactly the degenerate case that builds fat buckets: the
+    low MinHash permutations (a_i*h+b_i with a_i*2^28 < p, i <= 3) are
+    MONOTONE in the shingle hash, so every document sharing its
+    minimum-hash shingle collides in those bands under ANY band
+    regrouping — the re-banded bucket is the same fat bucket. A larger
+    flat budget is luck-free: every pair among the first ``rescue_cap``
+    distinct sets is probed and exact-verified, components up to
+    ``rescue_cap`` are restored unconditionally, and past it the star cap
+    degrades gracefully (documented residual — raise ``rescue_cap`` or
+    run ``exact_dedup`` upstream).
+
+    Bounded: touches only capped buckets (``capped_bucket_stats``'s
+    count), O(rescue_cap^2 + |bucket|) structs per such bucket — opt-in
+    precisely because a corpus with zero capped buckets pays one extra
+    (empty) aggregation for nothing. Candidates feed the SAME exact
+    verification as first-pass candidates, so false collisions cost only
+    the probe."""
+    fat = (
+        bands.groupBy(bucket_col)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > cap)
+    )
+    return _pairs_from_ids(fat, rescue_cap)
+
+
 def capped_bucket_stats(
     bands: DataFrame, bucket_col: str = "bkt", cap: int = LSH_BUCKET_CAP
 ) -> DataFrame:
@@ -489,8 +534,20 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket_cap: int = LSH_BUCKET_CAP,
+    rescue_capped: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified — the scale path.
+
+    ``rescue_capped=True`` (VERDICT r6 #8) adds the bounded second pass of
+    ``_rescue_capped_candidates`` over over-cap buckets — deterministic
+    re-expansion with a larger budget (full pairs to ``RESCUE_BUCKET_CAP``,
+    star beyond), so a tail-tail near-dup pair the star cap would have
+    dropped reconnects unconditionally for buckets up to that budget.
+    Off by default: a corpus whose ``capped_bucket_stats`` shows zero
+    capped buckets (every driver fixture; any corpus behind ``exact_dedup``)
+    gets nothing from it, and leaving it off keeps the operator's plan
+    byte-stable for the oracle. Flip it on when the stats witness
+    (``dedup_minhash_bucket_stats``) reports heterogeneous cap hits.
 
     One doc-local Arrow pass computes each doc's shingle set and MinHash
     signature (``_doc_sig_sets`` — the exploded shingle frame never exists
@@ -544,7 +601,10 @@ def minhash_lsh_pairs(
     # DuckDB's ROUND.
     reps = groups.select(F.element_at("ids", 1).alias("doc_id"), "shs", "bkt")
     bands = reps.select("doc_id", F.explode("bkt").alias("bkt"))
-    cand = _bucket_pairs(bands, "bkt", "doc_id", bucket_cap).distinct()
+    cand = _bucket_pairs(bands, "bkt", "doc_id", bucket_cap)
+    if rescue_capped:
+        cand = cand.unionByName(_rescue_capped_candidates(bands, bucket_cap))
+    cand = cand.distinct()
     # distinct: a true near-dup pair collides in many bands
     pairs = (
         cand.join(reps.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
@@ -745,12 +805,26 @@ def minhash_lsh_pairs_banded(
     through the band join and are exact. Under the cap the union of
     per-batch emissions equals the full-corpus operator; an over-cap
     flood emits the per-batch capped set (slightly more than the
-    batch operator's globally-capped set — components identical)."""
-    ngroups = (
-        new_base.groupBy("shs")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"), F.first("bkt").alias("bkt"))
-        .localCheckpoint(eager=True)
-    )
+    batch operator's globally-capped set — components identical).
+
+    r7 (VERDICT r5 #5, store-side collapse): BOTH sides may arrive
+    pre-grouped. A ``new_base`` carrying an ``ids`` column is taken as the
+    already-collapsed group frame (one row per distinct set, members in
+    ``ids`` — the streaming sink computes it once and also stores it);
+    an ``idx_sets`` carrying ``ids`` means the INDEX stores one rep per
+    distinct set per ingestion batch, and verified rep-level pairs expand
+    through the index group's member list too (``id_a != id_b`` guards
+    the self pair in the degenerate replay-plus-lost-marker case). Without
+    ``ids`` each index row is its own singleton group — the pre-r7 flat
+    layout, still used by ``minhash_lsh_pairs_incremental``."""
+    if "ids" in new_base.columns:
+        ngroups = new_base.select("shs", "ids", "bkt")
+    else:
+        ngroups = (
+            new_base.groupBy("shs")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"), F.first("bkt").alias("bkt"))
+            .localCheckpoint(eager=True)
+        )
     # (a) within-batch identical sets: Jaccard exactly 1.0, capped
     intra_eq = _pairs_from_ids(
         ngroups.filter((F.size("ids") > 1) & (F.size("shs") > 0)), bucket_cap
@@ -775,17 +849,39 @@ def minhash_lsh_pairs_banded(
         .filter(F.col("jaccard") >= threshold)
         .select("rep", "idx_id", "jaccard")
     )
-    out_x = (
-        rep_x.join(
-            ngroups.select(F.element_at("ids", 1).alias("rep"), "ids"), "rep"
+    if "ids" in idx_sets.columns:
+        # store-side groups: expand through BOTH member lists
+        out_x = (
+            rep_x.join(
+                ngroups.select(F.element_at("ids", 1).alias("rep"), "ids"), "rep"
+            )
+            .join(
+                idx_sets.select(
+                    F.col("doc_id").alias("idx_id"), F.col("ids").alias("idx_ids")
+                ),
+                "idx_id",
+            )
+            .select(F.explode("ids").alias("m"), "idx_ids", "jaccard")
+            .select("m", F.explode("idx_ids").alias("im"), "jaccard")
+            .filter(F.col("m") != F.col("im"))
+            .select(
+                F.least("m", "im").alias("id_a"),
+                F.greatest("m", "im").alias("id_b"),
+                "jaccard",
+            )
         )
-        .select(F.explode("ids").alias("m"), "idx_id", "jaccard")
-        .select(
-            F.least("m", "idx_id").alias("id_a"),
-            F.greatest("m", "idx_id").alias("id_b"),
-            "jaccard",
+    else:
+        out_x = (
+            rep_x.join(
+                ngroups.select(F.element_at("ids", 1).alias("rep"), "ids"), "rep"
+            )
+            .select(F.explode("ids").alias("m"), "idx_id", "jaccard")
+            .select(
+                F.least("m", "idx_id").alias("id_a"),
+                F.greatest("m", "idx_id").alias("id_b"),
+                "jaccard",
+            )
         )
-    )
     # (c) new-rep vs new-rep: capped in-bucket expansion over batch reps
     cand_n = _bucket_pairs(new_bands, "bkt", "doc_id", bucket_cap).distinct()
     vn = (

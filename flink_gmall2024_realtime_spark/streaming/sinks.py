@@ -164,9 +164,12 @@ def keyed_upsert_sink(spark: SparkSession, path: str, key: str, order_col: str,
     return write
 
 
-INDEX_SCHEMA = "doc_id long, sig array<bigint>, shs array<bigint>, bkt array<bigint>"
+INDEX_SCHEMA = (
+    "doc_id long, sig array<bigint>, shs array<bigint>, bkt array<bigint>, "
+    "ids array<bigint>"
+)
 BANDS_SCHEMA = "bkt long, idx_id long"
-SETS_SCHEMA = "doc_id long, shs array<bigint>"
+SETS_SCHEMA = "doc_id long, shs array<bigint>, ids array<bigint>"
 
 
 def _heal_store(root: str) -> None:
@@ -325,14 +328,20 @@ def lsh_dedup_sink(
     all emitted batches equals the full-corpus ``minhash_lsh_pairs`` output
     regardless of arrival order.
 
-    Duplicate floods (r5): the batch side COLLAPSES identical shingle
-    sets before banding (``minhash_lsh_pairs_banded``), so a
-    boilerplate-heavy batch joins the index once per distinct set, not
-    once per copy — join volume is bounded by (index collisions x bands)
-    and true output. The index side still stores one band row per
-    indexed COPY, so a flood already in the store costs O(|index dups| x
-    bands) join rows per colliding batch set — linear, but ``exact_dedup``
-    upstream keeps the store itself lean; monitor with
+    Duplicate floods (r5 batch side + r7 store side, VERDICT r5 #5): the
+    batch COLLAPSES identical shingle sets before banding
+    (``minhash_lsh_pairs_banded``), so a boilerplate-heavy batch joins the
+    index once per distinct set, not once per copy — and the STORE now
+    keeps one representative row per distinct set per ingestion batch
+    (member doc_ids in the ``ids`` column of the docs store), so a flood
+    already resident costs ONE band row per band per batch it arrived in,
+    never one per copy: the candidate join volume for a colliding set is
+    O(batches x bands), member expansion happens only after exact
+    verification and emits true pairs. Cross-batch copies of the same set
+    remain separate store rows (one per batch — ``compact_lsh_index``
+    folds directories but never remaps representatives, because a rep
+    remap would need an atomic two-store swap); the bound is the batch
+    count, not the duplication factor. Monitor with
     ``dedup.capped_bucket_stats`` over the index bands."""
     from ..operators import dedup
 
@@ -351,13 +360,24 @@ def lsh_dedup_sink(
             return
         _heal_store(bands_root)
         _heal_store(docs_root)
-        sig = dedup.minhash_index(batch, text_col=text_col, id_col=id_col).localCheckpoint(
-            eager=True
+        sig = dedup.minhash_index(batch, text_col=text_col, id_col=id_col)
+        # r7 store-side collapse: one row per distinct shingle set, members
+        # in ids (sorted; rep = min id). sig/bkt are pure functions of the
+        # set, so first() is deterministic within a group.
+        groups = (
+            sig.groupBy("shs")
+            .agg(
+                F.sort_array(F.collect_list("doc_id")).alias("ids"),
+                F.first("sig").alias("sig"),
+                F.first("bkt").alias("bkt"),
+            )
+            .select(F.element_at("ids", 1).alias("doc_id"), "sig", "shs", "bkt", "ids")
+            .localCheckpoint(eager=True)
         )
         if not _committed(pairs_path, batch_id):
             pvals = [
                 r["p"]
-                for r in sig.select(F.explode("bkt").alias("bkt"))
+                for r in groups.select(F.explode("bkt").alias("bkt"))
                 .select(F.pmod("bkt", F.lit(P)).alias("p"))
                 .distinct()
                 .collect()
@@ -369,7 +389,7 @@ def lsh_dedup_sink(
             # two-phase: candidates first (cheap), then prune the docs read
             # to the partitions holding candidate ids before verification.
             pairs = _banded_pairs_with_pruned_sets(
-                spark, dedup, sig, idx_bands, docs_root, Q, threshold
+                spark, dedup, groups, idx_bands, docs_root, Q, threshold
             )
             pairs.write.mode("overwrite").parquet(
                 os.path.join(pairs_data, f"batch={batch_id}")
@@ -377,14 +397,14 @@ def lsh_dedup_sink(
             _mark_committed(pairs_path, batch_id)
         if not _committed(index_path, batch_id):
             (
-                sig.select(F.explode("bkt").alias("bkt"), F.col("doc_id").alias("idx_id"))
+                groups.select(F.explode("bkt").alias("bkt"), F.col("doc_id").alias("idx_id"))
                 .withColumn("p", F.pmod("bkt", F.lit(P)))
                 .write.mode("overwrite")
                 .partitionBy("p")
                 .parquet(os.path.join(bands_root, f"batch={batch_id}"))
             )
             (
-                sig.withColumn("q", F.pmod(F.xxhash64("doc_id"), F.lit(Q)))
+                groups.withColumn("q", F.pmod(F.xxhash64("doc_id"), F.lit(Q)))
                 .write.mode("overwrite")
                 .partitionBy("q")
                 .parquet(os.path.join(docs_root, f"batch={batch_id}"))
@@ -405,10 +425,15 @@ def _banded_pairs_with_pruned_sets(
     (latest text wins) — normally the pairs-before-index commit order keeps
     the store disjoint from the batch, but a replay that lost its markers
     after the index write would otherwise see the batch twice and emit
-    every in-batch pair twice."""
-    idx_bands = idx_bands.join(
-        sig.select(F.col("doc_id").alias("idx_id")), "idx_id", "left_anti"
+    every in-batch pair twice. ``sig`` may arrive pre-grouped (r7: an
+    ``ids`` member column); the anti-join then covers every member id —
+    a stored rep is always a member of the batch that stored it."""
+    batch_ids = (
+        sig.select(F.explode("ids").alias("idx_id"))
+        if "ids" in sig.columns
+        else sig.select(F.col("doc_id").alias("idx_id"))
     )
+    idx_bands = idx_bands.join(batch_ids, "idx_id", "left_anti")
     new_bands = sig.select("doc_id", F.explode("bkt").alias("bkt"))
     cand_idx_ids = (
         new_bands.join(idx_bands, "bkt")

@@ -561,9 +561,16 @@ def test_lsh_dedup_sink_streaming_equals_batch(spark, sf_dir, tmp_path):
         for r in dedup.minhash_lsh_pairs(docs).collect()
     }
     assert got == want and len(want) > 0
+    # r7 store-side collapse: the docs store holds one rep row per distinct
+    # shingle set per batch; every document appears exactly once across the
+    # member lists (docs with <3 tokens produce no index row by contract)
     indexed = spark.read.parquet(os.path.join(index_path, "docs"))
-    assert indexed.count() == docs.count()
-    assert indexed.select("doc_id").distinct().count() == docs.count()
+    members = indexed.select(F.explode("ids").alias("doc_id"))
+    n_indexable = dedup.minhash_index(docs).count()
+    assert members.count() == n_indexable
+    assert members.distinct().count() == n_indexable
+    # reps are members of their own group
+    assert indexed.filter(~F.array_contains("ids", F.col("doc_id"))).count() == 0
 
 
 def test_lsh_dedup_sink_prunes_index_scan_to_colliding_partitions(spark, sf_dir, tmp_path):
@@ -639,8 +646,11 @@ def test_lsh_dedup_sink_crash_between_write_and_marker_is_idempotent(spark, sf_d
     )
     assert pairs.count() == pairs.distinct().count()  # no duplicated pairs
     indexed = spark.read.parquet(os.path.join(index_path, "docs"))
-    assert indexed.count() == docs.count()  # no doubly-inserted index rows
+    members = indexed.select(F.explode("ids").alias("doc_id"))
+    assert members.count() == members.distinct().count()  # no double inserts
     from flink_gmall2024_realtime_spark.operators import dedup
+
+    assert members.count() == dedup.minhash_index(docs).count()
 
     want = {
         (r["id_a"], r["id_b"], r["jaccard"])
@@ -768,7 +778,62 @@ def test_lsh_dedup_sink_restart_exactly_once(spark, sf_dir, tmp_path):
     }
     assert got == want
     indexed = spark.read.parquet(os.path.join(index_path, "docs"))
-    assert indexed.count() == docs.count()
+    assert indexed.select(F.explode("ids")).count() == dedup.minhash_index(docs).count()
+
+
+def test_lsh_dedup_sink_flood_in_store_is_rep_collapsed(spark, tmp_path):
+    """VERDICT r5 #5 (r7): a duplicate flood RESIDENT in the index costs one
+    band row per band per batch, never one per copy — and later batches
+    colliding with it still emit the exact full-corpus pair set."""
+    from flink_gmall2024_realtime_spark.operators import dedup
+
+    # under the 256 star cap so the union is EXACTLY the batch operator's
+    # output (an over-cap flood emits the documented per-batch capped
+    # superset — components identical); the store-collapse assertion below
+    # is cap-independent
+    n_flood = 200
+    flood_text = "spam boilerplate page about cheap watches and replica goods"
+    uniq = [
+        (1000 + i, f"document number {i} concerning unrelated subject matter {i * 7}")
+        for i in range(20)
+    ]
+    batch0 = spark.createDataFrame(
+        [(i, flood_text) for i in range(n_flood)] + uniq, "doc_id long, text string"
+    )
+    # batch 1: one more copy of the flood text + a near-dup of it
+    batch1 = spark.createDataFrame(
+        [
+            (5000, flood_text),
+            (5001, "spam boilerplate page about cheap watches and replica handbags"),
+            (5002, "completely unrelated fresh document about gardening tips"),
+        ],
+        "doc_id long, text string",
+    )
+    index_path = os.path.join(str(tmp_path), "idx")
+    pairs_path = os.path.join(str(tmp_path), "prs")
+    write = sinks.lsh_dedup_sink(spark, index_path, pairs_path)
+    write(batch0, 0)
+    # store-side collapse: batch 0's band store holds one row per band per
+    # DISTINCT set (21 sets x 32 bands), not per copy (319 x 32)
+    bands0 = spark.read.schema(sinks.BANDS_SCHEMA).parquet(
+        os.path.join(index_path, "bands", "batch=0", "p=*")
+    )
+    n_sets = 21  # flood collapses to 1 + 20 unique docs
+    assert bands0.count() == n_sets * 32
+    assert bands0.select("idx_id").distinct().count() == n_sets
+    write(batch1, 1)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.read.parquet(os.path.join(pairs_path, "data")).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(batch0.unionByName(batch1)).collect()
+    }
+    assert got == want and len(want) > 0
+    # the flood pairs themselves are present (all-pairs within the flood,
+    # subject to the same rep-expansion cap as the batch operator)
+    assert any(a < n_flood and b == 5000 for a, b, _ in got)
 
 
 def test_pq_index_sink_streaming_equals_batch(spark, sf_dir, tmp_path):
