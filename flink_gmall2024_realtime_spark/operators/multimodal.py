@@ -559,6 +559,170 @@ def jpeg_meta(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, schema=JPEG_META_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# MP4 / ISO-BMFF (ISO 14496-12): container-metadata parse — the video
+# curation gate. Frame decode (H.264/H.265) stays behind the decode_media
+# seam, but duration / track layout / display dimensions need only the
+# public box structure: length-prefixed boxes, moov/trak/mdia nesting,
+# mvhd (movie timescale + duration), tkhd (16.16 fixed-point dimensions),
+# hdlr (handler type) — all struct-parseable.
+# --------------------------------------------------------------------------
+
+
+def synth_mp4(seed: int) -> bytes:
+    """Deterministic, structurally valid ISO-BMFF container: ftyp + moov
+    (mvhd + video trak [+ audio trak when seed%3 != 0]) + mdat filler.
+    mvhd/tkhd alternate version 0/1 by seed parity (32- vs 64-bit times),
+    box order inside moov varies (a decoy ``udta`` box precedes mvhd when
+    seed%5 == 0) so offsets cannot be hardcoded. Width/height/duration/
+    timescale are seed arithmetic the catalog oracle reproduces."""
+    w, h = seed % 1920 + 16, seed % 1080 + 16
+    timescale = 600
+    duration = seed % 90000 + 1  # in timescale units
+    has_audio = seed % 3 != 0
+    v = seed % 2  # mvhd/tkhd version
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    def full(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+        return box(btype, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
+
+    t = "QQIQ" if v else "IIII"  # ctime, mtime, timescale, duration
+    mvhd = full(
+        b"mvhd", v, 0,
+        struct.pack(">" + t, 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 3),  # next_track_id
+    )
+
+    def trak(track_id: int, handler: bytes, tw: int, th: int) -> bytes:
+        tkhd = full(
+            b"tkhd", v, 7,
+            struct.pack(">" + ("QQI4xQ" if v else "III4xI"), 0, 0, track_id, duration)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0x0100 if handler == b"soun" else 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", tw << 16, th << 16),  # 16.16 fixed point
+        )
+        mdhd = full(
+            b"mdhd", v, 0,
+            struct.pack(">" + ("QQIQ" if v else "IIII"), 0, 0, timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = full(b"hdlr", 0, 0, b"\x00" * 4 + handler + b"\x00" * 12 + b"x\x00")
+        return box(b"trak", tkhd + box(b"mdia", mdhd + hdlr))
+
+    traks = trak(1, b"vide", w, h)
+    if has_audio:
+        traks += trak(2, b"soun", 0, 0)
+    udta = box(b"udta", b"synthetic fixture %d" % seed)
+    moov_body = (udta + mvhd if seed % 5 == 0 else mvhd + udta) + traks
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = box(b"mdat", bytes((seed + i) % 251 for i in range(64)))
+    return ftyp + box(b"moov", moov_body) + mdat
+
+
+MP4_CONTAINERS = frozenset({b"moov", b"trak", b"mdia"})
+
+
+def parse_mp4_meta(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Header-only ISO-BMFF parse — no sample decode: walks the box tree
+    and returns (duration_ms, timescale, n_tracks, width, height,
+    has_audio). Handles 64-bit largesize boxes and mvhd/tkhd versions 0
+    and 1; width/height come from the video track's tkhd 16.16 fixed
+    point. Raises on a stream without ftyp/moov."""
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+    duration_ms = timescale = None
+    n_tracks = 0
+    width = height = 0
+    has_audio = 0
+    in_video_trak = [False]
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        nonlocal duration_ms, timescale, n_tracks, width, height, has_audio
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack_from(">I", payload, i)
+            btype = payload[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", payload, i + 8)
+                body = i + 16
+            elif size == 0:  # box extends to end of file
+                size = hi - i
+            if size < 8 or i + size > hi:
+                raise ValueError(f"malformed box {btype!r} at {i}")
+            if btype == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, body + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, body + 4 + 8)
+                timescale, duration_ms = ts, dur * 1000 // ts
+            elif btype == b"trak":
+                n_tracks += 1
+                walk(body, i + size, depth + 1)
+            elif btype == b"hdlr":
+                handler = payload[body + 8 : body + 12]
+                if handler == b"soun":
+                    has_audio = 1
+            elif btype == b"tkhd":
+                ver = payload[body]
+                off = body + 4 + (8 + 8 + 4 + 4 + 8 if ver == 1 else 4 + 4 + 4 + 4 + 4)
+                off += 8 + 8 + 36  # reserved + layer/alt/vol/rsvd + matrix
+                tw, th = struct.unpack_from(">II", payload, off)
+                if tw and th:  # audio tracks carry zero dimensions
+                    width, height = tw >> 16, th >> 16
+            elif btype in MP4_CONTAINERS:
+                walk(body, i + size, depth + 1)
+            i += size
+
+    walk(0, len(payload))
+    if timescale is None:
+        raise ValueError("no moov/mvhd box")
+    return duration_ms, timescale, n_tracks, width, height, has_audio
+
+
+MP4_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("timescale", IntegerType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("has_audio", IntegerType()),
+    ]
+)
+
+
+def mp4_meta(media: DataFrame) -> DataFrame:
+    """MP4 container metadata over an Arrow-batched binary column — the
+    video curation gate (duration, dimensions, track layout) without
+    touching a single sample; payload dropped before any shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                dur, ts, nt, w, h, au = parse_mp4_meta(bytes(p))
+                rows.append((mid, dur, ts, nt, w, h, au))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "duration_ms", "timescale",
+                    "n_tracks", "width", "height", "has_audio",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=MP4_META_SCHEMA)
+
+
 def _synth_udf(fn):
     """Arrow-batched column of synthesized payloads from an integer seed."""
 
@@ -577,7 +741,13 @@ def _synth_udf(fn):
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
-    fn = {"bmp": synth_bmp, "wav": synth_wav, "png": synth_png, "jpeg": synth_jpeg}[kind]
+    fn = {
+        "bmp": synth_bmp,
+        "wav": synth_wav,
+        "png": synth_png,
+        "jpeg": synth_jpeg,
+        "mp4": synth_mp4,
+    }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"
     )

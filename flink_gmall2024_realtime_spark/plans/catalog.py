@@ -1325,6 +1325,34 @@ def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       ((doc_id % 90000 + 1) * 1000 // 600)::BIGINT AS duration_ms,
+       600::INT AS timescale,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END)::INT AS n_tracks,
+       (doc_id % 1920 + 16)::INT AS width,
+       (doc_id % 1080 + 16)::INT AS height,
+       (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)::INT AS has_audio
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF container-metadata gate (r7): synthesize a valid box
+    tree per doc (ftyp + moov with mvhd/trak/tkhd/mdhd/hdlr — versions 0/1
+    alternate, box order varies, decoy udta boxes), parse it back with the
+    independent box walker: duration, timescale, track count, 16.16
+    fixed-point display dimensions, audio presence — the video curation
+    filter that needs no sample decode (H.264 stays behind the
+    decode_media vendor seam). Oracle = seed arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "mp4")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "video/mp4")
+    return multimodal.mp4_meta(media)
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
 SELECT doc_id AS media_id,

@@ -1590,3 +1590,46 @@ def test_rescue_capped_candidates_stay_bounded(spark):
     # under-cap buckets are untouched (empty output)
     small = spark.createDataFrame([(i, 7) for i in range(3)], "doc_id long, bkt long")
     assert dedup._rescue_capped_candidates(small, cap, rescue_cap=rescue_cap).count() == 0
+
+
+def test_mp4_meta_golden_and_synth_roundtrip():
+    """ISO-BMFF box walker against handcrafted golden bytes (largesize
+    mdat, version-1 mvhd) and the synth round trip over both versions /
+    track layouts / box orders."""
+    import struct
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_mp4_meta,
+        synth_mp4,
+    )
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    # golden: ftyp + moov(mvhd v1: timescale 1000, duration 2500 -> 2500ms)
+    # + largesize mdat
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 1) + struct.pack(">QQIQ", 0, 0, 1000, 2500) + b"\x00" * 80,
+    )
+    payload = (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+        + box(b"moov", mvhd)
+        + struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 24) + b"\x00" * 8
+    )
+    dur, ts, nt, w, h, au = parse_mp4_meta(payload)
+    assert (dur, ts, nt) == (2500, 1000, 0)
+
+    for seed in [0, 1, 2, 3, 4, 5, 6, 9, 10, 15, 30, 1080, 4241]:
+        dur, ts, nt, w, h, au = parse_mp4_meta(synth_mp4(seed))
+        assert dur == (seed % 90000 + 1) * 1000 // 600
+        assert ts == 600
+        assert (nt, au) == ((1, 0) if seed % 3 == 0 else (2, 1))
+        assert (w, h) == (seed % 1920 + 16, seed % 1080 + 16)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no ftyp"):
+        parse_mp4_meta(b"\x00\x00\x00\x08free")
+    with _pytest.raises(ValueError, match="no moov"):
+        parse_mp4_meta(box(b"ftyp", b"isom") + box(b"free", b""))
