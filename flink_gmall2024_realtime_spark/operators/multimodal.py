@@ -6,9 +6,14 @@ metadata, processed in Arrow-batched Pandas UDFs via ``mapInPandas``.
 Real codecs, zero vendored libraries: uncompressed BMP (BITMAPINFOHEADER,
 24bpp) and PCM WAV (RIFF) are public, fixed-layout formats decodable with
 ``struct``/``numpy`` alone — header parse, row-padding strip, RIFF chunk
-walk. Compressed formats (JPEG/MP3/H.264) stay behind an explicit
-``NotImplementedError``: decoding those requires vendoring codec libraries
-onto executors, which this container cannot do — the dispatch seam in
+walk. Compressed formats split in two (r7): their HEADER metadata — the
+columns curation filters actually gate on — parses for real with zero
+dependencies (``parse_jpeg_meta``: SOF dimensions + EXIF orientation;
+``parse_mp4_meta``: ISO-BMFF box tree, duration/tracks/dimensions;
+``parse_mp3_meta``: frame headers, bitrate/rate/channels/duration), while
+PIXEL/SAMPLE decode (DCT, huffman, IMDCT, H.264) stays behind an explicit
+``NotImplementedError``: that requires vendoring codec libraries onto
+executors, which this container cannot do — the dispatch seam in
 ``decode_media`` is exactly where they plug in.
 
 Pattern: metadata extraction stays in Catalyst expressions (zero-copy,
@@ -560,6 +565,145 @@ def jpeg_meta(media: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MP3 (MPEG-1/2 audio layer III): frame-header metadata — the compressed-
+# audio curation gate. Sample decode (IMDCT/huffman) stays behind the
+# decode_media seam; version/layer/bitrate/samplerate/mode + a CBR duration
+# estimate need only the public 32-bit frame-header layout (ISO 11172-3),
+# optionally preceded by an ID3v2 tag whose syncsafe length must be skipped.
+# --------------------------------------------------------------------------
+
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def synth_mp3(seed: int) -> bytes:
+    """Deterministic valid MP3 stream: optional ID3v2 tag (seed%4 == 0,
+    syncsafe length) + CBR layer-III frames. Version (MPEG-1 vs MPEG-2),
+    bitrate index, samplerate index, channel mode and frame count are seed
+    arithmetic; frame payloads are deterministic filler with the correct
+    per-frame length (144 * bitrate / samplerate [+ padding])."""
+    v = 3 if seed % 2 else 2  # 3 = MPEG-1, 2 = MPEG-2
+    br_idx = seed % 13 + 1
+    sr_idx = seed % 3
+    mode = seed % 4  # 0 stereo, 1 joint, 2 dual, 3 mono
+    n_frames = seed % 40 + 1
+    bitrate = (_MP3_BITRATES_V1L3 if v == 3 else _MP3_BITRATES_V2L3)[br_idx] * 1000
+    rate = _MP3_RATES[v][sr_idx]
+    spf = 1152 if v == 3 else 576  # samples per layer-III frame
+    out = []
+    if seed % 4 == 0:
+        tag = b"synthetic id3 payload %d" % seed
+        n = len(tag)
+        syncsafe = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+        out.append(b"ID3" + bytes([4, 0, 0]) + syncsafe + tag)
+    for f in range(n_frames):
+        pad = (seed + f) % 2
+        hdr = (
+            (0x7FF << 21)
+            | (v << 19)
+            | (1 << 17)  # layer III
+            | (1 << 16)  # no CRC
+            | (br_idx << 12)
+            | (sr_idx << 10)
+            | (pad << 9)
+            | (mode << 6)
+        )
+        flen = spf // 8 * bitrate // rate + pad
+        body = bytes((seed + f + i) % 251 for i in range(flen - 4))
+        out.append(struct.pack(">I", hdr) + body)
+    return b"".join(out)
+
+
+def parse_mp3_meta(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Frame-header MP3 parse — no sample decode: skips an ID3v2 tag
+    (syncsafe size), locates the first frame sync, decodes version /
+    bitrate / samplerate / channel mode from the 32-bit header, then walks
+    frame-to-frame by computed lengths to count frames exactly. Returns
+    (bitrate_kbps, sample_rate, channels, n_frames, duration_ms,
+    id3_bytes)."""
+    i = 0
+    id3_bytes = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        n = (
+            (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+        )
+        id3_bytes = 10 + n
+        i = id3_bytes
+    while i + 4 <= len(payload) and not (
+        payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0
+    ):
+        i += 1
+    if i + 4 > len(payload):
+        raise ValueError("no MP3 frame sync found")
+    (hdr,) = struct.unpack_from(">I", payload, i)
+    v = (hdr >> 19) & 3
+    layer = (hdr >> 17) & 3
+    if v == 1 or layer != 1:
+        raise NotImplementedError("only MPEG-1/2 layer III supported")
+    sr_idx = (hdr >> 10) & 3
+    if sr_idx == 3:
+        raise ValueError("reserved samplerate index")
+    rate = _MP3_RATES[v][sr_idx]
+    mode0 = (hdr >> 6) & 3
+    channels = 1 if mode0 == 3 else 2
+    spf = 1152 if v == 3 else 576
+    brs = _MP3_BITRATES_V1L3 if v == 3 else _MP3_BITRATES_V2L3
+    first_br = brs[(hdr >> 12) & 0xF] * 1000
+    n_frames = 0
+    samples = 0
+    while i + 4 <= len(payload):
+        if not (payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0):
+            break
+        (h,) = struct.unpack_from(">I", payload, i)
+        br = brs[(h >> 12) & 0xF] * 1000
+        pad = (h >> 9) & 1
+        if br == 0:
+            raise NotImplementedError("free-format bitrate not supported")
+        flen = spf // 8 * br // rate + pad
+        n_frames += 1
+        samples += spf
+        i += flen
+    duration_ms = samples * 1000 // rate
+    return first_br // 1000, rate, channels, n_frames, duration_ms, id3_bytes
+
+
+MP3_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("bitrate_kbps", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("id3_bytes", IntegerType()),
+    ]
+)
+
+
+def mp3_meta(media: DataFrame) -> DataFrame:
+    """MP3 frame-header metadata over an Arrow-batched binary column — the
+    compressed-audio curation gate (bitrate, samplerate, channels, exact
+    frame count and duration) without decoding a sample."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                br, sr, ch, nf, dur, id3 = parse_mp3_meta(bytes(p))
+                rows.append((mid, br, sr, ch, nf, dur, id3))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "bitrate_kbps", "sample_rate", "channels",
+                    "n_frames", "duration_ms", "id3_bytes",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=MP3_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # MP4 / ISO-BMFF (ISO 14496-12): container-metadata parse — the video
 # curation gate. Frame decode (H.264/H.265) stays behind the decode_media
 # seam, but duration / track layout / display dimensions need only the
@@ -747,6 +891,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "png": synth_png,
         "jpeg": synth_jpeg,
         "mp4": synth_mp4,
+        "mp3": synth_mp3,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

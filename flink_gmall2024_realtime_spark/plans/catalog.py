@@ -1325,6 +1325,49 @@ def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp3_meta",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 2 = 1 AS v1,
+         (doc_id % 13 + 2)::INT AS bi,
+         (doc_id % 3 + 1)::INT AS si,
+         (doc_id % 40 + 1)::INT AS nf
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       (CASE WHEN v1 THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bi]
+             ELSE ([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160])[bi] END)::INT
+         AS bitrate_kbps,
+       (CASE WHEN v1 THEN ([44100,48000,32000])[si]
+             ELSE ([22050,24000,16000])[si] END)::INT AS sample_rate,
+       (CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END)::INT AS channels,
+       nf AS n_frames,
+       (nf * (CASE WHEN v1 THEN 1152 ELSE 576 END) * 1000
+          // (CASE WHEN v1 THEN ([44100,48000,32000])[si]
+                   ELSE ([22050,24000,16000])[si] END))::BIGINT AS duration_ms,
+       (CASE WHEN doc_id % 4 = 0
+             THEN 10 + length('synthetic id3 payload ' || doc_id::VARCHAR)
+             ELSE 0 END)::INT AS id3_bytes
+FROM p
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-header gate (r7): synthesize a valid CBR layer-III stream
+    per doc (MPEG-1/2 alternating, optional ID3v2 tag with syncsafe
+    length, per-frame padding bits), parse it back with the independent
+    frame walker: bitrate / samplerate / channels / exact frame count /
+    duration — the compressed-audio curation filter, no sample decode
+    (huffman/IMDCT stays behind the decode_media vendor seam). Oracle =
+    seed arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "mp3")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "audio/mpeg")
+    return multimodal.mp3_meta(media)
+
+
+@register(
     "multimodal_mp4_meta",
     oracle="""
 SELECT doc_id AS media_id,

@@ -1633,3 +1633,36 @@ def test_mp4_meta_golden_and_synth_roundtrip():
         parse_mp4_meta(b"\x00\x00\x00\x08free")
     with _pytest.raises(ValueError, match="no moov"):
         parse_mp4_meta(box(b"ftyp", b"isom") + box(b"free", b""))
+
+
+def test_mp3_meta_golden_and_synth_roundtrip():
+    """MP3 frame walker against handcrafted golden bytes (single MPEG-1
+    layer-III 128kbps 44.1kHz stereo frame) and the synth round trip over
+    versions / bitrates / ID3v2-tag and padding variants."""
+    import struct
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_mp3_meta,
+        synth_mp3,
+    )
+
+    hdr = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (9 << 12) | (0 << 10)
+    flen = 144 * 128000 // 44100
+    golden = struct.pack(">I", hdr) + bytes(flen - 4)
+    assert parse_mp3_meta(golden) == (128, 44100, 2, 1, 1152 * 1000 // 44100, 0)
+
+    for seed in [0, 1, 2, 3, 4, 5, 6, 7, 8, 11, 12, 25, 26, 100, 4241]:
+        br, sr, ch, nf, dur, id3 = parse_mp3_meta(synth_mp3(seed))
+        v1 = seed % 2 == 1
+        brs = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320) if v1 \
+            else (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+        rates = (44100, 48000, 32000) if v1 else (22050, 24000, 16000)
+        assert (br, sr, nf) == (brs[seed % 13 + 1], rates[seed % 3], seed % 40 + 1)
+        assert ch == (1 if seed % 4 == 3 else 2)
+        assert dur == nf * (1152 if v1 else 576) * 1000 // sr
+        assert (id3 > 0) == (seed % 4 == 0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no MP3 frame sync"):
+        parse_mp3_meta(b"\x00" * 64)
