@@ -184,6 +184,32 @@ def _heal_store(root: str) -> None:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def _heal_index_swap(index_path: str) -> None:
+    """Finish an interrupted ``compact_lsh_index`` TWO-STORE swap: the
+    ``_swap_intent`` marker means both stage dirs were fully written and
+    the renames may have stopped anywhere — roll FORWARD so bands and docs
+    land on the same (merged) generation. Without the marker, a stray
+    stage dir is a pre-intent crash and is simply dropped (by
+    ``_heal_store``). Half-swapped stores are the reason the intent
+    protocol exists: a rep-remapping merge applied to only ONE store
+    would silently lose pairs (candidates under new reps probing a docs
+    store keyed by old reps, or vice versa)."""
+    intent = os.path.join(index_path, "_swap_intent")
+    if not os.path.isfile(intent):
+        return
+    for root in (os.path.join(index_path, "bands"), os.path.join(index_path, "docs")):
+        stage, old = root + ".stage", root + ".old"
+        if os.path.isdir(stage):
+            if os.path.isdir(root):
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(root, old)
+            os.rename(stage, root)
+        elif not os.path.isdir(root) and os.path.isdir(old):
+            os.rename(old, root)  # defensive; not reachable under the protocol
+        shutil.rmtree(old, ignore_errors=True)
+    os.remove(intent)
+
+
 def compact_lsh_index(
     spark: SparkSession,
     index_path: str,
@@ -191,33 +217,93 @@ def compact_lsh_index(
     doc_partitions: int = 64,
 ) -> None:
     """Maintenance pass for the streaming dedup index: merge the per-batch
-    ``batch=<id>`` directories into one ``batch=base`` layout per store.
+    ``batch=<id>`` directories into one ``batch=base`` layout per store,
+    RE-COLLAPSING identical shingle sets across batches (r7): groups are
+    re-grouped by set, member lists union, the representative becomes the
+    global min id, and BOTH stores are rebuilt from the merged frame — so
+    a flood that arrived over B batches costs one band row per band after
+    compaction, completing the per-batch store-side collapse.
 
     Why it exists: each micro-batch adds a directory with up to P (bands)
     and Q (docs) partition subdirs, so after B batches a pruned scan reads
     O(B) files per colliding partition and the driver-side listing walks
     O(B x |vals|) paths. Compaction folds all COMMITTED batch dirs into
     one, restoring O(1) files per partition; partition values are
-    recomputed from row content (pmod of bkt / xxhash64(doc_id)), so
-    pruning semantics are unchanged. An uncommitted batch directory (crash
-    window between data and marker) is carried over verbatim — folding it
-    into base would duplicate its rows when the replay overwrites its
-    batch dir.
+    recomputed from row content (pmod of bkt / xxhash64(rep)), so pruning
+    semantics are unchanged. An uncommitted batch directory (crash window
+    between data and marker) is carried over verbatim — folding it into
+    base would duplicate its rows when the replay overwrites its batch
+    dir.
 
+    Crash safety: the rep remap makes bands and docs INTERDEPENDENT (a
+    candidate's idx_id must exist as a docs row), so the two stores swap
+    under a ``_swap_intent`` marker written only after BOTH stage dirs are
+    complete; ``_heal_index_swap`` (run here and by every sink write
+    before anything reads the store) rolls an interrupted swap forward.
     Single-writer contract (same as the sink): run between micro-batches,
-    never concurrently with a write. Crash-safe via stage + two-rename
-    swap; ``_heal_store`` (called here and by every sink write) finishes
-    an interrupted swap."""
+    never concurrently with a write."""
     bands_root = os.path.join(index_path, "bands")
     docs_root = os.path.join(index_path, "docs")
+    _heal_index_swap(index_path)
+    _heal_store(bands_root)
+    _heal_store(docs_root)
+    if not os.path.isdir(docs_root):
+        return
     committed = set(os.listdir(os.path.join(index_path, "_commits"))) if os.path.isdir(
         os.path.join(index_path, "_commits")
     ) else set()
-    for root, schema, pcol, pexpr in (
-        (bands_root, BANDS_SCHEMA, "p", F.pmod(F.col("bkt"), F.lit(band_partitions))),
-        (docs_root, INDEX_SCHEMA, "q", F.pmod(F.xxhash64("doc_id"), F.lit(doc_partitions))),
-    ):
-        _compact_store(spark, root, schema, pcol, pexpr, committed)
+    batch_dirs = [d for d in sorted(os.listdir(docs_root)) if d.startswith("batch=")]
+    done = [
+        d for d in batch_dirs
+        if d.split("=", 1)[1] == "base" or d.split("=", 1)[1] in committed
+    ]
+    carry = [d for d in batch_dirs if d not in done]
+    if len(done) <= 1:
+        return
+    docs = spark.read.schema(INDEX_SCHEMA).parquet(
+        *[os.path.join(docs_root, d, "q=*") for d in done]
+    )
+    merged = (
+        docs.groupBy("shs")
+        .agg(
+            F.array_distinct(F.sort_array(F.flatten(F.collect_list("ids")))).alias("ids"),
+            F.first("sig").alias("sig"),
+            F.first("bkt").alias("bkt"),
+        )
+        .select(F.element_at("ids", 1).alias("doc_id"), "sig", "shs", "bkt", "ids")
+        .localCheckpoint(eager=True)
+    )
+    docs_stage, bands_stage = docs_root + ".stage", bands_root + ".stage"
+    shutil.rmtree(docs_stage, ignore_errors=True)
+    shutil.rmtree(bands_stage, ignore_errors=True)
+    (
+        merged.withColumn("q", F.pmod(F.xxhash64("doc_id"), F.lit(doc_partitions)))
+        .write.mode("overwrite")
+        .partitionBy("q")
+        .parquet(os.path.join(docs_stage, "batch=base"))
+    )
+    (
+        merged.select(F.explode("bkt").alias("bkt"), F.col("doc_id").alias("idx_id"))
+        .withColumn("p", F.pmod("bkt", F.lit(band_partitions)))
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .parquet(os.path.join(bands_stage, "batch=base"))
+    )
+    for root, stage in ((docs_root, docs_stage), (bands_root, bands_stage)):
+        for d in carry:
+            src = os.path.join(root, d)
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(stage, d))
+    intent = os.path.join(index_path, "_swap_intent")
+    with open(intent, "w") as f:
+        f.write("bands docs")
+    for root, stage in ((bands_root, bands_stage), (docs_root, docs_stage)):
+        old = root + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(root, old)
+        os.rename(stage, root)
+        shutil.rmtree(old, ignore_errors=True)
+    os.remove(intent)
 
 
 def _compact_store(spark, root: str, schema: str, pcol: str, pexpr, committed: set) -> None:
@@ -338,11 +424,12 @@ def lsh_dedup_sink(
     never one per copy: the candidate join volume for a colliding set is
     O(batches x bands), member expansion happens only after exact
     verification and emits true pairs. Cross-batch copies of the same set
-    remain separate store rows (one per batch — ``compact_lsh_index``
-    folds directories but never remaps representatives, because a rep
-    remap would need an atomic two-store swap); the bound is the batch
-    count, not the duplication factor. Monitor with
-    ``dedup.capped_bucket_stats`` over the index bands."""
+    cost one store row per batch they arrived in until the next
+    ``compact_lsh_index`` pass re-collapses them into one globally-merged
+    group (rep remap under the atomic two-store ``_swap_intent`` swap) —
+    the bound is the batch count since the last compaction, never the
+    duplication factor. Monitor with ``dedup.capped_bucket_stats`` over
+    the index bands."""
     from ..operators import dedup
 
     bands_root = os.path.join(index_path, "bands")
@@ -358,6 +445,7 @@ def lsh_dedup_sink(
     def write(batch: DataFrame, batch_id: int) -> None:
         if _committed(pairs_path, batch_id) and _committed(index_path, batch_id):
             return
+        _heal_index_swap(index_path)  # forward-complete an interrupted merge
         _heal_store(bands_root)
         _heal_store(docs_root)
         sig = dedup.minhash_index(batch, text_col=text_col, id_col=id_col)
@@ -427,7 +515,13 @@ def _banded_pairs_with_pruned_sets(
     after the index write would otherwise see the batch twice and emit
     every in-batch pair twice. ``sig`` may arrive pre-grouped (r7: an
     ``ids`` member column); the anti-join then covers every member id —
-    a stored rep is always a member of the batch that stored it."""
+    a stored rep is always a member of the batch that stored it. After a
+    cross-batch compaction merge (``compact_lsh_index``) a stored group
+    can hold members from SEVERAL batches under a rep from another one, so
+    the rep-level anti-join alone cannot see a replayed batch inside it;
+    the member lists of candidate groups are additionally pruned of batch
+    ids below (a no-op in normal operation, where store and batch are
+    disjoint by commit order)."""
     batch_ids = (
         sig.select(F.explode("ids").alias("idx_id"))
         if "ids" in sig.columns
@@ -454,6 +548,16 @@ def _banded_pairs_with_pruned_sets(
             spark.read.schema(SETS_SCHEMA).parquet(*doc_paths)
             .join(cand_idx_ids.withColumnRenamed("idx_id", "doc_id"), "doc_id", "left_semi")
         )
+        # member-level latest-text-wins (see docstring): prune batch ids out
+        # of the candidate groups' member lists; groups left empty drop out
+        # via the inner join. Bounded: O(candidate groups' members).
+        kept = (
+            idx_sets.select("doc_id", F.explode("ids").alias("m"))
+            .join(batch_ids.withColumnRenamed("idx_id", "m"), "m", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("m")).alias("ids"))
+        )
+        idx_sets = idx_sets.drop("ids").join(kept, "doc_id")
     else:
         idx_sets = spark.createDataFrame([], SETS_SCHEMA)
     return dedup.minhash_lsh_pairs_banded(sig, idx_bands, idx_sets, threshold=threshold)

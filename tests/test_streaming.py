@@ -990,3 +990,90 @@ def test_cells_index_compaction_preserves_pairs_and_prunes(spark, sf_dir, tmp_pa
     os.rename(cells_root, cells_root + ".old")
     sinks._heal_store(cells_root)
     assert os.path.isdir(cells_root) and not os.path.isdir(cells_root + ".old")
+
+
+def test_compact_lsh_index_merges_groups_across_batches(spark, tmp_path):
+    """r7 compaction re-collapse: a flood that arrived over two batches
+    holds two rep rows pre-compaction and ONE merged group (global-min
+    rep, unioned member list, one band row per band) after — and a
+    subsequent colliding batch still emits the exact full-corpus pairs."""
+    from flink_gmall2024_realtime_spark.operators import dedup
+
+    flood_text = "spam boilerplate page about cheap watches and replica goods"
+    b0 = spark.createDataFrame(
+        [(i, flood_text) for i in range(40)]
+        + [(900, "unrelated document about alpine hiking routes and gear")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(100 + i, flood_text) for i in range(40)]
+        + [(901, "unrelated document about deep sea fishing techniques")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(5000, flood_text), (5001, "fresh unrelated content about pottery")],
+        "doc_id long, text string",
+    )
+    index_path = os.path.join(str(tmp_path), "idx")
+    pairs_path = os.path.join(str(tmp_path), "prs")
+    write = sinks.lsh_dedup_sink(spark, index_path, pairs_path)
+    write(b0, 0)
+    write(b1, 1)
+    docs_pre = spark.read.schema(sinks.INDEX_SCHEMA).parquet(
+        os.path.join(index_path, "docs", "batch=*", "q=*")
+    )
+    assert docs_pre.count() == 4  # flood rep per batch + 2 uniques
+    sinks.compact_lsh_index(spark, index_path)
+    docs_post = spark.read.schema(sinks.INDEX_SCHEMA).parquet(
+        os.path.join(index_path, "docs", "batch=*", "q=*")
+    )
+    assert docs_post.count() == 3  # flood merged to ONE group
+    flood_row = docs_post.filter(F.size("ids") > 1).collect()
+    assert len(flood_row) == 1
+    assert flood_row[0]["doc_id"] == 0 and len(flood_row[0]["ids"]) == 80
+    bands_post = spark.read.schema(sinks.BANDS_SCHEMA).parquet(
+        os.path.join(index_path, "bands", "batch=*", "p=*")
+    )
+    assert bands_post.count() == 3 * 32
+    write(b2, 2)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.read.parquet(os.path.join(pairs_path, "data")).collect()
+    }
+    allb = b0.unionByName(b1).unionByName(b2)
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(allb).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_heal_index_swap_rolls_forward(tmp_path):
+    """Crash between the two store renames leaves bands on the merged
+    generation and docs on the old one — _heal_index_swap must roll BOTH
+    forward (stage sentinels win) and remove the intent; without an
+    intent, stray stage dirs are ignored (pre-intent crash)."""
+    idx = str(tmp_path / "idx")
+    for d, sentinel in (
+        ("bands", "old"), ("docs", "old"),
+        ("bands.stage", "new"), ("docs.stage", "new"),
+    ):
+        os.makedirs(os.path.join(idx, d))
+        with open(os.path.join(idx, d, "gen"), "w") as f:
+            f.write(sentinel)
+    # simulate: intent written, bands swap completed, docs swap not started
+    with open(os.path.join(idx, "_swap_intent"), "w") as f:
+        f.write("bands docs")
+    os.rename(os.path.join(idx, "bands"), os.path.join(idx, "bands.old"))
+    os.rename(os.path.join(idx, "bands.stage"), os.path.join(idx, "bands"))
+    sinks._heal_index_swap(idx)
+    for d in ("bands", "docs"):
+        assert open(os.path.join(idx, d, "gen")).read() == "new", d
+        assert not os.path.isdir(os.path.join(idx, d + ".stage"))
+        assert not os.path.isdir(os.path.join(idx, d + ".old"))
+    assert not os.path.isfile(os.path.join(idx, "_swap_intent"))
+    # no intent -> stage dirs are pre-intent leftovers, heal leaves them
+    os.makedirs(os.path.join(idx, "docs.stage"))
+    sinks._heal_index_swap(idx)
+    assert os.path.isdir(os.path.join(idx, "docs.stage"))
+    assert open(os.path.join(idx, "docs", "gen")).read() == "new"
