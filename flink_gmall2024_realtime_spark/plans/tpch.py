@@ -80,14 +80,30 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine states it as a per-part window ``min`` over the already-filtered
     candidate set — one shuffle on ``p_partkey``, no decorrelation round-trip,
     and the window partitions are per-part (bounded), so no skewed task at
-    scale.  ``nation``/``region`` broadcast (fixed 25/5 rows); the
-    part-filter side rides AQE."""
+    scale.  ``nation``/``region`` broadcast (fixed 25/5 rows).
+
+    r7: the part predicate semi-joins into the bridge BEFORE its
+    ``distinct`` (an optimizer cannot push a join below an aggregate on
+    its own), so the wide distinct shuffles only the qualifying parts'
+    lineitem rows (~1/|size x type| of the table) instead of all of it —
+    the result is unchanged because rows of non-qualifying parts never
+    survive the part join, and the per-part minimum only reads the part's
+    own bridge rows."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    bridge = li.select("l_partkey", "l_suppkey").distinct()
+    pq = p.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE")).select(
+        "p_partkey", "p_name"
+    )
+    bridge = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            pq.select(F.col("p_partkey").alias("l_partkey")), "l_partkey", "left_semi"
+        )
+        .distinct()
+    )
     eu = (
         s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(
@@ -96,11 +112,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    cand = (
-        p.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
-        .select("p_partkey", "p_name")
-        .join(bridge, F.col("p_partkey") == bridge["l_partkey"])
-        .join(eu, bridge["l_suppkey"] == eu["s_suppkey"])
+    cand = pq.join(bridge, pq["p_partkey"] == bridge["l_partkey"]).join(
+        eu, bridge["l_suppkey"] == eu["s_suppkey"]
     )
     w = Window.partitionBy("p_partkey")
     return (
