@@ -248,7 +248,7 @@ def codec_extras() -> dict:
 # the box-load factor and normalizes per-query walls by it — killing the
 # recurring driver-box-vs-judge-box ambiguity (r5's phantom 33 s regression,
 # r6's ~1.4x judge-box inflation).
-CALIBRATION_REF_SEC = 1.85
+CALIBRATION_REF_SEC = 1.71
 
 
 def calibration_probe(spark) -> float:
