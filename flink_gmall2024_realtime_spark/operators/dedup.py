@@ -492,6 +492,27 @@ def _doc_sig_sets(
     band_seed = (fnv_offset ^ np.arange(n_bands, dtype=np.uint64)) * fnv_prime
 
     def fn(batches):
+        # r7: shingle hashes memoized ACROSS documents within the task (the
+        # simhash pass's idiom) — boilerplate-heavy corpora re-hash the same
+        # shingles in every doc; on the self-similar driver fixture this
+        # removes most md5 calls. Bounded: cleared past 4M distinct entries
+        # (a long-running 100 TB task must not grow the dict unboundedly).
+        # Values are (h28, h60) int pairs, so the per-doc set dedups on
+        # unsalted int hashing — iteration order is content-deterministic,
+        # independent of PYTHONHASHSEED, strictly stronger than the prior
+        # hexdigest-set ordering the groupBy("shs") equality relied on.
+        hcache: dict[str, tuple[int, int]] = {}
+
+        def h_of(sgl: str) -> tuple[int, int]:
+            v = hcache.get(sgl)
+            if v is None:
+                if len(hcache) > 4_000_000:
+                    hcache.clear()
+                d = hashlib.md5(sgl.encode()).hexdigest()
+                v = (int(d[:7], 16), int(d[:15], 16))
+                hcache[sgl] = v
+            return v
+
         for pdf in batches:
             ids, sigs, sets, bkts = [], [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
@@ -499,20 +520,20 @@ def _doc_sig_sets(
                 if len(toks) < n:
                     continue
                 digests = {
-                    hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()
+                    h_of(" ".join(toks[i : i + n]))
                     for i in range(len(toks) - n + 1)
                 }
                 # one md5 per distinct shingle feeds BOTH hashes: the 28-bit
                 # permutation input (first 7 hex chars, matching the SQL
                 # oracle's md5-derived minhash) and the 60-bit verify hash
-                h = np.array([int(d[:7], 16) for d in digests], dtype=np.int64)
+                h = np.array([p[0] for p in digests], dtype=np.int64)
                 sig = ((a_co[:, None] * h[None, :] + b_co[:, None]) % MERSENNE_P).min(axis=1)
                 bk = band_seed.copy()
                 for r in range(band_rows):
                     bk = (bk ^ sig.reshape(n_bands, band_rows)[:, r].astype(np.uint64)) * fnv_prime
                 ids.append(did)
                 sigs.append(sig)
-                sets.append(np.array([int(d[:15], 16) for d in digests], dtype=np.int64))
+                sets.append(np.array([p[1] for p in digests], dtype=np.int64))
                 bkts.append(bk.view(np.int64))
             yield pd.DataFrame({"doc_id": ids, "sig": sigs, "shs": sets, "bkt": bkts})
 
