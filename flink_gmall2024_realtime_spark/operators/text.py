@@ -498,3 +498,48 @@ def bigram_lm_score(
             .alias("pred_score"),
         )
     )
+
+
+SCRIPT_RANGES = {
+    # literal BMP character ranges work identically in Java regex (Spark)
+    # and RE2 (DuckDB); avoid engine-specific \u / \x{...} escape syntax
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cjk": "[一-鿿぀-ヿ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "arabic": "[؀-ۿ]",
+    "digit": "[0-9]",
+}
+
+
+def script_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unicode-script profile — the mixed-script / wrong-script curation
+    gate (spam and mojibake detection; the complement of the n-gram
+    ``lang_id``): per document, character counts for the major script
+    ranges plus a deterministic dominant-script label (fixed-priority
+    tie-break: latin > cjk > cyrillic > arabic).
+
+    Entirely JVM-side codegen (``regexp_count`` over literal character
+    ranges — no Python, no shuffle); the same literal ranges run unchanged
+    in DuckDB's RE2, which is what makes the oracle hash-exact."""
+    d = docs.select(id_col, text_col)
+    counts = {k: F.regexp_count(F.col(text_col), F.lit(p)) for k, p in SCRIPT_RANGES.items()}
+    dominant = (
+        F.when(
+            (counts["latin"] >= counts["cjk"])
+            & (counts["latin"] >= counts["cyrillic"])
+            & (counts["latin"] >= counts["arabic"]),
+            "latin",
+        )
+        .when(
+            (counts["cjk"] >= counts["cyrillic"]) & (counts["cjk"] >= counts["arabic"]),
+            "cjk",
+        )
+        .when(counts["cyrillic"] >= counts["arabic"], "cyrillic")
+        .otherwise("arabic")
+    )
+    return d.select(
+        id_col,
+        *[c.cast("int").alias(f"{k}_ct") for k, c in counts.items()],
+        F.length(text_col).cast("int").alias("char_ct"),
+        dominant.alias("dominant_script"),
+    )

@@ -252,6 +252,53 @@ def dws_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dws_session_window_agg",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS session_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id, ts,
+         sum(session_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start_ts,
+       strftime(max(ts) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end_ts,
+       count(*) AS event_ct
+FROM sid GROUP BY user_id, session_id
+""",
+    survey_ids=("W3", "A2"),
+)
+def dws_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-NATIVE session windows (r7): the same 30-min-gap sessions as
+    ``dws_session_count``, expressed with the built-in
+    ``F.session_window(ts, gap)`` aggregate instead of the window-function
+    sessionize — one groupBy, merging windows handled by the engine
+    (SURVEY §2.8 notes the reference uses no session windows; this entry
+    pins the native operator's semantics to the declarative gap rule:
+    window.start = first event ts, window.end = last event ts + gap).
+    The oracle derives the identical sessions via the lag/gap rule."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("event_ct"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start_ts"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end_ts"),
+            "event_ct",
+        )
+    )
+
+
+@register(
     "dws_is_new_repair",
     oracle="""
 SELECT DISTINCT user_id, ts::DATE AS cur_date,
@@ -1091,6 +1138,38 @@ def dedup_simhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (pair recall reduced, components preserved) — on the driver
     fixtures it must be 0, which this entry proves every round."""
     return dedup.simhash_band_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_script_profile",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]'))::INT AS latin_ct,
+       len(regexp_extract_all(text, '[一-鿿぀-ヿ]'))::INT AS cjk_ct,
+       len(regexp_extract_all(text, '[Ѐ-ӿ]'))::INT AS cyrillic_ct,
+       len(regexp_extract_all(text, '[؀-ۿ]'))::INT AS arabic_ct,
+       len(regexp_extract_all(text, '[0-9]'))::INT AS digit_ct,
+       length(text)::INT AS char_ct,
+       CASE WHEN len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) >= len(regexp_extract_all(text, '[一-鿿぀-ヿ]'))
+             AND len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) >= len(regexp_extract_all(text, '[Ѐ-ӿ]'))
+             AND len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) >= len(regexp_extract_all(text, '[؀-ۿ]'))
+            THEN 'latin'
+            WHEN len(regexp_extract_all(text, '[一-鿿぀-ヿ]')) >= len(regexp_extract_all(text, '[Ѐ-ӿ]'))
+             AND len(regexp_extract_all(text, '[一-鿿぀-ヿ]')) >= len(regexp_extract_all(text, '[؀-ۿ]'))
+            THEN 'cjk'
+            WHEN len(regexp_extract_all(text, '[Ѐ-ӿ]')) >= len(regexp_extract_all(text, '[؀-ۿ]'))
+            THEN 'cyrillic'
+            ELSE 'arabic' END AS dominant_script
+FROM documents
+""",
+    survey_ids=("text-langid",),
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profile (r7): per-doc character counts over literal
+    BMP script ranges + deterministic dominant-script label — the
+    mixed-script/mojibake curation gate, all JVM-side ``regexp_count``
+    codegen (same literal ranges run unchanged in DuckDB's RE2)."""
+    return text.script_profile(_t(spark, sf_dir, "documents"))
 
 
 _NORM_TEXT_SQL = md5_long_sql_duckdb("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")

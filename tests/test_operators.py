@@ -1666,3 +1666,28 @@ def test_mp3_meta_golden_and_synth_roundtrip():
 
     with _pytest.raises(ValueError, match="no MP3 frame sync"):
         parse_mp3_meta(b"\x00" * 64)
+
+
+def test_script_profile_multi_script(spark):
+    """Script counting on genuinely multi-script text (the fixture corpus
+    is mostly ASCII, so the oracle pass alone doesn't exercise the CJK /
+    Cyrillic / Arabic ranges): counts per range + fixed-priority dominant
+    tie-break."""
+    rows = [
+        (1, "hello world 123"),
+        (2, "中文文本处理 with some latin"),
+        (3, "привет мир это кириллица x"),
+        (4, "مرحبا بالعالم"),
+        (5, "ab 中文"),  # tie 2-2 -> latin wins by priority
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text.script_profile(df).collect()}
+    assert got[1]["latin_ct"] == 10 and got[1]["digit_ct"] == 3
+    assert got[1]["dominant_script"] == "latin"
+    assert got[2]["cjk_ct"] == 6
+    # 'withsomelatin' = 13 latin chars > 6 cjk
+    assert got[2]["dominant_script"] == "latin"
+    assert got[3]["cyrillic_ct"] == 21 and got[3]["dominant_script"] == "cyrillic"
+    assert got[4]["arabic_ct"] == 12 and got[4]["dominant_script"] == "arabic"
+    assert got[5]["latin_ct"] == 2 and got[5]["cjk_ct"] == 2
+    assert got[5]["dominant_script"] == "latin"
