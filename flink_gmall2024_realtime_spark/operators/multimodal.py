@@ -565,6 +565,129 @@ def jpeg_meta(media: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# GIF (87a/89a): header + block-walk metadata — dimensions, palette size,
+# frame count and NETSCAPE loop count (the animated-vs-static gate). LZW
+# pixel decode stays behind the decode_media seam; the block structure
+# (length-prefixed sub-blocks) walks with struct alone.
+# --------------------------------------------------------------------------
+
+
+def synth_gif(seed: int) -> bytes:
+    """Deterministic structurally valid GIF89a: logical screen descriptor +
+    global color table (2^(seed%3+2) colors), optional NETSCAPE loop
+    extension (seed%3 == 0), seed%12+1 frames each with a graphic-control
+    extension and LZW data sub-blocks (opaque filler — the parser never
+    decodes), trailer."""
+    w, h = seed % 777 + 1, seed % 555 + 1
+    gct_bits = seed % 3 + 1  # colors = 2^(bits+1): 4/8/16
+    n_frames = seed % 12 + 1
+    out = [b"GIF89a", struct.pack("<HHBBB", w, h, 0x80 | (gct_bits << 4) | gct_bits, 0, 0)]
+    out.append(bytes((seed + i) % 251 for i in range(3 * (2 << gct_bits))))
+    if seed % 3 == 0:
+        out.append(
+            b"\x21\xff\x0bNETSCAPE2.0"
+            + bytes([3, 1])
+            + struct.pack("<H", seed % 70)
+            + b"\x00"
+        )
+    for f in range(n_frames):
+        out.append(b"\x21\xf9\x04" + bytes([0, (seed + f) % 256, (seed + f) // 256 % 256, 0]) + b"\x00")
+        fw, fh = max(1, w - f % 3), max(1, h - f % 2)
+        out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, fw, fh, 0))
+        out.append(bytes([2]))  # LZW min code size
+        data = bytes((seed + f + i) % 251 for i in range(20 + f))
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(bytes([len(chunk)]) + chunk)
+        out.append(b"\x00")
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def parse_gif_meta(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Header-only GIF parse — no LZW decode: returns (width, height,
+    n_frames, gct_colors, loop_count, animated). Walks image descriptors
+    (skipping local color tables and data sub-blocks) and extensions
+    (reading the NETSCAPE2.0 loop count, skipping everything else)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    i = 13
+    gct_colors = 0
+    if packed & 0x80:
+        gct_colors = 2 << (packed & 7)
+        i += 3 * gct_colors
+    n_frames = 0
+    loop_count = 0
+
+    def skip_subblocks(j: int) -> int:
+        while j < len(payload) and payload[j]:
+            j += 1 + payload[j]
+        return j + 1
+
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x2C:  # image descriptor
+            n_frames += 1
+            _x, _y, _fw, _fh, fpacked = struct.unpack_from("<HHHHB", payload, i + 1)
+            i += 10
+            if fpacked & 0x80:
+                i += 3 * (2 << (fpacked & 7))
+            i += 1  # LZW minimum code size
+            i = skip_subblocks(i)
+        elif b == 0x21:  # extension
+            label = payload[i + 1]
+            j = i + 2
+            if label == 0xFF and payload[j] == 11 and payload[j + 1 : j + 12] == b"NETSCAPE2.0":
+                k = j + 12
+                if payload[k] >= 3 and payload[k + 1] == 1:
+                    (loop_count,) = struct.unpack_from("<H", payload, k + 2)
+            i = skip_subblocks(j)
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x} at {i}")
+    if n_frames == 0:
+        raise ValueError("no image descriptor")
+    return w, h, n_frames, gct_colors, loop_count, 1 if n_frames > 1 else 0
+
+
+GIF_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("gct_colors", IntegerType()),
+        StructField("loop_count", IntegerType()),
+        StructField("animated", IntegerType()),
+    ]
+)
+
+
+def gif_meta(media: DataFrame) -> DataFrame:
+    """GIF metadata over an Arrow-batched binary column: dimensions,
+    palette size, frame count, loop count — the animated-vs-static
+    curation gate, no LZW decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, nf, gct, loop, anim = parse_gif_meta(bytes(p))
+                rows.append((mid, w, h, nf, gct, loop, anim))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "gct_colors", "loop_count", "animated",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=GIF_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # MP3 (MPEG-1/2 audio layer III): frame-header metadata — the compressed-
 # audio curation gate. Sample decode (IMDCT/huffman) stays behind the
 # decode_media seam; version/layer/bitrate/samplerate/mode + a CBR duration
@@ -892,6 +1015,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "jpeg": synth_jpeg,
         "mp4": synth_mp4,
         "mp3": synth_mp3,
+        "gif": synth_gif,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

@@ -1404,6 +1404,33 @@ def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 777 + 1)::INT AS width,
+       (doc_id % 555 + 1)::INT AS height,
+       (doc_id % 12 + 1)::INT AS n_frames,
+       (2 * 2 ** (doc_id % 3 + 1))::INT AS gct_colors,
+       (CASE WHEN doc_id % 3 = 0 THEN doc_id % 70 ELSE 0 END)::INT AS loop_count,
+       (CASE WHEN doc_id % 12 + 1 > 1 THEN 1 ELSE 0 END)::INT AS animated
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF metadata gate (r7): synthesize a valid GIF89a per doc (global
+    color table, optional NETSCAPE loop extension, per-frame graphic
+    control + data sub-blocks), parse it back with the independent block
+    walker: dimensions, palette size, frame count, loop count, animated
+    flag — the animated-vs-static curation filter, no LZW decode. Oracle =
+    seed arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "gif")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/gif")
+    return multimodal.gif_meta(media)
+
+
+@register(
     "multimodal_mp3_meta",
     oracle="""
 WITH p AS (

@@ -1691,3 +1691,38 @@ def test_script_profile_multi_script(spark):
     assert got[4]["arabic_ct"] == 12 and got[4]["dominant_script"] == "arabic"
     assert got[5]["latin_ct"] == 2 and got[5]["cjk_ct"] == 2
     assert got[5]["dominant_script"] == "latin"
+
+
+def test_gif_meta_golden_and_synth_roundtrip():
+    """GIF block walker against handcrafted golden bytes (87a, no GCT,
+    single frame with a local color table) and the synth round trip over
+    frame counts / palette sizes / NETSCAPE loop variants."""
+    import struct
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_gif_meta,
+        synth_gif,
+    )
+
+    golden = (
+        b"GIF87a"
+        + struct.pack("<HHBBB", 320, 200, 0, 0, 0)  # no GCT
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 320, 200, 0x81)  # LCT, 4 colors
+        + bytes(3 * 4)  # local color table
+        + bytes([3])  # LZW min code size
+        + bytes([2, 0xAA, 0xBB])  # one data sub-block
+        + b"\x00\x3b"
+    )
+    assert parse_gif_meta(golden) == (320, 200, 1, 0, 0, 0)
+
+    for seed in [0, 1, 2, 3, 4, 5, 6, 11, 12, 100, 776, 4241]:
+        w, h, nf, gct, loop, anim = parse_gif_meta(synth_gif(seed))
+        assert (w, h, nf) == (seed % 777 + 1, seed % 555 + 1, seed % 12 + 1)
+        assert gct == 2 << (seed % 3 + 1)
+        assert loop == (seed % 70 if seed % 3 == 0 else 0)
+        assert anim == (1 if nf > 1 else 0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        parse_gif_meta(b"\x89PNG1234")
