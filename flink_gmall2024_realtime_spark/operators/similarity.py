@@ -1119,3 +1119,80 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist", "rank")
     )
+
+
+def sq8_minmax(corpus: DataFrame, dim: int = 64, vec_col: str = "embedding"):
+    """Per-dimension (min, max) over the corpus — SQ8's entire "model"
+    (2*dim doubles). One ``posexplode`` + ``groupBy(dim)``: min/max are
+    algebraic, so the map side partial-aggregates to ``dim`` rows per
+    task and the shuffle carries O(dim x tasks) rows regardless of corpus
+    size; the collect is ``dim`` rows — bounded, like the k-means
+    centroid collect."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    by_d = {r["d"]: (r["mn"], r["mx"]) for r in rows}
+    mins = [by_d[d][0] for d in range(dim)]
+    maxs = [by_d[d][1] for d in range(dim)]
+    return mins, maxs
+
+
+def sq8_encode_expr(vec_col: Column, mins: list, maxs: list) -> Column:
+    """uint8 scalar-quantization codes as a codegen expression:
+    ``round(255*(x - mn_d) / (mx_d - mn_d))`` per dimension (HALF_UP in
+    both Spark and DuckDB — the determinism contract), constant dims -> 0.
+    JVM-side so the quantizer is bit-identical to the SQL oracle (a numpy
+    ``round`` would be half-even)."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    mx = F.array(*[F.lit(float(v)) for v in maxs])
+    return F.transform(
+        vec_col.cast("array<double>"),
+        lambda x, i: F.when(
+            F.element_at(mx, i + 1) == F.element_at(mn, i + 1), F.lit(0).cast("bigint")
+        ).otherwise(
+            F.round(
+                (F.lit(255.0) * (x - F.element_at(mn, i + 1)))
+                / (F.element_at(mx, i + 1) - F.element_at(mn, i + 1))
+            ).cast("bigint")
+        ),
+    )
+
+
+def sq8_reconstruct_expr(code_col: Column, mins: list, maxs: list) -> Column:
+    """De-quantize codes back to doubles: ``mn_d + (c*(mx_d - mn_d))/255``
+    — the same association order as the oracle SQL, so reconstruction is
+    bit-identical."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    mx = F.array(*[F.lit(float(v)) for v in maxs])
+    return F.transform(
+        code_col,
+        lambda c, i: F.element_at(mn, i + 1)
+        + (c.cast("double") * (F.element_at(mx, i + 1) - F.element_at(mn, i + 1)))
+        / F.lit(255.0),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Scalar-quantization (SQ8) ANN — the simple memory-compression path
+    next to PQ: the stored index is one uint8 code per dimension (64 B per
+    64-dim vector vs 256 B float32 — 4x; PQ's 8 B trades more recall).
+    Encode is a codegen map (no training beyond the per-dim min/max pass);
+    scoring reconstructs per-dim and runs the exact brute-force pass over
+    the reconstructed corpus, so result quality degrades ONLY by the
+    quantization error, and the whole pipeline stays deterministic enough
+    for an exact SQL oracle (round HALF_UP both engines, fixed association
+    order, dimension-sequential dot products)."""
+    mins, maxs = sq8_minmax(corpus, dim=dim, vec_col=vec_col)
+    codes = corpus.select(id_col, sq8_encode_expr(F.col(vec_col), mins, maxs).alias("code"))
+    rec = codes.select(id_col, sq8_reconstruct_expr(F.col("code"), mins, maxs).alias(vec_col))
+    return brute_force_topk(rec, queries, k=k, id_col=id_col, vec_col=vec_col, dim=dim)

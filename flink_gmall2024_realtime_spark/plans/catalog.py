@@ -4178,6 +4178,53 @@ SELECT query_id, neighbor_id, dist, rank FROM (
 """
 
 
+_ANN_SQ8_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mm AS (
+  SELECT p.d, min(v[p.d + 1]) AS mn, max(v[p.d + 1]) AS mx
+  FROM e CROSS JOIN range(64) p(d) GROUP BY 1
+),
+code AS (
+  SELECT e.vec_id, mm.d,
+         CASE WHEN mm.mx = mm.mn THEN 0
+              ELSE round((255.0 * (v[mm.d + 1] - mm.mn)) / (mm.mx - mm.mn)) END::BIGINT AS c
+  FROM e CROSS JOIN mm
+),
+rec AS (
+  SELECT vec_id, array_agg(mm.mn + (c * (mm.mx - mm.mn)) / 255.0 ORDER BY code.d) AS rv
+  FROM code JOIN mm ON mm.d = code.d GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+sims AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         round(list_dot_product(r.rv, q.qv)
+               / (sqrt(list_dot_product(r.rv, r.rv)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+           AS sim
+  FROM rec r CROSS JOIN q WHERE r.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+
+@register("ann_sq8", oracle=_ANN_SQ8_SQL, survey_ids=("sim-pq",))
+def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (SQ8) ANN (r7) — the SIMPLE memory-compression
+    path next to PQ: one uint8 code per dimension (4x smaller than
+    float32; PQ's 8 B/vector trades more recall), encode/de-quantize as
+    codegen maps, per-dim min/max as the whole model (one map-side-partial
+    shuffle of dim rows). Scoring = exact brute force over reconstructed
+    vectors, so the only error is quantization error — and every step
+    (HALF_UP rounds, fixed association order, dimension-sequential dots)
+    is replicated by the SQL oracle bit-exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    return similarity.sq8_topk(emb, q, k=5)
+
+
 @register("ann_pq", oracle=_ann_pq_sql(), survey_ids=("sim-pq",))
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN — the memory-compression scale path: the

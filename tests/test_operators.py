@@ -1726,3 +1726,46 @@ def test_gif_meta_golden_and_synth_roundtrip():
 
     with _pytest.raises(ValueError, match="not a GIF"):
         parse_gif_meta(b"\x89PNG1234")
+
+
+def test_sq8_quantization_roundtrip_and_topk(spark):
+    """SQ8: codes are within [0,255]; reconstruction error is bounded by
+    half a quantization step per dimension; top-k over reconstructed
+    vectors matches exact brute force on a well-separated corpus."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    mins, maxs = similarity.sq8_minmax(df, dim=8)
+    codes = df.select(
+        "vec_id", similarity.sq8_encode_expr(F.col("embedding"), mins, maxs).alias("code")
+    )
+    rows = codes.collect()
+    assert all(0 <= c <= 255 for r in rows for c in r["code"])
+    rec = codes.select(
+        "vec_id", similarity.sq8_reconstruct_expr(F.col("code"), mins, maxs).alias("r")
+    )
+    err = {
+        r["vec_id"]: r["r"] for r in rec.collect()
+    }
+    for i in range(40):
+        for d in range(8):
+            step = (maxs[d] - mins[d]) / 255.0
+            assert abs(err[i][d] - float(vecs[i][d])) <= step / 2 + 1e-9
+    q = df.filter(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.sq8_topk(df, q, k=3, dim=8).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk(df, q, k=3, dim=8).collect()
+    }
+    # random gaussians are well separated at n=40: quantization at 8 bits
+    # must keep at least the top-1 neighbor identical for every query
+    for qid in (0, 1, 2):
+        assert got[(qid, 1)] == want[(qid, 1)]
