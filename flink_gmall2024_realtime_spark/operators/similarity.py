@@ -1196,3 +1196,45 @@ def sq8_topk(
     codes = corpus.select(id_col, sq8_encode_expr(F.col(vec_col), mins, maxs).alias("code"))
     rec = codes.select(id_col, sq8_reconstruct_expr(F.col("code"), mins, maxs).alias(vec_col))
     return brute_force_topk(rec, queries, k=k, id_col=id_col, vec_col=vec_col, dim=dim)
+
+
+def ivf_cell_stats(
+    corpus: DataFrame,
+    centroid_mod: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_centroids: int = 256,
+    centroids: tuple | None = None,
+) -> DataFrame:
+    """The no-silent-degradation witness for the IVF family (the ANN twin
+    of ``dedup.capped_bucket_stats``): one row of cell-population stats —
+    (n_cells, max_cell, max_distinct_vecs). The ANN scorers never cap;
+    they collapse byte-identical vectors (``_collapse_groups``), so the
+    quantity that bounds a cell's scoring cost is its DISTINCT-vector
+    count: a fat_cell flood shows max_cell exploding while
+    max_distinct_vecs stays flat (cost bounded), whereas a genuinely
+    heterogeneous hot cell moves max_distinct_vecs — the signal to train
+    better centroids (``kmeans_centroids_micro``) or raise the cell
+    count."""
+    import numpy as np
+
+    if centroids is not None:
+        cen_ids, cen_mat = centroids
+        cen_ids = np.asarray(cen_ids, dtype=np.int64)
+        cen_mat = np.asarray(cen_mat, dtype=np.float64)
+    else:
+        mod_eff = _effective_mod(corpus, centroid_mod, max_centroids)
+        cen_rows = (
+            corpus.filter(F.col(id_col) % mod_eff == 0).select(id_col, vec_col).collect()
+        )
+        cen_ids = np.array([r[0] for r in cen_rows], dtype=np.int64)
+        cen_mat = np.array([list(r[1]) for r in cen_rows], dtype=np.float64)
+    cells = assign_nearest_cells(corpus, cen_ids, cen_mat, 1, "vid", "v", id_col, vec_col)
+    sizes = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("c"), F.count_distinct("v").alias("dr")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("c").alias("max_cell"),
+        F.max("dr").alias("max_distinct_vecs"),
+    )

@@ -1821,6 +1821,36 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CELL_STATS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cen AS (SELECT vec_id AS cid, v AS cv FROM e
+        WHERE vec_id % (SELECT greatest(50, CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM e) = 0),
+asg AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT e.vec_id, e.v, cen.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {{cos}} DESC, cen.cid) AS rn
+    FROM e CROSS JOIN cen
+  ) WHERE rn = 1
+),
+sizes AS (SELECT cell, count(*) AS c, count(DISTINCT v) AS dr FROM asg GROUP BY 1)
+SELECT count(*) AS n_cells, max(c) AS max_cell, max(dr) AS max_distinct_vecs
+FROM sizes
+""".format(cos=_COS_PAIR.format(a="e.v", b="cen.cv"))
+
+
+@register("ann_ivf_cell_stats", oracle=_IVF_CELL_STATS_SQL, survey_ids=("sim-ivf",))
+def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-degradation witness for the IVF family (r7; the ANN
+    twin of the dedup bucket-stats entries): cell populations AND
+    distinct-vector counts under the same assignment ``ann_ivf`` scores
+    with. The scorers collapse byte-identical vectors, so the cost bound
+    is ``max_distinct_vecs`` — a fat_cell flood moves only ``max_cell``
+    (free), a heterogeneous hot cell moves ``max_distinct_vecs`` (the
+    retrain signal). Hash-exact each round on the driver fixtures."""
+    return similarity.ivf_cell_stats(_t(spark, sf_dir, "embeddings"))
+
+
 @register("ann_ivf", oracle=_IVF_SQL, survey_ids=("sim-ivf",), bench=True)
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: deterministic centroids (vec_id % mod_eff,
