@@ -123,3 +123,40 @@ def domain_cap(
         df.withColumn("keep_rank", F.row_number().over(w))
         .filter(F.col("keep_rank") <= cap)
     )
+
+
+def weighted_topn_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weight_col: str,
+    n: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, n per stratum — the
+    Efraimidis–Spirakis A-ES scheme: each row draws key ``u^(1/w)`` with
+    ``u`` uniform, and the n largest keys per stratum form an exact
+    weighted sample without replacement. Complements
+    ``importance_sample`` (Bernoulli, no size guarantee) with the
+    fixed-size variant training-mix builders actually schedule around.
+
+    Deterministic like every sampler here: ``u = (md5(id)+1) / 2^60``
+    (hash coin, never an RNG; +1 keeps ln defined; the power-of-two
+    division is float-exact). The key is compared as ``ln(u)/w`` —
+    monotone with ``u^(1/w)`` for w > 0 and cheaper — rounded to 9 dp so
+    the comparison is identical across engines (both Spark and DuckDB
+    round HALF_UP; their ``ln`` agree far beyond 9 dp), ties broken by
+    id. Per-stratum top-n plans as WindowGroupLimit, so each map task
+    forwards at most n rows per stratum BEFORE the shuffle — the
+    domain_cap scale shape. Non-positive weights are excluded (a zero
+    weight must never be sampled; the ln-key would be undefined).
+    Output adds ``samp_key`` and ``samp_rank``."""
+    from pyspark.sql import Window
+
+    u = (md5_long(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(float(2**60))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    d = df.filter(F.col(weight_col) > 0).withColumn("samp_key", key)
+    w = Window.partitionBy(stratum_col).orderBy(F.col("samp_key").desc(), F.col(id_col))
+    return (
+        d.withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= n)
+    )

@@ -3523,6 +3523,41 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_cap(docs, "source", "doc_id", cap=15).select("doc_id", "source", "keep_rank")
 
 
+_AES_KEY_SQL = (
+    "round(ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) + 1)"
+    " / 1152921504606846976.0) / length(text)::DOUBLE, 9)"
+)
+
+
+@register(
+    "sample_weighted_topn",
+    oracle=f"""
+SELECT doc_id, source, samp_key, samp_rank FROM (
+  SELECT doc_id, source,
+         {_AES_KEY_SQL} AS samp_key,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_AES_KEY_SQL} DESC, doc_id
+         ) AS samp_rank
+  FROM documents WHERE length(text) > 0
+) WHERE samp_rank <= 10
+""",
+    survey_ids=("sample-importance",),
+)
+def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (r7): Efraimidis-Spirakis
+    A-ES, 10 docs per source weighted by document length — the fixed-size
+    complement to the Bernoulli ``sample_importance``. Hash coin, exp-key
+    compared as round(ln(u)/w, 9) (identical in both engines), per-stratum
+    top-n planned as a map-side WindowGroupLimit."""
+    from ..operators.sampling import weighted_topn_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn("w", F.length("text"))
+    return weighted_topn_sample(docs, "source", "doc_id", "w", n=10).select(
+        "doc_id", "source", "samp_key", "samp_rank"
+    )
+
+
 @register(
     "text_tfidf_topk",
     oracle="""

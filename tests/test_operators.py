@@ -1769,3 +1769,21 @@ def test_sq8_quantization_roundtrip_and_topk(spark):
     # must keep at least the top-1 neighbor identical for every query
     for qid in (0, 1, 2):
         assert got[(qid, 1)] == want[(qid, 1)]
+
+
+def test_weighted_topn_sample_prefers_heavy_and_excludes_nonpositive(spark):
+    """A-ES semantics: with extreme weight separation the heavy rows
+    dominate the fixed-size sample; zero/negative weights never appear;
+    re-running yields the identical (deterministic hash-keyed) set."""
+    from flink_gmall2024_realtime_spark.operators.sampling import weighted_topn_sample
+
+    rows = [(i, "s", 10_000.0) for i in range(20)] + [
+        (100 + i, "s", 0.001) for i in range(200)
+    ] + [(900, "s", 0.0), (901, "s", -5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+    out1 = sorted(r["doc_id"] for r in weighted_topn_sample(df, "src", "doc_id", "w", 15).collect())
+    out2 = sorted(r["doc_id"] for r in weighted_topn_sample(df, "src", "doc_id", "w", 15).collect())
+    assert out1 == out2 and len(out1) == 15
+    assert 900 not in out1 and 901 not in out1
+    # 20 heavy rows at 10^7x the weight: essentially all of them make the 15
+    assert sum(1 for d in out1 if d < 20) >= 14
