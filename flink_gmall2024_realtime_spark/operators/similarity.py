@@ -1238,3 +1238,61 @@ def ivf_cell_stats(
         F.max("c").alias("max_cell"),
         F.max("dr").alias("max_distinct_vecs"),
     )
+
+
+def cross_corpus_semantic_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic train/eval contamination pairs — the embedding twin of
+    ``dedup.minhash_lsh_pairs_cross``: every (eval, train) pair with
+    cosine >= threshold, never a within-side pair. The 100 TB shape
+    mirrors decontamination reality: the EVAL side is small (benchmarks),
+    so its matrix broadcasts and the training corpus streams through one
+    Arrow map pass — no shuffle of the big side, no self-join, output
+    bounded by true contamination. Dimension-sequential accumulation and
+    round(6) keep it bit-identical to the SQL oracle (the
+    ``brute_force_topk`` contract)."""
+    import numpy as np
+    import pandas as pd
+
+    erows = eval_df.select(F.col(id_col), F.col(vec_col)).collect()
+    eids = np.array([r[0] for r in erows], dtype=np.int64)
+    emat = np.array([list(r[1]) for r in erows], dtype=np.float64)
+    d = emat.shape[1]
+    en = emat[:, 0] * emat[:, 0]
+    for j in range(1, d):
+        en = en + emat[:, j] * emat[:, j]
+    en = np.sqrt(en)
+    bq = train.sparkSession.sparkContext.broadcast((eids, emat, en))
+
+    def score(batches):
+        eids_, emat_, en_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tids = pdf[id_col].to_numpy(dtype=np.int64)
+            tmat = _mat(pdf[vec_col])
+            acc = tmat[:, 0:1] * emat_[None, :, 0]
+            for j in range(1, d):
+                acc = acc + tmat[:, j : j + 1] * emat_[None, :, j]
+            tn = tmat[:, 0] * tmat[:, 0]
+            for j in range(1, d):
+                tn = tn + tmat[:, j] * tmat[:, j]
+            tn = np.sqrt(tn)
+            sim = np.round(acc / (tn[:, None] * en_[None, :]), 6)
+            ti, ei = np.nonzero(sim >= threshold)
+            yield pd.DataFrame(
+                {
+                    "eval_id": eids_[ei],
+                    "train_id": tids[ti],
+                    "sim": sim[ti, ei],
+                }
+            )
+
+    return train.select(id_col, vec_col).mapInPandas(
+        score, "eval_id long, train_id long, sim double"
+    )

@@ -1839,6 +1839,36 @@ FROM sizes
 """.format(cos=_COS_PAIR.format(a="e.v", b="cen.cv"))
 
 
+@register(
+    "dedup_semantic_cross_corpus",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
+tr AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0)
+SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+       round(list_dot_product(tr.v, ev.v)
+             / (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(ev.v, ev.v))), 6)
+         AS sim
+FROM tr CROSS JOIN ev
+WHERE round(list_dot_product(tr.v, ev.v)
+            / (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(ev.v, ev.v))), 6) >= 0.4
+""",
+    survey_ids=("dedup-cross", "dedup-semantic"),
+)
+def dedup_semantic_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train/eval contamination (r7): embedding-cosine pairs
+    BETWEEN the eval slice (vec_id % 20 == 0) and the training rest,
+    never within a side — the embedding twin of ``dedup_cross_corpus``.
+    The small eval matrix broadcasts; the training corpus streams through
+    one Arrow map pass (no shuffle of the big side, no self-join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cross_corpus_semantic_pairs(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        threshold=0.4,
+    )
+
+
 @register("ann_ivf_cell_stats", oracle=_IVF_CELL_STATS_SQL, survey_ids=("sim-ivf",))
 def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The no-silent-degradation witness for the IVF family (r7; the ANN
