@@ -284,7 +284,10 @@ def dws_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §2.8 notes the reference uses no session windows; this entry
     pins the native operator's semantics to the declarative gap rule:
     window.start = first event ts, window.end = last event ts + gap).
-    The oracle derives the identical sessions via the lag/gap rule."""
+    The oracle derives the identical sessions via the lag/gap rule.
+    Adversarial hot_key ×10 (900k rows on one user): 1.96 s bounded —
+    Spark's session merge is a sort-based per-partition pass, so even the
+    native form survives the flood (BASELINE.md survival table)."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
