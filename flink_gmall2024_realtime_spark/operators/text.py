@@ -543,3 +543,104 @@ def script_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.length(text_col).cast("int").alias("char_ct"),
         dominant.alias("dominant_script"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    k: int = 3,
+    k1: float = 1.5,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by BM25 term weight — the
+    length-normalized upgrade of ``tfidf_topk`` (a short doc repeating a
+    term ranks it higher than a long doc mentioning it once).
+
+    Determinism: the idf is the *rational* Robertson form without the log,
+    ``(N - df + 0.5) / (df + 0.5)`` (always positive since df <= N; log is
+    monotone so the ranking is identical), and the constants are chosen
+    dyadic-exact (k1=1.5, b=0.75 => k1+1=2.5, 1-b=0.25 are all exact
+    doubles), so every arithmetic step is an exactly-rounded IEEE op with a
+    pinned association — bit-identical on any engine. avgdl is one exact
+    integer-sum / integer-count division.
+
+    Plan shape at scale: explode -> (doc, term) tf (one shuffle, map-side
+    combine) -> per-doc dl from the tf frame (keyed agg, no second scan) ->
+    df per term (small frame) -> one-row (N, avgdl) broadcast -> per-doc
+    ranking window (bounded partitions). Output:
+    (doc_id, term, score, rank)."""
+    k1_plus_1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = docs.agg(F.count(F.lit(1)).alias("n_docs")).join(
+        dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
+    )
+    raw = (
+        tf.join(dl, "doc_id")
+        .join(df_, "term")
+        .join(F.broadcast(corpus))
+        .withColumn(
+            "raw_score",
+            ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+            * (
+                (F.col("tf") * F.lit(k1_plus_1))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(one_minus_b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("raw_score").desc(), F.col("term"))
+    return (
+        raw.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.round("raw_score", 6).alias("score"), "rank")
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 2,
+    max_df_ratio: tuple[int, int] = (9, 10),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Posting lists: term -> sorted distinct doc ids, for terms whose
+    document frequency falls in [min_df, num/den of the corpus] — the
+    index a retrieval / decontamination pass builds once and probes many
+    times. The df band is query semantics, not a silent cap: singletons
+    can't match anything and near-ubiquitous terms (df > 90% of docs by
+    default) are the retrieval noise floor; both bounds are parameters and
+    the ceiling compares ``df * den <= n_docs * num`` in pure integers so
+    it is scale-relative and exactly reproducible.
+
+    Plan shape at scale: explode -> distinct (term, doc) pairs (one keyed
+    shuffle with map-side combine) -> per-term collect_sort (same key, no
+    second shuffle under partial aggregation) -> one-row corpus-count
+    broadcast for the ceiling. A term kept by the ceiling can still own a
+    posting list proportional to the corpus — inherent to inverted
+    indexes; a deployment shards hot terms by posting-range the same way
+    the LSH band store does. Output: (term, df, postings)."""
+    num, den = max_df_ratio
+    pairs = docs.select(
+        F.explode(tokenize(F.col(text_col))).alias("term"), F.col(id_col).alias("doc_id")
+    ).distinct()
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .join(F.broadcast(n))
+        .filter((F.col("df") >= min_df) & (F.col("df") * den <= F.col("n_docs") * num))
+        .select("term", "df", "postings")
+    )

@@ -4932,3 +4932,68 @@ def q_incremental_minmax_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_price"), 2).cast("double").alias("max_price"),
         "cnt",
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+WITH toks AS (
+  SELECT d.doc_id, t.tok AS term
+  FROM documents d,
+       unnest(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> x <> '')) AS t(tok)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) / count(*) FROM dl) AS avgdl
+)
+SELECT doc_id, term, round(raw_score, 6) AS score, rank
+FROM (
+  SELECT tf.doc_id, tf.term,
+         ((c.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * ((tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * (dl.dl / c.avgdl)))) AS raw_score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY ((c.n_docs - df.df + 0.5) / (df.df + 0.5))
+                    * ((tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * (dl.dl / c.avgdl)))) DESC,
+                    tf.term
+         ) AS rank
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN corpus c
+)
+WHERE rank <= 3
+""",
+    survey_ids=("text-tfidf",),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by BM25 weight — the
+    length-normalized retrieval scorer (rational Robertson idf, dyadic
+    constants k1=1.5 / b=0.75, so every step is an exactly-rounded IEEE op
+    and the oracle hash-matches)."""
+    return text.bm25_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT t.tok AS term, d.doc_id
+  FROM documents d,
+       unnest(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> x <> '')) AS t(tok)
+)
+SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+FROM pairs
+GROUP BY term
+HAVING count(*) >= 2
+   AND count(*) * 10 <= (SELECT count(*) FROM documents) * 9
+""",
+    survey_ids=("text-tfidf",),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list inverted index for terms with df in [2, 90% of the
+    corpus] — the build-once probe-many structure behind retrieval /
+    decontamination. The df band is declared query semantics (both bounds
+    parameters; the ceiling is the integer-exact scale-relative
+    ``df * 10 <= n_docs * 9``), not a silent cap."""
+    return text.inverted_index(_t(spark, sf_dir, "documents"))

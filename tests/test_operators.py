@@ -1787,3 +1787,45 @@ def test_weighted_topn_sample_prefers_heavy_and_excludes_nonpositive(spark):
     assert 900 not in out1 and 901 not in out1
     # 20 heavy rows at 10^7x the weight: essentially all of them make the 15
     assert sum(1 for d in out1 if d < 20) >= 14
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 on a 3-doc corpus: rank-1 term per doc and exact rounded
+    scores hand-computed from the rational-idf formula (N=3, avgdl=2.0,
+    k1=1.5, b=0.75)."""
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score"])
+        for r in text.bm25_topk(df, k=2).collect()
+    }
+    # d1: apple tf=2 dl=3 -> 0.6 * 5 / (2 + 1.5*(0.25 + 0.75*1.5)) = 0.738462
+    assert got[(1, 1)] == ("apple", 0.738462)
+    # d2: cherry idf (3-1+0.5)/1.5, tf=1 dl=2 -> (2.5/1.5)*2.5/2.5 = 1.666667
+    assert got[(2, 1)] == ("cherry", 1.666667)
+    # d3: apple tf=1 dl=1 -> 0.6*2.5 / (1 + 1.5*(0.25+0.375)) = 0.774194
+    assert got[(3, 1)] == ("apple", 0.774194)
+    # within-doc ordering: repeated term beats single mention in the same doc
+    assert got[(1, 2)][0] == "banana"
+
+
+def test_inverted_index_bands_and_postings(spark):
+    """df band semantics: singletons out, >=90%-of-corpus terms out,
+    surviving posting lists sorted and distinct (repeats within a doc
+    collapse)."""
+    df = spark.createDataFrame(
+        [
+            (1, "common pair pair"),
+            (2, "common pair"),
+            (3, "common solo"),
+            (4, "common"),
+            (5, "common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["term"]: (r["df"], r["postings"]) for r in text.inverted_index(df).collect()}
+    assert "solo" not in rows  # df=1 < min_df
+    assert "common" not in rows  # df=5, 5*10 > 5*9 ceiling
+    assert rows == {"pair": (2, [1, 2])}
