@@ -233,3 +233,31 @@ def sessionize(
         )
     )
     return out.select(*df.columns, "session_start", "session_id")
+
+
+def calendar_streaks(df, key_col: str, date_col):
+    """Gaps-and-islands at calendar-day granularity: per key, the longest
+    run of consecutive active days, the number of runs, and total active
+    days — the day-granularity sibling of ``sessionize`` (same keyed-state
+    family as DwsTrafficVcChArIsNewPageViewWindow.java:100-123, with the
+    calendar instead of a gap timeout deciding session breaks).
+
+    ``date_col`` is a Column expression yielding a DATE. Scale shape:
+    distinct (key, day) collapses first (keyed shuffle, map-side combine);
+    the ranking window runs per key over day counts — bounded by the
+    calendar span, not the row count — and both follow-up aggregates reuse
+    the same key. Pure integers end-to-end.
+    Output: (key, max_streak_days, n_streaks, active_days)."""
+    days = df.select(F.col(key_col), date_col.alias("_d")).distinct()
+    w = Window.partitionBy(key_col).orderBy("_d")
+    isl = days.withColumn(
+        "_island",
+        F.datediff(F.col("_d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    s = isl.groupBy(key_col, "_island").agg(F.count(F.lit(1)).alias("_len"))
+    return s.groupBy(key_col).agg(
+        F.max("_len").alias("max_streak_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("_len").alias("active_days"),
+    )

@@ -4997,3 +4997,67 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters; the ceiling is the integer-exact scale-relative
     ``df * 10 <= n_docs * 9``), not a silent cap."""
     return text.inverted_index(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_order_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+),
+isl AS (
+  SELECT o_custkey,
+         (d - DATE '1970-01-01') - row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS island
+  FROM days
+),
+s AS (SELECT o_custkey, island, count(*) AS len FROM isl GROUP BY 1, 2)
+SELECT o_custkey,
+       max(len) AS max_streak_days,
+       count(*) AS n_streaks,
+       sum(len) AS active_days
+FROM s GROUP BY o_custkey
+""",
+    survey_ids=("w3-sessionize",),
+)
+def q_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per customer, the longest run of consecutive
+    order *days* plus streak count and total active days — the classic
+    date - row_number() island trick, the calendar-granularity sibling of
+    the event-time sessionize (`state.sessionize`,
+    DwsTrafficVcChArIsNewPageViewWindow.java:100-123's keyed-state family).
+
+    Scale shape: distinct (cust, day) collapses first (keyed shuffle with
+    map-side combine), the window runs per customer over day counts (a few
+    thousand rows max per key — bounded by the calendar, not the data),
+    and both follow-up aggregates reuse the same key. Pure integers, so
+    the oracle is hash-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    return state.calendar_streaks(orders, "o_custkey", F.to_date("o_orderdate"))
+
+
+@register(
+    "q_table_profile",
+    oracle="""
+SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+       count(*) - count(o_orderkey) AS null_count, count(DISTINCT o_orderkey) AS distinct_count FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey), count(DISTINCT o_custkey) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice), count(DISTINCT o_totalprice) FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate), count(DISTINCT o_orderdate) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority) FROM orders
+""",
+    survey_ids=("p2-etl",),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table: per column, row / null /
+    exact-distinct counts in ONE scan (multi-distinct planned via Expand
+    with map-side partials; see operators/profile.py for the 100 TB
+    trade-off vs the HLL sketch path)."""
+    from ..operators.profile import table_profile
+
+    return table_profile(_t(spark, sf_dir, "orders"))

@@ -1829,3 +1829,36 @@ def test_inverted_index_bands_and_postings(spark):
     assert "solo" not in rows  # df=1 < min_df
     assert "common" not in rows  # df=5, 5*10 > 5*9 ceiling
     assert rows == {"pair": (2, [1, 2])}
+
+
+def test_order_streaks_islands_hand_case(spark):
+    """Gaps-and-islands: a 3-day run split from a later 2-day run by a
+    gap; same-day duplicates collapse before the window."""
+    from datetime import datetime as DT
+
+    rows = [
+        (1, DT(2024, 1, 1)), (1, DT(2024, 1, 1)),  # dup same day
+        (1, DT(2024, 1, 2)), (1, DT(2024, 1, 3)),
+        (1, DT(2024, 1, 10)), (1, DT(2024, 1, 11)),
+        (2, DT(2024, 3, 5)),
+    ]
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp")
+    got = {
+        r["o_custkey"]: (r["max_streak_days"], r["n_streaks"], r["active_days"])
+        for r in state.calendar_streaks(df, "o_custkey", F.to_date("o_orderdate")).collect()
+    }
+    assert got[1] == (3, 2, 5)
+    assert got[2] == (1, 1, 1)
+
+
+def test_table_profile_counts_nulls_and_distincts(spark):
+    from flink_gmall2024_realtime_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 1.5), (3, None, 1.5), (3, "b", None)],
+        "k long, s string, v double",
+    )
+    got = {r["column_name"]: r.asDict() for r in table_profile(df).collect()}
+    assert got["k"] == {"column_name": "k", "n_rows": 4, "null_count": 0, "distinct_count": 3}
+    assert got["s"] == {"column_name": "s", "n_rows": 4, "null_count": 1, "distinct_count": 2}
+    assert got["v"] == {"column_name": "v", "n_rows": 4, "null_count": 2, "distinct_count": 1}
