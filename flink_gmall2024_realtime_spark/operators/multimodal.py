@@ -1016,6 +1016,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "mp4": synth_mp4,
         "mp3": synth_mp3,
         "gif": synth_gif,
+        "webp": synth_webp,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"
@@ -1072,3 +1073,162 @@ def frame_sample(decoded: DataFrame, every_nth: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+# --------------------------------------------------------------------------
+# WebP (RIFF container): header-only metadata — the modern-web image gate.
+# All three public bitstream headers are covered: simple lossy ("VP8 ",
+# frame tag + 9D 01 2A sync + 14-bit dims), simple lossless ("VP8L", 0x2F
+# signature + packed 14/14/1/3 bitfield), and extended ("VP8X" flags +
+# 24-bit canvas dims, ANIM loop count, ANMF frame chunks). Pixel decode
+# (VP8 DCT / VP8L huffman) stays behind the decode_media vendor seam.
+# --------------------------------------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def synth_webp(seed: int) -> bytes:
+    """Deterministic structurally valid WebP. Variant rotates by seed % 3:
+    0 = simple lossy VP8, 1 = simple lossless VP8L (alpha bit by
+    (seed//3) % 2), 2 = extended VP8X animated (alpha flag, ANIM loop
+    count seed % 42, seed % 7 + 2 ANMF frames embedding lossy sub-chunks)
+    with decoy ICCP (odd-sized, exercising chunk padding) and EXIF chunks
+    on seed % 4 == 0 / seed % 5 == 0."""
+    variant = seed % 3
+    w, h = seed % 611 + 1, seed % 433 + 1
+    alpha = (seed // 3) % 2
+
+    def vp8_payload(fw: int, fh: int, fill: int) -> bytes:
+        body = bytes((fill + i) % 251 for i in range(12))
+        return (
+            b"\x00\x00\x00"  # frame tag: keyframe, version 0
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", fw & 0x3FFF, fh & 0x3FFF)
+            + body
+        )
+
+    if variant == 0:
+        chunks = _riff_chunk(b"VP8 ", vp8_payload(w, h, seed))
+    elif variant == 1:
+        bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+        payload = b"\x2f" + struct.pack("<I", bits) + bytes(
+            (seed + i) % 251 for i in range(9)
+        )
+        chunks = _riff_chunk(b"VP8L", payload)
+    else:
+        n_frames = seed % 7 + 2
+        flags = 0x02 | (0x10 if alpha else 0)
+        vp8x = bytes([flags, 0, 0, 0]) + struct.pack("<I", w - 1)[:3] + struct.pack(
+            "<I", h - 1
+        )[:3]
+        chunks = _riff_chunk(b"VP8X", vp8x)
+        if seed % 4 == 0:
+            chunks += _riff_chunk(b"ICCP", bytes((seed + i) % 251 for i in range(7)))
+        chunks += _riff_chunk(
+            b"ANIM", struct.pack("<I", 0xFF000000) + struct.pack("<H", seed % 42)
+        )
+        for f in range(n_frames):
+            fw, fh = max(1, w - f % 3), max(1, h - f % 2)
+            hdr = (
+                struct.pack("<I", 0)[:3]
+                + struct.pack("<I", 0)[:3]
+                + struct.pack("<I", fw - 1)[:3]
+                + struct.pack("<I", fh - 1)[:3]
+                + struct.pack("<I", 40 + f)[:3]
+                + bytes([0])
+            )
+            chunks += _riff_chunk(b"ANMF", hdr + _riff_chunk(b"VP8 ", vp8_payload(fw, fh, seed + f)))
+        if seed % 5 == 0:
+            chunks += _riff_chunk(b"EXIF", bytes((seed + i) % 251 for i in range(10)))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def parse_webp_meta(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Header-only WebP parse — no pixel decode: returns (width, height,
+    lossless, has_alpha, animated, n_frames, loop_count). Walks the RIFF
+    chunk list (honoring odd-size pad bytes); dimensions come from the
+    VP8/VP8L bitstream header in the simple formats and the VP8X canvas
+    field in the extended format."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    i, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    first = True
+    w = h = 0
+    lossless = alpha = animated = loop_count = 0
+    n_frames = 0
+    extended = False
+    while i + 8 <= min(end, len(payload)):
+        fourcc = payload[i : i + 4]
+        (size,) = struct.unpack_from("<I", payload, i + 4)
+        body = i + 8
+        if fourcc == b"VP8 " and first:
+            if payload[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 sync code")
+            w = struct.unpack_from("<H", payload, body + 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", payload, body + 8)[0] & 0x3FFF
+            n_frames = 1
+        elif fourcc == b"VP8L" and first:
+            if payload[body] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            (bits,) = struct.unpack_from("<I", payload, body + 1)
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            alpha = (bits >> 28) & 1
+            lossless, n_frames = 1, 1
+        elif fourcc == b"VP8X" and first:
+            extended = True
+            flags = payload[body]
+            alpha = 1 if flags & 0x10 else 0
+            animated = 1 if flags & 0x02 else 0
+            w = int.from_bytes(payload[body + 4 : body + 7], "little") + 1
+            h = int.from_bytes(payload[body + 7 : body + 10], "little") + 1
+        elif fourcc == b"ANIM" and extended:
+            (loop_count,) = struct.unpack_from("<H", payload, body + 4)
+        elif fourcc == b"ANMF" and extended:
+            n_frames += 1
+        elif first:
+            raise ValueError(f"unknown leading WebP chunk {fourcc!r}")
+        first = False
+        i = body + size + (size % 2)
+    if w == 0:
+        raise ValueError("no image header chunk")
+    return w, h, lossless, alpha, animated, n_frames, loop_count
+
+
+WEBP_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("lossless", IntegerType()),
+        StructField("has_alpha", IntegerType()),
+        StructField("animated", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("loop_count", IntegerType()),
+    ]
+)
+
+
+def webp_meta(media: DataFrame) -> DataFrame:
+    """WebP metadata over an Arrow-batched binary column: dimensions,
+    lossless/alpha/animation flags, frame and loop counts — the
+    modern-web image curation gate, no pixel decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                wv, hv, ll, al, an, nf, lc = parse_webp_meta(bytes(p))
+                rows.append((mid, wv, hv, ll, al, an, nf, lc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "lossless",
+                    "has_alpha", "animated", "n_frames", "loop_count",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=WEBP_META_SCHEMA)

@@ -5061,3 +5061,34 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import table_profile
 
     return table_profile(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "multimodal_webp_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 611 + 1)::INT AS width,
+       (doc_id % 433 + 1)::INT AS height,
+       (CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)::INT AS lossless,
+       (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE (doc_id // 3) % 2 END)::INT AS has_alpha,
+       (CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)::INT AS animated,
+       (CASE WHEN doc_id % 3 = 2 THEN doc_id % 7 + 2 ELSE 1 END)::INT AS n_frames,
+       (CASE WHEN doc_id % 3 = 2 THEN doc_id % 42 ELSE 0 END)::INT AS loop_count
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP metadata gate (r7): synthesize a structurally valid WebP per
+    doc rotating through all three public header layouts (simple lossy
+    VP8 sync-code header, simple lossless VP8L packed bitfield, extended
+    VP8X canvas + ANIM/ANMF animation chunks, with odd-sized decoy ICCP /
+    EXIF chunks exercising RIFF padding), then parse the headers back with
+    the independent chunk walker: dimensions, lossless/alpha/animated
+    flags, frame and loop counts — the modern-web image curation columns,
+    no pixel decode (that stays behind the decode_media vendor seam).
+    Oracle = seed arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "webp")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/webp")
+    return multimodal.webp_meta(media)

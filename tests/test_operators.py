@@ -1862,3 +1862,42 @@ def test_table_profile_counts_nulls_and_distincts(spark):
     assert got["k"] == {"column_name": "k", "n_rows": 4, "null_count": 0, "distinct_count": 3}
     assert got["s"] == {"column_name": "s", "n_rows": 4, "null_count": 1, "distinct_count": 2}
     assert got["v"] == {"column_name": "v", "n_rows": 4, "null_count": 2, "distinct_count": 1}
+
+
+def test_webp_meta_golden_and_synth_roundtrip():
+    """RIFF chunk walker against handcrafted golden bytes (minimal VP8L
+    with alpha, odd-sized decoy handling) and the synth round trip over
+    all three header variants."""
+    import struct
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        _riff_chunk,
+        parse_webp_meta,
+        synth_webp,
+    )
+
+    # golden: simple lossless 17x9 with alpha bit set
+    bits = (17 - 1) | ((9 - 1) << 14) | (1 << 28)
+    body = _riff_chunk(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 5)
+    golden = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    assert parse_webp_meta(golden) == (17, 9, 1, 1, 0, 1, 0)
+
+    for seed in range(0, 120):
+        w, h, ll, al, an, nf, lc = parse_webp_meta(synth_webp(seed))
+        variant = seed % 3
+        assert (w, h) == (seed % 611 + 1, seed % 433 + 1)
+        assert ll == (1 if variant == 1 else 0)
+        assert al == ((seed // 3) % 2 if variant in (1, 2) else 0)
+        assert (an, nf) == ((1, seed % 7 + 2) if variant == 2 else (0, 1))
+        assert lc == (seed % 42 if variant == 2 else 0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a WebP"):
+        parse_webp_meta(b"RIFF\x00\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError, match="bad VP8 sync"):
+        bad = _riff_chunk(b"VP8 ", b"\x00\x00\x00\xff\xff\xff\x00\x00\x00\x00")
+        parse_webp_meta(b"RIFF" + struct.pack("<I", 4 + len(bad)) + b"WEBP" + bad)
+    with _pytest.raises(ValueError, match="unknown leading"):
+        junk = _riff_chunk(b"ICCP", b"\x01")
+        parse_webp_meta(b"RIFF" + struct.pack("<I", 4 + len(junk)) + b"WEBP" + junk)
