@@ -1296,3 +1296,50 @@ def cross_corpus_semantic_pairs(
     return train.select(id_col, vec_col).mapInPandas(
         score, "eval_id long, train_id long, sim double"
     )
+
+
+def embedding_hygiene(
+    corpus: DataFrame,
+    prefix_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding hygiene columns: full-vector L2 norm, Matryoshka-prefix
+    norm, the renormalized prefix vector, and a zero-vector flag — the
+    pre-index audit that catches unnormalized / degenerate embeddings
+    before they poison an ANN index, plus the truncate-and-renormalize
+    step an MRL-style model's short-vector serving path needs.
+
+    Exactness: vectors quantize to int64 micro-units (the PQ ADC idiom —
+    ``round(round(x, 6) * 1e6)``; the fractional residue after the inner
+    round is ~1e-4 from an integer, so HALF_UP here equals rint equals a
+    direct cast), every sum is integer (order-free under any partial
+    aggregation), and sqrt / division are single exactly-rounded IEEE ops
+    with pinned association — hash-identical to the SQL oracle.
+
+    Pure Catalyst (transform/aggregate higher-order functions, no Python,
+    no shuffle): embarrassingly parallel map-side at any scale."""
+    m = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(F.round(x.cast("double"), 6) * F.lit(1000000.0)).cast("long"),
+    )
+    sq_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    out = (
+        corpus.select(F.col(id_col).alias("vec_id"), m.alias("_m"))
+        .withColumn("_nsq", sq_sum(F.col("_m")))
+        .withColumn("_m16", F.slice("_m", 1, prefix_dims))
+        .withColumn("_nsq16", sq_sum(F.col("_m16")))
+    )
+    return out.select(
+        "vec_id",
+        F.round(F.sqrt(F.col("_nsq")) / F.lit(1000000.0), 6).alias("norm"),
+        F.round(F.sqrt(F.col("_nsq16")) / F.lit(1000000.0), 6).alias("prefix_norm"),
+        F.when(F.col("_nsq16") == 0, F.lit(None)).otherwise(
+            F.transform(
+                F.col("_m16"), lambda x: F.round(x / F.sqrt(F.col("_nsq16")), 6)
+            )
+        ).alias("prefix_unit"),
+        F.when(F.col("_nsq") == 0, 1).otherwise(0).alias("is_zero"),
+    )

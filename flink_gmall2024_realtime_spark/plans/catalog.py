@@ -5092,3 +5092,38 @@ def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.synth_media(docs, "doc_id", "webp")
     media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/webp")
     return multimodal.webp_meta(media)
+
+
+@register(
+    "emb_hygiene",
+    oracle="""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(round(x, 6) * 1000000.0, 0) AS BIGINT)) AS m
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, m,
+         list_sum(list_transform(m, x -> x * x)) AS nsq,
+         list_sum(list_transform(m[1:16], x -> x * x)) AS nsq16
+  FROM e
+)
+SELECT vec_id,
+       round(sqrt(CAST(nsq AS DOUBLE)) / 1000000.0, 6) AS norm,
+       round(sqrt(CAST(nsq16 AS DOUBLE)) / 1000000.0, 6) AS prefix_norm,
+       CASE WHEN nsq16 = 0 THEN NULL
+            ELSE list_transform(m[1:16],
+                                x -> round(x / sqrt(CAST(nsq16 AS DOUBLE)), 6))
+       END AS prefix_unit,
+       CASE WHEN nsq = 0 THEN 1 ELSE 0 END AS is_zero
+FROM s
+""",
+    survey_ids=("ann-brute",),
+)
+def emb_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene audit + Matryoshka truncate-renormalize (first 16
+    dims): int64 micro-unit quantization makes every sum order-free and
+    the sqrt/divide steps single exactly-rounded IEEE ops, so the oracle
+    is hash-exact. Pure map-side Catalyst — no shuffle at any scale."""
+    return similarity.embedding_hygiene(_t(spark, sf_dir, "embeddings"))

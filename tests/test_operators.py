@@ -1901,3 +1901,21 @@ def test_webp_meta_golden_and_synth_roundtrip():
     with _pytest.raises(ValueError, match="unknown leading"):
         junk = _riff_chunk(b"ICCP", b"\x01")
         parse_webp_meta(b"RIFF" + struct.pack("<I", 4 + len(junk)) + b"WEBP" + junk)
+
+
+def test_embedding_hygiene_hand_values_and_zero_vector(spark):
+    """3-4-12 vector: full norm 13, prefix-2 norm 5, renormalized prefix
+    [0.6, 0.8]; all-zero vector flags is_zero with NULL unit."""
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 12.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r.asDict() for r in similarity.embedding_hygiene(df, prefix_dims=2).collect()}
+    assert got[1]["norm"] == 13.0
+    assert got[1]["prefix_norm"] == 5.0
+    assert got[1]["prefix_unit"] == [0.6, 0.8]
+    assert got[1]["is_zero"] == 0
+    assert got[2] == {
+        "vec_id": 2, "norm": 0.0, "prefix_norm": 0.0,
+        "prefix_unit": None, "is_zero": 1,
+    }
