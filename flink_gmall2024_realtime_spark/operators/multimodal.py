@@ -1017,6 +1017,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "mp3": synth_mp3,
         "gif": synth_gif,
         "webp": synth_webp,
+        "flac": synth_flac,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"
@@ -1232,3 +1233,112 @@ def webp_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, schema=WEBP_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# FLAC: STREAMINFO metadata — the lossless-audio curation gate. The fLaC
+# magic is followed by metadata blocks (1-byte last-flag|type + 24-bit BE
+# length); STREAMINFO (type 0, mandatory first) packs sample rate (20 bits),
+# channels-1 (3), bits-per-sample-1 (5), and total samples (36) into one
+# big-endian 64-bit word. Subset/frame decode stays behind the vendor seam.
+# --------------------------------------------------------------------------
+
+
+def synth_flac(seed: int) -> bytes:
+    """Deterministic structurally valid FLAC header: STREAMINFO with
+    seed-derived rate/channels/depth/length, then decoy PADDING
+    (seed % 2 == 0) and VORBIS_COMMENT (seed % 3 == 0) blocks with the
+    last-block flag on the final one, then opaque frame filler."""
+    sr = (seed % 48) * 1000 + 8000
+    ch = seed % 8 + 1
+    bps = seed % 17 + 8
+    total = seed * 1000 + 1
+    word = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)
+        + (seed % 1000 + 100).to_bytes(3, "big")
+        + (seed % 9000 + 1000).to_bytes(3, "big")
+        + struct.pack(">Q", word)
+        + bytes((seed + i) % 251 for i in range(16))  # fake MD5
+    )
+    blocks = [(0, streaminfo)]
+    if seed % 2 == 0:
+        blocks.append((1, b"\x00" * (seed % 13 + 1)))  # PADDING
+    if seed % 3 == 0:
+        vc = struct.pack("<I", 4) + b"synt" + struct.pack("<I", 0)
+        blocks.append((4, vc))  # VORBIS_COMMENT
+    out = [b"fLaC"]
+    for bi, (btype, body) in enumerate(blocks):
+        last = 0x80 if bi == len(blocks) - 1 else 0
+        out.append(bytes([last | btype]) + len(body).to_bytes(3, "big") + body)
+    out.append(bytes((seed + i) % 251 for i in range(24)))  # frame filler
+    return b"".join(out)
+
+
+def parse_flac_meta(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Header-only FLAC parse — no frame decode: returns (sample_rate,
+    channels, bits_per_sample, total_samples, duration_ms, n_blocks).
+    Walks the metadata-block chain to the last-block flag; STREAMINFO must
+    come first per spec."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    i = 4
+    n_blocks = 0
+    info = None
+    while i + 4 <= len(payload):
+        head = payload[i]
+        btype, last = head & 0x7F, head & 0x80
+        size = int.from_bytes(payload[i + 1 : i + 4], "big")
+        body = i + 4
+        n_blocks += 1
+        if n_blocks == 1 and btype != 0:
+            raise ValueError("first metadata block is not STREAMINFO")
+        if btype == 0:
+            (word,) = struct.unpack_from(">Q", payload, body + 10)
+            sr = word >> 44
+            ch = ((word >> 41) & 0x7) + 1
+            bps = ((word >> 36) & 0x1F) + 1
+            total = word & ((1 << 36) - 1)
+            info = (sr, ch, bps, total)
+        i = body + size
+        if last:
+            break
+    if info is None:
+        raise ValueError("no STREAMINFO block")
+    sr, ch, bps, total = info
+    return sr, ch, bps, total, total * 1000 // sr, n_blocks
+
+
+FLAC_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("total_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_blocks", IntegerType()),
+    ]
+)
+
+
+def flac_meta(media: DataFrame) -> DataFrame:
+    """FLAC STREAMINFO metadata over an Arrow-batched binary column:
+    rate / channels / depth / length — the lossless-audio curation gate,
+    no frame decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                sr, ch, bps, total, dur, nb = parse_flac_meta(bytes(p))
+                rows.append((mid, sr, ch, bps, total, dur, nb))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels", "bits_per_sample",
+                    "total_samples", "duration_ms", "n_blocks",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=FLAC_META_SCHEMA)

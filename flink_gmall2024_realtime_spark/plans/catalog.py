@@ -5127,3 +5127,32 @@ def emb_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sqrt/divide steps single exactly-rounded IEEE ops, so the oracle
     is hash-exact. Pure map-side Catalyst — no shuffle at any scale."""
     return similarity.embedding_hygiene(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "multimodal_flac_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       ((doc_id % 48) * 1000 + 8000)::INT AS sample_rate,
+       (doc_id % 8 + 1)::INT AS channels,
+       (doc_id % 17 + 8)::INT AS bits_per_sample,
+       (doc_id * 1000 + 1)::BIGINT AS total_samples,
+       ((doc_id * 1000 + 1) * 1000 // ((doc_id % 48) * 1000 + 8000))::BIGINT AS duration_ms,
+       (1 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END))::INT AS n_blocks
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC STREAMINFO gate (r7): synthesize a valid FLAC header chain per
+    doc (STREAMINFO 20/3/5/36-bit packed word, decoy PADDING and
+    VORBIS_COMMENT blocks, last-block flag), parse it back with the
+    independent block walker: rate / channels / depth / exact sample count
+    / duration — the lossless-audio curation columns, no frame decode
+    (that stays behind the decode_media vendor seam). Oracle = seed
+    arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "flac")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "audio/flac")
+    return multimodal.flac_meta(media)

@@ -1919,3 +1919,38 @@ def test_embedding_hygiene_hand_values_and_zero_vector(spark):
         "vec_id": 2, "norm": 0.0, "prefix_norm": 0.0,
         "prefix_unit": None, "is_zero": 1,
     }
+
+
+def test_flac_meta_golden_and_synth_roundtrip():
+    """FLAC block walker against handcrafted golden bytes (44.1kHz stereo
+    16-bit, single STREAMINFO) and the synth round trip; STREAMINFO-first
+    is enforced."""
+    import struct
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_flac_meta,
+        synth_flac,
+    )
+
+    word = (44100 << 44) | (1 << 41) | (15 << 36) | 88200
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)
+        + (100).to_bytes(3, "big") + (2000).to_bytes(3, "big")
+        + struct.pack(">Q", word) + b"\x00" * 16
+    )
+    golden = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    assert parse_flac_meta(golden) == (44100, 2, 16, 88200, 2000, 1)
+
+    for seed in [0, 1, 2, 3, 5, 6, 11, 12, 47, 100, 4999]:
+        sr, ch, bps, total, dur, nb = parse_flac_meta(synth_flac(seed))
+        assert sr == (seed % 48) * 1000 + 8000
+        assert (ch, bps, total) == (seed % 8 + 1, seed % 17 + 8, seed * 1000 + 1)
+        assert dur == total * 1000 // sr
+        assert nb == 1 + (seed % 2 == 0) + (seed % 3 == 0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a FLAC"):
+        parse_flac_meta(b"OggS\x00\x00\x00\x00")
+    with _pytest.raises(ValueError, match="not STREAMINFO"):
+        parse_flac_meta(b"fLaC" + bytes([0x81]) + (2).to_bytes(3, "big") + b"\x00\x00")
