@@ -622,24 +622,23 @@ def inverted_index(
     the ceiling compares ``df * den <= n_docs * num`` in pure integers so
     it is scale-relative and exactly reproducible.
 
-    Plan shape at scale: explode -> distinct (term, doc) pairs (one keyed
-    shuffle with map-side combine) -> per-term collect_sort (same key, no
-    second shuffle under partial aggregation) -> one-row corpus-count
-    broadcast for the ceiling. A term kept by the ceiling can still own a
-    posting list proportional to the corpus — inherent to inverted
-    indexes; a deployment shards hot terms by posting-range the same way
-    the LSH band store does. Output: (term, df, postings)."""
+    Plan shape at scale: explode -> ONE keyed shuffle on term with
+    map-side partial collect_set (within-doc repeats and cross-partition
+    duplicates both collapse before the wire; a (term, doc)-keyed distinct
+    first would shuffle twice for the same network bytes) -> one-row
+    corpus-count broadcast for the ceiling. A term kept by the ceiling can
+    still own a posting list proportional to the corpus — inherent to
+    inverted indexes; a deployment shards hot terms by posting-range the
+    same way the LSH band store does. Output: (term, df, postings)."""
     num, den = max_df_ratio
     pairs = docs.select(
         F.explode(tokenize(F.col(text_col))).alias("term"), F.col(id_col).alias("doc_id")
-    ).distinct()
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         pairs.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
-        )
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("postings"))
+        .withColumn("df", F.size("postings").cast("long"))
         .join(F.broadcast(n))
         .filter((F.col("df") >= min_df) & (F.col("df") * den <= F.col("n_docs") * num))
         .select("term", "df", "postings")
