@@ -359,3 +359,45 @@ def test_sessionize_two_phase_equals_single_phase(spark, rows):
         map(tuple, state.sessionize(df, "uid", "ts", mode="two_phase", **kw).collect())
     )
     assert single == two
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 40)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_calendar_streaks_model(spark, rows):
+    """calendar_streaks == a pure-Python islands model on random
+    (key, day-offset) multisets (duplicates collapse; runs split on any
+    gap > 1 day)."""
+    from datetime import date, timedelta
+
+    base = date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, base + timedelta(days=d)) for k, d in rows], "k long, d date"
+    )
+    got = {
+        r["k"]: (r["max_streak_days"], r["n_streaks"], r["active_days"])
+        for r in state.calendar_streaks(df, "k", F.col("d")).collect()
+    }
+
+    want = {}
+    by_key: dict[int, set[int]] = {}
+    for k, d in rows:
+        by_key.setdefault(k, set()).add(d)
+    for k, days in by_key.items():
+        ds = sorted(days)
+        runs = []
+        run = 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                runs.append(run)
+                run = 1
+        runs.append(run)
+        want[k] = (max(runs), len(runs), len(ds))
+    assert got == want
