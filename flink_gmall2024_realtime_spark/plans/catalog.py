@@ -5156,3 +5156,91 @@ def multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.synth_media(docs, "doc_id", "flac")
     media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "audio/flac")
     return multimodal.flac_meta(media)
+
+
+@register(
+    "q_full_outer_join",
+    oracle="""
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000),
+o AS (
+  SELECT o_custkey, count(*) AS order_cnt
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+)
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_name,
+       o.order_cnt,
+       CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END AS cust_missing,
+       CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END AS orders_missing
+FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+""",
+    survey_ids=("J2",),
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join with unmatched rows surviving from BOTH sides
+    (the retract-join surface J2 covers only the left-preserving half of):
+    high-balance customers vs open-order counts, each side filtered so
+    both kinds of dangling rows exist. SortMergeJoin on the shuffled key —
+    full-outer cannot broadcast (either side may need to emit unmatched),
+    which is exactly how it should plan at scale."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_name")
+    )
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+    j = cust.join(ords, cust.c_custkey == ords.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "order_cnt",
+        F.when(F.col("c_custkey").isNull(), 1).otherwise(0).alias("cust_missing"),
+        F.when(F.col("o_custkey").isNull(), 1).otherwise(0).alias("orders_missing"),
+    )
+
+
+@register(
+    "q_range_frame_sum",
+    oracle="""
+SELECT o_orderkey,
+       o_custkey,
+       round(CAST(sum(price) OVER (
+         PARTITION BY o_custkey ORDER BY day
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS trailing_30d
+FROM (
+  SELECT o_orderkey, o_custkey,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day,
+         CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+""",
+    survey_ids=("A2",),
+)
+def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per customer, the
+    trailing-30-day revenue at each order — the frame is defined on the
+    day VALUE, so all same-day peers enter together and within-frame row
+    order cannot matter; summing DECIMAL(18,2) keeps it order-invariant
+    exact. One Exchange + one Sort per customer; frames are bounded by
+    the 30-day span, not row count."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round("o_totalprice", 2).cast("decimal(18,2)").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("price").over(w).cast("double"), 2).alias("trailing_30d"),
+    )
