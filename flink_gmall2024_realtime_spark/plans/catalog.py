@@ -5244,3 +5244,253 @@ def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.sum("price").over(w).cast("double"), 2).alias("trailing_30d"),
     )
+
+
+# =========================================================================
+# Product-analytics suite (operators/analytics.py): funnel, retention,
+# gap-fill, equi-depth buckets, histogram, data-quality audit
+# =========================================================================
+
+
+@register(
+    "q_funnel_conversion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s2.t GROUP BY 1
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s3.t GROUP BY 1
+)
+SELECT 1 AS stage_index, 'signup' AS stage, (SELECT count(*) FROM s1) AS users
+UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+""",
+    survey_ids=("A2", "W2"),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel signup -> view -> click ->
+    purchase over the events stream (the composition of the reference's
+    per-step DWS windows, DwsUserUserLoginWindow.java:60-103). Each stage
+    is a keyed join + min-agg over the previous stage's PER-USER THRESHOLD
+    frame — see operators/analytics.funnel for the 100 TB argument."""
+    from ..operators import analytics
+
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.funnel(ev, ("signup", "view", "click", "purchase"))
+    return out.withColumn("stage_index", F.col("stage_index").cast("int"))
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts)::DATE AS w
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+first AS (SELECT u, min(w) AS cohort_week FROM uw GROUP BY 1),
+act AS (
+  SELECT uw.u, f.cohort_week,
+         CAST((uw.w - f.cohort_week) // 7 AS INT) AS week_offset
+  FROM uw JOIN first f ON uw.u = f.u
+),
+counted AS (
+  SELECT cohort_week, week_offset, count(*) AS n_users
+  FROM act GROUP BY 1, 2
+),
+base AS (
+  SELECT cohort_week, n_users AS cohort_size FROM counted WHERE week_offset = 0
+)
+SELECT c.cohort_week, c.week_offset, c.n_users, b.cohort_size,
+       round(c.n_users / b.cohort_size, 6) AS retained_ratio
+FROM counted c JOIN base b ON c.cohort_week = b.cohort_week
+""",
+    survey_ids=("W2", "W4"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (cohort = Monday-truncated week of first
+    event) — the batch generalization of the reference's is-new repair +
+    returning-user gap logic (DwsUserUserLoginWindow.java:78-95): the W2
+    ValueState answers 'is this the user's first week', W4's 7-day gap is
+    week_offset >= 1. See operators/analytics.retention_cohorts."""
+    from ..operators import analytics
+
+    return analytics.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "q_gap_fill_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS k, ts::DATE AS d, count(*) AS n,
+         round(max(value), 2) AS mx
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value > 195
+  GROUP BY 1, 2
+),
+span AS (SELECT k, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+calendar AS (
+  SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM span
+)
+SELECT c.k AS event_type, c.d AS day,
+       coalesce(dl.n, 0) AS n_events,
+       CAST(CASE WHEN dl.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+       last_value(dl.mx IGNORE NULLS) OVER (
+         PARTITION BY c.k ORDER BY c.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS carried_max_value
+FROM calendar c LEFT JOIN daily dl ON c.k = dl.k AND c.d = dl.d
+""",
+    survey_ids=("A1", "A3"),
+)
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward fill over a sparse daily series
+    (high-value events only, so real gaps exist at every SF): missing days
+    get n_events=0/is_gap=1 and carry the last observed max forward —
+    what Flink's continuously-firing windows give for free and a batch
+    engine must synthesize (DwsTrafficVcChArIsNewPageViewWindow.java's
+    dense emission). Window runs over the bounded per-key calendar frame,
+    never raw events — operators/analytics.gap_fill_daily."""
+    from ..operators import analytics
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 195)
+    return analytics.gap_fill_daily(ev)
+
+
+@register(
+    "q_equidepth_buckets",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT CAST(((rnk - 1) * 8) // n + 1 AS INT) AS bucket,
+       count(*) AS n_rows,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM ranked GROUP BY 1
+""",
+    survey_ids=("A2",),
+)
+def q_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (octile) bucketing of order value — the quantile-binning
+    step behind quality-score stratification. The global rank that makes
+    this a skew trap (row_number with no PARTITION BY = one task) runs as
+    skew.two_phase_rank over value-range buckets; only the tiny bucket-
+    count frame sees a global window. Bucket = ((rank-1)*8) div n + 1 in
+    integer arithmetic — identical formula in the oracle, hash-exact."""
+    from ..operators import analytics
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return analytics.equidepth_buckets(
+        o, "o_totalprice", "o_orderkey", k=8, bucket_width=25000.0
+    )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,
+       count(*) AS n_rows,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders WHERE o_totalprice IS NOT NULL
+GROUP BY 1
+""",
+    survey_ids=("A1",),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (bin = floor(v / 20000)): one
+    keyed shuffle with map-side partials, bin cardinality bounded by the
+    value range — the distribution-profile dual of q_equidepth_buckets
+    (fixed width vs fixed depth). floor of an IEEE division is
+    bit-identical across engines."""
+    from ..operators import analytics
+
+    return analytics.value_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 20000.0
+    )
+
+
+@register(
+    "q_dq_audit",
+    oracle="""
+SELECT 'orphan_order_custkey' AS check_name,
+       (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_bad,
+       (SELECT count(*) FROM orders) AS n_total
+UNION ALL
+SELECT 'orphan_lineitem_orderkey',
+       (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'dup_orderkey',
+       (SELECT coalesce(sum(c), 0) FROM (
+          SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)),
+       (SELECT count(*) FROM orders)
+UNION ALL
+SELECT 'null_custkey',
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+       (SELECT count(*) FROM orders)
+UNION ALL
+SELECT 'nonpositive_totalprice',
+       (SELECT count(*) FROM orders WHERE o_totalprice <= 0),
+       (SELECT count(*) FROM orders)
+""",
+    survey_ids=("P2", "P6"),
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit in one result set: referential orphans (anti
+    joins), duplicate-PK mass, null and domain violations — the batch
+    generalization of the reference's dirty-data side-output routing
+    (DwdBaseLog.java:216-239 dead-letter split). Anti joins are keyed
+    (AQE picks broadcast when the dim side is small); duplicate mass is
+    a keyed count-filter-sum; everything else is a scan aggregate. All
+    integer counts, hash-exact."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def _row(name: str, bad: DataFrame, total: DataFrame) -> DataFrame:
+        b = bad.agg(F.count(F.lit(1)).cast("long").alias("n_bad"))
+        t = total.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        return b.crossJoin(t).select(
+            F.lit(name).alias("check_name"), "n_bad", "n_total"
+        )
+
+    orphan_o = o.where(F.col("o_custkey").isNotNull()).join(
+        c, o["o_custkey"] == c["c_custkey"], "left_anti"
+    )
+    orphan_l = li.where(F.col("l_orderkey").isNotNull()).join(
+        o, li["l_orderkey"] == o["o_orderkey"], "left_anti"
+    )
+    dup_mass = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > 1)
+        .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_bad"))
+    )
+    dup_row = dup_mass.crossJoin(
+        o.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    ).select(F.lit("dup_orderkey").alias("check_name"), "n_bad", "n_total")
+
+    out = _row("orphan_order_custkey", orphan_o, o)
+    out = out.unionByName(_row("orphan_lineitem_orderkey", orphan_l, li))
+    out = out.unionByName(dup_row)
+    out = out.unionByName(_row("null_custkey", o.where(F.col("o_custkey").isNull()), o))
+    out = out.unionByName(
+        _row("nonpositive_totalprice", o.where(F.col("o_totalprice") <= 0), o)
+    )
+    return out

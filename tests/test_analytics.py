@@ -1,0 +1,197 @@
+"""Unit + property tests for operators/analytics.py (funnel, retention,
+gap-fill, equi-depth buckets, histogram)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_gmall2024_realtime_spark.operators import analytics
+
+TS = dt.datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def test_funnel_strict_ordering(spark):
+    # user 1 converts in order; user 2 purchases BEFORE clicking (must not
+    # count at the purchase stage); user 3 stops after view.
+    rows = [
+        (1, TS(2024, 1, 1, 0), "signup", 1.0),
+        (1, TS(2024, 1, 1, 1), "view", 1.0),
+        (1, TS(2024, 1, 1, 2), "click", 1.0),
+        (1, TS(2024, 1, 1, 3), "purchase", 1.0),
+        (2, TS(2024, 1, 2, 0), "signup", 1.0),
+        (2, TS(2024, 1, 2, 1), "view", 1.0),
+        (2, TS(2024, 1, 2, 2), "purchase", 1.0),  # out of order
+        (2, TS(2024, 1, 2, 3), "click", 1.0),
+        (3, TS(2024, 1, 3, 0), "signup", 1.0),
+        (3, TS(2024, 1, 3, 1), "view", 1.0),
+        # user 4 never signs up — invisible to every stage
+        (4, TS(2024, 1, 4, 0), "purchase", 1.0),
+    ]
+    out = analytics.funnel(
+        _events(spark, rows), ("signup", "view", "click", "purchase")
+    )
+    got = {r["stage"]: r["users"] for r in out.collect()}
+    assert got == {"signup": 3, "view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_ties_allowed(spark):
+    # same-timestamp events count (>= semantics)
+    t = TS(2024, 1, 1, 12)
+    rows = [(1, t, "signup", 1.0), (1, t, "view", 1.0)]
+    out = analytics.funnel(_events(spark, rows), ("signup", "view"))
+    got = {r["stage"]: r["users"] for r in out.collect()}
+    assert got == {"signup": 1, "view": 1}
+
+
+def _funnel_python(rows, stages):
+    """Reference model: per user, chained conditional minima."""
+    reached = []
+    users = sorted({u for u, _, _ in rows})
+    thresholds = {}
+    for i, s in enumerate(stages):
+        nxt = {}
+        for u in users:
+            prev = thresholds.get(u) if i else dt.datetime.min
+            if i and prev is None:
+                continue
+            cand = [t for uu, t, e in rows if uu == u and e == s and t >= prev]
+            if cand:
+                nxt[u] = min(cand)
+        thresholds = nxt
+        reached.append(len(nxt))
+    return reached
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=0, max_value=20),  # hour offset
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_funnel_matches_python_model(spark_module, events):
+    stages = ("a", "b", "c")
+    rows = [(u, TS(2024, 1, 1) + dt.timedelta(hours=h), e) for u, h, e in events]
+    expect = _funnel_python(rows, stages)
+    df = spark_module.createDataFrame(
+        [(u, t, e, 1.0) for u, t, e in rows] or [(None, None, None, None)],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    out = analytics.funnel(df, stages)
+    got = [r["users"] for r in out.orderBy("stage_index").collect()]
+    assert got == expect
+
+
+@pytest.fixture(scope="module")
+def spark_module(spark):
+    return spark
+
+
+# ------------------------------------------------------------- retention
+
+
+def test_retention_cohorts(spark):
+    # cohort week of 2024-01-01 (Mon): users 1,2. user 1 returns week 1;
+    # user 2 doesn't. user 3 starts week 1.
+    rows = [
+        (1, TS(2024, 1, 2), "view", 1.0),
+        (1, TS(2024, 1, 10), "view", 1.0),
+        (2, TS(2024, 1, 3), "view", 1.0),
+        (3, TS(2024, 1, 9), "view", 1.0),
+    ]
+    out = analytics.retention_cohorts(_events(spark, rows))
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): (r["n_users"], r["cohort_size"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2),
+        ("2024-01-01", 1): (1, 2),
+        ("2024-01-08", 0): (1, 1),
+    }
+
+
+# -------------------------------------------------------------- gap fill
+
+
+def test_gap_fill_daily(spark):
+    rows = [
+        (1, TS(2024, 1, 1, 5), "x", 10.0),
+        (1, TS(2024, 1, 1, 6), "x", 30.0),
+        # Jan 2, Jan 3 missing
+        (1, TS(2024, 1, 4, 5), "x", 7.0),
+        (1, TS(2024, 1, 2, 5), "y", 5.0),
+    ]
+    out = analytics.gap_fill_daily(_events(spark, rows)).orderBy(
+        "event_type", "day"
+    )
+    got = [
+        (r["event_type"], str(r["day"]), r["n_events"], r["is_gap"], r["carried_max_value"])
+        for r in out.collect()
+    ]
+    assert got == [
+        ("x", "2024-01-01", 2, 0, 30.0),
+        ("x", "2024-01-02", 0, 1, 30.0),
+        ("x", "2024-01-03", 0, 1, 30.0),
+        ("x", "2024-01-04", 1, 0, 7.0),
+        ("y", "2024-01-02", 1, 0, 5.0),
+    ]
+
+
+# ------------------------------------------------------- equi-depth/hist
+
+
+def test_equidepth_buckets_sizes_and_bounds(spark):
+    # 10 rows, k=4 -> sizes (by the floor formula) 3,2,3,2
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 11)], "o_orderkey long, v double"
+    )
+    out = analytics.equidepth_buckets(df, "v", "o_orderkey", k=4, bucket_width=25.0)
+    got = {r["bucket"]: (r["n_rows"], r["lo"], r["hi"]) for r in out.collect()}
+    assert got == {
+        1: (3, 10.0, 30.0),
+        2: (2, 40.0, 50.0),
+        3: (3, 60.0, 80.0),
+        4: (2, 90.0, 100.0),
+    }
+    # buckets partition the value order: each bucket's hi <= next bucket's lo
+    bounds = [got[b] for b in sorted(got)]
+    assert all(bounds[i][2] <= bounds[i + 1][1] for i in range(len(bounds) - 1))
+
+
+def test_equidepth_bucket_sizes_differ_by_at_most_one(spark):
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(57)], "o_orderkey long, v double"
+    )
+    out = analytics.equidepth_buckets(df, "v", "o_orderkey", k=8, bucket_width=10.0)
+    sizes = [r["n_rows"] for r in out.collect()]
+    assert sum(sizes) == 57 and len(sizes) == 8
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_value_histogram(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (19.9,), (20.0,), (45.0,), (None,)], "v double"
+    )
+    out = analytics.value_histogram(df, "v", 20.0)
+    got = {r["bin"]: (r["n_rows"], r["lo"], r["hi"]) for r in out.collect()}
+    assert got == {0: (2, 0.0, 19.9), 1: (1, 20.0, 20.0), 2: (1, 45.0, 45.0)}
