@@ -1018,6 +1018,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "gif": synth_gif,
         "webp": synth_webp,
         "flac": synth_flac,
+        "tiff": synth_tiff,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"
@@ -1342,3 +1343,203 @@ def flac_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, schema=FLAC_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# TIFF (6.0 baseline): header + IFD-chain metadata — dimensions, samples,
+# bit depth, compression, orientation, page count. Both byte orders (II/MM),
+# out-of-line value arrays (BitsPerSample for RGB, RATIONAL resolutions),
+# decoy tags (strips, description at an odd offset), and multi-page chains.
+# Pixel strips stay behind the decode_media seam; the directory structure
+# walks with struct alone. The EXIF APP1 payload inside JPEG is this exact
+# structure — _exif_orientation above is the single-tag special case.
+# --------------------------------------------------------------------------
+
+_TIFF_SHORT, _TIFF_LONG, _TIFF_ASCII, _TIFF_RATIONAL = 3, 4, 2, 5
+
+
+def synth_tiff(seed: int) -> bytes:
+    """Deterministic, structurally valid TIFF: header (byte order by seed
+    parity), IFD0 with ascending-tag entries — inline SHORT/LONG values
+    (left-justified per spec), out-of-line BitsPerSample when RGB,
+    RATIONAL X/YResolution, an odd-length ASCII description (alignment
+    decoy), strip offset/count decoys — and a chained second page when
+    seed % 3 == 0. All metadata is seed arithmetic the catalog oracle
+    reproduces independently."""
+    e = "<" if seed % 2 else ">"
+    width, height = seed % 509 + 1, seed % 389 + 1
+    nsamples = 1 if seed % 4 == 0 else 3
+    compression = 5 if seed % 5 == 0 else 1
+    orientation = seed % 8 + 1
+    two_pages = seed % 3 == 0
+
+    def inline_short(v: int) -> bytes:
+        return struct.pack(e + "H", v) + b"\x00\x00"  # left-justified
+
+    def inline_long(v: int) -> bytes:
+        return struct.pack(e + "I", v)
+
+    # entries: (tag, type, count, 4-byte value field) — value fields that
+    # reference the heap are patched once heap offsets are known.
+    heap = bytearray()
+    heap_refs: list[tuple[int, int, int]] = []  # (ifd_idx, entry_idx, heap_off)
+
+    def make_ifd(idx: int, w: int, h: int, first: bool) -> list:
+        entries = []
+
+        def add(tag, typ, count, value4):
+            entries.append([tag, typ, count, value4])
+
+        def add_heap(tag, typ, count, data: bytes):
+            # pad heap to even offset (TIFF values must be word-aligned)
+            if len(heap) % 2:
+                heap.append(0)
+            heap_refs.append((idx, len(entries), len(heap)))
+            heap.extend(data)
+            entries.append([tag, typ, count, b"\x00\x00\x00\x00"])
+
+        add(256, _TIFF_LONG, 1, inline_long(w))
+        add(257, _TIFF_LONG, 1, inline_long(h))
+        if nsamples == 1:
+            add(258, _TIFF_SHORT, 1, inline_short(8))
+        else:
+            add_heap(258, _TIFF_SHORT, nsamples,
+                     struct.pack(e + "%dH" % nsamples, *([8] * nsamples)))
+        add(259, _TIFF_SHORT, 1, inline_short(compression))
+        add(262, _TIFF_SHORT, 1, inline_short(2 if nsamples == 3 else 1))
+        if first:
+            desc = (b"synthetic fixture %d" % seed) + b"\x00"
+            if len(desc) % 2 == 0:
+                desc += b"x\x00"  # keep an ODD payload start somewhere later
+            add_heap(270, _TIFF_ASCII, len(desc), desc)
+        add(273, _TIFF_LONG, 1, inline_long(0xDEADBEE))  # strip offset decoy
+        if first:
+            add(274, _TIFF_SHORT, 1, inline_short(orientation))
+        add(277, _TIFF_SHORT, 1, inline_short(nsamples))
+        add(278, _TIFF_LONG, 1, inline_long(h))
+        add(279, _TIFF_LONG, 1, inline_long(w * h * nsamples))
+        add_heap(282, _TIFF_RATIONAL, 1, struct.pack(e + "II", 72, 1))
+        add_heap(283, _TIFF_RATIONAL, 1, struct.pack(e + "II", 72, 1))
+        return entries
+
+    ifds = [make_ifd(0, width, height, True)]
+    if two_pages:
+        ifds.append(make_ifd(1, seed % 97 + 1, seed % 73 + 1, False))
+
+    ifd_offsets, pos = [], 8
+    for entries in ifds:
+        ifd_offsets.append(pos)
+        pos += 2 + 12 * len(entries) + 4
+    heap_base = pos + (pos % 2)
+
+    for ifd_idx, entry_idx, off in heap_refs:
+        ifds[ifd_idx][entry_idx][3] = struct.pack(e + "I", heap_base + off)
+
+    out = [(b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, 8)]
+    for i, entries in enumerate(ifds):
+        nxt = ifd_offsets[i + 1] if i + 1 < len(ifds) else 0
+        body = struct.pack(e + "H", len(entries))
+        for tag, typ, count, value4 in entries:
+            body += struct.pack(e + "HHI", tag, typ, count) + value4
+        out.append(body + struct.pack(e + "I", nxt))
+    blob = b"".join(out)
+    blob += b"\x00" * (heap_base - len(blob))
+    return blob + bytes(heap)
+
+
+def parse_tiff_meta(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Header-only TIFF parse — no strip decode: walks the IFD chain from
+    IFD0, returns (width, height, n_samples, bits_per_sample, compressed,
+    orientation, n_pages). Page-1 tags win (later pages only count);
+    SHORT and LONG are both accepted for dimensions; BitsPerSample reads
+    its first value whether inline or out-of-line; defaults per TIFF 6.0
+    (samples 1, bits 1, compression 1, orientation 1)."""
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload (no II/MM)")
+    (magic,) = struct.unpack_from(e + "H", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+
+    def read_value(typ: int, count: int, raw4: bytes, first_only: bool = True) -> int:
+        size = 2 if typ == _TIFF_SHORT else 4
+        if typ not in (_TIFF_SHORT, _TIFF_LONG):
+            raise ValueError(f"unexpected type {typ}")
+        fmt = e + ("H" if typ == _TIFF_SHORT else "I")
+        if size * count <= 4:
+            return struct.unpack_from(fmt, raw4, 0)[0]
+        (off,) = struct.unpack(e + "I", raw4)
+        return struct.unpack_from(fmt, payload, off)[0]
+
+    width = height = None
+    nsamples, bits, compression, orientation = 1, 1, 1, 1
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    n_pages = 0
+    while ifd_off and n_pages < 64:
+        n_pages += 1
+        (count,) = struct.unpack_from(e + "H", payload, ifd_off)
+        for k in range(count):
+            off = ifd_off + 2 + 12 * k
+            tag, typ, cnt = struct.unpack_from(e + "HHI", payload, off)
+            raw4 = payload[off + 8 : off + 12]
+            if n_pages > 1:
+                continue
+            if tag == 256:
+                width = read_value(typ, cnt, raw4)
+            elif tag == 257:
+                height = read_value(typ, cnt, raw4)
+            elif tag == 258:
+                bits = read_value(typ, cnt, raw4)
+            elif tag == 259:
+                compression = read_value(typ, cnt, raw4)
+            elif tag == 274:
+                orientation = read_value(typ, cnt, raw4)
+            elif tag == 277:
+                nsamples = read_value(typ, cnt, raw4)
+        (ifd_off,) = struct.unpack_from(e + "I", payload, ifd_off + 2 + 12 * count)
+    if width is None or height is None:
+        raise ValueError("no dimensions in IFD0")
+    return (
+        width, height, nsamples, bits,
+        0 if compression == 1 else 1, orientation, n_pages,
+    )
+
+
+TIFF_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("compressed", IntegerType()),
+        StructField("orientation", IntegerType()),
+        StructField("n_pages", IntegerType()),
+    ]
+)
+
+
+def tiff_meta(media: DataFrame) -> DataFrame:
+    """TIFF directory metadata over an Arrow-batched binary column — the
+    scan/archival-image curation columns (dimensions, samples, bit depth,
+    compression, orientation, page count) without strip decode; the heavy
+    binary column is dropped before any shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ns, b, comp, ori, np_ = parse_tiff_meta(bytes(p))
+                rows.append((mid, w, h, ns, b, comp, ori, np_))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_samples",
+                    "bits_per_sample", "compressed", "orientation", "n_pages",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=TIFF_META_SCHEMA)

@@ -5494,3 +5494,35 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _row("nonpositive_totalprice", o.where(F.col("o_totalprice") <= 0), o)
     )
     return out
+
+
+@register(
+    "multimodal_tiff_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 509 + 1)::INT AS width,
+       (doc_id % 389 + 1)::INT AS height,
+       (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END)::INT AS n_samples,
+       8::INT AS bits_per_sample,
+       (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::INT AS compressed,
+       (doc_id % 8 + 1)::INT AS orientation,
+       (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::INT AS n_pages
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF metadata gate: synthesize a structurally valid TIFF per doc
+    (both II/MM byte orders, out-of-line BitsPerSample and RATIONAL
+    resolutions, odd-length ASCII decoys, strip decoys, chained second
+    page every third doc), then parse the IFD chain back with the
+    independent directory walker: dimensions, samples, bit depth,
+    compression flag, orientation, page count — the archival/scan image
+    curation columns, no strip decode (that stays behind the decode_media
+    vendor seam). The EXIF IFD inside multimodal_jpeg_meta is this exact
+    structure — one parser family, two container entries. Oracle = seed
+    arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "tiff")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/tiff")
+    return multimodal.tiff_meta(media)

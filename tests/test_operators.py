@@ -1954,3 +1954,48 @@ def test_flac_meta_golden_and_synth_roundtrip():
         parse_flac_meta(b"OggS\x00\x00\x00\x00")
     with _pytest.raises(ValueError, match="not STREAMINFO"):
         parse_flac_meta(b"fLaC" + bytes([0x81]) + (2).to_bytes(3, "big") + b"\x00\x00")
+
+
+def test_tiff_meta_golden_and_synth_roundtrip():
+    """IFD walker against handcrafted golden bytes (big-endian MM, SHORT
+    dimensions inline — the synth uses LONG, so the golden proves the
+    type-flexible read path) and the synth round trip over both byte
+    orders, out-of-line BitsPerSample, and multi-page chains."""
+    import struct
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_tiff_meta,
+        synth_tiff,
+    )
+
+    # golden: MM, one IFD at 8 with width=800 (SHORT), height=600 (SHORT),
+    # no other tags -> defaults samples 1, bits 1, compression 1 (raw),
+    # orientation 1, one page
+    golden = (
+        b"MM" + struct.pack(">HI", 42, 8)
+        + struct.pack(">H", 2)
+        + struct.pack(">HHI", 256, 3, 1) + struct.pack(">H", 800) + b"\x00\x00"
+        + struct.pack(">HHI", 257, 3, 1) + struct.pack(">H", 600) + b"\x00\x00"
+        + struct.pack(">I", 0)
+    )
+    assert parse_tiff_meta(golden) == (800, 600, 1, 1, 0, 1, 1)
+
+    for seed in range(0, 120):
+        w, h, ns, bits, comp, ori, npages = parse_tiff_meta(synth_tiff(seed))
+        assert (w, h) == (seed % 509 + 1, seed % 389 + 1)
+        assert ns == (1 if seed % 4 == 0 else 3)
+        assert bits == 8
+        assert comp == (1 if seed % 5 == 0 else 0)
+        assert ori == seed % 8 + 1
+        assert npages == (2 if seed % 3 == 0 else 1)
+
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        parse_tiff_meta(b"\xff\xd8\xff\xd9")
+    with _pytest.raises(ValueError, match="bad TIFF magic"):
+        parse_tiff_meta(b"II" + struct.pack("<HI", 43, 8))
+    with _pytest.raises(ValueError, match="no dimensions"):
+        parse_tiff_meta(
+            b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", 0) + struct.pack("<I", 0)
+        )
