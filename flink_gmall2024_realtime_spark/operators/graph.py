@@ -103,3 +103,63 @@ def pagerank(edges: DataFrame, iters: int = 3, checkpoint_every: int = 5) -> Dat
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
             pr = pr.localCheckpoint(eager=True)
     return pr
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle counts via degree-ordered wedge enumeration —
+    the O(m^1.5) algorithm, not the naive triple join.
+
+    Canonicalize to undirected distinct edges (a < b), then orient every
+    edge from its lower-(degree, id) endpoint to the higher one. Every
+    triangle has exactly ONE vertex whose two oriented out-edges reach the
+    other two (the order-smallest), so enumerating unordered out-neighbor
+    pairs per apex and closing them against the canonical edge set finds
+    each triangle exactly once. The payoff at scale: an oriented
+    out-degree is bounded by ~sqrt(2m) regardless of raw degree, so a
+    celebrity vertex with 10^6 neighbors does NOT enumerate 10^12 wedges —
+    its edges point INTO it and the wedge work lands on the low-degree
+    endpoints. All joins are keyed equi-joins (apex for the wedge
+    self-join, (lo, hi) pair for the closure); no cartesian anywhere.
+
+    Returns (vertex, n_triangles) for every vertex in at least one
+    triangle. Integer-exact.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("_db"))
+    with_deg = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    o1 = oriented.select("u", F.col("w").alias("v1"))
+    o2 = oriented.select("u", F.col("w").alias("v2"))
+    wedges = o1.join(o2, "u").where(F.col("v1") < F.col("v2"))
+    closed = wedges.join(
+        e,
+        (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b")),
+        "inner",
+    ).select("u", "v1", "v2")
+    verts = (
+        closed.select(F.col("u").alias("vertex"))
+        .unionAll(closed.select(F.col("v1").alias("vertex")))
+        .unionAll(closed.select(F.col("v2").alias("vertex")))
+    )
+    return verts.groupBy("vertex").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

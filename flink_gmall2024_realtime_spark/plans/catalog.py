@@ -5526,3 +5526,51 @@ def multimodal_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.synth_media(docs, "doc_id", "tiff")
     media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/tiff")
     return multimodal.tiff_meta(media)
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.s AS x, b.s AS y FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+),
+e AS (
+  SELECT x AS a, y AS b FROM pairs
+  WHERE {md5_long_sql_duckdb("x || '-' || y")} % 3 = 0
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+verts AS (
+  SELECT x AS vertex FROM t
+  UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t
+)
+SELECT vertex, count(*) AS n_triangles FROM verts GROUP BY 1
+""",
+    survey_ids=("graph-pagerank",),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-supply graph (suppliers sharing a
+    part, hash-sampled to ~1/3 of pairs so the fixture graph is not the
+    degenerate complete graph). The Spark side runs the degree-ordered
+    wedge enumeration (graph.triangle_count — O(m^1.5), celebrity-vertex
+    safe); the oracle is the INDEPENDENT naive a<b<c triple join, which is
+    only feasible because the fixture is small — agreeing answers from two
+    different algorithms is the point. Integer-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = ps.alias("pa"), ps.alias("pb")
+    pairs = (
+        a.join(b, (F.col("pa.p") == F.col("pb.p")) & (F.col("pa.s") < F.col("pb.s")))
+        .select(F.col("pa.s").alias("x"), F.col("pb.s").alias("y"))
+        .distinct()
+    )
+    edges = pairs.where(
+        md5_long(F.concat_ws("-", F.col("x"), F.col("y"))) % 3 == 0
+    )
+    return graph.triangle_count(edges, "x", "y").withColumnRenamed("vertex", "vertex")

@@ -1999,3 +1999,49 @@ def test_tiff_meta_golden_and_synth_roundtrip():
         parse_tiff_meta(
             b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", 0) + struct.pack("<I", 0)
         )
+
+
+class TestTriangleCount:
+    def test_hand_graph(self, spark):
+        """K4 minus one edge: triangles (1,2,3) and (1,2,4); vertex 1 and 2
+        in both, 3 and 4 in one each. Edge direction/duplication must not
+        matter (canonicalization)."""
+        from flink_gmall2024_realtime_spark.operators.graph import triangle_count
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (1, 4), (4, 2), (2, 1), (3, 2)],
+            "src long, dst long",
+        )
+        got = {r["vertex"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+        assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+    def test_no_triangles_and_self_loops(self, spark):
+        from flink_gmall2024_realtime_spark.operators.graph import triangle_count
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (5, 5)], "src long, dst long"
+        )
+        assert triangle_count(edges).count() == 0
+
+    def test_matches_brute_force_on_random_graph(self, spark):
+        """Degree-ordered enumeration == itertools brute force on a pseudo
+        random 18-vertex graph (deterministic edge hash)."""
+        import itertools
+
+        from flink_gmall2024_realtime_spark.operators.graph import triangle_count
+
+        n = 18
+        pairs = [
+            (a, b)
+            for a, b in itertools.combinations(range(n), 2)
+            if (a * 131 + b * 17) % 3 == 0
+        ]
+        adj = set(pairs)
+        expect: dict[int, int] = {}
+        for x, y, z in itertools.combinations(range(n), 3):
+            if (x, y) in adj and (y, z) in adj and (x, z) in adj:
+                for v in (x, y, z):
+                    expect[v] = expect.get(v, 0) + 1
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        got = {r["vertex"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+        assert got == expect
