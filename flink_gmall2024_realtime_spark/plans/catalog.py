@@ -5574,3 +5574,91 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long(F.concat_ws("-", F.col("x"), F.col("y"))) % 3 == 0
     )
     return graph.triangle_count(edges, "x", "y").withColumnRenamed("vertex", "vertex")
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+WITH RECURSIVE
+ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+prs AS (
+  SELECT DISTINCT a.s AS x, b.s AS y FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+),
+e AS (
+  SELECT x AS a, y AS b FROM prs
+  WHERE {md5_long_sql_duckdb("x || '-' || y")} % 3 = 0
+),
+und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach AS (
+  SELECT a AS src, b AS dst FROM und
+  UNION
+  SELECT r.src, u.b AS dst FROM reach r JOIN und u ON r.dst = u.a
+),
+verts AS (SELECT DISTINCT s AS v FROM ps)
+SELECT v AS supplier, least(v, coalesce(min(r.dst), v)) AS component_id
+FROM verts LEFT JOIN reach r ON r.src = v
+GROUP BY v
+""",
+    survey_ids=("graph-pagerank",),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the hash-sampled co-supply graph (same
+    edge set as graph_triangle_count): component_id = smallest reachable
+    supplier id. The Spark side is the iterative min-label propagation
+    already powering near-dup clustering (dedup.dedup_clusters —
+    O(diameter) keyed-join rounds, lineage cut per round via eager local
+    checkpoints); the oracle computes full transitive closure with a
+    recursive CTE — a formulation only feasible at fixture scale, which is
+    exactly why two independent algorithms agreeing is the check.
+    Integer-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = ps.alias("ca"), ps.alias("cb")
+    pairs = (
+        a.join(b, (F.col("ca.p") == F.col("cb.p")) & (F.col("ca.s") < F.col("cb.s")))
+        .select(F.col("ca.s").alias("x"), F.col("cb.s").alias("y"))
+        .distinct()
+    )
+    edges = pairs.where(
+        md5_long(F.concat_ws("-", F.col("x"), F.col("y"))) % 3 == 0
+    ).select(F.col("x").alias("id_a"), F.col("y").alias("id_b"))
+    verts = ps.select(F.col("s").alias("supplier")).distinct()
+    out = dedup.dedup_clusters(verts, edges, id_col="supplier")
+    return out.withColumnRenamed("cluster_id", "component_id")
+
+
+@register(
+    "q_unpivot_metrics",
+    oracle="""
+SELECT o_orderkey, 'total_price' AS metric, round(o_totalprice, 2) AS value
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, 'cust_key', CAST(o_custkey AS DOUBLE) FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, 'order_epoch_day', CAST(o_orderdate::DATE - DATE '1970-01-01' AS DOUBLE)
+FROM orders WHERE o_orderstatus = 'F'
+""",
+    survey_ids=("R2",),
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt): three typed metrics per order become
+    (key, metric, value) rows — the R2 array-flatten's relational dual and
+    the standard shape for metric stores. Spark's native unpivot plans an
+    Expand (each input row emits k rows map-side, no shuffle at all); the
+    oracle is the equivalent UNION ALL. Values are exact (round/cast,
+    no arithmetic)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    wide = o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.col("o_custkey").cast("double").alias("cust_key"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("double")
+        .alias("order_epoch_day"),
+    )
+    return wide.unpivot(
+        ["o_orderkey"],
+        ["total_price", "cust_key", "order_epoch_day"],
+        "metric",
+        "value",
+    )

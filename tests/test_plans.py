@@ -296,3 +296,21 @@ def test_index_sizing_launches_no_job(spark, sf_dir):
     assert after == before, "plan construction launched a Spark job"
     true_n = emb.count()
     assert similarity.auto_planes(est) == similarity.auto_planes(true_n)
+
+
+def test_unpivot_is_shuffle_free_expand(spark, sf_dir):
+    """UNPIVOT must plan as a map-side Expand (each row emits k metric
+    rows in place) — zero Exchanges; the melt never shuffles."""
+    plan = formatted_plan(spark, CATALOG["q_unpivot_metrics"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Expand" in tree
+    assert "Exchange" not in tree
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """Wedge enumeration and closure are keyed equi-joins — no cartesian
+    or nested-loop fallback anywhere in the triangle plan."""
+    plan = formatted_plan(spark, CATALOG["graph_triangle_count"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
