@@ -251,3 +251,64 @@ def value_histogram(df: DataFrame, value_col: str, width: float) -> DataFrame:
             F.round(F.max(value_col), 2).alias("hi"),
         )
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key time-weighted average: each observation holds its value
+    until the next one (zero-order hold), so the mean weights every value
+    by microseconds held — the correct summary for irregularly-sampled
+    series (a plain AVG over-weights bursts). Keys with one event (no held
+    interval) return NULL.
+
+    Exactness: values round to DECIMAL(18,2), durations are integer
+    microseconds, and the weighted mass sums as DECIMAL(38,2) — decimal
+    addition is associative/commutative, so partial aggregation order
+    cannot change the result and the SQL oracle hash-matches. Only the
+    final single division happens in doubles (both engines IEEE-divide the
+    same two exact values).
+
+    100 TB shape: one Exchange + Sort per key for the lead() window, then
+    a keyed aggregate reusing that partitioning. A hot key's rows do land
+    in one sort — for adversarial key skew, pre-bucket by (key, time
+    bucket) exactly as state.sessionize does (same two-phase recipe; the
+    stitch only needs each bucket's last row)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    held = (
+        events.where(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("t"),
+            F.round(F.col(value_col), 2).cast("decimal(18,2)").alias("v"),
+        )
+        .withColumn("_next", F.lead("t").over(Window.partitionBy("k").orderBy("t", "v")))
+        .where(F.col("_next").isNotNull())
+        .withColumn(
+            # ts is TIMESTAMP_NTZ; the ntz->ltz cast shifts both endpoints
+            # by the same session offset, so the difference is exact micros
+            "_dur",
+            (
+                F.unix_micros(F.col("_next").cast("timestamp"))
+                - F.unix_micros(F.col("t").cast("timestamp"))
+            ).cast("decimal(20,0)"),
+        )
+    )
+    agg = held.groupBy("k").agg(
+        F.sum(F.col("v") * F.col("_dur")).alias("_mass"),
+        F.sum("_dur").alias("_span"),
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        F.round(
+            F.col("_mass").cast("double") / F.col("_span").cast("double"), 6
+        ).alias("twavg"),
+        F.col("_span").cast("long").alias("held_micros"),
+    )

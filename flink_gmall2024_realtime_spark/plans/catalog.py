@@ -5662,3 +5662,42 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+WITH held AS (
+  SELECT user_id AS k,
+         CAST(round(value, 2) AS DECIMAL(18,2)) AS v,
+         ts AS t,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, CAST(round(value, 2) AS DECIMAL(18,2))) AS nxt
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+agg AS (
+  SELECT k,
+         sum(v * (epoch_us(nxt) - epoch_us(t))) AS mass,
+         sum(epoch_us(nxt) - epoch_us(t)) AS span
+  FROM held WHERE nxt IS NOT NULL GROUP BY k
+)
+SELECT k AS user_id,
+       round(CAST(mass AS DOUBLE) / CAST(span AS DOUBLE), 6) AS twavg,
+       CAST(span AS BIGINT) AS held_micros
+FROM agg
+""",
+    survey_ids=("A2", "J3"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value (zero-order hold:
+    each value is weighted by the microseconds until the user's next
+    event) — the correct mean for irregularly-sampled series, where plain
+    AVG over-weights bursts. DECIMAL(38,2) mass x integer-microsecond
+    durations keep the aggregation order-invariant exact; one final IEEE
+    division both engines share. See operators/analytics.time_weighted_avg
+    for the skew story (same two-phase recipe as sessionize if a key
+    floods)."""
+    from ..operators import analytics
+
+    return analytics.time_weighted_avg(_t(spark, sf_dir, "events"))

@@ -195,3 +195,29 @@ def test_value_histogram(spark):
     out = analytics.value_histogram(df, "v", 20.0)
     got = {r["bin"]: (r["n_rows"], r["lo"], r["hi"]) for r in out.collect()}
     assert got == {0: (2, 0.0, 19.9), 1: (1, 20.0, 20.0), 2: (1, 45.0, 45.0)}
+
+
+# ----------------------------------------------------------- time-weighted
+
+
+def test_time_weighted_avg_hand_values(spark):
+    """Zero-order hold: v=10 held 10s then v=20 held 30s -> 17.5; the
+    final observation holds nothing; single-event keys drop out."""
+    rows = [
+        (1, TS(2024, 1, 1, 0, 0, 0), "x", 10.0),
+        (1, TS(2024, 1, 1, 0, 0, 10), "x", 20.0),
+        (1, TS(2024, 1, 1, 0, 0, 40), "x", 99.0),
+        (2, TS(2024, 1, 1, 0, 0, 0), "x", 5.0),
+    ]
+    out = analytics.time_weighted_avg(_events(spark, rows))
+    got = {r["user_id"]: (r["twavg"], r["held_micros"]) for r in out.collect()}
+    assert got == {1: (17.5, 40_000_000)}
+
+
+def test_time_weighted_avg_equals_plain_avg_on_regular_grid(spark):
+    """On an evenly-spaced series the time-weighted mean equals the plain
+    mean of all but the last sample."""
+    rows = [(7, TS(2024, 1, 1, 0, 0, 10 * i), "x", float(v)) for i, v in enumerate([4, 8, 6, 2, 9])]
+    out = analytics.time_weighted_avg(_events(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["twavg"] == round(sum([4, 8, 6, 2]) / 4, 6)
