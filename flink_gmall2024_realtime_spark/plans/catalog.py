@@ -5701,3 +5701,65 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import analytics
 
     return analytics.time_weighted_avg(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "q_rank_distribution",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal FROM customer
+)
+SELECT c_custkey, c_nationkey, bal,
+       row_number() OVER w AS rnk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       lag(bal) OVER w AS prev_bal,
+       round(bal - lag(bal) OVER w, 2) AS step
+FROM c
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal, c_custkey)
+""",
+    survey_ids=("A2",),
+)
+def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window surface (row_number / percent_rank / cume_dist /
+    lag) computed WITHOUT a per-key single-task sort: skew.two_phase_rank
+    gives the unique (value, id) rank per nation, per-key counts give
+    n, and — because the ordering is unique, making every row its own peer
+    group — percent_rank = (rnk-1)/(n-1), cume_dist = rnk/n follow
+    arithmetically; lag is a keyed self-join on (key, rnk-1). The oracle
+    is the standard window formulation — same numbers, different plan: the
+    hot key's rows never gather into one task here, which is the 100 TB
+    difference. Ratios are single IEEE divisions of exact integers."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    ranked = skew.two_phase_rank(
+        c, "c_nationkey", "bal", "c_custkey", bucket_width=500.0, rank_col="rnk"
+    )
+    n = ranked.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("_n"))
+    prev = ranked.select(
+        F.col("c_nationkey").alias("_pk"),
+        (F.col("rnk") + 1).alias("_prnk"),
+        F.col("bal").alias("prev_bal"),
+    )
+    out = (
+        ranked.join(n, "c_nationkey")
+        .join(
+            prev,
+            (F.col("c_nationkey") == F.col("_pk")) & (F.col("rnk") == F.col("_prnk")),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "bal",
+            "rnk",
+            F.when(F.col("_n") == 1, F.lit(0.0))
+            .otherwise(F.round((F.col("rnk") - 1) / (F.col("_n") - 1), 6))
+            .alias("pct_rank"),
+            F.round(F.col("rnk") / F.col("_n"), 6).alias("cume"),
+            "prev_bal",
+            F.round(F.col("bal") - F.col("prev_bal"), 2).alias("step"),
+        )
+    )
+    return out
