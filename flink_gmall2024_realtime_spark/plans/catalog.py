@@ -5763,3 +5763,129 @@ def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "q_rolling_wau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+days AS (SELECT DISTINCT d FROM ud),
+win AS (
+  SELECT DISTINCT ud.u, days.d
+  FROM ud JOIN days ON days.d >= ud.d AND days.d <= ud.d + INTERVAL 6 DAY
+)
+SELECT d AS day, count(*) AS wau FROM win GROUP BY 1
+""",
+    survey_ids=("A4", "W3"),
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the sliding-window DISTINCT
+    that a naive window function cannot express (COUNT(DISTINCT) over a
+    RANGE frame isn't supported, and recomputing distinct per day rescans
+    everything). The scalable shape: collapse to distinct (user, day)
+    FIRST, then each pair contributes to exactly 7 window-days via a
+    bounded explode(sequence), distinct again, and count — work is
+    7 x |user-days|, independent of raw event volume. The oracle joins a
+    calendar instead (feasible only at fixture scale). Only days that
+    appear in the data are reported (declared semantics: a day with zero
+    events has no row). Integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    ud = (
+        ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(F.col("user_id").alias("u"), F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    expanded = ud.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6), F.expr("interval 1 day"))
+        ).alias("wd"),
+    ).distinct()
+    # keep only window-days that exist in the data (join on the small
+    # distinct-days frame; broadcast)
+    present = expanded.join(
+        F.broadcast(days).withColumnRenamed("d", "wd"), "wd"
+    )
+    return present.groupBy(F.col("wd").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+cnt AS (
+  SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT src, sum(n) AS n_src FROM cnt GROUP BY 1)
+SELECT c.src, c.dst, c.n, round(c.n / t.n_src, 6) AS p
+FROM cnt c JOIN tot t ON c.src = t.src
+""",
+    survey_ids=("A2", "graph-pagerank"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    count (src -> next) pairs, normalize per source — the behavioral model
+    behind next-event prediction and the probabilistic sibling of the
+    pagerank click-graph (graph.transition_edges). The lead() window
+    orders by (ts, event_id) — unique, so deterministic; counts shuffle
+    once keyed on (src, dst), and the normalization joins a 5x5 frame.
+    Counts are exact; p is one IEEE division both engines share."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cnt.groupBy("src").agg(F.sum("n").alias("_n_src"))
+    return cnt.join(tot, "src").select(
+        "src", "dst", "n", F.round(F.col("n") / F.col("_n_src"), 6).alias("p")
+    )
+
+
+@register(
+    "q_mode_per_group",
+    oracle="""
+WITH cnt AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment AS mode_segment, n AS mode_count
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_nationkey ORDER BY n DESC, c_mktsegment
+  ) AS rn FROM cnt
+)
+WHERE rn = 1
+""",
+    survey_ids=("A2",),
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent market segment per
+    nation, ties broken by segment name ascending — declared, not
+    incidental): two keyed aggregates with map-side partials, no window,
+    no sort of raw rows. Spark side uses min_by over the (-count, value)
+    struct; the oracle mirrors with a rank-1 window over the counts frame.
+    Integer-exact."""
+    c = _t(spark, sf_dir, "customer")
+    cnt = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return cnt.groupBy("c_nationkey").agg(
+        F.min_by(
+            "c_mktsegment", F.struct((-F.col("n")).alias("neg"), F.col("c_mktsegment"))
+        ).alias("mode_segment"),
+        F.max("n").alias("mode_count"),
+    )
