@@ -258,6 +258,9 @@ def time_weighted_avg(
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    mode: str = "auto",
+    bucket_seconds: int = 3600,
+    single_phase_max_rows: int = 500_000,
 ) -> DataFrame:
     """Per-key time-weighted average: each observation holds its value
     until the next one (zero-order hold), so the mean weights every value
@@ -272,25 +275,70 @@ def time_weighted_avg(
     final single division happens in doubles (both engines IEEE-divide the
     same two exact values).
 
-    100 TB shape: one Exchange + Sort per key for the lead() window, then
-    a keyed aggregate reusing that partitioning. A hot key's rows do land
-    in one sort — for adversarial key skew, pre-bucket by (key, time
-    bucket) exactly as state.sessionize does (same two-phase recipe; the
-    stitch only needs each bucket's last row)."""
-    w = Window.partitionBy(key_col).orderBy(ts_col)
+    Two physical plans, same result (property-tested on random inputs):
+
+    - ``mode="single"``: one ``lead()`` window per key — one Exchange +
+      Sort, cheapest at small scale, but a hot key's history sorts in ONE
+      task.
+    - ``mode="two_phase"``: the skew-safe lead (state.sessionize's recipe,
+      simpler here because no gap logic is involved): bucket rows by
+      ``(key, floor(ts / bucket_seconds))`` and take the local lead; the
+      successor of each bucket's LAST row is exactly the first event of
+      the key's next non-empty bucket, read from a per-(key, bucket)
+      min-aggregate — an ``O(buckets)``-per-key frame whose own lead
+      window is the only per-key pass. Empty buckets need no guard: the
+      bucket frame holds only non-empty buckets, so ``lead`` skips them
+      by construction. Max task = one key's rows per ``bucket_seconds``,
+      time-bounded instead of lifetime-bounded.
+    - ``mode="auto"`` (default): single-phase iff the job-free
+      ``estimated_row_count`` says even the worst key (= all rows) fits
+      ``single_phase_max_rows`` — the same principled bound sessionize
+      uses (over-estimates on filtered inputs, erring skew-safe)."""
+    if mode not in ("auto", "single", "two_phase"):
+        raise ValueError(f"unknown mode {mode!r}")
+    base = events.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("t"),
+        F.round(F.col(value_col), 2).cast("decimal(18,2)").alias("v"),
+    )
+    if mode == "auto":
+        from .similarity import estimated_row_count
+
+        mode = (
+            "single"
+            if estimated_row_count(events) <= single_phase_max_rows
+            else "two_phase"
+        )
+    if mode == "single":
+        with_next = base.withColumn(
+            "_next", F.lead("t").over(Window.partitionBy("k").orderBy("t", "v"))
+        )
+    else:
+        bucketed = base.withColumn(
+            "_bkt",
+            F.floor(
+                F.unix_micros(F.col("t").cast("timestamp"))
+                / (int(bucket_seconds) * 1_000_000)
+            ),
+        )
+        local = Window.partitionBy("k", "_bkt").orderBy("t", "v")
+        loc = bucketed.withColumn("_next_loc", F.lead("t").over(local))
+        firsts = bucketed.groupBy("k", "_bkt").agg(F.min("t").alias("_first_t"))
+        nxt_bucket = Window.partitionBy("k").orderBy("_bkt")
+        nexts = firsts.withColumn(
+            "_next_first", F.lead("_first_t").over(nxt_bucket)
+        ).select("k", "_bkt", "_next_first")
+        with_next = (
+            loc.join(nexts, ["k", "_bkt"])
+            .withColumn("_next", F.coalesce(F.col("_next_loc"), F.col("_next_first")))
+            .drop("_bkt", "_next_loc", "_next_first")
+        )
     held = (
-        events.where(
-            F.col(key_col).isNotNull()
-            & F.col(ts_col).isNotNull()
-            & F.col(value_col).isNotNull()
-        )
-        .select(
-            F.col(key_col).alias("k"),
-            F.col(ts_col).alias("t"),
-            F.round(F.col(value_col), 2).cast("decimal(18,2)").alias("v"),
-        )
-        .withColumn("_next", F.lead("t").over(Window.partitionBy("k").orderBy("t", "v")))
-        .where(F.col("_next").isNotNull())
+        with_next.where(F.col("_next").isNotNull())
         .withColumn(
             # ts is TIMESTAMP_NTZ; the ntz->ltz cast shifts both endpoints
             # by the same session offset, so the difference is exact micros

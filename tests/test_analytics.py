@@ -221,3 +221,51 @@ def test_time_weighted_avg_equals_plain_avg_on_regular_grid(spark):
     out = analytics.time_weighted_avg(_events(spark, rows)).collect()
     assert len(out) == 1
     assert out[0]["twavg"] == round(sum([4, 8, 6, 2]) / 4, 6)
+
+
+def test_time_weighted_avg_two_phase_boundary(spark):
+    """Bucket-boundary stitch: last row of an hour-bucket holds until the
+    first event of the key's NEXT non-empty bucket (empty buckets between
+    them need no special casing)."""
+    rows = [
+        (1, TS(2024, 1, 1, 0, 59, 0), "x", 10.0),
+        # hours 1 and 2 empty
+        (1, TS(2024, 1, 1, 3, 0, 0), "x", 40.0),
+        (1, TS(2024, 1, 1, 3, 30, 0), "x", 99.0),
+    ]
+    single = analytics.time_weighted_avg(_events(spark, rows), mode="single").collect()
+    two = analytics.time_weighted_avg(
+        _events(spark, rows), mode="two_phase", bucket_seconds=3600
+    ).collect()
+    assert [r.asDict() for r in single] == [r.asDict() for r in two]
+    # 10 held 121 min, 40 held 30 min
+    assert single[0]["twavg"] == round((10 * 121 + 40 * 30) / 151, 6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),     # key
+            st.integers(min_value=0, max_value=18000), # seconds offset (spans 5 hours)
+            st.integers(min_value=0, max_value=500),   # value cents
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_time_weighted_avg_two_phase_equals_single(spark_module, events):
+    rows = [
+        (u, TS(2024, 1, 1) + dt.timedelta(seconds=s), "x", v / 100.0)
+        for u, s, v in events
+    ]
+    df = spark_module.createDataFrame(
+        rows or [(None, None, None, None)],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    one = {r["user_id"]: (r["twavg"], r["held_micros"])
+           for r in analytics.time_weighted_avg(df, mode="single").collect()}
+    two = {r["user_id"]: (r["twavg"], r["held_micros"])
+           for r in analytics.time_weighted_avg(
+               df, mode="two_phase", bucket_seconds=3600).collect()}
+    assert one == two
