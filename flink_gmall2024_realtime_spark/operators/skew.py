@@ -96,3 +96,56 @@ def salted_join_hint(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return big_s.join(small_s, on=[key, "_salt"]).drop("_salt")
+
+
+def two_phase_cumsum(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    weight_col: str,
+    bucket_width: float,
+    cum_col: str = "cum_w",
+    total_col: str = "total_w",
+) -> DataFrame:
+    """Skew-proof per-key running total: inclusive
+    ``SUM(weight) OVER (PARTITION BY key ORDER BY order_col, tiebreak)``
+    plus the key's grand total, without sorting any key's rows in one
+    task — the weighted generalization of `two_phase_rank` (same bucket
+    decomposition; rank is the weight==1 special case):
+
+    1. bucket rows by value range;
+    2. local inclusive cumsum within (key, bucket);
+    3. per-(key, bucket) weight totals get the ONLY per-key window — a
+       running total over the tiny keys x buckets frame — giving each
+       bucket its preceding-weight offset and the key total;
+    4. final ``cum = local_cum + offset``.
+
+    Exactness: weights must sum exactly regardless of order (integers,
+    integral doubles < 2^53, or decimals) — the caller's contract, same
+    as every oracle-checked aggregate here. (order_col, tiebreak) must be
+    unique per key for a deterministic inclusive prefix."""
+    from pyspark.sql import Window
+
+    b = df.withColumn("_b", F.floor(F.col(order_col) / bucket_width))
+    local = (
+        Window.partitionBy(key, "_b")
+        .orderBy(order_col, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_local = b.withColumn("_cl", F.sum(weight_col).over(local))
+    totals = b.groupBy(key, "_b").agg(F.sum(weight_col).alias("_bw"))
+    run = (
+        Window.partitionBy(key)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grand = Window.partitionBy(key)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_bw").over(run), F.lit(0))
+    ).withColumn(total_col, F.sum("_bw").over(grand))
+    return (
+        cum_local.join(offsets.select(key, "_b", "_off", total_col), [key, "_b"])
+        .withColumn(cum_col, F.col("_cl") + F.col("_off"))
+        .drop("_b", "_cl", "_off", "_bw")
+    )

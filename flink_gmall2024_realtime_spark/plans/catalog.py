@@ -5899,3 +5899,60 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mode_segment"),
         F.max("n").alias("mode_count"),
     )
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+WITH r AS (
+  SELECT l.l_suppkey, round(l.l_extendedprice, 2) AS price, l.l_quantity AS w,
+         sum(l.l_quantity) OVER (
+           PARTITION BY l.l_suppkey
+           ORDER BY round(l.l_extendedprice, 2), l.l_orderkey, l.l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_w,
+         sum(l.l_quantity) OVER (PARTITION BY l.l_suppkey) AS total_w
+  FROM lineitem l
+)
+SELECT l_suppkey,
+       min(price) FILTER (WHERE cum_w * 2 >= total_w) AS weighted_median_price,
+       max(total_w) AS total_quantity
+FROM r GROUP BY l_suppkey
+""",
+    survey_ids=("A2",),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower) of line price per supplier, weighted
+    by quantity: the first price (in (price, orderkey, linenumber) order)
+    whose inclusive cumulative weight reaches half the total. The
+    cumulative weight — the skew trap, since a running total over raw rows
+    normally pins a key to one task — comes from skew.two_phase_cumsum
+    (two_phase_rank's weighted generalization: local prefix within value
+    buckets + one window over the tiny (key, bucket) totals frame). The
+    oracle is the standard one-window formulation. Quantities are integral
+    doubles far below 2^53, so every partial sum is exact in any order."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.col("l_quantity").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    # unique per-key order: (price, orderkey, linenumber)
+    cum = skew.two_phase_cumsum(
+        li.withColumn(
+            "_tb",
+            F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        ),
+        "l_suppkey",
+        "price",
+        "_tb",
+        "w",
+        bucket_width=5000.0,
+    )
+    return cum.groupBy("l_suppkey").agg(
+        F.min(F.when(F.col("cum_w") * 2 >= F.col("total_w"), F.col("price"))).alias(
+            "weighted_median_price"
+        ),
+        F.max("total_w").alias("total_quantity"),
+    )

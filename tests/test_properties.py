@@ -401,3 +401,45 @@ def test_calendar_streaks_model(spark, rows):
         runs.append(run)
         want[k] = (max(runs), len(runs), len(ds))
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # key
+            st.integers(min_value=0, max_value=99),   # order value
+            st.integers(min_value=1, max_value=9),    # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_two_phase_cumsum_equals_plain_window(spark, rows):
+    """two_phase_cumsum == SUM() OVER (PARTITION BY key ORDER BY v, id
+    ROWS UNBOUNDED PRECEDING..CURRENT) + SUM() OVER (PARTITION BY key),
+    on random inputs with deliberate duplicate order values (the id
+    tiebreak makes the prefix deterministic)."""
+    from pyspark.sql import Window
+
+    from flink_gmall2024_realtime_spark.operators.skew import two_phase_cumsum
+
+    data = [(k, float(v), float(w), i) for i, (k, v, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, v double, w double, id long")
+    got = {
+        r["id"]: (r["cum_w"], r["total_w"])
+        for r in two_phase_cumsum(df, "k", "v", "id", "w", bucket_width=10.0).collect()
+    }
+    win = (
+        Window.partitionBy("k").orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expect = {
+        r["id"]: (r["cw"], r["tw"])
+        for r in df.select(
+            "id",
+            F.sum("w").over(win).alias("cw"),
+            F.sum("w").over(Window.partitionBy("k")).alias("tw"),
+        ).collect()
+    }
+    assert got == expect
