@@ -175,3 +175,48 @@ def test_scaled_fixtures_grow_joins_by_m_not_m_squared(spark, sf_dir):
     f1 = o1.join(c1, o1["o_custkey"] == c1["c_custkey"]).count()
     fm = om.join(cm, om["o_custkey"] == cm["c_custkey"]).count()
     assert fm == m * f1
+
+
+def test_format_roundtrip_matrix(spark, sf_dir, tmp_path):
+    """Spark-native source formats (csv, json, orc) round-trip the orders
+    fixture losslessly: write from the parquet frame, read back with an
+    explicit schema, compare full contents. CSV/JSON stringify timestamps
+    (written/parsed with an explicit pattern carrying microseconds); ORC
+    is binary-faithful including TIMESTAMP_NTZ. This is the bounded-source
+    connector surface (SURVEY S4 family) beyond the parquet fixtures."""
+    from flink_gmall2024_realtime_spark.sources.fixtures import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    expect = sorted(
+        (r["o_orderkey"], r["o_custkey"], r["o_orderstatus"],
+         round(r["o_totalprice"], 2), str(r["o_orderdate"]), r["o_orderpriority"])
+        for r in orders.collect()
+    )
+    tspat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    schema = orders.schema
+
+    def norm(df):
+        return sorted(
+            (r["o_orderkey"], r["o_custkey"], r["o_orderstatus"],
+             round(r["o_totalprice"], 2), str(r["o_orderdate"]), r["o_orderpriority"])
+            for r in df.collect()
+        )
+
+    csv_dir = str(tmp_path / "orders_csv")
+    orders.write.option("header", "true").option("timestampNTZFormat", tspat).csv(csv_dir)
+    got_csv = (
+        spark.read.schema(schema).option("header", "true")
+        .option("timestampNTZFormat", tspat).csv(csv_dir)
+    )
+    assert norm(got_csv) == expect
+
+    json_dir = str(tmp_path / "orders_json")
+    orders.write.option("timestampNTZFormat", tspat).json(json_dir)
+    got_json = spark.read.schema(schema).option("timestampNTZFormat", tspat).json(json_dir)
+    assert norm(got_json) == expect
+
+    orc_dir = str(tmp_path / "orders_orc")
+    orders.write.orc(orc_dir)
+    got_orc = spark.read.orc(orc_dir)
+    assert got_orc.schema == schema
+    assert norm(got_orc) == expect
