@@ -235,3 +235,62 @@ def apply_stateful(grouped, func, schema: StructType, state_schema: StructType):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("stage_reached", IntegerType()),
+    ]
+)
+
+FUNNEL_STATE = StructType(
+    [
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+        StructField("t3", LongType()),
+        StructField("t4", LongType()),
+    ]
+)
+
+
+def funnel_progress_func(
+    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of the strictly-ordered funnel
+    (operators.analytics.funnel, 4 stages): per-user state is the vector
+    of chained minimum timestamps (micros) — stage *i*'s earliest
+    occurrence at-or-after the stage *i-1* threshold. Input rows need
+    (key, ts_micros, stage_idx in 0..3).
+
+    Exactness contract (same as every twin here): equal to the batch
+    funnel when events REPLAY in event-time order across batches;
+    within-batch disorder is fully handled (rows sort here before the
+    fold). The chained-minima funnel is online-computable in time order —
+    when an event at time t is processed, every earlier event has been
+    folded, so the stage i-1 threshold visible at that moment is exactly
+    the batch threshold restricted to [.., t], which is what the batch
+    condition ``t >= t_{i-1}`` reads. Late cross-batch stragglers can
+    only UNDER-advance (never corrupt) the vector: a late stage-1 event
+    may lower t1 but already-set later thresholds are not retracted —
+    the documented watermark-bounded semantics.
+
+    Emits the user's furthest stage after each batch (monotone
+    non-decreasing, so MAX over emissions == final state)."""
+    thr: list = list(state.get) if state.exists else [None, None, None, None]
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    rows = sorted(zip(pdf["ts_micros"], pdf["stage_idx"]))
+    for t, s in rows:
+        t, s = int(t), int(s)
+        if s == 0:
+            if thr[0] is None or t < thr[0]:
+                thr[0] = t
+        elif thr[s - 1] is not None and t >= thr[s - 1]:
+            if thr[s] is None or t < thr[s]:
+                thr[s] = t
+    state.update(tuple(thr))
+    furthest = 0
+    for i, v in enumerate(thr):
+        if v is not None:
+            furthest = i + 1
+    yield pd.DataFrame([(key[0], furthest)], columns=["key", "stage_reached"])

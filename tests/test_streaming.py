@@ -1077,3 +1077,67 @@ def test_heal_index_swap_rolls_forward(tmp_path):
     sinks._heal_index_swap(idx)
     assert os.path.isdir(os.path.join(idx, "docs.stage"))
     assert open(os.path.join(idx, "docs", "gen")).read() == "new"
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Three-batch event-time-ordered replay of the events fixture through
+    the stateful funnel twin equals the batch funnel's per-stage counts;
+    within-batch rows are deliberately unsorted (the func sorts)."""
+    import os as _os
+
+    from flink_gmall2024_realtime_spark.operators import analytics
+    from flink_gmall2024_realtime_spark.sources.fixtures import load_table
+    from flink_gmall2024_realtime_spark.streaming.state import (
+        FUNNEL_SCHEMA,
+        FUNNEL_STATE,
+        funnel_progress_func,
+    )
+
+    stages = ["signup", "view", "click", "purchase"]
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(stages) & F.col("user_id").isNotNull()
+    )
+    want = {
+        r["stage_index"]: r["users"]
+        for r in analytics.funnel(ev, tuple(stages)).collect()
+    }
+
+    # time-partitioned 3-batch replay directory
+    src = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_micros"),
+        F.array_position(F.array(*[F.lit(s) for s in stages]), F.col("event_type"))
+        .cast("int")
+        .alias("pos"),
+    ).withColumn("stage_idx", (F.col("pos") - 1).cast("int")).drop("pos")
+    lo, hi = src.agg(F.min("ts_micros"), F.max("ts_micros")).first()
+    cuts = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    replay = str(tmp_path / "funnel_replay")
+    _os.makedirs(replay)
+    parts = [
+        src.where(F.col("ts_micros") <= cuts[0]),
+        src.where((F.col("ts_micros") > cuts[0]) & (F.col("ts_micros") <= cuts[1])),
+        src.where(F.col("ts_micros") > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(tmp_path / f"b{i}"))
+        f = [x for x in _os.listdir(str(tmp_path / f"b{i}")) if x.endswith(".parquet")][0]
+        dst = _os.path.join(replay, f"batch_{i}.parquet")
+        _os.rename(_os.path.join(str(tmp_path / f"b{i}"), f), dst)
+        _os.utime(dst, (1000 + i, 1000 + i))  # file-source order = mtime
+
+    sch = "key string, ts_micros long, stage_idx int"
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(replay)
+    )
+    out = apply_stateful(
+        stream.groupBy("key"), funnel_progress_func, FUNNEL_SCHEMA, FUNNEL_STATE
+    )
+    run_stream(out, str(tmp_path), "funnel_twin")
+    rows = spark.sql(
+        "select key, max(stage_reached) as s from funnel_twin group by key"
+    ).collect()
+    got = {
+        i: sum(1 for r in rows if r["s"] >= i) for i in range(1, 5)
+    }
+    assert got == want
