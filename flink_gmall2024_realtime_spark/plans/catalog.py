@@ -6047,3 +6047,174 @@ def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept"),
     )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+SELECT grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_priority,
+       o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority), ())
+""",
+    survey_ids=("A1", "A3"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (each dimension alone, the cross, and the
+    grand total) with grouping() indicator columns — completing the
+    grouped-aggregation surface next to q_rollup and q_cube_counts. Spark
+    plans ONE scan + one Expand (4 replicas map-side) + one shuffle; at
+    scale the Expand multiplies map output, which is the documented cost
+    of multi-set aggregation vs running the sets separately (4 scans).
+    Indicator + count + min/max only: integer/rounded-exact."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return o.sparkSession.sql(
+        """
+        SELECT grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        """
+    ).withColumn("g_status", F.col("g_status").cast("int")).withColumn(
+        "g_priority", F.col("g_priority").cast("int")
+    )
+
+
+@register(
+    "q_grouped_correlation",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000000 AS xs,
+         CAST(round(round(value, 6) * 1000000.0, 0) AS BIGINT) AS ym
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+base AS (SELECT event_type, min(xs) AS x0 FROM q GROUP BY 1),
+c AS (SELECT q.event_type, (q.xs - b.x0) AS x, q.ym AS y FROM q JOIN base b USING (event_type)),
+s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM c GROUP BY 1
+)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
+FROM s
+""",
+    survey_ids=("A2",),
+)
+def q_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation of value against time from the same
+    exact integer sufficient statistics as q_linear_trend (plus Σy²):
+    decimal sums make the aggregation order-free; r is two IEEE sqrt/
+    divide steps both engines share. The built-in F.corr is the
+    convenience path but accumulates in floats (order-dependent at the
+    ulp level, unusable for a hash gate) — the sufficient-statistics
+    formulation is both the exact one and the map-reduce-friendly one."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    q = ev.select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("xs"),
+        F.round(F.round("value", 6) * 1_000_000.0, 0).cast("long").alias("ym"),
+    )
+    base = q.groupBy("event_type").agg(F.min("xs").alias("_x0"))
+    c = q.join(base, "event_type").select(
+        "event_type",
+        (F.col("xs") - F.col("_x0")).alias("x"),
+        F.col("ym").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(20,0)")
+    yd = F.col("y").cast("decimal(20,0)")
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(20,0)")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt((nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            / F.sqrt((nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+            6,
+        ).alias("pearson_r"),
+    )
+
+
+@register(
+    "q_daily_anomalies",
+    oracle="""
+WITH d AS (
+  SELECT event_type, ts::DATE AS day, count(*) AS n
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, count(*) AS k, sum(n) AS sn, sum(n * n) AS snn
+  FROM d GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n,
+       round(CAST(d.n * s.k - s.sn AS DOUBLE)
+             / sqrt(CAST(s.k * s.snn - s.sn * s.sn AS DOUBLE)), 6) AS z_num_scaled,
+       CASE WHEN abs(CAST(d.n * s.k - s.sn AS DOUBLE))
+                 > 2.0 * sqrt(CAST(s.k * s.snn - s.sn * s.sn AS DOUBLE))
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM d JOIN s USING (event_type)
+""",
+    survey_ids=("A1", "P2"),
+)
+def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly gate over daily event volumes: a day is anomalous
+    when |n - mean| > 2 sigma within its event type. Rearranged to clear
+    denominators — compare ``|n*k - sum(n)|`` against
+    ``2*sqrt(k*sum(n^2) - sum(n)^2)`` — so every input to the one sqrt
+    and one divide is an EXACT integer (counts and counts-of-squares);
+    the flag is a comparison both engines evaluate on identical doubles.
+    Two keyed aggregates over the bounded per-(type, day) frame; the
+    monitoring primitive a curation pipeline runs on every ingest."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    j = d.join(s, "event_type")
+    num = (F.col("n") * F.col("k") - F.col("sn")).cast("double")
+    var = (F.col("k") * F.col("snn") - F.col("sn") * F.col("sn")).cast("double")
+    return j.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(num / F.sqrt(var), 6).alias("z_num_scaled"),
+        F.when(F.abs(num) > 2.0 * F.sqrt(var), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_anomaly"),
+    )
