@@ -6218,3 +6218,136 @@ def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "q_last_touch_attribution",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS last_click_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w AS last_click_ts,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS first_view_ts
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       last_click_id,
+       CAST(CASE WHEN last_click_ts IS NOT NULL
+                 THEN epoch_us(ts) // 1000000 - epoch_us(last_click_ts) // 1000000 END
+            AS BIGINT) AS secs_since_click,
+       first_view_ts
+FROM e WHERE event_type = 'purchase'
+""",
+    survey_ids=("W2", "J4"),
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: for every purchase, the user's most recent
+    click at-or-before it (last touch — carry-forward of click ids/times
+    over the unique (ts, event_id) order) and their earliest view so far
+    (first touch — running min). One Exchange + Sort per user carrying all
+    three carry-forwards in a single window pass; the as-of join's
+    event-to-event sibling. Skew recipe if a user floods: the bucketed-
+    lead decomposition (analytics.time_weighted_avg two_phase mode) —
+    carry-forwards stitch with each bucket's last carried value. Integer/
+    timestamp-exact."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+        ).over(w).alias("last_click_id"),
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+        ).over(w).alias("last_click_ts"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias(
+            "first_view_ts"
+        ),
+    )
+    return carried.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_id",
+        F.when(
+            F.col("last_click_ts").isNotNull(),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+            ).cast("long")
+            - (
+                F.unix_micros(F.col("last_click_ts").cast("timestamp")) / 1_000_000
+            ).cast("long"),
+        ).cast("long").alias("secs_since_click"),
+        "first_view_ts",
+    )
+
+
+@register(
+    "q_type_entropy",
+    oracle="""
+WITH d AS (
+  SELECT ts::DATE AS day, event_type, count(*) AS n
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT day, sum(n) AS nd, count(*) AS k FROM d GROUP BY 1),
+terms AS (
+  SELECT d.day, t.nd, t.k,
+         CAST(round(-(CAST(d.n AS DOUBLE) / t.nd) * ln(CAST(d.n AS DOUBLE) / t.nd), 9)
+              AS DECIMAL(18,9)) AS term
+  FROM d JOIN tot t USING (day)
+)
+SELECT day, max(nd) AS n_events, max(k) AS n_types,
+       round(CAST(sum(term) AS DOUBLE), 6) AS entropy,
+       round(CAST(sum(term) AS DOUBLE) / ln(CAST(max(k) AS DOUBLE)), 6) AS norm_entropy
+FROM terms GROUP BY day
+""",
+    survey_ids=("A1", "text-quality"),
+)
+def q_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Shannon entropy of the event-type mix (plus the 0..1
+    normalized form) — the distribution-drift monitor a curation pipeline
+    watches next to q_daily_anomalies. Float discipline: each -p*ln(p)
+    term rounds to 9 places and sums as DECIMAL(18,9), so the
+    order-dependence of float addition never reaches the result; ln is
+    libm-identical across engines (proven by the A-ES sampler's hash-green
+    ln keys). Counts shuffle once keyed on (day, type); the entropy
+    aggregate groups a frame bounded by days x types."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = d.groupBy("day").agg(
+        F.sum("n").alias("nd"), F.count(F.lit(1)).alias("k")
+    )
+    p = F.col("n").cast("double") / F.col("nd")
+    terms = d.join(tot, "day").select(
+        "day",
+        "nd",
+        "k",
+        F.round(-p * F.log(p), 9).cast("decimal(18,9)").alias("term"),
+    )
+    return terms.groupBy("day").agg(
+        F.max("nd").cast("long").alias("n_events"),
+        F.max("k").cast("long").alias("n_types"),
+        F.round(F.sum("term").cast("double"), 6).alias("entropy"),
+        F.round(
+            F.sum("term").cast("double") / F.log(F.max("k").cast("double")), 6
+        ).alias("norm_entropy"),
+    )
