@@ -6351,3 +6351,116 @@ def q_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term").cast("double") / F.log(F.max("k").cast("double")), 6
         ).alias("norm_entropy"),
     )
+
+
+@register(
+    "q_audience_overlap",
+    oracle="""
+WITH a AS (
+  SELECT DISTINCT event_type AS t, user_id AS u FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+sz AS (SELECT t, count(*) AS n FROM a GROUP BY 1),
+inter AS (
+  SELECT x.t AS t1, y.t AS t2, count(*) AS n_both
+  FROM a x JOIN a y ON x.u = y.u AND x.t < y.t
+  GROUP BY 1, 2
+)
+SELECT i.t1, i.t2, i.n_both, s1.n AS n1, s2.n AS n2,
+       round(i.n_both / (s1.n + s2.n - i.n_both), 6) AS jaccard,
+       round(i.n_both / least(s1.n, s2.n), 6) AS overlap_coef
+FROM inter i JOIN sz s1 ON i.t1 = s1.t JOIN sz s2 ON i.t2 = s2.t
+""",
+    survey_ids=("A4", "dedup-exact"),
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: Jaccard and Szymkiewicz-
+    Simpson coefficients over distinct user sets — the audience-analysis
+    dual of document Jaccard. Events collapse to distinct (type, user)
+    FIRST (one keyed shuffle); the pair join is keyed on user with the
+    t1 < t2 triangle filter, so work is sum of per-user type-pair counts
+    (bounded by C(5,2) per user), never users x users. Exact integers plus
+    two shared IEEE divisions."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    a = ev.select(F.col("event_type").alias("t"), F.col("user_id").alias("u")).distinct()
+    sz = a.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    x, y = a.alias("x"), a.alias("y")
+    inter = (
+        x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.t") < F.col("y.t")))
+        .groupBy(F.col("x.t").alias("t1"), F.col("y.t").alias("t2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    s1 = sz.select(F.col("t").alias("t1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("t").alias("t2"), F.col("n").alias("n2"))
+    return (
+        inter.join(s1, "t1")
+        .join(s2, "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            "n1",
+            "n2",
+            F.round(
+                F.col("n_both") / (F.col("n1") + F.col("n2") - F.col("n_both")), 6
+            ).alias("jaccard"),
+            F.round(F.col("n_both") / F.least("n1", "n2"), 6).alias("overlap_coef"),
+        )
+    )
+
+
+@register(
+    "q_pareto_concentration",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, count(*) AS n FROM events
+  WHERE user_id IS NOT NULL GROUP BY 1
+),
+r AS (
+  SELECT user_id, n,
+         sum(n) OVER (ORDER BY n DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         sum(n) OVER () AS total_n,
+         row_number() OVER (ORDER BY n DESC, user_id) AS rnk,
+         count(*) OVER () AS n_users
+  FROM per_user
+)
+SELECT CAST((rnk * 10 - 1) // n_users + 1 AS INT) AS decile,
+       max(rnk) AS users_through,
+       max(cum_n) AS events_through,
+       round(max(cum_n) / max(total_n), 6) AS share_through
+FROM r GROUP BY 1
+""",
+    survey_ids=("A2",),
+)
+def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration (Pareto/whale curve): rank users by event
+    count descending and report, at each population decile, the
+    cumulative share of all events the top users produce. The global
+    ordered prefix — normally a one-task sort+scan — reuses BOTH two-phase
+    tools: two_phase_rank for the descending rank and two_phase_cumsum
+    for the running event total (constant key; the only global windows run
+    over the tiny value-bucket count frames). The per-user pre-aggregate
+    bounds everything at |users|. Decile = ((rank*10 - 1) div n_users)+1
+    in integer arithmetic. Exact integers, one shared division."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # descending order via negated count (two_phase_* order ascending)
+    pu = per_user.withColumn("_g", F.lit(1)).withColumn("_neg", -F.col("n"))
+    ranked = skew.two_phase_rank(pu, "_g", "_neg", "user_id", bucket_width=64.0, rank_col="rnk")
+    cum = skew.two_phase_cumsum(
+        ranked, "_g", "_neg", "user_id", "n", bucket_width=64.0,
+        cum_col="cum_n", total_col="total_n",
+    )
+    totals = cum.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    j = cum.join(totals, "_g").withColumn(
+        "decile",
+        (F.expr("(rnk * 10 - 1) div n_users") + 1).cast("int"),
+    )
+    return j.groupBy("decile").agg(
+        F.max("rnk").cast("long").alias("users_through"),
+        F.max("cum_n").cast("long").alias("events_through"),
+        F.round(F.max("cum_n") / F.max("total_n"), 6).alias("share_through"),
+    )
