@@ -314,3 +314,30 @@ def test_triangle_count_no_cartesian(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_shuffle_budgets_analytics_suite(spark, sf_dir):
+    """Plan-regression lock for the r7 product-analytics suite: each
+    entry's static Exchange count at its engineered value (AQE can only
+    improve on these at runtime — threshold/count frames broadcast)."""
+    import re
+
+    budgets = {
+        "q_funnel_conversion": 11,   # 4 stage min-aggs + 3 chain joins + 4 count rows
+        "q_retention_cohorts": 6,    # distinct + first-week agg + join + count + base join
+        "q_markov_transitions": 5,   # lead window + pair counts + source totals + join
+        "q_rolling_wau": 4,          # user-day distinct + expand distinct + day count
+        "q_weighted_median": 4,      # two_phase_cumsum (local + bucket frames) + median agg
+        "q_mode_per_group": 2,       # two keyed aggs
+        "q_gap_fill_daily": 2,       # daily agg + span/calendar join (fill window reuses)
+        "q_time_weighted_avg": 1,    # one per-key window; agg reuses its exchange
+        "q_linear_trend": 2,         # re-base min agg + sufficient-stats agg
+        "q_daily_anomalies": 3,      # day counts + per-type stats + join back
+        "q_type_entropy": 3,         # (day,type) counts + day totals + final agg
+        "q_audience_overlap": 7,     # distinct + sizes + keyed pair join + 2 size joins
+    }
+    for name, budget in budgets.items():
+        plan = formatted_plan(spark, CATALOG[name].spark(spark, sf_dir))
+        tree = plan.split("\n\n")[0]
+        shuffles = len(re.findall(r"[+:]- Exchange ", tree))
+        assert shuffles <= budget, f"{name}: {shuffles} shuffles > budget {budget}"
