@@ -643,3 +643,68 @@ def inverted_index(
         .filter((F.col("df") >= min_df) & (F.col("df") * den <= F.col("n_docs") * num))
         .select("term", "df", "postings")
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of consecutive
+    token bigrams across the corpus — PMI = ln(p(x,y) / (p(x)p(y))) with
+    p from exact corpus counts (bigram mass nb, unigram mass nu). High-PMI
+    pairs are multiword expressions ("new york"); the standard vocabulary-
+    induction / phrase-detection signal.
+
+    Plan shape: bigrams come from zipping each token array against its
+    own tail INSIDE the row (codegen slice + arrays_zip — no posexplode
+    self-join), so the only shuffles are the two keyed counts and the
+    count-to-count joins; the totals broadcast. ``min_count`` is a
+    declared frequency floor (also what keeps PMI's low-count noise out).
+    Counts are exact; the single ln/divisions are IEEE-shared with the
+    oracle."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), toks.alias("_t")
+    )
+    n = F.size(F.col("_t"))
+    pairs = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_t"), F.lit(1), n - 1).alias("x"),
+                F.slice(F.col("_t"), F.lit(2), n - 1).alias("y"),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y")).where(
+        (F.col("x") != "") & (F.col("y") != "")
+    )
+    unis = base.select(F.explode(F.col("_t")).alias("tok")).where(F.col("tok") != "")
+    c_bi = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    c_uni = unis.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nb = c_bi.agg(F.sum("c_xy").alias("nb"))
+    nu = c_uni.agg(F.sum("c").alias("nu"))
+    cx = c_uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
+    cy = c_uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
+    j = (
+        c_bi.where(F.col("c_xy") >= min_count)
+        .join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+    )
+    return j.select(
+        "x",
+        "y",
+        "c_xy",
+        F.round(
+            F.log(
+                (F.col("c_xy").cast("double") / F.col("nb"))
+                / (
+                    (F.col("cx").cast("double") / F.col("nu"))
+                    * (F.col("cy").cast("double") / F.col("nu"))
+                )
+            ),
+            6,
+        ).alias("pmi"),
+    )

@@ -6464,3 +6464,39 @@ def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cum_n").cast("long").alias("events_through"),
         F.round(F.max("cum_n") / F.max("total_n"), 6).alias("share_through"),
     )
+
+
+@register(
+    "text_pmi_bigrams",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), s -> s <> '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+bi AS (
+  SELECT l[i] AS x, l[i+1] AS y
+  FROM t, unnest(generate_series(1, len(l) - 1)) AS g(i)
+),
+uni AS (SELECT unnest(l) AS tok FROM t),
+c_bi AS (SELECT x, y, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+c_uni AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+nb AS (SELECT sum(c_xy) AS nb FROM c_bi),
+nu AS (SELECT sum(c) AS nu FROM c_uni)
+SELECT b.x, b.y, b.c_xy,
+       round(ln((CAST(b.c_xy AS DOUBLE) / nb.nb)
+                / ((CAST(ux.c AS DOUBLE) / nu.nu) * (CAST(uy.c AS DOUBLE) / nu.nu))), 6) AS pmi
+FROM c_bi b
+JOIN c_uni ux ON b.x = ux.tok
+JOIN c_uni uy ON b.y = uy.tok, nb, nu
+WHERE b.c_xy >= 5
+""",
+    survey_ids=("text-tfidf", "F13"),
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations by pointwise mutual information over
+    consecutive-token bigrams (frequency floor 5, declared) — the phrase-
+    detection signal for vocabulary induction. Bigrams zip each token
+    array against its own tail in-row (codegen slice + arrays_zip, no
+    self-join); only counts shuffle; totals broadcast. See
+    operators/text.pmi_bigrams."""
+    return text.pmi_bigrams(_t(spark, sf_dir, "documents"))

@@ -2045,3 +2045,24 @@ class TestTriangleCount:
         edges = spark.createDataFrame(pairs, "src long, dst long")
         got = {r["vertex"]: r["n_triangles"] for r in triangle_count(edges).collect()}
         assert got == expect
+
+
+def test_pmi_bigrams_hand_corpus(spark):
+    """'new york' always collocates -> PMI = ln(nu^2 * c_xy / (nb * cx * cy));
+    a pair under the frequency floor is absent."""
+    import math
+
+    from flink_gmall2024_realtime_spark.operators.text import pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [(i, "new york is big and new york is old") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = {(r["x"], r["y"]): (r["c_xy"], r["pmi"])
+           for r in pmi_bigrams(docs, min_count=5).collect()}
+    # per doc: 8 bigrams, 9 tokens; corpus: nb=24, nu=27
+    # 'new york' c_xy=6, cx('new')=6, cy('york')=6
+    want = round(math.log((6 / 24) / ((6 / 27) * (6 / 27))), 6)
+    assert out[("new", "york")] == (6, want)
+    assert ("york", "is") in out      # c_xy=6 too
+    assert ("is", "big") not in out   # c_xy=3 < floor 5
