@@ -6500,3 +6500,86 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join); only counts shuffle; totals broadcast. See
     operators/text.pmi_bigrams."""
     return text.pmi_bigrams(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_purchase_intervals",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+g AS (
+  SELECT CAST((epoch_us(ts) - epoch_us(prev_ts)) // 3600000000 AS BIGINT) AS gap_hours
+  FROM p WHERE prev_ts IS NOT NULL
+)
+SELECT gap_hours, count(*) AS n
+FROM g GROUP BY 1
+""",
+    survey_ids=("W4", "A2"),
+)
+def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution (whole hours): lag over the
+    unique (ts, event_id) order per user, integer-hour bucket, corpus
+    histogram — the W4 returning-gap logic generalized from a 7-day flag
+    to the full distribution. Purchases pre-filter before the window
+    (pushdown), gaps collapse to a bounded histogram frame. Integer-exact."""
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select("user_id", "ts", F.lag("ts").over(w).alias("prev_ts")).where(
+        F.col("prev_ts").isNotNull()
+    )
+    g = p.select(
+        F.floor(
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+            )
+            / 3_600_000_000
+        )
+        .cast("long")
+        .alias("gap_hours")
+    )
+    return g.groupBy("gap_hours").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register(
+    "q_dow_seasonality",
+    oracle="""
+WITH d AS (
+  SELECT event_type, dayofweek(ts) AS dow, count(*) AS n
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+t AS (SELECT event_type, sum(n) AS tot FROM d GROUP BY 1)
+SELECT d.event_type, d.dow, d.n,
+       round(d.n / t.tot, 6) AS share
+FROM d JOIN t USING (event_type)
+""",
+    survey_ids=("A1", "F2"),
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type (count + share) —
+    the weekly-rhythm summary behind staffing/anomaly baselines. Spark's
+    dayofweek and DuckDB's dayofweek differ by convention (Sun=1..Sat=7
+    vs Sun=0..Sat=6), so the Spark side subtracts 1 to the DuckDB
+    numbering — a declared mapping, locked by the oracle. Two keyed
+    aggregates; one shared division."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = d.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return d.join(t, "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+    )
