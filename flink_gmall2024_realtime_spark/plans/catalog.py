@@ -6583,3 +6583,46 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("tot"), 6).alias("share"),
     )
+
+
+@register(
+    "q_abandoned_carts",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts
+FROM events c
+WHERE c.event_type = 'click' AND c.user_id IS NOT NULL AND c.ts IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase'
+      AND p.user_id = c.user_id
+      AND p.ts >= c.ts
+      AND p.ts <= c.ts + INTERVAL 24 HOUR
+  )
+""",
+    survey_ids=("J3", "J2"),
+)
+def q_abandoned_carts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval ANTI-join: clicks with NO purchase by the same user within
+    the following 24 hours — the abandonment query, and the anti
+    complement of the J3 interval join (DwdTradeOrderPaySucDetail.java:123's
+    ±window bounds). Spark plans left_anti on the user equi-key with the
+    range predicate as the join condition — a hash anti-join probing only
+    same-user purchases, never a cartesian (the J3 plan-lock family
+    argument applies unchanged). Timestamp/id-exact."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("interval 24 hours"))
+    )
+    return clicks.join(purchases, cond, "left_anti")

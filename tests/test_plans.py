@@ -341,3 +341,14 @@ def test_shuffle_budgets_analytics_suite(spark, sf_dir):
         tree = plan.split("\n\n")[0]
         shuffles = len(re.findall(r"[+:]- Exchange ", tree))
         assert shuffles <= budget, f"{name}: {shuffles} shuffles > budget {budget}"
+
+
+def test_interval_anti_join_is_hashed(spark, sf_dir):
+    """The abandoned-carts interval ANTI join must probe on the user
+    equi-key (hash anti-join with the range as residual condition), never
+    a cartesian/nested-loop."""
+    plan = formatted_plan(spark, CATALOG["q_abandoned_carts"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "LeftAnti" in tree
