@@ -6626,3 +6626,58 @@ def q_abandoned_carts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("click_ts") + F.expr("interval 24 hours"))
     )
     return clicks.join(purchases, cond, "left_anti")
+
+
+@register(
+    "q_session_conversion",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS st
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id, ts, event_type,
+         sum(st) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM s
+),
+per AS (
+  SELECT user_id, session_id, min(ts::DATE) AS d,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM sid GROUP BY 1, 2
+)
+SELECT d AS day, count(*) AS n_sessions, sum(conv)::BIGINT AS n_converting,
+       round(sum(conv) / count(*), 6) AS conversion_rate
+FROM per GROUP BY 1
+""",
+    survey_ids=("W3", "A1"),
+)
+def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion: sessionize (30-min gap), roll events up
+    to (user, session) with a purchase flag, then daily session counts and
+    conversion rate — the composition of the W3 sessionizer with the
+    funnel's outcome event, and the number a growth dashboard actually
+    shows. Boundary determinism: equal timestamps always share a session
+    (gap 0), so the tie order inside the id prefix sum cannot move an
+    event across sessions. Reuses state.sessionize (auto skew mode) — the
+    rollup groups by (user, session_id), bounded per session. Exact
+    integers, one shared division."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    s = state.sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    per = s.groupBy("user_id", "session_id").agg(
+        F.min(F.to_date("ts")).alias("day"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        ).alias("conv"),
+    )
+    return per.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("conv").cast("long").alias("n_converting"),
+        F.round(F.sum("conv") / F.count(F.lit(1)), 6).alias("conversion_rate"),
+    )
