@@ -6632,7 +6632,7 @@ def q_abandoned_carts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_conversion",
     oracle="""
 WITH s AS (
-  SELECT user_id, ts, event_type,
+  SELECT user_id, ts, event_id, event_type,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS st
@@ -6641,7 +6641,7 @@ WITH s AS (
 ),
 sid AS (
   SELECT user_id, ts, event_type,
-         sum(st) OVER (PARTITION BY user_id ORDER BY ts
+         sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM s
 ),
@@ -6661,9 +6661,11 @@ def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     to (user, session) with a purchase flag, then daily session counts and
     conversion rate — the composition of the W3 sessionizer with the
     funnel's outcome event, and the number a growth dashboard actually
-    shows. Boundary determinism: equal timestamps always share a session
-    (gap 0), so the tie order inside the id prefix sum cannot move an
-    event across sessions. Reuses state.sessionize (auto skew mode) — the
+    shows. Boundary determinism: both engines run the id prefix sum over
+    the UNIQUE (ts, event_id) order (sessionize tiebreaks on event_id when
+    present) — with ties broken arbitrarily, a row tied with a session
+    starter could be attributed to the previous session on one side only.
+    Reuses state.sessionize (auto skew mode) — the
     rollup groups by (user, session_id), bounded per session. Exact
     integers, one shared division."""
     ev = _t(spark, sf_dir, "events").where(
