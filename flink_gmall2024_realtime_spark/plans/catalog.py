@@ -5938,7 +5938,8 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    # unique per-key order: (price, orderkey, linenumber)
+    # unique per-key order: (price, orderkey, linenumber); the *10 packing
+    # is collision-free because l_linenumber <= 7 by TPC-H construction
     cum = skew.two_phase_cumsum(
         li.withColumn(
             "_tb",
