@@ -407,9 +407,9 @@ def test_calendar_streaks_model(spark, rows):
 @given(
     st.lists(
         st.tuples(
-            st.integers(min_value=1, max_value=3),    # key
-            st.integers(min_value=0, max_value=99),   # order value
-            st.integers(min_value=1, max_value=9),    # weight
+            st.integers(min_value=1, max_value=3),     # key
+            st.integers(min_value=-50, max_value=99),  # order value (incl. negatives: floor bucketing)
+            st.integers(min_value=1, max_value=9),     # weight
         ),
         min_size=1,
         max_size=40,
