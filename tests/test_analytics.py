@@ -312,3 +312,100 @@ def test_linear_trend_recovers_exact_line(spark):
     assert round(slope_per_sec * 86400.0 / 1_000_000.0, 6) == 2.0
     intercept = (sy - slope_per_sec * sx) / n / 1_000_000.0
     assert round(intercept, 6) == 5.0
+
+
+# ---------------------------------------------------- property: retention
+
+
+def _retention_python(rows):
+    """Pure-python model: Monday-truncated weeks, cohort = first week."""
+    import collections
+
+    def monday(d):
+        return d - dt.timedelta(days=d.weekday())
+
+    weeks = collections.defaultdict(set)
+    for u, d in rows:
+        weeks[u].add(monday(d))
+    out = collections.Counter()
+    for u, ws in weeks.items():
+        c = min(ws)
+        for w in ws:
+            out[(c, (w - c).days // 7)] += 1
+    return dict(out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=0, max_value=35),  # day offset, 6 weeks
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_retention_matches_python_model(spark_module, rows):
+    data = [(u, dt.date(2024, 1, 1) + dt.timedelta(days=d)) for u, d in rows]
+    df = spark_module.createDataFrame(
+        [(u, dt.datetime.combine(d, dt.time(12)), "view", 1.0) for u, d in data],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in analytics.retention_cohorts(df).collect()
+    }
+    assert got == _retention_python(data)
+
+
+# ----------------------------------------------------- property: gap fill
+
+
+def _gap_fill_python(rows):
+    """Pure-python model of gap_fill_daily over (key, date, value) rows."""
+    import collections
+
+    daily = collections.defaultdict(list)
+    for k, d, v in rows:
+        daily[(k, d)].append(v)
+    keys = {k for k, _, _ in rows}
+    out = []
+    for k in keys:
+        days = sorted(d for kk, d in daily if kk == k)
+        carried = None
+        d = days[0]
+        while d <= days[-1]:
+            vs = daily.get((k, d))
+            if vs:
+                carried = round(max(vs), 2)
+                out.append((k, d, len(vs), 0, carried))
+            else:
+                out.append((k, d, 0, 1, carried))
+            d += dt.timedelta(days=1)
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=12),   # day offset
+            st.integers(min_value=0, max_value=999),  # value cents
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_gap_fill_matches_python_model(spark_module, rows):
+    data = [(k, dt.date(2024, 1, 1) + dt.timedelta(days=d), v / 100.0) for k, d, v in rows]
+    df = spark_module.createDataFrame(
+        [(1, dt.datetime.combine(d, dt.time(6)), k, v) for k, d, v in data],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    got = sorted(
+        (r["event_type"], r["day"], r["n_events"], r["is_gap"], r["carried_max_value"])
+        for r in analytics.gap_fill_daily(df).collect()
+    )
+    assert got == _gap_fill_python(data)
