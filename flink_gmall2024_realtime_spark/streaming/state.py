@@ -294,3 +294,55 @@ def funnel_progress_func(
         if v is not None:
             furthest = i + 1
     yield pd.DataFrame([(key[0], furthest)], columns=["key", "stage_reached"])
+
+
+RETENTION_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("cohort_week", StringType()),
+        StructField("week_offset", IntegerType()),
+    ]
+)
+
+RETENTION_STATE = StructType(
+    [
+        StructField("cohort_week", StringType()),
+        StructField("seen_mask", LongType()),
+    ]
+)
+
+
+def retention_progress_func(
+    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of the weekly retention triangle
+    (operators.analytics.retention_cohorts): per-user state is the cohort
+    week (first Monday-truncated week ever seen) plus a bitmask of
+    already-activated week offsets; each batch emits only the NEW
+    (cohort_week, week_offset) activations, so summing emissions per cell
+    equals the batch triangle. Input rows need (key, week) with week as
+    an ISO 'YYYY-MM-DD' Monday string.
+
+    Same replay contract as the funnel twin: exact under event-time-
+    ordered batches (the cohort is fixed by the first week observed; a
+    late straggler from an EARLIER week would re-cohort the user in the
+    batch form — watermark-bounded disorder is the declared limit). The
+    bitmask bounds offsets at 63 weeks (~15 months) — a declared horizon,
+    raised by widening the state to an array if a deployment needs it."""
+    cohort, mask = state.get if state.exists else (None, 0)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    out = []
+    for wk in sorted(pdf["week"].unique()):
+        if cohort is None or wk < cohort:
+            cohort = wk
+        off = (
+            pd.Timestamp(wk) - pd.Timestamp(cohort)
+        ).days // 7
+        if off > 63:
+            continue  # beyond the declared bitmask horizon
+        bit = 1 << off
+        if not (mask & bit):
+            mask |= bit
+            out.append((key[0], cohort, off))
+    state.update((cohort, int(mask)))
+    yield pd.DataFrame(out, columns=["key", "cohort_week", "week_offset"])

@@ -1141,3 +1141,64 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         i: sum(1 for r in rows if r["s"] >= i) for i in range(1, 5)
     }
     assert got == want
+
+
+def test_streaming_retention_matches_batch(spark, sf_dir, tmp_path):
+    """Three-batch ordered replay through the retention twin: summed
+    (cohort, offset) activations equal the batch triangle's n_users."""
+    import os as _os
+
+    from flink_gmall2024_realtime_spark.operators import analytics
+    from flink_gmall2024_realtime_spark.sources.fixtures import load_table
+    from flink_gmall2024_realtime_spark.streaming.state import (
+        RETENTION_SCHEMA,
+        RETENTION_STATE,
+        retention_progress_func,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    want = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in analytics.retention_cohorts(ev).collect()
+    }
+
+    src = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("week"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tm"),
+    )
+    lo, hi = src.agg(F.min("tm"), F.max("tm")).first()
+    cuts = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    replay = str(tmp_path / "ret_replay")
+    _os.makedirs(replay)
+    parts = [
+        src.where(F.col("tm") <= cuts[0]),
+        src.where((F.col("tm") > cuts[0]) & (F.col("tm") <= cuts[1])),
+        src.where(F.col("tm") > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        d = str(tmp_path / f"rb{i}")
+        p.select("key", "week").coalesce(1).write.parquet(d)
+        f = [x for x in _os.listdir(d) if x.endswith(".parquet")][0]
+        dst = _os.path.join(replay, f"batch_{i}.parquet")
+        _os.rename(_os.path.join(d, f), dst)
+        _os.utime(dst, (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema("key string, week string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    out = apply_stateful(
+        stream.groupBy("key"), retention_progress_func, RETENTION_SCHEMA, RETENTION_STATE
+    )
+    run_stream(out, str(tmp_path), "ret_twin")
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n"]
+        for r in spark.sql(
+            "select cohort_week, week_offset, count(*) n from ret_twin group by 1, 2"
+        ).collect()
+    }
+    assert got == want
