@@ -6684,3 +6684,86 @@ def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("conv").cast("long").alias("n_converting"),
         F.round(F.sum("conv") / F.count(F.lit(1)), 6).alias("conversion_rate"),
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey,
+         (SELECT max(o_orderdate::DATE) FROM orders) - max(o_orderdate::DATE) AS recency_days,
+         count(*) AS frequency,
+         sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS monetary
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY recency_days, o_custkey) AS r_rnk,
+         row_number() OVER (ORDER BY frequency DESC, o_custkey) AS f_rnk,
+         row_number() OVER (ORDER BY monetary DESC, o_custkey) AS m_rnk,
+         count(*) OVER () AS n
+  FROM per
+),
+seg AS (
+  SELECT CAST(((r_rnk - 1) * 5) // n + 1 AS INT) AS r_q,
+         CAST(((f_rnk - 1) * 5) // n + 1 AS INT) AS f_q,
+         CAST(((m_rnk - 1) * 5) // n + 1 AS INT) AS m_q,
+         recency_days, frequency, monetary
+  FROM r
+)
+SELECT r_q, f_q, m_q, count(*) AS n_customers,
+       max(recency_days)::BIGINT AS max_recency_days,
+       max(frequency) AS max_frequency,
+       round(CAST(max(monetary) AS DOUBLE), 2) AS max_monetary
+FROM seg GROUP BY 1, 2, 3
+""",
+    survey_ids=("A2", "W4"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency (days since last order,
+    anchored to the corpus max date — deterministic), frequency (order
+    count) and monetary (DECIMAL-exact revenue), each quintiled by the
+    equi-depth floor formula over a skew-safe two_phase_rank (recency
+    ascending = best first; frequency/monetary via negation), then
+    customer counts per (R,F,M) cell — the classic lifecycle-marketing
+    segment table. All three ranks run on the bounded per-customer frame;
+    the oracle uses plain row_number windows, same formula."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("_maxd"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_maxd"), F.col("_last")).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+        .withColumn("_g", F.lit(1))
+    )
+
+    def quintile(df: DataFrame, order_col, out_col: str, width: float) -> DataFrame:
+        ranked = skew.two_phase_rank(
+            df.withColumn("_o", order_col), "_g", "_o", "o_custkey", width, rank_col="_r"
+        )
+        n = ranked.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+        return (
+            ranked.join(n, "_g")
+            .withColumn(out_col, (F.expr("((_r - 1) * 5) div _n") + 1).cast("int"))
+            .drop("_o", "_r", "_n")
+        )
+
+    seg = quintile(per, F.col("recency_days"), "r_q", 30.0)
+    seg = quintile(seg, -F.col("frequency"), "f_q", 4.0)
+    seg = quintile(seg, -F.col("monetary").cast("double"), "m_q", 50000.0)
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.max("recency_days").alias("max_recency_days"),
+        F.max("frequency").alias("max_frequency"),
+        F.round(F.max("monetary").cast("double"), 2).alias("max_monetary"),
+    )
