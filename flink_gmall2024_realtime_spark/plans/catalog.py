@@ -6767,3 +6767,73 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frequency").alias("max_frequency"),
         F.round(F.max("monetary").cast("double"), 2).alias("max_monetary"),
     )
+
+
+@register(
+    "q_basket_affinity",
+    oracle="""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM baskets),
+item AS (SELECT l_partkey, count(*) AS c FROM baskets GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS c_xy
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.x, p.y, p.c_xy,
+       round(CAST(p.c_xy AS DOUBLE) / n.n, 6) AS support,
+       round(CAST(p.c_xy AS DOUBLE) / ix.c, 6) AS confidence_x_to_y,
+       round((CAST(p.c_xy AS DOUBLE) * n.n) / (CAST(ix.c AS DOUBLE) * iy.c), 6) AS lift
+FROM pair p
+JOIN item ix ON p.x = ix.l_partkey
+JOIN item iy ON p.y = iy.l_partkey, n_orders n
+WHERE p.c_xy >= 3
+""",
+    survey_ids=("J1", "A1"),
+)
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (the 2-itemset Apriori stage):
+    support, confidence and lift for part pairs co-occurring in an order.
+    Pair generation is the bounded same-order self-join (<= C(lines,2)
+    <= 21 pairs per basket — the same falling-density shape as the
+    triangle fixture), item and pair counts are keyed aggregates, and the
+    tiny order-count total broadcasts. Declared support floor c_xy >= 3.
+    Counts exact; the three ratios are shared IEEE divisions."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a, b = li.alias("ba"), li.alias("bb")
+    pair = (
+        a.join(
+            b,
+            (F.col("ba.l_orderkey") == F.col("bb.l_orderkey"))
+            & (F.col("ba.l_partkey") < F.col("bb.l_partkey")),
+        )
+        .groupBy(F.col("ba.l_partkey").alias("x"), F.col("bb.l_partkey").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .where(F.col("c_xy") >= 3)
+    )
+    ix = item.select(F.col("l_partkey").alias("x"), F.col("c").alias("cx"))
+    iy = item.select(F.col("l_partkey").alias("y"), F.col("c").alias("cy"))
+    return (
+        pair.join(ix, "x")
+        .join(iy, "y")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.round(F.col("c_xy").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("c_xy").cast("double") / F.col("cx"), 6).alias(
+                "confidence_x_to_y"
+            ),
+            F.round(
+                (F.col("c_xy").cast("double") * F.col("n"))
+                / (F.col("cx").cast("double") * F.col("cy")),
+                6,
+            ).alias("lift"),
+        )
+    )

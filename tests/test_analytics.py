@@ -409,3 +409,56 @@ def test_gap_fill_matches_python_model(spark_module, rows):
         for r in analytics.gap_fill_daily(df).collect()
     )
     assert got == _gap_fill_python(data)
+
+
+# ------------------------------------------------------- property: markov
+
+
+def _markov_python(rows):
+    """Pure-python transition counts over (user, ts-ordered) sequences."""
+    import collections
+
+    byuser = collections.defaultdict(list)
+    for i, (u, t, e) in enumerate(rows):
+        byuser[u].append((t, i, e))
+    cnt = collections.Counter()
+    for u, evs in byuser.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            cnt[(a, b)] += 1
+    return dict(cnt)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=400),  # minute offset (unique-ish)
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),  # unique (user, ts): lead order total
+    )
+)
+def test_markov_counts_match_python_model(spark_module, rows):
+    from flink_gmall2024_realtime_spark.plans.catalog import CATALOG  # noqa: F401
+
+    data = [(u, TS(2024, 1, 1) + dt.timedelta(minutes=m), e) for u, m, e in rows]
+    df = spark_module.createDataFrame(
+        [(i, t, u, e, 1.0) for i, (u, t, e) in enumerate(data)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy("ts", "event_id")
+    seq = df.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == _markov_python(data)
