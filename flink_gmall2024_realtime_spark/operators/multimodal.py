@@ -1019,6 +1019,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "webp": synth_webp,
         "flac": synth_flac,
         "tiff": synth_tiff,
+        "ogg": synth_ogg,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"
@@ -1543,3 +1544,145 @@ def tiff_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, schema=TIFF_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# OGG (RFC 3533) + OpusHead (RFC 7845): page-structure metadata — page and
+# packet accounting, stream serial, Opus identification header fields
+# (channels, pre-skip, input sample rate), duration from the last page's
+# granule position (48 kHz ticks minus pre-skip, per RFC 7845 §4).
+# Audio payload decode stays behind the decode_media seam; the page
+# structure walks with struct alone.
+# --------------------------------------------------------------------------
+
+
+def synth_ogg(seed: int) -> bytes:
+    """Deterministic, structurally valid OGG/Opus stream: BOS page with an
+    OpusHead identification header (channels/pre-skip/input-rate = seed
+    arithmetic), a comment page (OpusTags with an odd-length vendor decoy),
+    and seed%5+1 audio pages (multi-segment lacing, 255-boundary segments
+    exercised when seed%3==0, continuation flag on seed%7==0's second
+    audio page), ending with an EOS page whose granule position encodes
+    the total duration. CRCs are left zero (a parser that only walks
+    structure must not recompute them — documented)."""
+    channels = seed % 2 + 1
+    pre_skip = seed % 1000
+    input_rate = (8000, 16000, 24000, 48000)[seed % 4]
+    n_audio = seed % 5 + 1
+    dur_ms = seed % 2000 + 20
+    granule_total = pre_skip + dur_ms * 48  # 48 kHz ticks
+
+    def page(htype: int, granule: int, serial: int, pageno: int, segments: list) -> bytes:
+        lacing = []
+        for seg in segments:
+            n = len(seg)
+            while n >= 255:
+                lacing.append(255)
+                n -= 255
+            lacing.append(n)
+        head = (
+            b"OggS"
+            + struct.pack("<BBqIIi", 0, htype, granule, serial, pageno, 0)
+            + bytes([len(lacing)])
+            + bytes(lacing)
+        )
+        return head + b"".join(segments)
+
+    serial = (seed * 2654435761) % (1 << 32)
+    opus_head = (
+        b"OpusHead"
+        + struct.pack("<BBHIhB", 1, channels, pre_skip, input_rate, 0, 0)
+    )
+    vendor = b"synthetic fixture %d" % seed
+    if len(vendor) % 2 == 0:
+        vendor += b"!"
+    opus_tags = b"OpusTags" + struct.pack("<I", len(vendor)) + vendor + struct.pack("<I", 0)
+    out = [
+        page(0x02, 0, serial, 0, [opus_head]),          # BOS
+        page(0x00, 0, serial, 1, [opus_tags]),          # comment
+    ]
+    for i in range(n_audio):
+        seg_len = 300 if (seed % 3 == 0 and i == 0) else (seed + i) % 120 + 1
+        body = bytes((seed + i + j) % 251 for j in range(seg_len))
+        htype = 0x01 if (seed % 7 == 0 and i == 1) else 0x00
+        if i == n_audio - 1:
+            htype |= 0x04  # EOS
+        granule = granule_total if i == n_audio - 1 else pre_skip + (i + 1) * 960
+        out.append(page(htype, granule, serial, 2 + i, [body]))
+    return b"".join(out)
+
+
+def parse_ogg_meta(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Page-structure OGG parse — no audio decode: walks OggS captures,
+    returns (n_pages, channels, pre_skip, input_rate, duration_ms,
+    n_audio_pages). Duration = (last granule - pre_skip) / 48 ticks/ms per
+    RFC 7845; OpusHead is required on the BOS page. CRC fields are not
+    validated (structure-only contract, stated in synth_ogg)."""
+    if payload[:4] != b"OggS":
+        raise ValueError("not an OGG payload (no OggS capture)")
+    i = 0
+    n_pages = n_audio = 0
+    channels = pre_skip = input_rate = None
+    last_granule = 0
+    while i + 27 <= len(payload):
+        if payload[i : i + 4] != b"OggS":
+            raise ValueError(f"capture desync at byte {i}")
+        version, htype, granule, serial, pageno, _crc = struct.unpack_from(
+            "<BBqIIi", payload, i + 4
+        )
+        if version != 0:
+            raise ValueError("unknown OGG version")
+        nseg = payload[i + 26]
+        lacing = payload[i + 27 : i + 27 + nseg]
+        body_len = sum(lacing)
+        body = payload[i + 27 + nseg : i + 27 + nseg + body_len]
+        if htype & 0x02:  # BOS
+            if body[:8] != b"OpusHead":
+                raise ValueError("BOS page is not an OpusHead stream")
+            _v, channels, pre_skip, input_rate, _gain, _map = struct.unpack_from(
+                "<BBHIhB", body, 8
+            )
+        elif not body.startswith(b"OpusTags"):
+            n_audio += 1
+            last_granule = granule
+        n_pages += 1
+        i += 27 + nseg + body_len
+    if channels is None:
+        raise ValueError("no OpusHead")
+    duration_ms = max(0, (last_granule - pre_skip)) // 48
+    return n_pages, channels, pre_skip, input_rate, int(duration_ms), n_audio
+
+
+OGG_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_pages", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pre_skip", IntegerType()),
+        StructField("input_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("n_audio_pages", IntegerType()),
+    ]
+)
+
+
+def ogg_meta(media: DataFrame) -> DataFrame:
+    """OGG/Opus page metadata over an Arrow-batched binary column — the
+    audio curation columns (channels, pre-skip, rate, duration, page
+    accounting) without packet decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                np_, ch, ps, ir, dur, na = parse_ogg_meta(bytes(p))
+                rows.append((mid, np_, ch, ps, ir, dur, na))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_pages", "channels", "pre_skip",
+                    "input_rate", "duration_ms", "n_audio_pages",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=OGG_META_SCHEMA)

@@ -6837,3 +6837,32 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "multimodal_ogg_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 5 + 3)::INT AS n_pages,
+       (doc_id % 2 + 1)::INT AS channels,
+       (doc_id % 1000)::INT AS pre_skip,
+       (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 24000 ELSE 48000 END)::INT AS input_rate,
+       (doc_id % 2000 + 20)::INT AS duration_ms,
+       (doc_id % 5 + 1)::INT AS n_audio_pages
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG/Opus metadata gate: synthesize a structurally valid Opus-in-Ogg
+    stream per doc (BOS OpusHead, OpusTags with odd-length vendor decoy,
+    multi-segment lacing with 255-boundary segments, continuation flags,
+    EOS granule encoding duration per RFC 7845), then walk the pages back:
+    page/packet accounting, channels, pre-skip, input rate, duration —
+    the streaming-audio curation columns, no packet decode. Oracle = seed
+    arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "ogg")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "audio/ogg")
+    return multimodal.ogg_meta(media)

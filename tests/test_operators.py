@@ -2066,3 +2066,41 @@ def test_pmi_bigrams_hand_corpus(spark):
     assert out[("new", "york")] == (6, want)
     assert ("york", "is") in out      # c_xy=6 too
     assert ("is", "big") not in out   # c_xy=3 < floor 5
+
+
+def test_ogg_meta_golden_and_synth_roundtrip():
+    """OGG page walker against handcrafted golden bytes (single BOS page,
+    mono, zero pre-skip) and the synth round trip over lacing/continuation
+    variants; error paths for wrong capture / non-Opus BOS."""
+    import struct
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_ogg_meta,
+        synth_ogg,
+    )
+
+    head = b"OpusHead" + struct.pack("<BBHIhB", 1, 1, 0, 48000, 0, 0)
+    golden = (
+        b"OggS" + struct.pack("<BBqIIi", 0, 0x02 | 0x04, 9600, 7, 0, 0)
+        + bytes([1, len(head)]) + head
+    )
+    # BOS+EOS in one page: no audio pages -> duration from last AUDIO granule
+    assert parse_ogg_meta(golden) == (1, 1, 0, 48000, 0, 0)
+
+    for seed in range(0, 90):
+        np_, ch, ps, ir, dur, na = parse_ogg_meta(synth_ogg(seed))
+        assert (ch, ps) == (seed % 2 + 1, seed % 1000)
+        assert ir == (8000, 16000, 24000, 48000)[seed % 4]
+        assert dur == seed % 2000 + 20
+        assert (na, np_) == (seed % 5 + 1, seed % 5 + 3)
+
+    with _pytest.raises(ValueError, match="not an OGG"):
+        parse_ogg_meta(b"RIFF....WAVE")
+    with _pytest.raises(ValueError, match="not an OpusHead"):
+        bad = b"VorbisXX" + bytes(10)
+        parse_ogg_meta(
+            b"OggS" + struct.pack("<BBqIIi", 0, 0x02, 0, 7, 0, 0)
+            + bytes([1, len(bad)]) + bad
+        )
