@@ -6866,3 +6866,109 @@ def multimodal_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.synth_media(docs, "doc_id", "ogg")
     media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "audio/ogg")
     return multimodal.ogg_meta(media)
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+WITH f AS (
+  SELECT o_custkey, min(date_trunc('week', o_orderdate))::DATE AS cohort_week
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+rev AS (
+  SELECT f.cohort_week,
+         CAST((date_trunc('week', o.o_orderdate)::DATE - f.cohort_week) // 7 AS INT) AS week_offset,
+         sum(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2))) AS wk_rev,
+         count(*) AS n_orders
+  FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_orders,
+       round(CAST(wk_rev AS DOUBLE), 2) AS week_revenue,
+       round(CAST(sum(wk_rev) OVER (
+         PARTITION BY cohort_week ORDER BY week_offset
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS cumulative_revenue
+FROM rev
+""",
+    survey_ids=("W2", "A2"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: revenue per (first-order-week cohort, week
+    offset) with the cumulative LTV curve — q_retention_cohorts' revenue
+    sibling. DECIMAL(18,2) weekly masses make both the aggregate and the
+    running total order-invariant exact (the prefix window runs over the
+    bounded cohorts x weeks frame, never raw orders); the final rounding
+    to double is shared. One keyed min-agg for cohorts, one keyed join +
+    aggregate, one tiny window."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
+    f = o.groupBy("o_custkey").agg(
+        F.date_trunc("week", F.min("o_orderdate")).cast("date").alias("cohort_week")
+    )
+    rev = (
+        o.join(f, "o_custkey")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("o_orderdate")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("_wk"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.select(
+        "cohort_week",
+        "week_offset",
+        "n_orders",
+        F.round(F.col("_wk").cast("double"), 2).alias("week_revenue"),
+        F.round(F.sum("_wk").over(w).cast("double"), 2).alias("cumulative_revenue"),
+    )
+
+
+@register(
+    "q_order_to_ship_lag",
+    oracle="""
+SELECT CAST(l.l_shipdate::DATE - o.o_orderdate::DATE AS BIGINT) AS lag_days,
+       count(*) AS n,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+    survey_ids=("J1", "A1"),
+)
+def q_order_to_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution: day lag between the order date
+    and each line's ship date, as a corpus histogram with per-bin distinct
+    order counts — the cross-table SLA profile. One keyed fact-to-fact
+    join (orders projected to two columns — AQE broadcasts at fixture
+    scale, co-partitioned hash at warehouse scale), then a keyed count +
+    two-phase distinct. Integer-exact."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    return (
+        j.select(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("lag_days"),
+            "o_orderkey",
+        )
+        .groupBy("lag_days")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct("o_orderkey").cast("long").alias("n_orders"),
+        )
+    )
