@@ -6972,3 +6972,67 @@ def q_order_to_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("o_orderkey").cast("long").alias("n_orders"),
         )
     )
+
+
+@register(
+    "q_mad_robust_dispersion",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey, round(c_acctbal, 2) AS bal, c_custkey FROM customer
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY bal, c_custkey) AS rnk,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM c
+),
+med AS (
+  SELECT c_nationkey, bal AS median_bal, n FROM r1 WHERE rnk = (n + 1) // 2
+),
+dev AS (
+  SELECT c.c_nationkey, c.c_custkey, m.median_bal, m.n,
+         round(abs(c.bal - m.median_bal), 2) AS d
+  FROM c JOIN med m ON c.c_nationkey = m.c_nationkey
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY d, c_custkey) AS rnk
+  FROM dev
+)
+SELECT c_nationkey, max(n)::BIGINT AS n,
+       max(median_bal) AS median_bal,
+       max(CASE WHEN rnk = (n + 1) // 2 THEN d END) AS mad
+FROM r2 GROUP BY c_nationkey
+""",
+    survey_ids=("A2",),
+)
+def q_mad_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per nation: lower median of account balance and
+    the median absolute deviation around it — the outlier-resistant
+    (median, MAD) pair that replaces (mean, stddev) on heavy-tailed data.
+    TWO order-statistics passes, both through skew.two_phase_rank (no
+    per-key single-task sort anywhere); the rank-picked median is exact
+    (no interpolation — lower median at rank (n+1) div 2, declared), the
+    deviations are rounded subtractions of rounded values, and the oracle
+    runs the same two rounds with plain windows."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", F.round("c_acctbal", 2).alias("bal"), "c_custkey"
+    )
+    r1 = skew.two_phase_rank(c, "c_nationkey", "bal", "c_custkey", 500.0, rank_col="_r")
+    n = r1.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("_n"))
+    med = (
+        r1.join(n, "c_nationkey")
+        .where(F.col("_r") == F.expr("(_n + 1) div 2"))
+        .select("c_nationkey", F.col("bal").alias("median_bal"), F.col("_n"))
+    )
+    dev = c.join(med, "c_nationkey").select(
+        "c_nationkey",
+        "c_custkey",
+        "median_bal",
+        "_n",
+        F.round(F.abs(F.col("bal") - F.col("median_bal")), 2).alias("d"),
+    )
+    r2 = skew.two_phase_rank(dev, "c_nationkey", "d", "c_custkey", 200.0, rank_col="_r2")
+    return r2.groupBy("c_nationkey").agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("median_bal").alias("median_bal"),
+        F.max(F.when(F.col("_r2") == F.expr("(_n + 1) div 2"), F.col("d"))).alias("mad"),
+    )
