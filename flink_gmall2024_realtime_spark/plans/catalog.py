@@ -5257,7 +5257,8 @@ def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH s1 AS (
   SELECT user_id, min(ts) AS t FROM events
-  WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1
+  WHERE event_type = 'signup' AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
 ),
 s2 AS (
   SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
@@ -6760,7 +6761,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seg = quintile(per, F.col("recency_days"), "r_q", 30.0)
     seg = quintile(seg, -F.col("frequency"), "f_q", 4.0)
-    seg = quintile(seg, -F.col("monetary").cast("double"), "m_q", 50000.0)
+    # rank on the negated DECIMAL directly (not a double cast): two totals
+    # differing only beyond double's 53-bit precision must still order the
+    # way the oracle's exact decimal DESC does (ADVICE r7)
+    seg = quintile(seg, (-F.col("monetary")).cast("decimal(19,2)"), "m_q", 50000.0)
     return seg.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.max("recency_days").alias("max_recency_days"),

@@ -327,8 +327,9 @@ def retention_progress_func(
     ordered batches (the cohort is fixed by the first week observed; a
     late straggler from an EARLIER week would re-cohort the user in the
     batch form — watermark-bounded disorder is the declared limit). The
-    bitmask bounds offsets at 63 weeks (~15 months) — a declared horizon,
-    raised by widening the state to an array if a deployment needs it."""
+    bitmask bounds offsets at 62 weeks (~14 months; bit 63 is the signed
+    int64 sign bit, so it stays unused) — a declared horizon, raised by
+    widening the state to an array if a deployment needs it."""
     cohort, mask = state.get if state.exists else (None, 0)
     pdf = pd.concat(list(pdfs), ignore_index=True)
     out = []
@@ -338,8 +339,11 @@ def retention_progress_func(
         off = (
             pd.Timestamp(wk) - pd.Timestamp(cohort)
         ).days // 7
-        if off > 63:
-            continue  # beyond the declared bitmask horizon
+        if off >= 63:
+            # beyond the declared bitmask horizon: bit 63 of a signed
+            # int64 is the sign bit — storing 1<<63 in the LongType state
+            # field would overflow, so the usable offsets are 0..62
+            continue
         bit = 1 << off
         if not (mask & bit):
             mask |= bit

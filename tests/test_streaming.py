@@ -1202,3 +1202,42 @@ def test_streaming_retention_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_retention_mask_stays_inside_signed_long():
+    """Offset 63 would set the sign bit of the LongType seen_mask state
+    (1 << 63 > int64 max) and crash the batch; the horizon guard must
+    stop at 62 (ADVICE r7). Direct call with a fake GroupState."""
+    import pandas as pd
+
+    from flink_gmall2024_realtime_spark.streaming.state import (
+        retention_progress_func,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    st = _FakeState()
+    weeks = ["2024-01-01"] + [
+        (pd.Timestamp("2024-01-01") + pd.Timedelta(weeks=w)).strftime("%Y-%m-%d")
+        for w in (62, 63, 64)
+    ]
+    out = list(
+        retention_progress_func(
+            ("u1",), iter([pd.DataFrame({"week": weeks})]), st
+        )
+    )[0]
+    assert sorted(out["week_offset"]) == [0, 62]  # 63/64 beyond horizon
+    cohort, mask = st.get
+    assert cohort == "2024-01-01"
+    assert 0 < mask <= (1 << 63) - 1  # fits signed int64
