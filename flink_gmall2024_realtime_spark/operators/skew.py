@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -148,4 +148,198 @@ def two_phase_cumsum(
         cum_local.join(offsets.select(key, "_b", "_off", total_col), [key, "_b"])
         .withColumn(cum_col, F.col("_cl") + F.col("_off"))
         .drop("_b", "_cl", "_off", "_bw")
+    )
+
+
+def choose_window_mode(df: DataFrame, single_phase_max_rows: int = 500_000) -> str:
+    """Shared auto single/two-phase decision for per-key-window operators
+    (sessionize, TWAP, the lead/lag/prefix plans below).
+
+    Single-phase is provably safe iff even the WORST key (= every row on
+    one key) fits ``single_phase_max_rows`` in one task's sort, judged by
+    the job-free ``estimated_row_count``. The crude ``sizeInBytes`` rung
+    divides *file* size by Catalyst's defaultSize and can UNDER-count rows
+    (e.g. csv/json sources) — the one direction that breaks the safety
+    argument — so when the estimator reports that rung we refuse it and
+    err skew-safe to two-phase (the posture ``lsh_topk`` pioneered for
+    oracle-visible parameters). Results are identical either way
+    (property-tested); this only picks the plan."""
+    from .similarity import estimated_row_count
+
+    n, source = estimated_row_count(df, with_source=True)
+    if source == "sizeInBytes":
+        return "two_phase"
+    return "single" if n <= single_phase_max_rows else "two_phase"
+
+
+def two_phase_shift(
+    df: DataFrame,
+    key: str,
+    order_by: Sequence[str],
+    value_cols: Sequence[str],
+    bucket: Column,
+    direction: str = "lead",
+    suffix: str | None = None,
+    mode: str = "two_phase",
+    single_phase_max_rows: int = 500_000,
+) -> DataFrame:
+    """Skew-proof per-key ``lead()``/``lag()``: shift ``value_cols`` by one
+    row in the per-key total order ``order_by`` without ever sorting a
+    key's full history in ONE task — the factored form of the bucketed-
+    lead recipe inside ``analytics.time_weighted_avg`` (VERDICT r7 #1).
+
+    1. bucket rows by ``bucket`` (any expression monotone non-decreasing
+       in ``order_by[0]`` — equal order values MUST share a bucket);
+    2. local lead/lag of the packed value STRUCT within (key, bucket) —
+       the hot key's sort spreads over its buckets; the struct (never
+       null for a real neighbor row) distinguishes "neighbor exists but
+       carries NULL values" from "bucket boundary", so nullable value
+       columns shift exactly;
+    3. each bucket's boundary row borrows from the per-(key, bucket)
+       first/last-row aggregate (``min_by``/``max_by`` over the order
+       struct) — an O(buckets)-per-key frame whose own lead/lag window is
+       the only full per-key pass.
+
+    Max task = one key's rows per bucket, time-bounded instead of
+    lifetime-bounded. ``order_by`` must be unique per key.
+
+    ``mode``: ``"two_phase"`` (default) always buckets; ``"single"`` is
+    the one-Exchange plain window (cheapest when no key can be hot);
+    ``"auto"`` picks via ``choose_window_mode`` (job-free row estimate,
+    crude-estimator-refusing). Results identical in all modes
+    (property-tested)."""
+    if direction not in ("lead", "lag"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if mode not in ("auto", "single", "two_phase"):
+        raise ValueError(f"unknown mode {mode!r}")
+    sfx = suffix if suffix is not None else f"_{direction}"
+    fwd = direction == "lead"
+    if mode == "auto":
+        mode = choose_window_mode(df, single_phase_max_rows)
+    if mode == "single":
+        w = Window.partitionBy(key).orderBy(*order_by)
+        fn = F.lead if fwd else F.lag
+        out = df
+        for c in value_cols:
+            out = out.withColumn(f"{c}{sfx}", fn(c).over(w))
+        return out
+    packed = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    order_struct = F.struct(*[F.col(c) for c in order_by])
+    b = df.withColumn("_b", bucket)
+    local = Window.partitionBy(key, "_b").orderBy(*order_by)
+    shift_fn = F.lead if fwd else F.lag
+    loc = b.withColumn("_loc", shift_fn(packed).over(local))
+    pick = F.min_by if fwd else F.max_by
+    edge = b.groupBy(key, "_b").agg(pick(packed, order_struct).alias("_edge"))
+    wb = Window.partitionBy(key).orderBy("_b")
+    borrowed = edge.select(
+        key, "_b", shift_fn(F.col("_edge")).over(wb).alias("_bor")
+    )
+    out = (
+        loc.join(borrowed, [key, "_b"])
+        .withColumn("_sh", F.coalesce(F.col("_loc"), F.col("_bor")))
+    )
+    for c in value_cols:
+        out = out.withColumn(f"{c}{sfx}", F.col("_sh").getField(c))
+    return out.drop("_b", "_loc", "_bor", "_sh")
+
+
+def two_phase_prefix(
+    df: DataFrame,
+    key: str,
+    order_by: Sequence[str],
+    carry_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    bucket: Column | None = None,
+    suffix: str = "_pfx",
+    mode: str = "two_phase",
+    single_phase_max_rows: int = 500_000,
+) -> DataFrame:
+    """Skew-proof per-key PREFIX scans over the ``order_by`` total order:
+    ``last(c) IGNORE NULLS`` carry-forward for ``carry_cols`` and running
+    ``min(c)`` for ``min_cols`` (ROWS UNBOUNDED PRECEDING .. CURRENT ROW),
+    without one-task-per-key sorts — the carry-forward sibling of
+    ``two_phase_shift`` for last-touch-attribution shapes.
+
+    Per column c the result appears as ``c<suffix>``. Decomposition:
+    local prefix scan within (key, bucket), a per-(key, bucket) summary
+    (last non-null via ``max_by`` over an order struct nulled on null
+    values; min via ``min``), an EXCLUSIVE prior-buckets scan over the
+    tiny bucket frame, and ``coalesce``/``least`` stitch (Spark's least
+    skips nulls, exactly the prefix-min semantics).
+
+    ``mode`` as in ``two_phase_shift``: two_phase (default) / single /
+    auto via ``choose_window_mode``."""
+    if mode not in ("auto", "single", "two_phase"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        mode = choose_window_mode(df, single_phase_max_rows)
+    if mode == "single":
+        w = (
+            Window.partitionBy(key)
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = df
+        for c in carry_cols:
+            out = out.withColumn(
+                f"{c}{suffix}", F.last(c, ignorenulls=True).over(w)
+            )
+        for c in min_cols:
+            out = out.withColumn(f"{c}{suffix}", F.min(c).over(w))
+        return out
+    order_struct = F.struct(*[F.col(c) for c in order_by])
+    b = df.withColumn("_b", bucket)
+    local = (
+        Window.partitionBy(key, "_b")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = b
+    aggs = []
+    for c in carry_cols:
+        out = out.withColumn(f"_lc_{c}", F.last(c, ignorenulls=True).over(local))
+        aggs.append(
+            F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), order_struct)
+            ).alias(f"_bl_{c}")
+        )
+    for c in min_cols:
+        out = out.withColumn(f"_lm_{c}", F.min(c).over(local))
+        aggs.append(F.min(c).alias(f"_bm_{c}"))
+    summary = b.groupBy(key, "_b").agg(*aggs)
+    prior = (
+        Window.partitionBy(key)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = summary.select(
+        key,
+        "_b",
+        *[
+            F.last(f"_bl_{c}", ignorenulls=True).over(prior).alias(f"_pc_{c}")
+            for c in carry_cols
+        ],
+        *[F.min(f"_bm_{c}").over(prior).alias(f"_pm_{c}") for c in min_cols],
+    )
+    out = out.join(carried, [key, "_b"])
+    drop = ["_b"]
+    for c in carry_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.coalesce(F.col(f"_lc_{c}"), F.col(f"_pc_{c}"))
+        )
+        drop += [f"_lc_{c}", f"_pc_{c}"]
+    for c in min_cols:
+        out = out.withColumn(f"{c}{suffix}", F.least(f"_lm_{c}", f"_pm_{c}"))
+        drop += [f"_lm_{c}", f"_pm_{c}"]
+    return out.drop(*drop)
+
+
+def hour_bucket(ts_col: str, bucket_seconds: int = 3600) -> Column:
+    """The standard time bucket for two_phase_* over event streams:
+    ``floor(unix_micros(ts) / bucket_seconds)`` — monotone in ts, so
+    equal timestamps always share a bucket."""
+    return F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / (int(bucket_seconds) * 1_000_000)
     )

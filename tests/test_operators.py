@@ -2104,3 +2104,149 @@ def test_ogg_meta_golden_and_synth_roundtrip():
             b"OggS" + struct.pack("<BBqIIi", 0, 0x02, 0, 7, 0, 0)
             + bytes([1, len(bad)]) + bad
         )
+
+
+# ---- skew.two_phase_shift / two_phase_prefix (VERDICT r7 #1) -----------
+
+
+def _shift_frame(spark, rows):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("o", LongType()),
+            StructField("tb", LongType()),
+            StructField("v", StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_two_phase_shift_matches_single_phase_lead_lag(spark):
+    """Bucketed lead/lag == plain window lead/lag, including NULL value
+    rows (the struct trick must distinguish 'next row carries NULL' from
+    'bucket boundary') and bucket-boundary rows."""
+    from pyspark.sql import Window
+
+    from flink_gmall2024_realtime_spark.operators import skew
+
+    rows = [
+        ("a", 1, 1, "x"),
+        ("a", 5, 2, None),   # in-bucket neighbor carrying NULL
+        ("a", 9, 3, "y"),    # last row of bucket 0 (width 10)
+        ("a", 11, 4, "z"),   # first row of bucket 1
+        ("a", 25, 5, "w"),   # bucket 2 after an empty bucket
+        ("b", 3, 6, "p"),    # singleton-ish key
+        ("b", 30, 7, None),  # NULL at a bucket boundary
+    ]
+    df = _shift_frame(spark, rows)
+    w = Window.partitionBy("k").orderBy("o", "tb")
+    for direction, fn in (("lead", F.lead), ("lag", F.lag)):
+        want = sorted(
+            (r["k"], r["o"], r["x"])
+            for r in df.withColumn("x", fn("v").over(w)).collect()
+        )
+        got = sorted(
+            (r["k"], r["o"], r[f"v_{direction}"])
+            for r in skew.two_phase_shift(
+                df, "k", ["o", "tb"], ["v"], F.floor(F.col("o") / 10), direction
+            ).collect()
+        )
+        assert got == want, direction
+
+
+def test_two_phase_prefix_matches_single_phase(spark):
+    """Bucketed carry-forward (last ignore-nulls) and running min ==
+    plain prefix windows, across bucket boundaries and all-NULL buckets."""
+    from pyspark.sql import Window
+
+    from flink_gmall2024_realtime_spark.operators import skew
+
+    rows = [
+        ("a", 1, 1, "c1"),
+        ("a", 2, 2, None),
+        ("a", 11, 3, None),  # bucket 1 entirely NULL carries bucket 0's last
+        ("a", 14, 4, None),
+        ("a", 21, 5, "c2"),
+        ("a", 29, 6, None),
+        ("b", 7, 7, None),   # key with no non-null prefix yet
+        ("b", 35, 8, "c3"),
+    ]
+    df = _shift_frame(spark, rows).withColumn(
+        "m", F.when(F.col("v").isNotNull(), F.col("o") * 2)
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("o", "tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = sorted(
+        (r["k"], r["o"], r["cf"], r["rm"])
+        for r in df.select(
+            "k",
+            "o",
+            F.last("v", ignorenulls=True).over(w).alias("cf"),
+            F.min("m").over(w).alias("rm"),
+        ).collect()
+    )
+    got = sorted(
+        (r["k"], r["o"], r["v_pfx"], r["m_pfx"])
+        for r in skew.two_phase_prefix(
+            df, "k", ["o", "tb"], carry_cols=["v"], min_cols=["m"],
+            bucket=F.floor(F.col("o") / 10),
+        ).collect()
+    )
+    assert got == want
+
+
+def test_two_phase_shift_property(spark):
+    """Hypothesis: for arbitrary (key, order, value) multisets with unique
+    (o, tb) per key and arbitrary bucket width, two_phase_shift ==
+    single-phase window in both directions."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from flink_gmall2024_realtime_spark.operators import skew
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=0, max_value=50),
+                st.one_of(st.none(), st.sampled_from(["u", "v", "w"])),
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        width=st.sampled_from([1, 3, 7, 100]),
+    )
+    def prop(data, width):
+        rows = [(k, o, i, v) for i, (k, o, v) in enumerate(data)]
+        df = _shift_frame(spark, rows)
+        w = Window.partitionBy("k").orderBy("o", "tb")
+        for direction, fn in (("lead", F.lead), ("lag", F.lag)):
+            want = sorted(
+                (r["k"], r["o"], r["tb"], r["x"])
+                for r in df.withColumn("x", fn("v").over(w)).collect()
+            )
+            got = sorted(
+                (r["k"], r["o"], r["tb"], r[f"v_{direction}"])
+                for r in skew.two_phase_shift(
+                    df, "k", ["o", "tb"], ["v"], F.floor(F.col("o") / width), direction
+                ).collect()
+            )
+            assert got == want
+
+    prop()
