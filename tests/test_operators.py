@@ -2250,3 +2250,286 @@ def test_two_phase_shift_property(spark):
             assert got == want
 
     prop()
+
+
+# ---- skew null-key mode agreement + choose_window_mode routing (r9) ----
+
+
+def test_two_phase_shift_null_keys_match_single(spark):
+    """NULL keys and NULL order values must produce the SAME row set in
+    every mode (ADVICE r8: the stitch joins are null-safe, so mode="auto"
+    can never change the output)."""
+    from flink_gmall2024_realtime_spark.operators import skew
+
+    rows = [
+        (None, 1, 1, "x"),
+        (None, 5, 2, "y"),
+        (None, 25, 3, "z"),   # NULL key spanning buckets
+        ("a", None, 4, "p"),  # NULL order value -> NULL bucket
+        ("a", None, 5, "q"),
+        ("a", 3, 6, "r"),
+    ]
+    df = _shift_frame(spark, rows)
+    for direction in ("lead", "lag"):
+        single = sorted(
+            [
+                (r["k"], r["o"], r["tb"], r[f"v_{direction}"])
+                for r in skew.two_phase_shift(
+                    df, "k", ["o", "tb"], ["v"],
+                    F.floor(F.col("o") / 10), direction, mode="single",
+                ).collect()
+            ],
+            key=repr,
+        )
+        two = sorted(
+            [
+                (r["k"], r["o"], r["tb"], r[f"v_{direction}"])
+                for r in skew.two_phase_shift(
+                    df, "k", ["o", "tb"], ["v"],
+                    F.floor(F.col("o") / 10), direction, mode="two_phase",
+                ).collect()
+            ],
+            key=repr,
+        )
+        assert two == single, direction
+        assert len(two) == len(rows), direction  # nothing dropped
+
+
+def test_two_phase_prefix_null_keys_match_single(spark):
+    from flink_gmall2024_realtime_spark.operators import skew
+
+    rows = [
+        (None, 1, 1, "c1"),
+        (None, 15, 2, None),
+        (None, 25, 3, "c2"),
+        ("a", None, 4, "c3"),
+        ("a", 3, 5, None),
+    ]
+    df = _shift_frame(spark, rows)
+    single = sorted(
+        [
+            (r["k"], r["o"], r["tb"], r["v_pfx"])
+            for r in skew.two_phase_prefix(
+                df, "k", ["o", "tb"], carry_cols=["v"],
+                bucket=F.floor(F.col("o") / 10), mode="single",
+            ).collect()
+        ],
+        key=repr,
+    )
+    two = sorted(
+        [
+            (r["k"], r["o"], r["tb"], r["v_pfx"])
+            for r in skew.two_phase_prefix(
+                df, "k", ["o", "tb"], carry_cols=["v"],
+                bucket=F.floor(F.col("o") / 10), mode="two_phase",
+            ).collect()
+        ],
+        key=repr,
+    )
+    assert two == single
+    assert len(two) == len(rows)
+
+
+def test_two_phase_rank_null_keys_and_modes(spark):
+    """two_phase_rank mode="single" == "two_phase", NULL keys / NULL order
+    values included (NULL bucket = the NULLS-FIRST group)."""
+    from flink_gmall2024_realtime_spark.operators import skew
+
+    rows = [
+        (None, 5, 1, "x"),
+        (None, 1, 2, "y"),
+        ("a", None, 3, "p"),
+        ("a", None, 4, "q"),
+        ("a", 12, 5, "r"),
+        ("a", 3, 6, "s"),
+    ]
+    df = _shift_frame(spark, rows)
+    single = sorted(
+        [
+            (r["k"], r["o"], r["tb"], r["rank"])
+            for r in skew.two_phase_rank(
+                df, "k", "o", "tb", 10.0, mode="single"
+            ).collect()
+        ],
+        key=repr,
+    )
+    two = sorted(
+        [
+            (r["k"], r["o"], r["tb"], r["rank"])
+            for r in skew.two_phase_rank(
+                df, "k", "o", "tb", 10.0, mode="two_phase"
+            ).collect()
+        ],
+        key=repr,
+    )
+    assert two == single
+    assert len(two) == len(rows)
+    # NULL order values rank first (NULLS FIRST), by tiebreak
+    by_row = {(r[0], r[2]): r[3] for r in two}
+    assert by_row[("a", 3)] == 1 and by_row[("a", 4)] == 2
+    assert by_row[("a", 6)] == 3 and by_row[("a", 5)] == 4
+
+
+def test_two_phase_prefix_bucket_none_raises(spark):
+    """Defaulting mode resolves to two_phase with no bucket — must raise a
+    clear ValueError, not an opaque withColumn type error (ADVICE r8)."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators import skew
+
+    df = _shift_frame(spark, [("a", 1, 1, "x")])
+    with _pytest.raises(ValueError, match="bucket is required"):
+        skew.two_phase_prefix(df, "k", ["o", "tb"], carry_cols=["v"])
+
+
+def test_choose_window_mode_refuses_crude_estimator(spark, tmp_path):
+    """csv-backed frames hit the sizeInBytes rung, which can UNDER-count
+    rows — choose_window_mode must refuse it and return two_phase even for
+    a tiny file, while a parquet frame of the same size picks single
+    (footer rung, exact count). VERDICT r8 #2's done-bar."""
+    from flink_gmall2024_realtime_spark.operators import skew
+    from flink_gmall2024_realtime_spark.operators.similarity import (
+        estimated_row_count,
+    )
+
+    rows = [Row(uid="u", event_id=i, ts=datetime(2024, 1, 1, 0, 0, i)) for i in range(5)]
+    pcsv = str(tmp_path / "ev_csv")
+    ppq = str(tmp_path / "ev_pq")
+    spark.createDataFrame(rows).write.option("header", True).csv(pcsv)
+    spark.createDataFrame(rows).write.parquet(ppq)
+    csv_df = spark.read.option("header", True).option("inferSchema", True).csv(pcsv)
+    pq_df = spark.read.parquet(ppq)
+    _, src = estimated_row_count(csv_df, with_source=True)
+    assert src == "sizeInBytes"
+    assert skew.choose_window_mode(csv_df, single_phase_max_rows=1_000_000) == "two_phase"
+    assert skew.choose_window_mode(pq_df, single_phase_max_rows=1_000_000) == "single"
+
+
+def test_sessionize_and_twap_auto_route_through_choose_window_mode(
+    spark, tmp_path, monkeypatch
+):
+    """The auto rungs of sessionize and time_weighted_avg must delegate to
+    the shared skew.choose_window_mode (VERDICT r8 #2) — on a csv-backed
+    frame the crude-estimator refusal then forces the skew-safe two-phase
+    plan, and results still match the parquet/single-phase run."""
+    from flink_gmall2024_realtime_spark.operators import analytics, skew
+
+    calls = []
+    real = skew.choose_window_mode
+
+    def spy(df, single_phase_max_rows=500_000):
+        m = real(df, single_phase_max_rows)
+        calls.append(m)
+        return m
+
+    monkeypatch.setattr(skew, "choose_window_mode", spy)
+
+    rows = [
+        Row(uid="u", event_id=i, ts=datetime(2024, 1, 1, 0, i % 60, i % 10),
+            value=float(i))
+        for i in range(6)
+    ]
+    pcsv = str(tmp_path / "ev_csv")
+    spark.createDataFrame(rows).write.option("header", True).csv(pcsv)
+    csv_df = (
+        spark.read.option("header", True).option("inferSchema", True).csv(pcsv)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    mem_df = spark.createDataFrame(rows)
+
+    sess_csv = state.sessionize(csv_df, "uid", "ts", mode="auto")
+    assert calls and calls[-1] == "two_phase"
+    assert "_bkt" in sess_csv._jdf.queryExecution().analyzed().toString()
+    sess_single = state.sessionize(mem_df, "uid", "ts", mode="single")
+    key = lambda r: (r["uid"], r["event_id"])
+    assert sorted(
+        (r["uid"], r["event_id"], r["session_id"]) for r in sess_csv.collect()
+    ) == sorted(
+        (r["uid"], r["event_id"], r["session_id"]) for r in sess_single.collect()
+    )
+
+    n_before = len(calls)
+    twap_csv = analytics.time_weighted_avg(
+        csv_df, key_col="uid", ts_col="ts", value_col="value", mode="auto"
+    )
+    assert len(calls) > n_before and calls[-1] == "two_phase"
+    twap_single = analytics.time_weighted_avg(
+        mem_df, key_col="uid", ts_col="ts", value_col="value", mode="single"
+    )
+    assert sorted(map(tuple, twap_csv.collect())) == sorted(
+        map(tuple, twap_single.collect())
+    )
+
+
+def test_window_funcs_arithmetic_matches_native(spark):
+    """The q_window_funcs rewire derives ntile/percent_rank/cume_dist from
+    (two_phase_rank, per-key count) arithmetic — verify the arithmetic
+    against Spark's native window functions on an awkward frame (n % 4
+    != 0 per key, singleton key)."""
+    from pyspark.sql import Window
+
+    from flink_gmall2024_realtime_spark.operators import skew
+
+    rows = [("a", i, i, "x") for i in range(10)] + [
+        ("b", i * 3, i, "y") for i in range(7)
+    ] + [("c", 0, 99, "z")]
+    df = _shift_frame(spark, rows)
+    w = Window.partitionBy("k").orderBy("o", "tb")
+    want = sorted(
+        (r["k"], r["o"], r["nt"], r["pr"], r["cd"])
+        for r in df.select(
+            "k", "o",
+            F.ntile(4).over(w).alias("nt"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        ).collect()
+    )
+    ranked = skew.two_phase_rank(df, "k", "o", "tb", 5.0, rank_col="_r")
+    n = df.groupBy("k").agg(F.count(F.lit(1)).alias("_n"))
+    got = sorted(
+        (r["k"], r["o"], r["nt"], r["pr"], r["cd"])
+        for r in ranked.join(n, "k").select(
+            "k", "o",
+            F.expr(
+                "CASE WHEN _r <= (_n % 4) * ((_n div 4) + 1)"
+                " THEN (_r + (_n div 4)) div ((_n div 4) + 1)"
+                " ELSE (_n % 4)"
+                "  + (_r - (_n % 4) * ((_n div 4) + 1) + (_n div 4) - 1)"
+                "    div (_n div 4) END"
+            ).cast("int").alias("nt"),
+            F.round(
+                F.when(F.col("_n") > 1, (F.col("_r") - 1) / (F.col("_n") - 1))
+                .otherwise(F.lit(0.0)), 6,
+            ).alias("pr"),
+            F.round(F.col("_r") / F.col("_n"), 6).alias("cd"),
+        ).collect()
+    )
+    assert got == want
+
+
+def test_transition_edges_two_phase_matches_single(spark, monkeypatch):
+    """graph.transition_edges through the skew-safe lag (VERDICT r8 #1):
+    forcing the two-phase resolution produces the same edge multiset as
+    the plain window."""
+    from flink_gmall2024_realtime_spark.operators import graph, skew
+
+    rows = [
+        Row(user_id="u1", ts=datetime(2024, 1, 1, h, m), page=p, event_id=i)
+        for i, (h, m, p) in enumerate(
+            [(0, 0, "home"), (0, 5, "search"), (1, 30, "item"),
+             (1, 31, "item"), (3, 0, "cart"), (3, 1, "home")]
+        )
+    ] + [
+        Row(user_id="u2", ts=datetime(2024, 1, 1, 0, 0), page="home", event_id=100),
+        Row(user_id="u2", ts=datetime(2024, 1, 2, 0, 0), page="item", event_id=101),
+    ]
+    ev = spark.createDataFrame(rows)
+
+    monkeypatch.setattr(skew, "choose_window_mode", lambda df, n=500_000: "single")
+    single = sorted(map(tuple, graph.transition_edges(ev).collect()))
+    monkeypatch.setattr(skew, "choose_window_mode", lambda df, n=500_000: "two_phase")
+    two = sorted(map(tuple, graph.transition_edges(ev).collect()))
+    assert two == single
+    assert (
+        "home", "search", 1,
+    ) in single and ("item", "cart", 1) in single

@@ -201,13 +201,20 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
         assert shuffles <= budget, f"{name}: {shuffles} shuffles > budget {budget}"
 
 
-def test_window_funcs_share_one_exchange_and_sort(spark, sf_dir):
-    """All five analytic functions in q_window_funcs share one window spec:
-    the plan must carry exactly one Exchange and one Sort."""
+def test_window_funcs_shuffle_budget(spark, sf_dir):
+    """q_window_funcs (rewired onto two_phase_shift/rank arithmetic, r9):
+    at fixture scale mode="auto" resolves to single-phase and the plan must
+    stay tight — the lag+lead shifts collapse into ONE Window node sharing
+    one Exchange+Sort, the rank window reuses the event_type partitioning
+    (a second Sort but NO second row shuffle), and the per-key count joins
+    as a broadcast. Budget: 2 shuffle Exchanges (rows + tiny count agg),
+    2 Sorts, count side broadcast, no cartesian."""
     plan = formatted_plan(spark, CATALOG["q_window_funcs"].spark(spark, sf_dir))
     tree = plan.split("\n\n")[0]
-    assert len(re.findall(r"[+:]- Exchange ", tree)) == 1
-    assert tree.count("Sort") == 1
+    assert len(re.findall(r"[+:]- Exchange ", tree)) <= 2
+    assert len(re.findall(r"[+:-]+ Sort ", tree)) <= 2
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree
 
 
 def test_range_bucket_join_not_nested_loop(spark, sf_dir):
@@ -352,3 +359,52 @@ def test_interval_anti_join_is_hashed(spark, sf_dir):
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
     assert "LeftAnti" in tree
+
+
+def test_two_phase_shapes_shuffle_budget_and_no_per_key_row_sort(spark, sf_dir):
+    """Plan locks for the forced two-phase skew shapes behind the r8/r9
+    rewires (q_markov_transitions, q_last_touch_attribution,
+    q_purchase_intervals, q_window_funcs, graph.transition_edges): each
+    resolves to at most 3 shuffle Exchanges (bucketed row window, per-
+    (key, bucket) summary agg, stitch join), carries no cartesian /
+    nested-loop join, and — the entire point — NO window ever partitions
+    the ROW frame by the key alone ordered by event time (the shape that
+    pins a hot key's lifetime to one task). The per-key windows that do
+    appear run over the tiny (key, bucket) summary frame, ordered by the
+    bucket id."""
+    from pyspark.sql import functions as F
+
+    from flink_gmall2024_realtime_spark.operators import skew
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    shapes = {
+        "shift_lead": skew.two_phase_shift(
+            ev, "user_id", ["ts", "event_id"], ["event_type"],
+            skew.hour_bucket("ts"), "lead", mode="two_phase",
+        ),
+        "shift_lag": skew.two_phase_shift(
+            ev, "user_id", ["ts", "event_id"], ["event_type"],
+            skew.hour_bucket("ts"), "lag", mode="two_phase",
+        ),
+        "prefix_carry": skew.two_phase_prefix(
+            ev, "user_id", ["ts", "event_id"], carry_cols=["event_type"],
+            bucket=skew.hour_bucket("ts"), mode="two_phase",
+        ),
+        "rank": skew.two_phase_rank(
+            ev.withColumn("_o", F.unix_micros(F.col("ts").cast("timestamp"))),
+            "user_id", "_o", "event_id", 3_600_000_000, mode="two_phase",
+        ),
+    }
+    for name, df in shapes.items():
+        plan = formatted_plan(spark, df)
+        tree = plan.split("\n\n")[0]
+        shuffles = len(re.findall(r"[+:]- Exchange ", tree))
+        assert shuffles <= 3, f"{name}: {shuffles} shuffles > budget 3"
+        assert "CartesianProduct" not in tree, name
+        assert "BroadcastNestedLoopJoin" not in tree, name
+        # no raw per-key row sort: every windowspec over the row frame
+        # partitions by (key, bucket); a spec of the form
+        # (user_id, ts ASC ...) would be the lifetime-in-one-task shape
+        assert not re.search(
+            r"windowspecdefinition\(user_id#\d+L?, ts#", plan
+        ), f"{name}: raw per-key window over the row frame"
