@@ -1,0 +1,570 @@
+"""Gmall pipeline semantics over the events stream table.
+
+Split from the original single-file ``plans/catalog.py`` (r9, VERDICT r7
+#6) with ZERO entry changes: importing this module registers its section's
+queries into the shared ``catalog.CATALOG`` registry; the full oracle run
+proves behavior identity. Shared determinism rules live in ``catalog``'s
+module docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ..functions import (  # noqa: F401
+    date_to_ts,
+    json_get,
+    json_map,
+    md5_long,
+    md5_long_sql_duckdb,
+    ts_to_date,
+    ts_to_datetime,
+    ts_to_partition,
+)
+from ..operators import (  # noqa: F401
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    sketch,
+    skew,
+    state,
+    text,
+)
+from ..operators.etl import cdc_project, etl_db_stream  # noqa: F401
+from ..operators.joins import (  # noqa: F401
+    config_router_join,
+    interval_join,
+    lateral_tokens,
+    lookup_join,
+)
+from ..operators.windows import daily_distinct_count, tumble  # noqa: F401
+from ..sources.fixtures import load_table  # noqa: F401
+from .catalog import CATALOG, QuerySpec, _t, register  # noqa: F401
+
+
+# =========================================================================
+# Gmall pipeline semantics over the events stream table
+# =========================================================================
+
+
+@register(
+    "dwd_etl_project",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       json_extract_string(props, '$.k')::INT AS k_json,
+       json_extract_string(props, '$.k')::INT AS k_map,
+       CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS val_band
+FROM events
+WHERE event_type IN ('view', 'click') AND user_id IS NOT NULL
+""",
+    survey_ids=("P2", "P3", "F1", "F7", "F8"),
+)
+def dwd_etl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge ETL + JSON projection (DwdBaseLog.java:216-239 filter pattern;
+    fastjson access DimApp.java:186-189): predicate pushdown reaches the
+    parquet scan, JSON parsed once via both get_json_object and a
+    map<string,string> subscript (SQLUtil.java:30-31 payload shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("view", "click") & F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            json_get(F.col("props"), "k").cast("int").alias("k_json"),
+            json_map(F.col("props"))["k"].cast("int").alias("k_map"),
+            F.when(F.col("value") > 100, "hi").otherwise("lo").alias("val_band"),
+        )
+    )
+
+
+@register(
+    "dwd_cdc_route_project",
+    oracle="""
+SELECT o_orderkey AS id, o_totalprice AS total
+FROM orders
+WHERE o_orderkey % 4 <> 3
+""",
+    survey_ids=("P1", "P4", "S2"),
+)
+def dwd_cdc_route_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC envelope round-trip (P1 etl DimApp.java:181-201 + P4 map-subscript
+    projection DwdInteractionCommentInfo.java:82-102): orders are wrapped into
+    Maxwell-style JSON envelopes, pushed through the real edge parser+filter
+    (bootstrap records dropped), and projected back out of the data map."""
+    o = _t(spark, sf_dir, "orders")
+    envelope = o.select(
+        F.to_json(
+            F.struct(
+                F.lit("gmall").alias("database"),
+                F.lit("order_info").alias("table"),
+                F.element_at(
+                    F.array(F.lit("insert"), F.lit("update"), F.lit("delete"), F.lit("bootstrap-start")),
+                    (F.col("o_orderkey") % 4 + 1).cast("int"),
+                ).alias("type"),
+                F.create_map(
+                    F.lit("id"), F.col("o_orderkey").cast("string"),
+                    F.lit("total"), F.col("o_totalprice").cast("string"),
+                ).alias("data"),
+                F.lit(0).alias("ts"),
+            )
+        ).alias("value")
+    )
+    parsed = etl_db_stream(envelope)
+    return cdc_project(parsed, ["id", "total"]).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("total").cast("double").alias("total"),
+    )
+
+
+@register(
+    "dws_tumble_type_counts",
+    oracle="""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '10 seconds', ts) AS w, event_type,
+         count(*) AS pv_ct, round(sum(value), 2) AS val_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(w + INTERVAL '10 seconds', '%Y-%m-%d %H:%M:%S') AS edt,
+       strftime(w, '%Y-%m-%d') AS cur_date,
+       event_type, pv_ct, val_sum
+FROM b
+""",
+    survey_ids=("A1", "A2", "W1"),
+    bench=True,
+)
+def dws_tumble_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-second tumbling-window keyed counts — the flagship DWS shape
+    (TUMBLE GROUP BY, DwsTrafficSourceKeywordPageViewWindow.java:61-72;
+    window decorator stt/edt/cur_date :93-107). Partial (map-side)
+    aggregation is automatic; the reference hand-builds it with reduce()."""
+    ev = _t(spark, sf_dir, "events")
+    return tumble(
+        ev,
+        "ts",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.round(F.sum("value"), 2).alias("val_sum"),
+        ],
+    )
+
+
+@register(
+    "dws_tumble_global_hourly",
+    oracle="""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+         count(*) AS pv_ct, count(DISTINCT user_id) AS uv_ct,
+         round(sum(value), 2) AS val_sum
+  FROM events GROUP BY 1
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(w + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS edt,
+       strftime(w, '%Y-%m-%d') AS cur_date,
+       pv_ct, uv_ct, val_sum
+FROM b
+""",
+    survey_ids=("A3",),
+)
+def dws_tumble_global_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (non-keyed) window aggregate — the reference's parallelism-1
+    windowAll (DwsTrafficHomeDetailPageViewWindow.java:71-95 etc.); Spark
+    still computes distributed partials, strictly better at scale."""
+    ev = _t(spark, sf_dir, "events")
+    return tumble(
+        ev,
+        "ts",
+        keys=[],
+        aggs=[
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.count_distinct(F.col("user_id")).alias("uv_ct"),
+            F.round(F.sum("value"), 2).alias("val_sum"),
+        ],
+        window_size="1 hour",
+    )
+
+
+@register(
+    "dws_daily_uv",
+    oracle="""
+SELECT ts::DATE AS cur_date,
+       count(DISTINCT user_id) AS uv_ct,
+       count(*) AS pv_ct
+FROM events GROUP BY 1
+""",
+    survey_ids=("A4", "W3"),
+    bench=True,
+)
+def dws_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily UV — the keyed-ValueState daily dedup
+    (DwsTrafficVcChArIsNewPageViewWindow.java:134-189) in its deterministic
+    (key, date) formulation."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("cur_date")).agg(
+        F.count_distinct(F.col("user_id")).alias("uv_ct"),
+        F.count(F.lit(1)).alias("pv_ct"),
+    )
+
+
+@register(
+    "dws_session_window_agg",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS session_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id, ts,
+         sum(session_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start_ts,
+       strftime(max(ts) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end_ts,
+       count(*) AS event_ct
+FROM sid GROUP BY user_id, session_id
+""",
+    survey_ids=("W3", "A2"),
+)
+def dws_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-NATIVE session windows (r7): the same 30-min-gap sessions as
+    ``dws_session_count``, expressed with the built-in
+    ``F.session_window(ts, gap)`` aggregate instead of the window-function
+    sessionize — one groupBy, merging windows handled by the engine
+    (SURVEY §2.8 notes the reference uses no session windows; this entry
+    pins the native operator's semantics to the declarative gap rule:
+    window.start = first event ts, window.end = last event ts + gap).
+    The oracle derives the identical sessions via the lag/gap rule.
+    Adversarial hot_key ×10 (900k rows on one user): 1.96 s bounded —
+    Spark's session merge is a sort-based per-partition pass, so even the
+    native form survives the flood (BASELINE.md survival table)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("event_ct"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start_ts"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end_ts"),
+            "event_ct",
+        )
+    )
+
+
+@register(
+    "dws_is_new_repair",
+    oracle="""
+SELECT DISTINCT user_id, ts::DATE AS cur_date,
+       CASE WHEN ts::DATE = min(ts::DATE) OVER (PARTITION BY user_id)
+            THEN 1 ELSE 0 END AS is_new
+FROM events
+""",
+    survey_ids=("W2",),
+)
+def dws_is_new_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New/old-visitor repair (DwdBaseLog.java:154-198): is_new holds only on
+    the key's first active date. Declarative batch form of the ValueState op;
+    streaming/state.py holds the applyInPandasWithState twin."""
+    ev = _t(spark, sf_dir, "events")
+    repaired = state.first_seen_repair(ev, "user_id", F.to_date("ts"))
+    return repaired.select("user_id", "cur_date", "is_new").distinct()
+
+
+@register(
+    "dws_session_count",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS session_start
+  FROM events
+)
+SELECT user_id, ts::DATE AS cur_date, sum(session_start)::BIGINT AS session_ct
+FROM s GROUP BY 1, 2
+""",
+    survey_ids=("W3",),
+    bench=True,
+)
+def dws_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the reference marks session starts via
+    last_page_id IS NULL, DwsTrafficVcChArIsNewPageViewWindow.java:171-174;
+    30-min inactivity gap is the general form): sessions per user per day."""
+    ev = _t(spark, sf_dir, "events")
+    s = state.sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    return s.groupBy("user_id", F.to_date("ts").alias("cur_date")).agg(
+        F.sum("session_start").alias("session_ct")
+    )
+
+
+@register(
+    "dws_returning_users",
+    oracle="""
+WITH v AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+f AS (SELECT user_id, d, lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev FROM v)
+SELECT d AS cur_date, count(*) AS uu_ct,
+       sum(CASE WHEN prev IS NOT NULL AND date_diff('day', prev, d) > 7
+                THEN 1 ELSE 0 END)::BIGINT AS back_ct
+FROM f GROUP BY 1
+""",
+    survey_ids=("W4",),
+)
+def dws_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returning-user detection (DwsUserUserLoginWindow.java:95-135): daily
+    unique users + users coming back after a >7-day absence."""
+    ev = _t(spark, sf_dir, "events")
+    flags = state.returning_user_flags(ev.select("user_id", F.to_date("ts").alias("d")), "user_id", "d")
+    return flags.groupBy(F.col("d").alias("cur_date")).agg(
+        F.count(F.lit(1)).alias("uu_ct"), F.sum("back").alias("back_ct")
+    )
+
+
+@register(
+    "dws_purchase_uu",
+    oracle="""
+SELECT ts::DATE AS cur_date, count(DISTINCT user_id) AS cart_add_uu_ct
+FROM events WHERE event_type = 'purchase' GROUP BY 1
+""",
+    survey_ids=("A4", "W3", "P3"),
+)
+def dws_purchase_uu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily unique purchasers — the cart-add-UU pipeline shape
+    (DwsTradeCartAddUuWindow.java:65-115): per-app ETL filter + daily
+    ValueState dedup as dropDuplicates(key, date) + count."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return daily_distinct_count(ev, F.to_date("ts"), "user_id", out="cart_add_uu_ct")
+
+
+@register(
+    "dwd_interval_join",
+    oracle="""
+SELECT p.user_id, p.event_id AS pay_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL '15 minutes'
+ AND c.ts <= p.ts + INTERVAL '15 seconds'
+""",
+    survey_ids=("J3",),
+    bench=True,
+)
+def dwd_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (DwdTradeOrderPaySucDetail.java:101-125): purchases
+    paired with same-user clicks in [-15 min, +15 s] — equality conjunct keeps
+    it a hash join on user_id, range applied within key partitions."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("pay_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    joined = interval_join(p, c.withColumnRenamed("c_user", "user_id"), "user_id", "p_ts", "c_ts")
+    return joined.select(p["user_id"], "pay_id", "click_id")
+
+
+@register(
+    "dwd_lookup_join_dict",
+    oracle="""
+SELECT e.event_id, e.event_type, d.dic_name
+FROM events e LEFT JOIN (VALUES
+  ('view', 'View Page'), ('click', 'Click'),
+  ('purchase', 'Purchase'), ('signup', 'Sign Up')
+) d(dic_code, dic_name) ON e.event_type = d.dic_code
+""",
+    survey_ids=("J4", "S5"),
+)
+def dwd_lookup_join_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup (dictionary) join — FOR SYSTEM_TIME AS OF proc_time against the
+    base_dic table (DwdTradeOrderPaySucDetail.java:76-99, left variant).
+    Stream-static broadcast join: the dict is re-read per micro-batch, the
+    fact side never shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    dic = spark.createDataFrame(
+        [("view", "View Page"), ("click", "Click"), ("purchase", "Purchase"), ("signup", "Sign Up")],
+        "dic_code string, dic_name string",
+    )
+    return lookup_join(ev, dic, "event_type", "dic_code", how="left").select(
+        "event_id", "event_type", "dic_name"
+    )
+
+
+@register(
+    "dim_config_routing",
+    oracle="""
+SELECT cfg.sink_table, e.event_id,
+       array_to_string(
+         list_sort(list_intersect(['event_id','user_id','value'],
+                                  string_split(cfg.sink_columns, ','))), ',') AS kept_keys
+FROM events e
+JOIN (VALUES
+  ('purchase', 'dwd_trade_order',   'event_id,user_id,value'),
+  ('click',    'dwd_traffic_click', 'event_id,user_id'),
+  ('view',     'dwd_traffic_page',  'event_id')
+) cfg(source_table, sink_table, sink_columns)
+  ON e.event_type = cfg.source_table
+""",
+    survey_ids=("J5", "P6", "R3", "S3", "S4"),
+)
+def dim_config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-table-driven routing + runtime column pruning — the reference's
+    most distinctive capability (DimBroadcastFunction.java:57-99 broadcast
+    config join; DimApp.java:87-104 sinkColumns pruning; DwdBaseDb.java:77-98
+    sink_table injection). Config is data: a table_process row per source,
+    broadcast-joined, with the kept-column set applied via map_filter."""
+    ev = _t(spark, sf_dir, "events")
+    cfg = spark.createDataFrame(
+        [
+            ("purchase", "dwd_trade_order", "event_id,user_id,value"),
+            ("click", "dwd_traffic_click", "event_id,user_id"),
+            ("view", "dwd_traffic_page", "event_id"),
+        ],
+        "source_table string, sink_table string, sink_columns string",
+    )
+    routed = config_router_join(
+        ev.withColumn("source_table", F.col("event_type")), cfg, on=["source_table"]
+    )
+    with_data = routed.withColumn(
+        "data",
+        F.create_map(
+            F.lit("event_id"), F.col("event_id").cast("string"),
+            F.lit("user_id"), F.col("user_id").cast("string"),
+            F.lit("value"), F.col("value").cast("string"),
+        ),
+    )
+    keep = F.split(F.col("sink_columns"), ",")
+    pruned = with_data.withColumn(
+        "data", F.map_filter(F.col("data"), lambda k, _v: F.array_contains(keep, k))
+    )
+    return pruned.select(
+        "sink_table",
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(F.col("data"))), ",").alias("kept_keys"),
+    )
+
+
+@register(
+    "k3_upsert_final_state",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+    survey_ids=("K3", "K5"),
+    bench=True,
+)
+def k3_upsert_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-upsert sink semantics (upsert-kafka PK compaction,
+    DwdTradeOrderDetail.java:59-79; HBase put-by-rowkey,
+    DimHBaseSinkFunction.java:34-47): last-write-wins final state per key.
+    This dedup-by-key-keep-latest is exactly what the foreachBatch upsert
+    writer (streaming/sinks.py) applies per micro-batch."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "dwd_keyword_split",
+    oracle="""
+SELECT t.tok AS keyword, count(*) AS keyword_count
+FROM documents d,
+     unnest(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> x <> '')) AS t(tok)
+GROUP BY 1
+""",
+    survey_ids=("J6", "F13", "R2"),
+)
+def dwd_keyword_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword tokenize + lateral explode + count — the traffic-keyword DWS
+    app (KwSplit UDTF + LATERAL TABLE, DwsTrafficSourceKeywordPageViewWindow
+    .java:36,74-79). Tokenizer is a codegen'd split; explode is the lateral
+    view; the count is the windowless core of A1."""
+    docs = _t(spark, sf_dir, "documents")
+    from ..functions import tokenize
+
+    toks = lateral_tokens(docs.select("doc_id", "text"), tokenize(F.col("text")), out="keyword")
+    return toks.groupBy("keyword").agg(F.count(F.lit(1)).alias("keyword_count"))
+
+
+@register(
+    "q_split_counts",
+    oracle="""
+SELECT CASE event_type
+         WHEN 'error' THEN 'err' WHEN 'signup' THEN 'start'
+         WHEN 'view' THEN 'display' WHEN 'click' THEN 'action'
+         ELSE 'page' END AS branch,
+       count(*) AS ct
+FROM events GROUP BY 1
+""",
+    survey_ids=("R1",),
+)
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way side-output split (DwdBaseLog.java:76-152): one parsed pass
+    derives five mutually-exclusive branches (filters over a shared plan
+    prefix), here recombined with unionByName for verification."""
+    ev = _t(spark, sf_dir, "events")
+    branches = {
+        "err": ev.filter(F.col("event_type") == "error"),
+        "start": ev.filter(F.col("event_type") == "signup"),
+        "display": ev.filter(F.col("event_type") == "view"),
+        "action": ev.filter(F.col("event_type") == "click"),
+        "page": ev.filter(~F.col("event_type").isin("error", "signup", "view", "click")),
+    }
+    parts = [df.select(F.lit(name).alias("branch")) for name, df in branches.items()]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("branch").agg(F.count(F.lit(1)).alias("ct"))
+
+
+@register(
+    "scalar_time_project",
+    oracle="""
+SELECT event_id,
+       strftime(make_timestamp(ms * 1000) + INTERVAL 8 HOURS, '%Y-%m-%d') AS dt,
+       strftime(make_timestamp(ms * 1000) + INTERVAL 8 HOURS, '%Y-%m-%d %H:%M:%S') AS dtt,
+       strftime(make_timestamp(ms * 1000) + INTERVAL 8 HOURS, '%Y%m%d') AS dpart,
+       strftime(make_timestamp((ms - 86400000) * 1000) + INTERVAL 8 HOURS, '%Y-%m-%d') AS yesterday,
+       event_type || ':' || user_id::VARCHAR AS concat_key,
+       (ms - ms % 1000) AS roundtrip_ms
+FROM (SELECT event_id, user_id, event_type, event_id * 1000000 + 123456 AS ms FROM events)
+""",
+    survey_ids=("F2", "F3", "F4", "F5", "F9", "F11"),
+)
+def scalar_time_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DateFormatUtil surface (DateFormatUtil.java:26-57, +08:00 pinned):
+    ms-epoch -> date / datetime / partition-key strings, yesterday arithmetic
+    (DwdBaseLog.java:189), concat keys (DwsTrafficVcChArIsNewPageViewWindow
+    .java:114), and the string->ms round trip (dateToTs)."""
+    ev = _t(spark, sf_dir, "events")
+    ms = (F.col("event_id") * 1000000 + 123456).alias("ms")
+    base = ev.select("event_id", "user_id", "event_type", ms)
+    return base.select(
+        "event_id",
+        ts_to_date(F.col("ms")).alias("dt"),
+        ts_to_datetime(F.col("ms")).alias("dtt"),
+        ts_to_partition(F.col("ms")).alias("dpart"),
+        ts_to_date(F.col("ms") - 86400000).alias("yesterday"),
+        F.concat_ws(":", F.col("event_type"), F.col("user_id")).alias("concat_key"),
+        date_to_ts(ts_to_datetime(F.col("ms"))).alias("roundtrip_ms"),
+    )
+
+

@@ -1,0 +1,728 @@
+"""Training-data pipeline operators (dedup, ANN, text, multimodal heads).
+
+Split from the original single-file ``plans/catalog.py`` (r9, VERDICT r7
+#6) with ZERO entry changes: importing this module registers its section's
+queries into the shared ``catalog.CATALOG`` registry; the full oracle run
+proves behavior identity. Shared determinism rules live in ``catalog``'s
+module docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ..functions import (  # noqa: F401
+    date_to_ts,
+    json_get,
+    json_map,
+    md5_long,
+    md5_long_sql_duckdb,
+    ts_to_date,
+    ts_to_datetime,
+    ts_to_partition,
+)
+from ..operators import (  # noqa: F401
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    sketch,
+    skew,
+    state,
+    text,
+)
+from ..operators.etl import cdc_project, etl_db_stream  # noqa: F401
+from ..operators.joins import (  # noqa: F401
+    config_router_join,
+    interval_join,
+    lateral_tokens,
+    lookup_join,
+)
+from ..operators.windows import daily_distinct_count, tumble  # noqa: F401
+from ..sources.fixtures import load_table  # noqa: F401
+from .catalog import CATALOG, QuerySpec, _t, register  # noqa: F401
+
+
+# =========================================================================
+# Training-data pipeline operators (beyond-reference; BASELINE.json north star)
+# =========================================================================
+
+# Shared DuckDB CTE: distinct 3-gram shingles per document (matches
+# operators.dedup.shingles exactly: whitespace tokens, space-joined n-grams).
+_SHINGLE_CTE = """
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])) AS shingle
+  FROM toks WHERE len(t) >= 3
+)
+"""
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.35
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_ct
+FROM documents GROUP BY 1
+""",
+    survey_ids=("dedup-exact",),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: only 32-byte hashes shuffle, never text."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLE_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / least(sa.sz, sb.sz), 6) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE round(inter::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.5
+"""
+
+
+_CONTAINMENT_IDX_SQL = f"""
+WITH {_SHINGLE_CTE},
+h AS (SELECT doc_id, {md5_long_sql_duckdb('shingle')} AS hs FROM sh),
+docsets AS (SELECT doc_id, list_sort(list(hs)) AS shs, count(*) AS sz FROM h GROUP BY 1),
+-- r5: identical shingle sets collapse; df is counted over DISTINCT sets
+-- (the engine's rep-level candidate rule — rarity robust to duplication)
+grp AS (SELECT shs, min(doc_id) AS rep, list_sort(list(doc_id)) AS ids, min(sz) AS sz
+        FROM docsets GROUP BY shs),
+rh AS (SELECT g.rep AS doc_id, u.hs FROM grp g, unnest(g.shs) u(hs)),
+dfq AS (SELECT hs, count(*) AS df FROM rh GROUP BY 1),
+rare AS (
+  SELECT doc_id AS rid, hs FROM (
+    SELECT rh.doc_id, rh.hs,
+           row_number() OVER (PARTITION BY rh.doc_id ORDER BY f.df, rh.hs) AS rn
+    FROM rh JOIN dfq f ON rh.hs = f.hs
+  ) t(doc_id, hs, rn) WHERE rn <= 8
+),
+cand AS (
+  SELECT DISTINCT least(r.rid, o.doc_id) AS id_a, greatest(r.rid, o.doc_id) AS id_b
+  FROM rare r JOIN rh o ON r.hs = o.hs AND r.rid <> o.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN rh ha ON ha.doc_id = c.id_a
+  JOIN rh hb ON hb.doc_id = c.id_b AND hb.hs = ha.hs
+  GROUP BY 1, 2
+),
+reppairs AS (
+  SELECT id_a, id_b,
+         round(inter::DOUBLE / least(sa.sz, sb.sz), 6) AS containment
+  FROM inter
+  JOIN grp sa ON sa.rep = id_a
+  JOIN grp sb ON sb.rep = id_b
+  WHERE round(inter::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.5
+),
+intra AS (
+  SELECT a.a_id AS id_a, b.b_id AS id_b, 1.0 AS containment
+  FROM grp g, unnest(g.ids) a(a_id), unnest(g.ids) b(b_id)
+  WHERE a.a_id < b.b_id
+),
+crossed AS (
+  SELECT least(ua.ia, ub.ib) AS id_a, greatest(ua.ia, ub.ib) AS id_b, rp.containment
+  FROM reppairs rp
+  JOIN grp ga ON ga.rep = rp.id_a
+  JOIN grp gb ON gb.rep = rp.id_b,
+  unnest(ga.ids) ua(ia), unnest(gb.ids) ub(ib)
+)
+SELECT id_a, id_b, containment FROM intra
+UNION ALL
+SELECT id_a, id_b, containment FROM crossed
+"""
+
+
+@register(
+    "dedup_containment_indexed",
+    oracle=_CONTAINMENT_IDX_SQL,
+    survey_ids=("dedup-containment",),
+)
+def dedup_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment via the rare-shingle inverted index — the scale path:
+    each doc probes with its 8 corpus-rarest shingles (recall ~1-(1-c)^8),
+    candidates fan out O(df-of-rare-shingle) per probe, exact verification
+    on candidates only. The oracle replicates the same candidate rule, so
+    the check is hash-exact. See ``dedup.containment_pairs_rare_shingle``."""
+    return dedup.containment_pairs_rare_shingle(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_SQL, survey_ids=("dedup-containment",))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B| / min(|A|,|B|) >= 0.5): finds a
+    document embedded in a larger one, which symmetric Jaccard misses. See
+    ``dedup.containment_pairs_brute`` for why candidates are the exact
+    shared-shingle join rather than MinHash banding."""
+    return dedup.containment_pairs_brute(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_jaccard_brute", oracle=_JACCARD_SQL, survey_ids=("dedup-ngram-jaccard",))
+def dedup_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.35) via shared-shingle
+    candidates — the exactness baseline the LSH path is verified against."""
+    return dedup.jaccard_pairs_brute(_t(spark, sf_dir, "documents"), threshold=0.35)
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_SQL, survey_ids=("dedup-minhash-lsh",), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified — the 100 TB scale
+    path (equi-joins on band buckets only). Oracle is the exact brute-force
+    pair set: at 64 perms / 2-row bands LSH recall at j>=0.35 is ~1, and the
+    exact verification step removes every false candidate, so the outputs
+    coincide."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.35)
+
+
+_MINHASH_SIG_SQL = f"""
+WITH {_SHINGLE_CTE},
+h AS (SELECT doc_id, {md5_long_sql_duckdb('shingle', 7)} AS h FROM sh)
+SELECT doc_id, p.b AS perm,
+       min(((2 * p.b + 1) * h + p.b * p.b + 1) % 2147483647) AS minval
+FROM h CROSS JOIN range(64) p(b)
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_minhash_sig", oracle=_MINHASH_SIG_SQL, survey_ids=("dedup-minhash-lsh",))
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, exploded to (doc_id, perm, minval) for exact
+    value-level verification of the hash pipeline."""
+    sig = dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return sig.select("doc_id", F.posexplode("sig").alias("perm", "minval")).select(
+        "doc_id", F.col("perm").cast("bigint").alias("perm"), "minval"
+    )
+
+
+_SIMHASH_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, {md5_long_sql_duckdb('tok', 12)} AS h FROM dt),
+bits AS (
+  SELECT doc_id, p.b AS b,
+         sum(CASE WHEN (h >> p.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN range(48) p(b)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY 1
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL, survey_ids=("dedup-simhash",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash fingerprints (near-dup = small Hamming distance),
+    computed fully declaratively."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH fp AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    survey_ids=("dedup-simhash",),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 over 48 bits) via pigeonhole
+    chunk banding: distance <= 3 over 4 chunks forces at least one chunk
+    to agree, so the bucketed candidate generation has recall exactly 1 —
+    which is why the quadratic Hamming join is a sound oracle while the
+    engine plan stays an equi-key groupBy. See ``dedup.simhash_pairs``."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _simhash_combo_key_sql(bits: int = 48, chunks: int = 6, max_hamming: int = 3) -> str:
+    """DuckDB list of the 6-choose-3 combo band keys, generated from the
+    SAME layout the engine uses (``dedup._simhash_combo_layout``) — the
+    oracle and the engine can never drift on the bucket definition."""
+    width, mask, combos, _ = dedup._simhash_combo_layout(bits, chunks, max_hamming)
+    exprs = []
+    for ci, combo in enumerate(combos):
+        acc = str(ci)
+        for c in combo:
+            acc = f"({acc} * {mask + 1} + ((simhash >> {c * width}) & {mask}))"
+        exprs.append(acc)
+    return "[" + ", ".join(exprs) + "]"
+
+
+@register(
+    "dedup_minhash_bucket_stats",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+hs AS (SELECT doc_id, {md5_long_sql_duckdb('shingle', 15)} AS h60,
+              {md5_long_sql_duckdb('shingle', 7)} AS h28
+       FROM sh),
+sets AS (SELECT doc_id, list_sort(list(DISTINCT h60)) AS shs FROM hs GROUP BY doc_id),
+reps AS (SELECT min(doc_id) AS rep FROM sets GROUP BY shs),
+sig AS (SELECT h.doc_id, p.b AS perm,
+               min(((2 * p.b + 1) * h.h28 + p.b * p.b + 1) % 2147483647) AS mv
+        FROM hs h JOIN reps r ON h.doc_id = r.rep CROSS JOIN range(64) p(b)
+        GROUP BY 1, 2),
+bands AS (SELECT doc_id, perm // 2 AS band,
+                 min(CASE WHEN perm % 2 = 0 THEN mv END) AS v0,
+                 min(CASE WHEN perm % 2 = 1 THEN mv END) AS v1
+          FROM sig GROUP BY 1, 2),
+sizes AS (SELECT count(*) AS c FROM bands GROUP BY band, v0, v1)
+SELECT count(*)::BIGINT AS n_buckets, max(c)::BIGINT AS max_bucket,
+       sum(CASE WHEN c > 256 THEN 1 ELSE 0 END)::BIGINT AS capped_buckets,
+       sum(CASE WHEN c > 256 THEN c ELSE 0 END)::BIGINT AS capped_ids
+FROM sizes
+""",
+    survey_ids=("dedup-minhash-lsh",),
+)
+def dedup_minhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps rule for the MinHash family (VERDICT r5 #8; the
+    simhash/semantic twins already exist): band-bucket population stats
+    over the rep-level banded frame. ``capped_buckets > 0`` means
+    ``dedup_minhash_lsh`` star-capped those buckets; on the driver fixtures
+    it must be 0, proven hash-exact each round. The oracle rebuilds the
+    collapse + banding independently — distinct shingle sets -> one rep ->
+    64-perm signature -> 32 two-row bands grouped by VALUE tuple (the
+    engine groups by its 64-bit FNV band key, identical up to FNV
+    collisions, ~1e-10 at fixture scale)."""
+    return dedup.minhash_band_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_bucket_stats",
+    oracle=f"""
+WITH fp AS ({_SIMHASH_SQL}),
+reps AS (SELECT simhash FROM fp GROUP BY simhash),
+keys AS (SELECT unnest({_simhash_combo_key_sql()}) AS ck FROM reps),
+sizes AS (SELECT ck, count(*) AS c FROM keys GROUP BY ck)
+SELECT count(*) AS n_buckets, max(c) AS max_bucket,
+       sum(CASE WHEN c > 2048 THEN 1 ELSE 0 END)::BIGINT AS capped_buckets,
+       sum(CASE WHEN c > 2048 THEN c ELSE 0 END)::BIGINT AS capped_ids
+FROM sizes
+""",
+    survey_ids=("dedup-simhash",),
+)
+def dedup_simhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps rule as a first-class oracle-checked query:
+    combo-bucket population stats over the distinct-fingerprint frame.
+    ``capped_buckets > 0`` means ``dedup_simhash_pairs`` star-capped those
+    buckets (pair recall reduced, components preserved) — on the driver
+    fixtures it must be 0, which this entry proves every round."""
+    return dedup.simhash_band_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_script_profile",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]'))::INT AS latin_ct,
+       len(regexp_extract_all(text, '[一-鿿぀-ヿ]'))::INT AS cjk_ct,
+       len(regexp_extract_all(text, '[Ѐ-ӿ]'))::INT AS cyrillic_ct,
+       len(regexp_extract_all(text, '[؀-ۿ]'))::INT AS arabic_ct,
+       len(regexp_extract_all(text, '[0-9]'))::INT AS digit_ct,
+       length(text)::INT AS char_ct,
+       CASE WHEN len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) >= len(regexp_extract_all(text, '[一-鿿぀-ヿ]'))
+             AND len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) >= len(regexp_extract_all(text, '[Ѐ-ӿ]'))
+             AND len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) >= len(regexp_extract_all(text, '[؀-ۿ]'))
+            THEN 'latin'
+            WHEN len(regexp_extract_all(text, '[一-鿿぀-ヿ]')) >= len(regexp_extract_all(text, '[Ѐ-ӿ]'))
+             AND len(regexp_extract_all(text, '[一-鿿぀-ヿ]')) >= len(regexp_extract_all(text, '[؀-ۿ]'))
+            THEN 'cjk'
+            WHEN len(regexp_extract_all(text, '[Ѐ-ӿ]')) >= len(regexp_extract_all(text, '[؀-ۿ]'))
+            THEN 'cyrillic'
+            ELSE 'arabic' END AS dominant_script
+FROM documents
+""",
+    survey_ids=("text-langid",),
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profile (r7): per-doc character counts over literal
+    BMP script ranges + deterministic dominant-script label — the
+    mixed-script/mojibake curation gate, all JVM-side ``regexp_count``
+    codegen (same literal ranges run unchanged in DuckDB's RE2)."""
+    return text.script_profile(_t(spark, sf_dir, "documents"))
+
+
+_NORM_TEXT_SQL = md5_long_sql_duckdb("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       {_NORM_TEXT_SQL} AS fp
+FROM documents
+""",
+    survey_ids=("text-fingerprint",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized 60-bit document fingerprint (case/whitespace-insensitive
+    identity for dedup and provenance joins)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+def _marker_hits_sql(markers: tuple[str, ...]) -> str:
+    parts = [
+        f"len(list_filter(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''), x -> x = '{m}'))"
+        for m in markers
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+       round(length(text)::DOUBLE / greatest(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 1), 6) AS chars_per_token,
+       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / greatest(length(text), 1), 6) AS punct_ratio,
+       round({_marker_hits_sql(text.STOPWORDS)}::DOUBLE / greatest(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 1), 6) AS stopword_ratio,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1), 6) AS alpha_ratio
+FROM documents
+"""
+
+
+@register("text_quality", oracle=_QUALITY_SQL, survey_ids=("text-quality",), bench=True)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring feature vector (C4/Gopher-style length & symbol
+    ratios) — one shuffle-free map-side projection."""
+    return text.quality_features(_t(spark, sf_dir, "documents"))
+
+
+def _lang_case_sql() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    scores = {lang: _marker_hits_sql(text.LANG_MARKERS[lang]) for lang in langs}
+    best = "greatest(" + ", ".join(scores[lang] for lang in langs) + ")"
+    whens = "\n".join(
+        f"  WHEN {best} > 0 AND {scores[lang]} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"SELECT doc_id, CASE\n{whens}\n  ELSE 'und' END AS lang_pred FROM documents"
+
+
+@register("text_lang_id", oracle=_lang_case_sql(), survey_ids=("text-lang-id",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic (stopword-marker) language ID; first language in code order
+    wins ties, 'und' when no marker hits."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+FROM documents
+""",
+    survey_ids=("text-token-count",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over the documents table (whitespace tokenizer)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+
+
+_ANN_BRUTE_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+@register("ann_brute_force", oracle=_ANN_BRUTE_SQL, survey_ids=("sim-brute-cosine",), bench=True)
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the query subset (vec_id % 20 == 0): broadcast
+    query side, corpus streams map-side; per-query top-k via ranking window.
+    Dot/norm folds are sequential doubles — bit-identical to the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    return similarity.brute_force_topk(emb, q, k=5)
+
+
+@register("ann_lsh_bucketed", oracle=None, survey_ids=("sim-lsh",))
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via multi-probe sign-bit LSH: plane count auto-
+    scales with the corpus (8 here, 22 at 10^9 vectors — expected bucket
+    size stays ~256), each query probes 4 single-bit-flip buckets, and
+    scoring is a cogrouped Arrow pass emitting bucket-local top-k, so the
+    final ranking window sees nprobe*k rows per query — never O(|bucket|)
+    raw candidates. Deterministic hyperplanes make even this approximate
+    index exactly oracle-checkable (SQL twin installed below,
+    _ANN_LSH_SQL)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    return similarity.lsh_topk(emb, q, k=5)
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id AS media_id, 'text/plain' AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha
+FROM documents
+""",
+    survey_ids=("mm-meta",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media table: payload stays a binary column; typed
+    metadata (byte length, content sha) computed JVM-side without Python
+    touching the bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(docs, "doc_id", F.col("text").cast("binary"), "text/plain")
+    return media.select("media_id", "mime", "n_bytes", "sha")
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 31 + 1)::INT AS width,
+       (doc_id % 17 + 1)::INT AS height,
+       (54 + ((3 * (doc_id % 31 + 1) + 3) // 4 * 4) * (doc_id % 17 + 1))::BIGINT AS n_bytes,
+       (3 * (doc_id % 31 + 1) * (doc_id % 17 + 1) * (doc_id % 251))::BIGINT AS pix_sum
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over an Arrow-batched binary column: synthesize a
+    valid 24bpp BMP per doc (struct.pack encoder), decode it back with the
+    independent numpy parser (header fields, bottom-up rows, 4-byte row
+    padding stripped — padding bytes are 0xAB, so sloppy stripping breaks
+    pix_sum). The oracle predicts width/height/file size/pixel sum from
+    the seed arithmetic alone, so a hash match proves the decoder parsed
+    the binary format correctly — not that it echoed the fixture."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "bmp")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/bmp")
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id", "width", "height", "n_bytes",
+        F.col("sample_sum").alias("pix_sum"),
+    )
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       (doc_id % 1200 + 1)::INT AS n_samples,
+       ((doc_id % 1200 + 1) * 1000 // 8000)::BIGINT AS duration_ms,
+       ((doc_id % 1200 + 1) * (doc_id % 1001 - 500))::BIGINT AS amp_sum
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: synthesize a valid PCM16 RIFF/WAV per doc (with a
+    decoy 'cue ' chunk so data offsets can't be hardcoded), decode via the
+    numpy RIFF walker, report rate / sample count / duration / amplitude
+    sum — all predicted by the oracle from seed arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "wav")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "audio/wav")
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id", "sample_rate",
+        F.col("n_frames").alias("n_samples"),
+        "duration_ms",
+        F.col("sample_sum").alias("amp_sum"),
+    )
+
+
+@register(
+    "multimodal_jpeg_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 509 + 1)::INT AS width,
+       (doc_id % 389 + 1)::INT AS height,
+       (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END)::INT AS n_components,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT AS progressive,
+       (doc_id % 8 + 1)::INT AS orientation
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG header-metadata gate (VERDICT r5 #4): synthesize a structurally
+    valid JPEG per doc (marker segments; layout varies by seed — JFIF APP0
+    presence, COM segments, II/MM EXIF byte order, SOF0 vs SOF2), then
+    parse the headers back with the independent marker walker: dimensions,
+    component count, progressive flag, EXIF orientation — the most common
+    multimodal curation filter, no pixel decode (that stays behind the
+    decode_media vendor seam, ``operators/multimodal.py``). The oracle
+    predicts every column from seed arithmetic alone."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "jpeg")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/jpeg")
+    return multimodal.jpeg_meta(media)
+
+
+@register(
+    "multimodal_gif_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 777 + 1)::INT AS width,
+       (doc_id % 555 + 1)::INT AS height,
+       (doc_id % 12 + 1)::INT AS n_frames,
+       (2 * 2 ** (doc_id % 3 + 1))::INT AS gct_colors,
+       (CASE WHEN doc_id % 3 = 0 THEN doc_id % 70 ELSE 0 END)::INT AS loop_count,
+       (CASE WHEN doc_id % 12 + 1 > 1 THEN 1 ELSE 0 END)::INT AS animated
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF metadata gate (r7): synthesize a valid GIF89a per doc (global
+    color table, optional NETSCAPE loop extension, per-frame graphic
+    control + data sub-blocks), parse it back with the independent block
+    walker: dimensions, palette size, frame count, loop count, animated
+    flag — the animated-vs-static curation filter, no LZW decode. Oracle =
+    seed arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "gif")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/gif")
+    return multimodal.gif_meta(media)
+
+
+@register(
+    "multimodal_mp3_meta",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 2 = 1 AS v1,
+         (doc_id % 13 + 2)::INT AS bi,
+         (doc_id % 3 + 1)::INT AS si,
+         (doc_id % 40 + 1)::INT AS nf
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       (CASE WHEN v1 THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bi]
+             ELSE ([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160])[bi] END)::INT
+         AS bitrate_kbps,
+       (CASE WHEN v1 THEN ([44100,48000,32000])[si]
+             ELSE ([22050,24000,16000])[si] END)::INT AS sample_rate,
+       (CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END)::INT AS channels,
+       nf AS n_frames,
+       (nf * (CASE WHEN v1 THEN 1152 ELSE 576 END) * 1000
+          // (CASE WHEN v1 THEN ([44100,48000,32000])[si]
+                   ELSE ([22050,24000,16000])[si] END))::BIGINT AS duration_ms,
+       (CASE WHEN doc_id % 4 = 0
+             THEN 10 + length('synthetic id3 payload ' || doc_id::VARCHAR)
+             ELSE 0 END)::INT AS id3_bytes
+FROM p
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-header gate (r7): synthesize a valid CBR layer-III stream
+    per doc (MPEG-1/2 alternating, optional ID3v2 tag with syncsafe
+    length, per-frame padding bits), parse it back with the independent
+    frame walker: bitrate / samplerate / channels / exact frame count /
+    duration — the compressed-audio curation filter, no sample decode
+    (huffman/IMDCT stays behind the decode_media vendor seam). Oracle =
+    seed arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "mp3")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "audio/mpeg")
+    return multimodal.mp3_meta(media)
+
+
+@register(
+    "multimodal_mp4_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       ((doc_id % 90000 + 1) * 1000 // 600)::BIGINT AS duration_ms,
+       600::INT AS timescale,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END)::INT AS n_tracks,
+       (doc_id % 1920 + 16)::INT AS width,
+       (doc_id % 1080 + 16)::INT AS height,
+       (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)::INT AS has_audio
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF container-metadata gate (r7): synthesize a valid box
+    tree per doc (ftyp + moov with mvhd/trak/tkhd/mdhd/hdlr — versions 0/1
+    alternate, box order varies, decoy udta boxes), parse it back with the
+    independent box walker: duration, timescale, track count, 16.16
+    fixed-point display dimensions, audio presence — the video curation
+    filter that needs no sample decode (H.264 stays behind the
+    decode_media vendor seam). Oracle = seed arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "mp4")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "video/mp4")
+    return multimodal.mp4_meta(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id AS media_id,
+       unnest(range(0, (doc_id % 1200 + 1), 100))::BIGINT AS frame_idx
+FROM documents
+""",
+    survey_ids=("mm-frames",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/sample-index sampling plan over REAL decoded WAV sample counts:
+    pure sequence+explode downstream of the decode — no extra Python, no
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "wav")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "audio/wav")
+    decoded = multimodal.decode_media(media)
+    return multimodal.frame_sample(decoded, every_nth=100).select(
+        "media_id", F.col("frame_idx").cast("bigint").alias("frame_idx")
+    )
+
+
