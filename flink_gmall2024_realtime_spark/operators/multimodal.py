@@ -1062,6 +1062,215 @@ def gif_meta(media: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# GIF LZW pixel decode (r9): REAL variable-width LZW — the first GIF
+# curation gate that needs actual pixels (palette-weighted luminance /
+# pixel statistics), zero vendored libs. Both directions implement the
+# public GIF89a appendix-F scheme: codes packed LSB-first, CLEAR/EOI,
+# dictionary to 4096, and the code-width schedule driven by a per-code
+# counter (one increment per data code emitted/read, bump when the counter
+# passes 2^width) — NOT by table insertions, which on the decoder side lag
+# the encoder by one entry. Encoder exists only to synthesize fixtures;
+# the decoder is the product. Interlaced streams are accepted because the
+# returned statistic (palette-summed pixel total) is row-order invariant.
+# --------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices, min_code_size: int, clear_every: int = 0) -> bytes:
+    """GIF-variant LZW: emit CLEAR, then dictionary-compressed data codes,
+    then EOI, packed LSB-first. ``clear_every`` forces a mid-stream CLEAR
+    after that many emitted codes (fixture knob so decoders must handle
+    resets, as real encoders emit them on poor compression)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    buf = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += w
+        while nacc >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    def fresh():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    emitted = 0
+    prefix = ()
+
+    def emit_data(code: int) -> None:
+        nonlocal next_code, width, emitted
+        emit(code, width)
+        emitted += 1
+        if next_code < 4096:
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+
+    for px in indices:
+        cand = prefix + (int(px),)
+        if cand in table:
+            prefix = cand
+            continue
+        was_full = next_code >= 4096
+        emit_data(table[prefix])
+        if not was_full:
+            table[cand] = next_code - 1  # slot consumed by emit_data's count
+        else:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        prefix = (int(px),)
+        if clear_every and emitted >= clear_every:
+            emit_data(table[prefix])
+            emit(clear, width)
+            table, next_code, width = fresh()
+            emitted = 0
+            prefix = ()
+    if prefix:
+        emit_data(table[prefix])
+    emit(eoi, width)
+    if nacc:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """Conformant GIF LZW decode: variable code width with the giflib
+    counter schedule, CLEAR reset, KwKwK (code == next unassigned slot),
+    4096-entry cap with deferred CLEAR."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nacc = pos = 0
+    width = min_code_size + 1
+    counter = eoi + 1  # giflib RunningCode: one tick per code read
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev = None
+
+    while True:
+        while nacc < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if counter < 4098:
+            counter += 1
+            if counter > (1 << width) and width < 12:
+                width += 1
+        if code == eoi:
+            return out
+        if code == clear:
+            width = min_code_size + 1
+            counter = eoi + 1
+            del table[eoi + 1 :]
+            prev = None
+            continue
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first code after CLEAR not a literal")
+            out += table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = table[prev] + table[prev][:1]  # KwKwK
+            else:
+                raise ValueError(f"LZW code {code} beyond table {len(table)}")
+            out += entry
+            if len(table) < 4096:
+                table.append(table[prev] + entry[:1])
+        prev = code
+
+
+def synth_gif_pixels(seed: int) -> bytes:
+    """Single-frame GIF89a whose LZW data encodes REAL pixels: 4-color
+    grayscale global palette v_i = (seed + 37*i) % 256, pixel k = k % 4,
+    optional no-op graphic-control extension (seed%3 == 0), forced
+    mid-stream CLEAR resets every 16 codes when seed%5 == 0. Decoded
+    palette-summed pixel total is exact seed arithmetic."""
+    w, h = seed % 37 + 4, seed % 23 + 2
+    out = [b"GIF89a", struct.pack("<HHBBB", w, h, 0x80 | (1 << 4) | 1, 0, 0)]
+    out.append(bytes(((seed + 37 * i) % 256) for i in range(4) for _ in range(3)))
+    if seed % 3 == 0:
+        out.append(b"\x21\xf9\x04\x00\x00\x00\x00\x00")
+    out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+    out.append(bytes([2]))  # LZW minimum code size
+    data = _gif_lzw_encode(
+        (k % 4 for k in range(w * h)), 2, clear_every=16 if seed % 5 == 0 else 0
+    )
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(bytes([len(chunk)]) + chunk)
+    out.append(b"\x00\x3b")
+    return b"".join(out)
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, int]:
+    """Decode the FIRST frame's pixels through the full LZW path: returns
+    (frame_width, frame_height, n_px, pix_sum) where pix_sum is the
+    palette-mapped sum of r+g+b over every pixel. Local color table
+    overrides the global one; extensions are skipped; the decoded index
+    count must equal the descriptor's w*h exactly."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _w, _h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    i = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        palette = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+        i += 3 * n
+
+    def skip_subblocks(j: int) -> int:
+        while j < len(payload) and payload[j]:
+            j += 1 + payload[j]
+        return j + 1
+
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            i = skip_subblocks(i + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x} at {i}")
+        _x, _y, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, i + 1)
+        i += 10
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 7)
+            palette = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+            i += 3 * n
+        if palette is None:
+            raise ValueError("no color table for first frame")
+        mcs = payload[i]
+        i += 1
+        parts = []
+        while i < len(payload) and payload[i]:
+            parts.append(payload[i + 1 : i + 1 + payload[i]])
+            i += 1 + payload[i]
+        idx = np.frombuffer(bytes(_gif_lzw_decode(b"".join(parts), mcs)), dtype=np.uint8)
+        if len(idx) != fw * fh:
+            raise ValueError(f"decoded {len(idx)} pixels for {fw}x{fh} frame")
+        if idx.max(initial=0) >= len(palette):
+            raise ValueError("pixel index beyond palette")
+        counts = np.bincount(idx, minlength=len(palette))
+        psum = palette.astype(np.int64).sum(axis=1)
+        return fw, fh, fw * fh, int(counts @ psum)
+    raise ValueError("no image descriptor")
+
+
+# --------------------------------------------------------------------------
 # MP3 (MPEG-1/2 audio layer III): frame-header metadata — the compressed-
 # audio curation gate. Sample decode (IMDCT/huffman) stays behind the
 # decode_media seam; version/layer/bitrate/samplerate/mode + a CBR duration
@@ -1388,6 +1597,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "png": synth_png,
         "jpeg": synth_jpeg,
         "jpeg_scan": synth_jpeg_scan,
+        "gif_pixels": synth_gif_pixels,
         "mp4": synth_mp4,
         "mp3": synth_mp3,
         "gif": synth_gif,
@@ -1404,10 +1614,11 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode media payloads with ``mapInPandas``, dispatching on mime.
 
-    image/bmp, image/png, image/jpeg (baseline, 1x1-sampled) and audio/wav
-    decode for real (numpy/stdlib parsing + the in-repo entropy codecs);
-    any other mime raises NotImplementedError — the explicit seam where
-    vendored executor-side codec libraries (Pillow/ffmpeg) plug in."""
+    image/bmp, image/png, image/jpeg (baseline, 1x1-sampled), image/gif
+    (LZW) and audio/wav decode for real (numpy/stdlib parsing + the
+    in-repo entropy codecs); any other mime raises NotImplementedError —
+    the explicit seam where vendored executor-side codec libraries
+    (Pillow/ffmpeg) plug in."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1423,6 +1634,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                     rows.append((mid, m, nb, w, h, 1, None, None, s))
                 elif m == "image/jpeg":
                     w, h, n_px, s = decode_jpeg(bytes(p))
+                    rows.append((mid, m, nb, w, h, 1, None, None, s))
+                elif m == "image/gif":
+                    w, h, n_px, s = decode_gif_pixels(bytes(p))
                     rows.append((mid, m, nb, w, h, 1, None, None, s))
                 elif m == "audio/wav":
                     _ch, rate, n, s = decode_wav(bytes(p))

@@ -169,6 +169,51 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_gif_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         (doc_id % 37 + 4) AS w,
+         (doc_id % 23 + 2) AS h,
+         3 * (doc_id % 256) AS f0,
+         3 * ((doc_id + 37) % 256) AS f1,
+         3 * ((doc_id + 74) % 256) AS f2,
+         3 * ((doc_id + 111) % 256) AS f3
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       w::INT AS width,
+       h::INT AS height,
+       (w * h)::BIGINT AS n_px,
+       ((w * h // 4) * (f0 + f1 + f2 + f3)
+        + CASE (w * h) % 4 WHEN 1 THEN f0 WHEN 2 THEN f0 + f1
+               WHEN 3 THEN f0 + f1 + f2 ELSE 0 END)::BIGINT AS pix_sum
+FROM p
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode, zero vendored libs (r9): synthesize a valid
+    single-frame GIF89a per doc with genuine variable-width LZW scan data
+    (CLEAR/EOI, giflib code-width schedule, forced mid-stream resets on
+    seed%5==0, 4-color global palette) and decode it back — sub-block
+    reassembly, full LZW walk incl. KwKwK, palette mapping. The oracle
+    predicts the palette-summed pixel total from seed arithmetic; a wrong
+    width schedule, reset, or KwKwK case corrupts pix_sum. Per-row Arrow
+    map work — linear by construction, same scale shape as
+    multimodal_png_decode."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "gif_pixels")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/gif")
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id", "width", "height",
+        (F.col("width") * F.col("height")).cast("long").alias("n_px"),
+        F.col("sample_sum").alias("pix_sum"),
+    )
+
+
 def _pq_sub_dist_sql(av: str, bv: str, s: int, ds: int = 8) -> str:
     """Unrolled left-to-right squared-L2 over subspace s's dims (1-indexed
     SQL arrays) — textual order matches the numpy dimension-sequential

@@ -741,7 +741,9 @@ def test_decode_media_unsupported_mime_raises(spark):
     from flink_gmall2024_realtime_spark.operators import multimodal
 
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    media = multimodal.to_media_table(df, "doc_id", F.col("text").cast("binary"), "image/jpeg")
+    # image/jpeg gained a real baseline decoder in r9, so the explicit seam
+    # is now the mimes with no in-repo pixel/sample codec (e.g. webp).
+    media = multimodal.to_media_table(df, "doc_id", F.col("text").cast("binary"), "image/webp")
     with _pytest.raises(Exception, match="no pixel codec for mime"):
         multimodal.decode_media(media).collect()
 
@@ -2584,6 +2586,68 @@ def test_jpeg_decode_rejects_out_of_scope_streams():
     p = synth_jpeg_scan(42)
     with _pytest.raises(ValueError):
         decode_jpeg(p[:-12])  # EOI + tail of the entropy data gone
+
+
+def test_gif_lzw_round_trip_property():
+    """Random index streams survive encode->decode bit-exactly across code
+    widths 2-8, forced mid-stream CLEARs, and the 4096-entry dictionary
+    cap with reset — the three places a nonconformant LZW walk desyncs."""
+    import random
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = random.Random(20260815)
+    for _ in range(60):
+        mcs = rng.randint(2, 8)
+        idx = [rng.randrange(1 << mcs) for _ in range(rng.randint(0, 2500))]
+        ce = rng.choice([0, 0, 5, 16, 40])
+        assert list(_gif_lzw_decode(_gif_lzw_encode(idx, mcs, clear_every=ce), mcs)) == idx
+    # low-entropy 200k stream forces the dictionary to 4096 and a CLEAR reset
+    idx = [(k * k) % 4 for k in range(200_000)]
+    assert list(_gif_lzw_decode(_gif_lzw_encode(idx, 2), 2)) == idx
+
+
+def test_gif_pixel_decode_canonical_and_seeded():
+    """The widely-published 1x1 white GIF (an external conformance anchor —
+    bytes not produced by our encoder) decodes to one pixel of palette 0;
+    synthesized frames match seed arithmetic including the forced-CLEAR
+    (seed%5==0) and GCE (seed%3==0) variants."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_gif_pixels,
+        synth_gif_pixels,
+    )
+
+    onepx = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+        b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02\x44\x01\x00\x3b"
+    )
+    assert decode_gif_pixels(onepx) == (1, 1, 1, 765)
+    for seed in [0, 1, 2, 3, 4, 5, 6, 9, 10, 15, 30, 99, 100, 101, 997, 123456]:
+        w, h, n, s = decode_gif_pixels(synth_gif_pixels(seed))
+        ww, hh = seed % 37 + 4, seed % 23 + 2
+        f = [3 * ((seed + 37 * i) % 256) for i in range(4)]
+        exp = (ww * hh // 4) * sum(f) + sum(f[: (ww * hh) % 4])
+        assert (w, h, n, s) == (ww, hh, ww * hh, exp), seed
+
+
+def test_gif_pixel_decode_rejects_corrupt_streams():
+    """Truncated LZW data and over-palette indices fail loudly."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_gif_pixels,
+        synth_gif_pixels,
+    )
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_pixels(b"BM123456")
+    p = synth_gif_pixels(8)
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(p[:-8])  # sub-block tail + trailer gone
 
 
 def test_jpeg_huffman_tables_canonical_and_legal():
