@@ -214,6 +214,45 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_flac_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         320 * (doc_id % 3 + 1) AS n,
+         doc_id % 100 - 50 AS a,
+         doc_id % 7 - 3 AS b
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       8000::INT AS sample_rate,
+       n::BIGINT AS n_samples,
+       (n * a + b * (n * (n - 1) // 2))::BIGINT AS sample_sum
+FROM p
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC sample decode, zero vendored libs (r9): synthesize a
+    fully decodable multi-frame FLAC per doc (fixed-predictor subframes
+    order 0-2, Rice partitions with escapes, true CRC-8/CRC-16 and PCM
+    MD5) and decode it back through the full bitstream path. Samples are
+    a + b*t + c*((t%5)-2) so the stream total is exact seed arithmetic
+    (the wiggle cancels per 5-sample cycle); a wrong unary/zigzag walk,
+    partition split, predictor integration, or CRC breaks the entry.
+    Per-row Arrow map work — linear by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "flac_frames")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "audio/flac")
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_frames").cast("long").alias("n_samples"),
+        F.col("sample_sum"),
+    )
+
+
 def _pq_sub_dist_sql(av: str, bv: str, s: int, ds: int = 8) -> str:
     """Unrolled left-to-right squared-L2 over subspace s's dims (1-indexed
     SQL arrays) — textual order matches the numpy dimension-sequential

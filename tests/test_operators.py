@@ -2650,6 +2650,63 @@ def test_gif_pixel_decode_rejects_corrupt_streams():
         decode_gif_pixels(p[:-8])  # sub-block tail + trailer gone
 
 
+def test_flac_crc_and_utf8_known_vectors():
+    """External conformance anchors: the published check values for
+    CRC-8/0x07 and CRC-16/BUYPASS over b'123456789', and FLAC's UTF-8
+    coded-number round trip across every byte-length class."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        _crc8_flac,
+        _crc16_flac,
+        _MsbBitReader,
+        _read_utf8_coded,
+        _utf8_coded,
+    )
+
+    assert _crc8_flac(b"123456789") == 0xF4
+    assert _crc16_flac(b"123456789") == 0xFEE8
+    for n in [0, 1, 127, 128, 2047, 2048, 65535, 1 << 20, (1 << 31) - 1, 1 << 35]:
+        assert _read_utf8_coded(_MsbBitReader(_utf8_coded(n))) == n, n
+
+
+def test_flac_pcm_decode_seeded_variants():
+    """Every synth variant decodes to exact seed arithmetic: fixed orders
+    0/1/2 rotate per frame, partition order 0/1 by seed parity, the Rice
+    escape partition on seed%7==0, 1-3 frames — and the STREAMINFO PCM
+    MD5 is verified, so any misdecode fails even if the sum collided."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_flac_pcm,
+        synth_flac_frames,
+    )
+
+    for seed in list(range(22)) + [35, 70, 97, 98, 99, 100, 105, 999, 123456]:
+        ch, sr, n, s = decode_flac_pcm(synth_flac_frames(seed))
+        nn = 320 * (seed % 3 + 1)
+        exp = nn * (seed % 100 - 50) + (seed % 7 - 3) * (nn * (nn - 1) // 2)
+        assert (ch, sr, n, s) == (1, 8000, nn, exp), seed
+
+
+def test_flac_pcm_decode_rejects_corruption():
+    """A flipped entropy bit breaks the frame CRC-16 (or the PCM MD5) —
+    never a silent wrong sum; truncation and non-FLAC payloads fail
+    loudly; LPC subframes stay a declared NotImplementedError seam."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_flac_pcm,
+        synth_flac_frames,
+    )
+
+    with _pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac_pcm(b"RIFF1234WAVE")
+    p = synth_flac_frames(11)
+    with _pytest.raises(ValueError):
+        decode_flac_pcm(p[:-6])  # frame tail + CRC-16 gone
+    corrupt = bytearray(p)
+    corrupt[-10] ^= 0x10  # flip a residual bit inside the last frame
+    with _pytest.raises(ValueError):
+        decode_flac_pcm(bytes(corrupt))
+
+
 def test_jpeg_huffman_tables_canonical_and_legal():
     """The vendored-in-stream tables must be canonical (encode and decode
     maps invert each other) and contain no all-ones code (T.81 reserved
