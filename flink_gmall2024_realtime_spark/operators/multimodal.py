@@ -1604,6 +1604,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "webp": synth_webp,
         "flac": synth_flac,
         "flac_frames": synth_flac_frames,
+        "flac_stereo": synth_flac_stereo,
         "tiff": synth_tiff,
         "ogg": synth_ogg,
     }[kind]
@@ -2126,7 +2127,6 @@ def synth_flac_frames(seed: int) -> bytes:
     out = [b"fLaC", bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo]
     for f in range(nf):
         s = samples[f * bs : (f + 1) * bs]
-        order = f % 3
         header = bytearray(b"\xff\xf8")
         header.append((0x7 << 4) | 0x4)  # blocksize: 16-bit at end; rate: 8 kHz
         header.append((0x0 << 4) | (0x4 << 1))  # mono; 16-bit
@@ -2134,16 +2134,79 @@ def synth_flac_frames(seed: int) -> bytes:
         header += struct.pack(">H", bs - 1)
         header.append(_crc8_flac(bytes(header)))
         w = _MsbBitWriter()
-        w.write(0x08 | order, 7)  # subframe header: FIXED(order), no wasted bits
-        w.write(0, 1)
-        for warm in s[:order]:
-            w.write(int(warm) & 0xFFFF, 16)
-        res = s.copy()
-        for _ in range(order):
-            res = np.diff(res)
-        _rice_write(
-            w, [int(x) for x in res], order, seed % 2, escape_last=(seed % 7 == 0)
-        )
+        _write_flac_subframe(w, s, f % 3, seed % 2, seed % 7 == 0, 16)
+        w.align()
+        frame = bytes(header) + bytes(w.buf)
+        out.append(frame + struct.pack(">H", _crc16_flac(frame)))
+    return b"".join(out)
+
+
+def _write_flac_subframe(w, s, order, po, escape_last, bits) -> None:
+    """FIXED-order subframe at the given bit depth (17 for side channels)."""
+    import numpy as np
+
+    w.write(0x08 | order, 7)  # reserved 0 + type FIXED(order)
+    w.write(0, 1)  # no wasted bits
+    for warm in s[:order]:
+        w.write(int(warm) & ((1 << bits) - 1), bits)
+    res = np.asarray(s, dtype=np.int64)
+    for _ in range(order):
+        res = np.diff(res)
+    _rice_write(w, [int(x) for x in res], order, po, escape_last=escape_last)
+
+
+def synth_flac_stereo(seed: int) -> bytes:
+    """Fully decodable STEREO FLAC: frames rotate the channel assignment
+    through independent (0b0001), left/side, right/side, and mid/side by
+    frame index, side subframes at 17 bits per spec. L and R are separate
+    5-cancelling ramps so sum(L)+sum(R) stays exact seed arithmetic; the
+    STREAMINFO MD5 covers the interleaved stream."""
+    import hashlib
+
+    import numpy as np
+
+    nf = seed % 4 + 1
+    bs = 320
+    total = bs * nf
+    a, b, c = seed % 100 - 50, seed % 7 - 3, seed % 4
+    a2, b2, c2 = (seed // 3) % 80 - 40, (seed // 5) % 5 - 2, (seed // 7) % 3
+    t = np.arange(total, dtype=np.int64)
+    left = a + b * t + c * ((t % 5) - 2)
+    right = a2 + b2 * t + c2 * ((t % 5) - 2)
+    inter = np.stack([left, right], axis=1).reshape(-1)
+    pcm_md5 = hashlib.md5(inter.astype("<i2").tobytes()).digest()
+    word = (8000 << 44) | (1 << 41) | (15 << 36) | total
+    streaminfo = (
+        struct.pack(">HH", bs, bs)
+        + (0).to_bytes(3, "big") * 2
+        + struct.pack(">Q", word)
+        + pcm_md5
+    )
+    out = [b"fLaC", bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo]
+    for f in range(nf):
+        lf = left[f * bs : (f + 1) * bs]
+        rf = right[f * bs : (f + 1) * bs]
+        ch_code = (0x1, 0x8, 0x9, 0xA)[f % 4]
+        header = bytearray(b"\xff\xf8")
+        header.append((0x7 << 4) | 0x4)
+        header.append((ch_code << 4) | (0x4 << 1))
+        header += _utf8_coded(f)
+        header += struct.pack(">H", bs - 1)
+        header.append(_crc8_flac(bytes(header)))
+        w = _MsbBitWriter()
+        order, po, esc = f % 3, seed % 2, seed % 7 == 0
+        if ch_code == 0x1:
+            _write_flac_subframe(w, lf, order, po, esc, 16)
+            _write_flac_subframe(w, rf, order, po, esc, 16)
+        elif ch_code == 0x8:
+            _write_flac_subframe(w, lf, order, po, esc, 16)
+            _write_flac_subframe(w, lf - rf, order, po, esc, 17)
+        elif ch_code == 0x9:
+            _write_flac_subframe(w, lf - rf, order, po, esc, 17)
+            _write_flac_subframe(w, rf, order, po, esc, 16)
+        else:  # mid/side
+            _write_flac_subframe(w, (lf + rf) >> 1, order, po, esc, 16)
+            _write_flac_subframe(w, lf - rf, order, po, esc, 17)
         w.align()
         frame = bytes(header) + bytes(w.buf)
         out.append(frame + struct.pack(">H", _crc16_flac(frame)))
@@ -2157,17 +2220,67 @@ _FLAC_RATES = {
 _FLAC_BITS = {0x1: 8, 0x2: 12, 0x4: 16, 0x5: 20, 0x6: 24}
 
 
+def _decode_flac_subframe(r: "_MsbBitReader", bs: int, bps: int):
+    """One subframe at the given effective bit depth (the decorrelated
+    side channel carries bps+1). Returns an int64 array of bs samples."""
+    import numpy as np
+
+    if r.read(1) != 0:
+        raise ValueError("subframe reserved bit set")
+    sftype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+    eff_bps = bps - wasted
+    if sftype == 0x00:
+        block = np.full(bs, r.read_signed(eff_bps), dtype=np.int64)
+    elif sftype == 0x01:
+        block = np.array([r.read_signed(eff_bps) for _ in range(bs)], dtype=np.int64)
+    elif 0x08 <= sftype <= 0x0C:
+        order = sftype - 0x08
+        warm = [r.read_signed(eff_bps) for _ in range(order)]
+        if r.read(2) != 0:
+            raise NotImplementedError("RICE2 residual method")
+        po = r.read(4)
+        if bs % (1 << po):
+            raise ValueError("partition order does not divide blocksize")
+        res: list[int] = []
+        for p in range(1 << po):
+            cnt = (bs >> po) - (order if p == 0 else 0)
+            k = r.read(4)
+            if k == 0xF:
+                bits = r.read(5)
+                res.extend(r.read_signed(bits) for _ in range(cnt))
+            else:
+                for _ in range(cnt):
+                    u = (r.read_unary() << k) | r.read(k)
+                    res.append((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
+        # integrate level by level: the k-th difference sequence starts
+        # at the first k-th difference of the warmup samples
+        arr = np.array(res, dtype=np.int64)
+        wa = np.array(warm, dtype=np.int64)
+        for k in range(order - 1, -1, -1):
+            arr = np.cumsum(np.concatenate([np.diff(wa, n=k)[:1], arr]))
+        block = arr
+    else:
+        raise NotImplementedError(f"subframe type 0x{sftype:02x} (LPC)")
+    if wasted:
+        block <<= wasted
+    return block
+
+
 def decode_flac_pcm(payload: bytes) -> tuple[int, int, int, int]:
     """Decode every frame's PCM: returns (n_channels, sample_rate,
-    n_samples, sample_sum). Verifies CRC-8 per header, CRC-16 per frame,
-    and the STREAMINFO MD5 of the reassembled stream when set."""
+    n_samples_per_channel, sample_sum over all channels). Handles
+    independent 1-8 channel frames plus the three stereo decorrelation
+    assignments (left/side, right/side, mid/side — side at bps+1, libFLAC
+    reconstruction). Verifies CRC-8 per header, CRC-16 per frame, and the
+    STREAMINFO MD5 of the interleaved stream when set."""
     import hashlib
 
     import numpy as np
 
     sr0, ch0, bps0, total, _dur, _nb = parse_flac_meta(payload)
-    if ch0 != 1:
-        raise NotImplementedError("only independent mono frames supported")
     # walk past the metadata chain to the first frame
     i = 4
     while True:
@@ -2188,8 +2301,8 @@ def decode_flac_pcm(payload: bytes) -> tuple[int, int, int, int]:
         bs_code, sr_code = r.read(4), r.read(4)
         ch_code, ss_code = r.read(4), r.read(3)
         r.read(1)  # reserved
-        if ch_code != 0:
-            raise NotImplementedError("stereo/decorrelated channel assignment")
+        if ch_code > 0xA:
+            raise ValueError(f"reserved channel assignment 0x{ch_code:x}")
         _frame_no = _read_utf8_coded(r)
         if bs_code == 0x6:
             bs = r.read(8) + 1
@@ -2218,61 +2331,36 @@ def decode_flac_pcm(payload: bytes) -> tuple[int, int, int, int]:
             raise ValueError("header not byte-aligned before CRC-8")
         if _crc8_flac(payload[fs : r.pos]) != r.read(8):
             raise ValueError("FLAC header CRC-8 mismatch")
-        # one subframe (mono)
-        if r.read(1) != 0:
-            raise ValueError("subframe reserved bit set")
-        sftype = r.read(6)
-        wasted = 0
-        if r.read(1):
-            wasted = r.read_unary() + 1
-        eff_bps = bps - wasted
-        if sftype == 0x00:
-            block = np.full(bs, r.read_signed(eff_bps), dtype=np.int64)
-        elif sftype == 0x01:
-            block = np.array([r.read_signed(eff_bps) for _ in range(bs)], dtype=np.int64)
-        elif 0x08 <= sftype <= 0x0C:
-            order = sftype - 0x08
-            warm = [r.read_signed(eff_bps) for _ in range(order)]
-            if r.read(2) != 0:
-                raise NotImplementedError("RICE2 residual method")
-            po = r.read(4)
-            if bs % (1 << po):
-                raise ValueError("partition order does not divide blocksize")
-            res: list[int] = []
-            for p in range(1 << po):
-                cnt = (bs >> po) - (order if p == 0 else 0)
-                k = r.read(4)
-                if k == 0xF:
-                    bits = r.read(5)
-                    res.extend(r.read_signed(bits) for _ in range(cnt))
-                else:
-                    for _ in range(cnt):
-                        u = (r.read_unary() << k) | r.read(k)
-                        res.append((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
-            # integrate level by level: the k-th difference sequence starts
-            # at the first k-th difference of the warmup samples
-            arr = np.array(res, dtype=np.int64)
-            wa = np.array(warm, dtype=np.int64)
-            for k in range(order - 1, -1, -1):
-                arr = np.cumsum(np.concatenate([np.diff(wa, n=k)[:1], arr]))
-            block = arr
-        else:
-            raise NotImplementedError(f"subframe type 0x{sftype:02x} (LPC)")
-        if wasted:
-            block <<= wasted
+        if ch_code <= 0x7:  # independent channels
+            chans = [_decode_flac_subframe(r, bs, bps) for _ in range(ch_code + 1)]
+        elif ch_code == 0x8:  # left/side
+            left = _decode_flac_subframe(r, bs, bps)
+            side = _decode_flac_subframe(r, bs, bps + 1)
+            chans = [left, left - side]
+        elif ch_code == 0x9:  # right/side
+            side = _decode_flac_subframe(r, bs, bps + 1)
+            right = _decode_flac_subframe(r, bs, bps)
+            chans = [side + right, right]
+        else:  # 0xA mid/side (libFLAC reconstruction)
+            mid = _decode_flac_subframe(r, bs, bps)
+            side = _decode_flac_subframe(r, bs, bps + 1)
+            mid2 = (mid << 1) | (side & 1)
+            chans = [(mid2 + side) >> 1, (mid2 - side) >> 1]
+        if len(chans) != ch0:
+            raise ValueError(f"frame has {len(chans)} channels, STREAMINFO {ch0}")
         r.align()
         if _crc16_flac(payload[fs : r.pos]) != r.read(16):
             raise ValueError("FLAC frame CRC-16 mismatch")
         i = r.pos
-        decoded.append(block)
-        n_decoded += len(block)
+        decoded.append(np.stack(chans, axis=1).reshape(-1))  # interleave
+        n_decoded += bs
     pcm = np.concatenate(decoded) if decoded else np.zeros(0, dtype=np.int64)
-    if len(pcm) != total:
-        raise ValueError(f"decoded {len(pcm)} of {total} samples")
-    if md5_expect != b"\x00" * 16:
+    if n_decoded != total:
+        raise ValueError(f"decoded {n_decoded} of {total} samples")
+    if md5_expect != b"\x00" * 16 and bps0 == 16:
         if hashlib.md5(pcm.astype("<i2").tobytes()).digest() != md5_expect:
             raise ValueError("PCM MD5 mismatch")
-    return 1, sr0, int(total), int(pcm.sum())
+    return ch0, sr0, int(total), int(pcm.sum())
 
 
 # --------------------------------------------------------------------------

@@ -253,6 +253,45 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_flac_stereo_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         320 * (doc_id % 4 + 1) AS n,
+         doc_id % 100 - 50 AS a,
+         doc_id % 7 - 3 AS b,
+         (doc_id // 3) % 80 - 40 AS a2,
+         (doc_id // 5) % 5 - 2 AS b2
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       8000::INT AS sample_rate,
+       n::BIGINT AS n_samples,
+       (n * a + b * (n * (n - 1) // 2)
+        + n * a2 + b2 * (n * (n - 1) // 2))::BIGINT AS sample_sum
+FROM p
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo FLAC decode exercising all three decorrelation modes (r9):
+    frames rotate independent / left-side / right-side / mid-side channel
+    assignments with 17-bit side subframes; the decoder must apply the
+    libFLAC reconstructions and the interleaved PCM MD5 to land the exact
+    seed-arithmetic total of sum(L)+sum(R)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "flac_stereo")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "audio/flac")
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_frames").cast("long").alias("n_samples"),
+        F.col("sample_sum"),
+    )
+
+
 def _pq_sub_dist_sql(av: str, bv: str, s: int, ds: int = 8) -> str:
     """Unrolled left-to-right squared-L2 over subspace s's dims (1-indexed
     SQL arrays) — textual order matches the numpy dimension-sequential

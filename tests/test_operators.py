@@ -2685,6 +2685,24 @@ def test_flac_pcm_decode_seeded_variants():
         assert (ch, sr, n, s) == (1, 8000, nn, exp), seed
 
 
+def test_flac_stereo_decorrelation_modes():
+    """Frames rotating independent / left-side / right-side / mid-side
+    all reconstruct to the exact two-ramp total, side channels at 17
+    bits, with the interleaved-PCM MD5 as the end-to-end witness."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_flac_pcm,
+        synth_flac_stereo,
+    )
+
+    for seed in list(range(20)) + [35, 70, 97, 98, 99, 105, 999, 123456]:
+        ch, sr, n, s = decode_flac_pcm(synth_flac_stereo(seed))
+        nn = 320 * (seed % 4 + 1)
+        a, b = seed % 100 - 50, seed % 7 - 3
+        a2, b2 = (seed // 3) % 80 - 40, (seed // 5) % 5 - 2
+        exp = nn * a + b * (nn * (nn - 1) // 2) + nn * a2 + b2 * (nn * (nn - 1) // 2)
+        assert (ch, sr, n, s) == (2, 8000, nn, exp), seed
+
+
 def test_flac_pcm_decode_rejects_corruption():
     """A flipped entropy bit breaks the frame CRC-16 (or the PCM MD5) —
     never a silent wrong sum; truncation and non-FLAC payloads fail
