@@ -1617,10 +1617,11 @@ def decode_media(media: DataFrame) -> DataFrame:
     """Decode media payloads with ``mapInPandas``, dispatching on mime.
 
     image/bmp, image/png, image/jpeg (baseline, 1x1-sampled), image/gif
-    (LZW), audio/wav and audio/flac (fixed-predictor subset) decode for
-    real (numpy/stdlib parsing + the in-repo entropy codecs); any other
-    mime raises NotImplementedError — the explicit seam where vendored
-    executor-side codec libraries (Pillow/ffmpeg) plug in."""
+    (LZW), audio/wav and audio/flac (FIXED + LPC subframes, stereo
+    decorrelation) decode for real (numpy/stdlib parsing + the in-repo
+    entropy codecs); any other mime raises NotImplementedError — the
+    explicit seam where vendored executor-side codec libraries
+    (Pillow/ffmpeg) plug in."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1955,8 +1956,10 @@ def flac_meta(media: DataFrame) -> DataFrame:
 # 0b1111 escape to raw two's-complement), fixed-predictor reconstruction
 # via repeated prefix sums, byte-align + CRC-16 (poly 0x8005) frame check,
 # and the STREAMINFO MD5 of the unencoded little-endian PCM when set.
-# Bits are MSB-first throughout (opposite of GIF's LZW). LPC subframes and
-# stereo decorrelation modes stay behind a loud NotImplementedError.
+# Bits are MSB-first throughout (opposite of GIF's LZW). LPC subframes
+# (quantized coefficients + shift, sequential reconstruction) and all
+# three stereo decorrelation assignments decode for real; only RICE2
+# residuals and >8-channel layouts remain loud errors.
 # --------------------------------------------------------------------------
 
 _FIXED_PRED = {0: (), 1: (1,), 2: (2, -1), 3: (3, -3, 1), 4: (4, -6, 4, -1)}
@@ -2155,6 +2158,28 @@ def _write_flac_subframe(w, s, order, po, escape_last, bits) -> None:
     _rice_write(w, [int(x) for x in res], order, po, escape_last=escape_last)
 
 
+_LPC_COEFS, _LPC_SHIFT, _LPC_PREC = (29, -14), 4, 6
+
+
+def _write_flac_subframe_lpc(w, s, po, escape_last, bits) -> None:
+    """Order-2 LPC subframe (coefs 29,-14 at shift 4 — a damped
+    second-order predictor) with exact integer residuals."""
+    order = 2
+    w.write(0x20 | (order - 1), 7)  # reserved 0 + type LPC(order)
+    w.write(0, 1)  # no wasted bits
+    for warm in s[:order]:
+        w.write(int(warm) & ((1 << bits) - 1), bits)
+    w.write(_LPC_PREC - 1, 4)
+    w.write(_LPC_SHIFT, 5)
+    for c in _LPC_COEFS:
+        w.write(c & ((1 << _LPC_PREC) - 1), _LPC_PREC)
+    res = [
+        int(s[t]) - ((_LPC_COEFS[0] * int(s[t - 1]) + _LPC_COEFS[1] * int(s[t - 2])) >> _LPC_SHIFT)
+        for t in range(order, len(s))
+    ]
+    _rice_write(w, res, order, po, escape_last=escape_last)
+
+
 def synth_flac_stereo(seed: int) -> bytes:
     """Fully decodable STEREO FLAC: frames rotate the channel assignment
     through independent (0b0001), left/side, right/side, and mid/side by
@@ -2195,18 +2220,24 @@ def synth_flac_stereo(seed: int) -> bytes:
         header.append(_crc8_flac(bytes(header)))
         w = _MsbBitWriter()
         order, po, esc = f % 3, seed % 2, seed % 7 == 0
+        if seed % 3 == 1:  # rotate the LPC subframe type through every mode
+            def sub(wr, sig, bits, _po=po, _esc=esc):
+                _write_flac_subframe_lpc(wr, sig, _po, _esc, bits)
+        else:
+            def sub(wr, sig, bits, _o=order, _po=po, _esc=esc):
+                _write_flac_subframe(wr, sig, _o, _po, _esc, bits)
         if ch_code == 0x1:
-            _write_flac_subframe(w, lf, order, po, esc, 16)
-            _write_flac_subframe(w, rf, order, po, esc, 16)
+            sub(w, lf, 16)
+            sub(w, rf, 16)
         elif ch_code == 0x8:
-            _write_flac_subframe(w, lf, order, po, esc, 16)
-            _write_flac_subframe(w, lf - rf, order, po, esc, 17)
+            sub(w, lf, 16)
+            sub(w, lf - rf, 17)
         elif ch_code == 0x9:
-            _write_flac_subframe(w, lf - rf, order, po, esc, 17)
-            _write_flac_subframe(w, rf, order, po, esc, 16)
+            sub(w, lf - rf, 17)
+            sub(w, rf, 16)
         else:  # mid/side
-            _write_flac_subframe(w, (lf + rf) >> 1, order, po, esc, 16)
-            _write_flac_subframe(w, lf - rf, order, po, esc, 17)
+            sub(w, (lf + rf) >> 1, 16)
+            sub(w, lf - rf, 17)
         w.align()
         frame = bytes(header) + bytes(w.buf)
         out.append(frame + struct.pack(">H", _crc16_flac(frame)))
@@ -2218,6 +2249,27 @@ _FLAC_RATES = {
     0x7: 24000, 0x8: 32000, 0x9: 44100, 0xA: 48000, 0xB: 96000,
 }
 _FLAC_BITS = {0x1: 8, 0x2: 12, 0x4: 16, 0x5: 20, 0x6: 24}
+
+
+def _read_flac_residual(r: "_MsbBitReader", bs: int, order: int) -> list:
+    """Rice-partitioned residual block shared by FIXED and LPC subframes."""
+    if r.read(2) != 0:
+        raise NotImplementedError("RICE2 residual method")
+    po = r.read(4)
+    if bs % (1 << po):
+        raise ValueError("partition order does not divide blocksize")
+    res: list[int] = []
+    for p in range(1 << po):
+        cnt = (bs >> po) - (order if p == 0 else 0)
+        k = r.read(4)
+        if k == 0xF:
+            bits = r.read(5)
+            res.extend(r.read_signed(bits) for _ in range(cnt))
+        else:
+            for _ in range(cnt):
+                u = (r.read_unary() << k) | r.read(k)
+                res.append((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
+    return res
 
 
 def _decode_flac_subframe(r: "_MsbBitReader", bs: int, bps: int):
@@ -2239,22 +2291,7 @@ def _decode_flac_subframe(r: "_MsbBitReader", bs: int, bps: int):
     elif 0x08 <= sftype <= 0x0C:
         order = sftype - 0x08
         warm = [r.read_signed(eff_bps) for _ in range(order)]
-        if r.read(2) != 0:
-            raise NotImplementedError("RICE2 residual method")
-        po = r.read(4)
-        if bs % (1 << po):
-            raise ValueError("partition order does not divide blocksize")
-        res: list[int] = []
-        for p in range(1 << po):
-            cnt = (bs >> po) - (order if p == 0 else 0)
-            k = r.read(4)
-            if k == 0xF:
-                bits = r.read(5)
-                res.extend(r.read_signed(bits) for _ in range(cnt))
-            else:
-                for _ in range(cnt):
-                    u = (r.read_unary() << k) | r.read(k)
-                    res.append((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
+        res = _read_flac_residual(r, bs, order)
         # integrate level by level: the k-th difference sequence starts
         # at the first k-th difference of the warmup samples
         arr = np.array(res, dtype=np.int64)
@@ -2262,8 +2299,23 @@ def _decode_flac_subframe(r: "_MsbBitReader", bs: int, bps: int):
         for k in range(order - 1, -1, -1):
             arr = np.cumsum(np.concatenate([np.diff(wa, n=k)[:1], arr]))
         block = arr
+    elif sftype >= 0x20:
+        order = (sftype & 0x1F) + 1
+        data = [r.read_signed(eff_bps) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC precision code 1111")
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        res = _read_flac_residual(r, bs, order)
+        for e in res:  # sequential by nature: each sample feeds the next
+            pred = sum(c * s for c, s in zip(coefs, reversed(data[-order:])))
+            data.append(e + (pred >> shift))
+        block = np.array(data, dtype=np.int64)
     else:
-        raise NotImplementedError(f"subframe type 0x{sftype:02x} (LPC)")
+        raise NotImplementedError(f"subframe type 0x{sftype:02x} (reserved)")
     if wasted:
         block <<= wasted
     return block

@@ -2703,6 +2703,25 @@ def test_flac_stereo_decorrelation_modes():
         assert (ch, sr, n, s) == (2, 8000, nn, exp), seed
 
 
+def test_flac_lpc_subframes_decode():
+    """seed%3==1 streams carry order-2 quantized-LPC subframes (coefs
+    29,-14 at shift 4) in every decorrelation mode; the sequential
+    predictor reconstruction must reproduce the exact ramp totals."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_flac_pcm,
+        synth_flac_stereo,
+    )
+
+    for seed in [1, 4, 7, 10, 13, 16, 19, 22, 97, 100, 103]:
+        assert seed % 3 == 1
+        ch, sr, n, s = decode_flac_pcm(synth_flac_stereo(seed))
+        nn = 320 * (seed % 4 + 1)
+        a, b = seed % 100 - 50, seed % 7 - 3
+        a2, b2 = (seed // 3) % 80 - 40, (seed // 5) % 5 - 2
+        exp = nn * a + b * (nn * (nn - 1) // 2) + nn * a2 + b2 * (nn * (nn - 1) // 2)
+        assert (ch, sr, n, s) == (2, 8000, nn, exp), seed
+
+
 def test_flac_pcm_decode_rejects_corruption():
     """A flipped entropy bit breaks the frame CRC-16 (or the PCM MD5) —
     never a silent wrong sum; truncation and non-FLAC payloads fail
