@@ -156,8 +156,23 @@ def synth_png(seed: int) -> bytes:
     import zlib
 
     w, h, c = seed % 29 + 1, seed % 13 + 1, seed % 251
-    bpp, stride = 3, 3 * (seed % 29 + 1)
-    prev = bytes(stride)  # spec: the row above row 0 is all zero
+    raw = _png_filter_rows(w, h, c)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_rows(w: int, h: int, c: int) -> bytearray:
+    """Filtered scanlines for a constant-color w×h RGB sub-image, row r
+    using filter r%5 — the encoder half shared by the flat and Adam7
+    fixtures (encoder reads true values, never reconstructed ones, so it
+    stays an independent code path from the decoder)."""
+    bpp, stride = 3, 3 * w
+    prev = bytes(stride)
     cur = bytes([c]) * stride
     raw = bytearray()
     for r in range(h):
@@ -182,7 +197,24 @@ def synth_png(seed: int) -> bytes:
                 x = (cur[i] - pred) & 0xFF
             raw.append(x)
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    return raw
+
+
+def synth_png_interlaced(seed: int) -> bytes:
+    """Adam7 PNG fixture: constant color seed%251, every non-empty pass
+    independently filtered with the full five-filter rotation. Decoded
+    geometry and pixel sum are the same seed arithmetic as ``synth_png``;
+    a wrong pass-dimension formula breaks the IDAT length check."""
+    import zlib
+
+    w, h, c = seed % 29 + 1, seed % 13 + 1, seed % 251
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            raw += _png_filter_rows(pw, ph, c)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=Adam7
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -278,10 +310,11 @@ def synth_png_random(w: int, h: int, seed: int = 7, filters: tuple = (0, 1, 2, 3
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, int]:
-    """REAL PNG decode for 8-bit RGB non-interlaced images: chunk walk with
-    CRC verification, zlib inflate, and full scanline unfiltering (all five
-    filter types). Returns (width, height, n_px, pix_sum) like
-    ``decode_bmp``.
+    """REAL PNG decode for 8-bit RGB images, non-interlaced or Adam7
+    (r9): chunk walk with CRC verification, zlib inflate, and full
+    scanline unfiltering (all five filter types; each Adam7 pass is an
+    independently-filtered sub-image whose top row predicts from zero).
+    Returns (width, height, n_px, pix_sum) like ``decode_bmp``.
 
     Scanline reconstruction is numpy-vectorized where the filter algebra
     allows: None is a copy, Up a vectorized mod-256 add against the prior
@@ -309,8 +342,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int]:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
             w, h, depth, ctype_, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8 or ctype_ != 2 or interlace != 0:
-                raise NotImplementedError("only 8-bit RGB non-interlaced PNG supported")
+            if depth != 8 or ctype_ != 2 or interlace > 1:
+                raise NotImplementedError("only 8-bit RGB PNG supported")
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -319,15 +352,49 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int]:
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     raw = zlib.decompress(idat)
-    bpp, stride = 3, 3 * w
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT size does not match IHDR dimensions")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    bpp = 3
+    if interlace == 0:
+        stride = 3 * w
+        if len(raw) != h * (stride + 1):
+            raise ValueError("IDAT size does not match IHDR dimensions")
+        total, _ = _unfilter_png_rows(raw, 0, h, stride)
+        return w, h, stride * h, total
+    # Adam7: seven independently-filtered sub-images, empty passes omitted
+    total, off = 0, 0
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        psum, off = _unfilter_png_rows(raw, off, ph, bpp * pw)
+        total += psum
+    if off != len(raw):
+        raise ValueError("IDAT size does not match Adam7 pass layout")
+    return w, h, 3 * w * h, total
+
+
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter_png_rows(raw: bytes, off: int, rows: int, stride: int) -> tuple[int, int]:
+    """Unfilter ``rows`` scanlines of ``stride`` bytes starting at ``off``
+    (the row above the first is all-zero per spec — also true at the top
+    of every Adam7 pass). Returns (pixel byte sum, next offset)."""
+    import numpy as np
+
+    bpp = 3
+    end = off + rows * (stride + 1)
+    if end > len(raw):
+        raise ValueError("IDAT truncated mid-pass")
+    arr = np.frombuffer(raw[off:end], dtype=np.uint8).reshape(rows, stride + 1)
     fts = arr[:, 0]
     lines = arr[:, 1:].astype(np.int64)
     prev = np.zeros(stride, dtype=np.int64)
     total = 0
-    for r in range(h):
+    for r in range(rows):
         ft = fts[r]
         line = lines[r]
         if ft == 0:
@@ -352,7 +419,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int]:
             raise ValueError(f"bad filter type {ft}")
         total += int(cur.sum())
         prev = cur
-    return w, h, stride * h, total
+    return total, end
 
 
 # --------------------------------------------------------------------------
@@ -1595,6 +1662,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "bmp": synth_bmp,
         "wav": synth_wav,
         "png": synth_png,
+        "png_interlaced": synth_png_interlaced,
         "jpeg": synth_jpeg,
         "jpeg_scan": synth_jpeg_scan,
         "gif_pixels": synth_gif_pixels,

@@ -292,6 +292,35 @@ def multimodal_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "multimodal_png_interlaced",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 29 + 1)::INT AS width,
+       (doc_id % 13 + 1)::INT AS height,
+       (3 * (doc_id % 29 + 1) * (doc_id % 13 + 1))::BIGINT AS n_px,
+       (3 * (doc_id % 29 + 1) * (doc_id % 13 + 1) * (doc_id % 251))::BIGINT AS pix_sum
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7 interlaced PNG decode (r9): every non-empty pass is an
+    independently filtered sub-image with the full five-filter rotation;
+    the decoder must get the seven pass-dimension formulas and per-pass
+    zero-row resets right or the IDAT length check / pixel sum breaks.
+    Same seed arithmetic as multimodal_png_decode."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "png_interlaced")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/png")
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id", "width", "height",
+        (F.lit(3) * F.col("width") * F.col("height")).cast("long").alias("n_px"),
+        F.col("sample_sum").alias("pix_sum"),
+    )
+
+
 def _pq_sub_dist_sql(av: str, bv: str, s: int, ds: int = 8) -> str:
     """Unrolled left-to-right squared-L2 over subspace s's dims (1-indexed
     SQL arrays) — textual order matches the numpy dimension-sequential

