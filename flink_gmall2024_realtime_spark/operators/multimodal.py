@@ -1674,6 +1674,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "flac_frames": synth_flac_frames,
         "flac_stereo": synth_flac_stereo,
         "tiff": synth_tiff,
+        "tiff_pixels": synth_tiff_pixels,
         "ogg": synth_ogg,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
@@ -1685,7 +1686,8 @@ def decode_media(media: DataFrame) -> DataFrame:
     """Decode media payloads with ``mapInPandas``, dispatching on mime.
 
     image/bmp, image/png, image/jpeg (baseline, 1x1-sampled), image/gif
-    (LZW), audio/wav and audio/flac (FIXED + LPC subframes, stereo
+    (LZW), image/tiff (strip path: raw + TIFF-LZW, Predictor 2),
+    audio/wav and audio/flac (FIXED + LPC subframes, stereo
     decorrelation) decode for real (numpy/stdlib parsing + the in-repo
     entropy codecs); any other mime raises NotImplementedError — the
     explicit seam where vendored executor-side codec libraries
@@ -1708,6 +1710,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                     rows.append((mid, m, nb, w, h, 1, None, None, s))
                 elif m == "image/gif":
                     w, h, n_px, s = decode_gif_pixels(bytes(p))
+                    rows.append((mid, m, nb, w, h, 1, None, None, s))
+                elif m == "image/tiff":
+                    w, h, n_px, s = decode_tiff_pixels(bytes(p))
                     rows.append((mid, m, nb, w, h, 1, None, None, s))
                 elif m == "audio/wav":
                     _ch, rate, n, s = decode_wav(bytes(p))
@@ -2681,6 +2686,237 @@ def tiff_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, schema=TIFF_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# TIFF strip/pixel decode (r9): REAL scanned-document pixel access, zero
+# vendored libs — uncompressed (Compression=1) and LZW (Compression=5)
+# strips with the optional horizontal-differencing Predictor=2. TIFF's
+# LZW differs from GIF's on every axis that can desync a decoder: codes
+# pack MSB-first, strings are always over bytes (Clear=256, EOI=257,
+# first entry 258, width starts at 9), and the code width bumps one code
+# EARLY ("early change": when the shared per-code counter reaches
+# 2^width - 1, not 2^width). Each strip restarts the dictionary.
+# --------------------------------------------------------------------------
+
+
+def _tiff_lzw_encode(data: bytes, clear_every: int = 0) -> bytes:
+    """TIFF-variant LZW over bytes; ``clear_every`` forces periodic
+    mid-stream ClearCodes (fixture knob)."""
+    w = _MsbBitWriter()
+    table: dict = {bytes([i]): i for i in range(256)}
+    width, counter = 9, 258
+    w.write(256, width)  # spec: every strip begins with ClearCode
+
+    def tick() -> None:
+        nonlocal counter, width
+        counter += 1
+        if counter == (1 << width) - 1 and width < 12:
+            width += 1
+
+    def reset() -> None:
+        nonlocal table, width, counter
+        table = {bytes([i]): i for i in range(256)}
+        width, counter = 9, 258
+
+    prefix = b""
+    emitted = 0
+    for byte in data:
+        cand = prefix + bytes([byte])
+        if cand in table:
+            prefix = cand
+            continue
+        w.write(table[prefix], width)
+        emitted += 1
+        if counter < 4094:
+            table[cand] = counter
+        tick()
+        prefix = bytes([byte])
+        if (clear_every and emitted >= clear_every) or counter >= 4093:
+            w.write(table[prefix], width)
+            tick()
+            w.write(256, width)
+            reset()
+            prefix = b""
+            emitted = 0
+    if prefix:
+        w.write(table[prefix], width)
+        tick()
+    w.write(257, width)  # EOI
+    w.align()
+    return bytes(w.buf)
+
+
+def _tiff_lzw_decode(data: bytes) -> bytearray:
+    """Conformant TIFF LZW decode: MSB-first, early change, KwKwK,
+    ClearCode resets, EOI terminates."""
+    r = _MsbBitReader(data)
+    out = bytearray()
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, counter = 9, 258
+    prev: bytes | None = None
+    while True:
+        code = r.read(width)
+        if code == 257:  # EOI
+            return out
+        if code == 256:  # Clear
+            del table[258:]
+            width, counter = 9, 258
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("first code after Clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} beyond table {len(table)}")
+        out += entry
+        if prev is not None and len(table) < 4094:
+            table.append(prev + entry[:1])
+        counter += 1
+        if counter == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+
+
+def synth_tiff_pixels(seed: int) -> bytes:
+    """Decodable grayscale 8-bit TIFF: byte order II/MM by seed parity,
+    RowsPerStrip=2 multi-strip layout, Compression 5 (LZW) unless
+    seed%5==4 (raw), Predictor=2 horizontal differencing when seed%3==0
+    (LZW only). Pixel k = (seed + 37*(k%4)) % 256, so the decoded sum is
+    the same cycle arithmetic as the GIF fixture (single channel)."""
+    import numpy as np
+
+    e = "<" if seed % 2 else ">"
+    w, h = seed % 37 + 4, seed % 23 + 2
+    lzw = seed % 5 != 4
+    predictor = 2 if (lzw and seed % 3 == 0) else 1
+    k = np.arange(w * h, dtype=np.int64)
+    img = ((seed + 37 * (k % 4)) % 256).astype(np.uint8).reshape(h, w)
+    strips = []
+    for y0 in range(0, h, 2):
+        rows = img[y0 : y0 + 2]
+        if predictor == 2:
+            rows = np.concatenate(
+                [rows[:, :1], np.diff(rows.astype(np.int64), axis=1) & 0xFF], axis=1
+            ).astype(np.uint8)
+        raw = rows.tobytes()
+        strips.append(_tiff_lzw_encode(raw, clear_every=64 if seed % 7 == 0 else 0) if lzw else raw)
+    n_strips = len(strips)
+
+    entries = [  # (tag, type, count, value) — SHORT=3, LONG=4
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, 5 if lzw else 1), (262, 3, 1, 1),
+        (273, 4, n_strips, None),  # StripOffsets: patched below
+        (277, 3, 1, 1), (278, 4, 1, 2),
+        (279, 4, n_strips, None),  # StripByteCounts
+    ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    arrays_off = ifd_off + ifd_size
+    # out-of-line LONG arrays for offsets/counts when n_strips > 1
+    off_arr_off, cnt_arr_off = arrays_off, arrays_off + 4 * n_strips
+    data_off = arrays_off + (8 * n_strips if n_strips > 1 else 0)
+    offs, pos = [], data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    out = [struct.pack(e + "2sHI", b"II" if e == "<" else b"MM", 42, ifd_off)]
+    body = [struct.pack(e + "H", len(entries))]
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            v = offs[0] if n_strips == 1 else off_arr_off
+        elif tag == 279:
+            v = len(strips[0]) if n_strips == 1 else cnt_arr_off
+        else:
+            v = val
+        if typ == 3:  # SHORT, left-justified in the 4-byte field
+            field = struct.pack(e + "H", v) + b"\x00\x00"
+        else:
+            field = struct.pack(e + "I", v)
+        body.append(struct.pack(e + "HHI", tag, typ, cnt) + field)
+    body.append(struct.pack(e + "I", 0))  # no next IFD
+    out.append(b"".join(body))
+    if n_strips > 1:
+        out.append(struct.pack(e + f"{n_strips}I", *offs))
+        out.append(struct.pack(e + f"{n_strips}I", *(len(s) for s in strips)))
+    out.extend(strips)
+    return b"".join(out)
+
+
+def decode_tiff_pixels(payload: bytes) -> tuple[int, int, int, int]:
+    """Decode IFD0's image through the strip path: returns (width, height,
+    n_px, pix_sum). Grayscale or RGB 8-bit, Compression 1/5, Predictor
+    1/2; strip byte totals must match the image geometry exactly."""
+    import numpy as np
+
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    magic, ifd_off = struct.unpack_from(e + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+    tags: dict = {}
+    for j in range(n_entries):
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, ifd_off + 2 + 12 * j)
+        field_off = ifd_off + 2 + 12 * j + 8
+        if typ == 3:  # SHORT
+            vals = (
+                list(struct.unpack_from(e + f"{min(cnt, 2)}H", payload, field_off))
+                if cnt <= 2
+                else list(struct.unpack_from(e + f"{cnt}H", payload, struct.unpack_from(e + "I", payload, field_off)[0]))
+            )
+        elif typ == 4:  # LONG
+            vals = (
+                [struct.unpack_from(e + "I", payload, field_off)[0]]
+                if cnt == 1
+                else list(struct.unpack_from(e + f"{cnt}I", payload, struct.unpack_from(e + "I", payload, field_off)[0]))
+            )
+        else:
+            continue  # pixel path ignores rationals/ascii
+        tags[tag] = vals
+    w, h = tags[256][0], tags[257][0]
+    spp = tags.get(277, [1])[0]
+    comp = tags.get(259, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    if any(b != 8 for b in tags.get(258, [8])):
+        raise NotImplementedError("only 8-bit samples")
+    if comp not in (1, 5):
+        raise NotImplementedError(f"compression {comp}")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"predictor {predictor}")
+    offs, cnts = tags[273], tags[279]
+    if len(offs) != len(cnts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    rps = tags.get(278, [h])[0]
+    total = 0
+    row = 0
+    for off, cnt in zip(offs, cnts):
+        raw = payload[off : off + cnt]
+        if len(raw) != cnt:
+            raise ValueError("strip extends past payload")
+        data = bytes(_tiff_lzw_decode(raw)) if comp == 5 else raw
+        nrows = min(rps, h - row)
+        if len(data) != nrows * w * spp:
+            raise ValueError(f"strip decodes to {len(data)} bytes, want {nrows * w * spp}")
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(nrows, w, spp).astype(np.int64)
+        if predictor == 2:
+            arr = np.cumsum(arr, axis=1) & 0xFF
+        total += int(arr.sum())
+        row += nrows
+    if row != h:
+        raise ValueError(f"strips cover {row} of {h} rows")
+    return w, h, w * h * spp, total
 
 
 # --------------------------------------------------------------------------

@@ -321,6 +321,54 @@ def multimodal_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_tiff_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         (doc_id % 37 + 4) AS w,
+         (doc_id % 23 + 2) AS h,
+         doc_id % 256 AS f0,
+         (doc_id + 37) % 256 AS f1,
+         (doc_id + 74) % 256 AS f2,
+         (doc_id + 111) % 256 AS f3
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       w::INT AS width,
+       h::INT AS height,
+       (w * h)::BIGINT AS n_px,
+       ((w * h // 4) * (f0 + f1 + f2 + f3)
+        + CASE (w * h) % 4 WHEN 1 THEN f0 WHEN 2 THEN f0 + f1
+               WHEN 3 THEN f0 + f1 + f2 ELSE 0 END)::BIGINT AS pix_sum
+FROM p
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF strip/pixel decode, zero vendored libs (r9): synthesize a
+    decodable grayscale TIFF per doc — II/MM byte orders, RowsPerStrip=2
+    multi-strip layout with out-of-line offset/count arrays, Compression 5
+    (TIFF-variant LZW: MSB-first packing, early code-width change, per-strip
+    dictionary resets, forced mid-stream Clears on seed%7==0) or raw strips,
+    and Predictor=2 horizontal differencing — then decode it back through
+    the strip path (numpy cumsum undoes the predictor). The oracle predicts
+    the pixel total from seed arithmetic; a wrong early-change schedule,
+    predictor pass, or strip geometry corrupts pix_sum. Per-row Arrow map
+    work — linear by construction, same scale shape as the GIF/PNG decodes.
+    Scanned-document ingestion gate: reference has no media path (beyond
+    scope of hellohappyworld/flink-gmall2024-realtime)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "tiff_pixels")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/tiff")
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id", "width", "height",
+        (F.col("width") * F.col("height")).cast("long").alias("n_px"),
+        F.col("sample_sum").alias("pix_sum"),
+    )
+
+
 def _pq_sub_dist_sql(av: str, bv: str, s: int, ds: int = 8) -> str:
     """Unrolled left-to-right squared-L2 over subspace s's dims (1-indexed
     SQL arrays) — textual order matches the numpy dimension-sequential

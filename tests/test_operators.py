@@ -2650,6 +2650,66 @@ def test_gif_pixel_decode_rejects_corrupt_streams():
         decode_gif_pixels(p[:-8])  # sub-block tail + trailer gone
 
 
+def test_tiff_lzw_roundtrip_variants():
+    """TIFF-variant LZW (MSB-first, early change, per-strip resets)
+    round-trips arbitrary byte strings, including forced mid-stream
+    Clears and runs long enough to cross every code-width bump."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    cases = [
+        b"",
+        b"\x00",
+        b"abcabcabcabc" * 40,
+        bytes(range(256)) * 12,          # crosses 9->10->11 bit widths
+        bytes([7] * 5000),               # single-symbol run, 12-bit + reset
+        bytes((i * 37 + i // 3) % 256 for i in range(20000)),
+    ]
+    for data in cases:
+        assert bytes(_tiff_lzw_decode(_tiff_lzw_encode(data))) == data
+        assert bytes(_tiff_lzw_decode(_tiff_lzw_encode(data, clear_every=17))) == data
+
+
+def test_tiff_pixel_decode_seeded_variants():
+    """Synthesized TIFFs match seed arithmetic across both byte orders
+    (seed%2), LZW vs raw strips (seed%5==4), Predictor 2 (seed%3==0),
+    forced mid-stream LZW Clears (seed%7==0), and multi-strip layouts."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        synth_tiff_pixels,
+    )
+
+    for seed in [0, 1, 2, 3, 4, 5, 6, 7, 9, 12, 14, 15, 21, 30, 99, 100,
+                 101, 105, 997, 123456]:
+        w, h, n, s = decode_tiff_pixels(synth_tiff_pixels(seed))
+        ww, hh = seed % 37 + 4, seed % 23 + 2
+        f = [(seed + 37 * i) % 256 for i in range(4)]
+        exp = (ww * hh // 4) * sum(f) + sum(f[: (ww * hh) % 4])
+        assert (w, h, n, s) == (ww, hh, ww * hh, exp), seed
+
+
+def test_tiff_pixel_decode_rejects_corrupt_streams():
+    """Non-TIFF payloads, truncated strips, and geometry-mismatched strip
+    data all fail loudly instead of returning a wrong sum."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        synth_tiff_pixels,
+    )
+
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff_pixels(b"GIF89a\x00\x00")
+    p = synth_tiff_pixels(3)  # LZW + predictor, strips at the tail
+    with _pytest.raises(ValueError):
+        decode_tiff_pixels(p[:-6])  # final strip truncated
+    raw = bytearray(synth_tiff_pixels(4))  # seed%5==4: raw strips
+    with _pytest.raises(ValueError):
+        decode_tiff_pixels(bytes(raw[:-1]))  # strip extends past payload
+
+
 def test_png_adam7_interlaced_decode():
     """Adam7 streams decode across the full w∈[1,29] × h∈[1,13] grid —
     covering images where most passes are empty — and the flat-PNG path
