@@ -637,10 +637,10 @@ def jpeg_meta(media: DataFrame) -> DataFrame:
 # DC prediction + (run, size) AC run-length decoding, dequantization,
 # dezigzag, 8x8 IDCT (orthonormal DCT-III via a precomputed cosine
 # matrix), level shift, and BT.601 YCbCr -> RGB — with zero vendored
-# codec libraries, everything from the public ITU-T T.81 layout. Scope is
-# the honest baseline seam: SOF0/SOF1, 8-bit, 1x1 sampling (no chroma
-# upsampling), no restart markers; progressive (SOF2), subsampled, and
-# 12-bit streams raise NotImplementedError exactly as before.
+# codec libraries, everything from the public ITU-T T.81 layout. Scope:
+# SOF0/SOF1, 8-bit, any integer-ratio sampling (4:4:4 / 4:2:2 / 4:2:0
+# MCU interleave + chroma upsampling), DRI/RSTn restart intervals;
+# progressive (SOF2) and 12-bit streams raise NotImplementedError.
 #
 # ``synth_jpeg_scan`` is the encode side for fixtures: per-block constant
 # luma (DC-only, alternating +1 per block so DC *differences* exercise
@@ -868,14 +868,123 @@ def synth_jpeg_scan(seed: int) -> bytes:
     return b"".join(out)
 
 
+# Chroma DC offsets whose BT.601 contributions round to exact integers the
+# oracle can tabulate: per seed, exactly one of Cb/Cr departs from 128, so
+# every decoded pixel is (y + off_r, y + off_g, y + off_b) with y integer.
+_JPEG420_CB = (-16, -8, 0, 8, 16)   # seed%2==1 picks _JPEG420_CB[seed%5]
+_JPEG420_CR = (-14, -7, 0, 7, 14, 21, -21)  # seed%2==0 picks [seed%7]
+
+
+def synth_jpeg_420(seed: int) -> bytes:
+    """Deterministic chroma-subsampled baseline JPEG (the format nearly all
+    real photos use) with REAL MCU-interleaved scan data whose decoded RGB
+    sum is exact seed arithmetic:
+
+    - seed%3 == 0: 4:2:2 (luma 2x1 per MCU), W = 16*(seed%12+1),
+      H = 8*(seed%11+1); else 4:2:0 (luma 2x2), same W, H = 16*(seed%6+1);
+    - luma: quantized DC d + (b%2) over the encode-order luma block index
+      (DC diffs exercise negative amplitudes across the MCU interleave),
+      d = seed%120 - 60, plus the zero-sum u=4 AC a = seed%16; quant all
+      8s, so luma pixels are exactly 128 + d + (b%2) ± a in [53, 203];
+    - chroma: constant DC from ``_JPEG420_CB``/``_JPEG420_CR`` (one of
+      Cb/Cr nonzero per seed) — decoded chroma planes are constant, so
+      each RGB channel is luma plus a tabulated integer offset, no clamp;
+    - seed%5 == 0: a DRI segment (Ri = seed%3+1 MCUs) with RSTn markers —
+      the decoder must byte-realign and reset DC predictors.
+
+    pix_sum = 3*64*(nb*(128+d) + nb//2) + W*H*(off_r+off_g+off_b), with
+    nb = (W/8)*(H/8) luma blocks."""
+    seed = int(seed)
+    is422 = seed % 3 == 0
+    wm = seed % 12 + 1
+    if is422:
+        h1, v1 = 2, 1
+        w, h = 16 * wm, 8 * (seed % 11 + 1)
+    else:
+        h1, v1 = 2, 2
+        w, h = 16 * wm, 16 * (seed % 6 + 1)
+    d = seed % 120 - 60
+    a = seed % 16
+    cb_dc = _JPEG420_CB[seed % 5] if seed % 2 == 1 else 0
+    cr_dc = _JPEG420_CR[seed % 7] if seed % 2 == 0 else 0
+    dri = seed % 3 + 1 if seed % 5 == 0 else 0
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = [b"\xff\xd8"]
+    out.append(seg(0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 2, 0, 72, 72, 0, 0)))
+    qtb = bytes([8]) * 64
+    out.append(seg(0xDB, bytes([0x00]) + qtb + bytes([0x01]) + qtb))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += struct.pack(">BBB", 1, (h1 << 4) | v1, 0)
+    sof += struct.pack(">BBB", 2, 0x11, 1)
+    sof += struct.pack(">BBB", 3, 0x11, 1)
+    out.append(seg(0xC0, sof))
+    dht = b""
+    for tc, th in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        bits, vals = (
+            (_JPEG_DC_BITS, _JPEG_DC_VALS) if tc == 0 else (_JPEG_AC_BITS, _JPEG_AC_VALS)
+        )
+        dht += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    out.append(seg(0xC4, dht))
+    if dri:
+        out.append(seg(0xDD, struct.pack(">H", dri)))
+    out.append(seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])))
+
+    dc_codes = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    mcx, mcy = w // (8 * h1), h // (8 * v1)
+
+    def put_block(bw: _JpegBitWriter, diff: int, ac: int, ta: int) -> None:
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        bw.write(code, ln)
+        if s:
+            bw.amplitude(diff)
+        if ac:
+            code, ln = ac_codes[(13 << 4) | ac.bit_length()]
+            bw.write(code, ln)
+            bw.amplitude(ac)
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    b = 0  # global luma block index (encode order)
+    mcu = 0
+    for _my in range(mcy):
+        for _mx in range(mcx):
+            if dri and mcu and mcu % dri == 0:
+                out.append(bw.flush())
+                out.append(bytes([0xFF, 0xD0 + (mcu // dri - 1) % 8]))
+                bw = _JpegBitWriter()
+                preds = [0, 0, 0]
+            for _ in range(h1 * v1):
+                dcv = d + (b % 2)
+                put_block(bw, dcv - preds[0], a, 1)
+                preds[0] = dcv
+                b += 1
+            put_block(bw, cb_dc - preds[1], 0, 1)
+            preds[1] = cb_dc
+            put_block(bw, cr_dc - preds[2], 0, 1)
+            preds[2] = cr_dc
+            mcu += 1
+    out.append(bw.flush())
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, int]:
     """REAL baseline JPEG decode: full marker walk (DQT/DHT/SOF/DRI/SOS),
     canonical Huffman from the stream's own DHT, byte unstuffing, per-MCU
     DC-prediction + AC run-length entropy decode, dequantize, dezigzag,
-    exact-orthonormal IDCT, level shift + clamp, and BT.601 YCbCr -> RGB
-    for 3-component scans. Returns (width, height, n_px, pix_sum) like
-    ``decode_png``. Baseline scope (the documented seam): SOF0/SOF1,
-    8-bit, 1x1 sampling, no restart intervals."""
+    exact-orthonormal IDCT, level shift + clamp, chroma upsampling for
+    subsampled scans (4:2:0 / 4:2:2 / any integer ratio — MCU-interleaved
+    block layout per T.81 A.2.3), restart intervals (DRI + RSTn: predictor
+    reset and byte realignment every Ri MCUs), and BT.601 YCbCr -> RGB for
+    3-component scans. Returns (width, height, n_px, pix_sum) like
+    ``decode_png``. Remaining seam: progressive (SOF2) and 12-bit."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -886,6 +995,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int]:
     sel: list = []
     w = h = None
     scan_data = None
+    dri = 0
     i = 2
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
@@ -925,24 +1035,24 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int]:
                 raise NotImplementedError("only 8-bit precision")
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG (chroma upsampling is the vendored-codec seam)"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, samp >> 4, samp & 15, tq))
         elif m == 0xDD:
-            raise NotImplementedError("restart intervals")
+            (dri,) = struct.unpack_from(">H", body, 0)
         elif m == 0xDA:
             ns = body[0]
-            by_id = {cid: tq for cid, tq in comps}
+            by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
-                sel.append((cid, by_id[cid], tt >> 4, tt & 15))
+                hi, vi, tq = by_id[cid]
+                sel.append((cid, hi, vi, tq, tt >> 4, tt & 15))
             scan_data = payload[i + 2 + seglen :]
             break
         i += 2 + seglen
     if w is None or scan_data is None or not sel:
         raise ValueError("missing SOF/SOS")
+    # Byte-unstuff into restart segments: RSTn splits the entropy stream
+    # and realigns to a byte boundary; any other marker ends the scan.
+    segments: list = []
     ent = bytearray()
     j = 0
     while j < len(scan_data):
@@ -954,44 +1064,76 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int]:
                 j += 2
                 continue
             if 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("restart markers")
+                segments.append(bytes(ent))
+                ent = bytearray()
+                j += 2
+                continue
             break
         ent.append(b)
         j += 1
+    segments.append(bytes(ent))
+    hmax = max(hi for _cid, hi, _vi, _tq, _td, _ta in sel)
+    vmax = max(vi for _cid, _hi, vi, _tq, _td, _ta in sel)
+    for _cid, hi, vi, _tq, _td, _ta in sel:
+        if not (1 <= hi <= 4 and 1 <= vi <= 4) or hmax % hi or vmax % vi:
+            raise NotImplementedError(f"sampling factors {hi}x{vi} vs max {hmax}x{vmax}")
+    if len(sel) == 1:
+        hmax, vmax = sel[0][1], sel[0][2]  # non-interleaved: own grid
     A = _idct_matrix()
-    bw_blocks, bh_blocks = (w + 7) // 8, (h + 7) // 8
+    mcx, mcy = (w + 8 * hmax - 1) // (8 * hmax), (h + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        np.zeros((bh_blocks * 8, bw_blocks * 8), dtype=np.int64) for _ in sel
+        np.zeros((mcy * vi * 8, mcx * hi * 8), dtype=np.int64)
+        for _cid, hi, vi, _tq, _td, _ta in sel
     ]
     preds = [0] * len(sel)
-    r = _JpegBitReader(bytes(ent))
+    seg_idx = 0
+    r = _JpegBitReader(segments[0])
     vec = np.zeros(64, dtype=np.int64)
-    for by in range(bh_blocks):
-        for bx in range(bw_blocks):
-            for ci, (_cid, tq, td, ta) in enumerate(sel):
-                vec[:] = 0
-                s = r.read_huff(huff[(0, td)])
-                preds[ci] += _jpeg_extend(r.read_bits(s), s)
-                vec[0] = preds[ci]
-                k = 1
-                while k <= 63:
-                    rs = r.read_huff(huff[(1, ta)])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    vec[_JPEG_ZIGZAG[k]] = _jpeg_extend(r.read_bits(rs & 15), rs & 15)
-                    k += 1
-                f8 = (vec.reshape(8, 8) * qt[tq]).astype(np.float64)
-                blk = A.T @ f8 @ A
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(blk) + 128, 0, 255
-                ).astype(np.int64)
-    planes = [p[:h, :w] for p in planes]
+    mcu = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if dri and mcu and mcu % dri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing restart segment in entropy data")
+                r = _JpegBitReader(segments[seg_idx])
+                preds = [0] * len(sel)
+            for ci, (_cid, hi, vi, tq, td, ta) in enumerate(sel):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        vec[:] = 0
+                        s = r.read_huff(huff[(0, td)])
+                        preds[ci] += _jpeg_extend(r.read_bits(s), s)
+                        vec[0] = preds[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = r.read_huff(huff[(1, ta)])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            vec[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                r.read_bits(rs & 15), rs & 15
+                            )
+                            k += 1
+                        f8 = (vec.reshape(8, 8) * qt[tq]).astype(np.float64)
+                        blk = A.T @ f8 @ A
+                        y0, x0 = (my * vi + byy) * 8, (mx * hi + bxx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+                            np.round(blk) + 128, 0, 255
+                        ).astype(np.int64)
+            mcu += 1
+    up = []
+    for ci, (_cid, hi, vi, _tq, _td, _ta) in enumerate(sel):
+        p = planes[ci]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        up.append(p[:h, :w])
+    planes = up
     if len(planes) == 1:
         return w, h, w * h, int(planes[0].sum())
     if len(planes) != 3:
@@ -1665,6 +1807,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "png_interlaced": synth_png_interlaced,
         "jpeg": synth_jpeg,
         "jpeg_scan": synth_jpeg_scan,
+        "jpeg_420": synth_jpeg_420,
         "gif_pixels": synth_gif_pixels,
         "mp4": synth_mp4,
         "mp3": synth_mp3,

@@ -322,6 +322,56 @@ def multimodal_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg420_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         16 * (doc_id % 12 + 1) AS w,
+         CASE WHEN doc_id % 3 = 0 THEN 8 * (doc_id % 11 + 1)
+              ELSE 16 * (doc_id % 6 + 1) END AS h,
+         doc_id % 120 - 60 AS d,
+         CASE WHEN doc_id % 2 = 1 THEN
+           CASE doc_id % 5 WHEN 0 THEN -22 WHEN 1 THEN -11 WHEN 2 THEN 0
+                WHEN 3 THEN 11 ELSE 22 END
+         ELSE
+           CASE doc_id % 7 WHEN 0 THEN -10 WHEN 1 THEN -5 WHEN 2 THEN 0
+                WHEN 3 THEN 5 WHEN 4 THEN 10 WHEN 5 THEN 14 ELSE -14 END
+         END AS off_sum
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       w::INT AS width,
+       h::INT AS height,
+       (3 * w * h)::BIGINT AS n_px,
+       (3 * 64 * ((w // 8) * (h // 8) * (128 + d) + ((w // 8) * (h // 8)) // 2)
+        + w * h * off_sum)::BIGINT AS pix_sum
+FROM p
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma-subsampled baseline JPEG decode (r9) — the format nearly all
+    real-world photos ship in: per doc, synthesize a 4:2:0 (or 4:2:2 on
+    seed%3==0) JPEG with genuine MCU-interleaved entropy data (4-or-2 luma
+    blocks + Cb + Cr per MCU, per-component DC prediction, constant-chroma
+    BT.601 offsets, DRI/RSTn restart intervals on seed%5==0) and decode it
+    through the full pipeline incl. integer-ratio chroma upsampling. The
+    oracle tabulates the exact per-seed RGB offsets; a wrong MCU block
+    order, restart realignment, or upsample ratio corrupts pix_sum or
+    desyncs the Huffman walk. Per-row Arrow map work — linear by
+    construction, same scale shape as multimodal_jpeg_decode."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "jpeg_420")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/jpeg")
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id", "width", "height",
+        (F.lit(3) * F.col("width") * F.col("height")).cast("long").alias("n_px"),
+        F.col("sample_sum").alias("pix_sum"),
+    )
+
+
+@register(
     "multimodal_tiff_decode",
     oracle="""
 WITH p AS (

@@ -2566,6 +2566,63 @@ def test_jpeg_scan_roundtrip_exact():
         assert (pw, ph, pnc, prog) == (ww, hh, ch, 0), seed
 
 
+def test_jpeg_420_subsampled_roundtrip_exact():
+    """Chroma-subsampled baseline JPEG decodes to the closed-form seed
+    arithmetic exactly: MCU-interleaved block layout (4 luma + Cb + Cr for
+    4:2:0, 2 luma + Cb + Cr for 4:2:2), per-component DC prediction across
+    the interleave, integer-ratio chroma upsampling, and constant-chroma
+    BT.601 offsets. seed%5==0 adds DRI/RSTn restart intervals, so predictor
+    reset and byte realignment are on the verified path too."""
+    import numpy as np
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        _JPEG420_CB,
+        _JPEG420_CR,
+        decode_jpeg,
+        synth_jpeg_420,
+    )
+
+    for seed in [0, 1, 2, 3, 4, 5, 6, 9, 10, 11, 15, 20, 25, 30, 45, 99,
+                 100, 105, 997, 123456]:
+        w, h, n_px, s = decode_jpeg(synth_jpeg_420(seed))
+        wm = seed % 12 + 1
+        ww = 16 * wm
+        hh = 8 * (seed % 11 + 1) if seed % 3 == 0 else 16 * (seed % 6 + 1)
+        d = seed % 120 - 60
+        cb = _JPEG420_CB[seed % 5] if seed % 2 == 1 else 0
+        cr = _JPEG420_CR[seed % 7] if seed % 2 == 0 else 0
+        off = (
+            int(np.round(1.402 * cr))
+            + int(np.round(-0.344136 * cb - 0.714136 * cr))
+            + int(np.round(1.772 * cb))
+        )
+        nb = (ww // 8) * (hh // 8)
+        exp = 3 * 64 * (nb * (128 + d) + nb // 2) + ww * hh * off
+        assert (w, h, n_px, s) == (ww, hh, 3 * ww * hh, exp), seed
+
+
+def test_jpeg_420_restart_interval_sensitivity():
+    """Dropping a restart marker (or the DRI segment) from a stream that
+    declares one desyncs loudly instead of returning a wrong sum."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_420,
+    )
+
+    p = synth_jpeg_420(5)  # seed%5==0 -> DRI=3, multiple RSTn markers
+    assert p.count(b"\xff\xd0") + p.count(b"\xff\xd1") + p.count(b"\xff\xd2") > 0
+    # strip the first RSTn byte pair: segment count no longer matches DRI
+    for n in range(8):
+        marker = bytes([0xFF, 0xD0 + n])
+        if marker in p:
+            broken = p.replace(marker, b"", 1)
+            break
+    with _pytest.raises(ValueError):
+        decode_jpeg(broken)
+
+
 def test_jpeg_decode_rejects_out_of_scope_streams():
     """Progressive (SOF2) streams and truncated entropy data fail loudly:
     the decoder's scope is the documented baseline seam, never a silent
