@@ -975,16 +975,199 @@ def synth_jpeg_420(seed: int) -> bytes:
     return b"".join(out)
 
 
+# Progressive AC table: the baseline symbols plus EOBRUN codes (r<<4)|0
+# for r = 1..8 (end-of-band runs up to 511 blocks). 30 symbols, all at
+# 5 bits (codes 0..29 — the all-ones code stays reserved per T.81).
+_JPEG_PROG_AC_BITS = (0, 0, 0, 0, 30, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_PROG_AC_VALS = (
+    (0x00,)
+    + tuple(s for s in range(1, 11))
+    + tuple((13 << 4) | s for s in range(1, 11))
+    + (0xF0,)
+    + tuple((rr << 4) | 0 for rr in range(1, 9))
+)
+
+
+def synth_jpeg_progressive(seed: int) -> bytes:
+    """Deterministic progressive (SOF2) JPEG with REAL multi-scan entropy
+    data and exact seed arithmetic — same pixel values as
+    ``synth_jpeg_scan`` (W=(seed%24+1)*8, H=(seed%11+1)*8, grayscale iff
+    seed%4==0 else YCbCr 4:4:4 with zero chroma, luma DC d+(b%2) with
+    d=seed%200-100, one u=4 AC a=seed%16, quant 8), re-encoded as a
+    5-or-3-scan successive-approximation script:
+
+    1. DC first scan (interleaved, Al=1): arithmetic-shifted DC diffs;
+    2. DC refinement (interleaved, Ah=1): one raw low bit per block;
+    3. per component, AC first scan (Ss=1..63, Al=1): run-13 + (a>>1),
+       or batched EOBRUN symbols when a>>1 == 0 — all-zero bands;
+    4. per component, AC refinement (Ah=1): when a>=2, EOBRUN batches
+       carrying per-block correction bits (bit 0 of a) — the G.1.2.3
+       correction-bits-through-EOB path; when a==1, a newly-significant
+       coefficient (run 13, amplitude 1, sign bit) per block.
+
+    Successive approximation reconstructs every coefficient exactly, so
+    pix_sum = ch * 64 * (nb*(128+d) + nb//2) — the ``synth_jpeg_scan``
+    closed form, shared with its DuckDB oracle."""
+    seed = int(seed)
+    w, h = (seed % 24 + 1) * 8, (seed % 11 + 1) * 8
+    ncomp = 1 if seed % 4 == 0 else 3
+    d = seed % 200 - 100
+    a = seed % 16
+    nb = (w // 8) * (h // 8)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = [b"\xff\xd8"]
+    out.append(seg(0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 2, 0, 72, 72, 0, 0)))
+    qtb = bytes([8]) * 64
+    out.append(seg(0xDB, bytes([0x00]) + qtb + bytes([0x01]) + qtb))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0 if c == 0 else 1)
+    out.append(seg(0xC2, sof))
+    dht = b""
+    for tc, th in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        bits, vals = (
+            (_JPEG_DC_BITS, _JPEG_DC_VALS)
+            if tc == 0
+            else (_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+        )
+        dht += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    out.append(seg(0xC4, dht))
+    dc_codes = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_encode_table(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def sos(comps: list, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comps)])
+        for cid in comps:
+            td = 0 if cid == 1 else 1
+            body += bytes([cid, (td << 4) | td])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_of(cid: int, b: int) -> int:
+        return d + (b % 2) if cid == 1 else 0
+
+    all_ids = list(range(1, ncomp + 1))
+
+    # Scan 1: DC first, Al=1 — diffs in the arithmetic-shifted domain.
+    out.append(sos(all_ids, 0, 0, 0, 1))
+    bw = _JpegBitWriter()
+    preds = {cid: 0 for cid in all_ids}
+    for b in range(nb):
+        for cid in all_ids:
+            v = dc_of(cid, b) >> 1
+            diff = v - preds[cid]
+            preds[cid] = v
+            s = abs(diff).bit_length()
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.amplitude(diff)
+    out.append(bw.flush())
+
+    # Scan 2: DC refinement, Ah=1 — the raw low bit of each DC value.
+    out.append(sos(all_ids, 0, 0, 1, 0))
+    bw = _JpegBitWriter()
+    for b in range(nb):
+        for cid in all_ids:
+            bw.write(dc_of(cid, b) & 1, 1)
+    out.append(bw.flush())
+
+    def emit_eobrun(bw: _JpegBitWriter, n: int) -> None:
+        """Batched end-of-band runs: symbol r with r extra bits covers
+        2^r + bits blocks (max 511 with our widest r=8 symbol)."""
+        while n:
+            chunk = min(n, 511)
+            rr = chunk.bit_length() - 1
+            code, ln = ac_codes[(rr << 4) | 0]
+            bw.write(code, ln)
+            if rr:
+                bw.write(chunk - (1 << rr), rr)
+            n -= chunk
+
+    hi = a >> 1
+    for cid in all_ids:
+        # AC first scans (Ss=1, Se=63, Al=1)
+        out.append(sos([cid], 1, 63, 0, 1))
+        bw = _JpegBitWriter()
+        if cid == 1 and hi:
+            for _b in range(nb):
+                code, ln = ac_codes[(13 << 4) | hi.bit_length()]
+                bw.write(code, ln)
+                bw.amplitude(hi)
+                code, ln = ac_codes[0x00]
+                bw.write(code, ln)
+        else:
+            emit_eobrun(bw, nb)
+        out.append(bw.flush())
+    for cid in all_ids:
+        # AC refinement scans (Ss=1, Se=63, Ah=1, Al=0)
+        out.append(sos([cid], 1, 63, 1, 0))
+        bw = _JpegBitWriter()
+        if cid == 1 and hi:
+            # EOB runs carry one correction bit (bit 0 of a) per block
+            left = nb
+            while left:
+                chunk = min(left, 511)
+                emit_eobrun(bw, chunk)
+                for _b in range(chunk):
+                    bw.write(a & 1, 1)
+                left -= chunk
+        elif cid == 1 and a == 1:
+            # newly-significant coefficient at zigzag 14 in every block
+            for _b in range(nb):
+                code, ln = ac_codes[(13 << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1, 1)  # positive sign
+                code, ln = ac_codes[0x00]
+                bw.write(code, ln)
+        else:
+            emit_eobrun(bw, nb)
+        out.append(bw.flush())
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def _jpeg_split_entropy(payload: bytes, j: int) -> tuple[list, int]:
+    """Byte-unstuff one scan's entropy data starting at ``j`` into restart
+    segments (RSTn splits and realigns); returns (segments, index of the
+    0xFF of the terminating marker)."""
+    segments: list = []
+    ent = bytearray()
+    while j < len(payload):
+        b = payload[j]
+        if b == 0xFF:
+            nxt = payload[j + 1] if j + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                ent.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(ent))
+                ent = bytearray()
+                j += 2
+                continue
+            break
+        ent.append(b)
+        j += 1
+    segments.append(bytes(ent))
+    return segments, j
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, int]:
-    """REAL baseline JPEG decode: full marker walk (DQT/DHT/SOF/DRI/SOS),
-    canonical Huffman from the stream's own DHT, byte unstuffing, per-MCU
-    DC-prediction + AC run-length entropy decode, dequantize, dezigzag,
-    exact-orthonormal IDCT, level shift + clamp, chroma upsampling for
-    subsampled scans (4:2:0 / 4:2:2 / any integer ratio — MCU-interleaved
-    block layout per T.81 A.2.3), restart intervals (DRI + RSTn: predictor
-    reset and byte realignment every Ri MCUs), and BT.601 YCbCr -> RGB for
-    3-component scans. Returns (width, height, n_px, pix_sum) like
-    ``decode_png``. Remaining seam: progressive (SOF2) and 12-bit."""
+    """REAL Huffman-JPEG decode — baseline AND progressive: full marker
+    walk (DQT/DHT/SOF/DRI/SOS, per-scan table snapshots), byte unstuffing,
+    multi-scan coefficient accumulation per T.81 Annex F/G — sequential
+    DC+AC run-length, progressive spectral selection (Ss/Se bands,
+    EOBRUN), successive approximation (DC bit refinement; AC refinement
+    with correction bits, incl. through EOB runs) — then one batched
+    dequantize + dezigzag + exact-orthonormal IDCT per component, level
+    shift + clamp, integer-ratio chroma upsampling (4:2:0 / 4:2:2
+    MCU-interleave per A.2.3), restart intervals (DRI + RSTn), and BT.601
+    YCbCr -> RGB for 3-component images. Returns (width, height, n_px,
+    pix_sum) like ``decode_png``. Remaining seam: 12-bit, arithmetic
+    coding, hierarchical/lossless modes."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -992,9 +1175,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int]:
     qt: dict = {}
     huff: dict = {}
     comps: list = []
-    sel: list = []
+    scans: list = []  # (sel, ss, se, ah, al, segments, huff snapshot, dri)
     w = h = None
-    scan_data = None
     dri = 0
     i = 2
     while i + 4 <= len(payload):
@@ -1026,9 +1208,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int]:
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 j += 17 + n
         elif m in _SOF_MARKERS:
-            if m not in (0xC0, 0xC1):
+            if m not in (0xC0, 0xC1, 0xC2):
                 raise NotImplementedError(
-                    "only baseline/extended-sequential Huffman JPEG (SOF0/SOF1)"
+                    "only Huffman sequential/progressive JPEG (SOF0/SOF1/SOF2)"
                 )
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
@@ -1039,101 +1221,155 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int]:
         elif m == 0xDD:
             (dri,) = struct.unpack_from(">H", body, 0)
         elif m == 0xDA:
+            if not body or len(body) < 4 + 2 * body[0]:
+                raise ValueError("truncated SOS header")
             ns = body[0]
-            by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+            by_id = {cid: ci for ci, (cid, _hi, _vi, _tq) in enumerate(comps)}
+            sel = []
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
-                hi, vi, tq = by_id[cid]
-                sel.append((cid, hi, vi, tq, tt >> 4, tt & 15))
-            scan_data = payload[i + 2 + seglen :]
-            break
+                sel.append((by_id[cid], tt >> 4, tt & 15))
+            ss, se, aa = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            segments, i = _jpeg_split_entropy(payload, i + 2 + seglen)
+            scans.append((sel, ss, se, aa >> 4, aa & 15, segments, dict(huff), dri))
+            continue
         i += 2 + seglen
-    if w is None or scan_data is None or not sel:
+    if w is None or not scans or not comps:
         raise ValueError("missing SOF/SOS")
-    # Byte-unstuff into restart segments: RSTn splits the entropy stream
-    # and realigns to a byte boundary; any other marker ends the scan.
-    segments: list = []
-    ent = bytearray()
-    j = 0
-    while j < len(scan_data):
-        b = scan_data[j]
-        if b == 0xFF:
-            nxt = scan_data[j + 1] if j + 1 < len(scan_data) else 0xD9
-            if nxt == 0x00:
-                ent.append(0xFF)
-                j += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(ent))
-                ent = bytearray()
-                j += 2
-                continue
-            break
-        ent.append(b)
-        j += 1
-    segments.append(bytes(ent))
-    hmax = max(hi for _cid, hi, _vi, _tq, _td, _ta in sel)
-    vmax = max(vi for _cid, _hi, vi, _tq, _td, _ta in sel)
-    for _cid, hi, vi, _tq, _td, _ta in sel:
+    hmax = max(hi for _cid, hi, _vi, _tq in comps)
+    vmax = max(vi for _cid, _hi, vi, _tq in comps)
+    for _cid, hi, vi, _tq in comps:
         if not (1 <= hi <= 4 and 1 <= vi <= 4) or hmax % hi or vmax % vi:
             raise NotImplementedError(f"sampling factors {hi}x{vi} vs max {hmax}x{vmax}")
-    if len(sel) == 1:
-        hmax, vmax = sel[0][1], sel[0][2]  # non-interleaved: own grid
-    A = _idct_matrix()
     mcx, mcy = (w + 8 * hmax - 1) // (8 * hmax), (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcy * vi * 8, mcx * hi * 8), dtype=np.int64)
-        for _cid, hi, vi, _tq, _td, _ta in sel
+    coefs = [
+        np.zeros((mcy * vi, mcx * hi, 64), dtype=np.int64)
+        for _cid, hi, vi, _tq in comps
     ]
-    preds = [0] * len(sel)
-    seg_idx = 0
-    r = _JpegBitReader(segments[0])
-    vec = np.zeros(64, dtype=np.int64)
-    mcu = 0
-    for my in range(mcy):
-        for mx in range(mcx):
-            if dri and mcu and mcu % dri == 0:
+    zz = _JPEG_ZIGZAG
+
+    for sel, ss, se, ah, al, segments, tabs, sdri in scans:
+        interleaved = len(sel) > 1
+        if interleaved:
+            n_mcus = mcx * mcy
+            units = None
+        else:
+            ci0 = sel[0][0]
+            _cid, hi, vi, _tq = comps[ci0]
+            cw = (w * hi + hmax - 1) // hmax
+            chh = (h * vi + vmax - 1) // vmax
+            bwn, bhn = (cw + 7) // 8, (chh + 7) // 8
+            n_mcus = bwn * bhn
+            units = (bwn, bhn)
+        preds = [0] * len(comps)
+        eobrun = 0
+        seg_idx = 0
+        r = _JpegBitReader(segments[0])
+        p1 = 1 << al
+
+        def decode_block(coef) -> None:
+            nonlocal eobrun
+            if ss == 0:
+                if ah == 0:
+                    s = r.read_huff(tabs[(0, td)])
+                    preds[ci] += _jpeg_extend(r.read_bits(s), s)
+                    coef[0] = preds[ci] << al
+                elif r.read_bit():
+                    coef[0] |= p1
+            if se == 0:
+                return
+            k = max(ss, 1)
+            if ah == 0:
+                if ss and eobrun:
+                    eobrun -= 1
+                    return
+                while k <= se:
+                    rs = r.read_huff(tabs[(1, ta)])
+                    rr, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if rr == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << rr) - 1
+                        if rr:
+                            eobrun += r.read_bits(rr)
+                        break
+                    k += rr
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    coef[zz[k]] = _jpeg_extend(r.read_bits(s), s) << al
+                    k += 1
+                return
+            # AC successive-approximation refinement (T.81 G.1.2.3)
+            if eobrun == 0:
+                while k <= se:
+                    rs = r.read_huff(tabs[(1, ta)])
+                    rr, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if rr < 15:
+                            eobrun = 1 << rr
+                            if rr:
+                                eobrun += r.read_bits(rr)
+                            break
+                        val = 0
+                    else:
+                        if s != 1:
+                            raise ValueError("refinement amplitude must be 1")
+                        val = p1 if r.read_bit() else -p1
+                    while k <= se:
+                        z = zz[k]
+                        if coef[z]:
+                            if r.read_bit() and not (coef[z] & p1):
+                                coef[z] += p1 if coef[z] > 0 else -p1
+                        else:
+                            if rr == 0:
+                                if val:
+                                    coef[z] = val
+                                k += 1
+                                break
+                            rr -= 1
+                        k += 1
+            if eobrun:
+                while k <= se:
+                    z = zz[k]
+                    if coef[z]:
+                        if r.read_bit() and not (coef[z] & p1):
+                            coef[z] += p1 if coef[z] > 0 else -p1
+                    k += 1
+                eobrun -= 1
+
+        for mcu in range(n_mcus):
+            if sdri and mcu and mcu % sdri == 0:
                 seg_idx += 1
                 if seg_idx >= len(segments):
                     raise ValueError("missing restart segment in entropy data")
                 r = _JpegBitReader(segments[seg_idx])
-                preds = [0] * len(sel)
-            for ci, (_cid, hi, vi, tq, td, ta) in enumerate(sel):
-                for byy in range(vi):
-                    for bxx in range(hi):
-                        vec[:] = 0
-                        s = r.read_huff(huff[(0, td)])
-                        preds[ci] += _jpeg_extend(r.read_bits(s), s)
-                        vec[0] = preds[ci]
-                        k = 1
-                        while k <= 63:
-                            rs = r.read_huff(huff[(1, ta)])
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            vec[_JPEG_ZIGZAG[k]] = _jpeg_extend(
-                                r.read_bits(rs & 15), rs & 15
-                            )
-                            k += 1
-                        f8 = (vec.reshape(8, 8) * qt[tq]).astype(np.float64)
-                        blk = A.T @ f8 @ A
-                        y0, x0 = (my * vi + byy) * 8, (mx * hi + bxx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = np.clip(
-                            np.round(blk) + 128, 0, 255
-                        ).astype(np.int64)
-            mcu += 1
-    up = []
-    for ci, (_cid, hi, vi, _tq, _td, _ta) in enumerate(sel):
-        p = planes[ci]
+                preds = [0] * len(comps)
+                eobrun = 0
+            if interleaved:
+                my, mx = divmod(mcu, mcx)
+                for ci, td, ta in sel:
+                    _cid, hi, vi, _tq = comps[ci]
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            decode_block(coefs[ci][my * vi + byy, mx * hi + bxx])
+            else:
+                ci, td, ta = sel[0]
+                by, bx = divmod(mcu, units[0])
+                decode_block(coefs[ci][by, bx])
+
+    A = _idct_matrix()
+    planes = []
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        by_n, bx_n, _ = coefs[ci].shape
+        # coefficients were stored dezigzagged (natural order) at decode time
+        f = coefs[ci].reshape(by_n, bx_n, 8, 8) * qt[tq]
+        blk = np.einsum("ux,ijuv,vz->ijxz", A, f, A)
+        p = np.clip(np.round(blk) + 128, 0, 255).astype(np.int64)
+        p = p.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
         if hi != hmax or vi != vmax:
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
-        up.append(p[:h, :w])
-    planes = up
+        planes.append(p[:h, :w])
     if len(planes) == 1:
         return w, h, w * h, int(planes[0].sum())
     if len(planes) != 3:
@@ -1808,6 +2044,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "jpeg": synth_jpeg,
         "jpeg_scan": synth_jpeg_scan,
         "jpeg_420": synth_jpeg_420,
+        "jpeg_progressive": synth_jpeg_progressive,
         "gif_pixels": synth_gif_pixels,
         "mp4": synth_mp4,
         "mp3": synth_mp3,
@@ -1828,7 +2065,8 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode media payloads with ``mapInPandas``, dispatching on mime.
 
-    image/bmp, image/png, image/jpeg (baseline, 1x1-sampled), image/gif
+    image/bmp, image/png, image/jpeg (baseline + progressive, incl.
+    4:2:0/4:2:2 subsampling and restart intervals), image/gif
     (LZW), image/tiff (strip path: raw + TIFF-LZW, Predictor 2),
     audio/wav and audio/flac (FIXED + LPC subframes, stereo
     decorrelation) decode for real (numpy/stdlib parsing + the in-repo
@@ -1866,9 +2104,10 @@ def decode_media(media: DataFrame) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         f"no pixel codec for mime {m!r}: vendor image/audio "
-                        "codecs on executors (baseline Huffman JPEG decodes "
-                        "in-repo via decode_jpeg; progressive/subsampled "
-                        "JPEG and MP3 PCM remain the vendored seam)"
+                        "codecs on executors (all Huffman JPEG — baseline, "
+                        "progressive, subsampled — decodes in-repo via "
+                        "decode_jpeg; MP3/Vorbis PCM and VP8/VP8L pixels "
+                        "remain the vendored seam)"
                     )
             yield pd.DataFrame(
                 rows,

@@ -139,6 +139,46 @@ FROM documents
 )(_multimodal_jpeg_decode_impl)
 
 
+def _jpeg_progressive_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG decode (r9): synthesize a 5-or-3-scan
+    successive-approximation stream per doc (DC first + DC bit refinement
+    interleaved scans, per-component spectral-selection AC scans with
+    batched EOBRUN symbols, AC refinement with correction bits running
+    through EOB blocks and newly-significant coefficients — T.81 Annex G)
+    and decode it through the multi-scan coefficient accumulator. Pixel
+    values equal the ``synth_jpeg_scan`` fixture exactly, so the oracle is
+    the same closed form; a wrong EOBRUN count, correction-bit order, or
+    point-transform shift corrupts pix_sum or desyncs a scan. Per-row
+    Arrow map work — linear by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "jpeg_progressive")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/jpeg")
+    decoded = multimodal.decode_media(media)
+    ch = F.when(F.col("media_id") % 4 == 0, F.lit(1)).otherwise(F.lit(3))
+    return decoded.select(
+        "media_id", "width", "height",
+        (ch * F.col("width") * F.col("height")).cast("long").alias("n_px"),
+        F.col("sample_sum").alias("pix_sum"),
+    )
+
+
+register(
+    "multimodal_jpeg_progressive_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       ((doc_id % 24 + 1) * 8)::INT AS width,
+       ((doc_id % 11 + 1) * 8)::INT AS height,
+       ((CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END)
+        * (doc_id % 24 + 1) * 8 * (doc_id % 11 + 1) * 8)::BIGINT AS n_px,
+       ((CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END) * 64 *
+        ((doc_id % 24 + 1) * (doc_id % 11 + 1) * (28 + doc_id % 200)
+         + ((doc_id % 24 + 1) * (doc_id % 11 + 1)) // 2))::BIGINT AS pix_sum
+FROM documents
+""",
+    survey_ids=("mm-decode",),
+)(_jpeg_progressive_entry)
+
+
 @register(
     "multimodal_png_decode",
     oracle="""

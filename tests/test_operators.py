@@ -2601,6 +2601,62 @@ def test_jpeg_420_subsampled_roundtrip_exact():
         assert (w, h, n_px, s) == (ww, hh, 3 * ww * hh, exp), seed
 
 
+def test_jpeg_progressive_roundtrip_exact():
+    """Progressive (SOF2) successive-approximation streams decode to the
+    same closed form as their baseline twins: DC first + bit-refinement
+    scans, per-component spectral-selection AC scans with batched EOBRUN
+    symbols, and AC refinement — including correction bits carried through
+    EOB runs (a >= 2), newly-significant coefficients (a == 1), and
+    all-zero bands (a == 0, chroma)."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_progressive,
+        synth_jpeg_scan,
+    )
+
+    # seeds hitting a==0 (s%16==0), a==1 (s%16==1), a>=2, gray + color
+    for seed in [0, 1, 2, 3, 4, 16, 17, 20, 33, 48, 49, 99, 100, 101,
+                 115, 200, 263, 997]:
+        got = decode_jpeg(synth_jpeg_progressive(seed))
+        # the baseline fixture encodes the identical image sequentially
+        assert got == decode_jpeg(synth_jpeg_scan(seed)), seed
+        ww, hh = (seed % 24 + 1) * 8, (seed % 11 + 1) * 8
+        ch = 1 if seed % 4 == 0 else 3
+        nb = (ww // 8) * (hh // 8)
+        d = seed % 200 - 100
+        assert got == (ww, hh, ch * ww * hh,
+                       ch * 64 * (nb * (128 + d) + nb // 2)), seed
+
+
+def test_jpeg_progressive_truncation_behavior():
+    """Truncation inside a scan header or mid-entropy raises ValueError;
+    truncation at a scan BOUNDARY is a legitimate coarser progressive
+    render (that is the point of the format) — here dropping the final
+    luma refinement of an odd-a stream visibly lowers the pixel sum."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_progressive,
+    )
+
+    p = synth_jpeg_progressive(2)
+    with _pytest.raises(ValueError):
+        decode_jpeg(p[:-40])  # lands inside an SOS scan header
+    # seed 3: a=3, refinement carries 1-bits; cut mid-entropy of the luma
+    # AC first scan (3rd SOS) -> Huffman/bit starvation, loud failure
+    p3 = synth_jpeg_progressive(3)
+    third_sos = p3.index(b"\xff\xda", p3.index(b"\xff\xda", p3.index(b"\xff\xda") + 2) + 2)
+    with _pytest.raises(ValueError):
+        decode_jpeg(p3[: third_sos + 12] + b"\xff\xd9")
+    # dropping all scans after DC-first = valid coarser partial decode:
+    # d = 3%200-100 = -97 is odd, so the missing DC low bit moves the sum
+    full = decode_jpeg(p3)
+    second_sos = p3.index(b"\xff\xda", p3.index(b"\xff\xda") + 2)
+    partial = decode_jpeg(p3[:second_sos] + b"\xff\xd9")
+    assert partial[:3] == full[:3] and partial[3] != full[3]
+
+
 def test_jpeg_420_restart_interval_sensitivity():
     """Dropping a restart marker (or the DRI segment) from a stream that
     declares one desyncs loudly instead of returning a wrong sum."""
@@ -2624,9 +2680,9 @@ def test_jpeg_420_restart_interval_sensitivity():
 
 
 def test_jpeg_decode_rejects_out_of_scope_streams():
-    """Progressive (SOF2) streams and truncated entropy data fail loudly:
-    the decoder's scope is the documented baseline seam, never a silent
-    wrong answer."""
+    """Out-of-scope modes (12-bit precision) raise NotImplementedError;
+    garbage entropy data and truncated streams fail loudly with
+    ValueError — never a silent wrong answer."""
     import pytest as _pytest
 
     from flink_gmall2024_realtime_spark.operators.multimodal import (
@@ -2635,8 +2691,15 @@ def test_jpeg_decode_rejects_out_of_scope_streams():
         synth_jpeg_scan,
     )
 
-    # synth_jpeg(seed%3==0) emits SOF2 (progressive) -> NotImplementedError
-    with _pytest.raises(NotImplementedError):
+    # 12-bit SOF0: swap the precision byte in a valid baseline stream
+    p = bytearray(synth_jpeg_scan(1))
+    sof = p.index(b"\xff\xc0")
+    assert p[sof + 4] == 8
+    p[sof + 4] = 12
+    with _pytest.raises(NotImplementedError, match="8-bit"):
+        decode_jpeg(bytes(p))
+    # metadata-only fixtures carry filler (non-Huffman) scan bytes
+    with _pytest.raises(ValueError):
         decode_jpeg(synth_jpeg(3))
     with _pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG1234")
