@@ -1921,6 +1921,308 @@ def synth_mp4(seed: int) -> bytes:
     return ftyp + box(b"moov", moov_body) + mdat
 
 
+def synth_mp4_frames(seed: int) -> bytes:
+    """Deterministic ISO-BMFF container with a REAL sample table — the
+    part of MP4 a frame-sampler actually reads: ftyp + mdat (sample bytes
+    laid out chunk by chunk with a fixed ``seed%8``-byte gap before each
+    chunk, so offsets are not simply contiguous) + moov whose video trak
+    carries a full stbl:
+
+    - ``stts``  two runs: n//2 frames at delta1 = seed%100+1, the rest at
+      delta2 = seed%50+1 (n = seed%60+2 frames);
+    - ``stsz``  constant size seed%100+20 when seed%7==0, else a table
+      with size_k = (seed + 17k)%200 + 10;
+    - ``stsc``  chunks 1-2 hold seed%4+1 samples, chunks 3+ hold
+      seed%3+1 (second entry omitted when never reached);
+    - ``stco``  absolute 32-bit chunk offsets into mdat (``co64``
+      64-bit variant when seed%11==0);
+    - ``stss``  keyframes every seed%5+2 samples, omitted when
+      seed%6==0 (spec: absent stss means every sample is sync).
+
+    mdat precedes moov (the common non-faststart layout), so sample k's
+    offset is the closed form 36 + (chunk(k)+1)*gap + prefix_sizes(k)
+    that the DuckDB oracle reproduces."""
+    seed = int(seed)
+    n = seed % 60 + 2
+    n1 = n // 2
+    delta1, delta2 = seed % 100 + 1, seed % 50 + 1
+    gap = seed % 8
+    spc1, spc2 = seed % 4 + 1, seed % 3 + 1
+    if seed % 7 == 0:
+        sizes = [seed % 100 + 20] * n
+        fixed = seed % 100 + 20
+    else:
+        sizes = [(seed + 17 * k) % 200 + 10 for k in range(n)]
+        fixed = 0
+    ks = seed % 5 + 2
+    has_stss = seed % 6 != 0
+
+    # chunk plan: samples per chunk until n is exhausted (last may be short)
+    chunk_sizes = []
+    left = n
+    c = 0
+    while left > 0:
+        spc = spc1 if c < 2 else spc2
+        take = min(spc, left)
+        chunk_sizes.append(take)
+        left -= take
+        c += 1
+    n_chunks = len(chunk_sizes)
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    def full(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+        return box(btype, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    assert len(ftyp) == 28
+    # lay out mdat: [gap][chunk0][gap][chunk1]...
+    mdat_body = bytearray()
+    offsets = []
+    k = 0
+    for take in chunk_sizes:
+        mdat_body += bytes(gap)
+        offsets.append(28 + 8 + len(mdat_body))
+        for _ in range(take):
+            mdat_body += bytes((seed + k + i) % 251 for i in range(sizes[k]))
+            k += 1
+    mdat = box(b"mdat", bytes(mdat_body))
+
+    timescale = 600
+    duration = n1 * delta1 + (n - n1) * delta2
+    stts = full(
+        b"stts", 0, 0,
+        struct.pack(">I", 2 if n1 and n - n1 else 1)
+        + (struct.pack(">II", n1, delta1) if n1 else b"")
+        + (struct.pack(">II", n - n1, delta2) if n - n1 else b""),
+    )
+    stsc_entries = [(1, spc1, 1)]
+    if n_chunks > 2:
+        stsc_entries.append((3, spc2, 1))
+    stsc = full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stsz = full(
+        b"stsz", 0, 0,
+        struct.pack(">II", fixed, n)
+        + (b"" if fixed else b"".join(struct.pack(">I", s) for s in sizes)),
+    )
+    if seed % 11 == 0:  # exercise the 64-bit chunk-offset path
+        stco = full(
+            b"co64", 0, 0,
+            struct.pack(">I", n_chunks)
+            + b"".join(struct.pack(">Q", o) for o in offsets),
+        )
+    else:
+        stco = full(
+            b"stco", 0, 0,
+            struct.pack(">I", n_chunks)
+            + b"".join(struct.pack(">I", o) for o in offsets),
+        )
+    stss = b""
+    if has_stss:
+        syncs = list(range(1, n + 1, ks))  # 1-based sample numbers
+        stss = full(
+            b"stss", 0, 0,
+            struct.pack(">I", len(syncs)) + b"".join(struct.pack(">I", s) for s in syncs),
+        )
+    stsd = full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1) + box(b"raw ", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    vmhd = full(b"vmhd", 0, 1, b"\x00" * 8)
+    minf = box(b"minf", vmhd + stbl)
+    mdhd = full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"v\x00")
+    tkhd = full(
+        b"tkhd", 0, 7,
+        struct.pack(">III4xI", 0, 0, 1, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 64 << 16, 64 << 16),
+    )
+    trak = box(b"trak", tkhd + box(b"mdia", mdhd + hdlr + minf))
+    mvhd = full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def parse_mp4_frames(payload: bytes) -> list:
+    """REAL ISO-BMFF sample-table walk (ISO/IEC 14496-12 §8.5-8.7): find
+    the first video trak's stbl and join stts (decoding times), stsc
+    (sample->chunk mapping, run-length by first_chunk), stsz (fixed or
+    per-sample sizes), stco/co64 (chunk offsets) and stss (sync samples;
+    absent = all sync) into one row per sample:
+    (sample_idx, dts, duration, size, offset, is_sync). This is the walk a
+    video frame-sampler needs to fetch frame bytes without decoding."""
+    tables: dict = {}
+
+    def walk(lo: int, hi: int, in_video_trak: bool) -> None:
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack_from(">I", payload, i)
+            btype = payload[i + 4 : i + 8]
+            body_off = i + 8
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", payload, i + 8)
+                body_off = i + 16
+            elif size == 0:
+                size = hi - i
+            if size < 8 or i + size > hi:
+                raise ValueError("malformed box size")
+            if btype in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(body_off, i + size, in_video_trak)
+            elif btype == b"trak" and not tables.get("done"):
+                handler = _mp4_trak_handler(payload, body_off, i + size)
+                if handler == b"vide":
+                    walk(body_off, i + size, True)
+                    if "stsz" in tables:
+                        tables["done"] = True
+            elif in_video_trak and btype in (
+                b"stts", b"stsc", b"stsz", b"stco", b"co64", b"stss",
+            ):
+                tables[btype.decode()] = payload[body_off : i + size]
+            i += size
+
+    walk(0, len(payload), False)
+    if "stsz" not in tables or "stts" not in tables:
+        raise ValueError("no video sample table (stts/stsz) found")
+
+    def u32s(b: bytes, off: int, cnt: int) -> list:
+        return list(struct.unpack_from(f">{cnt}I", b, off))
+
+    # stsz
+    b = tables["stsz"]
+    fixed, n = struct.unpack_from(">II", b, 4)
+    sizes = [fixed] * n if fixed else u32s(b, 12, n)
+    # stts -> (dts, dur) per sample
+    b = tables["stts"]
+    (n_runs,) = struct.unpack_from(">I", b, 4)
+    dts, durs = [], []
+    t = 0
+    for rr in range(n_runs):
+        cnt, delta = struct.unpack_from(">II", b, 8 + 8 * rr)
+        for _ in range(cnt):
+            dts.append(t)
+            durs.append(delta)
+            t += delta
+    if len(dts) != n:
+        raise ValueError(f"stts covers {len(dts)} samples, stsz says {n}")
+    # chunk offsets
+    if "stco" in tables:
+        b = tables["stco"]
+        (nc,) = struct.unpack_from(">I", b, 4)
+        chunk_offs = u32s(b, 8, nc)
+    elif "co64" in tables:
+        b = tables["co64"]
+        (nc,) = struct.unpack_from(">I", b, 4)
+        chunk_offs = list(struct.unpack_from(f">{nc}Q", b, 8))
+    else:
+        raise ValueError("no stco/co64 chunk offsets")
+    # stsc runs
+    b = tables["stsc"]
+    (ne,) = struct.unpack_from(">I", b, 4)
+    entries = [struct.unpack_from(">III", b, 8 + 12 * e) for e in range(ne)]
+    if not entries or entries[0][0] != 1:
+        raise ValueError("stsc must start at chunk 1")
+    # stss
+    sync: set | None = None
+    if "stss" in tables:
+        b = tables["stss"]
+        (nsy,) = struct.unpack_from(">I", b, 4)
+        sync = set(u32s(b, 8, nsy))
+    rows = []
+    k = 0
+    ei = 0
+    for c in range(1, len(chunk_offs) + 1):
+        while ei + 1 < len(entries) and entries[ei + 1][0] <= c:
+            ei += 1
+        spc = entries[ei][1]
+        pos = chunk_offs[c - 1]
+        for _ in range(spc):
+            if k >= n:
+                break
+            rows.append(
+                (k, dts[k], durs[k], sizes[k], pos,
+                 1 if sync is None or (k + 1) in sync else 0)
+            )
+            pos += sizes[k]
+            k += 1
+    if k != n:
+        raise ValueError(f"chunk walk placed {k} of {n} samples")
+    return rows
+
+
+def _mp4_trak_handler(payload: bytes, lo: int, hi: int) -> bytes:
+    """Return the trak's hdlr handler_type (e.g. b'vide'/b'soun')."""
+    i = lo
+    while i + 8 <= hi:
+        (size,) = struct.unpack_from(">I", payload, i)
+        btype = payload[i + 4 : i + 8]
+        if size < 8 or i + size > hi:
+            raise ValueError("malformed box size")
+        if btype == b"mdia":
+            j = i + 8
+            while j + 8 <= i + size:
+                (s2,) = struct.unpack_from(">I", payload, j)
+                if payload[j + 4 : j + 8] == b"hdlr":
+                    return payload[j + 16 : j + 20]
+                if s2 < 8:
+                    raise ValueError("malformed box size")
+                j += s2
+        i += size
+    return b""
+
+
+MP4_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, dts long, dur int, n_bytes int, "
+    "byte_off long, is_sync int"
+)
+
+
+def mp4_frame_table(media: DataFrame) -> DataFrame:
+    """Per-frame table from MP4 sample tables via ``mapInPandas`` — one
+    output row per video sample with its decode time, byte range and
+    sync-sample flag; downstream frame-samplers filter (e.g. is_sync=1 or
+    frame_idx % n = 0) and fetch bytes by (offset, size) without ever
+    touching a video decoder. Per-row Arrow parse, linear by
+    construction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for k, dts, dur, sz, off, sy in parse_mp4_frames(bytes(p)):
+                    out.append((mid, k, dts, dur, sz, off, sy))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "dts", "dur", "n_bytes",
+                    "byte_off", "is_sync",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=MP4_FRAMES_SCHEMA
+    )
+
+
 MP4_CONTAINERS = frozenset({b"moov", b"trak", b"mdia"})
 
 
@@ -2047,6 +2349,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "jpeg_progressive": synth_jpeg_progressive,
         "gif_pixels": synth_gif_pixels,
         "mp4": synth_mp4,
+        "mp4_frames": synth_mp4_frames,
         "mp3": synth_mp3,
         "gif": synth_gif,
         "webp": synth_webp,

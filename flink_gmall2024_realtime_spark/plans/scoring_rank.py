@@ -412,6 +412,68 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_frames",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 60 + 2 AS n,
+         (doc_id % 60 + 2) // 2 AS n1,
+         doc_id % 100 + 1 AS d1,
+         doc_id % 50 + 1 AS d2,
+         doc_id % 8 AS gap,
+         doc_id % 4 + 1 AS spc1,
+         doc_id % 3 + 1 AS spc2,
+         doc_id % 5 + 2 AS ks
+  FROM documents
+),
+f AS (
+  SELECT p.*, UNNEST(generate_series(0, n - 1)) AS k FROM p
+),
+g AS (
+  SELECT doc_id, k,
+         CASE WHEN k < n1 THEN k * d1 ELSE n1 * d1 + (k - n1) * d2 END AS dts,
+         CASE WHEN k < n1 THEN d1 ELSE d2 END AS dur,
+         CASE WHEN doc_id % 7 = 0 THEN doc_id % 100 + 20
+              ELSE (doc_id + 17 * k) % 200 + 10 END AS n_bytes,
+         CASE WHEN k < 2 * spc1 THEN k // spc1
+              ELSE 2 + (k - 2 * spc1) // spc2 END AS chunk,
+         gap,
+         CASE WHEN doc_id % 6 = 0 OR k % ks = 0 THEN 1 ELSE 0 END AS is_sync
+  FROM f
+)
+SELECT doc_id AS media_id,
+       k::INT AS frame_idx,
+       dts::BIGINT AS dts,
+       dur::INT AS dur,
+       n_bytes::INT AS n_bytes,
+       (36 + (chunk + 1) * gap
+        + COALESCE(SUM(n_bytes) OVER (
+            PARTITION BY doc_id ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       )::BIGINT AS byte_off,
+       is_sync::INT AS is_sync
+FROM g
+""",
+    survey_ids=("mm-frame-sample",),
+)
+def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 sample-table frame extraction (r9): synthesize an ISO-BMFF
+    container per doc with a REAL stbl (two-run stts, two-entry stsc,
+    fixed-or-table stsz, gap-separated stco chunks, optional stss) and
+    walk it into one row per video sample — decode time, duration, byte
+    range (offset + size into mdat) and sync-sample flag. This is the walk
+    a frame-sampler needs to fetch keyframes from 100 TB of video without
+    a decoder: filter is_sync=1, range-read (byte_off, n_bytes). The
+    DuckDB oracle reproduces every column from seed arithmetic incl. the
+    chunk-gap offset layout. Per-row Arrow parse — linear by
+    construction."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "mp4_frames")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "video/mp4")
+    return multimodal.mp4_frame_table(media)
+
+
+@register(
     "multimodal_tiff_decode",
     oracle="""
 WITH p AS (

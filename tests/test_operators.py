@@ -2770,6 +2770,70 @@ def test_gif_pixel_decode_rejects_corrupt_streams():
         decode_gif_pixels(p[:-8])  # sub-block tail + trailer gone
 
 
+def test_mp4_frame_table_roundtrip_exact():
+    """The stbl walk (stts runs, two-entry stsc, fixed/table stsz,
+    stco/co64 with inter-chunk gaps, optional stss) reproduces every
+    sample's dts/duration/size/offset/sync flag from seed arithmetic —
+    seeds cover co64 (s%11==0), constant stsz (s%7==0), absent stss
+    (s%6==0) and spc1 != spc2 chunk plans."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_mp4_frames,
+        synth_mp4_frames,
+    )
+
+    for seed in [0, 1, 2, 3, 6, 7, 11, 12, 14, 22, 30, 42, 77, 99, 100,
+                 121, 997]:
+        n = seed % 60 + 2
+        n1 = n // 2
+        d1, d2 = seed % 100 + 1, seed % 50 + 1
+        gap = seed % 8
+        spc1, spc2 = seed % 4 + 1, seed % 3 + 1
+        sizes = (
+            [seed % 100 + 20] * n
+            if seed % 7 == 0
+            else [(seed + 17 * k) % 200 + 10 for k in range(n)]
+        )
+        ks = seed % 5 + 2
+        rows = parse_mp4_frames(synth_mp4_frames(seed))
+        assert len(rows) == n, seed
+        pre = 0
+        for k, dts, dur, sz, off, sy in rows:
+            chunk = k // spc1 if k < 2 * spc1 else 2 + (k - 2 * spc1) // spc2
+            assert dts == (k * d1 if k < n1 else n1 * d1 + (k - n1) * d2), seed
+            assert dur == (d1 if k < n1 else d2), seed
+            assert sz == sizes[k], seed
+            assert off == 36 + (chunk + 1) * gap + pre, seed
+            assert sy == (1 if (seed % 6 == 0 or k % ks == 0) else 0), seed
+            pre += sizes[k]
+
+
+def test_mp4_frame_table_rejects_malformed():
+    """Streams without a video sample table, truncated boxes, and
+    stts/stsz count mismatches fail loudly."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_mp4_frames,
+        synth_mp4,
+        synth_mp4_frames,
+    )
+
+    with _pytest.raises(ValueError, match="no video sample table"):
+        parse_mp4_frames(synth_mp4(1))  # metadata fixture: no stbl
+    p = synth_mp4_frames(3)
+    with _pytest.raises(ValueError):
+        parse_mp4_frames(p[:-9])  # truncated moov tail
+    # inflate the stts first-run count: stts no longer covers stsz's n
+    # layout: [type][ver+flags][entry_count][run1_count][run1_delta]...
+    i = p.index(b"stts")
+    (cnt,) = _struct.unpack_from(">I", p, i + 12)
+    broken = p[: i + 12] + _struct.pack(">I", cnt + 1) + p[i + 16 :]
+    with _pytest.raises(ValueError, match="stts covers"):
+        parse_mp4_frames(broken)
+
+
 def test_tiff_lzw_roundtrip_variants():
     """TIFF-variant LZW (MSB-first, early change, per-strip resets)
     round-trips arbitrary byte strings, including forced mid-stream
