@@ -160,3 +160,90 @@ def weighted_topn_sample(
         d.withColumn("samp_rank", F.row_number().over(w))
         .filter(F.col("samp_rank") <= n)
     )
+
+
+def mix_plan(
+    docs: DataFrame,
+    weights: DataFrame,
+    target_tokens: int,
+    rate_cap_ppm: int = 4_000_000,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Training-mix planner — the mixture table every large pretraining
+    run starts from (Pile/Dolma-style): given per-doc token counts and an
+    integer ``weight`` per source, allocate a ``target_tokens`` budget
+    proportionally and turn each source's allocation into a deterministic
+    sampling rate in parts-per-million, capped at ``rate_cap_ppm``
+    (max epochs — a small source cannot be upsampled without bound).
+
+    All arithmetic is exact-integer (decimal(38) intermediates, floor
+    division) so the plan is reproducible bit-for-bit on any engine, and
+    the whole computation is one groupBy over the corpus followed by a
+    broadcast join against the tiny weight table — the avail aggregation
+    is the only shuffle at 100 TB. Output per source: ``avail_tokens``,
+    ``weight``, ``target_alloc``, ``rate_ppm``, ``planned_tokens``,
+    ``capped``."""
+    avail = docs.groupBy(source_col).agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("avail_tokens")
+    )
+    total_w = weights.agg(F.sum(F.col(weight_col)).cast("long").alias("_wsum"))
+    j = (
+        avail.join(F.broadcast(weights.select(source_col, weight_col)), source_col)
+        .crossJoin(F.broadcast(total_w))
+    )
+    target_alloc = F.floor(
+        (F.lit(target_tokens).cast("decimal(38,0)") * F.col(weight_col))
+        / F.col("_wsum")
+    ).cast("long")
+    j = j.withColumn("target_alloc", target_alloc)
+    rate = F.floor(
+        (F.col("target_alloc").cast("decimal(38,0)") * F.lit(1_000_000))
+        / F.col("avail_tokens")
+    ).cast("long")
+    j = j.withColumn("rate_ppm", F.least(rate, F.lit(int(rate_cap_ppm)).cast("long")))
+    return j.select(
+        source_col,
+        "avail_tokens",
+        F.col(weight_col).cast("long").alias("weight"),
+        "target_alloc",
+        "rate_ppm",
+        F.floor(
+            (F.col("avail_tokens").cast("decimal(38,0)") * F.col("rate_ppm"))
+            / F.lit(1_000_000)
+        ).cast("long").alias("planned_tokens"),
+        (rate > F.lit(int(rate_cap_ppm))).cast("int").alias("capped"),
+    )
+
+
+def mix_apply(
+    docs: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Materialize a mix plan into an epoched corpus: each doc appears
+    ``rate_ppm // 1M`` times (full epochs) plus one more iff its hash coin
+    ``md5(id) % 1M`` lands under the fractional remainder — so every
+    source's expected token volume matches the plan exactly and the chosen
+    rows are a deterministic function of the row key (re-runs, backfills
+    and other engines select identical rows; no RNG state).
+
+    Map-side only: a broadcast join against the per-source rate table and
+    an ``explode(sequence(...))`` for epochs — no shuffle at 100 TB.
+    Output adds ``epoch`` (0-based)."""
+    j = docs.join(
+        F.broadcast(plan.select(source_col, "rate_ppm")), source_col
+    )
+    full = (F.col("rate_ppm") / F.lit(1_000_000)).cast("long")
+    frac = F.col("rate_ppm") % F.lit(1_000_000)
+    copies = full + F.when(_key_mod(F.col(id_col), 1_000_000) < frac, 1).otherwise(0)
+    return (
+        j.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), (F.col("_copies") - 1).cast("int")))
+        )
+        .drop("_copies", "rate_ppm")
+    )

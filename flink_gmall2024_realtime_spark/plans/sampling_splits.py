@@ -26,6 +26,7 @@ from ..operators import (  # noqa: F401
     dedup,
     graph,
     multimodal,
+    sampling,
     similarity,
     sketch,
     skew,
@@ -287,3 +288,117 @@ def ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# =========================================================================
+# Training-mix planning (r9): budgeted per-source sampling rates and the
+# epoched corpus they produce — the mixture-table op every pretraining
+# run starts from. Weights are closed-form from the source id (srcN ->
+# N%5+1) so the DuckDB oracle reproduces the whole plan exactly.
+# =========================================================================
+
+_MIX_WEIGHT_SQL = "(CAST(substr(source, 4) AS INT) % 5 + 1)"
+_MIX_TARGET = 30_000
+_MIX_CAP_PPM = 3_000_000
+
+_MIX_PLAN_SQL = f"""
+WITH avail AS (
+  SELECT source,
+         SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> ''))) AS avail_tokens,
+         {_MIX_WEIGHT_SQL} AS weight
+  FROM documents GROUP BY source
+),
+tw AS (SELECT SUM(weight) AS wsum FROM avail),
+plan AS (
+  SELECT source, avail_tokens, weight,
+         ({_MIX_TARGET}::HUGEINT * weight) // wsum AS target_alloc
+  FROM avail, tw
+)
+SELECT source,
+       avail_tokens::BIGINT AS avail_tokens,
+       weight::BIGINT AS weight,
+       target_alloc::BIGINT AS target_alloc,
+       LEAST((target_alloc::HUGEINT * 1000000) // avail_tokens,
+             {_MIX_CAP_PPM})::BIGINT AS rate_ppm,
+       ((avail_tokens::HUGEINT
+         * LEAST((target_alloc::HUGEINT * 1000000) // avail_tokens,
+                 {_MIX_CAP_PPM})) // 1000000)::BIGINT AS planned_tokens,
+       CASE WHEN (target_alloc::HUGEINT * 1000000) // avail_tokens
+                 > {_MIX_CAP_PPM} THEN 1 ELSE 0 END::INT AS capped
+FROM plan
+"""
+
+
+def _mix_inputs(spark: SparkSession, sf_dir: str):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    weights = docs.select("source").distinct().select(
+        "source",
+        (F.substring("source", 4, 10).cast("int") % 5 + 1).alias("weight"),
+    )
+    return docs, weights
+
+
+@register("mix_plan_sources", oracle=_MIX_PLAN_SQL, survey_ids=("sample-stratified",))
+def mix_plan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture table over the documents corpus: proportional token-budget
+    allocation, ppm sampling rates with an epoch cap, planned volumes —
+    exact integer arithmetic end to end (``sampling.mix_plan``). One
+    corpus aggregation + broadcast weight join; the only shuffle is the
+    per-source sum."""
+    docs, weights = _mix_inputs(spark, sf_dir)
+    return sampling.mix_plan(
+        docs, weights, _MIX_TARGET, rate_cap_ppm=_MIX_CAP_PPM
+    )
+
+
+_MIX_APPLY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+avail AS MATERIALIZED (
+  SELECT source, SUM(n_tokens) AS avail_tokens, {_MIX_WEIGHT_SQL} AS weight
+  FROM d GROUP BY source
+),
+tw AS MATERIALIZED (SELECT SUM(weight) AS wsum FROM avail),
+plan AS MATERIALIZED (
+  SELECT source,
+         LEAST(((({_MIX_TARGET}::HUGEINT * weight) // wsum)::HUGEINT * 1000000)
+                 // avail_tokens,
+               {_MIX_CAP_PPM}) AS rate_ppm
+  FROM avail, tw
+),
+j AS (
+  SELECT d.doc_id, d.source, d.n_tokens,
+         (plan.rate_ppm // 1000000)
+         + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+                     % 1000000 < plan.rate_ppm % 1000000
+                THEN 1 ELSE 0 END AS copies
+  FROM d JOIN plan USING (source)
+)
+SELECT doc_id, source,
+       n_tokens::BIGINT AS n_tokens,
+       UNNEST(generate_series(0, (copies - 1)::BIGINT))::INT AS epoch
+FROM j WHERE copies > 0
+"""
+
+
+@register("mix_apply_corpus", oracle=_MIX_APPLY_SQL, survey_ids=("sample-stratified",))
+def mix_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoched corpus materializing the mix plan: rate_ppm//1M full epochs
+    per doc plus a fractional epoch chosen by the md5 hash coin — a
+    deterministic function of the row key, reproduced row-for-row by the
+    oracle. Broadcast rate join + explode; map-side at 100 TB
+    (``sampling.mix_apply``)."""
+    docs, weights = _mix_inputs(spark, sf_dir)
+    plan = sampling.mix_plan(docs, weights, _MIX_TARGET, rate_cap_ppm=_MIX_CAP_PPM)
+    return sampling.mix_apply(docs, plan).select(
+        "doc_id", "source", "n_tokens", "epoch"
+    )

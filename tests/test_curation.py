@@ -134,6 +134,24 @@ def test_importance_sample_is_a_broadcast_not_a_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_mix_apply_join_is_broadcast_no_sort_merge(spark, sf_dir):
+    """The mix pipeline's 100 TB shape: the per-source rate table joins
+    the corpus as a broadcast (never a sort-merge shuffle of the docs
+    side) and the epoch fan-out is a Generate, not a window."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_tokens")
+    )
+    weights = docs.select("source").distinct().select(
+        "source", F.lit(1).alias("weight")
+    )
+    plan_df = sampling.mix_plan(docs, weights, 10_000)
+    plan = formatted_plan(spark, sampling.mix_apply(docs, plan_df))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_hll_estimate_within_5pct_of_exact(spark, sf_dir):
     """The sketch must actually estimate well (the oracle only proves both
     engines compute the same formula, not that the formula is right)."""

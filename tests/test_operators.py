@@ -544,6 +544,76 @@ def test_domain_cap_deterministic_and_capped(spark):
     assert per == {"s0": 4, "s1": 4, "s2": 4}  # cap enforced per group
 
 
+def test_mix_plan_allocates_and_caps_exactly(spark):
+    """Hand-checked mixture table: a 3:1 weight split of a 60k budget over
+    unequal sources, with the small source capped at 2 epochs. All exact
+    integer arithmetic — floor allocation, ppm rates, planned volumes."""
+    from flink_gmall2024_realtime_spark.operators.sampling import mix_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a", 100_000), (2, "a", 100_000), (3, "b", 10_000)],
+        "doc_id long, source string, n_tokens long",
+    )
+    weights = spark.createDataFrame(
+        [("a", 3), ("b", 1)], "source string, weight int"
+    )
+    plan = {
+        r["source"]: r.asDict()
+        for r in mix_plan(docs, weights, 60_000, rate_cap_ppm=2_000_000).collect()
+    }
+    # a: avail 200k, alloc 60000*3//4 = 45000 -> rate 225000 ppm, uncapped
+    assert plan["a"]["avail_tokens"] == 200_000
+    assert plan["a"]["target_alloc"] == 45_000
+    assert plan["a"]["rate_ppm"] == 225_000
+    assert plan["a"]["planned_tokens"] == 45_000
+    assert plan["a"]["capped"] == 0
+    # b: avail 10k, alloc 15000 -> raw rate 1.5e6 ppm < cap -> uncapped
+    assert plan["b"]["rate_ppm"] == 1_500_000
+    assert plan["b"]["planned_tokens"] == 15_000
+    assert plan["b"]["capped"] == 0
+    # tighter cap: b's raw rate exceeds 1e6 -> capped at one epoch
+    plan2 = {
+        r["source"]: r.asDict()
+        for r in mix_plan(docs, weights, 60_000, rate_cap_ppm=1_000_000).collect()
+    }
+    assert plan2["b"]["rate_ppm"] == 1_000_000
+    assert plan2["b"]["planned_tokens"] == 10_000
+    assert plan2["b"]["capped"] == 1
+
+
+def test_mix_apply_epochs_deterministic_and_planned(spark):
+    """mix_apply emits rate//1M full epochs per doc plus a hash-coin
+    fractional epoch: re-runs select identical rows, every doc gets at
+    least the full epochs, and the per-source total matches the coin's
+    exact acceptance count."""
+    from flink_gmall2024_realtime_spark.functions import md5_long
+    from flink_gmall2024_realtime_spark.operators.sampling import (
+        mix_apply,
+        mix_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a", 100) for i in range(200)], "doc_id long, source string, n_tokens long"
+    )
+    weights = spark.createDataFrame([("a", 1)], "source string, weight int")
+    # target 1.5 epochs: 30000 tokens of 20000 available -> 1500000 ppm
+    plan = mix_plan(docs, weights, 30_000)
+    out1 = sorted((r["doc_id"], r["epoch"]) for r in mix_apply(docs, plan).collect())
+    out2 = sorted((r["doc_id"], r["epoch"]) for r in mix_apply(docs, plan).collect())
+    assert out1 == out2
+    full = {k for k, e in out1 if e == 0}
+    assert len(full) == 200  # everyone gets the guaranteed full epoch
+    extra = {k for k, e in out1 if e == 1}
+    coin = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", (md5_long(F.col("doc_id").cast("string")) % 1_000_000).alias("c")
+        ).collect()
+        if r["c"] < 500_000
+    }
+    assert extra == coin
+
+
 def test_incremental_lsh_equals_full_restricted(spark, sf_dir):
     """Incremental batch-vs-index dedup must emit exactly the full-corpus
     LSH pairs that touch the batch (banding is identical, so recall is
