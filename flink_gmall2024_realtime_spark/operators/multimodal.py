@@ -2335,6 +2335,14 @@ def _synth_udf(fn):
     return batches
 
 
+def _synth_warc_gz(seed: int) -> bytes:
+    """Lazy import of the web-archive fixture (keeps module load light and
+    avoids importing zlib machinery for metadata-only users)."""
+    from .webarchive import synth_warc_gz
+
+    return synth_warc_gz(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2359,6 +2367,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "tiff": synth_tiff,
         "tiff_pixels": synth_tiff_pixels,
         "ogg": synth_ogg,
+        "warc_gz": _synth_warc_gz,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

@@ -412,6 +412,49 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_ingest",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 6 + 1 AS n FROM documents
+),
+f AS (
+  SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS k FROM p
+)
+SELECT doc_id AS media_id,
+       k::INT AS rec_idx,
+       'http://site' || (doc_id % 1000) || '.example/page' || k AS uri,
+       CASE WHEN (doc_id + k) % 5 = 0 THEN 404 ELSE 200 END::INT AS http_status,
+       CASE WHEN (doc_id + k) % 5 = 0 THEN 'text/plain'
+            ELSE 'text/html' END AS content_type,
+       CASE WHEN (doc_id + k) % 5 = 0 THEN 9
+            ELSE 5 * ((doc_id + 3 * k) % 40 + 5) + 25 END::INT AS n_body_bytes,
+       CASE WHEN (doc_id + k) % 5 = 0 THEN 0
+            ELSE (doc_id + 3 * k) % 40 + 5 END::INT AS n_text_tokens
+FROM f
+""",
+    survey_ids=("text-quality",),
+)
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC web-archive ingestion (r9) — the Common Crawl entry point of a
+    pretraining pipeline: synthesize a multi-record .warc.gz per doc
+    (gzip member PER RECORD, the range-readable convention; warcinfo +
+    response records with embedded HTTP), then run the real walk —
+    multi-member gunzip, WARC header parse, HTTP status/Content-Length
+    parse, tag-stripped token counts for HTML bodies. The oracle
+    reproduces every record column from seed arithmetic; a wrong member
+    boundary, header fold, or length check corrupts rows. Per-row Arrow
+    work — linear by construction (``operators/webarchive.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "warc_gz")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/warc"
+    )
+    from ..operators.webarchive import warc_records
+
+    return warc_records(media)
+
+
+@register(
     "multimodal_mp4_frames",
     oracle="""
 WITH p AS (

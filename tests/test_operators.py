@@ -2904,6 +2904,53 @@ def test_mp4_frame_table_rejects_malformed():
         parse_mp4_frames(broken)
 
 
+def test_warc_roundtrip_exact():
+    """The WARC walk (multi-member gunzip, header fold, embedded HTTP,
+    Content-Length checks, tag-strip token count) reproduces every record
+    column from seed arithmetic, and warcinfo records are skipped."""
+    from flink_gmall2024_realtime_spark.operators.webarchive import (
+        parse_warc,
+        synth_warc_gz,
+    )
+
+    for seed in [0, 1, 2, 3, 4, 5, 9, 10, 99, 100, 101, 997, 123456]:
+        n = seed % 6 + 1
+        rows = parse_warc(synth_warc_gz(seed))
+        assert len(rows) == n, seed
+        for k, (idx, uri, status, ctype, nb, nt) in enumerate(rows):
+            assert idx == k and uri == f"http://site{seed % 1000}.example/page{k}"
+            if (seed + k) % 5 == 0:
+                assert (status, ctype, nb, nt) == (404, "text/plain", 9, 0), seed
+            else:
+                m = (seed + 3 * k) % 40 + 5
+                assert (status, ctype, nb, nt) == (200, "text/html", 5 * m + 25, m), seed
+
+
+def test_warc_rejects_malformed_payloads():
+    """Truncated gzip members, non-WARC members, and length-mismatched
+    records fail loudly — a silently short crawl is corpus loss."""
+    import gzip as _gzip
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.webarchive import (
+        parse_warc,
+        synth_warc_gz,
+    )
+
+    p = synth_warc_gz(7)
+    with _pytest.raises(ValueError, match="truncated gzip member"):
+        parse_warc(p[:-5])
+    with _pytest.raises(ValueError, match="malformed WARC record"):
+        parse_warc(_gzip.compress(b"HTTP/1.1 200 OK\r\n\r\n"))
+    # shrink the record below its declared Content-Length
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+    )
+    with _pytest.raises(ValueError, match="shorter than declared"):
+        parse_warc(_gzip.compress(rec))
+
+
 def test_tiff_lzw_roundtrip_variants():
     """TIFF-variant LZW (MSB-first, early change, per-strip resets)
     round-trips arbitrary byte strings, including forced mid-stream
