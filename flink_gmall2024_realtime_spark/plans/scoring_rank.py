@@ -455,6 +455,56 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_domain_stats",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 6 + 1 AS n FROM documents
+),
+f AS (
+  SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS k FROM p
+),
+r AS (
+  SELECT 'site' || (doc_id % 1000) || '.example' AS host,
+         CASE WHEN (doc_id + k) % 5 = 0 THEN 404 ELSE 200 END AS status,
+         CASE WHEN (doc_id + k) % 5 = 0 THEN 0
+              ELSE (doc_id + 3 * k) % 40 + 5 END AS n_text_tokens
+  FROM f
+)
+SELECT host,
+       COUNT(*)::BIGINT AS n_pages,
+       SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+       SUM(n_text_tokens)::BIGINT AS total_tokens
+FROM r GROUP BY host
+""",
+    survey_ids=("text-quality",),
+)
+def warc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-health report per registered host — the first aggregation a
+    crawl-curation pipeline runs: WARC record walk -> JVM-side URL host
+    extraction (``F.parse_url``, codegen, no Python) -> one groupBy for
+    page counts, 200-rate and extracted-token volume. At 100 TB the only
+    shuffle is the per-host aggregation (with map-side partials); the
+    record walk itself is per-row Arrow work."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "warc_gz")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/warc"
+    )
+    from ..operators.webarchive import warc_records
+
+    recs = warc_records(media)
+    return (
+        recs.withColumn("host", F.parse_url(F.col("uri"), F.lit("HOST")))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum((F.col("http_status") == 200).cast("long")).alias("n_ok"),
+            F.sum("n_text_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@register(
     "multimodal_mp4_frames",
     oracle="""
 WITH p AS (
