@@ -2343,6 +2343,13 @@ def _synth_warc_gz(seed: int) -> bytes:
     return synth_warc_gz(seed)
 
 
+def _synth_pdf(seed: int) -> bytes:
+    """Lazy import of the PDF fixture (same stance as the WARC one)."""
+    from .pdftext import synth_pdf
+
+    return synth_pdf(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2368,6 +2375,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "tiff_pixels": synth_tiff_pixels,
         "ogg": synth_ogg,
         "warc_gz": _synth_warc_gz,
+        "pdf": _synth_pdf,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

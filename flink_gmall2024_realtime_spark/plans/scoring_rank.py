@@ -455,6 +455,44 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pdf_text_extract",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 4 + 1 AS n FROM documents
+),
+f AS (
+  SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS k FROM p
+)
+SELECT doc_id AS media_id,
+       k::INT AS page_idx,
+       ((doc_id + 5 * k) % 30 + 4)::INT AS n_tokens,
+       (5 * ((doc_id + 5 * k) % 30 + 4) - 1
+        + CASE WHEN k = 0 AND doc_id % 9 = 0 THEN 2 ELSE 0 END)::INT AS n_chars
+FROM f
+""",
+    survey_ids=("text-quality",),
+)
+def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (r9) — the document-corpus ingestion gate:
+    synthesize a classic-xref PDF per doc (1-4 pages, FlateDecode or raw
+    content streams, Tj and kerned-TJ text, indirect /Length objects,
+    escaped-paren literals) and run the real walk — startxref -> xref
+    table -> trailer /Root -> page tree -> per-page stream decode -> text
+    operator scan. The oracle reproduces per-page token/char counts from
+    seed arithmetic; a wrong xref offset, stream length, escape, or TJ
+    concatenation corrupts counts or raises. Per-row Arrow work — linear
+    by construction (``operators/pdftext.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "pdf")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/pdf"
+    )
+    from ..operators.pdftext import pdf_page_text
+
+    return pdf_page_text(media)
+
+
+@register(
     "warc_domain_stats",
     oracle="""
 WITH p AS (

@@ -2926,6 +2926,50 @@ def test_warc_roundtrip_exact():
                 assert (status, ctype, nb, nt) == (200, "text/html", 5 * m + 25, m), seed
 
 
+def test_pdf_text_extract_roundtrip_exact():
+    """The classic-xref walk extracts each page's exact text: FlateDecode
+    and raw streams, Tj and kerned-TJ operators, indirect /Length
+    resolution (s%5==0) and escaped-paren literals (s%9==0)."""
+    from flink_gmall2024_realtime_spark.operators.pdftext import (
+        parse_pdf_text,
+        synth_pdf,
+    )
+
+    for seed in [0, 1, 2, 3, 4, 5, 9, 10, 15, 18, 45, 99, 100, 101, 997]:
+        pages = parse_pdf_text(synth_pdf(seed))
+        assert len(pages) == seed % 4 + 1, seed
+        for p, (idx, text) in enumerate(pages):
+            m = (seed + 5 * p) % 30 + 4
+            words = [f"w{i:03d}" for i in range(m)]
+            if p == 0 and seed % 9 == 0:
+                words[0] = "(w000)"
+            assert (idx, text) == (p, " ".join(words)), seed
+
+
+def test_pdf_text_extract_rejects_out_of_scope():
+    """Garbage, xref-stream PDFs, wrong xref offsets, and short streams
+    fail loudly with the documented error classes."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.pdftext import (
+        parse_pdf_text,
+        synth_pdf,
+    )
+
+    with _pytest.raises(ValueError, match="not a PDF"):
+        parse_pdf_text(b"GIF89a")
+    p = synth_pdf(7)
+    # point startxref at a non-xref byte: the 1.5+ xref-stream seam
+    i = p.rindex(b"startxref")
+    j = p.index(b"\n", i) + 1
+    k = p.index(b"\n", j)
+    broken = p[:j] + b"0" + p[k:]
+    with _pytest.raises((NotImplementedError, ValueError)):
+        parse_pdf_text(broken)
+    with _pytest.raises(ValueError):
+        parse_pdf_text(p[:-30])  # trailer/startxref truncated
+
+
 def test_warc_rejects_malformed_payloads():
     """Truncated gzip members, non-WARC members, and length-mismatched
     records fail loudly — a silently short crawl is corpus loss."""
