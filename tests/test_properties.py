@@ -443,3 +443,66 @@ def test_two_phase_cumsum_equals_plain_window(spark, rows):
         ).collect()
     }
     assert got == expect
+
+
+# --- r9 codec properties: byte-level codecs against random content -------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=6000), st.sampled_from([0, 17, 64]))
+def test_tiff_lzw_roundtrip_random_bytes(data, clear_every):
+    """TIFF-variant LZW (MSB-first, early change, mid-stream Clears) is the
+    identity on arbitrary byte strings."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    assert bytes(_tiff_lzw_decode(_tiff_lzw_encode(data, clear_every=clear_every))) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab()\\ n")), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_pdf_content_scanner_inverts_any_literal(pieces):
+    """The Tj/TJ scanner recovers ANY text (parens, backslashes, spaces)
+    from correctly-escaped PDF literal strings — the escaper here mirrors
+    the spec, the decoder must invert it."""
+    from flink_gmall2024_realtime_spark.operators.pdftext import (
+        _content_stream_text,
+    )
+
+    def lit(s: str) -> bytes:
+        return (
+            "("
+            + s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            + ")"
+        ).encode("latin-1")
+
+    # one Tj per piece plus one TJ over all pieces with kern numbers
+    stream = b"BT " + b" ".join(lit(p) + b" Tj" for p in pieces)
+    stream += b" [" + b" -250 ".join(lit(p) for p in pieces) + b"] TJ ET"
+    expect = "".join(pieces) * 2
+    assert _content_stream_text(stream) == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=6))
+def test_warc_gunzip_members_inverts_any_concatenation(bodies):
+    """Multi-member gunzip recovers every member of any concatenation —
+    the property that makes member-per-record WARCs range-readable."""
+    import gzip
+
+    from flink_gmall2024_realtime_spark.operators.webarchive import (
+        _gunzip_members,
+    )
+
+    payload = b"".join(gzip.compress(b, mtime=0) for b in bodies)
+    assert _gunzip_members(payload) == bodies
