@@ -1,0 +1,160 @@
+"""ZIP archive ingestion — the code-corpus path.
+
+Source-code corpora (repository exports, dataset drops) arrive as ZIP
+archives. This module implements the real walk with stdlib zlib only,
+matching the repo's other byte-level gates: End-Of-Central-Directory
+locate (scanning back past an optional comment), central-directory entry
+parse, local-header cross-check, STORED and DEFLATE member extraction
+(raw inflate, ``wbits=-15``), and CRC-32 verification of every extracted
+member — a silently corrupt member is corpus loss, so mismatches raise.
+
+Scope seam (raise, never a wrong answer): ZIP64, encrypted members, and
+compression methods other than STORED/DEFLATE are NotImplementedError.
+
+Reference scope note: the reference app (hellohappyworld/
+flink-gmall2024-realtime) has no archive path; this is part of the
+beyond-reference LLM-data-pipeline surface the build brief asks for.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_EOCD_SIG = b"PK\x05\x06"
+_CD_SIG = b"PK\x01\x02"
+_LFH_SIG = b"PK\x03\x04"
+
+
+def synth_zip(seed: int) -> bytes:
+    """Deterministic ZIP fixture: ``seed%8+1`` members named
+    ``src/f{k}.py`` (every 4th ``docs/n{k}.md``), member k holding
+    L = (seed+7k)%20+1 lines of ``# line {i} of member {k}\\n``.
+    Members alternate DEFLATE/STORED by (seed+k)%3 (0 -> STORED); the
+    archive ends with an EOCD carrying a ``seed%30``-byte comment so the
+    back-scan is on the verified path. CRCs are real."""
+    seed = int(seed)
+    n = seed % 8 + 1
+    locals_out = []
+    cd_out = []
+    pos = 0
+    for k in range(n):
+        name = (f"docs/n{k}.md" if k % 4 == 3 else f"src/f{k}.py").encode()
+        lines = (seed + 7 * k) % 20 + 1
+        content = "".join(f"# line {i} of member {k}\n" for i in range(lines)).encode()
+        crc = zlib.crc32(content) & 0xFFFFFFFF
+        if (seed + k) % 3 == 0:
+            method, data = 0, content  # STORED
+        else:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            method, data = 8, co.compress(content) + co.flush()
+        lfh = (
+            _LFH_SIG
+            + struct.pack(
+                "<HHHHHIIIHH",
+                20, 0, method, 0, 0x5821,  # version, flags, method, time, date
+                crc, len(data), len(content), len(name), 0,
+            )
+            + name
+        )
+        cd_out.append(
+            _CD_SIG
+            + struct.pack(
+                "<HHHHHHIIIHHHHHII",
+                20, 20, 0, method, 0, 0x5821,
+                crc, len(data), len(content), len(name), 0, 0, 0, 0, 0, pos,
+            )
+            + name
+        )
+        locals_out.append(lfh + data)
+        pos += len(lfh) + len(data)
+    cd = b"".join(cd_out)
+    comment = bytes((seed + i) % 200 + 32 for i in range(seed % 30))
+    eocd = _EOCD_SIG + struct.pack(
+        "<HHHHIIH", 0, 0, n, n, len(cd), pos, len(comment)
+    ) + comment
+    return b"".join(locals_out) + cd + eocd
+
+
+def parse_zip(payload: bytes) -> list:
+    """REAL ZIP walk: locate EOCD by back-scanning past the comment, parse
+    every central-directory entry, cross-check each member's local header
+    signature, extract (STORED / raw-DEFLATE) and verify CRC-32. Returns
+    one tuple per member:
+    (member_idx, name, method, n_bytes, n_lines) with n_bytes/n_lines of
+    the DECOMPRESSED content. Raises on signature, scope, or CRC
+    failures."""
+    scan_from = max(0, len(payload) - 22 - 0xFFFF)
+    eocd_at = payload.rfind(_EOCD_SIG, scan_from)
+    if eocd_at < 0:
+        raise ValueError("no ZIP end-of-central-directory record")
+    (
+        _disk, _cd_disk, _n_disk, n_total, cd_size, cd_off, _clen,
+    ) = struct.unpack_from("<HHHHIIH", payload, eocd_at + 4)
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
+        raise NotImplementedError("ZIP64 archives are the vendored seam")
+    rows = []
+    pos = cd_off
+    for idx in range(n_total):
+        if payload[pos : pos + 4] != _CD_SIG:
+            raise ValueError(f"bad central-directory signature at entry {idx}")
+        (
+            _vmade, _vneed, flags, method, _t, _d, crc, csize, usize,
+            nlen, xlen, clen, _disk2, _iattr, _eattr, lfh_off,
+        ) = struct.unpack_from("<HHHHHHIIIHHHHHII", payload, pos + 4)
+        name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        pos += 46 + nlen + xlen + clen
+        if flags & 0x1:
+            raise NotImplementedError("encrypted ZIP members")
+        if method not in (0, 8):
+            raise NotImplementedError(f"compression method {method}")
+        if payload[lfh_off : lfh_off + 4] != _LFH_SIG:
+            raise ValueError(f"member {name!r}: bad local-header signature")
+        lnlen, lxlen = struct.unpack_from("<HH", payload, lfh_off + 26)
+        data_at = lfh_off + 30 + lnlen + lxlen
+        data = payload[data_at : data_at + csize]
+        if len(data) != csize:
+            raise ValueError(f"member {name!r}: truncated data")
+        content = data if method == 0 else zlib.decompress(data, -15)
+        if len(content) != usize:
+            raise ValueError(f"member {name!r}: size mismatch after inflate")
+        if (zlib.crc32(content) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"member {name!r}: CRC-32 mismatch")
+        rows.append((idx, name, method, usize, content.count(b"\n")))
+    return rows
+
+
+ZIP_MEMBERS_SCHEMA = (
+    "media_id long, member_idx int, name string, method int, "
+    "n_bytes int, n_lines int"
+)
+
+
+def zip_members(media: DataFrame) -> DataFrame:
+    """Per-member table from ZIP payloads via ``mapInPandas`` — one row
+    per archive member with its path, compression method, decompressed
+    size and line count, every member CRC-verified. The code-corpus
+    ingestion gate: downstream filters by extension and feeds the text
+    path. Per-row Arrow work, linear by construction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for row in parse_zip(bytes(p)):
+                    out.append((mid, *row))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "member_idx", "name", "method",
+                    "n_bytes", "n_lines",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=ZIP_MEMBERS_SCHEMA
+    )

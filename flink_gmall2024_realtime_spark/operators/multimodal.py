@@ -2350,6 +2350,13 @@ def _synth_pdf(seed: int) -> bytes:
     return synth_pdf(seed)
 
 
+def _synth_zip(seed: int) -> bytes:
+    """Lazy import of the ZIP fixture (same stance as the WARC one)."""
+    from .archive import synth_zip
+
+    return synth_zip(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2376,6 +2383,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "ogg": synth_ogg,
         "warc_gz": _synth_warc_gz,
         "pdf": _synth_pdf,
+        "zip": _synth_zip,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

@@ -455,6 +455,48 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zip_code_ingest",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 8 + 1 AS n FROM documents
+),
+f AS (
+  SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS k FROM p
+),
+g AS (
+  SELECT doc_id, k, (doc_id + 7 * k) % 20 + 1 AS L FROM f
+)
+SELECT doc_id AS media_id,
+       k::INT AS member_idx,
+       CASE WHEN k % 4 = 3 THEN 'docs/n' || k || '.md'
+            ELSE 'src/f' || k || '.py' END AS name,
+       CASE WHEN (doc_id + k) % 3 = 0 THEN 0 ELSE 8 END::INT AS method,
+       (21 * L + GREATEST(0, L - 10))::INT AS n_bytes,
+       L::INT AS n_lines
+FROM g
+""",
+    survey_ids=("text-quality",),
+)
+def zip_code_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP code-corpus ingestion (r9): synthesize a multi-member ZIP per
+    doc (STORED and raw-DEFLATE members, EOCD comment back-scan, real
+    CRC-32s) and run the hand-rolled walk — EOCD locate, central
+    directory, local-header cross-check, inflate, CRC verify — into one
+    row per member. Cross-validated against stdlib ``zipfile`` as an
+    independent conformance reference in unit tests; the oracle reproduces
+    names/methods/sizes/line counts from seed arithmetic. Per-row Arrow
+    work — linear by construction (``operators/archive.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "zip")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zip"
+    )
+    from ..operators.archive import zip_members
+
+    return zip_members(media)
+
+
+@register(
     "pdf_text_extract",
     oracle="""
 WITH p AS (

@@ -2970,6 +2970,53 @@ def test_pdf_text_extract_rejects_out_of_scope():
         parse_pdf_text(p[:-30])  # trailer/startxref truncated
 
 
+def test_zip_walk_matches_stdlib_and_closed_form():
+    """The hand-rolled ZIP walk (EOCD back-scan past the comment, central
+    directory, local-header cross-check, raw inflate, CRC verify) agrees
+    with stdlib ``zipfile`` — an independent conformance reference — and
+    with the fixture's closed form on every member."""
+    import io
+    import zipfile
+
+    from flink_gmall2024_realtime_spark.operators.archive import (
+        parse_zip,
+        synth_zip,
+    )
+
+    for seed in [0, 1, 2, 3, 4, 5, 9, 10, 29, 30, 99, 100, 101, 997]:
+        p = synth_zip(seed)
+        rows = parse_zip(p)
+        zf = zipfile.ZipFile(io.BytesIO(p))
+        assert [(r[1], r[3]) for r in rows] == [
+            (i.filename, len(zf.read(i))) for i in zf.infolist()
+        ], seed
+        for k, (idx, name, method, nb, nl) in enumerate(rows):
+            lines = (seed + 7 * k) % 20 + 1
+            assert nl == lines and nb == 21 * lines + max(0, lines - 10), seed
+
+
+def test_zip_walk_rejects_corruption():
+    """A flipped content byte breaks the CRC loudly; truncation and
+    garbage fail with the documented errors — a silently corrupt member
+    is corpus loss."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.archive import (
+        parse_zip,
+        synth_zip,
+    )
+
+    with _pytest.raises(ValueError, match="end-of-central-directory"):
+        parse_zip(b"not a zip at all")
+    p = synth_zip(3)  # (3+0)%3==0: member 0 is STORED, flip a content byte
+    i = p.index(b"# line 0")
+    broken = p[:i] + b"@" + p[i + 1 :]
+    with _pytest.raises(ValueError, match="CRC-32 mismatch"):
+        parse_zip(broken)
+    with _pytest.raises(ValueError):
+        parse_zip(p[: len(p) // 2])
+
+
 def test_warc_rejects_malformed_payloads():
     """Truncated gzip members, non-WARC members, and length-mismatched
     records fail loudly — a silently short crawl is corpus loss."""
