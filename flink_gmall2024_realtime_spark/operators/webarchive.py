@@ -38,7 +38,9 @@ def synth_warc_gz(seed: int) -> bytes:
     5th (seed+k)%5==0 is a ``404`` text/plain miss, the rest are ``200``
     text/html pages whose body is ``<html><body>w000 w001 ...`` with
     m = (seed + 3k) % 40 + 5 fixed-width words — so byte and token counts
-    are exact seed arithmetic."""
+    are exact seed arithmetic. Pages with (seed+k)%7==0 carry a 47-byte
+    ``<script>``+``<style>`` prefix whose content must NOT count as
+    text."""
     seed = int(seed)
     n = seed % 6 + 1
 
@@ -73,7 +75,12 @@ def synth_warc_gz(seed: int) -> bytes:
         else:
             m = (seed + 3 * k) % 40 + 5
             text = " ".join(f"w{i:03d}" for i in range(m))
-            body = (f"<html><body>{text}</body></html>").encode()
+            noise = (
+                "<script>var x = 1;</script><style>p { }</style>"
+                if (seed + k) % 7 == 0
+                else ""
+            )
+            body = (f"<html><body>{noise}{text}</body></html>").encode()
             http = (
                 b"HTTP/1.1 200 OK\r\n"
                 b"Content-Type: text/html\r\n"
@@ -115,6 +122,12 @@ def _gunzip_members(payload: bytes) -> list:
 
 
 _TAG_RE = re.compile(rb"<[^>]*>")
+# script/style CONTENT is not page text: drop whole elements before the
+# tag strip (real extractors do this first; counting "var x = 1;" as four
+# tokens poisons quality stats)
+_NOISE_ELEMENT_RE = re.compile(
+    rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
 
 
 def parse_warc(payload: bytes) -> list:
@@ -170,7 +183,8 @@ def parse_warc(payload: bytes) -> list:
         if body_len is not None and len(body) != body_len:
             raise ValueError("HTTP body shorter than declared length")
         if ctype.startswith(b"text/html"):
-            n_tokens = len(_TAG_RE.sub(b" ", body).split())
+            stripped = _NOISE_ELEMENT_RE.sub(b" ", body)
+            n_tokens = len(_TAG_RE.sub(b" ", stripped).split())
         else:
             n_tokens = 0
         rows.append((idx, uri, status, ctype.decode(), len(body), n_tokens))

@@ -427,7 +427,9 @@ SELECT doc_id AS media_id,
        CASE WHEN (doc_id + k) % 5 = 0 THEN 'text/plain'
             ELSE 'text/html' END AS content_type,
        CASE WHEN (doc_id + k) % 5 = 0 THEN 9
-            ELSE 5 * ((doc_id + 3 * k) % 40 + 5) + 25 END::INT AS n_body_bytes,
+            ELSE 5 * ((doc_id + 3 * k) % 40 + 5) + 25
+                 + CASE WHEN (doc_id + k) % 7 = 0 THEN 47 ELSE 0 END
+       END::INT AS n_body_bytes,
        CASE WHEN (doc_id + k) % 5 = 0 THEN 0
             ELSE (doc_id + 3 * k) % 40 + 5 END::INT AS n_text_tokens
 FROM f

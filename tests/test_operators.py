@@ -2923,7 +2923,11 @@ def test_warc_roundtrip_exact():
                 assert (status, ctype, nb, nt) == (404, "text/plain", 9, 0), seed
             else:
                 m = (seed + 3 * k) % 40 + 5
-                assert (status, ctype, nb, nt) == (200, "text/html", 5 * m + 25, m), seed
+                noise = 47 if (seed + k) % 7 == 0 else 0
+                # script/style bytes count toward the body, never the text
+                assert (status, ctype, nb, nt) == (
+                    200, "text/html", 5 * m + 25 + noise, m,
+                ), seed
 
 
 def test_pdf_text_extract_roundtrip_exact():
