@@ -158,3 +158,104 @@ def zip_members(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=ZIP_MEMBERS_SCHEMA
     )
+
+
+def synth_tar_gz(seed: int) -> bytes:
+    """Deterministic .tar.gz fixture (POSIX ustar): ``seed%7+1`` file
+    members named like the ZIP fixture (``src/f{k}.py`` / every 4th
+    ``docs/n{k}.md``) plus one leading directory entry, member k holding
+    L = (seed+11k)%20+1 lines of ``# line {i} of member {k}\\n``; octal
+    header fields, real checksums, two zero blocks, single gzip member
+    (mtime 0)."""
+    import gzip
+
+    seed = int(seed)
+    n = seed % 7 + 1
+
+    def header(name: bytes, size: int, typeflag: bytes) -> bytes:
+        h = bytearray(512)
+        h[0 : len(name)] = name
+        h[100:108] = b"0000644\x00"
+        h[108:116] = b"0000000\x00"
+        h[116:124] = b"0000000\x00"
+        h[124:136] = ("%011o" % size).encode() + b"\x00"
+        h[136:148] = b"00000000000\x00"  # mtime 0
+        h[148:156] = b" " * 8  # checksum field counted as spaces
+        h[156:157] = typeflag
+        h[257:263] = b"ustar\x00"
+        h[263:265] = b"00"
+        chk = sum(h)
+        h[148:156] = ("%06o" % chk).encode() + b"\x00 "
+        return bytes(h)
+
+    out = [header(b"src/", 0, b"5")]
+    for k in range(n):
+        name = (f"docs/n{k}.md" if k % 4 == 3 else f"src/f{k}.py").encode()
+        lines = (seed + 11 * k) % 20 + 1
+        content = "".join(f"# line {i} of member {k}\n" for i in range(lines)).encode()
+        out.append(header(name, len(content), b"0"))
+        out.append(content)
+        pad = (-len(content)) % 512
+        out.append(bytes(pad))
+    out.append(bytes(1024))
+    return gzip.compress(b"".join(out), compresslevel=6, mtime=0)
+
+
+def parse_tar_gz(payload: bytes) -> list:
+    """REAL ustar walk over a gunzipped tarball: 512-byte headers with
+    verified checksums, octal size fields, 512-padding, end-of-archive
+    zero blocks; directory entries are skipped. Returns one
+    (member_idx, name, n_bytes, n_lines) per regular file. Raises on
+    checksum or structure failures."""
+    data = zlib.decompress(payload, 47)
+    rows = []
+    idx = 0
+    pos = 0
+    while pos + 512 <= len(data):
+        h = data[pos : pos + 512]
+        if h == bytes(512):
+            break  # end-of-archive
+        stored = int(h[148:156].rstrip(b"\x00 ") or b"0", 8)
+        calc = sum(h[:148]) + 8 * 32 + sum(h[156:])
+        if stored != calc:
+            raise ValueError(f"tar header checksum mismatch at offset {pos}")
+        name = h[0:100].rstrip(b"\x00").decode("utf-8")
+        size = int(h[124:136].rstrip(b"\x00 ") or b"0", 8)
+        typeflag = h[156:157]
+        pos += 512
+        content = data[pos : pos + size]
+        if len(content) != size:
+            raise ValueError(f"member {name!r}: truncated content")
+        pos += size + ((-size) % 512)
+        if typeflag in (b"0", b"\x00"):
+            rows.append((idx, name, size, content.count(b"\n")))
+            idx += 1
+    else:
+        raise ValueError("tar archive without end-of-archive blocks")
+    return rows
+
+
+TAR_MEMBERS_SCHEMA = (
+    "media_id long, member_idx int, name string, n_bytes int, n_lines int"
+)
+
+
+def tar_members(media: DataFrame) -> DataFrame:
+    """Per-member table from .tar.gz payloads via ``mapInPandas`` — the
+    sibling of ``zip_members`` for the other archive format code and
+    dataset drops ship in. Per-row Arrow work, linear by construction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for row in parse_tar_gz(bytes(p)):
+                    out.append((mid, *row))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "member_idx", "name", "n_bytes", "n_lines"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=TAR_MEMBERS_SCHEMA
+    )

@@ -2357,6 +2357,13 @@ def _synth_zip(seed: int) -> bytes:
     return synth_zip(seed)
 
 
+def _synth_tar_gz(seed: int) -> bytes:
+    """Lazy import of the tar.gz fixture (same stance as the WARC one)."""
+    from .archive import synth_tar_gz
+
+    return synth_tar_gz(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2384,6 +2391,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "warc_gz": _synth_warc_gz,
         "pdf": _synth_pdf,
         "zip": _synth_zip,
+        "tar_gz": _synth_tar_gz,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

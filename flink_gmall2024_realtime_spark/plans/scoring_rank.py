@@ -499,6 +499,47 @@ def zip_code_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tar_code_ingest",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 7 + 1 AS n FROM documents
+),
+f AS (
+  SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS k FROM p
+),
+g AS (
+  SELECT doc_id, k, (doc_id + 11 * k) % 20 + 1 AS L FROM f
+)
+SELECT doc_id AS media_id,
+       k::INT AS member_idx,
+       CASE WHEN k % 4 = 3 THEN 'docs/n' || k || '.md'
+            ELSE 'src/f' || k || '.py' END AS name,
+       (21 * L + GREATEST(0, L - 10))::INT AS n_bytes,
+       L::INT AS n_lines
+FROM g
+""",
+    survey_ids=("text-quality",),
+)
+def tar_code_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tar.gz code-corpus ingestion (r9), the sibling of
+    ``zip_code_ingest``: synthesize a POSIX-ustar tarball per doc (octal
+    fields, verified header checksums, 512-padding, directory entries,
+    end-of-archive blocks, single gzip member) and run the hand-rolled
+    walk into one row per regular file. Cross-validated against stdlib
+    ``tarfile`` in units; the oracle reproduces names/sizes/line counts
+    from seed arithmetic. Per-row Arrow work — linear by construction
+    (``operators/archive.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "tar_gz")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/x-tar+gzip"
+    )
+    from ..operators.archive import tar_members
+
+    return tar_members(media)
+
+
+@register(
     "pdf_text_extract",
     oracle="""
 WITH p AS (

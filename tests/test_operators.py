@@ -3021,6 +3021,38 @@ def test_zip_walk_rejects_corruption():
         parse_zip(p[: len(p) // 2])
 
 
+def test_tar_walk_matches_stdlib_and_closed_form():
+    """The ustar walk (checksum verify, octal sizes, padding, dir-entry
+    skip, end-of-archive blocks) agrees with stdlib ``tarfile`` and the
+    fixture's closed form; a corrupted checksum fails loudly."""
+    import io
+    import tarfile
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.archive import (
+        parse_tar_gz,
+        synth_tar_gz,
+    )
+
+    for seed in [0, 1, 2, 3, 4, 6, 7, 10, 29, 99, 100, 997]:
+        p = synth_tar_gz(seed)
+        rows = parse_tar_gz(p)
+        with tarfile.open(fileobj=io.BytesIO(p), mode="r:gz") as tf:
+            ref = [(m.name, m.size) for m in tf.getmembers() if m.isfile()]
+        assert [(r[1], r[2]) for r in rows] == ref, seed
+        for k, (_idx, _name, nb, nl) in enumerate(rows):
+            lines = (seed + 11 * k) % 20 + 1
+            assert (nb, nl) == (21 * lines + max(0, lines - 10), lines), seed
+    # flip a header byte inside the name field -> checksum mismatch
+    import gzip as _gzip
+
+    raw = bytearray(_gzip.decompress(synth_tar_gz(5)))
+    raw[512] ^= 0xFF  # first file member's header, name[0]
+    with _pytest.raises(ValueError, match="checksum mismatch"):
+        parse_tar_gz(_gzip.compress(bytes(raw), mtime=0))
+
+
 def test_warc_rejects_malformed_payloads():
     """Truncated gzip members, non-WARC members, and length-mismatched
     records fail loudly — a silently short crawl is corpus loss."""
