@@ -1,18 +1,20 @@
 """PDF text extraction — the document-corpus ingestion gate.
 
 Books, papers and reports enter a pretraining corpus as PDFs. This module
-implements the real (subset) pipeline with stdlib zlib only: classic xref
-table walk from ``startxref``, trailer ``/Root`` resolution, Catalog ->
-Pages -> Kids page walk, per-page ``/Contents`` stream extraction
-(``/Length`` direct or as an indirect reference, ``/FlateDecode`` or raw),
-and a content-stream scanner that concatenates the text shown by ``Tj``
-and ``TJ`` operators (literal strings with ``\\(``/``\\)``/``\\\\``
-escapes and balanced nested parens).
+implements the real (subset) pipeline with stdlib zlib only, covering
+BOTH cross-reference layouts: the classic xref TABLE (with trailer dict)
+and the PDF 1.5 xref STREAM (``/Type /XRef``, ``/W`` binary rows) with
+``/ObjStm`` object-stream resolution for type-2 entries — then trailer
+``/Root`` resolution, Catalog -> Pages -> Kids page walk, per-page
+``/Contents`` stream extraction (``/Length`` direct or as an indirect
+reference, ``/FlateDecode`` or raw), and a content-stream scanner that
+concatenates the text shown by ``Tj`` and ``TJ`` operators (literal
+strings with ``\\(``/``\\)``/``\\\\`` escapes and balanced nested parens).
 
-Honest scope seam (raise, never a silent wrong answer): cross-reference
-STREAMS (PDF 1.5 compressed xref), object streams, non-Flate filters,
-hex strings and CID/composite fonts are NotImplementedError — the
-documented boundary where a vendored PDF library would plug in.
+Honest scope seam (raise, never a silent wrong answer): incremental
+updates (``/Prev`` xref chains), non-Flate filters, hex strings and
+CID/composite fonts are NotImplementedError — the documented boundary
+where a vendored PDF library would plug in.
 
 Reference scope note: the reference app (hellohappyworld/
 flink-gmall2024-realtime) has no document path; this is part of the
@@ -30,13 +32,17 @@ from pyspark.sql import DataFrame
 
 
 def synth_pdf(seed: int) -> bytes:
-    """Deterministic classic-xref PDF: catalog -> pages -> ``seed%4+1``
-    page objects, each with its own content stream drawing
-    m_p = (seed+5p)%30+4 fixed-width words. Structural variety per seed:
+    """Deterministic PDF: catalog -> pages -> ``seed%4+1`` page objects,
+    each with its own content stream drawing m_p = (seed+5p)%30+4
+    fixed-width words. Structural variety per seed:
 
+    - seed ODD: PDF 1.5 layout — non-stream objects packed into an
+      ``/ObjStm`` and a binary ``/Type /XRef`` cross-reference STREAM
+      (W [1 3 1], type-1/type-2/free rows); seed EVEN: classic 1.4
+      layout — xref table + trailer dict;
     - streams FlateDecoded when seed%3 != 0, stored raw otherwise;
     - page p odd uses a ``TJ`` array (pieces + kern numbers), even ``Tj``;
-    - seed%5 == 0 stores the first stream's ``/Length`` as an indirect
+    - seed%10 == 0 stores the first stream's ``/Length`` as an indirect
       reference object (a real-world quirk extractors must resolve);
     - seed%9 == 0 wraps page 0's first word in escaped parens
       (``\\(w000\\)``), so escape handling is on the verified path.
@@ -46,7 +52,8 @@ def synth_pdf(seed: int) -> bytes:
     seed = int(seed)
     n_pages = seed % 4 + 1
     flate = seed % 3 != 0
-    indirect_len = seed % 5 == 0
+    modern = seed % 2 == 1  # PDF 1.5: xref stream + object stream layout
+    indirect_len = seed % 10 == 0  # classic layout only (seed%10==0 is even)
 
     objs: dict = {}  # num -> bytes (without "N 0 obj"/"endobj" wrapper)
     page_nums = []
@@ -99,24 +106,74 @@ def synth_pdf(seed: int) -> bytes:
         )
     objs[extra_num + 1] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    if not modern:
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = {}
+        for num in sorted(objs):
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+        xref_off = len(out)
+        max_num = max(objs)
+        out += f"xref\n0 {max_num + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for num in range(1, max_num + 1):
+            if num in offsets:
+                out += b"%010d 00000 n \n" % offsets[num]
+            else:
+                out += b"0000000000 65535 f \n"
+        out += (
+            f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_off}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+    # PDF 1.5 layout: every non-stream object lives in an /ObjStm; the
+    # cross-reference is itself a /XRef stream (W [1 2 1] binary rows)
+    stream_nums = set(content_nums)
+    objstm_num = extra_num + 2
+    xref_num = extra_num + 3
+    members = [(num, objs[num]) for num in sorted(objs) if num not in stream_nums]
+    pairs, bodies, off = [], [], 0
+    for num, b in members:
+        pairs.append(f"{num} {off}")
+        bodies.append(b)
+        off += len(b) + 1  # members separated by one newline
+    first = (" ".join(pairs) + "\n").encode()
+    objstm_content = first + b"\n".join(bodies) + b"\n"
+    objstm_data = zlib.compress(objstm_content, 6)
+    objstm_obj = (
+        f"<< /Type /ObjStm /N {len(members)} /First {len(first)} "
+        f"/Filter /FlateDecode /Length {len(objstm_data)} >>\nstream\n".encode()
+        + objstm_data
+        + b"\nendstream"
+    )
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
-    for num in sorted(objs):
+    for num in sorted(stream_nums):
         offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += f"{objstm_num} 0 obj\n".encode() + objstm_obj + b"\nendobj\n"
     xref_off = len(out)
-    max_num = max(objs)
-    out += f"xref\n0 {max_num + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for num in range(1, max_num + 1):
-        if num in offsets:
-            out += b"%010d 00000 n \n" % offsets[num]
-        else:
-            out += b"0000000000 65535 f \n"
+    size = xref_num + 1
+    member_idx = {num: i for i, (num, _b) in enumerate(members)}
+    rows = bytearray()
+    for num in range(size):
+        if num in offsets or num == xref_num:
+            o = xref_off if num == xref_num else offsets[num]
+            rows += bytes([1]) + o.to_bytes(3, "big") + bytes([0])
+        elif num in member_idx:
+            rows += bytes([2]) + objstm_num.to_bytes(3, "big") + bytes([member_idx[num]])
+        else:  # 0 and gap numbers: free entries
+            rows += bytes([0]) + (0).to_bytes(3, "big") + bytes([255])
+    xdata = zlib.compress(bytes(rows), 6)
     out += (
-        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\n"
-        f"startxref\n{xref_off}\n%%EOF\n"
-    ).encode()
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 3 1] "
+        f"/Root 1 0 R /Filter /FlateDecode /Length {len(xdata)} >>\nstream\n".encode()
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
     return bytes(out)
 
 
@@ -147,15 +204,18 @@ def _pdf_dict_value(d: bytes, key: bytes) -> bytes | None:
 
 
 def parse_pdf_text(payload: bytes) -> list:
-    """REAL classic-PDF text extraction: startxref -> xref table ->
-    trailer /Root -> Catalog -> Pages -> Kids; per page, resolve the
-    /Contents stream (indirect /Length supported), FlateDecode when
-    filtered, and scan the content stream for Tj/TJ text (literal strings
-    with escapes, nested parens, TJ piece concatenation).
+    """REAL PDF text extraction, classic AND 1.5 layouts: startxref ->
+    xref TABLE (with trailer dict) or xref STREAM (/Type /XRef, /W binary
+    rows, FlateDecode) -> /Root -> Catalog -> Pages -> Kids; type-2 xref
+    entries resolve through /ObjStm object streams (header pairs + packed
+    bodies). Per page, resolve the /Contents stream (indirect /Length
+    supported), FlateDecode when filtered, and scan the content stream
+    for Tj/TJ text (literal strings with escapes, nested parens, TJ piece
+    concatenation).
 
     Returns one (page_idx, text) tuple per page. Raises ValueError on
     malformed files and NotImplementedError on out-of-scope PDF features
-    (xref streams, non-Flate filters)."""
+    (incremental /Prev chains, non-Flate filters, hex strings)."""
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
     tail = payload[-256:]
@@ -163,32 +223,11 @@ def parse_pdf_text(payload: bytes) -> list:
     if not m:
         raise ValueError("missing startxref")
     xref_off = int(m.group(1))
-    if payload[xref_off : xref_off + 4] != b"xref":
-        raise NotImplementedError(
-            "cross-reference streams (PDF 1.5+) are the vendored-library seam"
-        )
-    # classic xref sections
-    pos = xref_off + 4
     offsets: dict = {}
-    while True:
-        mm = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", payload[pos : pos + 48])
-        if not mm:
-            break
-        start, cnt = int(mm.group(1)), int(mm.group(2))
-        pos += mm.end()
-        for i in range(cnt):
-            entry = payload[pos : pos + 20]
-            if len(entry) < 18:
-                raise ValueError("truncated xref entry")
-            if entry[17:18] == b"n":
-                offsets[start + i] = int(entry[:10])
-            pos += 20
-    tm = re.search(rb"trailer\s*<<", payload[pos:])
-    if not tm:
-        raise ValueError("missing trailer")
-    trailer = payload[pos + tm.end() :]
+    in_objstm: dict = {}  # num -> (objstm_num, index within stream)
+    objstm_cache: dict = {}
 
-    def obj_bytes(num: int) -> bytes:
+    def obj_bytes_at(num: int) -> bytes:
         off = offsets.get(num)
         if off is None:
             raise ValueError(f"object {num} not in xref")
@@ -198,11 +237,137 @@ def parse_pdf_text(payload: bytes) -> list:
         end = payload.index(b"endobj", off)
         return payload[off + m2.end() : end]
 
+    def stream_of(obj: bytes) -> tuple:
+        """(dict head, decoded stream data) of a stream object."""
+        sm = re.search(rb"stream\r?\n", obj)
+        if not sm:
+            raise ValueError("expected a stream object")
+        head = obj[: sm.start()]
+        lenv = _pdf_dict_value(head, b"Length")
+        if lenv is None:
+            raise ValueError("stream without /Length")
+        length = resolve_int(lenv)
+        data = obj[sm.end() : sm.end() + length]
+        if len(data) != length:
+            raise ValueError("stream shorter than /Length")
+        filt = _pdf_dict_value(head, b"Filter")
+        if filt is not None:
+            if b"FlateDecode" not in filt:
+                raise NotImplementedError(f"stream filter {filt!r}")
+            data = zlib.decompress(data)
+        return head, data
+
+    def obj_bytes(num: int) -> bytes:
+        if num in offsets:
+            return obj_bytes_at(num)
+        loc = in_objstm.get(num)
+        if loc is None:
+            raise ValueError(f"object {num} not in xref")
+        snum, idx = loc
+        if snum not in objstm_cache:
+            head, data = stream_of(obj_bytes_at(snum))
+            if b"/ObjStm" not in head:
+                raise ValueError(f"object {snum} is not an /ObjStm")
+            n_members = resolve_int(_pdf_dict_value(head, b"N"))
+            first = resolve_int(_pdf_dict_value(head, b"First"))
+            nums_offs = [int(x) for x in data[:first].split()]
+            pairs = list(zip(nums_offs[0::2], nums_offs[1::2]))
+            if len(pairs) != n_members:
+                raise ValueError("ObjStm header pair count != /N")
+            table = {}
+            for i, (onum, ooff) in enumerate(pairs):
+                end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+                table[i] = (onum, data[first + ooff : first + end])
+            objstm_cache[snum] = table
+        onum, body = objstm_cache[snum][idx]
+        if onum != num:
+            raise ValueError(
+                f"xref says object {num} is ObjStm[{idx}], stream says {onum}"
+            )
+        return body
+
     def resolve_int(val: bytes) -> int:
         r = _REF_RE.fullmatch(val.strip())
         if r:
             return int(obj_bytes(int(r.group(1))).strip())
         return int(val)
+
+    if payload[xref_off : xref_off + 4] == b"xref":
+        # classic xref table sections + trailer dict
+        pos = xref_off + 4
+        while True:
+            mm = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", payload[pos : pos + 48])
+            if not mm:
+                break
+            start, cnt = int(mm.group(1)), int(mm.group(2))
+            pos += mm.end()
+            for i in range(cnt):
+                entry = payload[pos : pos + 20]
+                if len(entry) < 18:
+                    raise ValueError("truncated xref entry")
+                if entry[17:18] == b"n":
+                    offsets[start + i] = int(entry[:10])
+                pos += 20
+        tm = re.search(rb"trailer\s*<<", payload[pos:])
+        if not tm:
+            raise ValueError("missing trailer")
+        trailer = payload[pos + tm.end() :]
+    else:
+        # PDF 1.5 cross-reference STREAM: /Type /XRef, /W field widths
+        m2 = re.match(rb"(\d+)\s+\d+\s+obj\b", payload[xref_off : xref_off + 32])
+        if not m2:
+            raise ValueError("startxref points at neither xref table nor object")
+        xnum = int(m2.group(1))
+        end = payload.index(b"endobj", xref_off)
+        xobj = payload[xref_off + m2.end() : end]
+        # xref streams must carry a DIRECT /Length (no offsets exist yet
+        # to resolve an indirect one) — per the spec
+        sm = re.search(rb"stream\r?\n", xobj)
+        if not sm:
+            raise ValueError("xref stream object has no stream")
+        head = xobj[: sm.start()]
+        if b"/XRef" not in head:
+            raise ValueError("startxref object is not a /Type /XRef stream")
+        if _pdf_dict_value(head, b"Prev") is not None:
+            raise NotImplementedError("incremental-update /Prev chains")
+        length = int(_pdf_dict_value(head, b"Length"))
+        data = xobj[sm.end() : sm.end() + length]
+        if len(data) != length:
+            raise ValueError("xref stream shorter than /Length")
+        filt = _pdf_dict_value(head, b"Filter")
+        if filt is not None:
+            if b"FlateDecode" not in filt:
+                raise NotImplementedError(f"xref stream filter {filt!r}")
+            data = zlib.decompress(data)
+        w = [int(x) for x in re.findall(rb"\d+", _pdf_dict_value(head, b"W"))]
+        size = int(_pdf_dict_value(head, b"Size"))
+        idxv = _pdf_dict_value(head, b"Index")
+        index = (
+            [int(x) for x in re.findall(rb"\d+", idxv)] if idxv else [0, size]
+        )
+        row_len = sum(w)
+        pos = 0
+        for start, cnt in zip(index[0::2], index[1::2]):
+            for i in range(cnt):
+                row = data[pos : pos + row_len]
+                if len(row) < row_len:
+                    raise ValueError("truncated xref stream row")
+                fields = []
+                fpos = 0
+                for width in w:
+                    fields.append(
+                        int.from_bytes(row[fpos : fpos + width], "big") if width else 1
+                    )
+                    fpos += width
+                typ, f2, f3 = fields
+                num = start + i
+                if typ == 1:
+                    offsets[num] = f2
+                elif typ == 2:
+                    in_objstm[num] = (f2, f3)
+                pos += row_len
+        trailer = head
+        offsets.setdefault(xnum, xref_off)
 
     rootv = _pdf_dict_value(trailer, b"Root")
     if rootv is None:
@@ -218,23 +383,7 @@ def parse_pdf_text(payload: bytes) -> list:
     for idx, knum in enumerate(kids):
         page = obj_bytes(knum)
         cref = _pdf_dict_value(page, b"Contents")
-        stream_obj = obj_bytes(int(_REF_RE.search(cref).group(1)))
-        sm = re.search(rb"stream\r?\n", stream_obj)
-        if not sm:
-            raise ValueError("contents object has no stream")
-        head = stream_obj[: sm.start()]
-        lenv = _pdf_dict_value(head, b"Length")
-        if lenv is None:
-            raise ValueError("stream without /Length")
-        length = resolve_int(lenv)
-        data = stream_obj[sm.end() : sm.end() + length]
-        if len(data) != length:
-            raise ValueError("stream shorter than /Length")
-        filt = _pdf_dict_value(head, b"Filter")
-        if filt is not None:
-            if b"FlateDecode" not in filt:
-                raise NotImplementedError(f"stream filter {filt!r}")
-            data = zlib.decompress(data)
+        _head, data = stream_of(obj_bytes(int(_REF_RE.search(cref).group(1))))
         out.append((idx, _content_stream_text(data)))
     return out
 

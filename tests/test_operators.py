@@ -2963,12 +2963,13 @@ def test_pdf_text_extract_rejects_out_of_scope():
     with _pytest.raises(ValueError, match="not a PDF"):
         parse_pdf_text(b"GIF89a")
     p = synth_pdf(7)
-    # point startxref at a non-xref byte: the 1.5+ xref-stream seam
+    # point startxref at a byte that is neither an xref table nor an
+    # object header: must fail loudly (both layouts are in scope now)
     i = p.rindex(b"startxref")
     j = p.index(b"\n", i) + 1
     k = p.index(b"\n", j)
     broken = p[:j] + b"0" + p[k:]
-    with _pytest.raises((NotImplementedError, ValueError)):
+    with _pytest.raises(ValueError):
         parse_pdf_text(broken)
     with _pytest.raises(ValueError):
         parse_pdf_text(p[:-30])  # trailer/startxref truncated
