@@ -2364,6 +2364,13 @@ def _synth_tar_gz(seed: int) -> bytes:
     return synth_tar_gz(seed)
 
 
+def _synth_tfrecord(seed: int) -> bytes:
+    """Lazy import of the TFRecord fixture (same stance as the WARC one)."""
+    from .mlrecords import synth_tfrecord
+
+    return synth_tfrecord(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2392,6 +2399,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "pdf": _synth_pdf,
         "zip": _synth_zip,
         "tar_gz": _synth_tar_gz,
+        "tfrecord": _synth_tfrecord,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

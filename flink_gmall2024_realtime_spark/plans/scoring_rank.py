@@ -499,6 +499,46 @@ def zip_code_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfrecord_ingest",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 5 + 1 AS n FROM documents
+),
+f AS (
+  SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS k FROM p
+)
+SELECT doc_id AS media_id,
+       k::INT AS rec_idx,
+       3::INT AS n_features,
+       ((doc_id + 3 * k) % 20 + 3)::INT AS text_tokens,
+       ((doc_id + k) % 10)::INT AS label,
+       ((doc_id + k) % 4 + 2)::INT AS emb_dim
+FROM f
+""",
+    survey_ids=("text-quality",),
+)
+def tfrecord_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord ingestion (r9) — the ML-native dataset format: synthesize
+    a multi-record TFRecord per doc (real masked-CRC-32C framing, records
+    serialized as tf.train.Example protobufs with BytesList / packed
+    Int64List / packed FloatList features) and run the real walk — both
+    CRCs verified per record, then a generic protobuf wire-format
+    traversal of the Example feature map. CRC-32C is the table-driven
+    RFC 3720 Castagnoli implementation, anchored to published test
+    vectors in units. The oracle reproduces every column from seed
+    arithmetic. Per-row Arrow work — linear by construction
+    (``operators/mlrecords.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "tfrecord")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/tfrecord"
+    )
+    from ..operators.mlrecords import tfrecord_examples
+
+    return tfrecord_examples(media)
+
+
+@register(
     "tar_code_ingest",
     oracle="""
 WITH p AS (

@@ -3054,6 +3054,45 @@ def test_tar_walk_matches_stdlib_and_closed_form():
         parse_tar_gz(_gzip.compress(bytes(raw), mtime=0))
 
 
+def test_tfrecord_roundtrip_and_crc32c_vectors():
+    """CRC-32C matches the published RFC 3720 test vectors (external
+    conformance anchors — not produced by our code), and the TFRecord +
+    protobuf wire walk reproduces every record column."""
+    from flink_gmall2024_realtime_spark.operators.mlrecords import (
+        crc32c,
+        parse_tfrecord,
+        synth_tfrecord,
+    )
+
+    assert crc32c(bytes(32)) == 0x8A9136AA  # RFC 3720 B.4: 32 zeros
+    assert crc32c(b"123456789") == 0xE3069283  # classic check value
+    for seed in [0, 1, 2, 3, 4, 5, 9, 10, 99, 100, 101, 997]:
+        rows = parse_tfrecord(synth_tfrecord(seed))
+        assert len(rows) == seed % 5 + 1, seed
+        for k, (idx, nf, tt, lb, ed) in enumerate(rows):
+            assert (idx, nf) == (k, 3), seed
+            assert tt == (seed + 3 * k) % 20 + 3, seed
+            assert lb == (seed + k) % 10 and ed == (seed + k) % 4 + 2, seed
+
+
+def test_tfrecord_rejects_corruption():
+    """A flipped payload byte breaks the data CRC loudly; truncated
+    framing raises — a silently skipped record is corpus loss."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.mlrecords import (
+        parse_tfrecord,
+        synth_tfrecord,
+    )
+
+    p = bytearray(synth_tfrecord(3))
+    p[20] ^= 0x01  # inside record 0's Example bytes
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        parse_tfrecord(bytes(p))
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_tfrecord(synth_tfrecord(3)[:-3])
+
+
 def test_warc_rejects_malformed_payloads():
     """Truncated gzip members, non-WARC members, and length-mismatched
     records fail loudly — a silently short crawl is corpus loss."""
