@@ -2371,6 +2371,13 @@ def _synth_tfrecord(seed: int) -> bytes:
     return synth_tfrecord(seed)
 
 
+def _synth_srt(seed: int) -> bytes:
+    """Lazy import of the SRT fixture (same stance as the WARC one)."""
+    from .subtitles import synth_srt
+
+    return synth_srt(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2400,6 +2407,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "zip": _synth_zip,
         "tar_gz": _synth_tar_gz,
         "tfrecord": _synth_tfrecord,
+        "srt": _synth_srt,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

@@ -499,6 +499,109 @@ def zip_code_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "srt_cue_ingest",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 8 + 2 AS n FROM documents
+),
+f AS (
+  SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS k FROM p
+)
+SELECT doc_id AS media_id,
+       k::INT AS cue_idx,
+       (k * 1000 * (doc_id % 5 + 1) + doc_id % 997)::BIGINT AS start_ms,
+       (k * 1000 * (doc_id % 5 + 1) + doc_id % 997
+        + (doc_id + 7 * k) % 2000 + 500)::BIGINT AS end_ms,
+       ((doc_id + 2 * k) % 12 + 2)::INT AS n_tokens
+FROM f
+""",
+    survey_ids=("text-quality",),
+)
+def srt_cue_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT subtitle ingestion (r9) — the speech-text alignment gate:
+    synthesize a cue file per doc (BOM/CRLF/multi-line-text variants) and
+    parse it into the segment table (start/end ms + token counts) an
+    audio-text aligner range-joins against frame-sampled audio. Strict
+    timestamp validation — a silent mis-parse misaligns every downstream
+    segment. The oracle reproduces every cue from seed arithmetic.
+    Per-row Arrow work — linear by construction
+    (``operators/subtitles.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "srt")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/x-subrip"
+    )
+    from ..operators.subtitles import srt_cues
+
+    return srt_cues(media)
+
+
+@register(
+    "srt_frame_alignment",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 8 + 2 AS n FROM documents
+),
+cues AS (
+  SELECT doc_id,
+         UNNEST(generate_series(0, n - 1)) AS k,
+         n
+  FROM p
+),
+c2 AS (
+  SELECT doc_id, k AS cue_idx,
+         (k * 1000 * (doc_id % 5 + 1) + doc_id % 997) AS start_ms,
+         (k * 1000 * (doc_id % 5 + 1) + doc_id % 997
+          + (doc_id + 7 * k) % 2000 + 500) AS end_ms,
+         n
+  FROM cues
+),
+frames AS (
+  SELECT doc_id, UNNEST(generate_series(0, n * 5000, 500)) AS frame_ms
+  FROM p
+)
+SELECT f.doc_id AS media_id,
+       f.frame_ms::BIGINT AS frame_ms,
+       c.cue_idx::INT AS cue_idx
+FROM frames f JOIN c2 c
+  ON f.doc_id = c.doc_id
+ AND f.frame_ms >= c.start_ms AND f.frame_ms < c.end_ms
+""",
+    survey_ids=("text-quality",),
+)
+def srt_frame_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-subtitle alignment (r9) — the workload the cue table exists
+    for: a 500 ms frame grid per media range-joins the parsed cues
+    (equi-join on media_id + time-range predicate — the J3 interval-join
+    shape, hash not cartesian), tagging every audio frame with the cue
+    speaking over it. Both sides are closed-form, so the oracle
+    reproduces the full alignment."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "srt")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/x-subrip"
+    )
+    from ..operators.subtitles import srt_cues
+
+    cues = srt_cues(media)
+    n = (F.col("doc_id") % 8 + 2).cast("int")
+    frames = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (n * 5000).cast("long"), F.lit(500).cast("long"))
+        ).alias("frame_ms"),
+    )
+    return (
+        frames.join(cues, "media_id")
+        .filter(
+            (F.col("frame_ms") >= F.col("start_ms"))
+            & (F.col("frame_ms") < F.col("end_ms"))
+        )
+        .select("media_id", "frame_ms", F.col("cue_idx").cast("int").alias("cue_idx"))
+    )
+
+
+@register(
     "tfrecord_ingest",
     oracle="""
 WITH p AS (

@@ -3093,6 +3093,33 @@ def test_tfrecord_rejects_corruption():
         parse_tfrecord(synth_tfrecord(3)[:-3])
 
 
+def test_srt_roundtrip_and_rejects_malformed():
+    """Cue parse handles BOM/CRLF/multi-line variants exactly; malformed
+    timestamps and inverted ranges raise (a silent mis-parse misaligns
+    every downstream segment)."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.subtitles import (
+        parse_srt,
+        synth_srt,
+    )
+
+    for seed in [0, 1, 2, 3, 4, 5, 6, 9, 12, 99, 100, 997]:
+        rows = parse_srt(synth_srt(seed))
+        assert len(rows) == seed % 8 + 2, seed
+        for k, (idx, st, en, nt) in enumerate(rows):
+            est = k * 1000 * (seed % 5 + 1) + seed % 997
+            assert (idx, st) == (k, est), seed
+            assert en == est + (seed + 7 * k) % 2000 + 500, seed
+            assert nt == (seed + 2 * k) % 12 + 2, seed
+    with _pytest.raises(ValueError, match="malformed timestamp"):
+        parse_srt(b"1\n00:00:01.000 --> 00:00:02,000\nhi\n")  # dot, not comma
+    with _pytest.raises(ValueError, match="ends before"):
+        parse_srt(b"1\n00:00:05,000 --> 00:00:02,000\nhi\n")
+    with _pytest.raises(ValueError, match="not a number"):
+        parse_srt(b"one\n00:00:01,000 --> 00:00:02,000\nhi\n")
+
+
 def test_warc_rejects_malformed_payloads():
     """Truncated gzip members, non-WARC members, and length-mismatched
     records fail loudly — a silently short crawl is corpus loss."""
