@@ -2408,6 +2408,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "tar_gz": _synth_tar_gz,
         "tfrecord": _synth_tfrecord,
         "srt": _synth_srt,
+        "zstd": synth_zstd,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"
@@ -3758,6 +3759,178 @@ def parse_ogg_meta(payload: bytes) -> tuple[int, int, int, int, int, int]:
         raise ValueError("no OpusHead")
     duration_ms = max(0, (last_granule - pre_skip)) // 48
     return n_pages, channels, pre_skip, input_rate, int(duration_ms), n_audio
+
+
+# --------------------------------------------------------------------------
+# Zstandard (RFC 8878): frame-header metadata — the compression modern
+# dataset drops ship in (.jsonl.zst, .tar.zst). Header-only gate in the
+# MP3/WebP style: magic, frame-header-descriptor fields (single-segment,
+# content-size flag width, dictionary id, checksum flag), window size,
+# declared content size, and skippable-frame accounting. Block/entropy
+# decode (FSE/Huffman) stays behind the vendored seam.
+# --------------------------------------------------------------------------
+
+_ZSTD_MAGIC = 0xFD2FB528
+_ZSTD_SKIP_BASE = 0x184D2A50  # skippable frames: base .. base+15
+
+
+def synth_zstd(seed: int) -> bytes:
+    """Deterministic zstd FRAME LAYOUT fixture (headers + opaque block
+    payloads — enough structure for the header gate, not a real
+    compressor): ``seed%3+1`` data frames, each preceded by a skippable
+    frame when (seed+f)%4==0. Frame f declares content size
+    (seed + 1000*f) % 100000 + 1 with the minimal field width, a
+    dictionary id f+1 when seed%5==0, a content checksum when seed%2==1,
+    and single-segment mode when (seed+f)%3==0 (window = content size);
+    otherwise an explicit window descriptor byte. The single block inside
+    is a raw literal block whose bytes are opaque filler."""
+    seed = int(seed)
+    out = []
+    n_frames = seed % 3 + 1
+    for f in range(n_frames):
+        if (seed + f) % 4 == 0:
+            junk = bytes((seed + i) % 251 for i in range(seed % 20 + 1))
+            out.append(struct.pack("<II", _ZSTD_SKIP_BASE + (seed + f) % 16, len(junk)))
+            out.append(junk)
+        csize = (seed + 1000 * f) % 100000 + 1
+        single = (seed + f) % 3 == 0
+        has_dict = seed % 5 == 0
+        has_check = seed % 2 == 1
+        if single and csize <= 255:
+            fcs_flag, fcs = 0, struct.pack("<B", csize)
+        elif 256 <= csize <= 0xFFFF + 256:
+            fcs_flag, fcs = 1, struct.pack("<H", csize - 256)
+        else:
+            fcs_flag, fcs = 2, struct.pack("<I", csize)
+        fhd = (fcs_flag << 6) | (0x20 if single else 0) | (0x04 if has_check else 0) | (0x03 if has_dict else 0)
+        out.append(struct.pack("<IB", _ZSTD_MAGIC, fhd))
+        if not single:
+            out.append(bytes([((seed + f) % 8) << 3]))  # window descriptor
+        if has_dict:
+            out.append(struct.pack("<I", f + 1))
+        out.append(fcs)
+        # one raw block, last=1: header = (size<<3)|(type 0 <<1)|1
+        blk = bytes((seed + f + i) % 251 for i in range(seed % 30 + 1))
+        out.append((len(blk) << 3 | 1).to_bytes(3, "little"))
+        out.append(blk)
+        if has_check:
+            out.append(struct.pack("<I", (seed * 2654435761 + f) & 0xFFFFFFFF))
+    return b"".join(out)
+
+
+def parse_zstd_meta(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Header-only zstd frame walk (RFC 8878 §3): returns
+    (n_frames, n_skippable, total_content_size, max_window, n_dict_frames,
+    n_checksum_frames). Walks every frame: magic dispatch, frame-header
+    descriptor decode (FCS field size, single-segment, dict-id size,
+    checksum flag), window descriptor math (exponent + 3-bit mantissa),
+    then block headers (raw/RLE sizes known; compressed blocks skipped by
+    size) to find the frame end. Reserved descriptor bits raise."""
+    n_frames = n_skip = n_dict = n_check = 0
+    total = 0
+    max_window = 0
+    i = 0
+    while i + 4 <= len(payload):
+        (magic,) = struct.unpack_from("<I", payload, i)
+        if _ZSTD_SKIP_BASE <= magic <= _ZSTD_SKIP_BASE + 15:
+            (sz,) = struct.unpack_from("<I", payload, i + 4)
+            i += 8 + sz
+            n_skip += 1
+            continue
+        if magic != _ZSTD_MAGIC:
+            raise ValueError(f"bad zstd magic at offset {i}")
+        n_frames += 1
+        fhd = payload[i + 4]
+        if fhd & 0x08:
+            raise ValueError("reserved frame-header-descriptor bit set")
+        fcs_flag = fhd >> 6
+        single = bool(fhd & 0x20)
+        has_check = bool(fhd & 0x04)
+        did_flag = fhd & 0x03
+        j = i + 5
+        window = 0
+        if not single:
+            wd = payload[j]
+            exp, mant = wd >> 3, wd & 7
+            window = (1 << (10 + exp)) + ((1 << (10 + exp)) >> 3) * mant
+            j += 1
+        did_size = (0, 1, 2, 4)[did_flag]
+        if did_flag:
+            n_dict += 1
+        j += did_size
+        fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        csize = None
+        if fcs_size:
+            csize = int.from_bytes(payload[j : j + fcs_size], "little")
+            if fcs_size == 2:
+                csize += 256
+            j += fcs_size
+        if single and csize is not None:
+            window = csize
+        total += csize or 0
+        max_window = max(max_window, window)
+        if has_check:
+            n_check += 1
+        # block walk to the frame end
+        while True:
+            bh = int.from_bytes(payload[j : j + 3], "little")
+            if len(payload[j : j + 3]) < 3:
+                raise ValueError("truncated block header")
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            j += 3
+            if btype == 0:  # raw
+                j += bsize
+            elif btype == 1:  # RLE: one byte
+                j += 1
+            elif btype == 2:  # compressed: skip by size
+                j += bsize
+            else:
+                raise ValueError("reserved block type")
+            if last:
+                break
+        if has_check:
+            j += 4
+        i = j
+    if i != len(payload):
+        raise ValueError("trailing bytes after last zstd frame")
+    return n_frames, n_skip, total, max_window, n_dict, n_check
+
+
+ZSTD_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_skippable", IntegerType()),
+        StructField("total_content_size", LongType()),
+        StructField("max_window", LongType()),
+        StructField("n_dict_frames", IntegerType()),
+        StructField("n_checksum_frames", IntegerType()),
+    ]
+)
+
+
+def zstd_meta(media: DataFrame) -> DataFrame:
+    """Zstd frame metadata over an Arrow-batched binary column — the
+    shard-level accounting (frames, declared sizes, window budget,
+    dictionary usage) a .zst data-drop audit needs without decompressing
+    anything."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                nf, ns, tc, mw, nd, nc = parse_zstd_meta(bytes(p))
+                rows.append((mid, nf, ns, tc, mw, nd, nc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "n_skippable",
+                    "total_content_size", "max_window",
+                    "n_dict_frames", "n_checksum_frames",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=ZSTD_META_SCHEMA)
 
 
 OGG_META_SCHEMA = StructType(

@@ -499,6 +499,48 @@ def zip_code_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zstd_shard_audit",
+    oracle="""
+WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS nf FROM documents),
+f AS (SELECT doc_id, UNNEST(generate_series(0, nf - 1)) AS fr FROM p),
+g AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id + fr) % 4 = 0 THEN 1 ELSE 0 END AS skip,
+         (doc_id + 1000 * fr) % 100000 + 1 AS cs,
+         CASE WHEN (doc_id + fr) % 3 = 0
+              THEN (doc_id + 1000 * fr) % 100000 + 1
+              ELSE (1::BIGINT << (10 + (doc_id + fr) % 8)) END AS win
+  FROM f
+)
+SELECT doc_id AS media_id,
+       COUNT(*)::INT AS n_frames,
+       SUM(skip)::INT AS n_skippable,
+       SUM(cs)::BIGINT AS total_content_size,
+       MAX(win)::BIGINT AS max_window,
+       (CASE WHEN doc_id % 5 = 0 THEN COUNT(*) ELSE 0 END)::INT AS n_dict_frames,
+       (CASE WHEN doc_id % 2 = 1 THEN COUNT(*) ELSE 0 END)::INT AS n_checksum_frames
+FROM g GROUP BY doc_id
+""",
+    survey_ids=("mm-meta",),
+)
+def zstd_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstd shard audit (r9) — the header gate for the compression modern
+    data drops ship in (.jsonl.zst): per doc, a multi-frame fixture
+    (skippable frames, single-segment vs window-descriptor modes, all
+    three FCS field widths, dictionary ids, checksums, raw/RLE block
+    walks) parsed into frame/size/window accounting WITHOUT decompressing
+    anything. The parser also reads real zstd-tool output (external
+    conformance anchor in units). Per-row Arrow work — linear by
+    construction."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "zstd")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zstd"
+    )
+    return multimodal.zstd_meta(media)
+
+
+@register(
     "srt_cue_ingest",
     oracle="""
 WITH p AS (

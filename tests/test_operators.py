@@ -3120,6 +3120,67 @@ def test_srt_roundtrip_and_rejects_malformed():
         parse_srt(b"one\n00:00:01,000 --> 00:00:02,000\nhi\n")
 
 
+def test_zstd_meta_roundtrip_and_real_tool_anchor():
+    """The frame-header walk reproduces the fixture's closed form across
+    skippable frames, FCS widths, single-segment mode, dict ids and
+    checksums — and (when the real zstd binary is present) reads a frame
+    the actual tool produced: an external conformance anchor."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_zstd_meta,
+        synth_zstd,
+    )
+
+    for seed in [0, 1, 2, 3, 4, 5, 6, 9, 10, 15, 99, 100, 101, 997]:
+        nf, ns, tc, mw, nd, nc = parse_zstd_meta(synth_zstd(seed))
+        enf = seed % 3 + 1
+        assert nf == enf, seed
+        assert ns == sum(1 for f in range(enf) if (seed + f) % 4 == 0), seed
+        assert tc == sum((seed + 1000 * f) % 100000 + 1 for f in range(enf)), seed
+        assert nd == (enf if seed % 5 == 0 else 0), seed
+        assert nc == (enf if seed % 2 == 1 else 0), seed
+        wins = [
+            (seed + 1000 * f) % 100000 + 1
+            if (seed + f) % 3 == 0
+            else 1 << (10 + (seed + f) % 8)
+            for f in range(enf)
+        ]
+        assert mw == max(wins), seed
+    if shutil.which("zstd"):
+        import os
+
+        with tempfile.TemporaryDirectory() as d:
+            fn = os.path.join(d, "x")
+            with open(fn, "wb") as fh:
+                fh.write(b"hello zstd world " * 100)
+            subprocess.run(["zstd", "-q", fn], check=True)
+            with open(fn + ".zst", "rb") as fh:
+                nf, ns, tc, mw, _nd, _nc = parse_zstd_meta(fh.read())
+            assert (nf, ns, tc) == (1, 0, 1700)
+
+
+def test_zstd_meta_rejects_malformed():
+    """Bad magic, reserved descriptor bits, and trailing garbage raise."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_zstd_meta,
+        synth_zstd,
+    )
+
+    with _pytest.raises(ValueError, match="bad zstd magic"):
+        parse_zstd_meta(b"\x00\x00\x00\x00rest")
+    p = bytearray(synth_zstd(1))
+    p[4] |= 0x08  # reserved FHD bit
+    with _pytest.raises(ValueError, match="reserved"):
+        parse_zstd_meta(bytes(p))
+    with _pytest.raises(ValueError, match="trailing"):
+        parse_zstd_meta(synth_zstd(1) + b"xx")
+
+
 def test_warc_rejects_malformed_payloads():
     """Truncated gzip members, non-WARC members, and length-mismatched
     records fail loudly — a silently short crawl is corpus loss."""
