@@ -506,3 +506,78 @@ def test_warc_gunzip_members_inverts_any_concatenation(bodies):
 
     payload = b"".join(gzip.compress(b, mtime=0) for b in bodies)
     assert _gunzip_members(payload) == bodies
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.sampled_from(list("abcdef/_.")), min_size=1, max_size=20),
+            st.binary(max_size=400),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_zip_walk_reads_stdlib_written_archives(members):
+    """True independence check: stdlib ``zipfile`` WRITES arbitrary
+    archives (mixed STORED/DEFLATED, arbitrary names and contents), OUR
+    central-directory walk must read back exactly what zipfile reports."""
+    import io
+    import zipfile
+
+    from flink_gmall2024_realtime_spark.operators.archive import parse_zip
+
+    # zip member names cannot start with '/'; keep them relative
+    members = [(n.lstrip("/") or "x", c, s) for n, c, s in members]
+    seen = set()
+    uniq = []
+    for n, c, s in members:
+        if n not in seen:
+            seen.add(n)
+            uniq.append((n, c, s))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, content, stored in uniq:
+            zf.writestr(
+                name, content,
+                compress_type=zipfile.ZIP_STORED if stored else zipfile.ZIP_DEFLATED,
+            )
+    rows = parse_zip(buf.getvalue())
+    assert [(r[1], r[3], r[4]) for r in rows] == [
+        (n, len(c), c.count(b"\n")) for n, c, _s in uniq
+    ]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.sampled_from(list("abcdef/_.")), min_size=1, max_size=20),
+            st.binary(max_size=400),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_tar_walk_reads_stdlib_written_archives(entries):
+    """stdlib ``tarfile`` writes arbitrary gzipped tarballs; our
+    checksum-verified ustar walk must read back identical member tables."""
+    import io
+    import tarfile
+
+    from flink_gmall2024_realtime_spark.operators.archive import parse_tar_gz
+
+    entries = [(n.lstrip("/") or "x", c) for n, c in entries]
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz", format=tarfile.USTAR_FORMAT) as tf:
+        for i, (name, content) in enumerate(entries):
+            info = tarfile.TarInfo(name=f"{i}_{name}")  # unique names
+            info.size = len(content)
+            tf.addfile(info, io.BytesIO(content))
+    rows = parse_tar_gz(buf.getvalue())
+    assert [(r[2], r[3]) for r in rows] == [
+        (len(c), c.count(b"\n")) for _n, c in entries
+    ]
