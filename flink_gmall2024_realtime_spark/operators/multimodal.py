@@ -2409,6 +2409,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "tfrecord": _synth_tfrecord,
         "srt": _synth_srt,
         "zstd": synth_zstd,
+        "pnm": synth_pnm,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"
@@ -2447,6 +2448,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                     rows.append((mid, m, nb, w, h, 1, None, None, s))
                 elif m == "image/tiff":
                     w, h, n_px, s = decode_tiff_pixels(bytes(p))
+                    rows.append((mid, m, nb, w, h, 1, None, None, s))
+                elif m == "image/x-portable-anymap":
+                    w, h, n_px, s = decode_pnm(bytes(p))
                     rows.append((mid, m, nb, w, h, 1, None, None, s))
                 elif m == "audio/wav":
                     _ch, rate, n, s = decode_wav(bytes(p))
@@ -3759,6 +3763,89 @@ def parse_ogg_meta(payload: bytes) -> tuple[int, int, int, int, int, int]:
         raise ValueError("no OpusHead")
     duration_ms = max(0, (last_granule - pre_skip)) // 48
     return n_pages, channels, pre_skip, input_rate, int(duration_ms), n_audio
+
+
+# --------------------------------------------------------------------------
+# Netpbm (PGM/PPM): the no-compression image format CV datasets and
+# classic pipelines still ship — ASCII (P2/P3) and binary (P5/P6)
+# variants, comment lines, arbitrary whitespace. Fully decodable with no
+# entropy machinery, so the pixel path is exact end to end.
+# --------------------------------------------------------------------------
+
+
+def synth_pnm(seed: int) -> bytes:
+    """Deterministic Netpbm fixture: P5 (binary gray) / P6 (binary RGB) /
+    P2 / P3 (ASCII twins) chosen by seed%4; W = seed%23+1, H = seed%11+1,
+    maxval 255; pixel k (channel-flattened) = (seed + 11*(k%6)) % 256.
+    A comment line sits after the magic when seed%3==0; ASCII variants
+    vary separators (spaces vs newlines)."""
+    seed = int(seed)
+    kind = seed % 4
+    w, h = seed % 23 + 1, seed % 11 + 1
+    ch = 3 if kind in (1, 3) else 1
+    n = w * h * ch
+    vals = [(seed + 11 * (k % 6)) % 256 for k in range(n)]
+    comment = b"# synth fixture\n" if seed % 3 == 0 else b""
+    if kind == 0:  # P5 binary gray
+        head = b"P5\n" + comment + b"%d %d\n255\n" % (w, h)
+        return head + bytes(vals)
+    if kind == 1:  # P6 binary RGB
+        head = b"P6\n" + comment + b"%d %d\n255\n" % (w, h)
+        return head + bytes(vals)
+    magic = b"P2" if kind == 2 else b"P3"
+    sep = b"\n" if seed % 5 == 0 else b" "
+    body = sep.join(b"%d" % v for v in vals)
+    return magic + b"\n" + comment + b"%d %d\n255\n" % (w, h) + body + b"\n"
+
+
+def decode_pnm(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL Netpbm decode: magic dispatch (P2/P3/P5/P6), comment and
+    whitespace handling per the spec, maxval check, then exact sample
+    read (raw bytes for P5/P6, ASCII integers for P2/P3). Returns
+    (width, height, n_samples, pix_sum); short pixel data raises."""
+    import numpy as np
+
+    if payload[:2] not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError("not a PGM/PPM payload")
+    magic = payload[:2]
+    ch = 3 if magic in (b"P3", b"P6") else 1
+    binary = magic in (b"P5", b"P6")
+    # header tokens: width, height, maxval — comments run to end of line
+    pos = 2
+    tokens = []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PNM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        if c.isspace():
+            pos += 1
+            continue
+        j = pos
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[pos:j]))
+        pos = j
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit maxval=255 PNM")
+    n = w * h * ch
+    if binary:
+        pos += 1  # exactly one whitespace byte after maxval
+        data = payload[pos : pos + n]
+        if len(data) != n:
+            raise ValueError(f"raster holds {len(data)} of {n} samples")
+        arr = np.frombuffer(data, dtype=np.uint8)
+    else:
+        vals = payload[pos:].split()
+        if len(vals) != n:
+            raise ValueError(f"raster holds {len(vals)} of {n} samples")
+        arr = np.array([int(v) for v in vals], dtype=np.int64)
+        if arr.min() < 0 or arr.max() > 255:
+            raise ValueError("ASCII sample out of range")
+    return w, h, n, int(arr.sum(dtype=np.int64))
 
 
 # --------------------------------------------------------------------------

@@ -499,6 +499,63 @@ def zip_code_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_pnm_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 23 + 1 AS w,
+         doc_id % 11 + 1 AS h,
+         CASE WHEN doc_id % 4 IN (1, 3) THEN 3 ELSE 1 END AS ch
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w, h, ch, w * h * ch AS n,
+         (doc_id % 256) + ((doc_id + 11) % 256) + ((doc_id + 22) % 256)
+         + ((doc_id + 33) % 256) + ((doc_id + 44) % 256)
+         + ((doc_id + 55) % 256) AS cyc
+  FROM p
+),
+r AS (
+  SELECT doc_id, w, h, n, (n // 6) * cyc AS full_part, n % 6 AS rem
+  FROM g
+)
+SELECT doc_id AS media_id,
+       w::INT AS width,
+       h::INT AS height,
+       n::BIGINT AS n_px,
+       (full_part
+        + CASE WHEN rem >= 1 THEN doc_id % 256 ELSE 0 END
+        + CASE WHEN rem >= 2 THEN (doc_id + 11) % 256 ELSE 0 END
+        + CASE WHEN rem >= 3 THEN (doc_id + 22) % 256 ELSE 0 END
+        + CASE WHEN rem >= 4 THEN (doc_id + 33) % 256 ELSE 0 END
+        + CASE WHEN rem >= 5 THEN (doc_id + 44) % 256 ELSE 0 END
+       )::BIGINT AS pix_sum
+FROM r
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_pnm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Netpbm PGM/PPM decode (r9) — the no-compression image format CV
+    datasets still ship: per doc, one of P2/P3/P5/P6 (ASCII and binary,
+    gray and RGB, comment lines, varied separators) decoded exactly. The
+    oracle sums the 6-cycle pixel pattern in closed form. Per-row Arrow
+    work — linear by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "pnm")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "image/x-portable-anymap"
+    )
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id", "width", "height",
+        (F.col("width") * F.col("height")
+         * F.when((F.col("media_id") % 4).isin(1, 3), F.lit(3)).otherwise(F.lit(1))
+         ).cast("long").alias("n_px"),
+        F.col("sample_sum").alias("pix_sum"),
+    )
+
+
+@register(
     "zstd_shard_audit",
     oracle="""
 WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS nf FROM documents),

@@ -3162,6 +3162,32 @@ def test_zstd_meta_roundtrip_and_real_tool_anchor():
             assert (nf, ns, tc) == (1, 0, 1700)
 
 
+def test_pnm_decode_roundtrip_and_rejects():
+    """P2/P3/P5/P6 all decode exactly (comments, separators); short
+    rasters and out-of-range ASCII samples raise."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_pnm,
+        synth_pnm,
+    )
+
+    for seed in [0, 1, 2, 3, 4, 5, 6, 7, 9, 10, 15, 99, 100, 101, 997]:
+        w, h = seed % 23 + 1, seed % 11 + 1
+        ch = 3 if seed % 4 in (1, 3) else 1
+        n = w * h * ch
+        exp_sum = sum((seed + 11 * (k % 6)) % 256 for k in range(n))
+        assert decode_pnm(synth_pnm(seed)) == (w, h, n, exp_sum), seed
+    with _pytest.raises(ValueError, match="not a PGM"):
+        decode_pnm(b"P7 arbitrary")
+    with _pytest.raises(ValueError, match="raster holds"):
+        decode_pnm(synth_pnm(0)[:-2])  # binary raster truncated
+    with _pytest.raises(ValueError, match="raster holds"):
+        decode_pnm(synth_pnm(2)[:-4])  # ASCII raster truncated
+    with _pytest.raises(ValueError, match="out of range"):
+        decode_pnm(b"P2\n1 1\n255\n300\n")
+
+
 def test_zstd_meta_rejects_malformed():
     """Bad magic, reserved descriptor bits, and trailing garbage raise."""
     import pytest as _pytest
