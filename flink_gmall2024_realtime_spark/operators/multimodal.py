@@ -465,10 +465,71 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, rate, _byte_rate, _block, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError("only PCM16 WAV supported")
-    samples = np.frombuffer(data, dtype="<i2")
-    return channels, rate, len(samples) // channels, int(samples.astype(np.int64).sum())
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    elif audio_format in (6, 7) and bits == 8:
+        # G.711 companded telephony audio: expand each byte to linear
+        # PCM16 via the exact ITU formulas (verified code-for-code
+        # against stdlib audioop in tests/test_operators.py)
+        lut = (
+            _alaw_table() if audio_format == 6 else _ulaw_table()
+        )
+        samples = lut[np.frombuffer(data, dtype=np.uint8)]
+    else:
+        raise NotImplementedError(
+            f"WAV format {audio_format}/{bits}-bit (PCM16 and G.711 "
+            "mu-law/A-law supported; ADPCM/float are the vendored seam)"
+        )
+    return channels, rate, len(samples) // channels, int(samples.sum())
+
+
+_G711_TABLES: dict = {}
+
+
+def _ulaw_table():
+    """256-entry mu-law -> linear PCM16 expansion (ITU-T G.711)."""
+    import numpy as np
+
+    if "u" not in _G711_TABLES:
+        t = np.zeros(256, dtype=np.int64)
+        for c in range(256):
+            u = c ^ 0xFF
+            e, m = (u >> 4) & 7, u & 0x0F
+            mag = (((m << 3) + 0x84) << e) - 0x84
+            t[c] = -mag if u & 0x80 else mag
+        _G711_TABLES["u"] = t
+    return _G711_TABLES["u"]
+
+
+def _alaw_table():
+    """256-entry A-law -> linear PCM16 expansion (ITU-T G.711)."""
+    import numpy as np
+
+    if "a" not in _G711_TABLES:
+        t = np.zeros(256, dtype=np.int64)
+        for c in range(256):
+            a = c ^ 0x55
+            e, m = (a >> 4) & 7, a & 0x0F
+            mag = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+            t[c] = mag if a & 0x80 else -mag
+        _G711_TABLES["a"] = t
+    return _G711_TABLES["a"]
+
+
+def synth_wav_g711(seed: int, rate: int = 8000) -> bytes:
+    """Deterministic G.711 WAV fixture: mono, 8 kHz, format 7 (mu-law)
+    when seed is odd / 6 (A-law) when even, n = 800*(seed%3+1) samples,
+    sample byte k = (seed + k) % 256 — so the expanded PCM sum is the
+    exact table arithmetic the DuckDB oracle reproduces from the ITU
+    formulas."""
+    seed = int(seed)
+    code = 7 if seed % 2 else 6
+    n = 800 * (seed % 3 + 1)
+    data = bytes((seed + k) % 256 for k in range(n))
+    fmt = struct.pack("<HHIIHH", code, 1, rate, rate, 1, 8)
+    out = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(out)) + out
 
 
 # --------------------------------------------------------------------------
@@ -2410,6 +2471,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "srt": _synth_srt,
         "zstd": synth_zstd,
         "pnm": synth_pnm,
+        "wav_g711": synth_wav_g711,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

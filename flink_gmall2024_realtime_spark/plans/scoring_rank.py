@@ -499,6 +499,69 @@ def zip_code_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_g711_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 800 * (doc_id % 3 + 1) AS n FROM documents
+),
+f AS (
+  SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS k FROM p
+),
+g AS (
+  SELECT doc_id, n, (doc_id + k) % 256 AS c FROM f
+),
+d AS (
+  SELECT doc_id, n,
+         CASE WHEN doc_id % 2 = 1 THEN
+           -- mu-law: u = c XOR 255; mag = ((m*8+132) << e) - 132
+           CASE WHEN (xor(c, 255) & 128) != 0
+                THEN -((((xor(c, 255) & 15) * 8 + 132)
+                        * (1 << ((xor(c, 255) >> 4) & 7))) - 132)
+                ELSE  ((((xor(c, 255) & 15) * 8 + 132)
+                        * (1 << ((xor(c, 255) >> 4) & 7))) - 132)
+           END
+         ELSE
+           -- A-law: a = c XOR 85; e=0 -> m*16+8, else (m*16+264)<<(e-1)
+           CASE WHEN (xor(c, 85) & 128) != 0 THEN 1 ELSE -1 END *
+           CASE WHEN ((xor(c, 85) >> 4) & 7) = 0
+                THEN (xor(c, 85) & 15) * 16 + 8
+                ELSE ((xor(c, 85) & 15) * 16 + 264)
+                     * (1 << (((xor(c, 85) >> 4) & 7) - 1))
+           END
+         END AS v
+  FROM g
+)
+SELECT doc_id AS media_id,
+       8000::INT AS sample_rate,
+       n::BIGINT AS n_samples,
+       SUM(v)::BIGINT AS pcm_sum
+FROM d GROUP BY doc_id, n
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony-audio decode (r9) — the companded 8-bit format
+    speech corpora and call recordings ship in: per doc, a mu-law
+    (odd seeds) or A-law (even) WAV whose bytes expand to linear PCM16
+    through the exact ITU formulas — verified code-for-code against
+    stdlib ``audioop`` in units, and reproduced arithmetically by the
+    DuckDB oracle (no table literal: the same bit formula both sides).
+    Per-row Arrow work — linear by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "wav_g711")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "audio/wav"
+    )
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_frames").cast("long").alias("n_samples"),
+        F.col("sample_sum").alias("pcm_sum"),
+    )
+
+
+@register(
     "multimodal_pnm_decode",
     oracle="""
 WITH p AS (

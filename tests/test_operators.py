@@ -3162,6 +3162,51 @@ def test_zstd_meta_roundtrip_and_real_tool_anchor():
             assert (nf, ns, tc) == (1, 0, 1700)
 
 
+def test_g711_tables_match_stdlib_audioop_and_roundtrip():
+    """The ITU G.711 expansion formulas match stdlib ``audioop`` (an
+    independent conformance reference) code-for-code over all 256 values
+    in BOTH laws, and G.711 WAVs decode to the exact table sums;
+    unsupported WAV formats still raise."""
+    import warnings
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        _alaw_table,
+        _ulaw_table,
+        decode_wav,
+        synth_wav_g711,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        try:
+            import audioop
+        except ImportError:
+            audioop = None
+    ut, at = _ulaw_table(), _alaw_table()
+    if audioop is not None:
+        for c in range(256):
+            assert ut[c] == int.from_bytes(
+                audioop.ulaw2lin(bytes([c]), 2)[:2], "little", signed=True
+            ), c
+            assert at[c] == int.from_bytes(
+                audioop.alaw2lin(bytes([c]), 2)[:2], "little", signed=True
+            ), c
+    for seed in [0, 1, 2, 3, 4, 5, 99, 100, 997]:
+        ch, rate, n, s = decode_wav(synth_wav_g711(seed))
+        en = 800 * (seed % 3 + 1)
+        t = ut if seed % 2 else at
+        assert (ch, rate, n) == (1, 8000, en), seed
+        assert s == sum(int(t[(seed + k) % 256]) for k in range(en)), seed
+    # ADPCM (format 2) stays the documented seam
+    p = bytearray(synth_wav_g711(2))
+    i = p.index(b"fmt ") + 8
+    p[i:i + 2] = (2).to_bytes(2, "little")
+    with _pytest.raises(NotImplementedError, match="WAV format"):
+        decode_wav(bytes(p))
+
+
 def test_pnm_decode_roundtrip_and_rejects():
     """P2/P3/P5/P6 all decode exactly (comments, separators); short
     rasters and out-of-range ASCII samples raise."""
