@@ -1241,3 +1241,31 @@ def test_retention_mask_stays_inside_signed_long():
     cohort, mask = st.get
     assert cohort == "2024-01-01"
     assert 0 < mask <= (1 << 63) - 1  # fits signed int64
+
+
+def test_streaming_warc_ingestion_matches_batch(spark, sf_dir, tmp_path):
+    """Ingestion gates are streaming-ready: WARC payloads landing as files
+    stream through the SAME Arrow record walk (multi-member gunzip, HTTP
+    parse, token counts) per micro-batch, and the drained table equals the
+    batch run row-for-row — 'ingest the crawl as it lands'."""
+    from flink_gmall2024_realtime_spark.operators import multimodal
+    from flink_gmall2024_realtime_spark.operators.webarchive import warc_records
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(60)
+    payloads = multimodal.synth_media(docs, "doc_id", "warc_gz")
+    src = os.path.join(str(tmp_path), "warc_landing")
+    # three separate landings -> three micro-batches
+    payloads.filter(F.col("media_id") % 3 == 0).write.parquet(os.path.join(src, "f0"))
+    payloads.filter(F.col("media_id") % 3 == 1).write.parquet(os.path.join(src, "f1"))
+    payloads.filter(F.col("media_id") % 3 == 2).write.parquet(os.path.join(src, "f2"))
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    run_stream(warc_records(stream), str(tmp_path), "warc_stream")
+    got = {
+        tuple(r) for r in spark.sql("select * from warc_stream").collect()
+    }
+    want = {tuple(r) for r in warc_records(payloads).collect()}
+    assert got == want and len(want) > 0
