@@ -2439,6 +2439,14 @@ def _synth_srt(seed: int) -> bytes:
     return synth_srt(seed)
 
 
+def _synth_bz2_dump(seed: int) -> bytes:
+    """Lazy import of the bzip2 dump fixture (same stance as the WARC
+    one)."""
+    from .bzip2 import synth_bz2_dump
+
+    return synth_bz2_dump(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2472,6 +2480,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "zstd": synth_zstd,
         "pnm": synth_pnm,
         "wav_g711": synth_wav_g711,
+        "bz2_dump": _synth_bz2_dump,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

@@ -499,6 +499,47 @@ def zip_code_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bz2_dump_ingest",
+    oracle="""
+WITH p AS (SELECT doc_id, doc_id % 40 + 10 AS n FROM documents),
+f AS (SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i FROM p),
+g AS (
+  SELECT doc_id, n, i,
+         (doc_id + 3 * i) % 15 + 2 AS m,
+         CASE WHEN i < 10 THEN 1 ELSE 2 END AS di
+  FROM f
+)
+SELECT doc_id AS media_id,
+       n::INT AS n_lines,
+       (SUM(m) + 3 * n)::BIGINT AS n_tokens,
+       (SUM(15 + length(CAST(doc_id AS VARCHAR)) + di + 5 * m)
+        + n - 1)::BIGINT AS n_chars
+FROM g GROUP BY doc_id, n
+""",
+    survey_ids=("text-quality",),
+)
+def bz2_dump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bzip2 dump ingestion (r9) — the Wikipedia-dump format: per doc a
+    .bz2 (written by the stdlib COMPRESSOR; levels vary by seed) decoded
+    by the REAL in-repo bzip2 decoder — MSB-first bit stream, symbol-map
+    bitmap, MTF selectors, delta-coded canonical Huffman with the
+    50-symbol group switch, RUNA/RUNB + MTF inversion, inverse BWT, RLE1,
+    and both CRC layers verified. The stdlib-writes / we-read pairing is
+    the strongest conformance anchor available (hypothesis property in
+    tests). The oracle reproduces line/token/char counts from seed
+    arithmetic. Per-row Arrow work — linear by construction
+    (``operators/bzip2.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "bz2_dump")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/x-bzip2"
+    )
+    from ..operators.bzip2 import bz2_dump_stats
+
+    return bz2_dump_stats(media)
+
+
+@register(
     "multimodal_g711_decode",
     oracle="""
 WITH p AS (

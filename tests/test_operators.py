@@ -3162,6 +3162,42 @@ def test_zstd_meta_roundtrip_and_real_tool_anchor():
             assert (nf, ns, tc) == (1, 0, 1700)
 
 
+def test_bz2_decoder_reads_stdlib_output_and_rejects_corruption():
+    """The in-repo bzip2 decoder reproduces stdlib ``bz2`` output exactly
+    (RLE1 edge cases, all 256 byte values, levels 1/5/9, multi-block
+    streams with stream-CRC combination), and corruption fails loudly at
+    the block CRC — never silent corpus damage."""
+    import bz2 as _bz2
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.bzip2 import (
+        bz2_decompress,
+        synth_bz2_dump,
+    )
+
+    cases = [
+        b"", b"a", b"aaaa", b"aaaaa", b"aaaa" + bytes([255]) * 300,
+        bytes(range(256)) * 4, b"the quick brown fox " * 200,
+    ]
+    for lvl in (1, 5, 9):
+        for d in cases:
+            assert bz2_decompress(_bz2.compress(d, lvl)) == d, (lvl, len(d))
+    big = (b"abcdefgh \n" * 25_000)  # >2 blocks at level 1
+    assert bz2_decompress(_bz2.compress(big, 1)) == big
+    for seed in [0, 1, 2, 5, 9, 99, 997]:
+        text = bz2_decompress(synth_bz2_dump(seed)).decode()
+        assert text.count("\n") + 1 == seed % 40 + 10, seed
+    with _pytest.raises(ValueError, match="not a bzip2"):
+        bz2_decompress(b"PK\x03\x04junk")
+    p = bytearray(_bz2.compress(b"corruption target " * 50, 1))
+    p[len(p) // 2] ^= 0x10  # flip a bit mid-block
+    with _pytest.raises(ValueError):
+        bz2_decompress(bytes(p))
+    with _pytest.raises(ValueError, match="truncated"):
+        bz2_decompress(_bz2.compress(b"x" * 100, 1)[:-6])
+
+
 def test_g711_tables_match_stdlib_audioop_and_roundtrip():
     """The ITU G.711 expansion formulas match stdlib ``audioop`` (an
     independent conformance reference) code-for-code over all 256 values

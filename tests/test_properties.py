@@ -581,3 +581,16 @@ def test_tar_walk_reads_stdlib_written_archives(entries):
     assert [(r[2], r[3]) for r in rows] == [
         (len(c), c.count(b"\n")) for _n, c in entries
     ]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(max_size=4000), st.sampled_from([1, 5, 9]))
+def test_bz2_decoder_inverts_stdlib_compressor(data, level):
+    """stdlib ``bz2`` COMPRESSES arbitrary bytes; the in-repo bzip2
+    decoder (Huffman groups, MTF/RLE2, inverse BWT, RLE1, both CRCs) must
+    reproduce them exactly — the strongest conformance anchor available."""
+    import bz2
+
+    from flink_gmall2024_realtime_spark.operators.bzip2 import bz2_decompress
+
+    assert bz2_decompress(bz2.compress(data, level)) == data
