@@ -84,16 +84,30 @@ class _Bits:
 
 
 def bz2_decompress(payload: bytes) -> bytes:
-    """Decode a complete .bz2 stream; every block CRC and the stream CRC
-    are verified. Raises ValueError on any structural or checksum
-    failure."""
-    if payload[:3] != b"BZh" or not (0x31 <= payload[3] <= 0x39):
+    """Decode a complete .bz2 payload — including CONCATENATED streams
+    (pbzip2 / parallel-compressor output: each stream byte-aligned after
+    the previous one). Every block CRC and every stream CRC is verified;
+    trailing garbage raises. Raises ValueError on any structural or
+    checksum failure."""
+    out_parts: list = []
+    pos = 0
+    while pos < len(payload):
+        pos = _bz2_one_stream(payload, pos, out_parts)
+    return b"".join(out_parts)
+
+
+def _bz2_one_stream(payload: bytes, start: int, out_parts: list) -> int:
+    """Decode one stream beginning at byte ``start``; append plaintext
+    parts and return the byte offset just past the stream (streams are
+    byte-aligned in a concatenation)."""
+    if payload[start : start + 3] != b"BZh" or not (
+        start + 3 < len(payload) and 0x31 <= payload[start + 3] <= 0x39
+    ):
         raise ValueError("not a bzip2 stream")
-    level = payload[3] - 0x30
+    level = payload[start + 3] - 0x30
     max_block = level * 100_000
     r = _Bits(payload)
-    r.pos = 32
-    out_parts = []
+    r.pos = (start + 4) * 8
     combined = 0
     while True:
         magic = r.read(48)
@@ -101,7 +115,7 @@ def bz2_decompress(payload: bytes) -> bytes:
             stream_crc = r.read(32)
             if stream_crc != combined:
                 raise ValueError("bzip2 stream CRC mismatch")
-            break
+            return (r.pos + 7) // 8  # next stream starts byte-aligned
         if magic != _BLOCK_MAGIC:
             raise ValueError(f"bad bzip2 block magic {magic:#x}")
         declared_crc = r.read(32)
@@ -197,7 +211,6 @@ def bz2_decompress(payload: bytes) -> bytes:
             raise ValueError("bzip2 block CRC mismatch")
         combined = (((combined << 1) | (combined >> 31)) & 0xFFFFFFFF) ^ declared_crc
         out_parts.append(plain)
-    return b"".join(out_parts)
 
 
 def _canonical_table(lens: list) -> tuple:

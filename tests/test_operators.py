@@ -3196,6 +3196,11 @@ def test_bz2_decoder_reads_stdlib_output_and_rejects_corruption():
         bz2_decompress(bytes(p))
     with _pytest.raises(ValueError, match="truncated"):
         bz2_decompress(_bz2.compress(b"x" * 100, 1)[:-6])
+    # pbzip2-style concatenated streams decode fully; trailing junk raises
+    a, b = b"first stream " * 30, b"second! " * 40
+    assert bz2_decompress(_bz2.compress(a, 1) + _bz2.compress(b, 9)) == a + b
+    with _pytest.raises(ValueError, match="not a bzip2"):
+        bz2_decompress(_bz2.compress(a, 1) + b"garbage")
 
 
 def test_g711_tables_match_stdlib_audioop_and_roundtrip():
