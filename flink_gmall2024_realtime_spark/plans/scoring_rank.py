@@ -499,6 +499,37 @@ def zip_code_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xz_shard_audit",
+    oracle="""
+WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS ns FROM documents),
+f AS (SELECT doc_id, ns, UNNEST(generate_series(0, ns - 1)) AS s FROM p)
+SELECT doc_id AS media_id,
+       ns::INT AS n_streams,
+       ns::INT AS n_blocks,
+       SUM((doc_id + 100 * s) % 900 + 50)::BIGINT AS total_uncompressed,
+       (CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 4
+             ELSE 10 END)::INT AS check_type
+FROM f GROUP BY doc_id, ns
+""",
+    survey_ids=("mm-meta",),
+)
+def xz_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XZ shard audit (r9): per doc, a REAL .xz written by stdlib lzma
+    (seed%3+1 concatenated streams, check type NONE/CRC32/CRC64/SHA256 by
+    seed%4), audited by the backward stream walk xz tools use — footer
+    CRC -> backward_size -> index varint records -> header magic/flags
+    match — yielding stream/block counts and declared uncompressed volume
+    WITHOUT decoding LZMA2. Every header, footer and index CRC is
+    verified. Per-row Arrow work — linear by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "xz")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/x-xz"
+    )
+    return multimodal.xz_meta(media)
+
+
+@register(
     "bz2_dump_ingest",
     oracle="""
 WITH p AS (SELECT doc_id, doc_id % 40 + 10 AS n FROM documents),

