@@ -594,3 +594,35 @@ def test_bz2_decoder_inverts_stdlib_compressor(data, level):
     from flink_gmall2024_realtime_spark.operators.bzip2 import bz2_decompress
 
     assert bz2_decompress(bz2.compress(data, level)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(max_size=2000), st.sampled_from([0, 1, 4, 10]))
+def test_xz_audit_reads_any_stdlib_lzma_stream(data, check_id):
+    """stdlib lzma writes a real .xz for ANY content/check type; the
+    backward audit must report exactly one stream/block and the true
+    uncompressed size."""
+    import lzma
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_xz_meta,
+    )
+
+    check = {0: lzma.CHECK_NONE, 1: lzma.CHECK_CRC32,
+             4: lzma.CHECK_CRC64, 10: lzma.CHECK_SHA256}[check_id]
+    p = lzma.compress(data, format=lzma.FORMAT_XZ, check=check)
+    # empty content legitimately yields a zero-block stream
+    assert parse_xz_meta(p) == (1, 1 if data else 0, len(data), check_id)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=500), min_size=1, max_size=4))
+def test_bz2_decoder_inverts_concatenated_streams(parts):
+    """pbzip2-style concatenations of independently-compressed streams
+    decode to the concatenated plaintexts."""
+    import bz2
+
+    from flink_gmall2024_realtime_spark.operators.bzip2 import bz2_decompress
+
+    payload = b"".join(bz2.compress(p, 1) for p in parts)
+    assert bz2_decompress(payload) == b"".join(parts)
