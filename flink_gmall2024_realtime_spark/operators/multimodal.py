@@ -1827,6 +1827,125 @@ def synth_mp3(seed: int) -> bytes:
     return b"".join(out)
 
 
+def _syncsafe(n: int) -> bytes:
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+
+def synth_mp3_tagged(seed: int) -> bytes:
+    """MP3 with a REAL ID3v2.4 tag: TIT2/TPE1/TALB/TRCK text frames
+    (syncsafe frame sizes, UTF-8 encoding byte, a decoy TXXX frame when
+    seed%5==0 and 7 bytes of tag padding), followed by two valid MPEG-1
+    layer-III frames. Field values are seed arithmetic."""
+    seed = int(seed)
+    frames = []
+
+    def tframe(fid: bytes, text: str) -> bytes:
+        body = b"\x03" + text.encode("utf-8")
+        return fid + _syncsafe(len(body)) + b"\x00\x00" + body
+
+    frames.append(tframe(b"TIT2", f"Track {seed % 100}"))
+    frames.append(tframe(b"TPE1", f"Artist {seed % 20}"))
+    frames.append(tframe(b"TALB", f"Album {seed % 10}"))
+    frames.append(tframe(b"TRCK", str(seed % 30 + 1)))
+    if seed % 5 == 0:
+        frames.append(tframe(b"TXXX", "decoy\x00value"))
+    body = b"".join(frames) + bytes(7)  # padding
+    tag = b"ID3" + bytes([4, 0, 0]) + _syncsafe(len(body)) + body
+    # two MPEG-1 layer-III 128kbps/44.1k frames (417/418 bytes w/ padding)
+    audio = []
+    for f in range(2):
+        pad = f % 2
+        hdr = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (9 << 12) | (0 << 10) | (pad << 9)
+        flen = 144 * 128000 // 44100 + pad
+        audio.append(struct.pack(">I", hdr) + bytes((seed + i) % 251 for i in range(flen - 4)))
+    return tag + b"".join(audio)
+
+
+def parse_id3_tags(payload: bytes) -> tuple[str, str, str, int, int]:
+    """REAL ID3v2.3/2.4 text-frame walk: syncsafe tag length, per-frame
+    syncsafe (v2.4) or plain (v2.3) sizes, encoding-byte dispatch (UTF-8 /
+    latin-1 / UTF-16 w/ BOM), padding stop. Returns
+    (title, artist, album, track, n_text_frames); missing fields are
+    empty/0. Raises on non-ID3 payloads and malformed frames."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        raise ValueError("no ID3v2 tag")
+    ver = payload[3]
+    size = (
+        (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+    )
+    body = payload[10 : 10 + size]
+    if len(body) != size:
+        raise ValueError("truncated ID3v2 tag")
+    pos = 0
+    fields = {"TIT2": "", "TPE1": "", "TALB": "", "TRCK": ""}
+    n_text = 0
+    while pos + 10 <= len(body):
+        fid = body[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw = body[pos + 4 : pos + 8]
+        if ver >= 4:
+            flen = (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) | raw[3]
+        else:
+            (flen,) = struct.unpack(">I", raw)
+        fbody = body[pos + 10 : pos + 10 + flen]
+        if len(fbody) != flen:
+            raise ValueError(f"truncated ID3 frame {fid!r}")
+        pos += 10 + flen
+        if not fid.startswith(b"T") or not fbody:
+            continue
+        n_text += 1
+        enc, text = fbody[0], fbody[1:]
+        if enc == 0:
+            val = text.decode("latin-1")
+        elif enc == 1:
+            val = text.decode("utf-16")  # BOM-led
+        elif enc == 3:
+            val = text.decode("utf-8")
+        else:
+            raise NotImplementedError(f"ID3 text encoding {enc}")
+        val = val.split("\x00")[0]
+        key = fid.decode()
+        if key in fields:
+            fields[key] = val
+    track = 0
+    if fields["TRCK"]:
+        track = int(fields["TRCK"].split("/")[0])
+    return fields["TIT2"], fields["TPE1"], fields["TALB"], track, n_text
+
+
+ID3_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("title", StringType()),
+        StructField("artist", StringType()),
+        StructField("album", StringType()),
+        StructField("track", IntegerType()),
+        StructField("n_text_frames", IntegerType()),
+    ]
+)
+
+
+def id3_tags(media: DataFrame) -> DataFrame:
+    """ID3v2 text metadata over an Arrow-batched binary column — the
+    title/artist/album pairing data an audio-text corpus builder joins
+    on."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                t, a, al, tr, nt = parse_id3_tags(bytes(p))
+                rows.append((mid, t, a, al, tr, nt))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "title", "artist", "album", "track",
+                         "n_text_frames"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=ID3_SCHEMA)
+
+
 def parse_mp3_meta(payload: bytes) -> tuple[int, int, int, int, int, int]:
     """Frame-header MP3 parse — no sample decode: skips an ID3v2 tag
     (syncsafe size), locates the first frame sync, decodes version /
@@ -2482,6 +2601,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "wav_g711": synth_wav_g711,
         "bz2_dump": _synth_bz2_dump,
         "xz": synth_xz,
+        "mp3_tagged": synth_mp3_tagged,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

@@ -499,6 +499,36 @@ def zip_code_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mp3_id3_tags",
+    oracle="""
+SELECT doc_id AS media_id,
+       'Track ' || (doc_id % 100) AS title,
+       'Artist ' || (doc_id % 20) AS artist,
+       'Album ' || (doc_id % 10) AS album,
+       (doc_id % 30 + 1)::INT AS track,
+       (CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 4 END)::INT AS n_text_frames
+FROM documents
+""",
+    survey_ids=("mm-meta",),
+)
+def mp3_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2.4 text-frame extraction (r9) — the title/artist/album pairing
+    data an audio-text corpus builder joins on: per doc, an MP3 with a
+    REAL ID3v2.4 tag (syncsafe frame sizes, UTF-8 encoding bytes, decoy
+    TXXX frames, padding) ahead of valid MPEG frames, parsed by the frame
+    walk (v2.3 plain sizes and latin-1/UTF-16 encodings also supported).
+    The existing ``multimodal_mp3_meta`` gate reads the SAME streams
+    through the tag, proving the skip and the walk agree. Per-row Arrow
+    work — linear by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "mp3_tagged")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "audio/mpeg"
+    )
+    return multimodal.id3_tags(media)
+
+
+@register(
     "xz_shard_audit",
     oracle="""
 WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS ns FROM documents),

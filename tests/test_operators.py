@@ -3162,6 +3162,48 @@ def test_zstd_meta_roundtrip_and_real_tool_anchor():
             assert (nf, ns, tc) == (1, 0, 1700)
 
 
+def test_id3_tag_walk_roundtrip_and_encodings():
+    """ID3v2.4 frames round-trip (UTF-8, decoy TXXX, padding); hand-built
+    v2.3 frames with latin-1 and UTF-16 encodings parse too; malformed
+    frames raise; the mp3 meta gate reads the same streams through the
+    tag."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        parse_id3_tags,
+        parse_mp3_meta,
+        synth_mp3_tagged,
+    )
+
+    for seed in [0, 1, 2, 3, 4, 5, 9, 10, 99, 100, 997]:
+        t, a, al, tr, nt = parse_id3_tags(synth_mp3_tagged(seed))
+        assert t == f"Track {seed % 100}" and a == f"Artist {seed % 20}", seed
+        assert al == f"Album {seed % 10}" and tr == seed % 30 + 1, seed
+        assert nt == (5 if seed % 5 == 0 else 4), seed
+        br, rate = parse_mp3_meta(synth_mp3_tagged(seed))[:2]
+        assert (br, rate) == (128, 44100), seed
+    # hand-built v2.3: plain (non-syncsafe) sizes, latin-1 and UTF-16
+    def v23frame(fid: bytes, body: bytes) -> bytes:
+        return fid + _struct.pack(">I", len(body)) + b"\x00\x00" + body
+
+    body = v23frame(b"TIT2", b"\x00caf\xe9") + v23frame(
+        b"TPE1", b"\x01" + "wide".encode("utf-16")
+    )
+    tag = b"ID3" + bytes([3, 0, 0]) + bytes(
+        [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+         (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+    ) + body
+    t, a, _al, _tr, nt = parse_id3_tags(tag)
+    assert (t, a, nt) == ("caf\xe9", "wide", 2)
+    with _pytest.raises(ValueError, match="no ID3v2"):
+        parse_id3_tags(b"\xff\xfbjunk")
+    p = synth_mp3_tagged(3)
+    with _pytest.raises(ValueError, match="truncated ID3"):
+        parse_id3_tags(p[:30])
+
+
 def test_xz_audit_reads_stdlib_files_and_rejects_corruption():
     """The backward stream walk reads REAL stdlib-lzma .xz files exactly
     (all four check types, concatenated streams) and every CRC layer
