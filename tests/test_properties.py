@@ -626,3 +626,30 @@ def test_bz2_decoder_inverts_concatenated_streams(parts):
 
     payload = b"".join(bz2.compress(p, 1) for p in parts)
     assert bz2_decompress(payload) == b"".join(parts)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=1, max_size=1200), st.booleans())
+def test_g711_wav_decode_matches_audioop_on_random_bytes(samples, mulaw):
+    """A G.711 WAV with ARBITRARY sample bytes decodes to exactly the
+    PCM sum stdlib ``audioop`` produces for the same law."""
+    import struct
+    import warnings
+
+    from flink_gmall2024_realtime_spark.operators.multimodal import decode_wav
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import audioop
+
+    code = 7 if mulaw else 6
+    fmt = struct.pack("<HHIIHH", code, 1, 8000, 8000, 1, 8)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(samples)) + samples
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    _ch, _rate, n, s = decode_wav(payload)
+    conv = audioop.ulaw2lin(samples, 2) if mulaw else audioop.alaw2lin(samples, 2)
+    import numpy as np
+
+    ref = int(np.frombuffer(conv, dtype="<i2").astype(np.int64).sum())
+    assert n == len(samples) and s == ref
