@@ -391,3 +391,40 @@ def hour_bucket(ts_col: str, bucket_seconds: int = 3600) -> Column:
         F.unix_micros(F.col(ts_col).cast("timestamp"))
         / (int(bucket_seconds) * 1_000_000)
     )
+
+def latest_by_key(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order_by: str | Sequence[str],
+) -> DataFrame:
+    """Last-write-wins PK compaction as a PARTIAL-AGGREGATABLE argmax.
+
+    ``row_number() OVER (PARTITION BY key ORDER BY order DESC) = 1`` is the
+    obvious spelling, but it shuffles EVERY row of a key to one task and
+    sorts that key's lifetime there — a hot key (one entity updated
+    millions of times) serializes on a single core. The argmax spelling
+    ``groupBy(key).agg(max_by(struct(payload), struct(order_by)))`` is a
+    declarative aggregate, so Spark plans a map-side partial aggregate:
+    each task collapses its slice of the hot key to ONE row before the
+    shuffle, and the exchange carries O(tasks) rows per key instead of the
+    key's full history. Same result (ties broken by the max order struct —
+    pass a unique tiebreak column for determinism, as row_number needs
+    too), upsert-kafka / HBase-put semantics (reference
+    DwdTradeOrderDetail.java:60-79, DimHBaseSinkFunction.java:34-47).
+
+    Column order of the result matches ``df.columns``. ``order_by``
+    columns must be non-null (they are event times / PK sequence numbers
+    in every engine use); struct comparison is lexicographic, so
+    ``(ts, event_id)`` means "latest ts, then highest event_id".
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    ords = [order_by] if isinstance(order_by, str) else list(order_by)
+    payload = [c for c in df.columns if c not in keys]
+    order_struct = F.struct(*[F.col(c) for c in ords])
+    agg = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*[F.col(c).alias(c) for c in payload]), order_struct).alias("_latest")
+    )
+    out = agg.select(
+        *[F.col(f"_latest.{c}").alias(c) if c in payload else F.col(c) for c in df.columns]
+    )
+    return out

@@ -467,18 +467,23 @@ def k3_upsert_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     DwdTradeOrderDetail.java:59-79; HBase put-by-rowkey,
     DimHBaseSinkFunction.java:34-47): last-write-wins final state per key.
     This dedup-by-key-keep-latest is exactly what the foreachBatch upsert
-    writer (streaming/sinks.py) applies per micro-batch."""
+    writer (streaming/sinks.py) applies per micro-batch. Spelled as the
+    partial-aggregatable argmax (``max_by`` over the (ts, event_id) order
+    struct) so a hot key collapses map-side per task instead of shuffling
+    its whole lifetime to one reducer and sorting it there."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_event_type"),
-            F.col("value").alias("last_value"),
-        )
+    from ..operators.skew import latest_by_key
+
+    latest = latest_by_key(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        "user_id",
+        ("ts", "event_id"),
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
     )
 
 

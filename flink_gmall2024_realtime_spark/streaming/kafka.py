@@ -98,9 +98,13 @@ def kafka_dynamic_sink(df: DataFrame, brokers: str, checkpoint: str, topic_col: 
 
 def compact_by_key(batch: DataFrame, key: str, order_col: str) -> DataFrame:
     """K3 helper — per-batch PK compaction (latest row per key), the
-    upsert-kafka changelog contract."""
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
-    return batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    upsert-kafka changelog contract. Spelled as a partial-aggregatable
+    argmax (``max_by``) rather than row_number-over-sort, so a hot key's
+    flood collapses map-side per task instead of sorting its lifetime in
+    one reducer (see operators/skew.latest_by_key)."""
+    from ..operators.skew import latest_by_key
+
+    return latest_by_key(batch, key, order_col)
 
 
 def kafka_upsert_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str, key: str, order_col: str):

@@ -80,14 +80,14 @@ def upsert_batch(current: DataFrame | None, batch: DataFrame, key: str, order_co
     """K3/K5 core — last-write-wins merge of ``batch`` into ``current``:
 
     1. dedupe the batch by key keeping the latest (PK compaction,
-       SQLUtil.java:54-62 upsert-kafka semantics);
+       SQLUtil.java:54-62 upsert-kafka semantics) via the partial-agg
+       ``max_by`` argmax — map-side combine, no per-key lifetime sort;
     2. rows with type 'delete' remove the key (HBase deleteCells,
        DimHBaseSinkFunction.java:34-47); others upsert.
     """
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
-    latest = (
-        batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-    )
+    from ..operators.skew import latest_by_key
+
+    latest = latest_by_key(batch, key, order_col)
     if current is not None:
         survivors = current.join(latest.select(key), on=key, how="left_anti")
         merged = survivors.unionByName(latest, allowMissingColumns=True)

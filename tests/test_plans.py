@@ -408,3 +408,24 @@ def test_two_phase_shapes_shuffle_budget_and_no_per_key_row_sort(spark, sf_dir):
         assert not re.search(
             r"windowspecdefinition\(user_id#\d+L?, ts#", plan
         ), f"{name}: raw per-key window over the row frame"
+
+
+def test_keyed_compaction_is_partial_agg_argmax(spark, sf_dir):
+    """Plan lock for the keyed-compaction family (VERDICT r9 #1):
+    k3_upsert_final_state / compact_by_key / upsert_batch must plan
+    last-write-wins as a max_by AGGREGATE with a map-side partial
+    (partial_max_by below the Exchange) — never the row_number-over-
+    per-key-sort shape that serializes a hot key's lifetime onto one
+    task."""
+    from flink_gmall2024_realtime_spark.streaming.kafka import compact_by_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    frames = {
+        "k3_plan": CATALOG["k3_upsert_final_state"].spark(spark, sf_dir),
+        "compact_by_key": compact_by_key(ev, "user_id", "ts"),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial_max_by" in plan, f"{name}: no map-side partial argmax"
+        assert "row_number" not in plan, f"{name}: row_number sort shape came back"
+        assert "windowspecdefinition" not in plan, f"{name}: per-key window over row frame"
