@@ -1210,7 +1210,7 @@ def dws_traffic_vc_ch_ar_isnew(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream carries no device metadata); is_new via first-seen repair (W2)."""
     ev = _t(spark, sf_dir, "events")
     e = ev.select(
-        "user_id", "ts", "value",
+        "user_id", "event_id", "ts", "value",
         F.concat(F.lit("v"), (F.col("user_id") % 3)).alias("vc"),
         F.element_at(
             F.array(F.lit("appstore"), F.lit("xiaomi"), F.lit("huawei"), F.lit("web")),
@@ -1219,24 +1219,45 @@ def dws_traffic_vc_ch_ar_isnew(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(110000) + F.col("user_id") % 5).cast("string").alias("ar"),
         (F.col("value") * 100).cast("long").alias("dur"),
     )
-    # All three stateful flags share ONE window spec — partitioned by
-    # user_id, ordered by ts: is_new's first-ever date is the date of the
-    # cumulative-first row (same value as min(date) over the partition, but
-    # an unordered min would plan a SECOND sort node), uv's first-of-day is
-    # "previous event was an earlier day", sv is the 30-min gap. Catalyst
-    # plans one shuffle + one sort for the whole repair stage.
-    w_seq = Window.partitionBy("user_id").orderBy("ts")
-    w_cum = w_seq.rowsBetween(Window.unboundedPreceding, 0)
-    prev = F.lag("ts").over(w_seq)
-    f = e.select(
-        "*",
-        F.when(F.to_date("ts") == F.first(F.to_date("ts")).over(w_cum), "1").otherwise("0").alias("is_new"),
-        F.when(prev.isNull() | (F.to_date(prev) < F.to_date("ts")), 1).otherwise(0).alias("uv"),
-        F.when(
-            prev.isNull()
-            | (F.col("ts").cast("timestamp").cast("double") - prev.cast("timestamp").cast("double") > 1800),
-            1,
-        ).otherwise(0).alias("sv"),
+    # Skew-safe repair stage (VERDICT r9 #2): the reference keeps ONE scalar
+    # of state per mid (first-visit date / last-seen date,
+    # DwsTrafficVcChArIsNewPageViewWindow.java:136-148) and never sorts a
+    # mid's history — neither do we. uv (first-of-day) and is_new
+    # (first-ever date) both ride one per-(user, day) PARTIAL AGGREGATE: a
+    # bot-mid flood collapses map-side to one row per day before the
+    # exchange; the per-user min over that day frame touches O(days) rows.
+    # Rows take the flags back via one hash join on (user_id, day) — AQE
+    # skew-split territory, never a per-key lifetime sort. sv's 30-min gap
+    # is the one genuine shift; it goes through skew.two_phase_shift
+    # (mode="auto": plain single window at fixture scale, bucketed
+    # two-phase once any key COULD be hot).
+    from ..operators import skew
+
+    day = F.to_date("ts")
+    daily = (
+        e.groupBy("user_id", day.alias("_d"))
+        .agg(F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("_fst"))
+        .withColumn("_first_date", F.min("_d").over(Window.partitionBy("user_id")))
+    )
+    shifted = skew.two_phase_shift(
+        e, "user_id", ["ts", "event_id"], ["ts"],
+        bucket=skew.hour_bucket("ts", 86400), direction="lag",
+        mode="auto", suffix="_prev",
+    )
+    prev = F.col("ts_prev")
+    f = (
+        shifted.withColumn("_d", day)
+        .join(daily, ["user_id", "_d"])
+        .select(
+            *e.columns, "ts_prev",
+            F.when(F.col("_d") == F.col("_first_date"), "1").otherwise("0").alias("is_new"),
+            F.when(F.struct(F.col("ts"), F.col("event_id")) == F.col("_fst"), 1).otherwise(0).alias("uv"),
+            F.when(
+                prev.isNull()
+                | (F.col("ts").cast("timestamp").cast("double") - prev.cast("timestamp").cast("double") > 1800),
+                1,
+            ).otherwise(0).alias("sv"),
+        )
     )
     return tumble(
         f,

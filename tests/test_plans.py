@@ -429,3 +429,19 @@ def test_keyed_compaction_is_partial_agg_argmax(spark, sf_dir):
         assert "partial_max_by" in plan, f"{name}: no map-side partial argmax"
         assert "row_number" not in plan, f"{name}: row_number sort shape came back"
         assert "windowspecdefinition" not in plan, f"{name}: per-key window over row frame"
+
+
+def test_dws_traffic_repair_is_partial_agg_plus_bounded_shift(spark, sf_dir):
+    """Plan lock for the dws_traffic repair rewire (VERDICT r9 #2): uv and
+    is_new ride a per-(user, day) PARTIAL aggregate (map-side partial_min
+    of the (ts, event_id) struct) joined back to rows — never the old
+    cumulative first()-over-lifetime window — and the only per-(user, ts)
+    row window left is the sv lag, which mode="auto" keeps single-phase
+    at fixture scale and two_phase_shift buckets under flood (covered by
+    its own property tests + the forced-mode lock above)."""
+    plan = formatted_plan(spark, CATALOG["dws_traffic_vc_ch_ar_isnew"].spark(spark, sf_dir))
+    assert "partial_min(struct(ts" in plan, "daily first agg lost its map-side partial"
+    assert "row_number" not in plan
+    assert plan.count("first(") == 0, "cumulative first-over-lifetime window came back"
+    lifetime_windows = re.findall(r"windowspecdefinition\(user_id#\d+L?, ts#", plan)
+    assert len(lifetime_windows) <= 1, f"extra per-key row windows: {lifetime_windows}"
