@@ -11,10 +11,15 @@ reference, ``/FlateDecode`` or raw), and a content-stream scanner that
 concatenates the text shown by ``Tj`` and ``TJ`` operators (literal
 strings with ``\\(``/``\\)``/``\\\\`` escapes and balanced nested parens).
 
-Honest scope seam (raise, never a silent wrong answer): incremental
-updates (``/Prev`` xref chains), non-Flate filters, hex strings and
-CID/composite fonts are NotImplementedError — the documented boundary
-where a vendored PDF library would plug in.
+Incremental updates (``/Prev`` xref chains — the layout every
+save-in-place PDF editor produces, so the NORM in crawled corpora) and
+hex strings (``<...>`` with embedded whitespace and odd-length padding)
+are fully handled: the newest xref section wins per object number, free
+entries in an update DELETE the object from older generations, and the
+chain walk is cycle-checked. Honest scope seam (raise, never a silent
+wrong answer): non-Flate filters and CID/composite fonts are
+NotImplementedError — the documented boundary where a vendored PDF
+library would plug in.
 
 Reference scope note: the reference app (hellohappyworld/
 flink-gmall2024-realtime) has no document path; this is part of the
@@ -47,8 +52,17 @@ def synth_pdf(seed: int) -> bytes:
     - seed%9 == 0 wraps page 0's first word in escaped parens
       (``\\(w000\\)``), so escape handling is on the verified path.
 
+    - seed%7 == 3 appends an INCREMENTAL UPDATE (the save-in-place layout:
+      new page-0 content object + a second xref section carrying ``/Prev``
+      back to the base xref — classic table on even seeds, xref STREAM on
+      odd) whose replacement content re-renders page 0's words plus one
+      extra word ``u999`` written as a HEX string with embedded
+      whitespace (``<20 7539 3939>``), so /Prev resolution, newest-wins
+      shadowing and hex-string decode are all on the oracle-verified path.
+
     Extracted page text is exactly ``w000 w001 ...`` (page 0 possibly
-    ``(w000) w001 ...``), giving closed-form token/char counts."""
+    ``(w000) w001 ...``, plus `` u999`` when seed%7==3), giving
+    closed-form token/char counts."""
     seed = int(seed)
     n_pages = seed % 4 + 1
     flate = seed % 3 != 0
@@ -125,6 +139,10 @@ def synth_pdf(seed: int) -> bytes:
             f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_off}\n%%EOF\n"
         ).encode()
+        if seed % 7 == 3:
+            _append_incremental_update(
+                out, seed, xref_off, content_nums[0], max_num + 1, modern=False
+            )
         return bytes(out)
 
     # PDF 1.5 layout: every non-stream object lives in an /ObjStm; the
@@ -174,10 +192,85 @@ def synth_pdf(seed: int) -> bytes:
         + b"\nendstream\nendobj\n"
     )
     out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+    if seed % 7 == 3:
+        _append_incremental_update(
+            out, seed, xref_off, content_nums[0], size, modern=True
+        )
     return bytes(out)
 
 
+def _append_incremental_update(
+    out: bytearray, seed: int, base_xref_off: int, cnum: int, size: int, modern: bool
+) -> None:
+    """Append a save-in-place update to ``out``: a replacement content
+    stream for page 0 (same words + `` u999`` shown as a whitespace-split
+    hex string) and a second xref section whose ``/Prev`` points at the
+    base xref. Classic table + trailer when ``modern`` is False, a binary
+    ``/Type /XRef`` stream otherwise (each with its own startxref/%%EOF
+    tail, exactly the file a PDF editor's incremental save produces)."""
+    m = seed % 30 + 4
+    words = [f"w{i:03d}" for i in range(m)]
+    if seed % 9 == 0:
+        words[0] = "(w000)"
+    text = " ".join(words)
+    lit = "(" + text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)") + ")"
+    # hex string for " u999" (0x20 0x75 0x39 0x39 0x39), whitespace-split
+    content = f"BT /F1 12 Tf 72 720 Td {lit} Tj <20 7539 3939> Tj ET".encode()
+    flate = seed % 3 != 0
+    data = zlib.compress(content, 6) if flate else content
+    filt = " /Filter /FlateDecode" if flate else ""
+    obj = (
+        f"<< /Length {len(data)}{filt} >>\nstream\n".encode() + data + b"\nendstream"
+    )
+    upd_off = len(out)
+    out += f"{cnum} 0 obj\n".encode() + obj + b"\nendobj\n"
+    new_xref_off = len(out)
+    if not modern:
+        out += f"xref\n{cnum} 1\n".encode()
+        out += b"%010d 00000 n \n" % upd_off
+        out += (
+            f"trailer\n<< /Size {size} /Root 1 0 R /Prev {base_xref_off} >>\n"
+            f"startxref\n{new_xref_off}\n%%EOF\n"
+        ).encode()
+        return
+    new_xnum = size  # next free object number holds the update's xref stream
+    rows = (
+        bytes([1]) + upd_off.to_bytes(3, "big") + bytes([0])
+        + bytes([1]) + new_xref_off.to_bytes(3, "big") + bytes([0])
+    )
+    xdata = zlib.compress(rows, 6)
+    out += (
+        f"{new_xnum} 0 obj\n<< /Type /XRef /Size {new_xnum + 1} /W [1 3 1] "
+        f"/Index [{cnum} 1 {new_xnum} 1] /Root 1 0 R /Prev {base_xref_off} "
+        f"/Filter /FlateDecode /Length {len(xdata)} >>\nstream\n".encode()
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{new_xref_off}\n%%EOF\n".encode()
+
+
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+
+
+def _dict_slice(b: bytes, start: int) -> bytes:
+    """Body of the dict whose opening ``<<`` ends at ``start``, up to the
+    matching ``>>`` (nested-dict aware)."""
+    depth = 0
+    i = start
+    n = len(b)
+    while i < n:
+        two = b[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            if depth == 0:
+                return b[start:i]
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    raise ValueError("unterminated trailer dict")
 
 
 def _pdf_dict_value(d: bytes, key: bytes) -> bytes | None:
@@ -213,16 +306,23 @@ def parse_pdf_text(payload: bytes) -> list:
     for Tj/TJ text (literal strings with escapes, nested parens, TJ piece
     concatenation).
 
+    Incremental updates resolve through the trailer/xref-stream ``/Prev``
+    chain, newest section first: an object number already claimed by a
+    newer section shadows every older one (including free entries, which
+    DELETE the object), and the walk refuses /Prev cycles.
+
     Returns one (page_idx, text) tuple per page. Raises ValueError on
     malformed files and NotImplementedError on out-of-scope PDF features
-    (incremental /Prev chains, non-Flate filters, hex strings)."""
+    (non-Flate filters)."""
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
     tail = payload[-256:]
-    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
-    if not m:
+    matches = list(re.finditer(rb"startxref\s+(\d+)\s+%%EOF", tail))
+    if not matches:
         raise ValueError("missing startxref")
-    xref_off = int(m.group(1))
+    # the LAST startxref wins: an incrementally-updated file carries one
+    # per generation and small files fit several in the tail window
+    xref_off = int(matches[-1].group(1))
     offsets: dict = {}
     in_objstm: dict = {}  # num -> (objstm_num, index within stream)
     objstm_cache: dict = {}
@@ -292,82 +392,114 @@ def parse_pdf_text(payload: bytes) -> list:
             return int(obj_bytes(int(r.group(1))).strip())
         return int(val)
 
-    if payload[xref_off : xref_off + 4] == b"xref":
-        # classic xref table sections + trailer dict
-        pos = xref_off + 4
-        while True:
-            mm = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", payload[pos : pos + 48])
-            if not mm:
-                break
-            start, cnt = int(mm.group(1)), int(mm.group(2))
-            pos += mm.end()
-            for i in range(cnt):
-                entry = payload[pos : pos + 20]
-                if len(entry) < 18:
-                    raise ValueError("truncated xref entry")
-                if entry[17:18] == b"n":
-                    offsets[start + i] = int(entry[:10])
-                pos += 20
-        tm = re.search(rb"trailer\s*<<", payload[pos:])
-        if not tm:
-            raise ValueError("missing trailer")
-        trailer = payload[pos + tm.end() :]
-    else:
-        # PDF 1.5 cross-reference STREAM: /Type /XRef, /W field widths
-        m2 = re.match(rb"(\d+)\s+\d+\s+obj\b", payload[xref_off : xref_off + 32])
-        if not m2:
-            raise ValueError("startxref points at neither xref table nor object")
-        xnum = int(m2.group(1))
-        end = payload.index(b"endobj", xref_off)
-        xobj = payload[xref_off + m2.end() : end]
-        # xref streams must carry a DIRECT /Length (no offsets exist yet
-        # to resolve an indirect one) — per the spec
-        sm = re.search(rb"stream\r?\n", xobj)
-        if not sm:
-            raise ValueError("xref stream object has no stream")
-        head = xobj[: sm.start()]
-        if b"/XRef" not in head:
-            raise ValueError("startxref object is not a /Type /XRef stream")
-        if _pdf_dict_value(head, b"Prev") is not None:
-            raise NotImplementedError("incremental-update /Prev chains")
-        length = int(_pdf_dict_value(head, b"Length"))
-        data = xobj[sm.end() : sm.end() + length]
-        if len(data) != length:
-            raise ValueError("xref stream shorter than /Length")
-        filt = _pdf_dict_value(head, b"Filter")
-        if filt is not None:
-            if b"FlateDecode" not in filt:
-                raise NotImplementedError(f"xref stream filter {filt!r}")
-            data = zlib.decompress(data)
-        w = [int(x) for x in re.findall(rb"\d+", _pdf_dict_value(head, b"W"))]
-        size = int(_pdf_dict_value(head, b"Size"))
-        idxv = _pdf_dict_value(head, b"Index")
-        index = (
-            [int(x) for x in re.findall(rb"\d+", idxv)] if idxv else [0, size]
-        )
-        row_len = sum(w)
-        pos = 0
-        for start, cnt in zip(index[0::2], index[1::2]):
-            for i in range(cnt):
-                row = data[pos : pos + row_len]
-                if len(row) < row_len:
-                    raise ValueError("truncated xref stream row")
-                fields = []
-                fpos = 0
-                for width in w:
-                    fields.append(
-                        int.from_bytes(row[fpos : fpos + width], "big") if width else 1
-                    )
-                    fpos += width
-                typ, f2, f3 = fields
-                num = start + i
-                if typ == 1:
-                    offsets[num] = f2
-                elif typ == 2:
-                    in_objstm[num] = (f2, f3)
-                pos += row_len
-        trailer = head
-        offsets.setdefault(xnum, xref_off)
+    # Walk the xref chain NEWEST section first (startxref, then /Prev,
+    # then its /Prev ...): the first section to claim an object number
+    # wins — a free ('f' / type-0) claim in a newer section DELETES the
+    # object from every older generation. This is the incremental-update
+    # layout every save-in-place PDF editor produces.
+    claimed: set = set()
+    visited: set = set()
+    trailer = None
+
+    def parse_xref_section(off: int) -> int | None:
+        """Parse one xref section (classic table or /Type /XRef stream) at
+        ``off`` into offsets/in_objstm under newest-wins shadowing; returns
+        the /Prev offset to follow, or None at the chain's base."""
+        nonlocal trailer
+        if payload[off : off + 4] == b"xref":
+            # classic xref table sections + trailer dict
+            pos = off + 4
+            while True:
+                mm = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", payload[pos : pos + 48])
+                if not mm:
+                    break
+                start, cnt = int(mm.group(1)), int(mm.group(2))
+                pos += mm.end()
+                for i in range(cnt):
+                    entry = payload[pos : pos + 20]
+                    if len(entry) < 18:
+                        raise ValueError("truncated xref entry")
+                    num = start + i
+                    if num not in claimed:
+                        claimed.add(num)
+                        if entry[17:18] == b"n":
+                            offsets[num] = int(entry[:10])
+                    pos += 20
+            tm = re.search(rb"trailer\s*<<", payload[pos:])
+            if not tm:
+                raise ValueError("missing trailer")
+            # bound the slice at THIS trailer's matching '>>' — an
+            # unbounded tail would read a later update's /Prev as ours
+            section_trailer = _dict_slice(payload, pos + tm.end())
+        else:
+            # PDF 1.5 cross-reference STREAM: /Type /XRef, /W field widths
+            m2 = re.match(rb"(\d+)\s+\d+\s+obj\b", payload[off : off + 32])
+            if not m2:
+                raise ValueError("startxref points at neither xref table nor object")
+            xnum = int(m2.group(1))
+            end = payload.index(b"endobj", off)
+            xobj = payload[off + m2.end() : end]
+            # xref streams must carry a DIRECT /Length (no offsets exist yet
+            # to resolve an indirect one) — per the spec
+            sm = re.search(rb"stream\r?\n", xobj)
+            if not sm:
+                raise ValueError("xref stream object has no stream")
+            head = xobj[: sm.start()]
+            if b"/XRef" not in head:
+                raise ValueError("startxref object is not a /Type /XRef stream")
+            length = int(_pdf_dict_value(head, b"Length"))
+            data = xobj[sm.end() : sm.end() + length]
+            if len(data) != length:
+                raise ValueError("xref stream shorter than /Length")
+            filt = _pdf_dict_value(head, b"Filter")
+            if filt is not None:
+                if b"FlateDecode" not in filt:
+                    raise NotImplementedError(f"xref stream filter {filt!r}")
+                data = zlib.decompress(data)
+            w = [int(x) for x in re.findall(rb"\d+", _pdf_dict_value(head, b"W"))]
+            size = int(_pdf_dict_value(head, b"Size"))
+            idxv = _pdf_dict_value(head, b"Index")
+            index = (
+                [int(x) for x in re.findall(rb"\d+", idxv)] if idxv else [0, size]
+            )
+            row_len = sum(w)
+            pos = 0
+            for start, cnt in zip(index[0::2], index[1::2]):
+                for i in range(cnt):
+                    row = data[pos : pos + row_len]
+                    if len(row) < row_len:
+                        raise ValueError("truncated xref stream row")
+                    fields = []
+                    fpos = 0
+                    for width in w:
+                        fields.append(
+                            int.from_bytes(row[fpos : fpos + width], "big") if width else 1
+                        )
+                        fpos += width
+                    typ, f2, f3 = fields
+                    num = start + i
+                    if num not in claimed:
+                        claimed.add(num)
+                        if typ == 1:
+                            offsets[num] = f2
+                        elif typ == 2:
+                            in_objstm[num] = (f2, f3)
+                    pos += row_len
+            section_trailer = head
+            if xnum not in claimed:
+                claimed.add(xnum)
+                offsets[xnum] = off
+        if trailer is None:
+            trailer = section_trailer  # newest section's /Root wins
+        prevv = _pdf_dict_value(section_trailer, b"Prev")
+        return int(prevv) if prevv is not None else None
+
+    nxt: int | None = xref_off
+    while nxt is not None:
+        if nxt in visited:
+            raise ValueError("xref /Prev cycle")
+        visited.add(nxt)
+        nxt = parse_xref_section(nxt)
 
     rootv = _pdf_dict_value(trailer, b"Root")
     if rootv is None:
@@ -424,7 +556,19 @@ def _content_stream_text(data: bytes) -> str:
             pending.append(buf.decode("latin-1"))
             continue
         if c == b"<" and data[i + 1 : i + 2] != b"<":
-            raise NotImplementedError("hex strings are the vendored seam")
+            # hex string: digits with arbitrary embedded whitespace; an
+            # odd count implies a trailing 0 nibble (PDF 7.3.4.3)
+            j = data.index(b">", i + 1)
+            digits = bytes(
+                ch for ch in data[i + 1 : j] if not bytes([ch]).isspace()
+            )
+            if not re.fullmatch(rb"[0-9A-Fa-f]*", digits):
+                raise ValueError("non-hex digit in hex string")
+            if len(digits) % 2:
+                digits += b"0"
+            pending.append(bytes.fromhex(digits.decode("ascii")).decode("latin-1"))
+            i = j + 1
+            continue
         if c.isalpha() or c == b"'":
             j = i
             while j < n and (data[j : j + 1].isalpha() or data[j : j + 1] in (b"'", b'"')):

@@ -957,23 +957,29 @@ f AS (
 )
 SELECT doc_id AS media_id,
        k::INT AS page_idx,
-       ((doc_id + 5 * k) % 30 + 4)::INT AS n_tokens,
+       ((doc_id + 5 * k) % 30 + 4
+        + CASE WHEN k = 0 AND doc_id % 7 = 3 THEN 1 ELSE 0 END)::INT AS n_tokens,
        (5 * ((doc_id + 5 * k) % 30 + 4) - 1
-        + CASE WHEN k = 0 AND doc_id % 9 = 0 THEN 2 ELSE 0 END)::INT AS n_chars
+        + CASE WHEN k = 0 AND doc_id % 9 = 0 THEN 2 ELSE 0 END
+        + CASE WHEN k = 0 AND doc_id % 7 = 3 THEN 5 ELSE 0 END)::INT AS n_chars
 FROM f
 """,
     survey_ids=("text-quality",),
 )
 def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF text extraction (r9) — the document-corpus ingestion gate:
-    synthesize a classic-xref PDF per doc (1-4 pages, FlateDecode or raw
-    content streams, Tj and kerned-TJ text, indirect /Length objects,
-    escaped-paren literals) and run the real walk — startxref -> xref
-    table -> trailer /Root -> page tree -> per-page stream decode -> text
-    operator scan. The oracle reproduces per-page token/char counts from
-    seed arithmetic; a wrong xref offset, stream length, escape, or TJ
-    concatenation corrupts counts or raises. Per-row Arrow work — linear
-    by construction (``operators/pdftext.py``)."""
+    """PDF text extraction (r9; /Prev + hex r10) — the document-corpus
+    ingestion gate: synthesize a PDF per doc (1-4 pages, classic xref
+    table OR 1.5 xref-stream/ObjStm layout, FlateDecode or raw content
+    streams, Tj and kerned-TJ text, indirect /Length objects,
+    escaped-paren literals; docs with id%7==3 carry an INCREMENTAL UPDATE
+    whose /Prev-chained second xref replaces page 0's content and adds a
+    word via a whitespace-split hex string) and run the real walk —
+    last startxref -> newest-wins xref chain -> trailer /Root -> page
+    tree -> per-page stream decode -> text operator scan. The oracle
+    reproduces per-page token/char counts from seed arithmetic; a wrong
+    xref offset, stale pre-update object, stream length, escape, hex
+    decode, or TJ concatenation corrupts counts or raises. Per-row Arrow
+    work — linear by construction (``operators/pdftext.py``)."""
     docs = _t(spark, sf_dir, "documents")
     payloads = multimodal.synth_media(docs, "doc_id", "pdf")
     media = multimodal.to_media_table(

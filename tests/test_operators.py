@@ -2931,15 +2931,17 @@ def test_warc_roundtrip_exact():
 
 
 def test_pdf_text_extract_roundtrip_exact():
-    """The classic-xref walk extracts each page's exact text: FlateDecode
-    and raw streams, Tj and kerned-TJ operators, indirect /Length
-    resolution (s%5==0) and escaped-paren literals (s%9==0)."""
+    """The xref walk extracts each page's exact text: FlateDecode and raw
+    streams, Tj and kerned-TJ operators, indirect /Length resolution
+    (s%5==0), escaped-paren literals (s%9==0), and — s%7==3 — incremental
+    /Prev updates (both layouts) whose replacement content appends
+    `` u999`` via a whitespace-split hex string."""
     from flink_gmall2024_realtime_spark.operators.pdftext import (
         parse_pdf_text,
         synth_pdf,
     )
 
-    for seed in [0, 1, 2, 3, 4, 5, 9, 10, 15, 18, 45, 99, 100, 101, 997]:
+    for seed in [0, 1, 2, 3, 4, 5, 9, 10, 15, 17, 18, 24, 45, 99, 100, 101, 997]:
         pages = parse_pdf_text(synth_pdf(seed))
         assert len(pages) == seed % 4 + 1, seed
         for p, (idx, text) in enumerate(pages):
@@ -2947,7 +2949,52 @@ def test_pdf_text_extract_roundtrip_exact():
             words = [f"w{i:03d}" for i in range(m)]
             if p == 0 and seed % 9 == 0:
                 words[0] = "(w000)"
-            assert (idx, text) == (p, " ".join(words)), seed
+            exp = " ".join(words)
+            if p == 0 and seed % 7 == 3:
+                exp += " u999"
+            assert (idx, text) == (p, exp), seed
+
+
+def test_pdf_prev_chain_corruption_and_deletion():
+    """/Prev chain hazards fail loudly or resolve newest-wins: a /Prev
+    cycle raises; an update whose free entry DELETES the page-0 content
+    object makes resolution fail (the stale base copy must NOT be read);
+    odd-length hex pads a trailing 0 nibble; bad hex digits raise."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.pdftext import (
+        _content_stream_text,
+        parse_pdf_text,
+        synth_pdf,
+    )
+
+    # hex semantics straight off the content scanner
+    assert _content_stream_text(b"BT <4 86 9> Tj ET") == "Hi"  # whitespace
+    assert _content_stream_text(b"BT <48 9> Tj ET") == "H\x90"  # odd pad
+    with _pytest.raises(ValueError, match="non-hex"):
+        _content_stream_text(b"BT <4z> Tj ET")
+
+    p = synth_pdf(10)  # classic layout + incremental update (10%7==3)
+    assert b"/Prev" in p
+    # cycle: make the update's /Prev point at the update xref itself
+    import re as _re
+
+    upd_xref = int(_re.findall(rb"startxref\s+(\d+)", p)[-1])
+    base_off = int(_re.findall(rb"startxref\s+(\d+)", p)[0])
+    cyc = p.replace(b"/Prev %d" % base_off, b"/Prev %d" % upd_xref)
+    with _pytest.raises(ValueError, match="cycle"):
+        parse_pdf_text(cyc)
+
+    # deletion: rewrite the update's only xref entry from 'n' to 'f' —
+    # newest-wins shadowing must hide the base object, not fall back
+    entry_at = p.index(b" n \n", upd_xref)
+    deleted = p[:entry_at] + b" f \n" + p[entry_at + 4 :]
+    with _pytest.raises(ValueError, match="not in xref"):
+        parse_pdf_text(deleted)
+
+    # modern layout update (17%7==3, odd seed -> xref STREAM /Prev)
+    pm = synth_pdf(17)
+    assert b"/Prev" in pm and parse_pdf_text(pm)[0][1].endswith(" u999")
 
 
 def test_pdf_text_extract_rejects_out_of_scope():
