@@ -2566,6 +2566,14 @@ def _synth_bz2_dump(seed: int) -> bytes:
     return synth_bz2_dump(seed)
 
 
+def _synth_zstd_dump(seed: int) -> bytes:
+    """Lazy import of the zstd dump fixture (same stance as the WARC
+    one)."""
+    from .zstdcodec import synth_zstd_dump
+
+    return synth_zstd_dump(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2600,6 +2608,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "pnm": synth_pnm,
         "wav_g711": synth_wav_g711,
         "bz2_dump": _synth_bz2_dump,
+        "zstd_dump": _synth_zstd_dump,
         "xz": synth_xz,
         "mp3_tagged": synth_mp3_tagged,
     }[kind]
@@ -4185,8 +4194,9 @@ def decode_pnm(payload: bytes) -> tuple[int, int, int, int]:
 # dataset drops ship in (.jsonl.zst, .tar.zst). Header-only gate in the
 # MP3/WebP style: magic, frame-header-descriptor fields (single-segment,
 # content-size flag width, dictionary id, checksum flag), window size,
-# declared content size, and skippable-frame accounting. Block/entropy
-# decode (FSE/Huffman) stays behind the vendored seam.
+# declared content size, and skippable-frame accounting. FULL block/
+# entropy decode (FSE + Huffman + sequences + XXH64 verify) lives in
+# operators/zstdcodec.py (r10) — this header walk stays the cheap audit.
 # --------------------------------------------------------------------------
 
 _ZSTD_MAGIC = 0xFD2FB528

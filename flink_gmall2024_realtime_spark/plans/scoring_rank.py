@@ -560,6 +560,49 @@ def xz_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zstd_dump_ingest",
+    oracle="""
+WITH p AS (SELECT doc_id, doc_id % 36 + 8 AS n FROM documents),
+f AS (SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i FROM p),
+g AS (
+  SELECT doc_id, n, i,
+         (doc_id + 7 * i) % 12 + 3 AS m,
+         CASE WHEN i < 10 THEN 1 ELSE 2 END AS di
+  FROM f
+)
+SELECT doc_id AS media_id,
+       n::INT AS n_lines,
+       (SUM(m) + 3 * n)::BIGINT AS n_tokens,
+       (SUM(15 + length(CAST(doc_id AS VARCHAR)) + di + 5 * m)
+        + n - 1)::BIGINT AS n_chars
+FROM g GROUP BY doc_id, n
+""",
+    survey_ids=("text-quality",),
+)
+def zstd_dump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zstd dump ingestion (r10) — Common Crawl's current compression: per
+    doc a real-format .zst frame (written by the in-repo compressor:
+    Huffman literals via direct weights, LZ matches as predefined-FSE
+    sequences, XXH64 checksum; ``zstd -d`` round-trips it in units)
+    decoded by the REAL in-repo RFC 8878 decoder — FSE table reads,
+    Huffman literals (1- and 4-stream), interleaved 3-state sequence
+    bitstream, repeat-offset history, checksum VERIFIED. The pytest
+    property anchor runs the real ``zstd`` CLI at levels 1-22 over
+    arbitrary bytes and this decoder must reproduce them exactly. The
+    oracle reproduces line/token/char counts from seed arithmetic.
+    Per-row Arrow work — linear by construction
+    (``operators/zstdcodec.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "zstd_dump")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zstd"
+    )
+    from ..operators.zstdcodec import zstd_dump_stats
+
+    return zstd_dump_stats(media)
+
+
+@register(
     "bz2_dump_ingest",
     oracle="""
 WITH p AS (SELECT doc_id, doc_id % 40 + 10 AS n FROM documents),

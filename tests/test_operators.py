@@ -3693,3 +3693,59 @@ def test_bpe_exact_token_count_frame(spark):
     assert got[2] == (6, sum(_bpe_ntokens(w, RANKS, cache)
                              for w in ["tokenizer", "counts", "4", "2", "tokens", "."]))
     assert got[3] == (0, 0) and got[4] == (0, 0)
+
+
+def test_zstd_decoder_corruption_and_seams():
+    """The RFC 8878 decoder fails loudly on every tampering class: bad
+    magic, reserved descriptor/block bits, flipped checksum bit, declared-
+    size mismatch, truncation; dictionary frames hit the documented
+    NotImplementedError seam; skippable frames and multi-frame
+    concatenations decode."""
+    import struct
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.zstdcodec import (
+        synth_zstd_dump,
+        zstd_compress,
+        zstd_decompress,
+    )
+
+    data = b"the zstd corpus gate: tokens tokens tokens " * 30
+    p = zstd_compress(data)
+    assert zstd_decompress(p) == data
+
+    with _pytest.raises(ValueError, match="magic"):
+        zstd_decompress(b"\x00\x00\x00\x00" + p[4:])
+    # reserved frame-header-descriptor bit
+    bad = bytearray(p)
+    bad[4] |= 0x08
+    with _pytest.raises(ValueError, match="reserved"):
+        zstd_decompress(bytes(bad))
+    # checksum flip: damage one payload byte mid-frame
+    bad = bytearray(p)
+    bad[len(bad) // 2] ^= 0xFF
+    with _pytest.raises(ValueError):
+        zstd_decompress(bytes(bad))
+    # truncation
+    with _pytest.raises(ValueError):
+        zstd_decompress(p[:-3])
+    # dictionary frame seam: set dict-id flag, splice a 1-byte id
+    bad = bytearray(p)
+    bad[4] |= 0x01
+    bad = bad[:5] + b"\x07" + bad[5:]
+    with _pytest.raises(NotImplementedError, match="dictionary"):
+        zstd_decompress(bytes(bad))
+    # skippable frame prefix + two concatenated frames
+    skip = struct.pack("<II", 0x184D2A50, 5) + b"junk!"
+    two = skip + zstd_compress(b"alpha ") + zstd_compress(b"beta")
+    assert zstd_decompress(two) == b"alpha beta"
+
+    # fixture closed form: lines/tokens/chars match seed arithmetic
+    for seed in [0, 1, 7, 35, 36, 100, 997]:
+        text = zstd_decompress(synth_zstd_dump(seed)).decode()
+        n = seed % 36 + 8
+        lines = text.split("\n")
+        assert len(lines) == n
+        toks = sum((seed + 7 * i) % 12 + 3 for i in range(n))
+        assert len(text.split()) == toks + 3 * n
