@@ -8,8 +8,14 @@ parse, local-header cross-check, STORED and DEFLATE member extraction
 (raw inflate, ``wbits=-15``), and CRC-32 verification of every extracted
 member — a silently corrupt member is corpus loss, so mismatches raise.
 
-Scope seam (raise, never a wrong answer): ZIP64, encrypted members, and
-compression methods other than STORED/DEFLATE are NotImplementedError.
+ZIP64 archives (the layout of any >4 GiB corpus shard: EOCD sentinel
+values -> ZIP64 EOCD locator -> ZIP64 EOCD record, plus 0x0001 extended-
+info extra fields on central-directory entries) and streaming-writer
+data descriptors (general-purpose bit 3: zeroed local-header sizes, the
+authoritative values live in the central directory and a post-data
+descriptor) are fully handled. Scope seam (raise, never a wrong answer):
+encrypted members and compression methods other than STORED/DEFLATE are
+NotImplementedError.
 
 Reference scope note: the reference app (hellohappyworld/
 flink-gmall2024-realtime) has no archive path; this is part of the
@@ -28,6 +34,9 @@ from pyspark.sql import DataFrame
 _EOCD_SIG = b"PK\x05\x06"
 _CD_SIG = b"PK\x01\x02"
 _LFH_SIG = b"PK\x03\x04"
+_DD_SIG = b"PK\x07\x08"  # data descriptor (streaming writers)
+_Z64_EOCD_SIG = b"PK\x06\x06"  # ZIP64 end-of-central-directory record
+_Z64_LOC_SIG = b"PK\x06\x07"  # ZIP64 EOCD locator
 
 
 def synth_zip(seed: int) -> bytes:
@@ -36,9 +45,18 @@ def synth_zip(seed: int) -> bytes:
     L = (seed+7k)%20+1 lines of ``# line {i} of member {k}\\n``.
     Members alternate DEFLATE/STORED by (seed+k)%3 (0 -> STORED); the
     archive ends with an EOCD carrying a ``seed%30``-byte comment so the
-    back-scan is on the verified path. CRCs are real."""
+    back-scan is on the verified path. CRCs are real.
+
+    Container-layout variety (member CONTENT and the oracle closed form
+    are unchanged): members with (seed+k)%5 == 1 are written the
+    streaming-writer way — general-purpose bit 3, zeroed local-header
+    sizes, signed data descriptor after the payload; seeds %6 == 2 write
+    the whole archive in ZIP64 layout — 0xFFFFFFFF sentinels in the
+    central directory with 0x0001 extended-info extras, ZIP64 EOCD record
+    + locator, sentinel EOCD — the shape every >4 GiB shard has."""
     seed = int(seed)
     n = seed % 8 + 1
+    zip64 = seed % 6 == 2
     locals_out = []
     cd_out = []
     pos = 0
@@ -52,28 +70,60 @@ def synth_zip(seed: int) -> bytes:
         else:
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             method, data = 8, co.compress(content) + co.flush()
+        streamed = (seed + k) % 5 == 1  # data-descriptor member
+        flags = 0x08 if streamed else 0
+        lfh_crc, lfh_cs, lfh_us = (0, 0, 0) if streamed else (crc, len(data), len(content))
         lfh = (
             _LFH_SIG
             + struct.pack(
                 "<HHHHHIIIHH",
-                20, 0, method, 0, 0x5821,  # version, flags, method, time, date
-                crc, len(data), len(content), len(name), 0,
+                20, flags, method, 0, 0x5821,  # version, flags, method, time, date
+                lfh_crc, lfh_cs, lfh_us, len(name), 0,
             )
             + name
         )
-        cd_out.append(
-            _CD_SIG
-            + struct.pack(
-                "<HHHHHHIIIHHHHHII",
-                20, 20, 0, method, 0, 0x5821,
-                crc, len(data), len(content), len(name), 0, 0, 0, 0, 0, pos,
-            )
-            + name
+        desc = (
+            _DD_SIG + struct.pack("<III", crc, len(data), len(content))
+            if streamed
+            else b""
         )
-        locals_out.append(lfh + data)
-        pos += len(lfh) + len(data)
+        if zip64:
+            extra = struct.pack("<HHQQQ", 0x0001, 24, len(content), len(data), pos)
+            cd_out.append(
+                _CD_SIG
+                + struct.pack(
+                    "<HHHHHHIIIHHHHHII",
+                    45, 45, flags, method, 0, 0x5821,
+                    crc, 0xFFFFFFFF, 0xFFFFFFFF, len(name), len(extra),
+                    0, 0, 0, 0, 0xFFFFFFFF,
+                )
+                + name
+                + extra
+            )
+        else:
+            cd_out.append(
+                _CD_SIG
+                + struct.pack(
+                    "<HHHHHHIIIHHHHHII",
+                    20, 20, flags, method, 0, 0x5821,
+                    crc, len(data), len(content), len(name), 0, 0, 0, 0, 0, pos,
+                )
+                + name
+            )
+        locals_out.append(lfh + data + desc)
+        pos += len(lfh) + len(data) + len(desc)
     cd = b"".join(cd_out)
     comment = bytes((seed + i) % 200 + 32 for i in range(seed % 30))
+    if zip64:
+        z64_eocd = _Z64_EOCD_SIG + struct.pack(
+            "<QHHIIQQQQ", 44, 45, 45, 0, 0, n, n, len(cd), pos
+        )
+        locator = _Z64_LOC_SIG + struct.pack("<IQI", 0, pos + len(cd), 1)
+        eocd = _EOCD_SIG + struct.pack(
+            "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF,
+            len(comment),
+        ) + comment
+        return b"".join(locals_out) + cd + z64_eocd + locator + eocd
     eocd = _EOCD_SIG + struct.pack(
         "<HHHHIIH", 0, 0, n, n, len(cd), pos, len(comment)
     ) + comment
@@ -96,7 +146,20 @@ def parse_zip(payload: bytes) -> list:
         _disk, _cd_disk, _n_disk, n_total, cd_size, cd_off, _clen,
     ) = struct.unpack_from("<HHHHIIH", payload, eocd_at + 4)
     if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
-        raise NotImplementedError("ZIP64 archives are the vendored seam")
+        # ZIP64: locator sits immediately before the EOCD and points at
+        # the ZIP64 EOCD record carrying the 64-bit counts/offsets
+        loc_at = eocd_at - 20
+        if loc_at < 0 or payload[loc_at : loc_at + 4] != _Z64_LOC_SIG:
+            raise ValueError("ZIP64 sentinel EOCD without a ZIP64 locator")
+        (_z_disk, z64_off, _n_disks) = struct.unpack_from(
+            "<IQI", payload, loc_at + 4
+        )
+        if payload[z64_off : z64_off + 4] != _Z64_EOCD_SIG:
+            raise ValueError("ZIP64 locator points past the EOCD record")
+        (
+            _rsize, _vmade64, _vneed64, _d1, _d2,
+            _n_disk64, n_total, cd_size, cd_off,
+        ) = struct.unpack_from("<QHHIIQQQQ", payload, z64_off + 4)
     rows = []
     pos = cd_off
     for idx in range(n_total):
@@ -107,6 +170,33 @@ def parse_zip(payload: bytes) -> list:
             nlen, xlen, clen, _disk2, _iattr, _eattr, lfh_off,
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", payload, pos + 4)
         name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        if usize == 0xFFFFFFFF or csize == 0xFFFFFFFF or lfh_off == 0xFFFFFFFF:
+            # ZIP64 extended-info extra (id 0x0001): 8-byte values appear
+            # in (usize, csize, lfh_off) order, only for sentinel fields
+            extra = payload[pos + 46 + nlen : pos + 46 + nlen + xlen]
+            e = 0
+            found = False
+            while e + 4 <= len(extra):
+                eid, esz = struct.unpack_from("<HH", extra, e)
+                if eid == 0x0001:
+                    body = extra[e + 4 : e + 4 + esz]
+                    b = 0
+                    if usize == 0xFFFFFFFF:
+                        (usize,) = struct.unpack_from("<Q", body, b)
+                        b += 8
+                    if csize == 0xFFFFFFFF:
+                        (csize,) = struct.unpack_from("<Q", body, b)
+                        b += 8
+                    if lfh_off == 0xFFFFFFFF:
+                        (lfh_off,) = struct.unpack_from("<Q", body, b)
+                        b += 8
+                    found = True
+                    break
+                e += 4 + esz
+            if not found:
+                raise ValueError(
+                    f"member {name!r}: ZIP64 sentinel without 0x0001 extra"
+                )
         pos += 46 + nlen + xlen + clen
         if flags & 0x1:
             raise NotImplementedError("encrypted ZIP members")

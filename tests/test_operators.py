@@ -3749,3 +3749,57 @@ def test_zstd_decoder_corruption_and_seams():
         assert len(lines) == n
         toks = sum((seed + 7 * i) % 12 + 3 for i in range(n))
         assert len(text.split()) == toks + 3 * n
+
+
+def test_zip64_and_data_descriptor_corruption():
+    """ZIP64/streaming-layout hazards fail loudly: a sentinel EOCD with no
+    locator, a locator pointing at garbage, and a ZIP64 central entry
+    missing its 0x0001 extra all raise; stdlib-written force_zip64
+    archives and our own zip64 fixtures parse member-for-member."""
+    import io
+    import struct
+    import zipfile
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.archive import (
+        _Z64_LOC_SIG,
+        parse_zip,
+        synth_zip,
+    )
+
+    p = synth_zip(2)  # 2%6==2 -> zip64 layout
+    assert parse_zip(p)  # sanity
+    zf = zipfile.ZipFile(io.BytesIO(p))
+    assert len(zf.infolist()) == 2 % 8 + 1
+
+    # locator signature destroyed -> sentinel EOCD is unresolvable
+    loc_at = p.rindex(_Z64_LOC_SIG)
+    with _pytest.raises(ValueError, match="locator"):
+        parse_zip(p[:loc_at] + b"XXXX" + p[loc_at + 4 :])
+    # locator offset pointing at garbage
+    bad = bytearray(p)
+    struct.pack_into("<Q", bad, loc_at + 8, 1)
+    with _pytest.raises(ValueError, match="EOCD record"):
+        parse_zip(bytes(bad))
+    # strip the 0x0001 extra id from the first central entry
+    cd_at = p.index(b"PK\x01\x02")
+    extra_id_at = p.index(struct.pack("<HH", 0x0001, 24), cd_at)
+    bad = p[:extra_id_at] + struct.pack("<HH", 0x9999, 24) + p[extra_id_at + 4 :]
+    with _pytest.raises(ValueError, match="0x0001 extra"):
+        parse_zip(bad)
+
+    # stdlib force_zip64 writer output parses with our walk
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for i in range(3):
+            with z.open(zipfile.ZipInfo(f"f{i}.py"), "w", force_zip64=True) as f:
+                f.write(b"# hello\n" * (i + 2))
+    rows = parse_zip(buf.getvalue())
+    assert [(r[1], r[4]) for r in rows] == [(f"f{i}.py", i + 2) for i in range(3)]
+
+    # data-descriptor member: local header sizes are zero, walk still
+    # extracts and CRC-verifies via the central directory (seed 1, k 0)
+    pd_ = synth_zip(1)
+    assert b"PK\x07\x08" in pd_
+    assert parse_zip(pd_)
