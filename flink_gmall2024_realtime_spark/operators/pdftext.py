@@ -16,8 +16,11 @@ save-in-place PDF editor produces, so the NORM in crawled corpora) and
 hex strings (``<...>`` with embedded whitespace and odd-length padding)
 are fully handled: the newest xref section wins per object number, free
 entries in an update DELETE the object from older generations, and the
-chain walk is cycle-checked. Honest scope seam (raise, never a silent
-wrong answer): non-Flate filters and CID/composite fonts are
+chain walk is cycle-checked. The /Filter cascade covers every
+ALGORITHMIC filter — Flate, LZW (the early-change variant shared with
+TIFF), ASCIIHex, ASCII85, RunLength, and arrays thereof applied in
+order. Honest scope seam (raise, never a silent wrong answer):
+DCT/JBIG2/JPX image filters and CID/composite fonts are
 NotImplementedError — the documented boundary where a vendored PDF
 library would plug in.
 
@@ -101,8 +104,31 @@ def synth_pdf(seed: int) -> bytes:
         else:
             body = f"{lit(' '.join(words))} Tj"
         content = f"BT /F1 12 Tf 72 720 Td {body} ET".encode()
-        data = zlib.compress(content, 6) if flate else content
-        filt = " /Filter /FlateDecode" if flate else ""
+        if seed % 5 == 4:
+            # non-Flate filter coverage: each such seed picks one of the
+            # four algorithmic filters (one a two-stage cascade); decode
+            # order in the /Filter array is first-listed-first-applied
+            variant = (seed // 5) % 4
+            if variant == 0:
+                data = content.hex().encode() + b">"
+                filt = " /Filter /ASCIIHexDecode"
+            elif variant == 1:
+                data = _ascii85_encode(content)
+                filt = " /Filter /ASCII85Decode"
+            elif variant == 2:
+                data = _ascii85_encode(zlib.compress(content, 6))
+                filt = " /Filter [/ASCII85Decode /FlateDecode]"
+            else:
+                from .multimodal import _tiff_lzw_encode
+
+                data = _tiff_lzw_encode(content)
+                filt = " /Filter /LZWDecode"
+        elif seed % 9 == 4 and p == 0:
+            data = _runlength_encode(content)
+            filt = " /Filter /RunLengthDecode"
+        else:
+            data = zlib.compress(content, 6) if flate else content
+            filt = " /Filter /FlateDecode" if flate else ""
         if p == 0 and indirect_len:
             length = f"{extra_num} 0 R"
             objs[extra_num] = str(len(data)).encode()
@@ -252,6 +278,156 @@ def _append_incremental_update(
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 
 
+def _ascii85_encode(data: bytes) -> bytes:
+    """ASCII85 encoder (fixture side): 4-byte groups -> 5 chars, 'z' for
+    zero groups, partial final group emits n+1 chars, '~>' terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        pad = 4 - len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * pad, "big")
+        if v == 0 and pad == 0:
+            out += b"z"
+            continue
+        chars = bytearray(5)
+        for k in range(4, -1, -1):
+            chars[k] = 0x21 + v % 85
+            v //= 85
+        out += chars[: 5 - pad]
+    return bytes(out) + b"~>"
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    """RunLengthDecode encoder (fixture side): repeat runs >= 3 become
+    (257-len, byte); literals chunk at 128; 0x80 EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    lit_start = i
+    def flush_lit(end: int) -> None:
+        j = lit_start
+        while j < end:
+            take = min(128, end - j)
+            out.append(take - 1)
+            out.extend(data[j : j + take])
+            j += take
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            flush_lit(i)
+            out.append(257 - (j - i))
+            out.append(data[i])
+            lit_start = j
+        i = j
+    flush_lit(n)
+    out.append(128)
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode: 5 chars ('!'..'u') -> 4 bytes base-85, 'z' = four
+    zero bytes, whitespace ignored, '~>' terminates; a partial final
+    group of n chars yields n-1 bytes (pad with 'u')."""
+    end = data.find(b"~>")
+    body = data[:end] if end >= 0 else data
+    out = bytearray()
+    group: list = []
+    for ch in body:
+        c = bytes([ch])
+        if c.isspace():
+            continue
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise ValueError("'z' inside an ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= ch <= 0x75:
+            raise ValueError(f"bad ASCII85 character {ch:#x}")
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("single trailing ASCII85 character")
+        n = len(group)
+        v = 0
+        for g in group + [84] * (5 - n):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode: hex digits, whitespace ignored, '>' terminates,
+    odd count implies a trailing 0 nibble."""
+    end = data.find(b">")
+    body = data[:end] if end >= 0 else data
+    digits = bytes(ch for ch in body if not bytes([ch]).isspace())
+    if not re.fullmatch(rb"[0-9A-Fa-f]*", digits):
+        raise ValueError("non-hex digit in ASCIIHex stream")
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode: length byte L: 0-127 copy L+1 literals, 129-255
+    repeat the next byte 257-L times, 128 = EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            if i + ln + 1 > n:
+                raise ValueError("RunLength literal past end")
+            out += data[i : i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                raise ValueError("RunLength repeat missing byte")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    raise ValueError("RunLength stream missing EOD")
+
+
+def _apply_filters(filt: bytes, data: bytes) -> bytes:
+    """Apply a /Filter value — one name or an array (cascade, decoded in
+    listed order). Flate, LZW (the TIFF early-change variant the PDF spec
+    shares), ASCIIHex, ASCII85 and RunLength are real; anything else is
+    the loud vendored seam."""
+    names = re.findall(rb"/(\w+)", filt)
+    if not names:
+        raise ValueError(f"unparseable /Filter value {filt!r}")
+    for name in names:
+        if name == b"FlateDecode":
+            data = zlib.decompress(data)
+        elif name == b"LZWDecode":
+            from .multimodal import _tiff_lzw_decode
+
+            data = bytes(_tiff_lzw_decode(data))
+        elif name == b"ASCIIHexDecode":
+            data = _asciihex_decode(data)
+        elif name == b"ASCII85Decode":
+            data = _ascii85_decode(data)
+        elif name == b"RunLengthDecode":
+            data = _runlength_decode(data)
+        else:
+            raise NotImplementedError(f"stream filter {name!r}")
+    return data
+
+
 def _dict_slice(b: bytes, start: int) -> bytes:
     """Body of the dict whose opening ``<<`` ends at ``start``, up to the
     matching ``>>`` (nested-dict aware)."""
@@ -338,7 +514,8 @@ def parse_pdf_text(payload: bytes) -> list:
         return payload[off + m2.end() : end]
 
     def stream_of(obj: bytes) -> tuple:
-        """(dict head, decoded stream data) of a stream object."""
+        """(dict head, decoded stream data) of a stream object; applies
+        the full /Filter cascade (arrays decode in order)."""
         sm = re.search(rb"stream\r?\n", obj)
         if not sm:
             raise ValueError("expected a stream object")
@@ -352,9 +529,7 @@ def parse_pdf_text(payload: bytes) -> list:
             raise ValueError("stream shorter than /Length")
         filt = _pdf_dict_value(head, b"Filter")
         if filt is not None:
-            if b"FlateDecode" not in filt:
-                raise NotImplementedError(f"stream filter {filt!r}")
-            data = zlib.decompress(data)
+            data = _apply_filters(filt, data)
         return head, data
 
     def obj_bytes(num: int) -> bytes:

@@ -3857,3 +3857,45 @@ def test_lz4_snappy_corruption():
     bad[0] += 1  # declared length off by one
     with _pytest.raises(ValueError):
         snappy_decompress(bytes(bad))
+
+
+def test_pdf_filter_cascade_roundtrips_and_rejects():
+    """The /Filter cascade: ASCIIHex/ASCII85/RunLength/LZW encoders invert
+    through the decoders (300 random payloads live in the synth sweep);
+    arrays decode in listed order; bad ASCII85 chars, 'z' inside a group,
+    single trailing char, and unknown filters raise."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.pdftext import (
+        _apply_filters,
+        _ascii85_decode,
+        _ascii85_encode,
+        parse_pdf_text,
+        synth_pdf,
+    )
+
+    # cascade order: [/ASCII85Decode /FlateDecode] means A85 first
+    import zlib as _z
+
+    payload = _ascii85_encode(_z.compress(b"cascaded text"))
+    got = _apply_filters(b"[/ASCII85Decode /FlateDecode]", payload)
+    assert got == b"cascaded text"
+    with _pytest.raises(NotImplementedError, match="DCTDecode"):
+        _apply_filters(b"/DCTDecode", b"x")
+    with _pytest.raises(ValueError, match="bad ASCII85"):
+        _ascii85_decode(b"\x7f\x7f\x7f\x7f\x7f")
+    with _pytest.raises(ValueError, match="z' inside"):
+        _ascii85_decode(b"!z")
+    with _pytest.raises(ValueError, match="trailing"):
+        _ascii85_decode(b"!!!!!!")  # 5 + 1 trailing
+    # every filter variant extracts the same text (seeds %5==4 cycle
+    # AHx / A85 / A85+Flate / LZW; %9==4 overlays RunLength on page 0)
+    for seed in (4, 9, 14, 19, 24, 29, 34, 39, 13, 49):
+        pages = parse_pdf_text(synth_pdf(seed))
+        m = seed % 30 + 4
+        want = " ".join(f"w{i:03d}" for i in range(m))
+        if seed % 9 == 0:
+            want = "(w000)" + want[4:]
+        if seed % 7 == 3:
+            want += " u999"
+        assert pages[0][1] == want, seed
