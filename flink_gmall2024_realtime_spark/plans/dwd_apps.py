@@ -443,20 +443,23 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-tag + single keyed window pass — one shuffle, no range-join
     explosion. The oracle is DuckDB's native ASOF LEFT JOIN, making this an
     engine-vs-engine check of the operator itself. Views are deduped to one
-    per (user, ts) (max event_id) so the as-of pick is deterministic."""
+    per (user, ts) (max event_id) so the as-of pick is deterministic —
+    spelled as the partial-agg argmax (skew.latest_by_key), not a
+    row_number sort, so a hot (user, ts) collapses map-side."""
     from ..operators.joins import asof_join
+    from ..operators.skew import latest_by_key
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "user_id", "ts",
-            F.col("event_id").alias("view_id"),
-            F.col("value").alias("view_value"),
-        )
+    views = latest_by_key(
+        ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id", "ts"],
+        "event_id",
+    ).select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", "ts"

@@ -1151,12 +1151,23 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.35)
     clusters = dedup.dedup_clusters(docs, pairs)
-    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    # keep-best is an argmax (max n_chars, tie -> min doc_id): the
+    # partial-agg max_by collapses a boilerplate mega-cluster map-side
+    # instead of sorting it in one task (same rewire as VERDICT r9 #1)
     return (
         clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("cluster_id", F.col("doc_id").alias("keep_id"), F.col("n_chars").alias("keep_n_chars"))
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("doc_id"), F.col("n_chars")),
+                F.struct(F.col("n_chars"), -F.col("doc_id")),
+            ).alias("_best")
+        )
+        .select(
+            "cluster_id",
+            F.col("_best.doc_id").alias("keep_id"),
+            F.col("_best.n_chars").alias("keep_n_chars"),
+        )
     )
 
 

@@ -429,6 +429,12 @@ def test_keyed_compaction_is_partial_agg_argmax(spark, sf_dir):
         assert "partial_max_by" in plan, f"{name}: no map-side partial argmax"
         assert "row_number" not in plan, f"{name}: row_number sort shape came back"
         assert "windowspecdefinition" not in plan, f"{name}: per-key window over row frame"
+    # the other argmax rewires (r10): keep-best per cluster and the as-of
+    # view dedup also plan the map-side partial, not a per-key sort
+    for name in ("dedup_keep_best", "q_asof_join"):
+        plan = CATALOG[name].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "partial_max_by" in plan, f"{name}: no map-side partial argmax"
+        assert "row_number" not in plan, f"{name}: row_number sort shape came back"
 
 
 def test_dws_traffic_repair_is_partial_agg_plus_bounded_shift(spark, sf_dir):
