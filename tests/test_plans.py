@@ -141,7 +141,13 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
     budgets = {
         "q1_pricing_summary": 1,          # partial+final agg
         "dws_tumble_type_counts": 1,
-        "dws_traffic_vc_ch_ar_isnew": 2,  # one shared user_id window + tumble
+        "dws_traffic_vc_ch_ar_isnew": 4,  # r10 skew-safe repair: daily
+                                          # partial agg + per-user day-frame
+                                          # window + rows<->daily join + the
+                                          # lag window/tumble (was 2 with the
+                                          # per-user LIFETIME window — two
+                                          # extra bounded exchanges bought
+                                          # flood-boundedness, VERDICT r9 #2)
         "dwd_trade_order_detail": 0,      # pure broadcast-join pipeline
         "dedup_exact": 1,
         "q3_segment_revenue": 2,          # per-order pre-agg + final agg

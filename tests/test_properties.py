@@ -740,3 +740,37 @@ def test_lz4_decoder_inverts_real_cli(data, flags):
     r = subprocess.run(["lz4", "-c", "-z"] + flags, input=data, capture_output=True)
     assert r.returncode == 0
     assert lz4_frame_decompress(r.stdout) == data
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 500),
+    st.integers(1, 100),
+    st.sampled_from(["snappy", "zstd", "gzip", "none"]),
+    st.integers(-10_000, 10_000),
+)
+def test_parquet_footer_audit_matches_pyarrow(n, rg, codec, base):
+    """pyarrow writes a real parquet file for arbitrary shapes; the
+    hand-rolled Thrift compact footer walk must recover the same row
+    count, row-group layout, codec and int64 min/max statistics pyarrow's
+    own introspection reports."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_gmall2024_realtime_spark.operators.parquetmeta import (
+        parse_parquet_footer,
+    )
+
+    t = pa.table({"k": pa.array([base + j for j in range(n)], type=pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, row_group_size=rg, compression=codec)
+    a = parse_parquet_footer(buf.getvalue())
+    pf = pq.ParquetFile(io.BytesIO(buf.getvalue()))
+    assert a["num_rows"] == pf.metadata.num_rows == n
+    assert a["n_row_groups"] == pf.metadata.num_row_groups
+    assert a["n_columns"] == 1
+    assert a["codecs"] == {"snappy": "SNAPPY", "zstd": "ZSTD",
+                           "gzip": "GZIP", "none": "UNCOMPRESSED"}[codec]
+    assert (a["col0_min"], a["col0_max"]) == (base, base + n - 1)
