@@ -189,7 +189,8 @@ def adversarial_extras(spark, sf_dir, materialize) -> dict:
 
     runs = {
         "dup_corpus": ("dedup_minhash_lsh", "dedup_simhash_pairs"),
-        "hot_key": ("q_salted_agg",),
+        "hot_key": ("q_salted_agg", "k3_upsert_final_state",
+                    "dws_traffic_vc_ch_ar_isnew"),
     }
     m = 4
     out: dict[str, float] = {}
