@@ -2581,6 +2581,13 @@ def _synth_parquet(seed: int) -> bytes:
     return synth_parquet(seed)
 
 
+def _synth_orc(seed: int) -> bytes:
+    """Lazy import of the ORC fixture (pyarrow-written)."""
+    from .orcmeta import synth_orc
+
+    return synth_orc(seed)
+
+
 def _synth_lz4_dump(seed: int) -> bytes:
     """Lazy import of the LZ4 dump fixture (pyarrow-compressed)."""
     from .lz4snappy import synth_lz4_dump
@@ -2632,6 +2639,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "zstd_dump": _synth_zstd_dump,
         "lz4_dump": _synth_lz4_dump,
         "parquet": _synth_parquet,
+        "orc": _synth_orc,
         "snappy_dump": _synth_snappy_dump,
         "xz": synth_xz,
         "mp3_tagged": synth_mp3_tagged,

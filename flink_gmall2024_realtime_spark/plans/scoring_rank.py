@@ -651,6 +651,42 @@ def parquet_footer_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_footer_audit",
+    oracle="""
+SELECT doc_id AS media_id,
+       (doc_id % 80 + 20)::BIGINT AS num_rows,
+       2 AS n_columns,
+       CASE doc_id % 5 WHEN 0 THEN 'ZLIB' WHEN 1 THEN 'SNAPPY'
+                       WHEN 2 THEN 'LZ4' WHEN 3 THEN 'ZSTD'
+                       ELSE 'NONE' END AS compression,
+       doc_id AS col0_min,
+       (doc_id + doc_id % 80 + 19)::BIGINT AS col0_max
+FROM documents
+""",
+    survey_ids=("text-quality",),
+)
+def orc_footer_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC footer audit (r10), the parquet audit's sibling: per doc a REAL
+    pyarrow-written ORC file (compression cycling zlib/snappy/lz4/zstd/
+    none, multi-stripe when doc_id%3==0), audited raw — postscript
+    protobuf, chunked footer decompression THROUGH THE REPO'S OWN
+    snappy/lz4/zstd decoders, protobuf Footer walk (stripe rows summed
+    and cross-checked against num_rows inside the parse), sint64-zigzag
+    column statistics. Stripe counts are writer-internal so the oracle
+    pins the closed-form columns (rows/columns/codec/min/max); pytest
+    cross-checks stripe counts against pyarrow's ORCFile. Per-row Arrow
+    work — linear by construction (``operators/orcmeta.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "orc")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/x-orc"
+    )
+    from ..operators.orcmeta import orc_footer_audit
+
+    return orc_footer_audit(media).drop("n_stripes")
+
+
+@register(
     "lz4_dump_ingest",
     oracle="""
 WITH p AS (SELECT doc_id, doc_id % 32 + 9 AS n FROM documents),

@@ -3923,3 +3923,35 @@ def test_parquet_footer_corruption():
     struct.pack_into("<I", bad, len(bad) - 8, len(p))  # footer len too big
     with _pytest.raises(ValueError, match="truncated parquet footer"):
         parse_parquet_footer(bytes(bad))
+
+
+def test_orc_footer_corruption():
+    """ORC tampering fails loudly: bad magic, zero postscript length,
+    truncated footer, stripe-sum vs num_rows disagreement (flip a varint
+    in the uncompressed footer)."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.orcmeta import (
+        parse_orc_footer,
+        synth_orc,
+    )
+
+    p = synth_orc(4)  # 4%5==4 -> uncompressed footer (patchable)
+    a = parse_orc_footer(p)
+    assert a["num_rows"] == 4 % 80 + 20
+    with _pytest.raises(ValueError, match="magic"):
+        parse_orc_footer(b"XXX\n" + p[4:])
+    with _pytest.raises(ValueError, match="postscript length"):
+        parse_orc_footer(p[:-1] + b"\x00")
+    with _pytest.raises(ValueError):
+        parse_orc_footer(p[len(p) // 2 :])  # leading half gone
+    # num_rows is a varint in the plain footer; find '0x30 <n>' (field 6)
+    n = 4 % 80 + 20
+    import re as _re
+
+    m = list(_re.finditer(bytes([0x30, n]), p))
+    assert m, "footer field-6 varint not found"
+    at = m[-1].start()
+    bad = p[: at + 1] + bytes([n + 1]) + p[at + 2 :]
+    with _pytest.raises(ValueError, match="stripe rows"):
+        parse_orc_footer(bad)

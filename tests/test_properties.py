@@ -774,3 +774,36 @@ def test_parquet_footer_audit_matches_pyarrow(n, rg, codec, base):
     assert a["codecs"] == {"snappy": "SNAPPY", "zstd": "ZSTD",
                            "gzip": "GZIP", "none": "UNCOMPRESSED"}[codec]
     assert (a["col0_min"], a["col0_max"]) == (base, base + n - 1)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.integers(1, 400),
+    st.sampled_from(["zlib", "snappy", "lz4", "zstd", "uncompressed"]),
+    st.integers(-10_000, 10_000),
+)
+def test_orc_footer_audit_matches_pyarrow(n, comp, base):
+    """pyarrow writes a real ORC file for arbitrary shapes; the raw
+    postscript/footer walk (chunk decompression through the repo's own
+    snappy/lz4/zstd decoders) must recover the same row count, stripe
+    count, compression and int64 min/max pyarrow's ORCFile reports."""
+    import io
+
+    import pyarrow as pa
+    from pyarrow import orc
+
+    from flink_gmall2024_realtime_spark.operators.orcmeta import (
+        parse_orc_footer,
+    )
+
+    t = pa.table({"k": pa.array([base + j for j in range(n)], type=pa.int64())})
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression=comp, stripe_size=1024)
+    a = parse_orc_footer(buf.getvalue())
+    f = orc.ORCFile(io.BytesIO(buf.getvalue()))
+    assert a["num_rows"] == f.nrows == n
+    assert a["n_stripes"] == f.nstripes
+    assert a["compression"] == {"zlib": "ZLIB", "snappy": "SNAPPY",
+                                "lz4": "LZ4", "zstd": "ZSTD",
+                                "uncompressed": "NONE"}[comp]
+    assert (a["col0_min"], a["col0_max"]) == (base, base + n - 1)
