@@ -265,3 +265,94 @@ def calendar_streaks(df, key_col: str, date_col):
         F.count(F.lit(1)).alias("n_streaks"),
         F.sum("_len").alias("active_days"),
     )
+
+
+def traffic_repair_flags(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    gap_seconds: int = 1800,
+    mode: str = "auto",
+    single_phase_max_rows: int = 500_000,
+) -> DataFrame:
+    """The combined W2+W3 repair stage of the richest DWS table
+    (DwsTrafficVcChArIsNewPageViewWindow.java:70-189): per row emit
+    ``is_new`` ('1' on the key's first-ever date), ``uv`` (1 on the key's
+    first event of each day) and ``sv`` (1 when the previous event is
+    more than ``gap_seconds`` earlier — a session start). The reference
+    keeps one scalar of ValueState per mid and never sorts a mid's
+    history; neither does the scaled plan here.
+
+    Adaptive like ``sessionize`` (VERDICT r9 #2): ``mode="auto"`` keeps
+    the cheapest provably-safe plan at small scale and switches shape
+    before any key COULD be hot:
+
+    - ``"single"`` (inputs <= ``single_phase_max_rows``): ONE window over
+      (key, ts, tiebreak) computes all three flags — one exchange + one
+      sort, and the bound guarantees the worst key fits one task;
+    - ``"two_phase"``: uv and is_new ride a per-(key, day) PARTIAL
+      aggregate (map-side collapse of any flood) whose tiny day frame
+      takes the only per-key window; rows take the flags back via one
+      hash join on (key, day) — AQE skew-split territory; sv's gap goes
+      through ``skew.two_phase_shift(direction="lag")`` with a daily
+      bucket. No per-key lifetime sort anywhere.
+
+    Both modes return ``df``'s columns plus the three flags, identical
+    values (property-tested)."""
+    from .skew import choose_window_mode, hour_bucket, two_phase_shift
+
+    if mode not in ("auto", "single", "two_phase"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        mode = choose_window_mode(df, single_phase_max_rows)
+    day = F.to_date(ts_col)
+    if mode == "single":
+        w_seq = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+        w_cum = w_seq.rowsBetween(Window.unboundedPreceding, 0)
+        prev = F.lag(ts_col).over(w_seq)
+        return df.select(
+            "*",
+            F.when(day == F.first(day).over(w_cum), "1").otherwise("0").alias("is_new"),
+            F.when(prev.isNull() | (F.to_date(prev) < day), 1).otherwise(0).alias("uv"),
+            F.when(
+                prev.isNull()
+                | (
+                    F.col(ts_col).cast("timestamp").cast("double")
+                    - prev.cast("timestamp").cast("double")
+                    > gap_seconds
+                ),
+                1,
+            ).otherwise(0).alias("sv"),
+        )
+    daily = (
+        df.groupBy(key, day.alias("_d"))
+        .agg(F.min(F.struct(F.col(ts_col), F.col(tiebreak))).alias("_fst"))
+        .withColumn("_first_date", F.min("_d").over(Window.partitionBy(key)))
+    )
+    shifted = two_phase_shift(
+        df, key, [ts_col, tiebreak], [ts_col],
+        bucket=hour_bucket(ts_col, 86400), direction="lag",
+        mode="two_phase", suffix="_prev",
+    )
+    prev = F.col(f"{ts_col}_prev")
+    return (
+        shifted.withColumn("_d", day)
+        .join(daily, [key, "_d"])
+        .select(
+            *df.columns,
+            F.when(F.col("_d") == F.col("_first_date"), "1").otherwise("0").alias("is_new"),
+            F.when(
+                F.struct(F.col(ts_col), F.col(tiebreak)) == F.col("_fst"), 1
+            ).otherwise(0).alias("uv"),
+            F.when(
+                prev.isNull()
+                | (
+                    F.col(ts_col).cast("timestamp").cast("double")
+                    - prev.cast("timestamp").cast("double")
+                    > gap_seconds
+                ),
+                1,
+            ).otherwise(0).alias("sv"),
+        )
+    )

@@ -141,13 +141,11 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
     budgets = {
         "q1_pricing_summary": 1,          # partial+final agg
         "dws_tumble_type_counts": 1,
-        "dws_traffic_vc_ch_ar_isnew": 4,  # r10 skew-safe repair: daily
-                                          # partial agg + per-user day-frame
-                                          # window + rows<->daily join + the
-                                          # lag window/tumble (was 2 with the
-                                          # per-user LIFETIME window — two
-                                          # extra bounded exchanges bought
-                                          # flood-boundedness, VERDICT r9 #2)
+        "dws_traffic_vc_ch_ar_isnew": 2,  # adaptive repair resolves to the
+                                          # provably-safe one-window plan at
+                                          # fixture scale (<=500k rows); the
+                                          # flood shape is locked separately
+                                          # in the forced-two_phase test
         "dwd_trade_order_detail": 0,      # pure broadcast-join pipeline
         "dedup_exact": 1,
         "q3_segment_revenue": 2,          # per-order pre-agg + final agg
@@ -444,16 +442,36 @@ def test_keyed_compaction_is_partial_agg_argmax(spark, sf_dir):
 
 
 def test_dws_traffic_repair_is_partial_agg_plus_bounded_shift(spark, sf_dir):
-    """Plan lock for the dws_traffic repair rewire (VERDICT r9 #2): uv and
-    is_new ride a per-(user, day) PARTIAL aggregate (map-side partial_min
-    of the (ts, event_id) struct) joined back to rows — never the old
-    cumulative first()-over-lifetime window — and the only per-(user, ts)
-    row window left is the sv lag, which mode="auto" keeps single-phase
-    at fixture scale and two_phase_shift buckets under flood (covered by
-    its own property tests + the forced-mode lock above)."""
-    plan = formatted_plan(spark, CATALOG["dws_traffic_vc_ch_ar_isnew"].spark(spark, sf_dir))
+    """Plan lock + mode equivalence for the dws_traffic repair rewire
+    (VERDICT r9 #2). The repair is ADAPTIVE (sessionize recipe): at
+    fixture scale mode="auto" keeps the provably-safe one-window plan;
+    past the 500k bound it must decompose — uv/is_new ride a per-(user,
+    day) PARTIAL aggregate (map-side partial_min of the (ts, event_id)
+    struct) joined back to rows, never a first()-over-lifetime window,
+    and sv's lag buckets through two_phase_shift. Locks: the forced
+    two-phase shape carries the partial and NO per-(key, ts-only)
+    lifetime window; the two forced modes return identical rows."""
+    from pyspark.sql import functions as F
+
+    from flink_gmall2024_realtime_spark.operators.state import (
+        traffic_repair_flags,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts"
+    )
+    two = traffic_repair_flags(ev, mode="two_phase")
+    plan = formatted_plan(spark, two)
     assert "partial_min(struct(ts" in plan, "daily first agg lost its map-side partial"
     assert "row_number" not in plan
     assert plan.count("first(") == 0, "cumulative first-over-lifetime window came back"
-    lifetime_windows = re.findall(r"windowspecdefinition\(user_id#\d+L?, ts#", plan)
-    assert len(lifetime_windows) <= 1, f"extra per-key row windows: {lifetime_windows}"
+    # the only per-user windows run over the tiny day frame (ordered by
+    # _b / unordered min) — never (user_id, ts) over the row frame
+    assert not re.search(r"windowspecdefinition\(user_id#\d+L?, ts#\d+ ASC", plan)
+    single = traffic_repair_flags(ev, mode="single")
+    key = ["user_id", "event_id"]
+    a = {tuple(r) for r in two.select(*key, "is_new", "uv", "sv").collect()}
+    b = {tuple(r) for r in single.select(*key, "is_new", "uv", "sv").collect()}
+    assert a == b, "forced modes disagree"
+    # and the catalog entry stays oracle-shaped end to end
+    assert CATALOG["dws_traffic_vc_ch_ar_isnew"].spark(spark, sf_dir).count() > 0
