@@ -1269,3 +1269,30 @@ def test_streaming_warc_ingestion_matches_batch(spark, sf_dir, tmp_path):
     }
     want = {tuple(r) for r in warc_records(payloads).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_zstd_ingestion_matches_batch(spark, sf_dir, tmp_path):
+    """The r10 codec gates are streaming-ready too: .zst shards landing as
+    files stream through the SAME Arrow decode (full RFC 8878 path,
+    checksum verified) per micro-batch, and the drained table equals the
+    batch run row-for-row — 'ingest the drop as it lands'."""
+    from flink_gmall2024_realtime_spark.operators import multimodal
+    from flink_gmall2024_realtime_spark.operators.zstdcodec import (
+        zstd_dump_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(45)
+    payloads = multimodal.synth_media(docs, "doc_id", "zstd_dump")
+    src = os.path.join(str(tmp_path), "zstd_landing")
+    payloads.filter(F.col("media_id") % 3 == 0).write.parquet(os.path.join(src, "f0"))
+    payloads.filter(F.col("media_id") % 3 == 1).write.parquet(os.path.join(src, "f1"))
+    payloads.filter(F.col("media_id") % 3 == 2).write.parquet(os.path.join(src, "f2"))
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    run_stream(zstd_dump_stats(stream), str(tmp_path), "zstd_stream")
+    got = {tuple(r) for r in spark.sql("select * from zstd_stream").collect()}
+    want = {tuple(r) for r in zstd_dump_stats(payloads).collect()}
+    assert got == want and len(want) > 0
