@@ -807,3 +807,52 @@ def test_orc_footer_audit_matches_pyarrow(n, comp, base):
                                 "lz4": "LZ4", "zstd": "ZSTD",
                                 "uncompressed": "NONE"}[comp]
     assert (a["col0_min"], a["col0_max"]) == (base, base + n - 1)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(_keys, _ts, st.integers(0, 999)), min_size=1, max_size=50))
+def test_latest_by_key_equals_row_number_spelling(spark, rows):
+    """The r10 argmax rewire: latest_by_key (partial-agg max_by) returns
+    exactly the rows of the row_number-over-sort spelling on random
+    inputs with heavy key/ts collisions (seq is the unique tiebreak both
+    spellings order by)."""
+    from pyspark.sql import Window
+
+    from flink_gmall2024_realtime_spark.operators.skew import latest_by_key
+
+    df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t, _v) in enumerate(rows)], "k long, ts long, seq long"
+    )
+    got = {tuple(r) for r in latest_by_key(df, "k", ("ts", "seq")).collect()}
+    w = Window.partitionBy("k").orderBy(F.col("ts").desc(), F.col("seq").desc())
+    want = {
+        tuple(r)
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(_keys, st.integers(0, 200_000)), min_size=1, max_size=40))
+def test_traffic_repair_modes_agree(spark, rows):
+    """traffic_repair_flags returns identical (is_new, uv, sv) rows in the
+    single-window and partial-agg two-phase shapes on random event frames
+    (seconds-scale gaps straddling the 1800 s session bound and day
+    boundaries)."""
+    from flink_gmall2024_realtime_spark.operators.state import (
+        traffic_repair_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(k, i, f"2024-01-0{1 + (t // 86400) % 9:d} "
+          f"{(t % 86400) // 3600:02d}:{(t % 3600) // 60:02d}:{t % 60:02d}")
+         for i, (k, t) in enumerate(rows)],
+        "user_id long, event_id long, ts_s string",
+    ).select("user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    cols = ["user_id", "event_id", "is_new", "uv", "sv"]
+    a = {tuple(r) for r in traffic_repair_flags(df, mode="single").select(*cols).collect()}
+    b = {tuple(r) for r in traffic_repair_flags(df, mode="two_phase").select(*cols).collect()}
+    assert a == b
