@@ -2588,6 +2588,13 @@ def _synth_orc(seed: int) -> bytes:
     return synth_orc(seed)
 
 
+def _synth_avro(seed: int) -> bytes:
+    """Lazy import of the Avro OCF fixture."""
+    from .avro import synth_avro
+
+    return synth_avro(seed)
+
+
 def _synth_lz4_dump(seed: int) -> bytes:
     """Lazy import of the LZ4 dump fixture (pyarrow-compressed)."""
     from .lz4snappy import synth_lz4_dump
@@ -2640,6 +2647,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "lz4_dump": _synth_lz4_dump,
         "parquet": _synth_parquet,
         "orc": _synth_orc,
+        "avro": _synth_avro,
         "snappy_dump": _synth_snappy_dump,
         "xz": synth_xz,
         "mp3_tagged": synth_mp3_tagged,

