@@ -2595,6 +2595,13 @@ def _synth_avro(seed: int) -> bytes:
     return synth_avro(seed)
 
 
+def _synth_xz_dump(seed: int) -> bytes:
+    """Lazy import of the .xz dump fixture (stdlib-lzma-compressed)."""
+    from .lzmadec import synth_xz_dump
+
+    return synth_xz_dump(seed)
+
+
 def _synth_lz4_dump(seed: int) -> bytes:
     """Lazy import of the LZ4 dump fixture (pyarrow-compressed)."""
     from .lz4snappy import synth_lz4_dump
@@ -2648,6 +2655,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "parquet": _synth_parquet,
         "orc": _synth_orc,
         "avro": _synth_avro,
+        "xz_dump": _synth_xz_dump,
         "snappy_dump": _synth_snappy_dump,
         "xz": synth_xz,
         "mp3_tagged": synth_mp3_tagged,

@@ -651,6 +651,48 @@ def parquet_footer_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xz_dump_ingest",
+    oracle="""
+WITH p AS (SELECT doc_id, doc_id % 30 + 8 AS n FROM documents),
+f AS (SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i FROM p),
+g AS (
+  SELECT doc_id, n, i,
+         (doc_id + 11 * i) % 13 + 2 AS m,
+         CASE WHEN i < 10 THEN 1 ELSE 2 END AS di
+  FROM f
+)
+SELECT doc_id AS media_id,
+       n::INT AS n_lines,
+       (SUM(m) + 3 * n)::BIGINT AS n_tokens,
+       (SUM(15 + length(CAST(doc_id AS VARCHAR)) + di + 5 * m)
+        + n - 1)::BIGINT AS n_chars
+FROM g GROUP BY doc_id, n
+""",
+    survey_ids=("text-quality",),
+)
+def xz_dump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.xz dump ingestion (r10) — closing the r9 header-only xz seam with
+    a REAL in-repo LZMA2 decode: per doc a .xz written by the stdlib
+    COMPRESSOR (presets and all four check types vary by seed), decoded
+    by the hand-built range decoder — 11-bit adaptive probabilities,
+    12-state match model, matched literals, rep distances, LZMA2 chunk
+    resets, block-header CRC and the per-block content check
+    (CRC32/CRC64/SHA-256) VERIFIED. The stdlib-writes / we-read pairing
+    is the strongest conformance anchor available (hypothesis property in
+    tests, incl. FORMAT_ALONE). Oracle reproduces line/token/char counts
+    from seed arithmetic. Per-row Arrow work — linear by construction
+    (``operators/lzmadec.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "xz_dump")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/x-xz"
+    )
+    from ..operators.lzmadec import xz_dump_stats
+
+    return xz_dump_stats(media)
+
+
+@register(
     "avro_container_ingest",
     oracle="""
 WITH p AS (SELECT doc_id, doc_id % 25 + 5 AS n FROM documents),

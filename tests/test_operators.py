@@ -3987,3 +3987,40 @@ def test_avro_corruption_and_codecs():
     pn = synth_avro(0)  # codec 'null'
     with _pytest.raises(NotImplementedError, match="codec"):
         parse_avro(pn.replace(b"\x08null", b"\x08nope", 1))
+
+
+def test_xz_decode_corruption():
+    """xz tampering fails loudly: payload damage flips the content check
+    (all four check types), block-header CRC damage raises, non-LZMA2
+    filter chains hit the seam, multi-stream concatenations decode."""
+    import lzma
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.lzmadec import (
+        xz_decompress,
+    )
+
+    data = b"the xz corpus gate: tokens tokens tokens " * 40
+    for check in (lzma.CHECK_CRC32, lzma.CHECK_CRC64, lzma.CHECK_SHA256):
+        p = lzma.compress(data, format=lzma.FORMAT_XZ, check=check)
+        assert xz_decompress(p) == data
+        bad = bytearray(p)
+        bad[len(bad) // 2] ^= 0xFF
+        with _pytest.raises(ValueError):
+            xz_decompress(bytes(bad))
+    p = lzma.compress(data, format=lzma.FORMAT_XZ)
+    bad = bytearray(p)
+    bad[13] ^= 0xFF  # inside the block header -> header CRC mismatch
+    with _pytest.raises(ValueError):
+        xz_decompress(bytes(bad))
+    # delta+lzma2 filter chain hits the documented seam
+    p2 = lzma.compress(
+        data, format=lzma.FORMAT_XZ,
+        filters=[{"id": lzma.FILTER_DELTA, "dist": 4},
+                 {"id": lzma.FILTER_LZMA2, "preset": 1}],
+    )
+    with _pytest.raises(NotImplementedError, match="filter"):
+        xz_decompress(p2)
+    two = p + lzma.compress(b"tail", format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC64)
+    assert xz_decompress(two) == data + b"tail"

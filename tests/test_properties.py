@@ -856,3 +856,28 @@ def test_traffic_repair_modes_agree(spark, rows):
     a = {tuple(r) for r in traffic_repair_flags(df, mode="single").select(*cols).collect()}
     b = {tuple(r) for r in traffic_repair_flags(df, mode="two_phase").select(*cols).collect()}
     assert a == b
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(max_size=5000), st.sampled_from([0, 1, 6]),
+       st.sampled_from([0, 1, 4, 10]))
+def test_xz_decoder_inverts_stdlib_compressor(data, preset, check_id):
+    """stdlib ``lzma`` COMPRESSES arbitrary bytes; the in-repo LZMA2/.xz
+    decoder (range decoder, 12-state model, chunk resets, every container
+    CRC and the content check verified) must reproduce them exactly —
+    plus the classic FORMAT_ALONE header path."""
+    import lzma
+
+    from flink_gmall2024_realtime_spark.operators.lzmadec import (
+        lzma_alone_decompress,
+        xz_decompress,
+    )
+
+    check = {0: lzma.CHECK_NONE, 1: lzma.CHECK_CRC32,
+             4: lzma.CHECK_CRC64, 10: lzma.CHECK_SHA256}[check_id]
+    assert xz_decompress(
+        lzma.compress(data, format=lzma.FORMAT_XZ, check=check, preset=preset)
+    ) == data
+    assert lzma_alone_decompress(
+        lzma.compress(data, format=lzma.FORMAT_ALONE, preset=preset)
+    ) == data
