@@ -31,6 +31,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .codecguard import malformed_guard
+
 _EOCD_SIG = b"PK\x05\x06"
 _CD_SIG = b"PK\x01\x02"
 _LFH_SIG = b"PK\x03\x04"
@@ -130,6 +132,7 @@ def synth_zip(seed: int) -> bytes:
     return b"".join(locals_out) + cd + eocd
 
 
+@malformed_guard
 def parse_zip(payload: bytes) -> list:
     """REAL ZIP walk: locate EOCD by back-scanning past the comment, parse
     every central-directory entry, cross-check each member's local header
@@ -291,6 +294,7 @@ def synth_tar_gz(seed: int) -> bytes:
     return gzip.compress(b"".join(out), compresslevel=6, mtime=0)
 
 
+@malformed_guard
 def parse_tar_gz(payload: bytes) -> list:
     """REAL ustar walk over a gunzipped tarball: 512-byte headers with
     verified checksums, octal size fields, 512-padding, end-of-archive

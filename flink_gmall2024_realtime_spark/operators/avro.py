@@ -33,6 +33,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .codecguard import malformed_guard
+
 _MAGIC = b"Obj\x01"
 
 
@@ -94,6 +96,8 @@ def _decode(r: _Reader, schema) -> object:
                 if n < 0:  # negative count: a byte size follows (skippable form)
                     r.zigzag()
                     n = -n
+                if n > len(r.d) + (1 << 16):
+                    raise ValueError("avro array count exceeds payload")
                 out.extend(_decode(r, schema["items"]) for _ in range(n))
         if t == "map":
             out = {}
@@ -104,6 +108,8 @@ def _decode(r: _Reader, schema) -> object:
                 if n < 0:
                     r.zigzag()
                     n = -n
+                if n > len(r.d) + (1 << 16):
+                    raise ValueError("avro map count exceeds payload")
                 for _ in range(n):
                     k = r.read(r.zigzag()).decode("utf-8")
                     out[k] = _decode(r, schema["values"])
@@ -128,6 +134,7 @@ def _decode(r: _Reader, schema) -> object:
     raise NotImplementedError(f"avro type {schema!r}")
 
 
+@malformed_guard
 def parse_avro(payload: bytes) -> tuple[dict, list]:
     """Read an Avro OCF: returns (header metadata dict, list of decoded
     records). Every block's sync marker is verified; snappy blocks also

@@ -29,6 +29,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .codecguard import malformed_guard
+
 _BLOCK_MAGIC = 0x314159265359
 _EOS_MAGIC = 0x177245385090
 
@@ -83,6 +85,7 @@ class _Bits:
         return v
 
 
+@malformed_guard
 def bz2_decompress(payload: bytes) -> bytes:
     """Decode a complete .bz2 payload — including CONCATENATED streams
     (pbzip2 / parallel-compressor output: each stream byte-aligned after

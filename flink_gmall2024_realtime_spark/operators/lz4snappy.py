@@ -34,6 +34,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .codecguard import malformed_guard
+
 _LZ4_MAGIC = 0x184D2204
 _LZ4_SKIP_BASE = 0x184D2A50
 
@@ -89,6 +91,7 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 # ------------------------------------------------------------- LZ4 block
 
 
+@malformed_guard
 def lz4_block_decompress(data: bytes, out: bytearray | None = None) -> bytes:
     """One raw LZ4 block: token-structured (literal run, 2-byte offset,
     min-4 match) sequences, 255-extension lengths, overlap-safe copy.
@@ -144,6 +147,7 @@ def lz4_block_decompress(data: bytes, out: bytearray | None = None) -> bytes:
 # ------------------------------------------------------------- LZ4 frame
 
 
+@malformed_guard
 def lz4_frame_decompress(payload: bytes) -> bytes:
     """LZ4 frame walk with EVERY checksum verified: header XXH32 byte,
     optional per-block XXH32, optional content XXH32 + declared content
@@ -232,6 +236,7 @@ def lz4_frame_decompress(payload: bytes) -> bytes:
 # ---------------------------------------------------------------- Snappy
 
 
+@malformed_guard
 def snappy_decompress(data: bytes) -> bytes:
     """Raw Snappy: varint uncompressed length, then literal and copy-1/2/4
     tags with overlap-safe reconstruction; the declared length is

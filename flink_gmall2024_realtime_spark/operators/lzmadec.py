@@ -37,6 +37,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .codecguard import malformed_guard
+
 _KNUM_STATES = 12
 
 
@@ -233,6 +235,7 @@ def _decode_lzma_stream(
     return rc.i
 
 
+@malformed_guard
 def lzma_alone_decompress(payload: bytes) -> bytes:
     """Classic .lzma (FORMAT_ALONE): props byte, LE32 dict size, LE64
     uncompressed size (all-ones = unknown -> end-marker-terminated)."""
@@ -255,6 +258,7 @@ def lzma_alone_decompress(payload: bytes) -> bytes:
     return bytes(out)
 
 
+@malformed_guard
 def lzma2_decompress(data: bytes, pos: int = 0) -> tuple[bytes, int]:
     """The LZMA2 chunk layer: control bytes select uncompressed chunks or
     LZMA chunks with optional state/props/dict resets. Returns (output,
@@ -350,6 +354,7 @@ def _read_xz_varint(data: bytes, pos: int) -> tuple[int, int]:
             raise ValueError("xz varint too long")
 
 
+@malformed_guard
 def xz_decompress(payload: bytes) -> bytes:
     """Full .xz decode: stream header/flags, per-block header parse
     (LZMA2 filter only), LZMA2 chunk decode, block padding, and the

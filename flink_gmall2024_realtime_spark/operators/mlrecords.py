@@ -26,6 +26,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .codecguard import malformed_guard
+
 # --- CRC-32C (Castagnoli, reflected poly 0x82F63B78) ---------------------
 
 _CRC32C_TABLE = None
@@ -163,6 +165,7 @@ def synth_tfrecord(seed: int) -> bytes:
     return b"".join(out)
 
 
+@malformed_guard
 def parse_tfrecord(payload: bytes) -> list:
     """REAL TFRecord walk: verify BOTH masked CRC-32Cs per record, then
     wire-walk the Example -> Features -> map-entry -> Feature chain.

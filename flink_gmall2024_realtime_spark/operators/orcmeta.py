@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 
 from .mlrecords import _read_varint, _wire_fields
 
+from .codecguard import malformed_guard
+
 _KIND_NAMES = {0: "NONE", 1: "ZLIB", 2: "SNAPPY", 3: "LZO", 4: "LZ4", 5: "ZSTD"}
 
 
@@ -80,6 +82,7 @@ def _decompress_stream(data: bytes, kind: int) -> bytes:
     return bytes(out)
 
 
+@malformed_guard
 def parse_orc_footer(payload: bytes) -> dict:
     """Raw ORC footer audit: postscript -> compression kind -> chunked
     footer decompress -> protobuf Footer walk. Returns num_rows,

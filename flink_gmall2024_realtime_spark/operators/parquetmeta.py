@@ -30,6 +30,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .codecguard import malformed_guard
+
 _CODEC_NAMES = {
     0: "UNCOMPRESSED", 1: "SNAPPY", 2: "GZIP", 3: "LZO",
     4: "BROTLI", 5: "LZ4", 6: "ZSTD", 7: "LZ4_RAW",
@@ -115,6 +117,7 @@ class _Compact:
             out[fid] = self._value(ftype)
 
 
+@malformed_guard
 def parse_parquet_footer(payload: bytes) -> dict:
     """Raw parquet footer audit. Returns num_rows, n_row_groups,
     n_columns (leaf count), per-file codec set, created_by presence, and

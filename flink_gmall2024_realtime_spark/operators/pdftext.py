@@ -38,6 +38,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .codecguard import malformed_guard
+
 
 def synth_pdf(seed: int) -> bytes:
     """Deterministic PDF: catalog -> pages -> ``seed%4+1`` page objects,
@@ -472,6 +474,7 @@ def _pdf_dict_value(d: bytes, key: bytes) -> bytes | None:
     return rest.strip()
 
 
+@malformed_guard
 def parse_pdf_text(payload: bytes) -> list:
     """REAL PDF text extraction, classic AND 1.5 layouts: startxref ->
     xref TABLE (with trailer dict) or xref STREAM (/Type /XRef, /W binary

@@ -20,6 +20,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .codecguard import malformed_guard
+
 _TS_RE = re.compile(
     r"^(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})\s*$"
 )
@@ -60,6 +62,7 @@ def synth_srt(seed: int) -> bytes:
     return out
 
 
+@malformed_guard
 def parse_srt(payload: bytes) -> list:
     """REAL SRT cue walk: BOM strip, CRLF/LF normalization, blank-line
     cue splitting, strict ``HH:MM:SS,mmm --> HH:MM:SS,mmm`` timestamp

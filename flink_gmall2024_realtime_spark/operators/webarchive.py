@@ -28,6 +28,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .codecguard import malformed_guard
+
 
 def synth_warc_gz(seed: int) -> bytes:
     """Deterministic WARC.gz fixture: one warcinfo record followed by
@@ -130,6 +132,7 @@ _NOISE_ELEMENT_RE = re.compile(
 )
 
 
+@malformed_guard
 def parse_warc(payload: bytes) -> list:
     """REAL WARC record walk over a multi-member .warc.gz: gunzip each
     member, parse WARC headers (type, target URI, declared length), and

@@ -39,6 +39,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .codecguard import malformed_guard
+
 _MAGIC = 0xFD2FB528
 _SKIP_BASE = 0x184D2A50
 
@@ -621,6 +623,7 @@ def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
     out += lits[lit_pos:]
 
 
+@malformed_guard
 def zstd_decompress(payload: bytes) -> bytes:
     """Decode a (multi-)frame zstd payload; skippable frames are skipped,
     content checksums are VERIFIED. Raises ValueError on corruption and

@@ -881,3 +881,55 @@ def test_xz_decoder_inverts_stdlib_compressor(data, preset, check_id):
     assert lzma_alone_decompress(
         lzma.compress(data, format=lzma.FORMAT_ALONE, preset=preset)
     ) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=300), st.integers(0, 11), st.randoms())
+def test_decoders_raise_only_documented_errors(noise, which, rng):
+    """Adversarial-input contract (crawl data contains garbage): every
+    byte-level decoder either parses or raises the DOCUMENTED
+    ValueError / NotImplementedError — never IndexError / KeyError /
+    struct.error / zlib.error leaking from the walk. Inputs are raw
+    fuzz plus bit-flipped/truncated mutations of a valid payload."""
+    from flink_gmall2024_realtime_spark.operators import (
+        archive,
+        avro,
+        bzip2,
+        lz4snappy,
+        lzmadec,
+        orcmeta,
+        parquetmeta,
+        pdftext,
+        zstdcodec,
+    )
+
+    table = [
+        (zstdcodec.zstd_decompress, zstdcodec.synth_zstd_dump),
+        (lz4snappy.lz4_frame_decompress, lz4snappy.synth_lz4_dump),
+        (lz4snappy.snappy_decompress, lz4snappy.synth_snappy_dump),
+        (lzmadec.xz_decompress, lzmadec.synth_xz_dump),
+        (avro.parse_avro, avro.synth_avro),
+        (parquetmeta.parse_parquet_footer, parquetmeta.synth_parquet),
+        (orcmeta.parse_orc_footer, orcmeta.synth_orc),
+        (archive.parse_zip, archive.synth_zip),
+        (archive.parse_tar_gz, archive.synth_tar_gz),
+        (pdftext.parse_pdf_text, pdftext.synth_pdf),
+        (lz4snappy.lz4_block_decompress, None),
+        (bzip2.bz2_decompress, None),
+    ]
+    fn, synth = table[which]
+    cases = [noise]
+    if synth is not None:
+        base = bytearray(synth(7))
+        for _ in range(3):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            if rng.random() < 0.5:
+                b = b[: rng.randrange(len(b))]
+            cases.append(bytes(b))
+    for c in cases:
+        try:
+            fn(c)
+        except (ValueError, NotImplementedError):
+            pass
