@@ -240,6 +240,43 @@ def codec_extras() -> dict:
             decode_png(png)
             best = min(best, time.perf_counter() - t0)
         out[label] = round(mb / best, 1)
+    # r10 compression decoders: decompressed MB/s on a repetitive 1 MB
+    # text (the corpus shape) — interpreted-Python floors, the seams where
+    # a deployment swaps in native codecs; correctness is what the oracle
+    # gates, these rows make the honest cost visible.
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    from flink_gmall2024_realtime_spark.operators.bzip2 import bz2_decompress
+    from flink_gmall2024_realtime_spark.operators.lz4snappy import (
+        lz4_frame_decompress,
+        snappy_decompress,
+    )
+    from flink_gmall2024_realtime_spark.operators.lzmadec import xz_decompress
+    from flink_gmall2024_realtime_spark.operators.zstdcodec import (
+        zstd_compress,
+        zstd_decompress,
+    )
+
+    text = b"\n".join(b"line %d: alpha beta gamma delta tokens" % i for i in range(22000))
+    mbt = len(text) / 1e6
+    import pyarrow as _pa
+
+    payloads = {
+        "zstd_decode_mbps": (zstd_decompress, zstd_compress(text)),
+        "lz4_decode_mbps": (lz4_frame_decompress, bytes(_pa.Codec("lz4").compress(text))),
+        "snappy_decode_mbps": (snappy_decompress, bytes(_pa.Codec("snappy").compress(text))),
+        "xz_decode_mbps": (xz_decompress, _lzma.compress(text, preset=1)),
+        "bz2_decode_mbps": (bz2_decompress, _bz2.compress(text, 1)),
+    }
+    for label, (fn, payload) in payloads.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            got = fn(payload)
+            best = min(best, time.perf_counter() - t0)
+        assert got == text
+        out[label] = round(mbt / best, 2)
     return out
 
 

@@ -1296,3 +1296,31 @@ def test_streaming_zstd_ingestion_matches_batch(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in spark.sql("select * from zstd_stream").collect()}
     want = {tuple(r) for r in zstd_dump_stats(payloads).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_xz_and_lz4_ingestion_match_batch(spark, sf_dir, tmp_path):
+    """The remaining r10 codec gates stream too: .xz and .lz4 shards
+    landing as files decode per micro-batch, drained tables equal the
+    batch runs row-for-row."""
+    from flink_gmall2024_realtime_spark.operators import multimodal
+    from flink_gmall2024_realtime_spark.operators.lz4snappy import (
+        lz4_dump_stats,
+    )
+    from flink_gmall2024_realtime_spark.operators.lzmadec import xz_dump_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(30)
+    for kind, op, view in (("xz_dump", xz_dump_stats, "xz_stream"),
+                           ("lz4_dump", lz4_dump_stats, "lz4_stream")):
+        payloads = multimodal.synth_media(docs, "doc_id", kind)
+        src = os.path.join(str(tmp_path), f"{kind}_landing")
+        payloads.filter(F.col("media_id") % 2 == 0).write.parquet(os.path.join(src, "f0"))
+        payloads.filter(F.col("media_id") % 2 == 1).write.parquet(os.path.join(src, "f1"))
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        run_stream(op(stream), str(tmp_path), view)
+        got = {tuple(r) for r in spark.sql(f"select * from {view}").collect()}
+        want = {tuple(r) for r in op(payloads).collect()}
+        assert got == want and len(want) > 0, kind
