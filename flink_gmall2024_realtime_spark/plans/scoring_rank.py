@@ -651,6 +651,71 @@ def parquet_footer_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "crawl_to_corpus",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, doc_id % 6 + 1 AS n FROM documents
+),
+f AS (
+  SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS k FROM p
+),
+r AS (
+  SELECT 'site' || (doc_id % 1000) || '.example' AS host,
+         'http://site' || (doc_id % 1000) || '.example/page' || k AS uri,
+         CASE WHEN (doc_id + k) % 5 = 0 THEN 404 ELSE 200 END AS status,
+         CASE WHEN (doc_id + k) % 5 = 0 THEN 0
+              ELSE (doc_id + 3 * k) % 40 + 5 END AS toks
+  FROM f
+),
+kept AS (
+  SELECT host, toks,
+         CASE WHEN {md5_long_sql_duckdb("uri")} % 100 < 90
+              THEN 'train' ELSE 'heldout' END AS split
+  FROM r WHERE status = 200 AND toks >= 15
+)
+SELECT host, split,
+       count(*)::BIGINT AS n_docs,
+       SUM(toks)::BIGINT AS n_tokens
+FROM kept GROUP BY host, split
+""",
+    survey_ids=("text-quality", "sample-split"),
+)
+def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pipeline composition (r10): the crawl-to-training-corpus
+    path a user of this engine actually runs, as ONE declarative plan —
+    real WARC decode (multi-member gunzip + HTTP parse, Arrow batches) ->
+    OK-page filter -> quality gate (token floor, JVM-side) ->
+    deterministic train/heldout split by uri hash (the sample-split
+    recipe, md5-derived so the oracle reproduces it bit-for-bit) ->
+    per-(host, split) corpus accounting. Every stage is an
+    already-oracle-checked operator; this entry locks the COMPOSITION:
+    one Arrow pass feeds codegen filters and one hash aggregate, no
+    intermediate materialization. Linear; the only shuffle is the final
+    groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "warc_gz")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/warc"
+    )
+    from ..operators.webarchive import warc_records
+
+    recs = warc_records(media)
+    kept = recs.filter(
+        (F.col("http_status") == 200) & (F.col("n_text_tokens") >= 15)
+    ).select(
+        F.regexp_extract("uri", r"http://([^/]+)/", 1).alias("host"),
+        F.col("n_text_tokens").alias("toks"),
+        F.when(md5_long(F.col("uri")) % 100 < 90, "train")
+        .otherwise("heldout")
+        .alias("split"),
+    )
+    return kept.groupBy("host", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+    )
+
+
+@register(
     "xz_dump_ingest",
     oracle="""
 WITH p AS (SELECT doc_id, doc_id % 30 + 8 AS n FROM documents),
