@@ -746,12 +746,16 @@ def _fse_encode_states(table: _FseTable, codes: list[int]) -> tuple[int, list[tu
     return state, updates
 
 
-def _huf_flat_code(lits: bytes) -> tuple[bytes, dict[int, tuple[int, int]], int]:
-    """Flat canonical Huffman code over the distinct bytes of ``lits``:
-    tree description (direct 4-bit weights, last implied) + per-symbol
-    (code, nbits) map + max_bits. Requires >= 2 distinct bytes and max
-    symbol < 128 (ASCII fixture text)."""
-    present = sorted(set(lits))
+def _huf_flat_code(
+    lits: bytes, extra_alphabet: set | None = None
+) -> tuple[bytes, dict[int, tuple[int, int]], int]:
+    """Flat canonical Huffman code over the distinct bytes of ``lits``
+    (plus ``extra_alphabet``, so a frame's FIRST table can cover bytes
+    later blocks will need for treeless reuse): tree description (direct
+    4-bit weights, last implied) + per-symbol (code, nbits) map +
+    max_bits. Requires >= 2 distinct bytes and max symbol < 128 (ASCII
+    fixture text)."""
+    present = sorted(set(lits) | (extra_alphabet or set()))
     d = len(present)
     max_bits = max(1, (d - 1).bit_length())
     excess = (1 << max_bits) - d  # symbols promoted to the shorter length
@@ -799,10 +803,19 @@ def _ml_code(ml: int) -> int:
     raise AssertionError
 
 
-def _compress_block(chunk: bytes, history: bytes) -> bytes | None:
+def _compress_block(
+    chunk: bytes, history: bytes, reuse: dict | None = None
+) -> bytes | None:
     """One compressed zstd block for ``chunk`` (with ``history`` = frame
     bytes already emitted, reachable by match offsets). Returns None when
-    the compressed form would not be smaller (caller emits a raw block)."""
+    the compressed form would not be smaller (caller emits a raw block).
+
+    ``reuse`` carries encoder continuity across a frame's blocks so the
+    TABLE-REUSE decode paths ride the oracle-checked fixture too: once a
+    block has shipped a Huffman description, later blocks whose literals
+    stay inside that alphabet emit TRELESS (type 3) literals, and once a
+    block has carried sequences, later ones select Repeat_Mode (3) for
+    all three FSE tables."""
     base = len(history)
     data = history + chunk
     # greedy matcher over 4-byte anchors
@@ -838,13 +851,30 @@ def _compress_block(chunk: bytes, history: bytes) -> bytes | None:
     lits = bytes(lits)
     # literals section
     lit_sec = None
-    if len(set(lits)) >= 2 and len(lits) >= 16 and max(lits) < 128:
-        desc, codemap, _mb = _huf_flat_code(lits)
+    new_codemap = None
+    prev = reuse.get("codemap") if reuse else None
+    if prev is not None and lits and set(lits) <= prev.keys():
+        # TRELESS: reuse the frame's previous Huffman table (type 3);
+        # chosen for coverage whenever legal — the whole-body < chunk
+        # gate below still guarantees net compression
+        stream = _pack_backward([prev[b] for b in lits])
+        if len(stream) <= 1023 and len(lits) <= 1023:
+            v = 3 | (0 << 2) | (len(lits) << 4) | (len(stream) << 14)
+            lit_sec = v.to_bytes(3, "little") + stream
+    if lit_sec is None and len(set(lits)) >= 2 and len(lits) >= 16 and max(lits) < 128:
+        # first table covers the whole chunk alphabet so later blocks of
+        # the same text can reuse it treeless
+        extra = set(chunk) if (reuse is not None and max(chunk) < 128) else None
+        desc, codemap, _mb = _huf_flat_code(lits, extra)
         stream = _pack_backward([codemap[b] for b in lits])
         comp = desc + stream
-        if len(comp) < len(lits) and len(comp) <= 1023 and len(lits) <= 1023:
+        # the first table is an investment: later blocks reuse it TRELESS,
+        # so accept paying the description once even at small literal runs
+        slack = 0 if (reuse is None or "codemap" in reuse) else len(desc)
+        if len(comp) < len(lits) + slack and len(comp) <= 1023 and len(lits) <= 1023:
             v = 2 | (0 << 2) | (len(lits) << 4) | (len(comp) << 14)
             lit_sec = v.to_bytes(3, "little") + comp
+            new_codemap = codemap
     if lit_sec is None:
         if len(lits) and len(set(lits)) == 1:
             if len(lits) < 32:
@@ -860,12 +890,19 @@ def _compress_block(chunk: bytes, history: bytes) -> bytes | None:
     # sequences section
     if not seqs:
         body = lit_sec + b"\x00"
-        return body if len(body) < len(chunk) else None
+        if len(body) < len(chunk):
+            if reuse is not None and new_codemap is not None:
+                reuse["codemap"] = new_codemap
+            return body
+        return None
     ll_codes = [_ll_code(s[0]) for s in seqs]
     of_values = [s[1] + 3 for s in seqs]
     of_codes = [v.bit_length() - 1 for v in of_values]
     ml_codes = [_ml_code(s[2]) for s in seqs]
     ll_t, ml_t, of_t = _predef_tables()
+    # Repeat_Mode (3) for all three tables once a block has carried
+    # sequences this frame — the decoder must replay its stored tables
+    modes = 0xFC if (reuse and reuse.get("have_seq_tables")) else 0x00
     ll_init, ll_upd = _fse_encode_states(ll_t, ll_codes)
     of_init, of_upd = _fse_encode_states(of_t, of_codes)
     ml_init, ml_upd = _fse_encode_states(ml_t, ml_codes)
@@ -881,8 +918,14 @@ def _compress_block(chunk: bytes, history: bytes) -> bytes | None:
             parts.append(ml_upd[k])
             parts.append(of_upd[k])
     stream = _pack_backward(parts)
-    body = lit_sec + bytes([nseq]) + b"\x00" + stream
-    return body if len(body) < len(chunk) else None
+    body = lit_sec + bytes([nseq, modes]) + stream
+    if len(body) < len(chunk):
+        if reuse is not None:
+            if new_codemap is not None:
+                reuse["codemap"] = new_codemap
+            reuse["have_seq_tables"] = True
+        return body
+    return None
 
 
 def zstd_compress(data: bytes) -> bytes:
@@ -902,9 +945,10 @@ def zstd_compress(data: bytes) -> bytes:
     out += fcs
     chunks = [data[i : i + 1000] for i in range(0, n, 1000)] or [b""]
     done = 0
+    reuse: dict = {}
     for ci, chunk in enumerate(chunks):
         last = 1 if ci == len(chunks) - 1 else 0
-        comp = _compress_block(chunk, data[:done]) if chunk else None
+        comp = _compress_block(chunk, data[:done], reuse) if chunk else None
         if comp is not None:
             out += ((len(comp) << 3) | (2 << 1) | last).to_bytes(3, "little")
             out += comp
