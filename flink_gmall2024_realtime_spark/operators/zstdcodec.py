@@ -871,7 +871,24 @@ def _compress_block(
         # the first table is an investment: later blocks reuse it TRELESS,
         # so accept paying the description once even at small literal runs
         slack = 0 if (reuse is None or "codemap" in reuse) else len(desc)
-        if len(comp) < len(lits) + slack and len(comp) <= 1023 and len(lits) <= 1023:
+        if len(lits) >= 16:
+            # 4-STREAM layout (Size_Format 01): three (rs+3)//4-literal
+            # streams + remainder, 6-byte jump table — puts the decoder's
+            # 4-stream path on the oracle-checked fixture too
+            per = (len(lits) + 3) // 4
+            streams = [
+                _pack_backward([codemap[b] for b in lits[k * per : (k + 1) * per]])
+                for k in range(3)
+            ] + [_pack_backward([codemap[b] for b in lits[3 * per :]])]
+            body4 = struct.pack(
+                "<HHH", len(streams[0]), len(streams[1]), len(streams[2])
+            ) + b"".join(streams)
+            comp4 = desc + body4
+            if len(comp4) < len(lits) + slack and len(comp4) <= 1023 and len(lits) <= 1023:
+                v = 2 | (1 << 2) | (len(lits) << 4) | (len(comp4) << 14)
+                lit_sec = v.to_bytes(3, "little") + comp4
+                new_codemap = codemap
+        if lit_sec is None and len(comp) < len(lits) + slack and len(comp) <= 1023 and len(lits) <= 1023:
             v = 2 | (0 << 2) | (len(lits) << 4) | (len(comp) << 14)
             lit_sec = v.to_bytes(3, "little") + comp
             new_codemap = codemap
