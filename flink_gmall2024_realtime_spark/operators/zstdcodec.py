@@ -710,6 +710,95 @@ def zstd_decompress(payload: bytes) -> bytes:
 # exercise OUR decoder end-to-end with no runtime external dependency.
 
 
+class _FwdWriter:
+    """Forward LSB-first bit writer (FSE table descriptions)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def bytes(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.nbits:
+            out.append(self.acc & 0xFF)
+        return bytes(out)
+
+
+def fse_write_distribution(al: int, probs: list[int]) -> bytes:
+    """Inverse of ``fse_read_distribution`` (FSE_writeNCount): 4-bit
+    accuracy-log offset, threshold-coded probabilities, 2-bit zero-repeat
+    flags, byte-aligned."""
+    w = _FwdWriter()
+    w.write(al - 5, 4)
+    remaining = (1 << al) + 1
+    i = 0
+    while remaining > 1 and i < len(probs):
+        p = probs[i]
+        i += 1
+        val = p + 1
+        bits = remaining.bit_length()
+        lower_mask = (1 << (bits - 1)) - 1
+        max_small = (1 << bits) - 1 - remaining
+        if val < max_small:
+            w.write(val, bits - 1)
+        elif val <= lower_mask:
+            w.write(val, bits)
+        else:
+            w.write(val + max_small, bits)
+        remaining -= -p if p < 0 else p
+        if p == 0:
+            # run of additional zero symbols as 2-bit repeat flags
+            run = 0
+            while i < len(probs) and probs[i] == 0 and remaining > 1:
+                run += 1
+                i += 1
+            while run >= 3:
+                w.write(3, 2)
+                run -= 3
+            w.write(run, 2)
+    return w.bytes()
+
+
+def _normalize_counts(codes: list[int], al: int, n_symbols: int) -> list[int]:
+    """Histogram -> normalized probabilities summing to exactly 2^al,
+    every present symbol >= 1 (fixture-grade largest-remainder)."""
+    size = 1 << al
+    counts = [0] * n_symbols
+    for c in codes:
+        counts[c] += 1
+    if sum(1 for c in counts if c) > size:
+        raise ValueError("more distinct symbols than FSE table cells")
+    total = len(codes)
+    probs = [max(1, (c * size) // total) if c else 0 for c in counts]
+    diff = size - sum(probs)
+    order = sorted(
+        (k for k in range(n_symbols) if counts[k]),
+        key=lambda k: -counts[k],
+    )
+    j = 0
+    while diff != 0:
+        k = order[j % len(order)]
+        if diff > 0:
+            probs[k] += 1
+            diff -= 1
+        elif probs[k] > 1:
+            probs[k] -= 1
+            diff += 1
+        j += 1
+    while probs and probs[-1] == 0:
+        probs.pop()
+    return probs
+
+
 def _pack_backward(parts: list[tuple[int, int]]) -> bytes:
     """Pack (value, width) pairs, first-read first, into a backward
     bitstream with the sentinel bit."""
@@ -916,10 +1005,36 @@ def _compress_block(
     of_values = [s[1] + 3 for s in seqs]
     of_codes = [v.bit_length() - 1 for v in of_values]
     ml_codes = [_ml_code(s[2]) for s in seqs]
-    ll_t, ml_t, of_t = _predef_tables()
-    # Repeat_Mode (3) for all three tables once a block has carried
-    # sequences this frame — the decoder must replay its stored tables
-    modes = 0xFC if (reuse and reuse.get("have_seq_tables")) else 0x00
+
+    def _covers(t: _FseTable, cs: list[int]) -> bool:
+        have = set(t.symbols)
+        return all(c in have for c in cs)
+
+    stored = reuse.get("tables") if reuse else None
+    table_desc = b""
+    if stored is not None and all(
+        _covers(t, cs)
+        for t, cs in zip(stored, (ll_codes, of_codes, ml_codes))
+    ):
+        # Repeat_Mode (3): the decoder replays its stored tables
+        ll_t, of_t, ml_t = stored
+        modes = 0xFC
+    elif len(seqs) >= 16:
+        # FSE_Compressed_Mode (2): ship custom normalized tables — the
+        # in-format path real encoders take for bigger blocks
+        ll_p = _normalize_counts(ll_codes, 6, 36)
+        of_p = _normalize_counts(of_codes, 5, 29)
+        ml_p = _normalize_counts(ml_codes, 6, 53)
+        ll_t, of_t, ml_t = _FseTable(6, ll_p), _FseTable(5, of_p), _FseTable(6, ml_p)
+        modes = (2 << 6) | (2 << 4) | (2 << 2)
+        table_desc = (
+            fse_write_distribution(6, ll_p)
+            + fse_write_distribution(5, of_p)
+            + fse_write_distribution(6, ml_p)
+        )
+    else:
+        ll_t, ml_t, of_t = _predef_tables()
+        modes = 0x00
     ll_init, ll_upd = _fse_encode_states(ll_t, ll_codes)
     of_init, of_upd = _fse_encode_states(of_t, of_codes)
     ml_init, ml_upd = _fse_encode_states(ml_t, ml_codes)
@@ -935,12 +1050,12 @@ def _compress_block(
             parts.append(ml_upd[k])
             parts.append(of_upd[k])
     stream = _pack_backward(parts)
-    body = lit_sec + bytes([nseq, modes]) + stream
+    body = lit_sec + bytes([nseq, modes]) + table_desc + stream
     if len(body) < len(chunk):
         if reuse is not None:
             if new_codemap is not None:
                 reuse["codemap"] = new_codemap
-            reuse["have_seq_tables"] = True
+            reuse["tables"] = (ll_t, of_t, ml_t)
         return body
     return None
 

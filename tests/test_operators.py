@@ -4024,3 +4024,64 @@ def test_xz_decode_corruption():
         xz_decompress(p2)
     two = p + lzma.compress(b"tail", format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC64)
     assert xz_decompress(two) == data + b"tail"
+
+
+def test_zstd_fixture_covers_table_modes_and_fse_writer_roundtrips():
+    """The oracle-path fixture exercises the decoder's table machinery:
+    across 40 seeds the blocks carry FSE_Compressed (custom normalized
+    tables via the in-repo FSE_writeNCount inverse), Predefined, Treeless
+    literals AND 4-stream literals; the distribution writer round-trips
+    through the reader for arbitrary normalized histograms."""
+    import random
+
+    from flink_gmall2024_realtime_spark.operators import zstdcodec as z
+
+    lit_types = set()
+    seq_modes = set()
+    orig = z._compress_block
+
+    def spy(chunk, history, reuse=None):
+        out = orig(chunk, history, reuse)
+        if out is not None:
+            b0 = out[0]
+            t = b0 & 3
+            lit_types.add((t, (b0 >> 2) & 3))
+            if t in (0, 1):
+                sf = (b0 >> 2) & 3
+                h, rs = (1, b0 >> 3) if sf & 1 == 0 else (
+                    (2, (b0 >> 4) | (out[1] << 4)) if sf == 1
+                    else (3, (b0 >> 4) | (out[1] << 4) | (out[2] << 12)))
+                p = h + (rs if t == 0 else 1)
+            else:
+                v = b0 | (out[1] << 8) | (out[2] << 16)
+                p = 3 + ((v >> 14) & 0x3FF)
+            if out[p]:
+                seq_modes.add(out[p + 1])
+        return out
+
+    z._compress_block = spy
+    try:
+        for seed in range(40):
+            payload = z.synth_zstd_dump(seed)
+            text = z.zstd_decompress(payload)
+            assert text.count(b"\n") + 1 == seed % 36 + 8, seed
+    finally:
+        z._compress_block = orig
+    assert (2, 1) in lit_types, "4-stream fresh-table literals missing"
+    assert any(t == 3 for t, _sf in lit_types), "treeless literals missing"
+    assert 0xA8 in seq_modes, "FSE_Compressed sequence tables missing"
+    assert 0x00 in seq_modes, "predefined sequence tables missing"
+
+    rnd = random.Random(1)
+    for _ in range(50):
+        al = rnd.choice([5, 6, 8])
+        nsym = rnd.randint(2, min(36, 1 << al))
+        codes = [rnd.randrange(nsym) for _ in range(rnd.randint(16, 300))]
+        probs = z._normalize_counts(codes, al, nsym)
+        assert sum(probs) == 1 << al
+        got_al, got = z.fse_read_distribution(
+            z._Fwd(z.fse_write_distribution(al, probs)), 256
+        )
+        pad = max(len(probs), len(got))
+        assert got_al == al
+        assert probs + [0] * (pad - len(probs)) == got + [0] * (pad - len(got))
