@@ -114,7 +114,11 @@ def _decode(r: _Reader, schema) -> object:
                     k = r.read(r.zigzag()).decode("utf-8")
                     out[k] = _decode(r, schema["values"])
         if t == "enum":
-            return schema["symbols"][r.zigzag()]
+            idx = r.zigzag()
+            syms = schema["symbols"]
+            if not 0 <= idx < len(syms):
+                raise ValueError(f"avro enum index {idx} out of range")
+            return syms[idx]
         if t == "fixed":
             return r.read(schema["size"])
         schema = t  # e.g. {"type": "string"} wrapper

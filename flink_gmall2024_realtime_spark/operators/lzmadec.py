@@ -46,7 +46,14 @@ class _RangeDecoder:
     """LZMA range decoder: 32-bit range/code, 11-bit adaptive
     probabilities (move-ratio 1/32), byte-at-a-time normalization."""
 
-    __slots__ = ("d", "i", "range", "code")
+    __slots__ = ("d", "i", "range", "code", "pad")
+
+    # Real decoders fail with an input-exhaustion error once they need
+    # bytes past the stream end; a tiny slack covers the encoder's final
+    # flush, anything beyond it is corruption (an unknown-size .lzma
+    # whose end marker never arrives would otherwise decode zero padding
+    # as literals forever — unbounded output growth on an 18-byte input).
+    _MAX_PAD = 16
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.d = data
@@ -55,11 +62,18 @@ class _RangeDecoder:
         self.code = int.from_bytes(data[pos + 1 : pos + 5], "big")
         self.i = pos + 5
         self.range = 0xFFFFFFFF
+        self.pad = 0
 
     def _norm(self) -> None:
         if self.range < (1 << 24):
             self.range = (self.range << 8) & 0xFFFFFFFF
-            b = self.d[self.i] if self.i < len(self.d) else 0
+            if self.i < len(self.d):
+                b = self.d[self.i]
+            else:
+                self.pad += 1
+                if self.pad > self._MAX_PAD:
+                    raise ValueError("LZMA input exhausted before stream end")
+                b = 0
             self.code = ((self.code << 8) | b) & 0xFFFFFFFF
             self.i += 1
 
@@ -151,35 +165,41 @@ def _decode_lzma_stream(
     out: bytearray,
     st: _LzmaState,
     limit: int | None,
+    base: int = 0,
 ) -> int:
     """Decode one range-coded LZMA stream starting at ``pos`` into
     ``out`` until ``limit`` output bytes exist (or the end marker when
-    ``limit`` is None). Returns the input position after the stream."""
+    ``limit`` is None). Returns the input position after the stream.
+
+    ``base`` is the dictionary-reset offset into ``out``: match
+    distances may not reach below it and the position feeding pos_state
+    / literal context restarts there (an LZMA2 mid-block dict reset
+    decodes exactly as if the dictionary were empty)."""
     rc = _RangeDecoder(data, pos)
     pb_mask = (1 << st.pb) - 1
     lp_mask = (1 << st.lp) - 1
     while limit is None or len(out) < limit:
-        pos_state = len(out) & pb_mask
+        pos_state = (len(out) - base) & pb_mask
         if rc.bit(st.is_match, (st.state << 4) | pos_state) == 0:
             # literal
-            prev = out[-1] if out else 0
-            ctx = ((len(out) & lp_mask) << st.lc) + (prev >> (8 - st.lc))
-            base = 0x300 * ctx
+            prev = out[-1] if len(out) > base else 0
+            ctx = (((len(out) - base) & lp_mask) << st.lc) + (prev >> (8 - st.lc))
+            lit_base = 0x300 * ctx
             sym = 1
             if st.state >= 7:
                 match_byte = out[-st.reps[0] - 1]
                 while sym < 0x100:
                     match_bit = (match_byte >> 7) & 1
                     match_byte = (match_byte << 1) & 0xFF
-                    b = rc.bit(st.literal, base + ((1 + match_bit) << 8) + sym)
+                    b = rc.bit(st.literal, lit_base + ((1 + match_bit) << 8) + sym)
                     sym = (sym << 1) | b
                     if match_bit != b:
                         while sym < 0x100:
-                            sym = (sym << 1) | rc.bit(st.literal, base + sym)
+                            sym = (sym << 1) | rc.bit(st.literal, lit_base + sym)
                         break
             else:
                 while sym < 0x100:
-                    sym = (sym << 1) | rc.bit(st.literal, base + sym)
+                    sym = (sym << 1) | rc.bit(st.literal, lit_base + sym)
             out.append(sym & 0xFF)
             st.state = 0 if st.state < 4 else (st.state - 3 if st.state < 10 else st.state - 6)
             continue
@@ -208,6 +228,8 @@ def _decode_lzma_stream(
             if rc.bit(st.is_rep_g0, st.state) == 0:
                 if rc.bit(st.is_rep0_long, (st.state << 4) | pos_state) == 0:
                     # short rep: one byte at rep0
+                    if st.reps[0] + 1 > len(out) - base:
+                        raise ValueError("LZMA match distance beyond dictionary")
                     st.state = 9 if st.state < 7 else 11
                     out.append(out[-st.reps[0] - 1])
                     continue
@@ -224,8 +246,8 @@ def _decode_lzma_stream(
             length = st.rep_len_coder.decode(rc, pos_state)
             st.state = 8 if st.state < 7 else 11
         d = st.reps[0] + 1
-        if d > len(out):
-            raise ValueError("LZMA match distance beyond output")
+        if d > len(out) - base:
+            raise ValueError("LZMA match distance beyond dictionary")
         if d >= length:
             start = len(out) - d
             out += out[start : start + length]
@@ -265,6 +287,7 @@ def lzma2_decompress(data: bytes, pos: int = 0) -> tuple[bytes, int]:
     position after the 0x00 end marker)."""
     out = bytearray()
     st: _LzmaState | None = None
+    base = 0  # dictionary-reset offset into ``out``
     while True:
         if pos >= len(data):
             raise ValueError("LZMA2 stream missing end marker")
@@ -275,6 +298,8 @@ def lzma2_decompress(data: bytes, pos: int = 0) -> tuple[bytes, int]:
         if ctrl < 0x80:
             if ctrl > 2:
                 raise ValueError(f"bad LZMA2 control byte {ctrl:#x}")
+            if ctrl == 1:  # uncompressed chunk WITH dict reset
+                base = len(out)
             size = int.from_bytes(data[pos : pos + 2], "big") + 1
             pos += 2
             chunk = data[pos : pos + size]
@@ -289,6 +314,8 @@ def lzma2_decompress(data: bytes, pos: int = 0) -> tuple[bytes, int]:
         packed = int.from_bytes(data[pos + 2 : pos + 4], "big") + 1
         pos += 4
         reset = (ctrl >> 5) & 3
+        if reset == 3:  # props + state + DICT reset
+            base = len(out)
         if reset >= 2:
             d = data[pos]
             pos += 1
@@ -304,7 +331,7 @@ def lzma2_decompress(data: bytes, pos: int = 0) -> tuple[bytes, int]:
         chunk = data[pos : pos + packed]
         if len(chunk) < packed:
             raise ValueError("truncated LZMA2 chunk")
-        end = _decode_lzma_stream(chunk, 0, out, st, len(out) + unpack)
+        end = _decode_lzma_stream(chunk, 0, out, st, len(out) + unpack, base)
         if end > packed:
             raise ValueError("LZMA2 chunk overran its packed size")
         pos += packed

@@ -183,14 +183,17 @@ class _Fwd:
 # ------------------------------------------------------------------ FSE
 
 
-def fse_read_distribution(fwd: _Fwd, max_symbols: int = 256) -> tuple[int, list[int]]:
+def fse_read_distribution(
+    fwd: _Fwd, max_symbols: int = 256, max_al: int = 9
+) -> tuple[int, list[int]]:
     """FSE table description (RFC 8878 §4.1.1): 4-bit accuracy-log offset
     then variable-bit probabilities with the low/high threshold trick and
     2-bit zero-repeat flags. Returns (accuracy_log, probs) where -1 means
-    the 'less than 1' probability."""
+    the 'less than 1' probability. ``max_al`` is the per-table spec cap
+    (RFC 8878 §3.1.1.3.2.1.1: LL/ML 9, OF 8, Huffman weights 6)."""
     al = fwd.read(4) + 5
-    if al > 9:  # spec maximum (LL/ML 9, OF 8, Huffman weights 6)
-        raise ValueError(f"FSE accuracy log {al} out of range")
+    if al > max_al:
+        raise ValueError(f"FSE accuracy log {al} out of range (max {max_al})")
     remaining = (1 << al) + 1
     probs: list[int] = []
     while remaining > 1 and len(probs) < max_symbols:
@@ -298,9 +301,7 @@ def _huf_read_weights(data: bytes) -> tuple[list[int], int]:
         if len(comp) < hb:
             raise ValueError("truncated FSE-compressed Huffman weights")
         fwd = _Fwd(comp)
-        al, probs = fse_read_distribution(fwd, max_symbols=256)
-        if al > 6:
-            raise ValueError("Huffman-weight FSE accuracy log > 6")
+        al, probs = fse_read_distribution(fwd, max_symbols=256, max_al=6)
         table = _FseTable(al, probs)
         consumed = fwd.byte_align()
         back = _Back(comp[consumed:])
@@ -535,10 +536,10 @@ def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
     tables = []
     fwd_bytes = rest[p:]
     fpos = 0
-    for name, mode_shift, predef_idx, max_sym in (
-        ("ll", 6, 0, 36),
-        ("of", 4, 2, 32),
-        ("ml", 2, 1, 53),
+    for name, mode_shift, predef_idx, max_sym, max_al in (
+        ("ll", 6, 0, 36, 9),
+        ("of", 4, 2, 32, 8),
+        ("ml", 2, 1, 53, 9),
     ):
         mode = (modes >> mode_shift) & 3
         if mode == 0:
@@ -548,7 +549,7 @@ def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
             fpos += 1
         elif mode == 2:
             fwd = _Fwd(fwd_bytes[fpos:])
-            al, probs = fse_read_distribution(fwd, max_symbols=max_sym)
+            al, probs = fse_read_distribution(fwd, max_symbols=max_sym, max_al=max_al)
             tables.append(_FseTable(al, probs))
             fpos += fwd.byte_align()
         else:

@@ -4026,6 +4026,113 @@ def test_xz_decode_corruption():
     assert xz_decompress(two) == data + b"tail"
 
 
+def test_lzma_alone_input_exhaustion_raises():
+    """ADVICE r10: an unknown-size .lzma whose end marker never arrives
+    must raise (input exhaustion), not decode range-coder zero padding
+    as literals forever. 18-byte repro: valid header + 5 code bytes,
+    zero actual stream bytes."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.lzmadec import (
+        lzma_alone_decompress,
+    )
+
+    hdr = bytes([0x5D]) + (1 << 20).to_bytes(4, "little")
+    payload = hdr + b"\xff" * 8 + b"\x00\x00\x00\x00\x00"  # usize unknown
+    assert len(payload) == 18
+    with _pytest.raises(ValueError):
+        lzma_alone_decompress(payload)
+    # truncated mid-stream with unknown size must also terminate loudly
+    import lzma
+
+    full = lzma.compress(b"lorem ipsum " * 200, format=lzma.FORMAT_ALONE)
+    with _pytest.raises(ValueError):
+        lzma_alone_decompress(full[: len(full) // 2])
+
+
+def test_lzma2_dict_reset_boundary():
+    """ADVICE r10: LZMA2 dict resets restart the dictionary AND the
+    position context. A stream decoded after a dict reset must produce
+    the same bytes as if the dictionary were empty — match distances
+    bounded by the reset point, pos_state/literal context rebased."""
+    import lzma
+
+    from flink_gmall2024_realtime_spark.operators.lzmadec import (
+        _decode_lzma_stream,
+        _LzmaState,
+        lzma2_decompress,
+    )
+
+    data = b"abcabcabcabc the quick brown fox jumps over " * 8
+    raw = lzma.compress(data, format=lzma.FORMAT_ALONE, preset=6)
+    d = raw[0]
+    lc, lp, pb = d % 9, (d // 9) % 5, d // 45
+    out0 = bytearray()
+    _decode_lzma_stream(raw, 13, out0, _LzmaState(lc, lp, pb), len(data))
+    assert bytes(out0) == data
+    # same stream into a pre-filled buffer with base=5: must decode
+    # IDENTICALLY (pos_state fed from len(out)-base, distances bounded)
+    out1 = bytearray(b"XXXXX")
+    _decode_lzma_stream(
+        raw, 13, out1, _LzmaState(lc, lp, pb), 5 + len(data), base=5
+    )
+    assert bytes(out1[5:]) == data
+    # manual LZMA2 uncompressed chunks: ctrl=1 resets dict, ctrl=2 extends
+    c1, c2 = b"hello", b"world"
+    s = (
+        bytes([1]) + (len(c1) - 1).to_bytes(2, "big") + c1
+        + bytes([2]) + (len(c2) - 1).to_bytes(2, "big") + c2
+        + b"\x00"
+    )
+    out, pos = lzma2_decompress(s)
+    assert out == b"helloworld" and pos == len(s)
+
+
+def test_fse_per_table_accuracy_log_caps():
+    """ADVICE r10: RFC 8878 caps the offset-table accuracy log at 8 and
+    Huffman weights at 6; a description declaring AL=9 must be rejected
+    for those tables while remaining legal for LL/ML."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.zstdcodec import (
+        _Fwd,
+        fse_read_distribution,
+    )
+
+    # low nibble 4 -> accuracy log 4+5 = 9
+    blob = b"\x04" + b"\x00" * 8
+    with _pytest.raises(ValueError, match="accuracy log"):
+        fse_read_distribution(_Fwd(blob), max_symbols=32, max_al=8)
+    with _pytest.raises(ValueError, match="accuracy log"):
+        fse_read_distribution(_Fwd(blob), max_symbols=256, max_al=6)
+    # AL=9 remains legal for LL/ML: whatever else the zero-fill blob
+    # trips on, it must get PAST the accuracy-log gate
+    try:
+        al, _ = fse_read_distribution(_Fwd(blob), max_symbols=36, max_al=9)
+        assert al == 9
+    except ValueError as e:
+        assert "accuracy log" not in str(e)
+
+
+def test_avro_enum_index_bounds():
+    """ADVICE r10: a corrupt negative/overflowing enum index must raise,
+    not silently wrap through Python negative indexing."""
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.avro import (
+        _decode,
+        _Reader,
+        _zz,
+    )
+
+    schema = {"type": "enum", "name": "E", "symbols": ["A", "B", "C"]}
+    assert _decode(_Reader(_zz(2)), schema) == "C"
+    with _pytest.raises(ValueError, match="enum index"):
+        _decode(_Reader(_zz(-1)), schema)
+    with _pytest.raises(ValueError, match="enum index"):
+        _decode(_Reader(_zz(3)), schema)
+
+
 def test_zstd_fixture_covers_table_modes_and_fse_writer_roundtrips():
     """The oracle-path fixture exercises the decoder's table machinery:
     across 40 seeds the blocks carry FSE_Compressed (custom normalized

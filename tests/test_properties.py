@@ -883,8 +883,15 @@ def test_xz_decoder_inverts_stdlib_compressor(data, preset, check_id):
     ) == data
 
 
+def _synth_lzma_alone(seed: int) -> bytes:
+    import lzma
+
+    text = b"\n".join(b"doc %d word %d" % (seed, i) for i in range(seed % 20 + 5))
+    return lzma.compress(text, format=lzma.FORMAT_ALONE, preset=seed % 3)
+
+
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 11), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 12), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -916,6 +923,7 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (pdftext.parse_pdf_text, pdftext.synth_pdf),
         (lz4snappy.lz4_block_decompress, None),
         (bzip2.bz2_decompress, None),
+        (lzmadec.lzma_alone_decompress, _synth_lzma_alone),
     ]
     fn, synth = table[which]
     cases = [noise]
