@@ -277,6 +277,29 @@ def codec_extras() -> dict:
             best = min(best, time.perf_counter() - t0)
         assert got == text
         out[label] = round(mbt / best, 2)
+    # r11 fast-path dispatch (operators/fastpath.py): the C codecs the
+    # ingestion entries now actually run, with the spec decoders above
+    # retained as sampled cross-verification oracles. These rows ARE the
+    # 100 TB decode engine; the *_decode_mbps rows above are the oracle
+    # floors kept for honesty.
+    from flink_gmall2024_realtime_spark.operators.fastpath import fast_decoder
+
+    fast_payloads = {
+        "zstd_fastpath_mbps": ("zstd", payloads["zstd_decode_mbps"][1]),
+        "lz4_fastpath_mbps": ("lz4", payloads["lz4_decode_mbps"][1]),
+        "snappy_fastpath_mbps": ("snappy", payloads["snappy_decode_mbps"][1]),
+        "xz_fastpath_mbps": ("xz", payloads["xz_decode_mbps"][1]),
+        "bz2_fastpath_mbps": ("bz2", payloads["bz2_decode_mbps"][1]),
+    }
+    for label, (family, payload) in fast_payloads.items():
+        fn = fast_decoder(family, sample_every=0)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            got = fn(payload)
+            best = min(best, time.perf_counter() - t0)
+        assert got == text
+        out[label] = round(mbt / best, 2)
     return out
 
 

@@ -172,9 +172,9 @@ def parse_avro(payload: bytes) -> tuple[dict, list]:
         elif codec == "deflate":
             data = zlib.decompress(block, -15)
         elif codec == "snappy":
-            from .lz4snappy import snappy_decompress
+            from .fastpath import fast_decoder
 
-            data = snappy_decompress(block[:-4])
+            data = fast_decoder("snappy")(block[:-4])
             (want,) = struct.unpack(">I", block[-4:])
             if (zlib.crc32(data) & 0xFFFFFFFF) != want:
                 raise ValueError("avro snappy block CRC mismatch")

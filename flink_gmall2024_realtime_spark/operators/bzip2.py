@@ -298,16 +298,22 @@ def synth_bz2_dump(seed: int) -> bytes:
 BZ2_DUMP_SCHEMA = "media_id long, n_lines int, n_tokens long, n_chars long"
 
 
-def bz2_dump_stats(media: DataFrame) -> DataFrame:
-    """Per-dump stats after a REAL in-repo bzip2 decode: line, whitespace
-    token and char counts of the decompressed text — the Wikipedia-dump
-    intake gate. Per-row Arrow work, linear by construction."""
+def bz2_dump_stats(media: DataFrame, fast_path: bool = True) -> DataFrame:
+    """Per-dump stats after a bzip2 decode — the Wikipedia-dump intake
+    gate. ``fast_path`` (default) decodes via stdlib libbz2 with the
+    in-repo spec decoder as deterministic sampled cross-verification +
+    rejected-frame fallback (``fastpath.py``); ``fast_path=False`` runs
+    the spec decoder on every record (the A/B lever). Per-row Arrow
+    work, linear by construction."""
+    from .fastpath import fast_decoder
+
+    decode = fast_decoder("bz2", spec_only=not fast_path)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                text = bz2_decompress(bytes(p)).decode("utf-8")
+                text = decode(bytes(p)).decode("utf-8")
                 rows.append(
                     (
                         mid,

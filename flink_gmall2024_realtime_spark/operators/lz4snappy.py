@@ -355,14 +355,24 @@ def _dump_stats(media: DataFrame, decode) -> DataFrame:
     )
 
 
-def lz4_dump_stats(media: DataFrame) -> DataFrame:
-    """Per-dump stats after a REAL in-repo LZ4 frame decode (header/block/
-    content XXH32 all verified). Per-row Arrow work, linear by
-    construction."""
-    return _dump_stats(media, lz4_frame_decompress)
+def lz4_dump_stats(media: DataFrame, fast_path: bool = True) -> DataFrame:
+    """Per-dump stats after an LZ4 frame decode. ``fast_path`` (default)
+    decodes via pyarrow's C++ LZ4 with the in-repo spec decoder
+    (header/block/content XXH32 all verified) as deterministic sampled
+    cross-verification + rejected-frame fallback (``fastpath.py``);
+    ``fast_path=False`` runs the spec decoder on every record (the A/B
+    lever). Per-row Arrow work, linear by construction."""
+    from .fastpath import fast_decoder
+
+    return _dump_stats(media, fast_decoder("lz4", spec_only=not fast_path))
 
 
-def snappy_dump_stats(media: DataFrame) -> DataFrame:
-    """Per-dump stats after a REAL in-repo Snappy decode (declared length
-    enforced). Per-row Arrow work, linear by construction."""
-    return _dump_stats(media, snappy_decompress)
+def snappy_dump_stats(media: DataFrame, fast_path: bool = True) -> DataFrame:
+    """Per-dump stats after a Snappy decode. ``fast_path`` (default)
+    decodes via pyarrow's C++ Snappy (declared-length varint parsed and
+    enforced) with the in-repo spec decoder as deterministic sampled
+    cross-verification + fallback; ``fast_path=False`` runs the spec
+    decoder throughout. Per-row Arrow work, linear by construction."""
+    from .fastpath import fast_decoder
+
+    return _dump_stats(media, fast_decoder("snappy", spec_only=not fast_path))

@@ -499,17 +499,24 @@ def synth_xz_dump(seed: int) -> bytes:
 XZ_DUMP_SCHEMA = "media_id long, n_lines int, n_tokens long, n_chars long"
 
 
-def xz_dump_stats(media: DataFrame) -> DataFrame:
-    """Per-dump stats after a REAL in-repo .xz decode (LZMA2 range
-    decode, content check verified): line, whitespace-token and char
-    counts — closing the r9 header-only xz seam. Per-row Arrow work,
-    linear by construction."""
+def xz_dump_stats(media: DataFrame, fast_path: bool = True) -> DataFrame:
+    """Per-dump stats after a .xz decode — the Wikipedia-history-dump
+    intake gate. ``fast_path`` (default) decodes via stdlib liblzma with
+    the in-repo spec decoder (LZMA2 range decode, content check
+    verified) as deterministic sampled cross-verification + fallback,
+    and a header-only filter-chain scan preserving the non-LZMA2 scope
+    seam (``fastpath.py``); ``fast_path=False`` runs the spec decoder on
+    every record (the A/B lever). Per-row Arrow work, linear by
+    construction."""
+    from .fastpath import fast_decoder
+
+    decode = fast_decoder("xz", spec_only=not fast_path)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                text = xz_decompress(bytes(p)).decode("utf-8")
+                text = decode(bytes(p)).decode("utf-8")
                 rows.append(
                     (mid, text.count("\n") + 1, len(text.split()), len(text))
                 )

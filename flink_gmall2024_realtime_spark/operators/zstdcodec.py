@@ -1119,17 +1119,23 @@ def synth_zstd_dump(seed: int) -> bytes:
 ZSTD_DUMP_SCHEMA = "media_id long, n_lines int, n_tokens long, n_chars long"
 
 
-def zstd_dump_stats(media: DataFrame) -> DataFrame:
-    """Per-dump stats after a REAL in-repo zstd decode (FSE + Huffman +
-    sequence execution + XXH64 verify): line, whitespace-token and char
-    counts of the decompressed text — the Common-Crawl-shard intake gate.
-    Per-row Arrow work, linear by construction."""
+def zstd_dump_stats(media: DataFrame, fast_path: bool = True) -> DataFrame:
+    """Per-dump stats after a zstd decode — the Common-Crawl-shard intake
+    gate. ``fast_path`` (default) decodes via pyarrow's bundled libzstd
+    with the in-repo RFC 8878 spec decoder (FSE + Huffman + sequence
+    execution + XXH64 verify) as deterministic sampled cross-verification
+    + rejected-frame fallback (``fastpath.py`` — the 100 TB engine);
+    ``fast_path=False`` runs the spec decoder on every record (the A/B
+    lever). Per-row Arrow work, linear by construction."""
+    from .fastpath import fast_decoder
+
+    decode = fast_decoder("zstd", spec_only=not fast_path)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                text = zstd_decompress(bytes(p)).decode("utf-8")
+                text = decode(bytes(p)).decode("utf-8")
                 rows.append(
                     (mid, text.count("\n") + 1, len(text.split()), len(text))
                 )

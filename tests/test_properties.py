@@ -891,7 +891,7 @@ def _synth_lzma_alone(seed: int) -> bytes:
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 12), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 18), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -902,6 +902,7 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         archive,
         avro,
         bzip2,
+        fastpath,
         lz4snappy,
         lzmadec,
         orcmeta,
@@ -924,6 +925,14 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (lz4snappy.lz4_block_decompress, None),
         (bzip2.bz2_decompress, None),
         (lzmadec.lzma_alone_decompress, _synth_lzma_alone),
+        # fast-path dispatchers must keep the same error contract
+        # (library failures fall back to the spec decoder's errors)
+        (fastpath.fast_decoder("zstd", sample_every=1), zstdcodec.synth_zstd_dump),
+        (fastpath.fast_decoder("xz", sample_every=1), lzmadec.synth_xz_dump),
+        (fastpath.fast_decoder("lz4", sample_every=1), lz4snappy.synth_lz4_dump),
+        (fastpath.fast_decoder("snappy", sample_every=1), lz4snappy.synth_snappy_dump),
+        (fastpath.fast_decoder("bz2", sample_every=1), None),
+        (fastpath.fast_decoder("lzma_alone", sample_every=1), _synth_lzma_alone),
     ]
     fn, synth = table[which]
     cases = [noise]
