@@ -2530,6 +2530,13 @@ def _synth_pdf(seed: int) -> bytes:
     return synth_pdf(seed)
 
 
+def _synth_pdf_scanned(seed: int) -> bytes:
+    """Lazy import of the scanned-page (image-XObject) PDF fixture."""
+    from .pdftext import synth_pdf_scanned
+
+    return synth_pdf_scanned(seed)
+
+
 def _synth_zip(seed: int) -> bytes:
     """Lazy import of the ZIP fixture (same stance as the WARC one)."""
     from .archive import synth_zip
@@ -2642,6 +2649,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "ogg": synth_ogg,
         "warc_gz": _synth_warc_gz,
         "pdf": _synth_pdf,
+        "pdf_scanned": _synth_pdf_scanned,
         "zip": _synth_zip,
         "tar_gz": _synth_tar_gz,
         "tfrecord": _synth_tfrecord,

