@@ -2588,6 +2588,14 @@ def _synth_parquet(seed: int) -> bytes:
     return synth_parquet(seed)
 
 
+def _synth_parquet_data(seed: int) -> bytes:
+    """Lazy import of the parquet DATA-decode fixture (pyarrow-written,
+    nullable + double columns, dictionary/plain + page-v2 variety)."""
+    from .parquetmeta import synth_parquet_data
+
+    return synth_parquet_data(seed)
+
+
 def _synth_orc(seed: int) -> bytes:
     """Lazy import of the ORC fixture (pyarrow-written)."""
     from .orcmeta import synth_orc
@@ -2661,6 +2669,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "zstd_dump": _synth_zstd_dump,
         "lz4_dump": _synth_lz4_dump,
         "parquet": _synth_parquet,
+        "parquet_data": _synth_parquet_data,
         "orc": _synth_orc,
         "avro": _synth_avro,
         "xz_dump": _synth_xz_dump,

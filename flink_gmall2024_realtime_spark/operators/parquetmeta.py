@@ -234,3 +234,290 @@ def parquet_footer_audit(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=PARQUET_AUDIT_SCHEMA
     )
+
+
+# ------------------------------------------------- data-page decode (r11)
+
+
+def _rle_bp_hybrid(d: bytes, pos: int, bit_width: int, count: int):
+    """Parquet RLE/bit-packed hybrid (Encodings.md): varint header — LSB
+    set = bit-packed group count (×8 values, LSB-first bit order), clear
+    = repeated run (value in ceil(w/8) LE bytes). Returns (values, pos);
+    bit-packed padding beyond ``count`` is truncated per spec."""
+    if bit_width == 0:
+        return [0] * count, pos
+    out: list = []
+    vb = (bit_width + 7) // 8
+    mask = (1 << bit_width) - 1
+    while len(out) < count:
+        h = 0
+        shift = 0
+        while True:
+            b = d[pos]
+            pos += 1
+            h |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+            if shift > 35:
+                raise ValueError("runaway RLE header varint")
+        if h & 1:
+            groups = h >> 1
+            nbytes = groups * bit_width
+            chunk = d[pos : pos + nbytes]
+            if len(chunk) < nbytes:
+                raise ValueError("truncated bit-packed run")
+            pos += nbytes
+            bits = int.from_bytes(chunk, "little")
+            for i in range(groups * 8):
+                out.append((bits >> (i * bit_width)) & mask)
+        else:
+            run = h >> 1
+            val = int.from_bytes(d[pos : pos + vb], "little")
+            pos += vb
+            out.extend([val] * run)
+    return out[:count], pos
+
+
+def _plain_values(d: bytes, ptype: int, count: int):
+    """PLAIN-encoded values of a physical type; returns (values, bytes
+    consumed). INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY — the types the
+    fixture writer (pyarrow) emits for flat tables."""
+    if ptype == 1:
+        return list(struct.unpack_from(f"<{count}i", d, 0)), 4 * count
+    if ptype == 2:
+        return list(struct.unpack_from(f"<{count}q", d, 0)), 8 * count
+    if ptype == 4:
+        return list(struct.unpack_from(f"<{count}f", d, 0)), 4 * count
+    if ptype == 5:
+        return list(struct.unpack_from(f"<{count}d", d, 0)), 8 * count
+    if ptype == 6:
+        out = []
+        pos = 0
+        for _ in range(count):
+            (ln,) = struct.unpack_from("<I", d, pos)
+            pos += 4
+            v = d[pos : pos + ln]
+            if len(v) < ln:
+                raise ValueError("truncated BYTE_ARRAY value")
+            out.append(bytes(v))
+            pos += ln
+        return out, pos
+    raise NotImplementedError(f"parquet physical type {ptype} in PLAIN decode")
+
+
+def _page_decompress(data: bytes, codec: int) -> bytes:
+    """Page decompression through the repo's own codec surface: raw
+    snappy and zstd via the r11 fast path (C decode, spec-decoder
+    sampled verification), gzip members via zlib. LZO/BROTLI/LZ4-legacy
+    stay loud."""
+    if codec == 0:
+        return data
+    if codec == 1:
+        from .fastpath import fast_decoder
+
+        return fast_decoder("snappy")(data)
+    if codec == 2:
+        import zlib as _zlib
+
+        return _zlib.decompress(data, 47)
+    if codec == 6:
+        from .fastpath import fast_decoder
+
+        return fast_decoder("zstd")(data)
+    raise NotImplementedError(
+        f"parquet codec {_CODEC_NAMES.get(codec, codec)} in page decode"
+    )
+
+
+@malformed_guard
+def parse_parquet_data(payload: bytes) -> list:
+    """FULL parquet value decode from raw bytes (VERDICT r10 #3 — the
+    second container format read end-to-end after ORC footers): footer
+    Thrift walk, then per column chunk the page stream — DICTIONARY
+    pages (PLAIN values), DATA pages V1 (RLE def levels behind a 4-byte
+    length, PLAIN or RLE_DICTIONARY/PLAIN_DICTIONARY values) and V2
+    (uncompressed level sections sized by the header, values compressed
+    separately) — decompressed through the repo codec surface
+    (snappy/zstd fast path, gzip, none).
+
+    Returns one (col_name, n_values, n_nulls, int_sum, float_sum,
+    byte_len) tuple per leaf column, where exactly one of
+    int_sum/float_sum/byte_len is non-None by physical type (int32/64,
+    float/double, byte_array). Decoded value counts are verified against
+    the chunk metadata (mismatch raises). Flat schemas only: nested or
+    repeated fields raise NotImplementedError (the documented seam);
+    encodings beyond PLAIN/dictionary (DELTA_*, BYTE_STREAM_SPLIT)
+    likewise."""
+    if payload[:4] != b"PAR1" or payload[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (magic)")
+    (flen,) = struct.unpack_from("<I", payload, len(payload) - 8)
+    fm = _Compact(payload[len(payload) - 8 - flen : len(payload) - 8]).struct()
+    schema = fm[2]
+    if any(s.get(5) for s in schema[1:]):
+        raise NotImplementedError("nested parquet schema in data decode")
+    leaves = schema[1:]
+    max_defs = []
+    for s in leaves:
+        rep = s.get(3, 0)
+        if rep == 2:
+            raise NotImplementedError("repeated parquet field in data decode")
+        max_defs.append(1 if rep == 1 else 0)
+    names = [s[4].decode() for s in leaves]
+    totals: dict = {
+        n: {"n_values": 0, "n_nulls": 0, "int": None, "flt": None, "blen": None}
+        for n in names
+    }
+    for rg in fm[4]:
+        for ci, chunk in enumerate(rg[1]):
+            md = chunk[3]
+            ptype, codec, num_values = md[1], md[4], md[5]
+            start = md[9]
+            if md.get(11) is not None:
+                start = min(start, md[11])
+            dictionary = None
+            seen = 0
+            c = _Compact(payload)
+            c.i = start
+            while seen < num_values:
+                hdr = c.struct()
+                comp_size = hdr[3]
+                page = payload[c.i : c.i + comp_size]
+                if len(page) < comp_size:
+                    raise ValueError("truncated parquet page")
+                c.i += comp_size
+                if hdr[1] == 2:  # DICTIONARY_PAGE
+                    dh = hdr[7]
+                    data = _page_decompress(page, codec)
+                    dictionary, _ = _plain_values(data, ptype, dh[1])
+                    continue
+                if hdr[1] == 0:  # DATA_PAGE (v1)
+                    dph = hdr[5]
+                    nvals, enc = dph[1], dph[2]
+                    data = _page_decompress(page, codec)
+                    pos = 0
+                    nulls = 0
+                    if max_defs[ci]:
+                        (lvl_len,) = struct.unpack_from("<I", data, pos)
+                        pos += 4
+                        levels, _ = _rle_bp_hybrid(data, pos, 1, nvals)
+                        pos += lvl_len
+                        nulls = levels.count(0)
+                elif hdr[1] == 3:  # DATA_PAGE_V2
+                    dph = hdr[8]
+                    nvals, nulls, enc = dph[1], dph[2], dph[4]
+                    dl_len, rl_len = dph[5], dph[6]
+                    if rl_len:
+                        raise NotImplementedError("repetition levels in flat decode")
+                    # level sections are never compressed in v2
+                    if max_defs[ci] and dl_len:
+                        levels, _ = _rle_bp_hybrid(page, 0, 1, nvals)
+                        if levels.count(0) != nulls:
+                            raise ValueError("v2 def levels disagree with num_nulls")
+                    vals_comp = page[dl_len + rl_len :]
+                    is_comp = dph.get(7, True)
+                    data = _page_decompress(vals_comp, codec) if is_comp else vals_comp
+                    pos = 0
+                else:
+                    raise NotImplementedError(f"parquet page type {hdr[1]}")
+                ndef = nvals - nulls
+                if enc == 0:  # PLAIN
+                    vals, _ = _plain_values(data[pos:], ptype, ndef)
+                elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+                    if dictionary is None:
+                        raise ValueError("dictionary-encoded page before dictionary")
+                    bw = data[pos]
+                    idx, _ = _rle_bp_hybrid(data, pos + 1, bw, ndef)
+                    if idx and max(idx) >= len(dictionary):
+                        raise ValueError("dictionary index out of range")
+                    vals = [dictionary[i] for i in idx]
+                else:
+                    raise NotImplementedError(f"parquet value encoding {enc}")
+                t = totals[names[ci]]
+                t["n_values"] += ndef
+                t["n_nulls"] += nulls
+                if ptype in (1, 2):
+                    t["int"] = (t["int"] or 0) + sum(vals)
+                elif ptype in (4, 5):
+                    t["flt"] = (t["flt"] or 0.0) + sum(vals)
+                elif ptype == 6:
+                    t["blen"] = (t["blen"] or 0) + sum(len(v) for v in vals)
+                else:
+                    raise NotImplementedError(f"parquet physical type {ptype}")
+                seen += nvals
+            if seen != num_values:
+                raise ValueError("page value counts disagree with chunk metadata")
+    return [
+        (n, t["n_values"], t["n_nulls"], t["int"], t["flt"], t["blen"])
+        for n, t in totals.items()
+    ]
+
+
+def synth_parquet_data(seed: int) -> bytes:
+    """Deterministic parquet fixture WRITTEN BY PYARROW (the reference
+    C++ writer) for the DATA decode path: n = seed%90+10 rows of
+    k (int64, seed..seed+n-1), v ('s{j}' strings), w (int64, NULL when
+    j%5==0 else 2j — def-level coverage) and d (double, j/2 — exact in
+    binary). Writer variety: codec snappy/zstd/gzip/none by seed%4,
+    dictionary encoding OFF when seed%3==0 (PLAIN data pages), data page
+    version 2.0 when seed%7==0, seed%4+1 row groups."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    seed = int(seed)
+    n = seed % 90 + 10
+    groups = seed % 4 + 1
+    t = pa.table(
+        {
+            "k": pa.array([seed + j for j in range(n)], type=pa.int64()),
+            "v": [f"s{j}" for j in range(n)],
+            "w": pa.array(
+                [None if j % 5 == 0 else 2 * j for j in range(n)],
+                type=pa.int64(),
+            ),
+            "d": pa.array([j / 2 for j in range(n)], type=pa.float64()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t,
+        buf,
+        row_group_size=max(1, (n + groups - 1) // groups),
+        compression=["snappy", "zstd", "gzip", "none"][seed % 4],
+        use_dictionary=seed % 3 != 0,
+        data_page_version="2.0" if seed % 7 == 0 else "1.0",
+    )
+    return buf.getvalue()
+
+
+PARQUET_DATA_SCHEMA = (
+    "media_id long, col string, n_values long, n_nulls long, "
+    "int_sum long, float_sum double, byte_len long"
+)
+
+
+def parquet_data_audit(media: DataFrame) -> DataFrame:
+    """Per-column value audit over a binary column of parquet payloads —
+    full ingestion from raw bytes, no pyarrow reader on the decode path:
+    value counts, null counts and content sums straight from the page
+    stream. Per-row Arrow work, linear by construction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for col, nv, nn, isum, fsum, blen in parse_parquet_data(bytes(p)):
+                    rows.append((mid, col, nv, nn, isum, fsum, blen))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "col", "n_values", "n_nulls",
+                    "int_sum", "float_sum", "byte_len",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=PARQUET_DATA_SCHEMA
+    )

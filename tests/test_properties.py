@@ -891,7 +891,7 @@ def _synth_lzma_alone(seed: int) -> bytes:
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 18), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 19), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -918,6 +918,7 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (lzmadec.xz_decompress, lzmadec.synth_xz_dump),
         (avro.parse_avro, avro.synth_avro),
         (parquetmeta.parse_parquet_footer, parquetmeta.synth_parquet),
+        (parquetmeta.parse_parquet_data, parquetmeta.synth_parquet_data),
         (orcmeta.parse_orc_footer, orcmeta.synth_orc),
         (archive.parse_zip, archive.synth_zip),
         (archive.parse_tar_gz, archive.synth_tar_gz),
@@ -950,3 +951,96 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
             fn(c)
         except (ValueError, NotImplementedError):
             pass
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-(10**12), 10**12)),
+        min_size=1, max_size=300,
+    ),
+    st.lists(st.text(max_size=12), min_size=1, max_size=50),
+    st.integers(1, 80),
+    st.sampled_from(["snappy", "zstd", "gzip", "none"]),
+    st.booleans(),
+    st.sampled_from(["1.0", "2.0"]),
+)
+def test_parquet_data_decode_matches_pyarrow(ints, strs, rg, codec, use_dict, dpv):
+    """pyarrow writes a real parquet file for arbitrary nullable-int64,
+    string and double columns under every writer mode (codecs, dict
+    on/off, data page v1/v2, row-group splits); the in-repo page-stream
+    decode (parse_parquet_data) must recover exact value/null counts and
+    content sums — no pyarrow on the read path."""
+    import io
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_gmall2024_realtime_spark.operators.parquetmeta import (
+        parse_parquet_data,
+    )
+
+    n = len(ints)
+    strs = (strs * ((n + len(strs) - 1) // len(strs)))[:n]
+    dbls = [j * 0.25 for j in range(n)]
+    t = pa.table({
+        "a": pa.array(ints, type=pa.int64()),
+        "s": strs,
+        "x": pa.array(dbls, type=pa.float64()),
+    })
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, row_group_size=rg, compression=codec,
+        use_dictionary=use_dict, data_page_version=dpv,
+    )
+    rows = {r[0]: r[1:] for r in parse_parquet_data(buf.getvalue())}
+    defined = [v for v in ints if v is not None]
+    assert rows["a"] == (
+        len(defined), n - len(defined),
+        sum(defined) if defined else 0, None, None,
+    ) or (not defined and rows["a"][:2] == (0, n))
+    assert rows["s"][0] == n and rows["s"][4] == sum(
+        len(s.encode()) for s in strs
+    )
+    assert rows["x"][0] == n and math.isclose(rows["x"][3], sum(dbls))
+
+
+def test_parquet_data_decode_corruption_and_seams():
+    """Tampered pages and out-of-scope shapes fail loudly: flipped page
+    bytes raise (codec CRC/structure or count mismatch), nested schemas
+    and foreign encodings hit NotImplementedError."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.parquetmeta import (
+        parse_parquet_data,
+        synth_parquet_data,
+    )
+
+    base = synth_parquet_data(13)  # snappy, dict on, v1
+    assert parse_parquet_data(base)
+    bad = bytearray(base)
+    bad[40] ^= 0xFF  # inside the first page stream
+    try:
+        parse_parquet_data(bytes(bad))
+    except (ValueError, NotImplementedError):
+        pass
+    # nested schema is the documented seam
+    t = pa.table({"outer": [{"inner": 1}, {"inner": 2}]})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    with _pytest.raises(NotImplementedError, match="nested"):
+        parse_parquet_data(buf.getvalue())
+    # DELTA_BINARY_PACKED is out of scope
+    t2 = pa.table({"k": pa.array(range(50), type=pa.int64())})
+    buf2 = io.BytesIO()
+    pq.write_table(
+        t2, buf2, use_dictionary=False,
+        column_encoding={"k": "DELTA_BINARY_PACKED"}, version="2.6",
+    )
+    with _pytest.raises(NotImplementedError, match="encoding"):
+        parse_parquet_data(buf2.getvalue())
