@@ -63,6 +63,11 @@ def register(
     bench: bool = False,
 ):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in CATALOG:
+            raise ValueError(
+                f"catalog entry {name!r} registered twice — rename one "
+                "(a silent overwrite shadows the earlier oracle)"
+            )
         CATALOG[name] = QuerySpec(name, fn, oracle, survey_ids, bench)
         return fn
 

@@ -488,6 +488,64 @@ def k3_upsert_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dim_version_store_asof",
+    oracle="""
+WITH r AS (
+  SELECT doc_id % 37 AS k, doc_id AS v, (doc_id % 3)::INT AS b, doc_id
+  FROM documents WHERE doc_id % 3 IN (0, 1)
+)
+SELECT k::BIGINT AS k,
+       arg_max(v, b * 10000000000 + doc_id)::BIGINT AS v,
+       arg_max(b, b * 10000000000 + doc_id)::INT AS src_batch
+FROM r GROUP BY k
+""",
+    survey_ids=("K5", "W6"),
+)
+def dim_version_store_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned keyed store time travel (r11 — VERDICT r10 #4): three
+    deterministic dim micro-batches (batch b = docs with doc_id%3==b,
+    key doc_id%37, order doc_id; batch 2 carries deletes) commit through
+    ``VersionedKeyedStore`` — atomic version claim, immutable snapshot
+    dirs, manifest chain, ``_latest`` rename as the commit point — and
+    the entry reads ``read_as_of(2)``: the table AS IT STOOD before
+    batch 2, proving an old snapshot survives later commits byte-stable
+    (the reproducible-training-run contract). The oracle folds batches
+    0+1 independently (batch-1 rows overwrite batch-0 per key; within a
+    batch the max-doc_id row wins). The store is driver-local here only
+    because the fixture fits; snapshots are parquet dirs, so at scale
+    the same chain lives on the object store and readers stay fully
+    distributed (``streaming/versioned.py``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..streaming.versioned import VersionedKeyedStore
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 37).alias("k"),
+        F.col("doc_id").alias("v"),
+        (F.col("doc_id") % 3).cast("int").alias("src_batch"),
+        F.col("doc_id").alias("ord"),
+        F.col("doc_id"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dim_version_store_asof_")
+    try:
+        store = VersionedKeyedStore(spark, tmp, "k", "ord", type_col="op")
+        write = store.sink()
+        for b in range(3):
+            batch = docs.filter(F.col("src_batch") == b).withColumn(
+                "op",
+                F.when(
+                    (F.lit(b) == 2) & (F.col("k") % 5 == 0), F.lit("delete")
+                ).otherwise(F.lit("u")),
+            ).drop("doc_id")
+            write(batch, b)
+        asof = store.read_as_of(2).select("k", "v", "src_batch").toPandas()
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(asof, "k long, v long, src_batch int")
+
+
+@register(
     "dwd_keyword_split",
     oracle="""
 SELECT t.tok AS keyword, count(*) AS keyword_count
