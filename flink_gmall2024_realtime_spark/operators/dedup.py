@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import call_function
+from pyspark.sql.types import StructField, StructType
 
 from ..functions import md5_long, normalize_text, tokenize
 
@@ -1628,6 +1629,53 @@ def duplicate_span_removal(
     )
 
 
+def _partition_min_roots(edges: DataFrame) -> DataFrame:
+    """Partition-local union-find over an ``(a, b)`` edge frame: one Arrow
+    pass per partition builds a union-find forest (representative = the
+    SMALLEST id of the merged set, via union-by-min + path halving) and
+    emits ``(node, root)`` for every node seen in that partition. A node
+    that appears in several partitions emits one row per partition — the
+    caller resolves those to a single label with ``min`` — so the stars
+    jointly preserve the input graph's connectivity. Pure per-partition
+    work: no shuffle, no driver collect, memory bounded by the partition's
+    vertex count (upstream repartitioning is the size lever)."""
+    id_type = edges.schema["a"].dataType
+    out_schema = StructType(
+        [StructField("node", id_type, True), StructField("root", id_type, True)]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            # path halving: grandparent shortcut keeps trees flat without
+            # a second pass, and reps stay the set-min because unions
+            # always point the larger root at the smaller one
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for x, y in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+                if x not in parent:
+                    parent[x] = x
+                if y not in parent:
+                    parent[y] = y
+                rx, ry = find(x), find(y)
+                if rx == ry:
+                    continue
+                if ry < rx:
+                    rx, ry = ry, rx
+                parent[ry] = rx
+        nodes = list(parent)
+        yield pd.DataFrame({"node": nodes, "root": [find(n) for n in nodes]})
+
+    return edges.mapInPandas(fn, schema=out_schema)
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -1639,66 +1687,88 @@ def dedup_clusters(
     graph (singletons map to themselves). The keep-one-per-cluster dedup
     policy is then ``doc_id == cluster_id``.
 
-    Iterative distributed label propagation with POINTER DOUBLING (the
-    standard Spark formulation for components without a graph library,
-    shortcutting as in the MapReduce-CC literature): each round (1) joins
-    current labels across the undirected edge set and takes the min, then
-    (2) shortcuts ``label <- labels[label]`` by self-joining the label
-    frame — so the distance a min-id travels DOUBLES per round and
-    convergence takes O(log diameter) rounds instead of O(diameter).
-    Every label value is itself a vertex id, so the shortcut join is a
-    keyed equi-join on the same O(V) frame. Same fixpoint as plain
-    propagation (min reachable id; the convergence check guarantees
-    exactness on early exit); a 100x path-ish graph pays ~7 rounds, not
-    its diameter. The loop is driver-side control flow over DataFrame
-    ops; the data never leaves the cluster."""
-    edges = (
+    STAR CONTRACTION with partition-local union-find (the MapReduce-CC
+    contraction family — Kiveris et al.'s local-contraction variant —
+    rather than per-edge label propagation): each round
+
+    1. hash-repartitions the live edge set by one endpoint (alternating
+       endpoints across rounds so no adversarial keying starves merges),
+    2. collapses every partition's subgraph to min-id stars in ONE Arrow
+       union-find pass (``_partition_min_roots``) — C-shuffle-free, the
+       whole partition merges at Python-dict speed instead of one keyed
+       join per hop,
+    3. resolves border nodes with a ``groupBy(node).min(root)`` so the
+       round's relabeling R is a function with R(n) <= n and R(n) inside
+       n's component,
+    4. contracts: every edge (x, y) becomes (R(x), R(y)); intra-partition
+       edges become self-loops and VANISH, so the live edge set shrinks
+       geometrically (one partition-contained component disappears
+       entirely in one round),
+    5. composes R into the accumulated node->label mapping.
+
+    Convergence = the contracted edge set is empty, checked with a
+    limit(1).count() on an already-checkpointed frame (the old
+    pointer-doubling formulation paid a full V-sized join + count per
+    round just to detect convergence). Quotienting by R preserves
+    components exactly — R maps within components, and every original
+    edge survives as an edge between images — so the fixpoint is the same
+    min-reachable-id labeling, typically in 2-4 rounds vs ~7 doubling
+    rounds, each round ~3 shuffles over a geometrically shrinking frame
+    vs 5 over the full edge set. Eager localCheckpoint per round keeps
+    lineage flat; blocks are reclaimed by the ContextCleaner (unlike a
+    persist() someone must remember to unpersist)."""
+    cur = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
-        .distinct()
+        .where(F.col("a") != F.col("b"))
+        .localCheckpoint(eager=True)
     )
-    # eager localCheckpoint, not persist(): the edge set is re-read every
-    # round, and a SQL-cache entry would pin executor memory until someone
-    # remembers to unpersist — checkpoint blocks are reclaimed by the
-    # ContextCleaner when the frame is garbage-collected
-    edges = edges.localCheckpoint(eager=True)
-    labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        # Eager local checkpoint per round: without it each iteration's plan
-        # embeds all previous iterations (lineage doubles per round and the
-        # convergence check re-executes the whole chain).
-        stepped = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
-        )
-        # pointer-doubling shortcut: label <- labels[label] (left join +
-        # coalesce keeps singletons); doubles propagation reach per round
-        parent = stepped.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        new_labels = (
-            stepped.join(parent, stepped["label"] == parent["p_node"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+    mapping: DataFrame | None = None
+    for it in range(max_iter):
+        if cur.limit(1).count() == 0:
             break
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+        key = "a" if it % 2 == 0 else "b"
+        roots = (
+            _partition_min_roots(cur.repartition(F.col(key)))
+            .groupBy("node")
+            .agg(F.min("root").alias("root"))
+            .localCheckpoint(eager=True)
+        )
+        if mapping is None:
+            mapping = roots.select("node", F.col("root").alias("label"))
+        else:
+            step = roots.select(
+                F.col("node").alias("_rn"), F.col("root").alias("_rr")
+            )
+            mapping = (
+                mapping.join(step, mapping["label"] == step["_rn"], "left")
+                .select(
+                    "node", F.coalesce(F.col("_rr"), F.col("label")).alias("label")
+                )
+                .localCheckpoint(eager=True)
+            )
+        ra = roots.select(F.col("node").alias("a"), F.col("root").alias("_ca"))
+        rb = roots.select(F.col("node").alias("b"), F.col("root").alias("_cb"))
+        cur = (
+            cur.join(ra, "a")
+            .join(rb, "b")
+            .select(F.col("_ca").alias("a"), F.col("_cb").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if cur.limit(1).count() != 0:
+            raise RuntimeError(
+                f"dedup_clusters: star contraction did not converge in "
+                f"{max_iter} rounds — pathological component structure; "
+                f"raise max_iter"
+            )
+    out = docs.select(F.col(id_col).alias("node"))
+    if mapping is None:
+        return out.select(
+            F.col("node").alias(id_col), F.col("node").alias("cluster_id")
+        )
+    return out.join(mapping, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+    )

@@ -369,20 +369,56 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — agreeing answers from two different algorithms is the point.
     Integer-exact."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("pa"), li.alias("pb")
-    pairs = (
-        a.join(
-            b,
-            (F.col("pa.l_orderkey") == F.col("pb.l_orderkey"))
-            & (F.col("pa.l_partkey") < F.col("pb.l_partkey")),
-        )
-        .select(F.col("pa.l_partkey").alias("x"), F.col("pb.l_partkey").alias("y"))
-        .distinct()
+    edges = _co_group_edges(li, "l_orderkey", "l_partkey")
+    return graph.triangle_count(edges, "x", "y")
+
+
+def _co_group_edges(df: DataFrame, key_col: str, val_col: str, with_verts: bool = False):
+    """Distinct hash-sampled pairs (x < y) of values sharing a group key —
+    ONE wide shuffle instead of three: ``groupBy(key).collect_set(val)``
+    (map-side partial aggregation collapses duplicate (key, val) rows
+    before the exchange) followed by an in-row higher-order-function pair
+    expansion, the md5 1/3 sample, and the cross-key pair distinct. The
+    previous formulation (distinct -> self-join on key -> distinct)
+    shuffled the full input three times; this shuffles it once plus the
+    (much smaller) pair set once — at x100 that's ~30% of the whole
+    connected-components entry's wall. Per-row expansion is safe here
+    because TPC-H bounds the group degree structurally (<= 4 suppliers
+    per part, <= 7 lines per order); for an unbounded-degree graph keep
+    the join formulation or cap the set like the LSH buckets do."""
+    grp = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sort_array(F.collect_set(F.col(val_col))).alias("vs")
     )
+    if with_verts:
+        # eager checkpoint: grp feeds both the pair expansion and the
+        # vertex set; without it the wide shuffle runs twice
+        grp = grp.localCheckpoint(eager=True)
+    pairs = (
+        grp.where(F.size("vs") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(vs, (v, i) -> transform("
+                        "slice(vs, i + 2, size(vs) - i - 1), "
+                        "w -> named_struct('x', v, 'y', w)))"
+                    )
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
+    )
+    # cross-key duplicate pairs are real (many parts can share the same
+    # supplier pair) and plentiful — dedup them JVM-side here even for the
+    # union-find consumer, which would tolerate duplicates semantically
+    # but pays Python per-row cost for each one (measured 2x slower at
+    # x100 without this distinct).
     edges = pairs.where(
         md5_long(F.concat_ws("-", F.col("x"), F.col("y"))) % 3 == 0
-    )
-    return graph.triangle_count(edges, "x", "y")
+    ).distinct()
+    if with_verts:
+        return edges, grp.select(F.explode("vs").alias("v")).distinct()
+    return edges
 
 
 @register(
@@ -421,17 +457,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly why two independent algorithms agreeing is the check.
     Integer-exact."""
     li = _t(spark, sf_dir, "lineitem")
-    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
-    a, b = ps.alias("ca"), ps.alias("cb")
-    pairs = (
-        a.join(b, (F.col("ca.p") == F.col("cb.p")) & (F.col("ca.s") < F.col("cb.s")))
-        .select(F.col("ca.s").alias("x"), F.col("cb.s").alias("y"))
-        .distinct()
+    edges, verts = _co_group_edges(
+        li.select("l_partkey", "l_suppkey"), "l_partkey", "l_suppkey", with_verts=True
     )
-    edges = pairs.where(
-        md5_long(F.concat_ws("-", F.col("x"), F.col("y"))) % 3 == 0
-    ).select(F.col("x").alias("id_a"), F.col("y").alias("id_b"))
-    verts = ps.select(F.col("s").alias("supplier")).distinct()
+    edges = edges.select(F.col("x").alias("id_a"), F.col("y").alias("id_b"))
+    verts = verts.select(F.col("v").alias("supplier"))
     out = dedup.dedup_clusters(verts, edges, id_col="supplier")
     return out.withColumnRenamed("cluster_id", "component_id")
 
