@@ -2631,6 +2631,13 @@ def _synth_snappy_dump(seed: int) -> bytes:
     return synth_snappy_dump(seed)
 
 
+def _synth_webp_lossless(seed: int) -> bytes:
+    """Lazy import of the VP8L lossless-WebP fixture (in-repo encoder)."""
+    from .vp8l import synth_webp_lossless
+
+    return synth_webp_lossless(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2676,6 +2683,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "snappy_dump": _synth_snappy_dump,
         "xz": synth_xz,
         "mp3_tagged": synth_mp3_tagged,
+        "webp_lossless": _synth_webp_lossless,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"
@@ -2718,6 +2726,11 @@ def decode_media(media: DataFrame) -> DataFrame:
                 elif m == "image/x-portable-anymap":
                     w, h, n_px, s = decode_pnm(bytes(p))
                     rows.append((mid, m, nb, w, h, 1, None, None, s))
+                elif m == "image/webp":
+                    from .vp8l import decode_webp_pixels
+
+                    w, h, n_px, s = decode_webp_pixels(bytes(p))
+                    rows.append((mid, m, nb, w, h, 1, None, None, s))
                 elif m == "audio/wav":
                     _ch, rate, n, s = decode_wav(bytes(p))
                     rows.append((mid, m, nb, None, None, n, rate, n * 1000 // rate, s))
@@ -2729,8 +2742,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                         f"no pixel codec for mime {m!r}: vendor image/audio "
                         "codecs on executors (all Huffman JPEG — baseline, "
                         "progressive, subsampled — decodes in-repo via "
-                        "decode_jpeg; MP3/Vorbis PCM and VP8/VP8L pixels "
-                        "remain the vendored seam)"
+                        "decode_jpeg; VP8L lossless WebP decodes in-repo "
+                        "via operators/vp8l.py; MP3/Vorbis PCM and lossy "
+                        "VP8 pixels remain the vendored seam)"
                     )
             yield pd.DataFrame(
                 rows,

@@ -2482,6 +2482,54 @@ def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_webp_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         (doc_id % 29 + 5) AS w,
+         (doc_id % 13 + 3) AS h,
+         255 + (doc_id * 7) % 256 + (doc_id * 11) % 256 + (doc_id * 13) % 256 AS c0,
+         255 + (doc_id * 7 + 31) % 256 + (doc_id * 11 + 57) % 256 + (doc_id * 13 + 97) % 256 AS c1,
+         255 + (doc_id * 7 + 62) % 256 + (doc_id * 11 + 114) % 256 + (doc_id * 13 + 194) % 256 AS c2,
+         255 + (doc_id * 7 + 93) % 256 + (doc_id * 11 + 171) % 256 + (doc_id * 13 + 291) % 256 AS c3
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       w::INT AS width,
+       h::INT AS height,
+       (4 * w * h)::BIGINT AS n_px,
+       (h * (((w + 3) // 4) * c0 + ((w + 2) // 4) * c1
+             + ((w + 1) // 4) * c2 + (w // 4) * c3))::BIGINT AS pix_sum
+FROM p
+""",
+    survey_ids=("mm-decode",),
+)
+def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) pixel decode, zero vendored libs (r11):
+    synthesize a spec-valid VP8L stream per doc through the in-repo
+    format-true encoder — the variant rotates by seed%8 over plain
+    literals, row-copy LZ77 (2D short distance codes + plain codes),
+    color cache, subtract-green, predictor blocks, palette bundling,
+    meta-prefix tree groups, and the cross-channel color transform — and
+    decode it back through the full VP8L pipeline (canonical prefix codes
+    incl. code-length-coded transmission, LZ77 + distance map, color
+    cache, all four inverse transforms). Every variant encodes the SAME
+    seed-arithmetic pixels, so one closed-form oracle checks all eight
+    decoder paths; any Huffman, transform, cache, or distance-map bug
+    corrupts pix_sum. Per-row Arrow map work — linear by construction,
+    the same scale shape as multimodal_png_decode."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "webp_lossless")
+    media = multimodal.to_media_table(payloads, "media_id", F.col("payload"), "image/webp")
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id", "width", "height",
+        (F.lit(4) * F.col("width") * F.col("height")).cast("long").alias("n_px"),
+        F.col("sample_sum").alias("pix_sum"),
+    )
+
+
+@register(
     "emb_hygiene",
     oracle="""
 WITH e AS (

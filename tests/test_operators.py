@@ -811,9 +811,10 @@ def test_decode_media_unsupported_mime_raises(spark):
     from flink_gmall2024_realtime_spark.operators import multimodal
 
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    # image/jpeg gained a real baseline decoder in r9, so the explicit seam
-    # is now the mimes with no in-repo pixel/sample codec (e.g. webp).
-    media = multimodal.to_media_table(df, "doc_id", F.col("text").cast("binary"), "image/webp")
+    # image/jpeg gained a real baseline decoder in r9 and image/webp a real
+    # VP8L decoder in r11, so the explicit seam is now the mimes with no
+    # in-repo pixel/sample codec (e.g. Vorbis audio).
+    media = multimodal.to_media_table(df, "doc_id", F.col("text").cast("binary"), "audio/ogg")
     with _pytest.raises(Exception, match="no pixel codec for mime"):
         multimodal.decode_media(media).collect()
 

@@ -891,7 +891,7 @@ def _synth_lzma_alone(seed: int) -> bytes:
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 19), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 20), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -908,6 +908,7 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         orcmeta,
         parquetmeta,
         pdftext,
+        vp8l,
         zstdcodec,
     )
 
@@ -934,6 +935,7 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (fastpath.fast_decoder("snappy", sample_every=1), lz4snappy.synth_snappy_dump),
         (fastpath.fast_decoder("bz2", sample_every=1), None),
         (fastpath.fast_decoder("lzma_alone", sample_every=1), _synth_lzma_alone),
+        (vp8l.decode_webp_pixels, vp8l.synth_webp_lossless),
     ]
     fn, synth = table[which]
     cases = [noise]
