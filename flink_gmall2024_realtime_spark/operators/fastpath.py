@@ -38,7 +38,7 @@ import zlib
 # every k-th record is cross-verified against the in-repo spec decoder
 SAMPLE_EVERY = 16
 
-_FAMILIES = ("zstd", "xz", "lzma_alone", "bz2", "lz4", "snappy")
+_FAMILIES = ("zstd", "xz", "lzma_alone", "bz2", "lz4", "snappy", "gzip", "zlib")
 
 
 def _sampled(payload: bytes, k: int) -> bool:
@@ -174,6 +174,25 @@ def _bz2_fast(payload: bytes) -> bytes:
     return bz2.decompress(payload)
 
 
+def _gzip_fast(payload: bytes) -> bytes:
+    import gzip
+
+    # multi-member concatenation and trailing zero padding behave the
+    # same in stdlib and the spec decoder (verified by the equivalence
+    # property test); non-zero trailing garbage raises in both
+    return gzip.decompress(payload)
+
+
+def _zlib_fast(payload: bytes) -> bytes:
+    # scope parity: the spec decoder refuses FDICT preset dictionaries
+    # with NotImplementedError; stdlib raises zlib.error, which would be
+    # misread as a corrupt frame and re-routed to the spec fallback —
+    # check the header bit before the library runs
+    if len(payload) >= 2 and payload[1] & 0x20:
+        raise NotImplementedError("zlib: FDICT preset dictionaries unsupported")
+    return zlib.decompress(payload)
+
+
 def _backends(family: str):
     """Returns (fast, spec) callables for a codec family. Imported
     lazily so executors only pay for what a plan touches."""
@@ -201,6 +220,14 @@ def _backends(family: str):
         from .bzip2 import bz2_decompress
 
         return _bz2_fast, bz2_decompress
+    if family == "gzip":
+        from .deflate import gzip_decompress
+
+        return _gzip_fast, gzip_decompress
+    if family == "zlib":
+        from .deflate import zlib_decompress
+
+        return _zlib_fast, zlib_decompress
     raise ValueError(f"unknown codec family {family!r} (have {_FAMILIES})")
 
 

@@ -2638,6 +2638,13 @@ def _synth_webp_lossless(seed: int) -> bytes:
     return synth_webp_lossless(seed)
 
 
+def _synth_gzip_dump(seed: int) -> bytes:
+    """Lazy import of the .gz dump fixture (stdlib + in-repo writers)."""
+    from .deflate import synth_gzip_dump
+
+    return synth_gzip_dump(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2684,6 +2691,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "xz": synth_xz,
         "mp3_tagged": synth_mp3_tagged,
         "webp_lossless": _synth_webp_lossless,
+        "gzip_dump": _synth_gzip_dump,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

@@ -1003,6 +1003,49 @@ def bz2_dump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gzip_dump_ingest",
+    oracle="""
+WITH p AS (SELECT doc_id, doc_id % 36 + 8 AS n FROM documents),
+f AS (SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i FROM p),
+g AS (
+  SELECT doc_id, n, i,
+         (doc_id + 5 * i) % 13 + 2 AS m,
+         CASE WHEN i < 10 THEN 1 ELSE 2 END AS di
+  FROM f
+)
+SELECT doc_id AS media_id,
+       n::INT AS n_lines,
+       (SUM(m) + 3 * n)::BIGINT AS n_tokens,
+       (SUM(15 + length(CAST(doc_id AS VARCHAR)) + di + 5 * m)
+        + n - 1)::BIGINT AS n_chars
+FROM g GROUP BY doc_id, n
+""",
+    survey_ids=("text-quality",),
+)
+def gzip_dump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gzip dump ingestion (r11) — the gzip'd-crawl intake: per doc a .gz
+    whose WRITER rotates by seed (stdlib gzip at varying levels,
+    two-member concatenation, the in-repo format-true fixed- and
+    dynamic-Huffman compressors) decoded through the fast-path dispatch
+    (stdlib zlib as the C engine, the in-repo RFC 1951/1952 decoder —
+    full dynamic-Huffman header decode, partial distance trees,
+    FHCRC/CRC32/ISIZE verification, multi-member concatenation — as
+    sampled cross-verification + fallback). Both conformance directions
+    stay live in one entry: stdlib-writes/we-verify AND we-write/
+    stdlib-decodes. The oracle reproduces line/token/char counts from
+    seed arithmetic. Per-row Arrow work — linear by construction
+    (``operators/deflate.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "gzip_dump")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/gzip"
+    )
+    from ..operators.deflate import gzip_dump_stats
+
+    return gzip_dump_stats(media)
+
+
+@register(
     "multimodal_g711_decode",
     oracle="""
 WITH p AS (

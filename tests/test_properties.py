@@ -891,7 +891,7 @@ def _synth_lzma_alone(seed: int) -> bytes:
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 20), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 25), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -902,6 +902,7 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         archive,
         avro,
         bzip2,
+        deflate,
         fastpath,
         lz4snappy,
         lzmadec,
@@ -936,6 +937,11 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (fastpath.fast_decoder("bz2", sample_every=1), None),
         (fastpath.fast_decoder("lzma_alone", sample_every=1), _synth_lzma_alone),
         (vp8l.decode_webp_pixels, vp8l.synth_webp_lossless),
+        (deflate.gzip_decompress, deflate.synth_gzip_dump),
+        (deflate.zlib_decompress, None),
+        (deflate.inflate, None),
+        (fastpath.fast_decoder("gzip", sample_every=1), deflate.synth_gzip_dump),
+        (fastpath.fast_decoder("zlib", sample_every=1), None),
     ]
     fn, synth = table[which]
     cases = [noise]
