@@ -2645,6 +2645,13 @@ def _synth_gzip_dump(seed: int) -> bytes:
     return synth_gzip_dump(seed)
 
 
+def _synth_zstd_dict_dump(seed: int) -> bytes:
+    """Lazy import of the dictionary-frame .zst fixture."""
+    from .zstdcodec import synth_zstd_dict_dump
+
+    return synth_zstd_dict_dump(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2692,6 +2699,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "mp3_tagged": synth_mp3_tagged,
         "webp_lossless": _synth_webp_lossless,
         "gzip_dump": _synth_gzip_dump,
+        "zstd_dict_dump": _synth_zstd_dict_dump,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

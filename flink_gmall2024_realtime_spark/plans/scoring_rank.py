@@ -1046,6 +1046,49 @@ def gzip_dump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zstd_dict_ingest",
+    oracle="""
+WITH p AS (SELECT doc_id, doc_id % 32 + 6 AS n FROM documents),
+f AS (SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i FROM p),
+g AS (
+  SELECT doc_id, n, i,
+         (doc_id + 7 * i) % 11 + 2 AS m,
+         CASE WHEN i < 10 THEN 1 ELSE 2 END AS di
+  FROM f
+)
+SELECT doc_id AS media_id,
+       n::INT AS n_lines,
+       (SUM(m) + 3 * n)::BIGINT AS n_tokens,
+       (SUM(16 + length(CAST(doc_id AS VARCHAR)) + di + 5 * m)
+        + n - 1)::BIGINT AS n_chars
+FROM g GROUP BY doc_id, n
+""",
+    survey_ids=("text-quality",),
+)
+def zstd_dict_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-frame zstd ingestion (r11) — the shared-dictionary shard
+    layout real crawl archives use for small-record compression: per doc
+    a windowed dictionary frame written by the in-repo compressor against
+    the shared raw-content dictionary (matches reach into the dictionary
+    prefix; `zstd -d -D` round-trips it in units), decoded by the in-repo
+    RFC 8878 decoder with the dictionary seeding the window, entropy
+    context and repeat offsets. No C fast path on purpose: pyarrow's
+    codec API exposes no dictionary parameter, so the spec decoder runs
+    every record — the one ingestion family where the spec engine IS the
+    engine. The oracle reproduces line/token/char counts from seed
+    arithmetic. Per-row Arrow work — linear by construction
+    (``operators/zstdcodec.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "zstd_dict_dump")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zstd"
+    )
+    from ..operators.zstdcodec import zstd_dict_dump_stats
+
+    return zstd_dict_dump_stats(media)
+
+
+@register(
     "multimodal_g711_decode",
     oracle="""
 WITH p AS (

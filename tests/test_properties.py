@@ -1052,3 +1052,128 @@ def test_parquet_data_decode_corruption_and_seams():
     )
     with _pytest.raises(NotImplementedError, match="encoding"):
         parse_parquet_data(buf2.getvalue())
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=0, max_size=2000), st.integers(1, 19), st.randoms())
+def test_zstd_dictionary_frames_cli_both_directions(data, level, rng):
+    """Dictionary frames (r11): the real zstd CLI compresses with -D
+    against raw-content AND trained-style dictionaries and the in-repo
+    decoder must reproduce the bytes with the dictionary seeding window/
+    entropy/repcodes; symmetrically the in-repo dictionary-frame writer's
+    output must decode under zstd -d -D."""
+    import shutil
+    import subprocess
+    import tempfile
+    import os
+
+    from flink_gmall2024_realtime_spark.operators.zstdcodec import (
+        zstd_compress,
+        zstd_decompress,
+    )
+
+    if shutil.which("zstd") is None:
+        pytest.skip("zstd CLI not available")
+    # raw-content dictionary sharing vocabulary with the payload
+    words = [data[i : i + 7] or b"pad" for i in range(0, max(len(data), 1), 7)]
+    dictionary = b"|".join(words[:40]) + b"|shared-boilerplate|" * 3
+    with tempfile.TemporaryDirectory() as td:
+        dpath = os.path.join(td, "raw.dict")
+        ipath = os.path.join(td, "in.bin")
+        opath = os.path.join(td, "out.zst")
+        with open(dpath, "wb") as f:
+            f.write(dictionary)
+        with open(ipath, "wb") as f:
+            f.write(data)
+        r = subprocess.run(
+            ["zstd", f"-{level}", "-D", dpath, "-f", "-q", ipath, "-o", opath],
+            capture_output=True,
+        )
+        assert r.returncode == 0, r.stderr
+        with open(opath, "rb") as f:
+            payload = f.read()
+        assert zstd_decompress(payload, dictionary=dictionary) == data
+        # our writer -> CLI reader
+        ours = zstd_compress(data, dictionary=dictionary)
+        assert zstd_decompress(ours, dictionary=dictionary) == data
+        wpath = os.path.join(td, "ours.zst")
+        rpath = os.path.join(td, "cli.out")
+        with open(wpath, "wb") as f:
+            f.write(ours)
+        r = subprocess.run(
+            ["zstd", "-d", "-D", dpath, "-f", "-q", wpath, "-o", rpath],
+            capture_output=True,
+        )
+        assert r.returncode == 0, r.stderr
+        with open(rpath, "rb") as f:
+            assert f.read() == data
+
+
+def test_zstd_trained_dictionary_decode():
+    """A zstd --train structured dictionary (magic + entropy tables +
+    repcodes): parse_zstd_dictionary reads its entropy section and the
+    decoder uses it for CLI frames at several levels; wrong-dictionary
+    and missing-dictionary cases raise, never return wrong bytes."""
+    import shutil
+    import subprocess
+    import tempfile
+    import os
+    import random as _random
+
+    from flink_gmall2024_realtime_spark.operators.zstdcodec import (
+        ZDICT_MAGIC,
+        parse_zstd_dictionary,
+        zstd_compress,
+        zstd_decompress,
+    )
+
+    if shutil.which("zstd") is None:
+        pytest.skip("zstd CLI not available")
+    rng = _random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "common", "header", "spark"]
+    with tempfile.TemporaryDirectory() as td:
+        samples = []
+        for i in range(80):
+            p = os.path.join(td, f"s{i:03d}.txt")
+            with open(p, "w") as f:
+                f.write(
+                    "HDR-v1 " + " ".join(rng.choice(words) for _ in range(60))
+                )
+            samples.append(p)
+        dpath = os.path.join(td, "trained.dict")
+        r = subprocess.run(
+            ["zstd", "--train", *samples, "-o", dpath, "--maxdict=2048", "-q"],
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"zstd --train unavailable: {r.stderr[:100]!r}")
+        with open(dpath, "rb") as f:
+            trained = f.read()
+        info = parse_zstd_dictionary(trained)
+        assert info["dict_id"] != 0 and info["entropy"] is not None
+        import struct as _struct
+
+        assert _struct.unpack_from("<I", trained, 0)[0] == ZDICT_MAGIC
+        data = b"HDR-v1 " + b" ".join(
+            rng.choice(words).encode() for _ in range(100)
+        )
+        ipath = os.path.join(td, "in.bin")
+        opath = os.path.join(td, "out.zst")
+        with open(ipath, "wb") as f:
+            f.write(data)
+        for level in (1, 9, 19):
+            subprocess.run(
+                ["zstd", f"-{level}", "-D", dpath, "-f", "-q", ipath, "-o", opath],
+                check=True,
+            )
+            with open(opath, "rb") as f:
+                payload = f.read()
+            assert zstd_decompress(payload, dictionary=trained) == data
+            # missing dictionary: loud, typed
+            with pytest.raises(ValueError, match="dictionary"):
+                zstd_decompress(payload)
+        # our structured-dict writer leg: DID is written and enforced
+        ours = zstd_compress(data, dictionary=trained)
+        assert zstd_decompress(ours, dictionary=trained) == data
+        with pytest.raises(ValueError, match="dictionary"):
+            zstd_decompress(ours)
