@@ -2652,6 +2652,13 @@ def _synth_zstd_dict_dump(seed: int) -> bytes:
     return synth_zstd_dict_dump(seed)
 
 
+def _synth_orc_data(seed: int) -> bytes:
+    """Lazy import of the ORC data fixture (pyarrow-written)."""
+    from .orcmeta import synth_orc_data
+
+    return synth_orc_data(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2700,6 +2707,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "webp_lossless": _synth_webp_lossless,
         "gzip_dump": _synth_gzip_dump,
         "zstd_dict_dump": _synth_zstd_dict_dump,
+        "orc_data": _synth_orc_data,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

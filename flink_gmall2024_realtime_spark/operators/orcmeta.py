@@ -1,6 +1,7 @@
-"""ORC footer audit — the other columnar-lake format, read raw.
+"""ORC footer audit + FULL stripe DATA decode — the other columnar-lake
+format, read raw end-to-end.
 
-Mirrors the parquet footer audit with ORC's layout: a 1-byte postscript
+Footer side mirrors the parquet footer audit with ORC's layout: a 1-byte postscript
 length at the very end, a PROTOBUF postscript (footer length, compression
 kind, block size, the "ORC" magic in field 8000), then the footer — a
 protobuf Footer message wrapped in ORC compression chunks (3-byte
@@ -13,9 +14,18 @@ counts, stripe layout (with the stripe-sum cross-check), compression
 kind, column count, and the first int column's min/max statistics
 (protobuf ``sint64`` zigzag).
 
+Data side (r11, ``parse_orc_data``): per-stripe StripeFooter protobuf,
+PRESENT boolean RLE (byte-RLE + MSB bits), integer RLE v2 in all FOUR
+sub-encodings (short-repeat / direct / patched-base / delta — pinned to
+the spec's worked byte examples and to live pyarrow output per
+sub-encoding via the ``_RLE_SPY`` coverage test), IEEE754 double DATA,
+and string DIRECT_V2 / DICTIONARY_V2.
+
 Conformance anchor: REAL pyarrow-written ORC bytes (the bundled C++
 writer) across all five compression kinds; pytest cross-checks
-``pyarrow.orc.ORCFile`` introspection on arbitrary shapes.
+``pyarrow.orc.ORCFile`` introspection on arbitrary shapes, and the data
+decode is compared to ground-truth aggregates on hypothesis-random
+nullable tables.
 
 Reference scope note: the reference app (hellohappyworld/
 flink-gmall2024-realtime) has no storage-audit path; this is part of the
@@ -217,4 +227,397 @@ def orc_footer_audit(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=ORC_AUDIT_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stripe DATA decode (r11): full ORC value read from raw bytes
+# ---------------------------------------------------------------------------
+
+# 5-bit width-code table (ORC spec "decodeBitWidth")
+_FBS = list(range(1, 25)) + [26, 28, 30, 32, 40, 48, 56, 64]
+
+
+class _MsbBits:
+    """Big-endian (MSB-first) bit unpacker for RLEv2 packed runs."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, data: bytes, bitpos: int = 0) -> None:
+        self.d = data
+        self.pos = bitpos
+
+    def read(self, n: int) -> int:
+        if self.pos + n > 8 * len(self.d):
+            raise ValueError("ORC packed run exhausted")
+        v = 0
+        pos = self.pos
+        got = 0
+        while got < n:
+            byte = self.d[pos >> 3]
+            off = pos & 7
+            take = min(8 - off, n - got)
+            v = (v << take) | ((byte >> (8 - off - take)) & ((1 << take) - 1))
+            got += take
+            pos += take
+        self.pos = pos
+        return v
+
+
+def _byte_rle(data: bytes) -> bytes:
+    """ORC byte-level RLE (booleans ride on top of this): control c in
+    0..127 = run of c+3 copies of the next byte; 128..255 = 256-c literal
+    bytes."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i >= n:
+                raise ValueError("truncated ORC byte-RLE run")
+            out += bytes([data[i]]) * (c + 3)
+            i += 1
+        else:
+            ln = 256 - c
+            if i + ln > n:
+                raise ValueError("truncated ORC byte-RLE literals")
+            out += data[i : i + ln]
+            i += ln
+    return bytes(out)
+
+
+def _bool_rle(data: bytes, count: int) -> list[int]:
+    """PRESENT stream: byte-RLE bytes, bits MSB-first."""
+    raw = _byte_rle(data)
+    if 8 * len(raw) < count:
+        raise ValueError("ORC present stream shorter than row count")
+    return [(raw[i >> 3] >> (7 - (i & 7))) & 1 for i in range(count)]
+
+
+def _read_uvarint(d: bytes, i: int) -> tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        if i >= len(d):
+            raise ValueError("truncated ORC varint")
+        b = d[i]
+        i += 1
+        v |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return v, i
+        if shift > 70:
+            raise ValueError("ORC varint too long")
+
+
+# test hook: when set to a dict, _rlev2 counts each run's sub-encoding
+# (0 short-repeat / 1 direct / 2 patched-base / 3 delta) so the property
+# suite can PROVE all four paths were exercised by real pyarrow output
+_RLE_SPY: dict | None = None
+
+
+def _rlev2(data: bytes, count: int, signed: bool) -> list[int]:
+    """Integer RLE v2: SHORT_REPEAT / DIRECT / PATCHED_BASE / DELTA runs
+    until ``count`` values are produced (ORC v1 spec §Integer RLE v2)."""
+    out: list[int] = []
+    i = 0
+
+    def zz(v: int) -> int:
+        return (v >> 1) ^ -(v & 1)
+
+    while len(out) < count:
+        if i >= len(data):
+            raise ValueError("ORC RLEv2 stream exhausted")
+        b0 = data[i]
+        kind = b0 >> 6
+        if _RLE_SPY is not None:
+            _RLE_SPY[kind] = _RLE_SPY.get(kind, 0) + 1
+        if kind == 0:  # SHORT_REPEAT
+            w = ((b0 >> 3) & 7) + 1
+            rep = (b0 & 7) + 3
+            if i + 1 + w > len(data):
+                raise ValueError("truncated ORC short-repeat")
+            v = int.from_bytes(data[i + 1 : i + 1 + w], "big")
+            if signed:
+                v = zz(v)
+            out += [v] * rep
+            i += 1 + w
+        elif kind == 1:  # DIRECT
+            w = _FBS[(b0 >> 1) & 0x1F]
+            ln = (((b0 & 1) << 8) | data[i + 1]) + 1
+            i += 2
+            nbytes = (w * ln + 7) // 8
+            bits = _MsbBits(data[i : i + nbytes])
+            vals = [bits.read(w) for _ in range(ln)]
+            i += nbytes
+            out += [zz(v) for v in vals] if signed else vals
+        elif kind == 2:  # PATCHED_BASE
+            w = _FBS[(b0 >> 1) & 0x1F]
+            ln = (((b0 & 1) << 8) | data[i + 1]) + 1
+            b2, b3 = data[i + 2], data[i + 3]
+            bw = ((b2 >> 5) & 7) + 1
+            pw = _FBS[b2 & 0x1F]
+            pgw = ((b3 >> 5) & 7) + 1
+            pll = b3 & 0x1F
+            i += 4
+            base = int.from_bytes(data[i : i + bw], "big")
+            sign_mask = 1 << (8 * bw - 1)
+            if base & sign_mask:
+                base = -(base & (sign_mask - 1))
+            i += bw
+            nbytes = (w * ln + 7) // 8
+            bits = _MsbBits(data[i : i + nbytes])
+            vals = [bits.read(w) for _ in range(ln)]
+            i += nbytes
+            # patch entries at the smallest FBS width >= pgw + pw
+            pe_w = next(f for f in _FBS if f >= pgw + pw)
+            pbytes = (pe_w * pll + 7) // 8
+            pbits = _MsbBits(data[i : i + pbytes])
+            i += pbytes
+            pos = 0
+            for _ in range(pll):
+                entry = pbits.read(pe_w)
+                gap = entry >> pw
+                patch = entry & ((1 << pw) - 1)
+                pos += gap
+                if pos >= ln:
+                    raise ValueError("ORC patch position out of run")
+                vals[pos] |= patch << w
+            out += [base + v for v in vals]
+        else:  # DELTA
+            wcode = (b0 >> 1) & 0x1F
+            w = 0 if wcode == 0 else _FBS[wcode]
+            ln = (((b0 & 1) << 8) | data[i + 1]) + 1  # total values in run
+            i += 2
+            base, i = _read_uvarint(data, i)
+            if signed:
+                base = zz(base)
+            db_raw, i = _read_uvarint(data, i)
+            delta_base = zz(db_raw)
+            run = [base]
+            if ln > 1:
+                run.append(base + delta_base)
+            if w and ln > 2:
+                nbytes = (w * (ln - 2) + 7) // 8
+                bits = _MsbBits(data[i : i + nbytes])
+                sign = -1 if delta_base < 0 else 1
+                for _ in range(ln - 2):
+                    run.append(run[-1] + sign * bits.read(w))
+                i += nbytes
+            elif ln > 2:  # fixed-delta run
+                for _ in range(ln - 2):
+                    run.append(run[-1] + delta_base)
+            out += run
+    if len(out) != count:
+        raise ValueError("ORC RLEv2 produced more values than expected")
+    return out
+
+
+_ENC_DIRECT, _ENC_DICT, _ENC_DIRECT_V2, _ENC_DICT_V2 = 0, 1, 2, 3
+
+
+@malformed_guard
+def parse_orc_data(payload: bytes) -> list:
+    """FULL ORC value decode from raw bytes (r11 — the THIRD container
+    format read end-to-end, after parquet data pages and ORC footers):
+    postscript -> footer -> per-stripe StripeFooter protobuf -> per-column
+    stream decode. Covers PRESENT boolean RLE, integer RLE v2 in all four
+    sub-encodings (short-repeat / direct / patched-base / delta), IEEE754
+    double DATA, and string DIRECT_V2 (length RLE + bytes) and
+    DICTIONARY_V2 (id RLE + dictionary blob) — every stream decompressed
+    through the repo's own codec surface (raw-deflate zlib, Snappy, LZ4
+    block, zstd).
+
+    Returns one (col_name, n_values, n_nulls, int_sum, float_sum,
+    byte_len) tuple per column, exactly one of the three content
+    aggregates non-None by type (long, double, string). Per-stripe
+    non-null counts are verified against the stream contents; unsupported
+    type kinds / RLEv1 encodings raise NotImplementedError (documented
+    seams)."""
+    import struct as _struct
+
+    if len(payload) < 4 or payload[:3] != b"ORC":
+        raise ValueError("not an ORC file (magic)")
+    ps_len = payload[-1]
+    ps = payload[-1 - ps_len : -1]
+    footer_len = None
+    kind = 0
+    for field, wt, v in _wire_fields(ps):
+        if field == 1 and wt == 0:
+            footer_len = v
+        elif field == 2 and wt == 0:
+            kind = v
+    if footer_len is None:
+        raise ValueError("ORC postscript missing footer length")
+    end = len(payload) - 1 - ps_len
+    footer = _decompress_stream(payload[end - footer_len : end], kind)
+    stripes = []
+    types = []
+    for field, wt, v in _wire_fields(footer):
+        if field == 3 and wt == 2:
+            stripes.append({f: val for f, _w, val in _wire_fields(v)})
+        elif field == 4 and wt == 2:
+            tf: dict = {}
+            for f, _w, val in _wire_fields(v):
+                tf.setdefault(f, []).append(val)
+            types.append(tf)
+    if not types or types[0].get(1, [None])[0] != 12:
+        raise NotImplementedError("ORC data decode requires a flat struct root")
+    names = [n.decode() for n in types[0].get(3, [])]
+    kinds = [t[1][0] for t in types[1:]]
+    for k in kinds:
+        if k not in (4, 6, 7):  # long, double, string
+            raise NotImplementedError(f"ORC column type kind {k} in data decode")
+    totals = [
+        {"n_values": 0, "n_nulls": 0, "int": 0 if k == 4 else None,
+         "flt": 0.0 if k == 6 else None, "blen": 0 if k == 7 else None}
+        for k in kinds
+    ]
+    for st in stripes:
+        off, ilen, dlen = st.get(1, 0), st.get(2, 0), st.get(3, 0)
+        flen, nrows = st.get(4, 0), st.get(5, 0)
+        sfoot = _decompress_stream(
+            payload[off + ilen + dlen : off + ilen + dlen + flen], kind
+        )
+        streams = []
+        encs = []
+        for f, w, v in _wire_fields(sfoot):
+            if f == 1 and w == 2:
+                streams.append({ff: vv for ff, _ww, vv in _wire_fields(v)})
+            elif f == 2 and w == 2:
+                encs.append({ff: vv for ff, _ww, vv in _wire_fields(v)})
+        # locate each column's data-region streams (index region excluded)
+        pos = off + ilen
+        by_col: dict[tuple[int, int], bytes] = {}
+        for s in streams:
+            skind, col, ln = s.get(1, 0), s.get(2, 0), s.get(3, 0)
+            if skind in (6, 7, 8):  # ROW_INDEX / BLOOM live in the index region
+                continue
+            by_col[(col, skind)] = payload[pos : pos + ln]
+            pos += ln
+        if pos != off + ilen + dlen:
+            raise ValueError("ORC stream lengths disagree with stripe dataLength")
+        for ci, tkind in enumerate(kinds, start=1):
+            enc = encs[ci].get(1, 0)
+            present_raw = by_col.get((ci, 0))
+            if present_raw is not None:
+                present = _bool_rle(_decompress_stream(present_raw, kind), nrows)
+            else:
+                present = [1] * nrows
+            n_nonnull = sum(present)
+            t = totals[ci - 1]
+            t["n_values"] += n_nonnull
+            t["n_nulls"] += nrows - n_nonnull
+            data = _decompress_stream(by_col.get((ci, 1), b""), kind)
+            if tkind == 4:  # long
+                if enc != _ENC_DIRECT_V2:
+                    raise NotImplementedError(f"ORC long encoding {enc}")
+                vals = _rlev2(data, n_nonnull, signed=True)
+                t["int"] += sum(vals)
+            elif tkind == 6:  # double
+                if enc != _ENC_DIRECT:
+                    raise NotImplementedError(f"ORC double encoding {enc}")
+                if len(data) < 8 * n_nonnull:
+                    raise ValueError("ORC double stream shorter than values")
+                t["flt"] += sum(
+                    _struct.unpack_from("<d", data, 8 * j)[0]
+                    for j in range(n_nonnull)
+                )
+            else:  # string
+                lens_raw = _decompress_stream(by_col.get((ci, 2), b""), kind)
+                if enc == _ENC_DIRECT_V2:
+                    lens = _rlev2(lens_raw, n_nonnull, signed=False)
+                    if sum(lens) > len(data):
+                        raise ValueError("ORC string data shorter than lengths")
+                    t["blen"] += sum(lens)
+                elif enc == _ENC_DICT_V2:
+                    dict_size = encs[ci].get(2, 0)
+                    ids = _rlev2(data, n_nonnull, signed=False)
+                    dlens = _rlev2(lens_raw, dict_size, signed=False)
+                    blob = _decompress_stream(by_col.get((ci, 3), b""), kind)
+                    if sum(dlens) > len(blob):
+                        raise ValueError("ORC dictionary blob shorter than lengths")
+                    for _id in ids:
+                        if _id >= dict_size:
+                            raise ValueError("ORC dictionary id out of range")
+                        t["blen"] += dlens[_id]
+                else:
+                    raise NotImplementedError(f"ORC string encoding {enc}")
+    return [
+        (
+            names[ci],
+            t["n_values"],
+            t["n_nulls"],
+            t["int"],
+            t["flt"],
+            t["blen"],
+        )
+        for ci, t in enumerate(totals)
+    ]
+
+
+def synth_orc_data(seed: int) -> bytes:
+    """Deterministic ORC data fixture WRITTEN BY PYARROW (the bundled C++
+    ORC writer — the decode side under test is ours): n = seed%80+12 rows
+    of (nullable long k = seed+2i with every 5th null, string v = 's'*(i%7),
+    double d = i/2). Compression rotates through all five kinds by seed%5;
+    seed%3==0 forces DICTIONARY_V2 strings (threshold 1.0), others
+    DIRECT_V2; seed%4==0 shrinks the stripe size so multi-stripe
+    aggregation is on the verified path."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as _orc
+
+    seed = int(seed)
+    n = seed % 80 + 12
+    k = [None if i % 5 == 4 else seed + 2 * i for i in range(n)]
+    v = ["s" * (i % 7) for i in range(n)]
+    d = [i / 2 for i in range(n)]
+    table = pa.table(
+        {
+            "k": pa.array(k, type=pa.int64()),
+            "v": pa.array(v, type=pa.string()),
+            "d": pa.array(d, type=pa.float64()),
+        }
+    )
+    buf = io.BytesIO()
+    kwargs: dict = {
+        "compression": ["uncompressed", "zlib", "snappy", "lz4", "zstd"][seed % 5],
+        "dictionary_key_size_threshold": 1.0 if seed % 3 == 0 else 0.0,
+    }
+    if seed % 4 == 0:
+        kwargs["stripe_size"] = 4096
+    _orc.write_table(table, buf, **kwargs)
+    return buf.getvalue()
+
+
+ORC_DATA_SCHEMA = (
+    "media_id long, col string, n_values long, n_nulls long, "
+    "int_sum long, float_sum double, byte_len long"
+)
+
+
+def orc_data_stats(media: DataFrame) -> DataFrame:
+    """Per-column value aggregates from a full raw-byte ORC decode — one
+    row per (file, column). Per-row Arrow work, linear by construction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for col, nv, nn, isum, fsum, blen in parse_orc_data(bytes(p)):
+                    rows.append((mid, col, nv, nn, isum, fsum, blen))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "col", "n_values", "n_nulls",
+                    "int_sum", "float_sum", "byte_len",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=ORC_DATA_SCHEMA
     )

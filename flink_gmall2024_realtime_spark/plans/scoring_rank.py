@@ -1089,6 +1089,56 @@ def zstd_dict_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_data_audit",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 80 + 12 AS n,
+         (doc_id % 80 + 12) // 5 AS nn
+  FROM documents
+)
+SELECT doc_id AS media_id, 'k' AS col, (n - nn)::BIGINT AS n_values,
+       nn::BIGINT AS n_nulls,
+       (n * doc_id + n * (n - 1)
+        - nn * doc_id - 5 * nn * (nn - 1) - 8 * nn)::BIGINT AS int_sum,
+       NULL::DOUBLE AS float_sum, NULL::BIGINT AS byte_len
+FROM p
+UNION ALL
+SELECT doc_id, 'v', n::BIGINT, 0::BIGINT, NULL::BIGINT, NULL::DOUBLE,
+       (21 * (n // 7) + (n % 7) * ((n % 7) - 1) // 2)::BIGINT
+FROM p
+UNION ALL
+SELECT doc_id, 'd', n::BIGINT, 0::BIGINT, NULL::BIGINT,
+       (n * (n - 1)) / 4.0, NULL::BIGINT
+FROM p
+""",
+    survey_ids=("text-quality",),
+)
+def orc_data_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC DATA decode (r11 — the third container format read end-to-end
+    from raw bytes, after parquet data pages): per doc a REAL
+    pyarrow-written ORC file (nullable int64 + string + double; all five
+    compression kinds by seed; DICTIONARY_V2 strings on seed%3==0,
+    DIRECT_V2 otherwise; multi-stripe on seed%4==0) decoded by the
+    in-repo reader — postscript/footer protobuf walk, per-stripe
+    StripeFooter, PRESENT boolean RLE, integer RLE v2 in all four
+    sub-encodings (anchored to the spec's worked byte examples AND
+    pyarrow output in units), IEEE754 doubles, string direct/dictionary
+    — every stream decompressed through the repo's own codec surface.
+    No pyarrow on the decode path. Oracle reproduces per-column
+    value/null counts and content sums from seed arithmetic. Per-row
+    Arrow work — linear by construction (``operators/orcmeta.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "orc_data")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/x-orc"
+    )
+    from ..operators.orcmeta import orc_data_stats
+
+    return orc_data_stats(media)
+
+
+@register(
     "multimodal_g711_decode",
     oracle="""
 WITH p AS (

@@ -891,7 +891,7 @@ def _synth_lzma_alone(seed: int) -> bytes:
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 25), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 26), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -942,6 +942,7 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (deflate.inflate, None),
         (fastpath.fast_decoder("gzip", sample_every=1), deflate.synth_gzip_dump),
         (fastpath.fast_decoder("zlib", sample_every=1), None),
+        (orcmeta.parse_orc_data, orcmeta.synth_orc_data),
     ]
     fn, synth = table[which]
     cases = [noise]
@@ -1177,3 +1178,121 @@ def test_zstd_trained_dictionary_decode():
         assert zstd_decompress(ours, dictionary=trained) == data
         with pytest.raises(ValueError, match="dictionary"):
             zstd_decompress(ours)
+
+
+def test_orc_rlev2_spec_examples():
+    """The four worked byte examples from the ORC v1 spec's Integer RLE
+    v2 section decode exactly: short-repeat, direct, delta, and
+    patched-base (incl. the 14-bit patch entry carrying the 1000000
+    outlier)."""
+    from flink_gmall2024_realtime_spark.operators.orcmeta import _rlev2
+
+    assert _rlev2(bytes([0x0A, 0x27, 0x10]), 5, False) == [10000] * 5
+    assert _rlev2(
+        bytes([0x5E, 0x03, 0x5C, 0xA1, 0xAB, 0x1E, 0xDE, 0xAD, 0xBE, 0xEF]),
+        4,
+        False,
+    ) == [23713, 43806, 57005, 48879]
+    assert _rlev2(
+        bytes([0xC6, 0x09, 0x02, 0x02, 0x22, 0x42, 0x42, 0x46]), 10, False
+    ) == [2, 3, 5, 7, 11, 13, 17, 19, 23, 29]
+    pb = bytes(
+        [0x8E, 0x13, 0x2B, 0x21, 0x07, 0xD0, 0x1E, 0x00, 0x14, 0x70,
+         0x28, 0x32, 0x3C, 0x46, 0x50, 0x5A, 0x64, 0x6E, 0x78, 0x82,
+         0x8C, 0x96, 0xA0, 0xAA, 0xB4, 0xBE, 0xFC, 0xE8]
+    )
+    assert _rlev2(pb, 20, False) == [2030, 2000, 2020, 1000000] + list(
+        range(2040, 2200, 10)
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-(10**14), 10**14)),
+        min_size=1,
+        max_size=300,
+    ),
+    st.sampled_from(["uncompressed", "zlib", "snappy", "lz4", "zstd"]),
+    st.sampled_from([0.0, 1.0]),
+    st.randoms(),
+)
+def test_orc_data_decode_matches_pyarrow(ks, comp, dict_thr, rng):
+    """parse_orc_data vs ground truth on REAL pyarrow-written ORC across
+    all five compression kinds, dictionary and direct string encodings,
+    nullable longs, and random string/double columns."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from flink_gmall2024_realtime_spark.operators.orcmeta import parse_orc_data
+
+    n = len(ks)
+    vs = [None if rng.random() < 0.1 else "s" * rng.randrange(0, 9) for _ in range(n)]
+    ds = [rng.random() * 100 for _ in range(n)]
+    t = pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "v": pa.array(vs, pa.string()),
+            "d": pa.array(ds, pa.float64()),
+        }
+    )
+    buf = io.BytesIO()
+    orc.write_table(
+        t, buf, compression=comp, dictionary_key_size_threshold=dict_thr,
+        stripe_size=4096,
+    )
+    got = {r[0]: tuple(r) for r in parse_orc_data(buf.getvalue())}
+    assert got["k"] == (
+        "k",
+        sum(1 for x in ks if x is not None),
+        sum(1 for x in ks if x is None),
+        sum(x for x in ks if x is not None),
+        None,
+        None,
+    )
+    assert got["v"] == (
+        "v",
+        sum(1 for x in vs if x is not None),
+        sum(1 for x in vs if x is None),
+        None,
+        None,
+        sum(len(x) for x in vs if x is not None),
+    )
+    assert abs(got["d"][4] - sum(ds)) < 1e-6
+
+
+def test_orc_rlev2_all_subencodings_exercised_by_pyarrow():
+    """Coverage proof: real pyarrow output drives the direct, delta AND
+    patched-base RLEv2 paths (the spy counts runs per sub-encoding);
+    short-repeat is pinned by the spec-example unit above."""
+    import io
+    import random as _random
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from flink_gmall2024_realtime_spark.operators import orcmeta
+
+    spy: dict = {}
+    orcmeta._RLE_SPY = spy
+    try:
+        rng = _random.Random(2)
+
+        def feed(ks):
+            t = pa.table({"k": pa.array(ks, pa.int64())})
+            buf = io.BytesIO()
+            orc.write_table(t, buf, compression="uncompressed")
+            got = orcmeta.parse_orc_data(buf.getvalue())
+            assert got[0][3] == sum(ks)
+
+        feed(list(range(0, 5000, 3)))  # monotonic -> delta
+        outliers = [rng.randrange(1000) for _ in range(3000)]
+        for j in range(0, 3000, 97):
+            outliers[j] = 10**14 + j  # -> patched base
+        feed(outliers)
+        feed([rng.randrange(2**40) for _ in range(1500)])  # wide -> direct
+    finally:
+        orcmeta._RLE_SPY = None
+    assert spy.get(1) and spy.get(2) and spy.get(3), spy
