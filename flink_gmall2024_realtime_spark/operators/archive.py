@@ -212,7 +212,12 @@ def parse_zip(payload: bytes) -> list:
         data = payload[data_at : data_at + csize]
         if len(data) != csize:
             raise ValueError(f"member {name!r}: truncated data")
-        content = data if method == 0 else zlib.decompress(data, -15)
+        if method == 0:
+            content = data
+        else:
+            from .fastpath import fast_decoder
+
+            content = fast_decoder("deflate_raw")(data)
         if len(content) != usize:
             raise ValueError(f"member {name!r}: size mismatch after inflate")
         if (zlib.crc32(content) & 0xFFFFFFFF) != crc:
@@ -301,7 +306,9 @@ def parse_tar_gz(payload: bytes) -> list:
     zero blocks; directory entries are skipped. Returns one
     (member_idx, name, n_bytes, n_lines) per regular file. Raises on
     checksum or structure failures."""
-    data = zlib.decompress(payload, 47)
+    from .fastpath import fast_decoder
+
+    data = fast_decoder("gzip")(payload)
     rows = []
     idx = 0
     pos = 0

@@ -170,7 +170,9 @@ def parse_avro(payload: bytes) -> tuple[dict, list]:
         if codec == "null":
             data = block
         elif codec == "deflate":
-            data = zlib.decompress(block, -15)
+            from .fastpath import fast_decoder
+
+            data = fast_decoder("deflate_raw")(block)
         elif codec == "snappy":
             from .fastpath import fast_decoder
 

@@ -38,7 +38,10 @@ import zlib
 # every k-th record is cross-verified against the in-repo spec decoder
 SAMPLE_EVERY = 16
 
-_FAMILIES = ("zstd", "xz", "lzma_alone", "bz2", "lz4", "snappy", "gzip", "zlib")
+_FAMILIES = (
+    "zstd", "xz", "lzma_alone", "bz2", "lz4", "snappy", "gzip", "zlib",
+    "deflate_raw",
+)
 
 
 def _sampled(payload: bytes, k: int) -> bool:
@@ -228,6 +231,10 @@ def _backends(family: str):
         from .deflate import zlib_decompress
 
         return _zlib_fast, zlib_decompress
+    if family == "deflate_raw":
+        from .deflate import inflate
+
+        return (lambda payload: zlib.decompress(payload, -15)), inflate
     raise ValueError(f"unknown codec family {family!r} (have {_FAMILIES})")
 
 

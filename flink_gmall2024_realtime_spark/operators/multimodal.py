@@ -351,7 +351,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int]:
         pos += 12 + size
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
-    raw = zlib.decompress(idat)
+    from .fastpath import fast_decoder
+
+    raw = fast_decoder("zlib")(idat)
     bpp = 3
     if interlace == 0:
         stride = 3 * w

@@ -74,7 +74,11 @@ def _decompress_stream(data: bytes, kind: int) -> bytes:
         if orig:
             out += chunk
         elif kind == 1:
-            out += zlib.decompress(chunk, -15)
+            # C zlib decode with the in-repo RFC 1951 decoder as sampled
+            # cross-verification + rejected-chunk fallback
+            from .fastpath import fast_decoder
+
+            out += fast_decoder("deflate_raw")(chunk)
         elif kind == 2:
             from .lz4snappy import snappy_decompress
 

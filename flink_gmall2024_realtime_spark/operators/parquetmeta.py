@@ -320,7 +320,9 @@ def _page_decompress(data: bytes, codec: int) -> bytes:
     if codec == 2:
         import zlib as _zlib
 
-        return _zlib.decompress(data, 47)
+        from .fastpath import fast_decoder
+
+        return fast_decoder("gzip")(data)
     if codec == 6:
         from .fastpath import fast_decoder
 

@@ -417,7 +417,9 @@ def _apply_filters(filt: bytes, data: bytes) -> bytes:
         raise ValueError(f"unparseable /Filter value {filt!r}")
     for name in names:
         if name == b"FlateDecode":
-            data = zlib.decompress(data)
+            from .fastpath import fast_decoder
+
+            data = fast_decoder("zlib")(data)
         elif name == b"LZWDecode":
             from .multimodal import _tiff_lzw_decode
 
@@ -638,7 +640,9 @@ def _open_pdf(payload: bytes):
             if filt is not None:
                 if b"FlateDecode" not in filt:
                     raise NotImplementedError(f"xref stream filter {filt!r}")
-                data = zlib.decompress(data)
+                from .fastpath import fast_decoder
+
+                data = fast_decoder("zlib")(data)
             w = [int(x) for x in re.findall(rb"\d+", _pdf_dict_value(head, b"W"))]
             size = int(_pdf_dict_value(head, b"Size"))
             idxv = _pdf_dict_value(head, b"Index")
