@@ -133,14 +133,13 @@ def synth_zip(seed: int) -> bytes:
 
 
 @malformed_guard
-def parse_zip(payload: bytes) -> list:
-    """REAL ZIP walk: locate EOCD by back-scanning past the comment, parse
-    every central-directory entry, cross-check each member's local header
-    signature, extract (STORED / raw-DEFLATE) and verify CRC-32. Returns
-    one tuple per member:
-    (member_idx, name, method, n_bytes, n_lines) with n_bytes/n_lines of
-    the DECOMPRESSED content. Raises on signature, scope, or CRC
-    failures."""
+def _walk_zip(payload: bytes):
+    """Member walk shared by ``parse_zip`` and ``zip_extract``: locate
+    EOCD by back-scanning past the comment, parse every central-directory
+    entry, cross-check each member's local header signature, extract
+    (STORED / raw-DEFLATE through the fast-path dispatch) and verify
+    CRC-32. Returns a list of (member_idx, name, method, n_bytes,
+    content) tuples."""
     scan_from = max(0, len(payload) - 22 - 0xFFFF)
     eocd_at = payload.rfind(_EOCD_SIG, scan_from)
     if eocd_at < 0:
@@ -222,8 +221,26 @@ def parse_zip(payload: bytes) -> list:
             raise ValueError(f"member {name!r}: size mismatch after inflate")
         if (zlib.crc32(content) & 0xFFFFFFFF) != crc:
             raise ValueError(f"member {name!r}: CRC-32 mismatch")
-        rows.append((idx, name, method, usize, content.count(b"\n")))
+        rows.append((idx, name, method, usize, content))
     return rows
+
+
+def parse_zip(payload: bytes) -> list:
+    """Per-member ZIP audit rows: (member_idx, name, method, n_bytes,
+    n_lines) with n_bytes/n_lines of the DECOMPRESSED content. Raises on
+    signature, scope, or CRC failures (see ``_walk_zip``)."""
+    return [
+        (idx, name, method, usize, content.count(b"\n"))
+        for idx, name, method, usize, content in _walk_zip(payload)
+    ]
+
+
+def zip_extract(payload: bytes) -> list:
+    """Extract every member as (name, content) — the in-repo unzip used
+    by composed readers (e.g. the Delta-log snapshot audit)."""
+    return [
+        (name, content) for _i, name, _m, _u, content in _walk_zip(payload)
+    ]
 
 
 ZIP_MEMBERS_SCHEMA = (

@@ -2661,6 +2661,13 @@ def _synth_orc_data(seed: int) -> bytes:
     return synth_orc_data(seed)
 
 
+def _synth_delta_table(seed: int) -> bytes:
+    """Lazy import of the Delta-table ZIP fixture."""
+    from .deltalog import synth_delta_table
+
+    return synth_delta_table(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2710,6 +2717,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "gzip_dump": _synth_gzip_dump,
         "zstd_dict_dump": _synth_zstd_dict_dump,
         "orc_data": _synth_orc_data,
+        "delta_table": _synth_delta_table,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

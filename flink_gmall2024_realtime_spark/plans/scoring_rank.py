@@ -1139,6 +1139,59 @@ def orc_data_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_snapshot_audit",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS d,
+         (doc_id + 0) % 20 + 5 AS n0, (doc_id + 1) % 20 + 5 AS n1,
+         (doc_id + 2) % 20 + 5 AS n2, (doc_id + 3) % 20 + 5 AS n3
+  FROM documents
+),
+q AS (
+  SELECT d, n0, n1, n2, n3,
+         n0 * (d + 0)   + n0 * (n0 - 1) // 2 AS s0,
+         n1 * (d + 100) + n1 * (n1 - 1) // 2 AS s1,
+         n2 * (d + 200) + n2 * (n2 - 1) // 2 AS s2,
+         n3 * (d + 300) + n3 * (n3 - 1) // 2 AS s3
+  FROM p
+)
+SELECT d AS media_id, 0::INT AS version, 2::INT AS n_files,
+       (n0 + n1)::BIGINT AS n_rows, (s0 + s1)::BIGINT AS int_sum
+FROM q
+UNION ALL
+SELECT d, (CASE WHEN d % 2 = 0 THEN 2 ELSE 1 END)::INT,
+       (CASE WHEN d % 2 = 0 THEN 3 ELSE 2 END)::INT,
+       (CASE WHEN d % 2 = 0 THEN n0 + n2 + n3 ELSE n0 + n2 END)::BIGINT,
+       (CASE WHEN d % 2 = 0 THEN s0 + s2 + s3 ELSE s0 + s2 END)::BIGINT
+FROM q
+""",
+    survey_ids=("dim-snapshot",),
+)
+def delta_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake transaction-log snapshot audit (r11) — open-table-format
+    TIME TRAVEL read raw, the lake twin of the engine's versioned keyed
+    store: per doc a Delta table (pyarrow parquet data files + a
+    three-commit JSON log with adds, a remove, protocol/metaData actions
+    and real stats blobs) shipped as one ZIP payload, replayed at
+    version 0 AND at the latest version by the in-repo reader — ZIP
+    member walk (deflate fast path), action replay with contiguity /
+    protocol / partitioning checks, per-live-file parquet DATA-page
+    decode, and a stats.numRecords cross-check against the decoded row
+    counts. The compaction commit (remove + add) makes versions 0 and
+    latest genuinely different snapshots. Oracle reproduces per-version
+    file/row counts and content sums from seed arithmetic. Per-row Arrow
+    work — linear by construction (``operators/deltalog.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "delta_table")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zip"
+    )
+    from ..operators.deltalog import delta_snapshot_stats
+
+    return delta_snapshot_stats(media)
+
+
+@register(
     "multimodal_g711_decode",
     oracle="""
 WITH p AS (

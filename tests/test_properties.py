@@ -891,7 +891,7 @@ def _synth_lzma_alone(seed: int) -> bytes:
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 26), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 27), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -903,6 +903,7 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         avro,
         bzip2,
         deflate,
+        deltalog,
         fastpath,
         lz4snappy,
         lzmadec,
@@ -943,6 +944,7 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (fastpath.fast_decoder("gzip", sample_every=1), deflate.synth_gzip_dump),
         (fastpath.fast_decoder("zlib", sample_every=1), None),
         (orcmeta.parse_orc_data, orcmeta.synth_orc_data),
+        (deltalog.read_delta_snapshot, deltalog.synth_delta_table),
     ]
     fn, synth = table[which]
     cases = [noise]
