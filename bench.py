@@ -252,6 +252,10 @@ def codec_extras() -> dict:
         lz4_frame_decompress,
         snappy_decompress,
     )
+    from flink_gmall2024_realtime_spark.operators.deflate import (
+        gzip_decompress,
+        inflate,
+    )
     from flink_gmall2024_realtime_spark.operators.lzmadec import xz_decompress
     from flink_gmall2024_realtime_spark.operators.zstdcodec import (
         zstd_compress,
@@ -269,6 +273,11 @@ def codec_extras() -> dict:
         "xz_decode_mbps": (xz_decompress, _lzma.compress(text, preset=1)),
         "bz2_decode_mbps": (bz2_decompress, _bz2.compress(text, 1)),
     }
+    import gzip as _gzip
+    import zlib as _zlib
+
+    payloads["gzip_decode_mbps"] = (gzip_decompress, _gzip.compress(text, 6))
+    payloads["deflate_decode_mbps"] = (inflate, _zlib.compress(text, 6)[2:-4])
     for label, (fn, payload) in payloads.items():
         best = float("inf")
         for _ in range(2):
@@ -290,6 +299,8 @@ def codec_extras() -> dict:
         "snappy_fastpath_mbps": ("snappy", payloads["snappy_decode_mbps"][1]),
         "xz_fastpath_mbps": ("xz", payloads["xz_decode_mbps"][1]),
         "bz2_fastpath_mbps": ("bz2", payloads["bz2_decode_mbps"][1]),
+        "gzip_fastpath_mbps": ("gzip", payloads["gzip_decode_mbps"][1]),
+        "deflate_fastpath_mbps": ("deflate_raw", payloads["deflate_decode_mbps"][1]),
     }
     for label, (family, payload) in fast_payloads.items():
         fn = fast_decoder(family, sample_every=0)
