@@ -51,13 +51,51 @@ def read_delta_snapshot(payload: bytes, version: int | None = None) -> dict:
     Returns {version, n_files, n_rows, int_sum} where int_sum totals the
     first int64 column across live files."""
     from .archive import zip_extract
-    from .parquetmeta import parse_parquet_data
 
     members = dict(zip_extract(payload))
-    log = {}
-    for name in members:
+    log_blobs = {}
+    for name, body in members.items():
         if name.startswith("_delta_log/") and name.endswith(".json"):
-            log[int(name.rsplit("/", 1)[1][: -len(".json")])] = name
+            log_blobs[int(name.rsplit("/", 1)[1][: -len(".json")])] = body
+
+    def fetch(path: str) -> bytes:
+        if path not in members:
+            raise ValueError(f"live delta file {path!r} missing from payload")
+        return members[path]
+
+    return _read_snapshot(log_blobs, fetch, version)
+
+
+@malformed_guard
+def read_delta_snapshot_dir(path: str, version: int | None = None) -> dict:
+    """Directory-rooted twin of ``read_delta_snapshot`` — reads a Delta
+    table laid out on a filesystem (e.g. one written by
+    ``streaming/delta.py``'s append sink)."""
+    import os
+
+    logdir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(logdir):
+        raise ValueError("no _delta_log commit files in payload")
+    log_blobs = {}
+    for fn in os.listdir(logdir):
+        if fn.endswith(".json"):
+            with open(os.path.join(logdir, fn), "rb") as f:
+                log_blobs[int(fn[: -len(".json")])] = f.read()
+
+    def fetch(rel: str) -> bytes:
+        full = os.path.join(path, rel)
+        if not os.path.isfile(full):
+            raise ValueError(f"live delta file {rel!r} missing from payload")
+        with open(full, "rb") as f:
+            return f.read()
+
+    return _read_snapshot(log_blobs, fetch, version)
+
+
+def _read_snapshot(log_blobs: dict, fetch, version: int | None) -> dict:
+    from .parquetmeta import parse_parquet_data
+
+    log = log_blobs
     if not log:
         raise ValueError("no _delta_log commit files in payload")
     latest = max(log)
@@ -70,7 +108,7 @@ def read_delta_snapshot(payload: bytes, version: int | None = None) -> dict:
     live: dict[str, dict] = {}
     saw_metadata = False
     for v in range(version + 1):
-        for line in members[log[v]].splitlines():
+        for line in log[v].splitlines():
             if not line.strip():
                 continue
             action = json.loads(line)
@@ -95,9 +133,7 @@ def read_delta_snapshot(payload: bytes, version: int | None = None) -> dict:
     n_rows = 0
     int_sum = 0
     for path, add in sorted(live.items()):
-        if path not in members:
-            raise ValueError(f"live delta file {path!r} missing from payload")
-        cols = parse_parquet_data(members[path])
+        cols = parse_parquet_data(fetch(path))
         file_rows = cols[0][1] + cols[0][2]  # n_values + n_nulls
         stats = add.get("stats")
         if stats:
