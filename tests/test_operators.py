@@ -3699,9 +3699,10 @@ def test_bpe_exact_token_count_frame(spark):
 def test_zstd_decoder_corruption_and_seams():
     """The RFC 8878 decoder fails loudly on every tampering class: bad
     magic, reserved descriptor/block bits, flipped checksum bit, declared-
-    size mismatch, truncation; dictionary frames hit the documented
-    NotImplementedError seam; skippable frames and multi-frame
-    concatenations decode."""
+    size mismatch, truncation; dictionary frames without a matching
+    dictionary refuse with the documented ValueError (r11: dictionaries
+    are implemented, tested in test_properties); skippable frames and
+    multi-frame concatenations decode."""
     import struct
 
     import pytest as _pytest
@@ -3731,12 +3732,17 @@ def test_zstd_decoder_corruption_and_seams():
     # truncation
     with _pytest.raises(ValueError):
         zstd_decompress(p[:-3])
-    # dictionary frame seam: set dict-id flag, splice a 1-byte id
+    # dictionary frames are implemented (r11) — but a frame declaring a
+    # dict id with NO dictionary supplied must refuse loudly, and a
+    # mismatched structured dictionary likewise
     bad = bytearray(p)
     bad[4] |= 0x01
     bad = bad[:5] + b"\x07" + bad[5:]
-    with _pytest.raises(NotImplementedError, match="dictionary"):
+    with _pytest.raises(ValueError, match="dictionary"):
         zstd_decompress(bytes(bad))
+    with _pytest.raises(ValueError, match="dictionary"):
+        # raw-content dicts carry id 0, which can never satisfy id 7
+        zstd_decompress(bytes(bad), dictionary=b"some raw content dict")
     # skippable frame prefix + two concatenated frames
     skip = struct.pack("<II", 0x184D2A50, 5) + b"junk!"
     two = skip + zstd_compress(b"alpha ") + zstd_compress(b"beta")
