@@ -471,12 +471,15 @@ def parse_orc_data(payload: bytes) -> list:
         raise NotImplementedError("ORC data decode requires a flat struct root")
     names = [n.decode() for n in types[0].get(3, [])]
     kinds = [t[1][0] for t in types[1:]]
+    # 0 boolean, 1 byte, 2 short, 3 int, 4 long, 5 float, 6 double,
+    # 7 string, 9 timestamp, 15 date
+    _INT_KINDS = (0, 1, 2, 3, 4, 9, 15)
     for k in kinds:
-        if k not in (4, 6, 7):  # long, double, string
+        if k not in _INT_KINDS + (5, 6, 7):
             raise NotImplementedError(f"ORC column type kind {k} in data decode")
     totals = [
-        {"n_values": 0, "n_nulls": 0, "int": 0 if k == 4 else None,
-         "flt": 0.0 if k == 6 else None, "blen": 0 if k == 7 else None}
+        {"n_values": 0, "n_nulls": 0, "int": 0 if k in _INT_KINDS else None,
+         "flt": 0.0 if k in (5, 6) else None, "blen": 0 if k == 7 else None}
         for k in kinds
     ]
     for st in stripes:
@@ -515,11 +518,51 @@ def parse_orc_data(payload: bytes) -> list:
             t["n_values"] += n_nonnull
             t["n_nulls"] += nrows - n_nonnull
             data = _decompress_stream(by_col.get((ci, 1), b""), kind)
-            if tkind == 4:  # long
+            if tkind in (2, 3, 4, 15):  # short / int / long / date(days)
                 if enc != _ENC_DIRECT_V2:
-                    raise NotImplementedError(f"ORC long encoding {enc}")
+                    raise NotImplementedError(f"ORC integer encoding {enc}")
                 vals = _rlev2(data, n_nonnull, signed=True)
                 t["int"] += sum(vals)
+            elif tkind == 0:  # boolean: bit stream over byte RLE
+                bits = _bool_rle(data, n_nonnull)
+                t["int"] += sum(bits)
+            elif tkind == 1:  # tinyint: signed bytes over byte RLE
+                raw = _byte_rle(data)
+                if len(raw) < n_nonnull:
+                    raise ValueError("ORC byte stream shorter than values")
+                t["int"] += sum(
+                    b - 256 if b >= 128 else b for b in raw[:n_nonnull]
+                )
+            elif tkind == 9:  # timestamp: seconds since 2015 + nanos
+                if enc != _ENC_DIRECT_V2:
+                    raise NotImplementedError(f"ORC timestamp encoding {enc}")
+                secs = _rlev2(data, n_nonnull, signed=True)
+                nraw = _decompress_stream(by_col.get((ci, 5), b""), kind)
+                nanos_enc = _rlev2(nraw, n_nonnull, signed=False)
+                for s, nv in zip(secs, nanos_enc):
+                    # The C++ ORC writer (pyarrow's) truncates seconds
+                    # toward zero, so pre-2015 fractions carry NEGATIVE
+                    # nanos — the stream value is two's-complement.
+                    # Empirically pinned (see tests): the low 3 bits are
+                    # (trailing zeros - 1) when >= 2 zeros were stripped,
+                    # else 0; arithmetic >> keeps the sign.
+                    if nv >= 1 << 63:
+                        nv -= 1 << 64
+                    z = nv & 7
+                    nanos = nv >> 3
+                    if z:
+                        nanos *= 10 ** (z + 1)
+                    total_ns = (1420070400 + s) * 1_000_000_000 + nanos
+                    t["int"] += total_ns // 1000
+            elif tkind == 5:  # float
+                if enc != _ENC_DIRECT:
+                    raise NotImplementedError(f"ORC float encoding {enc}")
+                if len(data) < 4 * n_nonnull:
+                    raise ValueError("ORC float stream shorter than values")
+                t["flt"] += sum(
+                    _struct.unpack_from("<f", data, 4 * j)[0]
+                    for j in range(n_nonnull)
+                )
             elif tkind == 6:  # double
                 if enc != _ENC_DIRECT:
                     raise NotImplementedError(f"ORC double encoding {enc}")
