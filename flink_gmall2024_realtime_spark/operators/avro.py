@@ -180,6 +180,18 @@ def parse_avro(payload: bytes) -> tuple[dict, list]:
             (want,) = struct.unpack(">I", block[-4:])
             if (zlib.crc32(data) & 0xFFFFFFFF) != want:
                 raise ValueError("avro snappy block CRC mismatch")
+        elif codec == "zstandard":
+            from .fastpath import fast_decoder
+
+            data = fast_decoder("zstd")(block)
+        elif codec == "bzip2":
+            from .fastpath import fast_decoder
+
+            data = fast_decoder("bz2")(block)
+        elif codec == "xz":
+            from .fastpath import fast_decoder
+
+            data = fast_decoder("xz")(block)
         else:
             raise NotImplementedError(f"avro codec {codec!r}")
         br = _Reader(data)
@@ -219,10 +231,12 @@ def synth_avro(seed: int) -> bytes:
     """Deterministic Avro OCF: n = seed%25+5 Doc records (id, text of
     m = (seed+5k)%10+2 tokens, labels array of k%4 longs, nullable score
     present when (seed+k)%3 != 0), split into 2 blocks, codec cycling
-    null/deflate/snappy by seed%3."""
+    null/deflate/snappy/zstandard/bzip2/xz by seed%6 (the full codec
+    suite the Avro 1.11 spec names, each decoding through the repo's
+    fast-path dispatch with the in-repo spec decoders as oracle)."""
     seed = int(seed)
     n = seed % 25 + 5
-    codec = ["null", "deflate", "snappy"][seed % 3]
+    codec = ["null", "deflate", "snappy", "zstandard", "bzip2", "xz"][seed % 6]
 
     def enc_record(k: int) -> bytes:
         m = (seed + 5 * k) % 10 + 2
@@ -265,6 +279,18 @@ def synth_avro(seed: int) -> bytes:
 
             block = bytes(pa.Codec("snappy").compress(data))
             block += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        elif codec == "zstandard":
+            import pyarrow as pa
+
+            block = bytes(pa.Codec("zstd").compress(data))
+        elif codec == "bzip2":
+            import bz2 as _bz2
+
+            block = _bz2.compress(data, 1)
+        elif codec == "xz":
+            import lzma as _lzma
+
+            block = _lzma.compress(data, format=_lzma.FORMAT_XZ, preset=1)
         else:
             block = data
         out += _zz(hi - lo) + _zz(len(block)) + block + sync

@@ -819,18 +819,21 @@ SELECT doc_id AS media_id,
        SUM((doc_id + 5 * k) % 10 + 2)::BIGINT AS n_tokens,
        SUM(k % 4)::BIGINT AS n_labels,
        SUM(CASE WHEN (doc_id + k) % 3 <> 0 THEN 1 ELSE 0 END)::INT AS n_scored,
-       CASE doc_id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
-            ELSE 'snappy' END AS codec
+       CASE doc_id % 6 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+            WHEN 2 THEN 'snappy' WHEN 3 THEN 'zstandard'
+            WHEN 4 THEN 'bzip2' ELSE 'xz' END AS codec
 FROM f GROUP BY doc_id, n
 """,
     survey_ids=("text-quality",),
 )
 def avro_container_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Avro object-container ingestion (r10) — the schema'd interchange
-    format Kafka/Iceberg pipelines ship: per doc an OCF (header metadata
-    map + JSON writer schema, 16-byte sync markers, two data blocks,
-    codec cycling null/deflate/snappy — the snappy blocks carrying the
-    spec's trailing CRC32 and decoding through THE REPO'S OWN Snappy)
+    """Avro object-container ingestion (r10; r11 widened to the full
+    Avro 1.11 codec suite) — the schema'd interchange format Kafka/
+    Iceberg pipelines ship: per doc an OCF (header metadata map + JSON
+    writer schema, 16-byte sync markers, two data blocks, codec cycling
+    null/deflate/snappy/zstandard/bzip2/xz — the snappy blocks carrying
+    the spec's trailing CRC32, every codec decoding through the
+    fast-path dispatch with the repo's own spec decoders as oracle)
     read by the in-repo binary decoder — zigzag varints, strings, arrays,
     nullable unions, nested records; every block's sync verified. Avro's
     encoding is fully self-describing (no fixed tables), so reader and
