@@ -55,6 +55,16 @@ def read_delta_snapshot(payload: bytes, version: int | None = None) -> dict:
     members = dict(zip_extract(payload))
     log_blobs = {}
     for name, body in members.items():
+        if name == "_delta_log/_last_checkpoint" or name.endswith(
+            ".checkpoint.parquet"
+        ):
+            # a checkpointed table may have PRUNED the JSON prefix; this
+            # reader replays JSON commits only — refuse rather than
+            # misread a truncated history
+            raise NotImplementedError(
+                "delta checkpoint files unsupported: this reader replays "
+                "the JSON commit log only"
+            )
         if name.startswith("_delta_log/") and name.endswith(".json"):
             log_blobs[int(name.rsplit("/", 1)[1][: -len(".json")])] = body
 
@@ -78,6 +88,11 @@ def read_delta_snapshot_dir(path: str, version: int | None = None) -> dict:
         raise ValueError("no _delta_log commit files in payload")
     log_blobs = {}
     for fn in os.listdir(logdir):
+        if fn == "_last_checkpoint" or fn.endswith(".checkpoint.parquet"):
+            raise NotImplementedError(
+                "delta checkpoint files unsupported: this reader replays "
+                "the JSON commit log only"
+            )
         if fn.endswith(".json"):
             with open(os.path.join(logdir, fn), "rb") as f:
                 log_blobs[int(fn[: -len(".json")])] = f.read()

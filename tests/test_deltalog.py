@@ -238,3 +238,11 @@ class TestDeltaAppendSink:
         df = spark.createDataFrame([([1, 2],)], "a array<long>")
         with _pytest.raises(NotImplementedError, match="unsupported column type"):
             sink.commit_batch(df, 0)
+
+
+def test_checkpointed_table_is_loud_seam():
+    def add_checkpoint(members):
+        members["_delta_log/_last_checkpoint"] = b'{"version": 0, "size": 3}'
+
+    with pytest.raises(NotImplementedError, match="checkpoint"):
+        read_delta_snapshot(_rebuild(synth_delta_table(2), add_checkpoint))
