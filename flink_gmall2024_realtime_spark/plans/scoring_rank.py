@@ -1195,6 +1195,61 @@ def delta_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "url_canonical_dedup",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         'http://site' || (doc_id % 500) || '.example/a/' || (doc_id % 7)
+         || '/y?a=1&b=' || (doc_id % 3) AS canonical_url
+  FROM documents
+)
+SELECT canonical_url,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       (3 * COUNT(*))::BIGINT AS n_rows
+FROM c GROUP BY canonical_url
+""",
+    survey_ids=("dedup-exact",),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (r11) — the crawl frontier's first
+    collapse: per doc three wild-form variants of the same resource
+    (uppercase scheme/host + default port + dot-segments + fragment;
+    a ``/./`` form; a duplicate-slash form with shuffled query order)
+    canonicalize through the pure-Catalyst RFC 3986 §6 normalizer
+    (``operators/urlnorm.py`` — regexp parts, higher-order aggregate
+    fold for dot segments, array_sort for query order; whole-stage
+    codegen, no Python, no extra shuffle) and collapse in one hash
+    aggregation. Cross-doc collisions are real (the key space is
+    500x7x3), so the dedup genuinely merges documents. Oracle rebuilds
+    the canonical strings from seed arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    site = F.concat(F.lit("Site"), (d % 500).cast("string"), F.lit(".Example"))
+    lsite = F.lower(site)
+    seg = (d % 7).cast("string")
+    b = (d % 3).cast("string")
+    variants = F.array(
+        F.concat(F.lit("HTTP://"), site, F.lit(":80/a/"), seg,
+                 F.lit("/x/../y?b="), b, F.lit("&a=1#frag")),
+        F.concat(F.lit("http://"), lsite, F.lit("/a/"), seg,
+                 F.lit("/./y?a=1&b="), b),
+        F.concat(F.lit("http://"), lsite, F.lit("//a//"), seg,
+                 F.lit("//y?b="), b, F.lit("&a=1")),
+    )
+    from ..operators.urlnorm import canonicalize_url
+
+    exploded = docs.select(d.alias("doc_id"), F.explode(variants).alias("raw_url"))
+    return (
+        exploded.select("doc_id", canonicalize_url(F.col("raw_url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
     "multimodal_g711_decode",
     oracle="""
 WITH p AS (
