@@ -617,9 +617,6 @@ def deflate_compress(data: bytes, strategy: str = "dynamic") -> bytes:
                 dc, _, _ = _dist_code(t[2])
                 lit_freqs[lc] = lit_freqs.get(lc, 0) + 1
                 dist_freqs[dc] = dist_freqs.get(dc, 0) + 1
-        if len(lit_freqs) == 1:
-            lit_freqs[0 if 256 not in lit_freqs or lit_freqs.get(0) is None else 1] = 0
-            lit_freqs = {256: 1, 0: 1}
         lit_map = _huffman_lengths(lit_freqs, _MAX_BITS)
         if len(lit_map) == 1:  # only EOB: pad to a complete 2-symbol tree
             lit_map = {256: 1, 0: 1}

@@ -83,6 +83,11 @@ class DeltaAppendSink:
         self.path = path
         self.max_commit_attempts = max_commit_attempts
         os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+        # incremental batch-id scan state: versions < _scanned_upto are
+        # already folded into _known_batch_ids (commit files are
+        # immutable once published, so the cache never invalidates)
+        self._scanned_upto = 0
+        self._known_batch_ids: set[int] = set()
 
     # ------------------------------------------------------------- log
 
@@ -98,16 +103,51 @@ class DeltaAppendSink:
         )
 
     def _committed_batch_ids(self) -> set[int]:
-        ids: set[int] = set()
+        # only parse commit files newer than the last scan — O(new) per
+        # micro-batch instead of O(all history) (ADVICE r11)
         for v in self.committed_versions():
+            if v < self._scanned_upto:
+                continue
             with open(self._commit_path(v), "rb") as f:
                 for line in f.read().splitlines():
                     action = json.loads(line)
                     if "commitInfo" in action:
                         bid = action["commitInfo"].get("batchId")
                         if bid is not None:
-                            ids.add(bid)
-        return ids
+                            self._known_batch_ids.add(bid)
+            self._scanned_upto = v + 1
+        return self._known_batch_ids
+
+    def _publish(self, version: int, body: bytes) -> bool:
+        """Atomically publish one complete commit file; False when the
+        version was claimed first by a concurrent writer.
+
+        The body is written (and fsynced) to a hidden temp file, then
+        linked into place with ``os.link`` — the same fail-if-exists
+        putIfAbsent semantics as O_EXCL, but the commit file is complete
+        the instant it becomes visible, so a concurrent reader can never
+        observe an empty/partial commit and a crash mid-write leaves
+        only an invisible temp file (ADVICE r11)."""
+        logdir = os.path.join(self.path, "_delta_log")
+        tmp = os.path.join(logdir, f".{version:020d}.{os.getpid()}.json.tmp")
+        fd = os.open(tmp, os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(body)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, self._commit_path(version))
+            except FileExistsError:
+                return False
+            dirfd = os.open(logdir, os.O_RDONLY)
+            try:
+                os.fsync(dirfd)
+            finally:
+                os.close(dirfd)
+            return True
+        finally:
+            os.unlink(tmp)
 
     # ----------------------------------------------------------- write
 
@@ -165,18 +205,11 @@ class DeltaAppendSink:
                 )
             lines.append(add)
             body = ("\n".join(lines) + "\n").encode()
-            try:
-                fd = os.open(
-                    self._commit_path(next_v),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
-            except FileExistsError:
+            if not self._publish(next_v, body):
                 # lost the race: maybe OUR earlier attempt actually landed
                 if batch_id in self._committed_batch_ids():
                     return None
                 continue  # append-only commits never conflict; retry above
-            with os.fdopen(fd, "wb") as f:
-                f.write(body)
             return next_v
         raise ConcurrentWriteError(
             f"could not claim a delta version for batch {batch_id} in "
