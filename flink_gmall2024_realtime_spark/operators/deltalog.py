@@ -45,27 +45,33 @@ from .codecguard import malformed_guard
 
 
 @malformed_guard
-def read_delta_snapshot(payload: bytes, version: int | None = None) -> dict:
+def read_delta_snapshot(
+    payload: bytes,
+    version: int | None = None,
+    partition_filter: dict | None = None,
+) -> dict:
     """Replay a Delta table's log (table shipped as one ZIP payload) to
     ``version`` (default: latest) and decode every live parquet file.
-    Returns {version, n_files, n_rows, int_sum} where int_sum totals the
-    first int64 column across live files."""
+    Returns {version, n_files, n_rows, int_sum, n_partitions} where
+    int_sum totals the first int64 column across live files.
+    ``partition_filter`` prunes live files by their ``partitionValues``
+    BEFORE any data decode — real partition pruning, file-skip level."""
     from .archive import zip_extract
 
     members = dict(zip_extract(payload))
     log_blobs = {}
+    checkpoint = {}
+    last_checkpoint = None
     for name, body in members.items():
-        if name == "_delta_log/_last_checkpoint" or name.endswith(
-            ".checkpoint.parquet"
+        if name == "_delta_log/_last_checkpoint":
+            last_checkpoint = body
+        elif (
+            name.startswith("_delta_log/")
+            and name.endswith(".parquet")
+            and ".checkpoint" in name
         ):
-            # a checkpointed table may have PRUNED the JSON prefix; this
-            # reader replays JSON commits only — refuse rather than
-            # misread a truncated history
-            raise NotImplementedError(
-                "delta checkpoint files unsupported: this reader replays "
-                "the JSON commit log only"
-            )
-        if name.startswith("_delta_log/") and name.endswith(".json"):
+            checkpoint[_checkpoint_version(name.rsplit("/", 1)[1])] = body
+        elif name.startswith("_delta_log/") and name.endswith(".json"):
             log_blobs[int(name.rsplit("/", 1)[1][: -len(".json")])] = body
 
     def fetch(path: str) -> bytes:
@@ -73,11 +79,17 @@ def read_delta_snapshot(payload: bytes, version: int | None = None) -> dict:
             raise ValueError(f"live delta file {path!r} missing from payload")
         return members[path]
 
-    return _read_snapshot(log_blobs, fetch, version)
+    return _read_snapshot(
+        log_blobs, checkpoint, last_checkpoint, fetch, version, partition_filter
+    )
 
 
 @malformed_guard
-def read_delta_snapshot_dir(path: str, version: int | None = None) -> dict:
+def read_delta_snapshot_dir(
+    path: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
+) -> dict:
     """Directory-rooted twin of ``read_delta_snapshot`` — reads a Delta
     table laid out on a filesystem (e.g. one written by
     ``streaming/delta.py``'s append sink)."""
@@ -87,14 +99,18 @@ def read_delta_snapshot_dir(path: str, version: int | None = None) -> dict:
     if not os.path.isdir(logdir):
         raise ValueError("no _delta_log commit files in payload")
     log_blobs = {}
+    checkpoint = {}
+    last_checkpoint = None
     for fn in os.listdir(logdir):
-        if fn == "_last_checkpoint" or fn.endswith(".checkpoint.parquet"):
-            raise NotImplementedError(
-                "delta checkpoint files unsupported: this reader replays "
-                "the JSON commit log only"
-            )
-        if fn.endswith(".json"):
-            with open(os.path.join(logdir, fn), "rb") as f:
+        full = os.path.join(logdir, fn)
+        if fn == "_last_checkpoint":
+            with open(full, "rb") as f:
+                last_checkpoint = f.read()
+        elif fn.endswith(".parquet") and ".checkpoint" in fn:
+            with open(full, "rb") as f:
+                checkpoint[_checkpoint_version(fn)] = f.read()
+        elif fn.endswith(".json"):
+            with open(full, "rb") as f:
                 log_blobs[int(fn[: -len(".json")])] = f.read()
 
     def fetch(rel: str) -> bytes:
@@ -104,25 +120,150 @@ def read_delta_snapshot_dir(path: str, version: int | None = None) -> dict:
         with open(full, "rb") as f:
             return f.read()
 
-    return _read_snapshot(log_blobs, fetch, version)
+    return _read_snapshot(
+        log_blobs, checkpoint, last_checkpoint, fetch, version, partition_filter
+    )
 
 
-def _read_snapshot(log_blobs: dict, fetch, version: int | None) -> dict:
+def _checkpoint_version(fn: str) -> int:
+    """``{v:020d}.checkpoint.parquet`` → v; multi-part checkpoint names
+    (``v.checkpoint.part.of.parquet``) raise loudly."""
+    stem = fn[: -len(".parquet")]
+    parts = stem.split(".")
+    if len(parts) != 2:
+        raise NotImplementedError(
+            f"multi-part delta checkpoint {fn!r} unsupported"
+        )
+    return int(parts[0])
+
+
+# projection request for checkpoint parquet — only the leaves snapshot
+# replay needs; everything else in the checkpoint (txn, tags, stats_parsed
+# and whatever future writers add) is never decoded
+_CP_LEAVES = (
+    "add.path",
+    "add.size",
+    "add.stats",
+    "add.partitionValues.key_value.key",
+    "add.partitionValues.key_value.value",
+    "remove.path",
+    "metaData.id",
+    "metaData.schemaString",
+    "metaData.partitionColumns.list.element",
+    "protocol.minReaderVersion",
+)
+
+
+def _checkpoint_state(blob: bytes) -> tuple[dict, bool]:
+    """Decode one checkpoint parquet (via the in-repo nested record
+    decoder, pyarrow-free) into (live add-file map, saw_metadata).
+    Applies the same protocol gate as JSON replay."""
+    from .parquetmeta import parse_parquet_leaf_names, parse_parquet_records
+
+    avail = set(parse_parquet_leaf_names(blob))
+    cols = parse_parquet_records(
+        blob, columns=[c for c in _CP_LEAVES if c in avail]
+    )
+    if "add.path" not in cols or "metaData.id" not in cols:
+        raise ValueError("delta checkpoint lacks add/metaData columns")
+
+    def col(name, default=None):
+        return cols.get(name) or [default] * len(cols["add.path"])
+
+    def s(v):
+        return v.decode() if isinstance(v, bytes) else v
+
+    live: dict[str, dict] = {}
+    saw_metadata = False
+    for i, apath in enumerate(cols["add.path"]):
+        mrv = col("protocol.minReaderVersion")[i]
+        if mrv is not None and mrv > 1:
+            raise NotImplementedError(
+                "delta reader features beyond protocol v1 "
+                "(deletion vectors / column mapping) unsupported"
+            )
+        if col("metaData.id")[i] is not None:
+            saw_metadata = True
+        if apath is None:
+            continue
+        keys = col("add.partitionValues.key_value.key")[i] or []
+        vals = col("add.partitionValues.key_value.value")[i] or []
+        live[s(apath)] = {
+            "path": s(apath),
+            "size": col("add.size")[i],
+            "stats": s(col("add.stats")[i]),
+            "partitionValues": {
+                s(k): s(v) for k, v in zip(keys, vals)
+            },
+        }
+    return live, saw_metadata
+
+
+def _read_snapshot(
+    log_blobs: dict,
+    checkpoints: dict,
+    last_checkpoint: bytes | None,
+    fetch,
+    version: int | None,
+    partition_filter: dict | None = None,
+) -> dict:
     from .parquetmeta import parse_parquet_data
 
     log = log_blobs
-    if not log:
+    cp_version = None
+    if last_checkpoint is not None:
+        lc = json.loads(last_checkpoint)
+        if lc.get("parts", 1) != 1:
+            raise NotImplementedError(
+                "multi-part delta checkpoints unsupported"
+            )
+        cp_version = lc["version"]
+        if cp_version not in checkpoints:
+            raise ValueError(
+                f"_last_checkpoint names version {cp_version} but no such "
+                "checkpoint parquet exists"
+            )
+    elif checkpoints:
+        # tolerate a missing _last_checkpoint (it is only a pointer):
+        # the newest single-part checkpoint file is authoritative
+        cp_version = max(checkpoints)
+    if not log and cp_version is None:
         raise ValueError("no _delta_log commit files in payload")
-    latest = max(log)
-    if sorted(log) != list(range(latest + 1)):
-        raise ValueError("delta log versions are not contiguous from 0")
+    latest = max(max(log, default=-1), cp_version if cp_version is not None else -1)
+    # JSON commits after the checkpoint must be contiguous up to latest;
+    # the prefix at/before the checkpoint may legitimately be pruned
+    tail_start = 0 if cp_version is None else cp_version + 1
+    missing_tail = [v for v in range(tail_start, latest + 1) if v not in log]
+    if missing_tail:
+        if cp_version is None:
+            raise ValueError("delta log versions are not contiguous from 0")
+        raise ValueError(
+            f"delta log versions {missing_tail} missing after checkpoint"
+        )
     if version is None:
         version = latest
     if not 0 <= version <= latest:
         raise ValueError(f"version {version} outside log range 0..{latest}")
     live: dict[str, dict] = {}
     saw_metadata = False
-    for v in range(version + 1):
+    if cp_version is not None and version >= cp_version:
+        blob = checkpoints.get(cp_version)
+        if blob is None:
+            raise ValueError(
+                f"checkpoint parquet for version {cp_version} missing"
+            )
+        live, saw_metadata = _checkpoint_state(blob)
+        replay_from = cp_version + 1
+    else:
+        # time travel to before the checkpoint needs the JSON prefix
+        missing_head = [v for v in range(version + 1) if v not in log]
+        if missing_head:
+            raise ValueError(
+                f"version {version} precedes checkpoint {cp_version} and "
+                f"JSON commits {missing_head} are pruned"
+            )
+        replay_from = 0
+    for v in range(replay_from, version + 1):
         for line in log[v].splitlines():
             if not line.strip():
                 continue
@@ -135,19 +276,28 @@ def _read_snapshot(log_blobs: dict, fetch, version: int | None) -> dict:
                     )
             elif "metaData" in action:
                 saw_metadata = True
-                if action["metaData"].get("partitionColumns"):
-                    raise NotImplementedError(
-                        "partitioned delta tables unsupported in this reader"
-                    )
             elif "add" in action:
                 live[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 live.pop(action["remove"]["path"], None)
     if not saw_metadata:
         raise ValueError("delta log carries no metaData action")
+    if partition_filter:
+        live = {
+            p: a
+            for p, a in live.items()
+            if all(
+                (a.get("partitionValues") or {}).get(k) == v
+                for k, v in partition_filter.items()
+            )
+        }
     n_rows = 0
     int_sum = 0
+    partitions = set()
     for path, add in sorted(live.items()):
+        pv = add.get("partitionValues") or {}
+        if pv:
+            partitions.add(tuple(sorted(pv.items())))
         cols = parse_parquet_data(fetch(path))
         file_rows = cols[0][1] + cols[0][2]  # n_values + n_nulls
         stats = add.get("stats")
@@ -167,7 +317,81 @@ def _read_snapshot(log_blobs: dict, fetch, version: int | None) -> dict:
         "n_files": len(live),
         "n_rows": n_rows,
         "int_sum": int_sum,
+        "n_partitions": len(partitions),
     }
+
+
+def write_checkpoint_blob(
+    live: dict, metadata: dict, protocol: dict
+) -> bytes:
+    """Serialize a Delta checkpoint parquet — one row per action
+    (protocol, metaData, then every live add), the layout delta-spark
+    writes. WRITTEN BY PYARROW (the reference C++ writer), which is what
+    anchors the read side: we must decode real writer output, not our
+    own invention."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    remove_t = pa.struct([("path", pa.string())])
+    rows = [
+        {"protocol": protocol, "metaData": None, "add": None, "remove": None},
+        {"protocol": None, "metaData": metadata, "add": None, "remove": None},
+    ]
+    for path in sorted(live):
+        a = live[path]
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": path,
+                    "partitionValues": sorted(
+                        (a.get("partitionValues") or {}).items()
+                    ),
+                    "size": a.get("size"),
+                    "modificationTime": a.get("modificationTime", 0),
+                    "dataChange": False,
+                    "stats": a.get("stats"),
+                },
+                "remove": None,
+            }
+        )
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("protocol", proto_t),
+                ("metaData", meta_t),
+                ("add", add_t),
+                ("remove", remove_t),
+            ]
+        ),
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="snappy")
+    return buf.getvalue()
 
 
 def synth_delta_table(seed: int) -> bytes:
@@ -289,4 +513,229 @@ def delta_snapshot_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=DELTA_AUDIT_SCHEMA
+    )
+
+
+def _fixture_data_file(seed: int, j: int) -> bytes:
+    """Shared fixture data file: n = (seed+j)%20+5 rows of
+    k = seed + 100j + i, written by pyarrow."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = (seed + j) % 20 + 5
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([seed + 100 * j + i for i in range(n)], pa.int64())}
+        ),
+        buf,
+        compression="snappy",
+    )
+    return buf.getvalue()
+
+
+def _fixture_add(seed: int, j: int, blob: bytes, path: str, pv: dict) -> str:
+    n = (seed + j) % 20 + 5
+    return json.dumps(
+        {
+            "add": {
+                "path": path,
+                "size": len(blob),
+                "partitionValues": pv,
+                "modificationTime": 0,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": n}),
+            }
+        }
+    )
+
+
+def synth_delta_checkpointed(seed: int) -> bytes:
+    """Checkpointed Delta table fixture shipped as one ZIP (r12 — the
+    shape real tables take after their first ten commits): versions
+    0..L with L = 11 + seed%3, one pyarrow parquet data file added per
+    version; version 11 also REMOVES file 1 (a post-checkpoint remove of
+    a checkpoint-era file — the replay-across-the-boundary case); a
+    single-part CHECKPOINT parquet at version 10 (nested add/metaData/
+    protocol rows, written by pyarrow) plus ``_last_checkpoint``. Odd
+    seeds PRUNE the JSON commits <= 10 — exactly what delta-spark's log
+    cleanup does — so the checkpoint is the only way to read them."""
+    import io
+    import zipfile
+
+    seed = int(seed)
+    latest = 11 + seed % 3
+    files = {j: _fixture_data_file(seed, j) for j in range(latest + 1)}
+    paths = {j: f"part-{j:05d}.parquet" for j in files}
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    metadata = {
+        "id": f"fixture-cp-{seed}",
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+                ],
+            }
+        ),
+        "partitionColumns": [],
+    }
+    commits = {}
+    for v in range(latest + 1):
+        lines = []
+        if v == 0:
+            lines.append(json.dumps({"protocol": protocol}))
+            lines.append(
+                json.dumps({"metaData": {**metadata, "format": {"provider": "parquet", "options": {}}, "configuration": {}}})
+            )
+        if v == 11:
+            lines.append(
+                json.dumps(
+                    {"remove": {"path": paths[1], "deletionTimestamp": 1,
+                                "dataChange": True}}
+                )
+            )
+        lines.append(_fixture_add(seed, v, files[v], paths[v], {}))
+        commits[v] = "\n".join(lines)
+    cp_live = {
+        paths[j]: {
+            "path": paths[j],
+            "size": len(files[j]),
+            "stats": json.dumps({"numRecords": (seed + j) % 20 + 5}),
+            "partitionValues": {},
+        }
+        for j in range(11)
+    }
+    cp_blob = write_checkpoint_blob(cp_live, metadata, protocol)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for v, body in commits.items():
+            if seed % 2 == 1 and v <= 10:
+                continue  # pruned log: the checkpoint carries this history
+            z.writestr(f"_delta_log/{v:020d}.json", body)
+        z.writestr(f"_delta_log/{10:020d}.checkpoint.parquet", cp_blob)
+        z.writestr(
+            "_delta_log/_last_checkpoint",
+            json.dumps({"version": 10, "size": len(cp_live) + 2}),
+        )
+        for j, blob in files.items():
+            z.writestr(paths[j], blob)
+    return buf.getvalue()
+
+
+def synth_delta_partitioned(seed: int) -> bytes:
+    """Partitioned Delta table fixture shipped as one ZIP (r12): six
+    pyarrow data files in Hive-style partition dirs p=p0/p1/p2
+    (``partitionValues`` on every add, ``partitionColumns: ["p"]`` in
+    metaData), committed over two versions."""
+    import io
+    import zipfile
+
+    seed = int(seed)
+    files = {j: _fixture_data_file(seed, j) for j in range(6)}
+    paths = {j: f"p=p{j % 3}/part-{j:05d}.parquet" for j in files}
+    meta = json.dumps(
+        {
+            "metaData": {
+                "id": f"fixture-part-{seed}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "k", "type": "long", "nullable": True,
+                             "metadata": {}},
+                            {"name": "p", "type": "string", "nullable": True,
+                             "metadata": {}},
+                        ],
+                    }
+                ),
+                "partitionColumns": ["p"],
+                "configuration": {},
+            }
+        }
+    )
+    protocol = json.dumps(
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    )
+    adds = {
+        j: _fixture_add(seed, j, files[j], paths[j], {"p": f"p{j % 3}"})
+        for j in files
+    }
+    commits = {
+        0: "\n".join([protocol, meta, adds[0], adds[1], adds[2]]),
+        1: "\n".join([adds[3], adds[4], adds[5]]),
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for v, body in commits.items():
+            z.writestr(f"_delta_log/{v:020d}.json", body)
+        for j, blob in files.items():
+            z.writestr(paths[j], blob)
+    return buf.getvalue()
+
+
+def delta_checkpoint_stats(media: DataFrame) -> DataFrame:
+    """Two audit rows per checkpointed table payload: the snapshot AT the
+    checkpoint version (state comes straight from the checkpoint parquet
+    — for odd-seed fixtures the JSON history is pruned so there is no
+    other way) and at the latest version (checkpoint + JSON tail replay,
+    crossing a post-checkpoint remove). Per-row Arrow work, linear by
+    construction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                at_cp = read_delta_snapshot(bytes(p), version=10)
+                last = read_delta_snapshot(bytes(p))
+                for snap in (at_cp, last):
+                    rows.append(
+                        (mid, snap["version"], snap["n_files"],
+                         snap["n_rows"], snap["int_sum"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "version", "n_files", "n_rows", "int_sum"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=DELTA_AUDIT_SCHEMA
+    )
+
+
+DELTA_PART_SCHEMA = (
+    "media_id long, scope string, n_files int, n_rows long, "
+    "int_sum long, n_partitions int"
+)
+
+
+def delta_partition_stats(media: DataFrame) -> DataFrame:
+    """Two audit rows per partitioned table payload: the full snapshot
+    and a PARTITION-PRUNED read (partition_filter {"p": "p0"}) — the
+    pruned row proves file skipping happens from ``partitionValues``
+    alone, before any data decode. Per-row Arrow work, linear by
+    construction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                full = read_delta_snapshot(bytes(p))
+                p0 = read_delta_snapshot(bytes(p), partition_filter={"p": "p0"})
+                for scope, snap in (("all", full), ("p0", p0)):
+                    rows.append(
+                        (mid, scope, snap["n_files"], snap["n_rows"],
+                         snap["int_sum"], snap["n_partitions"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "scope", "n_files", "n_rows",
+                         "int_sum", "n_partitions"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=DELTA_PART_SCHEMA
     )

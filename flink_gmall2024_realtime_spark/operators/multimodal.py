@@ -2668,6 +2668,20 @@ def _synth_delta_table(seed: int) -> bytes:
     return synth_delta_table(seed)
 
 
+def _synth_delta_checkpointed(seed: int) -> bytes:
+    """Lazy import of the checkpointed Delta-table ZIP fixture (r12)."""
+    from .deltalog import synth_delta_checkpointed
+
+    return synth_delta_checkpointed(seed)
+
+
+def _synth_delta_partitioned(seed: int) -> bytes:
+    """Lazy import of the partitioned Delta-table ZIP fixture (r12)."""
+    from .deltalog import synth_delta_partitioned
+
+    return synth_delta_partitioned(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2718,6 +2732,8 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "zstd_dict_dump": _synth_zstd_dict_dump,
         "orc_data": _synth_orc_data,
         "delta_table": _synth_delta_table,
+        "delta_checkpointed": _synth_delta_checkpointed,
+        "delta_partitioned": _synth_delta_partitioned,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

@@ -523,3 +523,280 @@ def parquet_data_audit(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=PARQUET_DATA_SCHEMA
     )
+
+
+# --------------------------------------------- nested record decode (r12)
+#
+# Delta checkpoint files are parquet with NESTED schemas (an `add` struct
+# with a partitionValues map, a `metaData` struct with a partitionColumns
+# list) — the r11 flat decoder refuses them. This extension walks the
+# depth-first schema flattening into a tree (optional/repeated both raise
+# the definition level, repeated raises the repetition level; parquet
+# Dremel encoding per the Striping-and-Assembly section of format/
+# Encodings.md), decodes repetition+definition levels at their true bit
+# widths, and assembles per-leaf PER-RECORD values for schemas with at
+# most ONE repeated node on any root-to-leaf path (structs at any depth,
+# lists and maps one level deep — the Delta checkpoint shape).
+#
+# Assembly rule per record for a leaf with repeated-ancestor def level dR:
+#   d <  dR-1  -> None (a nullable ancestor above the list is null)
+#   d == dR-1  -> []   (list present but empty)
+#   d >= dR    -> one element per entry; element None unless d == max_def
+# and for unrepeated leaves simply: value iff d == max_def else None.
+#
+# Conformance anchor: pyarrow (the reference C++ writer) writes the
+# nested fixtures — structs, list<string>, map<string,string>, booleans —
+# and pytest cross-checks full assembled values against
+# pyarrow.parquet.read_table on arbitrary hypothesis-generated tables.
+
+
+def _schema_leaves(schema: list) -> list[dict]:
+    """Walk the depth-first flattened SchemaElement list into leaf
+    descriptors: dotted name, physical type, max def/rep levels, and the
+    def level at the innermost repeated ancestor (None when unrepeated)."""
+    leaves: list[dict] = []
+    pos = [1]  # schema[0] is the root group
+
+    def walk(def_lvl: int, rep_lvl: int, rep_def, path: tuple) -> None:
+        elem = schema[pos[0]]
+        pos[0] += 1
+        rep = elem.get(3, 0)
+        if rep in (1, 2):
+            def_lvl += 1
+        if rep == 2:
+            rep_lvl += 1
+            rep_def = def_lvl
+        if rep_lvl > 1:
+            raise NotImplementedError(
+                "parquet schemas with nested repetition (rep level > 1) "
+                "unsupported in record decode"
+            )
+        name = elem[4].decode()
+        nch = elem.get(5) or 0
+        if nch == 0:
+            leaves.append(
+                {
+                    "name": ".".join(path + (name,)),
+                    "ptype": elem[1],
+                    "type_length": elem.get(2),
+                    "max_def": def_lvl,
+                    "max_rep": rep_lvl,
+                    "rep_def": rep_def,
+                }
+            )
+        else:
+            for _ in range(nch):
+                walk(def_lvl, rep_lvl, rep_def, path + (name,))
+
+    while pos[0] < len(schema):
+        walk(0, 0, None, ())
+    return leaves
+
+
+def _plain_bools(d: bytes, count: int):
+    """PLAIN-encoded BOOLEAN values: bit-packed LSB-first."""
+    out = [bool((d[i >> 3] >> (i & 7)) & 1) for i in range(count)]
+    return out, (count + 7) // 8
+
+
+def _decode_chunk(payload: bytes, md: dict, leaf: dict):
+    """Decode one column chunk's full page stream into (rep_levels,
+    def_levels, values) where values align 1:1 with entries whose def
+    level equals the leaf's max_def."""
+    ptype, codec, num_values = md[1], md[4], md[5]
+    max_def, max_rep = leaf["max_def"], leaf["max_rep"]
+    def_w = max_def.bit_length()
+    rep_w = max_rep.bit_length()
+    start = md[9]
+    if md.get(11) is not None:
+        start = min(start, md[11])
+    dictionary = None
+    reps: list = []
+    defs: list = []
+    values: list = []
+    seen = 0
+    c = _Compact(payload)
+    c.i = start
+
+    def plain(d: bytes, count: int):
+        if ptype == 0:
+            vals, _ = _plain_bools(d, count)
+            return vals
+        vals, _ = _plain_values(d, ptype, count)
+        return vals
+
+    while seen < num_values:
+        hdr = c.struct()
+        comp_size = hdr[3]
+        page = payload[c.i : c.i + comp_size]
+        if len(page) < comp_size:
+            raise ValueError("truncated parquet page")
+        c.i += comp_size
+        if hdr[1] == 2:  # DICTIONARY_PAGE
+            dictionary = plain(_page_decompress(page, codec), hdr[7][1])
+            continue
+        if hdr[1] == 0:  # DATA_PAGE v1: [rep levels][def levels][values]
+            dph = hdr[5]
+            nvals, enc = dph[1], dph[2]
+            data = _page_decompress(page, codec)
+            pos = 0
+            if max_rep:
+                (rl_len,) = struct.unpack_from("<I", data, pos)
+                pos += 4
+                r, _ = _rle_bp_hybrid(data, pos, rep_w, nvals)
+                pos += rl_len
+            else:
+                r = [0] * nvals
+            if max_def:
+                (dl_len,) = struct.unpack_from("<I", data, pos)
+                pos += 4
+                d, _ = _rle_bp_hybrid(data, pos, def_w, nvals)
+                pos += dl_len
+            else:
+                d = [0] * nvals
+        elif hdr[1] == 3:  # DATA_PAGE_V2: uncompressed level sections first
+            dph = hdr[8]
+            nvals, nnulls, enc = dph[1], dph[2], dph[4]
+            dl_len, rl_len = dph[5], dph[6]
+            r, _ = (
+                _rle_bp_hybrid(page, 0, rep_w, nvals) if rl_len else ([0] * nvals, 0)
+            )
+            d, _ = (
+                _rle_bp_hybrid(page[rl_len:], 0, def_w, nvals)
+                if dl_len
+                else ([max_def] * nvals, 0)
+            )
+            vals_comp = page[rl_len + dl_len :]
+            data = (
+                _page_decompress(vals_comp, codec)
+                if dph.get(7, True)
+                else vals_comp
+            )
+            pos = 0
+        else:
+            raise NotImplementedError(f"parquet page type {hdr[1]}")
+        ndef = sum(1 for x in d if x == max_def)
+        if enc == 0:  # PLAIN
+            vals = plain(data[pos:], ndef)
+        elif enc == 3:  # RLE (boolean values: 4-byte length + hybrid runs)
+            if ptype != 0:
+                raise NotImplementedError("RLE value encoding for non-boolean")
+            bits, _ = _rle_bp_hybrid(data, pos + 4, 1, ndef)
+            vals = [bool(b) for b in bits]
+        elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+            if dictionary is None:
+                raise ValueError("dictionary-encoded page before dictionary")
+            bw = data[pos]
+            idx, _ = _rle_bp_hybrid(data, pos + 1, bw, ndef)
+            if idx and max(idx) >= len(dictionary):
+                raise ValueError("dictionary index out of range")
+            vals = [dictionary[i] for i in idx]
+        else:
+            raise NotImplementedError(f"parquet value encoding {enc}")
+        if len(vals) < ndef:
+            raise ValueError("page values shorter than defined entries")
+        reps.extend(r)
+        defs.extend(d)
+        values.extend(vals[:ndef])
+        seen += nvals
+    if seen != num_values:
+        raise ValueError("page value counts disagree with chunk metadata")
+    return reps, defs, values
+
+
+def _assemble_records(leaf: dict, reps, defs, values, n_records: int) -> list:
+    """Fold one chunk's (rep, def, value) streams into per-record Python
+    values (scalar-or-None for unrepeated leaves, None/list for leaves
+    under one repeated node)."""
+    max_def, max_rep, rep_def = leaf["max_def"], leaf["max_rep"], leaf["rep_def"]
+    out: list = []
+    vi = 0
+    if max_rep == 0:
+        if len(defs) != n_records:
+            raise ValueError("entry count disagrees with row-group rows")
+        for d in defs:
+            if d == max_def:
+                out.append(values[vi])
+                vi += 1
+            else:
+                out.append(None)
+        return out
+    i = 0
+    n = len(defs)
+    while i < n:
+        if reps[i] != 0:
+            raise ValueError("record does not start at repetition level 0")
+        j = i + 1
+        while j < n and reps[j] != 0:
+            j += 1
+        d0 = defs[i]
+        if j == i + 1 and d0 < rep_def:
+            out.append([] if d0 == rep_def - 1 else None)
+            if d0 == max_def:  # cannot happen; guard anyway
+                vi += 1
+        else:
+            elems = []
+            for k in range(i, j):
+                if defs[k] == max_def:
+                    elems.append(values[vi])
+                    vi += 1
+                elif defs[k] < rep_def:
+                    raise ValueError("mixed empty/element entries in one record")
+                else:
+                    elems.append(None)
+            out.append(elems)
+        i = j
+    if len(out) != n_records:
+        raise ValueError("assembled record count disagrees with row-group rows")
+    return out
+
+
+@malformed_guard
+def parse_parquet_records(payload: bytes, columns=None) -> dict:
+    """Assemble nested parquet leaf columns into per-record Python values.
+
+    Returns ``{dotted_leaf_name: [value_per_record]}`` over all row
+    groups; ``columns`` projects decoding to the named leaves only (the
+    others' chunks are never touched — columnar projection, which is what
+    keeps a checkpoint read cheap at 100 TB table sizes). Schemas may
+    nest structs arbitrarily deep with at most one repeated node per
+    path (list / map shape); deeper repetition raises loudly."""
+    if payload[:4] != b"PAR1" or payload[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (magic)")
+    (flen,) = struct.unpack_from("<I", payload, len(payload) - 8)
+    fm = _Compact(payload[len(payload) - 8 - flen : len(payload) - 8]).struct()
+    leaves = _schema_leaves(fm[2])
+    want = set(columns) if columns is not None else None
+    if want is not None:
+        known = {lf["name"] for lf in leaves}
+        missing = want - known
+        if missing:
+            raise ValueError(f"unknown parquet leaf columns: {sorted(missing)}")
+    out: dict = {
+        lf["name"]: [] for lf in leaves if want is None or lf["name"] in want
+    }
+    for rg in fm[4]:
+        n_records = rg[3]
+        chunks = rg[1]
+        if len(chunks) != len(leaves):
+            raise ValueError("column chunk count disagrees with schema leaves")
+        for leaf, chunk in zip(leaves, chunks):
+            if want is not None and leaf["name"] not in want:
+                continue
+            reps, defs, values = _decode_chunk(payload, chunk[3], leaf)
+            out[leaf["name"]].extend(
+                _assemble_records(leaf, reps, defs, values, n_records)
+            )
+    return out
+
+
+@malformed_guard
+def parse_parquet_leaf_names(payload: bytes) -> list[str]:
+    """Dotted leaf-column names from the footer schema only — the cheap
+    pre-flight a projecting reader runs before deciding which chunks to
+    decode."""
+    if payload[:4] != b"PAR1" or payload[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (magic)")
+    (flen,) = struct.unpack_from("<I", payload, len(payload) - 8)
+    fm = _Compact(payload[len(payload) - 8 - flen : len(payload) - 8]).struct()
+    return [lf["name"] for lf in _schema_leaves(fm[2])]

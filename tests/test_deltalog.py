@@ -33,6 +33,7 @@ class TestReplay:
                 "version": 0, "n_files": 2,
                 "n_rows": _n(seed, 0) + _n(seed, 1),
                 "int_sum": _s(seed, 0) + _s(seed, 1),
+                "n_partitions": 0,
             }
             v1 = read_delta_snapshot(p, version=1)
             assert v1["n_files"] == 2
@@ -112,7 +113,9 @@ class TestSeamsAndChecks:
         with pytest.raises(NotImplementedError, match="protocol"):
             read_delta_snapshot(_rebuild(synth_delta_table(2), bump))
 
-    def test_partitioned_table_is_loud_seam(self):
+    def test_partitioned_metadata_reads_fine_since_r12(self):
+        # r11 refused partitioned tables; r12 reads them — declaring
+        # partitionColumns alone must not change the snapshot contents
         def partition(members):
             log0 = "_delta_log/" + "0" * 20 + ".json"
             lines = members[log0].decode().splitlines()
@@ -124,8 +127,9 @@ class TestSeamsAndChecks:
                 out.append(json.dumps(a))
             members[log0] = "\n".join(out).encode()
 
-        with pytest.raises(NotImplementedError, match="partitioned"):
-            read_delta_snapshot(_rebuild(synth_delta_table(2), partition))
+        plain = read_delta_snapshot(synth_delta_table(2))
+        part = read_delta_snapshot(_rebuild(synth_delta_table(2), partition))
+        assert part == plain
 
     def test_missing_metadata_raises(self):
         def strip(members):
@@ -167,6 +171,7 @@ class TestDeltaAppendSink:
         assert sink.snapshot()["n_rows"] == 5
         assert sink.snapshot(version=0) == {
             "version": 0, "n_files": 1, "n_rows": 2, "int_sum": 3,
+            "n_partitions": 0,
         }
         assert sink.snapshot(version=1)["n_rows"] == 3
         # at-least-once replay: same batches again, nothing changes
@@ -240,9 +245,204 @@ class TestDeltaAppendSink:
             sink.commit_batch(df, 0)
 
 
-def test_checkpointed_table_is_loud_seam():
+def test_last_checkpoint_without_parquet_raises():
+    # a _last_checkpoint pointer naming a checkpoint that does not exist
+    # must be a loud error, never a silent fall-back to JSON replay
     def add_checkpoint(members):
         members["_delta_log/_last_checkpoint"] = b'{"version": 0, "size": 3}'
 
-    with pytest.raises(NotImplementedError, match="checkpoint"):
+    with pytest.raises(ValueError, match="no such"):
         read_delta_snapshot(_rebuild(synth_delta_table(2), add_checkpoint))
+
+
+class TestCheckpointedTables:
+    """r12: checkpoint parquet decoded via the in-repo nested record
+    assembly; JSON replay resumes after it (VERDICT r11 #1/#2)."""
+
+    def _expect(self, seed, js):
+        n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+        s = lambda j: n(j) * (seed + 100 * j) + n(j) * (n(j) - 1) // 2  # noqa: E731
+        return sum(n(j) for j in js), sum(s(j) for j in js)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+    def test_snapshot_at_and_after_checkpoint(self, seed):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_checkpointed,
+        )
+
+        p = synth_delta_checkpointed(seed)
+        latest = 11 + seed % 3
+        at_cp = read_delta_snapshot(p, version=10)
+        rows, isum = self._expect(seed, range(11))
+        assert at_cp == {
+            "version": 10, "n_files": 11, "n_rows": rows,
+            "int_sum": isum, "n_partitions": 0,
+        }
+        # latest crosses the post-checkpoint remove of file 1
+        last = read_delta_snapshot(p)
+        live = [j for j in range(latest + 1) if j != 1]
+        rows, isum = self._expect(seed, live)
+        assert last == {
+            "version": latest, "n_files": latest, "n_rows": rows,
+            "int_sum": isum, "n_partitions": 0,
+        }
+
+    def test_time_travel_before_checkpoint_needs_json(self):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_checkpointed,
+        )
+
+        # even seed: full JSON kept; pre-checkpoint versions replay fine
+        full = synth_delta_checkpointed(2)
+        assert read_delta_snapshot(full, version=0)["n_files"] == 1
+        assert read_delta_snapshot(full, version=5)["n_files"] == 6
+        # odd seed: JSON <= 10 pruned; the same read refuses loudly
+        pruned = synth_delta_checkpointed(3)
+        with pytest.raises(ValueError, match="precedes checkpoint"):
+            read_delta_snapshot(pruned, version=5)
+        # but reads at/after the checkpoint still work
+        assert read_delta_snapshot(pruned, version=10)["n_files"] == 11
+        assert read_delta_snapshot(pruned, version=11)["n_files"] == 11
+
+    def test_missing_tail_after_checkpoint_raises(self):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_checkpointed,
+        )
+
+        def drop_v12(members):
+            del members["_delta_log/" + f"{12:020d}" + ".json"]
+
+        with pytest.raises(ValueError, match="missing after checkpoint"):
+            read_delta_snapshot(_rebuild(synth_delta_checkpointed(5), drop_v12))
+
+    def test_multipart_checkpoint_is_loud(self):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_checkpointed,
+        )
+
+        def make_multipart(members):
+            members["_delta_log/_last_checkpoint"] = (
+                b'{"version": 10, "size": 13, "parts": 2}'
+            )
+
+        with pytest.raises(NotImplementedError, match="multi-part"):
+            read_delta_snapshot(
+                _rebuild(synth_delta_checkpointed(2), make_multipart)
+            )
+
+        def multipart_name(members):
+            blob = members.pop(f"_delta_log/{10:020d}.checkpoint.parquet")
+            members[
+                f"_delta_log/{10:020d}.checkpoint.0000000001.0000000002.parquet"
+            ] = blob
+            members["_delta_log/_last_checkpoint"] = (
+                b'{"version": 10, "size": 13}'
+            )
+
+        with pytest.raises(NotImplementedError, match="multi-part"):
+            read_delta_snapshot(
+                _rebuild(synth_delta_checkpointed(2), multipart_name)
+            )
+
+    def test_checkpoint_survives_missing_last_checkpoint_pointer(self):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_checkpointed,
+        )
+
+        # _last_checkpoint is only a pointer; the checkpoint file itself
+        # is authoritative for a pruned-log table
+        def drop_pointer(members):
+            del members["_delta_log/_last_checkpoint"]
+
+        p = _rebuild(synth_delta_checkpointed(3), drop_pointer)
+        assert read_delta_snapshot(p, version=10)["n_files"] == 11
+
+    def test_checkpoint_blob_roundtrip(self):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            _checkpoint_state,
+            write_checkpoint_blob,
+        )
+
+        live = {
+            "p=a/f1.parquet": {
+                "path": "p=a/f1.parquet", "size": 10,
+                "stats": '{"numRecords":5}', "partitionValues": {"p": "a"},
+            },
+            "f2.parquet": {
+                "path": "f2.parquet", "size": 7,
+                "stats": None, "partitionValues": {},
+            },
+        }
+        blob = write_checkpoint_blob(
+            live,
+            {"id": "t", "schemaString": "{}", "partitionColumns": ["p"]},
+            {"minReaderVersion": 1, "minWriterVersion": 2},
+        )
+        got, saw_meta = _checkpoint_state(blob)
+        assert saw_meta
+        assert got == live
+
+    def test_checkpoint_protocol_gate(self):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            _checkpoint_state,
+            write_checkpoint_blob,
+        )
+
+        blob = write_checkpoint_blob(
+            {},
+            {"id": "t", "schemaString": "{}", "partitionColumns": []},
+            {"minReaderVersion": 3, "minWriterVersion": 7},
+        )
+        with pytest.raises(NotImplementedError, match="protocol"):
+            _checkpoint_state(blob)
+
+
+class TestPartitionedTables:
+    def test_partition_filter_prunes_files(self):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_partitioned,
+        )
+
+        seed = 4
+        n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+        s = lambda j: n(j) * (seed + 100 * j) + n(j) * (n(j) - 1) // 2  # noqa: E731
+        p = synth_delta_partitioned(seed)
+        full = read_delta_snapshot(p)
+        assert full["n_files"] == 6 and full["n_partitions"] == 3
+        assert full["n_rows"] == sum(n(j) for j in range(6))
+        pruned = read_delta_snapshot(p, partition_filter={"p": "p1"})
+        assert pruned == {
+            "version": 1, "n_files": 2, "n_rows": n(1) + n(4),
+            "int_sum": s(1) + s(4), "n_partitions": 1,
+        }
+
+    def test_partition_filter_no_match_is_empty(self):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_partitioned,
+        )
+
+        got = read_delta_snapshot(
+            synth_delta_partitioned(1), partition_filter={"p": "nope"}
+        )
+        assert got["n_files"] == 0 and got["n_rows"] == 0
+
+    def test_partition_pruning_skips_data_decode(self, monkeypatch):
+        # pruning must happen BEFORE fetch/decode: corrupt every file
+        # outside p0 and the pruned read must still succeed
+        import io
+        import zipfile
+
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_partitioned,
+        )
+
+        def corrupt_others(members):
+            for name in list(members):
+                if name.startswith(("p=p1/", "p=p2/")):
+                    members[name] = b"corrupted beyond recognition"
+
+        p = _rebuild(synth_delta_partitioned(2), corrupt_others)
+        ok = read_delta_snapshot(p, partition_filter={"p": "p0"})
+        assert ok["n_files"] == 2
+        with pytest.raises(Exception):
+            read_delta_snapshot(p)  # the full read does hit the corruption

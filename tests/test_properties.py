@@ -883,6 +883,18 @@ def test_xz_decoder_inverts_stdlib_compressor(data, preset, check_id):
     ) == data
 
 
+def _synth_checkpoint_blob(seed: int) -> bytes:
+    from flink_gmall2024_realtime_spark.operators import deltalog
+
+    path = f"f{seed}.parquet"
+    return deltalog.write_checkpoint_blob(
+        {path: {"path": path, "size": seed, "stats": None,
+                "partitionValues": {"p": str(seed)}}},
+        {"id": "t", "schemaString": "{}", "partitionColumns": ["p"]},
+        {"minReaderVersion": 1, "minWriterVersion": 2},
+    )
+
+
 def _synth_lzma_alone(seed: int) -> bytes:
     import lzma
 
@@ -891,7 +903,7 @@ def _synth_lzma_alone(seed: int) -> bytes:
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 27), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 30), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -945,6 +957,9 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (fastpath.fast_decoder("zlib", sample_every=1), None),
         (orcmeta.parse_orc_data, orcmeta.synth_orc_data),
         (deltalog.read_delta_snapshot, deltalog.synth_delta_table),
+        (deltalog.read_delta_snapshot, deltalog.synth_delta_checkpointed),
+        (deltalog.read_delta_snapshot, deltalog.synth_delta_partitioned),
+        (parquetmeta.parse_parquet_records, _synth_checkpoint_blob),
     ]
     fn, synth = table[which]
     cases = [noise]
@@ -1360,3 +1375,116 @@ def test_orc_data_decode_wide_types_match_pyarrow(n, seed, comp):
     assert got["dt"][3] == sum((x - epoch).days for x in dts if x is not None)
     assert got["ts"][3] == sum(micros(x) for x in tss if x is not None)
     assert got["ts"][1] == sum(1 for x in tss if x is not None)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "s": st.one_of(
+                    st.none(),
+                    st.fixed_dictionaries(
+                        {
+                            "name": st.one_of(st.none(), st.text(max_size=8)),
+                            "n": st.one_of(st.none(), st.integers(-(10**9), 10**9)),
+                            "flag": st.one_of(st.none(), st.booleans()),
+                            "tags": st.one_of(
+                                st.none(),
+                                st.lists(st.text(max_size=5), max_size=4),
+                            ),
+                            "kv": st.one_of(
+                                st.none(),
+                                st.dictionaries(
+                                    st.text(min_size=1, max_size=4),
+                                    st.one_of(st.none(), st.text(max_size=4)),
+                                    max_size=3,
+                                ),
+                            ),
+                        }
+                    ),
+                ),
+                "top": st.one_of(st.none(), st.integers(0, 10**6)),
+            }
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 20),
+    st.sampled_from(["snappy", "zstd", "none"]),
+    st.booleans(),
+    st.sampled_from(["1.0", "2.0"]),
+)
+def test_parquet_nested_records_match_pyarrow(rows, rg, codec, use_dict, dpv):
+    """pyarrow (the reference C++ writer) writes arbitrary nested tables
+    — structs holding optional scalars, bools, a list<string> and a
+    map<string,string> — under every writer mode; the in-repo Dremel
+    assembly (parse_parquet_records) must reproduce pyarrow's OWN reader
+    output per leaf, records, nulls, empty-vs-null lists and all."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_gmall2024_realtime_spark.operators.parquetmeta import (
+        parse_parquet_records,
+    )
+
+    schema = pa.schema(
+        [
+            (
+                "s",
+                pa.struct(
+                    [
+                        ("name", pa.string()),
+                        ("n", pa.int64()),
+                        ("flag", pa.bool_()),
+                        ("tags", pa.list_(pa.string())),
+                        ("kv", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            ),
+            ("top", pa.int64()),
+        ]
+    )
+    pyrows = [
+        {
+            "s": None
+            if r["s"] is None
+            else {
+                "name": r["s"]["name"],
+                "n": r["s"]["n"],
+                "flag": r["s"]["flag"],
+                "tags": r["s"]["tags"],
+                "kv": None if r["s"]["kv"] is None else list(r["s"]["kv"].items()),
+            },
+            "top": r["top"],
+        }
+        for r in rows
+    ]
+    t = pa.Table.from_pylist(pyrows, schema=schema)
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, row_group_size=rg, compression=codec,
+        use_dictionary=use_dict, data_page_version=dpv,
+    )
+    got = parse_parquet_records(buf.getvalue())
+    # reference: pyarrow's own reader on the same bytes
+    ref = pq.read_table(io.BytesIO(buf.getvalue())).to_pylist()
+
+    def enc(v):
+        return v.encode() if isinstance(v, str) else v
+
+    for i, r in enumerate(ref):
+        s = r["s"]
+        assert got["top"][i] == r["top"]
+        assert got["s.name"][i] == (None if s is None else enc(s["name"]))
+        assert got["s.n"][i] == (None if s is None else s["n"])
+        assert got["s.flag"][i] == (None if s is None else s["flag"])
+        exp_tags = None if s is None or s["tags"] is None else [enc(x) for x in s["tags"]]
+        assert got["s.tags.list.element"][i] == exp_tags
+        if s is None or s["kv"] is None:
+            assert got["s.kv.key_value.key"][i] is None
+        else:
+            assert got["s.kv.key_value.key"][i] == [enc(k) for k, _ in s["kv"]]
+            assert got["s.kv.key_value.value"][i] == [enc(v) for _, v in s["kv"]]
