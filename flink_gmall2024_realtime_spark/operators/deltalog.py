@@ -322,13 +322,18 @@ def _read_snapshot(
 
 
 def write_checkpoint_blob(
-    live: dict, metadata: dict, protocol: dict
+    live: dict, metadata: dict, protocol: dict, txns: dict | None = None
 ) -> bytes:
     """Serialize a Delta checkpoint parquet — one row per action
-    (protocol, metaData, then every live add), the layout delta-spark
-    writes. WRITTEN BY PYARROW (the reference C++ writer), which is what
-    anchors the read side: we must decode real writer output, not our
-    own invention."""
+    (protocol, metaData, one txn per streaming app id, then every live
+    add), the layout delta-spark writes. WRITTEN BY PYARROW (the
+    reference C++ writer), which is what anchors the read side: we must
+    decode real writer output, not our own invention.
+
+    ``txns`` maps streaming writer app ids to their highest committed
+    transaction version (Delta's setTransaction action) — carrying them
+    into the checkpoint is what lets exactly-once survive JSON log
+    cleanup."""
     import io
 
     import pyarrow as pa
@@ -355,16 +360,30 @@ def write_checkpoint_blob(
         [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
     )
     remove_t = pa.struct([("path", pa.string())])
+    txn_t = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ]
+    )
+    blank = {"protocol": None, "metaData": None, "add": None, "remove": None,
+             "txn": None}
     rows = [
-        {"protocol": protocol, "metaData": None, "add": None, "remove": None},
-        {"protocol": None, "metaData": metadata, "add": None, "remove": None},
+        {**blank, "protocol": protocol},
+        {**blank, "metaData": metadata},
     ]
+    for app_id in sorted(txns or {}):
+        rows.append(
+            {**blank,
+             "txn": {"appId": app_id, "version": txns[app_id],
+                     "lastUpdated": 0}}
+        )
     for path in sorted(live):
         a = live[path]
         rows.append(
             {
-                "protocol": None,
-                "metaData": None,
+                **blank,
                 "add": {
                     "path": path,
                     "partitionValues": sorted(
@@ -375,13 +394,13 @@ def write_checkpoint_blob(
                     "dataChange": False,
                     "stats": a.get("stats"),
                 },
-                "remove": None,
             }
         )
     t = pa.Table.from_pylist(
         rows,
         schema=pa.schema(
             [
+                ("txn", txn_t),
                 ("protocol", proto_t),
                 ("metaData", meta_t),
                 ("add", add_t),
@@ -739,3 +758,58 @@ def delta_partition_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=DELTA_PART_SCHEMA
     )
+
+
+def read_checkpoint_full_state(blob: bytes) -> dict:
+    """Full checkpoint decode for WRITER-side state rebuilding (pyarrow-
+    free, via the nested record decoder): live add map plus the raw
+    metaData / protocol dicts and the per-appId txn versions a resumed
+    streaming sink needs to stay exactly-once after log cleanup."""
+    from .parquetmeta import parse_parquet_leaf_names, parse_parquet_records
+
+    wanted = _CP_LEAVES + (
+        "metaData.partitionColumns.list.element",
+        "protocol.minWriterVersion",
+        "txn.appId",
+        "txn.version",
+    )
+    avail = set(parse_parquet_leaf_names(blob))
+    cols = parse_parquet_records(
+        blob, columns=sorted(set(c for c in wanted if c in avail))
+    )
+    live, saw_meta = _checkpoint_state(blob)
+    if not saw_meta:
+        raise ValueError("delta checkpoint carries no metaData action")
+    n = len(cols["add.path"])
+
+    def col(name, default=None):
+        return cols.get(name) or [default] * n
+
+    def s(v):
+        return v.decode() if isinstance(v, bytes) else v
+
+    metadata = None
+    protocol = None
+    txns: dict[str, int] = {}
+    for i in range(n):
+        if col("metaData.id")[i] is not None:
+            pcols = col("metaData.partitionColumns.list.element")[i] or []
+            metadata = {
+                "id": s(col("metaData.id")[i]),
+                "schemaString": s(col("metaData.schemaString")[i]),
+                "partitionColumns": [s(c) for c in pcols],
+            }
+        if col("protocol.minReaderVersion")[i] is not None:
+            protocol = {
+                "minReaderVersion": col("protocol.minReaderVersion")[i],
+                "minWriterVersion": col("protocol.minWriterVersion")[i],
+            }
+        app = col("txn.appId")[i]
+        if app is not None:
+            txns[s(app)] = max(txns.get(s(app), -1), col("txn.version")[i])
+    return {
+        "live": live,
+        "metadata": metadata,
+        "protocol": protocol or {"minReaderVersion": 1, "minWriterVersion": 2},
+        "txns": txns,
+    }

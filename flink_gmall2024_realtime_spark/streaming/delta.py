@@ -1,21 +1,24 @@
 """Delta-format append sink — exactly-once streaming commits into a real
 ``_delta_log`` table, the WRITE side of ``operators/deltalog.py``.
 
-Each micro-batch becomes one Delta commit: the batch's rows land in a
-parquet data file named deterministically by batch id, then the commit
-is published by creating ``_delta_log/{version:020d}.json`` with
-``O_CREAT | O_EXCL`` — the putIfAbsent primitive the actual Delta
-protocol commits through. That gives the three guarantees the
-versioned keyed store (``streaming/versioned.py``) documents, but in an
-OPEN format any Delta reader can consume:
+Each micro-batch becomes one Delta commit: the batch's rows land in
+parquet data files, then the commit is published by atomically linking a
+fully-written ``_delta_log/{version:020d}.json`` into place — the
+putIfAbsent primitive the actual Delta protocol commits through. That
+gives the three guarantees the versioned keyed store
+(``streaming/versioned.py``) documents, but in an OPEN format any Delta
+reader can consume:
 
 - **exactly-once under at-least-once replay**: every commit carries a
-  ``commitInfo`` with the producing ``batchId``; a replayed batch whose
-  id is already committed is skipped before any write. A crash after
+  ``txn`` action (Delta's setTransaction: appId + monotonically
+  increasing transaction version = the streaming batch id) plus a
+  ``commitInfo`` with the batch id; a replayed batch whose id is
+  already committed — in the JSON log OR recorded in a checkpoint's txn
+  rows after log cleanup — is skipped before any write. A crash after
   the data file but before the commit leaves an unreferenced parquet
   file (vacuum fodder, exactly like real Delta) and the replay rewrites
-  it byte-deterministically.
-- **optimistic concurrency, append-only**: losing the O_EXCL race means
+  it.
+- **optimistic concurrency, append-only**: losing the publish race means
   another writer committed that version first. Blind appends never
   conflict semantically (Delta's OCC rule for AddFile-only commits), so
   the loser re-reads the head and retries at the next version — bounded
@@ -25,17 +28,31 @@ OPEN format any Delta reader can consume:
   version replay through ``read_delta_snapshot_dir`` or any Delta
   reader.
 
-Executor note: rows move via Arrow (``toArrow``) into one pyarrow
-parquet file per commit — the dim/serving-table shape this sink exists
-for (the big-fact path stays in partitioned parquet sinks); at 100 TB
-the same protocol holds with a distributed write + one AddFile per
-task file.
+Write paths (r12):
+
+- ``commit_batch`` — one driver-side Arrow parquet file per commit: the
+  dim/serving-table shape, byte-deterministic on replay-after-crash.
+- ``commit_batch_distributed`` — the FACT-sized path: Spark writes the
+  batch with its native distributed parquet writer into a per-batch
+  staging dir, each task file is renamed to a deterministic name under
+  the table root, and ONE commit carries one AddFile per file (per-file
+  numRecords stats from the footers). No driver funnel: rows never pass
+  through the driver, so the same protocol holds at 100 TB stream rates
+  on a real cluster.
+- ``checkpoint_interval=N`` — every N commits the sink writes a
+  single-part checkpoint parquet (``operators/deltalog.py``
+  ``write_checkpoint_blob``: protocol/metaData/txn/add rows) plus
+  ``_last_checkpoint``, and ``clean_log()`` can then prune the JSON
+  prefix exactly like delta-spark's log cleanup; reads and exactly-once
+  both survive because snapshot replay and txn recovery resume from the
+  checkpoint.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 
@@ -79,30 +96,71 @@ def _schema_string(df: DataFrame) -> str:
 class DeltaAppendSink:
     """Append-only Delta table writer for ``foreachBatch``."""
 
-    def __init__(self, path: str, max_commit_attempts: int = 20) -> None:
+    def __init__(
+        self,
+        path: str,
+        max_commit_attempts: int = 20,
+        app_id: str = "delta-append-sink",
+        checkpoint_interval: int | None = None,
+    ) -> None:
         self.path = path
         self.max_commit_attempts = max_commit_attempts
+        self.app_id = app_id
+        self.checkpoint_interval = checkpoint_interval
         os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
         # incremental batch-id scan state: versions < _scanned_upto are
-        # already folded into _known_batch_ids (commit files are
-        # immutable once published, so the cache never invalidates)
+        # already folded into _known_batch_ids / _txn_max (commit files
+        # are immutable once published, so the cache never invalidates)
         self._scanned_upto = 0
         self._known_batch_ids: set[int] = set()
+        self._txn_max = -1
+        self._txn_seeded = False
 
     # ------------------------------------------------------------- log
 
+    def _logdir(self) -> str:
+        return os.path.join(self.path, "_delta_log")
+
     def _commit_path(self, version: int) -> str:
-        return os.path.join(self.path, "_delta_log", f"{version:020d}.json")
+        return os.path.join(self._logdir(), f"{version:020d}.json")
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(
+            self._logdir(), f"{version:020d}.checkpoint.parquet"
+        )
 
     def committed_versions(self) -> list[int]:
-        logdir = os.path.join(self.path, "_delta_log")
         return sorted(
             int(fn[: -len(".json")])
-            for fn in os.listdir(logdir)
+            for fn in os.listdir(self._logdir())
             if fn.endswith(".json")
         )
 
-    def _committed_batch_ids(self) -> set[int]:
+    def checkpoint_versions(self) -> list[int]:
+        return sorted(
+            int(fn.split(".", 1)[0])
+            for fn in os.listdir(self._logdir())
+            if fn.endswith(".checkpoint.parquet")
+        )
+
+    def _seed_txn_from_checkpoint(self) -> None:
+        """After ``clean_log()`` (or on restart against a cleaned table)
+        the pruned JSON no longer carries the early batch ids; the
+        newest checkpoint's txn rows do."""
+        if self._txn_seeded:
+            return
+        self._txn_seeded = True
+        cps = self.checkpoint_versions()
+        if not cps:
+            return
+        from ..operators.deltalog import read_checkpoint_full_state
+
+        with open(self._checkpoint_path(cps[-1]), "rb") as f:
+            state = read_checkpoint_full_state(f.read())
+        self._txn_max = max(self._txn_max, state["txns"].get(self.app_id, -1))
+
+    def _is_committed(self, batch_id: int) -> bool:
+        self._seed_txn_from_checkpoint()
         # only parse commit files newer than the last scan — O(new) per
         # micro-batch instead of O(all history) (ADVICE r11)
         for v in self.committed_versions():
@@ -115,21 +173,28 @@ class DeltaAppendSink:
                         bid = action["commitInfo"].get("batchId")
                         if bid is not None:
                             self._known_batch_ids.add(bid)
+                    elif "txn" in action:
+                        if action["txn"].get("appId") == self.app_id:
+                            self._txn_max = max(
+                                self._txn_max, action["txn"].get("version", -1)
+                            )
             self._scanned_upto = v + 1
-        return self._known_batch_ids
+        return batch_id in self._known_batch_ids or batch_id <= self._txn_max
 
-    def _publish(self, version: int, body: bytes) -> bool:
-        """Atomically publish one complete commit file; False when the
-        version was claimed first by a concurrent writer.
+    def _publish(self, target: str, body: bytes) -> bool:
+        """Atomically publish one complete log file; False when the
+        target was claimed first by a concurrent writer.
 
         The body is written (and fsynced) to a hidden temp file, then
         linked into place with ``os.link`` — the same fail-if-exists
-        putIfAbsent semantics as O_EXCL, but the commit file is complete
-        the instant it becomes visible, so a concurrent reader can never
+        putIfAbsent semantics as O_EXCL, but the file is complete the
+        instant it becomes visible, so a concurrent reader can never
         observe an empty/partial commit and a crash mid-write leaves
         only an invisible temp file (ADVICE r11)."""
-        logdir = os.path.join(self.path, "_delta_log")
-        tmp = os.path.join(logdir, f".{version:020d}.{os.getpid()}.json.tmp")
+        logdir = self._logdir()
+        tmp = os.path.join(
+            logdir, f".{os.path.basename(target)}.{os.getpid()}.tmp"
+        )
         fd = os.open(tmp, os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
         try:
             with os.fdopen(fd, "wb") as f:
@@ -137,7 +202,7 @@ class DeltaAppendSink:
                 f.flush()
                 os.fsync(f.fileno())
             try:
-                os.link(tmp, self._commit_path(version))
+                os.link(tmp, target)
             except FileExistsError:
                 return False
             dirfd = os.open(logdir, os.O_RDONLY)
@@ -151,29 +216,32 @@ class DeltaAppendSink:
 
     # ----------------------------------------------------------- write
 
-    def commit_batch(self, batch: DataFrame, batch_id: int) -> int | None:
-        """Write one micro-batch as one Delta commit; returns the
-        committed version, or None when this batch id already committed
-        (at-least-once replay)."""
-        import pyarrow.parquet as pq
-
-        if batch_id in self._committed_batch_ids():
-            return None
-        rel = f"part-b{batch_id:010d}.parquet"
-        full = os.path.join(self.path, rel)
-        table = batch.toArrow()
-        # deterministic rewrite on replay-after-crash: same rows, same file
-        pq.write_table(table, full, compression="snappy")
-        n_rows = table.num_rows
-        add = json.dumps(
+    def _add_action(self, rel: str, n_rows: int) -> str:
+        return json.dumps(
             {
                 "add": {
                     "path": rel,
-                    "size": os.path.getsize(full),
+                    "size": os.path.getsize(os.path.join(self.path, rel)),
                     "partitionValues": {},
                     "modificationTime": 0,
                     "dataChange": True,
                     "stats": json.dumps({"numRecords": n_rows}),
+                }
+            }
+        )
+
+    def _commit_actions(
+        self, batch: DataFrame, batch_id: int, adds: list[str]
+    ) -> int | None:
+        """Claim the next version with txn + commitInfo + ``adds``
+        action lines; None when a concurrent attempt of the same batch
+        landed first."""
+        txn = json.dumps(
+            {
+                "txn": {
+                    "appId": self.app_id,
+                    "version": batch_id,
+                    "lastUpdated": 0,
                 }
             }
         )
@@ -182,8 +250,14 @@ class DeltaAppendSink:
         )
         for _ in range(self.max_commit_attempts):
             versions = self.committed_versions()
-            next_v = (versions[-1] + 1) if versions else 0
-            lines = [info]
+            cps = self.checkpoint_versions()
+            # after clean_log the JSON can be empty (or start past 0):
+            # the table head is the max over commits AND checkpoints
+            head = max(
+                versions[-1] if versions else -1, cps[-1] if cps else -1
+            )
+            next_v = head + 1
+            lines = [txn, info]
             if next_v == 0:
                 lines.append(
                     json.dumps(
@@ -194,7 +268,7 @@ class DeltaAppendSink:
                     json.dumps(
                         {
                             "metaData": {
-                                "id": "delta-append-sink",
+                                "id": self.app_id,
                                 "format": {"provider": "parquet", "options": {}},
                                 "schemaString": _schema_string(batch),
                                 "partitionColumns": [],
@@ -203,26 +277,189 @@ class DeltaAppendSink:
                         }
                     )
                 )
-            lines.append(add)
+            lines.extend(adds)
             body = ("\n".join(lines) + "\n").encode()
-            if not self._publish(next_v, body):
+            if not self._publish(self._commit_path(next_v), body):
                 # lost the race: maybe OUR earlier attempt actually landed
-                if batch_id in self._committed_batch_ids():
+                if self._is_committed(batch_id):
                     return None
                 continue  # append-only commits never conflict; retry above
+            self._maybe_checkpoint(next_v)
             return next_v
         raise ConcurrentWriteError(
             f"could not claim a delta version for batch {batch_id} in "
             f"{self.max_commit_attempts} attempts"
         )
 
-    def sink(self):
+    def commit_batch(self, batch: DataFrame, batch_id: int) -> int | None:
+        """Write one micro-batch as ONE driver-side Arrow parquet file +
+        one Delta commit (the dim/serving-table shape); returns the
+        committed version, or None when this batch id already committed
+        (at-least-once replay)."""
+        import pyarrow.parquet as pq
+
+        if self._is_committed(batch_id):
+            return None
+        rel = f"part-b{batch_id:010d}.parquet"
+        full = os.path.join(self.path, rel)
+        table = batch.toArrow()
+        # deterministic rewrite on replay-after-crash: same rows, same file
+        pq.write_table(table, full, compression="snappy")
+        return self._commit_actions(
+            batch, batch_id, [self._add_action(rel, table.num_rows)]
+        )
+
+    def commit_batch_distributed(
+        self, batch: DataFrame, batch_id: int
+    ) -> int | None:
+        """Write one micro-batch via Spark's DISTRIBUTED parquet writer —
+        one file per task, renamed to deterministic per-batch names, one
+        AddFile per file in a single commit. The fact-sized path: rows
+        never pass through the driver. Returns the committed version, or
+        None on replay."""
+        import pyarrow.parquet as pq
+
+        if self._is_committed(batch_id):
+            return None
+        stage = os.path.join(self.path, "_staging", f"b{batch_id:010d}")
+        # overwrite handles replay-after-crash leftovers in the stage dir
+        batch.write.mode("overwrite").parquet(stage)
+        adds: list[str] = []
+        i = 0
+        for fn in sorted(os.listdir(stage)):
+            if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                continue
+            n_rows = pq.ParquetFile(os.path.join(stage, fn)).metadata.num_rows
+            if n_rows == 0:
+                continue  # empty task partitions add no files
+            rel = f"part-b{batch_id:010d}-{i:05d}.parquet"
+            # os.replace: re-renames from a replayed crash overwrite the
+            # same deterministic target, never accumulate
+            os.replace(os.path.join(stage, fn), os.path.join(self.path, rel))
+            adds.append(self._add_action(rel, n_rows))
+            i += 1
+        shutil.rmtree(stage, ignore_errors=True)
+        return self._commit_actions(batch, batch_id, adds)
+
+    def sink(self, distributed: bool = False):
         """``foreachBatch`` adapter."""
+        commit = (
+            self.commit_batch_distributed if distributed else self.commit_batch
+        )
 
         def write(batch: DataFrame, batch_id: int) -> None:
-            self.commit_batch(batch, batch_id)
+            commit(batch, batch_id)
 
         return write
+
+    # ------------------------------------------------ checkpoint / clean
+
+    def _replay_state(self, version: int) -> dict:
+        """Table state at ``version`` for checkpoint writing: start from
+        the newest checkpoint <= version when the JSON prefix is pruned,
+        else replay JSON from 0."""
+        from ..operators.deltalog import read_checkpoint_full_state
+
+        json_versions = set(self.committed_versions())
+        live: dict = {}
+        metadata = None
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        txns: dict[str, int] = {}
+        start = 0
+        if 0 not in json_versions:
+            cps = [c for c in self.checkpoint_versions() if c <= version]
+            if not cps:
+                raise ValueError(
+                    "cannot rebuild state: no version-0 commit and no "
+                    "checkpoint at or below the target version"
+                )
+            with open(self._checkpoint_path(cps[-1]), "rb") as f:
+                state = read_checkpoint_full_state(f.read())
+            live = state["live"]
+            metadata = state["metadata"]
+            protocol = state["protocol"]
+            txns = dict(state["txns"])
+            start = cps[-1] + 1
+        for v in range(start, version + 1):
+            if v not in json_versions:
+                raise ValueError(f"delta commit {v} missing during replay")
+            with open(self._commit_path(v), "rb") as f:
+                for line in f.read().splitlines():
+                    action = json.loads(line)
+                    if "add" in action:
+                        live[action["add"]["path"]] = action["add"]
+                    elif "remove" in action:
+                        live.pop(action["remove"]["path"], None)
+                    elif "metaData" in action:
+                        m = action["metaData"]
+                        metadata = {
+                            "id": m["id"],
+                            "schemaString": m["schemaString"],
+                            "partitionColumns": m.get("partitionColumns", []),
+                        }
+                    elif "protocol" in action:
+                        protocol = action["protocol"]
+                    elif "txn" in action:
+                        t = action["txn"]
+                        txns[t["appId"]] = max(
+                            txns.get(t["appId"], -1), t.get("version", -1)
+                        )
+        if metadata is None:
+            raise ValueError("delta log carries no metaData action")
+        return {
+            "live": live, "metadata": metadata,
+            "protocol": protocol, "txns": txns,
+        }
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if (
+            self.checkpoint_interval
+            and (version + 1) % self.checkpoint_interval == 0
+        ):
+            self.write_checkpoint(version)
+
+    def write_checkpoint(self, version: int) -> None:
+        """Write the single-part checkpoint parquet for ``version`` and
+        advance ``_last_checkpoint`` (never backwards)."""
+        from ..operators.deltalog import write_checkpoint_blob
+
+        state = self._replay_state(version)
+        blob = write_checkpoint_blob(
+            state["live"], state["metadata"], state["protocol"], state["txns"]
+        )
+        # checkpoint contents for a version are deterministic state — a
+        # lost race means an identical file already exists
+        self._publish(self._checkpoint_path(version), blob)
+        lc_path = os.path.join(self._logdir(), "_last_checkpoint")
+        current = -1
+        if os.path.exists(lc_path):
+            with open(lc_path, "rb") as f:
+                current = json.loads(f.read()).get("version", -1)
+        if version > current:
+            size = len(state["live"]) + 2 + len(state["txns"])
+            tmp = lc_path + f".{os.getpid()}.tmp"
+            with open(tmp, "wb") as f:
+                f.write(json.dumps({"version": version, "size": size}).encode())
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, lc_path)  # atomic pointer swap
+
+    def clean_log(self) -> list[int]:
+        """Delete JSON commits at or below the last checkpoint — delta-
+        spark's log cleanup. Snapshot reads and replay-idempotence both
+        survive via the checkpoint (txn rows carry the batch ids).
+        Returns the pruned versions."""
+        lc_path = os.path.join(self._logdir(), "_last_checkpoint")
+        if not os.path.exists(lc_path):
+            return []
+        with open(lc_path, "rb") as f:
+            cp = json.loads(f.read())["version"]
+        pruned = []
+        for v in self.committed_versions():
+            if v <= cp:
+                os.unlink(self._commit_path(v))
+                pruned.append(v)
+        return pruned
 
     # ------------------------------------------------------------ read
 

@@ -446,3 +446,141 @@ class TestPartitionedTables:
         assert ok["n_files"] == 2
         with pytest.raises(Exception):
             read_delta_snapshot(p)  # the full read does hit the corruption
+
+
+class TestDeltaSinkDistributed:
+    """r12: the fact-sized write path — Spark's distributed parquet
+    writer, one AddFile per task file, single commit."""
+
+    def test_multi_file_commit_and_snapshot(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        sink = DeltaAppendSink(str(tmp_path / "tbl"))
+        df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v").repartition(4)
+        assert sink.commit_batch_distributed(df, 0) == 0
+        snap = sink.snapshot()
+        assert snap["n_rows"] == 1000
+        assert snap["n_files"] == 4  # one AddFile per task file
+        assert snap["int_sum"] == sum(range(1000))
+        # no staging leftovers
+        assert not (tmp_path / "tbl" / "_staging").exists() or not any(
+            (tmp_path / "tbl" / "_staging").iterdir()
+        )
+
+    def test_replay_is_exactly_once(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        sink = DeltaAppendSink(str(tmp_path / "tbl"))
+        df = spark.range(0, 100).selectExpr("id AS k").repartition(3)
+        write = sink.sink(distributed=True)
+        write(df, 0)
+        head = sink.snapshot()
+        write(df, 0)  # at-least-once replay
+        assert sink.snapshot() == head
+        assert sink.committed_versions() == [0]
+
+    def test_restarted_sink_skips_committed_batches(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        df = spark.range(0, 50).selectExpr("id AS k").repartition(2)
+        DeltaAppendSink(path).commit_batch_distributed(df, 0)
+        # fresh instance (restart): same batch must be skipped
+        sink2 = DeltaAppendSink(path)
+        assert sink2.commit_batch_distributed(df, 0) is None
+        assert sink2.snapshot()["n_rows"] == 50
+
+    def test_crash_mid_stage_then_replay(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        sink = DeltaAppendSink(str(tmp_path / "tbl"))
+        df = spark.range(0, 60).selectExpr("id AS k").repartition(2)
+        # crash: staging dir written, no commit
+        stage = tmp_path / "tbl" / "_staging" / "b0000000007"
+        stage.mkdir(parents=True)
+        (stage / "part-dead-writer.parquet").write_bytes(b"half a file")
+        assert sink.commit_batch_distributed(df, 7) == 0
+        assert sink.snapshot()["n_rows"] == 60
+
+    def test_empty_partitions_add_no_files(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        sink = DeltaAppendSink(str(tmp_path / "tbl"))
+        df = spark.range(0, 3).selectExpr("id AS k").repartition(8)
+        sink.commit_batch_distributed(df, 0)
+        snap = sink.snapshot()
+        assert snap["n_rows"] == 3
+        assert snap["n_files"] <= 3
+
+
+class TestDeltaSinkCheckpointing:
+    """r12: sink-side checkpoints + log cleanup; exactly-once and reads
+    survive a pruned JSON log via the checkpoint's txn rows."""
+
+    def _run(self, spark, path, n_batches, interval):
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        sink = DeltaAppendSink(path, checkpoint_interval=interval)
+        for i in range(n_batches):
+            df = spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+            sink.commit_batch(df, i)
+        return sink
+
+    def test_checkpoints_written_on_interval(self, spark, tmp_path):
+        sink = self._run(spark, str(tmp_path / "tbl"), 12, 5)
+        assert sink.checkpoint_versions() == [4, 9]
+        # reads go through the dir-rooted reader that now understands them
+        assert sink.snapshot()["n_rows"] == 12
+        assert sink.snapshot(version=4)["n_rows"] == 5
+
+    def test_clean_log_preserves_reads_and_idempotence(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        sink = self._run(spark, path, 12, 5)
+        pruned = sink.clean_log()
+        assert pruned == list(range(10))  # everything <= checkpoint 9
+        assert sink.committed_versions() == [10, 11]
+        # snapshot at and after the checkpoint still reads
+        assert sink.snapshot()["n_rows"] == 12
+        assert sink.snapshot(version=9)["n_rows"] == 10
+        # time travel below the pruned prefix refuses loudly
+        with pytest.raises(ValueError, match="precedes checkpoint"):
+            sink.snapshot(version=3)
+        # a RESTARTED sink on the cleaned table skips pruned-era batches
+        # (their ids now live only in the checkpoint's txn rows)
+        sink2 = DeltaAppendSink(path, checkpoint_interval=5)
+        df = spark.createDataFrame([(99, "dup")], "k long, v string")
+        assert sink2.commit_batch(df, 3) is None
+        assert sink2.commit_batch(df, 11) is None
+        assert sink2.commit_batch(df, 12) == 12
+        assert sink2.snapshot()["n_rows"] == 13
+
+    def test_checkpoint_after_clean_uses_prior_checkpoint(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        sink = self._run(spark, path, 10, 5)
+        sink.clean_log()
+        # keep committing past the next interval: the new checkpoint's
+        # state must chain from the previous one (no version-0 JSON left)
+        for i in range(10, 16):
+            df = spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+            sink.commit_batch(df, i)
+        assert 14 in sink.checkpoint_versions()
+        sink.clean_log()
+        assert sink.snapshot()["n_rows"] == 16
+        assert sink.snapshot(version=14)["n_rows"] == 15
+
+    def test_distributed_commits_checkpoint_too(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path, checkpoint_interval=2)
+        for i in range(4):
+            df = spark.range(i * 10, (i + 1) * 10).selectExpr("id AS k").repartition(2)
+            sink.commit_batch_distributed(df, i)
+        assert sink.checkpoint_versions() == [1, 3]
+        sink.clean_log()
+        snap = sink.snapshot()
+        assert snap["n_rows"] == 40 and snap["n_files"] == 8
