@@ -546,6 +546,69 @@ def dim_version_store_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_keyed_store_asof",
+    oracle="""
+WITH r AS (
+  SELECT doc_id % 37 AS k, doc_id AS v, (doc_id % 3)::INT AS b, doc_id
+  FROM documents WHERE doc_id % 3 IN (0, 1)
+)
+SELECT k::BIGINT AS k,
+       arg_max(v, b * 10000000000 + doc_id)::BIGINT AS v,
+       arg_max(b, b * 10000000000 + doc_id)::INT AS src_batch
+FROM r GROUP BY k
+""",
+    survey_ids=("K5", "W6"),
+)
+def delta_keyed_store_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-backed keyed store time travel (r12 — VERDICT r11 #6): the
+    SAME three dim micro-batches as ``dim_version_store_asof`` (same
+    oracle — the open-format twin must land on identical state) commit
+    through ``DeltaKeyedStore``: each batch is a MERGE-as-compaction
+    Delta commit (remove old live files + add the merged snapshot) with
+    txn-based replay idempotence, a checkpoint parquet every 2 commits,
+    and ``clean_log()`` pruning the JSON prefix MID-STREAM after batch 1
+    — so the batch-2 commit and the ``read_as_of(1)`` time travel both
+    resolve through the checkpoint, not the JSON log. Batch 1 is also
+    REPLAYED once (skipped via txn rows). Proves the r12 Delta surface
+    end-to-end under the oracle: nested-parquet checkpoint decode,
+    pruned-log replay, and keyed-upsert semantics equal to the manifest
+    chain (``streaming/delta.py``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..streaming.delta import DeltaKeyedStore
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 37).alias("k"),
+        F.col("doc_id").alias("v"),
+        (F.col("doc_id") % 3).cast("int").alias("src_batch"),
+        F.col("doc_id").alias("ord"),
+        F.col("doc_id"),
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_keyed_store_asof_")
+    try:
+        store = DeltaKeyedStore(
+            spark, tmp, "k", "ord", type_col="op", checkpoint_interval=2
+        )
+        write = store.sink()
+        for b in range(3):
+            batch = docs.filter(F.col("src_batch") == b).withColumn(
+                "op",
+                F.when(
+                    (F.lit(b) == 2) & (F.col("k") % 5 == 0), F.lit("delete")
+                ).otherwise(F.lit("u")),
+            ).drop("doc_id")
+            write(batch, b)
+            if b == 1:
+                store.clean_log()  # prune the JSON prefix mid-stream
+                write(batch, b)  # at-least-once replay over a cleaned log
+        asof = store.read_as_of(1).select("k", "v", "src_batch").toPandas()
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(asof, "k long, v long, src_batch int")
+
+
+@register(
     "dwd_keyword_split",
     oracle="""
 SELECT t.tok AS keyword, count(*) AS keyword_count

@@ -231,11 +231,15 @@ class DeltaAppendSink:
         )
 
     def _commit_actions(
-        self, batch: DataFrame, batch_id: int, adds: list[str]
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        adds: list[str],
+        removes: list[str] | None = None,
     ) -> int | None:
-        """Claim the next version with txn + commitInfo + ``adds``
-        action lines; None when a concurrent attempt of the same batch
-        landed first."""
+        """Claim the next version with txn + commitInfo + ``removes`` +
+        ``adds`` action lines; None when a concurrent attempt of the
+        same batch landed first."""
         txn = json.dumps(
             {
                 "txn": {
@@ -277,6 +281,13 @@ class DeltaAppendSink:
                         }
                     )
                 )
+            lines.extend(
+                json.dumps(
+                    {"remove": {"path": r, "deletionTimestamp": 0,
+                                "dataChange": True}}
+                )
+                for r in (removes or [])
+            )
             lines.extend(adds)
             body = ("\n".join(lines) + "\n").encode()
             if not self._publish(self._commit_path(next_v), body):
@@ -463,7 +474,137 @@ class DeltaAppendSink:
 
     # ------------------------------------------------------------ read
 
+    def head_version(self) -> int:
+        versions = self.committed_versions()
+        cps = self.checkpoint_versions()
+        return max(versions[-1] if versions else -1, cps[-1] if cps else -1)
+
+    def live_files(self, version: int | None = None) -> list[str]:
+        """Relative paths of the live data files at ``version`` (default
+        head), resolved through checkpoint + JSON replay."""
+        if version is None:
+            version = self.head_version()
+        if version < 0:
+            return []
+        return sorted(self._replay_state(version)["live"])
+
     def snapshot(self, version: int | None = None) -> dict:
         from ..operators.deltalog import read_delta_snapshot_dir
 
         return read_delta_snapshot_dir(self.path, version)
+
+
+class DeltaKeyedStore(DeltaAppendSink):
+    """Keyed UPSERT (MERGE) store over the Delta log — the open-format
+    twin of ``VersionedKeyedStore`` (K5's versioned manifest chain),
+    sharing the append sink's putIfAbsent commit, txn-based replay
+    idempotence, checkpointing and log cleanup.
+
+    Every micro-batch becomes one MERGE-as-compaction commit: the
+    current live snapshot is read, the batch is folded in with
+    last-write-wins PK semantics (``upsert_batch``: compaction by
+    ``order_col``, optional delete rows via ``type_col``), and the
+    commit REMOVES every previous live file while ADDING the new merged
+    snapshot file — Delta's compaction shape, so the live set is always
+    one file and every historical version remains time-travelable
+    (``read_as_of``) until vacuumed.
+
+    Dim/serving-table shape by design (one driver-side Arrow file per
+    merged snapshot, like the manifest-chain store it twins); big fact
+    streams belong on ``DeltaAppendSink.commit_batch_distributed``."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        key: str,
+        order_col: str,
+        type_col: str | None = None,
+        max_commit_attempts: int = 20,
+        app_id: str = "delta-keyed-store",
+        checkpoint_interval: int | None = None,
+    ) -> None:
+        super().__init__(
+            path,
+            max_commit_attempts=max_commit_attempts,
+            app_id=app_id,
+            checkpoint_interval=checkpoint_interval,
+        )
+        self.spark = spark
+        self.key = key
+        self.order_col = order_col
+        self.type_col = type_col
+
+    def commit_batch(self, batch: DataFrame, batch_id: int) -> int | None:
+        from .sinks import upsert_batch
+
+        if self._is_committed(batch_id):
+            return None
+        old = self.live_files()
+        current = (
+            self.spark.read.parquet(
+                *(os.path.join(self.path, r) for r in old)
+            )
+            if old
+            else None
+        )
+        merged = upsert_batch(
+            current, batch, self.key, self.order_col, self.type_col
+        )
+        import pyarrow.parquet as pq
+
+        rel = f"merge-b{batch_id:010d}.parquet"
+        table = merged.toArrow()
+        # deterministic rewrite on replay-after-crash: same rows, same file
+        pq.write_table(table, os.path.join(self.path, rel), compression="snappy")
+        return self._commit_actions(
+            batch, batch_id, [self._add_action(rel, table.num_rows)],
+            removes=old,
+        )
+
+    def commit_batch_distributed(self, batch, batch_id):
+        raise NotImplementedError(
+            "keyed MERGE snapshots are dim-shaped single-file commits; "
+            "fact-sized append streams belong on "
+            "DeltaAppendSink.commit_batch_distributed"
+        )
+
+    # ------------------------------------------------------------- read
+
+    def read_as_of(self, version: int) -> DataFrame:
+        """Time travel: the merged snapshot at ``version`` as a
+        distributed frame (raises when the version precedes a pruned
+        checkpoint or was never committed)."""
+        head = self.head_version()
+        if not 0 <= version <= head:
+            raise ValueError(
+                f"version {version} not committed (head is {head})"
+            )
+        files = self.live_files(version)
+        if not files:
+            return self.spark.createDataFrame([], schema="key string")
+        return self.spark.read.parquet(
+            *(os.path.join(self.path, r) for r in files)
+        )
+
+    def read_latest(self) -> DataFrame:
+        return self.read_as_of(self.head_version())
+
+    # ----------------------------------------------------------- vacuum
+
+    def vacuum(self) -> list[int]:
+        """Delete data files no longer referenced by the HEAD snapshot
+        (removed by earlier merges) — Delta's VACUUM. Historical time
+        travel below the vacuum horizon stops working, exactly like the
+        real thing. Returns deleted file names."""
+        live = set(self.live_files())
+        dropped = []
+        for fn in sorted(os.listdir(self.path)):
+            if (
+                fn.endswith(".parquet")
+                and fn not in live
+                and not fn.startswith((".", "_"))
+            ):
+                os.unlink(os.path.join(self.path, fn))
+                dropped.append(fn)
+        return dropped
