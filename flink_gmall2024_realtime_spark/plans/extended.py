@@ -868,17 +868,107 @@ def dws_keyword_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_aggregates", oracle=None, survey_ids=("A4",))
+# q_approx_aggregates oracle: the deterministic HLL (identical to
+# q_hll_sketch's register algebra — see plans/curation.py for the
+# derivation) + a fixed-grid histogram median, both pure integer
+# arithmetic, so the approximate answers hash-match cross-engine.
+from ..operators.sketch import HLL_ALPHA as _Q_HLL_ALPHA
+
+_APPROX_AGG_SQL = f"""
+WITH h AS (
+  SELECT event_type, {{md5}} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+reg AS (
+  SELECT event_type, h % 256 AS j,
+         max(CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END) AS r
+  FROM h GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, count(*) AS used_registers,
+         sum((1::BIGINT << (53 - r)))::BIGINT AS used_units
+  FROM reg GROUP BY 1
+),
+est AS (
+  SELECT event_type, used_registers,
+         {_Q_HLL_ALPHA!r}::DOUBLE * 65536.0 * 9007199254740992.0
+           / (used_units + (256 - used_registers) * 9007199254740992)::DOUBLE AS raw
+  FROM s
+),
+uv AS (
+  SELECT event_type,
+         round(CASE WHEN raw <= 640.0 AND used_registers < 256
+                    THEN 256.0 * ln(256.0 / (256 - used_registers))
+                    ELSE raw END, 4) AS uv_approx
+  FROM est
+),
+hist AS (
+  SELECT event_type, floor(value * 64)::BIGINT AS bin, count(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT event_type, sum(c) AS n FROM hist GROUP BY 1),
+cum AS (
+  SELECT event_type, bin,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM hist
+),
+med AS (
+  SELECT c.event_type, min(c.bin) AS mbin
+  FROM cum c JOIN tot t ON t.event_type = c.event_type
+  WHERE c.cum * 2 >= t.n
+  GROUP BY 1
+)
+SELECT uv.event_type, uv.uv_approx, med.mbin / 64.0 AS p50_approx
+FROM uv JOIN med ON med.event_type = uv.event_type
+""".format(md5=md5_long_sql_duckdb("user_id::VARCHAR"))
+
+
+@register("q_approx_aggregates", oracle=_APPROX_AGG_SQL, survey_ids=("A4",))
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the relaxation path SURVEY §2.5 notes the
-    reference never takes (its UVs are exact): HLL distinct + quantile
-    sketches per event_type. Sketch internals differ per engine, so this is
-    a rows-only check; the exact twins (dws_daily_uv, q_percentiles) are the
-    hash-checked versions."""
+    reference never takes (its UVs are exact): HLL distinct + histogram-
+    sketch median per event_type. r12 (VERDICT r11 #4): was the catalog's
+    one rows-only entry (engine-native sketches); now both sketches are
+    the engine's own DETERMINISTIC mergeable structures with an exact
+    DuckDB oracle — uv via the md5-based HLL register algebra
+    (``operators/sketch.py``, max-merge = partition-order invariant) and
+    p50 via a fixed-grid histogram (bin = floor(value*64), lower weighted
+    median off the per-bin counts): partials merge map-side, the median
+    scan runs over the BOUNDED bin histogram, never the rows, so both
+    sketches ride ordinary partial aggregation at 100 TB. The exact twins
+    (dws_daily_uv, q_percentiles) remain the precision versions; this
+    entry is the mergeable-sketch answer with its approximation error
+    pinned by the oracle."""
+    from ..operators import sketch as _sk
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("uv_approx"),
-        F.percentile_approx("value", 0.5).alias("p50_approx"),
+    reg = _sk.hll_registers(ev, "event_type", "user_id")
+    uv = _sk.hll_estimate(reg, "event_type").select(
+        "event_type", F.col("uv_est").alias("uv_approx")
+    )
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .select("event_type", F.floor(F.col("value") * 64).alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = hist.groupBy("event_type").agg(F.sum("c").alias("n"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    med = (
+        cum.join(tot, "event_type")
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("event_type")
+        .agg((F.min("bin") / 64.0).alias("p50_approx"))
+    )
+    return uv.join(med, "event_type").select(
+        "event_type", "uv_approx", "p50_approx"
     )
 
 
