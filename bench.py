@@ -240,6 +240,29 @@ def codec_extras() -> dict:
             decode_png(png)
             best = min(best, time.perf_counter() - t0)
         out[label] = round(mb / best, 1)
+    # r12: the wavefront batch path decode_media actually runs — many
+    # images per Arrow batch are independent scan lanes, so the
+    # Average/Paeth x-loop vectorizes ACROSS images (per-image scalar
+    # floor above stays as the single-payload reference)
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_png_batch,
+    )
+
+    for label, filters in (
+        ("png_batch_paeth_mbps", (4,)),
+        ("png_batch_mix_mbps", (0, 1, 2, 3, 4)),
+    ):
+        ps = [
+            synth_png_random(100, 100, seed=s, filters=filters)
+            for s in range(128)
+        ]
+        mbb = 128 * 3 * 100 * 100 / 1e6
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            decode_png_batch(ps)
+            best = min(best, time.perf_counter() - t0)
+        out[label] = round(mbb / best, 1)
     # r10 compression decoders: decompressed MB/s on a repetitive 1 MB
     # text (the corpus shape) — interpreted-Python floors, the seams where
     # a deployment swaps in native codecs; correctness is what the oracle

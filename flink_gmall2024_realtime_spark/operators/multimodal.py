@@ -309,26 +309,10 @@ def synth_png_random(w: int, h: int, seed: int = 7, filters: tuple = (0, 1, 2, 3
     )
 
 
-def decode_png(payload: bytes) -> tuple[int, int, int, int]:
-    """REAL PNG decode for 8-bit RGB images, non-interlaced or Adam7
-    (r9): chunk walk with CRC verification, zlib inflate, and full
-    scanline unfiltering (all five filter types; each Adam7 pass is an
-    independently-filtered sub-image whose top row predicts from zero).
-    Returns (width, height, n_px, pix_sum) like ``decode_bmp``.
-
-    Scanline reconstruction is numpy-vectorized where the filter algebra
-    allows: None is a copy, Up a vectorized mod-256 add against the prior
-    row, Sub a per-channel cumulative sum (cumsum in int64 then & 0xFF —
-    exact, since mod distributes over the running sum). Average and Paeth
-    carry a genuine left-to-right data dependency (cur[x] needs cur[x-1]),
-    so they run as tight per-channel scalar scans — the measured floor for
-    pure Python, and the exact seam where a production deployment vendors
-    libpng/Pillow. Measured at 400x400: ~10-20x over a per-byte loop on
-    the vectorizable filters, ~1.5x on Average/Paeth, ~2.4x on an
-    all-five-filter mix (see bench extras ``png_decode_*``)."""
+def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Chunk walk (CRC-verified) + inflate; returns (w, h, interlace,
+    raw filtered scanline bytes)."""
     import zlib
-
-    import numpy as np
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
@@ -353,25 +337,55 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int]:
         raise ValueError("missing IHDR/IDAT chunk")
     from .fastpath import fast_decoder
 
-    raw = fast_decoder("zlib")(idat)
+    return w, h, interlace, fast_decoder("zlib")(idat)
+
+
+def _png_lane_specs(w: int, h: int, interlace: int, raw: bytes):
+    """Independently-filtered scanline groups of one PNG: the whole image
+    (non-interlaced) or one per non-empty Adam7 pass. Returns
+    [(offset, rows, stride)] and validates the IDAT size."""
     bpp = 3
+    lanes = []
+    off = 0
     if interlace == 0:
-        stride = 3 * w
-        if len(raw) != h * (stride + 1):
+        lanes.append((0, h, bpp * w))
+        off = h * (bpp * w + 1)
+        if off != len(raw):
             raise ValueError("IDAT size does not match IHDR dimensions")
-        total, _ = _unfilter_png_rows(raw, 0, h, stride)
-        return w, h, stride * h, total
-    # Adam7: seven independently-filtered sub-images, empty passes omitted
-    total, off = 0, 0
+        return lanes
     for x0, y0, dx, dy in _ADAM7_PASSES:
         pw = (w - x0 + dx - 1) // dx
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        psum, off = _unfilter_png_rows(raw, off, ph, bpp * pw)
-        total += psum
+        lanes.append((off, ph, bpp * pw))
+        off += ph * (bpp * pw + 1)
     if off != len(raw):
         raise ValueError("IDAT size does not match Adam7 pass layout")
+    return lanes
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL PNG decode for 8-bit RGB images, non-interlaced or Adam7
+    (r9): chunk walk with CRC verification, zlib inflate, and full
+    scanline unfiltering (all five filter types; each Adam7 pass is an
+    independently-filtered sub-image whose top row predicts from zero).
+    Returns (width, height, n_px, pix_sum) like ``decode_bmp``.
+
+    Scanline reconstruction is numpy-vectorized where the filter algebra
+    allows: None is a copy, Up a vectorized mod-256 add against the prior
+    row, Sub a per-channel cumulative sum (cumsum in int64 then & 0xFF —
+    exact, since mod distributes over the running sum). Average and Paeth
+    carry a genuine left-to-right data dependency (cur[x] needs cur[x-1]),
+    so a SINGLE image runs them as tight per-channel scalar scans — but
+    many images decoded together are independent scan lanes, and
+    ``decode_png_batch`` vectorizes the same x-loop ACROSS lanes (r12,
+    VERDICT r11 #5); ``decode_media`` routes PNGs through it."""
+    w, h, interlace, raw = _parse_png(payload)
+    total = 0
+    for off, rows, stride in _png_lane_specs(w, h, interlace, raw):
+        psum, _ = _unfilter_png_rows(raw, off, rows, stride)
+        total += psum
     return w, h, 3 * w * h, total
 
 
@@ -422,6 +436,169 @@ def _unfilter_png_rows(raw: bytes, off: int, rows: int, stride: int) -> tuple[in
         total += int(cur.sum())
         prev = cur
     return total, end
+
+
+# Batched PNG reconstruction (r12): Average/Paeth are sequential in x
+# WITHIN one filtered scanline group, but every image (and every Adam7
+# pass) is an independent scan lane — so a wavefront over many payloads
+# runs the same x-loop ONCE with numpy vectorizing across lanes and the
+# three channels, amortizing the Python-step cost by the batch width.
+# Groups smaller than _PNG_BATCH_MIN_LANES fall back to the per-channel
+# scalar scans (tiny-array numpy steps would cost more than they save).
+
+_PNG_BATCH_MIN_LANES = 8
+
+
+def _unfilter_wavefront(lanes: list) -> None:
+    """Reconstruct all lanes in lockstep, accumulating per-lane pixel
+    sums in place. Each lane: {"fts", "lines" (int64, padded to a common
+    multiple-of-3 width), "stride", "rows", "prev", "sum"}. Padding sits
+    to the RIGHT of real data: left-to-right scans never read it and its
+    garbage never reaches real columns (Up/Avg read column x, Paeth's
+    up-left reads x-3 — both < stride for real x)."""
+    import numpy as np
+
+    if not lanes:
+        return
+    S = lanes[0]["lines"].shape[1]
+    n_px = S // 3
+    max_rows = max(lane["rows"] for lane in lanes)
+    for r in range(max_rows):
+        groups: dict = {}
+        for i, lane in enumerate(lanes):
+            if r < lane["rows"]:
+                groups.setdefault(int(lane["fts"][r]), []).append(i)
+        for ft, idxs in groups.items():
+            n = len(idxs)
+            X = np.stack([lanes[i]["lines"][r] for i in idxs])
+            if ft == 0:
+                cur = X
+            elif ft == 1:  # Sub: per-channel cumulative sum
+                cur = (X.reshape(n, n_px, 3).cumsum(axis=1) & 0xFF).reshape(n, S)
+            elif ft == 2:  # Up
+                P = np.stack([lanes[i]["prev"] for i in idxs])
+                cur = (X + P) & 0xFF
+            elif ft == 3:  # Average
+                if n < _PNG_BATCH_MIN_LANES:
+                    cur = np.empty_like(X)
+                    for k, i in enumerate(idxs):
+                        for c in range(3):
+                            cur[k, c::3] = _avg_scan_channel(
+                                X[k, c::3].tolist(),
+                                lanes[i]["prev"][c::3].tolist(),
+                            )
+                else:
+                    # column-major so every per-pixel step slices
+                    # CONTIGUOUS [3, n] views; out= buffers avoid the
+                    # per-step allocation cost that dominated row-major
+                    XT = X.T.copy()
+                    PT = np.stack([lanes[i]["prev"] for i in idxs]).T.copy()
+                    curT = np.empty_like(XT)
+                    left = np.zeros((3, n), dtype=np.int64)
+                    tmp = np.empty((3, n), dtype=np.int64)
+                    for px in range(n_px):
+                        sl = slice(3 * px, 3 * px + 3)
+                        np.add(left, PT[sl], out=tmp)
+                        tmp >>= 1
+                        left = curT[sl]
+                        np.add(XT[sl], tmp, out=left)
+                        np.bitwise_and(left, 0xFF, out=left)
+                    cur = curT.T
+            elif ft == 4:  # Paeth
+                if n < _PNG_BATCH_MIN_LANES:
+                    cur = np.empty_like(X)
+                    for k, i in enumerate(idxs):
+                        for c in range(3):
+                            cur[k, c::3] = _paeth_scan_channel(
+                                X[k, c::3].tolist(),
+                                lanes[i]["prev"][c::3].tolist(),
+                            )
+                else:
+                    XT = X.T.copy()
+                    PT = np.stack([lanes[i]["prev"] for i in idxs]).T.copy()
+                    CT = np.concatenate(
+                        [np.zeros((3, n), dtype=np.int64), PT[:-3]], axis=0
+                    )
+                    paT = np.abs(PT - CT)  # |b - c|: a-independent, hoisted
+                    bc2T = PT - 2 * CT  # a + (b - 2c) = p - c
+                    a = np.zeros((3, n), dtype=np.int64)
+                    curT = np.empty_like(XT)
+                    pb = np.empty((3, n), dtype=np.int64)
+                    pc = np.empty((3, n), dtype=np.int64)
+                    m1 = np.empty((3, n), dtype=bool)
+                    m2 = np.empty((3, n), dtype=bool)
+                    for px in range(n_px):
+                        sl = slice(3 * px, 3 * px + 3)
+                        np.subtract(a, CT[sl], out=pb)
+                        np.abs(pb, out=pb)
+                        np.add(a, bc2T[sl], out=pc)
+                        np.abs(pc, out=pc)
+                        np.less_equal(pb, pc, out=m1)
+                        pq = np.where(m1, pb, pc)
+                        pred = np.where(m1, PT[sl], CT[sl])
+                        np.less_equal(paT[sl], pq, out=m2)
+                        pred = np.where(m2, a, pred)
+                        a = curT[sl]
+                        np.add(XT[sl], pred, out=a)
+                        np.bitwise_and(a, 0xFF, out=a)
+                    cur = curT.T
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            strides = {lanes[i]["stride"] for i in idxs}
+            if len(strides) == 1:
+                # homogeneous batch: one vectorized reduction
+                sums = cur[:, : strides.pop()].sum(axis=1)
+                for k, i in enumerate(idxs):
+                    lanes[i]["prev"] = cur[k]
+                    lanes[i]["sum"] += int(sums[k])
+            else:
+                for k, i in enumerate(idxs):
+                    lane = lanes[i]
+                    lane["prev"] = cur[k]
+                    lane["sum"] += int(cur[k, : lane["stride"]].sum())
+
+
+def decode_png_batch(payloads: list) -> list[tuple[int, int, int, int]]:
+    """Decode many PNGs as one wavefront — identical results to
+    ``decode_png`` per payload, with the Average/Paeth x-scan vectorized
+    across all images' (and Adam7 passes') independent lanes. This is
+    the shape ``decode_media`` runs: per Arrow batch, so lane width
+    scales with batch size, not corpus size."""
+    import numpy as np
+
+    lanes: list = []
+    images: list = []
+    for payload in payloads:
+        w, h, interlace, raw = _parse_png(payload)
+        lane_ids = []
+        for off, rows, stride in _png_lane_specs(w, h, interlace, raw):
+            end = off + rows * (stride + 1)
+            arr = np.frombuffer(raw[off:end], dtype=np.uint8).reshape(
+                rows, stride + 1
+            )
+            lane_ids.append(len(lanes))
+            lanes.append(
+                {
+                    "fts": arr[:, 0],
+                    "raw_lines": arr[:, 1:],
+                    "stride": stride,
+                    "rows": rows,
+                    "sum": 0,
+                }
+            )
+        images.append((w, h, lane_ids))
+    if lanes:
+        S = max(3, ((max(lane["stride"] for lane in lanes) + 2) // 3) * 3)
+        for lane in lanes:
+            lines = np.zeros((lane["rows"], S), dtype=np.int64)
+            lines[:, : lane["stride"]] = lane.pop("raw_lines")
+            lane["lines"] = lines
+            lane["prev"] = np.zeros(S, dtype=np.int64)
+        _unfilter_wavefront(lanes)
+    return [
+        (w, h, 3 * w * h, sum(lanes[i]["sum"] for i in lane_ids))
+        for w, h, lane_ids in images
+    ]
 
 
 # --------------------------------------------------------------------------
@@ -2754,6 +2931,18 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # PNGs in this Arrow batch are independent scan lanes: decode
+            # them as ONE wavefront so Average/Paeth vectorize across
+            # images (r12); results splice back by row position below
+            png_results = iter(
+                decode_png_batch(
+                    [
+                        bytes(p)
+                        for p, m in zip(pdf["payload"], pdf["mime"])
+                        if m == "image/png"
+                    ]
+                )
+            )
             rows = []
             for mid, p, m, nb in zip(
                 pdf["media_id"], pdf["payload"], pdf["mime"], pdf["n_bytes"]
@@ -2762,7 +2951,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                     w, h, n_px, s = decode_bmp(bytes(p))
                     rows.append((mid, m, nb, w, h, 1, None, None, s))
                 elif m == "image/png":
-                    w, h, n_px, s = decode_png(bytes(p))
+                    w, h, n_px, s = next(png_results)
                     rows.append((mid, m, nb, w, h, 1, None, None, s))
                 elif m == "image/jpeg":
                     w, h, n_px, s = decode_jpeg(bytes(p))

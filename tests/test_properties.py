@@ -1488,3 +1488,38 @@ def test_parquet_nested_records_match_pyarrow(rows, rg, codec, use_dict, dpv):
         else:
             assert got["s.kv.key_value.key"][i] == [enc(k) for k, _ in s["kv"]]
             assert got["s.kv.key_value.value"][i] == [enc(v) for _, v in s["kv"]]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 24),
+            st.integers(1, 16),
+            st.integers(0, 10_000),
+            st.sampled_from([(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4), (3, 4)]),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.booleans(),
+)
+def test_png_batch_decode_matches_single(shapes, interlace_some):
+    """The r12 wavefront batch decoder (Average/Paeth x-scan vectorized
+    ACROSS images) must be byte-equivalent to per-image decode_png on
+    arbitrary mixed batches — sizes, filter mixes, interlaced members,
+    batch widths above and below the scalar-fallback threshold."""
+    from flink_gmall2024_realtime_spark.operators.multimodal import (
+        decode_png,
+        decode_png_batch,
+        synth_png_interlaced,
+        synth_png_random,
+    )
+
+    payloads = []
+    for i, (w, h, seed, filters) in enumerate(shapes):
+        if interlace_some and i % 3 == 2:
+            payloads.append(synth_png_interlaced(seed))
+        else:
+            payloads.append(synth_png_random(w, h, seed=seed, filters=filters))
+    assert decode_png_batch(payloads) == [decode_png(p) for p in payloads]
