@@ -1722,7 +1722,7 @@ def dedup_clusters(
         .where(F.col("a") != F.col("b"))
         .localCheckpoint(eager=True)
     )
-    mapping: DataFrame | None = None
+    rounds: list[DataFrame] = []
     for it in range(max_iter):
         if cur.limit(1).count() == 0:
             break
@@ -1733,19 +1733,7 @@ def dedup_clusters(
             .agg(F.min("root").alias("root"))
             .localCheckpoint(eager=True)
         )
-        if mapping is None:
-            mapping = roots.select("node", F.col("root").alias("label"))
-        else:
-            step = roots.select(
-                F.col("node").alias("_rn"), F.col("root").alias("_rr")
-            )
-            mapping = (
-                mapping.join(step, mapping["label"] == step["_rn"], "left")
-                .select(
-                    "node", F.coalesce(F.col("_rr"), F.col("label")).alias("label")
-                )
-                .localCheckpoint(eager=True)
-            )
+        rounds.append(roots)
         ra = roots.select(F.col("node").alias("a"), F.col("root").alias("_ca"))
         rb = roots.select(F.col("node").alias("b"), F.col("root").alias("_cb"))
         cur = (
@@ -1762,6 +1750,28 @@ def dedup_clusters(
                 f"dedup_clusters: star contraction did not converge in "
                 f"{max_iter} rounds — pathological component structure; "
                 f"raise max_iter"
+            )
+    # Lazy relabel composition (r12, VERDICT r11 #7): instead of joining
+    # the ALL-nodes mapping against every round's roots inside the loop
+    # (one keyed shuffle + checkpoint per round), fold the checkpointed
+    # per-round root frames ONCE after convergence, smallest-first:
+    # M_r(n) = M_{r+1}(roots_r(n)) with roots_r(n) as the fallback.
+    # Later rounds' frames shrink geometrically, so each fold's right
+    # side is the small one and AQE turns the join into a broadcast —
+    # the big side never reshuffles. Identical fixpoint labels: function
+    # composition is associative and each R maps within components.
+    mapping: DataFrame | None = None
+    for roots in reversed(rounds):
+        if mapping is None:
+            mapping = roots.select("node", F.col("root").alias("label"))
+        else:
+            m = mapping.select(
+                F.col("node").alias("_mn"), F.col("label").alias("_ml")
+            )
+            mapping = roots.join(
+                m, roots["root"] == m["_mn"], "left"
+            ).select(
+                "node", F.coalesce(F.col("_ml"), F.col("root")).alias("label")
             )
     out = docs.select(F.col(id_col).alias("node"))
     if mapping is None:
