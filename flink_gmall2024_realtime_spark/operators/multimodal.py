@@ -2859,6 +2859,13 @@ def _synth_delta_partitioned(seed: int) -> bytes:
     return synth_delta_partitioned(seed)
 
 
+def _synth_parquet_nested(seed: int) -> bytes:
+    """Lazy import of the nested parquet fixture (pyarrow-written, r12)."""
+    from .parquetmeta import synth_parquet_nested
+
+    return synth_parquet_nested(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2910,6 +2917,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "orc_data": _synth_orc_data,
         "delta_table": _synth_delta_table,
         "delta_checkpointed": _synth_delta_checkpointed,
+        "parquet_nested": _synth_parquet_nested,
         "delta_partitioned": _synth_delta_partitioned,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(

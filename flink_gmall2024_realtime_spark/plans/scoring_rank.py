@@ -1195,6 +1195,73 @@ def delta_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parquet_nested_audit",
+    oracle="""
+WITH p AS (SELECT doc_id AS d, doc_id % 12 + 3 AS n FROM documents),
+i AS (
+  SELECT d, n, t.i FROM p, UNNEST(generate_series(0, (n - 1)::BIGINT)) AS t(i)
+)
+SELECT d AS media_id, 'top' AS leaf, n::BIGINT AS n_records,
+       n::BIGINT AS n_defined, (n * d + n * (n - 1) // 2)::BIGINT AS int_sum,
+       NULL::BIGINT AS byte_len, NULL::BIGINT AS n_true
+FROM p
+UNION ALL
+SELECT d, 's.flag', MAX(n)::BIGINT,
+       (COUNT(*) FILTER (WHERE i % 5 <> 0))::BIGINT, NULL, NULL,
+       (COUNT(*) FILTER (WHERE i % 5 <> 0 AND i % 2 = 0))::BIGINT
+FROM i GROUP BY d
+UNION ALL
+SELECT d, 's.kv.key_value.key', MAX(n)::BIGINT,
+       (COUNT(*) FILTER (WHERE i % 5 <> 0 AND i % 2 = 0))::BIGINT, NULL,
+       (COUNT(*) FILTER (WHERE i % 5 <> 0 AND i % 2 = 0))::BIGINT, NULL
+FROM i GROUP BY d
+UNION ALL
+SELECT d, 's.kv.key_value.value', MAX(n)::BIGINT,
+       (COUNT(*) FILTER (WHERE i % 5 <> 0 AND i % 2 = 0))::BIGINT, NULL,
+       (SUM(length((i % 7)::VARCHAR)) FILTER (WHERE i % 5 <> 0 AND i % 2 = 0))::BIGINT,
+       NULL
+FROM i GROUP BY d
+UNION ALL
+SELECT d, 's.n', MAX(n)::BIGINT,
+       (COUNT(*) FILTER (WHERE i % 5 <> 0 AND i % 4 <> 0))::BIGINT,
+       (SUM(d + 2 * i) FILTER (WHERE i % 5 <> 0 AND i % 4 <> 0))::BIGINT,
+       NULL, NULL
+FROM i GROUP BY d
+UNION ALL
+SELECT d, 's.name', MAX(n)::BIGINT,
+       (COUNT(*) FILTER (WHERE i % 5 <> 0))::BIGINT, NULL,
+       (SUM(1 + length(i::VARCHAR)) FILTER (WHERE i % 5 <> 0))::BIGINT, NULL
+FROM i GROUP BY d
+UNION ALL
+SELECT d, 's.tags.list.element', MAX(n)::BIGINT,
+       (SUM(i % 3) FILTER (WHERE i % 5 <> 0))::BIGINT, NULL,
+       (2 * SUM(i % 3) FILTER (WHERE i % 5 <> 0))::BIGINT, NULL
+FROM i GROUP BY d
+""",
+    survey_ids=("text-quality",),
+)
+def parquet_nested_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED parquet ingestion from raw bytes (r12): per doc a REAL
+    pyarrow-written parquet file whose schema nests a struct holding
+    scalars, a bool, a list<string> and a map<string,string> (nullable
+    at every level; codec/dictionary/page-version writer variety by
+    seed), decoded by the in-repo Dremel record assembly
+    (``parquetmeta.parse_parquet_records``: def/rep levels at true bit
+    widths, struct/list/map shaping, BOOLEAN plain+RLE values) — the
+    schema shape training corpora actually ship. Oracle reproduces
+    per-leaf record/defined counts and content sums from seed
+    arithmetic. Per-row Arrow work — linear by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "parquet_nested")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/x-parquet"
+    )
+    from ..operators.parquetmeta import parquet_nested_audit
+
+    return parquet_nested_audit(media)
+
+
+@register(
     "delta_checkpoint_audit",
     oracle="""
 WITH p AS (SELECT doc_id AS d, 11 + doc_id % 3 AS L FROM documents),

@@ -366,61 +366,13 @@ class DeltaAppendSink:
     # ------------------------------------------------ checkpoint / clean
 
     def _replay_state(self, version: int) -> dict:
-        """Table state at ``version`` for checkpoint writing: start from
-        the newest checkpoint <= version when the JSON prefix is pruned,
-        else replay JSON from 0."""
-        from ..operators.deltalog import read_checkpoint_full_state
+        """Table state at ``version`` for checkpoint writing / live-file
+        resolution — delegates to the shared metadata-only replay
+        (``operators/deltalog.replay_delta_dir``: newest usable
+        checkpoint + JSON tail)."""
+        from ..operators.deltalog import replay_delta_dir
 
-        json_versions = set(self.committed_versions())
-        live: dict = {}
-        metadata = None
-        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
-        txns: dict[str, int] = {}
-        start = 0
-        if 0 not in json_versions:
-            cps = [c for c in self.checkpoint_versions() if c <= version]
-            if not cps:
-                raise ValueError(
-                    "cannot rebuild state: no version-0 commit and no "
-                    "checkpoint at or below the target version"
-                )
-            with open(self._checkpoint_path(cps[-1]), "rb") as f:
-                state = read_checkpoint_full_state(f.read())
-            live = state["live"]
-            metadata = state["metadata"]
-            protocol = state["protocol"]
-            txns = dict(state["txns"])
-            start = cps[-1] + 1
-        for v in range(start, version + 1):
-            if v not in json_versions:
-                raise ValueError(f"delta commit {v} missing during replay")
-            with open(self._commit_path(v), "rb") as f:
-                for line in f.read().splitlines():
-                    action = json.loads(line)
-                    if "add" in action:
-                        live[action["add"]["path"]] = action["add"]
-                    elif "remove" in action:
-                        live.pop(action["remove"]["path"], None)
-                    elif "metaData" in action:
-                        m = action["metaData"]
-                        metadata = {
-                            "id": m["id"],
-                            "schemaString": m["schemaString"],
-                            "partitionColumns": m.get("partitionColumns", []),
-                        }
-                    elif "protocol" in action:
-                        protocol = action["protocol"]
-                    elif "txn" in action:
-                        t = action["txn"]
-                        txns[t["appId"]] = max(
-                            txns.get(t["appId"], -1), t.get("version", -1)
-                        )
-        if metadata is None:
-            raise ValueError("delta log carries no metaData action")
-        return {
-            "live": live, "metadata": metadata,
-            "protocol": protocol, "txns": txns,
-        }
+        return replay_delta_dir(self.path, version)
 
     def _maybe_checkpoint(self, version: int) -> None:
         if (
