@@ -70,7 +70,7 @@ def read_delta_snapshot(
             and name.endswith(".parquet")
             and ".checkpoint" in name
         ):
-            checkpoint[_checkpoint_version(name.rsplit("/", 1)[1])] = body
+            _add_checkpoint_part(checkpoint, name.rsplit("/", 1)[1], body)
         elif name.startswith("_delta_log/") and name.endswith(".json"):
             log_blobs[int(name.rsplit("/", 1)[1][: -len(".json")])] = body
 
@@ -108,7 +108,7 @@ def read_delta_snapshot_dir(
                 last_checkpoint = f.read()
         elif fn.endswith(".parquet") and ".checkpoint" in fn:
             with open(full, "rb") as f:
-                checkpoint[_checkpoint_version(fn)] = f.read()
+                _add_checkpoint_part(checkpoint, fn, f.read())
         elif fn.endswith(".json"):
             with open(full, "rb") as f:
                 log_blobs[int(fn[: -len(".json")])] = f.read()
@@ -125,16 +125,43 @@ def read_delta_snapshot_dir(
     )
 
 
-def _checkpoint_version(fn: str) -> int:
-    """``{v:020d}.checkpoint.parquet`` → v; multi-part checkpoint names
-    (``v.checkpoint.part.of.parquet``) raise loudly."""
+def _parse_checkpoint_name(fn: str) -> tuple[int, int, int]:
+    """``{v:020d}.checkpoint.parquet`` → (v, 0, 1);
+    ``{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet`` → (v, i-1, n)
+    (Delta multi-part checkpoints number their parts 1-based)."""
     stem = fn[: -len(".parquet")]
     parts = stem.split(".")
-    if len(parts) != 2:
-        raise NotImplementedError(
-            f"multi-part delta checkpoint {fn!r} unsupported"
+    if len(parts) == 2 and parts[1] == "checkpoint":
+        return int(parts[0]), 0, 1
+    if len(parts) == 4 and parts[1] == "checkpoint":
+        v, i, n = int(parts[0]), int(parts[2]), int(parts[3])
+        if not 1 <= i <= n:
+            raise ValueError(f"checkpoint part index out of range in {fn!r}")
+        return v, i - 1, n
+    raise ValueError(f"unrecognized delta checkpoint file name {fn!r}")
+
+
+def _add_checkpoint_part(checkpoints: dict, fn: str, blob: bytes) -> None:
+    v, idx, n = _parse_checkpoint_name(fn)
+    entry = checkpoints.setdefault(v, {"n": n, "parts": {}})
+    if entry["n"] != n:
+        raise ValueError(
+            f"checkpoint {v} has files declaring different part counts"
         )
-    return int(parts[0])
+    entry["parts"][idx] = blob
+
+
+def _checkpoint_blobs(checkpoints: dict, v: int) -> list[bytes]:
+    """All parts of checkpoint ``v`` in order; raises when incomplete."""
+    entry = checkpoints.get(v)
+    if entry is None:
+        raise ValueError(f"checkpoint parquet for version {v} missing")
+    missing = [i + 1 for i in range(entry["n"]) if i not in entry["parts"]]
+    if missing:
+        raise ValueError(
+            f"checkpoint {v} is missing parts {missing} of {entry['n']}"
+        )
+    return [entry["parts"][i] for i in range(entry["n"])]
 
 
 # projection request for checkpoint parquet — only the leaves snapshot
@@ -213,15 +240,17 @@ def _read_snapshot(
     cp_version = None
     if last_checkpoint is not None:
         lc = json.loads(last_checkpoint)
-        if lc.get("parts", 1) != 1:
-            raise NotImplementedError(
-                "multi-part delta checkpoints unsupported"
-            )
         cp_version = lc["version"]
         if cp_version not in checkpoints:
             raise ValueError(
                 f"_last_checkpoint names version {cp_version} but no such "
                 "checkpoint parquet exists"
+            )
+        if lc.get("parts", 1) != checkpoints[cp_version]["n"]:
+            raise ValueError(
+                f"_last_checkpoint declares {lc.get('parts', 1)} parts but "
+                f"checkpoint {cp_version} carries "
+                f"{checkpoints[cp_version]['n']}"
             )
     elif checkpoints:
         # tolerate a missing _last_checkpoint (it is only a pointer):
@@ -247,12 +276,12 @@ def _read_snapshot(
     live: dict[str, dict] = {}
     saw_metadata = False
     if cp_version is not None and version >= cp_version:
-        blob = checkpoints.get(cp_version)
-        if blob is None:
-            raise ValueError(
-                f"checkpoint parquet for version {cp_version} missing"
-            )
-        live, saw_metadata = _checkpoint_state(blob)
+        live = {}
+        saw_metadata = False
+        for blob in _checkpoint_blobs(checkpoints, cp_version):
+            part_live, part_meta = _checkpoint_state(blob)
+            live.update(part_live)
+            saw_metadata = saw_metadata or part_meta
         replay_from = cp_version + 1
     else:
         # time travel to before the checkpoint needs the JSON prefix
@@ -322,7 +351,11 @@ def _read_snapshot(
 
 
 def write_checkpoint_blob(
-    live: dict, metadata: dict, protocol: dict, txns: dict | None = None
+    live: dict,
+    metadata: dict,
+    protocol: dict,
+    txns: dict | None = None,
+    header: bool = True,
 ) -> bytes:
     """Serialize a Delta checkpoint parquet — one row per action
     (protocol, metaData, one txn per streaming app id, then every live
@@ -369,10 +402,10 @@ def write_checkpoint_blob(
     )
     blank = {"protocol": None, "metaData": None, "add": None, "remove": None,
              "txn": None}
-    rows = [
-        {**blank, "protocol": protocol},
-        {**blank, "metaData": metadata},
-    ]
+    rows = []
+    if header:
+        rows.append({**blank, "protocol": protocol})
+        rows.append({**blank, "metaData": metadata})
     for app_id in sorted(txns or {}):
         rows.append(
             {**blank,
@@ -627,18 +660,33 @@ def synth_delta_checkpointed(seed: int) -> bytes:
         }
         for j in range(11)
     }
-    cp_blob = write_checkpoint_blob(cp_live, metadata, protocol)
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
         for v, body in commits.items():
             if seed % 2 == 1 and v <= 10:
                 continue  # pruned log: the checkpoint carries this history
             z.writestr(f"_delta_log/{v:020d}.json", body)
-        z.writestr(f"_delta_log/{10:020d}.checkpoint.parquet", cp_blob)
-        z.writestr(
-            "_delta_log/_last_checkpoint",
-            json.dumps({"version": 10, "size": len(cp_live) + 2}),
-        )
+        lc = {"version": 10, "size": len(cp_live) + 2}
+        if seed % 4 == 2:
+            # MULTI-PART checkpoint variant (r12): adds shard round-robin
+            # over two parts, part 1 carries the header rows — identical
+            # snapshot state, so the oracle arithmetic is unchanged
+            keys = sorted(cp_live)
+            for i in range(2):
+                part = {k: cp_live[k] for k in keys[i::2]}
+                z.writestr(
+                    f"_delta_log/{10:020d}.checkpoint.{i + 1:010d}.{2:010d}.parquet",
+                    write_checkpoint_blob(
+                        part, metadata, protocol, header=i == 0
+                    ),
+                )
+            lc["parts"] = 2
+        else:
+            z.writestr(
+                f"_delta_log/{10:020d}.checkpoint.parquet",
+                write_checkpoint_blob(cp_live, metadata, protocol),
+            )
+        z.writestr("_delta_log/_last_checkpoint", json.dumps(lc))
         for j, blob in files.items():
             z.writestr(paths[j], blob)
     return buf.getvalue()
@@ -760,53 +808,61 @@ def delta_partition_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def read_checkpoint_full_state(blob: bytes) -> dict:
+def read_checkpoint_full_state(blobs) -> dict:
     """Full checkpoint decode for WRITER-side state rebuilding (pyarrow-
     free, via the nested record decoder): live add map plus the raw
     metaData / protocol dicts and the per-appId txn versions a resumed
-    streaming sink needs to stay exactly-once after log cleanup."""
+    streaming sink needs to stay exactly-once after log cleanup.
+    Accepts one blob or the ordered part list of a MULTI-PART checkpoint
+    (actions merge across parts; metaData/protocol appear in one)."""
     from .parquetmeta import parse_parquet_leaf_names, parse_parquet_records
 
+    if isinstance(blobs, (bytes, bytearray)):
+        blobs = [blobs]
     wanted = _CP_LEAVES + (
         "metaData.partitionColumns.list.element",
         "protocol.minWriterVersion",
         "txn.appId",
         "txn.version",
     )
-    avail = set(parse_parquet_leaf_names(blob))
-    cols = parse_parquet_records(
-        blob, columns=sorted(set(c for c in wanted if c in avail))
-    )
-    live, saw_meta = _checkpoint_state(blob)
-    if not saw_meta:
-        raise ValueError("delta checkpoint carries no metaData action")
-    n = len(cols["add.path"])
-
-    def col(name, default=None):
-        return cols.get(name) or [default] * n
+    live: dict = {}
+    metadata = None
+    protocol = None
+    txns: dict[str, int] = {}
 
     def s(v):
         return v.decode() if isinstance(v, bytes) else v
 
-    metadata = None
-    protocol = None
-    txns: dict[str, int] = {}
-    for i in range(n):
-        if col("metaData.id")[i] is not None:
-            pcols = col("metaData.partitionColumns.list.element")[i] or []
-            metadata = {
-                "id": s(col("metaData.id")[i]),
-                "schemaString": s(col("metaData.schemaString")[i]),
-                "partitionColumns": [s(c) for c in pcols],
-            }
-        if col("protocol.minReaderVersion")[i] is not None:
-            protocol = {
-                "minReaderVersion": col("protocol.minReaderVersion")[i],
-                "minWriterVersion": col("protocol.minWriterVersion")[i],
-            }
-        app = col("txn.appId")[i]
-        if app is not None:
-            txns[s(app)] = max(txns.get(s(app), -1), col("txn.version")[i])
+    for blob in blobs:
+        avail = set(parse_parquet_leaf_names(blob))
+        cols = parse_parquet_records(
+            blob, columns=sorted(set(c for c in wanted if c in avail))
+        )
+        part_live, _ = _checkpoint_state(blob)
+        live.update(part_live)
+        n = len(cols["add.path"])
+
+        def col(name, default=None):
+            return cols.get(name) or [default] * n
+
+        for i in range(n):
+            if col("metaData.id")[i] is not None:
+                pcols = col("metaData.partitionColumns.list.element")[i] or []
+                metadata = {
+                    "id": s(col("metaData.id")[i]),
+                    "schemaString": s(col("metaData.schemaString")[i]),
+                    "partitionColumns": [s(c) for c in pcols],
+                }
+            if col("protocol.minReaderVersion")[i] is not None:
+                protocol = {
+                    "minReaderVersion": col("protocol.minReaderVersion")[i],
+                    "minWriterVersion": col("protocol.minWriterVersion")[i],
+                }
+            app = col("txn.appId")[i]
+            if app is not None:
+                txns[s(app)] = max(txns.get(s(app), -1), col("txn.version")[i])
+    if metadata is None:
+        raise ValueError("delta checkpoint carries no metaData action")
     return {
         "live": live,
         "metadata": metadata,
@@ -828,12 +884,12 @@ def replay_delta_dir(path: str, version: int | None = None) -> dict:
     if not os.path.isdir(logdir):
         raise ValueError("no _delta_log commit files in payload")
     json_versions = {}
-    checkpoints = {}
+    checkpoints: dict = {}
     for fn in os.listdir(logdir):
         if fn.endswith(".json"):
             json_versions[int(fn[: -len(".json")])] = os.path.join(logdir, fn)
         elif fn.endswith(".parquet") and ".checkpoint" in fn:
-            checkpoints[_checkpoint_version(fn)] = os.path.join(logdir, fn)
+            _add_checkpoint_part(checkpoints, fn, os.path.join(logdir, fn))
     head = max(
         max(json_versions, default=-1), max(checkpoints, default=-1)
     )
@@ -855,8 +911,11 @@ def replay_delta_dir(path: str, version: int | None = None) -> dict:
                 f"version {version} precedes the checkpoint and the JSON "
                 "prefix is pruned"
             )
-        with open(checkpoints[max(cps)], "rb") as f:
-            state = read_checkpoint_full_state(f.read())
+        blobs = []
+        for part_path in _checkpoint_blobs(checkpoints, max(cps)):
+            with open(part_path, "rb") as f:
+                blobs.append(f.read())
+        state = read_checkpoint_full_state(blobs)
         live = state["live"]
         metadata = state["metadata"]
         protocol = state["protocol"]

@@ -102,11 +102,15 @@ class DeltaAppendSink:
         max_commit_attempts: int = 20,
         app_id: str = "delta-append-sink",
         checkpoint_interval: int | None = None,
+        checkpoint_parts: int = 1,
     ) -> None:
         self.path = path
         self.max_commit_attempts = max_commit_attempts
         self.app_id = app_id
         self.checkpoint_interval = checkpoint_interval
+        if checkpoint_parts < 1:
+            raise ValueError("checkpoint_parts must be >= 1")
+        self.checkpoint_parts = checkpoint_parts
         os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
         # incremental batch-id scan state: versions < _scanned_upto are
         # already folded into _known_batch_ids / _txn_max (commit files
@@ -124,10 +128,19 @@ class DeltaAppendSink:
     def _commit_path(self, version: int) -> str:
         return os.path.join(self._logdir(), f"{version:020d}.json")
 
-    def _checkpoint_path(self, version: int) -> str:
-        return os.path.join(
-            self._logdir(), f"{version:020d}.checkpoint.parquet"
-        )
+    def _checkpoint_paths(self, version: int) -> list[str]:
+        if self.checkpoint_parts == 1:
+            return [
+                os.path.join(self._logdir(), f"{version:020d}.checkpoint.parquet")
+            ]
+        n = self.checkpoint_parts
+        return [
+            os.path.join(
+                self._logdir(),
+                f"{version:020d}.checkpoint.{i + 1:010d}.{n:010d}.parquet",
+            )
+            for i in range(n)
+        ]
 
     def committed_versions(self) -> list[int]:
         return sorted(
@@ -138,9 +151,11 @@ class DeltaAppendSink:
 
     def checkpoint_versions(self) -> list[int]:
         return sorted(
-            int(fn.split(".", 1)[0])
-            for fn in os.listdir(self._logdir())
-            if fn.endswith(".checkpoint.parquet")
+            {
+                int(fn.split(".", 1)[0])
+                for fn in os.listdir(self._logdir())
+                if fn.endswith(".parquet") and ".checkpoint" in fn
+            }
         )
 
     def _seed_txn_from_checkpoint(self) -> None:
@@ -153,10 +168,21 @@ class DeltaAppendSink:
         cps = self.checkpoint_versions()
         if not cps:
             return
-        from ..operators.deltalog import read_checkpoint_full_state
+        from ..operators.deltalog import (
+            _add_checkpoint_part,
+            _checkpoint_blobs,
+            read_checkpoint_full_state,
+        )
 
-        with open(self._checkpoint_path(cps[-1]), "rb") as f:
-            state = read_checkpoint_full_state(f.read())
+        found: dict = {}
+        for fn in os.listdir(self._logdir()):
+            if fn.endswith(".parquet") and ".checkpoint" in fn:
+                _add_checkpoint_part(found, fn, os.path.join(self._logdir(), fn))
+        blobs = []
+        for part_path in _checkpoint_blobs(found, cps[-1]):
+            with open(part_path, "rb") as f:
+                blobs.append(f.read())
+        state = read_checkpoint_full_state(blobs)
         self._txn_max = max(self._txn_max, state["txns"].get(self.app_id, -1))
 
     def _is_committed(self, batch_id: int) -> bool:
@@ -387,12 +413,23 @@ class DeltaAppendSink:
         from ..operators.deltalog import write_checkpoint_blob
 
         state = self._replay_state(version)
-        blob = write_checkpoint_blob(
-            state["live"], state["metadata"], state["protocol"], state["txns"]
-        )
-        # checkpoint contents for a version are deterministic state — a
-        # lost race means an identical file already exists
-        self._publish(self._checkpoint_path(version), blob)
+        paths = self._checkpoint_paths(version)
+        n = len(paths)
+        # shard live adds round-robin across parts; part 1 carries the
+        # protocol/metaData/txn header rows (readers merge the parts)
+        live_keys = sorted(state["live"])
+        for i, target in enumerate(paths):
+            part_live = {k: state["live"][k] for k in live_keys[i::n]}
+            blob = write_checkpoint_blob(
+                part_live,
+                state["metadata"],
+                state["protocol"],
+                state["txns"] if i == 0 else None,
+                header=i == 0,
+            )
+            # checkpoint contents for a version are deterministic state —
+            # a lost race means an identical file already exists
+            self._publish(target, blob)
         lc_path = os.path.join(self._logdir(), "_last_checkpoint")
         current = -1
         if os.path.exists(lc_path):
@@ -400,9 +437,12 @@ class DeltaAppendSink:
                 current = json.loads(f.read()).get("version", -1)
         if version > current:
             size = len(state["live"]) + 2 + len(state["txns"])
+            lc = {"version": version, "size": size}
+            if n > 1:
+                lc["parts"] = n
             tmp = lc_path + f".{os.getpid()}.tmp"
             with open(tmp, "wb") as f:
-                f.write(json.dumps({"version": version, "size": size}).encode())
+                f.write(json.dumps(lc).encode())
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, lc_path)  # atomic pointer swap

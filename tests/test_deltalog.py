@@ -315,33 +315,60 @@ class TestCheckpointedTables:
         with pytest.raises(ValueError, match="missing after checkpoint"):
             read_delta_snapshot(_rebuild(synth_delta_checkpointed(5), drop_v12))
 
-    def test_multipart_checkpoint_is_loud(self):
+    def test_multipart_checkpoint_reads(self):
+        # seed%4==2: the fixture writes the checkpoint as TWO parts
+        # (round-robin adds, header rows in part 1) — the snapshot must
+        # equal the single-part formula exactly (r12: the multi-part
+        # refusal seam is closed)
         from flink_gmall2024_realtime_spark.operators.deltalog import (
             synth_delta_checkpointed,
         )
 
-        def make_multipart(members):
-            members["_delta_log/_last_checkpoint"] = (
-                b'{"version": 10, "size": 13, "parts": 2}'
-            )
+        seed = 2
+        p = synth_delta_checkpointed(seed)
+        rows, isum = self._expect(seed, range(11))
+        assert read_delta_snapshot(p, version=10) == {
+            "version": 10, "n_files": 11, "n_rows": rows,
+            "int_sum": isum, "n_partitions": 0,
+        }
+        # seed 6 is also multi-part AND... seed 6 % 2 == 0 keeps JSON;
+        # seed 10 % 4 == 2 and % 2 == 0 too — use a pruned multi-part
+        # by rebuilding seed 2 without the JSON prefix
+        def prune(members):
+            for v in range(11):
+                members.pop(f"_delta_log/{v:020d}.json", None)
 
-        with pytest.raises(NotImplementedError, match="multi-part"):
+        pruned = _rebuild(p, prune)
+        assert read_delta_snapshot(pruned, version=10)["n_files"] == 11
+
+    def test_multipart_missing_part_raises(self):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_checkpointed,
+        )
+
+        def drop_part2(members):
+            del members[
+                f"_delta_log/{10:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+            ]
+
+        with pytest.raises(ValueError, match="missing parts"):
             read_delta_snapshot(
-                _rebuild(synth_delta_checkpointed(2), make_multipart)
+                _rebuild(synth_delta_checkpointed(2), drop_part2), version=10
             )
 
-        def multipart_name(members):
-            blob = members.pop(f"_delta_log/{10:020d}.checkpoint.parquet")
-            members[
-                f"_delta_log/{10:020d}.checkpoint.0000000001.0000000002.parquet"
-            ] = blob
+    def test_multipart_parts_mismatch_raises(self):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_checkpointed,
+        )
+
+        def lie_parts(members):
             members["_delta_log/_last_checkpoint"] = (
-                b'{"version": 10, "size": 13}'
+                b'{"version": 10, "size": 13, "parts": 3}'
             )
 
-        with pytest.raises(NotImplementedError, match="multi-part"):
+        with pytest.raises(ValueError, match="parts"):
             read_delta_snapshot(
-                _rebuild(synth_delta_checkpointed(2), multipart_name)
+                _rebuild(synth_delta_checkpointed(2), lie_parts), version=10
             )
 
     def test_checkpoint_survives_missing_last_checkpoint_pointer(self):
@@ -791,3 +818,42 @@ class TestDeltaScan:
         df = delta_scan(spark, path, partition_filter={"p": "absent"})
         assert df.count() == 0
         assert set(df.columns) == {"k", "p"}
+
+
+class TestMultiPartSinkCheckpoints:
+    def test_sink_multipart_checkpoint_roundtrip(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path, checkpoint_interval=4, checkpoint_parts=3)
+        for i in range(9):
+            sink.commit_batch(
+                spark.createDataFrame([(i, f"v{i}")], "k long, v string"), i
+            )
+        assert sink.checkpoint_versions() == [3, 7]
+        import os
+
+        names = sorted(os.listdir(tmp_path / "tbl" / "_delta_log"))
+        assert sum(".checkpoint." in n for n in names) == 6  # 2 cps x 3 parts
+        sink.clean_log()
+        assert sink.snapshot()["n_rows"] == 9
+        assert sink.snapshot(version=7)["n_rows"] == 8
+        # restart on the cleaned multi-part table: idempotence survives
+        fresh = DeltaAppendSink(path, checkpoint_interval=4, checkpoint_parts=3)
+        dup = spark.createDataFrame([(99, "dup")], "k long, v string")
+        assert fresh.commit_batch(dup, 5) is None
+        assert fresh.commit_batch(dup, 9) == 9
+
+    def test_delta_scan_reads_multipart_table(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.deltalog import delta_scan
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path, checkpoint_interval=2, checkpoint_parts=2)
+        for i in range(4):
+            sink.commit_batch(
+                spark.createDataFrame([(i,)], "k long"), i
+            )
+        sink.clean_log()
+        assert sorted(r["k"] for r in delta_scan(spark, path).collect()) == [0, 1, 2, 3]
+        assert delta_scan(spark, path, version=1).count() == 2
