@@ -434,7 +434,9 @@ def parse_parquet_data(payload: bytes) -> list:
                         raise ValueError("dictionary index out of range")
                     vals = [dictionary[i] for i in idx]
                 else:
-                    raise NotImplementedError(f"parquet value encoding {enc}")
+                    vals = _decode_encoded_values(
+                        data, pos, enc, ptype, ndef, leaves[ci].get(2)
+                    )
                 t = totals[names[ci]]
                 t["n_values"] += ndef
                 t["n_nulls"] += nulls
@@ -462,7 +464,10 @@ def synth_parquet_data(seed: int) -> bytes:
     j%5==0 else 2j — def-level coverage) and d (double, j/2 — exact in
     binary). Writer variety: codec snappy/zstd/gzip/none by seed%4,
     dictionary encoding OFF when seed%3==0 (PLAIN data pages), data page
-    version 2.0 when seed%7==0, seed%4+1 row groups."""
+    version 2.0 when seed%7==0, seed%4+1 row groups; r12: seed%5==0
+    writes every column through the delta/split encodings
+    (DELTA_BINARY_PACKED / DELTA_(LENGTH_)BYTE_ARRAY /
+    BYTE_STREAM_SPLIT)."""
     import io
 
     import pyarrow as pa
@@ -483,13 +488,29 @@ def synth_parquet_data(seed: int) -> bytes:
         }
     )
     buf = io.BytesIO()
+    kw = {}
+    if seed % 5 == 0:
+        # r12: route every column through the delta/split encodings so
+        # the oracle entry exercises those decoders (same table content,
+        # so the seed-arithmetic oracle is unchanged)
+        kw = {
+            "use_dictionary": False,
+            "column_encoding": {
+                "k": "DELTA_BINARY_PACKED",
+                "v": "DELTA_BYTE_ARRAY" if seed % 2 == 0 else "DELTA_LENGTH_BYTE_ARRAY",
+                "w": "DELTA_BINARY_PACKED",
+                "d": "BYTE_STREAM_SPLIT",
+            },
+        }
+    else:
+        kw = {"use_dictionary": seed % 3 != 0}
     pq.write_table(
         t,
         buf,
         row_group_size=max(1, (n + groups - 1) // groups),
         compression=["snappy", "zstd", "gzip", "none"][seed % 4],
-        use_dictionary=seed % 3 != 0,
         data_page_version="2.0" if seed % 7 == 0 else "1.0",
+        **kw,
     )
     return buf.getvalue()
 
@@ -692,7 +713,9 @@ def _decode_chunk(payload: bytes, md: dict, leaf: dict):
                 raise ValueError("dictionary index out of range")
             vals = [dictionary[i] for i in idx]
         else:
-            raise NotImplementedError(f"parquet value encoding {enc}")
+            vals = _decode_encoded_values(
+                data, pos, enc, ptype, ndef, leaf.get("type_length")
+            )
         if len(vals) < ndef:
             raise ValueError("page values shorter than defined entries")
         reps.extend(r)
@@ -925,3 +948,153 @@ def parquet_nested_audit(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=PARQUET_NESTED_SCHEMA
     )
+
+
+# ------------------------------------------ delta / split encodings (r12)
+#
+# The four remaining parquet value encodings, written from the public
+# parquet-format Encodings.md and anchored to pyarrow writer output:
+# DELTA_BINARY_PACKED (5) — zigzag-varint header (block size, miniblocks
+# per block, total count, first value), then per block a zigzag min-delta,
+# one bit-width byte per miniblock, and LSB-first bit-packed delta
+# miniblocks; DELTA_LENGTH_BYTE_ARRAY (6) — DBP lengths + concatenated
+# bytes; DELTA_BYTE_ARRAY (7) — DBP prefix lengths + a DELTA_LENGTH
+# suffix section, value = prev[:prefix] + suffix; BYTE_STREAM_SPLIT (9)
+# — the k byte streams of n fixed-width values stored contiguously.
+
+
+def _varint_at(d: bytes, pos: int) -> tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        b = d[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("runaway varint in delta encoding")
+
+
+def _zigzag_at(d: bytes, pos: int) -> tuple[int, int]:
+    v, pos = _varint_at(d, pos)
+    return (v >> 1) ^ -(v & 1), pos
+
+
+def _delta_binary_packed(d: bytes, pos: int, count: int):
+    """Decode ``count`` DELTA_BINARY_PACKED integers starting at ``pos``;
+    returns (values, next_pos). The encoder may declare more values in
+    the header than the caller needs (v2 pages share one stream across
+    the page); the declared total wins for byte consumption."""
+    block_size, pos = _varint_at(d, pos)
+    n_mini, pos = _varint_at(d, pos)
+    total, pos = _varint_at(d, pos)
+    if total < count:
+        raise ValueError("DELTA_BINARY_PACKED declares fewer values than needed")
+    if n_mini == 0 or block_size % n_mini:
+        raise ValueError("bad DELTA_BINARY_PACKED block structure")
+    mini_size = block_size // n_mini
+    first, pos = _zigzag_at(d, pos)
+    out = [first]
+    while len(out) < total:
+        min_delta, pos = _zigzag_at(d, pos)
+        widths = d[pos : pos + n_mini]
+        if len(widths) < n_mini:
+            raise ValueError("truncated DELTA_BINARY_PACKED width list")
+        pos += n_mini
+        for w in widths:
+            if len(out) >= total:
+                break
+            nbytes = mini_size * w // 8
+            chunk = d[pos : pos + nbytes]
+            if len(chunk) < nbytes:
+                raise ValueError("truncated DELTA_BINARY_PACKED miniblock")
+            pos += nbytes
+            if w == 0:
+                deltas = [0] * mini_size
+            else:
+                bits = int.from_bytes(chunk, "little")
+                mask = (1 << w) - 1
+                deltas = [(bits >> (i * w)) & mask for i in range(mini_size)]
+            prev = out[-1]
+            for dv in deltas:
+                if len(out) >= total:
+                    break
+                prev += min_delta + dv
+                out.append(prev)
+    return out[:count], pos
+
+
+def _delta_length_byte_array(d: bytes, pos: int, count: int):
+    lengths, pos = _delta_binary_packed(d, pos, count)
+    out = []
+    for ln in lengths:
+        if ln < 0:
+            raise ValueError("negative DELTA_LENGTH_BYTE_ARRAY length")
+        v = d[pos : pos + ln]
+        if len(v) < ln:
+            raise ValueError("truncated DELTA_LENGTH_BYTE_ARRAY value")
+        out.append(bytes(v))
+        pos += ln
+    return out, pos
+
+
+def _delta_byte_array(d: bytes, pos: int, count: int):
+    prefixes, pos = _delta_binary_packed(d, pos, count)
+    suffixes, pos = _delta_length_byte_array(d, pos, count)
+    out: list[bytes] = []
+    prev = b""
+    for pfx, sfx in zip(prefixes, suffixes):
+        if not 0 <= pfx <= len(prev):
+            raise ValueError("DELTA_BYTE_ARRAY prefix exceeds previous value")
+        prev = prev[:pfx] + sfx
+        out.append(prev)
+    return out, pos
+
+
+def _byte_stream_split(d: bytes, ptype: int, count: int, type_length):
+    widths = {4: 4, 5: 8, 1: 4, 2: 8, 7: type_length}
+    k = widths.get(ptype)
+    if not k:
+        raise NotImplementedError(
+            f"BYTE_STREAM_SPLIT for parquet physical type {ptype}"
+        )
+    if len(d) < k * count:
+        raise ValueError("truncated BYTE_STREAM_SPLIT data")
+    raw = bytes(
+        d[j * count + i] for i in range(count) for j in range(k)
+    )
+    if ptype == 4:
+        return list(struct.unpack(f"<{count}f", raw))
+    if ptype == 5:
+        return list(struct.unpack(f"<{count}d", raw))
+    if ptype == 1:
+        return list(struct.unpack(f"<{count}i", raw))
+    if ptype == 2:
+        return list(struct.unpack(f"<{count}q", raw))
+    return [raw[i * k : (i + 1) * k] for i in range(count)]
+
+
+def _decode_encoded_values(data: bytes, pos: int, enc: int, ptype: int,
+                           count: int, type_length=None):
+    """Shared non-PLAIN, non-dictionary value decode; returns values or
+    raises the documented NotImplementedError for unknown encodings."""
+    if enc == 5:  # DELTA_BINARY_PACKED
+        if ptype not in (1, 2):
+            raise ValueError("DELTA_BINARY_PACKED on non-integer column")
+        vals, _ = _delta_binary_packed(data, pos, count)
+        return vals
+    if enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
+        if ptype != 6:
+            raise ValueError("DELTA_LENGTH_BYTE_ARRAY on non-byte-array column")
+        vals, _ = _delta_length_byte_array(data, pos, count)
+        return vals
+    if enc == 7:  # DELTA_BYTE_ARRAY
+        if ptype != 6:
+            raise ValueError("DELTA_BYTE_ARRAY on non-byte-array column")
+        vals, _ = _delta_byte_array(data, pos, count)
+        return vals
+    if enc == 9:  # BYTE_STREAM_SPLIT
+        return _byte_stream_split(data[pos:], ptype, count, type_length)
+    raise NotImplementedError(f"parquet value encoding {enc}")

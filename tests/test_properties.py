@@ -979,7 +979,7 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
             pass
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=18, deadline=None)
 @given(
     st.lists(
         st.one_of(st.none(), st.integers(-(10**12), 10**12)),
@@ -988,7 +988,9 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
     st.lists(st.text(max_size=12), min_size=1, max_size=50),
     st.integers(1, 80),
     st.sampled_from(["snappy", "zstd", "gzip", "none"]),
-    st.booleans(),
+    st.sampled_from(
+        [True, False, "delta", "delta_len", "split"]  # r12 encodings
+    ),
     st.sampled_from(["1.0", "2.0"]),
 )
 def test_parquet_data_decode_matches_pyarrow(ints, strs, rg, codec, use_dict, dpv):
@@ -1016,9 +1018,21 @@ def test_parquet_data_decode_matches_pyarrow(ints, strs, rg, codec, use_dict, dp
         "x": pa.array(dbls, type=pa.float64()),
     })
     buf = io.BytesIO()
+    if use_dict in (True, False):
+        kw = {"use_dictionary": use_dict}
+    else:
+        kw = {
+            "use_dictionary": False,
+            "column_encoding": {
+                "a": "DELTA_BINARY_PACKED",
+                "s": "DELTA_BYTE_ARRAY" if use_dict == "delta"
+                else "DELTA_LENGTH_BYTE_ARRAY",
+                "x": "BYTE_STREAM_SPLIT" if use_dict == "split" else "PLAIN",
+            },
+        }
     pq.write_table(
         t, buf, row_group_size=rg, compression=codec,
-        use_dictionary=use_dict, data_page_version=dpv,
+        data_page_version=dpv, **kw,
     )
     rows = {r[0]: r[1:] for r in parse_parquet_data(buf.getvalue())}
     defined = [v for v in ints if v is not None]
