@@ -857,3 +857,123 @@ class TestMultiPartSinkCheckpoints:
         sink.clean_log()
         assert sorted(r["k"] for r in delta_scan(spark, path).collect()) == [0, 1, 2, 3]
         assert delta_scan(spark, path, version=1).count() == 2
+
+
+class TestDeltaStreamSource:
+    """r12: incremental micro-batch source over a Delta table — snapshot
+    first, then one batch per commit range; delta-to-delta pipelines."""
+
+    def test_snapshot_then_increments(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+            DeltaStreamSource,
+        )
+
+        path = str(tmp_path / "src")
+        sink = DeltaAppendSink(path)
+        for i in range(3):
+            sink.commit_batch(spark.createDataFrame([(i,)], "k long"), i)
+        src = DeltaStreamSource(spark, path)
+        df, through = src.next_batch()
+        assert through == 2
+        assert sorted(r["k"] for r in df.collect()) == [0, 1, 2]
+        assert src.next_batch() is None  # caught up
+        sink.commit_batch(spark.createDataFrame([(7,), (8,)], "k long"), 3)
+        sink.commit_batch(spark.createDataFrame([(9,)], "k long"), 4)
+        df, through = src.next_batch()
+        assert through == 4
+        assert sorted(r["k"] for r in df.collect()) == [7, 8, 9]
+        assert src.next_batch() is None
+
+    def test_delta_to_delta_pipeline_exactly_once(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+            DeltaStreamSource,
+        )
+
+        src_path, dst_path = str(tmp_path / "a"), str(tmp_path / "b")
+        src_sink = DeltaAppendSink(src_path)
+        for i in range(4):
+            src_sink.commit_batch(
+                spark.range(i * 5, (i + 1) * 5).selectExpr("id AS k"), i
+            )
+        dst = DeltaAppendSink(dst_path)
+        src = DeltaStreamSource(spark, src_path)
+        assert src.stream_to(dst.sink()) == 1  # snapshot batch
+        # more commits upstream, drain again
+        src_sink.commit_batch(spark.range(20, 25).selectExpr("id AS k"), 4)
+        assert src.stream_to(dst.sink()) == 1
+        assert dst.snapshot()["n_rows"] == 25
+        # a RESTARTED source resuming after the snapshot version delivers
+        # only the tail; the sink's idempotence absorbs a replayed range
+        src2 = DeltaStreamSource(spark, src_path, starting_version=3)
+        assert src2.stream_to(dst.sink()) == 1  # through-version 4 replays
+        assert dst.snapshot()["n_rows"] == 25  # unchanged: batch id 4 known
+
+    def test_merge_commits_refused_without_ignore_changes(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaKeyedStore,
+            DeltaStreamSource,
+        )
+
+        path = str(tmp_path / "keyed")
+        store = DeltaKeyedStore(spark, path, key="k", order_col="ts")
+        b = spark.createDataFrame([("a", 1, "x")], "k string, ts long, v string")
+        store.commit_batch(b, 0)
+        src = DeltaStreamSource(spark, path)
+        src.next_batch()  # snapshot at v0
+        b2 = spark.createDataFrame([("a", 2, "y")], "k string, ts long, v string")
+        store.commit_batch(b2, 1)  # MERGE: remove+add
+        with pytest.raises(ValueError, match="ignore_changes"):
+            src.next_batch()
+        relaxed = DeltaStreamSource(
+            spark, path, starting_version=0, ignore_changes=True
+        )
+        df, through = relaxed.next_batch()
+        assert through == 1
+        assert [r["v"] for r in df.collect()] == ["y"]
+
+    def test_cleaned_log_gap_is_loud(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+            DeltaStreamSource,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path, checkpoint_interval=2)
+        for i in range(4):
+            sink.commit_batch(spark.createDataFrame([(i,)], "k long"), i)
+        sink.clean_log()  # JSON <= 3? checkpoints at 1,3 -> prunes 0..3
+        src = DeltaStreamSource(spark, path, starting_version=0)
+        sink.commit_batch(spark.createDataFrame([(9,)], "k long"), 4)
+        with pytest.raises(ValueError, match="cleaned from the log"):
+            src.next_batch()
+        # snapshot-first start covers the cleaned range
+        fresh = DeltaStreamSource(spark, path)
+        df, through = fresh.next_batch()
+        assert through == 4
+        assert df.count() == 5
+
+    def test_partition_columns_attach_on_increments(self, spark, tmp_path):
+        import io
+        import zipfile
+
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_partitioned,
+        )
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaStreamSource,
+        )
+
+        root = tmp_path / "tbl"
+        with zipfile.ZipFile(io.BytesIO(synth_delta_partitioned(4))) as z:
+            for name in z.namelist():
+                dst = root / name
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                dst.write_bytes(z.read(name))
+        src = DeltaStreamSource(spark, str(root), starting_version=0)
+        df, through = src.next_batch()  # commit 1 added files 3,4,5
+        assert through == 1
+        n = lambda j: (4 + j) % 20 + 5  # noqa: E731
+        got = {r["p"]: r["count"] for r in df.groupBy("p").count().collect()}
+        assert got == {"p0": n(3), "p1": n(4), "p2": n(5)}
