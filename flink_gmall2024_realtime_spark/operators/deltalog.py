@@ -972,16 +972,46 @@ _DELTA_TO_SPARK = {
 }
 
 
+def _stats_skip(live: dict, stats_filter: dict) -> dict:
+    """Data skipping from AddFile stats: keep only files whose
+    [minValues, maxValues] interval intersects every requested
+    ``{column: (lo, hi)}`` bound (either side may be None for
+    half-open). Files WITHOUT stats for a column are kept — skipping is
+    an optimization and must never change results."""
+    out = {}
+    for rel, add in live.items():
+        stats = add.get("stats")
+        blob = json.loads(stats) if stats else {}
+        mins = blob.get("minValues") or {}
+        maxs = blob.get("maxValues") or {}
+        keep = True
+        for col, (lo, hi) in stats_filter.items():
+            if col not in mins or col not in maxs:
+                continue
+            if lo is not None and maxs[col] < lo:
+                keep = False
+                break
+            if hi is not None and mins[col] > hi:
+                keep = False
+                break
+        if keep:
+            out[rel] = add
+    return out
+
+
 def delta_scan(
     spark,
     path: str,
     version: int | None = None,
     partition_filter: dict | None = None,
+    stats_filter: dict | None = None,
 ) -> DataFrame:
     """Distributed DataFrame scan of a Delta table directory at a
     version: the log (checkpoint + JSON tail) resolves the live file set
     driver-side, ``partition_filter`` skips files from their
-    ``partitionValues`` BEFORE the scan is built, and the data files are
+    ``partitionValues`` and ``stats_filter`` ({column: (lo, hi)}) skips
+    files whose AddFile min/max stats cannot intersect the bounds —
+    both BEFORE the scan is built — and the data files are
     read by Spark's native parquet reader — partition columns attached
     per file group from the log (the log is authoritative, not the
     paths) and cast per the table's schemaString. Rows never pass
@@ -1017,6 +1047,8 @@ def delta_scan(
                 for k, v in partition_filter.items()
             )
         }
+    if stats_filter:
+        live = _stats_skip(live, stats_filter)
     groups: dict[tuple, list[str]] = {}
     for rel, add in sorted(live.items()):
         pv = add.get("partitionValues") or {}

@@ -242,16 +242,60 @@ class DeltaAppendSink:
 
     # ----------------------------------------------------------- write
 
+    @staticmethod
+    def _column_stats(full: str) -> tuple[dict, dict, dict]:
+        """Per-column min/max/nullCount from the parquet footer's row-
+        group statistics (the writer already paid for them) — the
+        numbers delta_scan's data skipping prunes files with."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(full).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                name = col.path_in_schema
+                if st is None or not st.has_min_max:
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue  # binary stats are not JSON-portable
+                if rg == 0 or name in mins:
+                    mins[name] = mn if name not in mins else min(mins[name], mn)
+                    maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+                if st.null_count is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+        return mins, maxs, nulls
+
     def _add_action(self, rel: str, n_rows: int) -> str:
+        full = os.path.join(self.path, rel)
+        stats: dict = {"numRecords": n_rows}
+        try:
+            mins, maxs, nulls = self._column_stats(full)
+            if mins:
+                stats["minValues"] = mins
+                stats["maxValues"] = maxs
+            if nulls:
+                stats["nullCount"] = nulls
+        except Exception:
+            pass  # stats are an optimization; the add must still commit
         return json.dumps(
             {
                 "add": {
                     "path": rel,
-                    "size": os.path.getsize(os.path.join(self.path, rel)),
+                    "size": os.path.getsize(full),
                     "partitionValues": {},
                     "modificationTime": 0,
                     "dataChange": True,
-                    "stats": json.dumps({"numRecords": n_rows}),
+                    "stats": json.dumps(stats),
                 }
             }
         )

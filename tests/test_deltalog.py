@@ -977,3 +977,67 @@ class TestDeltaStreamSource:
         n = lambda j: (4 + j) % 20 + 5  # noqa: E731
         got = {r["p"]: r["count"] for r in df.groupBy("p").count().collect()}
         assert got == {"p0": n(3), "p1": n(4), "p2": n(5)}
+
+
+class TestDeltaStatsSkipping:
+    """r12: AddFile min/max stats (from the parquet footers the writer
+    already paid for) + stats_filter data skipping in delta_scan."""
+
+    def test_sink_writes_column_stats(self, spark, tmp_path):
+        import json as _json
+
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        sink = DeltaAppendSink(str(tmp_path / "tbl"))
+        sink.commit_batch(
+            spark.createDataFrame(
+                [(5, "mm"), (9, "aa"), (7, None)], "k long, v string"
+            ),
+            0,
+        )
+        line = [
+            _json.loads(x)
+            for x in open(sink._commit_path(0), "rb").read().splitlines()
+            if b'"add"' in x
+        ][0]
+        stats = _json.loads(line["add"]["stats"])
+        assert stats["numRecords"] == 3
+        assert stats["minValues"]["k"] == 5 and stats["maxValues"]["k"] == 9
+        assert stats["minValues"]["v"] == "aa" and stats["maxValues"]["v"] == "mm"
+        assert stats["nullCount"]["v"] == 1
+
+    def test_stats_filter_skips_files(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.deltalog import delta_scan
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        # three files with disjoint k ranges
+        for i, lo in enumerate((0, 100, 200)):
+            sink.commit_batch(
+                spark.range(lo, lo + 10).selectExpr("id AS k"), i
+            )
+        # corrupt the files outside [100, 109]: a scan that touches them fails
+        import os
+
+        for fn in os.listdir(path):
+            if fn.endswith(".parquet") and fn != "part-b0000000001.parquet":
+                with open(os.path.join(path, fn), "wb") as f:
+                    f.write(b"not parquet anymore")
+        df = delta_scan(spark, path, stats_filter={"k": (100, 109)})
+        assert sorted(r["k"] for r in df.collect()) == list(range(100, 110))
+        # an unskippable bound (None, None intersects everything) does fail
+        with pytest.raises(Exception):
+            delta_scan(spark, path, stats_filter={"k": (None, None)}).collect()
+
+    def test_files_without_stats_are_kept(self):
+        from flink_gmall2024_realtime_spark.operators.deltalog import _stats_skip
+
+        live = {
+            "a": {"stats": None},
+            "b": {"stats": '{"numRecords": 1}'},
+            "c": {"stats": '{"numRecords": 1, "minValues": {"k": 50}, "maxValues": {"k": 60}}'},
+        }
+        kept = _stats_skip(live, {"k": (0, 10)})
+        assert set(kept) == {"a", "b"}  # only c is provably out of range
+        assert set(_stats_skip(live, {"k": (55, None)})) == {"a", "b", "c"}
