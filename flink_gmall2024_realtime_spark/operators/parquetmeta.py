@@ -279,10 +279,24 @@ def _rle_bp_hybrid(d: bytes, pos: int, bit_width: int, count: int):
     return out[:count], pos
 
 
-def _plain_values(d: bytes, ptype: int, count: int):
+def _plain_values(d: bytes, ptype: int, count: int, type_length=None):
     """PLAIN-encoded values of a physical type; returns (values, bytes
-    consumed). INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY — the types the
-    fixture writer (pyarrow) emits for flat tables."""
+    consumed). INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY, plus r12:
+    FIXED_LEN_BYTE_ARRAY (decimal128's carrier — ``type_length`` bytes
+    each) and INT96 (the deprecated 12-byte timestamp)."""
+    if ptype == 3:  # INT96: 12-byte little-endian (nanos-in-day, julian)
+        out = [bytes(d[i * 12 : (i + 1) * 12]) for i in range(count)]
+        if count and len(out[-1]) < 12:
+            raise ValueError("truncated INT96 value")
+        return out, 12 * count
+    if ptype == 7:  # FIXED_LEN_BYTE_ARRAY
+        if not type_length:
+            raise ValueError("FIXED_LEN_BYTE_ARRAY without a type_length")
+        k = type_length
+        out = [bytes(d[i * k : (i + 1) * k]) for i in range(count)]
+        if count and len(out[-1]) < k:
+            raise ValueError("truncated FIXED_LEN_BYTE_ARRAY value")
+        return out, k * count
     if ptype == 1:
         return list(struct.unpack_from(f"<{count}i", d, 0)), 4 * count
     if ptype == 2:
@@ -391,7 +405,9 @@ def parse_parquet_data(payload: bytes) -> list:
                 if hdr[1] == 2:  # DICTIONARY_PAGE
                     dh = hdr[7]
                     data = _page_decompress(page, codec)
-                    dictionary, _ = _plain_values(data, ptype, dh[1])
+                    dictionary, _ = _plain_values(
+                        data, ptype, dh[1], leaves[ci].get(2)
+                    )
                     continue
                 if hdr[1] == 0:  # DATA_PAGE (v1)
                     dph = hdr[5]
@@ -424,7 +440,9 @@ def parse_parquet_data(payload: bytes) -> list:
                     raise NotImplementedError(f"parquet page type {hdr[1]}")
                 ndef = nvals - nulls
                 if enc == 0:  # PLAIN
-                    vals, _ = _plain_values(data[pos:], ptype, ndef)
+                    vals, _ = _plain_values(
+                        data[pos:], ptype, ndef, leaves[ci].get(2)
+                    )
                 elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
                     if dictionary is None:
                         raise ValueError("dictionary-encoded page before dictionary")
@@ -444,7 +462,7 @@ def parse_parquet_data(payload: bytes) -> list:
                     t["int"] = (t["int"] or 0) + sum(vals)
                 elif ptype in (4, 5):
                     t["flt"] = (t["flt"] or 0.0) + sum(vals)
-                elif ptype == 6:
+                elif ptype in (3, 6, 7):
                     t["blen"] = (t["blen"] or 0) + sum(len(v) for v in vals)
                 else:
                     raise NotImplementedError(f"parquet physical type {ptype}")
@@ -643,7 +661,7 @@ def _decode_chunk(payload: bytes, md: dict, leaf: dict):
         if ptype == 0:
             vals, _ = _plain_bools(d, count)
             return vals
-        vals, _ = _plain_values(d, ptype, count)
+        vals, _ = _plain_values(d, ptype, count, leaf.get("type_length"))
         return vals
 
     while seen < num_values:
@@ -1098,3 +1116,10 @@ def _decode_encoded_values(data: bytes, pos: int, enc: int, ptype: int,
     if enc == 9:  # BYTE_STREAM_SPLIT
         return _byte_stream_split(data[pos:], ptype, count, type_length)
     raise NotImplementedError(f"parquet value encoding {enc}")
+
+
+def decimal_unscaled(v: bytes) -> int:
+    """DECIMAL logical type carried on FIXED_LEN_BYTE_ARRAY /
+    BYTE_ARRAY: big-endian two's-complement unscaled integer (divide by
+    10^scale from the schema's logical type for the value)."""
+    return int.from_bytes(v, "big", signed=True)

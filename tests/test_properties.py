@@ -1537,3 +1537,45 @@ def test_png_batch_decode_matches_single(shapes, interlace_some):
         else:
             payloads.append(synth_png_random(w, h, seed=seed, filters=filters))
     assert decode_png_batch(payloads) == [decode_png(p) for p in payloads]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.decimals(
+                min_value=-10**9, max_value=10**9, places=3,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.booleans(),
+    st.sampled_from(["1.0", "2.0"]),
+)
+def test_parquet_decimal_flba_matches_pyarrow(decs, use_dict, dpv):
+    """r12: FIXED_LEN_BYTE_ARRAY (decimal128) and the decimal_unscaled
+    helper reproduce pyarrow-written decimals exactly under writer
+    variety, nulls included."""
+    import decimal
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_gmall2024_realtime_spark.operators.parquetmeta import (
+        decimal_unscaled,
+        parse_parquet_records,
+    )
+
+    t = pa.table({"dec": pa.array(decs, pa.decimal128(15, 3))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, use_dictionary=use_dict, data_page_version=dpv)
+    rec = parse_parquet_records(buf.getvalue())
+    got = [
+        None if v is None else decimal.Decimal(decimal_unscaled(v)).scaleb(-3)
+        for v in rec["dec"]
+    ]
+    assert got == decs
