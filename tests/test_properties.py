@@ -1049,7 +1049,8 @@ def test_parquet_data_decode_matches_pyarrow(ints, strs, rg, codec, use_dict, dp
 def test_parquet_data_decode_corruption_and_seams():
     """Tampered pages and out-of-scope shapes fail loudly: flipped page
     bytes raise (codec CRC/structure or count mismatch), nested schemas
-    and foreign encodings hit NotImplementedError."""
+    hit NotImplementedError in the FLAT decoder (parse_parquet_records
+    owns them since r12), and the delta encodings decode exactly."""
     import io
 
     import pyarrow as pa
@@ -1075,15 +1076,15 @@ def test_parquet_data_decode_corruption_and_seams():
     pq.write_table(t, buf)
     with _pytest.raises(NotImplementedError, match="nested"):
         parse_parquet_data(buf.getvalue())
-    # DELTA_BINARY_PACKED is out of scope
+    # DELTA_BINARY_PACKED entered scope in r12: it must decode exactly
     t2 = pa.table({"k": pa.array(range(50), type=pa.int64())})
     buf2 = io.BytesIO()
     pq.write_table(
         t2, buf2, use_dictionary=False,
         column_encoding={"k": "DELTA_BINARY_PACKED"}, version="2.6",
     )
-    with _pytest.raises(NotImplementedError, match="encoding"):
-        parse_parquet_data(buf2.getvalue())
+    rows = {r[0]: r[1:] for r in parse_parquet_data(buf2.getvalue())}
+    assert rows["k"] == (50, 0, sum(range(50)), None, None)
 
 
 @settings(max_examples=20, deadline=None)
