@@ -16,8 +16,9 @@ the same way ``zstdcodec.py``/``lzmadec.py`` did for their formats:
   and the deflate quirk of PARTIAL distance trees (zero or one distance
   code is legal; one code decodes from a single 0 bit).
 - ``zlib_decompress`` / ``gzip_decompress`` add the RFC 1950/1952
-  wrappers: CMF/FLG consistency, FDICT as a loud NotImplementedError
-  seam, Adler-32 verification; gzip FEXTRA/FNAME/FCOMMENT/FHCRC header
+  wrappers: CMF/FLG consistency, FDICT preset dictionaries (r12:
+  DICTID-verified window seeding; an FDICT stream without its
+  dictionary raises), Adler-32 verification; gzip FEXTRA/FNAME/FCOMMENT/FHCRC header
   fields, CRC-32 + ISIZE verification, and multi-member concatenation.
 - ``deflate_compress`` is the format-true writer (the conformance twin,
   zstd pattern): three strategies — stored, fixed-Huffman, and
@@ -218,7 +219,10 @@ def _read_dynamic_trees(br: _BitReader) -> tuple[_Tree, _Tree | None]:
 
 def _inflate_into(br: _BitReader, out: bytearray) -> None:
     """Inflate one complete DEFLATE stream from the reader into ``out``
-    (reader left just past the final block, NOT byte-aligned)."""
+    (reader left just past the final block, NOT byte-aligned). A caller
+    may pre-fill ``out`` with a preset-dictionary window (RFC 1950
+    FDICT): back-references reach into it naturally, and the caller
+    strips the prefix afterwards."""
     while True:
         bfinal = br.bit()
         btype = br.bits(2)
@@ -273,9 +277,14 @@ def inflate(data: bytes) -> bytes:
 
 
 @malformed_guard
-def zlib_decompress(data: bytes) -> bytes:
+def zlib_decompress(data: bytes, zdict: bytes | None = None) -> bytes:
     """RFC 1950: CMF/FLG header checks, DEFLATE body, Adler-32 verify.
-    Preset dictionaries (FDICT) are a loud out-of-scope seam."""
+    FDICT streams (r12) decode when the caller supplies the preset
+    dictionary: the DICTID field must equal Adler-32(zdict) and the last
+    32 KiB of the dictionary seed the LZ77 window (back-references may
+    reach into it; its bytes are never emitted). An FDICT stream without
+    a dictionary — or a dictionary whose checksum disagrees — raises;
+    there is nothing safe to guess."""
     data = bytes(data)
     if len(data) < 6:
         raise ValueError("zlib: payload shorter than header + trailer")
@@ -286,18 +295,36 @@ def zlib_decompress(data: bytes) -> bytes:
         raise ValueError("zlib: window size exceeds 32K")
     if (cmf * 256 + flg) % 31 != 0:
         raise ValueError("zlib: FCHECK header checksum failed")
+    body_at = 2
+    seed = b""
     if flg & 0x20:
-        raise NotImplementedError("zlib: FDICT preset dictionaries unsupported")
-    br = _BitReader(data, 2)
-    out = bytearray()
+        if zdict is None:
+            raise ValueError(
+                "zlib: FDICT stream needs its preset dictionary "
+                "(pass zdict=)"
+            )
+        if len(data) < 10:
+            raise ValueError("zlib: FDICT stream truncated before DICTID")
+        (dictid,) = struct.unpack(">I", data[2:6])
+        if _zlib.adler32(bytes(zdict)) & 0xFFFFFFFF != dictid:
+            raise ValueError(
+                "zlib: DICTID does not match the supplied dictionary"
+            )
+        seed = bytes(zdict)[-32768:]
+        body_at = 6
+    elif zdict is not None:
+        raise ValueError("zlib: zdict supplied but the stream has no FDICT")
+    br = _BitReader(data, body_at)
+    out = bytearray(seed)
     _inflate_into(br, out)
     trailer_at = br.align()
     if trailer_at + 4 > len(data):
         raise ValueError("zlib: truncated Adler-32 trailer")
     (want,) = struct.unpack(">I", data[trailer_at : trailer_at + 4])
-    if _zlib.adler32(bytes(out)) & 0xFFFFFFFF != want:
+    result = bytes(out[len(seed):])
+    if _zlib.adler32(result) & 0xFFFFFFFF != want:
         raise ValueError("zlib: Adler-32 mismatch")
-    return bytes(out)
+    return result
 
 
 @malformed_guard

@@ -187,12 +187,15 @@ def _gzip_fast(payload: bytes) -> bytes:
 
 
 def _zlib_fast(payload: bytes) -> bytes:
-    # scope parity: the spec decoder refuses FDICT preset dictionaries
-    # with NotImplementedError; stdlib raises zlib.error, which would be
-    # misread as a corrupt frame and re-routed to the spec fallback —
-    # check the header bit before the library runs
+    # scope parity: the dispatch path decodes without a dictionary, so an
+    # FDICT stream is refused with the spec decoder's ValueError wording
+    # (r12: dict-supplied decode exists on deflate.zlib_decompress);
+    # stdlib raises zlib.error here, which would be misread as a corrupt
+    # frame and re-routed to the spec fallback — check the header first
     if len(payload) >= 2 and payload[1] & 0x20:
-        raise NotImplementedError("zlib: FDICT preset dictionaries unsupported")
+        raise ValueError(
+            "zlib: FDICT stream needs its preset dictionary (pass zdict=)"
+        )
     return zlib.decompress(payload)
 
 

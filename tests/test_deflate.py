@@ -120,7 +120,7 @@ class TestCorruption:
             D.zlib_decompress(b"\x79\x01" + b"\x00" * 8)
         with pytest.raises(ValueError, match="FCHECK"):
             D.zlib_decompress(b"\x78\x00" + b"\x00" * 8)
-        with pytest.raises(NotImplementedError, match="FDICT"):
+        with pytest.raises(ValueError, match="preset dictionary"):
             D.zlib_decompress(bytes([0x78, (0x20 | (31 - (0x78 * 256 + 0x20) % 31))]) + b"\x00" * 8)
 
     def test_checksum_mismatches(self):
@@ -157,10 +157,12 @@ class TestFastPath:
         assert fast(payload) == spec(payload)
 
     def test_zlib_family_parity_on_fdict(self):
-        # FDICT refuses identically through both engines
+        # an FDICT stream WITHOUT its dictionary refuses identically
+        # through both engines (r12: ValueError — a dict-less FDICT read
+        # is caller error, not an unimplemented format)
         payload = bytes([0x78, (0x20 | (31 - (0x78 * 256 + 0x20) % 31))]) + b"\x00" * 8
         for decoder in (fast_decoder("zlib"), fast_decoder("zlib", spec_only=True)):
-            with pytest.raises(NotImplementedError):
+            with pytest.raises(ValueError):
                 decoder(payload)
 
     def test_zlib_fast_family(self):
@@ -181,3 +183,70 @@ class TestTables:
         # full coverage: code 284 tops out at 257, adjacent to code 285's 258
         assert D._LEN_BASE[27] + (1 << D._LEN_EXTRA[27]) - 1 == 258
         assert D._DIST_BASE[29] + (1 << D._DIST_EXTRA[29]) - 1 == 32768
+
+
+class TestZlibFdict:
+    """r12: FDICT preset-dictionary streams (the last zlib wrapper seam)
+    — stdlib-anchored both directions (zlib.compressobj writes, we read;
+    window seeding via the out-prefix trick, DICTID verified)."""
+
+    def test_roundtrip_all_levels(self):
+        import zlib
+
+        from flink_gmall2024_realtime_spark.operators.deflate import (
+            zlib_decompress,
+        )
+
+        text = b"the quick brown fox jumps over the lazy dog " * 300
+        zdict = b"quick brown fox jumps over the lazy dog shared phrases"
+        for level in (0, 1, 6, 9):
+            co = zlib.compressobj(
+                level, zlib.DEFLATED, 15, 8, zlib.Z_DEFAULT_STRATEGY, zdict
+            )
+            payload = co.compress(text) + co.flush()
+            assert zlib_decompress(payload, zdict=zdict) == text
+
+    def test_backrefs_reach_into_seed(self):
+        import zlib
+
+        from flink_gmall2024_realtime_spark.operators.deflate import (
+            zlib_decompress,
+        )
+
+        body = bytes(range(256)) * 120  # 30k, fully dictionary-covered
+        co = zlib.compressobj(9, zlib.DEFLATED, 15, 8, zlib.Z_DEFAULT_STRATEGY, body)
+        payload = co.compress(body) + co.flush()
+        assert len(payload) < len(body) // 50  # provably dict-referenced
+        assert zlib_decompress(payload, zdict=body) == body
+
+    def test_fdict_error_paths(self):
+        import zlib
+
+        import pytest
+
+        from flink_gmall2024_realtime_spark.operators.deflate import (
+            zlib_decompress,
+        )
+
+        zdict = b"dictionary bytes"
+        co = zlib.compressobj(6, zlib.DEFLATED, 15, 8, zlib.Z_DEFAULT_STRATEGY, zdict)
+        payload = co.compress(b"dictionary bytes again") + co.flush()
+        with pytest.raises(ValueError, match="preset dictionary"):
+            zlib_decompress(payload)
+        with pytest.raises(ValueError, match="DICTID"):
+            zlib_decompress(payload, zdict=b"some other dictionary")
+        with pytest.raises(ValueError, match="no FDICT"):
+            zlib_decompress(zlib.compress(b"plain"), zdict=zdict)
+
+    def test_long_dict_truncates_to_window(self):
+        import zlib
+
+        from flink_gmall2024_realtime_spark.operators.deflate import (
+            zlib_decompress,
+        )
+
+        zdict = bytes((i * 7 + 13) % 256 for i in range(50_000))  # > 32 KiB
+        co = zlib.compressobj(6, zlib.DEFLATED, 15, 8, zlib.Z_DEFAULT_STRATEGY, zdict)
+        body = zdict[-500:] * 3
+        payload = co.compress(body) + co.flush()
+        assert zlib_decompress(payload, zdict=zdict) == body
