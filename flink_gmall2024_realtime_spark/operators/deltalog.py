@@ -1054,9 +1054,27 @@ def delta_scan(
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in pcols)
         groups.setdefault(key, []).append(os.path.join(path, rel))
+    # project every file group to the TABLE schema (schemaString order):
+    # after schema evolution, pre-evolution files lack the appended
+    # columns — they read as typed nulls, exactly like real Delta
+    table_fields = []
+    for f in json.loads(state["metadata"]["schemaString"]).get("fields", []):
+        if f["name"] in pcols:
+            continue
+        t = f.get("type")
+        if not isinstance(t, str) or t not in _DELTA_TO_SPARK:
+            raise NotImplementedError(f"unsupported column type {t!r}")
+        table_fields.append((f["name"], _DELTA_TO_SPARK[t]))
     parts = []
     for key, files in sorted(groups.items()):
-        df = spark.read.parquet(*files)
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        cols = []
+        for name, t in table_fields:
+            if name in df.columns:
+                cols.append(F.col(name))
+            else:
+                cols.append(F.lit(None).cast(t).alias(name))
+        df = df.select(*cols)
         for c, v in zip(pcols, key):
             col = F.lit(v)
             if v is not None and c in ptypes:

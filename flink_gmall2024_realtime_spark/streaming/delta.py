@@ -103,10 +103,12 @@ class DeltaAppendSink:
         app_id: str = "delta-append-sink",
         checkpoint_interval: int | None = None,
         checkpoint_parts: int = 1,
+        schema_evolution: bool = False,
     ) -> None:
         self.path = path
         self.max_commit_attempts = max_commit_attempts
         self.app_id = app_id
+        self.schema_evolution = schema_evolution
         self.checkpoint_interval = checkpoint_interval
         if checkpoint_parts < 1:
             raise ValueError("checkpoint_parts must be >= 1")
@@ -300,6 +302,55 @@ class DeltaAppendSink:
             }
         )
 
+    def _schema_delta(self, batch: DataFrame) -> str | None:
+        """Validate the batch schema against the table's current schema
+        (r12 — previously batches after v0 committed silently with
+        whatever columns they carried). Same fields -> None. New fields
+        -> an updated metaData action JSON when ``schema_evolution`` is
+        on (Delta's mergeSchema: existing columns keep their order and
+        types, new ones append nullable), loud otherwise. A type change
+        on an existing column is always an error — evolution appends, it
+        never rewrites."""
+        if self.head_version() < 0:
+            return None  # version 0 writes the initial metaData itself
+        state = self._replay_state(self.head_version())
+        table = json.loads(state["metadata"]["schemaString"])["fields"]
+        have = {f["name"]: f["type"] for f in table}
+        batch_fields = json.loads(_schema_string(batch))["fields"]
+        conflicts = [
+            f["name"] for f in batch_fields
+            if f["name"] in have and have[f["name"]] != f["type"]
+        ]
+        if conflicts:
+            raise ValueError(
+                f"delta sink: batch changes the type of existing "
+                f"column(s) {conflicts} — schema evolution appends, it "
+                "never rewrites"
+            )
+        new_fields = [f for f in batch_fields if f["name"] not in have]
+        if not new_fields:
+            return None
+        if not self.schema_evolution:
+            raise ValueError(
+                f"delta sink: batch carries new column(s) "
+                f"{[f['name'] for f in new_fields]} and schema_evolution "
+                "is off"
+            )
+        merged = table + [{**f, "nullable": True} for f in new_fields]
+        return json.dumps(
+            {
+                "metaData": {
+                    "id": state["metadata"]["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": merged}
+                    ),
+                    "partitionColumns": state["metadata"]["partitionColumns"],
+                    "configuration": {},
+                }
+            }
+        )
+
     def _commit_actions(
         self,
         batch: DataFrame,
@@ -310,6 +361,7 @@ class DeltaAppendSink:
         """Claim the next version with txn + commitInfo + ``removes`` +
         ``adds`` action lines; None when a concurrent attempt of the
         same batch landed first."""
+        meta_update = self._schema_delta(batch)
         txn = json.dumps(
             {
                 "txn": {
@@ -332,6 +384,8 @@ class DeltaAppendSink:
             )
             next_v = head + 1
             lines = [txn, info]
+            if meta_update is not None and next_v > 0:
+                lines.append(meta_update)
             if next_v == 0:
                 lines.append(
                     json.dumps(
@@ -559,12 +613,14 @@ class DeltaKeyedStore(DeltaAppendSink):
         max_commit_attempts: int = 20,
         app_id: str = "delta-keyed-store",
         checkpoint_interval: int | None = None,
+        schema_evolution: bool = False,
     ) -> None:
         super().__init__(
             path,
             max_commit_attempts=max_commit_attempts,
             app_id=app_id,
             checkpoint_interval=checkpoint_interval,
+            schema_evolution=schema_evolution,
         )
         self.spark = spark
         self.key = key

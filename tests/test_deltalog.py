@@ -1041,3 +1041,76 @@ class TestDeltaStatsSkipping:
         kept = _stats_skip(live, {"k": (0, 10)})
         assert set(kept) == {"a", "b"}  # only c is provably out of range
         assert set(_stats_skip(live, {"k": (55, None)})) == {"a", "b", "c"}
+
+
+class TestDeltaSchemaEvolution:
+    """r12: batch-schema validation + opt-in mergeSchema evolution —
+    previously any post-v0 batch committed silently with whatever
+    columns it carried."""
+
+    def test_mismatched_batch_is_loud_by_default(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        sink = DeltaAppendSink(str(tmp_path / "tbl"))
+        sink.commit_batch(spark.createDataFrame([(1, "a")], "k long, v string"), 0)
+        wider = spark.createDataFrame([(2, "b", 1.5)], "k long, v string, score double")
+        with pytest.raises(ValueError, match="schema_evolution is off"):
+            sink.commit_batch(wider, 1)
+        retyped = spark.createDataFrame([("x", "b")], "k string, v string")
+        with pytest.raises(ValueError, match="never rewrites"):
+            sink.commit_batch(retyped, 1)
+
+    def test_evolution_appends_and_scan_backfills_nulls(self, spark, tmp_path):
+        import json as _json
+
+        from flink_gmall2024_realtime_spark.operators.deltalog import delta_scan
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path, schema_evolution=True)
+        sink.commit_batch(spark.createDataFrame([(1, "a")], "k long, v string"), 0)
+        sink.commit_batch(
+            spark.createDataFrame([(2, "b", 1.5)], "k long, v string, score double"),
+            1,
+        )
+        # the evolution commit carries an updated metaData action
+        actions = [
+            _json.loads(x)
+            for x in open(sink._commit_path(1), "rb").read().splitlines()
+        ]
+        metas = [a["metaData"] for a in actions if "metaData" in a]
+        assert len(metas) == 1
+        names = [f["name"] for f in _json.loads(metas[0]["schemaString"])["fields"]]
+        assert names == ["k", "v", "score"]
+        # scans project every file to the evolved schema
+        df = delta_scan(spark, path)
+        assert df.columns == ["k", "v", "score"]
+        rows = {r["k"]: (r["v"], r["score"]) for r in df.collect()}
+        assert rows == {1: ("a", None), 2: ("b", 1.5)}
+        # narrower batches (missing the new column) stay legal
+        sink.commit_batch(spark.createDataFrame([(3, "c")], "k long, v string"), 2)
+        assert delta_scan(spark, path).count() == 3
+        # and the evolved schema survives checkpoint-style state rebuilds
+        state = sink._replay_state(sink.head_version())
+        assert "score" in state["metadata"]["schemaString"]
+
+    def test_keyed_store_merge_carries_schema(self, spark, tmp_path):
+        # the keyed store merges old+new frames, so the merged snapshot
+        # carries the union schema; evolution must flow through it too
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaKeyedStore
+
+        store = DeltaKeyedStore(
+            spark, str(tmp_path / "tbl"), key="k", order_col="ts",
+            schema_evolution=True,
+        )
+        store.commit_batch(
+            spark.createDataFrame([("a", 1, "x")], "k string, ts long, v string"), 0
+        )
+        store.commit_batch(
+            spark.createDataFrame(
+                [("b", 2, "y", 9.0)], "k string, ts long, v string, w double"
+            ),
+            1,
+        )
+        got = {r["k"]: r["w"] for r in store.read_latest().collect()}
+        assert got == {"a": None, "b": 9.0}
