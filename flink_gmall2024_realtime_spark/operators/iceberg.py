@@ -1,0 +1,386 @@
+"""Apache Iceberg snapshot reader — the SECOND open table format, read
+by composition.
+
+Written from the public Iceberg table spec (iceberg.apache.org/spec):
+a table is a directory of parquet data files plus a ``metadata/`` tree —
+versioned ``*.metadata.json`` documents (schemas, partition specs, the
+snapshot log), one Avro MANIFEST LIST per snapshot (which manifests make
+up that snapshot), and Avro MANIFEST files (per-data-file entries with
+status existing/added/deleted and file-level stats). The state of the
+table at a snapshot is exactly what its manifest list reaches — unlike
+Delta there is no log replay; every snapshot is self-contained, which is
+why time travel here is "read a different manifest list".
+
+``read_iceberg_snapshot`` composes four in-repo readers end-to-end with
+zero external libraries on the decode path: the ZIP member walk
+(``archive.zip_extract``), stdlib JSON for the metadata documents, the
+in-repo Avro OCF decoder (``avro.parse_avro`` — generic record decode,
+so ANY writer's manifest schema works as long as the spec field names
+are present) for manifest lists and manifests, and the in-repo parquet
+DATA-page decode (``parquetmeta.parse_parquet_data``) over every live
+data file, with the manifest's ``record_count`` cross-checked against
+the decoded rows. Loud seams: format versions beyond 2, DELETE manifests
+(content=1) and non-data data_file content (v2 row-level deletes demand
+merge-on-read semantics this reader must refuse, not misread), and
+non-parquet file_format.
+
+Reference scope note: the reference app (hellohappyworld/
+flink-gmall2024-realtime) has no lake-format path; this is part of the
+beyond-reference LLM-data-pipeline surface the build brief asks for
+(the Delta twin lives in ``deltalog.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .codecguard import malformed_guard
+
+
+def _strip_location(path: str, location: str) -> str:
+    """Iceberg metadata stores full table-relative URIs; resolve them
+    against the table location."""
+    if location and path.startswith(location.rstrip("/") + "/"):
+        return path[len(location.rstrip("/")) + 1 :]
+    return path
+
+
+@malformed_guard
+def read_iceberg_snapshot(payload: bytes, snapshot_id: int | None = None) -> dict:
+    """Read an Iceberg table (shipped as one ZIP payload) at
+    ``snapshot_id`` (default: the current snapshot) and decode every
+    live parquet data file. Returns {snapshot_id, n_manifests, n_files,
+    n_rows, int_sum}."""
+    from .archive import zip_extract
+    from .avro import parse_avro
+    from .parquetmeta import parse_parquet_data
+
+    members = dict(zip_extract(payload))
+    metas = {}
+    for name in members:
+        if name.startswith("metadata/") and name.endswith(".metadata.json"):
+            stem = name.rsplit("/", 1)[1][: -len(".metadata.json")]
+            ver = int(stem.lstrip("v").split("-")[0])
+            metas[ver] = name
+    if not metas:
+        raise ValueError("no metadata/*.metadata.json in payload")
+    hint = members.get("metadata/version-hint.text")
+    ver = int(hint.decode().strip()) if hint else max(metas)
+    if ver not in metas:
+        raise ValueError(f"version-hint names v{ver} but no such metadata file")
+    md = json.loads(members[metas[ver]])
+    fv = md.get("format-version", 1)
+    if fv not in (1, 2):
+        raise NotImplementedError(f"iceberg format-version {fv} unsupported")
+    location = md.get("location", "")
+    snapshots = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    if snapshot_id is None:
+        snapshot_id = md.get("current-snapshot-id")
+    if snapshot_id not in snapshots:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table metadata "
+            f"(has {sorted(snapshots)})"
+        )
+    snap = snapshots[snapshot_id]
+    ml_rel = _strip_location(snap["manifest-list"], location)
+    if ml_rel not in members:
+        raise ValueError(f"manifest list {ml_rel!r} missing from payload")
+    _, ml_records = parse_avro(members[ml_rel])
+    n_files = 0
+    n_rows = 0
+    int_sum = 0
+    for entry in ml_records:
+        if entry.get("content", 0) != 0:
+            raise NotImplementedError(
+                "iceberg DELETE manifests (v2 row-level deletes) unsupported"
+            )
+        m_rel = _strip_location(entry["manifest_path"], location)
+        if m_rel not in members:
+            raise ValueError(f"manifest {m_rel!r} missing from payload")
+        blob = members[m_rel]
+        declared = entry.get("manifest_length")
+        if declared is not None and declared != len(blob):
+            raise ValueError(
+                f"{m_rel!r}: manifest_length {declared} != actual {len(blob)}"
+            )
+        _, m_records = parse_avro(blob)
+        for rec in m_records:
+            if rec.get("status", 1) == 2:  # DELETED: not part of this snapshot
+                continue
+            df = rec["data_file"]
+            if df.get("content", 0) != 0:
+                raise NotImplementedError(
+                    "iceberg non-data file content (deletes) unsupported"
+                )
+            fmt = str(df.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"iceberg data file format {fmt!r} unsupported"
+                )
+            f_rel = _strip_location(df["file_path"], location)
+            if f_rel not in members:
+                raise ValueError(f"data file {f_rel!r} missing from payload")
+            cols = parse_parquet_data(members[f_rel])
+            file_rows = cols[0][1] + cols[0][2]
+            if df.get("record_count") is not None and df["record_count"] != file_rows:
+                raise ValueError(
+                    f"{f_rel!r}: record_count {df['record_count']} != "
+                    f"decoded {file_rows}"
+                )
+            n_files += 1
+            n_rows += file_rows
+            for _col, _nv, _nn, isum, _fsum, _blen in cols:
+                if isum is not None:
+                    int_sum += isum
+                    break
+    return {
+        "snapshot_id": snapshot_id,
+        "n_manifests": len(ml_records),
+        "n_files": n_files,
+        "n_rows": n_rows,
+        "int_sum": int_sum,
+    }
+
+
+# ------------------------------------------------------------- fixture
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": "long"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _avro_ocf(schema: dict, encoded: list[bytes], sync_seed: int) -> bytes:
+    """Minimal spec-true Avro OCF wrapper around pre-encoded records
+    (codec null, one block) — the manifest writer side of the fixture,
+    mirroring ``avro.synth_avro``'s hand encoding."""
+    from .avro import _MAGIC, _zz
+
+    sync = bytes((sync_seed * 11 + i) % 256 for i in range(16))
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": b"null",
+    }
+    out = bytearray(_MAGIC)
+    out += _zz(len(meta))
+    for k, v in meta.items():
+        out += _zz(len(k)) + k.encode() + _zz(len(v)) + v
+    out += _zz(0)
+    out += sync
+    body = b"".join(encoded)
+    out += _zz(len(encoded)) + _zz(len(body)) + body + sync
+    return bytes(out)
+
+
+def _enc_str(s: str) -> bytes:
+    from .avro import _zz
+
+    b = s.encode()
+    return _zz(len(b)) + b
+
+
+def synth_iceberg_table(seed: int) -> bytes:
+    """Deterministic Iceberg v2 table fixture shipped as one ZIP:
+    pyarrow parquet data files (file j: n = (seed+j)%20+5 rows of
+    k = seed + 100j + i — the same arithmetic as the Delta fixture so
+    the two formats' oracles stay comparable), hand-encoded Avro
+    manifests/manifest lists, and TWO snapshots in v2.metadata.json:
+
+    - snapshot seed*10+1: one manifest adding files 0 and 1;
+    - snapshot seed*10+2 (current): manifest A carries file 0 EXISTING
+      and file 1 DELETED, manifest B adds file 2 (and file 3 for even
+      seeds) — exercising status filtering and multi-manifest lists.
+
+    A superseded v1.metadata.json (only snapshot 1) is included so the
+    reader proves it picks the LATEST metadata version."""
+    import io
+    import zipfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .avro import _zz
+
+    seed = int(seed)
+    loc = "warehouse/t"
+
+    def n_of(j):
+        return (seed + j) % 20 + 5
+
+    files = {}
+    for j in range(4):
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table(
+                {"k": pa.array([seed + 100 * j + i for i in range(n_of(j))],
+                               pa.int64())}
+            ),
+            buf,
+            compression="snappy",
+        )
+        files[j] = buf.getvalue()
+
+    def data_path(j):
+        return f"data/part-{j:05d}.parquet"
+
+    def m_entry(status: int, snap_id: int, j: int) -> bytes:
+        return (
+            _zz(status)
+            + _zz(snap_id)
+            + _zz(0)  # data_file.content
+            + _enc_str(f"{loc}/{data_path(j)}")
+            + _enc_str("PARQUET")
+            + _zz(n_of(j))
+            + _zz(len(files[j]))
+        )
+
+    s1, s2 = seed * 10 + 1, seed * 10 + 2
+    man1 = _avro_ocf(
+        _MANIFEST_SCHEMA, [m_entry(1, s1, 0), m_entry(1, s1, 1)], seed
+    )
+    man2a = _avro_ocf(
+        _MANIFEST_SCHEMA, [m_entry(0, s1, 0), m_entry(2, s2, 1)], seed + 1
+    )
+    added = [m_entry(1, s2, 2)]
+    if seed % 2 == 0:
+        added.append(m_entry(1, s2, 3))
+    man2b = _avro_ocf(_MANIFEST_SCHEMA, added, seed + 2)
+
+    def ml_entry(path: str, blob: bytes, snap_id: int) -> bytes:
+        return (
+            _enc_str(f"{loc}/{path}")
+            + _zz(len(blob))
+            + _zz(0)  # partition_spec_id
+            + _zz(0)  # content: data
+            + _zz(snap_id)
+        )
+
+    ml1_rel = f"metadata/snap-{s1}.avro"
+    ml2_rel = f"metadata/snap-{s2}.avro"
+    m1_rel = "metadata/m-001.avro"
+    m2a_rel = "metadata/m-002.avro"
+    m2b_rel = "metadata/m-003.avro"
+    ml1 = _avro_ocf(
+        _MANIFEST_LIST_SCHEMA, [ml_entry(m1_rel, man1, s1)], seed + 3
+    )
+    ml2 = _avro_ocf(
+        _MANIFEST_LIST_SCHEMA,
+        [ml_entry(m2a_rel, man2a, s2), ml_entry(m2b_rel, man2b, s2)],
+        seed + 4,
+    )
+    schema_doc = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [{"id": 1, "name": "k", "required": False, "type": "long"}],
+    }
+    snap1 = {
+        "snapshot-id": s1,
+        "sequence-number": 1,
+        "timestamp-ms": 0,
+        "manifest-list": f"{loc}/{ml1_rel}",
+        "summary": {"operation": "append"},
+    }
+    snap2 = {
+        "snapshot-id": s2,
+        "sequence-number": 2,
+        "timestamp-ms": 1,
+        "manifest-list": f"{loc}/{ml2_rel}",
+        "summary": {"operation": "overwrite"},
+    }
+    meta_v2 = {
+        "format-version": 2,
+        "table-uuid": f"00000000-0000-0000-0000-{seed:012d}",
+        "location": loc,
+        "last-sequence-number": 2,
+        "schemas": [schema_doc],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": s2,
+        "snapshots": [snap1, snap2],
+    }
+    meta_v1 = {**meta_v2, "last-sequence-number": 1,
+               "current-snapshot-id": s1, "snapshots": [snap1]}
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("metadata/v1.metadata.json", json.dumps(meta_v1))
+        z.writestr("metadata/v2.metadata.json", json.dumps(meta_v2))
+        z.writestr("metadata/version-hint.text", "2")
+        z.writestr(ml1_rel, ml1)
+        z.writestr(ml2_rel, ml2)
+        z.writestr(m1_rel, man1)
+        z.writestr(m2a_rel, man2a)
+        z.writestr(m2b_rel, man2b)
+        for j, blob in files.items():
+            z.writestr(data_path(j), blob)
+    return buf.getvalue()
+
+
+ICEBERG_AUDIT_SCHEMA = (
+    "media_id long, snapshot_ord int, n_manifests int, n_files int, "
+    "n_rows long, int_sum long"
+)
+
+
+def iceberg_snapshot_stats(media: DataFrame) -> DataFrame:
+    """Two audit rows per table payload: the FIRST snapshot (time
+    travel via its own manifest list) and the CURRENT one (multi-
+    manifest list with existing/deleted status filtering). Per-row
+    Arrow work, linear by construction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                seed = int(mid)
+                first = read_iceberg_snapshot(bytes(p), seed * 10 + 1)
+                cur = read_iceberg_snapshot(bytes(p))
+                for ordinal, snap in ((1, first), (2, cur)):
+                    rows.append(
+                        (mid, ordinal, snap["n_manifests"], snap["n_files"],
+                         snap["n_rows"], snap["int_sum"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "snapshot_ord", "n_manifests",
+                         "n_files", "n_rows", "int_sum"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=ICEBERG_AUDIT_SCHEMA
+    )

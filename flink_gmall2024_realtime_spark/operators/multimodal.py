@@ -2866,6 +2866,13 @@ def _synth_parquet_nested(seed: int) -> bytes:
     return synth_parquet_nested(seed)
 
 
+def _synth_iceberg_table(seed: int) -> bytes:
+    """Lazy import of the Iceberg-table ZIP fixture (r12)."""
+    from .iceberg import synth_iceberg_table
+
+    return synth_iceberg_table(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2918,6 +2925,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "delta_table": _synth_delta_table,
         "delta_checkpointed": _synth_delta_checkpointed,
         "parquet_nested": _synth_parquet_nested,
+        "iceberg_table": _synth_iceberg_table,
         "delta_partitioned": _synth_delta_partitioned,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(

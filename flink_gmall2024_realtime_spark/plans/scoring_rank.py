@@ -1355,6 +1355,54 @@ def delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_snapshot_audit",
+    oracle="""
+WITH f AS (
+  SELECT doc_id AS d, j,
+         (doc_id + j) % 20 + 5 AS n,
+         ((doc_id + j) % 20 + 5) * (doc_id + 100 * j)
+           + ((doc_id + j) % 20 + 5) * ((doc_id + j) % 20 + 4) // 2 AS s
+  FROM documents, UNNEST(generate_series(0, 3::BIGINT)) AS t(j)
+)
+SELECT d AS media_id, 1::INT AS snapshot_ord, 1::INT AS n_manifests,
+       2::INT AS n_files,
+       (SUM(n) FILTER (WHERE j <= 1))::BIGINT AS n_rows,
+       (SUM(s) FILTER (WHERE j <= 1))::BIGINT AS int_sum
+FROM f GROUP BY d
+UNION ALL
+SELECT d, 2::INT, 2::INT,
+       (CASE WHEN d % 2 = 0 THEN 3 ELSE 2 END)::INT,
+       (SUM(n) FILTER (WHERE j = 0 OR j = 2 OR (j = 3 AND d % 2 = 0)))::BIGINT,
+       (SUM(s) FILTER (WHERE j = 0 OR j = 2 OR (j = 3 AND d % 2 = 0)))::BIGINT
+FROM f GROUP BY d
+""",
+    survey_ids=("dim-snapshot",),
+)
+def iceberg_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Iceberg snapshot audit (r12 — the SECOND open table
+    format, read by composition): per doc an Iceberg v2 table (pyarrow
+    parquet data files, hand-encoded spec-true Avro manifest lists and
+    manifests, versioned metadata JSON with a version-hint and a
+    superseded v1 document) read raw by the in-repo stack — ZIP walk,
+    stdlib JSON, the generic Avro OCF record decoder, parquet data-page
+    decode — at the FIRST snapshot (time travel: each snapshot is its
+    own self-contained manifest list, no log replay) and at the CURRENT
+    one (two manifests, existing/deleted status filtering;
+    record_count and manifest_length cross-checked). The same seed
+    arithmetic as the Delta fixture, so the two formats' oracles are
+    directly comparable. Per-row Arrow work — linear by construction
+    (``operators/iceberg.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "iceberg_table")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zip"
+    )
+    from ..operators.iceberg import iceberg_snapshot_stats
+
+    return iceberg_snapshot_stats(media)
+
+
+@register(
     "url_canonical_dedup",
     oracle="""
 WITH c AS (

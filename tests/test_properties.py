@@ -883,6 +883,22 @@ def test_xz_decoder_inverts_stdlib_compressor(data, preset, check_id):
     ) == data
 
 
+def _iceberg_read(payload: bytes):
+    from flink_gmall2024_realtime_spark.operators.iceberg import (
+        read_iceberg_snapshot,
+    )
+
+    return read_iceberg_snapshot(payload)
+
+
+def _synth_iceberg(seed: int) -> bytes:
+    from flink_gmall2024_realtime_spark.operators.iceberg import (
+        synth_iceberg_table,
+    )
+
+    return synth_iceberg_table(seed)
+
+
 def _synth_checkpoint_blob(seed: int) -> bytes:
     from flink_gmall2024_realtime_spark.operators import deltalog
 
@@ -903,7 +919,7 @@ def _synth_lzma_alone(seed: int) -> bytes:
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 30), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 31), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -960,6 +976,7 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (deltalog.read_delta_snapshot, deltalog.synth_delta_checkpointed),
         (deltalog.read_delta_snapshot, deltalog.synth_delta_partitioned),
         (parquetmeta.parse_parquet_records, _synth_checkpoint_blob),
+        (_iceberg_read, _synth_iceberg),
     ]
     fn, synth = table[which]
     cases = [noise]
