@@ -2873,6 +2873,13 @@ def _synth_iceberg_table(seed: int) -> bytes:
     return synth_iceberg_table(seed)
 
 
+def _synth_iceberg_partitioned(seed: int) -> bytes:
+    """Lazy import of the partitioned Iceberg-table ZIP fixture (r12)."""
+    from .iceberg import synth_iceberg_partitioned
+
+    return synth_iceberg_partitioned(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2926,6 +2933,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "delta_checkpointed": _synth_delta_checkpointed,
         "parquet_nested": _synth_parquet_nested,
         "iceberg_table": _synth_iceberg_table,
+        "iceberg_partitioned": _synth_iceberg_partitioned,
         "delta_partitioned": _synth_delta_partitioned,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(

@@ -1403,6 +1403,49 @@ def iceberg_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_partition_prune",
+    oracle="""
+WITH f AS (
+  SELECT doc_id AS d, j,
+         (doc_id + j) % 20 + 5 AS n,
+         ((doc_id + j) % 20 + 5) * (doc_id + 100 * j)
+           + ((doc_id + j) % 20 + 5) * ((doc_id + j) % 20 + 4) // 2 AS s
+  FROM documents, UNNEST(generate_series(0, 5::BIGINT)) AS t(j)
+)
+SELECT d AS media_id, 'all' AS scope, 6::INT AS n_files,
+       SUM(n)::BIGINT AS n_rows, SUM(s)::BIGINT AS int_sum,
+       3::INT AS n_partitions
+FROM f GROUP BY d
+UNION ALL
+SELECT d, 'p0', 2::INT,
+       (SUM(n) FILTER (WHERE j % 3 = 0))::BIGINT,
+       (SUM(s) FILTER (WHERE j % 3 = 0))::BIGINT, 1::INT
+FROM f GROUP BY d
+""",
+    survey_ids=("dim-snapshot",),
+)
+def iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED Iceberg table + manifest-level pruning (r12): per doc
+    an identity-partitioned table (six data files across p0/p1/p2, the
+    partition struct on every manifest entry, partition column STORED in
+    the data files as identity partitioning requires), read full and
+    with partition_filter {"p": "p0"} — files skip from the manifests'
+    partition structs ALONE, before any data decode: Iceberg's metadata
+    tree doing the job Delta does with partitionValues (same oracle
+    arithmetic as delta_partition_prune, the formats directly
+    comparable). Per-row Arrow work — linear by construction
+    (``operators/iceberg.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "iceberg_partitioned")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zip"
+    )
+    from ..operators.iceberg import iceberg_partition_stats
+
+    return iceberg_partition_stats(media)
+
+
+@register(
     "url_canonical_dedup",
     oracle="""
 WITH c AS (

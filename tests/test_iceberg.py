@@ -162,3 +162,80 @@ class TestSeams:
             z.writestr("readme.txt", "not iceberg")
         with pytest.raises(ValueError, match="metadata"):
             read_iceberg_snapshot(buf.getvalue())
+
+
+class TestPartitionedIceberg:
+    def test_partition_filter_prunes_from_manifests(self):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            read_iceberg_snapshot,
+            synth_iceberg_partitioned,
+        )
+
+        seed = 4
+        p = synth_iceberg_partitioned(seed)
+        full = read_iceberg_snapshot(p)
+        assert full["n_files"] == 6 and full["n_partitions"] == 3
+        pruned = read_iceberg_snapshot(p, partition_filter={"p": "p1"})
+        assert pruned["n_files"] == 2
+        assert pruned["n_rows"] == _n(seed, 1) + _n(seed, 4)
+        assert pruned["n_partitions"] == 1
+
+    def test_pruning_skips_data_decode(self):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            read_iceberg_snapshot,
+            synth_iceberg_partitioned,
+        )
+
+        def corrupt_others(members):
+            for name in list(members):
+                if name.startswith(("data/p=1/", "data/p=2/")):
+                    members[name] = b"corrupted"
+
+        p = _rebuild(synth_iceberg_partitioned(2), corrupt_others)
+        ok = read_iceberg_snapshot(p, partition_filter={"p": "p0"})
+        assert ok["n_files"] == 2
+        with pytest.raises(Exception):
+            read_iceberg_snapshot(p)
+
+
+class TestIcebergScan:
+    def _materialize(self, tmp_path, payload):
+        root = tmp_path / "tbl"
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            for name in z.namelist():
+                dst = root / name
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                dst.write_bytes(z.read(name))
+        return str(root)
+
+    def test_scan_partitioned_table(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+            synth_iceberg_partitioned,
+        )
+
+        seed = 4
+        path = self._materialize(tmp_path, synth_iceberg_partitioned(seed))
+        df = iceberg_scan(spark, path)
+        assert set(df.columns) == {"k", "p"}
+        got = {r["p"]: r["count"] for r in df.groupBy("p").count().collect()}
+        exp = {}
+        for j in range(6):
+            exp[f"p{j % 3}"] = exp.get(f"p{j % 3}", 0) + _n(seed, j)
+        assert got == exp
+        pruned = iceberg_scan(spark, path, partition_filter={"p": "p2"})
+        assert pruned.count() == _n(seed, 2) + _n(seed, 5)
+
+    def test_scan_time_travel(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+            synth_iceberg_table,
+        )
+
+        seed = 2
+        path = self._materialize(tmp_path, synth_iceberg_table(seed))
+        cur = iceberg_scan(spark, path)
+        live = [0, 2, 3]
+        assert cur.count() == sum(_n(seed, j) for j in live)
+        old = iceberg_scan(spark, path, snapshot_id=seed * 10 + 1)
+        assert old.count() == _n(seed, 0) + _n(seed, 1)
