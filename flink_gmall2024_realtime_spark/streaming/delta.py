@@ -487,6 +487,28 @@ class DeltaAppendSink:
 
         return write
 
+    def vacuum_orphans(self) -> list[str]:
+        """Delete data files under the table root that the HEAD snapshot
+        does not reference — crash leftovers from writers that died
+        between the data write and the commit (real Delta's VACUUM of
+        unreferenced files). Never touches _delta_log or _staging, and a
+        table with no commits vacuums nothing (the files may be a
+        not-yet-committed first batch)."""
+        head = self.head_version()
+        if head < 0:
+            return []
+        live = set(self.live_files(head))
+        dropped = []
+        for fn in sorted(os.listdir(self.path)):
+            if (
+                fn.endswith(".parquet")
+                and fn not in live
+                and not fn.startswith((".", "_"))
+            ):
+                os.unlink(os.path.join(self.path, fn))
+                dropped.append(fn)
+        return dropped
+
     # ------------------------------------------------ checkpoint / clean
 
     def _replay_state(self, version: int) -> dict:
@@ -728,10 +750,15 @@ class DeltaStreamSource:
         path: str,
         starting_version: int | None = None,
         ignore_changes: bool = False,
+        max_commits_per_batch: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.ignore_changes = ignore_changes
+        # rate limiting (delta-spark's maxFilesPerTrigger analog, at
+        # commit granularity so the through-version batch id stays the
+        # idempotence key): cap how many commits one batch may span
+        self.max_commits_per_batch = max_commits_per_batch
         # None = snapshot-first start; an int = resume AFTER that version
         self._pos = starting_version
 
@@ -797,6 +824,8 @@ class DeltaStreamSource:
             return delta_scan(self.spark, self.path, version=head), head
         if head <= self._pos:
             return None
+        if self.max_commits_per_batch is not None:
+            head = min(head, self._pos + self.max_commits_per_batch)
         pcols = head_state["metadata"]["partitionColumns"]
         ptypes = {}
         for f in json.loads(head_state["metadata"]["schemaString"]).get(

@@ -1114,3 +1114,48 @@ class TestDeltaSchemaEvolution:
         )
         got = {r["k"]: r["w"] for r in store.read_latest().collect()}
         assert got == {"a": None, "b": 9.0}
+
+
+class TestSourceRateLimitAndVacuum:
+    def test_max_commits_per_batch(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+            DeltaStreamSource,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        for i in range(5):
+            sink.commit_batch(spark.createDataFrame([(i,)], "k long"), i)
+        src = DeltaStreamSource(
+            spark, path, starting_version=0, max_commits_per_batch=2
+        )
+        seen = []
+        while True:
+            got = src.next_batch()
+            if got is None:
+                break
+            df, through = got
+            seen.append((through, sorted(r["k"] for r in df.collect())))
+        assert seen == [(2, [1, 2]), (4, [3, 4])]
+
+    def test_vacuum_orphans(self, spark, tmp_path):
+        import os
+
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        # nothing committed: a lone data file must NOT be vacuumed (it
+        # may be a first batch that has not committed yet)
+        with open(os.path.join(path, "part-b0000000000.parquet"), "wb") as f:
+            f.write(b"in flight")
+        assert sink.vacuum_orphans() == []
+        os.unlink(os.path.join(path, "part-b0000000000.parquet"))
+        sink.commit_batch(spark.createDataFrame([(1,)], "k long"), 0)
+        # crash leftover: data file written, never committed
+        with open(os.path.join(path, "part-b0000000009.parquet"), "wb") as f:
+            f.write(b"dead writer leftover")
+        assert sink.vacuum_orphans() == ["part-b0000000009.parquet"]
+        assert sink.snapshot()["n_rows"] == 1  # live data untouched
+        assert sink.vacuum_orphans() == []
