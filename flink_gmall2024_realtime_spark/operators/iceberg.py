@@ -651,3 +651,203 @@ def iceberg_partition_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=ICEBERG_PART_SCHEMA
     )
+
+
+class IcebergAppendSink:
+    """Append-only Iceberg v2 table writer for ``foreachBatch`` — the
+    WRITE side of ``read_iceberg_snapshot``/``iceberg_scan`` and the
+    open-format sibling of ``streaming/delta.DeltaAppendSink``.
+
+    Iceberg's commit primitive is the atomic swap of the CURRENT
+    metadata pointer: each micro-batch writes its parquet data file, a
+    manifest, a manifest list, and a new ``v{N+1}.metadata.json`` whose
+    snapshot log appends one snapshot — then claims the version by
+    linking the fully-written metadata file into place (putIfAbsent; a
+    lost race re-reads the head and retries). ``version-hint.text``
+    advances monotonically afterwards (it is only a pointer — readers
+    fall back to latest-metadata-wins when it lags).
+
+    Exactly-once under at-least-once replay: every snapshot's summary
+    carries the producing ``batch-id``; a replayed batch whose id
+    already appears in the snapshot log is skipped before any write
+    (Iceberg's real streaming sinks dedupe the same way, via snapshot
+    summary properties). Dim/serving shape: one driver-side Arrow file
+    per commit — fact streams belong on the Delta distributed path."""
+
+    def __init__(self, spark, path: str, max_commit_attempts: int = 20) -> None:
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.max_commit_attempts = max_commit_attempts
+        os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # ------------------------------------------------------------ state
+
+    def _meta_versions(self) -> dict[int, str]:
+        import os
+
+        out = {}
+        for fn in os.listdir(os.path.join(self.path, "metadata")):
+            if fn.endswith(".metadata.json"):
+                stem = fn[: -len(".metadata.json")]
+                out[int(stem.lstrip("v").split("-")[0])] = fn
+        return out
+
+    def _head(self) -> tuple[int, dict | None]:
+        import os
+
+        versions = self._meta_versions()
+        if not versions:
+            return 0, None
+        v = max(versions)
+        with open(os.path.join(self.path, "metadata", versions[v])) as f:
+            return v, json.load(f)
+
+    def committed_batch_ids(self) -> set[int]:
+        _, md = self._head()
+        if md is None:
+            return set()
+        out = set()
+        for s in md.get("snapshots", []):
+            bid = (s.get("summary") or {}).get("batch-id")
+            if bid is not None:
+                out.add(int(bid))
+        return out
+
+    # ----------------------------------------------------------- write
+
+    def _publish(self, target: str, body: bytes) -> bool:
+        import os
+
+        tmp = target + f".{os.getpid()}.tmp"
+        fd = os.open(tmp, os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(body)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                return False
+            return True
+        finally:
+            os.unlink(tmp)
+
+    def commit_batch(self, batch, batch_id: int) -> int | None:
+        """One micro-batch -> one snapshot; returns the new snapshot id
+        or None on replay."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from .avro import _zz
+
+        if batch_id in self.committed_batch_ids():
+            return None
+        rel = f"data/part-b{batch_id:010d}.parquet"
+        full = os.path.join(self.path, rel)
+        table = batch.toArrow()
+        pq.write_table(table, full, compression="snappy")
+        n_rows = table.num_rows
+        size = os.path.getsize(full)
+        loc = "."  # paths stored table-relative; _strip_location is a no-op
+        for _ in range(self.max_commit_attempts):
+            head_v, md = self._head()
+            snap_id = batch_id + 1  # deterministic, unique per batch
+            m_rel = f"metadata/m-b{batch_id:010d}.avro"
+            ml_rel = f"metadata/snap-{snap_id}-b{batch_id:010d}.avro"
+            entry = (
+                _zz(1)
+                + _zz(snap_id)
+                + _zz(0)
+                + _enc_str(rel)
+                + _enc_str("PARQUET")
+                + _zz(n_rows)
+                + _zz(size)
+            )
+            man = _avro_ocf(_MANIFEST_SCHEMA, [entry], batch_id)
+            with open(os.path.join(self.path, m_rel), "wb") as f:
+                f.write(man)
+            # every snapshot's manifest list carries ALL prior live
+            # manifests plus this one (append-only: nothing is deleted)
+            prior = []
+            if md is not None:
+                cur = {s["snapshot-id"]: s for s in md["snapshots"]}[
+                    md["current-snapshot-id"]
+                ]
+                from .avro import parse_avro
+
+                with open(os.path.join(self.path, cur["manifest-list"]), "rb") as f:
+                    _, prior_entries = parse_avro(f.read())
+                for e in prior_entries:
+                    prior.append(
+                        _enc_str(e["manifest_path"])
+                        + _zz(e["manifest_length"])
+                        + _zz(e["partition_spec_id"])
+                        + _zz(e["content"])
+                        + _zz(e["added_snapshot_id"])
+                    )
+            prior.append(
+                _enc_str(m_rel) + _zz(len(man)) + _zz(0) + _zz(0) + _zz(snap_id)
+            )
+            ml = _avro_ocf(_MANIFEST_LIST_SCHEMA, prior, batch_id + 7)
+            with open(os.path.join(self.path, ml_rel), "wb") as f:
+                f.write(ml)
+            snapshot = {
+                "snapshot-id": snap_id,
+                "sequence-number": head_v + 1,
+                "timestamp-ms": 0,
+                "manifest-list": ml_rel,
+                "summary": {"operation": "append", "batch-id": str(batch_id)},
+            }
+            if md is None:
+                new_md = {
+                    "format-version": 2,
+                    "table-uuid": "00000000-0000-0000-0002-000000000000",
+                    "location": loc,
+                    "last-sequence-number": 1,
+                    "schemas": [
+                        {"type": "struct", "schema-id": 0, "fields": []}
+                    ],
+                    "current-schema-id": 0,
+                    "partition-specs": [{"spec-id": 0, "fields": []}],
+                    "default-spec-id": 0,
+                    "current-snapshot-id": snap_id,
+                    "snapshots": [snapshot],
+                }
+            else:
+                new_md = dict(md)
+                new_md["last-sequence-number"] = head_v + 1
+                new_md["current-snapshot-id"] = snap_id
+                new_md["snapshots"] = md["snapshots"] + [snapshot]
+            target = os.path.join(
+                self.path, "metadata", f"v{head_v + 1}.metadata.json"
+            )
+            if not self._publish(target, json.dumps(new_md).encode()):
+                if batch_id in self.committed_batch_ids():
+                    return None
+                continue  # lost the pointer race: retry on the new head
+            hint = os.path.join(self.path, "metadata", "version-hint.text")
+            tmp = hint + f".{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(head_v + 1))
+            os.replace(tmp, hint)
+            return snap_id
+        raise RuntimeError(
+            f"could not claim an iceberg metadata version for batch "
+            f"{batch_id} in {self.max_commit_attempts} attempts"
+        )
+
+    def sink(self):
+        def write(batch, batch_id: int) -> None:
+            self.commit_batch(batch, batch_id)
+
+        return write
+
+    # ------------------------------------------------------------- read
+
+    def scan(self, snapshot_id: int | None = None):
+        return iceberg_scan(self.spark, self.path, snapshot_id)

@@ -239,3 +239,107 @@ class TestIcebergScan:
         assert cur.count() == sum(_n(seed, j) for j in live)
         old = iceberg_scan(spark, path, snapshot_id=seed * 10 + 1)
         assert old.count() == _n(seed, 0) + _n(seed, 1)
+
+
+class TestIcebergAppendSink:
+    def test_commits_snapshots_and_time_travel(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+        )
+
+        sink = IcebergAppendSink(spark, str(tmp_path / "tbl"))
+        for i in range(3):
+            sink.commit_batch(
+                spark.range(i * 10, (i + 1) * 10).selectExpr("id AS k"), i
+            )
+        assert sink.scan().count() == 30
+        assert sink.scan(snapshot_id=1).count() == 10  # snapshot of batch 0
+        assert sink.scan(snapshot_id=2).count() == 20
+        assert sorted(r["k"] for r in sink.scan().collect()) == list(range(30))
+
+    def test_replay_and_restart_are_exactly_once(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path)
+        b = spark.createDataFrame([(1,), (2,)], "k long")
+        assert sink.commit_batch(b, 0) == 1
+        assert sink.commit_batch(b, 0) is None  # same-instance replay
+        fresh = IcebergAppendSink(spark, path)  # restart
+        assert fresh.commit_batch(b, 0) is None
+        assert fresh.commit_batch(b, 1) == 2
+        assert fresh.scan().count() == 4
+
+    def test_crash_before_commit_then_replay(self, spark, tmp_path):
+        import os
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path)
+        sink.commit_batch(spark.createDataFrame([(1,)], "k long"), 0)
+        # crash: data + manifest written, metadata never published
+        with open(os.path.join(path, "data/part-b0000000001.parquet"), "wb") as f:
+            f.write(b"dead writer")
+        assert sink.commit_batch(spark.createDataFrame([(2,)], "k long"), 1) == 2
+        assert sink.scan().count() == 2
+
+    def test_lost_pointer_race_retries(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path)
+        sink.commit_batch(spark.createDataFrame([(1,)], "k long"), 0)
+        # a second writer claims v2 with a foreign snapshot
+        _, md = sink._head()
+        foreign = dict(md)
+        foreign["snapshots"] = md["snapshots"] + [
+            {
+                "snapshot-id": 777, "sequence-number": 2, "timestamp-ms": 0,
+                "manifest-list": md["snapshots"][0]["manifest-list"],
+                "summary": {"operation": "append", "batch-id": "777"},
+            }
+        ]
+        foreign["current-snapshot-id"] = 777
+        with open(os.path.join(path, "metadata", "v2.metadata.json"), "w") as f:
+            f.write(_json.dumps(foreign))
+        # our batch 1 loses the v2 race and lands on v3
+        assert sink.commit_batch(spark.createDataFrame([(2,)], "k long"), 1) == 2
+        versions = sink._meta_versions()
+        assert sorted(versions) == [1, 2, 3]
+
+    def test_readable_by_the_zip_reader_arithmetic(self, spark, tmp_path):
+        # the sink's table, zipped, reads through read_iceberg_snapshot
+        import io
+        import os
+        import zipfile
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+            read_iceberg_snapshot,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path)
+        sink.commit_batch(spark.createDataFrame([(5,), (7,)], "k long"), 0)
+        sink.commit_batch(spark.createDataFrame([(11,)], "k long"), 1)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, path))
+        snap = read_iceberg_snapshot(buf.getvalue())
+        assert snap == {
+            "snapshot_id": 2, "n_manifests": 2, "n_files": 2,
+            "n_rows": 3, "int_sum": 23, "n_partitions": 0,
+        }
