@@ -1324,3 +1324,80 @@ def test_streaming_xz_and_lz4_ingestion_match_batch(spark, sf_dir, tmp_path):
         got = {tuple(r) for r in spark.sql(f"select * from {view}").collect()}
         want = {tuple(r) for r in op(payloads).collect()}
         assert got == want and len(want) > 0, kind
+
+
+def test_streaming_delta_lake_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The r12 Delta surface under a REAL Structured Streaming query (not
+    direct foreachBatch calls): a file-landing stream drains through
+    foreachBatch into DeltaAppendSink (checkpointed, multi-micro-batch),
+    the table reads back exactly via delta_scan, a second IDENTICAL run
+    over the same Spark checkpoint replays nothing (txn idempotence under
+    the engine's own batch ids), and DeltaStreamSource chains the table
+    into a downstream DeltaKeyedStore — lake-to-lake, all open format."""
+    import os
+
+    from flink_gmall2024_realtime_spark.operators.deltalog import delta_scan
+    from flink_gmall2024_realtime_spark.streaming.delta import (
+        DeltaAppendSink,
+        DeltaKeyedStore,
+        DeltaStreamSource,
+    )
+
+    # pin ts to its ISO string so the stream schema, the delta
+    # schemaString and the comparison all agree (load_table normalizes
+    # the on-disk flavor to timestamp_ntz; ISO strings sort
+    # chronologically, so max-per-user semantics survive)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("string").alias("ts"),
+    ).filter(F.col("event_id") % 37 == 0)
+    src = os.path.join(str(tmp_path), "landing")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).write.parquet(
+            os.path.join(src, f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    table = os.path.join(str(tmp_path), "delta_tbl")
+    sink = DeltaAppendSink(table, checkpoint_interval=2)
+
+    def run(name):
+        q = (
+            stream.writeStream.foreachBatch(sink.sink())
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+            .trigger(availableNow=True)
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run("delta_e2e_1")
+    got = {tuple(r) for r in delta_scan(spark, table).collect()}
+    want = {tuple(r) for r in ev.collect()}
+    assert got == want and len(want) > 10
+    head = sink.snapshot()
+    # identical second run over the same Spark checkpoint: availableNow
+    # re-reads nothing, and even a fresh sink instance skips known ids
+    run("delta_e2e_2")
+    assert sink.snapshot() == head
+    # chain: incremental source -> keyed store (latest event per user)
+    source = DeltaStreamSource(spark, table)
+    store = DeltaKeyedStore(
+        spark, os.path.join(str(tmp_path), "per_user"), key="user_id",
+        order_col="ts",
+    )
+    n = source.stream_to(store.sink())
+    assert n == 1  # snapshot-first batch covers the whole table
+    per_user = {r["user_id"]: r["ts"] for r in store.read_latest().collect()}
+    want_latest = {
+        r["user_id"]: r["max(ts)"]
+        for r in ev.groupBy("user_id").agg(F.max("ts")).collect()
+    }
+    assert per_user == want_latest
