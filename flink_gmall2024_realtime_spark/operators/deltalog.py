@@ -151,6 +151,21 @@ def _add_checkpoint_part(checkpoints: dict, fn: str, blob: bytes) -> None:
     entry["parts"][idx] = blob
 
 
+def _complete_checkpoints(checkpoints: dict, at_most: int | None = None) -> list[int]:
+    """Versions of checkpoints whose parts are ALL present (ascending).
+    A crash mid multi-part checkpoint write can leave some parts
+    published — such a checkpoint must never be selected when the
+    ``_last_checkpoint`` pointer is absent; delta-spark falls back to
+    the newest COMPLETE one (ADVICE r12)."""
+    out = []
+    for v, entry in checkpoints.items():
+        if at_most is not None and v > at_most:
+            continue
+        if all(i in entry["parts"] for i in range(entry["n"])):
+            out.append(v)
+    return sorted(out)
+
+
 def _checkpoint_blobs(checkpoints: dict, v: int) -> list[bytes]:
     """All parts of checkpoint ``v`` in order; raises when incomplete."""
     entry = checkpoints.get(v)
@@ -254,8 +269,16 @@ def _read_snapshot(
             )
     elif checkpoints:
         # tolerate a missing _last_checkpoint (it is only a pointer):
-        # the newest single-part checkpoint file is authoritative
-        cp_version = max(checkpoints)
+        # the newest COMPLETE checkpoint is authoritative — a crash mid
+        # multi-part write can leave partial parts published, and those
+        # must not poison the read when an older complete checkpoint or
+        # the full JSON log can serve it (ADVICE r12)
+        complete = _complete_checkpoints(checkpoints)
+        if complete:
+            cp_version = complete[-1]
+        elif 0 not in log:
+            # no usable checkpoint AND the JSON prefix is pruned: loud
+            _checkpoint_blobs(checkpoints, max(checkpoints))
     if not log and cp_version is None:
         raise ValueError("no _delta_log commit files in payload")
     latest = max(max(log, default=-1), cp_version if cp_version is not None else -1)
@@ -905,8 +928,15 @@ def replay_delta_dir(path: str, version: int | None = None) -> dict:
     txns: dict[str, int] = {}
     start = 0
     if 0 not in json_versions:
-        cps = [c for c in checkpoints if c <= version]
+        # newest COMPLETE checkpoint at/below the target version — a
+        # partial multi-part checkpoint (crash mid-write) must not be
+        # selected when an older complete one can serve (ADVICE r12)
+        cps = _complete_checkpoints(checkpoints, at_most=version)
         if not cps:
+            below = [c for c in checkpoints if c <= version]
+            if below:
+                # only incomplete checkpoints exist: loud, with parts
+                _checkpoint_blobs(checkpoints, max(below))
             raise ValueError(
                 f"version {version} precedes the checkpoint and the JSON "
                 "prefix is pruned"

@@ -72,9 +72,19 @@ def _iceberg_live(
     if not metas:
         raise ValueError("no metadata/*.metadata.json in payload")
     hint = members_get("metadata/version-hint.text", optional=True)
-    ver = int(hint.decode().strip()) if hint else max(metas)
+    # the hint is a STARTING POINT, not the truth: a crash between the
+    # metadata publish and the hint write (or a racing committer's
+    # os.replace) can leave it lagging — probe forward to the newest
+    # metadata file, like HadoopTableOperations (ADVICE r12)
+    ver = max(metas)
+    if hint:
+        hinted = int(hint.decode().strip())
+        if hinted > ver:
+            raise ValueError(
+                f"version-hint names v{hinted} but no such metadata file"
+            )
     if ver not in metas:
-        raise ValueError(f"version-hint names v{ver} but no such metadata file")
+        raise ValueError(f"metadata v{ver} missing from payload")
     md = json.loads(members_get(metas[ver]))
     fv = md.get("format-version", 1)
     if fv not in (1, 2):
@@ -830,11 +840,24 @@ class IcebergAppendSink:
                 if batch_id in self.committed_batch_ids():
                     return None
                 continue  # lost the pointer race: retry on the new head
+            # advance the hint, never move it backwards: a racing
+            # committer's blind os.replace could otherwise roll the
+            # pointer back and serve readers a stale snapshot until the
+            # next commit (ADVICE r12). Readers also probe forward past
+            # the hint, so a crash landing here is only a lost hint
+            # update, never a lost commit.
             hint = os.path.join(self.path, "metadata", "version-hint.text")
-            tmp = hint + f".{os.getpid()}.tmp"
-            with open(tmp, "w") as f:
-                f.write(str(head_v + 1))
-            os.replace(tmp, hint)
+            current = -1
+            try:
+                with open(hint) as f:
+                    current = int(f.read().strip())
+            except (FileNotFoundError, ValueError):
+                pass
+            if head_v + 1 > current:
+                tmp = hint + f".{os.getpid()}.tmp"
+                with open(tmp, "w") as f:
+                    f.write(str(head_v + 1))
+                os.replace(tmp, hint)
             return snap_id
         raise RuntimeError(
             f"could not claim an iceberg metadata version for batch "

@@ -53,6 +53,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame
 
@@ -173,6 +174,7 @@ class DeltaAppendSink:
         from ..operators.deltalog import (
             _add_checkpoint_part,
             _checkpoint_blobs,
+            _complete_checkpoints,
             read_checkpoint_full_state,
         )
 
@@ -180,8 +182,11 @@ class DeltaAppendSink:
         for fn in os.listdir(self._logdir()):
             if fn.endswith(".parquet") and ".checkpoint" in fn:
                 _add_checkpoint_part(found, fn, os.path.join(self._logdir(), fn))
+        complete = _complete_checkpoints(found)
+        if not complete:
+            return  # partial crash leftovers only — nothing to seed from
         blobs = []
-        for part_path in _checkpoint_blobs(found, cps[-1]):
+        for part_path in _checkpoint_blobs(found, complete[-1]):
             with open(part_path, "rb") as f:
                 blobs.append(f.read())
         state = read_checkpoint_full_state(blobs)
@@ -269,7 +274,13 @@ class DeltaAppendSink:
                     try:
                         mn, mx = mn.decode(), mx.decode()
                     except UnicodeDecodeError:
-                        continue  # binary stats are not JSON-portable
+                        # binary stats are not JSON-portable — and keeping
+                        # an earlier row group's narrower bounds would let
+                        # data skipping prune matching rows (ADVICE r12):
+                        # drop the column entirely, stats stay conservative
+                        mins.pop(name, None)
+                        maxs.pop(name, None)
+                        continue
                 if rg == 0 or name in mins:
                     mins[name] = mn if name not in mins else min(mins[name], mn)
                     maxs[name] = mx if name not in maxs else max(maxs[name], mx)
@@ -419,6 +430,12 @@ class DeltaAppendSink:
                 if self._is_committed(batch_id):
                     return None
                 continue  # append-only commits never conflict; retry above
+            # fold OUR OWN commit into the replay-dedupe state immediately:
+            # a same-instance replay after clean_log() pruned this JSON
+            # would otherwise pass _is_committed and double-commit
+            # (ADVICE r12)
+            self._known_batch_ids.add(batch_id)
+            self._txn_max = max(self._txn_max, batch_id)
             self._maybe_checkpoint(next_v)
             return next_v
         raise ConcurrentWriteError(
@@ -487,17 +504,28 @@ class DeltaAppendSink:
 
         return write
 
-    def vacuum_orphans(self) -> list[str]:
+    def vacuum_orphans(
+        self, retention_seconds: float = 7 * 24 * 3600.0
+    ) -> list[str]:
         """Delete data files under the table root that the HEAD snapshot
         does not reference — crash leftovers from writers that died
         between the data write and the commit (real Delta's VACUUM of
         unreferenced files). Never touches _delta_log or _staging, and a
         table with no commits vacuums nothing (the files may be a
-        not-yet-committed first batch)."""
+        not-yet-committed first batch).
+
+        ``retention_seconds`` (default 7 days, real VACUUM's default)
+        protects the multi-writer OCC window: a concurrent writer that
+        has written its data file but not yet published its commit would
+        otherwise lose the file and then commit a dangling reference,
+        breaking every read (ADVICE r12). Files younger than the horizon
+        (by mtime) are kept; pass 0 only when no other writer can be
+        in flight."""
         head = self.head_version()
         if head < 0:
             return []
         live = set(self.live_files(head))
+        horizon = time.time() - retention_seconds
         dropped = []
         for fn in sorted(os.listdir(self.path)):
             if (
@@ -505,7 +533,10 @@ class DeltaAppendSink:
                 and fn not in live
                 and not fn.startswith((".", "_"))
             ):
-                os.unlink(os.path.join(self.path, fn))
+                full = os.path.join(self.path, fn)
+                if os.path.getmtime(full) > horizon:
+                    continue  # possibly an in-flight writer's data file
+                os.unlink(full)
                 dropped.append(fn)
         return dropped
 
@@ -582,6 +613,11 @@ class DeltaAppendSink:
             if v <= cp:
                 os.unlink(self._commit_path(v))
                 pruned.append(v)
+        # the pruned JSON may have carried batch ids this instance never
+        # scanned — force the next _is_committed to re-seed from the
+        # checkpoint's txn rows (ADVICE r12)
+        if pruned:
+            self._txn_seeded = False
         return pruned
 
     # ------------------------------------------------------------ read
@@ -706,12 +742,18 @@ class DeltaKeyedStore(DeltaAppendSink):
 
     # ----------------------------------------------------------- vacuum
 
-    def vacuum(self) -> list[int]:
+    def vacuum(
+        self, retention_seconds: float = 7 * 24 * 3600.0
+    ) -> list[int]:
         """Delete data files no longer referenced by the HEAD snapshot
         (removed by earlier merges) — Delta's VACUUM. Historical time
         travel below the vacuum horizon stops working, exactly like the
-        real thing. Returns deleted file names."""
+        real thing. ``retention_seconds`` (default 7 days) keeps files
+        younger than the horizon so an in-flight concurrent writer's
+        not-yet-committed data file survives (ADVICE r12); pass 0 only
+        under a single-writer guarantee. Returns deleted file names."""
         live = set(self.live_files())
+        horizon = time.time() - retention_seconds
         dropped = []
         for fn in sorted(os.listdir(self.path)):
             if (
@@ -719,7 +761,10 @@ class DeltaKeyedStore(DeltaAppendSink):
                 and fn not in live
                 and not fn.startswith((".", "_"))
             ):
-                os.unlink(os.path.join(self.path, fn))
+                full = os.path.join(self.path, fn)
+                if os.path.getmtime(full) > horizon:
+                    continue
+                os.unlink(full)
                 dropped.append(fn)
         return dropped
 

@@ -583,6 +583,69 @@ class TestDeltaSinkCheckpointing:
         assert sink2.commit_batch(df, 12) == 12
         assert sink2.snapshot()["n_rows"] == 13
 
+    def test_same_instance_replay_after_clean_log(self, spark, tmp_path):
+        # ADVICE r12: a SAME-instance replay after clean_log() pruned
+        # the batch's commit JSON must still be recognized as committed
+        # (foreachBatch retry after mid-stream cleanup). Previously the
+        # seeded-flag short-circuit plus never-folding own commits let
+        # the replay re-commit the batch -> duplicate rows.
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path, checkpoint_interval=2)
+        for i in range(4):
+            df = spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+            sink.commit_batch(df, i)
+        assert sink.clean_log() == [0, 1, 2, 3]  # checkpoints at 1, 3
+        for i in range(4):  # replay EVERY batch on the same instance
+            df = spark.createDataFrame([(i, "dup")], "k long, v string")
+            assert sink.commit_batch(df, i) is None
+        assert sink.snapshot()["n_rows"] == 4
+        # distributed path: replay after cleanup leaves no stale files
+        sink.commit_batch_distributed(
+            spark.range(4).selectExpr("id AS k", "'x' AS v"), 4
+        )
+        sink.write_checkpoint(4)
+        sink.clean_log()
+        assert sink.commit_batch_distributed(
+            spark.range(2).selectExpr("id AS k", "'dup' AS v"), 4
+        ) is None
+        assert sink.snapshot()["n_rows"] == 8
+
+    def test_incomplete_multipart_checkpoint_falls_back(self, spark, tmp_path):
+        # ADVICE r12: when _last_checkpoint is lost and the newest
+        # multi-part checkpoint is missing a part (crash mid-write),
+        # reads must fall back to the newest COMPLETE checkpoint (or the
+        # JSON log) instead of raising 'missing parts'.
+        import os
+
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path, checkpoint_interval=3, checkpoint_parts=2)
+        for i in range(7):
+            df = spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+            sink.commit_batch(df, i)
+        logdir = os.path.join(path, "_delta_log")
+        assert sink.checkpoint_versions() == [2, 5]
+        # crash simulation: newest checkpoint loses part 2 of 2 AND the
+        # pointer file
+        os.unlink(
+            os.path.join(
+                logdir, "00000000000000000005.checkpoint.0000000002.0000000002.parquet"
+            )
+        )
+        os.unlink(os.path.join(logdir, "_last_checkpoint"))
+        assert sink.snapshot()["n_rows"] == 7  # via checkpoint 2 + JSON tail
+        # a fresh sink instance still recognizes pruned-era batch ids by
+        # seeding from the complete checkpoint, not the partial one
+        fresh = DeltaAppendSink(path, checkpoint_interval=3, checkpoint_parts=2)
+        for v in range(3):
+            os.unlink(os.path.join(logdir, f"{v:020d}.json"))
+        df = spark.createDataFrame([(0, "dup")], "k long, v string")
+        assert fresh.commit_batch(df, 0) is None
+        assert fresh.commit_batch(df, 7) == 7
+
     def test_checkpoint_after_clean_uses_prior_checkpoint(self, spark, tmp_path):
         from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
 
@@ -657,8 +720,12 @@ class TestDeltaKeyedStore:
         # the generic snapshot auditor agrees (live set is one file)
         assert store.snapshot()["n_files"] == 1
         assert store.snapshot()["n_rows"] == 3
-        # vacuum drops unreferenced files; head still reads, history not
-        dropped = store.vacuum()
+        # default retention (7d) protects freshly-written files — an
+        # in-flight concurrent writer's data must survive (ADVICE r12)
+        assert store.vacuum() == []
+        # vacuum with no retention drops unreferenced files; head still
+        # reads, history not
+        dropped = store.vacuum(retention_seconds=0)
         assert len(dropped) == 2
         assert self._rows(store.read_latest()) == [
             ("a", 5, "x2"), ("c", 3, "z"), ("d", 4, "w"),
@@ -1150,12 +1217,17 @@ class TestSourceRateLimitAndVacuum:
         # may be a first batch that has not committed yet)
         with open(os.path.join(path, "part-b0000000000.parquet"), "wb") as f:
             f.write(b"in flight")
-        assert sink.vacuum_orphans() == []
+        assert sink.vacuum_orphans(retention_seconds=0) == []
         os.unlink(os.path.join(path, "part-b0000000000.parquet"))
         sink.commit_batch(spark.createDataFrame([(1,)], "k long"), 0)
         # crash leftover: data file written, never committed
         with open(os.path.join(path, "part-b0000000009.parquet"), "wb") as f:
             f.write(b"dead writer leftover")
-        assert sink.vacuum_orphans() == ["part-b0000000009.parquet"]
-        assert sink.snapshot()["n_rows"] == 1  # live data untouched
+        # default retention (7d) protects the file — it could equally be
+        # a LIVE concurrent writer mid-commit (ADVICE r12)
         assert sink.vacuum_orphans() == []
+        assert sink.vacuum_orphans(retention_seconds=0) == [
+            "part-b0000000009.parquet"
+        ]
+        assert sink.snapshot()["n_rows"] == 1  # live data untouched
+        assert sink.vacuum_orphans(retention_seconds=0) == []

@@ -62,18 +62,28 @@ class TestSnapshots:
         with pytest.raises(ValueError, match="not in table metadata"):
             read_iceberg_snapshot(synth_iceberg_table(2), 424242)
 
-    def test_version_hint_is_honored(self):
-        # pointing the hint at v1 must read the ONE-snapshot metadata:
-        # the current snapshot becomes s1 and s2 is unknown
+    def test_lagging_version_hint_probes_forward(self):
+        # a hint left behind by a crash between metadata publish and
+        # hint write (or a racing committer's rollback) must NOT serve a
+        # stale snapshot: readers probe forward to the newest metadata
+        # file, HadoopTableOperations-style (ADVICE r12)
         seed = 2
 
         def hint_v1(members):
             members["metadata/version-hint.text"] = b"1"
 
         p = _rebuild(synth_iceberg_table(seed), hint_v1)
-        assert read_iceberg_snapshot(p)["snapshot_id"] == seed * 10 + 1
-        with pytest.raises(ValueError, match="not in table metadata"):
-            read_iceberg_snapshot(p, seed * 10 + 2)
+        assert read_iceberg_snapshot(p)["snapshot_id"] == seed * 10 + 2
+        # time travel to s1 through the newest metadata still works
+        assert read_iceberg_snapshot(p, seed * 10 + 1)["n_files"] == 2
+
+    def test_hint_past_newest_metadata_raises(self):
+        def hint_v9(members):
+            members["metadata/version-hint.text"] = b"9"
+
+        p = _rebuild(synth_iceberg_table(2), hint_v9)
+        with pytest.raises(ValueError, match="version-hint names v9"):
+            read_iceberg_snapshot(p)
 
     def test_latest_metadata_wins_without_hint(self):
         def drop_hint(members):
