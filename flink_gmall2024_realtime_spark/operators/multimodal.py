@@ -2859,6 +2859,20 @@ def _synth_delta_partitioned(seed: int) -> bytes:
     return synth_delta_partitioned(seed)
 
 
+def _synth_delta_dv(seed: int) -> bytes:
+    """Lazy import of the deletion-vector Delta-table ZIP fixture (r13)."""
+    from .deltalog import synth_delta_dv
+
+    return synth_delta_dv(seed)
+
+
+def _synth_delta_mapped(seed: int) -> bytes:
+    """Lazy import of the column-mapped Delta-table ZIP fixture (r13)."""
+    from .deltalog import synth_delta_mapped
+
+    return synth_delta_mapped(seed)
+
+
 def _synth_parquet_nested(seed: int) -> bytes:
     """Lazy import of the nested parquet fixture (pyarrow-written, r12)."""
     from .parquetmeta import synth_parquet_nested
@@ -2935,6 +2949,8 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "iceberg_table": _synth_iceberg_table,
         "iceberg_partitioned": _synth_iceberg_partitioned,
         "delta_partitioned": _synth_delta_partitioned,
+        "delta_dv": _synth_delta_dv,
+        "delta_mapped": _synth_delta_mapped,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

@@ -899,6 +899,22 @@ def _synth_iceberg(seed: int) -> bytes:
     return synth_iceberg_table(seed)
 
 
+def _roaring_parse(payload: bytes):
+    from flink_gmall2024_realtime_spark.operators.roaring import (
+        parse_roaring_bitmap_array,
+    )
+
+    return parse_roaring_bitmap_array(payload)
+
+
+def _synth_roaring(seed: int) -> bytes:
+    from flink_gmall2024_realtime_spark.operators.roaring import (
+        synth_roaring_dump,
+    )
+
+    return synth_roaring_dump(seed)
+
+
 def _synth_checkpoint_blob(seed: int) -> bytes:
     from flink_gmall2024_realtime_spark.operators import deltalog
 
@@ -919,7 +935,7 @@ def _synth_lzma_alone(seed: int) -> bytes:
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 31), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 34), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -977,6 +993,10 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (deltalog.read_delta_snapshot, deltalog.synth_delta_partitioned),
         (parquetmeta.parse_parquet_records, _synth_checkpoint_blob),
         (_iceberg_read, _synth_iceberg),
+        # r13: deletion-vector / column-mapping tables + the roaring codec
+        (deltalog.read_delta_snapshot, deltalog.synth_delta_dv),
+        (deltalog.read_delta_snapshot, deltalog.synth_delta_mapped),
+        (_roaring_parse, _synth_roaring),
     ]
     fn, synth = table[which]
     cases = [noise]
