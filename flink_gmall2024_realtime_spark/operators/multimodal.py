@@ -2894,6 +2894,27 @@ def _synth_iceberg_partitioned(seed: int) -> bytes:
     return synth_iceberg_partitioned(seed)
 
 
+def _synth_iceberg_deletes(seed: int) -> bytes:
+    """Lazy import of the merge-on-read Iceberg ZIP fixture (r13)."""
+    from .iceberg import synth_iceberg_deletes
+
+    return synth_iceberg_deletes(seed)
+
+
+def _synth_iceberg_stats(seed: int) -> bytes:
+    """Lazy import of the column-bounds Iceberg ZIP fixture (r13)."""
+    from .iceberg import synth_iceberg_stats
+
+    return synth_iceberg_stats(seed)
+
+
+def _synth_iceberg_transforms(seed: int) -> bytes:
+    """Lazy import of the transform-partitioned Iceberg ZIP fixture (r13)."""
+    from .iceberg import synth_iceberg_transforms
+
+    return synth_iceberg_transforms(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2951,6 +2972,9 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "delta_partitioned": _synth_delta_partitioned,
         "delta_dv": _synth_delta_dv,
         "delta_mapped": _synth_delta_mapped,
+        "iceberg_deletes": _synth_iceberg_deletes,
+        "iceberg_stats": _synth_iceberg_stats,
+        "iceberg_transforms": _synth_iceberg_transforms,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

@@ -1553,6 +1553,174 @@ def iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_delete_audit",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS d, doc_id % 20 + 5 AS n0, (doc_id + 1) % 20 + 5 AS n1,
+         (doc_id + 2) % 20 + 5 AS n2
+  FROM documents
+),
+i0 AS (
+  SELECT d, t.i FROM p, UNNEST(generate_series(0, (n0 - 1)::BIGINT)) AS t(i)
+),
+i1 AS (
+  SELECT d, t.i FROM p, UNNEST(generate_series(0, (n1 - 1)::BIGINT)) AS t(i)
+),
+f0 AS (
+  SELECT d, COUNT(*) AS c_all, SUM(d + i) AS s_all,
+         COUNT(*) FILTER (WHERE i % 3 <> 0) AS c_keep,
+         SUM(d + i) FILTER (WHERE i % 3 <> 0) AS s_keep
+  FROM i0 GROUP BY d
+),
+f1 AS (
+  SELECT d, COUNT(*) AS c_all, SUM(d + 100 + i) AS s_all,
+         COUNT(*) FILTER (WHERE i % 4 <> 1) AS c_keep,
+         SUM(d + 100 + i) FILTER (WHERE i % 4 <> 1) AS s_keep
+  FROM i1 GROUP BY d
+),
+f2 AS (
+  SELECT d, n2 AS c_all,
+         n2 * (d + 200) + n2 * (n2 - 1) // 2 AS s_all
+  FROM p
+)
+SELECT f0.d AS media_id, 1::INT AS snapshot_ord, 1::INT AS n_manifests,
+       2::INT AS n_files, (f0.c_all + f1.c_all)::BIGINT AS n_rows,
+       (f0.s_all + f1.s_all)::BIGINT AS int_sum
+FROM f0 JOIN f1 ON f0.d = f1.d
+UNION ALL
+SELECT f0.d, 2::INT, 2::INT, 2::INT, (f0.c_keep + f1.c_keep)::BIGINT,
+       (f0.s_keep + f1.s_keep)::BIGINT
+FROM f0 JOIN f1 ON f0.d = f1.d
+UNION ALL
+SELECT f0.d, 3::INT, 3::INT, 3::INT,
+       (f0.c_keep + f1.c_keep + f2.c_all)::BIGINT,
+       (f0.s_keep + f1.s_keep + f2.s_all)::BIGINT
+FROM f0 JOIN f1 ON f0.d = f1.d JOIN f2 ON f0.d = f2.d
+""",
+    survey_ids=("dim-snapshot",),
+)
+def iceberg_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 POSITION DELETES — merge-on-read (r13, VERDICT r12
+    #2): per doc a three-snapshot table whose snap-2 DELETE manifest
+    carries a positional-delete parquet file ((file_path, pos) rows,
+    decoded through the in-repo nested parquet reader) masking rows of
+    files 0/1, and whose snap-3 adds file 2 with a data sequence number
+    ABOVE the delete's — the spec's sequence rule must leave it
+    untouched even though the delete file lists its path. Equality
+    deletes stay a loud seam. Oracle reproduces all three snapshots
+    from seed arithmetic. Per-row Arrow work — linear by construction
+    (``operators/iceberg.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "iceberg_deletes")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zip"
+    )
+    from ..operators.iceberg import iceberg_delete_stats
+
+    return iceberg_delete_stats(media)
+
+
+@register(
+    "iceberg_stats_prune",
+    oracle="""
+WITH f AS (
+  SELECT doc_id AS d, j,
+         (doc_id + j) % 20 + 5 AS n,
+         ((doc_id + j) % 20 + 5) * (doc_id + 100 * j)
+           + ((doc_id + j) % 20 + 5) * ((doc_id + j) % 20 + 4) // 2 AS s
+  FROM documents, UNNEST(generate_series(0, 3::BIGINT)) AS t(j)
+)
+SELECT d AS media_id, 'all' AS scope, 4::INT AS n_files,
+       SUM(n)::BIGINT AS n_rows, SUM(s)::BIGINT AS int_sum,
+       0::INT AS n_partitions
+FROM f GROUP BY d
+UNION ALL
+SELECT d, 'hi', 1::INT,
+       (SUM(n) FILTER (WHERE j = 3))::BIGINT,
+       (SUM(s) FILTER (WHERE j = 3))::BIGINT, 0::INT
+FROM f GROUP BY d
+""",
+    survey_ids=("dim-snapshot",),
+)
+def iceberg_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg manifest COLUMN-BOUNDS file skipping (r13 — VERDICT r12
+    #4, parity with Delta's AddFile min/max): per doc a table whose
+    manifest entries carry ``lower_bounds``/``upper_bounds`` (field-id
+    keyed, 8-byte little-endian single-value serialization); a
+    ``stats_filter`` k >= seed+300 keeps only file 3 — pruned in
+    METADATA, before any data decode (the unit suite proves it by
+    corrupting the pruned files). Oracle reproduces both reads from
+    seed arithmetic. Per-row Arrow work — linear by construction
+    (``operators/iceberg.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "iceberg_stats")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zip"
+    )
+    from ..operators.iceberg import iceberg_stats_prune_stats
+
+    return iceberg_stats_prune_stats(media)
+
+
+@register(
+    "iceberg_transform_prune",
+    oracle="""
+WITH f AS (
+  SELECT doc_id AS d, j,
+         (doc_id + j) % 20 + 5 AS n,
+         ((doc_id + j) % 20 + 5) * (doc_id + 100 * j)
+           + ((doc_id + j) % 20 + 5) * ((doc_id + j) % 20 + 4) // 2 AS s
+  FROM documents, UNNEST(generate_series(0, 5::BIGINT)) AS t(j)
+)
+SELECT d AS media_id, 'all' AS scope, 6::INT AS n_files,
+       SUM(n)::BIGINT AS n_rows, SUM(s)::BIGINT AS int_sum,
+       6::INT AS n_partitions
+FROM f GROUP BY d
+UNION ALL
+SELECT d, 'b0', 2::INT,
+       (SUM(n) FILTER (WHERE j IN (0, 4)))::BIGINT,
+       (SUM(s) FILTER (WHERE j IN (0, 4)))::BIGINT, 2::INT
+FROM f GROUP BY d
+UNION ALL
+SELECT d, 't_ab', 2::INT,
+       (SUM(n) FILTER (WHERE j IN (1, 2)))::BIGINT,
+       (SUM(s) FILTER (WHERE j IN (1, 2)))::BIGINT, 2::INT
+FROM f GROUP BY d
+UNION ALL
+SELECT d, 'b0_aa', 1::INT,
+       (SUM(n) FILTER (WHERE j = 0))::BIGINT,
+       (SUM(s) FILTER (WHERE j = 0))::BIGINT, 1::INT
+FROM f GROUP BY d
+UNION ALL
+SELECT d, 'day0', 3::INT,
+       (SUM(n) FILTER (WHERE j <= 2))::BIGINT,
+       (SUM(s) FILTER (WHERE j <= 2))::BIGINT, 3::INT
+FROM f GROUP BY d
+""",
+    survey_ids=("dim-snapshot",),
+)
+def iceberg_transform_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg NON-IDENTITY partition transforms (r13 — VERDICT r12
+    #5): per doc a table partitioned by ``bucket[4]`` (the spec's
+    32-bit murmur3, Appendix-B vectors pinned in the unit suite),
+    ``truncate[2]`` and ``day``; every filter is a SOURCE value the
+    reader transforms before comparing the manifests' partition structs
+    — file skipping by transformed value, the thing identity-only
+    pruning cannot do. Source constants per file are fixed so the
+    bucket survivor sets are closed-form for the oracle; row
+    counts/sums stay seed-driven. Per-row Arrow work — linear by
+    construction (``operators/iceberg.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "iceberg_transforms")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zip"
+    )
+    from ..operators.iceberg import iceberg_transform_stats
+
+    return iceberg_transform_stats(media)
+
+
+@register(
     "url_canonical_dedup",
     oracle="""
 WITH c AS (

@@ -156,7 +156,10 @@ class TestSeams:
                 _MANIFEST_LIST_SCHEMA, [entry], 99
             )
 
-        with pytest.raises(NotImplementedError, match="DELETE manifests"):
+        # r13: DELETE manifests are read (position deletes compose) —
+        # but a delete manifest whose entries are NOT delete files is a
+        # spec violation and must refuse, not misread
+        with pytest.raises(ValueError, match="non-delete data_file"):
             read_iceberg_snapshot(_rebuild(synth_iceberg_table(2), make_delete), 21)
 
     def test_future_format_version_is_loud(self):
@@ -353,3 +356,254 @@ class TestIcebergAppendSink:
             "snapshot_id": 2, "n_manifests": 2, "n_files": 2,
             "n_rows": 3, "int_sum": 23, "n_partitions": 0,
         }
+
+
+def _unzip_to_dir(payload: bytes, root) -> str:
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        for name in z.namelist():
+            dst = root / name
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            dst.write_bytes(z.read(name))
+    return str(root)
+
+
+class TestTransforms:
+    """r13 (VERDICT r12 #5): bucket/truncate/day partition transforms."""
+
+    def test_murmur3_matches_iceberg_spec_appendix_b(self):
+        # the spec's published hash vectors — the external anchor (no
+        # murmur3 library ships in this container)
+        import struct
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            _murmur3_x86_32,
+        )
+
+        def signed(u):
+            return u - (1 << 32) if u >= (1 << 31) else u
+
+        assert signed(_murmur3_x86_32(struct.pack("<q", 34))) == 2017239379
+        assert signed(_murmur3_x86_32(b"iceberg")) == 1210000089
+        assert signed(_murmur3_x86_32(struct.pack("<q", 17486))) == -653330422
+        assert (
+            signed(_murmur3_x86_32(struct.pack("<q", 1510871468000000)))
+            == -2047944441
+        )
+
+    def test_transform_semantics(self):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            _apply_transform,
+            iceberg_bucket,
+        )
+
+        # ints hash as longs (spec: bucketing survives type promotion)
+        assert iceberg_bucket(34, 16, "int") == iceberg_bucket(34, 16, "long")
+        assert _apply_transform("identity", "x", "string") == "x"
+        # truncate uses FLOORED mod for negatives, per spec
+        assert _apply_transform("truncate[10]", -1, "long") == -10
+        assert _apply_transform("truncate[10]", 19, "long") == 10
+        assert _apply_transform("truncate[3]", "iceberg", "string") == "ice"
+        # day floors micros to days
+        assert _apply_transform("day", 17486 * 86400000000 + 5, "timestamp") == 17486
+        assert _apply_transform("day", 17486, "date") == 17486
+        assert _apply_transform("void", 123, "long") is None
+        with pytest.raises(NotImplementedError, match="transform"):
+            _apply_transform("year", 1, "date")
+
+    def test_bucket_pruning_cross_checked_against_full_scan(self):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            read_iceberg_snapshot,
+            synth_iceberg_transforms,
+        )
+
+        seed = 5
+        p = synth_iceberg_transforms(seed)
+        full = read_iceberg_snapshot(p)
+        # source constants 0/3/4/6 hash to the four DISTINCT buckets
+        # 0/3/2/1, so the four filtered reads partition the table: their
+        # row/sum totals must reproduce the full scan exactly
+        scopes = [
+            read_iceberg_snapshot(p, partition_filter={"b_bucket": b})
+            for b in (0, 3, 4, 6)
+        ]
+        assert sum(s["n_rows"] for s in scopes) == full["n_rows"]
+        assert sum(s["int_sum"] for s in scopes) == full["int_sum"]
+        assert sum(s["n_files"] for s in scopes) == full["n_files"]
+        b0 = scopes[0]
+        n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+        assert b0["n_files"] == 2 and b0["n_rows"] == n(0) + n(4)
+
+    def test_unknown_partition_field_raises(self):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            read_iceberg_snapshot,
+            synth_iceberg_transforms,
+        )
+
+        with pytest.raises(ValueError, match="unknown partition field"):
+            read_iceberg_snapshot(
+                synth_iceberg_transforms(1), partition_filter={"nope": 1}
+            )
+
+
+class TestPositionDeletes:
+    """r13 (VERDICT r12 #2): v2 merge-on-read through DELETE manifests."""
+
+    def test_sequence_rule_protects_newer_data(self):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            read_iceberg_snapshot,
+            synth_iceberg_deletes,
+        )
+
+        for seed in (0, 1, 5):
+            p = synth_iceberg_deletes(seed)
+            n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+            keep0 = [i for i in range(n(0)) if i % 3 != 0]
+            keep1 = [i for i in range(n(1)) if i % 4 != 1]
+            v2 = read_iceberg_snapshot(p, seed * 10 + 2)
+            assert v2["n_rows"] == len(keep0) + len(keep1)
+            # snap 3: file 2's data_seq (3) > delete_seq (2) -> the
+            # delete rows listing file 2's path must NOT apply
+            v3 = read_iceberg_snapshot(p)
+            assert v3["n_rows"] == len(keep0) + len(keep1) + n(2)
+
+    def test_equality_deletes_stay_loud(self):
+        import json as _json
+
+        from flink_gmall2024_realtime_spark.operators.avro import parse_avro
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            read_iceberg_snapshot,
+            synth_iceberg_deletes,
+        )
+
+        def to_equality(members):
+            # rewrite the delete manifest declaring content=2 entries
+            from flink_gmall2024_realtime_spark.operators.avro import _zz
+            from flink_gmall2024_realtime_spark.operators.iceberg import (
+                _MANIFEST_SCHEMA,
+                _avro_ocf,
+                _enc_str,
+            )
+
+            _, recs = parse_avro(members["metadata/m-del.avro"])
+            df = recs[0]["data_file"]
+            entry = (
+                _zz(recs[0]["status"])
+                + _zz(recs[0]["snapshot_id"])
+                + _zz(2)  # EQUALITY_DELETES
+                + _enc_str(df["file_path"])
+                + _enc_str("PARQUET")
+                + _zz(df["record_count"])
+                + _zz(df["file_size_in_bytes"])
+            )
+            members["metadata/m-del.avro"] = _avro_ocf(
+                _MANIFEST_SCHEMA, [entry], 42
+            )
+            # manifest_length changed: patch the two manifest lists that
+            # reference it (snap 2 and snap 3)
+            meta = _json.loads(members["metadata/v1.metadata.json"])
+            from flink_gmall2024_realtime_spark.operators.iceberg import (
+                _MANIFEST_LIST_SEQ_SCHEMA,
+            )
+
+            for snap in meta["snapshots"][1:]:
+                ml_rel = snap["manifest-list"][len("warehouse/t/"):]
+                _, entries = parse_avro(members[ml_rel])
+                out = []
+                for e in entries:
+                    length = (
+                        len(members["metadata/m-del.avro"])
+                        if e["manifest_path"].endswith("m-del.avro")
+                        else e["manifest_length"]
+                    )
+                    out.append(
+                        _enc_str(e["manifest_path"])
+                        + _zz(length)
+                        + _zz(e["partition_spec_id"])
+                        + _zz(e["content"])
+                        + _zz(e["sequence_number"])
+                        + _zz(e["added_snapshot_id"])
+                    )
+                members[ml_rel] = _avro_ocf(_MANIFEST_LIST_SEQ_SCHEMA, out, 43)
+
+        with pytest.raises(NotImplementedError, match="EQUALITY"):
+            read_iceberg_snapshot(_rebuild(synth_iceberg_deletes(2), to_equality))
+
+    def test_iceberg_scan_respects_deletes(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+            synth_iceberg_deletes,
+        )
+
+        seed = 3
+        path = _unzip_to_dir(synth_iceberg_deletes(seed), tmp_path / "tbl")
+        n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+        expect = sorted(
+            [seed + i for i in range(n(0)) if i % 3 != 0]
+            + [seed + 100 + i for i in range(n(1)) if i % 4 != 1]
+            + [seed + 200 + i for i in range(n(2))]
+        )
+        got = sorted(r.k for r in iceberg_scan(spark, path).collect())
+        assert got == expect
+        # pre-delete snapshot scans every row
+        s1 = iceberg_scan(spark, path, snapshot_id=seed * 10 + 1)
+        assert s1.count() == n(0) + n(1)
+
+
+class TestStatsPruning:
+    """r13 (VERDICT r12 #4): manifest column-bounds file skipping."""
+
+    def test_pruned_files_are_never_decoded(self):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            read_iceberg_snapshot,
+            synth_iceberg_stats,
+        )
+
+        seed = 4
+
+        def corrupt_low_files(members):
+            for j in range(3):
+                members[f"data/part-{j:05d}.parquet"] = b"garbage"
+
+        p = _rebuild(synth_iceberg_stats(seed), corrupt_low_files)
+        hi = read_iceberg_snapshot(p, stats_filter={"k": (seed + 300, None)})
+        n3 = (seed + 3) % 20 + 5
+        assert hi["n_files"] == 1 and hi["n_rows"] == n3
+        # without the filter the corruption IS seen (proving the files
+        # only survive via pruning, not by accident)
+        with pytest.raises(ValueError):
+            read_iceberg_snapshot(p)
+
+    def test_files_without_bounds_are_kept(self):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            read_iceberg_snapshot,
+            synth_iceberg_table,
+        )
+
+        # the plain fixture's manifests carry no bounds at all: a stats
+        # filter must keep everything (skipping is an optimization)
+        p = synth_iceberg_table(2)
+        full = read_iceberg_snapshot(p)
+        filt = read_iceberg_snapshot(p, stats_filter={"k": (10**9, None)})
+        assert filt["n_rows"] == full["n_rows"]
+
+    def test_unknown_stats_column_raises(self):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            read_iceberg_snapshot,
+            synth_iceberg_stats,
+        )
+
+        with pytest.raises(ValueError, match="unknown column"):
+            read_iceberg_snapshot(
+                synth_iceberg_stats(1), stats_filter={"zzz": (0, 1)}
+            )
+
+    def test_iceberg_scan_stats_filter(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+            synth_iceberg_stats,
+        )
+
+        seed = 2
+        path = _unzip_to_dir(synth_iceberg_stats(seed), tmp_path / "tbl")
+        hi = iceberg_scan(spark, path, stats_filter={"k": (seed + 300, None)})
+        assert hi.count() == (seed + 3) % 20 + 5

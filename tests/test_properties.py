@@ -899,6 +899,15 @@ def _synth_iceberg(seed: int) -> bytes:
     return synth_iceberg_table(seed)
 
 
+def _synth_iceberg_kind(kind):
+    def synth(seed: int) -> bytes:
+        from flink_gmall2024_realtime_spark.operators import iceberg
+
+        return getattr(iceberg, f"synth_iceberg_{kind}")(seed)
+
+    return synth
+
+
 def _roaring_parse(payload: bytes):
     from flink_gmall2024_realtime_spark.operators.roaring import (
         parse_roaring_bitmap_array,
@@ -935,7 +944,7 @@ def _synth_lzma_alone(seed: int) -> bytes:
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 34), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 37), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -997,6 +1006,9 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (deltalog.read_delta_snapshot, deltalog.synth_delta_dv),
         (deltalog.read_delta_snapshot, deltalog.synth_delta_mapped),
         (_roaring_parse, _synth_roaring),
+        (_iceberg_read, _synth_iceberg_kind("deletes")),
+        (_iceberg_read, _synth_iceberg_kind("stats")),
+        (_iceberg_read, _synth_iceberg_kind("transforms")),
     ]
     fn, synth = table[which]
     cases = [noise]
