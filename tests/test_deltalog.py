@@ -1470,3 +1470,149 @@ class TestSourceRateLimitAndVacuum:
         ]
         assert sink.snapshot()["n_rows"] == 1  # live data untouched
         assert sink.vacuum_orphans(retention_seconds=0) == []
+
+
+class TestBucketedDeltaKeyedStore:
+    """r13 (VERDICT r12 #3): hash-bucketed keyed MERGE — O(delta) per
+    batch instead of O(state), distributed merge + write."""
+
+    def _batches(self, spark):
+        # three keyed micro-batches with updates and deletes, key space
+        # wide enough to hit many buckets
+        b0 = spark.createDataFrame(
+            [(k, k * 10, 0, "u") for k in range(40)],
+            "k long, v long, ord long, op string",
+        )
+        b1 = spark.createDataFrame(
+            [(k, k * 10 + 1, 1, "u") for k in range(0, 40, 2)],
+            "k long, v long, ord long, op string",
+        )
+        b2 = spark.createDataFrame(
+            [(k, 0, 2, "delete") for k in range(0, 40, 5)]
+            + [(41, 999, 2, "u")],
+            "k long, v long, ord long, op string",
+        )
+        return [b0, b1, b2]
+
+    def _state(self, df):
+        return sorted((r.k, r.v) for r in df.select("k", "v").collect())
+
+    def test_state_equivalence_with_single_file_store(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            BucketedDeltaKeyedStore,
+            DeltaKeyedStore,
+        )
+
+        plain = DeltaKeyedStore(
+            spark, str(tmp_path / "plain"), "k", "ord", type_col="op"
+        )
+        bucketed = BucketedDeltaKeyedStore(
+            spark, str(tmp_path / "bucketed"), "k", "ord", type_col="op",
+            n_buckets=8,
+        )
+        for i, b in enumerate(self._batches(spark)):
+            plain.commit_batch(b, i)
+            bucketed.commit_batch(b, i)
+        for v in range(3):
+            assert self._state(bucketed.read_as_of(v)) == self._state(
+                plain.read_as_of(v)
+            )
+
+    def test_untouched_bucket_files_survive_commits(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            BucketedDeltaKeyedStore,
+        )
+
+        store = BucketedDeltaKeyedStore(
+            spark, str(tmp_path / "tbl"), "k", "ord", type_col="op",
+            n_buckets=8,
+        )
+        store.commit_batch(self._batches(spark)[0], 0)
+        files_v0 = set(store.live_files())
+        assert len(files_v0) > 1  # genuinely bucketed
+        # a single-key batch touches exactly ONE bucket
+        one = spark.createDataFrame(
+            [(7, 777, 5, "u")], "k long, v long, ord long, op string"
+        )
+        store.commit_batch(one, 1)
+        files_v1 = set(store.live_files())
+        # O(delta): every other bucket's file is the SAME file (same
+        # name, untouched bytes), exactly one bucket was rewritten
+        assert len(files_v0 - files_v1) == 1
+        assert len(files_v1 - files_v0) == 1
+        rewritten = (files_v1 - files_v0).pop()
+        assert rewritten.endswith("-b0000000001.parquet")
+        assert store._bucket_of(rewritten) == store._bucket_of(
+            (files_v0 - files_v1).pop()
+        )
+        # a delete-only batch can empty a bucket: remove without add
+        import pyspark.sql.functions as F
+
+        k_del = 7
+        dele = spark.createDataFrame(
+            [(k_del, 0, 9, "delete")], "k long, v long, ord long, op string"
+        )
+        # delete every key in k_del's bucket first so it empties
+        bucket = store._bucket_of(rewritten)
+        keys_in_bucket = [
+            r.k
+            for r in store.read_latest()
+            .select("k")
+            .where(
+                F.pmod(F.xxhash64(F.col("k")), F.lit(8)).cast("int")
+                == F.lit(bucket)
+            )
+            .collect()
+        ]
+        dele = spark.createDataFrame(
+            [(k, 0, 9, "delete") for k in keys_in_bucket],
+            "k long, v long, ord long, op string",
+        )
+        store.commit_batch(dele, 2)
+        files_v2 = set(store.live_files())
+        assert rewritten not in files_v2
+        assert len(files_v2) == len(files_v1) - 1
+
+    def test_restart_twice_and_replay(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            BucketedDeltaKeyedStore,
+        )
+
+        path = str(tmp_path / "tbl")
+        batches = self._batches(spark)
+        store = BucketedDeltaKeyedStore(
+            spark, path, "k", "ord", type_col="op", n_buckets=8,
+            checkpoint_interval=2,
+        )
+        store.commit_batch(batches[0], 0)
+        store.commit_batch(batches[1], 1)
+        state_v1 = self._state(store.read_latest())
+        # restart: a fresh instance must skip replayed batches
+        fresh = BucketedDeltaKeyedStore(
+            spark, path, "k", "ord", type_col="op", n_buckets=8,
+            checkpoint_interval=2,
+        )
+        assert fresh.commit_batch(batches[0], 0) is None
+        assert fresh.commit_batch(batches[1], 1) is None
+        assert self._state(fresh.read_latest()) == state_v1
+        # clean the log, then replay again on the same instance
+        fresh.clean_log()
+        assert fresh.commit_batch(batches[1], 1) is None
+        fresh.commit_batch(batches[2], 2)
+        # time travel below the checkpoint resolves through it
+        assert self._state(fresh.read_as_of(1)) == state_v1
+
+    def test_any_delta_reader_reads_the_bucketed_table(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.deltalog import delta_scan
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            BucketedDeltaKeyedStore,
+        )
+
+        path = str(tmp_path / "tbl")
+        store = BucketedDeltaKeyedStore(
+            spark, path, "k", "ord", type_col="op", n_buckets=4
+        )
+        for i, b in enumerate(self._batches(spark)):
+            store.commit_batch(b, i)
+        df = delta_scan(spark, path)
+        assert self._state(df) == self._state(store.read_latest())
