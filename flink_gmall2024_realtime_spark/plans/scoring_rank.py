@@ -1721,6 +1721,123 @@ def iceberg_transform_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_scan_bench",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS ct,
+       round(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
+GROUP BY o_orderpriority
+""",
+    survey_ids=("dim-snapshot",),
+    bench=True,
+)
+def delta_scan_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta lake-surface HEADLINE benchmark (r13 — VERDICT r12 #6):
+    the orders table is written through the sink's DISTRIBUTED path
+    (range-partitioned into 8 files, one Delta commit with
+    footer-derived AddFile stats), then read back via ``delta_scan``
+    with a ``stats_filter`` covering the bottom key quartile — file
+    skipping from the log's min/max stats prunes ~6 of 8 files before
+    the scan is built — and aggregated. Measures the full write->
+    commit->prune->scan round trip at fixture scale every round, so the
+    lake surface gets the same regression tracking as every other
+    headline plan (``streaming/delta.py``, ``operators/deltalog.py``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.deltalog import delta_scan
+    from ..streaming.delta import DeltaAppendSink
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0] // 4
+    tmp = tempfile.mkdtemp(prefix="delta_scan_bench_")
+    try:
+        table = f"{tmp}/t"
+        sink = DeltaAppendSink(table)
+        sink.commit_batch_distributed(
+            orders.repartitionByRange(8, "o_orderkey"), 0
+        )
+        df = delta_scan(
+            spark, table, stats_filter={"o_orderkey": (None, hi)}
+        )
+        out = (
+            df.filter(F.col("o_orderkey") <= hi)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "o_orderpriority string, ct bigint, total double"
+    )
+
+
+@register(
+    "iceberg_scan_bench",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS ct,
+       round(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
+GROUP BY o_orderpriority
+""",
+    survey_ids=("dim-snapshot",),
+    bench=True,
+)
+def iceberg_scan_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg lake-surface HEADLINE benchmark (r13 — VERDICT r12 #6),
+    the format twin of ``delta_scan_bench`` with the SAME oracle: the
+    orders table commits through ``IcebergAppendSink``'s distributed
+    path (one manifest entry per range file, footer-derived
+    lower/upper bounds), then ``iceberg_scan`` with a ``stats_filter``
+    prunes non-intersecting files from the manifests before the scan is
+    built. Round-over-round regression tracking for snapshot resolve +
+    manifest decode + bounds pruning (``operators/iceberg.py``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.iceberg import IcebergAppendSink, iceberg_scan
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0] // 4
+    tmp = tempfile.mkdtemp(prefix="iceberg_scan_bench_")
+    try:
+        table = f"{tmp}/t"
+        sink = IcebergAppendSink(spark, table)
+        sink.commit_batch_distributed(
+            orders.repartitionByRange(8, "o_orderkey"), 0
+        )
+        df = iceberg_scan(
+            spark, table, stats_filter={"o_orderkey": (None, hi)}
+        )
+        out = (
+            df.filter(F.col("o_orderkey") <= hi)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "o_orderpriority string, ct bigint, total double"
+    )
+
+
+@register(
     "url_canonical_dedup",
     oracle="""
 WITH c AS (

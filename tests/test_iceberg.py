@@ -607,3 +607,90 @@ class TestStatsPruning:
         path = _unzip_to_dir(synth_iceberg_stats(seed), tmp_path / "tbl")
         hi = iceberg_scan(spark, path, stats_filter={"k": (seed + 300, None)})
         assert hi.count() == (seed + 3) % 20 + 5
+
+
+class TestSinkBoundsAndDistributed:
+    """r13: sink writes real schema fields + footer-derived column
+    bounds; distributed path commits one entry per task file."""
+
+    def test_distributed_commit_and_stats_pruning(self, spark, tmp_path):
+        import os
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+            iceberg_scan,
+        )
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path)
+        # range-partitioned write -> tight per-file k ranges
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).repartitionByRange(4, "k")
+        assert sink.commit_batch_distributed(df, 0) == 1
+        assert sink.commit_batch_distributed(df, 0) is None  # replay
+        n_data = [
+            fn for fn in os.listdir(os.path.join(path, "data"))
+            if fn.endswith(".parquet")
+        ]
+        assert len(n_data) == 4
+        full = iceberg_scan(spark, path)
+        assert full.count() == 1000
+        # stats pruning is FILE-level: k >= 900 only intersects the last
+        # range file, whose full contents (not just k>=900) survive
+        hi = iceberg_scan(spark, path, stats_filter={"k": (900, None)})
+        assert 100 <= hi.count() < 1000
+        assert sorted(r.k for r in hi.where("k >= 900").collect()) == list(
+            range(900, 1000)
+        )
+        # corrupt the three low files: the pruned read must never touch them
+        names = sorted(n_data)
+        import pyarrow.parquet as pq
+
+        keep = None
+        for fn in names:
+            md = pq.ParquetFile(os.path.join(path, "data", fn))
+            ks = md.read(columns=["k"])["k"].to_pylist()
+            if max(ks) >= 900:
+                keep = fn
+        for fn in names:
+            if fn != keep:
+                with open(os.path.join(path, "data", fn), "wb") as f:
+                    f.write(b"garbage")
+        assert iceberg_scan(
+            spark, path, stats_filter={"k": (950, None)}
+        ).where("k >= 950").count() == 50
+
+    def test_driver_commit_carries_bounds_and_schema(self, spark, tmp_path):
+        import io
+        import os
+        import zipfile
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+            read_iceberg_snapshot,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path)
+        sink.commit_batch(
+            spark.createDataFrame([(5, "x"), (7, "y")], "k long, s string"), 0
+        )
+        sink.commit_batch(
+            spark.createDataFrame([(100, "z")], "k long, s string"), 1
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, path))
+        payload = buf.getvalue()
+        full = read_iceberg_snapshot(payload)
+        assert full["n_rows"] == 3 and full["int_sum"] == 112
+        # bounds written by the sink drive the reader's stats_filter
+        hi = read_iceberg_snapshot(payload, stats_filter={"k": (50, None)})
+        assert hi["n_files"] == 1 and hi["int_sum"] == 100
+        lo = read_iceberg_snapshot(payload, stats_filter={"k": (None, 10)})
+        assert lo["n_files"] == 1 and lo["int_sum"] == 12
