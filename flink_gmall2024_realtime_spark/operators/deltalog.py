@@ -191,7 +191,9 @@ def _checkpoint_blobs(checkpoints: dict, v: int) -> list[bytes]:
 # reader features this engine implements for protocol v3 tables; any
 # feature outside this set refuses loudly BY NAME (the spec's contract:
 # never misread a table whose semantics you don't know)
-_SUPPORTED_READER_FEATURES = frozenset({"columnMapping", "deletionVectors"})
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"columnMapping", "deletionVectors", "timestampNtz"}
+)
 
 
 def _check_protocol(protocol: dict) -> None:
@@ -1475,7 +1477,7 @@ _DELTA_TO_SPARK = {
     "long": "long", "integer": "int", "short": "short", "byte": "byte",
     "double": "double", "float": "float", "string": "string",
     "boolean": "boolean", "date": "date", "timestamp": "timestamp",
-    "binary": "binary",
+    "timestamp_ntz": "timestamp_ntz", "binary": "binary",
 }
 
 

@@ -71,8 +71,35 @@ _SPARK_TO_DELTA = {
     "boolean": "boolean",
     "date": "date",
     "timestamp": "timestamp",
+    # timestampNtz is protocol-gated (reader+writer feature, v3/v7):
+    # _protocol_for emits the feature lists when a batch carries one
+    "timestamp_ntz": "timestamp_ntz",
     "binary": "binary",
 }
+
+
+def _protocol_for(df: DataFrame) -> dict:
+    """The protocol action a table created from this schema needs —
+    plain v1/v2 unless a column requires a table feature (today:
+    ``timestamp_ntz`` -> the spec's ``timestampNtz`` reader+writer
+    feature at v3/v7). Writing feature-typed data under a v1 protocol
+    would make every spec-following reader misread it silently."""
+    feats = sorted(
+        {"timestampNtz"}
+        & {
+            "timestampNtz"
+            for f in df.schema.fields
+            if f.dataType.typeName() == "timestamp_ntz"
+        }
+    )
+    if not feats:
+        return {"minReaderVersion": 1, "minWriterVersion": 2}
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": feats,
+        "writerFeatures": feats,
+    }
 
 
 def _schema_string(df: DataFrame) -> str:
@@ -363,6 +390,17 @@ class DeltaAppendSink:
                 f"{[f['name'] for f in new_fields]} and schema_evolution "
                 "is off"
             )
+        needs = {f["name"] for f in new_fields if f["type"] == "timestamp_ntz"}
+        if needs:
+            proto = state.get("protocol") or {}
+            if "timestampNtz" not in (proto.get("readerFeatures") or []):
+                raise NotImplementedError(
+                    f"schema evolution adds timestamp_ntz column(s) "
+                    f"{sorted(needs)} but the table's protocol "
+                    f"{proto} lacks the timestampNtz feature — protocol "
+                    "upgrade commits are unsupported; create the table "
+                    "with the feature instead"
+                )
         merged = table + [{**f, "nullable": True} for f in new_fields]
         return json.dumps(
             {
@@ -414,11 +452,7 @@ class DeltaAppendSink:
             if meta_update is not None and next_v > 0:
                 lines.append(meta_update)
             if next_v == 0:
-                lines.append(
-                    json.dumps(
-                        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-                    )
-                )
+                lines.append(json.dumps({"protocol": _protocol_for(batch)}))
                 lines.append(
                     json.dumps(
                         {

@@ -1616,3 +1616,76 @@ class TestBucketedDeltaKeyedStore:
             store.commit_batch(b, i)
         df = delta_scan(spark, path)
         assert self._state(df) == self._state(store.read_latest())
+
+
+class TestTimestampNtz:
+    """r13: timestamp_ntz columns ride the spec's timestampNtz
+    reader+writer feature — the sink creates the table at protocol
+    v3/v7 with the feature listed, and the reader accepts it."""
+
+    def test_sink_writes_feature_protocol_and_scan_reads(
+        self, spark, tmp_path
+    ):
+        import json as _json
+        import os
+
+        from flink_gmall2024_realtime_spark.operators.deltalog import delta_scan
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        df = spark.sql(
+            "SELECT id AS k, timestamp_ntz'2024-01-02 03:04:05' AS ts "
+            "FROM range(5)"
+        )
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        sink.commit_batch(df, 0)
+        with open(os.path.join(path, "_delta_log", f"{0:020d}.json")) as f:
+            protos = [
+                _json.loads(line)["protocol"]
+                for line in f.read().splitlines()
+                if "protocol" in _json.loads(line)
+            ]
+        assert protos == [
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["timestampNtz"],
+            }
+        ]
+        out = delta_scan(spark, path)
+        assert out.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        assert out.count() == 5
+        assert sink.snapshot()["n_rows"] == 5
+
+    def test_plain_schema_stays_protocol_v1(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        DeltaAppendSink(path).commit_batch(
+            spark.createDataFrame([(1,)], "k long"), 0
+        )
+        with open(os.path.join(path, "_delta_log", f"{0:020d}.json")) as f:
+            protos = [
+                _json.loads(line)["protocol"]
+                for line in f.read().splitlines()
+                if "protocol" in _json.loads(line)
+            ]
+        assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+
+    def test_evolving_ntz_onto_v1_table_is_loud(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path, schema_evolution=True)
+        sink.commit_batch(spark.createDataFrame([(1,)], "k long"), 0)
+        ntz = spark.sql(
+            "SELECT id AS k, timestamp_ntz'2024-01-01 00:00:00' AS ts "
+            "FROM range(2)"
+        )
+        with pytest.raises(NotImplementedError, match="timestampNtz"):
+            sink.commit_batch(ntz, 1)
