@@ -670,6 +670,58 @@ def delta_bucketed_store_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_delete_where_e2e",
+    oracle="""
+SELECT (doc_id % 10)::INT AS bucket,
+       COUNT(*) AS ct,
+       SUM(doc_id)::BIGINT AS key_sum
+FROM documents WHERE doc_id % 7 <> 0
+GROUP BY 1
+""",
+    survey_ids=("K5", "W6"),
+)
+def delta_delete_where_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-by-DELETION-VECTOR end-to-end under the oracle (r13): the
+    documents keys commit through ``DeltaAppendSink``'s distributed
+    path (4 range files), then ``delete_where("k % 7 = 0")`` masks rows
+    by WRITING a roaring DV sidecar — zero data files rewritten, the
+    table protocol upgraded to v3 + deletionVectors in the same commit
+    — and ``delta_scan`` reads the masked table back (per-file
+    ``_metadata.row_index`` anti-joins). The delete is also REPLAYED
+    once (txn-skipped). Oracle is the plain SQL DELETE semantics
+    (``streaming/delta.py`` ``delete_where``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.deltalog import delta_scan
+    from ..streaming.delta import DeltaAppendSink
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("k"),
+        (F.col("doc_id") % 10).cast("int").alias("bucket"),
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_delete_where_")
+    try:
+        table = f"{tmp}/t"
+        sink = DeltaAppendSink(table)
+        sink.commit_batch_distributed(docs.repartitionByRange(4, "k"), 0)
+        assert sink.delete_where("k % 7 = 0", 1) == 1
+        assert sink.delete_where("k % 7 = 0", 1) is None  # replay skipped
+        out = (
+            delta_scan(spark, table)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.sum("k").alias("key_sum"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, "bucket int, ct bigint, key_sum bigint")
+
+
+@register(
     "dwd_keyword_split",
     oracle="""
 SELECT t.tok AS keyword, count(*) AS keyword_count

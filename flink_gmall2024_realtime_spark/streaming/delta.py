@@ -418,15 +418,18 @@ class DeltaAppendSink:
 
     def _commit_actions(
         self,
-        batch: DataFrame,
+        batch: DataFrame | None,
         batch_id: int,
         adds: list[str],
         removes: list[str] | None = None,
+        extra_lines: list[str] | None = None,
     ) -> int | None:
         """Claim the next version with txn + commitInfo + ``removes`` +
         ``adds`` action lines; None when a concurrent attempt of the
-        same batch landed first."""
-        meta_update = self._schema_delta(batch)
+        same batch landed first. ``batch=None`` (metadata-only commits
+        like delete_where) skips schema validation and is invalid for
+        the table-creating version 0."""
+        meta_update = self._schema_delta(batch) if batch is not None else None
         txn = json.dumps(
             {
                 "txn": {
@@ -449,9 +452,15 @@ class DeltaAppendSink:
             )
             next_v = head + 1
             lines = [txn, info]
+            if extra_lines:
+                lines.extend(extra_lines)
             if meta_update is not None and next_v > 0:
                 lines.append(meta_update)
             if next_v == 0:
+                if batch is None:
+                    raise ValueError(
+                        "metadata-only commit cannot create the table"
+                    )
                 lines.append(json.dumps({"protocol": _protocol_for(batch)}))
                 lines.append(
                     json.dumps(
@@ -589,6 +598,175 @@ class DeltaAppendSink:
                 os.unlink(full)
                 dropped.append(fn)
         return dropped
+
+    # ----------------------------------------------------------- delete
+
+    def delete_where(self, condition, batch_id: int) -> int | None:
+        """``DELETE FROM <table> WHERE <condition>`` via DELETION
+        VECTORS (r13 — the WRITE side of the DV reader): matching
+        physical row positions are found by a DISTRIBUTED scan over the
+        live files (``_metadata.file_path``/``row_index``), serialized
+        into one roaring-bitmap sidecar file, and committed as
+        remove + re-add (same data path, ``deletionVector`` attached)
+        per touched file — no data file is rewritten. Files whose every
+        row ends up deleted are removed outright; files already
+        carrying a DV get the UNION of old and new positions. Tables
+        created at protocol v1/v2 are upgraded in the same commit
+        (``deletionVectors`` added to the feature lists — the spec's
+        protocol-upgrade action). Replay-idempotent via the usual txn
+        batch id; returns the committed version or None on replay.
+
+        The positions collect is bounded by the number of MATCHED rows
+        — the DV shape is for selective deletes (GDPR erasure, dedup
+        kills); a bulk delete should rewrite files instead, the same
+        tradeoff real Delta writers make."""
+        import uuid as _uuid
+        import zlib as _zlib
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        from ..operators.deltalog import _column_mapping, _dv_positions
+        from ..operators.roaring import (
+            build_dv_file,
+            serialize_roaring_bitmap_array,
+            z85_encode,
+        )
+
+        if self._is_committed(batch_id):
+            return None
+        head = self.head_version()
+        if head < 0:
+            raise ValueError("delete_where on a table with no commits")
+        state = self._replay_state(head)
+        if _column_mapping(state["metadata"]):
+            raise NotImplementedError(
+                "delete_where on column-mapped tables unsupported"
+            )
+        spark = getattr(self, "spark", None)
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError("delete_where needs an active SparkSession")
+        live = state["live"]
+        by_path = {
+            os.path.realpath(os.path.join(self.path, rel)): rel
+            for rel in live
+        }
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        matches = (
+            spark.read.parquet(*sorted(by_path))
+            .select(
+                F.col("_metadata.file_path").alias("__f"),
+                F.col("_metadata.row_index").alias("__p"),
+                "*",
+            )
+            .filter(cond)
+            .select("__f", "__p")
+            .collect()
+        )
+
+        def fetch(rel: str) -> bytes:
+            with open(os.path.join(self.path, rel), "rb") as f:
+                return f.read()
+
+        new_by_rel: dict[str, set] = {}
+        for r in matches:
+            uri = r["__f"]
+            real = os.path.realpath(unquote(urlparse(uri).path))
+            rel = by_path.get(real)
+            if rel is None:
+                raise ValueError(f"matched row in unknown file {uri!r}")
+            new_by_rel.setdefault(rel, set()).add(int(r["__p"]))
+        # merge with existing DVs; drop files whose mask doesn't change
+        touched: list[tuple[str, list[int], int]] = []  # rel, union, n_new
+        n_deleted = 0
+        for rel in sorted(new_by_rel):
+            add = live[rel]
+            existing: set = set()
+            if add.get("deletionVector"):
+                existing = set(_dv_positions(add["deletionVector"], fetch))
+            union = new_by_rel[rel] | existing
+            n_new = len(union) - len(existing)
+            if n_new == 0:
+                continue  # every matched row was already deleted
+            n_deleted += n_new
+            touched.append((rel, sorted(union), n_new))
+        removes: list[str] = []
+        adds: list[str] = []
+        if touched:
+            datas = []
+            dv_slots = []  # (rel, union, data_index) for still-alive files
+            for rel, union, _ in touched:
+                stats = live[rel].get("stats")
+                nrec = (
+                    json.loads(stats).get("numRecords") if stats else None
+                )
+                removes.append(rel)
+                if nrec is not None and len(union) == nrec:
+                    continue  # fully-deleted file: remove outright
+                dv_slots.append((rel, union, len(datas)))
+                datas.append(serialize_roaring_bitmap_array(union))
+            offsets: list[int] = []
+            enc = ""
+            if datas:
+                blob, offsets = build_dv_file(datas)
+                # deterministic uuid: replay-after-crash rewrites the
+                # same sidecar (crc anchors it to this writer + batch)
+                uid = _uuid.UUID(
+                    int=(
+                        batch_id * 2654435761
+                        + _zlib.crc32(self.app_id.encode())
+                    )
+                    % (1 << 128)
+                )
+                enc = z85_encode(uid.bytes)
+                with open(
+                    os.path.join(self.path, f"deletion_vector_{uid}.bin"),
+                    "wb",
+                ) as f:
+                    f.write(blob)
+            for rel, union, di in dv_slots:
+                new_add = dict(live[rel])
+                new_add["dataChange"] = True
+                new_add["deletionVector"] = {
+                    "storageType": "u",
+                    "pathOrInlineDv": enc,
+                    "offset": offsets[di],
+                    "sizeInBytes": len(datas[di]),
+                    "cardinality": len(union),
+                }
+                adds.append(json.dumps({"add": new_add}))
+        extra = None
+        proto = state.get("protocol") or {}
+        feats = set(proto.get("readerFeatures") or [])
+        if touched and (
+            proto.get("minReaderVersion", 1) < 3 or "deletionVectors" not in feats
+        ):
+            extra = [
+                json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": sorted(
+                                feats | {"deletionVectors"}
+                            ),
+                            "writerFeatures": sorted(
+                                set(proto.get("writerFeatures") or [])
+                                | {"deletionVectors"}
+                            ),
+                        }
+                    }
+                )
+            ]
+        removes_json = removes if removes else None
+        version = self._commit_actions(
+            None, batch_id, adds, removes=removes_json, extra_lines=extra
+        )
+        return version
 
     # ------------------------------------------------ checkpoint / clean
 
