@@ -255,12 +255,14 @@ def _iceberg_live(
     """Resolve the live data-file set of a snapshot from metadata +
     manifests only (no data decode): returns (snapshot_id, n_manifests,
     [(rel_path, record_count, partition_dict, data_seq)],
-    [(delete_rel_path, delete_seq)]). ``partition_filter`` prunes files
-    from the manifests' partition structs (transform-aware, r13) and
-    ``stats_filter`` from their column bounds, both BEFORE any data
-    access — Iceberg's manifest-level pruning. DELETE manifests
-    (content=1) yield POSITION-delete parquet files for the caller to
-    apply (merge-on-read, r13); equality deletes stay a loud seam."""
+    [(delete_rel_path, delete_seq)],
+    [(eq_delete_rel_path, delete_seq, equality_ids)], metadata_json,
+    location). ``partition_filter`` prunes files from the manifests'
+    partition structs (transform-aware, r13) and ``stats_filter`` from
+    their column bounds, both BEFORE any data access — Iceberg's
+    manifest-level pruning. DELETE manifests (content=1) yield
+    POSITION-delete (content=1) and EQUALITY-delete (content=2) parquet
+    files for the caller to apply (merge-on-read, r13)."""
     from .avro import parse_avro
 
     metas = {}
@@ -303,6 +305,7 @@ def _iceberg_live(
     _, ml_records = parse_avro(members_get(ml_rel))
     live = []
     deletes = []
+    eq_deletes = []
     checker_cache: dict[int, object] = {}
     for entry in ml_records:
         content = entry.get("content", 0)
@@ -341,12 +344,22 @@ def _iceberg_live(
                 )
             f_content = df.get("content", 0)
             if content == 1:
-                # DELETE manifest: position deletes compose (r13),
-                # equality deletes refuse loudly
+                # DELETE manifest: position deletes (content=1) and
+                # equality deletes (content=2) both compose (r13)
                 if f_content == 2:
-                    raise NotImplementedError(
-                        "iceberg EQUALITY deletes unsupported"
+                    eq_ids = df.get("equality_ids")
+                    if not eq_ids:
+                        raise ValueError(
+                            "equality delete file lists no equality_ids"
+                        )
+                    eq_deletes.append(
+                        (
+                            _strip_location(df["file_path"], location),
+                            seq,
+                            list(eq_ids),
+                        )
                     )
+                    continue
                 if f_content != 1:
                     raise ValueError(
                         "DELETE manifest carries a non-delete data_file"
@@ -372,7 +385,7 @@ def _iceberg_live(
                     seq,
                 )
             )
-    return snapshot_id, len(ml_records), live, deletes, location
+    return snapshot_id, len(ml_records), live, deletes, eq_deletes, md, location
 
 
 def _resolve_position_deletes(
@@ -414,6 +427,53 @@ def _deleted_positions(
     return out
 
 
+def _bval(v):
+    return v.decode() if isinstance(v, bytes) else v
+
+
+def _resolve_equality_deletes(
+    members_get, eq_deletes: list, md: dict
+) -> list:
+    """Decode equality-delete parquet files (rows of the columns named
+    by ``equality_ids``) into [(delete_seq, col_names, value-tuple
+    set)] — the spec's merge-on-read DELETE-by-value form (r13)."""
+    from .parquetmeta import parse_parquet_records
+
+    names = _schema_names(md)
+    out = []
+    for rel, seq, eq_ids in eq_deletes:
+        cols = [names.get(fid) for fid in eq_ids]
+        if any(c is None for c in cols):
+            raise ValueError(
+                f"equality_ids {eq_ids} name fields outside the table schema"
+            )
+        recs = parse_parquet_records(members_get(rel), columns=cols)
+        tuples = set(
+            zip(*(tuple(_bval(v) for v in recs[c]) for c in cols))
+        )
+        out.append((seq, tuple(cols), tuples))
+    return out
+
+
+def _equality_deleted_rows(
+    eq_resolved: list, recs: dict, file_rows: int, data_seq
+) -> set:
+    """Row indexes of one data file matched by applicable equality
+    deletes. The spec's rule is STRICT here: an equality delete applies
+    only to data files with data sequence number STRICTLY LESS than the
+    delete's (a delete cannot see rows committed with it or after it);
+    absent sequence numbers conservatively apply."""
+    out: set = set()
+    for del_seq, cols, tuples in eq_resolved:
+        if data_seq is not None and del_seq is not None and data_seq >= del_seq:
+            continue
+        vals = [recs[c] for c in cols]
+        for i in range(file_rows):
+            if tuple(_bval(v[i]) for v in vals) in tuples:
+                out.add(i)
+    return out
+
+
 @malformed_guard
 def read_iceberg_snapshot(
     payload: bytes,
@@ -441,10 +501,11 @@ def read_iceberg_snapshot(
             raise ValueError(f"{name!r} missing from payload")
         return members[name]
 
-    sid, n_manifests, live, deletes, location = _iceberg_live(
+    sid, n_manifests, live, deletes, eq_dels, md, location = _iceberg_live(
         get, list(members), snapshot_id, partition_filter, stats_filter
     )
     resolved = _resolve_position_deletes(get, deletes, location)
+    eq_resolved = _resolve_equality_deletes(get, eq_dels, md)
     n_files = 0
     n_rows = 0
     int_sum = 0
@@ -464,6 +525,12 @@ def read_iceberg_snapshot(
             )
         n_files += 1
         deleted = _deleted_positions(resolved, f_rel, seq)
+        recs = None
+        if eq_resolved:
+            recs = parse_parquet_records(blob)
+            deleted |= _equality_deleted_rows(
+                eq_resolved, recs, file_rows, seq
+            )
         if not deleted:
             n_rows += file_rows
             for _col, _nv, _nn, isum, _fsum, _blen in cols:
@@ -477,7 +544,8 @@ def read_iceberg_snapshot(
                 f"rows {file_rows}"
             )
         n_rows += file_rows - len(deleted)
-        recs = parse_parquet_records(blob)
+        if recs is None:
+            recs = parse_parquet_records(blob)
         for _col, _nv, _nn, isum, _fsum, _blen in cols:
             if isum is not None:
                 int_sum += sum(
@@ -534,26 +602,43 @@ def iceberg_scan(
         with open(full, "rb") as f:
             return f.read()
 
-    sid, _, live, deletes, location = _iceberg_live(
+    sid, _, live, deletes, eq_dels, md, location = _iceberg_live(
         get, names, snapshot_id, partition_filter, stats_filter
     )
     if not live:
         raise ValueError("no live data files in the selected snapshot")
     resolved = _resolve_position_deletes(get, deletes, location)
+    eq_resolved = _resolve_equality_deletes(get, eq_dels, md)
     plain = []
     parts = []
     for rel, _rc, _pv, seq in live:
         deleted = _deleted_positions(resolved, rel, seq)
-        if not deleted:
+        eq_applicable = [
+            (cols, tuples)
+            for del_seq, cols, tuples in eq_resolved
+            if seq is None or del_seq is None or seq < del_seq
+        ]
+        if not deleted and not eq_applicable:
             plain.append(os.path.join(path, rel))
             continue
-        df = spark.read.parquet(os.path.join(path, rel)).select(
-            "*", F.col("_metadata.row_index").alias("__pos")
-        )
-        pos_df = spark.createDataFrame(
-            [(int(p),) for p in sorted(deleted)], "__pos long"
-        )
-        df = df.join(F.broadcast(pos_df), "__pos", "left_anti").drop("__pos")
+        df = spark.read.parquet(os.path.join(path, rel))
+        if deleted:
+            df = df.select(
+                "*", F.col("_metadata.row_index").alias("__pos")
+            )
+            pos_df = spark.createDataFrame(
+                [(int(p),) for p in sorted(deleted)], "__pos long"
+            )
+            df = df.join(F.broadcast(pos_df), "__pos", "left_anti").drop(
+                "__pos"
+            )
+        for cols, tuples in eq_applicable:
+            # DELETE-by-value: broadcast anti-join on the equality
+            # columns (the MERGE-on-read form streaming upserts write)
+            vals_df = spark.createDataFrame(
+                [tuple(t) for t in sorted(tuples)], list(cols)
+            )
+            df = df.join(F.broadcast(vals_df), on=list(cols), how="left_anti")
         parts.append(df)
     if plain:
         parts.append(spark.read.parquet(*plain))
@@ -1158,6 +1243,175 @@ def synth_iceberg_deletes(seed: int) -> bytes:
     return buf.getvalue()
 
 
+_EQ_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": "long"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": {"type": "array", "items": "int"},
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+
+def synth_iceberg_eqdeletes(seed: int) -> bytes:
+    """Iceberg v2 EQUALITY-delete fixture shipped as one ZIP (r13): the
+    upsert shape streaming writers produce — snap 2's commit carries an
+    EQUALITY delete (content=2 data_file, ``equality_ids`` naming
+    column c, the delete parquet holding values {1, 3}) AND a new data
+    file at the SAME sequence number. Per the spec's STRICT rule an
+    equality delete applies only to data files with data_seq < its own,
+    so files 0/1 (seq 1) lose their c-in-{1,3} rows while file 2
+    (seq 2, the replacement rows) survives untouched — the fixture that
+    catches a reader applying equality deletes to their own commit."""
+    import io
+    import zipfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .avro import _zz
+
+    seed = int(seed)
+    loc = "warehouse/t"
+
+    def n_of(j):
+        return (seed + j) % 20 + 5
+
+    files = {}
+    for j in range(3):
+        n = n_of(j)
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(
+                        [seed + 100 * j + i for i in range(n)], pa.int64()
+                    ),
+                    "c": pa.array([i % 5 for i in range(n)], pa.int64()),
+                }
+            ),
+            buf,
+            compression="snappy",
+        )
+        files[j] = buf.getvalue()
+
+    def data_path(j):
+        return f"data/part-{j:05d}.parquet"
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"c": pa.array([1, 3], pa.int64())}), buf,
+        compression="snappy",
+    )
+    del_file = buf.getvalue()
+    del_path = "data/eq-delete-00000.parquet"
+
+    def m_entry(snap_id: int, j: int) -> bytes:
+        return (
+            _zz(1)
+            + _zz(snap_id)
+            + _zz(0)
+            + _enc_str(f"{loc}/{data_path(j)}")
+            + _enc_str("PARQUET")
+            + _zz(n_of(j))
+            + _zz(len(files[j]))
+        )
+
+    s1, s2 = seed * 10 + 1, seed * 10 + 2
+    man1 = _avro_ocf(_MANIFEST_SCHEMA, [m_entry(s1, 0), m_entry(s1, 1)], seed)
+    eq_entry = (
+        _zz(1)
+        + _zz(s2)
+        + _zz(2)  # content: EQUALITY_DELETES
+        + _enc_str(f"{loc}/{del_path}")
+        + _enc_str("PARQUET")
+        + _zz(2)
+        + _zz(len(del_file))
+        + _zz(1) + _zz(2) + _zz(0)  # equality_ids: [2] (column c)
+    )
+    man_del = _avro_ocf(_EQ_MANIFEST_SCHEMA, [eq_entry], seed + 1)
+    man2 = _avro_ocf(_MANIFEST_SCHEMA, [m_entry(s2, 2)], seed + 2)
+    m1_rel, md_rel, m2_rel = (
+        "metadata/m-001.avro", "metadata/m-eqdel.avro", "metadata/m-002.avro"
+    )
+
+    def ml_entry(path, blob, content, seq, snap_id):
+        return (
+            _enc_str(f"{loc}/{path}")
+            + _zz(len(blob))
+            + _zz(0)
+            + _zz(content)
+            + _zz(seq)
+            + _zz(snap_id)
+        )
+
+    e1 = ml_entry(m1_rel, man1, 0, 1, s1)
+    ed = ml_entry(md_rel, man_del, 1, 2, s2)
+    e2 = ml_entry(m2_rel, man2, 0, 2, s2)
+    ml1_rel = f"metadata/snap-{s1}.avro"
+    ml2_rel = f"metadata/snap-{s2}.avro"
+    ml1 = _avro_ocf(_MANIFEST_LIST_SEQ_SCHEMA, [e1], seed + 3)
+    ml2 = _avro_ocf(_MANIFEST_LIST_SEQ_SCHEMA, [e1, ed, e2], seed + 4)
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"00000000-0000-0000-0006-{seed:012d}",
+        "location": loc,
+        "last-sequence-number": 2,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {"id": 2, "name": "c", "required": False, "type": "long"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": s2,
+        "snapshots": [
+            {"snapshot-id": s1, "sequence-number": 1, "timestamp-ms": 0,
+             "manifest-list": f"{loc}/{ml1_rel}",
+             "summary": {"operation": "append"}},
+            {"snapshot-id": s2, "sequence-number": 2, "timestamp-ms": 1,
+             "manifest-list": f"{loc}/{ml2_rel}",
+             "summary": {"operation": "overwrite"}},
+        ],
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("metadata/v1.metadata.json", json.dumps(meta))
+        for rel, blob in (
+            (ml1_rel, ml1), (ml2_rel, ml2),
+            (m1_rel, man1), (md_rel, man_del), (m2_rel, man2),
+        ):
+            z.writestr(rel, blob)
+        for j, blob in files.items():
+            z.writestr(data_path(j), blob)
+        z.writestr(del_path, del_file)
+    return buf.getvalue()
+
+
 _BOUNDS_MANIFEST_SCHEMA = {
     "type": "record",
     "name": "manifest_entry",
@@ -1471,6 +1725,34 @@ def iceberg_delete_stats(media: DataFrame) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 seed = int(mid)
                 for ordinal in (1, 2, 3):
+                    snap = read_iceberg_snapshot(bytes(p), seed * 10 + ordinal)
+                    rows.append(
+                        (mid, ordinal, snap["n_manifests"], snap["n_files"],
+                         snap["n_rows"], snap["int_sum"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "snapshot_ord", "n_manifests",
+                         "n_files", "n_rows", "int_sum"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=ICEBERG_AUDIT_SCHEMA
+    )
+
+
+def iceberg_eqdelete_stats(media: DataFrame) -> DataFrame:
+    """Two audit rows per equality-delete table payload — snapshot 1
+    (pre-delete) and snapshot 2, where files 0/1 lose their matching
+    rows while the SAME-sequence replacement file survives (the strict
+    rule). Per-row Arrow work, linear by construction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                seed = int(mid)
+                for ordinal in (1, 2):
                     snap = read_iceberg_snapshot(bytes(p), seed * 10 + ordinal)
                     rows.append(
                         (mid, ordinal, snap["n_manifests"], snap["n_files"],

@@ -2915,6 +2915,13 @@ def _synth_iceberg_transforms(seed: int) -> bytes:
     return synth_iceberg_transforms(seed)
 
 
+def _synth_iceberg_eqdeletes(seed: int) -> bytes:
+    """Lazy import of the equality-delete Iceberg ZIP fixture (r13)."""
+    from .iceberg import synth_iceberg_eqdeletes
+
+    return synth_iceberg_eqdeletes(seed)
+
+
 def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
     """(id, payload) frame of synthesized BMP/WAV fixtures — the
     deterministic stand-in for a real binary-column source at test scale."""
@@ -2975,6 +2982,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "iceberg_deletes": _synth_iceberg_deletes,
         "iceberg_stats": _synth_iceberg_stats,
         "iceberg_transforms": _synth_iceberg_transforms,
+        "iceberg_eqdeletes": _synth_iceberg_eqdeletes,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

@@ -1721,6 +1721,69 @@ def iceberg_transform_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_eqdelete_audit",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS d, doc_id % 20 + 5 AS n0, (doc_id + 1) % 20 + 5 AS n1,
+         (doc_id + 2) % 20 + 5 AS n2
+  FROM documents
+),
+i0 AS (
+  SELECT d, t.i FROM p, UNNEST(generate_series(0, (n0 - 1)::BIGINT)) AS t(i)
+),
+i1 AS (
+  SELECT d, t.i FROM p, UNNEST(generate_series(0, (n1 - 1)::BIGINT)) AS t(i)
+),
+f0 AS (
+  SELECT d, COUNT(*) AS c_all, SUM(d + i) AS s_all,
+         COUNT(*) FILTER (WHERE i % 5 NOT IN (1, 3)) AS c_keep,
+         SUM(d + i) FILTER (WHERE i % 5 NOT IN (1, 3)) AS s_keep
+  FROM i0 GROUP BY d
+),
+f1 AS (
+  SELECT d, COUNT(*) AS c_all, SUM(d + 100 + i) AS s_all,
+         COUNT(*) FILTER (WHERE i % 5 NOT IN (1, 3)) AS c_keep,
+         SUM(d + 100 + i) FILTER (WHERE i % 5 NOT IN (1, 3)) AS s_keep
+  FROM i1 GROUP BY d
+),
+f2 AS (
+  SELECT d, n2 AS c_all, n2 * (d + 200) + n2 * (n2 - 1) // 2 AS s_all
+  FROM p
+)
+SELECT f0.d AS media_id, 1::INT AS snapshot_ord, 1::INT AS n_manifests,
+       2::INT AS n_files, (f0.c_all + f1.c_all)::BIGINT AS n_rows,
+       (f0.s_all + f1.s_all)::BIGINT AS int_sum
+FROM f0 JOIN f1 ON f0.d = f1.d
+UNION ALL
+SELECT f0.d, 2::INT, 3::INT, 3::INT,
+       (f0.c_keep + f1.c_keep + f2.c_all)::BIGINT,
+       (f0.s_keep + f1.s_keep + f2.s_all)::BIGINT
+FROM f0 JOIN f1 ON f0.d = f1.d JOIN f2 ON f0.d = f2.d
+""",
+    survey_ids=("dim-snapshot",),
+)
+def iceberg_eqdelete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY DELETES — the upsert merge-on-read form
+    (r13, closing the last delete seam): per doc a table whose snap-2
+    commit carries an equality-delete parquet (values of column c,
+    named by ``equality_ids``) AND a replacement data file at the SAME
+    sequence number — the spec's STRICT rule (data_seq < delete_seq)
+    masks the c-in-{1,3} rows of the older files while the
+    same-commit replacement survives untouched. DELETE-by-value rides
+    a broadcast anti-join in ``iceberg_scan`` and a per-row tuple-set
+    mask in the audit reader. Oracle reproduces both snapshots from
+    seed arithmetic (``operators/iceberg.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "iceberg_eqdeletes")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zip"
+    )
+    from ..operators.iceberg import iceberg_eqdelete_stats
+
+    return iceberg_eqdelete_stats(media)
+
+
+@register(
     "delta_scan_bench",
     oracle="""
 SELECT o_orderpriority,

@@ -466,7 +466,10 @@ class TestPositionDeletes:
             v3 = read_iceberg_snapshot(p)
             assert v3["n_rows"] == len(keep0) + len(keep1) + n(2)
 
-    def test_equality_deletes_stay_loud(self):
+    def test_equality_content_without_ids_is_malformed(self):
+        # r13: equality deletes are READ now (TestEqualityDeletes) —
+        # but a content=2 entry with no equality_ids is a spec
+        # violation that must refuse, not guess columns
         import json as _json
 
         from flink_gmall2024_realtime_spark.operators.avro import parse_avro
@@ -525,7 +528,7 @@ class TestPositionDeletes:
                     )
                 members[ml_rel] = _avro_ocf(_MANIFEST_LIST_SEQ_SCHEMA, out, 43)
 
-        with pytest.raises(NotImplementedError, match="EQUALITY"):
+        with pytest.raises(ValueError, match="equality_ids"):
             read_iceberg_snapshot(_rebuild(synth_iceberg_deletes(2), to_equality))
 
     def test_iceberg_scan_respects_deletes(self, spark, tmp_path):
@@ -694,3 +697,106 @@ class TestSinkBoundsAndDistributed:
         assert hi["n_files"] == 1 and hi["int_sum"] == 100
         lo = read_iceberg_snapshot(payload, stats_filter={"k": (None, 10)})
         assert lo["n_files"] == 1 and lo["int_sum"] == 12
+
+
+class TestEqualityDeletes:
+    """r13: v2 equality deletes — DELETE-by-value merge-on-read with
+    the spec's STRICT sequence rule (data_seq < delete_seq)."""
+
+    def test_strict_rule_spares_same_sequence_file(self):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            read_iceberg_snapshot,
+            synth_iceberg_eqdeletes,
+        )
+
+        for seed in (0, 2, 7):
+            p = synth_iceberg_eqdeletes(seed)
+            n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+            keep = lambda j: [  # noqa: E731
+                i for i in range(n(j)) if i % 5 not in (1, 3)
+            ]
+            v2 = read_iceberg_snapshot(p)
+            # files 0/1 (seq 1) masked; file 2 (seq 2 == delete seq) FULL
+            assert v2["n_rows"] == len(keep(0)) + len(keep(1)) + n(2)
+
+    def test_iceberg_scan_anti_joins_equality_deletes(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+            synth_iceberg_eqdeletes,
+        )
+
+        seed = 4
+        path = _unzip_to_dir(synth_iceberg_eqdeletes(seed), tmp_path / "tbl")
+        n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+        expect = sorted(
+            [seed + i for i in range(n(0)) if i % 5 not in (1, 3)]
+            + [seed + 100 + i for i in range(n(1)) if i % 5 not in (1, 3)]
+            + [seed + 200 + i for i in range(n(2))]
+        )
+        got = sorted(r.k for r in iceberg_scan(spark, path).collect())
+        assert got == expect
+        # time travel to snapshot 1: nothing deleted yet
+        assert iceberg_scan(
+            spark, path, snapshot_id=seed * 10 + 1
+        ).count() == n(0) + n(1)
+
+    def test_bad_equality_ids_raise(self):
+        import json as _json
+
+        from flink_gmall2024_realtime_spark.operators.avro import parse_avro
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            read_iceberg_snapshot,
+            synth_iceberg_eqdeletes,
+        )
+
+        def to_unknown_field(members):
+            from flink_gmall2024_realtime_spark.operators.avro import _zz
+            from flink_gmall2024_realtime_spark.operators.iceberg import (
+                _EQ_MANIFEST_SCHEMA,
+                _avro_ocf,
+                _enc_str,
+            )
+
+            _, recs = parse_avro(members["metadata/m-eqdel.avro"])
+            df = recs[0]["data_file"]
+            entry = (
+                _zz(recs[0]["status"])
+                + _zz(recs[0]["snapshot_id"])
+                + _zz(2)
+                + _enc_str(df["file_path"])
+                + _enc_str("PARQUET")
+                + _zz(df["record_count"])
+                + _zz(df["file_size_in_bytes"])
+                + _zz(1) + _zz(99) + _zz(0)  # equality_ids: [99] (no field)
+            )
+            man = _avro_ocf(_EQ_MANIFEST_SCHEMA, [entry], 42)
+            members["metadata/m-eqdel.avro"] = man
+            # patch manifest_length in snap 2's list
+            from flink_gmall2024_realtime_spark.operators.iceberg import (
+                _MANIFEST_LIST_SEQ_SCHEMA,
+            )
+
+            meta = _json.loads(members["metadata/v1.metadata.json"])
+            ml_rel = meta["snapshots"][1]["manifest-list"][len("warehouse/t/"):]
+            _, entries = parse_avro(members[ml_rel])
+            out = []
+            for e in entries:
+                length = (
+                    len(man)
+                    if e["manifest_path"].endswith("m-eqdel.avro")
+                    else e["manifest_length"]
+                )
+                out.append(
+                    _enc_str(e["manifest_path"])
+                    + _zz(length)
+                    + _zz(e["partition_spec_id"])
+                    + _zz(e["content"])
+                    + _zz(e["sequence_number"])
+                    + _zz(e["added_snapshot_id"])
+                )
+            members[ml_rel] = _avro_ocf(_MANIFEST_LIST_SEQ_SCHEMA, out, 43)
+
+        with pytest.raises(ValueError, match="equality_ids"):
+            read_iceberg_snapshot(
+                _rebuild(synth_iceberg_eqdeletes(2), to_unknown_field)
+            )

@@ -944,7 +944,7 @@ def _synth_lzma_alone(seed: int) -> bytes:
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 37), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 38), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -1009,6 +1009,7 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (_iceberg_read, _synth_iceberg_kind("deletes")),
         (_iceberg_read, _synth_iceberg_kind("stats")),
         (_iceberg_read, _synth_iceberg_kind("transforms")),
+        (_iceberg_read, _synth_iceberg_kind("eqdeletes")),
     ]
     fn, synth = table[which]
     cases = [noise]
