@@ -413,9 +413,19 @@ def main() -> None:
         df.select(F.xxhash64(*df.columns).alias("_h")).agg(F.bit_xor("_h")).collect()
 
     bench = {name: spec for name, spec in CATALOG.items() if spec.bench}
+    # The lake-surface rows (r13) CREATE AND DESTROY whole Delta/Iceberg
+    # tables per invocation — distributed writes, driver Arrow collects,
+    # temp-dir churn and JVM GC pressure. Run inside the steady-state
+    # loop they inflate their NEIGHBORS by 10-15% (measured: 17-query
+    # subtotal 14.3 s interleaved vs 13.8 s isolated vs r12's 12.5 s on
+    # the same box), so they get their own loop below; their timings
+    # merge into the same queries dict and total.
+    ISOLATED = {"delta_scan_bench", "iceberg_scan_bench"}
+    steady = {n: s for n, s in bench.items() if n not in ISOLATED}
+    isolated = {n: s for n, s in bench.items() if n in ISOLATED}
     # warm the JVM/codegen path once on the smallest query, and the Python
     # worker pool once (mapInPandas queries would otherwise bill the spawn)
-    materialize(next(iter(bench.values())).spark(spark, sf_dir))
+    materialize(next(iter(steady.values())).spark(spark, sf_dir))
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
     cal_start = calibration_probe(spark)
 
@@ -429,7 +439,12 @@ def main() -> None:
     # the prior round's min + spread; a busy VM only widens the spread.
     runs: dict[str, list[float]] = {name: [] for name in bench}
     for _ in range(3):
-        for name, spec in sorted(bench.items()):
+        for name, spec in sorted(steady.items()):
+            t0 = time.perf_counter()
+            materialize(spec.spark(spark, sf_dir))
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    for _ in range(3):
+        for name, spec in sorted(isolated.items()):
             t0 = time.perf_counter()
             materialize(spec.spark(spark, sf_dir))
             runs[name].append(round(time.perf_counter() - t0, 3))

@@ -919,8 +919,10 @@ class DeltaKeyedStore(DeltaAppendSink):
         if self._is_committed(batch_id):
             return None
         old = self.live_files()
+        # mergeSchema: after schema evolution the live set can mix pre-
+        # and post-evolution files; a bare read would pick one schema
         current = (
-            self.spark.read.parquet(
+            self.spark.read.option("mergeSchema", "true").parquet(
                 *(os.path.join(self.path, r) for r in old)
             )
             if old
@@ -948,6 +950,14 @@ class DeltaKeyedStore(DeltaAppendSink):
             "on DeltaAppendSink.commit_batch_distributed"
         )
 
+    def delete_where(self, condition, batch_id):
+        raise NotImplementedError(
+            "keyed stores delete through type_col 'delete' rows in the "
+            "MERGE itself; delete_where's deletion vectors would be "
+            "silently resurrected by the next merge commit (the merge "
+            "reads data files raw)"
+        )
+
     # ------------------------------------------------------------- read
 
     def read_as_of(self, version: int) -> DataFrame:
@@ -962,7 +972,7 @@ class DeltaKeyedStore(DeltaAppendSink):
         files = self.live_files(version)
         if not files:
             return self.spark.createDataFrame([], schema="key string")
-        return self.spark.read.parquet(
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *(os.path.join(self.path, r) for r in files)
         )
 
@@ -1088,7 +1098,7 @@ class BucketedDeltaKeyedStore(DeltaKeyedStore):
             by_bucket.setdefault(self._bucket_of(rel), []).append(rel)
         cur_rels = [r for b in touched for r in by_bucket.get(b, [])]
         current = (
-            self.spark.read.parquet(
+            self.spark.read.option("mergeSchema", "true").parquet(
                 *(os.path.join(self.path, r) for r in cur_rels)
             )
             if cur_rels

@@ -1801,3 +1801,46 @@ class TestDeleteWhere:
         v = sink.delete_where("k = 7", 3)
         assert v == 3
         assert delta_scan(spark, path).count() == 99
+
+
+def test_keyed_stores_refuse_delete_where(spark, tmp_path):
+    # deletion vectors would be resurrected by the next MERGE (which
+    # reads data files raw) — keyed stores delete via type_col rows
+    from flink_gmall2024_realtime_spark.streaming.delta import (
+        BucketedDeltaKeyedStore,
+        DeltaKeyedStore,
+    )
+
+    for cls in (DeltaKeyedStore, BucketedDeltaKeyedStore):
+        store = cls(spark, str(tmp_path / cls.__name__), "k", "ord")
+        store.commit_batch(
+            spark.createDataFrame([(1, 1)], "k long, ord long"), 0
+        )
+        with pytest.raises(NotImplementedError, match="type_col"):
+            store.delete_where("k = 1", 1)
+
+
+def test_bucketed_store_schema_evolution_mixed_buckets(spark, tmp_path):
+    # evolution appends a column via ONE touched bucket; untouched
+    # buckets keep pre-evolution files — reads must mergeSchema so the
+    # appended column survives as typed nulls everywhere else
+    from flink_gmall2024_realtime_spark.streaming.delta import (
+        BucketedDeltaKeyedStore,
+    )
+
+    store = BucketedDeltaKeyedStore(
+        spark, str(tmp_path / "tbl"), "k", "ord", n_buckets=4,
+        schema_evolution=True,
+    )
+    b0 = spark.createDataFrame(
+        [(k, 0, k * 2) for k in range(12)], "k long, ord long, v long"
+    )
+    store.commit_batch(b0, 0)
+    b1 = spark.createDataFrame(
+        [(3, 1, 333, "x")], "k long, ord long, v long, extra string"
+    )
+    store.commit_batch(b1, 1)
+    rows = {r.k: (r.v, r.extra) for r in store.read_latest().collect()}
+    assert rows[3] == (333, "x")
+    assert rows[5] == (10, None)  # untouched bucket, appended col null
+    assert len(rows) == 12
