@@ -137,10 +137,16 @@ def read_delta_snapshot_dir(
 def _parse_checkpoint_name(fn: str) -> tuple[int, int, int]:
     """``{v:020d}.checkpoint.parquet`` → (v, 0, 1);
     ``{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet`` → (v, i-1, n)
-    (Delta multi-part checkpoints number their parts 1-based)."""
+    (Delta multi-part checkpoints number their parts 1-based);
+    ``{v:020d}.checkpoint.{uuid}.parquet`` → (v, 0, 1) — a V2
+    checkpoint (UUID-named, carries checkpointMetadata and possibly
+    sidecar actions; r13)."""
     stem = fn[: -len(".parquet")]
     parts = stem.split(".")
     if len(parts) == 2 and parts[1] == "checkpoint":
+        return int(parts[0]), 0, 1
+    if len(parts) == 3 and parts[1] == "checkpoint":
+        # v2 checkpoint: third token is the writer's uuid
         return int(parts[0]), 0, 1
     if len(parts) == 4 and parts[1] == "checkpoint":
         v, i, n = int(parts[0]), int(parts[2]), int(parts[3])
@@ -192,7 +198,7 @@ def _checkpoint_blobs(checkpoints: dict, v: int) -> list[bytes]:
 # feature outside this set refuses loudly BY NAME (the spec's contract:
 # never misread a table whose semantics you don't know)
 _SUPPORTED_READER_FEATURES = frozenset(
-    {"columnMapping", "deletionVectors", "timestampNtz"}
+    {"columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint"}
 )
 
 
@@ -318,23 +324,35 @@ _CP_LEAVES = (
     "metaData.configuration.key_value.value",
     "protocol.minReaderVersion",
     "protocol.readerFeatures.list.element",
+    # v2 checkpoints (r13): self-identifying metadata row + pointers to
+    # sidecar parquet files that carry the add actions
+    "checkpointMetadata.version",
+    "sidecar.path",
 )
 
 
-def _checkpoint_state(blob: bytes) -> tuple[dict, dict | None]:
+def _checkpoint_state(blob: bytes, fetch=None) -> tuple[dict, dict | None]:
     """Decode one checkpoint parquet (via the in-repo nested record
     decoder, pyarrow-free) into (live add-file map, metaData dict or
     None). Applies the same protocol gate as JSON replay; deletion
     vectors on checkpoint add rows are carried through (r13) — dropping
-    one silently would resurrect deleted rows."""
+    one silently would resurrect deleted rows.
+
+    V2 checkpoints (r13): rows may include ``sidecar`` actions pointing
+    at ``_delta_log/_sidecars/<name>`` parquet files that carry the add
+    actions — resolved through ``fetch`` (required when sidecars are
+    present: silently ignoring one would drop live files)."""
     from .parquetmeta import parse_parquet_leaf_names, parse_parquet_records
 
     avail = set(parse_parquet_leaf_names(blob))
     cols = parse_parquet_records(
         blob, columns=[c for c in _CP_LEAVES if c in avail]
     )
-    if "add.path" not in cols or "metaData.id" not in cols:
-        raise ValueError("delta checkpoint lacks add/metaData columns")
+    if "add.path" not in cols and "sidecar.path" not in cols:
+        raise ValueError("delta checkpoint lacks add/sidecar columns")
+    n_rows_cp = len(next(iter(cols.values()))) if cols else 0
+    if "add.path" not in cols:
+        cols["add.path"] = [None] * n_rows_cp
 
     def col(name, default=None):
         return cols.get(name) or [default] * len(cols["add.path"])
@@ -386,6 +404,20 @@ def _checkpoint_state(blob: bytes) -> tuple[dict, dict | None]:
                 "cardinality": col("add.deletionVector.cardinality")[i],
             }
         live[s(apath)] = add
+    sidecars = [
+        s(p) for p in (cols.get("sidecar.path") or []) if p is not None
+    ]
+    if sidecars:
+        if fetch is None:
+            raise NotImplementedError(
+                "v2 checkpoint carries sidecar files but no fetch was "
+                "provided to resolve them"
+            )
+        for name in sidecars:
+            part_live, _ = _checkpoint_state(
+                fetch(f"_delta_log/_sidecars/{name}")
+            )
+            live.update(part_live)
     return live, metadata
 
 
@@ -449,7 +481,7 @@ def _read_snapshot(
     if cp_version is not None and version >= cp_version:
         live = {}
         for blob in _checkpoint_blobs(checkpoints, cp_version):
-            part_live, part_meta = _checkpoint_state(blob)
+            part_live, part_meta = _checkpoint_state(blob, fetch)
             live.update(part_live)
             metadata = metadata or part_meta
         replay_from = cp_version + 1
@@ -918,6 +950,152 @@ def synth_delta_checkpointed(seed: int) -> bytes:
     return buf.getvalue()
 
 
+def write_v2_checkpoint_top(
+    metadata: dict, protocol: dict, sidecar_names: list[str], version: int
+) -> bytes:
+    """The TOP file of a V2 checkpoint (r13): protocol + metaData +
+    the self-identifying ``checkpointMetadata`` row + one ``sidecar``
+    pointer row per sidecar parquet. WRITTEN BY PYARROW — the read side
+    must decode real writer output."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+        ]
+    )
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    cpm_t = pa.struct([("version", pa.int64())])
+    sc_t = pa.struct([("path", pa.string()), ("sizeInBytes", pa.int64())])
+    blank = {"protocol": None, "metaData": None, "checkpointMetadata": None,
+             "sidecar": None}
+    rows = [
+        {**blank, "protocol": protocol},
+        {**blank, "metaData": metadata},
+        {**blank, "checkpointMetadata": {"version": version}},
+    ]
+    for name in sidecar_names:
+        rows.append({**blank, "sidecar": {"path": name, "sizeInBytes": 0}})
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("protocol", proto_t),
+                ("metaData", meta_t),
+                ("checkpointMetadata", cpm_t),
+                ("sidecar", sc_t),
+            ]
+        ),
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="snappy")
+    return buf.getvalue()
+
+
+def synth_delta_v2checkpoint(seed: int) -> bytes:
+    """V2-CHECKPOINT Delta table fixture shipped as one ZIP (r13): the
+    same commit/row arithmetic as ``synth_delta_checkpointed`` (so the
+    oracle SQL is shared), but the checkpoint at version 10 is the
+    MODERN form — a UUID-named parquet whose add actions live in TWO
+    sidecar parquet files under ``_delta_log/_sidecars/``, pointed at
+    by ``sidecar`` rows next to the ``checkpointMetadata`` row, under a
+    protocol listing the ``v2Checkpoint`` reader feature. Odd seeds
+    prune the JSON prefix, so the v2 checkpoint is the only way to read
+    versions <= 10."""
+    import io
+    import uuid as _uuid
+    import zipfile
+
+    seed = int(seed)
+    latest = 11 + seed % 3
+    files = {j: _fixture_data_file(seed, j) for j in range(latest + 1)}
+    paths = {j: f"part-{j:05d}.parquet" for j in files}
+    protocol = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    metadata = {
+        "id": f"fixture-v2cp-{seed}",
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+                ],
+            }
+        ),
+        "partitionColumns": [],
+    }
+    commits = {}
+    for v in range(latest + 1):
+        lines = []
+        if v == 0:
+            lines.append(json.dumps({"protocol": protocol}))
+            lines.append(
+                json.dumps({"metaData": {**metadata, "format": {"provider": "parquet", "options": {}}, "configuration": {}}})
+            )
+        if v == 11:
+            lines.append(
+                json.dumps(
+                    {"remove": {"path": paths[1], "deletionTimestamp": 1,
+                                "dataChange": True}}
+                )
+            )
+        lines.append(_fixture_add(seed, v, files[v], paths[v], {}))
+        commits[v] = "\n".join(lines)
+    cp_live = {
+        paths[j]: {
+            "path": paths[j],
+            "size": len(files[j]),
+            "stats": json.dumps({"numRecords": (seed + j) % 20 + 5}),
+            "partitionValues": {},
+        }
+        for j in range(11)
+    }
+    keys = sorted(cp_live)
+    sc_names = [
+        f"{_uuid.UUID(int=seed * 7919 + i + 1)}.parquet" for i in range(2)
+    ]
+    cp_uuid = _uuid.UUID(int=seed * 104729 + 3)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for v, body in commits.items():
+            if seed % 2 == 1 and v <= 10:
+                continue  # pruned log: only the v2 checkpoint has history
+            z.writestr(f"_delta_log/{v:020d}.json", body)
+        for i, name in enumerate(sc_names):
+            part = {k: cp_live[k] for k in keys[i::2]}
+            z.writestr(
+                f"_delta_log/_sidecars/{name}",
+                write_checkpoint_blob(part, metadata, protocol, header=False),
+            )
+        z.writestr(
+            f"_delta_log/{10:020d}.checkpoint.{cp_uuid}.parquet",
+            write_v2_checkpoint_top(metadata, protocol, sc_names, 10),
+        )
+        z.writestr(
+            "_delta_log/_last_checkpoint",
+            json.dumps({"version": 10, "size": len(cp_live) + 3}),
+        )
+        for j, blob in files.items():
+            z.writestr(paths[j], blob)
+    return buf.getvalue()
+
+
 def synth_delta_partitioned(seed: int) -> bytes:
     """Partitioned Delta table fixture shipped as one ZIP (r12): six
     pyarrow data files in Hive-style partition dirs p=p0/p1/p2
@@ -1318,7 +1496,7 @@ def delta_partition_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def read_checkpoint_full_state(blobs) -> dict:
+def read_checkpoint_full_state(blobs, fetch=None) -> dict:
     """Full checkpoint decode for WRITER-side state rebuilding (pyarrow-
     free, via the nested record decoder): live add map plus the raw
     metaData / protocol dicts and the per-appId txn versions a resumed
@@ -1348,7 +1526,7 @@ def read_checkpoint_full_state(blobs) -> dict:
         cols = parse_parquet_records(
             blob, columns=sorted(set(c for c in wanted if c in avail))
         )
-        part_live, part_meta = _checkpoint_state(blob)
+        part_live, part_meta = _checkpoint_state(blob, fetch)
         live.update(part_live)
         if part_meta is not None:
             metadata = part_meta
@@ -1430,7 +1608,12 @@ def replay_delta_dir(path: str, version: int | None = None) -> dict:
         for part_path in _checkpoint_blobs(checkpoints, max(cps)):
             with open(part_path, "rb") as f:
                 blobs.append(f.read())
-        state = read_checkpoint_full_state(blobs)
+
+        def _fetch_rel(rel):
+            with open(os.path.join(path, rel), "rb") as f:
+                return f.read()
+
+        state = read_checkpoint_full_state(blobs, _fetch_rel)
         live = state["live"]
         metadata = state["metadata"]
         protocol = state["protocol"]

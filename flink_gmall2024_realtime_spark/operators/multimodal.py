@@ -2859,6 +2859,13 @@ def _synth_delta_partitioned(seed: int) -> bytes:
     return synth_delta_partitioned(seed)
 
 
+def _synth_delta_v2checkpoint(seed: int) -> bytes:
+    """Lazy import of the V2-checkpoint Delta-table ZIP fixture (r13)."""
+    from .deltalog import synth_delta_v2checkpoint
+
+    return synth_delta_v2checkpoint(seed)
+
+
 def _synth_delta_dv(seed: int) -> bytes:
     """Lazy import of the deletion-vector Delta-table ZIP fixture (r13)."""
     from .deltalog import synth_delta_dv
@@ -2983,6 +2990,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "iceberg_stats": _synth_iceberg_stats,
         "iceberg_transforms": _synth_iceberg_transforms,
         "iceberg_eqdeletes": _synth_iceberg_eqdeletes,
+        "delta_v2checkpoint": _synth_delta_v2checkpoint,
     }[kind]
     return df.select(F.col(id_col).cast("long")).mapInPandas(
         _synth_udf(fn), "media_id long, payload binary"

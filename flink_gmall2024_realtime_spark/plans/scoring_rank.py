@@ -1311,6 +1311,52 @@ def delta_checkpoint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_v2_checkpoint_audit",
+    oracle="""
+WITH p AS (SELECT doc_id AS d, 11 + doc_id % 3 AS L FROM documents),
+f AS (
+  SELECT d, L, j,
+         (d + j) % 20 + 5 AS n,
+         ((d + j) % 20 + 5) * (d + 100 * j)
+           + ((d + j) % 20 + 5) * ((d + j) % 20 + 4) // 2 AS s
+  FROM p, UNNEST(generate_series(0, L::BIGINT)) AS t(j)
+)
+SELECT d AS media_id, 10::INT AS version, 11::INT AS n_files,
+       (SUM(n) FILTER (WHERE j <= 10))::BIGINT AS n_rows,
+       (SUM(s) FILTER (WHERE j <= 10))::BIGINT AS int_sum
+FROM f GROUP BY d
+UNION ALL
+SELECT d, MAX(L)::INT, MAX(L)::INT,
+       (SUM(n) FILTER (WHERE j <> 1))::BIGINT,
+       (SUM(s) FILTER (WHERE j <> 1))::BIGINT
+FROM f GROUP BY d
+""",
+    survey_ids=("dim-snapshot",),
+)
+def delta_v2_checkpoint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2-CHECKPOINT Delta table audit (r13 — the modern checkpoint
+    form delta-spark writes, which the r12 reader refused by name): the
+    SAME commit arithmetic and oracle as ``delta_checkpoint_audit``,
+    but the version-10 checkpoint is a UUID-named parquet whose add
+    actions live in two SIDECAR parquet files under
+    ``_delta_log/_sidecars/`` (pointed at by ``sidecar`` rows beside
+    the ``checkpointMetadata`` row), under a protocol listing the
+    ``v2Checkpoint`` reader feature. Odd seeds prune the JSON prefix,
+    so the sidecar-resolved checkpoint is the ONLY way to read
+    versions <= 10; replay then crosses the post-checkpoint remove.
+    Per-row Arrow work — linear by construction
+    (``operators/deltalog.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "delta_v2checkpoint")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zip"
+    )
+    from ..operators.deltalog import delta_checkpoint_stats
+
+    return delta_checkpoint_stats(media)
+
+
+@register(
     "delta_partition_prune",
     oracle="""
 WITH f AS (

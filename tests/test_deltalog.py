@@ -1844,3 +1844,75 @@ def test_bucketed_store_schema_evolution_mixed_buckets(spark, tmp_path):
     assert rows[3] == (333, "x")
     assert rows[5] == (10, None)  # untouched bucket, appended col null
     assert len(rows) == 12
+
+
+class TestV2Checkpoints:
+    """r13: UUID-named V2 checkpoints with sidecar files — the modern
+    form delta-spark writes (previously refused by feature name)."""
+
+    def test_pruned_log_reads_only_via_sidecars(self):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_v2checkpoint,
+        )
+
+        seed = 3  # odd: JSON prefix pruned, the v2 checkpoint is it
+        p = synth_delta_v2checkpoint(seed)
+        n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+        at_cp = read_delta_snapshot(p, version=10)
+        assert at_cp["n_files"] == 11
+        assert at_cp["n_rows"] == sum(n(j) for j in range(11))
+        last = read_delta_snapshot(p)
+        latest = 11 + seed % 3
+        live = [j for j in range(latest + 1) if j != 1]
+        assert last["n_files"] == len(live)
+
+    def test_missing_sidecar_is_loud(self):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_v2checkpoint,
+        )
+
+        def drop_one_sidecar(members):
+            victims = [
+                m for m in members if m.startswith("_delta_log/_sidecars/")
+            ]
+            del members[victims[0]]
+
+        p = _rebuild_zip(synth_delta_v2checkpoint(3), drop_one_sidecar)
+        with pytest.raises(ValueError, match="missing from payload"):
+            read_delta_snapshot(p, version=10)
+
+    def test_sidecars_without_fetch_refuse(self):
+        import io
+        import zipfile
+
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            _checkpoint_state,
+            synth_delta_v2checkpoint,
+        )
+
+        with zipfile.ZipFile(
+            io.BytesIO(synth_delta_v2checkpoint(2))
+        ) as z:
+            top = next(
+                n for n in z.namelist()
+                if ".checkpoint." in n and n.endswith(".parquet")
+            )
+            blob = z.read(top)
+        with pytest.raises(NotImplementedError, match="sidecar"):
+            _checkpoint_state(blob)  # no fetch provided
+
+
+def _rebuild_zip(payload: bytes, mutate) -> bytes:
+    import io
+    import zipfile
+
+    members = {}
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        for name in z.namelist():
+            members[name] = z.read(name)
+    mutate(members)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, body in members.items():
+            z.writestr(name, body)
+    return buf.getvalue()

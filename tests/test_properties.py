@@ -944,7 +944,7 @@ def _synth_lzma_alone(seed: int) -> bytes:
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 38), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 39), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -1010,6 +1010,7 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (_iceberg_read, _synth_iceberg_kind("stats")),
         (_iceberg_read, _synth_iceberg_kind("transforms")),
         (_iceberg_read, _synth_iceberg_kind("eqdeletes")),
+        (deltalog.read_delta_snapshot, deltalog.synth_delta_v2checkpoint),
     ]
     fn, synth = table[which]
     cases = [noise]
