@@ -127,9 +127,15 @@ class TestSeamsAndChecks:
         assert v3 == base
         with pytest.raises(ValueError, match="requires a readerFeatures"):
             read_delta_snapshot(_rebuild(synth_delta_table(2), bump(3)))
-        with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        # v2Checkpoint became a supported feature in r13 — a table
+        # declaring it (without actually shipping one) reads fine
+        v3cp = read_delta_snapshot(
+            _rebuild(synth_delta_table(2), bump(3, ["v2Checkpoint"]))
+        )
+        assert v3cp == base
+        with pytest.raises(NotImplementedError, match="typeWidening"):
             read_delta_snapshot(
-                _rebuild(synth_delta_table(2), bump(3, ["v2Checkpoint"]))
+                _rebuild(synth_delta_table(2), bump(3, ["typeWidening"]))
             )
         with pytest.raises(NotImplementedError, match="minReaderVersion 4"):
             read_delta_snapshot(_rebuild(synth_delta_table(2), bump(4)))
