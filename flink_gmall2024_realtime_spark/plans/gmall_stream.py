@@ -722,6 +722,59 @@ def delta_delete_where_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_partitioned_write_e2e",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS ct,
+       SUM(o_orderkey)::BIGINT AS key_sum
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+    survey_ids=("K4",),
+)
+def delta_partitioned_write_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED Delta WRITE end-to-end under the oracle (r13): the
+    orders keys commit through the sink's distributed path with
+    ``partition_columns=["o_orderstatus"]`` — Hive-style dirs, data
+    files WITHOUT the partition column, partitionValues on every add —
+    then ``delta_scan`` prunes to the 'F' partition from the LOG alone
+    and re-attaches the partition column. The write is REPLAYED once
+    (txn-skipped). Closes the write side of r12's partitioned-read
+    surface (``streaming/delta.py``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.deltalog import delta_scan
+    from ..streaming.delta import DeltaAppendSink
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_partitioned_write_")
+    try:
+        table = f"{tmp}/t"
+        sink = DeltaAppendSink(table, partition_columns=["o_orderstatus"])
+        assert sink.commit_batch_distributed(orders.repartition(4), 0) == 0
+        assert sink.commit_batch_distributed(orders, 0) is None  # replay
+        out = (
+            delta_scan(
+                spark, table, partition_filter={"o_orderstatus": "F"}
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.sum("o_orderkey").alias("key_sum"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "o_orderpriority string, ct bigint, key_sum bigint"
+    )
+
+
+@register(
     "dwd_keyword_split",
     oracle="""
 SELECT t.tok AS keyword, count(*) AS keyword_count

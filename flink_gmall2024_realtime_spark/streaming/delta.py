@@ -102,6 +102,31 @@ def _protocol_for(df: DataFrame) -> dict:
     }
 
 
+def _partition_values_from_dir(relpath: str, pcols: list[str]) -> dict:
+    """Hive-style staging dir path -> the add's partitionValues map
+    (url-unquoted; the null sentinel maps to None like real Delta)."""
+    from urllib.parse import unquote
+
+    if relpath == ".":
+        if pcols:
+            raise ValueError(
+                "partitioned write produced files outside partition dirs"
+            )
+        return {}
+    out: dict = {}
+    for part in relpath.split(os.sep):
+        if "=" not in part:
+            raise ValueError(f"unexpected staging dir {relpath!r}")
+        k, v = part.split("=", 1)
+        out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+    if sorted(out) != sorted(pcols):
+        raise ValueError(
+            f"staging dirs {sorted(out)} disagree with partition "
+            f"columns {sorted(pcols)}"
+        )
+    return out
+
+
 def _schema_string(df: DataFrame) -> str:
     fields = []
     for f in df.schema.fields:
@@ -133,12 +158,18 @@ class DeltaAppendSink:
         checkpoint_interval: int | None = None,
         checkpoint_parts: int = 1,
         schema_evolution: bool = False,
+        partition_columns: list[str] | None = None,
     ) -> None:
         self.path = path
         self.max_commit_attempts = max_commit_attempts
         self.app_id = app_id
         self.schema_evolution = schema_evolution
         self.checkpoint_interval = checkpoint_interval
+        # r13: PARTITIONED tables — every add carries partitionValues,
+        # data files live in Hive-style dirs without the partition
+        # columns (Delta's layout), and delta_scan's log-side pruning +
+        # partition-column attach work against our own writes
+        self.partition_columns = list(partition_columns or [])
         if checkpoint_parts < 1:
             raise ValueError("checkpoint_parts must be >= 1")
         self.checkpoint_parts = checkpoint_parts
@@ -331,7 +362,7 @@ class DeltaAppendSink:
                     nulls[name] = nulls.get(name, 0) + st.null_count
         return mins, maxs, nulls
 
-    def _add_action(self, rel: str, n_rows: int) -> str:
+    def _add_action(self, rel: str, n_rows: int, pv: dict | None = None) -> str:
         full = os.path.join(self.path, rel)
         stats: dict = {"numRecords": n_rows}
         try:
@@ -348,7 +379,7 @@ class DeltaAppendSink:
                 "add": {
                     "path": rel,
                     "size": os.path.getsize(full),
-                    "partitionValues": {},
+                    "partitionValues": pv or {},
                     "modificationTime": 0,
                     "dataChange": True,
                     "stats": json.dumps(stats),
@@ -469,7 +500,7 @@ class DeltaAppendSink:
                                 "id": self.app_id,
                                 "format": {"provider": "parquet", "options": {}},
                                 "schemaString": _schema_string(batch),
-                                "partitionColumns": [],
+                                "partitionColumns": self.partition_columns,
                                 "configuration": {},
                             }
                         }
@@ -509,6 +540,11 @@ class DeltaAppendSink:
         (at-least-once replay)."""
         import pyarrow.parquet as pq
 
+        if self.partition_columns:
+            raise NotImplementedError(
+                "partitioned tables write through commit_batch_distributed "
+                "(partitionBy layout needs the distributed writer)"
+            )
         if self._is_committed(batch_id):
             return None
         rel = f"part-b{batch_id:010d}.parquet"
@@ -532,23 +568,43 @@ class DeltaAppendSink:
 
         if self._is_committed(batch_id):
             return None
+        missing = [c for c in self.partition_columns if c not in batch.columns]
+        if missing:
+            raise ValueError(
+                f"batch lacks partition column(s) {missing}"
+            )
         stage = os.path.join(self.path, "_staging", f"b{batch_id:010d}")
         # overwrite handles replay-after-crash leftovers in the stage dir
-        batch.write.mode("overwrite").parquet(stage)
+        writer = batch.write.mode("overwrite")
+        if self.partition_columns:
+            writer = writer.partitionBy(*self.partition_columns)
+        writer.parquet(stage)
         adds: list[str] = []
         i = 0
-        for fn in sorted(os.listdir(stage)):
-            if not fn.endswith(".parquet") or fn.startswith((".", "_")):
-                continue
-            n_rows = pq.ParquetFile(os.path.join(stage, fn)).metadata.num_rows
-            if n_rows == 0:
-                continue  # empty task partitions add no files
-            rel = f"part-b{batch_id:010d}-{i:05d}.parquet"
-            # os.replace: re-renames from a replayed crash overwrite the
-            # same deterministic target, never accumulate
-            os.replace(os.path.join(stage, fn), os.path.join(self.path, rel))
-            adds.append(self._add_action(rel, n_rows))
-            i += 1
+        for dirpath, _dirs, fns in sorted(os.walk(stage)):
+            relpath = os.path.relpath(dirpath, stage)
+            pv = None
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                    continue
+                if pv is None:
+                    pv = _partition_values_from_dir(
+                        relpath, self.partition_columns
+                    )
+                n_rows = pq.ParquetFile(
+                    os.path.join(dirpath, fn)
+                ).metadata.num_rows
+                if n_rows == 0:
+                    continue  # empty task partitions add no files
+                name = f"part-b{batch_id:010d}-{i:05d}.parquet"
+                rel = name if relpath == "." else f"{relpath}/{name}"
+                full = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                # os.replace: re-renames from a replayed crash overwrite
+                # the same deterministic target, never accumulate
+                os.replace(os.path.join(dirpath, fn), full)
+                adds.append(self._add_action(rel, n_rows, pv))
+                i += 1
         shutil.rmtree(stage, ignore_errors=True)
         return self._commit_actions(batch, batch_id, adds)
 
@@ -586,18 +642,22 @@ class DeltaAppendSink:
         live = set(self.live_files(head))
         horizon = time.time() - retention_seconds
         dropped = []
-        for fn in sorted(os.listdir(self.path)):
-            if (
-                fn.endswith(".parquet")
-                and fn not in live
-                and not fn.startswith((".", "_"))
-            ):
-                full = os.path.join(self.path, fn)
-                if os.path.getmtime(full) > horizon:
-                    continue  # possibly an in-flight writer's data file
-                os.unlink(full)
-                dropped.append(fn)
-        return dropped
+        for dirpath, dirs, fns in os.walk(self.path):
+            # never descend into the log, staging, or hidden dirs
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for fn in sorted(fns):
+                rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
+                if (
+                    fn.endswith(".parquet")
+                    and rel not in live
+                    and not fn.startswith((".", "_"))
+                ):
+                    full = os.path.join(self.path, rel)
+                    if os.path.getmtime(full) > horizon:
+                        continue  # possibly an in-flight writer's file
+                    os.unlink(full)
+                    dropped.append(rel)
+        return sorted(dropped)
 
     # ----------------------------------------------------------- delete
 

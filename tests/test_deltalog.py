@@ -1922,3 +1922,108 @@ def _rebuild_zip(payload: bytes, mutate) -> bytes:
         for name, body in members.items():
             z.writestr(name, body)
     return buf.getvalue()
+
+
+class TestPartitionedSink:
+    """r13: the sink WRITES partitioned tables — partitionValues on
+    every add, Hive-style dirs without the partition columns, and
+    delta_scan's log-side pruning works against our own layout."""
+
+    def test_partitioned_distributed_write_and_pruned_scan(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            delta_scan,
+            read_delta_snapshot_dir,
+        )
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path, partition_columns=["p"])
+        df = spark.range(90).selectExpr(
+            "id AS k", "concat('p', id % 3) AS p"
+        )
+        assert sink.commit_batch_distributed(df.repartition(4), 0) == 0
+        assert sink.commit_batch_distributed(
+            spark.range(90, 120).selectExpr("id AS k", "'p0' AS p"), 1
+        ) == 1
+        # layout: Hive dirs, data files do NOT carry the partition col
+        pdirs = [d for d in os.listdir(path) if d.startswith("p=")]
+        assert sorted(pdirs) == ["p=p0", "p=p1", "p=p2"]
+        import pyarrow.parquet as pq
+
+        one = next(
+            os.path.join(path, "p=p1", f)
+            for f in os.listdir(os.path.join(path, "p=p1"))
+        )
+        assert "p" not in pq.ParquetFile(one).schema_arrow.names
+        # full scan attaches the partition column back from the LOG
+        full = delta_scan(spark, path)
+        assert full.count() == 120
+        assert dict(
+            (r.p, r.ct)
+            for r in full.groupBy("p").count().withColumnRenamed(
+                "count", "ct"
+            ).collect()
+        ) == {"p0": 60, "p1": 30, "p2": 30}
+        # partition-pruned scan + snapshot audit partition counts
+        p0 = delta_scan(spark, path, partition_filter={"p": "p0"})
+        assert p0.count() == 60
+        snap = read_delta_snapshot_dir(path, partition_filter={"p": "p2"})
+        assert snap["n_rows"] == 30 and snap["n_partitions"] == 1
+        # pruning happens in the log: corrupt every non-p0 file
+        for d in ("p=p1", "p=p2"):
+            for fn in os.listdir(os.path.join(path, d)):
+                with open(os.path.join(path, d, fn), "wb") as f:
+                    f.write(b"garbage")
+        assert delta_scan(
+            spark, path, partition_filter={"p": "p0"}
+        ).count() == 60
+
+    def test_replay_checkpoint_and_vacuum_partitioned(self, spark, tmp_path):
+        import os
+
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(
+            path, partition_columns=["p"], checkpoint_interval=2
+        )
+        for i in range(4):
+            sink.commit_batch_distributed(
+                spark.range(10).selectExpr(
+                    "id AS k", f"concat('p', id % 2) AS p"
+                ),
+                i,
+            )
+        assert sink.commit_batch_distributed(
+            spark.range(1).selectExpr("id AS k", "'p0' AS p"), 2
+        ) is None  # replay
+        sink.clean_log()
+        assert sink.snapshot()["n_rows"] == 40
+        # orphan in a partition dir is vacuumed (walk, not listdir)
+        orphan = os.path.join(path, "p=p0", "dead.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"leftover")
+        assert sink.vacuum_orphans(retention_seconds=0) == ["p=p0/dead.parquet"]
+
+    def test_driver_path_refuses_partitions(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        sink = DeltaAppendSink(str(tmp_path / "t"), partition_columns=["p"])
+        with pytest.raises(NotImplementedError, match="distributed"):
+            sink.commit_batch(
+                spark.createDataFrame([(1, "a")], "k long, p string"), 0
+            )
+        with pytest.raises(ValueError, match="partition column"):
+            sink.commit_batch_distributed(
+                spark.createDataFrame([(1,)], "k long"), 0
+            )
