@@ -2027,3 +2027,27 @@ class TestPartitionedSink:
             sink.commit_batch_distributed(
                 spark.createDataFrame([(1,)], "k long"), 0
             )
+
+
+def test_delete_where_dv_survives_checkpoint_and_clean_log(spark, tmp_path):
+    # the DV written by delete_where must ride the checkpoint's
+    # deletionVector columns: after clean_log() prunes the JSON, the
+    # masked state is only reconstructible through the checkpoint
+    from flink_gmall2024_realtime_spark.operators.deltalog import delta_scan
+    from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+    path = str(tmp_path / "tbl")
+    sink = DeltaAppendSink(path)
+    sink.commit_batch_distributed(
+        spark.range(60).selectExpr("id AS k").repartitionByRange(3, "k"), 0
+    )
+    sink.delete_where("k % 4 = 0", 1)
+    sink.write_checkpoint(1)
+    assert sink.clean_log() == [0, 1]
+    expect = [k for k in range(60) if k % 4 != 0]
+    assert sorted(r.k for r in delta_scan(spark, path).collect()) == expect
+    snap = sink.snapshot()
+    assert snap["n_rows"] == len(expect)
+    # and a replay of the delete on a FRESH instance stays skipped
+    fresh = DeltaAppendSink(path)
+    assert fresh.delete_where("k % 4 = 0", 1) is None
