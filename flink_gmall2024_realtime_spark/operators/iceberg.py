@@ -1862,12 +1862,24 @@ class IcebergAppendSink:
     summary properties). Dim/serving shape: one driver-side Arrow file
     per commit — fact streams belong on the Delta distributed path."""
 
-    def __init__(self, spark, path: str, max_commit_attempts: int = 20) -> None:
+    def __init__(
+        self,
+        spark,
+        path: str,
+        max_commit_attempts: int = 20,
+        partition_columns: list[str] | None = None,
+    ) -> None:
         import os
 
         self.spark = spark
         self.path = path
         self.max_commit_attempts = max_commit_attempts
+        # r13: IDENTITY-partitioned writes — the partition struct rides
+        # every manifest entry (typed, spec field-ids 1000+i), data
+        # files KEEP the source columns (identity partitioning stores
+        # them, unlike Hive/Delta layouts), and transform-aware pruning
+        # works against our own manifests
+        self.partition_columns = list(partition_columns or [])
         os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
@@ -2025,6 +2037,10 @@ class IcebergAppendSink:
 
         import pyarrow.parquet as pq
 
+        if self.partition_columns:
+            raise NotImplementedError(
+                "partitioned tables write through commit_batch_distributed"
+            )
         if batch_id in self.committed_batch_ids():
             return None
         rel = f"data/part-b{batch_id:010d}.parquet"
@@ -2035,7 +2051,7 @@ class IcebergAppendSink:
         lo, hi = self._footer_bounds(full, fields)
         return self._commit_snapshot(
             batch_id, fields,
-            [(rel, table.num_rows, os.path.getsize(full), lo, hi)],
+            [(rel, table.num_rows, os.path.getsize(full), lo, hi, {})],
         )
 
     def commit_batch_distributed(self, batch, batch_id: int) -> int | None:
@@ -2052,25 +2068,75 @@ class IcebergAppendSink:
 
         if batch_id in self.committed_batch_ids():
             return None
+        missing = [c for c in self.partition_columns if c not in batch.columns]
+        if missing:
+            raise ValueError(f"batch lacks partition column(s) {missing}")
         stage = os.path.join(self.path, "_staging", f"b{batch_id:010d}")
-        batch.write.mode("overwrite").parquet(stage)
+        writer = batch
+        if self.partition_columns:
+            # split by DUPLICATE columns so the source columns stay IN
+            # the data files (identity partitioning stores them)
+            from pyspark.sql import functions as F
+
+            aux = []
+            for c in self.partition_columns:
+                writer = writer.withColumn(f"__ip_{c}", F.col(c))
+                aux.append(f"__ip_{c}")
+            writer.write.mode("overwrite").partitionBy(*aux).parquet(stage)
+        else:
+            writer.write.mode("overwrite").parquet(stage)
         fields = self._schema_fields(batch)
+        types = {f["name"]: f["type"] for f in fields}
         files = []
         i = 0
-        for fn in sorted(os.listdir(stage)):
-            if not fn.endswith(".parquet") or fn.startswith((".", "_")):
-                continue
-            n_rows = pq.ParquetFile(os.path.join(stage, fn)).metadata.num_rows
-            if n_rows == 0:
-                continue
-            rel = f"data/part-b{batch_id:010d}-{i:05d}.parquet"
-            os.replace(os.path.join(stage, fn), os.path.join(self.path, rel))
-            full = os.path.join(self.path, rel)
-            lo, hi = self._footer_bounds(full, fields)
-            files.append((rel, n_rows, os.path.getsize(full), lo, hi))
-            i += 1
+        for dirpath, _dirs, fns in sorted(os.walk(stage)):
+            relpath = os.path.relpath(dirpath, stage)
+            pv = None
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                    continue
+                if pv is None:
+                    pv = self._dir_partition(relpath, types)
+                n_rows = pq.ParquetFile(
+                    os.path.join(dirpath, fn)
+                ).metadata.num_rows
+                if n_rows == 0:
+                    continue
+                rel = f"data/part-b{batch_id:010d}-{i:05d}.parquet"
+                os.replace(
+                    os.path.join(dirpath, fn), os.path.join(self.path, rel)
+                )
+                full = os.path.join(self.path, rel)
+                lo, hi = self._footer_bounds(full, fields)
+                files.append((rel, n_rows, os.path.getsize(full), lo, hi, pv))
+                i += 1
         shutil.rmtree(stage, ignore_errors=True)
         return self._commit_snapshot(batch_id, fields, files)
+
+    def _dir_partition(self, relpath: str, types: dict) -> dict:
+        """Staging dir path (``__ip_<col>=<value>`` segments) -> typed
+        partition struct values for the manifest entry."""
+        import os as _os
+        from urllib.parse import unquote
+
+        if relpath == ".":
+            if self.partition_columns:
+                raise ValueError(
+                    "partitioned write produced files outside partition dirs"
+                )
+            return {}
+        out: dict = {}
+        for part in relpath.split(_os.sep):
+            if "=" not in part or not part.startswith("__ip_"):
+                raise ValueError(f"unexpected staging dir {relpath!r}")
+            k, v = part[len("__ip_"):].split("=", 1)
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                raise NotImplementedError(
+                    f"null partition value for column {k!r} unsupported"
+                )
+            v = unquote(v)
+            out[k] = int(v) if types.get(k) in ("long", "int") else v
+        return out
 
     def _commit_snapshot(
         self, batch_id: int, fields: list[dict], files: list
@@ -2090,6 +2156,41 @@ class IcebergAppendSink:
             return out + _zz(0)
 
         loc = "."  # paths stored table-relative; _strip_location is a no-op
+        pcols = self.partition_columns
+        ptypes = {f["name"]: f["type"] for f in fields}
+        ice_to_avro = {"long": "long", "int": "int", "string": "string"}
+        for c in pcols:
+            if ptypes.get(c) not in ice_to_avro:
+                raise NotImplementedError(
+                    f"identity partition over iceberg type "
+                    f"{ptypes.get(c)!r} unsupported in the sink"
+                )
+
+        def enc_partition(pv: dict) -> bytes:
+            out = b""
+            for c in pcols:
+                if ptypes[c] == "string":
+                    out += _enc_str(pv[c])
+                else:
+                    out += _zz(pv[c])
+            return out
+
+        manifest_schema = json.loads(json.dumps(_BOUNDS_MANIFEST_SCHEMA))
+        if pcols:
+            manifest_schema["fields"][2]["type"]["fields"].insert(
+                3,
+                {
+                    "name": "partition",
+                    "type": {
+                        "type": "record",
+                        "name": "r102",
+                        "fields": [
+                            {"name": c, "type": ice_to_avro[ptypes[c]]}
+                            for c in pcols
+                        ],
+                    },
+                },
+            )
         for _ in range(self.max_commit_attempts):
             head_v, md = self._head()
             snap_id = batch_id + 1  # deterministic, unique per batch
@@ -2101,13 +2202,14 @@ class IcebergAppendSink:
                 + _zz(0)
                 + _enc_str(rel)
                 + _enc_str("PARQUET")
+                + (enc_partition(pv) if pcols else b"")
                 + _zz(n_rows)
                 + _zz(size)
                 + enc_bounds(lo)
                 + enc_bounds(hi)
-                for rel, n_rows, size, lo, hi in files
+                for rel, n_rows, size, lo, hi, pv in files
             ]
-            man = _avro_ocf(_BOUNDS_MANIFEST_SCHEMA, entries, batch_id)
+            man = _avro_ocf(manifest_schema, entries, batch_id)
             with open(os.path.join(self.path, m_rel), "wb") as f:
                 f.write(man)
             # every snapshot's manifest list carries ALL prior live
@@ -2152,7 +2254,23 @@ class IcebergAppendSink:
                         {"type": "struct", "schema-id": 0, "fields": fields}
                     ],
                     "current-schema-id": 0,
-                    "partition-specs": [{"spec-id": 0, "fields": []}],
+                    "partition-specs": [
+                        {
+                            "spec-id": 0,
+                            "fields": [
+                                {
+                                    "name": c,
+                                    "transform": "identity",
+                                    "source-id": next(
+                                        f["id"] for f in fields
+                                        if f["name"] == c
+                                    ),
+                                    "field-id": 1000 + i,
+                                }
+                                for i, c in enumerate(pcols)
+                            ],
+                        }
+                    ],
                     "default-spec-id": 0,
                     "current-snapshot-id": snap_id,
                     "snapshots": [snapshot],

@@ -775,6 +775,61 @@ def delta_partitioned_write_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_partitioned_write_e2e",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS ct,
+       SUM(o_orderkey)::BIGINT AS key_sum
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+    survey_ids=("K4",),
+)
+def iceberg_partitioned_write_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED Iceberg WRITE end-to-end under the oracle (r13, the
+    format twin of ``delta_partitioned_write_e2e`` with the SAME
+    oracle): the orders keys commit through ``IcebergAppendSink``'s
+    distributed path with ``partition_columns=["o_orderstatus"]`` —
+    identity partition struct on every manifest entry, source column
+    KEPT in the data files (Iceberg's layout, unlike Delta's) — then
+    ``iceberg_scan`` prunes to the 'F' partition from the manifests
+    alone. The write is REPLAYED once (snapshot-summary batch-id
+    dedupe). (``operators/iceberg.py``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.iceberg import IcebergAppendSink, iceberg_scan
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_partitioned_write_")
+    try:
+        table = f"{tmp}/t"
+        sink = IcebergAppendSink(
+            spark, table, partition_columns=["o_orderstatus"]
+        )
+        assert sink.commit_batch_distributed(orders.repartition(4), 0) == 1
+        assert sink.commit_batch_distributed(orders, 0) is None  # replay
+        out = (
+            iceberg_scan(
+                spark, table, partition_filter={"o_orderstatus": "F"}
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.sum("o_orderkey").alias("key_sum"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "o_orderpriority string, ct bigint, key_sum bigint"
+    )
+
+
+@register(
     "dwd_keyword_split",
     oracle="""
 SELECT t.tok AS keyword, count(*) AS keyword_count
