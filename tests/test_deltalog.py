@@ -2051,3 +2051,19 @@ def test_delete_where_dv_survives_checkpoint_and_clean_log(spark, tmp_path):
     # and a replay of the delete on a FRESH instance stays skipped
     fresh = DeltaAppendSink(path)
     assert fresh.delete_where("k % 4 = 0", 1) is None
+
+
+def test_dv_anti_join_plan_is_broadcast(spark, tmp_path):
+    # plan lock: the deletion-vector row filter must be a BROADCAST
+    # anti-join (positions are cardinality-bounded) — a shuffled anti
+    # join here would turn every DV file read into a full shuffle at
+    # 100 TB
+    from flink_gmall2024_realtime_spark.operators.deltalog import (
+        delta_scan,
+        synth_delta_dv,
+    )
+
+    path = _unzip_to_dir(synth_delta_dv(2), tmp_path / "tbl")
+    plan = delta_scan(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
