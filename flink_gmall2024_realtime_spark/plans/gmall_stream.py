@@ -830,6 +830,59 @@ def iceberg_partitioned_write_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "delta_optimize_e2e",
+    oracle="""
+SELECT (doc_id % 10)::INT AS bucket,
+       COUNT(*) AS ct,
+       SUM(doc_id)::BIGINT AS key_sum
+FROM documents WHERE doc_id % 7 <> 0
+GROUP BY 1
+""",
+    survey_ids=("K5", "W6"),
+)
+def delta_optimize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE end-to-end under the oracle (r13): write (4 range
+    files) -> delete_where (DV sidecar) -> OPTIMIZE (bin-pack to one
+    file, the DV MATERIALIZES and drops, dataChange=false commit) ->
+    scan. Same oracle as ``delta_delete_where_e2e`` — compaction must
+    be state-invariant. The optimize is also REPLAYED once
+    (``streaming/delta.py``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.deltalog import delta_scan, replay_delta_dir
+    from ..streaming.delta import DeltaAppendSink
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("k"),
+        (F.col("doc_id") % 10).cast("int").alias("bucket"),
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_optimize_")
+    try:
+        table = f"{tmp}/t"
+        sink = DeltaAppendSink(table)
+        sink.commit_batch_distributed(docs.repartitionByRange(4, "k"), 0)
+        sink.delete_where("k % 7 = 0", 1)
+        assert sink.optimize(2, target_files=1) == 2
+        assert sink.optimize(2) is None  # replay skipped
+        live = replay_delta_dir(table)["live"]
+        assert len(live) == 1  # genuinely compacted
+        assert "deletionVector" not in next(iter(live.values()))
+        out = (
+            delta_scan(spark, table)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.sum("k").alias("key_sum"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, "bucket int, ct bigint, key_sum bigint")
+
+
+@register(
     "dwd_keyword_split",
     oracle="""
 SELECT t.tok AS keyword, count(*) AS keyword_count

@@ -362,7 +362,13 @@ class DeltaAppendSink:
                     nulls[name] = nulls.get(name, 0) + st.null_count
         return mins, maxs, nulls
 
-    def _add_action(self, rel: str, n_rows: int, pv: dict | None = None) -> str:
+    def _add_action(
+        self,
+        rel: str,
+        n_rows: int,
+        pv: dict | None = None,
+        data_change: bool = True,
+    ) -> str:
         full = os.path.join(self.path, rel)
         stats: dict = {"numRecords": n_rows}
         try:
@@ -381,7 +387,7 @@ class DeltaAppendSink:
                     "size": os.path.getsize(full),
                     "partitionValues": pv or {},
                     "modificationTime": 0,
-                    "dataChange": True,
+                    "dataChange": data_change,
                     "stats": json.dumps(stats),
                 }
             }
@@ -454,6 +460,7 @@ class DeltaAppendSink:
         adds: list[str],
         removes: list[str] | None = None,
         extra_lines: list[str] | None = None,
+        removes_data_change: bool = True,
     ) -> int | None:
         """Claim the next version with txn + commitInfo + ``removes`` +
         ``adds`` action lines; None when a concurrent attempt of the
@@ -509,7 +516,7 @@ class DeltaAppendSink:
             lines.extend(
                 json.dumps(
                     {"remove": {"path": r, "deletionTimestamp": 0,
-                                "dataChange": True}}
+                                "dataChange": removes_data_change}}
                 )
                 for r in (removes or [])
             )
@@ -827,6 +834,70 @@ class DeltaAppendSink:
             None, batch_id, adds, removes=removes_json, extra_lines=extra
         )
         return version
+
+    # --------------------------------------------------------- optimize
+
+    def optimize(self, batch_id: int, target_files: int = 1) -> int | None:
+        """OPTIMIZE — bin-pack compaction (r13): the live set is read
+        through ``delta_scan`` (deletion vectors are MATERIALIZED: the
+        masked rows vanish physically and the DVs drop) and rewritten
+        distributedly into ``target_files`` compacted files, committed
+        as removes + adds with ``dataChange: false`` — the spec's
+        signal that no logical rows changed, which incremental readers
+        (``DeltaStreamSource``, delta-spark's source) use to SKIP the
+        commit instead of double-counting. Time travel below the
+        optimize still reads the old layout until vacuumed.
+        Replay-idempotent via the txn batch id. Partitioned and
+        column-mapped tables refuse (per-partition bin-packing is a
+        different problem)."""
+        from ..operators.deltalog import _column_mapping, delta_scan
+
+        if target_files < 1:
+            raise ValueError("target_files must be >= 1")
+        if self._is_committed(batch_id):
+            return None
+        head = self.head_version()
+        if head < 0:
+            raise ValueError("optimize on a table with no commits")
+        state = self._replay_state(head)
+        if state["metadata"]["partitionColumns"]:
+            raise NotImplementedError(
+                "optimize on partitioned tables unsupported (compact "
+                "per partition instead)"
+            )
+        if _column_mapping(state["metadata"]):
+            raise NotImplementedError(
+                "optimize on column-mapped tables unsupported"
+            )
+        spark = getattr(self, "spark", None)
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError("optimize needs an active SparkSession")
+        import pyarrow.parquet as pq
+
+        old = sorted(state["live"])
+        df = delta_scan(spark, self.path, version=head)
+        stage = os.path.join(self.path, "_staging", f"opt-b{batch_id:010d}")
+        df.repartition(target_files).write.mode("overwrite").parquet(stage)
+        adds: list[str] = []
+        i = 0
+        for fn in sorted(os.listdir(stage)):
+            if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                continue
+            n_rows = pq.ParquetFile(os.path.join(stage, fn)).metadata.num_rows
+            if n_rows == 0:
+                continue
+            rel = f"compact-b{batch_id:010d}-{i:05d}.parquet"
+            os.replace(os.path.join(stage, fn), os.path.join(self.path, rel))
+            adds.append(self._add_action(rel, n_rows, data_change=False))
+            i += 1
+        shutil.rmtree(stage, ignore_errors=True)
+        return self._commit_actions(
+            None, batch_id, adds, removes=old, removes_data_change=False
+        )
 
     # ------------------------------------------------ checkpoint / clean
 
@@ -1335,6 +1406,11 @@ class DeltaStreamSource:
                             "accept re-emitted rows"
                         )
                 elif "add" in action:
+                    if not action["add"].get("dataChange", True):
+                        # compaction/OPTIMIZE re-adds existing rows
+                        # (dataChange=false): incremental readers skip
+                        # them, exactly like delta-spark's source
+                        continue
                     rel = action["add"]["path"]
                     rels.append(rel)
                     pvals[rel] = action["add"].get("partitionValues") or {}

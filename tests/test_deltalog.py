@@ -2067,3 +2067,69 @@ def test_dv_anti_join_plan_is_broadcast(spark, tmp_path):
     plan = delta_scan(spark, path)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+class TestOptimize:
+    """r13: OPTIMIZE bin-pack compaction — DVs materialize, incremental
+    readers skip the dataChange=false commit."""
+
+    def test_optimize_materializes_dvs_and_compacts(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            delta_scan,
+            replay_delta_dir,
+        )
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        sink.commit_batch_distributed(
+            spark.range(80).selectExpr("id AS k").repartitionByRange(4, "k"), 0
+        )
+        sink.delete_where("k % 4 = 0", 1)
+        expect = sorted(k for k in range(80) if k % 4 != 0)
+        v = sink.optimize(2, target_files=1)
+        assert v == 2
+        assert sink.optimize(2) is None  # replay skipped
+        live = replay_delta_dir(path)["live"]
+        assert list(live) == ["compact-b0000000002-00000.parquet"]
+        # DV materialized: the compacted add carries NO deletionVector
+        assert "deletionVector" not in live[list(live)[0]]
+        assert sorted(r.k for r in delta_scan(spark, path).collect()) == expect
+        # time travel below the optimize reads the old (masked) layout
+        assert sorted(
+            r.k for r in delta_scan(spark, path, version=1).collect()
+        ) == expect
+        assert delta_scan(spark, path, version=0).count() == 80
+        # the commit is dataChange=false throughout
+        with open(os.path.join(path, "_delta_log", f"{2:020d}.json")) as f:
+            for line in f.read().splitlines():
+                a = _json.loads(line)
+                for kind in ("add", "remove"):
+                    if kind in a:
+                        assert a[kind]["dataChange"] is False
+
+    def test_stream_source_skips_optimize_commits(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+            DeltaStreamSource,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        sink.commit_batch(spark.range(10).selectExpr("id AS k"), 0)
+        src = DeltaStreamSource(spark, path)
+        df, through = src.next_batch()
+        assert df.count() == 10 and through == 0
+        sink.commit_batch(spark.range(10, 15).selectExpr("id AS k"), 1)
+        sink.optimize(2, target_files=1)
+        # the incremental batch carries ONLY batch 1's rows — the
+        # optimize commit neither refuses nor re-emits
+        df2, through2 = src.next_batch()
+        assert through2 == 2
+        assert sorted(r.k for r in df2.collect()) == list(range(10, 15))
+        assert src.next_batch() is None
