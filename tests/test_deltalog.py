@@ -2133,3 +2133,22 @@ class TestOptimize:
         assert through2 == 2
         assert sorted(r.k for r in df2.collect()) == list(range(10, 15))
         assert src.next_batch() is None
+
+
+def test_delete_where_on_partitioned_table(spark, tmp_path):
+    # DV re-adds must preserve partitionValues so pruning keeps working
+    from flink_gmall2024_realtime_spark.operators.deltalog import delta_scan
+    from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+    path = str(tmp_path / "tbl")
+    sink = DeltaAppendSink(path, partition_columns=["p"])
+    df = spark.range(60).selectExpr("id AS k", "concat('p', id % 2) AS p")
+    sink.commit_batch_distributed(df, 0)
+    sink.delete_where("k % 3 = 0", 1)
+    expect = sorted(k for k in range(60) if k % 3 != 0)
+    assert sorted(r.k for r in delta_scan(spark, path).collect()) == expect
+    # pruned read of one partition still masks its DV rows
+    p0 = delta_scan(spark, path, partition_filter={"p": "p0"})
+    assert sorted(r.k for r in p0.collect()) == [
+        k for k in expect if k % 2 == 0
+    ]
