@@ -285,8 +285,15 @@ def _dv_positions(dv: dict, fetch) -> list[int]:
         rel = f"deletion_vector_{uid}.bin"
         if prefix:
             rel = f"{prefix}/{rel}"
+        # offset is OPTIONAL in the DV descriptor (spec: "if not
+        # present, the data starts right after the 1-byte format
+        # version") — default to 1 rather than KeyError on spec-valid
+        # tables (ADVICE r13)
+        offset = dv.get("offset")
+        if offset is None:
+            offset = 1
         positions = parse_dv_in_file(
-            fetch(rel), dv["offset"], dv["sizeInBytes"]
+            fetch(rel), offset, dv["sizeInBytes"]
         )
     elif storage == "p":
         raise NotImplementedError(
@@ -635,6 +642,11 @@ def write_checkpoint_blob(
             ("minReaderVersion", pa.int32()),
             ("minWriterVersion", pa.int32()),
             ("readerFeatures", pa.list_(pa.string())),
+            # writerFeatures must survive the checkpoint: after clean_log
+            # prunes the JSON protocol action this row is the table's ONLY
+            # protocol record, and minWriterVersion=7 without a
+            # writerFeatures list is invalid per the spec (ADVICE r13)
+            ("writerFeatures", pa.list_(pa.string())),
         ]
     )
     remove_t = pa.struct([("path", pa.string())])
@@ -1496,6 +1508,60 @@ def delta_partition_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def _dv_grouped_scan(spark, files, pcols, ptypes, fields3):
+    """ONE scan of every deletion-vector-carrying file in a Delta
+    snapshot: rows keyed by (``_metadata.file_name``, ``row_index``)
+    are anti-joined against a single broadcast positions DataFrame, so
+    the PLAN SIZE is independent of how many files carry DVs (a broad
+    GDPR ``delete_where`` over 10k files is one scan node, not 10k
+    union branches). Partition values re-attach via a broadcast
+    file->partitionValues join (the log is authoritative, not the
+    paths); ``fields3`` is [(logical, physical, sparktype)] so column
+    mapping resolves and schema-evolution gaps read as typed nulls.
+    Callers guarantee file basenames are unique within ``files``."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    pos_rows: list[tuple] = []
+    pv_rows: list[tuple] = []
+    paths: list[str] = []
+    for full, key, positions in files:
+        name = os.path.basename(full)
+        paths.append(full)
+        pos_rows.extend((name, int(p)) for p in positions)
+        pv_rows.append((name, *key))
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*sorted(paths))
+        .select(
+            "*",
+            F.col("_metadata.file_name").alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+    )
+    pos_df = spark.createDataFrame(pos_rows, "__file string, __pos long")
+    df = df.join(F.broadcast(pos_df), ["__file", "__pos"], "left_anti")
+    if pcols:
+        pv_schema = ", ".join(
+            ["__file string"] + [f"__pv_{i} string" for i in range(len(pcols))]
+        )
+        pv_df = spark.createDataFrame(pv_rows, pv_schema)
+        df = df.join(F.broadcast(pv_df), "__file", "inner")
+    sel = []
+    for name, p, t in fields3:
+        if p in df.columns:
+            sel.append(F.col(p).alias(name))
+        else:
+            sel.append(F.lit(None).cast(t).alias(name))
+    for i, c in enumerate(pcols):
+        col = F.col(f"__pv_{i}")
+        if c in ptypes:
+            col = col.cast(ptypes[c])
+        sel.append(col.alias(c))
+    return df.select(*sel)
+
+
 def read_checkpoint_full_state(blobs, fetch=None) -> dict:
     """Full checkpoint decode for WRITER-side state rebuilding (pyarrow-
     free, via the nested record decoder): live add map plus the raw
@@ -1510,6 +1576,7 @@ def read_checkpoint_full_state(blobs, fetch=None) -> dict:
     wanted = _CP_LEAVES + (
         "metaData.partitionColumns.list.element",
         "protocol.minWriterVersion",
+        "protocol.writerFeatures.list.element",
         "txn.appId",
         "txn.version",
     )
@@ -1538,12 +1605,15 @@ def read_checkpoint_full_state(blobs, fetch=None) -> dict:
         for i in range(n):
             if col("protocol.minReaderVersion")[i] is not None:
                 feats = col("protocol.readerFeatures.list.element")[i]
+                wfeats = col("protocol.writerFeatures.list.element")[i]
                 protocol = {
                     "minReaderVersion": col("protocol.minReaderVersion")[i],
                     "minWriterVersion": col("protocol.minWriterVersion")[i],
                 }
                 if feats:
                     protocol["readerFeatures"] = [s(f) for f in feats]
+                if wfeats:
+                    protocol["writerFeatures"] = [s(f) for f in wfeats]
             app = col("txn.appId")[i]
             if app is not None:
                 txns[s(app)] = max(txns.get(s(app), -1), col("txn.version")[i])
@@ -1788,6 +1858,7 @@ def delta_scan(
 
     parts = []
     groups: dict[tuple, list[str]] = {}
+    dv_files: list[tuple[str, tuple, list[int]]] = []  # rel, key, positions
     for rel, add in sorted(live.items()):
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(phys(c)) for c in pcols)
@@ -1795,20 +1866,40 @@ def delta_scan(
         if not dv:
             groups.setdefault(key, []).append(os.path.join(path, rel))
             continue
-        # merge-on-read (r13): the DV masks physical row indexes of THIS
-        # file — read it alone so `_metadata.row_index` positions are
-        # file-local, anti-join the (broadcast, cardinality-bounded)
-        # deleted positions. DV-carrying files are the rewritten
-        # minority of a table; the plain majority keeps grouped scans.
-        positions = _dv_positions(dv, fetch)
-        df = spark.read.parquet(os.path.join(path, rel)).select(
-            "*", F.col("_metadata.row_index").alias("__pos")
-        )
-        pos_df = spark.createDataFrame(
-            [(int(p),) for p in positions], "__pos long"
-        )
-        df = df.join(F.broadcast(pos_df), "__pos", "left_anti")
-        parts.append(attach_partitions(project(df), key))
+        dv_files.append((rel, key, _dv_positions(dv, fetch)))
+    if dv_files:
+        # merge-on-read, O(1) in PLAN SIZE (r14): ALL DV-carrying files
+        # go through ONE grouped scan, anti-joined on
+        # (_metadata.file_name, row_index) against a single broadcast
+        # positions DataFrame — a broad delete_where touching 10k files
+        # must not create 10k plan branches. Partition values attach
+        # via a broadcast file->partitionValues join (the log is
+        # authoritative, not the paths). Falls back to per-file
+        # branches only on a file-NAME collision (two live files in
+        # different directories sharing a basename), which no in-repo
+        # writer produces.
+        names = [os.path.basename(rel) for rel, _k, _p in dv_files]
+        if len(set(names)) == len(names):
+            fields3 = [(n, phys(n), t) for n, t in table_fields]
+            parts.append(
+                _dv_grouped_scan(
+                    spark,
+                    [(os.path.join(path, rel), k, p) for rel, k, p in dv_files],
+                    pcols,
+                    ptypes,
+                    fields3,
+                )
+            )
+        else:
+            for rel, key, positions in dv_files:
+                df = spark.read.parquet(os.path.join(path, rel)).select(
+                    "*", F.col("_metadata.row_index").alias("__pos")
+                )
+                pos_df = spark.createDataFrame(
+                    [(int(p),) for p in positions], "__pos long"
+                )
+                df = df.join(F.broadcast(pos_df), "__pos", "left_anti")
+                parts.append(attach_partitions(project(df), key))
     for key, files in sorted(groups.items()):
         df = spark.read.option("mergeSchema", "true").parquet(*files)
         parts.append(attach_partitions(project(df), key))

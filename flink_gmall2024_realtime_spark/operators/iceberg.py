@@ -611,34 +611,97 @@ def iceberg_scan(
     eq_resolved = _resolve_equality_deletes(get, eq_dels, md)
     plain = []
     parts = []
+    # O(1) in PLAN SIZE (r14): delete-carrying files group by their
+    # equality-delete APPLICABILITY signature (which eq-delete files
+    # apply, per the strict data_seq < del_seq rule) — files sharing a
+    # signature scan TOGETHER, position deletes applied as ONE
+    # broadcast (_metadata.file_name, row_index) anti-join over the
+    # whole group. A table with 10k position-deleted files and one
+    # sequence generation is one scan node, not 10k union branches.
+    sig_groups: dict[tuple, dict] = {}
     for rel, _rc, _pv, seq in live:
         deleted = _deleted_positions(resolved, rel, seq)
-        eq_applicable = [
-            (cols, tuples)
-            for del_seq, cols, tuples in eq_resolved
+        sig = tuple(
+            i
+            for i, (del_seq, _c, _t) in enumerate(eq_resolved)
             if seq is None or del_seq is None or seq < del_seq
-        ]
-        if not deleted and not eq_applicable:
+        )
+        if not deleted and not sig:
             plain.append(os.path.join(path, rel))
             continue
-        df = spark.read.parquet(os.path.join(path, rel))
+        g = sig_groups.setdefault(sig, {"pos": [], "flat": []})
         if deleted:
-            df = df.select(
-                "*", F.col("_metadata.row_index").alias("__pos")
-            )
-            pos_df = spark.createDataFrame(
-                [(int(p),) for p in sorted(deleted)], "__pos long"
-            )
-            df = df.join(F.broadcast(pos_df), "__pos", "left_anti").drop(
-                "__pos"
-            )
-        for cols, tuples in eq_applicable:
+            g["pos"].append((os.path.join(path, rel), sorted(deleted)))
+        else:
+            g["flat"].append(os.path.join(path, rel))
+    for sig in sorted(sig_groups):
+        g = sig_groups[sig]
+        dfs = []
+        if g["pos"]:
+            names = [os.path.basename(f) for f, _p in g["pos"]]
+            if len(set(names)) == len(names):
+                df = spark.read.parquet(
+                    *sorted(f for f, _p in g["pos"])
+                ).select(
+                    "*",
+                    F.col("_metadata.file_name").alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+                pos_df = spark.createDataFrame(
+                    [
+                        (os.path.basename(f), int(p))
+                        for f, ps in g["pos"]
+                        for p in ps
+                    ],
+                    "__file string, __pos long",
+                )
+                dfs.append(
+                    df.join(
+                        F.broadcast(pos_df), ["__file", "__pos"], "left_anti"
+                    ).drop("__file", "__pos")
+                )
+            else:
+                # basename collision (cross-directory duplicate names):
+                # fall back to exact per-file masking
+                for full, positions in g["pos"]:
+                    df = spark.read.parquet(full).select(
+                        "*", F.col("_metadata.row_index").alias("__pos")
+                    )
+                    pos_df = spark.createDataFrame(
+                        [(int(p),) for p in positions], "__pos long"
+                    )
+                    dfs.append(
+                        df.join(
+                            F.broadcast(pos_df), "__pos", "left_anti"
+                        ).drop("__pos")
+                    )
+        if g["flat"]:
+            dfs.append(spark.read.parquet(*sorted(g["flat"])))
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d)
+        for idx in sig:
+            _del_seq, cols, tuples = eq_resolved[idx]
             # DELETE-by-value: broadcast anti-join on the equality
-            # columns (the MERGE-on-read form streaming upserts write)
+            # columns (the MERGE-on-read form streaming upserts write).
+            # NULL-SAFE equality — the spec (and the audit reader) treat
+            # null==null as a match, so a plain-equality join would
+            # never delete rows with NULL in an equality column
+            # (ADVICE r13)
             vals_df = spark.createDataFrame(
-                [tuple(t) for t in sorted(tuples)], list(cols)
+                [tuple(t) for t in sorted(tuples, key=lambda t: tuple(
+                    (v is None, v) for v in t
+                ))],
+                list(cols),
             )
-            df = df.join(F.broadcast(vals_df), on=list(cols), how="left_anti")
+            sel = [F.col(c).alias(f"__eq_{c}") for c in cols]
+            cond = None
+            for c in cols:
+                clause = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                cond = clause if cond is None else cond & clause
+            df = df.join(
+                F.broadcast(vals_df.select(*sel)), cond, "left_anti"
+            )
         parts.append(df)
     if plain:
         parts.append(spark.read.parquet(*plain))

@@ -461,12 +461,26 @@ class DeltaAppendSink:
         removes: list[str] | None = None,
         extra_lines: list[str] | None = None,
         removes_data_change: bool = True,
+        expected_files: dict | None = None,
+        snapshot_version: int | None = None,
     ) -> int | None:
         """Claim the next version with txn + commitInfo + ``removes`` +
         ``adds`` action lines; None when a concurrent attempt of the
         same batch landed first. ``batch=None`` (metadata-only commits
         like delete_where) skips schema validation and is invalid for
-        the table-creating version 0."""
+        the table-creating version 0.
+
+        ``expected_files`` (MUTATING commits — delete_where/optimize,
+        ADVICE r13): {rel: add-action-as-observed} at
+        ``snapshot_version``, the files whose content this commit's
+        removes/adds were computed AGAINST. Append-only commits never
+        conflict, but a mutating commit re-published verbatim against a
+        moved head can resurrect rows another delete_where/optimize
+        removed (stale DV union, re-adding a compacted-away file) — so
+        when the head has advanced past the snapshot, the live state is
+        re-read and any drift in those files raises
+        ``ConcurrentWriteError`` instead of silently committing, the
+        same conflict detection real Delta's OCC performs."""
         meta_update = self._schema_delta(batch) if batch is not None else None
         txn = json.dumps(
             {
@@ -488,6 +502,23 @@ class DeltaAppendSink:
             head = max(
                 versions[-1] if versions else -1, cps[-1] if cps else -1
             )
+            if (
+                expected_files is not None
+                and snapshot_version is not None
+                and head > snapshot_version
+            ):
+                # another writer landed between our snapshot and this
+                # attempt: every file we remove/re-add must be UNCHANGED
+                # (same add action, same deletionVector) or the
+                # mutation was computed against stale state
+                live_now = self._replay_state(head)["live"]
+                for rel, seen in expected_files.items():
+                    if live_now.get(rel) != seen:
+                        raise ConcurrentWriteError(
+                            f"concurrent update to {rel!r} between "
+                            f"version {snapshot_version} and {head}; "
+                            "recompute the mutation against the new head"
+                        )
             next_v = head + 1
             lines = [txn, info]
             if extra_lines:
@@ -831,7 +862,13 @@ class DeltaAppendSink:
             ]
         removes_json = removes if removes else None
         version = self._commit_actions(
-            None, batch_id, adds, removes=removes_json, extra_lines=extra
+            None,
+            batch_id,
+            adds,
+            removes=removes_json,
+            extra_lines=extra,
+            expected_files={rel: live[rel] for rel in removes} or None,
+            snapshot_version=head,
         )
         return version
 
@@ -896,7 +933,13 @@ class DeltaAppendSink:
             i += 1
         shutil.rmtree(stage, ignore_errors=True)
         return self._commit_actions(
-            None, batch_id, adds, removes=old, removes_data_change=False
+            None,
+            batch_id,
+            adds,
+            removes=old,
+            removes_data_change=False,
+            expected_files={rel: state["live"][rel] for rel in old} or None,
+            snapshot_version=head,
         )
 
     # ------------------------------------------------ checkpoint / clean
@@ -1344,24 +1387,82 @@ class DeltaStreamSource:
                 if line.strip()
             ]
 
-    def _files_df(self, rels: list[str], pcols, ptypes, pvals_by_rel):
+    def _files_df(self, rels: list[str], pcols, ptypes, pvals_by_rel,
+                  dvs_by_rel=None):
         import os
 
         from pyspark.sql import functions as F
 
+        from ..operators.deltalog import _dv_positions
+
+        def fetch(rel: str) -> bytes:
+            with open(os.path.join(self.path, rel), "rb") as f:
+                return f.read()
+
+        dvs_by_rel = dvs_by_rel or {}
         groups: dict[tuple, list[str]] = {}
+        dv_groups: dict[tuple, list[tuple]] = {}  # key -> [(full, positions)]
         for rel in rels:
             key = tuple((pvals_by_rel.get(rel) or {}).get(c) for c in pcols)
-            groups.setdefault(key, []).append(os.path.join(self.path, rel))
+            if rel in dvs_by_rel:
+                # an add re-emitted with a deletionVector (delete_where
+                # under ignore_changes): the deleted rows must NOT flow
+                # downstream — apply the same row_index anti-join
+                # delta_scan uses (ADVICE r13)
+                dv_groups.setdefault(key, []).append(
+                    (
+                        os.path.join(self.path, rel),
+                        _dv_positions(dvs_by_rel[rel], fetch),
+                    )
+                )
+            else:
+                groups.setdefault(key, []).append(os.path.join(self.path, rel))
         parts = []
-        for key, files in sorted(groups.items()):
-            df = self.spark.read.parquet(*files)
+
+        def attach(df, key):
             for c, v in zip(pcols, key):
                 col = F.lit(v)
                 if v is not None and c in ptypes:
                     col = col.cast(ptypes[c])
                 df = df.withColumn(c, col)
-            parts.append(df)
+            return df
+
+        for key, files in sorted(groups.items()):
+            parts.append(attach(self.spark.read.parquet(*files), key))
+        for key, file_pos in sorted(dv_groups.items()):
+            names = [os.path.basename(f) for f, _p in file_pos]
+            if len(set(names)) == len(names):
+                df = self.spark.read.parquet(
+                    *sorted(f for f, _p in file_pos)
+                ).select(
+                    "*",
+                    F.col("_metadata.file_name").alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+                pos_df = self.spark.createDataFrame(
+                    [
+                        (os.path.basename(f), int(p))
+                        for f, ps in file_pos
+                        for p in ps
+                    ],
+                    "__file string, __pos long",
+                )
+                df = df.join(
+                    F.broadcast(pos_df), ["__file", "__pos"], "left_anti"
+                ).drop("__file", "__pos")
+                parts.append(attach(df, key))
+            else:
+                for full, positions in file_pos:
+                    df = self.spark.read.parquet(full).select(
+                        "*", F.col("_metadata.row_index").alias("__pos")
+                    )
+                    pos_df = self.spark.createDataFrame(
+                        [(int(p),) for p in positions], "__pos long"
+                    )
+                    df = df.join(
+                        F.broadcast(pos_df), "__pos", "left_anti"
+                    ).drop("__pos")
+                    parts.append(attach(df, key))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1393,6 +1494,7 @@ class DeltaStreamSource:
                 ptypes[f["name"]] = _DELTA_TO_SPARK.get(f["type"], "string")
         rels: list[str] = []
         pvals: dict = {}
+        dvs: dict = {}
         for v in range(self._pos + 1, head + 1):
             for action in self._commit_actions(v):
                 if "remove" in action:
@@ -1412,14 +1514,26 @@ class DeltaStreamSource:
                         # them, exactly like delta-spark's source
                         continue
                     rel = action["add"]["path"]
+                    if rel in pvals:
+                        # re-added again inside this batch window (two
+                        # delete_where commits): keep ONE emission, the
+                        # newest action wins
+                        rels.remove(rel)
                     rels.append(rel)
                     pvals[rel] = action["add"].get("partitionValues") or {}
+                    dv = action["add"].get("deletionVector")
+                    if dv:
+                        dvs[rel] = dv
+                    elif rel in dvs:
+                        # re-added WITHOUT a DV later in the batch window
+                        # (e.g. a rewrite): the raw file is the truth
+                        del dvs[rel]
         self._pos = head
         if not rels:
             return self.spark.createDataFrame(
                 [], schema="_empty string"
             ).limit(0), head
-        return self._files_df(rels, pcols, ptypes, pvals), head
+        return self._files_df(rels, pcols, ptypes, pvals, dvs), head
 
     def stream_to(self, write, max_batches: int = 1_000_000) -> int:
         """Drain the source into a ``foreachBatch``-style writer (batch
