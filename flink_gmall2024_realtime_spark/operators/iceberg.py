@@ -1334,7 +1334,7 @@ _EQ_MANIFEST_SCHEMA = {
 }
 
 
-def synth_iceberg_eqdeletes(seed: int) -> bytes:
+def synth_iceberg_eqdeletes(seed: int, with_nulls: bool = False) -> bytes:
     """Iceberg v2 EQUALITY-delete fixture shipped as one ZIP (r13): the
     upsert shape streaming writers produce — snap 2's commit carries an
     EQUALITY delete (content=2 data_file, ``equality_ids`` naming
@@ -1368,7 +1368,17 @@ def synth_iceberg_eqdeletes(seed: int) -> bytes:
                     "k": pa.array(
                         [seed + 100 * j + i for i in range(n)], pa.int64()
                     ),
-                    "c": pa.array([i % 5 for i in range(n)], pa.int64()),
+                    # with_nulls: every i%5==4 row carries NULL in the
+                    # equality column, and the delete file lists NULL —
+                    # per the spec null==null MATCHES for equality
+                    # deletes, the case a plain-equality join misses
+                    "c": pa.array(
+                        [
+                            None if with_nulls and i % 5 == 4 else i % 5
+                            for i in range(n)
+                        ],
+                        pa.int64(),
+                    ),
                 }
             ),
             buf,
@@ -1380,8 +1390,9 @@ def synth_iceberg_eqdeletes(seed: int) -> bytes:
         return f"data/part-{j:05d}.parquet"
 
     buf = io.BytesIO()
+    del_vals = [1, 3, None] if with_nulls else [1, 3]
     pq.write_table(
-        pa.table({"c": pa.array([1, 3], pa.int64())}), buf,
+        pa.table({"c": pa.array(del_vals, pa.int64())}), buf,
         compression="snappy",
     )
     del_file = buf.getvalue()
@@ -1406,7 +1417,7 @@ def synth_iceberg_eqdeletes(seed: int) -> bytes:
         + _zz(2)  # content: EQUALITY_DELETES
         + _enc_str(f"{loc}/{del_path}")
         + _enc_str("PARQUET")
-        + _zz(2)
+        + _zz(len(del_vals))
         + _zz(len(del_file))
         + _zz(1) + _zz(2) + _zz(0)  # equality_ids: [2] (column c)
     )

@@ -2152,3 +2152,185 @@ def test_delete_where_on_partitioned_table(spark, tmp_path):
     assert sorted(r.k for r in p0.collect()) == [
         k for k in expect if k % 2 == 0
     ]
+
+
+class TestR14Hardening:
+    """r14: O(1)-plan DV scans, mutating-commit OCC conflict detection,
+    writerFeatures checkpoint round-trip, DV-aware stream source."""
+
+    def _table(self, spark, root, n_files, rows_per_file=20):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        sink = DeltaAppendSink(str(root))
+        df = spark.range(n_files * rows_per_file).selectExpr(
+            "id AS k", "id % 7 AS v"
+        )
+        sink.commit_batch_distributed(
+            df.repartitionByRange(n_files, "k"), 0
+        )
+        return sink
+
+    def test_dv_scan_plan_size_independent_of_dv_file_count(
+        self, spark, tmp_path
+    ):
+        # the GDPR-sweep shape: delete_where touching EVERY file must
+        # not create one plan branch per file — 4-file and 16-file
+        # tables produce the SAME number of parquet scan nodes
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            delta_scan,
+        )
+
+        def scan_nodes(n_files, name):
+            sink = self._table(spark, tmp_path / name, n_files)
+            sink.delete_where("k % 2 = 0", 1)  # touches every file
+            df = delta_scan(spark, str(tmp_path / name))
+            total = n_files * 20
+            assert sorted(r.k for r in df.collect()) == [
+                k for k in range(total) if k % 2 == 1
+            ]
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Scan parquet")
+
+        assert scan_nodes(4, "t4") == scan_nodes(16, "t16")
+
+    def test_mutating_commit_conflict_raises(self, spark, tmp_path):
+        # two writers race a delete_where: the loser must NOT re-commit
+        # its stale removes/DV union against the moved head
+        import pytest as _pytest
+
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+        from flink_gmall2024_realtime_spark.streaming.versioned import (
+            ConcurrentWriteError,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink_a = self._table(spark, tmp_path / "tbl", 4)
+        sink_b = DeltaAppendSink(path)
+        snap = sink_a._replay_state(0)
+        rel = sorted(snap["live"])[0]
+        # B lands a delete that rewrites rel's DV while A holds v0 state
+        sink_b.spark = spark
+        sink_b.delete_where("k % 3 = 0", 100)
+        with _pytest.raises(ConcurrentWriteError, match="concurrent update"):
+            sink_a._commit_actions(
+                None,
+                200,
+                adds=[],
+                removes=[rel],
+                expected_files={rel: snap["live"][rel]},
+                snapshot_version=0,
+            )
+
+    def test_nonconflicting_append_does_not_block_mutation(
+        self, spark, tmp_path
+    ):
+        # an append between snapshot and publish moves the head but
+        # touches none of the mutated files: the commit proceeds
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            delta_scan,
+        )
+
+        sink = self._table(spark, tmp_path / "tbl", 4)
+        snap = sink._replay_state(0)
+        rel = sorted(snap["live"])[0]
+        extra = spark.range(1000, 1010).selectExpr("id AS k", "id % 7 AS v")
+        sink.commit_batch_distributed(extra, 1)  # head moves to v1
+        v = sink._commit_actions(
+            None,
+            2,
+            adds=[],
+            removes=[rel],
+            expected_files={rel: snap["live"][rel]},
+            snapshot_version=0,
+        )
+        assert v == 2
+        assert rel not in sink.live_files()
+        assert delta_scan(spark, str(tmp_path / "tbl")).count() > 0
+
+    def test_writer_features_survive_checkpoint_and_clean_log(
+        self, spark, tmp_path
+    ):
+        # after clean_log the checkpoint is the ONLY protocol record:
+        # minWriterVersion=7 without writerFeatures is spec-invalid
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            replay_delta_dir,
+        )
+
+        sink = self._table(spark, tmp_path / "tbl", 4)
+        sink.delete_where("k % 3 = 0", 1)  # upgrades protocol to 3/7
+        head = sink.head_version()
+        sink.write_checkpoint(head)
+        assert sink.clean_log()
+        proto = replay_delta_dir(str(tmp_path / "tbl"))["protocol"]
+        assert proto["minReaderVersion"] == 3
+        assert proto["minWriterVersion"] == 7
+        assert "deletionVectors" in proto["readerFeatures"]
+        assert "deletionVectors" in proto["writerFeatures"]
+
+    def test_stream_source_applies_dvs_on_readded_files(
+        self, spark, tmp_path
+    ):
+        # ignore_changes re-emits delete_where's re-added files: the
+        # DELETED rows must not flow downstream (they carry a DV); two
+        # delete commits in one batch window emit each file ONCE with
+        # the newest (union) DV
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaStreamSource,
+        )
+
+        sink = self._table(spark, tmp_path / "tbl", 4)
+        src = DeltaStreamSource(
+            spark, str(tmp_path / "tbl"), ignore_changes=True
+        )
+        df, through = src.next_batch()
+        assert df.count() == 80 and through == 0
+        sink.delete_where("k % 3 = 0", 1)
+        sink.delete_where("k % 5 = 0", 2)
+        df, through = src.next_batch()
+        assert through == 2
+        got = sorted(r.k for r in df.collect())
+        assert got == [
+            k for k in range(80) if k % 3 != 0 and k % 5 != 0
+        ]
+        assert src.next_batch() is None
+
+    def test_dv_offset_is_optional_in_the_descriptor(self, tmp_path):
+        # spec: offset may be absent — data then starts right after the
+        # 1-byte format version
+        import os
+        import uuid
+
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            _dv_positions,
+        )
+        from flink_gmall2024_realtime_spark.operators.roaring import (
+            build_dv_file,
+            serialize_roaring_bitmap_array,
+            z85_encode,
+        )
+
+        data = serialize_roaring_bitmap_array([1, 3, 5, 70000])
+        blob, offsets = build_dv_file([data])
+        assert offsets[0] == 1
+        uid = uuid.uuid4()
+        with open(tmp_path / f"deletion_vector_{uid}.bin", "wb") as f:
+            f.write(blob)
+
+        def fetch(rel):
+            with open(os.path.join(tmp_path, rel), "rb") as f:
+                return f.read()
+
+        dv = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(uid.bytes),
+            "sizeInBytes": len(data),
+            "cardinality": 4,
+        }
+        assert _dv_positions(dv, fetch) == [1, 3, 5, 70000]
+        assert _dv_positions({**dv, "offset": None}, fetch) == [
+            1, 3, 5, 70000,
+        ]

@@ -875,3 +875,32 @@ class TestPartitionedSink:
             sink.commit_batch(
                 spark.createDataFrame([(1, "a")], "k long, p string"), 0
             )
+
+
+class TestEqualityDeleteNulls:
+    """r14: the spec (and the audit reader) treat null==null as a MATCH
+    for equality deletes — iceberg_scan's anti-join must be null-safe or
+    the two read paths diverge on tables with NULL equality columns."""
+
+    def test_null_equality_values_delete_null_rows(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+            read_iceberg_snapshot,
+            synth_iceberg_eqdeletes,
+        )
+
+        seed = 4
+        payload = synth_iceberg_eqdeletes(seed, with_nulls=True)
+        path = _unzip_to_dir(payload, tmp_path / "tbl")
+        n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+        # delete values {1, 3, NULL}; i%5==4 rows carry NULL — files
+        # 0/1 (seq 1) keep only i%5 in {0, 2}; file 2 (seq 2) survives
+        expect = sorted(
+            [seed + i for i in range(n(0)) if i % 5 in (0, 2)]
+            + [seed + 100 + i for i in range(n(1)) if i % 5 in (0, 2)]
+            + [seed + 200 + i for i in range(n(2))]
+        )
+        got = sorted(r.k for r in iceberg_scan(spark, path).collect())
+        assert got == expect
+        # the audit reader agrees exactly
+        assert read_iceberg_snapshot(payload)["n_rows"] == len(expect)
