@@ -714,10 +714,11 @@ class DeltaAppendSink:
         protocol-upgrade action). Replay-idempotent via the usual txn
         batch id; returns the committed version or None on replay.
 
-        The positions collect is bounded by the number of MATCHED rows
-        — the DV shape is for selective deletes (GDPR erasure, dedup
-        kills); a bulk delete should rewrite files instead, the same
-        tradeoff real Delta writers make."""
+        r14: DV construction is DISTRIBUTED — matched positions group
+        by file and roaring-serialize in executors; the driver collects
+        one compressed bitmap per touched file (never positions as
+        Rows), so driver memory is O(touched files × bitmap bytes)
+        regardless of how many rows the predicate matches."""
         import uuid as _uuid
         import zlib as _zlib
         from urllib.parse import unquote, urlparse
@@ -754,7 +755,7 @@ class DeltaAppendSink:
             for rel in live
         }
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        matches = (
+        matched = (
             spark.read.parquet(*sorted(by_path))
             .select(
                 F.col("_metadata.file_path").alias("__f"),
@@ -763,50 +764,128 @@ class DeltaAppendSink:
             )
             .filter(cond)
             .select("__f", "__p")
-            .collect()
         )
 
         def fetch(rel: str) -> bytes:
             with open(os.path.join(self.path, rel), "rb") as f:
                 return f.read()
 
-        new_by_rel: dict[str, set] = {}
-        for r in matches:
-            uri = r["__f"]
-            real = os.path.realpath(unquote(urlparse(uri).path))
-            rel = by_path.get(real)
-            if rel is None:
-                raise ValueError(f"matched row in unknown file {uri!r}")
-            new_by_rel.setdefault(rel, set()).add(int(r["__p"]))
-        # merge with existing DVs; drop files whose mask doesn't change
-        touched: list[tuple[str, list[int], int]] = []  # rel, union, n_new
+        # DISTRIBUTED DV construction (r14): positions roaring-serialize
+        # per file IN EXECUTORS (groupBy file + applyInPandas) — the
+        # driver only ever collects ONE compressed bitmap per touched
+        # file, never the matched positions as Rows, so a 100M-row
+        # GDPR sweep holds O(touched files × bitmap bytes) on the
+        # driver. Existing DVs union executor-side too (the sidecars
+        # live on the shared table storage). Falls back to a driver
+        # build only on a live-file basename collision (no in-repo
+        # writer produces one).
+        bn_map = {os.path.basename(rel): rel for rel in live}
+        table_path = self.path
+        existing_dvs = {
+            rel: add["deletionVector"]
+            for rel, add in live.items()
+            if add.get("deletionVector")
+        }
+        touched: list[tuple[str, bytes, int, int]] = []  # rel, dv, card, new
         n_deleted = 0
-        for rel in sorted(new_by_rel):
-            add = live[rel]
-            existing: set = set()
-            if add.get("deletionVector"):
-                existing = set(_dv_positions(add["deletionVector"], fetch))
-            union = new_by_rel[rel] | existing
-            n_new = len(union) - len(existing)
-            if n_new == 0:
+        if len(bn_map) == len(live):
+
+            def _build_dv(pdf):
+                import os as _os
+                from urllib.parse import unquote as _unq
+                from urllib.parse import urlparse as _up
+
+                import pandas as _pd
+
+                from ..operators.deltalog import _dv_positions as _dvp
+                from ..operators.roaring import (
+                    serialize_roaring_bitmap_array as _ser,
+                )
+
+                name = _os.path.basename(
+                    _unq(_up(pdf["__f"].iloc[0]).path)
+                )
+                rel = bn_map.get(name)
+                if rel is None:
+                    raise ValueError(f"matched row in unknown file {name!r}")
+                positions = set(int(p) for p in pdf["__p"].tolist())
+                existing: set = set()
+                dv = existing_dvs.get(rel)
+                if dv is not None:
+
+                    def _fetch(r):
+                        with open(_os.path.join(table_path, r), "rb") as f:
+                            return f.read()
+
+                    existing = set(_dvp(dv, _fetch))
+                union = positions | existing
+                return _pd.DataFrame(
+                    [
+                        {
+                            "rel": rel,
+                            "dv": _ser(sorted(union)),
+                            "cardinality": len(union),
+                            "n_new": len(union) - len(existing),
+                        }
+                    ]
+                )
+
+            rows = (
+                matched.groupBy("__f")
+                .applyInPandas(
+                    _build_dv,
+                    "rel string, dv binary, cardinality long, n_new long",
+                )
+                .collect()
+            )
+        else:
+            # driver fallback: decode/union/serialize here (exact, but
+            # O(matched rows) driver memory)
+            new_by_rel: dict[str, set] = {}
+            for r in matched.collect():
+                real = os.path.realpath(unquote(urlparse(r["__f"]).path))
+                rel = by_path.get(real)
+                if rel is None:
+                    raise ValueError(
+                        f"matched row in unknown file {r['__f']!r}"
+                    )
+                new_by_rel.setdefault(rel, set()).add(int(r["__p"]))
+            rows = []
+            for rel in sorted(new_by_rel):
+                existing = set()
+                if rel in existing_dvs:
+                    existing = set(_dv_positions(existing_dvs[rel], fetch))
+                union = new_by_rel[rel] | existing
+                rows.append(
+                    {
+                        "rel": rel,
+                        "dv": serialize_roaring_bitmap_array(sorted(union)),
+                        "cardinality": len(union),
+                        "n_new": len(union) - len(existing),
+                    }
+                )
+        for r in sorted(rows, key=lambda r: r["rel"]):
+            if r["n_new"] == 0:
                 continue  # every matched row was already deleted
-            n_deleted += n_new
-            touched.append((rel, sorted(union), n_new))
+            n_deleted += r["n_new"]
+            touched.append(
+                (r["rel"], bytes(r["dv"]), int(r["cardinality"]), r["n_new"])
+            )
         removes: list[str] = []
         adds: list[str] = []
         if touched:
             datas = []
-            dv_slots = []  # (rel, union, data_index) for still-alive files
-            for rel, union, _ in touched:
+            dv_slots = []  # (rel, cardinality, data_index) still-alive
+            for rel, dv_bytes, card, _n in touched:
                 stats = live[rel].get("stats")
                 nrec = (
                     json.loads(stats).get("numRecords") if stats else None
                 )
                 removes.append(rel)
-                if nrec is not None and len(union) == nrec:
+                if nrec is not None and card == nrec:
                     continue  # fully-deleted file: remove outright
-                dv_slots.append((rel, union, len(datas)))
-                datas.append(serialize_roaring_bitmap_array(union))
+                dv_slots.append((rel, card, len(datas)))
+                datas.append(dv_bytes)
             offsets: list[int] = []
             enc = ""
             if datas:
@@ -826,7 +905,7 @@ class DeltaAppendSink:
                     "wb",
                 ) as f:
                     f.write(blob)
-            for rel, union, di in dv_slots:
+            for rel, card, di in dv_slots:
                 new_add = dict(live[rel])
                 new_add["dataChange"] = True
                 new_add["deletionVector"] = {
@@ -834,7 +913,7 @@ class DeltaAppendSink:
                     "pathOrInlineDv": enc,
                     "offset": offsets[di],
                     "sizeInBytes": len(datas[di]),
-                    "cardinality": len(union),
+                    "cardinality": card,
                 }
                 adds.append(json.dumps({"add": new_add}))
         extra = None

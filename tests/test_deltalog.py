@@ -2334,3 +2334,44 @@ class TestR14Hardening:
         assert _dv_positions({**dv, "offset": None}, fetch) == [
             1, 3, 5, 70000,
         ]
+
+
+def test_delete_where_never_collects_positions_as_rows(
+    spark, tmp_path, monkeypatch
+):
+    # r14: DV construction is distributed — with 1M matched rows, every
+    # driver-side collect during delete_where returns at most one row
+    # per touched FILE (the serialized bitmaps), never the positions
+    import pyspark.sql.classic.dataframe as _D
+
+    from flink_gmall2024_realtime_spark.operators.deltalog import (
+        delta_scan,
+        replay_delta_dir,
+    )
+    from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+    n_files, total = 8, 2_000_000
+    path = str(tmp_path / "tbl")
+    sink = DeltaAppendSink(path)
+    df = spark.range(total).selectExpr("id AS k")
+    sink.commit_batch_distributed(df.repartitionByRange(n_files, "k"), 0)
+
+    orig = _D.DataFrame.collect
+    sizes = []
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_D.DataFrame, "collect", spy)
+    sink.delete_where("k % 2 = 0", 1)  # 1M matched rows
+    monkeypatch.undo()
+    assert sizes and max(sizes) <= n_files
+    assert delta_scan(spark, path).count() == total // 2
+    # the written DVs carry the full cardinality
+    live = replay_delta_dir(path)["live"]
+    assert sum(
+        (a.get("deletionVector") or {}).get("cardinality", 0)
+        for a in live.values()
+    ) == total // 2
