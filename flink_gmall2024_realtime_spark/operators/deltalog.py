@@ -228,28 +228,53 @@ def _check_protocol(protocol: dict) -> None:
 
 def _column_mapping(metadata: dict) -> dict[str, str] | None:
     """LOGICAL -> PHYSICAL column-name map when the table runs
-    ``delta.columnMapping.mode = name`` (each schemaString field's
-    metadata carries ``delta.columnMapping.physicalName`` — the name
-    the parquet files, partitionValues keys and stats keys actually
-    use). None when mapping is off; ``id`` mode is a loud seam (the
-    in-repo parquet reader matches columns by path, not field id)."""
+    ``delta.columnMapping.mode`` = ``name`` OR ``id`` (r14): in BOTH
+    modes each schemaString field's metadata carries
+    ``delta.columnMapping.physicalName`` — the key partitionValues and
+    stats use. The difference is parquet COLUMN resolution: name mode
+    matches files by physicalName, id mode by the parquet field_id
+    equal to ``delta.columnMapping.id`` (see ``_column_ids``). None
+    when mapping is off."""
     conf = metadata.get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode") or "none"
     if mode == "none":
         return None
-    if mode != "name":
+    if mode not in ("name", "id"):
         raise NotImplementedError(
-            f"delta columnMapping mode {mode!r} unsupported (only 'name')"
+            f"delta columnMapping mode {mode!r} unsupported "
+            "(only 'name' and 'id')"
         )
     out: dict[str, str] = {}
     for f in json.loads(metadata["schemaString"]).get("fields", []):
         phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
         if not phys:
             raise ValueError(
-                f"columnMapping=name but field {f['name']!r} carries no "
+                f"columnMapping={mode} but field {f['name']!r} carries no "
                 "delta.columnMapping.physicalName"
             )
         out[f["name"]] = phys
+    return out
+
+
+def _column_ids(metadata: dict) -> dict[str, int] | None:
+    """LOGICAL name -> parquet field id when the table runs
+    ``delta.columnMapping.mode = id`` (r14 — delta-rs/Trino tables):
+    parquet columns must then resolve by field_id, NOT by name (a
+    file's column names are free to drift from physicalName, and old
+    files may carry since-dropped columns whose names collide). None
+    for name mode / mapping off."""
+    conf = metadata.get("configuration") or {}
+    if (conf.get("delta.columnMapping.mode") or "none") != "id":
+        return None
+    out: dict[str, int] = {}
+    for f in json.loads(metadata["schemaString"]).get("fields", []):
+        fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        if fid is None:
+            raise ValueError(
+                f"columnMapping=id but field {f['name']!r} carries no "
+                "delta.columnMapping.id"
+            )
+        out[f["name"]] = int(fid)
     return out
 
 
@@ -517,6 +542,32 @@ def _read_snapshot(
     if metadata is None:
         raise ValueError("delta log carries no metaData action")
     mapping = _column_mapping(metadata)
+    ids = _column_ids(metadata)
+    # the audited content sum follows the TABLE's first integer column;
+    # under column mapping that column must resolve per file — by
+    # physicalName (name mode) or by parquet field_id (id mode, where
+    # old files may carry since-dropped columns the name walk would
+    # mistake for it)
+    sum_field = None
+    if mapping:
+        pcols_set = set(metadata.get("partitionColumns") or [])
+        for f in json.loads(metadata["schemaString"]).get("fields", []):
+            if f["name"] not in pcols_set and f.get("type") in (
+                "long", "integer", "short", "byte",
+            ):
+                sum_field = f["name"]
+                break
+
+    def _sum_col_name(blob: bytes) -> str | None:
+        """Parquet leaf name of the audited sum column in THIS file."""
+        if sum_field is None:
+            return None
+        if ids is not None:
+            from .parquetmeta import parse_parquet_field_ids
+
+            return parse_parquet_field_ids(blob).get(ids[sum_field])
+        return mapping[sum_field]
+
     if partition_filter:
         # under column mapping, partitionValues are keyed by PHYSICAL
         # names; the caller filters by logical ones
@@ -549,10 +600,11 @@ def _read_snapshot(
                     f"{path!r}: stats numRecords {declared} != decoded {file_rows}"
                 )
         dv = add.get("deletionVector")
+        target = _sum_col_name(blob)
         if not dv:
             n_rows += file_rows
             for _col, _nv, _nn, isum, _fsum, _blen in cols:
-                if isum is not None:
+                if isum is not None and (target is None or _col == target):
                     int_sum += isum
                     break
         else:
@@ -570,7 +622,7 @@ def _read_snapshot(
 
             recs = parse_parquet_records(blob)
             for _col, _nv, _nn, isum, _fsum, _blen in cols:
-                if isum is not None:
+                if isum is not None and (target is None or _col == target):
                     vals = recs[_col]
                     int_sum += sum(
                         v
@@ -1276,14 +1328,23 @@ def synth_delta_dv(seed: int) -> bytes:
     return buf.getvalue()
 
 
-def synth_delta_mapped(seed: int) -> bytes:
-    """Protocol-v2 Delta table fixture with NAME-mode COLUMN MAPPING
-    (r13, VERDICT r12 #1), shipped as one ZIP: four pyarrow data files
-    whose parquet columns carry the PHYSICAL name
-    (``delta.columnMapping.physicalName`` from the schemaString field
-    metadata), partitioned over logical column p (physical key in every
+def synth_delta_mapped(seed: int, mode: str = "name") -> bytes:
+    """Protocol-v2 Delta table fixture with COLUMN MAPPING (r13 name
+    mode, r14 id mode), shipped as one ZIP: four pyarrow data files,
+    partitioned over logical column p (physical key in every
     ``partitionValues``, as the protocol's writer rules require),
-    committed over two versions."""
+    committed over two versions.
+
+    ``mode="name"``: parquet columns carry the PHYSICAL name
+    (``delta.columnMapping.physicalName`` from the schemaString field
+    metadata).  ``mode="id"``: parquet columns carry DRIFTED names (the
+    pre-rename logical name, as in-place-converted delta-rs/Trino
+    tables do) plus the parquet ``field_id`` equal to
+    ``delta.columnMapping.id`` — AND a decoy dropped int64 column
+    (field id 9, not in the table schema) sits FIRST in every file, so
+    a reader matching by physicalName finds nothing and one taking the
+    first int column sums garbage; only field-id resolution reads the
+    table correctly."""
     import io
     import zipfile
 
@@ -1291,12 +1352,44 @@ def synth_delta_mapped(seed: int) -> bytes:
     import pyarrow.parquet as pq
 
     seed = int(seed)
+    if mode not in ("name", "id"):
+        raise ValueError(f"mode {mode!r}")
     phys_k = "col-9f1a2b3c"
     phys_p = "col-7d4e5f60"
 
     def data_file(j: int) -> bytes:
         n = (seed + j) % 20 + 5
         buf = io.BytesIO()
+        if mode == "id":
+            schema = pa.schema(
+                [
+                    pa.field(
+                        "zz_dropped",
+                        pa.int64(),
+                        metadata={b"PARQUET:field_id": b"9"},
+                    ),
+                    pa.field(
+                        "k",
+                        pa.int64(),
+                        metadata={b"PARQUET:field_id": b"1"},
+                    ),
+                ]
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "zz_dropped": pa.array([7777] * n, pa.int64()),
+                        "k": pa.array(
+                            [seed + 100 * j + i for i in range(n)],
+                            pa.int64(),
+                        ),
+                    },
+                    schema=schema,
+                ),
+                buf,
+                compression="snappy",
+            )
+            return buf.getvalue()
         pq.write_table(
             pa.table(
                 {phys_k: pa.array(
@@ -1366,8 +1459,8 @@ def synth_delta_mapped(seed: int) -> bytes:
                 ),
                 "partitionColumns": ["p"],
                 "configuration": {
-                    "delta.columnMapping.mode": "name",
-                    "delta.columnMapping.maxColumnId": "2",
+                    "delta.columnMapping.mode": mode,
+                    "delta.columnMapping.maxColumnId": "9",
                 },
             }
         }
@@ -1508,7 +1601,7 @@ def delta_partition_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def _dv_grouped_scan(spark, files, pcols, ptypes, fields3):
+def _dv_grouped_scan(spark, files, pcols, ptypes, fields3, reader=None):
     """ONE scan of every deletion-vector-carrying file in a Delta
     snapshot: rows keyed by (``_metadata.file_name``, ``row_index``)
     are anti-joined against a single broadcast positions DataFrame, so
@@ -1531,14 +1624,14 @@ def _dv_grouped_scan(spark, files, pcols, ptypes, fields3):
         paths.append(full)
         pos_rows.extend((name, int(p)) for p in positions)
         pv_rows.append((name, *key))
-    df = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*sorted(paths))
-        .select(
-            "*",
-            F.col("_metadata.file_name").alias("__file"),
-            F.col("_metadata.row_index").alias("__pos"),
-        )
+    if reader is None:
+        base = spark.read.option("mergeSchema", "true").parquet(*sorted(paths))
+    else:
+        base = reader(*sorted(paths))
+    df = base.select(
+        "*",
+        F.col("_metadata.file_name").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
     )
     pos_df = spark.createDataFrame(pos_rows, "__file string, __pos long")
     df = df.join(F.broadcast(pos_df), ["__file", "__pos"], "left_anti")
@@ -1785,6 +1878,7 @@ def delta_scan(
 
     state = replay_delta_dir(path, version)
     mapping = _column_mapping(state["metadata"])  # logical -> physical
+    ids = _column_ids(state["metadata"])  # logical -> field id (id mode)
 
     def phys(name: str) -> str:
         return mapping.get(name, name) if mapping else name
@@ -1834,10 +1928,33 @@ def delta_scan(
             raise NotImplementedError(f"unsupported column type {t!r}")
         table_fields.append((f["name"], _DELTA_TO_SPARK[t]))
 
+    # id mode (r14): parquet columns resolve by FIELD ID, not name —
+    # Spark's native fieldId matching does it JVM-side (the read schema
+    # carries parquet.field.id metadata and logical names, so no rename
+    # pass is needed; ids missing from old files read as nulls)
+    id_schema = None
+    if ids:
+        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import _parse_datatype_string as _pds
+
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+        id_schema = StructType(
+            [
+                StructField(n, _pds(t), True, {"parquet.field.id": ids[n]})
+                for n, t in table_fields
+            ]
+        )
+
+    def read_files(*files):
+        if id_schema is not None:
+            return spark.read.schema(id_schema).parquet(*files)
+        return spark.read.option("mergeSchema", "true").parquet(*files)
+
     def project(df):
         cols = []
         for name, t in table_fields:
-            p = phys(name)
+            p = name if id_schema is not None else phys(name)
             if p in df.columns:
                 cols.append(F.col(p).alias(name))
             else:
@@ -1880,7 +1997,10 @@ def delta_scan(
         # writer produces.
         names = [os.path.basename(rel) for rel, _k, _p in dv_files]
         if len(set(names)) == len(names):
-            fields3 = [(n, phys(n), t) for n, t in table_fields]
+            fields3 = [
+                (n, n if id_schema is not None else phys(n), t)
+                for n, t in table_fields
+            ]
             parts.append(
                 _dv_grouped_scan(
                     spark,
@@ -1888,11 +2008,12 @@ def delta_scan(
                     pcols,
                     ptypes,
                     fields3,
+                    reader=read_files,
                 )
             )
         else:
             for rel, key, positions in dv_files:
-                df = spark.read.parquet(os.path.join(path, rel)).select(
+                df = read_files(os.path.join(path, rel)).select(
                     "*", F.col("_metadata.row_index").alias("__pos")
                 )
                 pos_df = spark.createDataFrame(
@@ -1901,7 +2022,7 @@ def delta_scan(
                 df = df.join(F.broadcast(pos_df), "__pos", "left_anti")
                 parts.append(attach_partitions(project(df), key))
     for key, files in sorted(groups.items()):
-        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        df = read_files(*files)
         parts.append(attach_partitions(project(df), key))
     if not parts:
         # empty selection: derive the schema from schemaString

@@ -621,6 +621,10 @@ def _schema_leaves(schema: list) -> list[dict]:
                     "max_def": def_lvl,
                     "max_rep": rep_lvl,
                     "rep_def": rep_def,
+                    # SchemaElement field 9: the optional field_id —
+                    # what Delta columnMapping 'id' mode and Iceberg
+                    # match columns BY (names are then free to drift)
+                    "field_id": elem.get(9),
                 }
             )
         else:
@@ -841,6 +845,22 @@ def parse_parquet_leaf_names(payload: bytes) -> list[str]:
     (flen,) = struct.unpack_from("<I", payload, len(payload) - 8)
     fm = _Compact(payload[len(payload) - 8 - flen : len(payload) - 8]).struct()
     return [lf["name"] for lf in _schema_leaves(fm[2])]
+
+
+def parse_parquet_field_ids(payload: bytes) -> dict[int, str]:
+    """{field_id: dotted leaf name} from the footer schema — the
+    resolution step Delta columnMapping 'id' mode requires (parquet
+    column NAMES are then not authoritative; leaves without a field_id
+    are simply absent from the map)."""
+    if payload[:4] != b"PAR1" or payload[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (magic)")
+    (flen,) = struct.unpack_from("<I", payload, len(payload) - 8)
+    fm = _Compact(payload[len(payload) - 8 - flen : len(payload) - 8]).struct()
+    return {
+        lf["field_id"]: lf["name"]
+        for lf in _schema_leaves(fm[2])
+        if lf.get("field_id") is not None
+    }
 
 
 def synth_parquet_nested(seed: int) -> bytes:

@@ -699,6 +699,65 @@ class DeltaAppendSink:
 
     # ----------------------------------------------------------- delete
 
+    def _read_live_logical(self, spark, state: dict, paths: list):
+        """Raw multi-file read of live data files projected to LOGICAL
+        column names plus ``__f`` (file path) / ``__p`` (row index) —
+        the shape delete_where's predicate evaluation needs, correct
+        under columnMapping name mode (physical-name aliases) and id
+        mode (Spark fieldId matching, r14)."""
+        from pyspark.sql import functions as F
+
+        from ..operators.deltalog import (
+            _DELTA_TO_SPARK,
+            _column_ids,
+            _column_mapping,
+        )
+
+        mapping = _column_mapping(state["metadata"])
+        ids = _column_ids(state["metadata"])
+        meta = [
+            F.col("_metadata.file_path").alias("__f"),
+            F.col("_metadata.row_index").alias("__p"),
+        ]
+        pcols = set(state["metadata"]["partitionColumns"])
+        fields = []
+        for f in json.loads(state["metadata"]["schemaString"]).get(
+            "fields", []
+        ):
+            if f["name"] in pcols:
+                continue
+            t = f.get("type")
+            if not isinstance(t, str) or t not in _DELTA_TO_SPARK:
+                raise NotImplementedError(f"unsupported column type {t!r}")
+            fields.append((f["name"], _DELTA_TO_SPARK[t]))
+        if ids:
+            from pyspark.sql.types import StructField, StructType
+            from pyspark.sql.types import _parse_datatype_string as _pds
+
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
+            )
+            schema = StructType(
+                [
+                    StructField(n, _pds(t), True, {"parquet.field.id": ids[n]})
+                    for n, t in fields
+                ]
+            )
+            df = spark.read.schema(schema).parquet(*paths)
+            return df.select(*meta, *[F.col(n) for n, _t in fields])
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if not mapping:
+            return df.select(*meta, "*")
+        out = []
+        for n, t in fields:
+            p = mapping.get(n, n)
+            if p in df.columns:
+                out.append(F.col(p).alias(n))
+            else:
+                out.append(F.lit(None).cast(t).alias(n))
+        return df.select(*meta, *out)
+
     def delete_where(self, condition, batch_id: int) -> int | None:
         """``DELETE FROM <table> WHERE <condition>`` via DELETION
         VECTORS (r13 — the WRITE side of the DV reader): matching
@@ -738,10 +797,6 @@ class DeltaAppendSink:
         if head < 0:
             raise ValueError("delete_where on a table with no commits")
         state = self._replay_state(head)
-        if _column_mapping(state["metadata"]):
-            raise NotImplementedError(
-                "delete_where on column-mapped tables unsupported"
-            )
         spark = getattr(self, "spark", None)
         if spark is None:
             from pyspark.sql import SparkSession
@@ -755,13 +810,12 @@ class DeltaAppendSink:
             for rel in live
         }
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        # the predicate speaks LOGICAL names; under column mapping the
+        # files carry physical names (name mode) or drifted names +
+        # field ids (id mode, resolved JVM-side via Spark's fieldId
+        # matching) — r14, the refusal lifted
         matched = (
-            spark.read.parquet(*sorted(by_path))
-            .select(
-                F.col("_metadata.file_path").alias("__f"),
-                F.col("_metadata.row_index").alias("__p"),
-                "*",
-            )
+            self._read_live_logical(spark, state, sorted(by_path))
             .filter(cond)
             .select("__f", "__p")
         )
@@ -963,10 +1017,23 @@ class DeltaAppendSink:
         (``DeltaStreamSource``, delta-spark's source) use to SKIP the
         commit instead of double-counting. Time travel below the
         optimize still reads the old layout until vacuumed.
-        Replay-idempotent via the txn batch id. Partitioned and
-        column-mapped tables refuse (per-partition bin-packing is a
-        different problem)."""
-        from ..operators.deltalog import _column_mapping, delta_scan
+        Replay-idempotent via the txn batch id. r14 lifts both former
+        refusals: PARTITIONED tables bin-pack PER PARTITION (the scan
+        repartitions on the partition columns and stages through
+        ``partitionBy``, so each partitionValues group compacts to one
+        file and the adds carry the right partitionValues —
+        ``target_files`` then caps the parallel write tasks, not the
+        total file count); COLUMN-MAPPED tables rewrite under the
+        table's PHYSICAL names (with parquet field ids stamped in id
+        mode) so compacted files follow the same writer rules as the
+        originals."""
+        from pyspark.sql import functions as F
+
+        from ..operators.deltalog import (
+            _column_ids,
+            _column_mapping,
+            delta_scan,
+        )
 
         if target_files < 1:
             raise ValueError("target_files must be >= 1")
@@ -976,15 +1043,6 @@ class DeltaAppendSink:
         if head < 0:
             raise ValueError("optimize on a table with no commits")
         state = self._replay_state(head)
-        if state["metadata"]["partitionColumns"]:
-            raise NotImplementedError(
-                "optimize on partitioned tables unsupported (compact "
-                "per partition instead)"
-            )
-        if _column_mapping(state["metadata"]):
-            raise NotImplementedError(
-                "optimize on column-mapped tables unsupported"
-            )
         spark = getattr(self, "spark", None)
         if spark is None:
             from pyspark.sql import SparkSession
@@ -996,20 +1054,68 @@ class DeltaAppendSink:
 
         old = sorted(state["live"])
         df = delta_scan(spark, self.path, version=head)
+        mapping = _column_mapping(state["metadata"])
+        ids = _column_ids(state["metadata"])
+        if mapping:
+            # compacted files must speak the table's PHYSICAL names
+            # (and carry field ids in id mode) like every other file
+            if ids:
+                spark.conf.set(
+                    "spark.sql.parquet.fieldId.write.enabled", "true"
+                )
+            df = df.select(
+                *[
+                    F.col(n).alias(
+                        mapping.get(n, n),
+                        metadata=(
+                            {"parquet.field.id": ids[n]} if ids else None
+                        ),
+                    )
+                    for n in df.columns
+                ]
+            )
+        pcols = state["metadata"]["partitionColumns"]
+        phys_pcols = [
+            mapping.get(c, c) if mapping else c for c in pcols
+        ]
         stage = os.path.join(self.path, "_staging", f"opt-b{batch_id:010d}")
-        df.repartition(target_files).write.mode("overwrite").parquet(stage)
+        if pcols:
+            (
+                df.repartition(
+                    target_files, *[F.col(c) for c in phys_pcols]
+                )
+                .write.mode("overwrite")
+                .partitionBy(*phys_pcols)
+                .parquet(stage)
+            )
+        else:
+            df.repartition(target_files).write.mode("overwrite").parquet(
+                stage
+            )
         adds: list[str] = []
         i = 0
-        for fn in sorted(os.listdir(stage)):
-            if not fn.endswith(".parquet") or fn.startswith((".", "_")):
-                continue
-            n_rows = pq.ParquetFile(os.path.join(stage, fn)).metadata.num_rows
-            if n_rows == 0:
-                continue
-            rel = f"compact-b{batch_id:010d}-{i:05d}.parquet"
-            os.replace(os.path.join(stage, fn), os.path.join(self.path, rel))
-            adds.append(self._add_action(rel, n_rows, data_change=False))
-            i += 1
+        for dirpath, _dirs, fns in sorted(os.walk(stage)):
+            relpath = os.path.relpath(dirpath, stage)
+            pv = None
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                    continue
+                n_rows = pq.ParquetFile(
+                    os.path.join(dirpath, fn)
+                ).metadata.num_rows
+                if n_rows == 0:
+                    continue
+                if pv is None and pcols:
+                    pv = _partition_values_from_dir(relpath, phys_pcols)
+                name = f"compact-b{batch_id:010d}-{i:05d}.parquet"
+                rel = name if relpath == "." else f"{relpath}/{name}"
+                full = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                os.replace(os.path.join(dirpath, fn), full)
+                adds.append(
+                    self._add_action(rel, n_rows, pv, data_change=False)
+                )
+                i += 1
         shutil.rmtree(stage, ignore_errors=True)
         return self._commit_actions(
             None,

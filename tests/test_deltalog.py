@@ -1226,14 +1226,38 @@ class TestColumnMapping:
         p0 = read_delta_snapshot(p, partition_filter={"p": "p0"})
         assert p0["n_files"] == 2 and p0["n_rows"] == ns[0] + ns[2]
 
-    def test_id_mode_is_loud_seam(self):
+    def test_id_mode_resolves_by_field_id(self):
+        # r14: id mode reads for real. The fixture is ADVERSARIAL: the
+        # parquet column names DRIFT from physicalName (matching by
+        # name finds nothing) and a decoy dropped int column (field id
+        # 9, value 7777) sits FIRST in every file (taking the first int
+        # column sums garbage) — only field-id resolution is correct
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            synth_delta_mapped,
+        )
+
+        for seed in (0, 3, 7):
+            p = synth_delta_mapped(seed, mode="id")
+            ns = [(seed + j) % 20 + 5 for j in range(4)]
+            sums = [
+                n * (seed + 100 * j) + n * (n - 1) // 2
+                for j, n in enumerate(ns)
+            ]
+            full = read_delta_snapshot(p)
+            assert full["n_rows"] == sum(ns)
+            assert full["int_sum"] == sum(sums)
+            p0 = read_delta_snapshot(p, partition_filter={"p": "p0"})
+            assert p0["n_files"] == 2 and p0["n_rows"] == ns[0] + ns[2]
+            assert p0["int_sum"] == sums[0] + sums[2]
+
+    def test_unknown_mapping_mode_is_loud(self):
         import json as _json
 
         from flink_gmall2024_realtime_spark.operators.deltalog import (
             synth_delta_mapped,
         )
 
-        def to_id_mode(members):
+        def to_bad_mode(members):
             log0 = "_delta_log/" + "0" * 20 + ".json"
             out = []
             for line in members[log0].decode().splitlines():
@@ -1241,12 +1265,46 @@ class TestColumnMapping:
                 if "metaData" in a:
                     a["metaData"]["configuration"][
                         "delta.columnMapping.mode"
-                    ] = "id"
+                    ] = "surprise"
                 out.append(_json.dumps(a))
             members[log0] = "\n".join(out).encode()
 
-        with pytest.raises(NotImplementedError, match="only 'name'"):
-            read_delta_snapshot(_rebuild(synth_delta_mapped(2), to_id_mode))
+        with pytest.raises(NotImplementedError, match="'name' and 'id'"):
+            read_delta_snapshot(_rebuild(synth_delta_mapped(2), to_bad_mode))
+
+    def test_id_mode_delta_scan_and_delete_where_e2e(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            delta_scan,
+            read_delta_snapshot_dir,
+            replay_delta_dir,
+            synth_delta_mapped,
+        )
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        seed = 5
+        path = _unzip_to_dir(
+            synth_delta_mapped(seed, mode="id"), tmp_path / "tbl"
+        )
+        n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+        every = sorted(
+            seed + 100 * j + i for j in range(4) for i in range(n(j))
+        )
+        df = delta_scan(spark, path)
+        assert df.columns == ["k", "p"]  # logical names out
+        assert sorted(r.k for r in df.collect()) == every
+        # DELETE + OPTIMIZE on the id-mapped table (refusals lifted)
+        sink = DeltaAppendSink(path)
+        sink.spark = spark
+        sink.delete_where("k % 2 = 0", 1)
+        want = [k for k in every if k % 2 == 1]
+        assert sorted(r.k for r in delta_scan(spark, path).collect()) == want
+        assert read_delta_snapshot_dir(path)["int_sum"] == sum(want)
+        sink.optimize(2)
+        live = replay_delta_dir(path)["live"]
+        assert not any(a.get("deletionVector") for a in live.values())
+        assert sorted(r.k for r in delta_scan(spark, path).collect()) == want
 
     def test_delta_scan_returns_logical_columns(self, spark, tmp_path):
         from flink_gmall2024_realtime_spark.operators.deltalog import (
@@ -2375,3 +2433,56 @@ def test_delete_where_never_collects_positions_as_rows(
         (a.get("deletionVector") or {}).get("cardinality", 0)
         for a in live.values()
     ) == total // 2
+
+
+def test_optimize_on_partitioned_table_e2e(spark, tmp_path):
+    # r14: per-partition bin-pack — same state-invariance oracle as the
+    # unpartitioned OPTIMIZE, plus partitionValues survive and the
+    # partitioned stream source skips the dataChange=false commit
+    from flink_gmall2024_realtime_spark.operators.deltalog import (
+        delta_scan,
+        read_delta_snapshot_dir,
+        replay_delta_dir,
+    )
+    from flink_gmall2024_realtime_spark.streaming.delta import (
+        DeltaAppendSink,
+        DeltaStreamSource,
+    )
+
+    path = str(tmp_path / "tbl")
+    sink = DeltaAppendSink(path, partition_columns=["p"])
+    # pin the file layout (4 range tasks x 3 partition values = 12 files
+    # of ~5 rows): every file is PARTIALLY deleted, so delete_where
+    # re-adds each with a DV instead of removing it outright
+    df = (
+        spark.range(60)
+        .selectExpr("id AS k", "concat('p', id % 3) AS p")
+        .repartitionByRange(4, "k")
+    )
+    sink.commit_batch_distributed(df, 0)
+    src = DeltaStreamSource(spark, path, ignore_changes=True)
+    b0, _ = src.next_batch()
+    assert b0.count() == 60
+    sink.delete_where("k % 4 = 0", 1)
+    assert sink.optimize(2, target_files=2) == 2
+    want = [k for k in range(60) if k % 4 != 0]
+    live = replay_delta_dir(path)["live"]
+    assert all("compact-" in rel for rel in live)
+    assert {
+        tuple(sorted((a.get("partitionValues") or {}).items()))
+        for a in live.values()
+    } == {(("p", "p0"),), (("p", "p1"),), (("p", "p2"),)}
+    assert not any(a.get("deletionVector") for a in live.values())
+    assert sorted(r.k for r in delta_scan(spark, path).collect()) == want
+    # partition pruning still lands post-compaction
+    p1 = delta_scan(spark, path, partition_filter={"p": "p1"})
+    assert sorted(r.k for r in p1.collect()) == [k for k in want if k % 3 == 1]
+    # the audit twin agrees
+    assert read_delta_snapshot_dir(path)["n_rows"] == len(want)
+    # stream source: DV-masked re-adds flow once, optimize commit skipped
+    b1, through = src.next_batch()
+    assert through == 2
+    assert sorted(r.k for r in b1.collect()) == want
+    assert src.next_batch() is None
+    # replay is a no-op
+    assert sink.optimize(2, target_files=2) is None
