@@ -2213,10 +2213,24 @@ class IcebergAppendSink:
         return out
 
     def _commit_snapshot(
-        self, batch_id: int, fields: list[dict], files: list
+        self,
+        batch_id: int,
+        fields: list[dict],
+        files: list,
+        delete_files: list | None = None,
     ) -> int | None:
         """Shared commit core: manifest (with bounds) + manifest list +
-        pointer-swap metadata publish + monotone hint advance."""
+        pointer-swap metadata publish + monotone hint advance.
+
+        r14: the manifest list carries SEQUENCE NUMBERS (the seq list
+        schema) so position deletes scope correctly — a delete at seq N
+        masks data files with seq <= N and spares later appends.
+        ``delete_files`` [(rel, n_rows, size)] commits a DELETE manifest
+        (content=1) of positional-delete parquet files alongside (or
+        instead of) the data manifest. Prior manifest-list entries
+        written before this change carry no sequence number and
+        re-encode as seq 0 — conservatively maskable by any delete,
+        which is exactly what a delete issued NOW intends."""
         import os
 
         from .avro import _zz
@@ -2268,24 +2282,44 @@ class IcebergAppendSink:
         for _ in range(self.max_commit_attempts):
             head_v, md = self._head()
             snap_id = batch_id + 1  # deterministic, unique per batch
-            m_rel = f"metadata/m-b{batch_id:010d}.avro"
+            seq = head_v + 1
             ml_rel = f"metadata/snap-{snap_id}-b{batch_id:010d}.avro"
-            entries = [
-                _zz(1)
-                + _zz(snap_id)
-                + _zz(0)
-                + _enc_str(rel)
-                + _enc_str("PARQUET")
-                + (enc_partition(pv) if pcols else b"")
-                + _zz(n_rows)
-                + _zz(size)
-                + enc_bounds(lo)
-                + enc_bounds(hi)
-                for rel, n_rows, size, lo, hi, pv in files
-            ]
-            man = _avro_ocf(manifest_schema, entries, batch_id)
-            with open(os.path.join(self.path, m_rel), "wb") as f:
-                f.write(man)
+            new_lists = []  # (m_rel, manifest bytes, content)
+            if files:
+                m_rel = f"metadata/m-b{batch_id:010d}.avro"
+                entries = [
+                    _zz(1)
+                    + _zz(snap_id)
+                    + _zz(0)
+                    + _enc_str(rel)
+                    + _enc_str("PARQUET")
+                    + (enc_partition(pv) if pcols else b"")
+                    + _zz(n_rows)
+                    + _zz(size)
+                    + enc_bounds(lo)
+                    + enc_bounds(hi)
+                    for rel, n_rows, size, lo, hi, pv in files
+                ]
+                man = _avro_ocf(manifest_schema, entries, batch_id)
+                with open(os.path.join(self.path, m_rel), "wb") as f:
+                    f.write(man)
+                new_lists.append((m_rel, man, 0))
+            if delete_files:
+                d_rel = f"metadata/m-del-b{batch_id:010d}.avro"
+                d_entries = [
+                    _zz(1)
+                    + _zz(snap_id)
+                    + _zz(1)  # data_file.content: POSITION_DELETES
+                    + _enc_str(rel)
+                    + _enc_str("PARQUET")
+                    + _zz(n_rows)
+                    + _zz(size)
+                    for rel, n_rows, size in delete_files
+                ]
+                d_man = _avro_ocf(_MANIFEST_SCHEMA, d_entries, batch_id + 3)
+                with open(os.path.join(self.path, d_rel), "wb") as f:
+                    f.write(d_man)
+                new_lists.append((d_rel, d_man, 1))
             # every snapshot's manifest list carries ALL prior live
             # manifests plus this one (append-only: nothing is deleted)
             prior = []
@@ -2303,20 +2337,30 @@ class IcebergAppendSink:
                         + _zz(e["manifest_length"])
                         + _zz(e["partition_spec_id"])
                         + _zz(e["content"])
+                        + _zz(e.get("sequence_number", 0))
                         + _zz(e["added_snapshot_id"])
                     )
-            prior.append(
-                _enc_str(m_rel) + _zz(len(man)) + _zz(0) + _zz(0) + _zz(snap_id)
-            )
-            ml = _avro_ocf(_MANIFEST_LIST_SCHEMA, prior, batch_id + 7)
+            for m_rel, man, content in new_lists:
+                prior.append(
+                    _enc_str(m_rel)
+                    + _zz(len(man))
+                    + _zz(0)
+                    + _zz(content)
+                    + _zz(seq)
+                    + _zz(snap_id)
+                )
+            ml = _avro_ocf(_MANIFEST_LIST_SEQ_SCHEMA, prior, batch_id + 7)
             with open(os.path.join(self.path, ml_rel), "wb") as f:
                 f.write(ml)
             snapshot = {
                 "snapshot-id": snap_id,
-                "sequence-number": head_v + 1,
+                "sequence-number": seq,
                 "timestamp-ms": 0,
                 "manifest-list": ml_rel,
-                "summary": {"operation": "append", "batch-id": str(batch_id)},
+                "summary": {
+                    "operation": "delete" if delete_files else "append",
+                    "batch-id": str(batch_id),
+                },
             }
             if md is None:
                 new_md = {
@@ -2383,6 +2427,109 @@ class IcebergAppendSink:
         raise RuntimeError(
             f"could not claim an iceberg metadata version for batch "
             f"{batch_id} in {self.max_commit_attempts} attempts"
+        )
+
+    def delete_where(self, condition, batch_id: int) -> int | None:
+        """``DELETE FROM <table> WHERE <condition>`` via an Iceberg v2
+        POSITION-delete file (r14 — the write side of the r13
+        position-delete reader, closing the read/write asymmetry the
+        Delta ``delete_where`` left): matched physical row positions
+        are found by a DISTRIBUTED scan over the live data files
+        (``_metadata.file_name``/``row_index``), written DISTRIBUTEDLY
+        as ONE sorted ``(file_path, pos)`` parquet with the spec's
+        reserved field ids (2147483546/2147483545) — rows never pass
+        through the driver — and committed as a DELETE manifest
+        (content=1) whose manifest-list sequence number makes the
+        delete apply to every CURRENT data file and spare all future
+        appends (``del_seq >= data_seq``). No data file is rewritten;
+        time travel below the delete still reads every row.
+        Replay-idempotent via the snapshot-summary batch id; returns
+        the committed snapshot id or None on replay."""
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+
+        if batch_id in self.committed_batch_ids():
+            return None
+        mdir = os.path.join(self.path, "metadata")
+        names = ["metadata/" + fn for fn in os.listdir(mdir)]
+
+        def get(name, optional=False):
+            full = os.path.join(self.path, name)
+            if not os.path.isfile(full):
+                if optional:
+                    return None
+                raise ValueError(f"{name!r} missing from table directory")
+            with open(full, "rb") as f:
+                return f.read()
+
+        _sid, _n, live, _dels, _eqs, md, _loc = _iceberg_live(
+            get, names, None
+        )
+        if not live:
+            raise ValueError("delete_where on a table with no data files")
+        by_name = {os.path.basename(rel): rel for rel, _rc, _pv, _s in live}
+        if len(by_name) != len(live):
+            raise NotImplementedError(
+                "duplicate data-file basenames in the live set"
+            )
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        full_paths = sorted(
+            os.path.join(self.path, rel) for rel, _rc, _pv, _s in live
+        )
+        map_df = self.spark.createDataFrame(
+            sorted(by_name.items()), "__name string, __rel string"
+        )
+        # the spec wants delete files sorted by (file_path, pos) and the
+        # columns stamped with the reserved field ids
+        self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        matched = (
+            self.spark.read.parquet(*full_paths)
+            .select(
+                F.col("_metadata.file_name").alias("__name"),
+                F.col("_metadata.row_index").alias("__pos"),
+                "*",
+            )
+            .filter(cond)
+            .join(F.broadcast(map_df), "__name")
+            .select(
+                F.col("__rel").alias(
+                    "file_path", metadata={"parquet.field.id": 2147483546}
+                ),
+                F.col("__pos").alias(
+                    "pos", metadata={"parquet.field.id": 2147483545}
+                ),
+            )
+            .repartition(1)
+            .sortWithinPartitions("file_path", "pos")
+        )
+        stage = os.path.join(self.path, "_staging", f"del-b{batch_id:010d}")
+        matched.write.mode("overwrite").parquet(stage)
+        delete_files = []
+        i = 0
+        for fn in sorted(os.listdir(stage)):
+            if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                continue
+            n_rows = pq.ParquetFile(os.path.join(stage, fn)).metadata.num_rows
+            if n_rows == 0:
+                continue
+            rel = f"data/delete-b{batch_id:010d}-{i:05d}.parquet"
+            os.replace(os.path.join(stage, fn), os.path.join(self.path, rel))
+            delete_files.append(
+                (rel, n_rows, os.path.getsize(os.path.join(self.path, rel)))
+            )
+            i += 1
+        shutil.rmtree(stage, ignore_errors=True)
+        fields = next(
+            s
+            for s in md["schemas"]
+            if s.get("schema-id") == md.get("current-schema-id", 0)
+        )["fields"]
+        return self._commit_snapshot(
+            batch_id, fields, [], delete_files=delete_files
         )
 
     def sink(self):

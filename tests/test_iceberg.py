@@ -904,3 +904,113 @@ class TestEqualityDeleteNulls:
         assert got == expect
         # the audit reader agrees exactly
         assert read_iceberg_snapshot(payload)["n_rows"] == len(expect)
+
+
+class TestIcebergDeleteWhere:
+    """r14: write-side POSITION deletes — the Iceberg twin of Delta's
+    delete_where, sharing its semantics: no data file rewritten, time
+    travel intact, sequence numbers spare future appends, replay no-op."""
+
+    def _table(self, spark, tmp_path, n=100, files=4):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path)
+        df = spark.range(n).selectExpr(
+            "id AS k", "id % 7 AS v"
+        ).repartitionByRange(files, "k")
+        sink.commit_batch_distributed(df, 0)
+        return path, sink
+
+    def test_delete_masks_without_rewriting_files(self, spark, tmp_path):
+        import hashlib
+        import os
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+        )
+
+        path, sink = self._table(spark, tmp_path)
+
+        def data_hashes():
+            d = os.path.join(path, "data")
+            return {
+                fn: hashlib.md5(open(os.path.join(d, fn), "rb").read())
+                .hexdigest()
+                for fn in sorted(os.listdir(d))
+                if fn.startswith("part-")
+            }
+
+        before = data_hashes()
+        sd = sink.delete_where("k % 3 = 0", 1)
+        assert sd == 2
+        assert data_hashes() == before  # data files byte-identical
+        want = [k for k in range(100) if k % 3 != 0]
+        got = sorted(r.k for r in iceberg_scan(spark, path).collect())
+        assert got == want
+        # time travel below the delete reads every row
+        assert iceberg_scan(spark, path, snapshot_id=1).count() == 100
+        # replay of the same batch id is a no-op
+        assert sink.delete_where("k % 3 = 0", 1) is None
+
+    def test_sequence_numbers_spare_future_appends(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+        )
+
+        path, sink = self._table(spark, tmp_path)
+        sink.delete_where("k % 3 = 0", 1)
+        # rows the old delete WOULD match, appended after it
+        df2 = spark.range(0, 30, 3).selectExpr("id AS k", "id % 7 AS v")
+        sink.commit_batch(df2, 2)
+        got = sorted(r.k for r in iceberg_scan(spark, path).collect())
+        want = sorted(
+            [k for k in range(100) if k % 3 != 0] + list(range(0, 30, 3))
+        )
+        assert got == want
+
+    def test_deletes_compose_and_audit_agrees(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+        )
+
+        path, sink = self._table(spark, tmp_path)
+        sink.delete_where("k % 3 = 0", 1)
+        sink.delete_where("k % 5 = 0", 2)
+        want = [k for k in range(100) if k % 3 != 0 and k % 5 != 0]
+        assert sorted(
+            r.k for r in iceberg_scan(spark, path).collect()
+        ) == want
+        # the delete parquet is readable by the in-repo record decoder
+        # (the audit stack) with the spec's sorted (file_path, pos) rows
+        import os
+
+        from flink_gmall2024_realtime_spark.operators.parquetmeta import (
+            parse_parquet_records,
+        )
+
+        d = os.path.join(path, "data")
+        dels = [fn for fn in sorted(os.listdir(d)) if fn.startswith("delete-")]
+        assert len(dels) == 2
+        recs = parse_parquet_records(
+            open(os.path.join(d, dels[0]), "rb").read(),
+            columns=["file_path", "pos"],
+        )
+        pairs = list(zip(recs["file_path"], recs["pos"]))
+        assert pairs == sorted(pairs)
+        assert all(
+            (fp.decode() if isinstance(fp, bytes) else fp).startswith("data/")
+            for fp, _ in pairs
+        )
+
+    def test_empty_match_commits_dedupe_marker(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+        )
+
+        path, sink = self._table(spark, tmp_path)
+        assert sink.delete_where("k > 1000000", 1) == 2  # snapshot, no dels
+        assert sink.delete_where("k > 1000000", 1) is None  # replay no-op
+        assert iceberg_scan(spark, path).count() == 100
