@@ -2880,6 +2880,14 @@ def _synth_delta_mapped(seed: int) -> bytes:
     return synth_delta_mapped(seed)
 
 
+def _synth_delta_mapped_id(seed: int) -> bytes:
+    """Lazy import of the ID-mode column-mapped fixture (r14): drifted
+    parquet names + a decoy dropped column — field-id resolution only."""
+    from .deltalog import synth_delta_mapped
+
+    return synth_delta_mapped(seed, mode="id")
+
+
 def _synth_parquet_nested(seed: int) -> bytes:
     """Lazy import of the nested parquet fixture (pyarrow-written, r12)."""
     from .parquetmeta import synth_parquet_nested
@@ -2986,6 +2994,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "delta_partitioned": _synth_delta_partitioned,
         "delta_dv": _synth_delta_dv,
         "delta_mapped": _synth_delta_mapped,
+        "delta_mapped_id": _synth_delta_mapped_id,
         "iceberg_deletes": _synth_iceberg_deletes,
         "iceberg_stats": _synth_iceberg_stats,
         "iceberg_transforms": _synth_iceberg_transforms,

@@ -883,6 +883,117 @@ def delta_optimize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_delete_where_e2e",
+    oracle="""
+SELECT (doc_id % 10)::INT AS bucket,
+       COUNT(*) AS ct,
+       SUM(doc_id)::BIGINT AS key_sum
+FROM documents WHERE doc_id % 7 <> 0
+GROUP BY 1
+""",
+    survey_ids=("K5", "W6"),
+)
+def iceberg_delete_where_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg write-side POSITION deletes end-to-end under the oracle
+    (r14 — the format twin of ``delta_delete_where_e2e`` with the SAME
+    oracle, closing the read/write asymmetry): the documents keys
+    commit through ``IcebergAppendSink``'s distributed path, then
+    ``delete_where("k % 7 = 0")`` writes ONE sorted (file_path, pos)
+    positional-delete parquet (distributed, reserved field ids) +
+    a DELETE manifest (content=1) whose sequence number masks every
+    current data file — zero data files rewritten — and
+    ``iceberg_scan`` merges-on-read via a grouped broadcast anti-join.
+    The delete is also REPLAYED once (snapshot-summary batch-id
+    dedupe). (``operators/iceberg.py``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.iceberg import IcebergAppendSink, iceberg_scan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("k"),
+        (F.col("doc_id") % 10).cast("int").alias("bucket"),
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_delete_where_")
+    try:
+        table = f"{tmp}/t"
+        sink = IcebergAppendSink(spark, table)
+        sink.commit_batch_distributed(docs.repartitionByRange(4, "k"), 0)
+        assert sink.delete_where("k % 7 = 0", 1) == 2
+        assert sink.delete_where("k % 7 = 0", 1) is None  # replay skipped
+        out = (
+            iceberg_scan(spark, table)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.sum("k").alias("key_sum"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, "bucket int, ct bigint, key_sum bigint")
+
+
+@register(
+    "delta_optimize_partitioned_e2e",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS ct,
+       SUM(o_orderkey)::BIGINT AS key_sum
+FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 7 <> 0
+GROUP BY o_orderpriority
+""",
+    survey_ids=("K4", "K5", "W6"),
+)
+def delta_optimize_partitioned_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED OPTIMIZE end-to-end under the oracle (r14 — the
+    refusal lifted): partitioned write (Hive dirs) -> delete_where (DV
+    sidecars across partitions) -> OPTIMIZE (PER-PARTITION bin-pack
+    staged through partitionBy; DVs materialize; partitionValues
+    survive on every compacted add; dataChange=false) -> scan pruned to
+    one partition from the log alone. Same state-invariance oracle
+    shape as ``delta_optimize_e2e``. The optimize is also REPLAYED once
+    (``streaming/delta.py``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.deltalog import delta_scan, replay_delta_dir
+    from ..streaming.delta import DeltaAppendSink
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_optimize_partitioned_")
+    try:
+        table = f"{tmp}/t"
+        sink = DeltaAppendSink(table, partition_columns=["o_orderstatus"])
+        sink.commit_batch_distributed(orders.repartition(4), 0)
+        sink.delete_where("o_orderkey % 7 = 0", 1)
+        assert sink.optimize(2, target_files=2) == 2
+        assert sink.optimize(2) is None  # replay skipped
+        live = replay_delta_dir(table)["live"]
+        assert all("compact-" in rel for rel in live)  # fully compacted
+        assert not any(a.get("deletionVector") for a in live.values())
+        out = (
+            delta_scan(
+                spark, table, partition_filter={"o_orderstatus": "F"}
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.sum("o_orderkey").alias("key_sum"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "o_orderpriority string, ct bigint, key_sum bigint"
+    )
+
+
+@register(
     "dwd_keyword_split",
     oracle="""
 SELECT t.tok AS keyword, count(*) AS keyword_count

@@ -1508,6 +1508,52 @@ def delta_column_mapping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_column_mapping_id_audit",
+    oracle="""
+WITH f AS (
+  SELECT doc_id AS d, j,
+         (doc_id + j) % 20 + 5 AS n,
+         ((doc_id + j) % 20 + 5) * (doc_id + 100 * j)
+           + ((doc_id + j) % 20 + 5) * ((doc_id + j) % 20 + 4) // 2 AS s
+  FROM documents, UNNEST(generate_series(0, 3::BIGINT)) AS t(j)
+)
+SELECT d AS media_id, 'all' AS scope, 4::INT AS n_files,
+       SUM(n)::BIGINT AS n_rows, SUM(s)::BIGINT AS int_sum,
+       2::INT AS n_partitions
+FROM f GROUP BY d
+UNION ALL
+SELECT d, 'p0', 2::INT,
+       (SUM(n) FILTER (WHERE j % 2 = 0))::BIGINT,
+       (SUM(s) FILTER (WHERE j % 2 = 0))::BIGINT, 1::INT
+FROM f GROUP BY d
+""",
+    survey_ids=("dim-snapshot",),
+)
+def delta_column_mapping_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-mode COLUMN MAPPING Delta table audit (r14 — VERDICT r13 #3,
+    the last protocol-read refusal for real delta-rs/Trino v2/v3
+    tables): per doc a table whose parquet columns resolve by FIELD ID
+    (``delta.columnMapping.id``), NOT by name. The fixture is
+    adversarial — parquet column names DRIFT from physicalName (a
+    name-matching reader finds nothing) and a decoy since-dropped int
+    column (field id 9) sits FIRST in every file (a first-int-column
+    reader sums garbage); only per-file footer field-id resolution
+    (``parquetmeta.parse_parquet_field_ids``) reads the true column.
+    Audited in full AND partition-pruned by the LOGICAL name (the
+    physicalName keys still govern partitionValues/stats, exactly as in
+    name mode). Same seed arithmetic as the name-mode twin, so the two
+    mapping modes share an oracle (``operators/deltalog.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "delta_mapped_id")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zip"
+    )
+    from ..operators.deltalog import delta_mapped_stats
+
+    return delta_mapped_stats(media)
+
+
+@register(
     "iceberg_snapshot_audit",
     oracle="""
 WITH f AS (
