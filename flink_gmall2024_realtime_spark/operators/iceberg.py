@@ -1990,6 +1990,21 @@ class IcebergAppendSink:
                 out.add(int(bid))
         return out
 
+    def _is_committed(self, batch_id: int) -> bool:
+        """Replay dedupe that SURVIVES snapshot expiration: live
+        snapshot summaries carry exact batch ids; expired ones fold
+        into the metadata's ``max-expired-batch-id`` watermark (batch
+        ids are monotone micro-batch ids, so <= watermark means an
+        expired snapshot committed it) — the Iceberg analog of Delta
+        checkpoints carrying txn rows (r14)."""
+        if batch_id in self.committed_batch_ids():
+            return True
+        _, md = self._head()
+        if md is None:
+            return False
+        wm = (md.get("properties") or {}).get("max-expired-batch-id")
+        return wm is not None and batch_id <= int(wm)
+
     # ----------------------------------------------------------- write
 
     def _publish(self, target: str, body: bytes) -> bool:
@@ -2115,7 +2130,7 @@ class IcebergAppendSink:
             raise NotImplementedError(
                 "partitioned tables write through commit_batch_distributed"
             )
-        if batch_id in self.committed_batch_ids():
+        if self._is_committed(batch_id):
             return None
         rel = f"data/part-b{batch_id:010d}.parquet"
         full = os.path.join(self.path, rel)
@@ -2140,7 +2155,7 @@ class IcebergAppendSink:
 
         import pyarrow.parquet as pq
 
-        if batch_id in self.committed_batch_ids():
+        if self._is_committed(batch_id):
             return None
         missing = [c for c in self.partition_columns if c not in batch.columns]
         if missing:
@@ -2402,7 +2417,7 @@ class IcebergAppendSink:
                 self.path, "metadata", f"v{head_v + 1}.metadata.json"
             )
             if not self._publish(target, json.dumps(new_md).encode()):
-                if batch_id in self.committed_batch_ids():
+                if self._is_committed(batch_id):
                     return None
                 continue  # lost the pointer race: retry on the new head
             # advance the hint, never move it backwards: a racing
@@ -2452,7 +2467,7 @@ class IcebergAppendSink:
 
         from pyspark.sql import functions as F
 
-        if batch_id in self.committed_batch_ids():
+        if self._is_committed(batch_id):
             return None
         mdir = os.path.join(self.path, "metadata")
         names = ["metadata/" + fn for fn in os.listdir(mdir)]
@@ -2531,6 +2546,126 @@ class IcebergAppendSink:
         return self._commit_snapshot(
             batch_id, fields, [], delete_files=delete_files
         )
+
+    # ------------------------------------------------------ maintenance
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Iceberg's ``expireSnapshots`` maintenance op (r14 — the twin
+        of Delta's ``clean_log``): publish a new metadata version whose
+        snapshot list keeps only the newest ``keep_last`` snapshots
+        (the current one always survives). Time travel to an expired
+        snapshot id then refuses loudly; readers at or above the
+        horizon are unchanged (each snapshot's manifest list is
+        self-contained). Expired snapshots' batch ids fold into the
+        ``max-expired-batch-id`` watermark so exactly-once replay
+        dedupe survives expiration. Files are NOT deleted here —
+        ``vacuum_orphans`` reclaims them under its retention horizon,
+        the same maintenance split real Iceberg/Delta make. Returns the
+        expired snapshot ids."""
+        import os
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        for _ in range(self.max_commit_attempts):
+            head_v, md = self._head()
+            if md is None:
+                return []
+            snaps = md["snapshots"]
+            if len(snaps) <= keep_last:
+                return []
+            keep = snaps[-keep_last:]
+            if not any(
+                s["snapshot-id"] == md["current-snapshot-id"] for s in keep
+            ):
+                raise ValueError(
+                    "expire_snapshots would drop the current snapshot"
+                )
+            expired = snaps[: len(snaps) - keep_last]
+            wm = (md.get("properties") or {}).get("max-expired-batch-id")
+            bids = [
+                int((s.get("summary") or {}).get("batch-id", -1))
+                for s in expired
+            ]
+            new_wm = max(bids + ([int(wm)] if wm is not None else []))
+            new_md = dict(md)
+            new_md["snapshots"] = keep
+            props = dict(md.get("properties") or {})
+            props["max-expired-batch-id"] = str(new_wm)
+            new_md["properties"] = props
+            target = os.path.join(
+                self.path, "metadata", f"v{head_v + 1}.metadata.json"
+            )
+            if self._publish(target, json.dumps(new_md).encode()):
+                return [s["snapshot-id"] for s in expired]
+            # lost a race with a concurrent commit: retry on the new head
+        raise RuntimeError(
+            "could not claim an iceberg metadata version for "
+            f"expire_snapshots in {self.max_commit_attempts} attempts"
+        )
+
+    def vacuum_orphans(
+        self, retention_seconds: float = 7 * 24 * 3600.0
+    ) -> list[str]:
+        """Delete data/ and metadata/ files no RETAINED snapshot
+        references — crash/lost-race leftovers and files stranded by
+        ``expire_snapshots`` (Iceberg's ``removeOrphanFiles`` +
+        ``expireSnapshots`` file-reclaim). Never touches
+        ``*.metadata.json``, ``version-hint.text`` or ``_staging``;
+        files younger than ``retention_seconds`` (default 7 days, the
+        same horizon as the Delta twin) are kept — a concurrent writer
+        may have written them but not yet committed."""
+        import os
+        import time
+
+        from .avro import parse_avro
+
+        _, md = self._head()
+        if md is None:
+            return []
+        referenced: set[str] = set()
+        for s in md.get("snapshots", []):
+            ml_rel = _strip_location(
+                s["manifest-list"], md.get("location", "")
+            )
+            referenced.add(ml_rel)
+            with open(os.path.join(self.path, ml_rel), "rb") as f:
+                _, entries = parse_avro(f.read())
+            for e in entries:
+                m_rel = _strip_location(
+                    e["manifest_path"], md.get("location", "")
+                )
+                referenced.add(m_rel)
+                with open(os.path.join(self.path, m_rel), "rb") as f:
+                    _, recs = parse_avro(f.read())
+                for rec in recs:
+                    referenced.add(
+                        _strip_location(
+                            rec["data_file"]["file_path"],
+                            md.get("location", ""),
+                        )
+                    )
+        horizon = time.time() - retention_seconds
+        dropped = []
+        for sub in ("data", "metadata"):
+            root = os.path.join(self.path, sub)
+            if not os.path.isdir(root):
+                continue
+            for fn in sorted(os.listdir(root)):
+                rel = f"{sub}/{fn}"
+                full = os.path.join(root, fn)
+                if not os.path.isfile(full):
+                    continue
+                if fn.endswith(".metadata.json") or fn.startswith(
+                    ("version-hint", ".", "_")
+                ):
+                    continue
+                if rel in referenced:
+                    continue
+                if os.path.getmtime(full) > horizon:
+                    continue  # possibly an in-flight writer's file
+                os.unlink(full)
+                dropped.append(rel)
+        return dropped
 
     def sink(self):
         def write(batch, batch_id: int) -> None:

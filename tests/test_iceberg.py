@@ -1014,3 +1014,87 @@ class TestIcebergDeleteWhere:
         assert sink.delete_where("k > 1000000", 1) == 2  # snapshot, no dels
         assert sink.delete_where("k > 1000000", 1) is None  # replay no-op
         assert iceberg_scan(spark, path).count() == 100
+
+
+class TestExpireAndVacuum:
+    """r14: expire_snapshots + vacuum_orphans — the maintenance twins
+    of Delta's clean_log/vacuum_orphans with the same 7-day default."""
+
+    def _table(self, spark, tmp_path, batches=4):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path)
+        for b in range(batches):
+            df = spark.range(b * 10, b * 10 + 10).selectExpr(
+                "id AS k", "id % 7 AS v"
+            )
+            sink.commit_batch(df, b)
+        return path, sink
+
+    def test_expire_prunes_history_not_head(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+        )
+
+        path, sink = self._table(spark, tmp_path)
+        assert sink.expire_snapshots(keep_last=2) == [1, 2]
+        assert iceberg_scan(spark, path).count() == 40
+        # retained older snapshot still time-travels
+        assert iceberg_scan(spark, path, snapshot_id=3).count() == 30
+        # expired snapshot refuses loudly
+        with _pytest.raises(ValueError, match="not in table metadata"):
+            iceberg_scan(spark, path, snapshot_id=1)
+        # idempotent once at the floor
+        assert sink.expire_snapshots(keep_last=2) == []
+        # current snapshot always survives
+        with _pytest.raises(ValueError, match="keep_last"):
+            sink.expire_snapshots(keep_last=0)
+
+    def test_replay_dedupe_survives_expiration(self, spark, tmp_path):
+        path, sink = self._table(spark, tmp_path)
+        sink.expire_snapshots(keep_last=1)
+        # batches 0..2 live only in the expired watermark now
+        df = spark.range(5).selectExpr("id AS k", "id % 7 AS v")
+        for b in range(4):
+            assert sink.commit_batch(df, b) is None
+        # a genuinely new batch still commits
+        assert sink.commit_batch(df, 9) is not None
+
+    def test_vacuum_reclaims_unreferenced_past_horizon(
+        self, spark, tmp_path
+    ):
+        import os
+        import time
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+        )
+
+        path, sink = self._table(spark, tmp_path)
+        sink.expire_snapshots(keep_last=2)
+        old = (time.time() - 10 * 86400,) * 2
+        # a lost-race writer's stray file, past the horizon
+        stray = os.path.join(path, "data", "orphan-old.parquet")
+        open(stray, "wb").write(b"x")
+        os.utime(stray, old)
+        # a possibly-in-flight writer's fresh file
+        fresh = os.path.join(path, "data", "orphan-new.parquet")
+        open(fresh, "wb").write(b"x")
+        for sub in ("data", "metadata"):
+            for fn in os.listdir(os.path.join(path, sub)):
+                p = os.path.join(path, sub, fn)
+                if os.path.isfile(p) and fn != "orphan-new.parquet":
+                    os.utime(p, old)
+        dropped = sink.vacuum_orphans()
+        assert "data/orphan-old.parquet" in dropped
+        # the expired snapshots' manifest LISTS are unreferenced now
+        assert any(fn.startswith("metadata/snap-1") for fn in dropped)
+        assert os.path.exists(fresh)
+        # every retained read is intact after the vacuum
+        assert iceberg_scan(spark, path).count() == 40
+        assert iceberg_scan(spark, path, snapshot_id=3).count() == 30
