@@ -84,6 +84,7 @@ def _murmur3_x86_32(data: bytes, seed: int = 0) -> int:
 
 
 _MICROS_PER_DAY = 86_400_000_000
+_MICROS_PER_HOUR = 3_600_000_000
 
 
 def iceberg_bucket(value, n: int, ice_type: str) -> int:
@@ -131,6 +132,31 @@ def _apply_transform(transform: str, value, ice_type: str):
         raise NotImplementedError(
             f"day transform over iceberg type {ice_type!r} unsupported"
         )
+    if transform == "hour":
+        # hours since epoch, floored — timestamps only (the spec forbids
+        # hour over date)
+        if ice_type in ("timestamp", "timestamptz"):
+            return int(value) // _MICROS_PER_HOUR
+        raise NotImplementedError(
+            f"hour transform over iceberg type {ice_type!r} unsupported"
+        )
+    if transform in ("month", "year"):
+        # months/years since epoch, via proleptic calendar math (r14)
+        import datetime
+
+        if ice_type == "date":
+            days = int(value)
+        elif ice_type in ("timestamp", "timestamptz"):
+            days = int(value) // _MICROS_PER_DAY
+        else:
+            raise NotImplementedError(
+                f"{transform} transform over iceberg type {ice_type!r} "
+                "unsupported"
+            )
+        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=days)
+        if transform == "year":
+            return d.year - 1970
+        return (d.year - 1970) * 12 + (d.month - 1)
     if transform == "void":
         return None
     raise NotImplementedError(
@@ -338,7 +364,7 @@ def _iceberg_live(
             if seq is None:
                 seq = manifest_seq
             fmt = str(df.get("file_format", "PARQUET")).upper()
-            if fmt != "PARQUET":
+            if fmt not in ("PARQUET", "AVRO"):
                 raise NotImplementedError(
                     f"iceberg data file format {fmt!r} unsupported"
                 )
@@ -383,6 +409,7 @@ def _iceberg_live(
                     df.get("record_count"),
                     partition,
                     seq,
+                    fmt,
                 )
             )
     return snapshot_id, len(ml_records), live, deletes, eq_deletes, md, location
@@ -510,14 +537,49 @@ def read_iceberg_snapshot(
     n_rows = 0
     int_sum = 0
     partitions = set()
-    for f_rel, record_count, partition, seq in live:
+    for f_rel, record_count, partition, seq, fmt in live:
         if partition:
             partitions.add(tuple(sorted(partition.items())))
         if f_rel not in members:
             raise ValueError(f"data file {f_rel!r} missing from payload")
         blob = members[f_rel]
-        cols = parse_parquet_data(blob)
-        file_rows = cols[0][1] + cols[0][2]
+        if fmt == "AVRO":
+            # r14: Avro data files decode through the same in-repo OCF
+            # reader the manifests already use — columnar (col -> list)
+            # so the delete-mask logic below is format-agnostic
+            from .avro import parse_avro as _pa
+
+            _, avro_recs = _pa(blob)
+            file_rows = len(avro_recs)
+            names = list(avro_recs[0].keys()) if avro_recs else []
+            for r in avro_recs:
+                names.extend(k for k in r if k not in names)
+            cols = []
+            recs_all = {c: [r.get(c) for r in avro_recs] for c in names}
+            for c in names:
+                vals = recs_all[c]
+                ints = [
+                    v
+                    for v in vals
+                    if isinstance(v, int) and not isinstance(v, bool)
+                ]
+                isum = (
+                    sum(ints)
+                    if ints and len(ints) + vals.count(None) == len(vals)
+                    else None
+                )
+                cols.append((c, len(vals), 0, isum, None, None))
+
+            def _records(_blob=blob, _r=recs_all):
+                return _r
+
+        else:
+            cols = parse_parquet_data(blob)
+            file_rows = cols[0][1] + cols[0][2]
+
+            def _records(_blob=blob, _r=None):
+                return parse_parquet_records(_blob)
+
         if record_count is not None and record_count != file_rows:
             raise ValueError(
                 f"{f_rel!r}: record_count {record_count} != "
@@ -527,7 +589,7 @@ def read_iceberg_snapshot(
         deleted = _deleted_positions(resolved, f_rel, seq)
         recs = None
         if eq_resolved:
-            recs = parse_parquet_records(blob)
+            recs = _records()
             deleted |= _equality_deleted_rows(
                 eq_resolved, recs, file_rows, seq
             )
@@ -545,7 +607,7 @@ def read_iceberg_snapshot(
             )
         n_rows += file_rows - len(deleted)
         if recs is None:
-            recs = parse_parquet_records(blob)
+            recs = _records()
         for _col, _nv, _nn, isum, _fsum, _blen in cols:
             if isum is not None:
                 int_sum += sum(
@@ -562,6 +624,94 @@ def read_iceberg_snapshot(
         "int_sum": int_sum,
         "n_partitions": len(partitions),
     }
+
+
+def _anti_join_eq(spark, df, eq) -> DataFrame:
+    """DELETE-by-value: broadcast anti-join on the equality columns
+    (the MERGE-on-read form streaming upserts write). NULL-SAFE
+    equality — the spec (and the audit reader) treat null==null as a
+    match, so a plain-equality join would never delete rows with NULL
+    in an equality column (ADVICE r13)."""
+    from pyspark.sql import functions as F
+
+    _del_seq, cols, tuples = eq
+    vals_df = spark.createDataFrame(
+        [
+            tuple(t)
+            for t in sorted(
+                tuples, key=lambda t: tuple((v is None, v) for v in t)
+            )
+        ],
+        list(cols),
+    )
+    sel = [F.col(c).alias(f"__eq_{c}") for c in cols]
+    cond = None
+    for c in cols:
+        clause = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+        cond = clause if cond is None else cond & clause
+    return df.join(F.broadcast(vals_df.select(*sel)), cond, "left_anti")
+
+
+_ICE_TO_SPARK = {
+    "long": "bigint",
+    "int": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    # date/timestamp surface as their physical encodings (days / micros
+    # since epoch), matching what the OCF decoder yields
+    "date": "int",
+    "timestamp": "bigint",
+    "timestamptz": "bigint",
+}
+
+
+def _avro_files_df(spark, path: str, rels: list, md: dict) -> DataFrame:
+    """Distributed read of Avro DATA files through the in-repo OCF
+    decoder (r14 — pyspark ships no spark-avro connector): the file
+    list parallelizes one task per file via ``mapInPandas``; each task
+    decodes its file and yields the table-schema columns plus
+    ``(__file, __pos)`` for position-delete masking. Rows never pass
+    through the driver; work scales with live Avro bytes."""
+    import os as _os
+
+    import pandas as _pd
+
+    sid = md.get("current-schema-id", 0)
+    schema = next(
+        s for s in md.get("schemas", []) if s.get("schema-id", 0) == sid
+    )
+    fields = []
+    for f in schema.get("fields", []):
+        t = f.get("type")
+        if not isinstance(t, str) or t not in _ICE_TO_SPARK:
+            raise NotImplementedError(
+                f"avro data files with iceberg type {t!r} unsupported"
+            )
+        fields.append((f["name"], _ICE_TO_SPARK[t]))
+    out_schema = ", ".join(
+        [f"{n} {t}" for n, t in fields] + ["__file string", "__pos long"]
+    )
+    files_df = spark.createDataFrame(
+        [(rel,) for rel in sorted(rels)], "rel string"
+    ).repartition(max(len(rels), 1))
+    table_path = path
+    names = [n for n, _t in fields]
+
+    def decode(it):
+        from flink_gmall2024_realtime_spark.operators.avro import parse_avro
+
+        for pdf in it:
+            for rel in pdf["rel"]:
+                with open(_os.path.join(table_path, rel), "rb") as f:
+                    _, recs = parse_avro(f.read())
+                out = {c: [r.get(c) for r in recs] for c in names}
+                out["__file"] = [_os.path.basename(rel)] * len(recs)
+                out["__pos"] = list(range(len(recs)))
+                yield _pd.DataFrame(out)
+
+    return files_df.mapInPandas(decode, out_schema)
 
 
 def iceberg_scan(
@@ -619,13 +769,21 @@ def iceberg_scan(
     # whole group. A table with 10k position-deleted files and one
     # sequence generation is one scan node, not 10k union branches.
     sig_groups: dict[tuple, dict] = {}
-    for rel, _rc, _pv, seq in live:
+    avro_rels: dict[tuple, list] = {}  # sig -> [(rel, deleted positions)]
+    for rel, _rc, _pv, seq, fmt in live:
         deleted = _deleted_positions(resolved, rel, seq)
         sig = tuple(
             i
             for i, (del_seq, _c, _t) in enumerate(eq_resolved)
             if seq is None or del_seq is None or seq < del_seq
         )
+        if fmt == "AVRO":
+            # r14: pyspark ships no spark-avro connector — Avro data
+            # files decode DISTRIBUTED through the in-repo OCF reader
+            # (one task per file via mapInPandas), carrying (__file,
+            # __pos) so the same delete masking applies
+            avro_rels.setdefault(sig, []).append((rel, sorted(deleted)))
+            continue
         if not deleted and not sig:
             plain.append(os.path.join(path, rel))
             continue
@@ -634,6 +792,26 @@ def iceberg_scan(
             g["pos"].append((os.path.join(path, rel), sorted(deleted)))
         else:
             g["flat"].append(os.path.join(path, rel))
+    for sig, rel_dels in sorted(avro_rels.items()):
+        df = _avro_files_df(
+            spark, path, [rel for rel, _d in rel_dels], md
+        )
+        pos_rows = [
+            (os.path.basename(rel), int(p))
+            for rel, dels in rel_dels
+            for p in dels
+        ]
+        if pos_rows:
+            pos_df = spark.createDataFrame(
+                pos_rows, "__file string, __pos long"
+            )
+            df = df.join(
+                F.broadcast(pos_df), ["__file", "__pos"], "left_anti"
+            )
+        df = df.drop("__file", "__pos")
+        for idx in sig:
+            df = _anti_join_eq(spark, df, eq_resolved[idx])
+        parts.append(df)
     for sig in sorted(sig_groups):
         g = sig_groups[sig]
         dfs = []
@@ -681,27 +859,7 @@ def iceberg_scan(
         for d in dfs[1:]:
             df = df.unionByName(d)
         for idx in sig:
-            _del_seq, cols, tuples = eq_resolved[idx]
-            # DELETE-by-value: broadcast anti-join on the equality
-            # columns (the MERGE-on-read form streaming upserts write).
-            # NULL-SAFE equality — the spec (and the audit reader) treat
-            # null==null as a match, so a plain-equality join would
-            # never delete rows with NULL in an equality column
-            # (ADVICE r13)
-            vals_df = spark.createDataFrame(
-                [tuple(t) for t in sorted(tuples, key=lambda t: tuple(
-                    (v is None, v) for v in t
-                ))],
-                list(cols),
-            )
-            sel = [F.col(c).alias(f"__eq_{c}") for c in cols]
-            cond = None
-            for c in cols:
-                clause = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
-                cond = clause if cond is None else cond & clause
-            df = df.join(
-                F.broadcast(vals_df.select(*sel)), cond, "left_anti"
-            )
+            df = _anti_join_eq(spark, df, eq_resolved[idx])
         parts.append(df)
     if plain:
         parts.append(spark.read.parquet(*plain))
@@ -1653,7 +1811,15 @@ def _tr_partition(j: int) -> tuple[int, str, int]:
     )
 
 
-def synth_iceberg_transforms(seed: int) -> bytes:
+def _tr_ts(j: int, with_hour: bool) -> int:
+    """File j's constant ts value (micros). With hour partitions, files
+    within one day land in DIFFERENT hours (j%3), so hour pruning
+    discriminates beyond day pruning."""
+    base = (_TR_DAY0 + j // 3) * _MICROS_PER_DAY + 123
+    return base + (j % 3) * _MICROS_PER_HOUR if with_hour else base
+
+
+def synth_iceberg_transforms(seed: int, with_hour: bool = False) -> bytes:
     """Iceberg v2 fixture with NON-IDENTITY partition transforms (r13 —
     VERDICT r12 #5): six data files partitioned by
     ``bucket[4](b)`` (the spec's 32-bit murmur3), ``truncate[2](t)``
@@ -1678,7 +1844,7 @@ def synth_iceberg_transforms(seed: int) -> bytes:
     files = {}
     for j in range(6):
         n = n_of(j)
-        ts = (_TR_DAY0 + j // 3) * _MICROS_PER_DAY + 123
+        ts = _tr_ts(j, with_hour)
         buf = io.BytesIO()
         pq.write_table(
             pa.table(
@@ -1708,6 +1874,8 @@ def synth_iceberg_transforms(seed: int) -> bytes:
             {"name": "d_day", "type": "int"},
         ],
     }
+    if with_hour:
+        part_schema["fields"].append({"name": "h_hour", "type": "int"})
     manifest_schema = json.loads(json.dumps(_MANIFEST_SCHEMA))
     df_fields = manifest_schema["fields"][2]["type"]["fields"]
     df_fields.insert(3, {"name": "partition", "type": part_schema})
@@ -1716,6 +1884,9 @@ def synth_iceberg_transforms(seed: int) -> bytes:
 
     def m_entry(j: int) -> bytes:
         bb, tt, dd = _tr_partition(j)
+        hh = b""
+        if with_hour:
+            hh = _zz(_tr_ts(j, True) // _MICROS_PER_HOUR)
         return (
             _zz(1)
             + _zz(sid)
@@ -1725,6 +1896,7 @@ def synth_iceberg_transforms(seed: int) -> bytes:
             + _zz(bb)
             + _enc_str(tt)
             + _zz(dd)
+            + hh
             + _zz(n_of(j))
             + _zz(len(files[j]))
         )
@@ -1766,7 +1938,15 @@ def synth_iceberg_transforms(seed: int) -> bytes:
                      "source-id": 3, "field-id": 1001},
                     {"name": "d_day", "transform": "day",
                      "source-id": 4, "field-id": 1002},
-                ],
+                ]
+                + (
+                    [
+                        {"name": "h_hour", "transform": "hour",
+                         "source-id": 4, "field-id": 1003}
+                    ]
+                    if with_hour
+                    else []
+                ),
             }
         ],
         "default-spec-id": 0,
@@ -1787,6 +1967,148 @@ def synth_iceberg_transforms(seed: int) -> bytes:
     return buf.getvalue()
 
 
+def synth_iceberg_avrodata(seed: int) -> bytes:
+    """Iceberg v2 fixture whose DATA FILES are Avro OCF (r14 — the
+    format the spec allows beside parquet/orc and real tables mix in):
+    snap 1 adds Avro files 0/1 (k = seed+100j+i, hand-encoded long
+    records), snap 2 adds Avro file 2 AND a position-delete PARQUET
+    masking every i%3==0 row of file 0 — proving Avro data composes
+    with the merge-on-read machinery. Row counts/sums are the same
+    seed arithmetic as the parquet fixtures."""
+    import io
+    import zipfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .avro import _zz
+
+    seed = int(seed)
+    loc = "warehouse/t"
+
+    def n_of(j):
+        return (seed + j) % 20 + 5
+
+    row_schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    files = {
+        j: _avro_ocf(
+            row_schema,
+            [_zz(seed + 100 * j + i) for i in range(n_of(j))],
+            seed + 20 + j,
+        )
+        for j in range(3)
+    }
+
+    def data_path(j):
+        return f"data/part-{j:05d}.avro"
+
+    del_rows = [
+        (f"{loc}/{data_path(0)}", i) for i in range(n_of(0)) if i % 3 == 0
+    ]
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([r[0] for r in del_rows]),
+                "pos": pa.array([r[1] for r in del_rows], pa.int64()),
+            }
+        ),
+        buf,
+        compression="snappy",
+    )
+    del_file = buf.getvalue()
+    del_path = "data/delete-00000.parquet"
+
+    def m_entry(snap_id, j=None, content=0, path=None, blob=None, rc=None,
+                fmt="AVRO"):
+        blob = files[j] if blob is None else blob
+        return (
+            _zz(1)
+            + _zz(snap_id)
+            + _zz(content)
+            + _enc_str(f"{loc}/{path or data_path(j)}")
+            + _enc_str(fmt)
+            + _zz(n_of(j) if rc is None else rc)
+            + _zz(len(blob))
+        )
+
+    s1, s2 = seed * 10 + 1, seed * 10 + 2
+    man1 = _avro_ocf(
+        _MANIFEST_SCHEMA, [m_entry(s1, 0), m_entry(s1, 1)], seed
+    )
+    man2 = _avro_ocf(_MANIFEST_SCHEMA, [m_entry(s2, 2)], seed + 2)
+    man_del = _avro_ocf(
+        _MANIFEST_SCHEMA,
+        [m_entry(s2, 0, content=1, path=del_path, blob=del_file,
+                 rc=len(del_rows), fmt="PARQUET")],
+        seed + 1,
+    )
+    m1_rel, m2_rel, md_rel = (
+        "metadata/m-001.avro", "metadata/m-002.avro", "metadata/m-del.avro"
+    )
+
+    def ml_entry(path, blob, content, seq, snap_id):
+        return (
+            _enc_str(f"{loc}/{path}")
+            + _zz(len(blob))
+            + _zz(0)
+            + _zz(content)
+            + _zz(seq)
+            + _zz(snap_id)
+        )
+
+    e1 = ml_entry(m1_rel, man1, 0, 1, s1)
+    e2 = ml_entry(m2_rel, man2, 0, 2, s2)
+    ed = ml_entry(md_rel, man_del, 1, 2, s2)
+    ml1_rel = f"metadata/snap-{s1}.avro"
+    ml2_rel = f"metadata/snap-{s2}.avro"
+    ml1 = _avro_ocf(_MANIFEST_LIST_SEQ_SCHEMA, [e1], seed + 3)
+    ml2 = _avro_ocf(_MANIFEST_LIST_SEQ_SCHEMA, [e1, ed, e2], seed + 4)
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"00000000-0000-0000-0007-{seed:012d}",
+        "location": loc,
+        "last-sequence-number": 2,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"}
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": s2,
+        "snapshots": [
+            {"snapshot-id": s1, "sequence-number": 1, "timestamp-ms": 0,
+             "manifest-list": f"{loc}/{ml1_rel}",
+             "summary": {"operation": "append"}},
+            {"snapshot-id": s2, "sequence-number": 2, "timestamp-ms": 1,
+             "manifest-list": f"{loc}/{ml2_rel}",
+             "summary": {"operation": "overwrite"}},
+        ],
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("metadata/v1.metadata.json", json.dumps(meta))
+        for rel, blob in (
+            (ml1_rel, ml1), (ml2_rel, ml2),
+            (m1_rel, man1), (m2_rel, man2), (md_rel, man_del),
+        ):
+            z.writestr(rel, blob)
+        for j, blob in files.items():
+            z.writestr(data_path(j), blob)
+        z.writestr(del_path, del_file)
+    return buf.getvalue()
+
+
 def iceberg_delete_stats(media: DataFrame) -> DataFrame:
     """Three audit rows per merge-on-read table payload — snapshots 1
     (pre-delete), 2 (position deletes mask files 0/1) and 3 (file 2
@@ -1799,6 +2121,35 @@ def iceberg_delete_stats(media: DataFrame) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 seed = int(mid)
                 for ordinal in (1, 2, 3):
+                    snap = read_iceberg_snapshot(bytes(p), seed * 10 + ordinal)
+                    rows.append(
+                        (mid, ordinal, snap["n_manifests"], snap["n_files"],
+                         snap["n_rows"], snap["int_sum"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "snapshot_ord", "n_manifests",
+                         "n_files", "n_rows", "int_sum"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=ICEBERG_AUDIT_SCHEMA
+    )
+
+
+def iceberg_avrodata_stats(media: DataFrame) -> DataFrame:
+    """Two audit rows per Avro-data-file table payload — snapshot 1
+    (two Avro files, no deletes) and snapshot 2 (+Avro file 2, a
+    position-delete PARQUET masking file 0's i%3==0 rows): mixed
+    formats composing through the merge-on-read machinery (r14).
+    Per-row Arrow work, linear by construction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                seed = int(mid)
+                for ordinal in (1, 2):
                     snap = read_iceberg_snapshot(bytes(p), seed * 10 + ordinal)
                     rows.append(
                         (mid, ordinal, snap["n_manifests"], snap["n_files"],
@@ -2486,14 +2837,18 @@ class IcebergAppendSink:
         )
         if not live:
             raise ValueError("delete_where on a table with no data files")
-        by_name = {os.path.basename(rel): rel for rel, _rc, _pv, _s in live}
+        by_name = {os.path.basename(rel): rel for rel, _rc, _pv, _s, _f in live}
         if len(by_name) != len(live):
             raise NotImplementedError(
                 "duplicate data-file basenames in the live set"
             )
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if any(f != "PARQUET" for _rel, _rc, _pv, _s, f in live):
+            raise NotImplementedError(
+                "delete_where over non-parquet data files unsupported"
+            )
         full_paths = sorted(
-            os.path.join(self.path, rel) for rel, _rc, _pv, _s in live
+            os.path.join(self.path, rel) for rel, _rc, _pv, _s, _f in live
         )
         map_df = self.spark.createDataFrame(
             sorted(by_name.items()), "__name string, __rel string"

@@ -2880,6 +2880,13 @@ def _synth_delta_mapped(seed: int) -> bytes:
     return synth_delta_mapped(seed)
 
 
+def _synth_iceberg_avrodata(seed: int) -> bytes:
+    """Lazy import of the Avro-data-file Iceberg fixture (r14)."""
+    from .iceberg import synth_iceberg_avrodata
+
+    return synth_iceberg_avrodata(seed)
+
+
 def _synth_delta_mapped_id(seed: int) -> bytes:
     """Lazy import of the ID-mode column-mapped fixture (r14): drifted
     parquet names + a decoy dropped column — field-id resolution only."""
@@ -2995,6 +3002,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "delta_dv": _synth_delta_dv,
         "delta_mapped": _synth_delta_mapped,
         "delta_mapped_id": _synth_delta_mapped_id,
+        "iceberg_avrodata": _synth_iceberg_avrodata,
         "iceberg_deletes": _synth_iceberg_deletes,
         "iceberg_stats": _synth_iceberg_stats,
         "iceberg_transforms": _synth_iceberg_transforms,

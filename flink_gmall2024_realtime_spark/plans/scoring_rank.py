@@ -1645,6 +1645,59 @@ def iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_avro_data_audit",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS d, doc_id % 20 + 5 AS n0, (doc_id + 1) % 20 + 5 AS n1,
+         (doc_id + 2) % 20 + 5 AS n2
+  FROM documents
+),
+i0 AS (
+  SELECT d, t.i FROM p, UNNEST(generate_series(0, (n0 - 1)::BIGINT)) AS t(i)
+),
+f0 AS (
+  SELECT d, COUNT(*) AS c_all, SUM(d + i) AS s_all,
+         COUNT(*) FILTER (WHERE i % 3 <> 0) AS c_keep,
+         SUM(d + i) FILTER (WHERE i % 3 <> 0) AS s_keep
+  FROM i0 GROUP BY d
+),
+f12 AS (
+  SELECT d, n1 AS c1, n1 * (d + 100) + n1 * (n1 - 1) // 2 AS s1,
+         n2 AS c2, n2 * (d + 200) + n2 * (n2 - 1) // 2 AS s2
+  FROM p
+)
+SELECT f0.d AS media_id, 1::INT AS snapshot_ord, 1::INT AS n_manifests,
+       2::INT AS n_files, (f0.c_all + f12.c1)::BIGINT AS n_rows,
+       (f0.s_all + f12.s1)::BIGINT AS int_sum
+FROM f0 JOIN f12 ON f0.d = f12.d
+UNION ALL
+SELECT f0.d, 2::INT, 3::INT, 3::INT,
+       (f0.c_keep + f12.c1 + f12.c2)::BIGINT,
+       (f0.s_keep + f12.s1 + f12.s2)::BIGINT
+FROM f0 JOIN f12 ON f0.d = f12.d
+""",
+    survey_ids=("dim-snapshot",),
+)
+def iceberg_avro_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg AVRO DATA FILES audit (r14 — VERDICT r13 #7): per doc a
+    v2 table whose data files are Avro OCF (hand-encoded long records,
+    ``file_format: AVRO`` in the manifests) decoded through the SAME
+    in-repo OCF reader the manifests already use — and whose snap-2
+    commit masks file 0's i%3==0 rows with a position-delete PARQUET,
+    proving mixed formats compose through the merge-on-read machinery.
+    Oracle reproduces both snapshots from seed arithmetic. Per-row
+    Arrow work — linear by construction (``operators/iceberg.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "iceberg_avrodata")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zip"
+    )
+    from ..operators.iceberg import iceberg_avrodata_stats
+
+    return iceberg_avrodata_stats(media)
+
+
+@register(
     "iceberg_delete_audit",
     oracle="""
 WITH p AS (

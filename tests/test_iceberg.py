@@ -407,8 +407,24 @@ class TestTransforms:
         assert _apply_transform("day", 17486 * 86400000000 + 5, "timestamp") == 17486
         assert _apply_transform("day", 17486, "date") == 17486
         assert _apply_transform("void", 123, "long") is None
+        # r14: hour floors micros to hours (timestamps only, per spec)
+        assert _apply_transform(
+            "hour", 17486 * 86400000000 + 7 * 3600000000 + 5, "timestamp"
+        ) == 17486 * 24 + 7
+        with pytest.raises(NotImplementedError, match="hour transform"):
+            _apply_transform("hour", 17486, "date")
+        # r14: month/year are months/years since epoch (calendar math);
+        # day 17486 = 2017-11-16
+        assert _apply_transform("year", 17486, "date") == 47
+        assert _apply_transform("month", 17486, "date") == 47 * 12 + 10
+        assert _apply_transform(
+            "month", 17486 * 86400000000 + 5, "timestamp"
+        ) == 47 * 12 + 10
+        # pre-epoch floors correctly: 1969-12-31 is year -1, month -1
+        assert _apply_transform("year", -1, "date") == -1
+        assert _apply_transform("month", -1, "date") == -1
         with pytest.raises(NotImplementedError, match="transform"):
-            _apply_transform("year", 1, "date")
+            _apply_transform("surprise", 1, "date")
 
     def test_bucket_pruning_cross_checked_against_full_scan(self):
         from flink_gmall2024_realtime_spark.operators.iceberg import (
@@ -1098,3 +1114,71 @@ class TestExpireAndVacuum:
         # every retained read is intact after the vacuum
         assert iceberg_scan(spark, path).count() == 40
         assert iceberg_scan(spark, path, snapshot_id=3).count() == 30
+
+
+class TestHourTransformAndAvroData:
+    """r14: the hour partition transform and Avro data-file reads."""
+
+    def test_hour_pruning_discriminates_within_a_day(self):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            _tr_ts,
+            read_iceberg_snapshot,
+            synth_iceberg_transforms,
+        )
+
+        seed = 4
+        p = synth_iceberg_transforms(seed, with_hour=True)
+        n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+        full = read_iceberg_snapshot(p)
+        assert full["n_files"] == 6
+        # files 0-2 share a day but sit in hours 0/1/2: the hour filter
+        # selects exactly one file where the day filter keeps three
+        ts1 = _tr_ts(1, True)
+        by_day = read_iceberg_snapshot(p, partition_filter={"d_day": ts1})
+        assert by_day["n_files"] == 3
+        by_hour = read_iceberg_snapshot(p, partition_filter={"h_hour": ts1})
+        assert by_hour["n_files"] == 1
+        assert by_hour["n_rows"] == n(1)
+
+    def test_avro_data_files_audit(self):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            read_iceberg_snapshot,
+            synth_iceberg_avrodata,
+        )
+
+        for seed in (0, 4, 7):
+            p = synth_iceberg_avrodata(seed)
+            n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+            s1 = read_iceberg_snapshot(p, seed * 10 + 1)
+            assert s1["n_rows"] == n(0) + n(1)
+            # snap 2: +avro file 2, position-delete parquet masks
+            # i%3==0 of avro file 0 — formats compose
+            keep0 = [i for i in range(n(0)) if i % 3 != 0]
+            s2 = read_iceberg_snapshot(p)
+            assert s2["n_rows"] == len(keep0) + n(1) + n(2)
+            assert s2["int_sum"] == (
+                sum(seed + i for i in keep0)
+                + sum(seed + 100 + i for i in range(n(1)))
+                + sum(seed + 200 + i for i in range(n(2)))
+            )
+
+    def test_avro_data_files_scan(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+            synth_iceberg_avrodata,
+        )
+
+        seed = 4
+        path = _unzip_to_dir(synth_iceberg_avrodata(seed), tmp_path / "tbl")
+        n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+        want = sorted(
+            [seed + i for i in range(n(0)) if i % 3 != 0]
+            + [seed + 100 + i for i in range(n(1))]
+            + [seed + 200 + i for i in range(n(2))]
+        )
+        got = sorted(r.k for r in iceberg_scan(spark, path).collect())
+        assert got == want
+        # time travel to snap 1: no deletes yet
+        assert iceberg_scan(
+            spark, path, snapshot_id=seed * 10 + 1
+        ).count() == n(0) + n(1)
