@@ -1437,6 +1437,119 @@ class BucketedDeltaKeyedStore(DeltaKeyedStore):
             )
         return int(m.group(1))
 
+    def _table_n_buckets(self) -> int | None:
+        """Bucket count persisted in the table metadata (written by
+        ``rebucket``); None before any rebucket."""
+        if self.head_version() < 0:
+            return None
+        conf = (
+            self._replay_state(self.head_version())["metadata"].get(
+                "configuration"
+            )
+            or {}
+        )
+        n = conf.get("gmall.bucketedStore.nBuckets")
+        return int(n) if n is not None else None
+
+    def rebucket(self, new_n: int, batch_id: int) -> int | None:
+        """Maintenance op (r14 — VERDICT r13 #8): rewrite the ENTIRE
+        state under ``new_n`` hash buckets in ONE commit — the exit for
+        a store that outgrew its bucket count. O(all state) for this
+        one commit (that is the point); every later micro-batch is back
+        to O(touched buckets). Time travel below the rebucket still
+        reads the old layout, and the new bucket count persists in the
+        table metadata configuration so later instances ADOPT it
+        instead of hashing against a stale count. Replay-idempotent via
+        the txn batch id; mutating-commit OCC conflict detection
+        applies (a concurrent upsert fails the rebucket loudly rather
+        than losing its merge)."""
+        import pyarrow.parquet as pq
+
+        if new_n < 1:
+            raise ValueError("n_buckets must be >= 1")
+        if self._is_committed(batch_id):
+            self.n_buckets = new_n
+            return None
+        head = self.head_version()
+        if head < 0:
+            raise ValueError("rebucket on a store with no commits")
+        state = self._replay_state(head)
+        old_rels = sorted(state["live"])
+        if not old_rels:
+            raise ValueError("rebucket on a store with no state")
+        current = self.spark.read.option("mergeSchema", "true").parquet(
+            *(os.path.join(self.path, r) for r in old_rels)
+        )
+        old_n = self.n_buckets
+        self.n_buckets = new_n
+        try:
+            df = current.withColumn("__bucket", self._bucket_expr())
+            stage = os.path.join(
+                self.path, "_staging", f"rebucket-b{batch_id:010d}"
+            )
+            (
+                df.repartition(new_n, "__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(stage)
+            )
+            adds: list[str] = []
+            for b in range(new_n):
+                bdir = os.path.join(stage, f"__bucket={b}")
+                parts = (
+                    [
+                        fn
+                        for fn in sorted(os.listdir(bdir))
+                        if fn.endswith(".parquet")
+                        and not fn.startswith((".", "_"))
+                    ]
+                    if os.path.isdir(bdir)
+                    else []
+                )
+                if not parts:
+                    continue  # no keys hash here
+                if len(parts) != 1:
+                    raise RuntimeError(
+                        f"bucket {b} produced {len(parts)} files — the "
+                        "per-bucket repartition contract broke"
+                    )
+                rel = f"bucket-{b:05d}-b{batch_id:010d}.parquet"
+                os.replace(
+                    os.path.join(bdir, parts[0]), os.path.join(self.path, rel)
+                )
+                n_rows = pq.ParquetFile(
+                    os.path.join(self.path, rel)
+                ).metadata.num_rows
+                adds.append(self._add_action(rel, n_rows))
+            shutil.rmtree(stage, ignore_errors=True)
+            md = state["metadata"]
+            meta = json.dumps(
+                {
+                    "metaData": {
+                        "id": md["id"],
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": md["schemaString"],
+                        "partitionColumns": md.get("partitionColumns", []),
+                        "configuration": {
+                            **(md.get("configuration") or {}),
+                            "gmall.bucketedStore.nBuckets": str(new_n),
+                        },
+                    }
+                }
+            )
+            return self._commit_actions(
+                None,
+                batch_id,
+                adds,
+                removes=old_rels,
+                extra_lines=[meta],
+                expected_files={rel: state["live"][rel] for rel in old_rels},
+                snapshot_version=head,
+            )
+        except BaseException:
+            self.n_buckets = old_n
+            raise
+
     def commit_batch(self, batch: DataFrame, batch_id: int) -> int | None:
         import pyarrow.parquet as pq
         from pyspark.sql import functions as F
@@ -1445,6 +1558,11 @@ class BucketedDeltaKeyedStore(DeltaKeyedStore):
 
         if self._is_committed(batch_id):
             return None
+        # a rebucket may have changed the bucket count since this
+        # instance was constructed: the TABLE is authoritative (r14)
+        table_n = self._table_n_buckets()
+        if table_n is not None and table_n != self.n_buckets:
+            self.n_buckets = table_n
         # buckets this batch touches — bounded by n_buckets, tiny collect
         touched = sorted(
             r.b

@@ -2486,3 +2486,98 @@ def test_optimize_on_partitioned_table_e2e(spark, tmp_path):
     assert src.next_batch() is None
     # replay is a no-op
     assert sink.optimize(2, target_files=2) is None
+
+
+class TestRebucket:
+    """r14 (VERDICT r13 #8): BucketedDeltaKeyedStore.rebucket — the
+    exit for a store that outgrew its bucket count."""
+
+    def _store(self, spark, tmp_path, n_buckets=4):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            BucketedDeltaKeyedStore,
+        )
+
+        path = str(tmp_path / "store")
+        store = BucketedDeltaKeyedStore(
+            spark, path, key="k", order_col="o", n_buckets=n_buckets
+        )
+        store.commit_batch(
+            spark.range(100).selectExpr("id AS k", "id AS v", "0L AS o"), 0
+        )
+        store.commit_batch(
+            spark.range(50).selectExpr("id AS k", "id + 1000 AS v", "1L AS o"),
+            1,
+        )
+        return path, store
+
+    def _state(self, store, v=None):
+        df = store.read_as_of(
+            store.head_version() if v is None else v
+        )
+        return sorted((r.k, r.v) for r in df.collect())
+
+    def test_state_equivalence_and_time_travel(self, spark, tmp_path):
+        _path, store = self._store(spark, tmp_path)
+        before = self._state(store)
+        assert store.rebucket(16, 2) == 2
+        assert self._state(store) == before  # state invariant
+        assert self._state(store, 1) == before  # time travel intact
+        assert len(store.live_files()) == 16
+        assert store.rebucket(16, 2) is None  # replay no-op
+
+    def test_back_to_o1_bucket_after(self, spark, tmp_path):
+        _path, store = self._store(spark, tmp_path)
+        store.rebucket(16, 2)
+        store.commit_batch(
+            spark.range(7, 8).selectExpr(
+                "id AS k", "id + 9999 AS v", "2L AS o"
+            ),
+            3,
+        )
+        new = [r for r in store.live_files() if "b0000000003" in r]
+        assert len(new) == 1  # one touched bucket, one rewritten file
+
+    def test_new_instance_adopts_table_bucket_count(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            BucketedDeltaKeyedStore,
+        )
+
+        path, store = self._store(spark, tmp_path)
+        before = self._state(store)
+        store.rebucket(16, 2)
+        # constructed with the STALE count: the table is authoritative
+        fresh = BucketedDeltaKeyedStore(
+            spark, path, key="k", order_col="o", n_buckets=4
+        )
+        fresh.commit_batch(
+            spark.range(8, 9).selectExpr(
+                "id AS k", "id + 777 AS v", "3L AS o"
+            ),
+            3,
+        )
+        assert fresh.n_buckets == 16
+        want = sorted(
+            [(k, v) for k, v in before if k != 8] + [(8, 8 + 777)]
+        )
+        assert self._state(fresh) == want
+
+    def test_rebucket_survives_checkpoint_and_clean_log(
+        self, spark, tmp_path
+    ):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            BucketedDeltaKeyedStore,
+        )
+
+        path, store = self._store(spark, tmp_path)
+        before = self._state(store)
+        store.rebucket(8, 2)
+        store.write_checkpoint(store.head_version())
+        assert store.clean_log()
+        fresh = BucketedDeltaKeyedStore(
+            spark, path, key="k", order_col="o", n_buckets=4
+        )
+        # the nBuckets config rode the checkpoint's metaData row
+        assert fresh._table_n_buckets() == 8
+        assert self._state(fresh) == before
+        # replay of the rebucket batch over the cleaned log still skips
+        assert fresh.rebucket(8, 2) is None
