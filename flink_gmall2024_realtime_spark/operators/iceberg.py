@@ -364,7 +364,7 @@ def _iceberg_live(
             if seq is None:
                 seq = manifest_seq
             fmt = str(df.get("file_format", "PARQUET")).upper()
-            if fmt not in ("PARQUET", "AVRO"):
+            if fmt not in ("PARQUET", "AVRO", "ORC"):
                 raise NotImplementedError(
                     f"iceberg data file format {fmt!r} unsupported"
                 )
@@ -543,19 +543,29 @@ def read_iceberg_snapshot(
         if f_rel not in members:
             raise ValueError(f"data file {f_rel!r} missing from payload")
         blob = members[f_rel]
-        if fmt == "AVRO":
+        if fmt in ("AVRO", "ORC"):
             # r14: Avro data files decode through the same in-repo OCF
-            # reader the manifests already use — columnar (col -> list)
-            # so the delete-mask logic below is format-agnostic
-            from .avro import parse_avro as _pa
+            # reader the manifests already use; ORC data files through
+            # the in-repo ORC record assembler — both columnar
+            # (col -> list) so the delete-mask logic below is
+            # format-agnostic
+            if fmt == "AVRO":
+                from .avro import parse_avro as _pa
 
-            _, avro_recs = _pa(blob)
-            file_rows = len(avro_recs)
-            names = list(avro_recs[0].keys()) if avro_recs else []
-            for r in avro_recs:
-                names.extend(k for k in r if k not in names)
+                _, fmt_recs = _pa(blob)
+                names = list(fmt_recs[0].keys()) if fmt_recs else []
+                for r in fmt_recs:
+                    names.extend(k for k in r if k not in names)
+                recs_all = {
+                    c: [r.get(c) for r in fmt_recs] for c in names
+                }
+            else:
+                from .orcmeta import parse_orc_records as _por
+
+                recs_all = _por(blob)
+                names = list(recs_all)
+            file_rows = len(next(iter(recs_all.values()))) if recs_all else 0
             cols = []
-            recs_all = {c: [r.get(c) for r in avro_recs] for c in names}
             for c in names:
                 vals = recs_all[c]
                 ints = [
@@ -667,13 +677,16 @@ _ICE_TO_SPARK = {
 }
 
 
-def _avro_files_df(spark, path: str, rels: list, md: dict) -> DataFrame:
-    """Distributed read of Avro DATA files through the in-repo OCF
-    decoder (r14 — pyspark ships no spark-avro connector): the file
-    list parallelizes one task per file via ``mapInPandas``; each task
-    decodes its file and yields the table-schema columns plus
-    ``(__file, __pos)`` for position-delete masking. Rows never pass
-    through the driver; work scales with live Avro bytes."""
+def _decoded_files_df(
+    spark, path: str, rels: list, md: dict, fmt: str = "AVRO"
+) -> DataFrame:
+    """Distributed read of Avro or ORC DATA files through the in-repo
+    decoders (r14 — pyspark ships no spark-avro connector, and ORC rows
+    need the in-repo assembler): the file list parallelizes one task
+    per file via ``mapInPandas``; each task decodes its file and yields
+    the table-schema columns plus ``(__file, __pos)`` for
+    position-delete masking. Rows never pass through the driver; work
+    scales with live data bytes."""
     import os as _os
 
     import pandas as _pd
@@ -700,15 +713,28 @@ def _avro_files_df(spark, path: str, rels: list, md: dict) -> DataFrame:
     names = [n for n, _t in fields]
 
     def decode(it):
-        from flink_gmall2024_realtime_spark.operators.avro import parse_avro
-
         for pdf in it:
             for rel in pdf["rel"]:
                 with open(_os.path.join(table_path, rel), "rb") as f:
-                    _, recs = parse_avro(f.read())
-                out = {c: [r.get(c) for r in recs] for c in names}
-                out["__file"] = [_os.path.basename(rel)] * len(recs)
-                out["__pos"] = list(range(len(recs)))
+                    blob = f.read()
+                if fmt == "AVRO":
+                    from flink_gmall2024_realtime_spark.operators.avro import (
+                        parse_avro,
+                    )
+
+                    _, recs = parse_avro(blob)
+                    out = {c: [r.get(c) for r in recs] for c in names}
+                    n = len(recs)
+                else:
+                    from flink_gmall2024_realtime_spark.operators.orcmeta import (
+                        parse_orc_records,
+                    )
+
+                    cols = parse_orc_records(blob, columns=names)
+                    out = {c: cols[c] for c in names}
+                    n = len(next(iter(cols.values()))) if cols else 0
+                out["__file"] = [_os.path.basename(rel)] * n
+                out["__pos"] = list(range(n))
                 yield _pd.DataFrame(out)
 
     return files_df.mapInPandas(decode, out_schema)
@@ -769,7 +795,7 @@ def iceberg_scan(
     # whole group. A table with 10k position-deleted files and one
     # sequence generation is one scan node, not 10k union branches.
     sig_groups: dict[tuple, dict] = {}
-    avro_rels: dict[tuple, list] = {}  # sig -> [(rel, deleted positions)]
+    fmt_rels: dict[tuple, list] = {}  # (sig, fmt) -> [(rel, deleted)]
     for rel, _rc, _pv, seq, fmt in live:
         deleted = _deleted_positions(resolved, rel, seq)
         sig = tuple(
@@ -777,12 +803,15 @@ def iceberg_scan(
             for i, (del_seq, _c, _t) in enumerate(eq_resolved)
             if seq is None or del_seq is None or seq < del_seq
         )
-        if fmt == "AVRO":
-            # r14: pyspark ships no spark-avro connector — Avro data
-            # files decode DISTRIBUTED through the in-repo OCF reader
-            # (one task per file via mapInPandas), carrying (__file,
-            # __pos) so the same delete masking applies
-            avro_rels.setdefault(sig, []).append((rel, sorted(deleted)))
+        if fmt in ("AVRO", "ORC"):
+            # r14: pyspark ships no spark-avro connector (and ORC rows
+            # need the in-repo assembler) — these files decode
+            # DISTRIBUTED through the in-repo readers (one task per
+            # file via mapInPandas), carrying (__file, __pos) so the
+            # same delete masking applies
+            fmt_rels.setdefault((sig, fmt), []).append(
+                (rel, sorted(deleted))
+            )
             continue
         if not deleted and not sig:
             plain.append(os.path.join(path, rel))
@@ -792,9 +821,9 @@ def iceberg_scan(
             g["pos"].append((os.path.join(path, rel), sorted(deleted)))
         else:
             g["flat"].append(os.path.join(path, rel))
-    for sig, rel_dels in sorted(avro_rels.items()):
-        df = _avro_files_df(
-            spark, path, [rel for rel, _d in rel_dels], md
+    for (sig, fmt), rel_dels in sorted(fmt_rels.items()):
+        df = _decoded_files_df(
+            spark, path, [rel for rel, _d in rel_dels], md, fmt
         )
         pos_rows = [
             (os.path.basename(rel), int(p))
@@ -1967,14 +1996,16 @@ def synth_iceberg_transforms(seed: int, with_hour: bool = False) -> bytes:
     return buf.getvalue()
 
 
-def synth_iceberg_avrodata(seed: int) -> bytes:
-    """Iceberg v2 fixture whose DATA FILES are Avro OCF (r14 — the
-    format the spec allows beside parquet/orc and real tables mix in):
-    snap 1 adds Avro files 0/1 (k = seed+100j+i, hand-encoded long
-    records), snap 2 adds Avro file 2 AND a position-delete PARQUET
-    masking every i%3==0 row of file 0 — proving Avro data composes
-    with the merge-on-read machinery. Row counts/sums are the same
-    seed arithmetic as the parquet fixtures."""
+def synth_iceberg_avrodata(seed: int, fmt: str = "AVRO") -> bytes:
+    """Iceberg v2 fixture whose DATA FILES are Avro OCF — or ORC with
+    ``fmt="ORC"`` (r14 — the formats the spec allows beside parquet and
+    real tables mix in): snap 1 adds files 0/1 (k = seed+100j+i;
+    hand-encoded long records for Avro, pyarrow-written for ORC — the
+    reference C++ writer anchoring the in-repo record assembler),
+    snap 2 adds file 2 AND a position-delete PARQUET masking every
+    i%3==0 row of file 0 — proving non-parquet data composes with the
+    merge-on-read machinery. Row counts/sums are the same seed
+    arithmetic as the parquet fixtures."""
     import io
     import zipfile
 
@@ -1984,27 +2015,48 @@ def synth_iceberg_avrodata(seed: int) -> bytes:
     from .avro import _zz
 
     seed = int(seed)
+    if fmt not in ("AVRO", "ORC"):
+        raise ValueError(f"fmt {fmt!r}")
     loc = "warehouse/t"
 
     def n_of(j):
         return (seed + j) % 20 + 5
 
-    row_schema = {
-        "type": "record",
-        "name": "row",
-        "fields": [{"name": "k", "type": "long"}],
-    }
-    files = {
-        j: _avro_ocf(
-            row_schema,
-            [_zz(seed + 100 * j + i) for i in range(n_of(j))],
-            seed + 20 + j,
-        )
-        for j in range(3)
-    }
+    if fmt == "AVRO":
+        row_schema = {
+            "type": "record",
+            "name": "row",
+            "fields": [{"name": "k", "type": "long"}],
+        }
+        files = {
+            j: _avro_ocf(
+                row_schema,
+                [_zz(seed + 100 * j + i) for i in range(n_of(j))],
+                seed + 20 + j,
+            )
+            for j in range(3)
+        }
+    else:
+        import pyarrow.orc as _orc
+
+        files = {}
+        for j in range(3):
+            buf = io.BytesIO()
+            _orc.write_table(
+                pa.table(
+                    {
+                        "k": pa.array(
+                            [seed + 100 * j + i for i in range(n_of(j))],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                buf,
+            )
+            files[j] = buf.getvalue()
 
     def data_path(j):
-        return f"data/part-{j:05d}.avro"
+        return f"data/part-{j:05d}.{fmt.lower()}"
 
     del_rows = [
         (f"{loc}/{data_path(0)}", i) for i in range(n_of(0)) if i % 3 == 0
@@ -2024,14 +2076,14 @@ def synth_iceberg_avrodata(seed: int) -> bytes:
     del_path = "data/delete-00000.parquet"
 
     def m_entry(snap_id, j=None, content=0, path=None, blob=None, rc=None,
-                fmt="AVRO"):
+                file_fmt=None):
         blob = files[j] if blob is None else blob
         return (
             _zz(1)
             + _zz(snap_id)
             + _zz(content)
             + _enc_str(f"{loc}/{path or data_path(j)}")
-            + _enc_str(fmt)
+            + _enc_str(file_fmt or fmt)
             + _zz(n_of(j) if rc is None else rc)
             + _zz(len(blob))
         )
@@ -2044,7 +2096,7 @@ def synth_iceberg_avrodata(seed: int) -> bytes:
     man_del = _avro_ocf(
         _MANIFEST_SCHEMA,
         [m_entry(s2, 0, content=1, path=del_path, blob=del_file,
-                 rc=len(del_rows), fmt="PARQUET")],
+                 rc=len(del_rows), file_fmt="PARQUET")],
         seed + 1,
     )
     m1_rel, m2_rel, md_rel = (
@@ -2070,7 +2122,7 @@ def synth_iceberg_avrodata(seed: int) -> bytes:
     ml2 = _avro_ocf(_MANIFEST_LIST_SEQ_SCHEMA, [e1, ed, e2], seed + 4)
     meta = {
         "format-version": 2,
-        "table-uuid": f"00000000-0000-0000-0007-{seed:012d}",
+        "table-uuid": f"00000000-0000-0000-000{7 if fmt == 'AVRO' else 8}-{seed:012d}",
         "location": loc,
         "last-sequence-number": 2,
         "schemas": [

@@ -2887,6 +2887,13 @@ def _synth_iceberg_avrodata(seed: int) -> bytes:
     return synth_iceberg_avrodata(seed)
 
 
+def _synth_iceberg_orcdata(seed: int) -> bytes:
+    """Lazy import of the ORC-data-file Iceberg fixture (r14)."""
+    from .iceberg import synth_iceberg_avrodata
+
+    return synth_iceberg_avrodata(seed, fmt="ORC")
+
+
 def _synth_delta_mapped_id(seed: int) -> bytes:
     """Lazy import of the ID-mode column-mapped fixture (r14): drifted
     parquet names + a decoy dropped column — field-id resolution only."""
@@ -3003,6 +3010,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str) -> DataFrame:
         "delta_mapped": _synth_delta_mapped,
         "delta_mapped_id": _synth_delta_mapped_id,
         "iceberg_avrodata": _synth_iceberg_avrodata,
+        "iceberg_orcdata": _synth_iceberg_orcdata,
         "iceberg_deletes": _synth_iceberg_deletes,
         "iceberg_stats": _synth_iceberg_stats,
         "iceberg_transforms": _synth_iceberg_transforms,

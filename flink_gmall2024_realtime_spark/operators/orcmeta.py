@@ -423,25 +423,11 @@ _ENC_DIRECT, _ENC_DICT, _ENC_DIRECT_V2, _ENC_DICT_V2 = 0, 1, 2, 3
 
 
 @malformed_guard
-def parse_orc_data(payload: bytes) -> list:
-    """FULL ORC value decode from raw bytes (r11 — the THIRD container
-    format read end-to-end, after parquet data pages and ORC footers):
-    postscript -> footer -> per-stripe StripeFooter protobuf -> per-column
-    stream decode. Covers PRESENT boolean RLE, integer RLE v2 in all four
-    sub-encodings (short-repeat / direct / patched-base / delta), IEEE754
-    double DATA, and string DIRECT_V2 (length RLE + bytes) and
-    DICTIONARY_V2 (id RLE + dictionary blob) — every stream decompressed
-    through the repo's own codec surface (raw-deflate zlib, Snappy, LZ4
-    block, zstd).
-
-    Returns one (col_name, n_values, n_nulls, int_sum, float_sum,
-    byte_len) tuple per column, exactly one of the three content
-    aggregates non-None by type (long, double, string). Per-stripe
-    non-null counts are verified against the stream contents; unsupported
-    type kinds / RLEv1 encodings raise NotImplementedError (documented
-    seams)."""
-    import struct as _struct
-
+def _orc_file_context(payload: bytes):
+    """Shared postscript/footer walk for the ORC data readers: returns
+    (column names, column type kinds, compression kind, stripe list).
+    Flat-struct root required; unsupported type kinds raise the same
+    documented seams as before."""
     if len(payload) < 4 or payload[:3] != b"ORC":
         raise ValueError("not an ORC file (magic)")
     ps_len = payload[-1]
@@ -473,41 +459,168 @@ def parse_orc_data(payload: bytes) -> list:
     kinds = [t[1][0] for t in types[1:]]
     # 0 boolean, 1 byte, 2 short, 3 int, 4 long, 5 float, 6 double,
     # 7 string, 9 timestamp, 15 date
-    _INT_KINDS = (0, 1, 2, 3, 4, 9, 15)
     for k in kinds:
-        if k not in _INT_KINDS + (5, 6, 7):
+        if k not in _ORC_INT_KINDS + (5, 6, 7):
             raise NotImplementedError(f"ORC column type kind {k} in data decode")
+    return names, kinds, kind, stripes
+
+
+def _orc_stripe_streams(payload: bytes, st: dict, kind: int):
+    """One stripe's (row count, per-column encodings, data-region stream
+    map {(col, stream_kind): bytes})."""
+    off, ilen, dlen = st.get(1, 0), st.get(2, 0), st.get(3, 0)
+    flen, nrows = st.get(4, 0), st.get(5, 0)
+    sfoot = _decompress_stream(
+        payload[off + ilen + dlen : off + ilen + dlen + flen], kind
+    )
+    streams = []
+    encs = []
+    for f, w, v in _wire_fields(sfoot):
+        if f == 1 and w == 2:
+            streams.append({ff: vv for ff, _ww, vv in _wire_fields(v)})
+        elif f == 2 and w == 2:
+            encs.append({ff: vv for ff, _ww, vv in _wire_fields(v)})
+    # locate each column's data-region streams (index region excluded)
+    pos = off + ilen
+    by_col: dict[tuple[int, int], bytes] = {}
+    for s in streams:
+        skind, col, ln = s.get(1, 0), s.get(2, 0), s.get(3, 0)
+        if skind in (6, 7, 8):  # ROW_INDEX / BLOOM live in the index region
+            continue
+        by_col[(col, skind)] = payload[pos : pos + ln]
+        pos += ln
+    if pos != off + ilen + dlen:
+        raise ValueError("ORC stream lengths disagree with stripe dataLength")
+    return nrows, encs, by_col
+
+
+def _orc_column_values(
+    tkind: int, encs: list, by_col: dict, ci: int, kind: int, n_nonnull: int
+) -> list:
+    """Decode one column's NON-NULL python values in one stripe —
+    the shared core of the aggregate reader (parse_orc_data) and the
+    record assembler (parse_orc_records). Timestamps surface as
+    epoch MICROS, dates as epoch days, booleans as 0/1 ints."""
+    import struct as _struct
+
+    enc = encs[ci].get(1, 0)
+    data = _decompress_stream(by_col.get((ci, 1), b""), kind)
+    if tkind in (2, 3, 4, 15):  # short / int / long / date(days)
+        if enc != _ENC_DIRECT_V2:
+            raise NotImplementedError(f"ORC integer encoding {enc}")
+        return _rlev2(data, n_nonnull, signed=True)
+    if tkind == 0:  # boolean: bit stream over byte RLE
+        return _bool_rle(data, n_nonnull)
+    if tkind == 1:  # tinyint: signed bytes over byte RLE
+        raw = _byte_rle(data)
+        if len(raw) < n_nonnull:
+            raise ValueError("ORC byte stream shorter than values")
+        return [b - 256 if b >= 128 else b for b in raw[:n_nonnull]]
+    if tkind == 9:  # timestamp: seconds since 2015 + nanos -> micros
+        if enc != _ENC_DIRECT_V2:
+            raise NotImplementedError(f"ORC timestamp encoding {enc}")
+        secs = _rlev2(data, n_nonnull, signed=True)
+        nraw = _decompress_stream(by_col.get((ci, 5), b""), kind)
+        nanos_enc = _rlev2(nraw, n_nonnull, signed=False)
+        out = []
+        for s, nv in zip(secs, nanos_enc):
+            # The C++ ORC writer (pyarrow's) truncates seconds
+            # toward zero, so pre-2015 fractions carry NEGATIVE
+            # nanos — the stream value is two's-complement.
+            # Empirically pinned (see tests): the low 3 bits are
+            # (trailing zeros - 1) when >= 2 zeros were stripped,
+            # else 0; arithmetic >> keeps the sign.
+            if nv >= 1 << 63:
+                nv -= 1 << 64
+            z = nv & 7
+            nanos = nv >> 3
+            if z:
+                nanos *= 10 ** (z + 1)
+            out.append(((1420070400 + s) * 1_000_000_000 + nanos) // 1000)
+        return out
+    if tkind == 5:  # float
+        if enc != _ENC_DIRECT:
+            raise NotImplementedError(f"ORC float encoding {enc}")
+        if len(data) < 4 * n_nonnull:
+            raise ValueError("ORC float stream shorter than values")
+        return [
+            _struct.unpack_from("<f", data, 4 * j)[0]
+            for j in range(n_nonnull)
+        ]
+    if tkind == 6:  # double
+        if enc != _ENC_DIRECT:
+            raise NotImplementedError(f"ORC double encoding {enc}")
+        if len(data) < 8 * n_nonnull:
+            raise ValueError("ORC double stream shorter than values")
+        return [
+            _struct.unpack_from("<d", data, 8 * j)[0]
+            for j in range(n_nonnull)
+        ]
+    # string
+    lens_raw = _decompress_stream(by_col.get((ci, 2), b""), kind)
+    if enc == _ENC_DIRECT_V2:
+        lens = _rlev2(lens_raw, n_nonnull, signed=False)
+        if sum(lens) > len(data):
+            raise ValueError("ORC string data shorter than lengths")
+        out = []
+        at = 0
+        for ln in lens:
+            out.append(data[at : at + ln].decode())
+            at += ln
+        return out
+    if enc == _ENC_DICT_V2:
+        dict_size = encs[ci].get(2, 0)
+        ids = _rlev2(data, n_nonnull, signed=False)
+        dlens = _rlev2(lens_raw, dict_size, signed=False)
+        blob = _decompress_stream(by_col.get((ci, 3), b""), kind)
+        if sum(dlens) > len(blob):
+            raise ValueError("ORC dictionary blob shorter than lengths")
+        entries = []
+        at = 0
+        for ln in dlens:
+            entries.append(blob[at : at + ln].decode())
+            at += ln
+        out = []
+        for _id in ids:
+            if _id >= dict_size:
+                raise ValueError("ORC dictionary id out of range")
+            out.append(entries[_id])
+        return out
+    raise NotImplementedError(f"ORC string encoding {enc}")
+
+
+_ORC_INT_KINDS = (0, 1, 2, 3, 4, 9, 15)
+
+
+def parse_orc_data(payload: bytes) -> list:
+    """FULL ORC value decode from raw bytes (r11 — the THIRD container
+    format read end-to-end, after parquet data pages and ORC footers):
+    postscript -> footer -> per-stripe StripeFooter protobuf -> per-column
+    stream decode. Covers PRESENT boolean RLE, integer RLE v2 in all four
+    sub-encodings (short-repeat / direct / patched-base / delta), IEEE754
+    double DATA, and string DIRECT_V2 (length RLE + bytes) and
+    DICTIONARY_V2 (id RLE + dictionary blob) — every stream decompressed
+    through the repo's own codec surface (raw-deflate zlib, Snappy, LZ4
+    block, zstd).
+
+    Returns one (col_name, n_values, n_nulls, int_sum, float_sum,
+    byte_len) tuple per column, exactly one of the three content
+    aggregates non-None by type (long, double, string). Per-stripe
+    non-null counts are verified against the stream contents; unsupported
+    type kinds / RLEv1 encodings raise NotImplementedError (documented
+    seams). r14: the per-column stripe decode is shared with
+    ``parse_orc_records`` (full record assembly)."""
+    names, kinds, kind, stripes = _orc_file_context(payload)
     totals = [
-        {"n_values": 0, "n_nulls": 0, "int": 0 if k in _INT_KINDS else None,
-         "flt": 0.0 if k in (5, 6) else None, "blen": 0 if k == 7 else None}
+        {"n_values": 0, "n_nulls": 0,
+         "int": 0 if k in _ORC_INT_KINDS else None,
+         "flt": 0.0 if k in (5, 6) else None,
+         "blen": 0 if k == 7 else None}
         for k in kinds
     ]
     for st in stripes:
-        off, ilen, dlen = st.get(1, 0), st.get(2, 0), st.get(3, 0)
-        flen, nrows = st.get(4, 0), st.get(5, 0)
-        sfoot = _decompress_stream(
-            payload[off + ilen + dlen : off + ilen + dlen + flen], kind
-        )
-        streams = []
-        encs = []
-        for f, w, v in _wire_fields(sfoot):
-            if f == 1 and w == 2:
-                streams.append({ff: vv for ff, _ww, vv in _wire_fields(v)})
-            elif f == 2 and w == 2:
-                encs.append({ff: vv for ff, _ww, vv in _wire_fields(v)})
-        # locate each column's data-region streams (index region excluded)
-        pos = off + ilen
-        by_col: dict[tuple[int, int], bytes] = {}
-        for s in streams:
-            skind, col, ln = s.get(1, 0), s.get(2, 0), s.get(3, 0)
-            if skind in (6, 7, 8):  # ROW_INDEX / BLOOM live in the index region
-                continue
-            by_col[(col, skind)] = payload[pos : pos + ln]
-            pos += ln
-        if pos != off + ilen + dlen:
-            raise ValueError("ORC stream lengths disagree with stripe dataLength")
+        nrows, encs, by_col = _orc_stripe_streams(payload, st, kind)
         for ci, tkind in enumerate(kinds, start=1):
-            enc = encs[ci].get(1, 0)
             present_raw = by_col.get((ci, 0))
             if present_raw is not None:
                 present = _bool_rle(_decompress_stream(present_raw, kind), nrows)
@@ -517,81 +630,13 @@ def parse_orc_data(payload: bytes) -> list:
             t = totals[ci - 1]
             t["n_values"] += n_nonnull
             t["n_nulls"] += nrows - n_nonnull
-            data = _decompress_stream(by_col.get((ci, 1), b""), kind)
-            if tkind in (2, 3, 4, 15):  # short / int / long / date(days)
-                if enc != _ENC_DIRECT_V2:
-                    raise NotImplementedError(f"ORC integer encoding {enc}")
-                vals = _rlev2(data, n_nonnull, signed=True)
+            vals = _orc_column_values(tkind, encs, by_col, ci, kind, n_nonnull)
+            if t["int"] is not None:
                 t["int"] += sum(vals)
-            elif tkind == 0:  # boolean: bit stream over byte RLE
-                bits = _bool_rle(data, n_nonnull)
-                t["int"] += sum(bits)
-            elif tkind == 1:  # tinyint: signed bytes over byte RLE
-                raw = _byte_rle(data)
-                if len(raw) < n_nonnull:
-                    raise ValueError("ORC byte stream shorter than values")
-                t["int"] += sum(
-                    b - 256 if b >= 128 else b for b in raw[:n_nonnull]
-                )
-            elif tkind == 9:  # timestamp: seconds since 2015 + nanos
-                if enc != _ENC_DIRECT_V2:
-                    raise NotImplementedError(f"ORC timestamp encoding {enc}")
-                secs = _rlev2(data, n_nonnull, signed=True)
-                nraw = _decompress_stream(by_col.get((ci, 5), b""), kind)
-                nanos_enc = _rlev2(nraw, n_nonnull, signed=False)
-                for s, nv in zip(secs, nanos_enc):
-                    # The C++ ORC writer (pyarrow's) truncates seconds
-                    # toward zero, so pre-2015 fractions carry NEGATIVE
-                    # nanos — the stream value is two's-complement.
-                    # Empirically pinned (see tests): the low 3 bits are
-                    # (trailing zeros - 1) when >= 2 zeros were stripped,
-                    # else 0; arithmetic >> keeps the sign.
-                    if nv >= 1 << 63:
-                        nv -= 1 << 64
-                    z = nv & 7
-                    nanos = nv >> 3
-                    if z:
-                        nanos *= 10 ** (z + 1)
-                    total_ns = (1420070400 + s) * 1_000_000_000 + nanos
-                    t["int"] += total_ns // 1000
-            elif tkind == 5:  # float
-                if enc != _ENC_DIRECT:
-                    raise NotImplementedError(f"ORC float encoding {enc}")
-                if len(data) < 4 * n_nonnull:
-                    raise ValueError("ORC float stream shorter than values")
-                t["flt"] += sum(
-                    _struct.unpack_from("<f", data, 4 * j)[0]
-                    for j in range(n_nonnull)
-                )
-            elif tkind == 6:  # double
-                if enc != _ENC_DIRECT:
-                    raise NotImplementedError(f"ORC double encoding {enc}")
-                if len(data) < 8 * n_nonnull:
-                    raise ValueError("ORC double stream shorter than values")
-                t["flt"] += sum(
-                    _struct.unpack_from("<d", data, 8 * j)[0]
-                    for j in range(n_nonnull)
-                )
-            else:  # string
-                lens_raw = _decompress_stream(by_col.get((ci, 2), b""), kind)
-                if enc == _ENC_DIRECT_V2:
-                    lens = _rlev2(lens_raw, n_nonnull, signed=False)
-                    if sum(lens) > len(data):
-                        raise ValueError("ORC string data shorter than lengths")
-                    t["blen"] += sum(lens)
-                elif enc == _ENC_DICT_V2:
-                    dict_size = encs[ci].get(2, 0)
-                    ids = _rlev2(data, n_nonnull, signed=False)
-                    dlens = _rlev2(lens_raw, dict_size, signed=False)
-                    blob = _decompress_stream(by_col.get((ci, 3), b""), kind)
-                    if sum(dlens) > len(blob):
-                        raise ValueError("ORC dictionary blob shorter than lengths")
-                    for _id in ids:
-                        if _id >= dict_size:
-                            raise ValueError("ORC dictionary id out of range")
-                        t["blen"] += dlens[_id]
-                else:
-                    raise NotImplementedError(f"ORC string encoding {enc}")
+            elif t["flt"] is not None:
+                t["flt"] += sum(vals)
+            else:
+                t["blen"] += sum(len(v) for v in vals)
     return [
         (
             names[ci],
@@ -603,6 +648,40 @@ def parse_orc_data(payload: bytes) -> list:
         )
         for ci, t in enumerate(totals)
     ]
+
+
+def parse_orc_records(payload: bytes, columns: list | None = None) -> dict:
+    """FULL RECORD ASSEMBLY for flat ORC files (r14 — the ORC twin of
+    ``parquetmeta.parse_parquet_records``): {column: [value-or-None per
+    row]}, nulls re-interleaved from the PRESENT streams, stripes
+    concatenated in order. Timestamps surface as epoch micros, dates as
+    epoch days (the same physical conventions the parquet record reader
+    uses). ``columns`` restricts which columns decode."""
+    names, kinds, kind, stripes = _orc_file_context(payload)
+    if columns is not None:
+        unknown = set(columns) - set(names)
+        if unknown:
+            raise ValueError(f"ORC columns {sorted(unknown)} not in file")
+    want = set(columns) if columns is not None else set(names)
+    out: dict[str, list] = {n: [] for n in names if n in want}
+    for st in stripes:
+        nrows, encs, by_col = _orc_stripe_streams(payload, st, kind)
+        for ci, tkind in enumerate(kinds, start=1):
+            name = names[ci - 1]
+            if name not in want:
+                continue
+            present_raw = by_col.get((ci, 0))
+            if present_raw is not None:
+                present = _bool_rle(_decompress_stream(present_raw, kind), nrows)
+            else:
+                present = [1] * nrows
+            n_nonnull = sum(present)
+            vals = _orc_column_values(tkind, encs, by_col, ci, kind, n_nonnull)
+            col = out[name]
+            it = iter(vals)
+            for p in present:
+                col.append(next(it) if p else None)
+    return out
 
 
 def synth_orc_data(seed: int) -> bytes:

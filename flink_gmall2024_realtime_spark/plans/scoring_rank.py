@@ -1698,6 +1698,61 @@ def iceberg_avro_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_orc_data_audit",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS d, doc_id % 20 + 5 AS n0, (doc_id + 1) % 20 + 5 AS n1,
+         (doc_id + 2) % 20 + 5 AS n2
+  FROM documents
+),
+i0 AS (
+  SELECT d, t.i FROM p, UNNEST(generate_series(0, (n0 - 1)::BIGINT)) AS t(i)
+),
+f0 AS (
+  SELECT d, COUNT(*) AS c_all, SUM(d + i) AS s_all,
+         COUNT(*) FILTER (WHERE i % 3 <> 0) AS c_keep,
+         SUM(d + i) FILTER (WHERE i % 3 <> 0) AS s_keep
+  FROM i0 GROUP BY d
+),
+f12 AS (
+  SELECT d, n1 AS c1, n1 * (d + 100) + n1 * (n1 - 1) // 2 AS s1,
+         n2 AS c2, n2 * (d + 200) + n2 * (n2 - 1) // 2 AS s2
+  FROM p
+)
+SELECT f0.d AS media_id, 1::INT AS snapshot_ord, 1::INT AS n_manifests,
+       2::INT AS n_files, (f0.c_all + f12.c1)::BIGINT AS n_rows,
+       (f0.s_all + f12.s1)::BIGINT AS int_sum
+FROM f0 JOIN f12 ON f0.d = f12.d
+UNION ALL
+SELECT f0.d, 2::INT, 3::INT, 3::INT,
+       (f0.c_keep + f12.c1 + f12.c2)::BIGINT,
+       (f0.s_keep + f12.s1 + f12.s2)::BIGINT
+FROM f0 JOIN f12 ON f0.d = f12.d
+""",
+    survey_ids=("dim-snapshot",),
+)
+def iceberg_orc_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ORC DATA FILES audit (r14 — the format twin of
+    ``iceberg_avro_data_audit`` with the SAME oracle): per doc a v2
+    table whose data files are ORC written by pyarrow (the reference
+    C++ writer) and decoded through the NEW in-repo ORC record
+    assembler (``orcmeta.parse_orc_records`` — PRESENT-stream null
+    re-interleave over the shared per-column stripe decode), with a
+    snap-2 position-delete PARQUET masking file 0's i%3==0 rows —
+    three container formats composing in one table read. Per-row
+    Arrow work — linear by construction (``operators/iceberg.py``,
+    ``operators/orcmeta.py``)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.synth_media(docs, "doc_id", "iceberg_orcdata")
+    media = multimodal.to_media_table(
+        payloads, "media_id", F.col("payload"), "application/zip"
+    )
+    from ..operators.iceberg import iceberg_avrodata_stats
+
+    return iceberg_avrodata_stats(media)
+
+
+@register(
     "iceberg_delete_audit",
     oracle="""
 WITH p AS (

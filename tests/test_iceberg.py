@@ -1182,3 +1182,45 @@ class TestHourTransformAndAvroData:
         assert iceberg_scan(
             spark, path, snapshot_id=seed * 10 + 1
         ).count() == n(0) + n(1)
+
+
+class TestOrcDataFiles:
+    """r14: ORC data files through the new in-repo record assembler —
+    the third container format composing in one Iceberg table read."""
+
+    def test_orc_data_files_audit(self):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            read_iceberg_snapshot,
+            synth_iceberg_avrodata,
+        )
+
+        for seed in (0, 4, 7):
+            p = synth_iceberg_avrodata(seed, fmt="ORC")
+            n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+            keep0 = [i for i in range(n(0)) if i % 3 != 0]
+            s2 = read_iceberg_snapshot(p)
+            assert s2["n_rows"] == len(keep0) + n(1) + n(2)
+            assert s2["int_sum"] == (
+                sum(seed + i for i in keep0)
+                + sum(seed + 100 + i for i in range(n(1)))
+                + sum(seed + 200 + i for i in range(n(2)))
+            )
+
+    def test_orc_data_files_scan(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+            synth_iceberg_avrodata,
+        )
+
+        seed = 4
+        path = _unzip_to_dir(
+            synth_iceberg_avrodata(seed, fmt="ORC"), tmp_path / "tbl"
+        )
+        n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+        want = sorted(
+            [seed + i for i in range(n(0)) if i % 3 != 0]
+            + [seed + 100 + i for i in range(n(1))]
+            + [seed + 200 + i for i in range(n(2))]
+        )
+        got = sorted(r.k for r in iceberg_scan(spark, path).collect())
+        assert got == want
