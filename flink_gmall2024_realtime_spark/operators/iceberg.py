@@ -3074,6 +3074,185 @@ class IcebergAppendSink:
                 dropped.append(rel)
         return dropped
 
+    def rewrite_manifests(self, batch_id: int) -> int | None:
+        """Iceberg's ``rewriteManifests`` maintenance op (r14): merge
+        every DATA manifest of the current snapshot into ONE compacted
+        manifest — entries re-encoded with status EXISTING, their
+        original snapshot ids AND per-entry sequence numbers preserved
+        (so position-delete scoping is unchanged), bounds and partition
+        structs carried through — committed as a new snapshot whose
+        list holds the compacted manifest plus the untouched DELETE
+        manifests. A long-lived table's manifest count stops growing
+        with its commit count; the superseded manifests become
+        vacuum_orphans fodder past the horizon. Identity partition
+        specs only (the sink's shape); replay-idempotent via the
+        snapshot-summary batch id."""
+        import os
+
+        from .avro import _zz, parse_avro
+
+        if self._is_committed(batch_id):
+            return None
+        for _ in range(self.max_commit_attempts):
+            head_v, md = self._head()
+            if md is None:
+                raise ValueError("rewrite_manifests on a table with no commits")
+            spec = {
+                s.get("spec-id", 0): s
+                for s in md.get("partition-specs", [])
+            }.get(0, {"fields": []})
+            if any(
+                f.get("transform") != "identity" for f in spec["fields"]
+            ):
+                raise NotImplementedError(
+                    "rewrite_manifests over non-identity partition "
+                    "transforms unsupported"
+                )
+            names = _schema_names(md)
+            types = _schema_types(md)
+            pfields = []  # (name, avro type)
+            for f in spec["fields"]:
+                t = types.get(f["source-id"])
+                avro_t = {"long": "long", "int": "int", "string": "string"}.get(t)
+                if avro_t is None:
+                    raise NotImplementedError(
+                        f"identity partition over iceberg type {t!r} "
+                        "unsupported in rewrite_manifests"
+                    )
+                pfields.append((names.get(f["source-id"], f["name"]), avro_t))
+            cur = {s["snapshot-id"]: s for s in md["snapshots"]}[
+                md["current-snapshot-id"]
+            ]
+            with open(os.path.join(self.path, cur["manifest-list"]), "rb") as f:
+                _, ml_entries = parse_avro(f.read())
+            keep_lists = []  # delete manifests, carried verbatim
+            entries = []  # (snapshot_id, seq, data_file dict)
+            for e in ml_entries:
+                if e.get("content", 0) == 1:
+                    keep_lists.append(e)
+                    continue
+                with open(
+                    os.path.join(self.path, e["manifest_path"]), "rb"
+                ) as f:
+                    _, recs = parse_avro(f.read())
+                for rec in recs:
+                    if rec.get("status", 1) == 2:
+                        continue
+                    seq = rec.get("sequence_number")
+                    if seq is None:
+                        seq = e.get("sequence_number", 0)
+                    entries.append((rec["snapshot_id"], seq, rec["data_file"]))
+            if len([e for e in ml_entries if e.get("content", 0) == 0]) <= 1:
+                return None  # already compacted: nothing to do
+            schema = json.loads(json.dumps(_BOUNDS_MANIFEST_SCHEMA))
+            schema["fields"].insert(
+                2, {"name": "sequence_number", "type": "long"}
+            )
+            if pfields:
+                schema["fields"][3]["type"]["fields"].insert(
+                    3,
+                    {
+                        "name": "partition",
+                        "type": {
+                            "type": "record",
+                            "name": "r102",
+                            "fields": [
+                                {"name": n, "type": t} for n, t in pfields
+                            ],
+                        },
+                    },
+                )
+
+            def enc_bounds_list(b):
+                b = b or []
+                if not b:
+                    return _zz(0)
+                out = _zz(len(b))
+                for kv in b:
+                    v = kv["value"]
+                    if isinstance(v, str):
+                        v = v.encode()
+                    out += _zz(kv["key"]) + _zz(len(v)) + v
+                return out + _zz(0)
+
+            blobs = []
+            for snap_id, seq, df in sorted(
+                entries, key=lambda t: t[2]["file_path"]
+            ):
+                part = b""
+                if pfields:
+                    pv = df.get("partition") or {}
+                    for n, t in pfields:
+                        if n not in pv:
+                            raise ValueError(
+                                f"manifest entry lacks partition value {n!r}"
+                            )
+                        part += (
+                            _enc_str(pv[n]) if t == "string" else _zz(pv[n])
+                        )
+                blobs.append(
+                    _zz(0)  # status: EXISTING
+                    + _zz(snap_id)
+                    + _zz(seq)
+                    + _zz(0)
+                    + _enc_str(df["file_path"])
+                    + _enc_str(str(df.get("file_format", "PARQUET")))
+                    + part
+                    + _zz(df.get("record_count", 0))
+                    + _zz(df.get("file_size_in_bytes", 0))
+                    + enc_bounds_list(df.get("lower_bounds"))
+                    + enc_bounds_list(df.get("upper_bounds"))
+                )
+            snap_id = batch_id + 1
+            seq = head_v + 1
+            m_rel = f"metadata/m-compact-b{batch_id:010d}.avro"
+            man = _avro_ocf(schema, blobs, batch_id + 5)
+            with open(os.path.join(self.path, m_rel), "wb") as f:
+                f.write(man)
+            ml_rel = f"metadata/snap-{snap_id}-b{batch_id:010d}.avro"
+            out_entries = [
+                _enc_str(m_rel)
+                + _zz(len(man))
+                + _zz(0)
+                + _zz(0)
+                + _zz(seq)
+                + _zz(snap_id)
+            ]
+            for e in keep_lists:
+                out_entries.append(
+                    _enc_str(e["manifest_path"])
+                    + _zz(e["manifest_length"])
+                    + _zz(e.get("partition_spec_id", 0))
+                    + _zz(1)
+                    + _zz(e.get("sequence_number", 0))
+                    + _zz(e["added_snapshot_id"])
+                )
+            ml = _avro_ocf(_MANIFEST_LIST_SEQ_SCHEMA, out_entries, batch_id + 7)
+            with open(os.path.join(self.path, ml_rel), "wb") as f:
+                f.write(ml)
+            snapshot = {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": 0,
+                "manifest-list": ml_rel,
+                "summary": {"operation": "replace", "batch-id": str(batch_id)},
+            }
+            new_md = dict(md)
+            new_md["last-sequence-number"] = seq
+            new_md["current-snapshot-id"] = snap_id
+            new_md["snapshots"] = md["snapshots"] + [snapshot]
+            target = os.path.join(
+                self.path, "metadata", f"v{head_v + 1}.metadata.json"
+            )
+            if self._publish(target, json.dumps(new_md).encode()):
+                return snap_id
+            if self._is_committed(batch_id):
+                return None
+        raise RuntimeError(
+            "could not claim an iceberg metadata version for "
+            f"rewrite_manifests in {self.max_commit_attempts} attempts"
+        )
+
     def sink(self):
         def write(batch, batch_id: int) -> None:
             self.commit_batch(batch, batch_id)

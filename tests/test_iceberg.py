@@ -1224,3 +1224,64 @@ class TestOrcDataFiles:
         )
         got = sorted(r.k for r in iceberg_scan(spark, path).collect())
         assert got == want
+
+
+class TestRewriteManifests:
+    """r14: manifest compaction — a long-lived table's manifest count
+    stops growing with its commit count."""
+
+    def test_compacts_preserving_state_and_delete_scoping(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from flink_gmall2024_realtime_spark.operators.avro import parse_avro
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+            iceberg_scan,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path, partition_columns=["p"])
+        for b in range(4):
+            df = spark.range(b * 10, b * 10 + 10).selectExpr(
+                "id AS k", "cast(id % 2 as string) AS p"
+            )
+            sink.commit_batch_distributed(df.repartition(2), b)
+        sink.delete_where("k % 5 = 0", 4)
+        want = [k for k in range(40) if k % 5 != 0]
+
+        def manifest_count():
+            _, md = sink._head()
+            cur = {s["snapshot-id"]: s for s in md["snapshots"]}[
+                md["current-snapshot-id"]
+            ]
+            with open(os.path.join(path, cur["manifest-list"]), "rb") as f:
+                _, mls = parse_avro(f.read())
+            return len(mls)
+
+        assert manifest_count() == 5  # 4 data + 1 delete
+        assert sink.rewrite_manifests(5) is not None
+        assert manifest_count() == 2  # 1 compacted data + 1 delete
+        assert sorted(
+            r.k for r in iceberg_scan(spark, path).collect()
+        ) == want
+        # partition pruning still lands through the compacted manifest
+        p0 = iceberg_scan(spark, path, partition_filter={"p": "0"})
+        assert sorted(r.k for r in p0.collect()) == [
+            k for k in want if k % 2 == 0
+        ]
+        # per-entry sequence numbers survived: a later append is NOT
+        # masked by the pre-compaction delete
+        sink.commit_batch_distributed(
+            spark.range(100, 105).selectExpr(
+                "id AS k", "cast(id % 2 as string) AS p"
+            ),
+            6,
+        )
+        got = sorted(r.k for r in iceberg_scan(spark, path).collect())
+        assert got == sorted(want + list(range(100, 105)))
+        # replay no-op; already-compact no-op
+        assert sink.rewrite_manifests(5) is None
+        assert sink.rewrite_manifests(7) is not None  # batch-6 manifest
+        assert sink.rewrite_manifests(8) is None
