@@ -321,8 +321,15 @@ def _dv_positions(dv: dict, fetch) -> list[int]:
             fetch(rel), offset, dv["sizeInBytes"]
         )
     elif storage == "p":
-        raise NotImplementedError(
-            "absolute-path ('p') deletion vectors unsupported"
+        # absolute path (r14): pathOrInlineDv IS the path — directory-
+        # rooted fetchers resolve it (os.path.join discards their root
+        # for absolute paths); payload-rooted readers miss and raise
+        # their own loud missing-file error
+        offset = dv.get("offset")
+        if offset is None:
+            offset = 1
+        positions = parse_dv_in_file(
+            fetch(dv["pathOrInlineDv"]), offset, dv["sizeInBytes"]
         )
     else:
         raise ValueError(f"unknown DV storageType {storage!r}")

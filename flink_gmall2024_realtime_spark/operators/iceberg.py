@@ -3074,6 +3074,37 @@ class IcebergAppendSink:
                 dropped.append(rel)
         return dropped
 
+    def rollback_to(self, snapshot_id: int) -> int:
+        """Iceberg's ``rollback_to_snapshot`` (r14): publish a new
+        metadata version whose current-snapshot-id points BACK at a
+        retained snapshot — no files move, history is preserved (the
+        rolled-past snapshots stay in the list until expired), readers
+        at explicit snapshot ids are unaffected. Returns the new
+        metadata version."""
+        import os
+
+        for _ in range(self.max_commit_attempts):
+            head_v, md = self._head()
+            if md is None:
+                raise ValueError("rollback on a table with no commits")
+            if snapshot_id not in {
+                s["snapshot-id"] for s in md["snapshots"]
+            }:
+                raise ValueError(
+                    f"snapshot {snapshot_id} not in table metadata"
+                )
+            new_md = dict(md)
+            new_md["current-snapshot-id"] = snapshot_id
+            target = os.path.join(
+                self.path, "metadata", f"v{head_v + 1}.metadata.json"
+            )
+            if self._publish(target, json.dumps(new_md).encode()):
+                return head_v + 1
+        raise RuntimeError(
+            "could not claim an iceberg metadata version for rollback "
+            f"in {self.max_commit_attempts} attempts"
+        )
+
     def rewrite_manifests(self, batch_id: int) -> int | None:
         """Iceberg's ``rewriteManifests`` maintenance op (r14): merge
         every DATA manifest of the current snapshot into ONE compacted

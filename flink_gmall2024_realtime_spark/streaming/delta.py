@@ -1005,6 +1005,61 @@ class DeltaAppendSink:
         )
         return version
 
+    # ---------------------------------------------------------- restore
+
+    def restore(self, version: int, batch_id: int) -> int | None:
+        """``RESTORE TABLE ... TO VERSION AS OF`` (r14 — delta-spark's
+        rollback): ONE commit that removes every file live now but not
+        at ``version`` and re-adds (with their original add metadata,
+        deletion vectors included) every file live then but not now.
+        History is preserved — the restore is itself a new version, so
+        time travel above and below it keeps working; the restored-to
+        files must still exist (not vacuumed). Replay-idempotent via
+        the txn batch id; mutating-commit OCC conflict detection
+        applies."""
+        if self._is_committed(batch_id):
+            return None
+        head = self.head_version()
+        if head < 0:
+            raise ValueError("restore on a table with no commits")
+        if not 0 <= version <= head:
+            raise ValueError(f"version {version} outside log range 0..{head}")
+        target = self._replay_state(version)["live"]
+        state = self._replay_state(head)
+        live = state["live"]
+        removes = sorted(set(live) - set(target))
+        readds = sorted(set(target) - set(live))
+        # files whose add CHANGED between the versions (a delete_where
+        # re-added them with a different DV) must also roll back
+        changed = sorted(
+            rel
+            for rel in set(live) & set(target)
+            if live[rel] != target[rel]
+        )
+        missing = [
+            rel
+            for rel in readds + changed
+            if not os.path.isfile(os.path.join(self.path, rel))
+        ]
+        if missing:
+            raise ValueError(
+                f"restore target files vacuumed: {missing[:3]}"
+                f"{'...' if len(missing) > 3 else ''}"
+            )
+        adds = [
+            json.dumps({"add": {**target[rel], "dataChange": True}})
+            for rel in readds + changed
+        ]
+        return self._commit_actions(
+            None,
+            batch_id,
+            adds,
+            removes=removes + changed,
+            expected_files={rel: live[rel] for rel in removes + changed}
+            or None,
+            snapshot_version=head,
+        )
+
     # --------------------------------------------------------- optimize
 
     def optimize(self, batch_id: int, target_files: int = 1) -> int | None:

@@ -2582,3 +2582,103 @@ class TestRebucket:
         assert self._state(fresh) == before
         # replay of the rebucket batch over the cleaned log still skips
         assert fresh.rebucket(8, 2) is None
+
+
+class TestRestoreAndAbsDV:
+    """r14: RESTORE TABLE ... TO VERSION AS OF, and absolute-path ('p')
+    deletion vectors."""
+
+    def test_restore_rolls_back_deletes_and_appends(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            delta_scan,
+        )
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        sink.commit_batch_distributed(
+            spark.range(40).selectExpr("id AS k").repartitionByRange(4, "k"),
+            0,
+        )
+        sink.commit_batch_distributed(
+            spark.range(100, 110).selectExpr("id AS k"), 1
+        )
+        sink.delete_where("k % 2 = 0", 2)
+        assert sink.restore(1, 3) == 3
+        got = sorted(r.k for r in delta_scan(spark, path).collect())
+        assert got == list(range(40)) + list(range(100, 110))
+        # history intact on BOTH sides of the restore
+        assert delta_scan(spark, path, version=2).count() == 25
+        assert delta_scan(spark, path, version=0).count() == 40
+        assert sink.restore(1, 3) is None  # replay
+        # restore further down removes the v1 append too
+        sink.restore(0, 4)
+        assert sorted(
+            r.k for r in delta_scan(spark, path).collect()
+        ) == list(range(40))
+
+    def test_restore_refuses_vacuumed_targets(self, spark, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        sink.commit_batch_distributed(spark.range(10).selectExpr("id AS k"), 0)
+        v0_files = sink.live_files()
+        sink.optimize(1)
+        sink.vacuum_orphans(retention_seconds=0)
+        assert not os.path.exists(os.path.join(path, v0_files[0]))
+        with _pytest.raises(ValueError, match="vacuumed"):
+            sink.restore(0, 2)
+
+    def test_absolute_path_deletion_vectors(self, spark, tmp_path):
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            delta_scan,
+            read_delta_snapshot_dir,
+        )
+        from flink_gmall2024_realtime_spark.operators.roaring import (
+            z85_decode,
+        )
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        sink.commit_batch_distributed(
+            spark.range(30).selectExpr("id AS k").repartitionByRange(2, "k"),
+            0,
+        )
+        sink.delete_where("k % 5 = 0", 1)  # DISTINCT masks per file
+        # rewrite the commit to the spec's 'p' storage (absolute path),
+        # offsets preserved
+        log1 = os.path.join(path, "_delta_log", f"{1:020d}.json")
+        out = []
+        for line in open(log1).read().splitlines():
+            a = _json.loads(line)
+            dv = (a.get("add") or {}).get("deletionVector")
+            if dv:
+                uid = _uuid.UUID(bytes=z85_decode(dv["pathOrInlineDv"][-20:]))
+                dv["storageType"] = "p"
+                dv["pathOrInlineDv"] = os.path.join(
+                    path, f"deletion_vector_{uid}.bin"
+                )
+            out.append(_json.dumps(a))
+        open(log1, "w").write("\n".join(out) + "\n")
+        want = [k for k in range(30) if k % 5 != 0]
+        assert sorted(
+            r.k for r in delta_scan(spark, path).collect()
+        ) == want
+        # the audit reader resolves 'p' too (absolute joins win)
+        assert read_delta_snapshot_dir(path)["n_rows"] == len(want)

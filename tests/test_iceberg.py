@@ -1285,3 +1285,28 @@ class TestRewriteManifests:
         assert sink.rewrite_manifests(5) is None
         assert sink.rewrite_manifests(7) is not None  # batch-6 manifest
         assert sink.rewrite_manifests(8) is None
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    # r14: current-snapshot pointer rollback — no files move, history
+    # stays, writes continue after
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.operators.iceberg import (
+        IcebergAppendSink,
+        iceberg_scan,
+    )
+
+    path = str(tmp_path / "tbl")
+    sink = IcebergAppendSink(spark, path)
+    for b in range(3):
+        sink.commit_batch(
+            spark.range(b * 10, b * 10 + 10).selectExpr("id AS k"), b
+        )
+    assert sink.rollback_to(2) == 4
+    assert iceberg_scan(spark, path).count() == 20
+    assert iceberg_scan(spark, path, snapshot_id=3).count() == 30
+    sink.commit_batch(spark.range(100, 105).selectExpr("id AS k"), 3)
+    assert iceberg_scan(spark, path).count() == 25
+    with _pytest.raises(ValueError, match="not in table metadata"):
+        sink.rollback_to(999)
