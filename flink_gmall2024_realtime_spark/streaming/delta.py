@@ -704,7 +704,12 @@ class DeltaAppendSink:
         column names plus ``__f`` (file path) / ``__p`` (row index) —
         the shape delete_where's predicate evaluation needs, correct
         under columnMapping name mode (physical-name aliases) and id
-        mode (Spark fieldId matching, r14)."""
+        mode (Spark fieldId matching, r14). PARTITION columns — absent
+        from the files — re-attach from the log's partitionValues via a
+        broadcast file-name join, so predicates over them (the GDPR
+        delete-by-date shape) evaluate like any other column."""
+        import os as _os
+
         from pyspark.sql import functions as F
 
         from ..operators.deltalog import (
@@ -719,7 +724,7 @@ class DeltaAppendSink:
             F.col("_metadata.file_path").alias("__f"),
             F.col("_metadata.row_index").alias("__p"),
         ]
-        pcols = set(state["metadata"]["partitionColumns"])
+        pcols = state["metadata"]["partitionColumns"]
         fields = []
         for f in json.loads(state["metadata"]["schemaString"]).get(
             "fields", []
@@ -730,6 +735,51 @@ class DeltaAppendSink:
             if not isinstance(t, str) or t not in _DELTA_TO_SPARK:
                 raise NotImplementedError(f"unsupported column type {t!r}")
             fields.append((f["name"], _DELTA_TO_SPARK[t]))
+
+        def attach_partitions(df):
+            """Join the log's partitionValues onto rows by file name —
+            the df must already carry ``__name``."""
+            if not pcols:
+                return df.drop("__name")
+            live = state["live"]
+            names = {_os.path.basename(rel) for rel in live}
+            if len(names) != len(live):
+                raise NotImplementedError(
+                    "duplicate data-file basenames in the live set"
+                )
+            ptypes = {}
+            for f in json.loads(state["metadata"]["schemaString"]).get(
+                "fields", []
+            ):
+                if f["name"] in pcols and isinstance(f.get("type"), str):
+                    ptypes[f["name"]] = _DELTA_TO_SPARK.get(
+                        f["type"], "string"
+                    )
+            rows = []
+            for rel, add in sorted(live.items()):
+                pv = add.get("partitionValues") or {}
+                rows.append(
+                    (_os.path.basename(rel),)
+                    + tuple(
+                        pv.get((mapping or {}).get(c, c)) for c in pcols
+                    )
+                )
+            pv_schema = ", ".join(
+                ["__name string"]
+                + [f"__pv_{i} string" for i in range(len(pcols))]
+            )
+            pv_df = spark.createDataFrame(rows, pv_schema)
+            df = df.join(F.broadcast(pv_df), "__name")
+            for i, c in enumerate(pcols):
+                col = F.col(f"__pv_{i}")
+                if c in ptypes:
+                    col = col.cast(ptypes[c])
+                df = df.withColumn(c, col)
+            return df.drop(
+                "__name", *[f"__pv_{i}" for i in range(len(pcols))]
+            )
+
+        meta = meta + [F.col("_metadata.file_name").alias("__name")]
         if ids:
             from pyspark.sql.types import StructField, StructType
             from pyspark.sql.types import _parse_datatype_string as _pds
@@ -744,19 +794,21 @@ class DeltaAppendSink:
                     for n, t in fields
                 ]
             )
-            df = spark.read.schema(schema).parquet(*paths)
-            return df.select(*meta, *[F.col(n) for n, _t in fields])
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            df = spark.read.schema(schema).parquet(*paths).select(
+                *meta, *[F.col(n) for n, _t in fields]
+            )
+            return attach_partitions(df)
+        raw = spark.read.option("mergeSchema", "true").parquet(*paths)
         if not mapping:
-            return df.select(*meta, "*")
+            return attach_partitions(raw.select(*meta, "*"))
         out = []
         for n, t in fields:
             p = mapping.get(n, n)
-            if p in df.columns:
+            if p in raw.columns:
                 out.append(F.col(p).alias(n))
             else:
                 out.append(F.lit(None).cast(t).alias(n))
-        return df.select(*meta, *out)
+        return attach_partitions(raw.select(*meta, *out))
 
     def delete_where(self, condition, batch_id: int) -> int | None:
         """``DELETE FROM <table> WHERE <condition>`` via DELETION

@@ -2682,3 +2682,37 @@ class TestRestoreAndAbsDV:
         ) == want
         # the audit reader resolves 'p' too (absolute joins win)
         assert read_delta_snapshot_dir(path)["n_rows"] == len(want)
+
+
+def test_delete_where_partition_predicates(spark, tmp_path):
+    # r14: predicates over PARTITION columns (the delete-by-date GDPR
+    # shape) — the columns re-attach from the log's partitionValues via
+    # a broadcast file-name join before evaluation
+    from flink_gmall2024_realtime_spark.operators.deltalog import (
+        delta_scan,
+        replay_delta_dir,
+    )
+    from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+    path = str(tmp_path / "tbl")
+    sink = DeltaAppendSink(path, partition_columns=["p"])
+    df = (
+        spark.range(60)
+        .selectExpr("id AS k", "concat('p', id % 3) AS p")
+        .repartitionByRange(4, "k")
+    )
+    sink.commit_batch_distributed(df, 0)
+    sink.delete_where("p = 'p1'", 1)
+    want = [k for k in range(60) if k % 3 != 1]
+    assert sorted(r.k for r in delta_scan(spark, path).collect()) == want
+    # whole-partition delete removes its files outright — no DVs written
+    live = replay_delta_dir(path)["live"]
+    assert not any(a.get("deletionVector") for a in live.values())
+    assert all(
+        (a.get("partitionValues") or {}).get("p") != "p1"
+        for a in live.values()
+    )
+    # a mixed data+partition predicate composes
+    sink.delete_where("p = 'p0' AND k < 30", 2)
+    want2 = [k for k in want if not (k % 3 == 0 and k < 30)]
+    assert sorted(r.k for r in delta_scan(spark, path).collect()) == want2
