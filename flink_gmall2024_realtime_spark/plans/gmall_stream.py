@@ -994,6 +994,112 @@ def delta_optimize_partitioned_e2e(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "delta_restore_e2e",
+    oracle="""
+SELECT (doc_id % 10)::INT AS bucket,
+       COUNT(*) AS ct,
+       SUM(doc_id)::BIGINT AS key_sum
+FROM documents
+GROUP BY 1
+""",
+    survey_ids=("K5", "W6"),
+)
+def delta_restore_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE end-to-end under the oracle (r14): write -> delete_where
+    (DV sidecars) -> RESTORE TO VERSION 0 — the rollback must return
+    the table to EXACTLY the pre-delete state (the oracle is the full
+    un-deleted aggregate) while history stays time-travelable on both
+    sides. The restore is also REPLAYED once (txn-skipped).
+    (``streaming/delta.py`` ``restore``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.deltalog import delta_scan
+    from ..streaming.delta import DeltaAppendSink
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("k"),
+        (F.col("doc_id") % 10).cast("int").alias("bucket"),
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_restore_")
+    try:
+        table = f"{tmp}/t"
+        sink = DeltaAppendSink(table)
+        sink.commit_batch_distributed(docs.repartitionByRange(4, "k"), 0)
+        sink.delete_where("k % 7 = 0", 1)
+        assert sink.restore(0, 2) == 2
+        assert sink.restore(0, 2) is None  # replay skipped
+        # the deleted intermediate is still readable below the restore
+        assert delta_scan(spark, table, version=1).count() < delta_scan(
+            spark, table
+        ).count()
+        out = (
+            delta_scan(spark, table)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.sum("k").alias("key_sum"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, "bucket int, ct bigint, key_sum bigint")
+
+
+@register(
+    "iceberg_maintenance_e2e",
+    oracle="""
+SELECT (doc_id % 10)::INT AS bucket,
+       COUNT(*) AS ct,
+       SUM(doc_id)::BIGINT AS key_sum
+FROM documents WHERE doc_id % 7 <> 0
+GROUP BY 1
+""",
+    survey_ids=("K5", "W6"),
+)
+def iceberg_maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MAINTENANCE composition under the oracle (r14): write
+    over several commits -> delete_where (positional-delete parquet) ->
+    rewrite_manifests (ONE compacted data manifest, per-entry sequence
+    numbers preserved so the delete still scopes) -> expire_snapshots
+    (history pruned to the head) -> vacuum_orphans(0) (superseded
+    manifests and pre-delete leftovers reclaimed) -> scan. Every
+    maintenance op must be state-INVARIANT for the current snapshot —
+    the oracle is the plain delete semantics. (``operators/iceberg.py``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.iceberg import IcebergAppendSink, iceberg_scan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("k"),
+        (F.col("doc_id") % 10).cast("int").alias("bucket"),
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_maintenance_")
+    try:
+        table = f"{tmp}/t"
+        sink = IcebergAppendSink(spark, table)
+        sink.commit_batch_distributed(docs.repartitionByRange(4, "k"), 0)
+        sink.delete_where("k % 7 = 0", 1)
+        assert sink.rewrite_manifests(2) is not None
+        assert sink.expire_snapshots(keep_last=1)
+        assert sink.vacuum_orphans(retention_seconds=0) is not None
+        out = (
+            iceberg_scan(spark, table)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.sum("k").alias("key_sum"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, "bucket int, ct bigint, key_sum bigint")
+
+
+@register(
     "dwd_keyword_split",
     oracle="""
 SELECT t.tok AS keyword, count(*) AS keyword_count
