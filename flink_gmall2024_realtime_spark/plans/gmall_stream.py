@@ -1080,9 +1080,17 @@ def iceberg_maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         table = f"{tmp}/t"
         sink = IcebergAppendSink(spark, table)
-        sink.commit_batch_distributed(docs.repartitionByRange(4, "k"), 0)
-        sink.delete_where("k % 7 = 0", 1)
-        assert sink.rewrite_manifests(2) is not None
+        # three append commits -> three data manifests to compact
+        third = docs.withColumn("__m", F.col("k") % 3)
+        for b in range(3):
+            sink.commit_batch_distributed(
+                third.filter(F.col("__m") == b)
+                .drop("__m")
+                .repartitionByRange(2, "k"),
+                b,
+            )
+        sink.delete_where("k % 7 = 0", 3)
+        assert sink.rewrite_manifests(4) is not None
         assert sink.expire_snapshots(keep_last=1)
         assert sink.vacuum_orphans(retention_seconds=0) is not None
         out = (
@@ -1097,6 +1105,60 @@ def iceberg_maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(out, "bucket int, ct bigint, key_sum bigint")
+
+
+@register(
+    "delta_change_data_feed",
+    oracle="""
+SELECT 'insert' AS _change_type, 0::BIGINT AS _commit_version,
+       COUNT(*) AS ct, SUM(doc_id)::BIGINT AS key_sum
+FROM documents
+UNION ALL
+SELECT 'delete', 1::BIGINT, COUNT(*), SUM(doc_id)::BIGINT
+FROM documents WHERE doc_id % 7 = 0
+""",
+    survey_ids=("S3", "W6"),
+)
+def delta_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED end-to-end under the oracle (r14 —
+    delta-spark's ``table_changes``, derived from the log alone):
+    write (v0) -> ``delete_where`` (v1, DV sidecars) ->
+    ``delta_table_changes(0)`` must yield every row as an
+    (_change_type='insert', v0) change plus exactly the deleted rows as
+    ('delete', v1) — the DV diff IS the delete feed; no per-commit
+    change files needed for the insert/delete shapes. Plan is O(1):
+    one grouped scan per change kind, versions re-attached by broadcast
+    file-name joins (``operators/deltalog.py``
+    ``delta_table_changes``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.deltalog import delta_table_changes
+    from ..streaming.delta import DeltaAppendSink
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("k"))
+    tmp = tempfile.mkdtemp(prefix="delta_cdf_")
+    try:
+        table = f"{tmp}/t"
+        sink = DeltaAppendSink(table)
+        sink.commit_batch_distributed(docs.repartitionByRange(4, "k"), 0)
+        sink.delete_where("k % 7 = 0", 1)
+        out = (
+            delta_table_changes(spark, table, 0)
+            .groupBy("_change_type", "_commit_version")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.sum("k").alias("key_sum"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "_change_type string, _commit_version bigint, ct bigint, "
+        "key_sum bigint",
+    )
 
 
 @register(

@@ -2716,3 +2716,158 @@ def test_delete_where_partition_predicates(spark, tmp_path):
     sink.delete_where("p = 'p0' AND k < 30", 2)
     want2 = [k for k in want if not (k % 3 == 0 and k < 30)]
     assert sorted(r.k for r in delta_scan(spark, path).collect()) == want2
+
+
+class TestTableChanges:
+    """r14: CHANGE DATA FEED from the log alone — inserts from
+    dataChange adds, deletes from DV diffs and file removals;
+    dataChange=false commits invisible; MERGE rewrites refuse."""
+
+    def _changes(self, spark, path, start, end=None):
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            delta_table_changes,
+        )
+
+        df = delta_table_changes(spark, path, start, end)
+        return sorted(
+            (r.k, r._change_type, r._commit_version) for r in df.collect()
+        )
+
+    def test_insert_delete_restore_feed(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        sink.commit_batch_distributed(
+            spark.range(20).selectExpr("id AS k").repartitionByRange(2, "k"),
+            0,
+        )
+        sink.commit_batch_distributed(
+            spark.range(100, 105).selectExpr("id AS k"), 1
+        )
+        sink.delete_where("k % 3 = 0", 2)
+        want = sorted(
+            [(k, "insert", 0) for k in range(20)]
+            + [(k, "insert", 1) for k in range(100, 105)]
+            + [
+                (k, "delete", 2)
+                for k in list(range(20)) + list(range(100, 105))
+                if k % 3 == 0
+            ]
+        )
+        assert self._changes(spark, path, 0) == want
+        # a sub-range sees only its own commits
+        assert self._changes(spark, path, 2, 2) == [
+            t for t in want if t[2] == 2
+        ]
+        # a second delete produces ONLY the newly-masked rows
+        sink.delete_where("k % 2 = 0", 3)
+        only_new = [
+            (k, "delete", 3)
+            for k in list(range(20)) + list(range(100, 105))
+            if k % 2 == 0 and k % 3 != 0
+        ]
+        assert self._changes(spark, path, 3, 3) == sorted(only_new)
+
+    def test_optimize_is_invisible_and_merge_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            delta_table_changes,
+        )
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        sink.commit_batch_distributed(
+            spark.range(20).selectExpr("id AS k").repartitionByRange(2, "k"),
+            0,
+        )
+        sink.delete_where("k % 3 = 0", 1)
+        v = sink.optimize(2)
+        assert self._changes(spark, path, v, v) == []
+        # a rewrite commit (remove+add different paths, dataChange=true)
+        # cannot be attributed row-wise
+        sink.commit_batch_distributed(
+            spark.range(200, 205).selectExpr("id AS k"), 3
+        )
+        head = sink.head_version()
+        removes = sink.live_files()
+        # hand-craft a MERGE-shaped commit: remove one live file, add a
+        # fresh one, both dataChange=true
+        import json as _json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        buf_path = os.path.join(path, "part-handmade.parquet")
+        pq.write_table(
+            pa.table({"k": pa.array([999], type=pa.int64())}), buf_path
+        )
+        lines = [
+            _json.dumps(
+                {"txn": {"appId": "x", "version": 99, "lastUpdated": 0}}
+            ),
+            _json.dumps({"commitInfo": {"operation": "MERGE"}}),
+            _json.dumps(
+                {
+                    "remove": {
+                        "path": removes[0],
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            ),
+            _json.dumps(
+                {
+                    "add": {
+                        "path": "part-handmade.parquet",
+                        "size": os.path.getsize(buf_path),
+                        "partitionValues": {},
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            ),
+        ]
+        with open(
+            os.path.join(path, "_delta_log", f"{head + 1:020d}.json"), "w"
+        ) as f:
+            f.write("\n".join(lines) + "\n")
+        with _pytest.raises(NotImplementedError, match="_change_data"):
+            delta_table_changes(spark, path, head + 1, head + 1).collect()
+
+    def test_cdf_plan_size_constant(self, spark, tmp_path):
+        # one grouped scan per change kind regardless of file/version
+        # count
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            delta_table_changes,
+        )
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        def scans(n_batches, name):
+            path = str(tmp_path / name)
+            sink = DeltaAppendSink(path)
+            for b in range(n_batches):
+                sink.commit_batch_distributed(
+                    spark.range(b * 10, b * 10 + 10)
+                    .selectExpr("id AS k")
+                    .repartitionByRange(2, "k"),
+                    b,
+                )
+            sink.delete_where("k % 3 = 0", n_batches)
+            df = delta_table_changes(spark, path, 0)
+            assert df.count() == n_batches * 10 + sum(
+                1 for k in range(n_batches * 10) if k % 3 == 0
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Scan parquet")
+
+        assert scans(2, "t2") == scans(8, "t8")
