@@ -1882,11 +1882,14 @@ def delta_table_changes(
     - dataChange=false commits (OPTIMIZE, rewrite_manifests twins) ->
       no changes, exactly like delta-spark's CDF.
 
-    Commits that REWRITE rows across files (a keyed-store MERGE:
-    dataChange removes AND adds of different paths in one commit)
-    cannot be attributed row-wise without the writer emitting
-    ``_change_data`` files — the same limitation real Delta has when
-    ``delta.enableChangeDataFeed`` was off — and refuse loudly.
+    Commits carrying ``cdc`` actions (delta-spark's ``_change_data``
+    files, written by CDF-enabled MERGE/UPDATE) are read AS WRITTEN —
+    the spec makes them the authoritative change record for their
+    commit, so update_preimage/update_postimage rows flow through
+    verbatim. Commits that REWRITE rows across files WITHOUT cdc
+    actions cannot be attributed row-wise — the same limitation real
+    Delta has when ``delta.enableChangeDataFeed`` was off — and refuse
+    loudly.
 
     PLAN SIZE IS O(1) in both file and version count: one grouped scan
     feeds all inserts (versions re-attached by a broadcast file-name
@@ -1939,15 +1942,30 @@ def delta_table_changes(
     inserts: list[tuple[str, int, dict]] = []  # rel, version, add
     del_positions: list[tuple[str, int, int]] = []  # name, pos, version
     file_deletes: list[tuple[str, int, dict]] = []  # rel, version, pre-add
+    cdc_files: list[tuple[str, int]] = []  # rel, version
     for v in range(starting_version, ending_version + 1):
         adds = {}
         removes = {}
+        cdcs = []
         for action in commit_actions(v):
             if "add" in action:
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 if action["remove"].get("dataChange", True):
                     removes[action["remove"]["path"]] = action["remove"]
+            elif "cdc" in action:
+                cdcs.append(action["cdc"]["path"])
+        if cdcs:
+            # the spec: when a commit carries cdc actions they are the
+            # AUTHORITATIVE change record (delta-spark's _change_data
+            # files, written by CDF-enabled MERGE/UPDATE) — read them
+            # and ignore add/remove interpretation for this commit
+            cdc_files.extend((rel, v) for rel in cdcs)
+            for rel in removes:
+                prior.pop(rel, None)
+            for rel, a in adds.items():
+                prior[rel] = a
+            continue
         rewrites_out = [
             rel for rel in removes if rel not in adds and rel in prior
         ]
@@ -1960,7 +1978,7 @@ def delta_table_changes(
             raise NotImplementedError(
                 f"commit {v} rewrites rows across files (MERGE shape); "
                 "row-wise change attribution needs writer-emitted "
-                "_change_data files"
+                "_change_data (cdc) files"
             )
         for rel, a in adds.items():
             if not a.get("dataChange", True):
@@ -2140,6 +2158,38 @@ def delta_table_changes(
                 },
             )
         )
+    if cdc_files:
+        # _change_data parquet already carries _change_type; attach the
+        # version by a broadcast file-name join (one grouped scan)
+        names = [os.path.basename(rel) for rel, _v in cdc_files]
+        if len(set(names)) != len(names):
+            raise NotImplementedError(
+                "duplicate cdc-file basenames in the version range"
+            )
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *sorted(os.path.join(path, rel) for rel, _v in cdc_files)
+        ).select("*", F.col("_metadata.file_name").alias("__file"))
+        v_df = spark.createDataFrame(
+            [(os.path.basename(rel), v) for rel, v in cdc_files],
+            "__file string, __v long",
+        )
+        df = df.join(F.broadcast(v_df), "__file")
+        sel = []
+        for n, t in table_fields:
+            sel.append(
+                F.col(n).alias(n)
+                if n in df.columns
+                else F.lit(None).cast(t).alias(n)
+            )
+        for c in pcols:
+            sel.append(
+                F.col(c).cast(ptypes[c]).alias(c)
+                if c in df.columns
+                else F.lit(None).cast(ptypes[c]).alias(c)
+            )
+        sel.append(F.col("_change_type"))
+        sel.append(F.col("__v").alias("_commit_version"))
+        parts.append(df.select(*sel))
     if not parts:
         return spark.createDataFrame([], out_schema)
     out = parts[0]

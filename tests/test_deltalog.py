@@ -2871,3 +2871,89 @@ class TestTableChanges:
             return plan.count("Scan parquet")
 
         assert scans(2, "t2") == scans(8, "t8")
+
+
+def test_table_changes_reads_cdc_actions(spark, tmp_path):
+    # r14: a commit carrying cdc actions (delta-spark's _change_data
+    # files from a CDF-enabled MERGE) is read AS WRITTEN — the cdc rows
+    # are authoritative and the commit's add/remove pairs are ignored
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_gmall2024_realtime_spark.operators.deltalog import (
+        delta_table_changes,
+    )
+    from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+    path = str(tmp_path / "tbl")
+    sink = DeltaAppendSink(path)
+    sink.commit_batch_distributed(
+        spark.range(10).selectExpr("id AS k").repartitionByRange(2, "k"), 0
+    )
+    live = sink.live_files()
+    # a MERGE-shaped commit WITH its _change_data file: k=3 updated 3->33
+    new_rel = "part-merge.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array([33] + list(range(5, 10)), pa.int64())}),
+        os.path.join(path, new_rel),
+    )
+    cdc_rel = "_change_data/cdc-00000.parquet"
+    os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([3, 33], pa.int64()),
+                "_change_type": pa.array(
+                    ["update_preimage", "update_postimage"]
+                ),
+            }
+        ),
+        os.path.join(path, cdc_rel),
+    )
+    lines = [
+        _json.dumps({"txn": {"appId": "m", "version": 1, "lastUpdated": 0}}),
+        _json.dumps({"commitInfo": {"operation": "MERGE"}}),
+        _json.dumps(
+            {
+                "remove": {
+                    "path": live[-1],
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+        ),
+        _json.dumps(
+            {
+                "add": {
+                    "path": new_rel,
+                    "size": os.path.getsize(os.path.join(path, new_rel)),
+                    "partitionValues": {},
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        ),
+        _json.dumps(
+            {
+                "cdc": {
+                    "path": cdc_rel,
+                    "size": os.path.getsize(os.path.join(path, cdc_rel)),
+                    "partitionValues": {},
+                    "dataChange": False,
+                }
+            }
+        ),
+    ]
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    got = sorted(
+        (r.k, r._change_type, r._commit_version)
+        for r in delta_table_changes(spark, path, 1, 1).collect()
+    )
+    assert got == [(3, "update_preimage", 1), (33, "update_postimage", 1)]
+    # the full range composes the v0 inserts with the cdc commit
+    full = delta_table_changes(spark, path, 0)
+    assert full.count() == 12
