@@ -898,6 +898,7 @@ def iceberg_scan(
     return out
 
 
+
 # ------------------------------------------------------------- fixture
 
 _MANIFEST_LIST_SCHEMA = {
@@ -2636,6 +2637,9 @@ class IcebergAppendSink:
         fields: list[dict],
         files: list,
         delete_files: list | None = None,
+        eq_delete_files: list | None = None,
+        replace: bool = False,
+        operation: str | None = None,
     ) -> int | None:
         """Shared commit core: manifest (with bounds) + manifest list +
         pointer-swap metadata publish + monotone hint advance.
@@ -2645,10 +2649,16 @@ class IcebergAppendSink:
         masks data files with seq <= N and spares later appends.
         ``delete_files`` [(rel, n_rows, size)] commits a DELETE manifest
         (content=1) of positional-delete parquet files alongside (or
-        instead of) the data manifest. Prior manifest-list entries
-        written before this change carry no sequence number and
-        re-encode as seq 0 — conservatively maskable by any delete,
-        which is exactly what a delete issued NOW intends."""
+        instead of) the data manifest; ``eq_delete_files``
+        [(rel, n_rows, size, equality_ids)] the same for EQUALITY
+        deletes (content=2 entries — the streaming-MERGE form: a
+        same-snapshot data file survives its own delete under the
+        strict rule). ``replace=True`` drops every prior manifest from
+        the new snapshot's list (the compaction rewrite shape). Prior
+        manifest-list entries written before this change carry no
+        sequence number and re-encode as seq 0 — conservatively
+        maskable by any delete, which is exactly what a delete issued
+        NOW intends."""
         import os
 
         from .avro import _zz
@@ -2738,10 +2748,30 @@ class IcebergAppendSink:
                 with open(os.path.join(self.path, d_rel), "wb") as f:
                     f.write(d_man)
                 new_lists.append((d_rel, d_man, 1))
+            if eq_delete_files:
+                e_rel = f"metadata/m-eqdel-b{batch_id:010d}.avro"
+                e_entries = [
+                    _zz(1)
+                    + _zz(snap_id)
+                    + _zz(2)  # data_file.content: EQUALITY_DELETES
+                    + _enc_str(rel)
+                    + _enc_str("PARQUET")
+                    + _zz(n_rows)
+                    + _zz(size)
+                    + (_zz(len(ids)) + b"".join(_zz(i) for i in ids) + _zz(0))
+                    for rel, n_rows, size, ids in eq_delete_files
+                ]
+                e_man = _avro_ocf(
+                    _EQ_MANIFEST_SCHEMA, e_entries, batch_id + 9
+                )
+                with open(os.path.join(self.path, e_rel), "wb") as f:
+                    f.write(e_man)
+                new_lists.append((e_rel, e_man, 1))
             # every snapshot's manifest list carries ALL prior live
             # manifests plus this one (append-only: nothing is deleted)
+            # — unless replace=True, the compaction rewrite
             prior = []
-            if md is not None:
+            if md is not None and not replace:
                 cur = {s["snapshot-id"]: s for s in md["snapshots"]}[
                     md["current-snapshot-id"]
                 ]
@@ -2776,7 +2806,14 @@ class IcebergAppendSink:
                 "timestamp-ms": 0,
                 "manifest-list": ml_rel,
                 "summary": {
-                    "operation": "delete" if delete_files else "append",
+                    "operation": operation
+                    or (
+                        "delete"
+                        if (delete_files or eq_delete_files) and not files
+                        else "overwrite"
+                        if eq_delete_files or replace
+                        else "append"
+                    ),
                     "batch-id": str(batch_id),
                 },
             }
@@ -3294,3 +3331,150 @@ class IcebergAppendSink:
 
     def scan(self, snapshot_id: int | None = None):
         return iceberg_scan(self.spark, self.path, snapshot_id)
+
+
+class IcebergKeyedStore(IcebergAppendSink):
+    """Keyed UPSERT (MERGE) store over Iceberg v2 EQUALITY DELETES
+    (r14 — the Iceberg twin of ``streaming/delta.DeltaKeyedStore``,
+    completing streaming-MERGE symmetry across both open formats, and
+    the WRITE side of the r13 equality-delete reader): every
+    micro-batch commits ONE snapshot holding (a) an equality-delete
+    parquet listing the batch's keys and (b) a data parquet with the
+    batch's surviving rows — the spec's STRICT ``data_seq < del_seq``
+    rule means the delete masks every EARLIER version of those keys
+    while the same-commit replacement rows survive, which is exactly
+    the merge-on-read upsert real streaming writers produce.
+
+    State reads are plain ``iceberg_scan`` (merge-on-read yields the
+    latest row per key); time travel is free — one snapshot per batch.
+    Rows whose ``type_col`` is ``'delete'`` contribute their key to the
+    delete file and no replacement row. Within a batch the newest row
+    per key wins by ``order_col``. Exactly-once under replay via the
+    snapshot-summary batch id, like the parent sink. Read cost grows
+    with the delete history — ``compact()`` is the exit: it
+    MATERIALIZES the merge into one data file and a manifest list that
+    drops every prior manifest (``replace`` snapshot), after which
+    reads are a single plain scan again. Dim/serving-sized (driver
+    Arrow writes); fact-sized keyed state belongs on the Delta
+    bucketed store."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        key: str,
+        order_col: str,
+        type_col: str | None = None,
+        max_commit_attempts: int = 20,
+    ) -> None:
+        super().__init__(
+            spark, path, max_commit_attempts=max_commit_attempts
+        )
+        self.key = key
+        self.order_col = order_col
+        self.type_col = type_col
+
+    def commit_batch(self, batch, batch_id: int) -> int | None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        if self._is_committed(batch_id):
+            return None
+        w = Window.partitionBy(self.key).orderBy(
+            F.col(self.order_col).desc()
+        )
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if self.type_col and self.type_col in latest.columns:
+            rows = latest.filter(
+                F.col(self.type_col) != F.lit("delete")
+            ).drop(self.type_col)
+        else:
+            rows = latest
+        keys_tbl = (
+            latest.select(self.key).distinct().orderBy(self.key).toArrow()
+        )
+        data_tbl = rows.toArrow()
+        fields = self._schema_fields(rows)
+        key_ids = [
+            f["id"] for f in fields if f["name"] == self.key
+        ]
+        if not key_ids:
+            raise ValueError(f"batch lacks key column {self.key!r}")
+        files = []
+        eq_files = []
+        if data_tbl.num_rows:
+            rel = f"data/part-b{batch_id:010d}.parquet"
+            full = os.path.join(self.path, rel)
+            pq.write_table(data_tbl, full, compression="snappy")
+            lo, hi = self._footer_bounds(full, fields)
+            files.append(
+                (rel, data_tbl.num_rows, os.path.getsize(full), lo, hi, {})
+            )
+        if keys_tbl.num_rows:
+            del_rel = f"data/eqdel-b{batch_id:010d}.parquet"
+            del_full = os.path.join(self.path, del_rel)
+            pq.write_table(keys_tbl, del_full, compression="snappy")
+            eq_files.append(
+                (
+                    del_rel,
+                    keys_tbl.num_rows,
+                    os.path.getsize(del_full),
+                    key_ids,
+                )
+            )
+        return self._commit_snapshot(
+            batch_id, fields, files, eq_delete_files=eq_files
+        )
+
+    def commit_batch_distributed(self, batch, batch_id):
+        raise NotImplementedError(
+            "keyed MERGE snapshots are dim-shaped single-file commits; "
+            "fact-sized keyed upsert belongs on the Delta bucketed store"
+        )
+
+    def compact(self, batch_id: int) -> int | None:
+        """Materialize the merge (r14): the current state reads through
+        ``iceberg_scan`` (all equality deletes applied) and rewrites as
+        ONE data file in a ``replace`` snapshot whose manifest list
+        DROPS every prior manifest — the read path is a single plain
+        scan again, and the superseded data/delete files become
+        ``vacuum_orphans`` fodder. Time travel below the compaction
+        still resolves (old manifest lists are self-contained).
+        Replay-idempotent via the batch id."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        if self._is_committed(batch_id):
+            return None
+        df = iceberg_scan(self.spark, self.path)
+        tbl = df.toArrow()
+        fields = self._schema_fields(df)
+        rel = f"data/compact-b{batch_id:010d}.parquet"
+        full = os.path.join(self.path, rel)
+        pq.write_table(tbl, full, compression="snappy")
+        lo, hi = self._footer_bounds(full, fields)
+        return self._commit_snapshot(
+            batch_id,
+            fields,
+            [(rel, tbl.num_rows, os.path.getsize(full), lo, hi, {})],
+            replace=True,
+            operation="replace",
+        )
+
+    def read_as_of(self, snapshot_id: int | None = None):
+        return iceberg_scan(self.spark, self.path, snapshot_id)
+
+    def sink(self):
+        def write(batch, batch_id: int) -> None:
+            self.commit_batch(batch, batch_id)
+
+        return write

@@ -609,6 +609,71 @@ def delta_keyed_store_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_keyed_store_asof",
+    oracle="""
+WITH r AS (
+  SELECT doc_id % 37 AS k, doc_id AS v, (doc_id % 3)::INT AS b, doc_id
+  FROM documents WHERE doc_id % 3 IN (0, 1)
+)
+SELECT k::BIGINT AS k,
+       arg_max(v, b * 10000000000 + doc_id)::BIGINT AS v,
+       arg_max(b, b * 10000000000 + doc_id)::INT AS src_batch
+FROM r GROUP BY k
+""",
+    survey_ids=("K5", "W6"),
+)
+def iceberg_keyed_store_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-backed keyed MERGE store time travel (r14 — the SECOND
+    format's streaming upsert, SAME oracle as ``delta_keyed_store_asof``
+    / ``dim_version_store_asof``: all three stores must land on
+    identical state): each micro-batch commits ONE snapshot carrying an
+    EQUALITY-DELETE parquet over the batch's keys plus the replacement
+    rows — the spec's strict ``data_seq < del_seq`` rule masks every
+    earlier version while the same-commit rows survive, the
+    merge-on-read upsert real streaming writers produce (the WRITE side
+    of the r13 equality-delete reader). Batch 1 is REPLAYED once
+    (snapshot-summary dedupe); after batch 2 the store is COMPACTED
+    (``replace`` snapshot materializing the merge) and the as-of read
+    still resolves BELOW the compaction through the old self-contained
+    manifest list. (``operators/iceberg.py`` ``IcebergKeyedStore``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.iceberg import IcebergKeyedStore
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 37).alias("k"),
+        F.col("doc_id").alias("v"),
+        (F.col("doc_id") % 3).cast("int").alias("src_batch"),
+        (F.col("doc_id") % 3 * 10000000000 + F.col("doc_id")).alias("ord"),
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_keyed_store_asof_")
+    try:
+        store = IcebergKeyedStore(
+            spark, tmp, key="k", order_col="ord", type_col="op"
+        )
+        snap_ids = {}
+        for b in range(3):
+            batch = docs.filter(F.col("src_batch") == b).withColumn(
+                "op",
+                F.when(
+                    (F.lit(b) == 2) & (F.col("k") % 5 == 0), F.lit("delete")
+                ).otherwise(F.lit("u")),
+            )
+            snap_ids[b] = store.commit_batch(batch, b)
+        assert store.commit_batch(batch, 1) is None  # replay skipped
+        assert store.compact(3) is not None  # materialize the merge
+        asof = (
+            store.read_as_of(snap_ids[1])
+            .select("k", "v", "src_batch")
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(asof, "k long, v long, src_batch int")
+
+
+@register(
     "delta_bucketed_store_asof",
     oracle="""
 WITH r AS (

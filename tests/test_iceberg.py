@@ -1310,3 +1310,97 @@ def test_rollback_to_snapshot(spark, tmp_path):
     assert iceberg_scan(spark, path).count() == 25
     with _pytest.raises(ValueError, match="not in table metadata"):
         sink.rollback_to(999)
+
+
+class TestIcebergKeyedStore:
+    """r14: streaming MERGE via equality deletes — the Iceberg twin of
+    DeltaKeyedStore, write side of the r13 equality-delete reader."""
+
+    def _store(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergKeyedStore,
+        )
+
+        return IcebergKeyedStore(
+            spark, str(tmp_path / "store"), key="k", order_col="ord",
+            type_col="op",
+        )
+
+    def _state(self, store, sid=None):
+        return sorted(
+            (r.k, r.v)
+            for r in store.read_as_of(sid).select("k", "v").collect()
+        )
+
+    def test_upsert_delete_timetravel_replay(self, spark, tmp_path):
+        store = self._store(spark, tmp_path)
+        b0 = spark.range(10).selectExpr(
+            "id AS k", "id AS v", "0L AS ord", "'u' AS op"
+        )
+        s0 = store.commit_batch(b0, 0)
+        b1 = spark.createDataFrame(
+            [(k, k + 100, 1, "u") for k in range(5)] + [(3, 999, 0, "u")],
+            "k long, v long, ord long, op string",
+        )
+        s1 = store.commit_batch(b1, 1)
+        b2 = spark.createDataFrame(
+            [(0, None, 2, "delete"), (7, None, 2, "delete"), (8, 888, 2, "u")],
+            "k long, v long, ord long, op string",
+        )
+        store.commit_batch(b2, 2)
+        want = sorted(
+            [(k, k + 100) for k in range(1, 5)]
+            + [(5, 5), (6, 6), (8, 888), (9, 9)]
+        )
+        assert self._state(store) == want  # in-batch dup: ord wins (3->103)
+        assert self._state(store, s1) == sorted(
+            [(k, k + 100) for k in range(5)] + [(k, k) for k in range(5, 10)]
+        )
+        assert self._state(store, s0) == [(k, k) for k in range(10)]
+        assert store.commit_batch(b1, 1) is None  # replay
+        assert self._state(store) == want
+
+    def test_compact_materializes_and_history_survives(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from flink_gmall2024_realtime_spark.operators.avro import parse_avro
+
+        store = self._store(spark, tmp_path)
+        b0 = spark.range(10).selectExpr(
+            "id AS k", "id AS v", "0L AS ord", "'u' AS op"
+        )
+        s0 = store.commit_batch(b0, 0)
+        b1 = spark.createDataFrame(
+            [(k, k + 100, 1, "u") for k in range(5)],
+            "k long, v long, ord long, op string",
+        )
+        store.commit_batch(b1, 1)
+        want = sorted(
+            [(k, k + 100) for k in range(5)] + [(k, k) for k in range(5, 10)]
+        )
+        assert store.compact(2) is not None
+        assert self._state(store) == want
+        # the head manifest list holds ONE manifest, no delete manifests
+        _, md = store._head()
+        cur = {s["snapshot-id"]: s for s in md["snapshots"]}[
+            md["current-snapshot-id"]
+        ]
+        with open(
+            os.path.join(store.path, cur["manifest-list"]), "rb"
+        ) as f:
+            _, mls = parse_avro(f.read())
+        assert len(mls) == 1 and mls[0]["content"] == 0
+        # time travel below the compaction still resolves
+        assert self._state(store, s0) == [(k, k) for k in range(10)]
+        # upserts continue after
+        b3 = spark.createDataFrame(
+            [(1, 1111, 3, "u")], "k long, v long, ord long, op string"
+        )
+        store.commit_batch(b3, 3)
+        assert self._state(store) == sorted(
+            [t for t in want if t[0] != 1] + [(1, 1111)]
+        )
+        # replay of the compaction is a no-op
+        assert store.compact(2) is None
