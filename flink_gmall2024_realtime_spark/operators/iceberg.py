@@ -3478,3 +3478,162 @@ class IcebergKeyedStore(IcebergAppendSink):
             self.commit_batch(batch, batch_id)
 
         return write
+
+class IcebergStreamSource:
+    """Incremental micro-batch SOURCE over an Iceberg table directory
+    (r14 — the Iceberg twin of ``streaming/delta.DeltaStreamSource``,
+    Spark's iceberg incremental append scan re-expressed): the first
+    batch is the full snapshot at the current head; each later batch is
+    the data files ADDED by the snapshots since the last position
+    (resolved from the manifests whose ``added_snapshot_id`` falls in
+    the range — metadata-only driver work). 'replace' snapshots
+    (compaction/rewrite_manifests) re-add existing rows and are SKIPPED
+    like Delta's dataChange=false commits; 'delete' and 'overwrite'
+    snapshots change or remove rows, which an append-only incremental
+    reader cannot represent — they refuse unless ``ignore_changes``
+    accepts re-emitted/still-deleted semantics (the delete's masked
+    rows are ALREADY absent from files added later, so with
+    ignore_changes the feed stays append-only over the new files).
+    The through-snapshot's ordinal doubles as the batch id so sink
+    idempotence lines up with source progress."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        ignore_changes: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.ignore_changes = ignore_changes
+        self._pos: int | None = None  # last consumed snapshot id
+
+    def _md(self) -> dict:
+        import os
+
+        mdir = os.path.join(self.path, "metadata")
+        versions = {}
+        for fn in os.listdir(mdir):
+            if fn.endswith(".metadata.json"):
+                stem = fn[: -len(".metadata.json")]
+                versions[int(stem.lstrip("v").split("-")[0])] = fn
+        if not versions:
+            raise ValueError("no iceberg metadata files")
+        with open(os.path.join(mdir, versions[max(versions)])) as f:
+            return json.load(f)
+
+    def _added_files(self, snap: dict, location: str) -> list[str]:
+        """Data files first added BY this snapshot, from its manifest
+        list (manifests with added_snapshot_id == the snapshot's, entries
+        with status ADDED)."""
+        import os
+
+        from .avro import parse_avro
+
+        with open(
+            os.path.join(
+                self.path, _strip_location(snap["manifest-list"], location)
+            ),
+            "rb",
+        ) as f:
+            _, entries = parse_avro(f.read())
+        out = []
+        for e in entries:
+            if e.get("content", 0) != 0:
+                continue
+            if e.get("added_snapshot_id") != snap["snapshot-id"]:
+                continue
+            with open(
+                os.path.join(
+                    self.path,
+                    _strip_location(e["manifest_path"], location),
+                ),
+                "rb",
+            ) as f:
+                _, recs = parse_avro(f.read())
+            for rec in recs:
+                if rec.get("status", 1) != 1:  # ADDED only
+                    continue
+                if rec.get("snapshot_id") != snap["snapshot-id"]:
+                    continue
+                df = rec["data_file"]
+                if df.get("content", 0) != 0:
+                    continue
+                fmt = str(df.get("file_format", "PARQUET")).upper()
+                if fmt != "PARQUET":
+                    raise NotImplementedError(
+                        f"incremental read over {fmt} data files "
+                        "unsupported"
+                    )
+                out.append(_strip_location(df["file_path"], location))
+        return sorted(out)
+
+    def next_batch(self):
+        """(DataFrame, through_snapshot_id) of rows not yet consumed, or
+        None when caught up. The first call returns the full snapshot."""
+        import os
+
+        md = self._md()
+        location = md.get("location", "")
+        snaps = md.get("snapshots", [])
+        head = md.get("current-snapshot-id")
+        if head is None or not snaps:
+            return None
+        if self._pos is None:
+            self._pos = head
+            return iceberg_scan(self.spark, self.path), head
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        if head == self._pos:
+            return None
+        if self._pos not in by_id:
+            raise ValueError(
+                f"snapshot {self._pos} expired from the table metadata; "
+                "an incremental read across it is impossible — restart "
+                "the source snapshot-first"
+            )
+        # snapshots strictly after the position, in sequence order
+        pos_seq = by_id[self._pos].get("sequence-number", 0)
+        pending = sorted(
+            (
+                s
+                for s in snaps
+                if s.get("sequence-number", 0) > pos_seq
+            ),
+            key=lambda s: s.get("sequence-number", 0),
+        )
+        rels: list[str] = []
+        for s in pending:
+            op = (s.get("summary") or {}).get("operation", "append")
+            if op == "replace":
+                continue  # compaction re-adds existing rows: skip
+            if op in ("delete", "overwrite") and not self.ignore_changes:
+                raise ValueError(
+                    f"snapshot {s['snapshot-id']} {op}s rows; an "
+                    "append-only incremental read would miss the "
+                    "change — pass ignore_changes=True to accept "
+                    "append-side-only semantics"
+                )
+            rels.extend(self._added_files(s, location))
+        self._pos = head
+        if not rels:
+            return (
+                self.spark.createDataFrame([], schema="_empty string").limit(
+                    0
+                ),
+                head,
+            )
+        df = self.spark.read.parquet(
+            *(os.path.join(self.path, rel) for rel in rels)
+        )
+        return df, head
+
+    def stream_to(self, write, max_batches: int = 1_000_000) -> int:
+        n = 0
+        while n < max_batches:
+            got = self.next_batch()
+            if got is None:
+                return n
+            df, through = got
+            write(df, through)
+            n += 1
+        return n

@@ -1404,3 +1404,78 @@ class TestIcebergKeyedStore:
         )
         # replay of the compaction is a no-op
         assert store.compact(2) is None
+
+
+class TestIcebergStreamSource:
+    """r14: incremental micro-batch source — snapshot-first, then added
+    files per snapshot; 'replace' snapshots skipped, deletes refuse
+    without ignore_changes."""
+
+    def test_snapshot_first_then_incremental(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+            IcebergStreamSource,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path)
+        sink.commit_batch(spark.range(10).selectExpr("id AS k"), 0)
+        src = IcebergStreamSource(spark, path)
+        b0, t0 = src.next_batch()
+        assert b0.count() == 10 and t0 == 1
+        assert src.next_batch() is None
+        sink.commit_batch(spark.range(10, 25).selectExpr("id AS k"), 1)
+        sink.commit_batch_distributed(
+            spark.range(25, 30).selectExpr("id AS k"), 2
+        )
+        b1, _t1 = src.next_batch()
+        assert sorted(r.k for r in b1.collect()) == list(range(10, 30))
+        assert src.next_batch() is None
+
+    def test_replace_skipped_delete_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+            IcebergStreamSource,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path)
+        sink.commit_batch(spark.range(10).selectExpr("id AS k"), 0)
+        sink.commit_batch(spark.range(10, 20).selectExpr("id AS k"), 1)
+        src = IcebergStreamSource(spark, path)
+        src.next_batch()
+        # compaction re-adds existing rows: an empty incremental batch
+        sink.rewrite_manifests(2)
+        got = src.next_batch()
+        assert got is not None and got[0].count() == 0
+        # a delete cannot be represented append-only
+        sink.delete_where("k % 2 = 0", 3)
+        with _pytest.raises(ValueError, match="ignore_changes"):
+            src.next_batch()
+        relaxed = IcebergStreamSource(spark, path, ignore_changes=True)
+        relaxed._pos = got[1]
+        b, _t = relaxed.next_batch()
+        assert b.count() == 0  # the delete added no data files
+        sink.commit_batch(spark.range(100, 103).selectExpr("id AS k"), 4)
+        b2, _ = relaxed.next_batch()
+        assert sorted(r.k for r in b2.collect()) == [100, 101, 102]
+
+    def test_expired_position_is_loud(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+            IcebergStreamSource,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path)
+        sink.commit_batch(spark.range(5).selectExpr("id AS k"), 0)
+        src = IcebergStreamSource(spark, path)
+        src.next_batch()
+        sink.commit_batch(spark.range(5, 9).selectExpr("id AS k"), 1)
+        sink.expire_snapshots(keep_last=1)  # the source's position expires
+        with _pytest.raises(ValueError, match="expired"):
+            src.next_batch()
