@@ -1227,6 +1227,73 @@ def delta_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_to_delta_stream_e2e",
+    oracle="""
+SELECT (doc_id % 10)::INT AS bucket,
+       COUNT(*) AS ct,
+       SUM(doc_id)::BIGINT AS key_sum
+FROM documents
+GROUP BY 1
+""",
+    survey_ids=("S3", "K4", "W6"),
+)
+def iceberg_to_delta_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FORMAT incremental pipeline under the oracle (r14):
+    documents commit into an Iceberg table over three snapshots;
+    ``IcebergStreamSource`` drains them into a Delta table — the first
+    drain is the snapshot at the then-head, the second picks up exactly
+    the two later snapshots' added files from the manifests
+    (metadata-only resolution, rows never pass the driver) — and
+    ``delta_scan`` of the SINK must reproduce the full documents
+    aggregate. The through-snapshot id is the sink batch id, so a
+    replayed drain is idempotent (``operators/iceberg.py``
+    ``IcebergStreamSource``, ``streaming/delta.py``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.deltalog import delta_scan
+    from ..operators.iceberg import IcebergAppendSink, IcebergStreamSource
+    from ..streaming.delta import DeltaAppendSink
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("k"),
+        (F.col("doc_id") % 10).cast("int").alias("bucket"),
+        (F.col("doc_id") % 3).cast("int").alias("b"),
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_to_delta_")
+    try:
+        src_table, dst_table = f"{tmp}/src", f"{tmp}/dst"
+        ice = IcebergAppendSink(spark, src_table)
+        ice.commit_batch_distributed(
+            docs.filter(F.col("b") == 0).drop("b").repartition(2), 0
+        )
+        src = IcebergStreamSource(spark, src_table)
+        dst = DeltaAppendSink(dst_table)
+
+        def write(df, through):
+            dst.commit_batch_distributed(df, through)
+
+        assert src.stream_to(write) == 1  # snapshot-first drain
+        for b in (1, 2):
+            ice.commit_batch_distributed(
+                docs.filter(F.col("b") == b).drop("b").repartition(2), b
+            )
+        assert src.stream_to(write) == 1  # one incremental batch
+        out = (
+            delta_scan(spark, dst_table)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.sum("k").alias("key_sum"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, "bucket int, ct bigint, key_sum bigint")
+
+
+@register(
     "dwd_keyword_split",
     oracle="""
 SELECT t.tok AS keyword, count(*) AS keyword_count
