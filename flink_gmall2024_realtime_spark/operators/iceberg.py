@@ -3591,13 +3591,16 @@ class IcebergStreamSource:
                 "an incremental read across it is impossible — restart "
                 "the source snapshot-first"
             )
-        # snapshots strictly after the position, in sequence order
+        # snapshots strictly after the position AND at/below the head's
+        # sequence, in sequence order — a rollback_to keeps rolled-past
+        # snapshots in the list, and their files must NOT re-emit
         pos_seq = by_id[self._pos].get("sequence-number", 0)
+        head_seq = by_id[head].get("sequence-number", 0)
         pending = sorted(
             (
                 s
                 for s in snaps
-                if s.get("sequence-number", 0) > pos_seq
+                if pos_seq < s.get("sequence-number", 0) <= head_seq
             ),
             key=lambda s: s.get("sequence-number", 0),
         )
