@@ -1148,7 +1148,9 @@ class TestDeletionVectors:
             read_delta_snapshot(_rebuild(base, mutate_dv(cardinality=99)))
         with pytest.raises(ValueError, match="sizeInBytes"):
             read_delta_snapshot(_rebuild(base, mutate_dv(sizeInBytes=3)))
-        with pytest.raises(NotImplementedError, match="absolute-path"):
+        # r14: absolute-path ('p') DVs are SUPPORTED — a zip payload
+        # (no filesystem) still refuses loudly via its missing-file seam
+        with pytest.raises(ValueError, match="missing from payload"):
             read_delta_snapshot(
                 _rebuild(base, mutate_dv(storageType="p",
                                          pathOrInlineDv="/abs/dv.bin"))
