@@ -936,6 +936,18 @@ def _synth_checkpoint_blob(seed: int) -> bytes:
     )
 
 
+def _synth_delta_mapped_id(seed: int) -> bytes:
+    from flink_gmall2024_realtime_spark.operators import deltalog
+
+    return deltalog.synth_delta_mapped(seed, mode="id")
+
+
+def _synth_iceberg_orcdata(seed: int) -> bytes:
+    from flink_gmall2024_realtime_spark.operators import iceberg
+
+    return iceberg.synth_iceberg_avrodata(seed, fmt="ORC")
+
+
 def _synth_lzma_alone(seed: int) -> bytes:
     import lzma
 
@@ -944,7 +956,7 @@ def _synth_lzma_alone(seed: int) -> bytes:
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.binary(max_size=300), st.integers(0, 39), st.randoms())
+@given(st.binary(max_size=300), st.integers(0, 43), st.randoms())
 def test_decoders_raise_only_documented_errors(noise, which, rng):
     """Adversarial-input contract (crawl data contains garbage): every
     byte-level decoder either parses or raises the DOCUMENTED
@@ -1011,6 +1023,11 @@ def test_decoders_raise_only_documented_errors(noise, which, rng):
         (_iceberg_read, _synth_iceberg_kind("transforms")),
         (_iceberg_read, _synth_iceberg_kind("eqdeletes")),
         (deltalog.read_delta_snapshot, deltalog.synth_delta_v2checkpoint),
+        # r14: ORC record assembly, id-mode mapping, avro/orc data files
+        (orcmeta.parse_orc_records, orcmeta.synth_orc_data),
+        (deltalog.read_delta_snapshot, _synth_delta_mapped_id),
+        (_iceberg_read, _synth_iceberg_kind("avrodata")),
+        (_iceberg_read, _synth_iceberg_orcdata),
     ]
     fn, synth = table[which]
     cases = [noise]
@@ -1631,3 +1648,51 @@ def test_parquet_decimal_flba_matches_pyarrow(decs, use_dict, dpv):
         for v in rec["dec"]
     ]
     assert got == decs
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-(10**12), 10**12)),
+        min_size=1, max_size=200,
+    ),
+    st.lists(st.text(max_size=10), min_size=1, max_size=40),
+    st.sampled_from(["zlib", "snappy", "lz4", "zstd", "uncompressed"]),
+    st.integers(1, 50),
+)
+def test_orc_record_assembly_matches_pyarrow(ints, strs, comp, stripe_rows):
+    """r14: pyarrow writes a real ORC file for arbitrary nullable-int64,
+    string and double columns under every codec and stripe split; the
+    in-repo RECORD ASSEMBLY (parse_orc_records — PRESENT-stream null
+    re-interleave over the shared stripe decode) must reproduce
+    pyarrow's own reader row-for-row."""
+    import io
+
+    import pyarrow as pa
+    from pyarrow import orc
+
+    from flink_gmall2024_realtime_spark.operators.orcmeta import (
+        parse_orc_records,
+    )
+
+    n = len(ints)
+    strs = (strs * ((n + len(strs) - 1) // len(strs)))[:n]
+    dbls = [j * 0.25 for j in range(n)]
+    t = pa.table(
+        {
+            "a": pa.array(ints, type=pa.int64()),
+            "s": strs,
+            "x": pa.array(dbls, type=pa.float64()),
+        }
+    )
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression=comp, stripe_size=stripe_rows * 64)
+    recs = parse_orc_records(buf.getvalue())
+    ref = orc.ORCFile(io.BytesIO(buf.getvalue())).read()
+    assert recs["a"] == ref["a"].to_pylist()
+    assert recs["s"] == ref["s"].to_pylist()
+    assert recs["x"] == ref["x"].to_pylist()
+    # column projection decodes only what was asked
+    assert parse_orc_records(buf.getvalue(), columns=["s"]) == {
+        "s": ref["s"].to_pylist()
+    }
