@@ -170,6 +170,9 @@ class DeltaAppendSink:
         # columns (Delta's layout), and delta_scan's log-side pruning +
         # partition-column attach work against our own writes
         self.partition_columns = list(partition_columns or [])
+        # table properties stamped into the CREATE commit's metaData
+        # (delta.enableChangeDataFeed and friends)
+        self.table_configuration: dict[str, str] = {}
         if checkpoint_parts < 1:
             raise ValueError("checkpoint_parts must be >= 1")
         self.checkpoint_parts = checkpoint_parts
@@ -448,7 +451,10 @@ class DeltaAppendSink:
                         {"type": "struct", "fields": merged}
                     ),
                     "partitionColumns": state["metadata"]["partitionColumns"],
-                    "configuration": {},
+                    # evolution must not drop table properties
+                    "configuration": dict(
+                        state["metadata"].get("configuration") or {}
+                    ),
                 }
             }
         )
@@ -539,7 +545,9 @@ class DeltaAppendSink:
                                 "format": {"provider": "parquet", "options": {}},
                                 "schemaString": _schema_string(batch),
                                 "partitionColumns": self.partition_columns,
-                                "configuration": {},
+                                "configuration": dict(
+                                    self.table_configuration
+                                ),
                             }
                         }
                     )
@@ -1366,6 +1374,7 @@ class DeltaKeyedStore(DeltaAppendSink):
         app_id: str = "delta-keyed-store",
         checkpoint_interval: int | None = None,
         schema_evolution: bool = False,
+        change_data_feed: bool = False,
     ) -> None:
         super().__init__(
             path,
@@ -1378,6 +1387,60 @@ class DeltaKeyedStore(DeltaAppendSink):
         self.key = key
         self.order_col = order_col
         self.type_col = type_col
+        # r14: CHANGE DATA FEED on write — every MERGE commit also
+        # writes a _change_data parquet (insert / delete /
+        # update_preimage / update_postimage rows, delta-spark's exact
+        # form) referenced by a cdc action, which delta_table_changes
+        # reads as the authoritative change record; the table property
+        # rides the CREATE commit like real Delta
+        self.change_data_feed = change_data_feed
+        if change_data_feed:
+            self.table_configuration["delta.enableChangeDataFeed"] = "true"
+
+    def _change_rows(self, current, merged):
+        """insert / delete / update_pre+postimage rows from the old and
+        new state (full-outer join on the key, struct comparison) —
+        computable exactly because the MERGE materializes both sides."""
+        from pyspark.sql import functions as F
+
+        cols = merged.columns
+        if current is None:
+            return merged.withColumn("_change_type", F.lit("insert"))
+        cur = current
+        for c in cols:
+            if c not in cur.columns:
+                cur = cur.withColumn(c, F.lit(None))
+        cur_s = cur.select(
+            F.col(self.key).alias("__k"),
+            F.struct(*[F.col(c) for c in cols]).alias("__old"),
+        )
+        new_s = merged.select(
+            F.col(self.key).alias("__k"),
+            F.struct(*[F.col(c) for c in cols]).alias("__new"),
+        )
+        j = cur_s.join(new_s, "__k", "full_outer")
+        ins = (
+            j.filter(F.col("__old").isNull() & F.col("__new").isNotNull())
+            .select("__new.*")
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        dels = (
+            j.filter(F.col("__new").isNull() & F.col("__old").isNotNull())
+            .select("__old.*")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        upd = j.filter(
+            F.col("__old").isNotNull()
+            & F.col("__new").isNotNull()
+            & ~F.col("__old").eqNullSafe(F.col("__new"))
+        )
+        pre = upd.select("__old.*").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = upd.select("__new.*").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        return ins.unionByName(dels).unionByName(pre).unionByName(post)
 
     def commit_batch(self, batch: DataFrame, batch_id: int) -> int | None:
         from .sinks import upsert_batch
@@ -1403,9 +1466,30 @@ class DeltaKeyedStore(DeltaAppendSink):
         table = merged.toArrow()
         # deterministic rewrite on replay-after-crash: same rows, same file
         pq.write_table(table, os.path.join(self.path, rel), compression="snappy")
+        extra = None
+        if self.change_data_feed:
+            changes = self._change_rows(current, merged).toArrow()
+            cdc_rel = f"_change_data/cdc-b{batch_id:010d}.parquet"
+            os.makedirs(
+                os.path.join(self.path, "_change_data"), exist_ok=True
+            )
+            cdc_full = os.path.join(self.path, cdc_rel)
+            pq.write_table(changes, cdc_full, compression="snappy")
+            extra = [
+                json.dumps(
+                    {
+                        "cdc": {
+                            "path": cdc_rel,
+                            "partitionValues": {},
+                            "size": os.path.getsize(cdc_full),
+                            "dataChange": False,
+                        }
+                    }
+                )
+            ]
         return self._commit_actions(
             batch, batch_id, [self._add_action(rel, table.num_rows)],
-            removes=old,
+            removes=old, extra_lines=extra,
         )
 
     def commit_batch_distributed(self, batch, batch_id):

@@ -2959,3 +2959,55 @@ def test_table_changes_reads_cdc_actions(spark, tmp_path):
     # the full range composes the v0 inserts with the cdc commit
     full = delta_table_changes(spark, path, 0)
     assert full.count() == 12
+
+
+def test_keyed_store_change_data_feed(spark, tmp_path):
+    # r14: CDF on WRITE — the MERGE store emits _change_data parquet +
+    # cdc actions, which delta_table_changes reads as authoritative
+    from flink_gmall2024_realtime_spark.operators.deltalog import (
+        delta_table_changes,
+        replay_delta_dir,
+    )
+    from flink_gmall2024_realtime_spark.streaming.delta import DeltaKeyedStore
+
+    path = str(tmp_path / "store")
+    store = DeltaKeyedStore(
+        spark, path, "k", "ord", type_col="op", change_data_feed=True
+    )
+    b0 = spark.range(5).selectExpr("id AS k", "id AS v", "0L AS ord", "'u' AS op")
+    store.commit_batch(b0, 0)
+    b1 = spark.createDataFrame(
+        [(1, 111, 1, "u"), (7, 77, 1, "u"), (3, None, 1, "delete")],
+        "k long, v long, ord long, op string",
+    )
+    store.commit_batch(b1, 1)
+    got = sorted(
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in delta_table_changes(spark, path, 0).collect()
+    )
+    want = sorted(
+        [(k, k, "insert", 0) for k in range(5)]
+        + [
+            (1, 1, "update_preimage", 1),
+            (1, 111, "update_postimage", 1),
+            (7, 77, "insert", 1),
+            (3, 3, "delete", 1),
+        ]
+    )
+    assert got == want
+    # the table property rides the CREATE commit like real Delta
+    md = replay_delta_dir(path)["metadata"]
+    assert md["configuration"]["delta.enableChangeDataFeed"] == "true"
+    # evolution keeps it
+    b2 = spark.createDataFrame(
+        [(9, 9, 2, "u", "x")], "k long, v long, ord long, op string, extra string"
+    )
+    store.schema_evolution = True
+    store.commit_batch(b2, 2)
+    md2 = replay_delta_dir(path)["metadata"]
+    assert md2["configuration"]["delta.enableChangeDataFeed"] == "true"
+    # replay of a CDF commit never duplicates change rows
+    assert store.commit_batch(b1, 1) is None
+    n = delta_table_changes(spark, path, 0).count()
+    store.commit_batch(b1, 1)
+    assert delta_table_changes(spark, path, 0).count() == n
