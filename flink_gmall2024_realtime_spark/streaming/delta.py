@@ -396,6 +396,37 @@ class DeltaAppendSink:
             }
         )
 
+    def _table_config(self) -> dict:
+        if self.head_version() < 0:
+            return dict(self.table_configuration)
+        return dict(
+            self._replay_state(self.head_version())["metadata"].get(
+                "configuration"
+            )
+            or {}
+        )
+
+    def _check_constraints(self, batch: DataFrame) -> None:
+        """Enforce ``delta.constraints.<name>`` CHECK expressions on
+        every batch (r14 — the writer side real Delta enforces; a
+        reader never re-checks, so an unenforcing writer silently
+        corrupts the table's contract). Violations raise with the
+        constraint name and one offending row."""
+        from pyspark.sql import functions as F
+
+        conf = self._table_config()
+        for k in sorted(conf):
+            if not k.startswith("delta.constraints."):
+                continue
+            name = k[len("delta.constraints."):]
+            expr = conf[k]
+            bad = batch.filter(~F.expr(expr)).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) violated by "
+                    f"row {bad[0].asDict()}"
+                )
+
     def _schema_delta(self, batch: DataFrame) -> str | None:
         """Validate the batch schema against the table's current schema
         (r12 — previously batches after v0 committed silently with
@@ -487,6 +518,20 @@ class DeltaAppendSink:
         re-read and any drift in those files raises
         ``ConcurrentWriteError`` instead of silently committing, the
         same conflict detection real Delta's OCC performs."""
+        # r14: writer-side table-property enforcement (real Delta's
+        # writer protocol): CHECK constraints on every written batch,
+        # and delta.appendOnly forbids dataChange removes (compaction's
+        # dataChange=false removes stay legal, like real Delta)
+        if batch is not None:
+            self._check_constraints(batch)
+        if (
+            removes
+            and removes_data_change
+            and self._table_config().get("delta.appendOnly") == "true"
+        ):
+            raise ValueError(
+                "delta.appendOnly table: commits may not remove data"
+            )
         meta_update = self._schema_delta(batch) if batch is not None else None
         txn = json.dumps(
             {

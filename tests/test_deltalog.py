@@ -3011,3 +3011,56 @@ def test_keyed_store_change_data_feed(spark, tmp_path):
     n = delta_table_changes(spark, path, 0).count()
     store.commit_batch(b1, 1)
     assert delta_table_changes(spark, path, 0).count() == n
+
+
+class TestTableProperties:
+    """r14: writer-side enforcement of delta.constraints.* CHECK
+    expressions and delta.appendOnly."""
+
+    def test_check_constraints_enforced(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        sink.table_configuration["delta.constraints.k_nonneg"] = "k >= 0"
+        sink.commit_batch_distributed(
+            spark.range(10).selectExpr("id AS k"), 0
+        )
+        # a later writer instance picks the constraint up FROM THE TABLE
+        fresh = DeltaAppendSink(path)
+        with _pytest.raises(ValueError, match="k_nonneg"):
+            fresh.commit_batch_distributed(
+                spark.range(-3, 3).selectExpr("id AS k"), 1
+            )
+        fresh.commit_batch_distributed(
+            spark.range(20, 25).selectExpr("id AS k"), 2
+        )
+        assert len(fresh.live_files()) > 1
+
+    def test_append_only_forbids_data_removes(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        sink.table_configuration["delta.appendOnly"] = "true"
+        sink.commit_batch_distributed(
+            spark.range(20).selectExpr("id AS k").repartitionByRange(2, "k"),
+            0,
+        )
+        with _pytest.raises(ValueError, match="appendOnly"):
+            sink.delete_where("k % 2 = 0", 1)
+        sink.commit_batch_distributed(
+            spark.range(100, 105).selectExpr("id AS k"), 2
+        )
+        with _pytest.raises(ValueError, match="appendOnly"):
+            sink.restore(0, 3)  # would remove the batch-2 files
+        # compaction (dataChange=false removes) stays legal
+        assert sink.optimize(4) is not None
