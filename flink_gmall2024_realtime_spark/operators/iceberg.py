@@ -883,18 +883,49 @@ def iceberg_scan(
                         ).drop("__pos")
                     )
         if g["flat"]:
-            dfs.append(spark.read.parquet(*sorted(g["flat"])))
+            dfs.append(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *sorted(g["flat"])
+                )
+            )
         df = dfs[0]
         for d in dfs[1:]:
-            df = df.unionByName(d)
+            df = df.unionByName(d, allowMissingColumns=True)
         for idx in sig:
             df = _anti_join_eq(spark, df, eq_resolved[idx])
         parts.append(df)
     if plain:
-        parts.append(spark.read.parquet(*plain))
+        parts.append(
+            spark.read.option("mergeSchema", "true").parquet(*plain)
+        )
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
+    # project to the CURRENT schema (r14 — schema evolution): files
+    # written before an added column read as typed nulls, column order
+    # follows the table schema. Tables with non-primitive types keep
+    # the raw shape (projection is a convenience, never a gate).
+    sid_ = md.get("current-schema-id", 0)
+    schema = next(
+        (sch for sch in md.get("schemas", [])
+         if sch.get("schema-id", 0) == sid_),
+        None,
+    )
+    if schema and all(
+        isinstance(f.get("type"), str) and f["type"] in _ICE_TO_SPARK
+        for f in schema.get("fields", [])
+    ):
+        sel = []
+        for f in schema["fields"]:
+            if f["name"] in out.columns:
+                sel.append(F.col(f["name"]))
+            else:
+                sel.append(
+                    F.lit(None)
+                    .cast(_ICE_TO_SPARK[f["type"]])
+                    .alias(f["name"])
+                )
+        out = out.select(*sel)
     return out
 
 
@@ -2346,12 +2377,17 @@ class IcebergAppendSink:
         path: str,
         max_commit_attempts: int = 20,
         partition_columns: list[str] | None = None,
+        schema_evolution: bool = False,
     ) -> None:
         import os
 
         self.spark = spark
         self.path = path
         self.max_commit_attempts = max_commit_attempts
+        # r14: batches appending NEW columns evolve the table schema
+        # (a new schemas[] entry + current-schema-id bump) when on;
+        # loud otherwise. Existing columns must keep name/type/order.
+        self.schema_evolution = schema_evolution
         # r13: IDENTITY-partitioned writes — the partition struct rides
         # every manifest entry (typed, spec field-ids 1000+i), data
         # files KEEP the source columns (identity partitioning stores
@@ -2709,6 +2745,37 @@ class IcebergAppendSink:
             )
         for _ in range(self.max_commit_attempts):
             head_v, md = self._head()
+            schema_update = None
+            if md is not None and fields:
+                cur_schema = next(
+                    sch
+                    for sch in md["schemas"]
+                    if sch.get("schema-id", 0)
+                    == md.get("current-schema-id", 0)
+                )
+                cur = cur_schema["fields"]
+                if [
+                    (f["name"], f["type"]) for f in fields[: len(cur)]
+                ] != [(f["name"], f["type"]) for f in cur]:
+                    raise ValueError(
+                        "batch schema must carry the table's columns as "
+                        "a prefix in the same order "
+                        f"(table {[(f['name'], f['type']) for f in cur]}, "
+                        f"batch {[(f['name'], f['type']) for f in fields]})"
+                    )
+                extras = fields[len(cur):]
+                if extras and not self.schema_evolution:
+                    raise ValueError(
+                        f"batch appends new column(s) "
+                        f"{[f['name'] for f in extras]} and "
+                        "schema_evolution is off"
+                    )
+                if extras:
+                    schema_update = {
+                        "type": "struct",
+                        "schema-id": cur_schema.get("schema-id", 0) + 1,
+                        "fields": cur + extras,
+                    }
             snap_id = batch_id + 1  # deterministic, unique per batch
             seq = head_v + 1
             ml_rel = f"metadata/snap-{snap_id}-b{batch_id:010d}.avro"
@@ -2853,6 +2920,9 @@ class IcebergAppendSink:
                 new_md["last-sequence-number"] = head_v + 1
                 new_md["current-snapshot-id"] = snap_id
                 new_md["snapshots"] = md["snapshots"] + [snapshot]
+                if schema_update is not None:
+                    new_md["schemas"] = md["schemas"] + [schema_update]
+                    new_md["current-schema-id"] = schema_update["schema-id"]
             target = os.path.join(
                 self.path, "metadata", f"v{head_v + 1}.metadata.json"
             )

@@ -1479,3 +1479,51 @@ class TestIcebergStreamSource:
         sink.expire_snapshots(keep_last=1)  # the source's position expires
         with _pytest.raises(ValueError, match="expired"):
             src.next_batch()
+
+
+class TestIcebergSchemaEvolution:
+    """r14: batches appending new columns evolve the table schema; old
+    files read as typed nulls; existing columns must keep name/type."""
+
+    def test_evolution_appends_and_projects(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+            iceberg_scan,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path)
+        sink.commit_batch(spark.range(5).selectExpr("id AS k"), 0)
+        # new column refuses with evolution off
+        evolved = spark.range(5, 8).selectExpr("id AS k", "id * 2 AS extra")
+        with _pytest.raises(ValueError, match="schema_evolution"):
+            sink.commit_batch(evolved, 1)
+        sink.schema_evolution = True
+        sink.commit_batch(evolved, 1)
+        df = iceberg_scan(spark, path)
+        assert df.columns == ["k", "extra"]
+        got = sorted((r.k, r.extra) for r in df.collect())
+        assert got == [(k, None) for k in range(5)] + [
+            (k, 2 * k) for k in range(5, 8)
+        ]
+        # bounds on the new column prune the NEW file; pre-evolution
+        # files lack extra's bounds and are conservatively KEPT
+        pruned = iceberg_scan(
+            spark, path, stats_filter={"extra": (100, 999)}
+        )
+        assert sorted(r.k for r in pruned.collect()) == [0, 1, 2, 3, 4]
+        # bounds on the original column still prune across the evolution
+        pruned2 = iceberg_scan(spark, path, stats_filter={"k": (5, 99)})
+        assert sorted(r.k for r in pruned2.collect()) == [5, 6, 7]
+        # a dropped/reordered prefix is always loud
+        with _pytest.raises(ValueError, match="prefix"):
+            sink.commit_batch(
+                spark.range(2).selectExpr("id * 2 AS extra", "id AS k"), 2
+            )
+        # type change is loud
+        with _pytest.raises(ValueError, match="prefix"):
+            sink.commit_batch(
+                spark.range(2).selectExpr("CAST(id AS string) AS k"), 3
+            )
