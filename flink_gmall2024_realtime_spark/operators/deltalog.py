@@ -1941,6 +1941,9 @@ def delta_table_changes(
     # the cardinality-bounded DVs; rows stay in executors)
     inserts: list[tuple[str, int, dict]] = []  # rel, version, add
     del_positions: list[tuple[str, int, int]] = []  # name, pos, version
+    dv_metas: dict[str, dict] = {}  # rel -> add AT DIFF TIME (a later
+    # OPTIMIZE may drop the file from the end state; the rows must
+    # still resolve)
     file_deletes: list[tuple[str, int, dict]] = []  # rel, version, pre-add
     cdc_files: list[tuple[str, int]] = []  # rel, version
     for v in range(starting_version, ending_version + 1):
@@ -1994,6 +1997,8 @@ def delta_table_changes(
             name = os.path.basename(rel)
             for pos in sorted(new_pos - old_pos):
                 del_positions.append((name, int(pos), v))
+            if new_pos - old_pos:
+                dv_metas[rel] = a
             if old_pos - new_pos:
                 raise NotImplementedError(
                     f"commit {v} un-deletes rows of {rel!r} (shrinking "
@@ -2123,28 +2128,10 @@ def delta_table_changes(
             )
         )
     if del_positions:
-        by_name = {}
-        for rel, v, a in inserts:
-            by_name[os.path.basename(rel)] = (rel, v, a)
-        # the re-added files the positions refer to (from prior state)
-        pos_files = {}
-        for name, _p, _v in del_positions:
-            pos_files[name] = None
-        # resolve rel/add for each masked file from the head replay of
-        # the range (the re-add carries the same path)
-        range_state = replay_delta_dir(path, ending_version)["live"]
-        metas = []
-        for rel, a in range_state.items():
-            if os.path.basename(rel) in pos_files:
-                metas.append((rel, 0, a))
-        missing = [n for n in pos_files if n not in {
-            os.path.basename(rel) for rel, _v, _a in metas
-        }]
-        if missing:
-            raise ValueError(
-                f"masked files no longer live at {ending_version}: "
-                f"{missing[:3]}"
-            )
+        # file metadata captured AT DIFF TIME, so a later OPTIMIZE that
+        # compacts the masked file away cannot break change resolution
+        # (the physical file itself must still exist, i.e. not vacuumed)
+        metas = [(rel, 0, a) for rel, a in sorted(dv_metas.items())]
         parts.append(grouped(metas, "delete", positions=del_positions))
     if file_deletes:
         parts.append(

@@ -3064,3 +3064,30 @@ class TestTableProperties:
             sink.restore(0, 3)  # would remove the batch-2 files
         # compaction (dataChange=false removes) stays legal
         assert sink.optimize(4) is not None
+
+
+def test_table_changes_across_delete_then_optimize(spark, tmp_path):
+    # r14: a range spanning [delete_where, OPTIMIZE] — the compaction
+    # removes the masked files from the end state, but the delete's
+    # change rows must still resolve (metadata captured at diff time)
+    from flink_gmall2024_realtime_spark.operators.deltalog import (
+        delta_table_changes,
+    )
+    from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+    path = str(tmp_path / "tbl")
+    sink = DeltaAppendSink(path)
+    sink.commit_batch_distributed(
+        spark.range(20).selectExpr("id AS k").repartitionByRange(2, "k"), 0
+    )
+    sink.delete_where("k % 3 = 0", 1)
+    sink.optimize(2)
+    got = sorted(
+        (r.k, r._change_type, r._commit_version)
+        for r in delta_table_changes(spark, path, 0).collect()
+    )
+    want = sorted(
+        [(k, "insert", 0) for k in range(20)]
+        + [(k, "delete", 1) for k in range(20) if k % 3 == 0]
+    )
+    assert got == want
