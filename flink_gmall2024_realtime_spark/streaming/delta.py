@@ -396,7 +396,9 @@ class DeltaAppendSink:
             }
         )
 
-    def _table_config(self) -> dict:
+    def _table_config(self, state: dict | None = None) -> dict:
+        if state is not None:
+            return dict(state["metadata"].get("configuration") or {})
         if self.head_version() < 0:
             return dict(self.table_configuration)
         return dict(
@@ -406,7 +408,7 @@ class DeltaAppendSink:
             or {}
         )
 
-    def _check_constraints(self, batch: DataFrame) -> None:
+    def _check_constraints(self, batch: DataFrame, conf: dict) -> None:
         """Enforce ``delta.constraints.<name>`` CHECK expressions on
         every batch (r14 — the writer side real Delta enforces; a
         reader never re-checks, so an unenforcing writer silently
@@ -414,7 +416,6 @@ class DeltaAppendSink:
         constraint name and one offending row."""
         from pyspark.sql import functions as F
 
-        conf = self._table_config()
         for k in sorted(conf):
             if not k.startswith("delta.constraints."):
                 continue
@@ -427,7 +428,9 @@ class DeltaAppendSink:
                     f"row {bad[0].asDict()}"
                 )
 
-    def _schema_delta(self, batch: DataFrame) -> str | None:
+    def _schema_delta(
+        self, batch: DataFrame, state: dict | None = None
+    ) -> str | None:
         """Validate the batch schema against the table's current schema
         (r12 — previously batches after v0 committed silently with
         whatever columns they carried). Same fields -> None. New fields
@@ -436,9 +439,12 @@ class DeltaAppendSink:
         types, new ones append nullable), loud otherwise. A type change
         on an existing column is always an error — evolution appends, it
         never rewrites."""
-        if self.head_version() < 0:
-            return None  # version 0 writes the initial metaData itself
-        state = self._replay_state(self.head_version())
+        if state is None:
+            if self.head_version() < 0:
+                return None  # version 0 writes the initial metaData itself
+            state = self._replay_state(self.head_version())
+        if state is None:
+            return None
         table = json.loads(state["metadata"]["schemaString"])["fields"]
         have = {f["name"]: f["type"] for f in table}
         batch_fields = json.loads(_schema_string(batch))["fields"]
@@ -521,18 +527,27 @@ class DeltaAppendSink:
         # r14: writer-side table-property enforcement (real Delta's
         # writer protocol): CHECK constraints on every written batch,
         # and delta.appendOnly forbids dataChange removes (compaction's
-        # dataChange=false removes stay legal, like real Delta)
+        # dataChange=false removes stay legal, like real Delta). ONE
+        # state replay per commit serves enforcement + schema checks.
+        state0 = (
+            self._replay_state(self.head_version())
+            if self.head_version() >= 0
+            else None
+        )
+        conf0 = self._table_config(state0)
         if batch is not None:
-            self._check_constraints(batch)
+            self._check_constraints(batch, conf0)
         if (
             removes
             and removes_data_change
-            and self._table_config().get("delta.appendOnly") == "true"
+            and conf0.get("delta.appendOnly") == "true"
         ):
             raise ValueError(
                 "delta.appendOnly table: commits may not remove data"
             )
-        meta_update = self._schema_delta(batch) if batch is not None else None
+        meta_update = (
+            self._schema_delta(batch, state0) if batch is not None else None
+        )
         txn = json.dumps(
             {
                 "txn": {
