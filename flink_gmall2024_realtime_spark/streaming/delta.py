@@ -396,6 +396,55 @@ class DeltaAppendSink:
             }
         )
 
+    # writer features this sink genuinely HONORS (enforces or produces):
+    # a spec-following writer must refuse tables demanding more
+    _WRITER_FEATURES = {
+        "deletionVectors",
+        "timestampNtz",
+        "v2Checkpoint",
+        "columnMapping",
+        "changeDataFeed",
+        "appendOnly",
+        "checkConstraints",
+        "invariants",  # column invariants live in schema metadata —
+        # checked below like generated columns, so the feature name
+        # alone is acceptable when no invariant is actually declared
+    }
+
+    def _check_write_protocol(self, state: dict | None) -> None:
+        """The Delta spec's WRITER gate (r14): before committing to an
+        existing table, unknown writerFeatures (protocol v7) refuse BY
+        NAME, and schema-declared features this sink cannot honor —
+        generated columns, identity columns, column invariants — refuse
+        even on legacy writer versions (they are only binding when
+        actually declared, which is what the schema walk detects)."""
+        if state is None:
+            return
+        proto = state.get("protocol") or {}
+        if proto.get("minWriterVersion", 2) >= 7:
+            unknown = set(proto.get("writerFeatures") or []) - (
+                self._WRITER_FEATURES
+            )
+            if unknown:
+                raise NotImplementedError(
+                    f"delta writerFeatures {sorted(unknown)} unsupported "
+                    "— refusing to write (the spec's writer gate)"
+                )
+        for f in json.loads(state["metadata"]["schemaString"]).get(
+            "fields", []
+        ):
+            meta = f.get("metadata") or {}
+            for key, what in (
+                ("delta.generationExpression", "generated column"),
+                ("delta.identity.start", "identity column"),
+                ("delta.invariants", "column invariant"),
+            ):
+                if key in meta:
+                    raise NotImplementedError(
+                        f"column {f['name']!r} declares a {what} this "
+                        "writer cannot honor — refusing to write"
+                    )
+
     def _table_config(self, state: dict | None = None) -> dict:
         if state is not None:
             return dict(state["metadata"].get("configuration") or {})
@@ -534,6 +583,7 @@ class DeltaAppendSink:
             if self.head_version() >= 0
             else None
         )
+        self._check_write_protocol(state0)
         conf0 = self._table_config(state0)
         if batch is not None:
             self._check_constraints(batch, conf0)

@@ -3091,3 +3091,72 @@ def test_table_changes_across_delete_then_optimize(spark, tmp_path):
         + [(k, "delete", 1) for k in range(20) if k % 3 == 0]
     )
     assert got == want
+
+
+def test_writer_protocol_gate(spark, tmp_path):
+    # r14: the spec's writer gate — unknown writerFeatures refuse by
+    # name; schema-declared generated columns refuse even on legacy
+    # writer versions; tables using only honored features keep writing
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+    path = str(tmp_path / "tbl")
+    sink = DeltaAppendSink(path)
+    sink.commit_batch_distributed(spark.range(5).selectExpr("id AS k"), 0)
+
+    def rewrite_v0(edit):
+        log0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+        out = []
+        for line in open(log0).read().splitlines():
+            a = _json.loads(line)
+            edit(a)
+            out.append(_json.dumps(a))
+        open(log0, "w").write("\n".join(out) + "\n")
+
+    def set_proto(a):
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking"],
+            }
+
+    rewrite_v0(set_proto)
+    fresh = DeltaAppendSink(path)
+    with _pytest.raises(NotImplementedError, match="rowTracking"):
+        fresh.commit_batch_distributed(
+            spark.range(5, 9).selectExpr("id AS k"), 1
+        )
+
+    def honored(a):
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["appendOnly", "checkConstraints"],
+            }
+
+    rewrite_v0(honored)
+    assert DeltaAppendSink(path).commit_batch_distributed(
+        spark.range(5, 9).selectExpr("id AS k"), 1
+    ) == 1
+
+    def generated_col(a):
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 4}
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            sch["fields"][0]["metadata"] = {
+                "delta.generationExpression": "k + 1"
+            }
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+
+    rewrite_v0(generated_col)
+    with _pytest.raises(NotImplementedError, match="generated column"):
+        DeltaAppendSink(path).commit_batch_distributed(
+            spark.range(9, 12).selectExpr("id AS k"), 2
+        )
