@@ -1001,6 +1001,59 @@ def iceberg_delete_where_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_delete_where_many_files_e2e",
+    oracle="""
+SELECT (doc_id % 10)::INT AS bucket,
+       COUNT(*) AS ct,
+       SUM(doc_id)::BIGINT AS key_sum
+FROM documents WHERE doc_id % 7 <> 0
+GROUP BY 1
+""",
+    survey_ids=("K5", "W6"),
+)
+def delta_delete_where_many_files_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BROAD-SWEEP shape of ``delta_delete_where_e2e`` (r14 — same
+    oracle): 64 range files, every one touched by the delete, so the
+    table carries 64 deletion vectors — the case whose scan plan was
+    the r13 verdict's flagged scale-killer. The O(1)-plan grouped DV
+    scan is asserted IN the entry: the masked read's executed plan
+    holds at most 3 parquet scan nodes no matter how many files carry
+    DVs (``operators/deltalog.py`` ``_dv_grouped_scan``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.deltalog import delta_scan
+    from ..streaming.delta import DeltaAppendSink
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("k"),
+        (F.col("doc_id") % 10).cast("int").alias("bucket"),
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_delete_where_many_")
+    try:
+        table = f"{tmp}/t"
+        sink = DeltaAppendSink(table)
+        sink.commit_batch_distributed(docs.repartitionByRange(64, "k"), 0)
+        assert sink.delete_where("k % 7 = 0", 1) == 1
+        df = delta_scan(spark, table)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") <= 3, "DV plan-size lock broke"
+        out = (
+            df.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.sum("k").alias("key_sum"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, "bucket int, ct bigint, key_sum bigint")
+
+
+@register(
     "delta_optimize_partitioned_e2e",
     oracle="""
 SELECT o_orderpriority,
