@@ -3549,6 +3549,257 @@ class IcebergKeyedStore(IcebergAppendSink):
 
         return write
 
+def iceberg_table_changes(
+    spark,
+    path: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """CHANGELOG SCAN over an Iceberg table directory (r14 — the
+    Iceberg twin of ``deltalog.delta_table_changes``, Spark's
+    ``create_changelog_view`` semantics re-expressed): every row
+    inserted or deleted by the snapshots AFTER ``from_snapshot_id`` up
+    to ``to_snapshot_id`` (defaults: the full history / the current
+    snapshot), as the table columns plus ``_change_type``
+    ('insert' | 'delete') and ``_commit_snapshot_id``.
+
+    Derived entirely from the metadata tree + delete files:
+    - an append/overwrite snapshot's ADDED data files -> 'insert' rows;
+    - its POSITION-delete files name (file_path, pos) directly — those
+      rows read back from the data files via one semi-join scan;
+    - its EQUALITY-delete files carry the deleted VALUES — the deleted
+      rows are the PREVIOUS snapshot's state semi-joined (null-safe) on
+      those values, the merge-on-read upsert's change record;
+    - 'replace' snapshots (compaction) produce no changes.
+
+    Inserts ride ONE grouped scan (snapshot ids re-attached by a
+    broadcast file-name join); position deletes one semi-join scan;
+    each equality-delete snapshot costs one previous-state scan (plan
+    grows with OVERWRITE snapshots, not files — the keyed store's
+    ``compact()`` bounds that history)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .avro import parse_avro
+
+    mdir = os.path.join(path, "metadata")
+    names = ["metadata/" + fn for fn in os.listdir(mdir)]
+
+    def get(name, optional=False):
+        full = os.path.join(path, name)
+        if not os.path.isfile(full):
+            if optional:
+                return None
+            raise ValueError(f"{name!r} missing from table directory")
+        with open(full, "rb") as f:
+            return f.read()
+
+    _sid, _n, _live, _d, _e, md, location = _iceberg_live(get, names, None)
+    snaps = sorted(
+        md.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
+    )
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if to_snapshot_id is None:
+        to_snapshot_id = md.get("current-snapshot-id")
+    if to_snapshot_id not in by_id:
+        raise ValueError(f"snapshot {to_snapshot_id} not in table metadata")
+    lo_seq = -1
+    if from_snapshot_id is not None:
+        if from_snapshot_id not in by_id:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} not in table metadata"
+            )
+        lo_seq = by_id[from_snapshot_id].get("sequence-number", 0)
+    hi_seq = by_id[to_snapshot_id].get("sequence-number", 0)
+    pending = [
+        s for s in snaps if lo_seq < s.get("sequence-number", 0) <= hi_seq
+    ]
+
+    def snapshot_manifests(snap):
+        """(content, manifest records) pairs this snapshot ADDED."""
+        ml_rel = _strip_location(snap["manifest-list"], location)
+        _, entries = parse_avro(get(ml_rel))
+        out = []
+        for e in entries:
+            if e.get("added_snapshot_id") != snap["snapshot-id"]:
+                continue
+            _, recs = parse_avro(
+                get(_strip_location(e["manifest_path"], location))
+            )
+            out.append((e.get("content", 0), recs))
+        return out
+
+    prev_of = {}
+    prev = None
+    for s_ in snaps:
+        prev_of[s_["snapshot-id"]] = prev
+        prev = s_["snapshot-id"]
+
+    inserts = []  # (rel, snapshot_id)
+    pos_rows = []  # (file basename, pos, snapshot_id)
+    eq_parts = []  # DataFrames of equality-deleted rows
+    for snap in pending:
+        op = (snap.get("summary") or {}).get("operation", "append")
+        if op == "replace":
+            continue
+        sid = snap["snapshot-id"]
+        for content, recs in snapshot_manifests(snap):
+            for rec in recs:
+                if rec.get("status", 1) != 1:
+                    continue
+                df_ = rec["data_file"]
+                f_content = df_.get("content", 0)
+                rel = _strip_location(df_["file_path"], location)
+                if content == 0 and f_content == 0:
+                    fmt = str(df_.get("file_format", "PARQUET")).upper()
+                    if fmt != "PARQUET":
+                        raise NotImplementedError(
+                            f"changelog over {fmt} data files unsupported"
+                        )
+                    inserts.append((rel, sid))
+                elif f_content == 1:  # position deletes
+                    from .parquetmeta import parse_parquet_records
+
+                    cols = parse_parquet_records(
+                        get(rel), columns=["file_path", "pos"]
+                    )
+                    for fp, pos in zip(cols["file_path"], cols["pos"]):
+                        fp = fp.decode() if isinstance(fp, bytes) else fp
+                        pos_rows.append(
+                            (
+                                os.path.basename(
+                                    _strip_location(fp, location)
+                                ),
+                                int(pos),
+                                sid,
+                            )
+                        )
+                elif f_content == 2:  # equality deletes
+                    eq_ids = df_.get("equality_ids")
+                    if not eq_ids:
+                        raise ValueError(
+                            "equality delete file lists no equality_ids"
+                        )
+                    names_by_id = _schema_names(md)
+                    cols = [names_by_id[i] for i in eq_ids]
+                    from .parquetmeta import parse_parquet_records
+
+                    recs2 = parse_parquet_records(get(rel), columns=cols)
+                    tuples = set(
+                        zip(*(tuple(_bval(v) for v in recs2[c]) for c in cols))
+                    )
+                    prev_sid = prev_of[sid]
+                    if prev_sid is None:
+                        continue  # nothing existed before: no deletes
+                    prev_state = iceberg_scan(
+                        spark, path, snapshot_id=prev_sid
+                    )
+                    vals_df = spark.createDataFrame(
+                        sorted(
+                            tuples,
+                            key=lambda t: tuple(
+                                (v is None, v) for v in t
+                            ),
+                        ),
+                        list(cols),
+                    )
+                    sel = [F.col(c).alias(f"__eq_{c}") for c in cols]
+                    cond = None
+                    for c in cols:
+                        clause = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                        cond = clause if cond is None else cond & clause
+                    eq_parts.append(
+                        prev_state.join(
+                            F.broadcast(vals_df.select(*sel)),
+                            cond,
+                            "left_semi",
+                        )
+                        .withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_snapshot_id", F.lit(sid))
+                    )
+
+    parts = []
+    if inserts:
+        names_ = [os.path.basename(rel) for rel, _s in inserts]
+        if len(set(names_)) != len(names_):
+            raise NotImplementedError(
+                "duplicate added-file basenames in the snapshot range"
+            )
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *sorted(os.path.join(path, rel) for rel, _s in inserts)
+        ).select("*", F.col("_metadata.file_name").alias("__file"))
+        v_df = spark.createDataFrame(
+            [(os.path.basename(rel), sid) for rel, sid in inserts],
+            "__file string, __sid long",
+        )
+        parts.append(
+            df.join(F.broadcast(v_df), "__file")
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_snapshot_id", F.col("__sid"))
+            .drop("__file", "__sid")
+        )
+    if pos_rows:
+        rels = sorted(
+            {
+                rel
+                for rel, _rc, _pv, _seq, _fmt in _live
+            }
+            | {rel for rel, _s in inserts}
+        )
+        by_name = {os.path.basename(rel): rel for rel in rels}
+        missing = {n for n, _p, _s in pos_rows} - set(by_name)
+        if missing:
+            raise ValueError(
+                f"position deletes name unknown files {sorted(missing)[:3]}"
+            )
+        wanted = sorted({by_name[n] for n, _p, _s in pos_rows})
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *(os.path.join(path, rel) for rel in wanted)
+        ).select(
+            "*",
+            F.col("_metadata.file_name").alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        pos_df = spark.createDataFrame(
+            pos_rows, "__file string, __pos long, __sid long"
+        )
+        parts.append(
+            df.join(F.broadcast(pos_df), ["__file", "__pos"])
+            .withColumn("_change_type", F.lit("delete"))
+            .withColumn("_commit_snapshot_id", F.col("__sid"))
+            .drop("__file", "__pos", "__sid")
+        )
+    parts.extend(eq_parts)
+    if not parts:
+        # a range of pure 'replace' snapshots: no logical changes
+        sid_ = md.get("current-schema-id", 0)
+        schema = next(
+            sch
+            for sch in md.get("schemas", [])
+            if sch.get("schema-id", 0) == sid_
+        )
+        fields = []
+        for f in schema.get("fields", []):
+            t = f.get("type")
+            if not isinstance(t, str) or t not in _ICE_TO_SPARK:
+                raise NotImplementedError(
+                    f"changelog over iceberg type {t!r} unsupported"
+                )
+            fields.append(f"{f['name']} {_ICE_TO_SPARK[t]}")
+        return spark.createDataFrame(
+            [],
+            ", ".join(
+                fields
+                + ["_change_type string", "_commit_snapshot_id bigint"]
+            ),
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_, allowMissingColumns=True)
+    return out
+
+
 class IcebergStreamSource:
     """Incremental micro-batch SOURCE over an Iceberg table directory
     (r14 — the Iceberg twin of ``streaming/delta.DeltaStreamSource``,

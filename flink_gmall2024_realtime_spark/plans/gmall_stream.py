@@ -1347,6 +1347,58 @@ def iceberg_to_delta_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_change_log",
+    oracle="""
+SELECT 'insert' AS _change_type, 1::BIGINT AS _commit_snapshot_id,
+       COUNT(*) AS ct, SUM(doc_id)::BIGINT AS key_sum
+FROM documents
+UNION ALL
+SELECT 'delete', 2::BIGINT, COUNT(*), SUM(doc_id)::BIGINT
+FROM documents WHERE doc_id % 7 = 0
+""",
+    survey_ids=("S3", "W6"),
+)
+def iceberg_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CHANGELOG SCAN end-to-end under the oracle (r14 — the
+    format twin of ``delta_change_data_feed``, same change semantics):
+    write (snapshot 1) -> ``delete_where`` (snapshot 2, a
+    positional-delete parquet) -> ``iceberg_table_changes`` must yield
+    every row as an ('insert', snap 1) change plus exactly the deleted
+    rows as ('delete', snap 2) — the delete FILES are the change
+    record; inserts ride one grouped scan with snapshot ids attached by
+    a broadcast file-name join, deletes one (file, pos) semi-join scan
+    (``operators/iceberg.py`` ``iceberg_table_changes``)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..operators.iceberg import IcebergAppendSink, iceberg_table_changes
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("k"))
+    tmp = tempfile.mkdtemp(prefix="iceberg_change_log_")
+    try:
+        table = f"{tmp}/t"
+        sink = IcebergAppendSink(spark, table)
+        sink.commit_batch_distributed(docs.repartitionByRange(4, "k"), 0)
+        sink.delete_where("k % 7 = 0", 1)
+        out = (
+            iceberg_table_changes(spark, table)
+            .groupBy("_change_type", "_commit_snapshot_id")
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.sum("k").alias("key_sum"),
+            )
+            .toPandas()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "_change_type string, _commit_snapshot_id bigint, ct bigint, "
+        "key_sum bigint",
+    )
+
+
+@register(
     "dwd_keyword_split",
     oracle="""
 SELECT t.tok AS keyword, count(*) AS keyword_count

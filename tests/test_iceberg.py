@@ -1527,3 +1527,87 @@ class TestIcebergSchemaEvolution:
             sink.commit_batch(
                 spark.range(2).selectExpr("CAST(id AS string) AS k"), 3
             )
+
+
+class TestIcebergTableChanges:
+    """r14: the changelog scan — inserts from added files, deletes from
+    position/equality delete files; replace snapshots invisible."""
+
+    def test_append_and_position_delete_feed(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+            iceberg_table_changes,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = IcebergAppendSink(spark, path)
+        s0 = sink.commit_batch(
+            spark.range(10).selectExpr("id AS k", "id % 3 AS v"), 0
+        )
+        s1 = sink.commit_batch(
+            spark.range(10, 15).selectExpr("id AS k", "id % 3 AS v"), 1
+        )
+        sd = sink.delete_where("k % 4 = 0", 2)
+        got = sorted(
+            (r.k, r._change_type, r._commit_snapshot_id)
+            for r in iceberg_table_changes(spark, path).collect()
+        )
+        want = sorted(
+            [(k, "insert", s0) for k in range(10)]
+            + [(k, "insert", s1) for k in range(10, 15)]
+            + [(k, "delete", sd) for k in range(15) if k % 4 == 0]
+        )
+        assert got == want
+        # sub-range sees only its own snapshots
+        sub = sorted(
+            (r.k, r._change_type)
+            for r in iceberg_table_changes(
+                spark, path, from_snapshot_id=s1
+            ).collect()
+        )
+        assert sub == sorted(
+            (k, "delete") for k in range(15) if k % 4 == 0
+        )
+        # compaction is invisible (empty frame, right schema)
+        sink.rewrite_manifests(3)
+        ch = iceberg_table_changes(spark, path, from_snapshot_id=sd)
+        assert ch.count() == 0
+        assert ch.columns[-2:] == ["_change_type", "_commit_snapshot_id"]
+
+    def test_keyed_store_equality_delete_feed(self, spark, tmp_path):
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergKeyedStore,
+            iceberg_table_changes,
+        )
+
+        store = IcebergKeyedStore(
+            spark, str(tmp_path / "s"), key="k", order_col="ord",
+            type_col="op",
+        )
+        t0 = store.commit_batch(
+            spark.range(5).selectExpr(
+                "id AS k", "id AS v", "0L AS ord", "'u' AS op"
+            ),
+            0,
+        )
+        t1 = store.commit_batch(
+            spark.createDataFrame(
+                [(1, 111, 1, "u"), (7, 77, 1, "u"), (3, None, 1, "delete")],
+                "k long, v long, ord long, op string",
+            ),
+            1,
+        )
+        got = sorted(
+            (r.k, r.v, r._change_type, r._commit_snapshot_id)
+            for r in iceberg_table_changes(
+                spark, store.path
+            ).collect()
+        )
+        # the upsert's change record: new rows insert, PREVIOUS-state
+        # rows matching the equality keys delete (update = delete+insert
+        # pair, iceberg changelog semantics)
+        assert got == sorted(
+            [(k, k, "insert", t0) for k in range(5)]
+            + [(1, 111, "insert", t1), (7, 77, "insert", t1)]
+            + [(1, 1, "delete", t1), (3, 3, "delete", t1)]
+        )
