@@ -1949,11 +1949,18 @@ def delta_table_changes(
     for v in range(starting_version, ending_version + 1):
         adds = {}
         removes = {}
+        all_removes: set[str] = set()
         cdcs = []
         for action in commit_actions(v):
             if "add" in action:
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
+                # dataChange=false removes (OPTIMIZE) emit no changes
+                # but MUST still advance the live state — otherwise a
+                # later restore() re-adding the compacted-away files is
+                # misread as an unchanged live re-add and its inserts
+                # vanish (ADVICE r14)
+                all_removes.add(action["remove"]["path"])
                 if action["remove"].get("dataChange", True):
                     removes[action["remove"]["path"]] = action["remove"]
             elif "cdc" in action:
@@ -1964,7 +1971,7 @@ def delta_table_changes(
             # files, written by CDF-enabled MERGE/UPDATE) — read them
             # and ignore add/remove interpretation for this commit
             cdc_files.extend((rel, v) for rel in cdcs)
-            for rel in removes:
+            for rel in all_removes:
                 prior.pop(rel, None)
             for rel, a in adds.items():
                 prior[rel] = a
@@ -2010,8 +2017,9 @@ def delta_table_changes(
                 continue
             if rel in prior:
                 file_deletes.append((rel, v, prior[rel]))
-        # advance the incremental state
-        for rel in removes:
+        # advance the incremental state — ALL removes pop (including
+        # dataChange=false: replay_delta_dir pops them regardless)
+        for rel in all_removes:
             prior.pop(rel, None)
         for rel, a in adds.items():
             prior[rel] = a

@@ -636,7 +636,15 @@ def parse_orc_data(payload: bytes) -> list:
             elif t["flt"] is not None:
                 t["flt"] += sum(vals)
             else:
-                t["blen"] += sum(len(v) for v in vals)
+                # ENCODED byte length (UTF-8), not character count —
+                # matches parse_parquet_data's convention and the
+                # pre-refactor lens/dlens accounting (ADVICE r14: the
+                # two disagree on non-ASCII data)
+                t["blen"] += sum(
+                    len(v) if isinstance(v, (bytes, bytearray))
+                    else len(v.encode("utf-8"))
+                    for v in vals
+                )
     return [
         (
             names[ci],

@@ -689,6 +689,62 @@ class DeltaAppendSink:
             f"{self.max_commit_attempts} attempts"
         )
 
+    def _physical_batch(
+        self, batch: DataFrame
+    ) -> tuple[DataFrame, list[str], dict | None]:
+        """Column-mapped tables store PHYSICAL column names (and parquet
+        field ids in id mode) in their data files; batches arrive with
+        LOGICAL names. Translate exactly like ``optimize()`` does —
+        without this, appended files carry logical names, ``delta_scan``
+        resolves by physicalName/field id, finds nothing, and the
+        appended rows silently read as nulls (ADVICE r14). Returns
+        (translated batch, physical partition columns, physical-name ->
+        field-id map or None). No-op on unmapped tables."""
+        if self.head_version() < 0:
+            return batch, list(self.partition_columns), None
+        from ..operators.deltalog import _column_ids, _column_mapping
+
+        state = self._replay_state(self.head_version())
+        tbl_pcols = list(state["metadata"].get("partitionColumns") or [])
+        if tbl_pcols != list(self.partition_columns):
+            # an add without (or with wrong) partitionValues silently
+            # corrupts partition pruning — refuse up front
+            raise ValueError(
+                f"sink partition_columns {self.partition_columns} do not "
+                f"match the table's declared partitionColumns {tbl_pcols}"
+            )
+        mapping = _column_mapping(state["metadata"])
+        if not mapping:
+            return batch, list(self.partition_columns), None
+        from pyspark.sql import functions as F
+
+        unknown = [c for c in batch.columns if c not in mapping]
+        if unknown:
+            raise NotImplementedError(
+                f"batch column(s) {unknown} are not in the column-mapped "
+                "table's schema — schema evolution on mapped tables needs "
+                "physicalName/field-id assignment, which this writer "
+                "does not do"
+            )
+        ids = _column_ids(state["metadata"]) or None
+        batch = batch.select(
+            *[
+                F.col(n).alias(
+                    mapping[n],
+                    metadata=(
+                        {"parquet.field.id": ids[n]}
+                        if ids and n in ids
+                        else None
+                    ),
+                )
+                for n in batch.columns
+            ]
+        )
+        phys_ids = (
+            {mapping[n]: i for n, i in ids.items()} if ids else None
+        )
+        return batch, [mapping[c] for c in self.partition_columns], phys_ids
+
     def commit_batch(self, batch: DataFrame, batch_id: int) -> int | None:
         """Write one micro-batch as ONE driver-side Arrow parquet file +
         one Delta commit (the dim/serving-table shape); returns the
@@ -703,9 +759,28 @@ class DeltaAppendSink:
             )
         if self._is_committed(batch_id):
             return None
+        phys, _pc, phys_ids = self._physical_batch(batch)
         rel = f"part-b{batch_id:010d}.parquet"
         full = os.path.join(self.path, rel)
-        table = batch.toArrow()
+        table = phys.toArrow()
+        if phys_ids:
+            # id mode: stamp PARQUET:field_id so pyarrow writes real
+            # parquet field ids (Spark alias metadata does not survive
+            # toArrow)
+            import pyarrow as pa
+
+            table = table.cast(
+                pa.schema(
+                    [
+                        f.with_metadata(
+                            {b"PARQUET:field_id": str(phys_ids[f.name]).encode()}
+                        )
+                        if f.name in phys_ids
+                        else f
+                        for f in table.schema
+                    ]
+                )
+            )
         # deterministic rewrite on replay-after-crash: same rows, same file
         pq.write_table(table, full, compression="snappy")
         return self._commit_actions(
@@ -729,11 +804,16 @@ class DeltaAppendSink:
             raise ValueError(
                 f"batch lacks partition column(s) {missing}"
             )
+        phys, phys_pcols, phys_ids = self._physical_batch(batch)
+        if phys_ids:
+            phys.sparkSession.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
         stage = os.path.join(self.path, "_staging", f"b{batch_id:010d}")
         # overwrite handles replay-after-crash leftovers in the stage dir
-        writer = batch.write.mode("overwrite")
-        if self.partition_columns:
-            writer = writer.partitionBy(*self.partition_columns)
+        writer = phys.write.mode("overwrite")
+        if phys_pcols:
+            writer = writer.partitionBy(*phys_pcols)
         writer.parquet(stage)
         adds: list[str] = []
         i = 0
@@ -744,9 +824,9 @@ class DeltaAppendSink:
                 if not fn.endswith(".parquet") or fn.startswith((".", "_")):
                     continue
                 if pv is None:
-                    pv = _partition_values_from_dir(
-                        relpath, self.partition_columns
-                    )
+                    # partitionValues keys are PHYSICAL names on mapped
+                    # tables (the same convention delta_scan resolves)
+                    pv = _partition_values_from_dir(relpath, phys_pcols)
                 n_rows = pq.ParquetFile(
                     os.path.join(dirpath, fn)
                 ).metadata.num_rows

@@ -1308,6 +1308,186 @@ class TestColumnMapping:
         assert not any(a.get("deletionVector") for a in live.values())
         assert sorted(r.k for r in delta_scan(spark, path).collect()) == want
 
+    def test_append_to_mapped_table_translates_to_physical(
+        self, spark, tmp_path
+    ):
+        """ADVICE r14: the writer gate admits columnMapping tables, so
+        appended batches MUST land with physical names (+ field ids in
+        id mode) — before the fix they kept logical names and the new
+        rows read back as nulls (silent data loss). Both commit paths,
+        both modes."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            delta_scan,
+            replay_delta_dir,
+            synth_delta_mapped,
+        )
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        for mode in ("name", "id"):
+            seed = 5
+            path = _unzip_to_dir(
+                synth_delta_mapped(seed, mode=mode), tmp_path / f"tbl-{mode}"
+            )
+            n = lambda j: (seed + j) % 20 + 5  # noqa: E731
+            every = sorted(
+                seed + 100 * j + i for j in range(4) for i in range(n(j))
+            )
+            sink = DeltaAppendSink(path, partition_columns=["p"])
+            batch = spark.createDataFrame(
+                [(9001, "p0"), (9002, "p1")], "k long, p string"
+            )
+            sink.commit_batch_distributed(batch, 1)
+            df = delta_scan(spark, path)
+            assert df.columns == ["k", "p"]
+            got = sorted((r.k, r.p) for r in df.collect())
+            assert (9001, "p0") in got and (9002, "p1") in got
+            assert None not in [k for k, _p in got]  # no silent nulls
+            assert len(got) == len(every) + 2
+            # the appended file itself speaks PHYSICAL names
+            live = replay_delta_dir(path)["live"]
+            new_rels = [r for r in live if "part-b0000000001" in r]
+            assert new_rels, sorted(live)
+            sch = pq.ParquetFile(
+                os.path.join(path, new_rels[0])
+            ).schema_arrow
+            assert "k" not in sch.names and "p" not in sch.names
+            # partitionValues keys are physical too
+            assert all(
+                "p" not in (live[r].get("partitionValues") or {})
+                for r in new_rels
+            )
+            # logical partition pruning still reaches the new file
+            p0 = delta_scan(spark, path, partition_filter={"p": "p0"})
+            assert 9001 in [r.k for r in p0.collect()]
+            # unknown logical columns refuse loudly (mapped-table
+            # evolution needs field-id assignment)
+            import pytest as _pytest
+
+            with _pytest.raises(NotImplementedError, match="column-mapped"):
+                sink.commit_batch_distributed(
+                    spark.createDataFrame(
+                        [(1, "p0", 2)], "k long, p string, extra long"
+                    ),
+                    2,
+                )
+            # a sink whose partition_columns disagree with the table's
+            # declared ones refuses up front (an add without
+            # partitionValues silently breaks pruning)
+            path2 = _unzip_to_dir(
+                synth_delta_mapped(seed, mode=mode),
+                tmp_path / f"tbl2-{mode}",
+            )
+            with _pytest.raises(ValueError, match="partitionColumns"):
+                DeltaAppendSink(path2).commit_batch(
+                    spark.createDataFrame(
+                        [(7777, "p9")], "k long, p string"
+                    ),
+                    1,
+                )
+
+    def test_commit_batch_translates_on_unpartitioned_mapped_table(
+        self, spark, tmp_path
+    ):
+        """The driver-side Arrow path (commit_batch) also lands physical
+        names + field ids: CREATE a mapped unpartitioned table by log
+        fixture, append through commit_batch, read back by delta_scan."""
+        import json as _json
+        import os
+
+        import pyarrow.parquet as pq
+
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            delta_scan,
+        )
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        for mode in ("name", "id"):
+            path = str(tmp_path / f"tbl-{mode}")
+            os.makedirs(os.path.join(path, "_delta_log"))
+            meta = {
+                "k": {"physicalName": "col-aaa", "id": 1},
+                "v": {"physicalName": "col-bbb", "id": 2},
+            }
+            fields = [
+                {
+                    "name": n,
+                    "type": t,
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.physicalName": meta[n][
+                            "physicalName"
+                        ],
+                        **(
+                            {"delta.columnMapping.id": meta[n]["id"]}
+                            if mode == "id"
+                            else {}
+                        ),
+                    },
+                }
+                for n, t in (("k", "long"), ("v", "string"))
+            ]
+            lines = [
+                _json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 2,
+                            "minWriterVersion": 5,
+                        }
+                    }
+                ),
+                _json.dumps(
+                    {
+                        "metaData": {
+                            "id": "t-map",
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": _json.dumps(
+                                {"type": "struct", "fields": fields}
+                            ),
+                            "partitionColumns": [],
+                            "configuration": {
+                                "delta.columnMapping.mode": mode
+                            },
+                        }
+                    }
+                ),
+            ]
+            with open(
+                os.path.join(path, "_delta_log", "0" * 20 + ".json"), "w"
+            ) as f:
+                f.write("\n".join(lines) + "\n")
+            sink = DeltaAppendSink(path)
+            sink.commit_batch(
+                spark.createDataFrame(
+                    [(1, "a"), (2, "b")], "k long, v string"
+                ),
+                0,
+            )
+            got = sorted(
+                (r.k, r.v) for r in delta_scan(spark, path).collect()
+            )
+            assert got == [(1, "a"), (2, "b")]
+            rels = [
+                fn for fn in os.listdir(path) if fn.endswith(".parquet")
+            ]
+            sch = pq.ParquetFile(os.path.join(path, rels[0])).schema_arrow
+            assert set(sch.names) == {"col-aaa", "col-bbb"}
+            if mode == "id":
+                from flink_gmall2024_realtime_spark.operators.parquetmeta import (
+                    parse_parquet_field_ids,
+                )
+
+                with open(os.path.join(path, rels[0]), "rb") as f:
+                    fid = parse_parquet_field_ids(f.read())
+                assert fid == {1: "col-aaa", 2: "col-bbb"}
+
     def test_delta_scan_returns_logical_columns(self, spark, tmp_path):
         from flink_gmall2024_realtime_spark.operators.deltalog import (
             delta_scan,
@@ -2843,6 +3023,46 @@ class TestTableChanges:
             f.write("\n".join(lines) + "\n")
         with _pytest.raises(NotImplementedError, match="_change_data"):
             delta_table_changes(spark, path, head + 1, head + 1).collect()
+
+    def test_optimize_advances_state_for_later_restore(self, spark, tmp_path):
+        """ADVICE r14: dataChange=false removes (OPTIMIZE) must advance
+        the incremental live state — before the fix, a restore() after
+        an in-range optimize was misread as an unchanged live re-add and
+        the feed silently reported the table emptied (deletes with no
+        matching inserts). Now the restore commit is recognized as a
+        rewrite shape and refuses LOUDLY, and ranges ending at the
+        optimize itself stay exactly the pre-optimize feed."""
+        import pytest as _pytest
+
+        from flink_gmall2024_realtime_spark.operators.deltalog import (
+            delta_table_changes,
+        )
+        from flink_gmall2024_realtime_spark.streaming.delta import (
+            DeltaAppendSink,
+        )
+
+        path = str(tmp_path / "tbl")
+        sink = DeltaAppendSink(path)
+        sink.commit_batch_distributed(
+            spark.range(10).selectExpr("id AS k").repartitionByRange(2, "k"),
+            0,
+        )
+        sink.commit_batch_distributed(
+            spark.range(100, 105).selectExpr("id AS k"), 1
+        )
+        sink.optimize(2)
+        sink.restore(1, 3)
+        # through the optimize: inserts only, optimize invisible
+        assert self._changes(spark, path, 0, 2) == sorted(
+            [(k, "insert", 0) for k in range(10)]
+            + [(k, "insert", 1) for k in range(100, 105)]
+        )
+        # across optimize+restore: a rewrite shape — loud, never a
+        # silent "everything deleted" feed
+        with _pytest.raises(NotImplementedError, match="rewrites rows"):
+            delta_table_changes(spark, path, 0, 3).collect()
+        with _pytest.raises(NotImplementedError, match="rewrites rows"):
+            delta_table_changes(spark, path, 3, 3).collect()
 
     def test_cdf_plan_size_constant(self, spark, tmp_path):
         # one grouped scan per change kind regardless of file/version

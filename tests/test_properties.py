@@ -1363,6 +1363,32 @@ def test_orc_data_decode_matches_pyarrow(ks, comp, dict_thr, rng):
     assert abs(got["d"][4] - sum(ds)) < 1e-6
 
 
+def test_orc_data_string_bytelen_is_encoded_bytes_not_chars():
+    """Non-ASCII strings: byte_len must be the ENCODED UTF-8 byte count
+    (parse_parquet_data's convention), not len() over decoded python
+    strings (ADVICE r14 — the refactor regressed this; ASCII fixtures
+    hid it). Checked for both DIRECT and DICTIONARY encodings."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from flink_gmall2024_realtime_spark.operators.orcmeta import parse_orc_data
+
+    vs = ["héllo", "日本語", "naïve", None, "ascii", "日本語"] * 20
+    for dict_thr in (0.0, 1.0):
+        t = pa.table({"v": pa.array(vs, pa.string())})
+        buf = io.BytesIO()
+        orc.write_table(
+            t, buf, compression="uncompressed",
+            dictionary_key_size_threshold=dict_thr,
+        )
+        got = {r[0]: tuple(r) for r in parse_orc_data(buf.getvalue())}
+        assert got["v"][5] == sum(
+            len(x.encode("utf-8")) for x in vs if x is not None
+        )
+
+
 def test_orc_rlev2_all_subencodings_exercised_by_pyarrow():
     """Coverage proof: real pyarrow output drives the direct, delta AND
     patched-base RLEv2 paths (the spy counts runs per sub-encoding);
