@@ -45,6 +45,7 @@ beyond-reference LLM-data-pipeline surface the build brief asks for.
 from __future__ import annotations
 
 import json
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -276,6 +277,64 @@ def _column_ids(metadata: dict) -> dict[str, int] | None:
             )
         out[f["name"]] = int(fid)
     return out
+
+
+def _dv_raw(dv: dict, fetch) -> tuple[bytes, int | None]:
+    """One ``deletionVector`` descriptor to its RAW serialized roaring-
+    bitmap-array bytes + declared cardinality, WITHOUT decoding any
+    position (r15 — the scan path must never hold deleted positions on
+    the driver; decode happens in executors). Framing is still verified
+    here: inline Z85 length bounds, on-disk format version / size / CRC
+    — O(compressed bytes), not O(positions)."""
+    import zlib as _zlib
+
+    from .roaring import z85_decode
+
+    storage = dv.get("storageType")
+    if storage == "i":
+        data = z85_decode(dv["pathOrInlineDv"])
+        declared = dv["sizeInBytes"]
+        if not declared <= len(data) < declared + 4:
+            raise ValueError(
+                f"inline DV sizeInBytes {declared} inconsistent with "
+                f"decoded length {len(data)}"
+            )
+        return data[:declared], dv.get("cardinality")
+    if storage in ("u", "p"):
+        if storage == "u":
+            import uuid
+
+            enc = dv["pathOrInlineDv"]
+            if len(enc) < 20:
+                raise ValueError(f"DV pathOrInlineDv too short: {enc!r}")
+            prefix, tail = enc[:-20], enc[-20:]
+            uid = uuid.UUID(bytes=z85_decode(tail))
+            rel = f"deletion_vector_{uid}.bin"
+            if prefix:
+                rel = f"{prefix}/{rel}"
+        else:
+            rel = dv["pathOrInlineDv"]
+        offset = dv.get("offset")
+        if offset is None:
+            offset = 1
+        blob = fetch(rel)
+        if not blob or blob[0] != 1:
+            raise ValueError(f"DV file format version {blob[:1]!r} != 1")
+        if offset < 1 or offset + 4 > len(blob):
+            raise ValueError("DV offset outside file")
+        (size,) = struct.unpack_from(">I", blob, offset)
+        if size != dv["sizeInBytes"]:
+            raise ValueError(
+                f"DV sizeInBytes {dv['sizeInBytes']} != framed size {size}"
+            )
+        data = blob[offset + 4 : offset + 4 + size]
+        if len(data) < size:
+            raise ValueError("DV data truncated")
+        (crc,) = struct.unpack_from(">I", blob, offset + 4 + size)
+        if crc != _zlib.crc32(data) & 0xFFFFFFFF:
+            raise ValueError("DV checksum mismatch")
+        return data, dv.get("cardinality")
+    raise ValueError(f"unknown DV storageType {storage!r}")
 
 
 def _dv_positions(dv: dict, fetch) -> list[int]:
@@ -1608,28 +1667,83 @@ def delta_partition_stats(media: DataFrame) -> DataFrame:
     )
 
 
+# broadcast the decoded-positions frame only while the estimated
+# position count fits comfortably under Spark's broadcast ceiling; a
+# 10^8+-deleted-row GDPR sweep takes the shuffle anti-join instead
+# (tests pin both paths by monkeypatching this to 0)
+_DV_BROADCAST_MAX_POSITIONS = 4_000_000
+
+
+def _dv_positions_frame(spark, dv_rows):
+    """(file_name, raw_dv_bytes, declared_cardinality) rows -> a
+    distributed (__file, __pos) DataFrame: the roaring bitmaps decode
+    IN EXECUTORS via ``mapInPandas`` (r15 — deleted positions never
+    materialize as a driver-side list; the driver holds one compressed
+    bitmap per file, O(bitmap bytes)). The declared-cardinality cross-
+    check runs where the decode runs — a wrong DV fails the task
+    loudly, never silently drops the wrong rows."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    dv_df = spark.createDataFrame(
+        [(n, bytearray(raw), -1 if card is None else int(card))
+         for n, raw, card in dv_rows],
+        "__file string, __dv binary, __card long",
+    )
+
+    def explode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .roaring import parse_roaring_bitmap_array
+
+        for pdf in it:
+            for name, raw, card in zip(
+                pdf["__file"], pdf["__dv"], pdf["__card"]
+            ):
+                positions = parse_roaring_bitmap_array(bytes(raw))
+                if card >= 0 and card != len(positions):
+                    raise ValueError(
+                        f"DV cardinality {card} != decoded "
+                        f"{len(positions)} for {name!r}"
+                    )
+                yield pd.DataFrame(
+                    {"__file": [name] * len(positions), "__pos": positions}
+                )
+
+    n_parts = max(1, min(len(dv_rows), 32))
+    return dv_df.repartition(n_parts, "__file").mapInPandas(
+        explode, "__file string, __pos long"
+    )
+
+
 def _dv_grouped_scan(spark, files, pcols, ptypes, fields3, reader=None):
     """ONE scan of every deletion-vector-carrying file in a Delta
     snapshot: rows keyed by (``_metadata.file_name``, ``row_index``)
-    are anti-joined against a single broadcast positions DataFrame, so
-    the PLAN SIZE is independent of how many files carry DVs (a broad
-    GDPR ``delete_where`` over 10k files is one scan node, not 10k
-    union branches). Partition values re-attach via a broadcast
-    file->partitionValues join (the log is authoritative, not the
-    paths); ``fields3`` is [(logical, physical, sparktype)] so column
-    mapping resolves and schema-evolution gaps read as typed nulls.
-    Callers guarantee file basenames are unique within ``files``."""
+    are anti-joined against a single positions DataFrame whose roaring
+    bitmaps decode IN EXECUTORS (r15), so the PLAN SIZE is independent
+    of how many files carry DVs and the DRIVER never holds a deleted
+    position (a broad GDPR ``delete_where`` over 10k files is one scan
+    node and one compressed bitmap per file on the driver). The
+    positions side broadcasts only under ``_DV_BROADCAST_MAX_POSITIONS``
+    estimated positions; above it the anti-join shuffles. Partition
+    values re-attach via a broadcast file->partitionValues join (the
+    log is authoritative, not the paths); ``fields3`` is
+    [(logical, physical, sparktype)] so column mapping resolves and
+    schema-evolution gaps read as typed nulls. Callers guarantee file
+    basenames are unique within ``files``; ``files`` rows are
+    (full_path, partition_key, raw_dv_bytes, cardinality)."""
     import os
 
     from pyspark.sql import functions as F
 
-    pos_rows: list[tuple] = []
+    dv_rows: list[tuple] = []
     pv_rows: list[tuple] = []
     paths: list[str] = []
-    for full, key, positions in files:
+    est_positions = 0
+    for full, key, raw, card in files:
         name = os.path.basename(full)
         paths.append(full)
-        pos_rows.extend((name, int(p)) for p in positions)
+        dv_rows.append((name, raw, card))
+        # bitmap containers pack up to 8 positions/byte — when the log
+        # omits cardinality, bound the estimate by bytes, conservatively
+        est_positions += card if card is not None else len(raw) * 8
         pv_rows.append((name, *key))
     if reader is None:
         base = spark.read.option("mergeSchema", "true").parquet(*sorted(paths))
@@ -1640,8 +1754,10 @@ def _dv_grouped_scan(spark, files, pcols, ptypes, fields3, reader=None):
         F.col("_metadata.file_name").alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),
     )
-    pos_df = spark.createDataFrame(pos_rows, "__file string, __pos long")
-    df = df.join(F.broadcast(pos_df), ["__file", "__pos"], "left_anti")
+    pos_df = _dv_positions_frame(spark, dv_rows)
+    if est_positions <= _DV_BROADCAST_MAX_POSITIONS:
+        pos_df = F.broadcast(pos_df)
+    df = df.join(pos_df, ["__file", "__pos"], "left_anti")
     if pcols:
         pv_schema = ", ".join(
             ["__file string"] + [f"__pv_{i} string" for i in range(len(pcols))]
@@ -2314,7 +2430,7 @@ def delta_scan(
 
     parts = []
     groups: dict[tuple, list[str]] = {}
-    dv_files: list[tuple[str, tuple, list[int]]] = []  # rel, key, positions
+    dv_files: list[tuple] = []  # rel, key, raw_dv_bytes, cardinality
     for rel, add in sorted(live.items()):
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(phys(c)) for c in pcols)
@@ -2322,19 +2438,19 @@ def delta_scan(
         if not dv:
             groups.setdefault(key, []).append(os.path.join(path, rel))
             continue
-        dv_files.append((rel, key, _dv_positions(dv, fetch)))
+        dv_files.append((rel, key) + _dv_raw(dv, fetch))
     if dv_files:
-        # merge-on-read, O(1) in PLAN SIZE (r14): ALL DV-carrying files
-        # go through ONE grouped scan, anti-joined on
-        # (_metadata.file_name, row_index) against a single broadcast
-        # positions DataFrame — a broad delete_where touching 10k files
-        # must not create 10k plan branches. Partition values attach
-        # via a broadcast file->partitionValues join (the log is
-        # authoritative, not the paths). Falls back to per-file
-        # branches only on a file-NAME collision (two live files in
-        # different directories sharing a basename), which no in-repo
-        # writer produces.
-        names = [os.path.basename(rel) for rel, _k, _p in dv_files]
+        # merge-on-read, O(1) in PLAN SIZE (r14) and O(bitmap bytes) in
+        # DRIVER MEMORY (r15): ALL DV-carrying files go through ONE
+        # grouped scan, anti-joined on (_metadata.file_name, row_index)
+        # against a positions DataFrame decoded from the raw roaring
+        # bitmaps IN EXECUTORS — a broad delete_where touching 10k
+        # files must not create 10k plan branches, and a 10^9-deleted-
+        # row sweep must not hold its positions in a driver list.
+        # Falls back to per-file branches only on a file-NAME collision
+        # (two live files in different directories sharing a basename),
+        # which no in-repo writer produces.
+        names = [os.path.basename(rel) for rel, _k, _r, _c in dv_files]
         if len(set(names)) == len(names):
             fields3 = [
                 (n, n if id_schema is not None else phys(n), t)
@@ -2343,7 +2459,10 @@ def delta_scan(
             parts.append(
                 _dv_grouped_scan(
                     spark,
-                    [(os.path.join(path, rel), k, p) for rel, k, p in dv_files],
+                    [
+                        (os.path.join(path, rel), k, raw, card)
+                        for rel, k, raw, card in dv_files
+                    ],
                     pcols,
                     ptypes,
                     fields3,
@@ -2351,14 +2470,18 @@ def delta_scan(
                 )
             )
         else:
-            for rel, key, positions in dv_files:
+            for rel, key, raw, card in dv_files:
                 df = read_files(os.path.join(path, rel)).select(
                     "*", F.col("_metadata.row_index").alias("__pos")
                 )
-                pos_df = spark.createDataFrame(
-                    [(int(p),) for p in positions], "__pos long"
-                )
-                df = df.join(F.broadcast(pos_df), "__pos", "left_anti")
+                pos_df = _dv_positions_frame(
+                    spark, [(os.path.basename(rel), raw, card)]
+                ).select("__pos")
+                if (card if card is not None else len(raw) * 8) <= (
+                    _DV_BROADCAST_MAX_POSITIONS
+                ):
+                    pos_df = F.broadcast(pos_df)
+                df = df.join(pos_df, "__pos", "left_anti")
                 parts.append(attach_partitions(project(df), key))
     for key, files in sorted(groups.items()):
         df = read_files(*files)

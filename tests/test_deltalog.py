@@ -2309,6 +2309,60 @@ def test_dv_anti_join_plan_is_broadcast(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_dv_scan_never_decodes_positions_on_driver(
+    spark, tmp_path, monkeypatch
+):
+    """Driver-memory lock (VERDICT r14 #1): building AND executing a
+    DV-masked delta_scan must never decode deleted positions driver-side
+    — the roaring bitmaps ship raw and explode in executors. The decode
+    entry points are poisoned on the DRIVER only (executors re-import
+    clean modules)."""
+    from flink_gmall2024_realtime_spark.operators import deltalog, roaring
+    from flink_gmall2024_realtime_spark.operators.deltalog import (
+        delta_scan,
+        synth_delta_dv,
+    )
+
+    path = _unzip_to_dir(synth_delta_dv(2), tmp_path / "tbl")
+    expected = sorted(
+        r.k for r in delta_scan(spark, path).collect()
+    )  # ground truth before poisoning
+
+    def boom(*a, **kw):
+        raise AssertionError("deleted positions decoded on the driver")
+
+    monkeypatch.setattr(deltalog, "_dv_positions", boom)
+    monkeypatch.setattr(roaring, "parse_roaring_bitmap_array", boom)
+    monkeypatch.setattr(roaring, "parse_dv_in_file", boom)
+    got = sorted(r.k for r in delta_scan(spark, path).collect())
+    assert got == expected
+
+
+def test_dv_scan_shuffle_path_above_broadcast_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """Above _DV_BROADCAST_MAX_POSITIONS the positions anti-join must
+    NOT broadcast (the ~8 GB ceiling at GDPR scale) — and the shuffled
+    plan stays exact."""
+    from flink_gmall2024_realtime_spark.operators import deltalog
+    from flink_gmall2024_realtime_spark.operators.deltalog import (
+        delta_scan,
+        synth_delta_dv,
+    )
+
+    path = _unzip_to_dir(synth_delta_dv(2), tmp_path / "tbl")
+    expected = sorted(r.k for r in delta_scan(spark, path).collect())
+    monkeypatch.setattr(deltalog, "_DV_BROADCAST_MAX_POSITIONS", -1)
+    df = delta_scan(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    anti = [
+        ln for ln in plan.splitlines()
+        if "LeftAnti" in ln and "__pos" in ln
+    ]
+    assert anti and all("Broadcast" not in ln for ln in anti), plan
+    assert sorted(r.k for r in df.collect()) == expected
+
+
 class TestOptimize:
     """r13: OPTIMIZE bin-pack compaction — DVs materialize, incremental
     readers skip the dataChange=false commit."""

@@ -971,6 +971,118 @@ class TestIcebergDeleteWhere:
         # replay of the same batch id is a no-op
         assert sink.delete_where("k % 3 = 0", 1) is None
 
+    def test_scan_never_decodes_positions_on_driver(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Driver-memory lock (VERDICT r14 #1): a position-delete scan
+        reads the delete parquets DISTRIBUTED and anti-joins — the
+        driver-side decoders must never run while building or executing
+        the scan."""
+        from flink_gmall2024_realtime_spark.operators import iceberg as ice
+
+        path, sink = self._table(spark, tmp_path)
+        sink.delete_where("k % 3 = 0", 1)
+
+        def boom(*a, **kw):
+            raise AssertionError("delete positions decoded on the driver")
+
+        monkeypatch.setattr(ice, "_resolve_position_deletes", boom)
+        monkeypatch.setattr(ice, "_deleted_positions", boom)
+        got = sorted(r.k for r in ice.iceberg_scan(spark, path).collect())
+        assert got == [k for k in range(100) if k % 3 != 0]
+
+    def test_scan_shuffle_path_above_broadcast_threshold(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Above _POS_DELETE_BROADCAST_MAX_BYTES the delete-frame
+        anti-join must NOT broadcast — and the shuffled plan stays
+        exact."""
+        from flink_gmall2024_realtime_spark.operators import iceberg as ice
+
+        path, sink = self._table(spark, tmp_path)
+        sink.delete_where("k % 3 = 0", 1)
+        want = [k for k in range(100) if k % 3 != 0]
+        df = ice.iceberg_scan(spark, path)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pos_anti = [
+            ln for ln in plan.splitlines()
+            if "LeftAnti" in ln and "__dpos" in ln
+        ]
+        assert pos_anti and all("Broadcast" in ln for ln in pos_anti), plan
+        monkeypatch.setattr(ice, "_POS_DELETE_BROADCAST_MAX_BYTES", -1)
+        df = ice.iceberg_scan(spark, path)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pos_anti = [
+            ln for ln in plan.splitlines()
+            if "LeftAnti" in ln and "__dpos" in ln
+        ]
+        assert pos_anti and all(
+            "Broadcast" not in ln for ln in pos_anti
+        ), plan
+        assert sorted(r.k for r in df.collect()) == want
+
+    def test_basename_collision_falls_back_to_per_file_masking(
+        self, spark, tmp_path
+    ):
+        """ADVICE r14: two same-named data files in different
+        directories must never cross-mask — the collision disables the
+        distributed basename anti-join and positions apply per exact
+        file path."""
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+        )
+
+        path, sink = self._table(spark, tmp_path, n=10, files=1)
+        d = os.path.join(path, "data")
+        fn = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        os.makedirs(os.path.join(d, "dup"))
+        shutil.copy(os.path.join(d, fn), os.path.join(d, "dup", fn))
+        rel_dup = f"data/dup/{fn}"
+        md = sink._head()[1]
+        fields = next(
+            s
+            for s in md["schemas"]
+            if s.get("schema-id") == md.get("current-schema-id", 0)
+        )["fields"]
+        size = os.path.getsize(os.path.join(d, fn))
+        sink._commit_snapshot(
+            1, fields, [(rel_dup, 10, size, {}, {}, {})]
+        )
+        # positions 0,1 of the ORIGINAL file only
+        first_two = pq.ParquetFile(os.path.join(d, fn)).read(
+            columns=["k"]
+        )["k"].to_pylist()[:2]
+        rel_del = "data/del-hand.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([f"data/{fn}"] * 2),
+                    "pos": pa.array([0, 1], pa.int64()),
+                }
+            ),
+            os.path.join(path, rel_del),
+        )
+        sink._commit_snapshot(
+            2,
+            fields,
+            [],
+            delete_files=[
+                (rel_del, 2, os.path.getsize(os.path.join(path, rel_del)))
+            ],
+        )
+        got = sorted(r.k for r in iceberg_scan(spark, path).collect())
+        want = sorted(
+            [k for k in range(10) if k not in first_two]  # orig, masked
+            + list(range(10))  # dup untouched despite same basename
+        )
+        assert got == want
+
     def test_sequence_numbers_spare_future_appends(self, spark, tmp_path):
         from flink_gmall2024_realtime_spark.operators.iceberg import (
             iceberg_scan,
