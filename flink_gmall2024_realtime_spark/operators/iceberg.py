@@ -2759,6 +2759,81 @@ class IcebergAppendSink:
             out[k] = int(v) if types.get(k) in ("long", "int") else v
         return out
 
+    def _live_signature(self) -> dict[str, int]:
+        """{rel: sequence-number} over every live DATA, position-delete
+        and equality-delete file at the current head (metadata-only;
+        absent seqs encode as -1). The OCC validation unit: a mutating
+        commit computed against one signature must not publish onto a
+        head whose signature drifted (real Iceberg's
+        ``validateDataFilesExist``)."""
+        import os
+
+        mdir = os.path.join(self.path, "metadata")
+        if not os.path.isdir(mdir):
+            return {}
+        names = ["metadata/" + fn for fn in os.listdir(mdir)]
+
+        def get(name, optional=False):
+            full = os.path.join(self.path, name)
+            if not os.path.isfile(full):
+                if optional:
+                    return None
+                raise ValueError(f"{name!r} missing from table directory")
+            with open(full, "rb") as f:
+                return f.read()
+
+        try:
+            _sid, _n, live, dels, eqs, _md, _loc = _iceberg_live(
+                get, names, None
+            )
+        except ValueError:
+            return {}
+        sig = {
+            rel: -1 if s is None else int(s)
+            for rel, _rc, _pv, s, _f in live
+        }
+        sig.update(
+            (rel, -1 if s is None else int(s)) for rel, s in dels
+        )
+        sig.update(
+            (rel, -1 if s is None else int(s)) for rel, s, _ids in eqs
+        )
+        return sig
+
+    def _check_expected_state(
+        self, md, expected_state: dict | None, exact: bool, what: str
+    ) -> None:
+        """Raise ``ConcurrentWriteError`` when the head's live-file
+        signature drifted from what a mutating commit was computed
+        against (VERDICT r14 #2 — previously a lost pointer race
+        re-published stale position-delete manifests verbatim, silently
+        resurrecting rows a concurrent compact had rewritten). Subset
+        mode (``exact=False``) tolerates concurrent appends/deletes that
+        leave the referenced files alone; exact mode (replace commits)
+        tolerates nothing."""
+        if expected_state is None or md is None:
+            return
+        from ..streaming.versioned import ConcurrentWriteError
+
+        cur = self._live_signature()
+        if exact:
+            drift = cur != expected_state
+        else:
+            drift = any(
+                cur.get(rel) != s for rel, s in expected_state.items()
+            )
+        if drift:
+            gone = sorted(
+                rel for rel, s in expected_state.items()
+                if cur.get(rel) != s
+            )[:3]
+            extra = sorted(set(cur) - set(expected_state))[:3]
+            raise ConcurrentWriteError(
+                f"concurrent update: live files changed under {what} "
+                f"(computed-against files gone/changed: {gone}, "
+                f"new files: {extra}) — recompute against the new head"
+            )
+
     def _commit_snapshot(
         self,
         batch_id: int,
@@ -2768,6 +2843,9 @@ class IcebergAppendSink:
         eq_delete_files: list | None = None,
         replace: bool = False,
         operation: str | None = None,
+        expected_state: dict | None = None,
+        exact_state: bool = False,
+        what: str = "commit",
     ) -> int | None:
         """Shared commit core: manifest (with bounds) + manifest list +
         pointer-swap metadata publish + monotone hint advance.
@@ -2837,6 +2915,9 @@ class IcebergAppendSink:
             )
         for _ in range(self.max_commit_attempts):
             head_v, md = self._head()
+            # OCC: validate on EVERY attempt (the head may already have
+            # moved between the caller's read and the first publish)
+            self._check_expected_state(md, expected_state, exact_state, what)
             schema_update = None
             if md is not None and fields:
                 cur_schema = next(
@@ -3046,7 +3127,12 @@ class IcebergAppendSink:
             f"{batch_id} in {self.max_commit_attempts} attempts"
         )
 
-    def delete_where(self, condition, batch_id: int) -> int | None:
+    def delete_where(
+        self,
+        condition,
+        batch_id: int,
+        delete_file_partitions: int | None = None,
+    ) -> int | None:
         """``DELETE FROM <table> WHERE <condition>`` via an Iceberg v2
         POSITION-delete file (r14 — the write side of the r13
         position-delete reader, closing the read/write asymmetry the
@@ -3104,9 +3190,13 @@ class IcebergAppendSink:
         map_df = self.spark.createDataFrame(
             sorted(by_name.items()), "__name string, __rel string"
         )
-        # the spec wants delete files sorted by (file_path, pos) and the
-        # columns stamped with the reserved field ids
+        # the spec wants EACH delete file sorted by (file_path, pos) and
+        # the columns stamped with the reserved field ids; it allows
+        # many delete files — range-partition by file_path so a wide
+        # sweep writes one sorted file per range instead of funnelling
+        # every matched position through a single task (VERDICT r14 #6)
         self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        n_out = delete_file_partitions or max(1, min(16, len(live) // 64 + 1))
         matched = (
             self.spark.read.parquet(*full_paths)
             .select(
@@ -3124,12 +3214,16 @@ class IcebergAppendSink:
                     "pos", metadata={"parquet.field.id": 2147483545}
                 ),
             )
-            .repartition(1)
-            .sortWithinPartitions("file_path", "pos")
         )
+        if n_out > 1:
+            matched = matched.repartitionByRange(n_out, "file_path", "pos")
+        else:
+            matched = matched.repartition(1)
+        matched = matched.sortWithinPartitions("file_path", "pos")
         stage = os.path.join(self.path, "_staging", f"del-b{batch_id:010d}")
         matched.write.mode("overwrite").parquet(stage)
         delete_files = []
+        referenced: set[str] = set()
         i = 0
         for fn in sorted(os.listdir(stage)):
             if not fn.endswith(".parquet") or fn.startswith((".", "_")):
@@ -3139,6 +3233,11 @@ class IcebergAppendSink:
                 continue
             rel = f"data/delete-b{batch_id:010d}-{i:05d}.parquet"
             os.replace(os.path.join(stage, fn), os.path.join(self.path, rel))
+            referenced.update(
+                pq.ParquetFile(os.path.join(self.path, rel))
+                .read(columns=["file_path"])["file_path"]
+                .to_pylist()
+            )
             delete_files.append(
                 (rel, n_rows, os.path.getsize(os.path.join(self.path, rel)))
             )
@@ -3149,8 +3248,21 @@ class IcebergAppendSink:
             for s in md["schemas"]
             if s.get("schema-id") == md.get("current-schema-id", 0)
         )["fields"]
+        # OCC: the delete's (file_path, pos) entries are only valid while
+        # every referenced data file stays live unchanged — a concurrent
+        # compact/rewrite must conflict, not silently resurrect rows
+        live_sig = {
+            rel: -1 if s is None else int(s)
+            for rel, _rc, _pv, s, _f in live
+        }
+        expected = {rel: live_sig[rel] for rel in referenced}
         return self._commit_snapshot(
-            batch_id, fields, [], delete_files=delete_files
+            batch_id,
+            fields,
+            [],
+            delete_files=delete_files,
+            expected_state=expected,
+            what="delete_where",
         )
 
     # ------------------------------------------------------ maintenance
@@ -3617,6 +3729,11 @@ class IcebergKeyedStore(IcebergAppendSink):
 
         if self._is_committed(batch_id):
             return None
+        # OCC: a replace snapshot DROPS every prior manifest — any
+        # commit landing between this read and the publish would be
+        # silently erased, so the head's full live signature must be
+        # exactly what the compaction read (VERDICT r14 #2)
+        expected = self._live_signature()
         df = iceberg_scan(self.spark, self.path)
         tbl = df.toArrow()
         fields = self._schema_fields(df)
@@ -3630,6 +3747,9 @@ class IcebergKeyedStore(IcebergAppendSink):
             [(rel, tbl.num_rows, os.path.getsize(full), lo, hi, {})],
             replace=True,
             operation="replace",
+            expected_state=expected,
+            exact_state=True,
+            what="compact",
         )
 
     def read_as_of(self, snapshot_id: int | None = None):

@@ -1083,6 +1083,172 @@ class TestIcebergDeleteWhere:
         )
         assert got == want
 
+    def test_delete_where_conflicts_when_referenced_files_leave(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """OCC twin of the Delta test (VERDICT r14 #2): a delete_where
+        whose referenced data files stop being live before its publish
+        must raise, never re-commit (file_path,pos) entries pointing at
+        dead files — silent row resurrection. A concurrent APPEND that
+        leaves the referenced files alone is NOT a conflict."""
+        import pytest as _pytest
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergAppendSink,
+            iceberg_scan,
+        )
+        from flink_gmall2024_realtime_spark.streaming.versioned import (
+            ConcurrentWriteError,
+        )
+
+        path, sink = self._table(spark, tmp_path)
+        snap1 = sink._head()[1]["current-snapshot-id"]
+        df2 = spark.range(200, 210).selectExpr("id AS k", "id % 7 AS v")
+        sink.commit_batch(df2, 1)
+
+        # inject a rollback between delete_where's live read and its
+        # commit publish: the b1 file the delete references is gone
+        orig = IcebergAppendSink._commit_snapshot
+        fired = {}
+
+        def raced(self, *a, **kw):
+            if "done" not in fired:
+                fired["done"] = True
+                IcebergAppendSink(spark, path).rollback_to(snap1)
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(IcebergAppendSink, "_commit_snapshot", raced)
+        with _pytest.raises(ConcurrentWriteError, match="delete_where"):
+            sink.delete_where("k >= 200", 2)
+        monkeypatch.setattr(IcebergAppendSink, "_commit_snapshot", orig)
+        # the rolled-back table is intact, no stale delete applied
+        assert iceberg_scan(spark, path).count() == 100
+
+        # non-conflicting concurrent append: the loser retries and wins
+        fired.clear()
+
+        def raced_append(self, *a, **kw):
+            if "done" not in fired:
+                fired["done"] = True
+                IcebergAppendSink(spark, path).commit_batch(
+                    spark.range(500, 505).selectExpr(
+                        "id AS k", "id % 7 AS v"
+                    ),
+                    50,
+                )
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(IcebergAppendSink, "_commit_snapshot", raced_append)
+        assert sink.delete_where("k % 3 = 0", 3) is not None
+        monkeypatch.setattr(IcebergAppendSink, "_commit_snapshot", orig)
+        got = sorted(r.k for r in iceberg_scan(spark, path).collect())
+        # the concurrent append's rows survive (their file was never
+        # referenced by the delete), original k%3==0 rows are masked
+        assert got == sorted(
+            [k for k in range(100) if k % 3 != 0] + list(range(500, 505))
+        )
+
+    def test_keyed_store_compact_conflicts_on_concurrent_merge(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A replace snapshot erases every prior manifest — compact()
+        must refuse when any commit lands between its read and its
+        publish (exact live-signature validation), else the concurrent
+        batch silently vanishes."""
+        import pytest as _pytest
+
+        from flink_gmall2024_realtime_spark.operators import iceberg as ice
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            IcebergKeyedStore,
+        )
+        from flink_gmall2024_realtime_spark.streaming.versioned import (
+            ConcurrentWriteError,
+        )
+
+        path = str(tmp_path / "store")
+        store = IcebergKeyedStore(
+            spark, path, key="k", order_col="ord", type_col="op"
+        )
+        b0 = spark.range(10).selectExpr(
+            "id AS k", "id AS v", "0L AS ord", "'u' AS op"
+        )
+        store.commit_batch(b0, 0)
+        b1 = spark.range(5).selectExpr(
+            "id AS k", "id + 100 AS v", "1L AS ord", "'u' AS op"
+        )
+        store.commit_batch(b1, 1)
+
+        orig_scan = ice.iceberg_scan
+        fired = {}
+
+        def raced(spark_, p, *a, **kw):
+            if "done" not in fired and p == path:
+                fired["done"] = True
+                other = IcebergKeyedStore(
+                    spark, path, key="k", order_col="ord", type_col="op"
+                )
+                other.commit_batch(
+                    spark.range(7, 9).selectExpr(
+                        "id AS k", "id + 900 AS v", "2L AS ord", "'u' AS op"
+                    ),
+                    2,
+                )
+            return orig_scan(spark_, p, *a, **kw)
+
+        def self_state(st):
+            return sorted(
+                (r.k, r.v)
+                for r in st.read_as_of().select("k", "v").collect()
+            )
+
+        monkeypatch.setattr(ice, "iceberg_scan", raced)
+        with _pytest.raises(ConcurrentWriteError, match="compact"):
+            store.compact(3)
+        monkeypatch.setattr(ice, "iceberg_scan", orig_scan)
+        # nothing lost: the concurrent batch's rows are visible and a
+        # clean compact now succeeds with identical state
+        want = sorted(
+            [(k, k + 100) for k in range(5)]
+            + [(5, 5), (6, 6), (9, 9)]
+            + [(7, 907), (8, 908)]
+        )
+        assert self_state(store) == want
+        assert store.compact(4) is not None
+        assert self_state(store) == want
+
+    def test_delete_where_writes_multiple_sorted_delete_files(
+        self, spark, tmp_path
+    ):
+        """VERDICT r14 #6: the spec allows many delete files — with
+        ``delete_file_partitions`` the sweep writes one per file_path
+        range, each internally sorted by (file_path, pos), and the scan
+        stays exact."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from flink_gmall2024_realtime_spark.operators.iceberg import (
+            iceberg_scan,
+        )
+
+        path, sink = self._table(spark, tmp_path)
+        sink.delete_where("k % 2 = 0", 1, delete_file_partitions=3)
+        dels = sorted(
+            fn for fn in os.listdir(os.path.join(path, "data"))
+            if fn.startswith("delete-b")
+        )
+        assert len(dels) > 1
+        for fn in dels:
+            t = pq.ParquetFile(
+                os.path.join(path, "data", fn)
+            ).read()
+            rows = list(
+                zip(t["file_path"].to_pylist(), t["pos"].to_pylist())
+            )
+            assert rows == sorted(rows)
+        got = sorted(r.k for r in iceberg_scan(spark, path).collect())
+        assert got == [k for k in range(100) if k % 2 == 1]
+
     def test_sequence_numbers_spare_future_appends(self, spark, tmp_path):
         from flink_gmall2024_realtime_spark.operators.iceberg import (
             iceberg_scan,
