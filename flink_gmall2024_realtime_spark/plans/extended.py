@@ -641,7 +641,13 @@ GROUP BY 1
 def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped local-supplier volume: 6-way join with a selective dim
     filter — Catalyst pushes r_name into the region scan and broadcasts the
-    dim chain; only orders-lineitem exchanges on the fact key."""
+    fixed-size dim chain; only orders-lineitem exchanges on the fact key.
+
+    r15: dropped the explicit broadcast hints on ``customer`` and
+    ``supplier`` — both scale with SF, so a hard hint is a guaranteed
+    driver/broadcast-cap blowup at warehouse scale (guide §3.1); at fixture
+    scale AQE broadcasts them anyway from their runtime sizes, so the
+    executed plan (and the bench number) is unchanged."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -650,9 +656,9 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
         )
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])

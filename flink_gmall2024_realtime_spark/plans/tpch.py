@@ -658,10 +658,16 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q20-shaped dominant-supplier detection: suppliers providing more
     than 15% of the total shipped quantity of some SMALL-type part (the
     fixture's stand-in for the excess-availability subquery, which needs
-    ``ps_availqty``).  Two grouped sums share the ``l_partkey`` shuffle; the
-    per-(part,supplier) frame joins its own per-part rollup, and quantity
-    sums are whole-number doubles (exact at any magnitude below 2^52, so no
-    DECIMAL detour needed)."""
+    ``ps_availqty``).  Quantity sums are whole-number doubles (exact at any
+    magnitude below 2^52, so no DECIMAL detour needed).
+
+    r15 (guide §2.4): ONE explicit ``repartition("l_partkey")`` establishes
+    the partitioning every downstream step needs — ``HashPartitioning(pk)``
+    satisfies the clustering of the (pk, sk) aggregate, the per-part rollup,
+    AND their self-join, so the sp aggregate, ptot rollup and sp⋈ptot all
+    run shuffle-free on top of it (was: separate (pk,sk) exchange + two pk
+    exchanges of the aggregated frame; the diamond's base is shared by
+    exchange reuse either way, so the net is 3 fact-side exchanges -> 1)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
@@ -669,6 +675,8 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = p.filter(F.col("p_type") == "SMALL").select("p_partkey")
     sp = (
         li.join(small, li["l_partkey"] == small["p_partkey"])
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("sq"))
     )
@@ -713,33 +721,56 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q21-shaped suppliers-who-kept-orders-waiting: for finished
     orders, the supplier whose line was returned while every co-supplier's
     was not (sole-blame detection; ``l_returnflag = 'R'`` stands in for
-    receipt-after-commit).  Expressed through ``spark.sql`` so Catalyst plans
-    the EXISTS / NOT EXISTS pair as left-semi and left-anti hash joins on
-    ``l_orderkey`` — three scans of lineitem, all joined on the same key, and
-    AQE can reuse the exchange.  Top-20 with a (numwait, s_name) tie-break
+    receipt-after-commit).
+
+    r15 (guide §2.4): the EXISTS / NOT EXISTS pair over co-suppliers of the
+    same order is a per-order set property, so it collapses into ONE window
+    pass over lineitem partitioned by ``l_orderkey``:
+
+    - EXISTS(l2: l2.suppkey <> l1.suppkey)  ⇔  the order has ≥ 2 distinct
+      suppliers;
+    - NOT EXISTS(l3: l3.suppkey <> l1.suppkey AND R)  ⇔  the distinct
+      R-flagged supplier set is exactly {l1.suppkey} — and since l1 itself
+      is R-flagged, that is precisely "exactly one distinct R supplier".
+
+    Was: three lineitem scans feeding a semi + anti join pair on
+    ``l_orderkey`` (at scale: two lineitem-vs-lineitem shuffle joins — four
+    fact-sized exchanges); now: ONE scan, ONE fact-sized exchange (the
+    window), and the order-status filter semi-joins the scan down before the
+    window (valid because co-supplier rows share the order, hence the
+    status).  ``collect_set`` per order is bounded by the lines-per-order
+    cap, so no skew risk.  Top-20 with a (numwait, s_name) tie-break still
     plans as TakeOrderedAndProject."""
-    for name in ("supplier", "lineitem", "orders"):
-        _t(spark, sf_dir, name).createOrReplaceTempView(f"v21_{name}")
-    return spark.sql(
-        """
-        SELECT s.s_name, count(*) AS numwait
-        FROM v21_supplier s
-        JOIN v21_lineitem l1 ON l1.l_suppkey = s.s_suppkey
-        JOIN v21_orders o ON o.o_orderkey = l1.l_orderkey
-        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
-          AND EXISTS (
-            SELECT 1 FROM v21_lineitem l2
-            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-          )
-          AND NOT EXISTS (
-            SELECT 1 FROM v21_lineitem l3
-            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-              AND l3.l_returnflag = 'R'
-          )
-        GROUP BY s.s_name
-        ORDER BY numwait DESC, s_name
-        LIMIT 20
-        """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    lo = li.select("l_orderkey", "l_suppkey", "l_returnflag").join(
+        o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = lo.select(
+        "l_suppkey",
+        "l_returnflag",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_rsupp"),
+    )
+    blamed = flagged.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_rsupp") == 1)
+    )
+    return (
+        blamed.join(s, blamed["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )
 
 

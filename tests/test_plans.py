@@ -196,7 +196,8 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
                                           # only filtered (group, suppkey)
                                           # pairs ever shuffle
         "q18_large_volume": 1,
-        "q21_waiting_suppliers": 1,
+        "q21_waiting_suppliers": 2,  # r15 window rewrite: one fact-sized
+                                     # window exchange + the s_name agg
     }
     for name, budget in budgets.items():
         plan = formatted_plan(spark, CATALOG[name].spark(spark, sf_dir))

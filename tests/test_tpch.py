@@ -72,10 +72,14 @@ def test_q4_exists_is_left_semi_hash_join(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in plan
 
 
-def test_q21_exists_pair_plans_as_semi_and_anti(spark, sf_dir):
+def test_q21_is_one_scan_one_window(spark, sf_dir):
+    """r15: the EXISTS/NOT EXISTS co-supplier pair is ONE window pass over
+    lineitem (collect_set sizes per order), not a semi+anti join trio —
+    exactly one lineitem scan, one Window node, no lineitem-vs-lineitem
+    join shape to degrade at scale."""
     plan = formatted_plan(spark, CATALOG["q21_waiting_suppliers"].spark(spark, sf_dir))
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.split("\n\n")[0].count("Window") == 1
     assert "CartesianProduct" not in plan
     # top-20 must not materialize a global sort
     assert "TakeOrderedAndProject" in plan
@@ -122,7 +126,8 @@ def test_tpch_shuffle_budgets(spark, sf_dir):
         "q6_forecast_revenue": 1,   # partial->final global agg only
         "q14_promo_revenue": 3,     # li<->part join (2) + single-group agg
         "q16_parts_supplier_cnt": 5,  # distinct, anti, part join, 2-level agg
-        "q20_excess_suppliers": 5,  # sp agg (reused), ptot, dom distinct, supplier join
+        "q20_excess_suppliers": 3,  # one pk repartition feeds sp/ptot/join
+                                    # shuffle-free (r15); dom distinct; slack
     }
     for name, budget in budgets.items():
         tree = formatted_plan(spark, CATALOG[name].spark(spark, sf_dir))
