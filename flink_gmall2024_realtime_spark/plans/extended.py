@@ -557,10 +557,18 @@ def dwd_trade_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship DWD SQL app (DwdTradeOrderDetail.java:99-102): order
     detail INNER JOIN order info + LEFT JOIN activity + LEFT JOIN coupon.
     Flink runs this as three stateful stream joins with 5 s idle-state TTL
-    and emits retractions; here the same logical plan is two broadcast-able
-    left joins after one keyed shuffle, and the downstream keyed upsert (K3)
-    sees identical final rows. Activity/coupon sides are synthesized CDC
-    projections of lineitem (the fixture has no separate tables)."""
+    and emits retractions. Activity/coupon sides are synthesized CDC
+    projections of lineitem (the fixture has no separate tables).
+
+    r15, examined and kept as-is: a one-scan groupBy(id) +
+    collect_list/explode_outer rewrite (the per-id cross product the left
+    joins compute — the fixture has 118k duplicate (orderkey, linenumber)
+    groups) was prototyped and paired-A/B measured 2.0x SLOWER at sf0.1
+    (0.895 → 1.807 s): the full-width fact shuffle + list building +
+    triple re-explosion costs far more than the three pruned scans feeding
+    broadcast probes, and the joined plan is what AQE can keep adapting at
+    scale (id-keyed SMJs with exchange reuse). Reverted; evidence in
+    OPTIMIZATION_r15.md."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     od = li.select(
@@ -647,25 +655,59 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``supplier`` — both scale with SF, so a hard hint is a guaranteed
     driver/broadcast-cap blowup at warehouse scale (guide §3.1); at fixture
     scale AQE broadcasts them anyway from their runtime sizes, so the
-    executed plan (and the bench number) is unchanged."""
+    executed plan (and the bench number) is unchanged.
+
+    r15 (guide §3 join ordering): the ASIA restriction is applied to
+    ``customer`` and ``supplier`` BEFORE their fact joins, as broadcast
+    LEFT-SEMI joins against the 5-row nation⋈region chain — the optimizer
+    cannot push a dim-chain filter backwards through joins on its own, so
+    previously every customer/supplier row shuffled and every joined row
+    survived until the final region join; now both dim-fact joins move
+    ~1/5 of the rows at any scale.  Semi joins specifically (not inner):
+    Catalyst sizes a LeftSemi's output at the LEFT side's estimate, so the
+    customer/supplier relations stay broadcast-eligible at fixture scale
+    (an inner-join subtree's inflated estimate forced the whole fact spine
+    into a SortMergeJoin — measured 1.07 → 1.78 s before this was caught;
+    the semi form paired-A/B's at 0.94x of the old tail-filter plan).
+    ``n_name`` re-attaches AFTER the 5-group aggregate via the same
+    broadcast (nationkey↔name is 1:1, so grouping by key is identical).
+    Inner joins commute, so the surviving row set is unchanged."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(
-            s,
-            (li["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
+    asia_n = (
+        n.join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            n["n_regionkey"] == r["r_regionkey"],
         )
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("n_name")
+        .select("n_nationkey", "n_name")
+    )
+    ca = c.join(
+        F.broadcast(asia_n.select(F.col("n_nationkey").alias("_cn"))),
+        c["c_nationkey"] == F.col("_cn"),
+        "left_semi",
+    ).select("c_custkey", "c_nationkey")
+    sa = s.join(
+        F.broadcast(asia_n.select(F.col("n_nationkey").alias("_sn"))),
+        s["s_nationkey"] == F.col("_sn"),
+        "left_semi",
+    ).select("s_suppkey", "s_nationkey")
+    agg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(ca, o["o_custkey"] == ca["c_custkey"])
+        .join(
+            sa,
+            (li["l_suppkey"] == sa["s_suppkey"]) & (sa["s_nationkey"] == ca["c_nationkey"]),
+        )
+        .groupBy("c_nationkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+    return agg.join(
+        F.broadcast(asia_n), agg["c_nationkey"] == asia_n["n_nationkey"]
+    ).select("n_name", "revenue")
 
 
 @register(
@@ -682,18 +724,27 @@ GROUP BY 1
 )
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q17-shaped correlated scalar subquery (below-half-average
-    quantity), expressed via spark.sql so Catalyst's decorrelation rewrites
-    it into an aggregate + join — the optimizer path the reference never had."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
-    return spark.sql(
-        """
-        SELECT l.l_partkey, round(sum(l.l_extendedprice), 2) AS small_qty_revenue
-        FROM v_lineitem l
-        WHERE l.l_quantity < (
-          SELECT 0.5 * avg(l2.l_quantity) FROM v_lineitem l2 WHERE l2.l_partkey = l.l_partkey
-        )
-        GROUP BY l.l_partkey
-        """
+    quantity).
+
+    r15 (guide §2.4): the correlated avg is a per-``l_partkey`` set property,
+    so it is ONE window over a single lineitem scan instead of Catalyst's
+    decorrelation (which plans a second full lineitem scan + aggregate +
+    self-join — at warehouse scale two fact-sized exchanges and a fact-fact
+    join; the fixture plan hid that by broadcasting the aggregate). The final
+    per-part rollup rides the window's ``HashPartitioning(l_partkey)``
+    shuffle-free, so the whole query is one scan + one fact exchange.
+
+    Numerically identical: ``l_quantity`` is integer-valued, so the window
+    avg (exact integer sum / count) equals the decorrelated aggregate under
+    any partial ordering, and the comparison cannot flip."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .withColumn("_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"))
     )
 
 
@@ -802,18 +853,24 @@ GROUP BY 1
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q13-shaped two-level aggregate: orders-per-customer via left
-    join (zero-order customers kept — count(col) skips the nulls the outer
-    join manufactures), then the distribution of those counts. The first
-    aggregate rides the join's hash shuffle on custkey; the second is a
-    near-trivial shuffle of |distinct counts| rows."""
+    join (zero-order customers kept), then the distribution of those counts.
+
+    r15 (guide §2.3 "aggregate before you shuffle"): orders pre-aggregate to
+    (o_custkey, count) BEFORE the customer join — map-side partials collapse
+    ~10 orders/customer to one row, so the join's orders side shuffles ~10x
+    fewer rows at any scale, and the post-join per-customer aggregate
+    disappears entirely (each customer matches <= 1 pre-agged row;
+    ``coalesce(ct, 0)`` keeps the zero-order customers the LEFT join
+    manufactures). Counts are integers — bit-identical under regrouping."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("order_ct"))
+    ocnt = o.groupBy("o_custkey").agg(F.count("o_orderkey").alias("_ct"))
+    return (
+        c.join(ocnt, c["c_custkey"] == ocnt["o_custkey"], "left")
+        .select(F.coalesce(F.col("_ct"), F.lit(0)).alias("order_ct"))
+        .groupBy("order_ct")
+        .agg(F.count(F.lit(1)).alias("cust_ct"))
     )
-    return per_cust.groupBy("order_ct").agg(F.count(F.lit(1)).alias("cust_ct"))
 
 
 @register(

@@ -184,14 +184,20 @@ SELECT p_brand, revenue, rank FROM (
     bench=True,
 )
 def q_topk_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k by revenue: broadcast dim join + two-level aggregate + ranking
-    window (the batch-oracle formulation SURVEY §2.6 names for the
-    reference's state-based dedups). Rank is over the rounded measure with a
-    brand tie-break — deterministic across engines."""
+    """Top-k by revenue: dim join + two-level aggregate + ranking window
+    (the batch-oracle formulation SURVEY §2.6 names for the reference's
+    state-based dedups). Rank is over the rounded measure with a brand
+    tie-break — deterministic across engines.
+
+    r15 (guide §3.1): dropped the hard ``F.broadcast(part)`` hint — part
+    scales with SF, so the hint guarantees a broadcast-cap blowup at
+    warehouse scale. Catalyst still picks BHJ from the fixture-size
+    estimate (plan-identical here); AQE decides from runtime sizes at
+    scale."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     r = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )

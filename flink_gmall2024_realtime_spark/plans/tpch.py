@@ -147,21 +147,28 @@ GROUP BY 1
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4-shaped order-priority check: orders in a half-year window with
     at least one late-shipped line (no ``l_commitdate`` in the fixture, so
-    "late" = shipped > 60 days after order date).  The EXISTS is a left-semi
-    join whose non-equi leg (the lateness comparison) rides the ``l_orderkey``
-    equi-hash join — no duplicate orders to re-distinct, and the date-range
-    filter pushes into the orders scan before the shuffle."""
+    "late" = shipped > 60 days after order date).
+
+    r15 (guide §2.3 "aggregate before you shuffle"): the EXISTS over a
+    per-order lateness predicate is equivalent to
+    ``max(l_shipdate) > o_orderdate + 60d`` — a per-order max, which
+    partial-aggregates map-side, so the join's lineitem side moves ~one row
+    per order instead of every line item (the prior left-semi shipped every
+    raw line through the join: semi joins have no partial aggregation). The
+    non-equi lateness leg still rides the ``l_orderkey`` equi-hash join, and
+    each order matches at most one pre-agged row, so the inner join is
+    row-for-row the old semi join."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     o96 = o.filter(
         (F.col("o_orderdate") >= _ts("1996-01-01"))
         & (F.col("o_orderdate") < _ts("1996-07-01"))
     )
+    mx = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("_max_ship"))
     late = o96.join(
-        li,
-        (o96["o_orderkey"] == li["l_orderkey"])
-        & (li["l_shipdate"] > o96["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
-        "left_semi",
+        mx,
+        (o96["o_orderkey"] == mx["l_orderkey"])
+        & (mx["_max_ship"] > o96["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
@@ -223,10 +230,14 @@ GROUP BY 1, 2, 3
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q7-shaped bilateral shipping volume between two nations by year.
     The nation filter is applied to ``customer`` and ``supplier`` *before*
-    their fact joins (each keeps ~1/25 of rows), so the disjunctive
-    nation-pair predicate only has to eliminate the two same-nation combos
-    after the join — the heavy lifting happened at the scans.  ``nation`` is
-    broadcast; the lineitem↔orders join is the only large shuffle."""
+    their fact joins (each keeps ~1/25 of rows).  ``nation`` is broadcast.
+
+    r15 (guide §3 join ordering): the 2-nation supplier join — the most
+    selective fact-side reducer (~2/25 of suppliers ⇒ ~2/25 of line items)
+    — runs BEFORE the lineitem↔orders join, so the only fact-fact exchange
+    pair carries ~8% of the date-filtered lines instead of all of them (and
+    the downstream customer join shrinks identically).  Inner joins commute;
+    the revenue sum is DECIMAL, so regrouping cannot move a bit."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -244,9 +255,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1996-01-01"))
             & (F.col("l_shipdate") < _ts("1998-01-01"))
         )
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(cn, o["o_custkey"] == cn["c_custkey"])
-        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
@@ -567,15 +578,21 @@ def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     count per (brand, type, size), excluding blacklisted suppliers (negative
     account balance stands in for the reference's complaint-comment filter).
 
-    Plan: NO standalone distinct.  Both dims broadcast (filtered part is
-    ~12% of an already-small table; the blacklist is tiny), so lineitem is
-    filtered map-side to the selective part groups BEFORE anything
-    shuffles; ``count_distinct`` then dedups in its own two-phase
-    aggregate — the map-side partial dedups on (group, suppkey), so what
-    crosses the wire is distinct (group, supplier) pairs of the filtered
-    12%, not the full part-supplier bridge.  Measured 1.2 -> 0.86 s at
-    sf0.1 vs the distinct-the-bridge-first formulation, and strictly less
-    shuffle volume at any scale."""
+    Plan: NO standalone distinct.  Both dims broadcast at fixture scale
+    (filtered part is ~12% of an already-small table; the blacklist is
+    tiny), so lineitem is filtered map-side to the selective part groups
+    BEFORE anything shuffles; ``count_distinct`` then dedups in its own
+    two-phase aggregate — the map-side partial dedups on (group, suppkey),
+    so what crosses the wire is distinct (group, supplier) pairs of the
+    filtered 12%, not the full part-supplier bridge.  Measured 1.2 ->
+    0.86 s at sf0.1 vs the distinct-the-bridge-first formulation, and
+    strictly less shuffle volume at any scale.
+
+    r15 (guide §3.1): dropped the hard ``F.broadcast`` hints — both sides
+    scale with SF (filtered part ~12% of |part|; the blacklist is ~half of
+    |supplier|), so a hint is a broadcast-cap/driver liability at warehouse
+    scale. Catalyst still picks BHJ from size estimates at fixture scale
+    (plan-identical), and AQE re-plans from runtime sizes everywhere else."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
@@ -587,8 +604,8 @@ def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
         li.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(pf), F.col("l_partkey") == pf["p_partkey"])
-        .join(F.broadcast(bad), F.col("l_suppkey") == bad["s_suppkey"], "left_anti")
+        .join(pf, F.col("l_partkey") == pf["p_partkey"])
+        .join(bad, F.col("l_suppkey") == bad["s_suppkey"], "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )

@@ -101,6 +101,13 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    # Deployment/experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    # (cluster operators size shuffle/memory knobs per environment; the
+    # r15 config A/Bs were measured through this seam).
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -63,11 +63,19 @@ def test_q6_all_predicates_reach_the_scan(spark, sf_dir):
     assert schema.count(":") == 4  # shipdate, discount, quantity, extendedprice
 
 
-def test_q4_exists_is_left_semi_hash_join(spark, sf_dir):
+def test_q4_exists_is_preaggregated_hash_join(spark, sf_dir):
+    """r15: EXISTS(late line) == max(l_shipdate) > o_orderdate + 60d — the
+    lineitem side partial-aggregates to one row per order BEFORE the join
+    (a semi join would ship every raw line), and the lateness comparison
+    still rides the equi join, not a loop join."""
     plan = formatted_plan(spark, CATALOG["q4_order_priority"].spark(spark, sf_dir))
-    assert "LeftSemi" in plan
+    tree = plan.split("\n\n")[0]
+    # per-order max aggregate below the join: two HashAggregates (partial+
+    # final) feeding the join's lineitem side
+    assert "max(l_shipdate" in plan
     # the lateness comparison must ride the equi join, not force a loop join
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
     # the half-year window reaches the orders scan
     assert "GreaterThanOrEqual(o_orderdate" in plan
 
