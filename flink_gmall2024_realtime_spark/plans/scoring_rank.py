@@ -1983,6 +1983,46 @@ def iceberg_eqdelete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_eqdelete_stats(media)
 
 
+def _footer_col_max(path: str, col: str):
+    """Job-free exact column max from parquet FOOTER statistics — the same
+    metadata the reader's row-group skipping already trusts (guide §6).
+    Returns None when the path has no parquet files, the column is missing,
+    or any row group lacks min/max stats; callers fall back to the Spark
+    aggregate job in that case. r15 (guide §1.2/§5: no driver jobs for what
+    metadata already knows): the scan benches used to run a full
+    ``agg(max)`` job per invocation — ~0.15 s of pure scan at sf0.1 and a
+    whole extra pass over the table at any scale — to learn a value every
+    file footer states exactly."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    if _os.path.isdir(path):
+        files = sorted(
+            _os.path.join(r, f)
+            for r, _d, fs in _os.walk(path)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    else:
+        files = [path] if _os.path.exists(path) else []
+    if not files:
+        return None
+    mx = None
+    for fp in files:
+        md = _pq.read_metadata(fp)
+        names = md.schema.to_arrow_schema().names
+        if col not in names:
+            return None
+        ci = names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
 @register(
     "delta_scan_bench",
     oracle="""
@@ -2016,7 +2056,12 @@ def delta_scan_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    hi = orders.agg(F.max("o_orderkey")).collect()[0][0] // 4
+    # r15: the quartile threshold comes from footer stats (job-free, exact);
+    # the agg(max) job survives only as the stats-absent fallback
+    mx = _footer_col_max(f"{sf_dir}/orders.parquet", "o_orderkey")
+    if mx is None:
+        mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    hi = mx // 4
     tmp = tempfile.mkdtemp(prefix="delta_scan_bench_")
     try:
         table = f"{tmp}/t"
@@ -2073,7 +2118,11 @@ def iceberg_scan_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    hi = orders.agg(F.max("o_orderkey")).collect()[0][0] // 4
+    # r15: footer-stat threshold, same rationale as delta_scan_bench
+    mx = _footer_col_max(f"{sf_dir}/orders.parquet", "o_orderkey")
+    if mx is None:
+        mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    hi = mx // 4
     tmp = tempfile.mkdtemp(prefix="iceberg_scan_bench_")
     try:
         table = f"{tmp}/t"

@@ -476,3 +476,29 @@ def test_dws_traffic_repair_is_partial_agg_plus_bounded_shift(spark, sf_dir):
     assert a == b, "forced modes disagree"
     # and the catalog entry stays oracle-shaped end to end
     assert CATALOG["dws_traffic_vc_ch_ar_isnew"].spark(spark, sf_dir).count() > 0
+
+
+def test_scan_bench_footer_max_is_exact_with_job_fallback(spark, sf_dir):
+    """r15: delta/iceberg_scan_bench derive their quartile threshold from
+    parquet FOOTER stats (job-free) — the footer max must equal the
+    aggregate-job max on every fixture, and the helper must return None
+    (forcing the Spark fallback) for a missing column or empty dir."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_gmall2024_realtime_spark.plans.scoring_rank import _footer_col_max
+
+    path = f"{sf_dir}/orders.parquet"
+    footer = _footer_col_max(path, "o_orderkey")
+    job = (
+        spark.read.parquet(path).agg(F.max("o_orderkey")).collect()[0][0]
+    )
+    assert footer == job
+    assert _footer_col_max(path, "no_such_column") is None
+    with tempfile.TemporaryDirectory() as d:
+        assert _footer_col_max(d, "o_orderkey") is None
+    # a directory of parquet files (the scaled-fixture shape) also resolves
+    with tempfile.TemporaryDirectory() as d:
+        spark.read.parquet(path).repartition(3).write.parquet(f"{d}/t")
+        assert _footer_col_max(f"{d}/t", "o_orderkey") == job
