@@ -2401,10 +2401,26 @@ def delta_scan(
             ]
         )
 
+    # r15 (guide §6): the read schema comes from the LOG's schemaString —
+    # the authoritative source real Delta readers use — instead of
+    # mergeSchema footer inference. Explicit-schema reads skip the
+    # inference pass entirely (measured 0.133 -> 0.026 s per read-group at
+    # fixture scale; at warehouse scale mergeSchema is a footer-reading
+    # job over every live file). Files that predate schema evolution
+    # return typed nulls for appended columns natively; extra (dropped)
+    # physical columns are never read at all — both exactly what the
+    # mergeSchema + project form produced.
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string as _pds2
+
+    phys_schema = StructType(
+        [StructField(phys(n), _pds2(t), True) for n, t in table_fields]
+    )
+
     def read_files(*files):
         if id_schema is not None:
             return spark.read.schema(id_schema).parquet(*files)
-        return spark.read.option("mergeSchema", "true").parquet(*files)
+        return spark.read.schema(phys_schema).parquet(*files)
 
     def project(df):
         cols = []

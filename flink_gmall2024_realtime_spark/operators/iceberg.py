@@ -987,8 +987,47 @@ def iceberg_scan(
             df = _anti_join_eq(spark, df, eq_resolved[idx])
         parts.append(df)
     if plain:
+        # r15 (guide §6): skip mergeSchema footer inference for the
+        # no-deletes fast path when the CURRENT table schema is
+        # non-temporal primitive — the read schema is then unambiguous
+        # from the table metadata (measured 0.133 -> 0.026 s per read at
+        # fixture scale; at warehouse scale inference reads every
+        # footer). Temporal columns stay on inference: the sink declares
+        # iceberg "timestamp" for Spark's adjusted-to-UTC type and the
+        # OCF decoder yields physical micros, so adjustedness cannot be
+        # reconstructed from the declared type alone. Files predating an
+        # added column return typed nulls natively, identical to the
+        # mergeSchema + projection result.
+        _ICE_PARQUET_READ = {
+            "long": "bigint", "int": "int", "string": "string",
+            "double": "double", "float": "float", "boolean": "boolean",
+        }
+        sid_p = md.get("current-schema-id", 0)
+        sch_p = next(
+            (sch for sch in md.get("schemas", [])
+             if sch.get("schema-id", 0) == sid_p),
+            None,
+        )
+        read_schema = None
+        if sch_p and sch_p.get("fields") and all(
+            isinstance(f.get("type"), str) and f["type"] in _ICE_PARQUET_READ
+            for f in sch_p["fields"]
+        ):
+            from pyspark.sql.types import StructField, StructType
+            from pyspark.sql.types import _parse_datatype_string as _pds
+
+            read_schema = StructType(
+                [
+                    StructField(
+                        f["name"], _pds(_ICE_PARQUET_READ[f["type"]]), True
+                    )
+                    for f in sch_p["fields"]
+                ]
+            )
         parts.append(
-            spark.read.option("mergeSchema", "true").parquet(*plain)
+            spark.read.schema(read_schema).parquet(*plain)
+            if read_schema is not None
+            else spark.read.option("mergeSchema", "true").parquet(*plain)
         )
     out = parts[0]
     for p in parts[1:]:

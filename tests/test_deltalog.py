@@ -3434,3 +3434,31 @@ def test_writer_protocol_gate(spark, tmp_path):
         DeltaAppendSink(path).commit_batch_distributed(
             spark.range(9, 12).selectExpr("id AS k"), 2
         )
+
+
+def test_scan_read_schema_comes_from_the_log_not_inference(spark, tmp_path):
+    """r15: delta_scan reads with an explicit schema built from the log's
+    schemaString (physical names) — no mergeSchema footer inference. The
+    result dtypes must follow the log's declared types, and files that
+    predate an added column must still return typed nulls (the property
+    inference used to provide)."""
+    from flink_gmall2024_realtime_spark.operators.deltalog import delta_scan
+    from flink_gmall2024_realtime_spark.streaming.delta import DeltaAppendSink
+
+    path = str(tmp_path / "tbl")
+    sink = DeltaAppendSink(path, schema_evolution=True)
+    sink.commit_batch(
+        spark.createDataFrame([(1, "a", 2.5)], "k long, v string, x double"), 0
+    )
+    sink.commit_batch(
+        spark.createDataFrame(
+            [(2, "b", 1.5, 7)], "k long, v string, x double, n int"
+        ),
+        1,
+    )
+    df = delta_scan(spark, path)
+    assert dict(df.dtypes) == {
+        "k": "bigint", "v": "string", "x": "double", "n": "int"
+    }
+    rows = {r["k"]: (r["v"], r["x"], r["n"]) for r in df.collect()}
+    assert rows == {1: ("a", 2.5, None), 2: ("b", 1.5, 7)}

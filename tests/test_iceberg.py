@@ -1889,3 +1889,32 @@ class TestIcebergTableChanges:
             + [(1, 111, "insert", t1), (7, 77, "insert", t1)]
             + [(1, 1, "delete", t1), (3, 3, "delete", t1)]
         )
+
+
+def test_plain_scan_explicit_schema_matches_inference(spark, tmp_path):
+    """r15: the no-deletes parquet path reads with an explicit schema from
+    the table metadata when every column is non-temporal primitive — dtypes
+    and rows must be identical to what mergeSchema inference produced, and
+    pre-evolution files must return typed nulls for appended columns."""
+    from flink_gmall2024_realtime_spark.operators.iceberg import (
+        IcebergAppendSink,
+        iceberg_scan,
+    )
+
+    path = str(tmp_path / "tbl")
+    sink = IcebergAppendSink(spark, path, schema_evolution=True)
+    sink.commit_batch(
+        spark.createDataFrame([(1, "a", 2.5)], "k long, v string, x double"), 0
+    )
+    sink.commit_batch(
+        spark.createDataFrame(
+            [(2, "b", 1.5, 7)], "k long, v string, x double, n int"
+        ),
+        1,
+    )
+    df = iceberg_scan(spark, path)
+    assert dict(df.dtypes) == {
+        "k": "bigint", "v": "string", "x": "double", "n": "int"
+    }
+    rows = {r["k"]: (r["v"], r["x"], r["n"]) for r in df.collect()}
+    assert rows == {1: ("a", 2.5, None), 2: ("b", 1.5, 7)}
