@@ -454,24 +454,35 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``l_shipmode``; ``l_linestatus`` plays the category role, and "late"
     reuses the q4 definition).  One equi-join with a non-equi lateness leg,
     then conditional counts per category — the two counts are one pass, not
-    two scans."""
+    two scans.
+
+    r15 (guide §2.3 narrower types): the priority STRING collapses to the
+    boolean the counts actually consume BEFORE the join, so the orders side
+    of the fact-fact exchange carries (orderkey, orderdate, 1 bit) instead
+    of a ~8-char string per row — no new stage, strictly fewer shuffled
+    bytes at scale (at fixture the orders side broadcasts either way;
+    plan shape unchanged)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     li97 = li.filter(
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1998-01-01"))
     )
+    o_narrow = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("_hi"),
+    )
     return (
         li97.join(
-            o,
-            (li97["l_orderkey"] == o["o_orderkey"])
-            & (li97["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+            o_narrow,
+            (li97["l_orderkey"] == o_narrow["o_orderkey"])
+            & (li97["l_shipdate"] > o_narrow["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
         )
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+            F.sum(F.when(F.col("_hi"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("_hi"), 0).otherwise(1)).alias("low_line_count"),
         )
     )
 
