@@ -682,6 +682,45 @@ _ICE_TO_SPARK = {
     "timestamptz": "bigint",
 }
 
+# r15: declared types whose PARQUET read schema is unambiguous — temporal
+# types are deliberately absent (the sink declares iceberg "timestamp" for
+# Spark's adjusted-to-UTC type while the OCF decoder yields physical
+# micros, so adjustedness cannot be reconstructed from the declared type;
+# those tables keep mergeSchema inference).
+_ICE_PARQUET_READ = {
+    "long": "bigint", "int": "int", "string": "string",
+    "double": "double", "float": "float", "boolean": "boolean",
+}
+
+
+def _parquet_read_schema(md: dict):
+    """Explicit Spark read schema from the CURRENT table schema, or None
+    when any field's declared type is not in ``_ICE_PARQUET_READ`` (caller
+    falls back to mergeSchema inference)."""
+    sid = md.get("current-schema-id", 0)
+    sch = next(
+        (s for s in md.get("schemas", []) if s.get("schema-id", 0) == sid),
+        None,
+    )
+    if not (
+        sch
+        and sch.get("fields")
+        and all(
+            isinstance(f.get("type"), str) and f["type"] in _ICE_PARQUET_READ
+            for f in sch["fields"]
+        )
+    ):
+        return None
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string as _pds
+
+    return StructType(
+        [
+            StructField(f["name"], _pds(_ICE_PARQUET_READ[f["type"]]), True)
+            for f in sch["fields"]
+        ]
+    )
+
 
 def _decoded_files_df(
     spark, path: str, rels: list, md: dict, fmt: str = "AVRO"
@@ -946,11 +985,27 @@ def iceberg_scan(
             for idx in sig:
                 df = _anti_join_eq(spark, df, eq_resolved[idx])
             parts.append(df)
+    def _read_data_parquet(*files):
+        # r15 (guide §6): explicit read schema from the table metadata
+        # when the CURRENT schema is non-temporal primitive — skips the
+        # mergeSchema footer-inference pass (0.133 -> 0.026 s per read at
+        # fixture scale; a footer sweep over every file at warehouse
+        # scale). Temporal columns stay on inference: the sink declares
+        # iceberg "timestamp" for Spark's adjusted-to-UTC type and the
+        # OCF decoder yields physical micros, so adjustedness cannot be
+        # reconstructed from the declared type alone. Files predating an
+        # added column return typed nulls natively — identical to the
+        # mergeSchema + projection result.
+        rs = _parquet_read_schema(md)
+        if rs is not None:
+            return spark.read.schema(rs).parquet(*files)
+        return spark.read.option("mergeSchema", "true").parquet(*files)
+
     for sig in sorted(sig_groups):
         g = sig_groups[sig]
         dfs = []
         if g["pos"] and distributed_deletes:
-            df = spark.read.option("mergeSchema", "true").parquet(
+            df = _read_data_parquet(
                 *sorted(full for full, _rel, _s in g["pos"])
             ).select(
                 "*",
@@ -975,11 +1030,7 @@ def iceberg_scan(
                     ).drop("__pos")
                 )
         if g["flat"]:
-            dfs.append(
-                spark.read.option("mergeSchema", "true").parquet(
-                    *sorted(g["flat"])
-                )
-            )
+            dfs.append(_read_data_parquet(*sorted(g["flat"])))
         df = dfs[0]
         for d in dfs[1:]:
             df = df.unionByName(d, allowMissingColumns=True)
@@ -987,48 +1038,7 @@ def iceberg_scan(
             df = _anti_join_eq(spark, df, eq_resolved[idx])
         parts.append(df)
     if plain:
-        # r15 (guide §6): skip mergeSchema footer inference for the
-        # no-deletes fast path when the CURRENT table schema is
-        # non-temporal primitive — the read schema is then unambiguous
-        # from the table metadata (measured 0.133 -> 0.026 s per read at
-        # fixture scale; at warehouse scale inference reads every
-        # footer). Temporal columns stay on inference: the sink declares
-        # iceberg "timestamp" for Spark's adjusted-to-UTC type and the
-        # OCF decoder yields physical micros, so adjustedness cannot be
-        # reconstructed from the declared type alone. Files predating an
-        # added column return typed nulls natively, identical to the
-        # mergeSchema + projection result.
-        _ICE_PARQUET_READ = {
-            "long": "bigint", "int": "int", "string": "string",
-            "double": "double", "float": "float", "boolean": "boolean",
-        }
-        sid_p = md.get("current-schema-id", 0)
-        sch_p = next(
-            (sch for sch in md.get("schemas", [])
-             if sch.get("schema-id", 0) == sid_p),
-            None,
-        )
-        read_schema = None
-        if sch_p and sch_p.get("fields") and all(
-            isinstance(f.get("type"), str) and f["type"] in _ICE_PARQUET_READ
-            for f in sch_p["fields"]
-        ):
-            from pyspark.sql.types import StructField, StructType
-            from pyspark.sql.types import _parse_datatype_string as _pds
-
-            read_schema = StructType(
-                [
-                    StructField(
-                        f["name"], _pds(_ICE_PARQUET_READ[f["type"]]), True
-                    )
-                    for f in sch_p["fields"]
-                ]
-            )
-        parts.append(
-            spark.read.schema(read_schema).parquet(*plain)
-            if read_schema is not None
-            else spark.read.option("mergeSchema", "true").parquet(*plain)
-        )
+        parts.append(_read_data_parquet(*plain))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
