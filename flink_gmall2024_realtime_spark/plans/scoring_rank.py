@@ -2016,8 +2016,16 @@ def _footer_col_max(path: str, col: str):
             return None
         ci = names.index(col)
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st is None or not st.has_min_max:
+            cmd = md.row_group(rg).column(ci)
+            st = cmd.statistics
+            # fixed-width numerics only: parquet string/binary max_value
+            # may be TRUNCATED (>= the true max, not equal), which would
+            # silently corrupt an exact threshold
+            if (
+                st is None
+                or not st.has_min_max
+                or cmd.physical_type not in ("INT32", "INT64", "FLOAT", "DOUBLE")
+            ):
                 return None
             mx = st.max if mx is None else max(mx, st.max)
     return mx

@@ -502,3 +502,14 @@ def test_scan_bench_footer_max_is_exact_with_job_fallback(spark, sf_dir):
     with tempfile.TemporaryDirectory() as d:
         spark.read.parquet(path).repartition(3).write.parquet(f"{d}/t")
         assert _footer_col_max(f"{d}/t", "o_orderkey") == job
+
+
+def test_footer_col_max_refuses_truncatable_string_stats(spark, sf_dir):
+    """Parquet string/binary max_value may be truncated upward by writers;
+    the footer-max helper must refuse non-fixed-width columns and force the
+    exact Spark-job fallback."""
+    from flink_gmall2024_realtime_spark.plans.scoring_rank import _footer_col_max
+
+    path = f"{sf_dir}/orders.parquet"
+    assert _footer_col_max(path, "o_orderpriority") is None  # string column
+    assert _footer_col_max(path, "o_orderkey") is not None   # int64 column
