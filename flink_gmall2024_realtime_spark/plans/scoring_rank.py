@@ -1983,19 +1983,30 @@ def iceberg_eqdelete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_eqdelete_stats(media)
 
 
+# Above this many files the serial footer sweep is no longer obviously
+# cheaper than the distributed aggregate it replaces; callers fall back to
+# the Spark job (VERDICT r15 #5: never let the driver open thousands of
+# footers one by one).
+_FOOTER_MAX_FILES = 64
+
+
 def _footer_col_max(path: str, col: str):
     """Job-free exact column max from parquet FOOTER statistics — the same
     metadata the reader's row-group skipping already trusts (guide §6).
-    Returns None when the path has no parquet files, the column is missing,
-    or any row group lacks min/max stats; callers fall back to the Spark
-    aggregate job in that case. r15 (guide §1.2/§5: no driver jobs for what
-    metadata already knows): the scan benches used to run a full
-    ``agg(max)`` job per invocation — ~0.15 s of pure scan at sf0.1 and a
-    whole extra pass over the table at any scale — to learn a value every
-    file footer states exactly."""
+    Returns None when the path has no parquet files, has more than
+    ``_FOOTER_MAX_FILES`` of them, the column is missing or not a
+    top-level integer leaf, or any row group lacks min/max stats; callers
+    fall back to the Spark aggregate job in every None case. r15 (guide
+    §1.2/§5: no driver jobs for what metadata already knows): the scan
+    benches used to run a full ``agg(max)`` job per invocation — ~0.15 s of
+    pure scan at sf0.1 and a whole extra pass over the table at any scale —
+    to learn a value every file footer states exactly."""
     import os as _os
 
-    import pyarrow.parquet as _pq
+    try:
+        import pyarrow.parquet as _pq
+    except ImportError:
+        return None
 
     if _os.path.isdir(path):
         files = sorted(
@@ -2006,25 +2017,37 @@ def _footer_col_max(path: str, col: str):
         )
     else:
         files = [path] if _os.path.exists(path) else []
-    if not files:
+    if not files or len(files) > _FOOTER_MAX_FILES:
         return None
     mx = None
     for fp in files:
         md = _pq.read_metadata(fp)
-        names = md.schema.to_arrow_schema().names
-        if col not in names:
+        # row_group().column(i) indexes parquet LEAF columns, which diverge
+        # from the Arrow top-level schema as soon as any nested column
+        # precedes ``col`` — locate the leaf by its dotted path instead
+        # (a top-level primitive's path IS its name) and verify identity.
+        ci = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).path == col
+            ),
+            None,
+        )
+        if ci is None:
             return None
-        ci = names.index(col)
         for rg in range(md.num_row_groups):
             cmd = md.row_group(rg).column(ci)
             st = cmd.statistics
-            # fixed-width numerics only: parquet string/binary max_value
-            # may be TRUNCATED (>= the true max, not equal), which would
-            # silently corrupt an exact threshold
+            # integer leaves only: parquet string/binary max_value may be
+            # TRUNCATED (>= the true max, not equal), and FLOAT/DOUBLE
+            # footer stats exclude NaN while Spark's max() sorts NaN above
+            # every value — either would silently corrupt an exact
+            # threshold
             if (
                 st is None
                 or not st.has_min_max
-                or cmd.physical_type not in ("INT32", "INT64", "FLOAT", "DOUBLE")
+                or cmd.physical_type not in ("INT32", "INT64")
             ):
                 return None
             mx = st.max if mx is None else max(mx, st.max)

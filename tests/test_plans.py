@@ -513,3 +513,44 @@ def test_footer_col_max_refuses_truncatable_string_stats(spark, sf_dir):
     path = f"{sf_dir}/orders.parquet"
     assert _footer_col_max(path, "o_orderpriority") is None  # string column
     assert _footer_col_max(path, "o_orderkey") is not None   # int64 column
+
+
+def test_footer_col_max_r16_guards(spark, sf_dir, tmp_path):
+    """r16 hardening (ADVICE r15 + VERDICT r15 #5): leaf-column indexing
+    must survive a nested column placed BEFORE the target (Arrow top-level
+    index != parquet leaf index), FLOAT/DOUBLE stats are refused (footer
+    min/max excludes NaN, Spark max() sorts NaN highest), and above the
+    file-count cap the helper returns None so the driver never serially
+    opens thousands of footers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import flink_gmall2024_realtime_spark.plans.scoring_rank as sr
+
+    # nested (struct) column ahead of the int leaf: names.index() would
+    # pick the struct's first leaf; the path-matched lookup must not
+    nested = tmp_path / "nested.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "s": pa.array([{"a": 9, "b": 9}] * 4),
+                "o_orderkey": pa.array([1, 7, 3, 5], type=pa.int64()),
+            }
+        ),
+        nested,
+    )
+    assert sr._footer_col_max(str(nested), "o_orderkey") == 7
+    # a float column is refused even though its stats exist
+    floats = tmp_path / "floats.parquet"
+    pq.write_table(
+        pa.table({"x": pa.array([1.0, float("nan"), 2.0])}), floats
+    )
+    assert sr._footer_col_max(str(floats), "x") is None
+    # file-count cap: a directory with more than _FOOTER_MAX_FILES parquet
+    # files forces the Spark-job fallback
+    many = tmp_path / "many"
+    many.mkdir()
+    one = pa.table({"o_orderkey": pa.array([1], type=pa.int64())})
+    for i in range(sr._FOOTER_MAX_FILES + 1):
+        pq.write_table(one, many / f"part-{i:05d}.parquet")
+    assert sr._footer_col_max(str(many), "o_orderkey") is None
