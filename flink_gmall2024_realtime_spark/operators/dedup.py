@@ -621,33 +621,47 @@ def minhash_lsh_pairs(
     # codegen'd ``array_intersect`` fused into the join stage (equi-joins
     # on rep id; AQE broadcasts the small side). F.round is half-away like
     # DuckDB's ROUND.
-    reps = groups.select(F.element_at("ids", 1).alias("doc_id"), "shs", "bkt")
-    bands = reps.select("doc_id", F.explode("bkt").alias("bkt"))
+    bands = groups.select(
+        F.element_at("ids", 1).alias("doc_id"), F.explode("bkt").alias("bkt")
+    )
     cand = _bucket_pairs(bands, "bkt", "doc_id", bucket_cap)
     if rescue_capped:
         cand = cand.unionByName(_rescue_capped_candidates(bands, bucket_cap))
     cand = cand.distinct()
-    # distinct: a true near-dup pair collides in many bands
+    # distinct: a true near-dup pair collides in many bands.
+    # r16 (guide §2.4, VERDICT r15 #4): each side's verify payload (shs)
+    # and member list (ids) attach in ONE join per side — the old form ran
+    # two more joins after verification to re-fetch the member lists; the
+    # ids arrays are near-singleton, so carrying them through the verify
+    # filter costs bytes only for candidates that fail it.
+    side = groups.select(F.element_at("ids", 1).alias("rep"), "shs", "ids")
     pairs = (
-        cand.join(reps.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
-        .join(reps.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
+        cand.join(
+            side.select(
+                F.col("rep").alias("id_a"),
+                F.col("shs").alias("shs_a"),
+                F.col("ids").alias("ids_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            side.select(
+                F.col("rep").alias("id_b"),
+                F.col("shs").alias("shs_b"),
+                F.col("ids").alias("ids_b"),
+            ),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     union = F.size("shs_a") + F.size("shs_b") - inter
-    rep_pairs = (
+    # (c) expand verified rep pairs through both member lists — exactly the
+    # member pairs, each carrying the (exact) rep-level Jaccard (identical
+    # sets have identical Jaccard to everything, so the rep-level value is
+    # exact for every member pair)
+    cross = (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    # (c) expand verified rep pairs through both member lists — exactly the
-    # member pairs, each carrying the (exact) rep-level Jaccard
-    cross = (
-        rep_pairs.join(
-            groups.select(F.element_at("ids", 1).alias("id_a"), F.col("ids").alias("ids_a")), "id_a"
-        )
-        .join(
-            groups.select(F.element_at("ids", 1).alias("id_b"), F.col("ids").alias("ids_b")), "id_b"
-        )
         .select(F.explode("ids_a").alias("ia"), "ids_b", "jaccard")
         .select("ia", F.explode("ids_b").alias("ib"), "jaccard")
         .select(
