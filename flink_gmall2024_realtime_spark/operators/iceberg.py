@@ -724,6 +724,46 @@ def _parquet_read_schema(md: dict):
     )
 
 
+def _range_read_schema(md: dict, snaps: list):
+    """Union explicit read schema over a snapshot RANGE (r16 — VERDICT
+    r15 #1): each data file is written under its snapshot's schema and
+    this sink's evolution only APPENDS fields, so the union of the
+    range's declared schemas (by field id, first-seen order) IS the
+    union a mergeSchema footer sweep would infer over the range's
+    files. Returns None (callers keep inference) when any snapshot
+    predates schema-id stamping (foreign/legacy metadata), any type
+    maps ambiguously, or a field id changes name/type mid-range
+    (rename/retype — not expressible as one read schema)."""
+    by_id = {s.get("schema-id", 0): s for s in md.get("schemas", [])}
+    seen: dict = {}
+    fields: list = []
+    for snap in snaps:
+        sid = snap.get("schema-id")
+        if sid is None or sid not in by_id:
+            return None
+        for f in by_id[sid].get("fields", []):
+            t = f.get("type")
+            if not isinstance(t, str) or t not in _ICE_PARQUET_READ:
+                return None
+            prev = seen.get(f["id"])
+            if prev is None:
+                seen[f["id"]] = (f["name"], t)
+                fields.append((f["name"], t))
+            elif prev != (f["name"], t):
+                return None
+    if not fields:
+        return None
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string as _pds
+
+    return StructType(
+        [
+            StructField(n, _pds(_ICE_PARQUET_READ[t]), True)
+            for n, t in fields
+        ]
+    )
+
+
 def _decoded_files_df(
     spark, path: str, rels: list, md: dict, fmt: str = "AVRO"
 ) -> DataFrame:
@@ -3101,6 +3141,15 @@ class IcebergAppendSink:
                 "sequence-number": seq,
                 "timestamp-ms": 0,
                 "manifest-list": ml_rel,
+                # r16: the spec's optional snapshot schema-id — records
+                # which schema this snapshot's files were written under,
+                # so range reads (changelog/stream source) can resolve
+                # their union schema from metadata instead of footers
+                "schema-id": (
+                    schema_update["schema-id"]
+                    if schema_update is not None
+                    else (md or {}).get("current-schema-id", 0)
+                ),
                 "summary": {
                     "operation": operation
                     or (
@@ -3633,6 +3682,7 @@ class IcebergAppendSink:
                 "sequence-number": seq,
                 "timestamp-ms": 0,
                 "manifest-list": ml_rel,
+                "schema-id": md.get("current-schema-id", 0),
                 "summary": {"operation": "replace", "batch-id": str(batch_id)},
             }
             new_md = dict(md)
@@ -3994,7 +4044,20 @@ def iceberg_table_changes(
             raise NotImplementedError(
                 "duplicate added-file basenames in the snapshot range"
             )
-        df = spark.read.option("mergeSchema", "true").parquet(
+        # r16 (guide §6, VERDICT r15 #1): explicit union schema resolved
+        # from the contributing snapshots' schema-ids — no mergeSchema
+        # footer sweep; foreign/legacy metadata without snapshot
+        # schema-ids keeps inference
+        ins_sids = {s_ for _r, s_ in inserts}
+        rs = _range_read_schema(
+            md, [s for s in pending if s["snapshot-id"] in ins_sids]
+        )
+        reader = (
+            spark.read.schema(rs)
+            if rs is not None
+            else spark.read.option("mergeSchema", "true")
+        )
+        df = reader.parquet(
             *sorted(os.path.join(path, rel) for rel, _s in inserts)
         ).select("*", F.col("_metadata.file_name").alias("__file"))
         v_df = spark.createDataFrame(
@@ -4022,7 +4085,23 @@ def iceberg_table_changes(
                 f"position deletes name unknown files {sorted(missing)[:3]}"
             )
         wanted = sorted({by_name[n] for n, _p, _s in pos_rows})
-        df = spark.read.option("mergeSchema", "true").parquet(
+        # r16: the deleted rows' files may predate the range, so the
+        # explicit path engages only when every snapshot up to the range
+        # head shares ONE schema-id (then that schema IS the union any
+        # of those files could carry); mixed-schema histories keep
+        # mergeSchema inference
+        upto = [s for s in snaps if s.get("sequence-number", 0) <= hi_seq]
+        rs2 = (
+            _range_read_schema(md, upto)
+            if len({s.get("schema-id") for s in upto}) == 1
+            else None
+        )
+        reader2 = (
+            spark.read.schema(rs2)
+            if rs2 is not None
+            else spark.read.option("mergeSchema", "true")
+        )
+        df = reader2.parquet(
             *(os.path.join(path, rel) for rel in wanted)
         ).select(
             "*",
@@ -4194,6 +4273,7 @@ class IcebergStreamSource:
             key=lambda s: s.get("sequence-number", 0),
         )
         rels: list[str] = []
+        contributing: list = []
         for s in pending:
             op = (s.get("summary") or {}).get("operation", "append")
             if op == "replace":
@@ -4205,7 +4285,10 @@ class IcebergStreamSource:
                     "change — pass ignore_changes=True to accept "
                     "append-side-only semantics"
                 )
-            rels.extend(self._added_files(s, location))
+            added = self._added_files(s, location)
+            if added:
+                contributing.append(s)
+            rels.extend(added)
         self._pos = head
         if not rels:
             return (
@@ -4214,7 +4297,17 @@ class IcebergStreamSource:
                 ),
                 head,
             )
-        df = self.spark.read.parquet(
+        # r16 (guide §6): explicit union schema from the contributing
+        # snapshots' schema-ids. The bare read this replaces inferred
+        # from ONE sampled footer — under mid-range evolution its column
+        # set depended on file listing order; the declared union is both
+        # cheaper (no footer job) and deterministic. Legacy metadata
+        # without snapshot schema-ids keeps the inferring read.
+        rs = _range_read_schema(md, contributing)
+        reader = (
+            self.spark.read.schema(rs) if rs is not None else self.spark.read
+        )
+        df = reader.parquet(
             *(os.path.join(self.path, rel) for rel in rels)
         )
         return df, head
