@@ -1990,11 +1990,11 @@ def iceberg_eqdelete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FOOTER_MAX_FILES = 64
 
 
-def _footer_col_max(path: str, col: str):
-    """Job-free exact column max from parquet FOOTER statistics — the same
-    metadata the reader's row-group skipping already trusts (guide §6).
-    Returns None when the path has no parquet files, has more than
-    ``_FOOTER_MAX_FILES`` of them, the column is missing or not a
+def _footer_col_minmax(path: str, col: str):
+    """Job-free exact column (min, max) from parquet FOOTER statistics —
+    the same metadata the reader's row-group skipping already trusts
+    (guide §6). Returns None when the path has no parquet files, has more
+    than ``_FOOTER_MAX_FILES`` of them, the column is missing or not a
     top-level integer leaf, or any row group lacks min/max stats; callers
     fall back to the Spark aggregate job in every None case. r15 (guide
     §1.2/§5: no driver jobs for what metadata already knows): the scan
@@ -2019,7 +2019,7 @@ def _footer_col_max(path: str, col: str):
         files = [path] if _os.path.exists(path) else []
     if not files or len(files) > _FOOTER_MAX_FILES:
         return None
-    mx = None
+    mn = mx = None
     for fp in files:
         md = _pq.read_metadata(fp)
         # row_group().column(i) indexes parquet LEAF columns, which diverge
@@ -2050,8 +2050,77 @@ def _footer_col_max(path: str, col: str):
                 or cmd.physical_type not in ("INT32", "INT64")
             ):
                 return None
+            mn = st.min if mn is None else min(mn, st.min)
             mx = st.max if mx is None else max(mx, st.max)
-    return mx
+    return (mn, mx) if mx is not None else None
+
+
+def _footer_col_max(path: str, col: str):
+    """See ``_footer_col_minmax`` — the max-only form the benches'
+    quartile thresholds use."""
+    got = _footer_col_minmax(path, col)
+    return got[1] if got is not None else None
+
+
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one int32, bit-identical to Spark's ``hash()``
+    on an IntegerType column (the hashInt path, default seed 42) — lets
+    the driver PREDICT which shuffle partition a bucket label hashes to
+    without running a job (pure arithmetic, no JVM call)."""
+    m = 0xFFFFFFFF
+    k1 = (x * 0xCC9E2D51) & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = (k1 * 0x1B873593) & m
+    h1 = seed ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    h1 ^= 4  # fmix: length in bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1  # signed int32
+
+
+def _range_bucket_labels(n: int) -> list[int]:
+    """Labels ``l_0..l_{n-1}`` with ``pmod(murmur3(l_s), n) == s`` — a
+    bijection between range slices and shuffle partitions, so a plain
+    hash ``repartition(n, label)`` lands slice s in partition s (guide
+    §2.5's too-few-distinct-keys collision hazard, solved by choosing
+    the keys instead of hoping)."""
+    labels: list = [None] * n
+    need, i = n, 0
+    while need:
+        p = _murmur3_int32(i) % n
+        if labels[p] is None:
+            labels[p] = i
+            need -= 1
+        i += 1
+    return labels
+
+
+def _range_bucketed(df, col: str, n: int, mn: int, mx: int):
+    """Range-clustered n-way partitioning WITHOUT the sampling pass
+    ``repartitionByRange`` runs (r16 — VERDICT r15 #8, guide §2.4): the
+    exact [mn, mx] from the parquet footers replaces sampled bounds —
+    each row maps to one of ``n`` equal-width key slices and the slice
+    maps 1:1 onto a shuffle partition via ``_range_bucket_labels``, so
+    every output file still holds one contiguous key range (the
+    file-level min/max locality the scan benches' pruning leg measures)
+    while the input is read exactly once."""
+    span = mx - mn + 1
+    # exact integer floor-div (num and span are non-negative longs; the
+    # subtraction makes the double division exactly representable)
+    num = (F.col(col) - F.lit(mn)) * F.lit(n)
+    slice_ = F.least(
+        F.lit(n - 1),
+        ((num - num % F.lit(span)) / F.lit(span)).cast("long"),
+    ).cast("int")
+    lbl = F.element_at(
+        F.array(*[F.lit(v) for v in _range_bucket_labels(n)]), slice_ + 1
+    ).cast("int")
+    return df.withColumn("__rb", lbl).repartition(n, "__rb").drop("__rb")
 
 
 @register(
@@ -2088,17 +2157,22 @@ def delta_scan_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     # r15: the quartile threshold comes from footer stats (job-free, exact);
-    # the agg(max) job survives only as the stats-absent fallback
-    mx = _footer_col_max(f"{sf_dir}/orders.parquet", "o_orderkey")
-    if mx is None:
-        mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    # the agg(max) job survives only as the stats-absent fallback.
+    # r16 (VERDICT r15 #8): the same footer (min, max) also replaces
+    # repartitionByRange's SAMPLING pass — one fewer full read of orders
+    # per invocation, same one-contiguous-range-per-file layout.
+    got = _footer_col_minmax(f"{sf_dir}/orders.parquet", "o_orderkey")
+    if got is None:
+        agg = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()
+        got = (agg[0][0], agg[0][1])
+    mn, mx = got
     hi = mx // 4
     tmp = tempfile.mkdtemp(prefix="delta_scan_bench_")
     try:
         table = f"{tmp}/t"
         sink = DeltaAppendSink(table)
         sink.commit_batch_distributed(
-            orders.repartitionByRange(8, "o_orderkey"), 0
+            _range_bucketed(orders, "o_orderkey", 8, mn, mx), 0
         )
         df = delta_scan(
             spark, table, stats_filter={"o_orderkey": (None, hi)}
@@ -2149,17 +2223,20 @@ def iceberg_scan_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    # r15: footer-stat threshold, same rationale as delta_scan_bench
-    mx = _footer_col_max(f"{sf_dir}/orders.parquet", "o_orderkey")
-    if mx is None:
-        mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    # r15: footer-stat threshold, same rationale as delta_scan_bench.
+    # r16: footer-bounds range bucketing replaces the sampling pass too.
+    got = _footer_col_minmax(f"{sf_dir}/orders.parquet", "o_orderkey")
+    if got is None:
+        agg = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()
+        got = (agg[0][0], agg[0][1])
+    mn, mx = got
     hi = mx // 4
     tmp = tempfile.mkdtemp(prefix="iceberg_scan_bench_")
     try:
         table = f"{tmp}/t"
         sink = IcebergAppendSink(spark, table)
         sink.commit_batch_distributed(
-            orders.repartitionByRange(8, "o_orderkey"), 0
+            _range_bucketed(orders, "o_orderkey", 8, mn, mx), 0
         )
         df = iceberg_scan(
             spark, table, stats_filter={"o_orderkey": (None, hi)}

@@ -515,6 +515,47 @@ def test_footer_col_max_refuses_truncatable_string_stats(spark, sf_dir):
     assert _footer_col_max(path, "o_orderkey") is not None   # int64 column
 
 
+def test_range_bucketed_matches_spark_hash_and_keeps_locality(spark, sf_dir):
+    """r16 (VERDICT r15 #8): the scan benches replace repartitionByRange's
+    sampling pass with footer-bounds range bucketing. Three contracts:
+    (1) the Python murmur3 predicts Spark's hash() exactly, (2) the label
+    set maps slices onto shuffle partitions bijectively, and (3) every
+    output partition holds one contiguous, disjoint key range — the
+    file-level min/max locality the pruning leg measures."""
+    from pyspark.sql import functions as F
+
+    from flink_gmall2024_realtime_spark.plans.scoring_rank import (
+        _murmur3_int32,
+        _range_bucket_labels,
+        _range_bucketed,
+    )
+
+    vals = list(range(-3, 40)) + [12345, -98765, 2**31 - 1, -(2**31)]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "x int")
+        .select(F.hash("x").alias("h"))
+        .collect()
+    )
+    assert [r.h for r in got] == [_murmur3_int32(v) for v in vals]
+    labels = _range_bucket_labels(8)
+    assert sorted(_murmur3_int32(v) % 8 for v in labels) == list(range(8))
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    mn, mx = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    parts = (
+        _range_bucketed(df, "o_orderkey", 8, mn, mx)
+        .rdd.glom()
+        .map(lambda rows: (min(r[0] for r in rows), max(r[0] for r in rows), len(rows)) if rows else None)
+        .collect()
+    )
+    ranges = sorted(p[:2] for p in parts if p)
+    assert len(ranges) == 8
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "partition key ranges must be disjoint"
+    assert ranges[0][0] == mn and max(h for _l, h in ranges) == mx
+    total = sum(p[2] for p in parts if p)
+    assert total == df.count()
+
+
 def test_footer_col_max_r16_guards(spark, sf_dir, tmp_path):
     """r16 hardening (ADVICE r15 + VERDICT r15 #5): leaf-column indexing
     must survive a nested column placed BEFORE the target (Arrow top-level
