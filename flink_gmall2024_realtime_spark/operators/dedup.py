@@ -57,6 +57,20 @@ LSH_BUCKET_CAP = 256
 SIMHASH_BUCKET_CAP = 2048
 
 
+def _spread_for_arrow(df: DataFrame, par: int) -> DataFrame:
+    """Round-robin repartition ONLY when the source arrives with fewer
+    partitions than the target parallelism (r16, guide §2.3/§2.4): a small
+    fixture file is one scan split, which would serialize the Arrow
+    signing pass — but a warehouse-scale scan already has thousands of
+    splits, and the old unconditional ``repartition(par)`` would SHUFFLE
+    the heaviest bytes in the pipeline (the raw document text) only to
+    reduce its parallelism. Partition-count check is driver-side plan
+    inspection — no job."""
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def _pairs_from_ids(with_ids: DataFrame, cap: int) -> DataFrame:
     """Capped (id_a < id_b) pair expansion over a frame carrying a sorted
     ``ids`` array column: all pairs among the first ``cap`` ids plus a star
@@ -459,10 +473,11 @@ def _doc_sig_sets(
     (h < 2^28, a_i < 2^7). Docs with fewer than ``n`` tokens produce no row,
     matching the groupBy-over-no-shingles behavior.
 
-    ``repartition`` before the pass: a small fixture file arrives as one scan
-    split, which would serialize the pass; at real scale the scan already has
-    thousands of splits and the repartition collapses into it cost-free
-    relative to the work.
+    ``_spread_for_arrow`` before the pass: a small fixture file arrives as
+    one scan split, which would serialize the pass, so it round-robins up to
+    the session parallelism — but ONLY then; a warehouse-scale scan already
+    has thousands of splits and keeps them (r16: the old unconditional
+    repartition shuffled the raw text at any scale).
 
     ``shs`` carries 60-bit shingle hashes, not the shingle strings: set
     intersection sees equal strings as equal hashes always, and an unequal
@@ -538,12 +553,8 @@ def _doc_sig_sets(
                 bkts.append(bk.view(np.int64))
             yield pd.DataFrame({"doc_id": ids, "sig": sigs, "shs": sets, "bkt": bkts})
 
-    return (
-        docs.select(id_col, text_col)
-        .repartition(par)
-        .mapInPandas(
-            fn, "doc_id long, sig array<bigint>, shs array<bigint>, bkt array<bigint>"
-        )
+    return _spread_for_arrow(docs.select(id_col, text_col), par).mapInPandas(
+        fn, "doc_id long, sig array<bigint>, shs array<bigint>, bkt array<bigint>"
     )
 
 
@@ -1004,10 +1015,8 @@ def simhash(docs: DataFrame, bits: int = 48, text_col: str = "text", id_col: str
                 {"doc_id": pd.array(ids, dtype="int64"), "simhash": pd.array(fps, dtype="int64")}
             )
 
-    return (
-        docs.select(id_col, text_col)
-        .repartition(par)
-        .mapInPandas(fn, "doc_id long, simhash long")
+    return _spread_for_arrow(docs.select(id_col, text_col), par).mapInPandas(
+        fn, "doc_id long, simhash long"
     )
 
 

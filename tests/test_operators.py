@@ -255,6 +255,33 @@ def test_shingles_and_jaccard(spark):
     assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in lsh] == [(1, 2, 1.0)]
 
 
+def test_signing_pass_spreads_only_undersplit_sources(spark):
+    """r16 (guide §2.3): the Arrow signing passes round-robin an
+    under-split source up to the session parallelism, but a source that
+    already has enough partitions keeps them — a warehouse-scale scan
+    must never shuffle the raw text just to reduce its parallelism."""
+    from pyspark.sql import functions as F
+
+    from flink_gmall2024_realtime_spark.operators.dedup import (
+        _spread_for_arrow,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(10)], "doc_id long, text string"
+    )
+    few = docs.coalesce(1)
+    spread = _spread_for_arrow(few, par)
+    assert spread.rdd.getNumPartitions() == par
+    many = docs.repartition(par + 8)
+    kept = _spread_for_arrow(many, par)
+    assert kept is many  # no new exchange on a well-split source
+    # end to end: results identical either way
+    a = {tuple(r) for r in dedup.minhash_signatures(few.select("doc_id", F.col("text"))).select("doc_id").collect()}
+    b = {tuple(r) for r in dedup.minhash_signatures(many).select("doc_id").collect()}
+    assert a == b
+
+
 def test_simhash_identical_docs_equal(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text="spark flink join"), Row(doc_id=2, text="spark flink join"), Row(doc_id=3, text="totally different words here")]
