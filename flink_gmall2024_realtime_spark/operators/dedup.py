@@ -600,10 +600,12 @@ def minhash_lsh_pairs(
     ``capped_bucket_stats`` and components always survive (the
     StarCapComponentPreservation tests).
 
-    The grouped frame feeds four branches (intra expansion, banding,
-    verification attach, member expansion); it is materialized once with
-    an eager ``localCheckpoint`` — the checkpointed RDD is reclaimed by
-    the ContextCleaner when the returned DataFrame is garbage-collected,
+    The grouped frame feeds three branches (intra expansion, banding, and
+    the fused verify-attach + member-expansion joins — r16 collapsed the
+    former four: shs and ids attach together, the expansion explodes after
+    the verify filter); it is materialized once with an eager
+    ``localCheckpoint`` — the checkpointed RDD is reclaimed by the
+    ContextCleaner when the returned DataFrame is garbage-collected,
     whereas a SQL-cache entry would pin executor memory until someone
     remembers to unpersist."""
     base = _doc_sig_sets(docs, perms, n, text_col, id_col, band_rows=band_rows)
