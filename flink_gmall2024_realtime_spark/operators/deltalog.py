@@ -2159,6 +2159,19 @@ def delta_table_changes(
         + ["_change_type string", "_commit_version bigint"]
     )
 
+    # r16 (guide §6): the CDF scans read with the EXPLICIT head schema —
+    # the log is authoritative and evolution only appends, so the head's
+    # non-partition fields are a superset of every range file's columns
+    # (files predating an added column return typed nulls, exactly what
+    # the mergeSchema + name-guarded projection produced) — instead of a
+    # footer-inference sweep over the range's files.
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string as _pds
+
+    data_read_schema = StructType(
+        [StructField(n, _pds(t), True) for n, t in table_fields]
+    )
+
     def grouped(files_meta, kind, positions=None, anti_dvs=None):
         """One scan over ``files_meta`` [(rel, version, add)]: rows
         keyed by file name get version + partitionValues from a
@@ -2170,7 +2183,7 @@ def delta_table_changes(
             raise NotImplementedError(
                 "duplicate changed-file basenames in the version range"
             )
-        df = spark.read.option("mergeSchema", "true").parquet(
+        df = spark.read.schema(data_read_schema).parquet(
             *sorted(os.path.join(path, rel) for rel, _v, _a in files_meta)
         ).select(
             "*",
@@ -2277,7 +2290,16 @@ def delta_table_changes(
             raise NotImplementedError(
                 "duplicate cdc-file basenames in the version range"
             )
-        df = spark.read.option("mergeSchema", "true").parquet(
+        # explicit schema: table fields + partition columns + the spec's
+        # _change_type; columns a cdc file does not physically carry read
+        # as typed nulls — identical to what the name-guarded projection
+        # produced over the mergeSchema read
+        cdc_schema = StructType(
+            [StructField(n, _pds(t), True) for n, t in table_fields]
+            + [StructField(c, _pds(ptypes[c]), True) for c in pcols]
+            + [StructField("_change_type", _pds("string"), True)]
+        )
+        df = spark.read.schema(cdc_schema).parquet(
             *sorted(os.path.join(path, rel) for rel, _v in cdc_files)
         ).select("*", F.col("_metadata.file_name").alias("__file"))
         v_df = spark.createDataFrame(
