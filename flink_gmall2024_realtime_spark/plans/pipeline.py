@@ -490,7 +490,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via multi-probe sign-bit LSH: plane count auto-
     scales with the corpus (8 here, 22 at 10^9 vectors — expected bucket
     size stays ~256), each query probes 4 single-bit-flip buckets, and
-    scoring is a cogrouped Arrow pass emitting bucket-local top-k, so the
+    scoring is a grouped streaming Arrow pass emitting bucket-local top-k, so the
     final ranking window sees nprobe*k rows per query — never O(|bucket|)
     raw candidates. Deterministic hyperplanes make even this approximate
     index exactly oracle-checkable (SQL twin installed below,

@@ -291,6 +291,41 @@ def test_simhash_identical_docs_equal(spark):
     assert out[1] != out[3]
 
 
+def test_complete_key_blocks_carries_split_groups():
+    """The streaming scorer's batch regrouper (r16): a key group split
+    across Arrow batch boundaries must be reassembled before scoring — the
+    trailing key of each batch is carried forward and flushed at
+    end-of-partition. Every block emitted holds only complete groups, and
+    concatenating the blocks reproduces the input rows exactly."""
+    import pandas as pd
+
+    from flink_gmall2024_realtime_spark.operators.similarity import (
+        _complete_key_blocks,
+    )
+
+    rows = [(k, i) for k in (1, 1, 1, 2, 3, 3, 3, 3, 4) for i in [0]]
+    rows = [(k, i) for i, (k, _) in enumerate(rows)]
+    full = pd.DataFrame(rows, columns=["_k", "v"])
+    for cuts in ([3], [1, 2, 5], [2], [1, 1, 1, 1, 1, 1, 1, 1]):
+        # split the sorted frame into batches at the given sizes
+        batches, pos = [], 0
+        for c in cuts:
+            batches.append(full.iloc[pos : pos + c])
+            pos += c
+        batches.append(full.iloc[pos:])
+        blocks = list(_complete_key_blocks(iter(batches)))
+        # each block holds only whole key groups (no key spans two blocks)
+        seen = []
+        for b in blocks:
+            keys = list(b["_k"])
+            assert not (seen and seen[-1] == keys[0])
+            seen.extend(dict.fromkeys(keys))
+        # concatenation reproduces the input rows in order
+        cat = pd.concat(blocks, ignore_index=True)
+        assert list(cat["v"]) == list(full["v"])
+        assert list(cat["_k"]) == list(full["_k"])
+
+
 def test_brute_force_topk_self_similarity_excluded(spark):
     df = spark.createDataFrame(
         [

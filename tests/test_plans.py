@@ -159,8 +159,11 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
         # final rank windows.)
         "dedup_minhash_lsh": 2,           # band groupBy + verify attach
         "dedup_span_exact": 3,            # gram election + coverage anti-join
-        "ann_ivf": 3,                     # cell cogroup (2 sides) + rank window
-        "ann_lsh_bucketed": 3,            # bucket cogroup (2 sides) + rank window
+        "ann_ivf": 2,                     # shared scorer exchange + rank window
+        "ann_lsh_bucketed": 2,            # shared scorer exchange + rank window
+                                          # (r16: union+repartition streaming
+                                          # scorer — one exchange for both
+                                          # sides instead of the cogroup's two)
         "dedup_embedding_cosine": 2,      # symmetric block-grid cogroup
         "dedup_simhash_pairs": 4,         # 4 combo-band windows over the
                                           # DISTINCT-fingerprint frame (the
@@ -177,7 +180,7 @@ def test_shuffle_budgets_headline_queries(spark, sf_dir):
         # (the three delta joins broadcast); trained IVF keeps the
         # placeholder path's cell-cogroup shape exactly.
         "q_incremental_join_retract": 1,
-        "ann_ivf_trained": 3,
+        "ann_ivf_trained": 2,
         # agg-retract IVM: state agg + merge agg, delta partial map-side
         # combined into the union; semantic dedup: ONE groupBy(cell) — the
         # assignment is a map-side Arrow pass, pairing never joins back.
@@ -232,16 +235,20 @@ def test_range_bucket_join_not_nested_loop(spark, sf_dir):
     assert "Join" in tree  # it IS still a join, on the bucket key
 
 
-def test_lsh_ann_scores_cogrouped_no_global_window_over_candidates(spark, sf_dir):
-    """ann_lsh_bucketed must score candidates in a cogrouped Arrow pass with
+def test_lsh_ann_scores_grouped_no_global_window_over_candidates(spark, sf_dir):
+    """ann_lsh_bucketed must score candidates in a grouped Arrow pass with
     bucket-local top-k — the plan carries NO join (the old bucket equi-join
     fed raw candidates to a global window: O(|corpus|/buckets) rows per
-    query at scale). The only Window input is the cogroup's nprobe*k rows
-    per query."""
+    query at scale). The only Window input is the scorer's nprobe*k rows
+    per query. r16: the scorer is a union + ONE shared hash exchange +
+    sorted streaming ``MapInPandas`` (per-batch Python dispatch), replacing
+    the two-exchange ``FlatMapCoGroupsInPandas`` whose per-GROUP dispatch
+    taxes every ~256-row bucket (~4M groups at 10^9 vectors)."""
     plan = formatted_plan(spark, CATALOG["ann_lsh_bucketed"].spark(spark, sf_dir))
     tree = plan.split("\n\n")[0]
-    assert "FlatMapCoGroupsInPandas" in tree
-    assert "Join" not in tree  # no bucket join — scoring happens in the cogroup
+    assert tree.count("MapInPandas") >= 3  # 2 assign passes + the scorer
+    assert "FlatMapCoGroupsInPandas" not in tree  # scorer is the streaming pass
+    assert "Join" not in tree  # no bucket join — scoring happens in the scorer
     # final rank over bucket-local top-k only (WindowGroupLimit ≠ Window)
     assert len(re.findall(r"Window \(", tree)) == 1
 
