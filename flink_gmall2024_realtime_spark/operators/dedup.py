@@ -1407,27 +1407,50 @@ def semantic_dedup_pairs(
     import numpy as np
     import pandas as pd
 
-    from .similarity import _mat, assign_nearest_cells
+    from .similarity import _complete_key_blocks, _mat, assign_nearest_cells
 
     cen_ids, cen_mat = centroids
     cells = assign_nearest_cells(emb, cen_ids, cen_mat, 1, "vid", "vec", id_col, vec_col)
 
-    def pairs_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                              "id_b": pd.Series(dtype="int64"),
-                              "sim": pd.Series(dtype="float64")})
-        if len(pdf) < 2:
-            return empty
-        vids = pdf["vid"].to_numpy(dtype=np.int64)
-        vmat = _mat(pdf["vec"])
-        ia, ib, s = _cell_pairs_arrays(vids, vmat, None, threshold, cell_cap)
-        if not len(ia):
-            return empty
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "sim": s})
+    # r16 (guide §2.4/§4, the ANN-scorer rewire): k cells scale with the
+    # corpus (k ~ n/256 — the contract above), so a groupBy(cell)
+    # .applyInPandas pays per-GROUP Python dispatch on millions of
+    # constant-sized groups at scale. One hash exchange + partition-local
+    # sort + a streaming mapInPandas that regroups complete cells
+    # (``_complete_key_blocks``) keeps the same single-shuffle plan while
+    # Python is invoked per Arrow batch; the vector matrix is built once
+    # per block and cells are numpy slices.
+    part = cells.repartition(F.col("cell")).sortWithinPartitions("cell")
 
-    return cells.groupBy("cell").applyInPandas(
-        pairs_in_cell, "id_a long, id_b long, sim double"
-    )
+    def fn(batches):
+        for pdf in _complete_key_blocks(batches, "cell"):
+            ks = pdf["cell"].to_numpy()
+            ids = pdf["vid"].to_numpy(dtype=np.int64)
+            vm = _mat(pdf["vec"])
+            out_a, out_b, out_s = [], [], []
+            bounds = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(ks)]))
+            for s0, e0 in zip(starts, ends):
+                if e0 - s0 < 2:
+                    continue
+                ia, ib, s = _cell_pairs_arrays(
+                    ids[s0:e0], vm[s0:e0], None, threshold, cell_cap
+                )
+                if len(ia):
+                    out_a.append(ia)
+                    out_b.append(ib)
+                    out_s.append(s)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    return part.mapInPandas(fn, "id_a long, id_b long, sim double")
 
 
 def semantic_cell_stats(
