@@ -653,36 +653,53 @@ def _semantic_new_vs_all_pairs(
     numpy core as the batch scorer (``dedup._cell_pairs_arrays``:
     identical-vector collapse, capped group expansion, rep-level
     star backstop, dim-sequential arithmetic), so per-batch emissions
-    union to the batch operator's pair set."""
+    union to the batch operator's pair set.
+
+    r16 (the ANN-scorer/semantic_dedup_pairs rewire): cells scale with the
+    corpus, so the pairing is one hash exchange + partition-local sort +
+    a streaming ``mapInPandas`` over complete cell blocks instead of a
+    per-GROUP ``applyInPandas`` dispatch."""
     import numpy as np
     import pandas as pd
 
     from ..operators.dedup import _cell_pairs_arrays
-    from ..operators.similarity import _mat
+    from ..operators.similarity import _complete_key_blocks, _mat
 
     both = idx.withColumn("is_new", F.lit(False)).unionByName(
         new_cells.select("cell", "vid", "vec").withColumn("is_new", F.lit(True))
     )
+    part = both.repartition(F.col("cell")).sortWithinPartitions("cell")
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "sim": pd.Series(dtype="float64"),
-            }
-        )
-        if len(pdf) < 2 or not pdf["is_new"].any():
-            return empty
-        vids = pdf["vid"].to_numpy(dtype=np.int64)
-        newf = pdf["is_new"].to_numpy(dtype=bool)
-        vmat = _mat(pdf["vec"])
-        ia, ib, s = _cell_pairs_arrays(vids, vmat, newf, threshold, cell_cap)
-        if not len(ia):
-            return empty
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "sim": s})
+    def fn(batches):
+        for pdf in _complete_key_blocks(batches, "cell"):
+            ks = pdf["cell"].to_numpy()
+            ids = pdf["vid"].to_numpy(dtype=np.int64)
+            newf_all = pdf["is_new"].to_numpy(dtype=bool)
+            vm = _mat(pdf["vec"])
+            out_a, out_b, out_s = [], [], []
+            bounds = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(ks)]))
+            for s0, e0 in zip(starts, ends):
+                if e0 - s0 < 2 or not newf_all[s0:e0].any():
+                    continue
+                ia, ib, s = _cell_pairs_arrays(
+                    ids[s0:e0], vm[s0:e0], newf_all[s0:e0], threshold, cell_cap
+                )
+                if len(ia):
+                    out_a.append(ia)
+                    out_b.append(ib)
+                    out_s.append(s)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
 
-    return both.groupBy("cell").applyInPandas(score, "id_a long, id_b long, sim double")
+    return part.mapInPandas(fn, "id_a long, id_b long, sim double")
 
 
 def pq_index_sink(
