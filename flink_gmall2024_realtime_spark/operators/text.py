@@ -52,15 +52,21 @@ def char_count(text: Column) -> Column:
 
 
 def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
-    """Count of tokens exactly equal to any marker. ``size(a) -
-    size(array_remove(a, m))`` counts equal elements entirely in codegen —
-    the lambda-filter formulation ran interpreted per token per marker."""
-    toks = _split_tokens(F.lower(text))
-    n = F.size(toks)
-    acc = F.lit(0)
-    for m in markers:
-        acc = acc + (n - F.size(F.array_remove(toks, m)))
-    return acc
+    """Count of tokens exactly equal to any marker, as ONE ``regexp_count``
+    whose token boundaries are the same ``\\s``/string-edge split
+    ``_split_tokens`` uses — a token matches iff it is a maximal non-space
+    run equal to a marker, so this is exactly per-token equality. r16: the
+    prior per-marker ``size(a) - size(array_remove(a, m))`` chain copied
+    the token array once per marker (7x in quality_features, 20x across
+    lang_id's languages); one regex scan over the text measured 0.86x on
+    text_quality with bit-identical output at all 3 SFs. (The earlier
+    lambda-filter formulation stays rejected: Spark runs HOF lambdas
+    interpreted per token.)"""
+    import re as _re
+
+    alt = "|".join(_re.escape(m) for m in markers)
+    pat = r"(?:(?<=\s)|^)(?:" + alt + r")(?:(?=\s)|$)"
+    return F.regexp_count(F.lower(text), F.lit(pat))
 
 
 def lang_id(text: Column) -> Column:
