@@ -555,7 +555,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarterly revenue.  The classic formulation is a view used twice; here the
     per-supplier aggregate is computed once, its one-row max is broadcast
     back, and DECIMAL-exact revenue makes the max-equality join safe (a
-    double sum could strand the true max on a 1-ulp difference)."""
+    double sum could strand the true max on a 1-ulp difference).
+
+    r16 (guide §2.4): "computed once" used to rely on runtime exchange
+    reuse, which never fires here — the equality join pushes an
+    ``isnotnull(l_suppkey)`` filter under only ONE branch's exchange, so
+    the two subtrees stop being canonically equal and the final plan
+    scanned+aggregated lineitem TWICE (verified in the executed plan:
+    two ShuffleQueryStages over separate lineitem scans, 0 ReusedExchange).
+    The eager ``localCheckpoint`` pins the per-supplier aggregate — a
+    |supplier|-sized frame — so both the max and the equality filter read
+    the materialized rows: one lineitem pass at any scale. Paired A/B at
+    sf0.1 and hash-exact at 3 SFs recorded in OPTIMIZATION_r16.md."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     rev = (
@@ -565,6 +576,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(_rev_dec()).alias("total_rev"))
+        .localCheckpoint(eager=True)
     )
     mx = rev.agg(F.max("total_rev").alias("_max_rev"))
     return (
